@@ -1,0 +1,214 @@
+"""CMap parsing: code -> CID and code -> Unicode (ToUnicode) tables.
+
+The reference interprets CMap files with a full PostScript interpreter that
+registers exactly the CIDInit ops ``usecmap begincodespacerange
+begincidrange beginbfchar`` (+ their ``end*``; /root/reference/libs/pdf/src/
+fonts/cmap.c:529-622). Per SURVEY.md §2.3 we implement a *data-driven*
+parser over the same four section kinds instead of a PS interpreter — same
+computed mapping, far less machinery. Tokens handled exactly as the PS
+tokenizer does: ``%`` comments, ``<hex>`` strings, ``/names``, numbers,
+``<< >>`` dicts (skipped), bare operators.
+
+EXTENSIONS beyond the reference (documented divergences):
+- ``beginbfrange``/``endbfrange`` — the reference lacks it (its own
+  ``embedded.pdf`` fixture's ToUnicode uses bfrange, but the render path
+  never consults ToUnicode for Type0 fonts); an extraction engine must.
+- predefined ``Identity-H``/``Identity-V`` are built in (the reference loads
+  them from the cmap-resources asset tree, fonts/cmap_paths.c); all other
+  predefined CMaps raise UNSUPPORTED_CMAP.
+
+Lookup semantics mirror the reference: codespace ranges are recorded but the
+Type0 code iterator always consumes 2 bytes (render/font.c:46-67 hardcodes
+2-byte big-endian reads) — reproduced for parity.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from pdf_spark.core.errors import UNSUPPORTED_CMAP, PdfError
+
+_TOKEN_RE = re.compile(
+    rb"%[^\r\n]*"                      # comment
+    rb"|<<|>>"                          # dict delims
+    rb"|<[0-9a-fA-F\s]*>"              # hex string
+    rb"|\[|\]"
+    rb"|/[^\s<>\[\]{}/%()]*"           # name
+    rb"|\([^)]*\)"                      # literal string (CMap metadata only)
+    rb"|[^\s<>\[\]{}/%()]+"            # number / operator
+)
+
+
+class CMap:
+    """Range tables + bf mappings (mirrors ``CMapTable``, cmap.c:60-78)."""
+
+    __slots__ = ("name", "codespace", "cid_ranges", "bf_singles", "bf_ranges", "parent")
+
+    def __init__(self, name: str = "") -> None:
+        self.name = name
+        self.codespace: list[tuple[int, int, int]] = []  # (lo, hi, nbytes)
+        self.cid_ranges: list[tuple[int, int, int]] = []  # (lo, hi, cid_base)
+        self.bf_singles: dict[int, str] = {}
+        self.bf_ranges: list[tuple[int, int, int]] = []  # (lo, hi, dst_base)
+        self.parent: Optional[CMap] = None  # usecmap chain (cmap.c:176-205)
+
+    # code -> CID (pdf_cmap_get_cid, cmap.c:116-138)
+    def get_cid(self, code: int) -> Optional[int]:
+        for lo, hi, base in self.cid_ranges:
+            if lo <= code <= hi:
+                return base + (code - lo)
+        if self.parent is not None:
+            return self.parent.get_cid(code)
+        return None
+
+    # code -> unicode str (pdf_cmap_get_unicode, cmap.c:140-159, extended
+    # with bfrange)
+    def get_unicode(self, code: int) -> Optional[str]:
+        u = self.bf_singles.get(code)
+        if u is not None:
+            return u
+        for lo, hi, base in self.bf_ranges:
+            if lo <= code <= hi:
+                return chr(base + (code - lo))
+        if self.parent is not None:
+            return self.parent.get_unicode(code)
+        return None
+
+
+def _identity_cmap(name: str) -> CMap:
+    cm = CMap(name)
+    cm.codespace = [(0x0000, 0xFFFF, 2)]
+    cm.cid_ranges = [(0x0000, 0xFFFF, 0)]
+    return cm
+
+
+def get_predefined_cmap(name: str) -> CMap:
+    if name in ("Identity-H", "Identity-V"):
+        return _identity_cmap(name)
+    raise PdfError(UNSUPPORTED_CMAP, f"predefined CMap {name!r}")
+
+
+def _hex_token_value(tok: bytes) -> tuple[int, int]:
+    """``<0041>`` -> (0x41, nbytes=2). Whitespace inside is legal."""
+    body = re.sub(rb"\s", b"", tok[1:-1])
+    if not body:
+        return 0, 0
+    return int(body, 16), (len(body) + 1) // 2
+
+
+def _utf16be_str(tok: bytes) -> str:
+    body = re.sub(rb"\s", b"", tok[1:-1])
+    if len(body) % 2:
+        body += b"0"
+    raw = bytes.fromhex(body.decode("ascii"))
+    if len(raw) % 2 == 0 and len(raw) >= 2:
+        try:
+            return raw.decode("utf-16-be")
+        except UnicodeDecodeError:
+            pass
+    return "".join(chr(b) for b in raw)
+
+
+def parse_cmap(data: bytes) -> CMap:
+    """Parse an (embedded or ToUnicode) CMap stream body."""
+    cm = CMap()
+    toks = _TOKEN_RE.findall(data)
+    i, n = 0, len(toks)
+
+    def is_hex(t: bytes) -> bool:
+        return t.startswith(b"<") and t not in (b"<<",)
+
+    while i < n:
+        t = toks[i]
+        if t.startswith(b"%"):
+            i += 1
+            continue
+        if t == b"usecmap":
+            # stack form: /Name usecmap — name is the previous name token
+            j = i - 1
+            while j >= 0 and not toks[j].startswith(b"/"):
+                j -= 1
+            if j >= 0:
+                cm.parent = get_predefined_cmap(toks[j][1:].decode("latin-1"))
+            i += 1
+            continue
+        if t == b"begincodespacerange":
+            i += 1
+            while i < n and toks[i] != b"endcodespacerange":
+                if is_hex(toks[i]) and i + 1 < n and is_hex(toks[i + 1]):
+                    lo, nb = _hex_token_value(toks[i])
+                    hi, _ = _hex_token_value(toks[i + 1])
+                    cm.codespace.append((lo, hi, nb))
+                    i += 2
+                else:
+                    i += 1
+            i += 1
+            continue
+        if t == b"begincidrange":
+            i += 1
+            while i < n and toks[i] != b"endcidrange":
+                if (
+                    is_hex(toks[i])
+                    and i + 2 < n
+                    and is_hex(toks[i + 1])
+                    and not toks[i + 2].startswith((b"<", b"/"))
+                ):
+                    lo, _ = _hex_token_value(toks[i])
+                    hi, _ = _hex_token_value(toks[i + 1])
+                    try:
+                        base = int(toks[i + 2])
+                    except ValueError:
+                        i += 1
+                        continue
+                    cm.cid_ranges.append((lo, hi, base))
+                    i += 3
+                else:
+                    i += 1
+            i += 1
+            continue
+        if t == b"beginbfchar":
+            i += 1
+            while i < n and toks[i] != b"endbfchar":
+                if is_hex(toks[i]) and i + 1 < n and is_hex(toks[i + 1]):
+                    code, _ = _hex_token_value(toks[i])
+                    cm.bf_singles[code] = _utf16be_str(toks[i + 1])
+                    i += 2
+                else:
+                    i += 1
+            i += 1
+            continue
+        if t == b"beginbfrange":
+            i += 1
+            while i < n and toks[i] != b"endbfrange":
+                if (
+                    is_hex(toks[i])
+                    and i + 2 < n
+                    and is_hex(toks[i + 1])
+                    and is_hex(toks[i + 2])
+                ):
+                    lo, _ = _hex_token_value(toks[i])
+                    hi, _ = _hex_token_value(toks[i + 1])
+                    dst, _ = _hex_token_value(toks[i + 2])
+                    cm.bf_ranges.append((lo, hi, dst))
+                    i += 3
+                elif is_hex(toks[i]) and i + 2 < n and toks[i + 2] == b"[":
+                    # array form: <lo> <hi> [<d0> <d1> ...]
+                    lo, _ = _hex_token_value(toks[i])
+                    i += 3
+                    k = 0
+                    while i < n and toks[i] != b"]":
+                        if is_hex(toks[i]):
+                            cm.bf_singles[lo + k] = _utf16be_str(toks[i])
+                            k += 1
+                        i += 1
+                    i += 1
+                else:
+                    i += 1
+            i += 1
+            continue
+        if t.startswith(b"/") and t[1:] == b"CMapName":
+            if i + 1 < n and toks[i + 1].startswith(b"/"):
+                cm.name = toks[i + 1][1:].decode("latin-1")
+        i += 1
+    return cm

@@ -1,0 +1,280 @@
+"""Document structure: header, startxref, xref table, trailer chain,
+reference resolver, catalog, and the page-tree iterator.
+
+Reference semantics reimplemented (not copied):
+
+- header ``%PDF-1.N``, N in [0,7]                      (pdf.c:278-297)
+- startxref: backscan <=32 bytes from EOF for ``%%EOF``, then read the
+  offset line above it after the ``startxref`` keyword  (pdf.c:304-341)
+- classic xref table: ``xref`` keyword, subsection headers
+  ``first_object num_entries``, fixed-width 20-byte entries
+  ``%010d %05d [nf]``                                   (xref.c:74-130,144-228)
+- trailer ``Prev`` chain of incremental updates; the NEWEST section wins for
+  duplicate object ids (subsections searched in parse order, xref.c:230-291);
+  full trailer (Size/Prev/Root/Info/ID) comes from the newest section
+  (pdf.c:64-118,148-176)
+- resolver: xref lookup -> seek -> parse. DIVERGENCE (strict improvement the
+  reference's typed layer already makes, deserde.h:380): results are memoized
+  per (id,gen) — the reference re-parses on every raw resolve (pdf.c:224-226).
+- page tree: DFS over ``Pages/Kids`` with attribute inheritance
+  (Resources/MediaBox/CropBox/Rotate parent->child, page.c:166-203), depth
+  cap 1024 (page.c:288).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Iterator, Optional
+
+from pdf_spark.core.errors import (
+    INCORRECT_TYPE,
+    INVALID_STARTXREF,
+    INVALID_TRAILER,
+    INVALID_VERSION,
+    INVALID_XREF,
+    MISSING_KEY,
+    RECURSION_LIMIT,
+    UNSUPPORTED_XREF,
+    PdfError,
+)
+from pdf_spark.core.objects import (
+    IndirectObject,
+    Name,
+    ObjectParser,
+    Ref,
+    Stream,
+)
+
+_HEADER_RE = re.compile(rb"%PDF-1\.([0-7])")
+_INT_RE = re.compile(rb"\d+")
+_WS = b"\x00\t\n\x0c\r "
+
+PAGE_TREE_DEPTH_CAP = 1024  # page.c:288
+EOF_BACKSCAN = 32  # pdf.c:310
+
+# attributes inherited parent->child in the page tree (page.c:166-203)
+INHERITABLE = ("Resources", "MediaBox", "CropBox", "Rotate")
+
+
+def parse_header(buf: bytes) -> int:
+    """Return the minor version; header must open the file (pdf.c:278-297)."""
+    m = _HEADER_RE.match(buf)
+    if not m:
+        raise PdfError(INVALID_VERSION, "missing %PDF-1.[0-7] header")
+    return int(m.group(1))
+
+
+def parse_startxref(buf: bytes) -> int:
+    """EOF backscan (<=32B) for ``%%EOF``; the two lines above it are
+    ``startxref`` and the byte offset (pdf.c:304-341)."""
+    tail_start = max(0, len(buf) - EOF_BACKSCAN - len(b"%%EOF"))
+    idx = buf.rfind(b"%%EOF", tail_start)
+    if idx < 0:
+        raise PdfError(INVALID_STARTXREF, "%%EOF not found in tail")
+    # scan backwards: whitespace, digits (offset), whitespace, 'startxref'
+    p = idx
+    while p > 0 and buf[p - 1] in _WS:
+        p -= 1
+    dig_end = p
+    while p > 0 and 0x30 <= buf[p - 1] <= 0x39:
+        p -= 1
+    if p == dig_end:
+        raise PdfError(INVALID_STARTXREF, "no offset digits before %%EOF")
+    offset = int(buf[p:dig_end])
+    while p > 0 and buf[p - 1] in _WS:
+        p -= 1
+    if not buf.endswith(b"startxref", 0, p):
+        raise PdfError(INVALID_STARTXREF, "startxref keyword missing")
+    if offset >= len(buf):
+        raise PdfError(INVALID_STARTXREF, f"startxref offset {offset} past EOF")
+    return offset
+
+
+def parse_xref_section(buf: bytes, start: int) -> tuple[dict, dict, Optional[int]]:
+    """Parse one classic xref section + its trailer dict.
+
+    Returns ``(entries, trailer_dict, prev_offset)`` where ``entries`` maps
+    ``obj_id -> (offset, gen, in_use)``. Entry records are the fixed-width
+    20-byte ``%010d %05d [nf]\\r\\n`` form; entry offset arithmetic is
+    ``subsection_start + 20*i`` (xref.c:102). The reference parses entries
+    lazily per lookup (xref.c:74-130); one doc fits memory inside a UDF, so
+    we parse the (tiny) table eagerly with the same validation.
+    """
+    p = ObjectParser(buf, start)
+    p.skip_ws()
+    if not buf.startswith(b"xref", p.pos):
+        # could be a PDF-1.5 xref *stream* — unsupported by the reference
+        raise PdfError(UNSUPPORTED_XREF, "no `xref` keyword at startxref offset")
+    p.expect_keyword(b"xref")
+    entries: dict[int, tuple[int, int, bool]] = {}
+    while True:
+        p.skip_ws()
+        if buf.startswith(b"trailer", p.pos):
+            p.expect_keyword(b"trailer")
+            break
+        m1 = _INT_RE.match(buf, p.pos)
+        if not m1:
+            raise PdfError(INVALID_XREF, "expected subsection header")
+        p.pos = m1.end()
+        p.skip_ws()
+        m2 = _INT_RE.match(buf, p.pos)
+        if not m2:
+            raise PdfError(INVALID_XREF, "subsection header missing count")
+        p.pos = m2.end()
+        first, count = int(m1.group()), int(m2.group())
+        # skip the single EOL after the header, then fixed 20-byte records
+        p.skip_ws()
+        base = p.pos
+        if base + 20 * count > len(buf):
+            raise PdfError(INVALID_XREF, "xref entries past EOF")
+        for i in range(count):
+            rec = buf[base + 20 * i : base + 20 * i + 20]
+            off_b, gen_b, ty = rec[0:10], rec[11:16], rec[17:18]
+            if (
+                rec[10:11] != b" "
+                or rec[16:17] != b" "
+                or ty not in (b"n", b"f")
+                or not off_b.isdigit()
+                or not gen_b.isdigit()
+            ):
+                raise PdfError(INVALID_XREF, f"malformed entry {rec!r}")
+            oid = first + i
+            if oid not in entries:  # first (newest-parsed) wins
+                entries[oid] = (int(off_b), int(gen_b), ty == b"n")
+        p.pos = base + 20 * count
+    trailer = p.parse_object()
+    if not isinstance(trailer, dict):
+        raise PdfError(INVALID_TRAILER, "trailer is not a dict")
+    prev = trailer.get("Prev")
+    if prev is not None and not isinstance(prev, int):
+        raise PdfError(INVALID_TRAILER, "trailer /Prev must be an integer")
+    return entries, trailer, prev
+
+
+class Resolver:
+    """Lazy indirect-object resolver over one in-memory document
+    (pdf.c:64-118 pdf_resolver_new + pdf.c:206-273 resolution)."""
+
+    __slots__ = ("buf", "version", "xref", "trailer", "_cache")
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.version = parse_header(buf)
+        start = parse_startxref(buf)
+        # walk the Prev chain newest -> oldest; newest section wins on
+        # duplicate ids (setdefault preserves first insertion)
+        xref: dict[int, tuple[int, int, bool]] = {}
+        trailer: Optional[dict] = None
+        seen_offsets: set[int] = set()
+        off: Optional[int] = start
+        while off is not None and off not in seen_offsets:
+            seen_offsets.add(off)
+            entries, tdict, prev = parse_xref_section(buf, off)
+            for oid, ent in entries.items():
+                xref.setdefault(oid, ent)
+            if trailer is None:
+                trailer = tdict  # full trailer = newest section (pdf.c:163)
+            off = prev
+        assert trailer is not None
+        self.xref = xref
+        self.trailer = trailer
+        self._cache: dict[tuple[int, int], Any] = {}
+
+    # -- resolution (pdf.c:206-273) --
+
+    def resolve_ref(self, ref: Ref) -> Any:
+        key = (ref.obj_id, ref.gen)
+        if key in self._cache:
+            return self._cache[key]
+        ent = self.xref.get(ref.obj_id)
+        if ent is None:
+            raise PdfError(INVALID_XREF, f"object {ref.obj_id} not in xref")
+        offset, gen, in_use = ent
+        if not in_use:
+            return None  # free entry resolves to null
+        if gen != ref.gen:
+            raise PdfError(INVALID_XREF, f"generation mismatch for {ref.obj_id}")
+        ind = ObjectParser(self.buf, offset, resolver=self).parse_indirect_object()
+        if ind.obj_id != ref.obj_id:
+            raise PdfError(INVALID_XREF, f"xref offset points at {ind.obj_id}")
+        self._cache[key] = ind.value
+        return ind.value
+
+    def resolve(self, obj: Any) -> Any:
+        """Recursively unwrap Ref / IndirectObject (pdf_resolve_object)."""
+        while True:
+            if isinstance(obj, Ref):
+                obj = self.resolve_ref(obj)
+            elif isinstance(obj, IndirectObject):
+                obj = obj.value
+            else:
+                return obj
+
+    # -- typed accessors --
+
+    def get_dict(self, obj: Any, what: str) -> dict:
+        v = self.resolve(obj)
+        if isinstance(v, Stream):
+            v = v.dict  # streams auto-unwrap to their dict (deserde.c:31-33)
+        if not isinstance(v, dict):
+            raise PdfError(INCORRECT_TYPE, f"{what}: expected dict")
+        return v
+
+    def catalog(self) -> dict:
+        root = self.trailer.get("Root")
+        if root is None:
+            raise PdfError(MISSING_KEY, "trailer missing /Root")
+        cat = self.get_dict(root, "catalog")
+        if cat.get("Type") != Name("Catalog"):
+            raise PdfError(INCORRECT_TYPE, "Root is not /Type/Catalog")
+        return cat
+
+    def iter_pages(self) -> Iterator[dict]:
+        """DFS over the page tree with attribute inheritance and a depth cap
+        (page.c:221-293). Yields leaf page dicts with inherited attributes
+        merged in (child's own value wins)."""
+        cat = self.catalog()
+        pages_ref = cat.get("Pages")
+        if pages_ref is None:
+            raise PdfError(MISSING_KEY, "catalog missing /Pages")
+        root = self.get_dict(pages_ref, "pages root")
+        # stack of (node, inherited, depth); children pushed reversed so the
+        # leftmost kid pops first (document order)
+        stack: list[tuple[dict, dict, int]] = [(root, {}, 0)]
+        while stack:
+            node, inherited, depth = stack.pop()
+            if depth > PAGE_TREE_DEPTH_CAP:
+                raise PdfError(RECURSION_LIMIT, "page tree deeper than 1024")
+            merged = dict(inherited)
+            for k in INHERITABLE:
+                if k in node:
+                    merged[k] = node[k]
+            ntype = node.get("Type")
+            if ntype == Name("Page"):
+                page = dict(node)
+                for k, v in merged.items():
+                    page.setdefault(k, v)
+                yield page
+            elif ntype == Name("Pages"):
+                kids = self.resolve(node.get("Kids"))
+                if not isinstance(kids, list):
+                    raise PdfError(INCORRECT_TYPE, "/Kids must be an array")
+                for kid in reversed(kids):
+                    stack.append((self.get_dict(kid, "page kid"), merged, depth + 1))
+            else:
+                raise PdfError(INCORRECT_TYPE, f"page node /Type {ntype!r}")
+
+    def content_streams(self, page: dict) -> list[bytes]:
+        """A page's ``Contents`` is one stream or an array of streams; each is
+        decoded separately and executed sequentially (render.c:1175-1199)."""
+        contents = self.resolve(page.get("Contents"))
+        if contents is None:
+            return []
+        items = contents if isinstance(contents, list) else [contents]
+        out = []
+        for item in items:
+            s = self.resolve(item)
+            if not isinstance(s, Stream):
+                raise PdfError(INCORRECT_TYPE, "Contents entry is not a stream")
+            out.append(s.decoded(self))
+        return out

@@ -1,0 +1,140 @@
+"""Simple-font encodings + AGL glyph-name -> Unicode mapping.
+
+The reference maps ``code -> glyph name`` through built-in encoding tables
+(MacRoman/MacExpert/WinAnsi + /Differences overrides,
+/root/reference/libs/pdf/src/fonts/encoding.c:432-520) and then
+``glyph name -> Unicode`` through the Adobe Glyph List asset
+(assets/agl-aglfn/glyphlist.txt, parsed at fonts/agl.c:27-…). We embed the
+Latin subset of these *public-spec* tables (PDF 32000-1 Annex D; AGL 2.0)
+directly — the full AGL covers CJK ligatures etc. that no simple 8-bit font
+in the corpus can address. Unknown names fall back to the AGL algorithm's
+``uniXXXX``/``uXXXX[XX]`` rule, then to U+FFFD.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+_ASCII_NAMES = {
+    32: "space", 33: "exclam", 34: "quotedbl", 35: "numbersign",
+    36: "dollar", 37: "percent", 38: "ampersand", 40: "parenleft",
+    41: "parenright", 42: "asterisk", 43: "plus", 44: "comma",
+    45: "hyphen", 46: "period", 47: "slash", 48: "zero", 49: "one",
+    50: "two", 51: "three", 52: "four", 53: "five", 54: "six",
+    55: "seven", 56: "eight", 57: "nine", 58: "colon", 59: "semicolon",
+    60: "less", 61: "equal", 62: "greater", 63: "question", 64: "at",
+    91: "bracketleft", 92: "backslash", 93: "bracketright",
+    94: "asciicircum", 95: "underscore", 123: "braceleft", 124: "bar",
+    125: "braceright", 126: "asciitilde",
+}
+for _c in range(65, 91):
+    _ASCII_NAMES[_c] = chr(_c)
+for _c in range(97, 123):
+    _ASCII_NAMES[_c] = chr(_c)
+
+# StandardEncoding: ASCII range with the two quote quirks (Annex D.2)
+STANDARD_ENCODING: dict[int, str] = dict(_ASCII_NAMES)
+STANDARD_ENCODING[39] = "quoteright"
+STANDARD_ENCODING[96] = "quoteleft"
+
+# WinAnsiEncoding: cp1252-shaped (Annex D.2); high range subset
+WIN_ANSI_ENCODING: dict[int, str] = dict(_ASCII_NAMES)
+WIN_ANSI_ENCODING[39] = "quotesingle"
+WIN_ANSI_ENCODING[96] = "grave"
+WIN_ANSI_ENCODING.update({
+    128: "Euro", 130: "quotesinglbase", 131: "florin", 132: "quotedblbase",
+    133: "ellipsis", 134: "dagger", 135: "daggerdbl", 136: "circumflex",
+    137: "perthousand", 138: "Scaron", 139: "guilsinglleft", 140: "OE",
+    145: "quoteleft", 146: "quoteright", 147: "quotedblleft",
+    148: "quotedblright", 149: "bullet", 150: "endash", 151: "emdash",
+    152: "tilde", 153: "trademark", 154: "scaron", 155: "guilsinglright",
+    156: "oe", 159: "Ydieresis", 161: "exclamdown", 162: "cent",
+    163: "sterling", 164: "currency", 165: "yen", 166: "brokenbar",
+    167: "section", 168: "dieresis", 169: "copyright", 170: "ordfeminine",
+    171: "guillemotleft", 172: "logicalnot", 173: "hyphen",
+    174: "registered", 175: "macron", 176: "degree", 177: "plusminus",
+    180: "acute", 181: "mu", 182: "paragraph", 183: "periodcentered",
+    184: "cedilla", 186: "ordmasculine", 187: "guillemotright",
+    191: "questiondown", 192: "Agrave", 193: "Aacute", 194: "Acircumflex",
+    195: "Atilde", 196: "Adieresis", 197: "Aring", 198: "AE",
+    199: "Ccedilla", 200: "Egrave", 201: "Eacute", 202: "Ecircumflex",
+    203: "Edieresis", 204: "Igrave", 205: "Iacute", 206: "Icircumflex",
+    207: "Idieresis", 209: "Ntilde", 210: "Ograve", 211: "Oacute",
+    212: "Ocircumflex", 213: "Otilde", 214: "Odieresis", 216: "Oslash",
+    217: "Ugrave", 218: "Uacute", 219: "Ucircumflex", 220: "Udieresis",
+    221: "Yacute", 223: "germandbls", 224: "agrave", 225: "aacute",
+    226: "acircumflex", 227: "atilde", 228: "adieresis", 229: "aring",
+    230: "ae", 231: "ccedilla", 232: "egrave", 233: "eacute",
+    234: "ecircumflex", 235: "edieresis", 236: "igrave", 237: "iacute",
+    238: "icircumflex", 239: "idieresis", 241: "ntilde", 242: "ograve",
+    243: "oacute", 244: "ocircumflex", 245: "otilde", 246: "odieresis",
+    248: "oslash", 249: "ugrave", 250: "uacute", 251: "ucircumflex",
+    252: "udieresis", 253: "yacute", 255: "ydieresis",
+})
+
+# MacRoman: ASCII identical to WinAnsi in the low range for our corpus
+MAC_ROMAN_ENCODING: dict[int, str] = dict(_ASCII_NAMES)
+MAC_ROMAN_ENCODING[39] = "quotesingle"
+MAC_ROMAN_ENCODING[96] = "grave"
+
+BASE_ENCODINGS = {
+    "StandardEncoding": STANDARD_ENCODING,
+    "WinAnsiEncoding": WIN_ANSI_ENCODING,
+    "MacRomanEncoding": MAC_ROMAN_ENCODING,
+    # MacExpertEncoding is registered by the reference but maps symbols only;
+    # unsupported names fall through to the U+FFFD path.
+    "MacExpertEncoding": {},
+}
+
+# AGL subset: glyph name -> unicode char (AGL 2.0, public)
+AGL: dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "braceleft": "{", "bar": "|", "braceright": "}",
+    "asciitilde": "~", "quoteright": "’", "quoteleft": "‘",
+    "grave": "`", "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "ellipsis": "…",
+    "bullet": "•", "dagger": "†", "daggerdbl": "‡",
+    "perthousand": "‰", "trademark": "™", "Euro": "€",
+    "florin": "ƒ", "circumflex": "ˆ", "tilde": "˜",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "OE": "Œ", "oe": "œ", "Scaron": "Š", "scaron": "š",
+    "Ydieresis": "Ÿ", "fi": "ﬁ", "fl": "ﬂ",
+    "dotlessi": "ı", "lslash": "ł", "Lslash": "Ł",
+}
+for _c in range(65, 91):
+    AGL[chr(_c)] = chr(_c)
+for _c in range(97, 123):
+    AGL[chr(_c)] = chr(_c)
+# Latin-1 high range names (exclamdown..ydieresis) map to their latin-1 chars
+for _code, _name in WIN_ANSI_ENCODING.items():
+    if _code >= 161 and _name not in AGL:
+        AGL[_name] = chr(_code)
+
+
+def glyph_name_to_unicode(name: str) -> Optional[str]:
+    """AGL algorithm: table lookup, then uniXXXX / uXXXX(XX) forms."""
+    u = AGL.get(name)
+    if u is not None:
+        return u
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return "".join(
+                chr(int(name[i : i + 4], 16)) for i in range(3, len(name), 4)
+            )
+        except ValueError:
+            return None
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return None
+    return None

@@ -1,0 +1,235 @@
+"""Font model: dict deserde, code iteration, glyph->text decode, widths.
+
+Reimplements the reference's font layer for *extraction* (glyph shapes are
+out of scope, SURVEY.md §7.4):
+
+- subtype dispatch (/root/reference/libs/pdf/src/fonts/font.c:193-259):
+  Type0 / TrueType / CIDFontType0 / CIDFontType2. EXTENSION: ``Type1`` and
+  ``Type3`` are handled as simple 1-byte-code fonts — the reference panics
+  on them (font.c:228-236), but its own ``test.pdf`` fixture uses
+  Times-Roman/Type1 and an extraction engine must decode it.
+- code iteration (render/font.c:29-87): Type0 reads 2-byte big-endian codes
+  (a trailing odd byte is DROPPED — ``*offset + 1 >= len`` check at
+  font.c:46); simple fonts read 1 byte.
+- text decode priority (render/font.c:89-248): ToUnicode CMap first, then
+  Encoding (+Differences) -> glyph name -> AGL, then fallback. Fallbacks are
+  deterministic: simple fonts fall back through StandardEncoding to
+  latin-1(chr); Type0 falls back to chr(cid).
+- widths: CID fonts use the two ``W`` array forms + ``DW`` default 1000
+  (font_widths.c:15-164, render/font.c:465-493); simple fonts use
+  ``Widths[code-FirstChar]`` with ``MissingWidth`` fallback
+  (render/font.c:494-517). DIVERGENCE: fonts with no width info (base-14
+  metrics are not shipped) use a flat 500/1000em — positions only feed the
+  deterministic span sort, and the synthetic generator uses the same rule.
+- CIDToGIDMap: Identity or a stream of big-endian u16 (cid_to_gid_map.c:10-64).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+from pdf_spark.core.cmap import CMap, get_predefined_cmap, parse_cmap
+from pdf_spark.core.encodings import BASE_ENCODINGS, STANDARD_ENCODING, glyph_name_to_unicode
+from pdf_spark.core.errors import INCORRECT_TYPE, UNSUPPORTED_FONT, PdfError
+from pdf_spark.core.objects import Name, Stream
+
+DEFAULT_WIDTH = 500.0  # flat fallback (divergence, see module docstring)
+SIMPLE_SUBTYPES = ("Type1", "TrueType", "MMType1", "Type3")
+
+
+class Font:
+    """One resolved font resource; built once per (doc, resource name) and
+    cached by the interpreter (the reference re-deserializes per Tf — a TODO
+    it acknowledges at render/font.c:369)."""
+
+    __slots__ = (
+        "subtype", "base_font", "is_type0",
+        "encoding_cmap", "to_unicode",
+        "code_to_name", "first_char", "widths", "missing_width",
+        "cid_widths", "default_width", "cid_to_gid",
+    )
+
+    def __init__(self) -> None:
+        self.subtype = ""
+        self.base_font = ""
+        self.is_type0 = False
+        self.encoding_cmap: Optional[CMap] = None
+        self.to_unicode: Optional[CMap] = None
+        self.code_to_name: dict[int, str] = {}
+        self.first_char = 0
+        self.widths: Optional[list[float]] = None
+        self.missing_width: Optional[float] = None
+        self.cid_widths: dict[int, float] = {}
+        self.default_width = 1000.0  # DW default (spec + font_widths.c)
+        self.cid_to_gid: Optional[bytes] = None  # None = Identity
+
+    # -- code iteration (render/font.c:29-87) --
+
+    def iter_codes(self, data: bytes) -> Iterator[int]:
+        if self.is_type0:
+            n = len(data)
+            off = 0
+            while off + 1 < n:  # trailing odd byte dropped (font.c:46)
+                yield (data[off] << 8) | data[off + 1]
+                off += 2
+        else:
+            yield from data
+
+    # -- decode (render/font.c:89-248 priority, extraction-shaped) --
+
+    def code_to_cid(self, code: int) -> int:
+        if self.is_type0 and self.encoding_cmap is not None:
+            cid = self.encoding_cmap.get_cid(code)
+            return cid if cid is not None else 0
+        return code
+
+    def code_to_text(self, code: int) -> str:
+        if self.to_unicode is not None:
+            u = self.to_unicode.get_unicode(code)
+            if u is not None:
+                return u
+        if not self.is_type0:
+            name = self.code_to_name.get(code)
+            if name is not None:
+                u = glyph_name_to_unicode(name)
+                if u is not None:
+                    return u
+            # fallback chain: StandardEncoding -> latin-1 chr
+            name = STANDARD_ENCODING.get(code)
+            if name is not None:
+                u = glyph_name_to_unicode(name)
+                if u is not None:
+                    return u
+            return chr(code)
+        return chr(self.code_to_cid(code))
+
+    # -- widths (font_widths.c:15-164; render/font.c:465-517) --
+
+    def width(self, code: int) -> float:
+        if self.is_type0:
+            cid = self.code_to_cid(code)
+            w = self.cid_widths.get(cid)
+            return w if w is not None else self.default_width
+        if self.widths is not None:
+            idx = code - self.first_char
+            if 0 <= idx < len(self.widths):
+                return self.widths[idx]
+        if self.missing_width is not None:
+            return self.missing_width
+        return DEFAULT_WIDTH
+
+
+def _parse_cid_widths(w_array: list, resolver) -> dict[int, float]:
+    """The ``W`` array's two forms (font_widths.c:15-164):
+    ``c [w1 w2 ...]`` and ``c_first c_last w``."""
+    out: dict[int, float] = {}
+    i = 0
+    n = len(w_array)
+    while i < n:
+        first = resolver.resolve(w_array[i])
+        if not isinstance(first, (int, float)):
+            raise PdfError(INCORRECT_TYPE, "W array: expected number")
+        if i + 1 < n:
+            nxt = resolver.resolve(w_array[i + 1])
+            if isinstance(nxt, list):
+                for k, w in enumerate(nxt):
+                    out[int(first) + k] = float(resolver.resolve(w))
+                i += 2
+                continue
+            if i + 2 < n:
+                last = nxt
+                w = float(resolver.resolve(w_array[i + 2]))
+                for c in range(int(first), int(last) + 1):
+                    out[c] = w
+                i += 3
+                continue
+        raise PdfError(INCORRECT_TYPE, "W array: truncated run")
+    return out
+
+
+def load_font(font_obj, resolver) -> Font:
+    """Deserialize a font dict (font.c:193-259 dispatch)."""
+    d = resolver.get_dict(font_obj, "font")
+    if d.get("Type") != Name("Font"):
+        raise PdfError(INCORRECT_TYPE, f"font /Type is {d.get('Type')!r}")
+    subtype = d.get("Subtype")
+    f = Font()
+    f.subtype = str(subtype) if subtype else ""
+    f.base_font = str(resolver.resolve(d.get("BaseFont")) or "")
+
+    tu = resolver.resolve(d.get("ToUnicode"))
+    if isinstance(tu, Stream):
+        f.to_unicode = parse_cmap(tu.decoded(resolver))
+
+    if subtype == Name("Type0"):
+        f.is_type0 = True
+        enc = resolver.resolve(d.get("Encoding"))
+        if isinstance(enc, Name):
+            f.encoding_cmap = get_predefined_cmap(str(enc))
+        elif isinstance(enc, Stream):
+            f.encoding_cmap = parse_cmap(enc.decoded(resolver))
+        else:
+            raise PdfError(UNSUPPORTED_FONT, "Type0 font without Encoding")
+        desc_fonts = resolver.resolve(d.get("DescendantFonts"))
+        if not isinstance(desc_fonts, list) or len(desc_fonts) != 1:
+            # exactly-one enforced by the reference (font.c:129-134)
+            raise PdfError(
+                INCORRECT_TYPE, "DescendantFonts must have exactly one element"
+            )
+        cid_font = resolver.get_dict(desc_fonts[0], "descendant font")
+        cid_subtype = cid_font.get("Subtype")
+        if cid_subtype not in (Name("CIDFontType0"), Name("CIDFontType2")):
+            raise PdfError(UNSUPPORTED_FONT, f"CID font subtype {cid_subtype!r}")
+        dw = resolver.resolve(cid_font.get("DW"))
+        if isinstance(dw, (int, float)):
+            f.default_width = float(dw)
+        w = resolver.resolve(cid_font.get("W"))
+        if isinstance(w, list):
+            f.cid_widths = _parse_cid_widths(w, resolver)
+        c2g = resolver.resolve(cid_font.get("CIDToGIDMap"))
+        if isinstance(c2g, Stream):
+            f.cid_to_gid = c2g.decoded(resolver)
+        return f
+
+    if subtype in (Name(s) for s in SIMPLE_SUBTYPES):
+        fc = resolver.resolve(d.get("FirstChar"))
+        if isinstance(fc, int):
+            f.first_char = fc
+        widths = resolver.resolve(d.get("Widths"))
+        if isinstance(widths, list):
+            f.widths = [float(resolver.resolve(w)) for w in widths]
+        fd = d.get("FontDescriptor")
+        if fd is not None:
+            try:
+                fdd = resolver.get_dict(fd, "font descriptor")
+                mw = resolver.resolve(fdd.get("MissingWidth"))
+                if isinstance(mw, (int, float)):
+                    f.missing_width = float(mw)
+            except PdfError:
+                pass
+        enc = resolver.resolve(d.get("Encoding"))
+        if isinstance(enc, Name):
+            f.code_to_name = BASE_ENCODINGS.get(str(enc), {})
+        elif isinstance(enc, dict):
+            base = resolver.resolve(enc.get("BaseEncoding"))
+            table = dict(
+                BASE_ENCODINGS.get(str(base), STANDARD_ENCODING)
+                if base is not None
+                else STANDARD_ENCODING
+            )
+            diffs = resolver.resolve(enc.get("Differences"))
+            if isinstance(diffs, list):
+                # Differences: int resets code, names assign sequentially
+                # (encoding.c:432-494)
+                code = 0
+                for item in diffs:
+                    item = resolver.resolve(item)
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    elif isinstance(item, Name):
+                        table[code] = str(item)
+                        code += 1
+            f.code_to_name = table
+        return f
+
+    raise PdfError(UNSUPPORTED_FONT, f"font subtype {subtype!r}")

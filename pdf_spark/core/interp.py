@@ -1,0 +1,296 @@
+"""Graphics/text-state interpreter: content ops -> span rows.
+
+Reimplements the text semantics of ``/root/reference/libs/render/src/
+render.c:223-1074`` + ``text_state.c:27-118`` with glyph *rasterization*
+replaced by span *emission* (SURVEY.md §2.4). Matrices are 2x3 affine rows
+``(a, b, c, d, e, f)`` — PDF's ``[a b c d e f]``.
+
+Reference quirks reproduced bit-for-bit (SURVEY.md §7.3):
+
+- ``BT`` resets ``Tm = Tlm = I`` (text_state.c:22-25, render.c:562-565)
+- ``Td``: ``Tlm' = translate(tx,ty)·Tlm; Tm = Tlm``; ``TD`` also sets
+  ``leading = -ty`` (render.c:615-633)
+- ``T*``: ``Tm = translate(0,-Tl)·Tm`` — applied to **Tm, not Tlm**
+  (render.c:640-650); reproduce as-is.
+- ``TJ`` number element: ``Tm = translate(-n/1000·Tfs·Th, 0)·Tm``
+  (render.c:665-679)
+- glyph advance: ``tx = (w0/1000·Tfs + Tc)·Th`` — **word spacing Tw is
+  stored but never applied** (text_state.c:104-114 has no word_spacing use)
+- span position = translation component of ``Tm·CTM`` at string start
+  (Trm construction, text_state.c:73-92)
+- base CTM translates the MediaBox origin to (0,0); unlike the renderer we
+  do NOT flip y (render.c:1158-1172 flips for the canvas) — keeping user
+  space y-up means the deterministic ``(page, y desc, x asc)`` sort reads
+  top-of-page first.
+
+EXTENSIONS (reference panics; spec-correct implementations needed for
+real-world corpora, each flagged in SURVEY.md §2.2): ``Tz Tr Ts ' "``.
+
+``Do`` recurses into Form XObjects with saved state + form Matrix
+(render.c:979-1066); Image XObjects are skipped (reference LOG_TODOs).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pdf_spark.core.content import parse_content_stream
+from pdf_spark.core.errors import INCORRECT_TYPE, RECURSION_LIMIT, PdfError
+from pdf_spark.core.fonts import Font, load_font
+from pdf_spark.core.objects import Name, Stream
+
+Mat = tuple[float, float, float, float, float, float]
+
+IDENTITY: Mat = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+FORM_DEPTH_CAP = 32
+
+
+def mat_mul(m: Mat, n: Mat) -> Mat:
+    """Row-vector convention: result = m · n (points transform as p·m·n)."""
+    a1, b1, c1, d1, e1, f1 = m
+    a2, b2, c2, d2, e2, f2 = n
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
+def translate(tx: float, ty: float) -> Mat:
+    return (1.0, 0.0, 0.0, 1.0, tx, ty)
+
+
+class Span:
+    """One text-show string element (SURVEY.md §2.4 span emitter)."""
+
+    __slots__ = ("page", "x", "y", "glyph_order", "text", "font", "size")
+
+    def __init__(self, page, x, y, glyph_order, text, font, size):
+        self.page = page
+        self.x = x
+        self.y = y
+        self.glyph_order = glyph_order
+        self.text = text
+        self.font = font
+        self.size = size
+
+
+class TextState:
+    """Tc/Tw/Th/Tl/Tf/Tfs/Tmode/Trise (text_state.h:22-43)."""
+
+    __slots__ = (
+        "char_spacing", "word_spacing", "h_scale", "leading",
+        "font", "font_name", "font_size", "render_mode", "rise",
+    )
+
+    def __init__(self) -> None:
+        self.char_spacing = 0.0
+        self.word_spacing = 0.0
+        self.h_scale = 1.0
+        self.leading = 0.0
+        self.font: Optional[Font] = None
+        self.font_name = ""
+        self.font_size = 0.0
+        self.render_mode = 0
+        self.rise = 0.0
+
+    def copy(self) -> "TextState":
+        t = TextState.__new__(TextState)
+        for s in TextState.__slots__:
+            setattr(t, s, getattr(self, s))
+        return t
+
+
+class Interpreter:
+    """Per-page content interpreter. One instance per page; font objects are
+    cached per resource name across the page (and shared per document via
+    the caller's ``font_cache``)."""
+
+    def __init__(
+        self,
+        resolver,
+        page_index: int,
+        resources: Optional[dict],
+        font_cache: Optional[dict] = None,
+    ) -> None:
+        self.resolver = resolver
+        self.page = page_index
+        self.resources = resources or {}
+        self.font_cache = font_cache if font_cache is not None else {}
+        self.spans: list[Span] = []
+        self.glyph_order = 0
+
+    # -- resource lookup --
+
+    def _lookup(self, resources: dict, category: str, name: str) -> Any:
+        cat = self.resolver.resolve(resources.get(category))
+        if not isinstance(cat, dict):
+            raise PdfError(INCORRECT_TYPE, f"Resources/{category} missing")
+        obj = cat.get(name)
+        if obj is None:
+            raise PdfError(INCORRECT_TYPE, f"Resources/{category}/{name} missing")
+        return obj
+
+    def _get_font(self, resources: dict, name: str) -> Font:
+        key = (id(resources), name)
+        f = self.font_cache.get(key)
+        if f is None:
+            f = load_font(self._lookup(resources, "Font", name), self.resolver)
+            self.font_cache[key] = f
+        return f
+
+    # -- execution --
+
+    def run(self, content: bytes, base_ctm: Mat = IDENTITY) -> list[Span]:
+        ops = parse_content_stream(content)
+        self._exec_ops(ops, base_ctm, self.resources, depth=0)
+        return self.spans
+
+    def run_streams(self, streams: list[bytes], base_ctm: Mat = IDENTITY) -> list[Span]:
+        """Each Contents stream is parsed separately, executed sequentially
+        (render.c:1175-1199) — graphics state carries across streams."""
+        ops: list = []
+        for s in streams:
+            ops.extend(parse_content_stream(s))
+        self._exec_ops(ops, base_ctm, self.resources, depth=0)
+        return self.spans
+
+    def _exec_ops(
+        self, ops, base_ctm: Mat, resources: dict, depth: int
+    ) -> None:
+        ctm = base_ctm
+        gs_stack: list[tuple[Mat, TextState]] = []
+        ts = TextState()
+        tm: Mat = IDENTITY
+        tlm: Mat = IDENTITY
+        rz = self.resolver.resolve
+
+        for op, args in ops:
+            if op == "q":
+                gs_stack.append((ctm, ts.copy()))
+            elif op == "Q":
+                if gs_stack:
+                    ctm, ts = gs_stack.pop()
+            elif op == "cm":
+                m = tuple(float(rz(a)) for a in args[:6])
+                ctm = mat_mul(m, ctm)  # CTM' = M·CTM (render.c:297-303)
+            elif op == "BT":
+                tm = tlm = IDENTITY
+            elif op == "ET":
+                pass
+            elif op == "Tc":
+                ts.char_spacing = float(rz(args[0]))
+            elif op == "Tw":
+                ts.word_spacing = float(rz(args[0]))  # stored, never applied
+            elif op == "Tz":
+                ts.h_scale = float(rz(args[0])) / 100.0
+            elif op == "TL":
+                ts.leading = float(rz(args[0]))
+            elif op == "Tf":
+                ts.font_name = str(args[0])
+                ts.font_size = float(rz(args[1]))
+                ts.font = self._get_font(resources, ts.font_name)
+            elif op == "Tr":
+                ts.render_mode = int(rz(args[0]))
+            elif op == "Ts":
+                ts.rise = float(rz(args[0]))
+            elif op == "Td" or op == "TD":
+                tx, ty = float(rz(args[0])), float(rz(args[1]))
+                if op == "TD":
+                    ts.leading = -ty
+                tlm = mat_mul(translate(tx, ty), tlm)
+                tm = tlm
+            elif op == "Tm":
+                m = tuple(float(rz(a)) for a in args[:6])
+                tm = tlm = m
+            elif op == "T*":
+                # quirk: mutates Tm, not Tlm (render.c:640-650)
+                tm = mat_mul(translate(0.0, -ts.leading), tm)
+            elif op == "TJ":
+                tm = self._show_tj(args[0], ts, tm, ctm)
+            elif op == "'":
+                tm = mat_mul(translate(0.0, -ts.leading), tm)
+                tlm = tm
+                tm = self._show_tj([args[0]], ts, tm, ctm)
+            elif op == '"':
+                ts.word_spacing = float(rz(args[0]))
+                ts.char_spacing = float(rz(args[1]))
+                tm = mat_mul(translate(0.0, -ts.leading), tm)
+                tlm = tm
+                tm = self._show_tj([args[2]], ts, tm, ctm)
+            elif op == "Do":
+                self._do_xobject(str(args[0]), resources, ctm, depth)
+            else:  # pragma: no cover — parser already filters
+                pass
+        return None
+
+    # -- the TJ span emitter (render.c:651-704 + text_state.c:27-118) --
+
+    def _show_tj(self, elements, ts: TextState, tm: Mat, ctm: Mat) -> Mat:
+        if ts.font is None:
+            raise PdfError(INCORRECT_TYPE, "text shown before Tf set a font")
+        font = ts.font
+        fs, th, tc = ts.font_size, ts.h_scale, ts.char_spacing
+        for el in elements:
+            el = self.resolver.resolve(el)
+            if isinstance(el, (int, float)):
+                # kern: Tm = translate(-n/1000·Tfs·Th, 0)·Tm
+                tm = mat_mul(translate(-float(el) / 1000.0 * fs * th, 0.0), tm)
+                continue
+            if not isinstance(el, bytes):
+                raise PdfError(INCORRECT_TYPE, f"TJ element {type(el).__name__}")
+            if not el:
+                continue
+            dev = mat_mul(tm, ctm)
+            chars: list[str] = []
+            adv = 0.0
+            for code in font.iter_codes(el):
+                chars.append(font.code_to_text(code))
+                # tx = (w0/1000·Tfs + Tc)·Th ; Tw never applied (parity)
+                adv += (font.width(code) / 1000.0 * fs + tc) * th
+            text = "".join(chars)
+            if text:
+                self.spans.append(
+                    Span(
+                        self.page,
+                        dev[4],
+                        dev[5],
+                        self.glyph_order,
+                        text,
+                        font.base_font or ts.font_name,
+                        fs,
+                    )
+                )
+                self.glyph_order += len(text)
+            tm = mat_mul(translate(adv, 0.0), tm)
+        return tm
+
+    # -- form XObjects (render.c:979-1066) --
+
+    def _do_xobject(self, name: str, resources: dict, ctm: Mat, depth: int) -> None:
+        if depth >= FORM_DEPTH_CAP:
+            raise PdfError(RECURSION_LIMIT, "form XObject nesting too deep")
+        obj = self.resolver.resolve(self._lookup(resources, "XObject", name))
+        if not isinstance(obj, Stream):
+            raise PdfError(INCORRECT_TYPE, "XObject is not a stream")
+        subtype = obj.dict.get("Subtype")
+        if subtype == Name("Image"):
+            return  # reference LOG_TODOs images; extraction skips them
+        if subtype != Name("Form"):
+            raise PdfError(INCORRECT_TYPE, f"XObject subtype {subtype!r}")
+        form_ctm = ctm
+        matrix = self.resolver.resolve(obj.dict.get("Matrix"))
+        if isinstance(matrix, list) and len(matrix) == 6:
+            m = tuple(float(self.resolver.resolve(v)) for v in matrix)
+            form_ctm = mat_mul(m, ctm)
+        form_res = obj.dict.get("Resources")
+        res = (
+            self.resolver.get_dict(form_res, "form resources")
+            if form_res is not None
+            else resources
+        )
+        ops = parse_content_stream(obj.decoded(self.resolver))
+        self._exec_ops(ops, form_ctm, res, depth + 1)

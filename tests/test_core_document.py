@@ -1,0 +1,139 @@
+"""Header / startxref / xref / trailer / filter tests — byte fixtures mirror
+the reference's in-source tests (pdf.c:348-459, xref.c:296-391,
+ascii.c:81-197; SURVEY.md §5.1)."""
+
+import zlib
+
+import pytest
+
+from pdf_spark.core.document import (
+    Resolver,
+    parse_header,
+    parse_startxref,
+    parse_xref_section,
+)
+from pdf_spark.core.errors import PdfError
+from pdf_spark.core.filters import ascii_hex_decode, decode_stream, flate_decode
+
+
+class TestHeader:
+    def test_versions(self):
+        for n in range(8):
+            assert parse_header(b"%PDF-1." + str(n).encode()) == n
+
+    def test_bad_header(self):
+        for bad in (b"%PDF-1.8", b"%PDF-2.0", b"PDF-1.7", b"", b"junk"):
+            with pytest.raises(PdfError) as e:
+                parse_header(bad)
+            assert e.value.code == "INVALID_VERSION"
+
+
+class TestStartxref:
+    def test_simple(self):
+        assert parse_startxref(b"x" * 400 + b"\nstartxref\n363\n%%EOF") == 363
+
+    def test_trailing_newline(self):
+        assert parse_startxref(b"x" * 100 + b"\nstartxref\n42\n%%EOF\n") == 42
+
+    def test_missing_eof(self):
+        with pytest.raises(PdfError) as e:
+            parse_startxref(b"x" * 100)
+        assert e.value.code == "INVALID_STARTXREF"
+
+    def test_eof_beyond_backscan_window(self):
+        # %%EOF must be within 32 bytes of the end (pdf.c:310)
+        buf = b"startxref\n10\n%%EOF" + b"x" * 40
+        with pytest.raises(PdfError):
+            parse_startxref(buf)
+
+    def test_offset_past_eof(self):
+        with pytest.raises(PdfError):
+            parse_startxref(b"ab\nstartxref\n999\n%%EOF")
+
+
+XREF_BUF = (
+    b"xref\n"
+    b"0 2\n"
+    b"0000000000 65536 f \n"
+    b"0000000016 00000 n \n"
+    b"trailer\n<</Size 2/Root 1 0 R>>"
+)
+
+
+class TestXref:
+    def test_parse_section(self):
+        entries, trailer, prev = parse_xref_section(XREF_BUF, 0)
+        assert entries[0] == (0, 65536, False)
+        assert entries[1] == (16, 0, True)
+        assert trailer["Size"] == 2
+        assert prev is None
+
+    def test_multi_subsection(self):
+        buf = (
+            b"xref\n0 1\n0000000000 65536 f \n"
+            b"3 2\n0000000100 00000 n \n0000000200 00000 n \n"
+            b"trailer\n<</Size 5>>"
+        )
+        entries, _, _ = parse_xref_section(buf, 0)
+        assert set(entries) == {0, 3, 4}
+        assert entries[3][0] == 100 and entries[4][0] == 200
+
+    def test_malformed_entry(self):
+        bad = XREF_BUF.replace(b"0000000016 00000 n ", b"00000000xx 00000 n ")
+        with pytest.raises(PdfError) as e:
+            parse_xref_section(bad, 0)
+        assert e.value.code == "INVALID_XREF"
+
+    def test_xref_stream_unsupported(self):
+        with pytest.raises(PdfError) as e:
+            parse_xref_section(b"12 0 obj\n<</Type/XRef>>", 0)
+        assert e.value.code == "UNSUPPORTED_XREF"
+
+
+class TestFilters:
+    def test_ascii_hex(self):
+        assert ascii_hex_decode(b"48656C6C6F>") == b"Hello"
+        assert ascii_hex_decode(b"48 65 6C 6C 6F >") == b"Hello"
+        # odd trailing digit = high nibble, early EOD (ascii.c:81-197)
+        assert ascii_hex_decode(b"7>") == b"\x70"
+        assert ascii_hex_decode(b"48>ignored") == b"H"
+
+    def test_flate(self):
+        assert flate_decode(zlib.compress(b"payload")) == b"payload"
+
+    def test_chain_left_to_right(self):
+        data = zlib.compress(b"chained")
+        hexed = data.hex().encode() + b">"
+        d = {"Filter": ["ASCIIHexDecode", "FlateDecode"]}
+        assert decode_stream(d, hexed) == b"chained"
+
+    def test_single_name_filter(self):
+        d = {"Filter": "FlateDecode"}
+        assert decode_stream(d, zlib.compress(b"x")) == b"x"
+
+    def test_unsupported_filter(self):
+        with pytest.raises(PdfError) as e:
+            decode_stream({"Filter": "LZWDecode"}, b"")
+        assert e.value.code == "UNSUPPORTED_FILTER"
+
+
+class TestResolverOnFixture:
+    def test_resolver_walks_test_pdf(self):
+        data = open("/root/reference/test-files/test.pdf", "rb").read()
+        r = Resolver(data)
+        assert r.version == 7
+        assert r.trailer["Size"] == 5
+        pages = list(r.iter_pages())
+        assert len(pages) == 1
+        assert pages[0]["MediaBox"] == [0, 0, 612, 792]
+        streams = r.content_streams(pages[0])
+        assert b"(Hello World!) Tj" in streams[0]
+
+    def test_resolution_is_memoized(self):
+        data = open("/root/reference/test-files/test.pdf", "rb").read()
+        r = Resolver(data)
+        from pdf_spark.core.objects import Ref
+
+        a = r.resolve(Ref(3, 0))
+        b = r.resolve(Ref(3, 0))
+        assert a is b  # memo (divergence vs pdf.c:224-226, see docstring)

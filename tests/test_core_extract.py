@@ -1,0 +1,115 @@
+"""End-to-end extraction on the reference fixture corpus (parity floor,
+BASELINE.md: fixture text-match rate must be 100%) + content/interp units."""
+
+import pytest
+
+from pdf_spark.core.cmap import parse_cmap
+from pdf_spark.core.content import parse_content_stream
+from pdf_spark.core.errors import PdfError
+from pdf_spark.core.extract import assemble_text, extract_document, extract_text
+
+FIXTURES = "/root/reference/test-files"
+
+
+@pytest.mark.parametrize("name", ["test.pdf", "compressed.pdf", "embedded.pdf"])
+def test_fixture_parity(name):
+    data = open(f"{FIXTURES}/{name}", "rb").read()
+    text, status, err, n_pages, n_spans = extract_text(data)
+    assert status == "ok", err
+    assert text == "Hello World!"
+    assert n_pages == 1 and n_spans >= 1
+
+
+def test_fixture_span_geometry():
+    data = open(f"{FIXTURES}/test.pdf", "rb").read()
+    r = extract_document(data)
+    s = r.spans[0]
+    # BT /F1 100 Tf 10 400 Td — span origin is Tm·CTM translation
+    assert (s.x, s.y) == (10.0, 400.0)
+    assert s.size == 100.0
+    assert s.page == 0
+
+
+class TestContentStream:
+    def test_tj_canonicalized_to_TJ(self):
+        # Tj rewritten to 1-element TJ (operation.c:706-715)
+        ops = parse_content_stream(b"BT (x) Tj ET")
+        assert ("TJ", [[b"x"]]) in ops
+
+    def test_ignored_ops_dropped(self):
+        ops = parse_content_stream(b"1 w 0 0 1 RG 10 10 m 20 20 l S BT ET")
+        assert [o for o, _ in ops] == ["BT", "ET"]
+
+    def test_bx_ex_swallow_unknown(self):
+        # stream.c:79-97
+        ops = parse_content_stream(b"BX /x woozle EX BT ET")
+        assert [o for o, _ in ops] == ["BT", "ET"]
+
+    def test_unknown_op_outside_bx_is_error(self):
+        with pytest.raises(PdfError) as e:
+            parse_content_stream(b"woozle")
+        assert e.value.code == "UNSUPPORTED_OPERATOR"
+
+    def test_inline_image_is_error(self):
+        with pytest.raises(PdfError) as e:
+            parse_content_stream(b"BI /W 1 ID x EI")
+        assert e.value.code == "UNSUPPORTED_OPERATOR"
+
+
+class TestCMap:
+    def test_bfchar_and_bfrange(self):
+        cm = parse_cmap(
+            b"/CIDInit /ProcSet findresource begin\n"
+            b"begincmap\n"
+            b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"2 beginbfchar <0001> <0041> <0002> <00E9> endbfchar\n"
+            b"1 beginbfrange <0010> <0012> <0061> endbfrange\n"
+            b"endcmap end\n"
+        )
+        assert cm.get_unicode(1) == "A"
+        assert cm.get_unicode(2) == "é"
+        assert cm.get_unicode(0x10) == "a"
+        assert cm.get_unicode(0x12) == "c"
+        assert cm.get_unicode(0x99) is None
+
+    def test_cidrange(self):
+        cm = parse_cmap(
+            b"1 begincidrange <0020> <007E> 32 endcidrange"
+        )
+        assert cm.get_cid(0x41) == 0x41
+
+    def test_embedded_pdf_tounicode_table(self):
+        # the fixture's own ToUnicode (bfrange-heavy) — reference can't parse
+        # bfrange; we must (module docstring divergence)
+        data = open(f"{FIXTURES}/embedded.pdf", "rb").read()
+        start = data.index(b"/CIDInit")
+        end = data.index(b"endstream", start)
+        cm = parse_cmap(data[start:end])
+        assert cm.get_unicode(0x0001) == " "  # <0001>-<005f> -> <0020>
+        assert cm.get_unicode(0x007B) == "¿"  # bfchar pair
+
+
+class TestAssembly:
+    def test_error_doc_yields_error_row(self):
+        r = extract_document(b"this is not a pdf, but it is long enough")
+        assert r.status == "error" and r.error_code == "INVALID_VERSION"
+
+    def test_empty_doc(self):
+        assert extract_document(b"").error_code == "EMPTY_DOC"
+        assert extract_document(None).error_code == "EMPTY_DOC"
+
+    def test_byte_cap(self):
+        r = extract_document(b"x" * 100, max_bytes=50)
+        assert r.error_code == "DOC_TOO_LARGE"
+
+    def test_line_ordering(self):
+        from pdf_spark.core.interp import Span
+
+        spans = [
+            Span(0, 10.0, 100.0, 5, "world", "F", 10.0),
+            Span(0, 10.0, 200.0, 0, "hello", "F", 10.0),
+            Span(0, 60.0, 100.0, 9, "!", "F", 10.0),
+            Span(1, 0.0, 700.0, 0, "page2", "F", 10.0),
+        ]
+        # y desc within page; same y joined; pages separated by newline
+        assert assemble_text(spans) == "hello\nworld!\npage2"
