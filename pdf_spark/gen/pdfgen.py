@@ -1,0 +1,617 @@
+"""Deterministic minimal-PDF writer + the variant matrix of FIXTURES.md §3.
+
+Every generated document is spec-shaped like the reference's ``test.pdf``
+(header -> body objects -> classic xref -> trailer -> startxref -> %%EOF;
+/root/reference/test-files/). ``generate_doc(text, variant)`` returns
+``(pdf_bytes, expected_text)`` where the expected text is computed at
+generation time from the *placed strings and positions* — the generator
+lays out spans with its own arithmetic and runs the published ordering rule
+(page asc, y desc, x asc), it does not call the extractor.
+
+Layout constants shared with the engine by specification (not by code):
+- default glyph width for metric-less simple fonts = 500/1000 em
+  (pdf_spark.core.fonts.DEFAULT_WIDTH, a documented rule of the engine)
+- line assembly: same (page, y) concatenates, y/page change -> "\\n"
+"""
+
+from __future__ import annotations
+
+import zlib
+
+DEFAULT_WIDTH = 500.0  # layout constant (see module docstring)
+FONT_SIZE = 12.0
+LINE_HEIGHT = 16.0
+TOP_Y = 700.0
+LEFT_X = 72.0
+WRAP = 60
+MAX_LINES = 20
+
+# printable ASCII minus the two StandardEncoding quote quirks (' -> U+2019,
+# ` -> U+2018 via quoteright/quoteleft; FIXTURES.md §3 keeps expected text
+# trivially computable by avoiding them) and minus backslash-escape chars.
+_OK = set(chr(c) for c in range(32, 127)) - {"'", "`"}
+
+
+def sanitize_text(text: str) -> str:
+    return "".join(c if c in _OK else " " for c in text)
+
+
+def wrap_lines(text: str, wrap: int = WRAP, max_lines: int = MAX_LINES) -> list[str]:
+    text = sanitize_text(text)
+    lines = []
+    for i in range(0, len(text), wrap):
+        chunk = text[i : i + wrap].strip()
+        if chunk:
+            lines.append(chunk)
+        if len(lines) >= max_lines:
+            break
+    return lines or ["empty"]
+
+
+def esc(s: str) -> bytes:
+    """PDF literal-string escaping for ASCII payloads."""
+    return (
+        s.encode("latin-1")
+        .replace(b"\\", b"\\\\")
+        .replace(b"(", b"\\(")
+        .replace(b")", b"\\)")
+    )
+
+
+class PdfBuilder:
+    """Serialize numbered objects into a classic-xref PDF."""
+
+    def __init__(self) -> None:
+        self.objects: list[bytes] = []  # body of object i+1
+
+    def add(self, body: bytes) -> int:
+        self.objects.append(body)
+        return len(self.objects)  # 1-based object id
+
+    def reserve(self) -> int:
+        self.objects.append(b"")
+        return len(self.objects)
+
+    def set(self, obj_id: int, body: bytes) -> None:
+        self.objects[obj_id - 1] = body
+
+    def stream(self, data: bytes, extra_dict: bytes = b"", filters: str = "") -> int:
+        """Add a stream object, applying the named encode chain.
+
+        ``filters`` is a space-separated *decode* chain (left-to-right as it
+        appears in /Filter), e.g. ``"ASCIIHexDecode FlateDecode"`` means the
+        reader hex-decodes then inflates — so we deflate then hex-encode.
+        """
+        names = filters.split()
+        enc = data
+        for name in reversed(names):
+            if name == "FlateDecode":
+                enc = zlib.compress(enc)
+            elif name == "ASCIIHexDecode":
+                enc = enc.hex().encode("ascii") + b">"
+            else:
+                raise ValueError(name)
+        if not names:
+            fpart = b""
+        elif len(names) == 1:
+            fpart = b"/Filter/" + names[0].encode()
+        else:
+            fpart = b"/Filter[" + b"".join(b"/" + n.encode() for n in names) + b"]"
+        body = (
+            b"<</Length "
+            + str(len(enc)).encode()
+            + fpart
+            + extra_dict
+            + b">>\nstream\n"
+            + enc
+            + b"\nendstream"
+        )
+        return self.add(body)
+
+    def build(self, root_id: int) -> bytes:
+        out = bytearray(b"%PDF-1.7\n%\xb5\xb6\n\n")
+        offsets = [0] * (len(self.objects) + 1)
+        for i, body in enumerate(self.objects, start=1):
+            offsets[i] = len(out)
+            out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n\n"
+        xref_off = len(out)
+        n = len(self.objects) + 1
+        out += b"xref\n0 " + str(n).encode() + b"\n"
+        out += b"0000000000 65536 f \n"
+        for i in range(1, n):
+            out += f"{offsets[i]:010d} 00000 n \n".encode()
+        out += (
+            b"\ntrailer\n<</Size "
+            + str(n).encode()
+            + b"/Root "
+            + str(root_id).encode()
+            + b" 0 R>>\nstartxref\n"
+            + str(xref_off).encode()
+            + b"\n%%EOF"
+        )
+        return bytes(out)
+
+
+def incremental_update(base: bytes, replacements: dict[int, bytes], prev_xref: int) -> bytes:
+    """Append an incremental-update section replacing the given objects
+    (trailer /Prev chain; newest xref section wins, xref.c:230-291)."""
+    out = bytearray(base)
+    out += b"\n\n"
+    offsets: dict[int, int] = {}
+    max_id = 0
+    for oid, body in sorted(replacements.items()):
+        offsets[oid] = len(out)
+        out += str(oid).encode() + b" 0 obj\n" + body + b"\nendobj\n\n"
+        max_id = max(max_id, oid)
+    xref_off = len(out)
+    out += b"xref\n"
+    for oid in sorted(offsets):
+        out += str(oid).encode() + b" 1\n"
+        out += f"{offsets[oid]:010d} 00000 n \n".encode()
+    out += (
+        b"\ntrailer\n<</Size "
+        + str(max_id + 1).encode()
+        + b"/Root 1 0 R/Prev "
+        + str(prev_xref).encode()
+        + b">>\nstartxref\n"
+        + str(xref_off).encode()
+        + b"\n%%EOF"
+    )
+    return bytes(out)
+
+
+def _find_startxref(pdf: bytes) -> int:
+    idx = pdf.rindex(b"startxref")
+    return int(pdf[idx + 9 : pdf.rindex(b"%%EOF")].strip())
+
+
+# -- content-stream builders --------------------------------------------------
+
+
+def _content_td_tj(lines: list[str]) -> bytes:
+    """One Td per line then Tj (test.pdf shape)."""
+    ops = [b"BT", b"/F1 " + _n(FONT_SIZE) + b" Tf"]
+    prev_y = None
+    for i, line in enumerate(lines):
+        y = TOP_Y - i * LINE_HEIGHT
+        if prev_y is None:
+            ops.append(_n(LEFT_X) + b" " + _n(y) + b" Td")
+        else:
+            ops.append(b"0 " + _n(y - prev_y) + b" Td")
+        prev_y = y
+        ops.append(b"(" + esc(line) + b") Tj")
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def _content_tj_arrays(lines: list[str]) -> bytes:
+    """TJ arrays: each line split into pieces with kern numbers between."""
+    ops = [b"BT", b"/F1 " + _n(FONT_SIZE) + b" Tf", b"1 0 0 1 " + _n(LEFT_X) + b" " + _n(TOP_Y) + b" Tm"]
+    for i, line in enumerate(lines):
+        if i > 0:
+            ops.append(b"1 0 0 1 " + _n(LEFT_X) + b" " + _n(TOP_Y - i * LINE_HEIGHT) + b" Tm")
+        mid = max(1, len(line) // 2)
+        a, b = line[:mid], line[mid:]
+        arr = b"[(" + esc(a) + b") -120 (" + esc(b) + b")]" if b else b"[(" + esc(a) + b")]"
+        ops.append(arr + b" TJ")
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def _content_hex_strings(lines: list[str]) -> bytes:
+    ops = [b"BT", b"/F1 " + _n(FONT_SIZE) + b" Tf"]
+    for i, line in enumerate(lines):
+        y = TOP_Y - i * LINE_HEIGHT
+        ops.append(b"1 0 0 1 " + _n(LEFT_X) + b" " + _n(y) + b" Tm")
+        ops.append(b"<" + line.encode("latin-1").hex().encode() + b"> Tj")
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def _content_tstar(lines: list[str]) -> bytes:
+    """TL + T* line stepping (quirk path: T* mutates Tm)."""
+    ops = [
+        b"BT",
+        b"/F1 " + _n(FONT_SIZE) + b" Tf",
+        _n(LINE_HEIGHT) + b" TL",
+        _n(LEFT_X) + b" " + _n(TOP_Y) + b" Td",
+    ]
+    for i, line in enumerate(lines):
+        if i > 0:
+            ops.append(b"T*")
+        ops.append(b"(" + esc(line) + b") Tj")
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def _content_quote_ops(lines: list[str]) -> bytes:
+    """' and \" next-line show operators (engine extension)."""
+    ops = [
+        b"BT",
+        b"/F1 " + _n(FONT_SIZE) + b" Tf",
+        _n(LINE_HEIGHT) + b" TL",
+        _n(LEFT_X) + b" " + _n(TOP_Y + LINE_HEIGHT) + b" Td",
+    ]
+    for i, line in enumerate(lines):
+        if i % 2 == 0:
+            ops.append(b"(" + esc(line) + b") '")
+        else:
+            ops.append(b"0 0 (" + esc(line) + b") \"")
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def _content_reversed_blocks(lines: list[str]) -> bytes:
+    """Emit lines in REVERSED order with explicit Tm — the deterministic
+    (y desc) sort must restore document order."""
+    ops = []
+    for i, line in reversed(list(enumerate(lines))):
+        y = TOP_Y - i * LINE_HEIGHT
+        ops += [
+            b"BT",
+            b"/F1 " + _n(FONT_SIZE) + b" Tf",
+            b"1 0 0 1 " + _n(LEFT_X) + b" " + _n(y) + b" Tm",
+            b"(" + esc(line) + b") Tj",
+            b"ET",
+        ]
+    return b"\n".join(ops)
+
+
+def _n(v: float) -> bytes:
+    if v == int(v):
+        return str(int(v)).encode()
+    return f"{v:g}".encode()
+
+
+# -- font dict builders -------------------------------------------------------
+
+F_HELV = b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>"
+
+
+def _truetype_font(builder: PdfBuilder) -> int:
+    """TrueType + Widths + a Differences encoding (A-> named glyph)."""
+    widths = b"[" + b" ".join(b"500" for _ in range(95)) + b"]"
+    enc = builder.add(
+        b"<</Type/Encoding/BaseEncoding/WinAnsiEncoding"
+        b"/Differences[65 /Adieresis 97 /aacute]>>"
+    )
+    return builder.add(
+        b"<</Type/Font/Subtype/TrueType/BaseFont/FakeSans"
+        b"/FirstChar 32/LastChar 126/Widths " + widths +
+        b"/Encoding " + str(enc).encode() + b" 0 R>>"
+    )
+
+
+def _type0_font(builder: PdfBuilder, charset: list[str]) -> tuple[int, dict[str, int]]:
+    """Type0/Identity-H with a ToUnicode bfchar table over ``charset``.
+
+    Returns (font obj id, char -> 2-byte code map). Codes start at 1.
+    """
+    code_of = {c: i + 1 for i, c in enumerate(charset)}
+    bf = b"".join(
+        f"<{code:04x}> <{ord(c):04x}>\n".encode() for c, code in code_of.items()
+    )
+    tounicode = (
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CIDSystemInfo <</Registry(Adobe)/Ordering(UCS)/Supplement 0>> def\n"
+        b"/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        + str(len(code_of)).encode() + b" beginbfchar\n" + bf + b"endbfchar\n"
+        b"endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+    )
+    tu_id = builder.stream(tounicode, filters="FlateDecode")
+    # CIDToGIDMap stream: identity u16 pairs for our code range
+    n = len(code_of) + 1
+    c2g = b"".join(i.to_bytes(2, "big") for i in range(n))
+    c2g_id = builder.stream(c2g, filters="FlateDecode")
+    desc = builder.add(
+        b"<</Type/Font/Subtype/CIDFontType2/BaseFont/FakeCID"
+        b"/CIDSystemInfo<</Registry(Adobe)/Ordering(Identity)/Supplement 0>>"
+        b"/DW 500/CIDToGIDMap " + str(c2g_id).encode() + b" 0 R>>"
+    )
+    font = builder.add(
+        b"<</Type/Font/Subtype/Type0/BaseFont/FakeCID/Encoding/Identity-H"
+        b"/DescendantFonts[" + str(desc).encode() + b" 0 R]"
+        b"/ToUnicode " + str(tu_id).encode() + b" 0 R>>"
+    )
+    return font, code_of
+
+
+# -- document variants --------------------------------------------------------
+
+
+def _simple_doc(lines: list[str], content_fn, filters: str = "",
+                font_body: bytes = F_HELV, indirect_length: bool = False) -> bytes:
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(font_body)
+    content = content_fn(lines)
+    if indirect_length:
+        # /Length as an indirect ref (object.c:787-800 resolve path)
+        names = filters.split()
+        enc = content
+        for name in reversed(names):
+            enc = zlib.compress(enc) if name == "FlateDecode" else enc.hex().encode() + b">"
+        length_id = b.add(str(len(enc)).encode())
+        fpart = b""
+        if len(names) == 1:
+            fpart = b"/Filter/" + names[0].encode()
+        elif names:
+            fpart = b"/Filter[" + b"".join(b"/" + n.encode() for n in names) + b"]"
+        cont = b.add(
+            b"<</Length " + str(length_id).encode() + b" 0 R" + fpart
+            + b">>\nstream\n" + enc + b"\nendstream"
+        )
+    else:
+        cont = b.stream(content, filters=filters)
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
+def _multipage_doc(lines: list[str]) -> bytes:
+    """Nested Pages tree (depth 3) with inherited Resources/MediaBox."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    root = b.reserve()
+    inner = b.reserve()
+    font = b.add(F_HELV)
+    half = max(1, len(lines) // 2)
+    chunks = [lines[:half], lines[half:]]
+    page_ids = []
+    for chunk in chunks:
+        cont = b.stream(_content_td_tj(chunk), filters="FlateDecode")
+        page_ids.append(
+            b.add(
+                b"<</Type/Page/Parent " + str(inner).encode() + b" 0 R"
+                b"/Contents " + str(cont).encode() + b" 0 R>>"
+            )
+        )
+    b.set(cat, b"<</Type/Catalog/Pages " + str(root).encode() + b" 0 R>>")
+    # Resources + MediaBox ONLY on the root: must inherit two levels down
+    b.set(
+        root,
+        b"<</Type/Pages/Kids[" + str(inner).encode() + b" 0 R]/Count 2"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>>>",
+    )
+    b.set(
+        inner,
+        b"<</Type/Pages/Parent " + str(cat).encode() + b" 0 R/Kids["
+        + b" ".join(str(p).encode() + b" 0 R" for p in page_ids)
+        + b"]/Count 2>>",
+    )
+    return b.build(cat)
+
+
+def _multistream_doc(lines: list[str]) -> bytes:
+    """Contents as an array of 2 streams; ops split mid-text-object
+    (render.c:1175-1199 executes them sequentially)."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    half = max(1, len(lines) // 2)
+    c1 = _content_td_tj(lines[:half])
+    c1 = c1.rsplit(b"\nET", 1)[0]  # leave the text object open
+    c2_lines = lines[half:]
+    ops = []
+    for i, line in enumerate(c2_lines):
+        y = TOP_Y - (half + i) * LINE_HEIGHT
+        ops.append(b"1 0 0 1 " + _n(LEFT_X) + b" " + _n(y) + b" Tm")
+        ops.append(b"(" + esc(line) + b") Tj")
+    c2 = b"\n".join(ops) + b"\nET"
+    s1 = b.stream(c1, filters="FlateDecode")
+    s2 = b.stream(c2, filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents[" + str(s1).encode() + b" 0 R " + str(s2).encode() + b" 0 R]>>",
+    )
+    return b.build(cat)
+
+
+def _form_xobject_doc(lines: list[str]) -> bytes:
+    """Text inside a Form XObject invoked by Do with a translate Matrix
+    (render.c:979-1066)."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    # form places text at origin-relative coords; Matrix translates into page
+    ops = [b"BT", b"/F1 " + _n(FONT_SIZE) + b" Tf"]
+    for i, line in enumerate(lines):
+        ops.append(b"1 0 0 1 0 " + _n(-i * LINE_HEIGHT) + b" Tm")
+        ops.append(b"(" + esc(line) + b") Tj")
+    ops.append(b"ET")
+    form = b.stream(
+        b"\n".join(ops),
+        extra_dict=(
+            b"/Type/XObject/Subtype/Form/BBox[0 0 612 792]"
+            b"/Matrix[1 0 0 1 " + _n(LEFT_X) + b" " + _n(TOP_Y) + b"]"
+            b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        ),
+        filters="FlateDecode",
+    )
+    cont = b.stream(b"q /Fm1 Do Q")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</XObject<</Fm1 " + str(form).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
+def _type0_doc(lines: list[str]) -> bytes:
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    charset = sorted(set("".join(lines)))
+    font, code_of = _type0_font(b, charset)
+    ops = [b"BT", b"/F1 " + _n(FONT_SIZE) + b" Tf"]
+    for i, line in enumerate(lines):
+        y = TOP_Y - i * LINE_HEIGHT
+        ops.append(b"1 0 0 1 " + _n(LEFT_X) + b" " + _n(y) + b" Tm")
+        hexcodes = "".join(f"{code_of[c]:04x}" for c in line)
+        ops.append(b"<" + hexcodes.encode() + b"> Tj")
+    ops.append(b"ET")
+    cont = b.stream(b"\n".join(ops), filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
+def _incremental_doc(lines: list[str]) -> bytes:
+    """Base doc with placeholder text, then an incremental update replacing
+    the content stream — extraction must see the UPDATED text."""
+    base = _simple_doc(["placeholder text that must not appear"], _content_td_tj)
+    prev_xref = _find_startxref(base)
+    content = _content_td_tj(lines)
+    body = (
+        b"<</Length " + str(len(content)).encode() + b">>\nstream\n"
+        + content + b"\nendstream"
+    )
+    # object 5 is the content stream in _simple_doc layout (cat,pages,page,font,cont)
+    return incremental_update(base, {5: body}, prev_xref)
+
+
+# -- the variant matrix -------------------------------------------------------
+
+_GOOD_VARIANTS = [
+    ("td_tj_plain", lambda L: _simple_doc(L, _content_td_tj)),
+    ("td_tj_flate", lambda L: _simple_doc(L, _content_td_tj, filters="FlateDecode")),
+    ("td_tj_ahx", lambda L: _simple_doc(L, _content_td_tj, filters="ASCIIHexDecode")),
+    ("td_tj_ahx_flate", lambda L: _simple_doc(L, _content_td_tj, filters="ASCIIHexDecode FlateDecode")),
+    ("tj_arrays_kern", lambda L: _simple_doc(L, _content_tj_arrays, filters="FlateDecode")),
+    ("hex_strings", lambda L: _simple_doc(L, _content_hex_strings, filters="FlateDecode")),
+    ("tstar_leading", lambda L: _simple_doc(L, _content_tstar, filters="FlateDecode")),
+    ("quote_ops", lambda L: _simple_doc(L, _content_quote_ops, filters="FlateDecode")),
+    ("reversed_blocks", lambda L: _simple_doc(L, _content_reversed_blocks, filters="FlateDecode")),
+    ("indirect_length", lambda L: _simple_doc(L, _content_td_tj, filters="FlateDecode", indirect_length=True)),
+    ("truetype_widths", None),  # special-cased below (expected text differs)
+    ("type0_tounicode", lambda L: _type0_doc(L)),
+    ("multipage_inherit", lambda L: _multipage_doc(L)),
+    ("multistream", lambda L: _multistream_doc(L)),
+    ("form_xobject", lambda L: _form_xobject_doc(L)),
+    ("incremental_update", lambda L: _incremental_doc(L)),
+]
+
+# corrupt variants: (name, payload builder, expected error_code)
+def _lzw_doc(lines: list[str]) -> bytes:
+    """Well-formed doc whose content stream declares /LZWDecode — decode must
+    fail with UNSUPPORTED_FILTER (reference panics at filters.c:54)."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    content = _content_td_tj(lines)
+    cont = b.add(
+        b"<</Length " + str(len(content)).encode()
+        + b"/Filter/LZWDecode>>\nstream\n" + content + b"\nendstream"
+    )
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
+_BAD_VARIANTS = [
+    ("bad_header", lambda L: b"%QQF-9.9 this is not a pdf at all" + b"x" * 64, "INVALID_VERSION"),
+    ("truncated_tail", lambda L: _simple_doc(L, _content_td_tj)[:-24], "INVALID_STARTXREF"),
+    ("corrupt_xref", lambda L: _corrupt_xref(_simple_doc(L, _content_td_tj)), "INVALID_XREF"),
+    ("lzw_filter", _lzw_doc, "UNSUPPORTED_FILTER"),
+    ("unbalanced_string", lambda L: _unbalanced(_simple_doc(L, _content_td_tj)), "UNBALANCED_STR"),
+]
+
+N_VARIANTS = len(_GOOD_VARIANTS)
+N_BAD_VARIANTS = len(_BAD_VARIANTS)
+
+
+def _corrupt_xref(pdf: bytes) -> bytes:
+    i = pdf.index(b"xref\n")
+    # smash one entry's digits
+    j = pdf.index(b"0000000000 65536 f", i)
+    return pdf[:j] + b"00000zz000 65536 f" + pdf[j + 18 :]
+
+
+def _unbalanced(pdf: bytes) -> bytes:
+    # content is uncompressed in the plain variant: break a `) Tj`
+    return pdf.replace(b") Tj", b"  Tj", 1)
+
+
+def _expected_text(lines: list[str], variant_name: str) -> str:
+    if variant_name == "truetype_widths":
+        # Differences remap: A -> Adieresis, a -> aacute
+        lines = [l.replace("A", "Ä").replace("a", "á") for l in lines]
+    return "\n".join(lines)
+
+
+def generate_doc(text: str, variant: int) -> tuple[bytes, str, str, str]:
+    """Deterministically build one document.
+
+    Returns ``(pdf_bytes, expected_text, variant_name, expected_error)``;
+    ``expected_error`` is '' for good docs. ``variant`` indexes the combined
+    good+bad matrix: values >= N_VARIANTS are corrupt docs (FIXTURES.md §4).
+    """
+    lines = wrap_lines(text)
+    if variant < N_VARIANTS:
+        name, fn = _GOOD_VARIANTS[variant]
+        if name in ("multipage_inherit", "multistream") and len(lines) < 2:
+            lines = lines + ["..."]
+        if name == "truetype_widths":
+            b = PdfBuilder()
+            cat = b.reserve()
+            pages = b.reserve()
+            page = b.reserve()
+            font = _truetype_font(b)
+            cont = b.stream(_content_td_tj(lines), filters="FlateDecode")
+            b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+            b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+            b.set(
+                page,
+                b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+                b"/MediaBox[0 0 612 792]"
+                b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+                b"/Contents " + str(cont).encode() + b" 0 R>>",
+            )
+            pdf = b.build(cat)
+        else:
+            pdf = fn(lines)
+        return pdf, _expected_text(lines, name), name, ""
+    bad = _BAD_VARIANTS[(variant - N_VARIANTS) % N_BAD_VARIANTS]
+    name, fn, err = bad
+    return fn(lines), "", name, err

@@ -1,0 +1,63 @@
+"""End-to-end extraction pipeline: pages -> docs_text (+ lineage), resumable.
+
+Composition (SURVEY.md §2.5):
+
+    scan (column-pruned: url, html)
+      -> [optional] salted repartition (skew)
+      -> mapInPandas extract (fused)        # narrow, no shuffle
+      -> append parquet sink (docs_text)
+      -> lineage aggregation -> parquet append (lineage/run_id=...)
+
+Resume: ``run_extraction`` anti-joins the input against already-committed
+urls before extracting, so a rerun after a partial failure only processes
+the remainder (north rule: resumable from checkpoint with lineage).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pdf_spark.operators.extract import extract_docs_text
+from pdf_spark.operators.lineage import (
+    lineage_rows,
+    new_run_id,
+    remaining_pages,
+    tag_lineage_cols,
+)
+from pdf_spark.operators.partitioning import prepare_pages
+
+
+def run_extraction(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    salt_partitions: int | None = None,
+    resume: bool = True,
+    run_id: str | None = None,
+) -> dict:
+    """Execute the pipeline; returns summary metrics."""
+    run_id = run_id or new_run_id()
+    todo = remaining_pages(pages, spark, out_dir) if resume else pages
+    todo = prepare_pages(todo, salt_partitions)
+    todo = tag_lineage_cols(todo)
+
+    docs = extract_docs_text(todo, passthrough=("input_file", "partition_id"))
+    docs_path = os.path.join(out_dir, "docs_text")
+    docs.write.mode("append").parquet(docs_path)
+
+    written = spark.read.parquet(docs_path)
+    lin = lineage_rows(written, run_id)
+    lin_path = os.path.join(out_dir, "lineage")
+    lin.write.mode("append").parquet(lin_path)
+
+    agg = written.groupBy("status").count().collect()
+    counts = {r["status"]: r["count"] for r in agg}
+    return {
+        "run_id": run_id,
+        "n_ok": counts.get("ok", 0),
+        "n_err": counts.get("error", 0),
+        "docs_path": docs_path,
+        "lineage_path": lin_path,
+    }

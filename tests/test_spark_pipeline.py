@@ -1,0 +1,105 @@
+"""Spark-layer integration tests: corpus generation, fused-vs-declarative
+assembly agreement, pipeline with lineage + resume, determinism across
+partition counts (SURVEY.md §5.2 items 3-5)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_spark.gen.corpus import rows_for_texts
+from pdf_spark.operators.assemble import assemble_docs_text
+from pdf_spark.operators.extract import extract_docs_text, extract_spans
+from pdf_spark.operators.partitioning import prepare_pages
+from pdf_spark.operators.pipeline import run_extraction
+
+TEXTS = [
+    f"Document number {i}: the quick brown fox jumps over the lazy dog "
+    f"while sentence {i} rambles on long enough to wrap across lines."
+    for i in range(160)
+]
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = spark.createDataFrame(pd.DataFrame(rows_for_texts(TEXTS)))
+    df = df.repartition(8).cache()
+    df.count()
+    return df
+
+
+def test_corpus_shape(pages):
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert pages.count() == len(TEXTS)
+    # ~1/64 corrupt rows carry NULL expected text
+    assert pages.where(F.col("text").isNull()).count() >= 1
+
+
+def test_fused_extraction_matches_expected(pages):
+    docs = extract_docs_text(pages)
+    joined = docs.join(pages.select("url", F.col("text").alias("expected")), "url")
+    ok = joined.where(F.col("status") == "ok")
+    mismatches = ok.where(F.col("text") != F.col("expected")).count()
+    assert mismatches == 0
+    # corrupt rows -> error status, never missing
+    errs = joined.where(F.col("status") == "error")
+    assert errs.count() == pages.where(F.col("text").isNull()).count()
+    assert docs.count() == pages.count()
+
+
+def test_spans_and_declarative_assembly_match_fused(pages):
+    fused = extract_docs_text(pages).select("url", "text", "status")
+    spans = extract_spans(pages)
+    assembled = assemble_docs_text(spans).select("url", "text", "status")
+    diff = (
+        fused.alias("f")
+        .join(assembled.alias("a"), "url", "full")
+        .where(
+            (F.col("f.status") != F.col("a.status"))
+            | (
+                F.coalesce(F.col("f.text"), F.lit("§"))
+                != F.coalesce(F.col("a.text"), F.lit("§"))
+            )
+        )
+    )
+    assert diff.count() == 0
+
+
+def test_determinism_across_partition_counts(pages):
+    """Same input at 2 partition counts => identical docs_text rows
+    (doubles as the scaling-evidence correctness check)."""
+    a = extract_docs_text(pages.repartition(2)).orderBy("url").collect()
+    b = extract_docs_text(prepare_pages(pages, 16)).orderBy("url").collect()
+    assert [(r.url, r.text, r.status) for r in a] == [
+        (r.url, r.text, r.status) for r in b
+    ]
+
+
+def test_pipeline_lineage_and_resume(spark, pages, tmp_out):
+    m1 = run_extraction(spark, pages, tmp_out)
+    assert m1["n_ok"] + m1["n_err"] == len(TEXTS)
+    lin = spark.read.parquet(m1["lineage_path"])
+    agg = lin.agg(
+        F.sum("n_docs").alias("d"), F.sum("n_ok").alias("o"), F.sum("n_err").alias("e")
+    ).collect()[0]
+    # lineage reconciles with input counts (north rule)
+    assert agg["d"] == len(TEXTS)
+    assert agg["o"] == m1["n_ok"] and agg["e"] == m1["n_err"]
+    # error codes surfaced in the map
+    codes = lin.select(F.explode("error_codes")).groupBy("key").count().collect()
+    assert {r["key"] for r in codes} >= {"INVALID_VERSION"}
+
+    # resume: second run must process zero new docs (all committed)
+    docs_before = spark.read.parquet(m1["docs_path"]).count()
+    run_extraction(spark, pages, tmp_out)
+    docs_after = spark.read.parquet(m1["docs_path"]).count()
+    assert docs_after == docs_before
+
+
+def test_fixture_rows_ride_along(pages):
+    """Reference fixtures injected at the fixture cadence extract to
+    'Hello World!' through the full Spark path."""
+    docs = extract_docs_text(pages)
+    fixture_urls = pages.where(F.col("text") == "Hello World!").select("url")
+    got = docs.join(fixture_urls, "url").select("text").collect()
+    assert len(got) >= 1
+    assert all(r["text"] == "Hello World!" for r in got)
