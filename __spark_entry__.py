@@ -1,38 +1,56 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction roundtrip on sf0.001: synthesize the
+Common-Crawl-style pages corpus from ``documents.text`` (distributed
+mapInPandas generation), run the fused extraction pipeline, and return
+docs_text joined with the expected text.
+
+``queries()`` / ``oracle_sql()`` — the operator matrix from
+``pdf_spark.functions`` (relational / text-dedup / similarity / multimodal
+/ extraction), each Spark query paired with DuckDB-runnable ANSI SQL where
+SQL can express it (rows-only checks otherwise).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+if "/root/repo" not in sys.path:  # driver may import us from anywhere
+    sys.path.insert(0, "/root/repo")
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from pdf_spark.gen.corpus import pages_from_documents
+    from pdf_spark.operators.extract import extract_docs_text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = pages_from_documents(docs)
+    extracted = extract_docs_text(pages)
+    expected = pages.select("url", F.col("text").alias("expected_text"), "lang")
+    return (
+        extracted.join(expected, "url")
+        .withColumn(
+            "match",
+            (F.col("status") == "ok")
+            & (F.col("text") == F.col("expected_text")),
+        )
+        .select("url", "status", "error_code", "match", "n_pages", "n_spans", "lang")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pdf_spark.functions.registry import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdf_spark.functions.registry import all_oracles
+
+    return all_oracles()

@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Measures the headline extraction throughput (docs/sec through the fused
+mapInPandas pipeline over a deterministic synthetic pages corpus derived
+from ``$SPARK_GRAFT_SF_DIR/documents.parquet``) plus wall times for a
+representative slice of the operator matrix.
+
+Environment:
+  SPARK_GRAFT_SF_DIR   input tables dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] cores     (default 32)
+  BENCH_TARGET_DOCS    corpus size        (default 200_000)
+  BENCH_SKIP_QUERIES   "1" -> extraction only
+
+The pages corpus is generated distributed (mapInPandas) and cached under
+data/bench_pages/; generation time is excluded from the measured wall.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+TARGET_DOCS = int(os.environ.get("BENCH_TARGET_DOCS", "200000"))
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+HEADLINE_QUERIES = (
+    "qr02_agg_pricing_summary",
+    "qr04_multiway_dim_join",
+    "qr07_window_topk_per_group",
+    "qt05_minhash_signatures",
+    "qt08_simhash",
+    "qs02_cosine_topk",
+    "qx01_roundtrip_match",
+)
+
+
+def build_corpus(spark, sf_dir: str, target_docs: int) -> str:
+    """Generate (once) and cache the bench pages corpus; returns its path."""
+    from pyspark.sql import functions as F
+
+    from pdf_spark.gen.corpus import pages_from_documents
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(REPO, "data", "bench_pages", f"{tag}_n{target_docs}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    reps = max(1, (target_docs + n - 1) // n)
+    # replicate with distinct ids: id' = doc_id * reps + r (keeps generator
+    # variant mix uniform and urls unique)
+    replicated = (
+        docs.select("doc_id", "text")
+        .crossJoin(spark.range(reps).withColumnRenamed("id", "rep"))
+        .select(
+            (F.col("doc_id") * reps + F.col("rep")).alias("doc_id"), "text"
+        )
+        .limit(target_docs)
+    )
+    pages = pages_from_documents(replicated)
+    pages.repartition(CPUS * 2).write.mode("overwrite").parquet(out)
+    return out
+
+
+def main() -> None:
+    t_setup = time.time()
+    from pyspark.sql import functions as F
+
+    from pdf_spark.operators.extract import extract_docs_text
+    from pdf_spark.session import spark_session
+
+    spark = spark_session("pdf-spark-bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus = build_corpus(spark, SF_DIR, TARGET_DOCS)
+    pages = spark.read.parquet(corpus)
+    n_docs = pages.count()
+    setup_s = time.time() - t_setup
+
+    # headline: fused extraction, full pass
+    t0 = time.time()
+    docs = extract_docs_text(pages)
+    agg = docs.groupBy("status").count().collect()
+    extract_s = time.time() - t0
+    counts = {r["status"]: r["count"] for r in agg}
+
+    queries: dict[str, float] = {"extract_fused": round(extract_s, 3)}
+    if os.environ.get("BENCH_SKIP_QUERIES") != "1":
+        from pdf_spark.functions.registry import all_queries
+
+        qmap = all_queries()
+        for name in HEADLINE_QUERIES:
+            t0 = time.time()
+            df = qmap[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            queries[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "extraction_wall_sec_fused",
+        "value": round(extract_s, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "n_docs": n_docs,
+        "n_ok": counts.get("ok", 0),
+        "n_err": counts.get("error", 0),
+        "docs_per_sec": round(n_docs / extract_s, 1),
+        "cores": CPUS,
+        "setup_sec": round(setup_s, 3),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+Image/audio decode libraries are not in this container, so the decode step
+is a clearly-marked deterministic fake (``_fake_decode``) — but everything
+Spark-side is real and tested: the BinaryType schema, the ``mapInPandas``
+batch shape (one Arrow batch of blobs in, one batch of feature rows out),
+partition behavior, and the metadata queries.
+
+- ``qm01_binary_meta``     — JVM-side binary column ops (encode/length/hash),
+  DuckDB-verified.
+- ``qm02_fake_image_features`` — the mapInPandas feature extractor over
+  synthetic "image" blobs; deterministic fake decode, oracle-checkable
+  because the fake is a pure function of the blob bytes that SQL can
+  reproduce (header-int parsing via substring arithmetic).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from pdf_spark.functions.tables import load, register_views
+
+QUERIES = {}
+ORACLE = {}
+
+# -- qm01: binary metadata, pure JVM ------------------------------------------
+
+_META_SPARK = """
+SELECT doc_id,
+       octet_length(encode(text, 'UTF-8')) AS n_bytes,
+       md5(encode(text, 'UTF-8')) AS blob_md5
+FROM documents
+"""
+_META_DUCK = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS blob_md5
+FROM documents
+"""
+
+
+def _qm01(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    return spark.sql(_META_SPARK)
+
+
+QUERIES["qm01_binary_meta"] = _qm01
+ORACLE["qm01_binary_meta"] = _META_DUCK
+
+# -- qm02: fake decode over synthetic blobs -----------------------------------
+
+_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("mean_luma", IntegerType()),
+    ]
+)
+
+
+def _fake_decode(blob: bytes) -> tuple[int, int, int, int]:
+    """DETERMINISTIC FAKE decode (real image libs absent in this container).
+
+    The synthetic blob layout is ``b"IMG!" + 4-digit width + 4-digit height
+    + payload``; a real deployment swaps this for PIL/ffmpeg inside the
+    same mapInPandas batch loop (the Spark plumbing — schema, batching,
+    partitioning — is identical).
+    """
+    if len(blob) < 12 or blob[:4] != b"IMG!":
+        raise NotImplementedError("real image decoding is stubbed")
+    width = int(blob[4:8])
+    height = int(blob[8:12])
+    payload = blob[12:]
+    mean = (sum(payload) // len(payload)) if payload else 0
+    return width, height, 3, mean
+
+
+def _qm02(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    # synthesize the blob column JVM-side: IMG! + zero-padded dims + payload
+    blobs = docs.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("IMG!"),
+                F.lpad((F.col("doc_id") % 97 + 16).cast("string"), 4, "0"),
+                F.lpad((F.col("doc_id") % 53 + 16).cast("string"), 4, "0"),
+                F.substring("text", 1, 32),
+            ),
+            "UTF-8",
+        ).alias("blob"),
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "n_channels", "mean_luma")}
+            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+                w, h, c, m = _fake_decode(bytes(blob))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_channels"].append(c)
+                out["mean_luma"].append(m)
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(featurize, _FEATURES_SCHEMA)
+
+
+QUERIES["qm02_fake_image_features"] = _qm02
+# oracle: the fake decode is reproducible in SQL over the same construction
+ORACLE["qm02_fake_image_features"] = """
+WITH blobs AS (
+  SELECT doc_id,
+         CAST(doc_id % 97 + 16 AS INT) AS width,
+         CAST(doc_id % 53 + 16 AS INT) AS height,
+         substr(text, 1, 32) AS payload
+  FROM documents
+)
+SELECT doc_id, width, height, 3 AS n_channels,
+       CAST(floor(list_aggregate(list_transform(
+              range(1, length(payload) + 1),
+              i -> ord(substr(payload, i, 1))), 'sum')
+            / length(payload)) AS INT) AS mean_luma
+FROM blobs
+"""

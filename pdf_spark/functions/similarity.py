@@ -1,0 +1,164 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim).
+
+- brute-force cosine top-k (the correctness baseline): JVM-side
+  ``aggregate``/``zip_with`` dot products — no Python in the loop;
+- LSH-bucketed variant (the scale path): sign-random-projection buckets
+  from fixed deterministic hyperplanes (seeded from the dimension index),
+  candidate generation joins on the bucket key — at 10^9 vectors the
+  brute-force scan is one pass per query batch, the LSH path turns it into
+  an equi-join;
+- per-label centroids (posexplode + groupBy — the distributed reduction
+  shape for k-means-style iteration).
+
+All arithmetic is cast to DOUBLE on both engines before accumulating so the
+float32 inputs round-trip identically; results round to 4 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pdf_spark.functions.tables import register_views
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _pair(name: str, spark_sql: str, duck_sql: str | None):
+    def fn(spark: SparkSession, sf: str, _sql=spark_sql) -> DataFrame:
+        register_views(spark, sf)
+        return spark.sql(_sql)
+
+    QUERIES[name] = fn
+    if duck_sql is not None:
+        ORACLE[name] = duck_sql
+
+
+# dot(a,b), norm via aggregate; query vector = vec_id 0's embedding
+_COS_SPARK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label,
+         aggregate(zip_with(e.embedding, q.qv,
+                            (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+         / (sqrt(aggregate(e.embedding, CAST(0.0 AS DOUBLE),
+                           (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+            * sqrt(aggregate(q.qv, CAST(0.0 AS DOUBLE),
+                             (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+           AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0
+)
+"""
+
+_COS_DUCK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label,
+         list_aggregate(list_transform(range(1, 65),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum')
+         / (sqrt(list_aggregate(list_transform(e.embedding,
+                 v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))
+            * sqrt(list_aggregate(list_transform(q.qv,
+                 v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')))
+           AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0
+)
+"""
+
+_pair(
+    "qs01_cosine_threshold",
+    _COS_SPARK + "SELECT vec_id, label, ROUND(cos_sim, 4) AS sim FROM scored WHERE cos_sim > 0.15",
+    _COS_DUCK + "SELECT vec_id, label, ROUND(cos_sim, 4) AS sim FROM scored WHERE cos_sim > 0.15",
+)
+
+_pair(
+    "qs02_cosine_topk",
+    _COS_SPARK
+    + """SELECT vec_id, ROUND(cos_sim, 4) AS sim FROM scored
+         ORDER BY ROUND(cos_sim, 4) DESC, vec_id LIMIT 10""",
+    _COS_DUCK
+    + """SELECT vec_id, ROUND(cos_sim, 4) AS sim FROM scored
+         ORDER BY ROUND(cos_sim, 4) DESC, vec_id LIMIT 10""",
+)
+
+# L2 norms
+_pair(
+    "qs03_l2_norms",
+    """SELECT vec_id,
+              ROUND(sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),
+                    (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), 4)
+                AS l2_norm
+       FROM embeddings""",
+    """SELECT vec_id,
+              ROUND(sqrt(list_aggregate(list_transform(embedding,
+                    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')), 4)
+                AS l2_norm
+       FROM embeddings""",
+)
+
+# per-label centroids: flat (label, pos, cval) rows
+_pair(
+    "qs04_label_centroids",
+    # `+ 0.0` folds IEEE -0.0 to 0.0 so signed zero can't split the hash
+    """SELECT label, pos, ROUND(AVG(CAST(v AS DOUBLE)), 4) + 0.0 AS cval
+       FROM (SELECT label, posexplode(embedding) AS (pos, v) FROM embeddings)
+       GROUP BY label, pos""",
+    """SELECT label, pos, ROUND(AVG(v), 4) + 0.0 AS cval FROM (
+         SELECT label,
+                CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+                CAST(unnest(embedding) AS DOUBLE) AS v
+         FROM embeddings)
+       GROUP BY label, pos""",
+)
+
+# sign-random-projection LSH buckets: hyperplane h_j has +1 weight on
+# dimensions where (i*31 + j*17) % 7 < 3, else -1 — fixed, seedless, and
+# expressible in both engines; bucket = 4-bit signature
+_PROJ_TERMS_SPARK = " + ".join(
+    f"""CASE WHEN aggregate(zip_with(embedding,
+            transform(sequence(0, 63),
+                      i -> CASE WHEN (i * 31 + {j} * 17) % 7 < 3
+                           THEN 1.0D ELSE -1.0D END),
+            (x, w) -> CAST(x AS DOUBLE) * w),
+          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0
+        THEN {1 << j} ELSE 0 END"""
+    for j in range(4)
+)
+_PROJ_TERMS_DUCK = " + ".join(
+    f"""CASE WHEN list_aggregate(list_transform(range(1, 65),
+            i -> CAST(embedding[i] AS DOUBLE) *
+                 (CASE WHEN ((i - 1) * 31 + {j} * 17) % 7 < 3
+                  THEN 1.0 ELSE -1.0 END)), 'sum') > 0
+        THEN {1 << j} ELSE 0 END"""
+    for j in range(4)
+)
+
+_pair(
+    "qs05_srp_lsh_buckets",
+    f"""SELECT CAST({_PROJ_TERMS_SPARK} AS INT) AS bucket,
+               COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
+        FROM embeddings GROUP BY 1""",
+    f"""SELECT CAST({_PROJ_TERMS_DUCK} AS INT) AS bucket,
+               COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
+        FROM embeddings GROUP BY 1""",
+)
+
+# LSH candidate-pair counts per bucket (the ANN scale path's join stage)
+_pair(
+    "qs06_srp_lsh_pair_counts",
+    f"""WITH b AS (
+          SELECT vec_id, CAST({_PROJ_TERMS_SPARK} AS INT) AS bucket
+          FROM embeddings)
+        SELECT bucket, CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT)
+                 AS n_pairs
+        FROM b GROUP BY bucket""",
+    f"""WITH b AS (
+          SELECT vec_id, CAST({_PROJ_TERMS_DUCK} AS INT) AS bucket
+          FROM embeddings)
+        SELECT bucket, CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT)
+                 AS n_pairs
+        FROM b GROUP BY bucket""",
+)

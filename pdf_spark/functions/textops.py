@@ -1,0 +1,267 @@
+"""Training-data text operators over the ``documents`` table: exact and
+near dedup (MinHash+LSH, SimHash, n-gram Jaccard), language-ID heuristic,
+quality scoring, token counting, fingerprinting.
+
+Every operator is a *declarative* Spark query (spark.sql / DataFrame —
+Catalyst plans it, whole-stage codegen executes it; no Python UDFs), with a
+portable-hash design so DuckDB can verify it: the hash primitive is
+``md5(string)`` (identical hex in Spark and DuckDB), bits are extracted
+from hex nibbles with pure string ops, and shingling uses
+split/slice/transform on both sides.
+
+Scale notes (100 TB): every query below is one scan + one shuffle (the
+groupBy/join on the hash key). MinHash signatures and SimHash are pure
+map-side expressions; the LSH band join self-joins on the band key — at
+real scale that key is salted per band and the join is AQE-skew-handled;
+the pair generation never materializes the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pdf_spark.functions.tables import register_views
+
+QUERIES = {}
+ORACLE = {}
+
+N_MINHASH = 4  # 4 independent min-hashes; band = (h0,h1) for LSH
+
+
+def _pair(name: str, spark_sql: str, duck_sql: str | None):
+    def fn(spark: SparkSession, sf: str, _sql=spark_sql) -> DataFrame:
+        register_views(spark, sf)
+        return spark.sql(_sql)
+
+    QUERIES[name] = fn
+    if duck_sql is not None:
+        ORACLE[name] = duck_sql
+
+
+# -- exact dedup --------------------------------------------------------------
+
+_pair(
+    "qt01_dedup_exact",
+    """SELECT md5(text) AS fingerprint, COUNT(*) AS n_copies,
+              MIN(doc_id) AS keeper_id
+       FROM documents GROUP BY md5(text)""",
+    """SELECT md5(text) AS fingerprint, COUNT(*) AS n_copies,
+              MIN(doc_id) AS keeper_id
+       FROM documents GROUP BY md5(text)""",
+)
+
+# -- token counting -----------------------------------------------------------
+
+_pair(
+    "qt02_token_count",
+    """SELECT doc_id, size(split(text, ' ')) AS n_tokens,
+              length(text) AS n_chars_computed, n_chars
+       FROM documents""",
+    """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+              length(text) AS n_chars_computed, n_chars
+       FROM documents""",
+)
+
+# -- quality scoring ----------------------------------------------------------
+
+_QUALITY_BODY = """
+SELECT doc_id,
+       length(text) AS n,
+       ROUND(CAST(length(regexp_replace(text, '[^aeiou]', ''{G})) AS DOUBLE)
+             / length(text), 4) AS vowel_ratio,
+       ROUND(CAST(length(regexp_replace(text, '[^ ]', ''{G})) AS DOUBLE)
+             / length(text), 4) AS space_ratio,
+       CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1 ELSE 0 END
+         AS len_ok
+FROM documents WHERE length(text) > 0
+"""
+# DuckDB regexp_replace is first-match-only without the 'g' flag
+_pair(
+    "qt03_quality_score",
+    _QUALITY_BODY.replace("{G}", ""),
+    _QUALITY_BODY.replace("{G}", ", 'g'"),
+)
+
+# -- language-ID heuristic ----------------------------------------------------
+
+# stopword-hit counting via length deltas (portable, no regex_count needed)
+_LANG_SPARK = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+           AS BIGINT)) AS en_hits,
+       SUM(CAST((length(text) - length(replace(text, ' der ', ''))) / 5
+           AS BIGINT)) AS de_hits
+FROM documents GROUP BY lang
+"""
+_pair("qt04_langid_stopwords", _LANG_SPARK, _LANG_SPARK)
+
+# -- MinHash signatures (word 3-shingles) -------------------------------------
+
+
+def _minhash_cols(engine: str) -> str:
+    return ",\n       ".join(
+        f"MIN(substr(md5(concat(sh, '#{j}')), 1, 8)) AS h{j}"
+        for j in range(N_MINHASH)
+    )
+
+
+_MINHASH_SPARK = f"""
+SELECT doc_id,
+       {_minhash_cols('spark')}
+FROM (
+  SELECT doc_id, explode(shingles) AS sh FROM (
+    SELECT doc_id,
+           transform(sequence(1, size(toks) - 2),
+                     i -> concat_ws(' ', slice(toks, i, 3))) AS shingles
+    FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents)
+    WHERE size(toks) >= 3
+  )
+)
+GROUP BY doc_id
+"""
+
+_MINHASH_DUCK = f"""
+SELECT doc_id,
+       {_minhash_cols('duck')}
+FROM (
+  SELECT doc_id, unnest(shingles) AS sh FROM (
+    SELECT doc_id,
+           list_transform(range(1, len(toks) - 1),
+                          i -> array_to_string(toks[i:i+2], ' ')) AS shingles
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    WHERE len(toks) >= 3
+  )
+)
+GROUP BY doc_id
+"""
+_pair("qt05_minhash_signatures", _MINHASH_SPARK, _MINHASH_DUCK)
+
+# -- LSH candidate pairs ------------------------------------------------------
+
+_LSH_SPARK = f"""
+WITH sigs AS ({_MINHASH_SPARK})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sigs a JOIN sigs b
+  ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+"""
+_LSH_DUCK = f"""
+WITH sigs AS ({_MINHASH_DUCK})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sigs a JOIN sigs b
+  ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+"""
+_pair("qt06_minhash_lsh_pairs", _LSH_SPARK, _LSH_DUCK)
+
+# -- n-gram (token) Jaccard between adjacent doc ids --------------------------
+
+_JACCARD_SPARK = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM toks a JOIN toks b ON a.tok = b.tok AND b.doc_id = a.doc_id + 1
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.doc_a, s.doc_b,
+       ROUND(CAST(s.n_shared AS DOUBLE)
+             / (ca.n + cb.n - s.n_shared), 4) AS jaccard
+FROM shared s
+JOIN counts ca ON ca.doc_id = s.doc_a
+JOIN counts cb ON cb.doc_id = s.doc_b
+"""
+_JACCARD_DUCK = _JACCARD_SPARK.replace(
+    "explode(split(text, ' '))", "unnest(string_split(text, ' '))"
+)
+_pair("qt07_token_jaccard_adjacent", _JACCARD_SPARK, _JACCARD_DUCK)
+
+# -- SimHash (16-bit, from md5 nibble high-bits) ------------------------------
+
+
+def _simhash_bits() -> str:
+    # bit j source: high bit of hex nibble j of md5(tok): nibble in 8..f
+    terms = []
+    for j in range(16):
+        terms.append(
+            f"CASE WHEN SUM(CASE WHEN substr(h, {j + 1}, 1) IN "
+            f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 "
+            f"THEN {1 << j} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+_SIMHASH_BODY = f"""
+SELECT doc_id, CAST({_simhash_bits()} AS BIGINT) AS simhash16
+FROM (
+  SELECT DISTINCT doc_id, md5(tok) AS h
+  FROM (SELECT doc_id, {{TOKFN}} AS tok FROM documents)
+  WHERE tok <> ''
+)
+GROUP BY doc_id
+"""
+_SIMHASH_SPARK = _SIMHASH_BODY.replace("{TOKFN}", "explode(split(text, ' '))")
+_SIMHASH_DUCK = _SIMHASH_BODY.replace("{TOKFN}", "unnest(string_split(text, ' '))")
+_pair("qt08_simhash", _SIMHASH_SPARK, _SIMHASH_DUCK)
+
+# -- SimHash near-dup pairs (hamming <= 3 via half-band join) ----------------
+
+# band join as UNION of two equi-joins (an OR-join would plan as a
+# nested-loop at scale; two hash joins + distinct is the 100 TB shape)
+_SIMHASH_PAIRS_SPARK = f"""
+WITH sh AS ({_SIMHASH_SPARK}),
+banded AS (
+  SELECT doc_id, simhash16,
+         CAST(simhash16 % 256 AS BIGINT) AS lo,
+         CAST(simhash16 DIV 256 AS BIGINT) AS hi
+  FROM sh
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash16 AS sig_a, b.simhash16 AS sig_b
+  FROM banded a JOIN banded b ON a.lo = b.lo AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id, a.simhash16, b.simhash16
+  FROM banded a JOIN banded b ON a.hi = b.hi AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(sig_a ^ sig_b) AS INT) AS hamming
+FROM cand WHERE bit_count(sig_a ^ sig_b) <= 3
+"""
+_SIMHASH_PAIRS_DUCK = f"""
+WITH sh AS ({_SIMHASH_DUCK}),
+banded AS (
+  SELECT doc_id, simhash16,
+         CAST(simhash16 % 256 AS BIGINT) AS lo,
+         CAST(simhash16 // 256 AS BIGINT) AS hi
+  FROM sh
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash16 AS sig_a, b.simhash16 AS sig_b
+  FROM banded a JOIN banded b ON a.lo = b.lo AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id, a.simhash16, b.simhash16
+  FROM banded a JOIN banded b ON a.hi = b.hi AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+_pair("qt09_simhash_near_pairs", _SIMHASH_PAIRS_SPARK, _SIMHASH_PAIRS_DUCK)
+
+# -- document fingerprint -----------------------------------------------------
+
+# floor() because CAST(double AS BIGINT) truncates in Spark but rounds in
+# DuckDB
+_FP = """
+SELECT doc_id,
+       md5(substr(text, 1, 64)) AS head_fp,
+       md5(concat(lang, ':', source)) AS meta_fp,
+       CAST(floor(length(text) / 100) AS BIGINT) AS len_bucket
+FROM documents
+"""
+_pair("qt10_fingerprint", _FP, _FP)

@@ -1,0 +1,84 @@
+"""Structured Streaming ingestion: readStream over the pages table ->
+the SAME batched extraction UDF -> append sink (SURVEY.md §2.5 streaming
+row: "the batch UDF is reusable unchanged — this is the idiomatic Spark
+dividend").
+
+Shapes provided:
+
+- ``stream_extract``: file-source stream over a pages parquet directory,
+  fused extraction per micro-batch, append to parquet + checkpoint dir
+  (exactly-once via the sink's write-ahead commit log). ``Trigger.
+  AvailableNow`` drains existing data and stops — the test/backfill mode;
+  omit for continuous tailing.
+
+- ``stream_event_counts``: watermarked tumbling-window aggregation over
+  ``warc_ts`` (late data beyond the watermark dropped) — the classic
+  stateful-streaming operator, batch twin is ``qr22`` in the relational
+  matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from pdf_spark.operators.extract import extract_docs_text
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def read_pages_stream(spark: SparkSession, pages_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(pages_dir)
+    )
+
+
+def stream_extract(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Start the streaming extraction; returns the StreamingQuery."""
+    stream = read_pages_stream(spark, pages_dir)
+    docs = extract_docs_text(stream)
+    writer = (
+        docs.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_event_counts(
+    spark: SparkSession, pages_dir: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window doc counts per lang (unstarted DF)."""
+    stream = read_pages_stream(spark, pages_dir)
+    return (
+        stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", "1 hour").alias("win"), "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .select("win.start", "win.end", "lang", "n_docs")
+    )
