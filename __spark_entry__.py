@@ -37,8 +37,15 @@ def entry(spark: SparkSession) -> DataFrame:
         extracted.join(expected, "url")
         .withColumn(
             "match",
-            (F.col("status") == "ok")
-            & (F.col("text") == F.col("expected_text")),
+            # Corrupt payloads (generator emits text=NULL) must surface as
+            # error-code rows, never task failures; everything else must
+            # byte-match its expected text.
+            F.when(
+                F.col("expected_text").isNull(), F.col("status") == "error"
+            ).otherwise(
+                (F.col("status") == "ok")
+                & (F.col("text") == F.col("expected_text"))
+            ),
         )
         .select("url", "status", "error_code", "match", "n_pages", "n_spans", "lang")
     )
