@@ -46,7 +46,7 @@ class Font:
         "subtype", "base_font", "is_type0",
         "encoding_cmap", "to_unicode",
         "code_to_name", "first_char", "widths", "missing_width",
-        "cid_widths", "default_width", "cid_to_gid",
+        "cid_widths", "default_width", "cid_to_gid", "decode_memo",
     )
 
     def __init__(self) -> None:
@@ -62,6 +62,10 @@ class Font:
         self.cid_widths: dict[int, float] = {}
         self.default_width = 1000.0  # DW default (spec + font_widths.c)
         self.cid_to_gid: Optional[bytes] = None  # None = Identity
+        # per-code (text, width) memo filled lazily by the interpreter's
+        # span emitter — decode/width are pure per font, so one dict lookup
+        # replaces the per-glyph call chain on the hot path
+        self.decode_memo: dict[int, tuple[str, float]] = {}
 
     # -- code iteration (render/font.c:29-87) --
 

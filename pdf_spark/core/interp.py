@@ -234,6 +234,9 @@ class Interpreter:
             raise PdfError(INCORRECT_TYPE, "text shown before Tf set a font")
         font = ts.font
         fs, th, tc = ts.font_size, ts.h_scale, ts.char_spacing
+        memo = font.decode_memo
+        memo_get = memo.get
+        is_type0 = font.is_type0
         for el in elements:
             el = self.resolver.resolve(el)
             if isinstance(el, (int, float)):
@@ -247,10 +250,22 @@ class Interpreter:
             dev = mat_mul(tm, ctm)
             chars: list[str] = []
             adv = 0.0
-            for code in font.iter_codes(el):
-                chars.append(font.code_to_text(code))
+            if is_type0:
+                # 2-byte big-endian codes; trailing odd byte dropped
+                # (render/font.c:46)
+                codes = [
+                    (el[i] << 8) | el[i + 1] for i in range(0, len(el) - 1, 2)
+                ]
+            else:
+                codes = el
+            for code in codes:
+                entry = memo_get(code)
+                if entry is None:
+                    entry = (font.code_to_text(code), font.width(code))
+                    memo[code] = entry
+                chars.append(entry[0])
                 # tx = (w0/1000·Tfs + Tc)·Th ; Tw never applied (parity)
-                adv += (font.width(code) / 1000.0 * fs + tc) * th
+                adv += (entry[1] / 1000.0 * fs + tc) * th
             text = "".join(chars)
             if text:
                 self.spans.append(
