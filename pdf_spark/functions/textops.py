@@ -38,6 +38,30 @@ def _pair(name: str, spark_sql: str, duck_sql: str | None):
         ORACLE[name] = duck_sql
 
 
+def _pair_staged(
+    name: str, stage_view: str, stage_sql: str, main_sql: str, duck_sql: str | None
+):
+    """Two-stage query: the shared intermediate (signature/token table) is
+    computed ONCE, persisted, and exposed as a temp view the main query
+    references. Without this, a CTE referenced on both sides of a self-join
+    is inlined and the expensive aggregation runs per reference (no
+    ReusedExchange across broadcast/shuffle boundaries). At 10^12 scale the
+    persist becomes a write to an intermediate table — same dataflow."""
+
+    def fn(
+        spark: SparkSession, sf: str, _ss=stage_sql, _ms=main_sql, _v=stage_view
+    ) -> DataFrame:
+        register_views(spark, sf)
+        staged = spark.sql(_ss)
+        staged.persist()
+        staged.createOrReplaceTempView(_v)
+        return spark.sql(_ms)
+
+    QUERIES[name] = fn
+    if duck_sql is not None:
+        ORACLE[name] = duck_sql
+
+
 # -- exact dedup --------------------------------------------------------------
 
 _pair(
@@ -139,10 +163,9 @@ _pair("qt05_minhash_signatures", _MINHASH_SPARK, _MINHASH_DUCK)
 
 # -- LSH candidate pairs ------------------------------------------------------
 
-_LSH_SPARK = f"""
-WITH sigs AS ({_MINHASH_SPARK})
+_LSH_MAIN = """
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM sigs a JOIN sigs b
+FROM qt06_sigs a JOIN qt06_sigs b
   ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
 """
 _LSH_DUCK = f"""
@@ -151,20 +174,23 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM sigs a JOIN sigs b
   ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
 """
-_pair("qt06_minhash_lsh_pairs", _LSH_SPARK, _LSH_DUCK)
+_pair_staged(
+    "qt06_minhash_lsh_pairs", "qt06_sigs", _MINHASH_SPARK, _LSH_MAIN, _LSH_DUCK
+)
 
 # -- n-gram (token) Jaccard between adjacent doc ids --------------------------
 
-_JACCARD_SPARK = """
-WITH toks AS (
-  SELECT DISTINCT doc_id, tok
-  FROM (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)
-  WHERE tok <> ''
-),
-counts AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+_TOKS_STAGE = """
+SELECT DISTINCT doc_id, tok
+FROM (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)
+WHERE tok <> ''
+"""
+_JACCARD_MAIN = """
+WITH counts AS (SELECT doc_id, COUNT(*) AS n FROM qt07_toks GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-  FROM toks a JOIN toks b ON a.tok = b.tok AND b.doc_id = a.doc_id + 1
+  FROM qt07_toks a JOIN qt07_toks b
+    ON a.tok = b.tok AND b.doc_id = a.doc_id + 1
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT s.doc_a, s.doc_b,
@@ -174,10 +200,18 @@ FROM shared s
 JOIN counts ca ON ca.doc_id = s.doc_a
 JOIN counts cb ON cb.doc_id = s.doc_b
 """
-_JACCARD_DUCK = _JACCARD_SPARK.replace(
-    "explode(split(text, ' '))", "unnest(string_split(text, ' '))"
+_JACCARD_DUCK = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+),
+{_JACCARD_MAIN.replace("qt07_toks", "toks").split("WITH ", 1)[1]}
+"""
+_pair_staged(
+    "qt07_token_jaccard_adjacent", "qt07_toks", _TOKS_STAGE, _JACCARD_MAIN,
+    _JACCARD_DUCK,
 )
-_pair("qt07_token_jaccard_adjacent", _JACCARD_SPARK, _JACCARD_DUCK)
 
 # -- SimHash (16-bit, from md5 nibble high-bits) ------------------------------
 
@@ -211,13 +245,12 @@ _pair("qt08_simhash", _SIMHASH_SPARK, _SIMHASH_DUCK)
 
 # band join as UNION of two equi-joins (an OR-join would plan as a
 # nested-loop at scale; two hash joins + distinct is the 100 TB shape)
-_SIMHASH_PAIRS_SPARK = f"""
-WITH sh AS ({_SIMHASH_SPARK}),
-banded AS (
+_SIMHASH_PAIRS_MAIN = """
+WITH banded AS (
   SELECT doc_id, simhash16,
          CAST(simhash16 % 256 AS BIGINT) AS lo,
          CAST(simhash16 DIV 256 AS BIGINT) AS hi
-  FROM sh
+  FROM qt09_sh
 ),
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -251,7 +284,10 @@ SELECT doc_a, doc_b,
        CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
 """
-_pair("qt09_simhash_near_pairs", _SIMHASH_PAIRS_SPARK, _SIMHASH_PAIRS_DUCK)
+_pair_staged(
+    "qt09_simhash_near_pairs", "qt09_sh", _SIMHASH_SPARK, _SIMHASH_PAIRS_MAIN,
+    _SIMHASH_PAIRS_DUCK,
+)
 
 # -- document fingerprint -----------------------------------------------------
 
