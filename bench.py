@@ -66,7 +66,11 @@ def build_corpus(spark, sf_dir: str, target_docs: int) -> str:
         .limit(target_docs)
     )
     pages = pages_from_documents(replicated)
-    pages.repartition(CPUS * 2).write.mode("overwrite").parquet(out)
+    # many small-ish files: parse is ~1 s/MB/core, so ~2 MB files give
+    # ~2-4 s tasks and many scheduling waves per core at any cluster size
+    # (parquet row groups bound split granularity, so file count is the
+    # real knob, not maxPartitionBytes)
+    pages.repartition(max(256, CPUS * 8)).write.mode("overwrite").parquet(out)
     return out
 
 

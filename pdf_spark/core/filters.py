@@ -5,9 +5,10 @@ chain is applied left-to-right over the ``Filter`` name-or-array; the
 reference implements exactly ASCIIHexDecode (ascii.c:27-76) and FlateDecode
 (a from-scratch RFC1950/1951 inflate, libs/codec/src/deflate.c). We use the
 CPython ``zlib`` C module — same RFCs, identical output bytes by
-construction. Anything else (LZWDecode, DCTDecode, …) raises
-UNSUPPORTED_FILTER (the reference panics at filters.c:54; we record the
-error-code row instead).
+construction. LZWDecode (named in scope by the north star, panicking in the
+reference at filters.c:54) is implemented per PDF 32000-1 §7.4.4 with
+EarlyChange. Anything else (DCTDecode, …) raises UNSUPPORTED_FILTER (the
+reference panic class; we record the error-code row instead).
 
 EXTENSION beyond the reference: PNG predictors (DecodeParms /Predictor >= 10)
 are implemented vectorized with numpy — common in real-world Common-Crawl
@@ -57,6 +58,104 @@ def flate_decode(data: bytes) -> bytes:
             return out
         except zlib.error as exc:
             raise PdfError(FILTER_ERROR, f"FlateDecode: {exc}") from None
+
+
+def lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF LZWDecode (PDF 32000-1 §7.4.4): TIFF-style LZW, MSB-first codes,
+    9→12 bit widths, Clear=256, EOD=257, EarlyChange default 1.
+
+    EXTENSION beyond the reference: /root/reference panics on LZWDecode
+    (filters.c:54 LOG_TODO); the north star names LZW as in scope, so this
+    is implemented per spec and exercised by its own generator variant.
+    """
+    out = bytearray()
+    dic: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    code_bits = 9
+    next_code = 258
+    prev: Optional[bytes] = None
+    bitbuf = 0
+    nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= code_bits:
+            nbits -= code_bits
+            code = (bitbuf >> nbits) & ((1 << code_bits) - 1)
+            if code == 256:  # ClearTable
+                dic = {i: bytes([i]) for i in range(256)}
+                code_bits = 9
+                next_code = 258
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = dic.get(code)
+                if entry is None:
+                    raise PdfError(FILTER_ERROR, f"LZWDecode: bad first code {code}")
+            elif code in dic:
+                entry = dic[code]
+                dic[next_code] = prev + entry[:1]
+                next_code += 1
+            elif code == next_code:  # KwKwK case
+                entry = prev + prev[:1]
+                dic[next_code] = entry
+                next_code += 1
+            else:
+                raise PdfError(FILTER_ERROR, f"LZWDecode: bad code {code}")
+            out += entry
+            prev = entry
+            if next_code >= (1 << code_bits) - early_change and code_bits < 12:
+                code_bits += 1
+    return bytes(out)
+
+
+def lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """LZW encoder matching ``lzw_decode`` (used by the corpus generator
+    and tests; emits Clear at start and before table overflow)."""
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int, bits: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << bits) | code
+        nbits += bits
+        while nbits >= 8:
+            nbits -= 8
+            out.append((bitbuf >> nbits) & 0xFF)
+
+    dic: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    code_bits = 9
+    next_code = 258
+    emit(256, code_bits)
+    w = b""
+    for i in range(len(data)):
+        ch = data[i : i + 1]
+        wc = w + ch
+        if wc in dic:
+            w = wc
+            continue
+        emit(dic[w], code_bits)
+        dic[wc] = next_code
+        next_code += 1
+        # the decoder's table add lags the encoder's by one step, so the
+        # encoder widens one entry later than the decoder's
+        # ``next >= 2^b - early`` rule to keep code widths in lockstep
+        if next_code + early_change - 1 >= (1 << code_bits) and code_bits < 12:
+            code_bits += 1
+        if next_code >= 4093:  # reset before the 12-bit table fills
+            emit(256, code_bits)
+            dic = {bytes([i]): i for i in range(256)}
+            code_bits = 9
+            next_code = 258
+        w = ch
+    if w:
+        emit(dic[w], code_bits)
+    emit(257, code_bits)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
 
 
 def _png_unpredict(data: bytes, colors: int, bpc: int, columns: int) -> bytes:
@@ -149,6 +248,13 @@ def decode_stream(stream_dict: dict, raw: bytes, resolver=None) -> bytes:
             data = ascii_hex_decode(data)
         elif name == "FlateDecode" or name == "Fl":
             data = flate_decode(data)
+            data = _apply_predictor(data, parm)
+        elif name == "LZWDecode" or name == "LZW":
+            ec = 1
+            if isinstance(parm, dict):
+                ec = parm.get("EarlyChange", 1)
+                ec = 1 if ec is None else int(ec)
+            data = lzw_decode(data, ec)
             data = _apply_predictor(data, parm)
         else:
             raise PdfError(UNSUPPORTED_FILTER, str(name))

@@ -89,6 +89,10 @@ class PdfBuilder:
                 enc = zlib.compress(enc)
             elif name == "ASCIIHexDecode":
                 enc = enc.hex().encode("ascii") + b">"
+            elif name == "LZWDecode":
+                from pdf_spark.core.filters import lzw_encode
+
+                enc = lzw_encode(enc)
             else:
                 raise ValueError(name)
         if not names:
@@ -521,12 +525,15 @@ _GOOD_VARIANTS = [
     ("multistream", lambda L: _multistream_doc(L)),
     ("form_xobject", lambda L: _form_xobject_doc(L)),
     ("incremental_update", lambda L: _incremental_doc(L)),
+    ("td_tj_lzw", lambda L: _simple_doc(L, _content_td_tj, filters="LZWDecode")),
 ]
 
 # corrupt variants: (name, payload builder, expected error_code)
-def _lzw_doc(lines: list[str]) -> bytes:
-    """Well-formed doc whose content stream declares /LZWDecode — decode must
-    fail with UNSUPPORTED_FILTER (reference panics at filters.c:54)."""
+def _dct_doc(lines: list[str]) -> bytes:
+    """Well-formed doc whose content stream declares /DCTDecode — decode must
+    fail with UNSUPPORTED_FILTER (the reference panics on any filter beyond
+    ASCIIHex/Flate, filters.c:54; we additionally implement LZW, so the
+    unsupported representative is DCT)."""
     b = PdfBuilder()
     cat = b.reserve()
     pages = b.reserve()
@@ -535,7 +542,7 @@ def _lzw_doc(lines: list[str]) -> bytes:
     content = _content_td_tj(lines)
     cont = b.add(
         b"<</Length " + str(len(content)).encode()
-        + b"/Filter/LZWDecode>>\nstream\n" + content + b"\nendstream"
+        + b"/Filter/DCTDecode>>\nstream\n" + content + b"\nendstream"
     )
     b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
     b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
@@ -553,7 +560,7 @@ _BAD_VARIANTS = [
     ("bad_header", lambda L: b"%QQF-9.9 this is not a pdf at all" + b"x" * 64, "INVALID_VERSION"),
     ("truncated_tail", lambda L: _simple_doc(L, _content_td_tj)[:-24], "INVALID_STARTXREF"),
     ("corrupt_xref", lambda L: _corrupt_xref(_simple_doc(L, _content_td_tj)), "INVALID_XREF"),
-    ("lzw_filter", _lzw_doc, "UNSUPPORTED_FILTER"),
+    ("dct_filter", _dct_doc, "UNSUPPORTED_FILTER"),
     ("unbalanced_string", lambda L: _unbalanced(_simple_doc(L, _content_td_tj)), "UNBALANCED_STR"),
 ]
 

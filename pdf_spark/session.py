@@ -43,6 +43,14 @@ def spark_session(
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
         )
+        # parse costs ~1 s/MB/core (CPU-heavy per byte), so the default
+        # 128 MB splits would be ~2-minute tasks — far too coarse for wave
+        # balancing; 8 MB splits give ~6-8 s tasks and many waves per core,
+        # which is what absorbs stragglers at any cluster size
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -112,8 +112,10 @@ class TestFilters:
         assert decode_stream(d, zlib.compress(b"x")) == b"x"
 
     def test_unsupported_filter(self):
+        # LZW graduated to supported (see TestLZW); DCT stays the
+        # reference's panic class
         with pytest.raises(PdfError) as e:
-            decode_stream({"Filter": "LZWDecode"}, b"")
+            decode_stream({"Filter": "DCTDecode"}, b"")
         assert e.value.code == "UNSUPPORTED_FILTER"
 
 
@@ -137,3 +139,68 @@ class TestResolverOnFixture:
         a = r.resolve(Ref(3, 0))
         b = r.resolve(Ref(3, 0))
         assert a is b  # memo (divergence vs pdf.c:224-226, see docstring)
+
+
+class TestLZW:
+    """LZWDecode (PDF 32000-1 §7.4.4) — EXTENSION named in scope by the
+    north star; the reference panics on it (filters.c:54)."""
+
+    def test_spec_example_vector(self):
+        # spec §7.4.4.2: input (45 45 45 65 65 65 66 66 66 6B decimal)
+        # -> code sequence 256 45 258 65 260 66 262 107 257 at 9 bits
+        from pdf_spark.core.filters import lzw_decode
+
+        bits = "".join(
+            format(c, "09b") for c in (256, 45, 258, 65, 260, 66, 262, 107, 257)
+        )
+        bits += "0" * ((8 - len(bits) % 8) % 8)
+        enc = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+        assert list(lzw_decode(enc)) == [45, 45, 45, 65, 65, 65, 66, 66, 66, 107]
+
+    def test_roundtrip_width_transitions_and_reset(self):
+        import random
+
+        from pdf_spark.core.filters import lzw_decode, lzw_encode
+
+        rng = random.Random(7)
+        cases = [
+            b"",
+            b"A",
+            b"AAAAAA",
+            b"Hello World! " * 50,
+            bytes(rng.randrange(256) for _ in range(5000)),   # 9->10 bit
+            bytes(rng.choice(b"abcd") for _ in range(20000)),  # 10->11->12
+            bytes(rng.randrange(256) for _ in range(40000)),   # table reset
+        ]
+        for c in cases:
+            assert lzw_decode(lzw_encode(c)) == c
+
+    def test_decode_stream_lzw_chain(self):
+        from pdf_spark.core.filters import decode_stream, lzw_encode
+
+        body = b"BT /F1 12 Tf (lzw) Tj ET" * 20
+        enc = lzw_encode(body).hex().encode() + b">"
+        out = decode_stream(
+            {"Filter": ["ASCIIHexDecode", "LZWDecode"]}, enc
+        )
+        assert out == body
+
+    def test_lzw_variant_end_to_end(self):
+        from pdf_spark.core.extract import extract_text
+        from pdf_spark.gen.pdfgen import generate_doc
+
+        pdf, expected, name, _ = generate_doc("repeat repeat repeat lzw", 16)
+        assert name == "td_tj_lzw"
+        text, status, _, _, _ = extract_text(pdf)
+        assert status == "ok" and text == expected
+
+    def test_garbage_lzw_is_error_row(self):
+        from pdf_spark.core.errors import FILTER_ERROR
+        from pdf_spark.core.filters import lzw_decode
+        import pytest
+        from pdf_spark.core.errors import PdfError
+
+        with pytest.raises(PdfError) as ei:
+            # first 9 bits decode to a code >= 258 with an empty table
+            lzw_decode(b"\xff\xff\xff\xff")
+        assert ei.value.code == FILTER_ERROR
