@@ -7,6 +7,17 @@ into a canonical op (operation.c:515-806). ``BX``/``EX`` compatibility
 sections swallow unknown operators (stream.c:79-97). ``Tj`` is canonicalized
 into a one-element ``TJ`` (operation.c:706-715).
 
+Two implementations with identical results (cross-checked in tests):
+
+- ``parse_content_stream`` — a single-pass regex scanner: one compiled
+  alternation recognizes whitespace/comments, numbers, names, simple
+  strings, hex strings, array brackets and operator runs at C speed, with
+  array nesting handled by a list stack. Anything the fast alternation
+  cannot express (strings with escapes or nested parens, ``<<`` dicts)
+  falls back to the recursive-descent ``ObjectParser`` at that position.
+- ``parse_content_stream_slow`` — the original per-token loop over
+  ``ObjectParser``; kept as the behavioral oracle.
+
 Operator support classes (SURVEY.md §2.2):
 
 - parsed + executed by our interpreter: the text set ``BT ET Tc Tw Tz TL Tf
@@ -18,14 +29,25 @@ Operator support classes (SURVEY.md §2.2):
 - warn-skip class (matching the reference): ``d BDC EMC``.
 - error class: ``BI ID EI`` inline images (reference panics; we raise
   UNSUPPORTED_OPERATOR -> error row), unknown tokens outside BX/EX.
+
+Malformed streams raise ``PdfError`` (always an error ROW, never a task
+failure); the two implementations may differ in which specific code a
+given corruption maps to (e.g. a bare ``+`` is INVALID_OBJECT in the slow
+path, UNSUPPORTED_OPERATOR in the scanner) — the status class is what the
+pipeline contract guarantees.
 """
 
 from __future__ import annotations
 
+import re
 from typing import Any, List, Tuple
 
-from pdf_spark.core.errors import UNSUPPORTED_OPERATOR, PdfError
-from pdf_spark.core.objects import ObjectParser
+from pdf_spark.core.errors import (
+    INVALID_OBJECT,
+    UNSUPPORTED_OPERATOR,
+    PdfError,
+)
+from pdf_spark.core.objects import PDF_NULL, Name, ObjectParser, decode_name_bytes
 
 # full 73-operator token set (operator.h:3-306)
 OPERATORS = frozenset(
@@ -45,9 +67,147 @@ ERROR_OPS = frozenset(("BI", "ID", "EI"))
 
 Op = Tuple[str, List[Any]]
 
+# one alternation, ordered: ws/comments, number, name, simple string
+# (no escapes/nesting), hex string, array brackets, quote singletons,
+# operator run. Quote chars lead only as singletons (matching the slow
+# path, which checks them before the regular-char run); mid-run quotes
+# stay part of the run.
+_TOK_RE = re.compile(
+    rb"""(?:
+      (?P<ws>(?:[\x00\t\n\x0c\r\x20]+|%[^\r\n]*)+)
+    | (?P<num>[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+))
+    | (?P<name>/[^\x00\t\n\x0c\r\x20()<>\[\]{}/%]*)
+    | \((?P<sstr>[^()\\]*)\)
+    | <(?P<hstr>[0-9a-fA-F\x00\t\n\x0c\r\x20]*)>
+    | (?P<arr>[\[\]])
+    | (?P<q>['"])
+    | (?P<op>[^\x00\t\n\x0c\r\x20()<>\[\]{}/%]+)
+    )""",
+    re.X,
+)
+
+_WS_ONLY = frozenset(b"\x00\t\n\x0c\r ")
+
+
+def _hex_to_bytes(body: bytes) -> bytes:
+    compact = bytes(b for b in body if b not in _WS_ONLY)
+    if len(compact) % 2:
+        compact += b"0"  # odd trailing digit = high nibble (object.c:536)
+    return bytes.fromhex(compact.decode("ascii"))
+
 
 def parse_content_stream(data: bytes) -> List[Op]:
     """Tokenize one decoded content stream into ``[(operator, operands)]``."""
+    ops: List[Op] = []
+    operands: List[Any] = []
+    cur: List[Any] = operands
+    arr_stack: List[List[Any]] = []
+    in_compat = 0  # BX/EX nesting
+    fallback: ObjectParser | None = None
+    pos = 0
+    n = len(data)
+    match = _TOK_RE.match
+    while pos < n:
+        m = match(data, pos)
+        if m is None:
+            c = data[pos]
+            if c in b"(<":
+                # escaped/nested string or << dict: recursive-descent parse
+                if fallback is None:
+                    fallback = ObjectParser(data, content=True)
+                fallback.pos = pos
+                cur.append(fallback.parse_object())
+                pos = fallback.pos
+                continue
+            raise PdfError(
+                UNSUPPORTED_OPERATOR, f"stray byte {c:#x} in content stream"
+            )
+        pos = m.end()
+        g = m.lastgroup
+        if g == "ws":
+            continue
+        if g == "num":
+            tok = m.group("num")
+            if b"." in tok:
+                cur.append(float(tok))
+            else:
+                v = int(tok)
+                # i32 clamp with overflow error (object.c:288-294)
+                if not (-2147483648 <= v <= 2147483647):
+                    raise PdfError(
+                        INVALID_OBJECT, f"integer out of i32 range: {v}"
+                    )
+                cur.append(v)
+            continue
+        if g == "sstr":
+            cur.append(m.group("sstr"))
+            continue
+        if g == "name":
+            cur.append(decode_name_bytes(m.group("name")[1:]))
+            continue
+        if g == "hstr":
+            try:
+                cur.append(_hex_to_bytes(m.group("hstr")))
+            except (ValueError, UnicodeDecodeError) as exc:  # pragma: no cover
+                raise PdfError(INVALID_OBJECT, f"bad hex string: {exc}") from None
+            continue
+        if g == "arr":
+            if m.group("arr") == b"[":
+                new: List[Any] = []
+                cur.append(new)
+                arr_stack.append(cur)
+                cur = new
+            else:
+                if not arr_stack:
+                    raise PdfError(
+                        UNSUPPORTED_OPERATOR, "stray byte 0x5d in content stream"
+                    )
+                cur = arr_stack.pop()
+            continue
+        # operator token (or keyword operand)
+        tok_b = m.group("q") if g == "q" else m.group("op")
+        if g == "op":
+            if tok_b == b"true":
+                cur.append(True)
+                continue
+            if tok_b == b"false":
+                cur.append(False)
+                continue
+            if tok_b == b"null":
+                cur.append(PDF_NULL)
+                continue
+        if arr_stack:
+            raise PdfError(INVALID_OBJECT, f"operator {tok_b!r} inside array")
+        tok = tok_b.decode("latin-1")
+        if tok == "BX":
+            in_compat += 1
+            operands = cur = []
+            continue
+        if tok == "EX":
+            in_compat = max(0, in_compat - 1)
+            operands = cur = []
+            continue
+        if tok not in OPERATORS:
+            if in_compat:
+                operands = cur = []  # swallowed inside BX/EX (stream.c:79-97)
+                continue
+            raise PdfError(UNSUPPORTED_OPERATOR, f"unknown operator {tok!r}")
+        if tok in ERROR_OPS:
+            raise PdfError(UNSUPPORTED_OPERATOR, f"inline image op {tok!r}")
+        if tok in IGNORED:
+            operands = cur = []
+            continue
+        # canonicalize Tj -> one-element TJ (operation.c:706-715)
+        if tok == "Tj":
+            ops.append(("TJ", [[operands[-1] if operands else b""]]))
+        else:
+            ops.append((tok, operands))
+        operands = cur = []
+    return ops
+
+
+def parse_content_stream_slow(data: bytes) -> List[Op]:
+    """Original per-token loop (behavioral oracle for the scanner)."""
     p = ObjectParser(data, content=True)
     ops: List[Op] = []
     operands: List[Any] = []

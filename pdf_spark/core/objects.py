@@ -148,6 +148,35 @@ PDF_NULL = None
 # -- parser -------------------------------------------------------------------
 
 
+def decode_name_bytes(raw: bytes) -> Name:
+    """Decode a name token body (after ``/``) with ``#xx`` escapes
+    (object.c:554-651); shared by the recursive parser and the
+    content-stream scanner."""
+    if b"#" not in raw:
+        try:
+            return Name(raw.decode("ascii"))
+        except UnicodeDecodeError:
+            raise PdfError(NAME_BAD_CHAR_CODE, "non-ascii in name") from None
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        if raw[i] == 0x23:  # '#'
+            pair = raw[i + 1 : i + 3]
+            if len(pair) != 2 or not (
+                _HEX_RE.match(pair[0:1]) and _HEX_RE.match(pair[1:2])
+            ):
+                raise PdfError(NAME_BAD_CHAR_CODE, f"bad #xx escape {pair!r}")
+            out.append(int(pair, 16))
+            i += 3
+        else:
+            out.append(raw[i])
+            i += 1
+    try:
+        return Name(out.decode("latin-1"))
+    except UnicodeDecodeError:  # pragma: no cover — latin-1 total
+        raise PdfError(NAME_BAD_CHAR_CODE, "undecodable name") from None
+
+
 class ObjectParser:
     """Cursor + recursive-descent COS parser over one in-memory document.
 
@@ -384,31 +413,7 @@ class ObjectParser:
         m = _REG_RE.match(self.buf, self.pos)
         raw = m.group() if m else b""
         self.pos = m.end() if m else self.pos
-        if b"#" not in raw:
-            try:
-                return Name(raw.decode("ascii"))
-            except UnicodeDecodeError:
-                raise PdfError(NAME_BAD_CHAR_CODE, "non-ascii in name") from None
-        out = bytearray()
-        i = 0
-        while i < len(raw):
-            if raw[i] == 0x23:  # '#'
-                if i + 2 >= len(raw) + 1:
-                    raise PdfError(NAME_BAD_CHAR_CODE, "truncated #xx escape")
-                pair = raw[i + 1 : i + 3]
-                if len(pair) != 2 or not (
-                    _HEX_RE.match(pair[0:1]) and _HEX_RE.match(pair[1:2])
-                ):
-                    raise PdfError(NAME_BAD_CHAR_CODE, f"bad #xx escape {pair!r}")
-                out.append(int(pair, 16))
-                i += 3
-            else:
-                out.append(raw[i])
-                i += 1
-        try:
-            return Name(out.decode("latin-1"))
-        except UnicodeDecodeError:  # pragma: no cover — latin-1 total
-            raise PdfError(NAME_BAD_CHAR_CODE, "undecodable name") from None
+        return decode_name_bytes(raw)
 
     # -- array/dict (object.c:653-773) --
 

@@ -113,3 +113,57 @@ class TestAssembly:
         ]
         # y desc within page; same y joined; pages separated by newline
         assert assemble_text(spans) == "hello\nworld!\npage2"
+
+
+def test_scanner_matches_slow_tokenizer_on_all_variants():
+    """The fast single-pass scanner and the recursive-descent loop must
+    produce identical op lists (the scanner is the hot path; the loop is
+    the behavioral oracle)."""
+    from pdf_spark.core.content import (
+        parse_content_stream,
+        parse_content_stream_slow,
+    )
+    from pdf_spark.core.document import Resolver
+    from pdf_spark.gen.pdfgen import N_VARIANTS, generate_doc
+
+    text = "Parity text (with parens), 0.5 -1.25 kerns and \\ backslash!"
+    for v in range(N_VARIANTS):
+        pdf, _, name, _ = generate_doc(text, v)
+        r = Resolver(pdf)
+        for page in r.iter_pages():
+            for s in r.content_streams(page):
+                assert parse_content_stream(s) == parse_content_stream_slow(
+                    s
+                ), name
+    for f in ("test", "compressed", "embedded"):
+        data = open(f"/root/reference/test-files/{f}.pdf", "rb").read()
+        r = Resolver(data)
+        for page in r.iter_pages():
+            for s in r.content_streams(page):
+                assert parse_content_stream(s) == parse_content_stream_slow(s), f
+
+
+def test_scanner_edge_tokens():
+    from pdf_spark.core.content import (
+        parse_content_stream,
+        parse_content_stream_slow,
+    )
+
+    cases = [
+        b"BT /F1 12 Tf [(a) -120 (b)] TJ ET",          # TJ array w/ kerns
+        b"BT (x) Tj ET",                                # Tj canonicalization
+        b"BT <48656c6c6f> Tj ET",                       # hex string
+        b"BT <48 65 6C> Tj ET",                         # hex w/ ws + odd digit
+        b"BT (nested (parens) ok) Tj ET",               # fallback: nested
+        b"BT (esc \\(paren\\)) Tj ET",                  # fallback: escapes
+        b"q 1 0 0 1 10 20 cm Q",                        # state ops
+        b"BX zzz 1 2 (x) EX BT (k) Tj ET",              # compat swallow
+        b"% comment line\nBT (c) Tj ET",                # comment as ws
+        b"BT /Na#6de 9 Tf (n) Tj ET",                   # name #xx escape
+        b"BT 0 TL (a) ' ET",                            # quote op
+        b'BT 1 2 (w) " ET',                             # double-quote op
+        b"",                                            # empty stream
+        b"true false null n",                           # keyword operands
+    ]
+    for c in cases:
+        assert parse_content_stream(c) == parse_content_stream_slow(c), c
