@@ -1,0 +1,53 @@
+"""Crash-safety fuzz: extract_document must ALWAYS return a result row —
+for arbitrary junk bytes or bit-flipped valid documents (north rule: parse
+errors become error-code rows, never task failures). Seeded, deterministic."""
+
+import random
+
+from pdf_spark.core.extract import extract_document, extract_text
+from pdf_spark.gen.pdfgen import N_VARIANTS, generate_doc
+
+
+def test_random_junk_never_raises():
+    rng = random.Random(1234)
+    for i in range(400):
+        n = rng.randrange(0, 4096)
+        data = bytes(rng.randrange(256) for _ in range(n))
+        r = extract_document(data)
+        assert r.status in ("ok", "error")
+        assert isinstance(r.error_code, str)
+
+
+def test_junk_with_pdf_header_never_raises():
+    rng = random.Random(99)
+    for i in range(400):
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 2048)))
+        r = extract_document(b"%PDF-1.4\n" + body)
+        assert r.status in ("ok", "error")
+
+
+def test_bitflipped_valid_docs_never_raise():
+    """Every good variant, 40 random single-byte corruptions each."""
+    rng = random.Random(31337)
+    text = "Fuzz corpus text with enough length to be interesting " * 3
+    for v in range(N_VARIANTS):
+        pdf, _, name, _ = generate_doc(text, v)
+        for _ in range(40):
+            mutated = bytearray(pdf)
+            pos = rng.randrange(len(mutated))
+            mutated[pos] = rng.randrange(256)
+            t, status, code, n_pages, n_spans = extract_text(bytes(mutated))
+            assert status in ("ok", "error"), (name, pos)
+            if status == "ok":
+                assert isinstance(t, str)
+
+
+def test_truncations_never_raise():
+    rng = random.Random(7)
+    text = "Truncation fuzz text " * 5
+    for v in range(0, N_VARIANTS, 3):
+        pdf, _, name, _ = generate_doc(text, v)
+        for _ in range(25):
+            cut = rng.randrange(len(pdf))
+            r = extract_document(pdf[:cut])
+            assert r.status in ("ok", "error"), (name, cut)
