@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -134,4 +135,81 @@ SELECT doc_id, width, height, 3 AS n_channels,
               i -> ord(substr(payload, i, 1))), 'sum')
             / length(payload)) AS INT) AS mean_luma
 FROM blobs
+"""
+
+# -- qm03: fake video frame-sampling ------------------------------------------
+
+_FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def _fake_frames(blob: bytes):
+    """DETERMINISTIC FAKE frame decoder (ffmpeg absent in this container).
+
+    Blob layout: ``b"VID!" + 4-digit frame count + 8 bytes per frame``.
+    Samples every 3rd frame (the frame-sample stride a real pipeline would
+    hand to a decoder); a real deployment swaps the body for an ffmpeg
+    call in the same mapInPandas batch loop.
+    """
+    import hashlib
+
+    if len(blob) < 8 or blob[:4] != b"VID!":
+        raise NotImplementedError("real video decoding is stubbed")
+    n_frames = int(blob[4:8])
+    payload = blob[8:]
+    for i in range(0, n_frames, 3):
+        frame = payload[8 * i : 8 * i + 8]
+        yield i, hashlib.md5(frame).hexdigest()
+
+
+def _qm03(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    # ASCII-safe 64-char payload (md5 hex x2) so SQL substr == byte slicing
+    blobs = docs.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("VID!"),
+                F.lpad((F.col("doc_id") % 7 + 2).cast("string"), 4, "0"),
+                F.md5(F.encode(F.col("text"), "UTF-8")),
+                F.md5(F.encode(F.col("lang"), "UTF-8")),
+            ),
+            "UTF-8",
+        ).alias("blob"),
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_md5": []}
+            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+                for idx, h in _fake_frames(bytes(blob)):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(idx)
+                    out["frame_md5"].append(h)
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(sample, _FRAMES_SCHEMA)
+
+
+QUERIES["qm03_fake_frame_sample"] = _qm03
+ORACLE["qm03_fake_frame_sample"] = """
+WITH vids AS (
+  SELECT doc_id,
+         CAST(doc_id % 7 + 2 AS INT) AS n_frames,
+         md5(text) || md5(lang) AS payload
+  FROM documents
+),
+idx AS (SELECT CAST(i AS INT) AS frame_idx FROM range(0, 8) t(i)),
+frames AS (
+  SELECT v.doc_id, i.frame_idx,
+         md5(substr(v.payload, 1 + 8 * i.frame_idx, 8)) AS frame_md5
+  FROM vids v JOIN idx i ON i.frame_idx < v.n_frames
+  WHERE i.frame_idx % 3 = 0
+)
+SELECT doc_id, frame_idx, frame_md5 FROM frames
 """

@@ -162,3 +162,69 @@ _pair(
                  AS n_pairs
         FROM b GROUP BY bucket""",
 )
+
+# -- IVF-style ANN (coarse quantize -> search only the query's cell) ----------
+#
+# The scale path the brute-force scan graduates to: per-label centroids act
+# as the coarse quantizer (K = #labels), every vector is assigned to its
+# nearest centroid (argmax cosine), and the query searches ONLY its own
+# cell — at 10^9 vectors this turns a full scan into (K dots) + (scan of
+# ~N/K). Fully SQL-expressible, so DuckDB-oracled on both engines.
+
+_IVF_BODY = """
+WITH cents AS (
+  SELECT label AS clabel, pos, AVG(CAST(v AS DOUBLE)) AS c
+  FROM ({EXPLODE})
+  GROUP BY label, pos
+),
+vecpos AS (
+  SELECT vec_id, pos, CAST(v AS DOUBLE) AS x FROM ({EXPLODE})
+),
+dots AS (
+  SELECT v.vec_id, c.clabel,
+         SUM(v.x * c.c)
+           / (SQRT(SUM(v.x * v.x)) * SQRT(SUM(c.c * c.c))) AS cos
+  FROM vecpos v JOIN cents c ON v.pos = c.pos
+  GROUP BY v.vec_id, c.clabel
+),
+cells AS (
+  SELECT vec_id, clabel AS cell FROM (
+    SELECT vec_id, clabel,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+    FROM dots
+  ) WHERE rn = 1
+),
+qcell AS (SELECT cell FROM cells WHERE vec_id = 0),
+incell AS (
+  SELECT s.vec_id FROM cells s JOIN qcell q ON s.cell = q.cell
+  WHERE s.vec_id <> 0
+),
+q AS (SELECT pos, x AS qx FROM vecpos WHERE vec_id = 0),
+scored AS (
+  SELECT v.vec_id,
+         SUM(v.x * q.qx)
+           / (SQRT(SUM(v.x * v.x)) * SQRT(SUM(q.qx * q.qx))) AS cos_sim
+  FROM vecpos v
+  JOIN incell i ON v.vec_id = i.vec_id
+  JOIN q ON v.pos = q.pos
+  GROUP BY v.vec_id
+)
+SELECT vec_id, ROUND(cos_sim, 4) AS sim
+FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 5
+"""
+
+_EXPLODE_SPARK = (
+    "SELECT vec_id, label, pos, v FROM embeddings "
+    "LATERAL VIEW posexplode(embedding) t AS pos, v"
+)
+_EXPLODE_DUCK = (  # fixed 64-dim embeddings (range() can't be lateral)
+    "SELECT vec_id, label, i - 1 AS pos, embedding[CAST(i AS INT)] AS v "
+    "FROM embeddings, range(1, 65) t(i)"
+)
+
+_pair(
+    "qs07_ivf_topk",
+    _IVF_BODY.replace("{EXPLODE}", _EXPLODE_SPARK),
+    _IVF_BODY.replace("{EXPLODE}", _EXPLODE_DUCK),
+)
