@@ -82,3 +82,43 @@ def stream_event_counts(
         .agg(F.count("*").alias("n_docs"))
         .select("win.start", "win.end", "lang", "n_docs")
     )
+
+
+def stream_lang_running_stats(spark: SparkSession, pages_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
+    running per-``lang`` document count + byte total, carried across
+    micro-batches in explicit group state (the shape any bespoke stateful
+    extraction-side aggregator — e.g. per-domain crawl budgets or
+    dedup-bloom counters — takes at 100 TB).
+
+    Returns the unstarted stateful DataFrame; start with
+    ``.writeStream.outputMode("update")``.
+    """
+    from typing import Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = read_pages_stream(spark, pages_dir).select(
+        "lang", F.length("html").alias("nbytes")
+    )
+
+    def update(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n_docs, total_bytes = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n_docs += len(pdf)
+            total_bytes += int(pdf["nbytes"].fillna(0).sum())
+        state.update((n_docs, total_bytes))
+        yield pd.DataFrame(
+            {"lang": [key[0]], "n_docs": [n_docs], "total_bytes": [total_bytes]}
+        )
+
+    return stream.groupBy("lang").applyInPandasWithState(
+        update,
+        outputStructType="lang string, n_docs long, total_bytes long",
+        stateStructType="n_docs long, total_bytes long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -57,3 +57,43 @@ def test_watermarked_window_plan(spark, tmp_out):
     q.awaitTermination(120)
     # watermark append-mode emits only closed windows; plan ran without error
     assert spark.table("win_counts").columns == ["start", "end", "lang", "n_docs"]
+
+
+def test_stateful_running_lang_stats_matches_batch(spark, tmp_path):
+    """applyInPandasWithState running totals must equal the batch groupBy
+    after the stream drains (availableNow)."""
+    from pyspark.sql import functions as F
+
+    from pdf_spark.gen.corpus import pages_from_documents
+    from pdf_spark.streaming.extract_stream import stream_lang_running_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = pages_from_documents(docs)
+    pages_dir = str(tmp_path / "pages")
+    pages.repartition(6).write.mode("overwrite").parquet(pages_dir)
+
+    q = (
+        stream_lang_running_stats(spark, pages_dir)
+        .writeStream.format("memory")
+        .queryName("langstats_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["lang"]: (r["n_docs"], r["total_bytes"])
+        for r in spark.sql(
+            "select lang, max(n_docs) n_docs, max(total_bytes) total_bytes "
+            "from langstats_test group by lang"
+        ).collect()
+    }
+    exp = {
+        r["lang"]: (r["n"], r["b"])
+        for r in pages.groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum(F.length("html")).alias("b"))
+        .collect()
+    }
+    assert got == exp
