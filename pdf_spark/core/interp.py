@@ -63,6 +63,14 @@ def translate(tx: float, ty: float) -> Mat:
     return (1.0, 0.0, 0.0, 1.0, tx, ty)
 
 
+def _x_shift(tx: float, n: Mat) -> Mat:
+    """``translate(tx,0)·n`` specialized (the TJ kern/advance hot path).
+    Numerically identical to mat_mul up to ±0.0 signs, which compare equal
+    everywhere downstream (sort keys, line grouping)."""
+    a2, b2, c2, d2, e2, f2 = n
+    return (a2, b2, c2, d2, tx * a2 + e2, tx * b2 + f2)
+
+
 class Span:
     """One text-show string element (SURVEY.md §2.4 span emitter)."""
 
@@ -241,7 +249,7 @@ class Interpreter:
             el = self.resolver.resolve(el)
             if isinstance(el, (int, float)):
                 # kern: Tm = translate(-n/1000·Tfs·Th, 0)·Tm
-                tm = mat_mul(translate(-float(el) / 1000.0 * fs * th, 0.0), tm)
+                tm = _x_shift(-float(el) / 1000.0 * fs * th, tm)
                 continue
             if not isinstance(el, bytes):
                 raise PdfError(INCORRECT_TYPE, f"TJ element {type(el).__name__}")
@@ -280,7 +288,7 @@ class Interpreter:
                     )
                 )
                 self.glyph_order += len(text)
-            tm = mat_mul(translate(adv, 0.0), tm)
+            tm = _x_shift(adv, tm)
         return tm
 
     # -- form XObjects (render.c:979-1066) --
