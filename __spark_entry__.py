@@ -26,22 +26,31 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from pyspark.sql import functions as F
 
-    from pdf_spark.gen.corpus import pages_from_documents
+    from pdf_spark.gen.corpus import expected_error_col, pages_from_documents
     from pdf_spark.operators.extract import extract_docs_text
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     pages = pages_from_documents(docs)
     extracted = extract_docs_text(pages)
-    expected = pages.select("url", F.col("text").alias("expected_text"), "lang")
+    expected = pages.select(
+        "url",
+        F.col("text").alias("expected_text"),
+        "lang",
+        expected_error_col(F.col("url")).alias("expected_error"),
+    )
     return (
         extracted.join(expected, "url")
         .withColumn(
             "match",
             # Corrupt payloads (generator emits text=NULL) must surface as
-            # error-code rows, never task failures; everything else must
+            # error rows with the exact error code the corruption implies
+            # (re-derived from the deterministic generator mapping, since the
+            # 5-column pages shape can't carry it); everything else must
             # byte-match its expected text.
             F.when(
-                F.col("expected_text").isNull(), F.col("status") == "error"
+                F.col("expected_text").isNull(),
+                (F.col("status") == "error")
+                & (F.col("error_code") == F.col("expected_error")),
             ).otherwise(
                 (F.col("status") == "ok")
                 & (F.col("text") == F.col("expected_text"))

@@ -203,6 +203,11 @@ def parse_content_stream(data: bytes) -> List[Op]:
         else:
             ops.append((tok, operands))
         operands = cur = []
+    if arr_stack:
+        # EOF with an open [ — the slow path (ObjectParser.parse_array hits
+        # end-of-buffer) and the reference raise; the scanner must too, or a
+        # stream truncated mid-array extracts as ok with partial text.
+        raise PdfError(INVALID_OBJECT, "unterminated array in content stream")
     return ops
 
 

@@ -95,11 +95,13 @@ def lzw_decode(data: bytes, early_change: int = 1) -> bytes:
                     raise PdfError(FILTER_ERROR, f"LZWDecode: bad first code {code}")
             elif code in dic:
                 entry = dic[code]
-                dic[next_code] = prev + entry[:1]
+                if next_code < 4096:  # entries past 12-bit max are unreferencable
+                    dic[next_code] = prev + entry[:1]
                 next_code += 1
             elif code == next_code:  # KwKwK case
                 entry = prev + prev[:1]
-                dic[next_code] = entry
+                if next_code < 4096:
+                    dic[next_code] = entry
                 next_code += 1
             else:
                 raise PdfError(FILTER_ERROR, f"LZWDecode: bad code {code}")

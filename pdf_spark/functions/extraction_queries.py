@@ -11,7 +11,8 @@ knows what must come out without parsing anything.
   and fails the driver's value-hash compare.
 - qx02_error_code_histogram: corrupt variants produce a deterministic
   error-code histogram the oracle computes arithmetically.
-- qx03_span_stats: span-level geometry stats (no SQL oracle — rows-only).
+- qx03_span_geometry: every span of a known-layout variant must land at the
+  generator-predicted (page, x, y, size) -> constant-true oracle.
 """
 
 from __future__ import annotations
@@ -22,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     BooleanType,
     LongType,
     StringType,
@@ -31,7 +33,7 @@ from pyspark.sql.types import (
 
 from pdf_spark.core.extract import extract_document, assemble_text
 from pdf_spark.functions.tables import load
-from pdf_spark.gen.pdfgen import N_VARIANTS, generate_doc
+from pdf_spark.gen.pdfgen import N_VARIANTS, _GOOD_VARIANTS, generate_doc
 from pdf_spark.operators.extract import extract_spans
 
 QUERIES = {}
@@ -111,23 +113,81 @@ FROM documents GROUP BY 1
 """
 
 
-def _qx03(spark: SparkSession, sf: str) -> DataFrame:
-    """Span-level stats over the generated corpus (rows-only check)."""
-    from pdf_spark.gen.corpus import pages_from_documents
+_GEOM_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("html", BinaryType()),
+        StructField("n_lines", LongType()),
+    ]
+)
 
-    docs = load(spark, sf, "documents")
-    pages = pages_from_documents(docs)
+
+def _qx03(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-geometry self-check (value-hashed, constant-true oracle).
+
+    Builds the td_tj_flate variant for every document, extracts spans
+    through the distributed pipeline, and verifies each span's geometry
+    *declaratively* against the generator's layout constants
+    (gen/pdfgen.py: LEFT_X, TOP_Y, LINE_HEIGHT, FONT_SIZE): span i of a doc
+    must sit at (page 0, x=LEFT_X, y=TOP_Y - i*LINE_HEIGHT, size=FONT_SIZE),
+    and the span count must equal the wrapped line count the generator
+    predicted without parsing anything. Any interpreter positioning
+    regression (Td accumulation, Tf size, page indexing, span ordering)
+    flips ok to false and fails the driver's value-hash compare.
+    """
+    from pyspark.sql import Window
+
+    from pdf_spark.gen.pdfgen import (
+        FONT_SIZE,
+        LEFT_X,
+        LINE_HEIGHT,
+        TOP_Y,
+        wrap_lines,
+    )
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    td_tj_flate = next(
+        i for i, (name, _) in enumerate(_GOOD_VARIANTS) if name == "td_tj_flate"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"url": [], "html": [], "n_lines": []}
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                t = text if isinstance(text, str) else ""
+                pdf, _, _, _ = generate_doc(t, td_tj_flate)
+                out["url"].append(str(int(doc_id)))
+                out["html"].append(pdf)
+                out["n_lines"].append(len(wrap_lines(t)))
+            yield pd.DataFrame(out)
+
+    pages = docs.mapInPandas(gen, _GEOM_SCHEMA)
+    predicted = pages.select("url", "n_lines")
     spans = extract_spans(pages)
+    w = Window.partitionBy("url").orderBy("glyph_order")
+    i = F.row_number().over(w) - 1
+    geom_ok = (
+        (F.col("status") == "ok")
+        & (F.col("page") == 0)
+        & (F.col("x") == F.lit(LEFT_X))
+        & (F.col("y") == F.lit(TOP_Y) - i * F.lit(LINE_HEIGHT))
+        & (F.col("size") == F.lit(FONT_SIZE))
+    )
+    per_doc = (
+        spans.withColumn("geom_ok", geom_ok)
+        .groupBy("url")
+        .agg(F.min("geom_ok").alias("all_ok"), F.count("*").alias("n_spans"))
+    )
     return (
-        spans.where(F.col("status") == "ok")
-        .groupBy("page")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.round(F.avg("size"), 2).alias("avg_font_size"),
-            F.round(F.min("y"), 2).alias("min_y"),
-            F.round(F.max("y"), 2).alias("max_y"),
+        per_doc.join(predicted, "url")
+        .select(
+            F.col("url").cast("long").alias("doc_id"),
+            (F.col("all_ok") & (F.col("n_spans") == F.col("n_lines"))).alias("ok"),
         )
     )
 
 
-QUERIES["qx03_span_stats"] = _qx03
+QUERIES["qx03_span_geometry"] = _qx03
+ORACLE["qx03_span_geometry"] = (
+    "SELECT doc_id, CAST('t' AS BOOLEAN) AS ok FROM documents"
+)

@@ -24,6 +24,7 @@ from pdf_spark.functions.tables import register_views
 
 QUERIES = {}
 ORACLE = {}
+_STAGED_CACHE: dict[str, DataFrame] = {}
 
 N_MINHASH = 4  # 4 independent min-hashes; band = (h0,h1) for LSH
 
@@ -46,15 +47,24 @@ def _pair_staged(
     references. Without this, a CTE referenced on both sides of a self-join
     is inlined and the expensive aggregation runs per reference (no
     ReusedExchange across broadcast/shuffle boundaries). At 10^12 scale the
-    persist becomes a write to an intermediate table — same dataflow."""
+    persist becomes a write to an intermediate table — same dataflow.
+
+    The previous invocation's staged DataFrame for the same view is
+    unpersisted on re-entry, so repeated runs in one session hold at most
+    one cached copy per query (the current one stays cached because the
+    returned main DataFrame is evaluated lazily by the caller)."""
 
     def fn(
         spark: SparkSession, sf: str, _ss=stage_sql, _ms=main_sql, _v=stage_view
     ) -> DataFrame:
         register_views(spark, sf)
+        prev = _STAGED_CACHE.pop(_v, None)
+        if prev is not None:
+            prev.unpersist()
         staged = spark.sql(_ss)
         staged.persist()
         staged.createOrReplaceTempView(_v)
+        _STAGED_CACHE[_v] = staged
         return spark.sql(_ms)
 
     QUERIES[name] = fn
@@ -109,13 +119,16 @@ _pair(
 # -- language-ID heuristic ----------------------------------------------------
 
 # stopword-hit counting via length deltas (portable, no regex_count needed)
+# outer CAST: DuckDB SUM(BIGINT) yields HUGEINT (int128) while Spark yields
+# BIGINT; the driver's value hash distinguishes result *types*, so both
+# engines cast the sum back down (same trick as qt10's floor()).
 _LANG_SPARK = """
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(CAST((length(text) - length(replace(text, ' the ', ''))) / 5
-           AS BIGINT)) AS en_hits,
-       SUM(CAST((length(text) - length(replace(text, ' der ', ''))) / 5
-           AS BIGINT)) AS de_hits
+       CAST(SUM(CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+           AS BIGINT)) AS BIGINT) AS en_hits,
+       CAST(SUM(CAST((length(text) - length(replace(text, ' der ', ''))) / 5
+           AS BIGINT)) AS BIGINT) AS de_hits
 FROM documents GROUP BY lang
 """
 _pair("qt04_langid_stopwords", _LANG_SPARK, _LANG_SPARK)

@@ -70,6 +70,29 @@ def rows_for_texts(texts: list[str], start_index: int = 0) -> list[dict]:
     return [make_row(start_index + k, t) for k, t in enumerate(texts)]
 
 
+def expected_error_col(url_col):
+    """Spark Column: the exact error_code a corrupt row must produce, NULL
+    for good/fixture rows.
+
+    The pages table keeps the mandated 5-column shape, so ground truth for
+    corrupt rows can't ride in the schema; it is re-derived here from the
+    deterministic generator mapping: doc index i (from the url), corrupt iff
+    i % BAD_CADENCE == 13 (and not a fixture row), bad variant
+    (i // BAD_CADENCE) % N_BAD_VARIANTS -> that variant's error code."""
+    from pyspark.sql import functions as F
+
+    from pdf_spark.gen.pdfgen import _BAD_VARIANTS
+
+    i = F.regexp_extract(url_col, r"/(\d{12})\.pdf$", 1).cast("long")
+    bad_idx = (i / BAD_CADENCE).cast("long") % len(_BAD_VARIANTS)
+    codes = F.array(*[F.lit(err) for _, _, err in _BAD_VARIANTS])
+    is_fixture = i % FIXTURE_CADENCE == 7
+    return F.when(
+        (i % BAD_CADENCE == 13) & ~is_fixture,
+        F.element_at(codes, (bad_idx + 1).cast("int")),
+    )
+
+
 def pages_from_documents(documents_df, id_col: str = "doc_id", text_col: str = "text"):
     """Distributed corpus generation: ``documents(doc_id, text, ...)`` ->
     ``pages`` via mapInPandas (one Arrow batch of texts -> one batch of

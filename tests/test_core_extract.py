@@ -167,3 +167,21 @@ def test_scanner_edge_tokens():
     ]
     for c in cases:
         assert parse_content_stream(c) == parse_content_stream_slow(c), c
+
+
+def test_scanner_rejects_unterminated_array():
+    """A stream truncated mid-array must be an error row in BOTH paths, not
+    a silent ok with partial text (status-class guarantee)."""
+    import pytest
+
+    from pdf_spark.core.content import (
+        parse_content_stream,
+        parse_content_stream_slow,
+    )
+    from pdf_spark.core.errors import PdfError
+
+    for c in (b"BT [ (a)", b"BT [(a) -120 ", b"[ [ (x) ]"):
+        with pytest.raises(PdfError):
+            parse_content_stream(c)
+        with pytest.raises(PdfError):
+            parse_content_stream_slow(c)
