@@ -5,8 +5,9 @@ Composition (SURVEY.md §2.5):
     scan (column-pruned: url, html)
       -> [optional] salted repartition (skew)
       -> mapInPandas extract (fused)        # narrow, no shuffle
-      -> append parquet sink (docs_text)
-      -> lineage aggregation -> parquet append (lineage/run_id=...)
+      -> append parquet sink (docs_text/run_id=...)
+      -> lineage aggregation over this run's partition only
+         -> parquet append (lineage)
 
 Resume: ``run_extraction`` anti-joins the input against already-committed
 urls before extracting, so a rerun after a partial failure only processes
@@ -18,6 +19,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pdf_spark.operators.extract import extract_docs_text
 from pdf_spark.operators.lineage import (
@@ -45,9 +47,20 @@ def run_extraction(
 
     docs = extract_docs_text(todo, passthrough=("input_file", "partition_id"))
     docs_path = os.path.join(out_dir, "docs_text")
-    docs.write.mode("append").parquet(docs_path)
+    # Sink is partitioned by run_id so lineage + summary can be derived from
+    # THIS run's output only (partition-pruned read — O(this run), never a
+    # rescan of the whole committed corpus; on Iceberg this is the snapshot
+    # the append created). A resumed run that extracts 0 new docs therefore
+    # reports 0 docs in its lineage instead of re-claiming the corpus.
+    docs.withColumn("run_id", F.lit(run_id)).write.mode("append").partitionBy(
+        "run_id"
+    ).parquet(docs_path)
 
-    written = spark.read.parquet(docs_path)
+    written = (
+        spark.read.parquet(docs_path)
+        .where(F.col("run_id") == run_id)
+        .drop("run_id")
+    )
     lin = lineage_rows(written, run_id)
     lin_path = os.path.join(out_dir, "lineage")
     lin.write.mode("append").parquet(lin_path)

@@ -90,9 +90,22 @@ def test_pipeline_lineage_and_resume(spark, pages, tmp_out):
 
     # resume: second run must process zero new docs (all committed)
     docs_before = spark.read.parquet(m1["docs_path"]).count()
-    run_extraction(spark, pages, tmp_out)
+    m2 = run_extraction(spark, pages, tmp_out)
     docs_after = spark.read.parquet(m1["docs_path"]).count()
     assert docs_after == docs_before
+    # per-run lineage reconciles with per-run input: the resumed run
+    # extracted nothing, so its summary and its lineage rows claim 0 docs
+    # (not the whole corpus re-tagged under the new run_id)
+    assert m2["n_ok"] + m2["n_err"] == 0
+    lin2 = spark.read.parquet(m2["lineage_path"]).where(
+        F.col("run_id") == m2["run_id"]
+    )
+    assert (lin2.agg(F.sum("n_docs")).collect()[0][0] or 0) == 0
+    # run-1 lineage untouched
+    lin1 = spark.read.parquet(m1["lineage_path"]).where(
+        F.col("run_id") == m1["run_id"]
+    )
+    assert lin1.agg(F.sum("n_docs")).collect()[0][0] == len(TEXTS)
 
 
 def test_fixture_rows_ride_along(pages):
