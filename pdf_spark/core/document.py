@@ -94,19 +94,19 @@ def parse_xref_section(buf: bytes, start: int) -> tuple[dict, dict, Optional[int
     """Parse one classic xref section + its trailer dict.
 
     Returns ``(entries, trailer_dict, prev_offset)`` where ``entries`` maps
-    ``obj_id -> (offset, gen, in_use)``. Entry records are the fixed-width
-    20-byte ``%010d %05d [nf]\\r\\n`` form; entry offset arithmetic is
-    ``subsection_start + 20*i`` (xref.c:102). The reference parses entries
-    lazily per lookup (xref.c:74-130); one doc fits memory inside a UDF, so
-    we parse the (tiny) table eagerly with the same validation.
+    ``obj_id -> ("n", offset, gen) | ("f", 0, gen)``. Entry records are the
+    fixed-width 20-byte ``%010d %05d [nf]\\r\\n`` form; entry offset
+    arithmetic is ``subsection_start + 20*i`` (xref.c:102). The reference
+    parses entries lazily per lookup (xref.c:74-130); one doc fits memory
+    inside a UDF, so we parse the (tiny) table eagerly with the same
+    validation.
     """
     p = ObjectParser(buf, start)
     p.skip_ws()
     if not buf.startswith(b"xref", p.pos):
-        # could be a PDF-1.5 xref *stream* — unsupported by the reference
         raise PdfError(UNSUPPORTED_XREF, "no `xref` keyword at startxref offset")
     p.expect_keyword(b"xref")
-    entries: dict[int, tuple[int, int, bool]] = {}
+    entries: dict[int, tuple[str, int, int]] = {}
     while True:
         p.skip_ws()
         if buf.startswith(b"trailer", p.pos):
@@ -140,7 +140,11 @@ def parse_xref_section(buf: bytes, start: int) -> tuple[dict, dict, Optional[int
                 raise PdfError(INVALID_XREF, f"malformed entry {rec!r}")
             oid = first + i
             if oid not in entries:  # first (newest-parsed) wins
-                entries[oid] = (int(off_b), int(gen_b), ty == b"n")
+                entries[oid] = (
+                    "n" if ty == b"n" else "f",
+                    int(off_b),
+                    int(gen_b),
+                )
         p.pos = base + 20 * count
     trailer = p.parse_object()
     if not isinstance(trailer, dict):
@@ -151,34 +155,136 @@ def parse_xref_section(buf: bytes, start: int) -> tuple[dict, dict, Optional[int
     return entries, trailer, prev
 
 
+def parse_xref_stream(buf: bytes, start: int) -> tuple[dict, dict, Optional[int]]:
+    """Parse a PDF 1.5+ cross-reference *stream* (PDF 32000-1 §7.5.8).
+
+    EXTENSION beyond the reference (classic tables only, xref.c:144-228):
+    most post-2005 PDFs use xref streams, so a Common-Crawl-scale engine
+    needs them. The section is an indirect stream object ``/Type/XRef`` at
+    the startxref offset; the trailer dict IS the stream dict (Size / Root
+    / Prev / W / Index). Decoded rows are ``sum(W)`` bytes of big-endian
+    fields ``(type, a, b)``; type 0 = free, 1 = (offset, gen), 2 = lives in
+    object stream a at index b. A zero-width type field defaults to 1.
+
+    Returns the same ``(entries, trailer, prev)`` shape as
+    :func:`parse_xref_section`, with compressed entries as
+    ``("s", objstm_num, idx)``.
+    """
+    ind = ObjectParser(buf, start).parse_indirect_object()
+    stream = ind.value
+    if not isinstance(stream, Stream):
+        raise PdfError(INVALID_XREF, "startxref object is not a stream")
+    d = stream.dict
+    if d.get("Type") != Name("XRef"):
+        raise PdfError(INVALID_XREF, "xref stream missing /Type/XRef")
+    w = d.get("W")
+    size = d.get("Size")
+    if (
+        not isinstance(w, list)
+        or len(w) != 3
+        or not all(isinstance(x, int) and 0 <= x <= 8 for x in w)
+    ):
+        raise PdfError(INVALID_XREF, "xref stream /W must be 3 small ints")
+    if not isinstance(size, int) or size < 0:
+        raise PdfError(INVALID_XREF, "xref stream /Size must be an integer")
+    index = d.get("Index", [0, size])
+    if (
+        not isinstance(index, list)
+        or len(index) % 2
+        or not all(isinstance(x, int) and x >= 0 for x in index)
+    ):
+        raise PdfError(INVALID_XREF, "xref stream /Index malformed")
+    data = stream.decoded()  # Flate + PNG predictors handled by the chain
+    w1, w2, w3 = w
+    rowlen = w1 + w2 + w3
+    if rowlen == 0:
+        raise PdfError(INVALID_XREF, "xref stream /W all zero")
+    n_rows = sum(index[i + 1] for i in range(0, len(index), 2))
+    if len(data) < n_rows * rowlen:
+        raise PdfError(INVALID_XREF, "xref stream data shorter than /Index")
+
+    def field(row: bytes, off: int, width: int, default: int) -> int:
+        if width == 0:
+            return default
+        return int.from_bytes(row[off : off + width], "big")
+
+    entries: dict[int, tuple[str, int, int]] = {}
+    pos = 0
+    for i in range(0, len(index), 2):
+        first, count = index[i], index[i + 1]
+        for k in range(count):
+            row = data[pos : pos + rowlen]
+            pos += rowlen
+            ty = field(row, 0, w1, 1)  # absent type field defaults to 1
+            a = field(row, w1, w2, 0)
+            b = field(row, w1 + w2, w3, 0)
+            oid = first + k
+            if oid in entries:
+                continue  # first (newest-parsed) wins, as for classic tables
+            if ty == 0:
+                entries[oid] = ("f", a, b)
+            elif ty == 1:
+                entries[oid] = ("n", a, b)
+            elif ty == 2:
+                entries[oid] = ("s", a, b)
+            # unknown types are ignored per spec (treated as null refs)
+    prev = d.get("Prev")
+    if prev is not None and not isinstance(prev, int):
+        raise PdfError(INVALID_TRAILER, "xref stream /Prev must be an integer")
+    return entries, d, prev
+
+
+def parse_xref_at(buf: bytes, start: int) -> tuple[dict, dict, Optional[int]]:
+    """Dispatch on section form: ``xref`` keyword -> classic table,
+    digit (an ``N G obj`` header) -> PDF 1.5 xref stream."""
+    p = ObjectParser(buf, start)
+    p.skip_ws()
+    if buf.startswith(b"xref", p.pos):
+        return parse_xref_section(buf, start)
+    if p.pos < len(buf) and 0x30 <= buf[p.pos] <= 0x39:
+        return parse_xref_stream(buf, p.pos)
+    raise PdfError(UNSUPPORTED_XREF, "startxref points at neither table nor stream")
+
+
 class Resolver:
     """Lazy indirect-object resolver over one in-memory document
     (pdf.c:64-118 pdf_resolver_new + pdf.c:206-273 resolution)."""
 
-    __slots__ = ("buf", "version", "xref", "trailer", "_cache")
+    __slots__ = ("buf", "version", "xref", "trailer", "_cache", "_objstm_cache")
 
     def __init__(self, buf: bytes) -> None:
         self.buf = buf
         self.version = parse_header(buf)
         start = parse_startxref(buf)
         # walk the Prev chain newest -> oldest; newest section wins on
-        # duplicate ids (setdefault preserves first insertion)
-        xref: dict[int, tuple[int, int, bool]] = {}
+        # duplicate ids (setdefault preserves first insertion). Sections may
+        # be classic tables or PDF 1.5 xref streams; a hybrid-reference
+        # classic trailer's /XRefStm is processed BEFORE its /Prev
+        # (PDF 32000-1 §7.5.8.4), hence the LIFO worklist push order.
+        xref: dict[int, tuple[str, int, int]] = {}
         trailer: Optional[dict] = None
         seen_offsets: set[int] = set()
-        off: Optional[int] = start
-        while off is not None and off not in seen_offsets:
+        worklist: list[int] = [start]
+        while worklist:
+            off = worklist.pop()
+            if off in seen_offsets:
+                continue
             seen_offsets.add(off)
-            entries, tdict, prev = parse_xref_section(buf, off)
+            entries, tdict, prev = parse_xref_at(buf, off)
             for oid, ent in entries.items():
                 xref.setdefault(oid, ent)
             if trailer is None:
                 trailer = tdict  # full trailer = newest section (pdf.c:163)
-            off = prev
+            if prev is not None:
+                worklist.append(prev)
+            xrefstm = tdict.get("XRefStm")
+            if isinstance(xrefstm, int):
+                worklist.append(xrefstm)  # pushed last -> popped before Prev
         assert trailer is not None
         self.xref = xref
         self.trailer = trailer
         self._cache: dict[tuple[int, int], Any] = {}
+        self._objstm_cache: dict[int, tuple[bytes, list[tuple[int, int]]]] = {}
 
     # -- resolution (pdf.c:206-273) --
 
@@ -189,9 +295,20 @@ class Resolver:
         ent = self.xref.get(ref.obj_id)
         if ent is None:
             raise PdfError(INVALID_XREF, f"object {ref.obj_id} not in xref")
-        offset, gen, in_use = ent
-        if not in_use:
+        kind, a, b = ent
+        if kind == "f":
             return None  # free entry resolves to null
+        if kind == "s":
+            # compressed object (PDF 32000-1 §7.5.7): lives at index b of
+            # object stream a; such objects always have generation 0
+            if ref.gen != 0:
+                raise PdfError(
+                    INVALID_XREF, f"compressed object {ref.obj_id} with gen != 0"
+                )
+            value = self._load_from_objstm(a, b, ref.obj_id)
+            self._cache[key] = value
+            return value
+        offset, gen = a, b
         if gen != ref.gen:
             raise PdfError(INVALID_XREF, f"generation mismatch for {ref.obj_id}")
         ind = ObjectParser(self.buf, offset, resolver=self).parse_indirect_object()
@@ -199,6 +316,51 @@ class Resolver:
             raise PdfError(INVALID_XREF, f"xref offset points at {ind.obj_id}")
         self._cache[key] = ind.value
         return ind.value
+
+    def _load_from_objstm(self, stm_num: int, idx: int, want_id: int) -> Any:
+        """Parse one object out of a ``/Type/ObjStm`` stream (§7.5.7).
+
+        The decoded stream opens with N pairs ``objnum offset`` (offsets
+        relative to /First); the index pairs are parsed once per stream and
+        cached on the resolver, so a doc whose whole body is compressed
+        costs one decode + one header parse total.
+        """
+        cached = self._objstm_cache.get(stm_num)
+        if cached is None:
+            stm = self.resolve_ref(Ref(stm_num, 0))
+            if not isinstance(stm, Stream):
+                raise PdfError(INVALID_XREF, f"object stream {stm_num} missing")
+            d = stm.dict
+            if d.get("Type") != Name("ObjStm"):
+                raise PdfError(INVALID_XREF, f"object {stm_num} is not /Type/ObjStm")
+            n = self.resolve(d.get("N"))
+            first = self.resolve(d.get("First"))
+            if not isinstance(n, int) or not isinstance(first, int):
+                raise PdfError(INVALID_XREF, "ObjStm /N and /First must be ints")
+            data = stm.decoded(self)
+            hp = ObjectParser(data, 0)
+            pairs: list[tuple[int, int]] = []
+            for _ in range(n):
+                onum = hp.parse_object()
+                ooff = hp.parse_object()
+                if not isinstance(onum, int) or not isinstance(ooff, int):
+                    raise PdfError(INVALID_XREF, "ObjStm header pair not ints")
+                pairs.append((onum, first + ooff))
+            cached = (data, pairs)
+            self._objstm_cache[stm_num] = cached
+        data, pairs = cached
+        if not (0 <= idx < len(pairs)) or pairs[idx][0] != want_id:
+            # tolerate writers whose xref index is stale: find by object id
+            hits = [p for p in pairs if p[0] == want_id]
+            if not hits:
+                raise PdfError(
+                    INVALID_XREF, f"object {want_id} not in ObjStm {stm_num}"
+                )
+            pairs_entry = hits[0]
+        else:
+            pairs_entry = pairs[idx]
+        # objects inside an ObjStm are DIRECT (no `obj ... endobj` wrapper)
+        return ObjectParser(data, pairs_entry[1], resolver=self).parse_object()
 
     def resolve(self, obj: Any) -> Any:
         """Recursively unwrap Ref / IndirectObject (pdf_resolve_object)."""

@@ -21,7 +21,7 @@ UNBALANCED_STR = "UNBALANCED_STR"          # string never closed      (object.c:
 NAME_BAD_CHAR_CODE = "NAME_BAD_CHAR_CODE"  # bad #xx escape in name   (object.c:606-643)
 UNSUPPORTED_FILTER = "UNSUPPORTED_FILTER"  # filter not AHx/Flate     (filters.c:54)
 FILTER_ERROR = "FILTER_ERROR"              # filter body corrupt
-UNSUPPORTED_XREF = "UNSUPPORTED_XREF"      # xref stream (PDF>=1.5) — ref has none
+UNSUPPORTED_XREF = "UNSUPPORTED_XREF"      # startxref -> neither table nor stream
 UNSUPPORTED_FONT = "UNSUPPORTED_FONT"      # font subtype not handled (font.c:228-236)
 UNSUPPORTED_CMAP = "UNSUPPORTED_CMAP"      # predefined CMap unknown  (cmap_paths.c)
 UNSUPPORTED_OPERATOR = "UNSUPPORTED_OPERATOR"  # content op outside supported set

@@ -506,6 +506,153 @@ def _incremental_doc(lines: list[str]) -> bytes:
     return incremental_update(base, {5: body}, prev_xref)
 
 
+def _xref_stream_rows(entries: list[tuple[int, int, int]]) -> bytes:
+    """Pack ``(type, a, b)`` rows with W=[1,4,2] big-endian fields."""
+    rows = bytearray()
+    for ty, a, bb in entries:
+        rows += bytes([ty]) + a.to_bytes(4, "big") + bb.to_bytes(2, "big")
+    return bytes(rows)
+
+
+def _png_up_predict(data: bytes, rowlen: int) -> bytes:
+    """Apply the PNG Up row filter (predictor 12 encode side): each row is
+    prefixed with filter byte 2 and stored as a delta vs the prior row."""
+    out = bytearray()
+    prior = bytes(rowlen)
+    for r in range(0, len(data), rowlen):
+        row = data[r : r + rowlen]
+        out.append(2)
+        out += bytes((row[j] - prior[j]) & 0xFF for j in range(len(row)))
+        prior = row
+    return bytes(out)
+
+
+def _emit_xref_stream(
+    out: bytearray,
+    xref_id: int,
+    rows: list[tuple[int, int, int]],
+    root_id: int,
+    predictor: bool,
+    extra: bytes = b"",
+) -> None:
+    """Append the ``/Type/XRef`` stream object + startxref/%%EOF tail."""
+    xref_off = len(out)
+    data = _xref_stream_rows(rows)
+    parms = b""
+    if predictor:
+        data = _png_up_predict(data, 7)
+        parms = b"/DecodeParms<</Predictor 12/Columns 7>>"
+    enc = zlib.compress(data)
+    out += (
+        str(xref_id).encode()
+        + b" 0 obj\n<</Type/XRef/Size "
+        + str(len(rows)).encode()
+        + b"/W[1 4 2]/Root "
+        + str(root_id).encode()
+        + b" 0 R"
+        + extra
+        + b"/Filter/FlateDecode"
+        + parms
+        + b"/Length "
+        + str(len(enc)).encode()
+        + b">>\nstream\n"
+        + enc
+        + b"\nendstream\nendobj\n\nstartxref\n"
+        + str(xref_off).encode()
+        + b"\n%%EOF"
+    )
+
+
+def _xref_stream_doc(lines: list[str], predictor: bool = False) -> bytes:
+    """PDF 1.5 layout: body objects are classic, but the cross-reference is
+    a ``/Type/XRef`` stream (engine extension; reference supports classic
+    tables only, xref.c:144-228)."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    cont = b.stream(_content_td_tj(lines), filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    out = bytearray(b"%PDF-1.7\n%\xb5\xb6\n\n")
+    offsets = [0] * (len(b.objects) + 1)
+    for i, body in enumerate(b.objects, start=1):
+        offsets[i] = len(out)
+        out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n\n"
+    xref_id = len(b.objects) + 1
+    rows = (
+        [(0, 0, 65535)]
+        + [(1, offsets[i], 0) for i in range(1, xref_id)]
+        + [(1, len(out), 0)]  # the xref stream indexes itself
+    )
+    _emit_xref_stream(out, xref_id, rows, cat, predictor)
+    return bytes(out)
+
+
+def _objstm_doc(lines: list[str]) -> bytes:
+    """PDF 1.5 compressed-object layout: catalog/pages/page/font live inside
+    a ``/Type/ObjStm``; the xref stream (with a PNG Up predictor, for
+    predictor-path coverage) maps them as type-2 entries."""
+    content = _content_td_tj(lines)
+    cont_enc = zlib.compress(content)
+    # ids: 1 cat, 2 pages, 3 page, 4 font (inside ObjStm 5); 6 content; 7 xref
+    bodies = [
+        (1, b"<</Type/Catalog/Pages 2 0 R>>"),
+        (2, b"<</Type/Pages/Kids[3 0 R]/Count 1>>"),
+        (
+            3,
+            b"<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+            b"/Resources<</Font<</F1 4 0 R>>>>/Contents 6 0 R>>",
+        ),
+        (4, F_HELV),
+    ]
+    payload = bytearray()
+    pair_parts = []
+    for oid, body in bodies:
+        pair_parts.append(f"{oid} {len(payload)}")
+        payload += body + b"\n"
+    header = (" ".join(pair_parts) + "\n").encode()
+    stm_enc = zlib.compress(header + bytes(payload))
+    out = bytearray(b"%PDF-1.7\n%\xb5\xb6\n\n")
+    offsets: dict[int, int] = {}
+
+    def emit(oid: int, body: bytes) -> None:
+        offsets[oid] = len(out)
+        out.extend(str(oid).encode() + b" 0 obj\n" + body + b"\nendobj\n\n")
+
+    emit(
+        5,
+        b"<</Type/ObjStm/N 4/First " + str(len(header)).encode()
+        + b"/Filter/FlateDecode/Length " + str(len(stm_enc)).encode()
+        + b">>\nstream\n" + stm_enc + b"\nendstream",
+    )
+    emit(
+        6,
+        b"<</Length " + str(len(cont_enc)).encode()
+        + b"/Filter/FlateDecode>>\nstream\n" + cont_enc + b"\nendstream",
+    )
+    rows = [
+        (0, 0, 65535),
+        (2, 5, 0),
+        (2, 5, 1),
+        (2, 5, 2),
+        (2, 5, 3),
+        (1, offsets[5], 0),
+        (1, offsets[6], 0),
+        (1, len(out), 0),
+    ]
+    _emit_xref_stream(out, 7, rows, 1, predictor=True, extra=b"/Index[0 8]")
+    return bytes(out)
+
+
 # -- the variant matrix -------------------------------------------------------
 
 _GOOD_VARIANTS = [
@@ -526,6 +673,8 @@ _GOOD_VARIANTS = [
     ("form_xobject", lambda L: _form_xobject_doc(L)),
     ("incremental_update", lambda L: _incremental_doc(L)),
     ("td_tj_lzw", lambda L: _simple_doc(L, _content_td_tj, filters="LZWDecode")),
+    ("xref_stream", lambda L: _xref_stream_doc(L)),
+    ("objstm", lambda L: _objstm_doc(L)),
 ]
 
 # corrupt variants: (name, payload builder, expected error_code)

@@ -63,8 +63,8 @@ XREF_BUF = (
 class TestXref:
     def test_parse_section(self):
         entries, trailer, prev = parse_xref_section(XREF_BUF, 0)
-        assert entries[0] == (0, 65536, False)
-        assert entries[1] == (16, 0, True)
+        assert entries[0] == ("f", 0, 65536)
+        assert entries[1] == ("n", 16, 0)
         assert trailer["Size"] == 2
         assert prev is None
 
@@ -76,7 +76,7 @@ class TestXref:
         )
         entries, _, _ = parse_xref_section(buf, 0)
         assert set(entries) == {0, 3, 4}
-        assert entries[3][0] == 100 and entries[4][0] == 200
+        assert entries[3][1] == 100 and entries[4][1] == 200
 
     def test_malformed_entry(self):
         bad = XREF_BUF.replace(b"0000000016 00000 n ", b"00000000xx 00000 n ")
@@ -204,3 +204,130 @@ class TestLZW:
             # first 9 bits decode to a code >= 258 with an empty table
             lzw_decode(b"\xff\xff\xff\xff")
         assert ei.value.code == FILTER_ERROR
+
+
+class TestXrefStreams:
+    """PDF 1.5+ cross-reference streams + object streams (engine extension;
+    the reference supports classic tables only, xref.c:144-228)."""
+
+    TEXT = ["alpha bravo charlie", "delta echo foxtrot"]
+
+    def _extract(self, pdf):
+        from pdf_spark.core.extract import assemble_text, extract_document
+
+        r = extract_document(pdf)
+        assert r.ok, r.error_code
+        return assemble_text(r.spans)
+
+    def test_xref_stream_plain(self):
+        from pdf_spark.gen.pdfgen import _xref_stream_doc
+
+        assert self._extract(_xref_stream_doc(self.TEXT)) == "\n".join(self.TEXT)
+
+    def test_xref_stream_png_predictor(self):
+        from pdf_spark.gen.pdfgen import _xref_stream_doc
+
+        pdf = _xref_stream_doc(self.TEXT, predictor=True)
+        assert b"/Predictor 12" in pdf
+        assert self._extract(pdf) == "\n".join(self.TEXT)
+
+    def test_objstm(self):
+        from pdf_spark.gen.pdfgen import _objstm_doc
+
+        pdf = _objstm_doc(self.TEXT)
+        assert b"/Type/ObjStm" in pdf
+        assert self._extract(pdf) == "\n".join(self.TEXT)
+
+    def test_objstm_header_cached_once(self):
+        from pdf_spark.gen.pdfgen import _objstm_doc
+
+        r = Resolver(_objstm_doc(self.TEXT))
+        list(r.iter_pages())
+        assert set(r._objstm_cache) == {5}
+
+    def test_hybrid_xrefstm(self):
+        """Classic trailer's /XRefStm supplies entries the classic section
+        lacks (PDF 32000-1 §7.5.8.4 hybrid-reference files)."""
+        from pdf_spark.gen.pdfgen import (
+            F_HELV,
+            _content_td_tj,
+            _emit_xref_stream,
+        )
+
+        content = _content_td_tj(self.TEXT)
+        bodies = {
+            1: b"<</Type/Catalog/Pages 2 0 R>>",
+            2: b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+            3: b"<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+            b"/Resources<</Font<</F1 4 0 R>>>>/Contents 5 0 R>>",
+            4: F_HELV,
+            5: b"<</Length " + str(len(content)).encode() + b">>\nstream\n"
+            + content + b"\nendstream",
+        }
+        out = bytearray(b"%PDF-1.7\n%\xb5\xb6\n\n")
+        offsets = {}
+        for oid in sorted(bodies):
+            offsets[oid] = len(out)
+            out += str(oid).encode() + b" 0 obj\n" + bodies[oid] + b"\nendobj\n\n"
+        stm_off = len(out)
+        rows = [(0, 0, 65535)] + [(1, offsets[i], 0) for i in range(1, 6)] + [
+            (1, stm_off, 0)
+        ]
+        _emit_xref_stream(out, 6, rows, 1, predictor=False)
+        # strip the xref stream's own startxref tail; the classic section
+        # below is the real entry point
+        tail = out.rindex(b"\nstartxref")
+        out = out[:tail] + b"\n\n"
+        classic_off = len(out)
+        out += (
+            b"xref\n0 1\n0000000000 65536 f \n"
+            b"trailer\n<</Size 7/Root 1 0 R/XRefStm " + str(stm_off).encode()
+            + b">>\nstartxref\n" + str(classic_off).encode() + b"\n%%EOF"
+        )
+        assert self._extract(bytes(out)) == "\n".join(self.TEXT)
+
+    def test_xref_stream_requires_type(self):
+        from pdf_spark.core.document import parse_xref_stream
+
+        buf = (
+            b"1 0 obj\n<</Size 2/W[1 4 2]/Length 0>>\nstream\n\nendstream\n"
+            b"endobj"
+        )
+        with pytest.raises(PdfError) as e:
+            parse_xref_stream(buf, 0)
+        assert e.value.code == "INVALID_XREF"
+
+    def test_xref_stream_short_data(self):
+        from pdf_spark.core.document import parse_xref_stream
+
+        enc = zlib.compress(b"\x01\x00\x00\x00\x10\x00\x00")  # one row, Size 5
+        buf = (
+            b"1 0 obj\n<</Type/XRef/Size 5/W[1 4 2]/Filter/FlateDecode"
+            b"/Length " + str(len(enc)).encode() + b">>\nstream\n" + enc
+            + b"\nendstream\nendobj"
+        )
+        with pytest.raises(PdfError) as e:
+            parse_xref_stream(buf, 0)
+        assert e.value.code == "INVALID_XREF"
+
+    def test_free_and_unknown_types(self):
+        """Type-0 rows resolve to null; unknown future types are skipped
+        (spec: readers shall ignore them)."""
+        from pdf_spark.core.document import parse_xref_stream
+
+        rows = (
+            b"\x00\x00\x00\x00\x00\xff\xff"  # 0 free
+            b"\x01\x00\x00\x00\x10\x00\x00"  # 1 at offset 16
+            b"\x07\x00\x00\x00\x00\x00\x00"  # unknown type 7 -> ignored
+        )
+        enc = zlib.compress(rows)
+        buf = (
+            b"9 0 obj\n<</Type/XRef/Size 3/W[1 4 2]/Root 1 0 R"
+            b"/Filter/FlateDecode/Length " + str(len(enc)).encode()
+            + b">>\nstream\n" + enc + b"\nendstream\nendobj"
+        )
+        entries, trailer, prev = parse_xref_stream(buf, 0)
+        assert entries[0][0] == "f"
+        assert entries[1] == ("n", 16, 0)
+        assert 2 not in entries
+        assert prev is None
