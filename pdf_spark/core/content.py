@@ -27,8 +27,10 @@ Operator support classes (SURVEY.md §2.2):
   (operator.h:153-157,196-211); a 100TB extraction engine needs them.
 - parsed + ignored (no effect on text): path/paint/clip/color/shading ops.
 - warn-skip class (matching the reference): ``d BDC EMC``.
-- error class: ``BI ID EI`` inline images (reference panics; we raise
-  UNSUPPORTED_OPERATOR -> error row), unknown tokens outside BX/EX.
+- inline images: ``BI`` skips spec-correctly to the terminating ``EI``
+  (EXTENSION — the reference panics and loses the document; see
+  ``skip_inline_image``); a bare ``ID``/``EI`` outside a BI section is
+  still an error, as are unknown tokens outside BX/EX.
 
 Malformed streams raise ``PdfError`` (always an error ROW, never a task
 failure); the two implementations may differ in which specific code a
@@ -59,13 +61,46 @@ OPERATORS = frozenset(
 # ops with no bearing on extracted text: operands validated loosely, dropped
 IGNORED = frozenset(
     """w J j M i ri m l c v y h re S s f F f* B B* b b* n W W* CS cs SC SCN
-    sc scn G g RG rg K k sh d0 d1 MP DP BMC BDC EMC d gs""".split()
+    sc scn G g RG rg K k sh d0 d1 MP DP BMC BDC EMC d""".split()
 )
 
-# inline images can't be tokenized without decoding — reference class: panic
-ERROR_OPS = frozenset(("BI", "ID", "EI"))
+# bare ID/EI outside a BI section are malformed (BI itself is handled by the
+# spec-driven skip below; the reference panics on all three)
+ERROR_OPS = frozenset(("ID", "EI"))
 
 Op = Tuple[str, List[Any]]
+
+# a standalone ID token: preceded by ws or a delimiter that can end the image
+# dict (>> or ]), followed by the single whitespace byte that precedes data
+_ID_TOKEN_RE = re.compile(rb"(?:\A|[\x00\t\n\x0c\r\x20>\]])ID(?=[\x00\t\n\x0c\r\x20])")
+_DELIM_SET = frozenset(b"()<>[]{}/%")
+
+
+def skip_inline_image(data: bytes, pos: int) -> int:
+    """Skip a ``BI <dict> ID <binary> EI`` inline image (PDF 32000-1 §8.9.7).
+
+    EXTENSION: the reference panics on BI (operator.h:259-261), killing the
+    whole document; a Common-Crawl-scale engine recovers the rest of the
+    page's text instead. ``pos`` points just after the ``BI`` token; returns
+    the position after the terminating ``EI``, which must be a standalone
+    token (whitespace before, whitespace/delimiter/EOF after) so binary data
+    containing the two bytes ``EI`` doesn't end the image early.
+    """
+    m = _ID_TOKEN_RE.search(data, pos)
+    if m is None:
+        raise PdfError(INVALID_OBJECT, "inline image: no ID token")
+    p = m.end() + 1  # consume the single post-ID whitespace byte
+    n = len(data)
+    while True:
+        j = data.find(b"EI", p)
+        if j < 0:
+            raise PdfError(INVALID_OBJECT, "inline image: no EI terminator")
+        nxt = data[j + 2] if j + 2 < n else None
+        if (j == 0 or data[j - 1] in _WS_ONLY) and (
+            nxt is None or nxt in _WS_ONLY or nxt in _DELIM_SET
+        ):
+            return j + 2
+        p = j + 1
 
 # one alternation, ordered: ws/comments, number, name, simple string
 # (no escapes/nesting), hex string, array brackets, quote singletons,
@@ -187,6 +222,10 @@ def parse_content_stream(data: bytes) -> List[Op]:
             in_compat = max(0, in_compat - 1)
             operands = cur = []
             continue
+        if tok == "BI":
+            pos = skip_inline_image(data, pos)
+            operands = cur = []
+            continue
         if tok not in OPERATORS:
             if in_compat:
                 operands = cur = []  # swallowed inside BX/EX (stream.c:79-97)
@@ -253,6 +292,10 @@ def parse_content_stream_slow(data: bytes) -> List[Op]:
             continue
         if tok == "EX":
             in_compat = max(0, in_compat - 1)
+            operands = []
+            continue
+        if tok == "BI":
+            p.pos = skip_inline_image(data, p.pos)
             operands = []
             continue
         if tok not in OPERATORS:

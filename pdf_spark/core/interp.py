@@ -229,6 +229,8 @@ class Interpreter:
                 tm = mat_mul(translate(0.0, -ts.leading), tm)
                 tlm = tm
                 tm = self._show_tj([args[2]], ts, tm, ctm)
+            elif op == "gs":
+                self._apply_extgstate(str(args[0]), resources, ts)
             elif op == "Do":
                 self._do_xobject(str(args[0]), resources, ctm, depth)
             else:  # pragma: no cover — parser already filters
@@ -290,6 +292,30 @@ class Interpreter:
                 self.glyph_order += len(text)
             tm = _x_shift(adv, tm)
         return tm
+
+    # -- gs ExtGState (render.c:265-287; params schema resources.h:66-206) --
+
+    def _apply_extgstate(self, name: str, resources: dict, ts: TextState) -> None:
+        """Look the ExtGState dict up in Resources and apply the parameters
+        that affect text: ``/Font [fontRef size]`` (PDF 32000-1 Table 57).
+        Stroke/dash/alpha params are state the renderer applies
+        (render.c:265-287) but text bytes never see — ignored here."""
+        d = self.resolver.get_dict(
+            self._lookup(resources, "ExtGState", name), "ExtGState"
+        )
+        fpair = self.resolver.resolve(d.get("Font"))
+        if fpair is None:
+            return
+        if not (isinstance(fpair, list) and len(fpair) == 2):
+            raise PdfError(INCORRECT_TYPE, "ExtGState /Font must be [font size]")
+        key = ("extg", id(resources), name)
+        f = self.font_cache.get(key)
+        if f is None:
+            f = load_font(fpair[0], self.resolver)
+            self.font_cache[key] = f
+        ts.font = f
+        ts.font_name = name
+        ts.font_size = float(self.resolver.resolve(fpair[1]))
 
     # -- form XObjects (render.c:979-1066) --
 

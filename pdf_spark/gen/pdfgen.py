@@ -506,6 +506,52 @@ def _incremental_doc(lines: list[str]) -> bytes:
     return incremental_update(base, {5: body}, prev_xref)
 
 
+def _content_inline_image(lines: list[str]) -> bytes:
+    """Text, then a ``BI … ID <binary> EI`` inline image (with an embedded
+    non-delimited ``EI`` byte pair in the data to exercise the terminator
+    guard), then more text — all of which must survive the skip."""
+    half = max(1, len(lines) // 2)
+    part1 = _content_td_tj(lines[:half])
+    data = bytes(range(64)) + b"xEIx" + bytes(range(64, 96))
+    img = b"BI /W 8/H 8/BPC 8/CS/G ID " + data + b"\nEI"
+    ops = [b"BT", b"/F1 " + _n(FONT_SIZE) + b" Tf"]
+    for i, line in enumerate(lines[half:], start=half):
+        y = TOP_Y - i * LINE_HEIGHT
+        ops.append(b"1 0 0 1 " + _n(LEFT_X) + b" " + _n(y) + b" Tm")
+        ops.append(b"(" + esc(line) + b") Tj")
+    ops.append(b"ET")
+    return part1 + b"\n" + img + b"\n" + b"\n".join(ops)
+
+
+def _extgstate_doc(lines: list[str]) -> bytes:
+    """Font set via ``/GS1 gs`` (ExtGState /Font pair) instead of Tf — the
+    page has no Tf at all, so extraction only works if gs is applied."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    g = b.add(
+        b"<</Type/ExtGState/LW 2/Font["
+        + str(font).encode() + b" 0 R " + _n(FONT_SIZE) + b"]>>"
+    )
+    content = _content_td_tj(lines).replace(
+        b"/F1 " + _n(FONT_SIZE) + b" Tf", b"/GS1 gs", 1
+    )
+    cont = b.stream(content, filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>"
+        b"/ExtGState<</GS1 " + str(g).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
 def _xref_stream_rows(entries: list[tuple[int, int, int]]) -> bytes:
     """Pack ``(type, a, b)`` rows with W=[1,4,2] big-endian fields."""
     rows = bytearray()
@@ -675,6 +721,8 @@ _GOOD_VARIANTS = [
     ("td_tj_lzw", lambda L: _simple_doc(L, _content_td_tj, filters="LZWDecode")),
     ("xref_stream", lambda L: _xref_stream_doc(L)),
     ("objstm", lambda L: _objstm_doc(L)),
+    ("inline_image", lambda L: _simple_doc(L, _content_inline_image, filters="FlateDecode")),
+    ("extgstate_font", lambda L: _extgstate_doc(L)),
 ]
 
 # corrupt variants: (name, payload builder, expected error_code)

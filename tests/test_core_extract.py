@@ -50,10 +50,9 @@ class TestContentStream:
             parse_content_stream(b"woozle")
         assert e.value.code == "UNSUPPORTED_OPERATOR"
 
-    def test_inline_image_is_error(self):
-        with pytest.raises(PdfError) as e:
-            parse_content_stream(b"BI /W 1 ID x EI")
-        assert e.value.code == "UNSUPPORTED_OPERATOR"
+    def test_inline_image_skipped(self):
+        # BI..EI is skipped spec-correctly (extension; reference panics)
+        assert parse_content_stream(b"BI /W 1 ID x EI") == []
 
 
 class TestCMap:
@@ -185,3 +184,26 @@ def test_scanner_rejects_unterminated_array():
             parse_content_stream(c)
         with pytest.raises(PdfError):
             parse_content_stream_slow(c)
+
+
+def test_skip_inline_image_edges():
+    """BI ... ID <binary> EI skip: embedded non-delimited EI must not
+    terminate early; missing ID or EI raises."""
+    import pytest
+
+    from pdf_spark.core.content import parse_content_stream, skip_inline_image
+    from pdf_spark.core.errors import PdfError
+
+    s = b"BI /W 2/H 2/BPC 8/CS/G ID \x00aEIb\xff EI BT (ok) Tj ET"
+    ops = parse_content_stream(s)
+    assert ops == [("BT", []), ("TJ", [[b"ok"]]), ("ET", [])]
+    # data whose EI is followed by a delimiter also terminates
+    s2 = b"BI /W 1 ID \x01 EI/Name 1 2 Td"
+    assert [o for o, _ in parse_content_stream(s2)] == ["Td"]
+    with pytest.raises(PdfError):
+        skip_inline_image(b"/W 2 no id token here", 0)
+    with pytest.raises(PdfError):
+        parse_content_stream(b"BI /W 2 ID \x00\x01\x02 never terminated")
+    # bare EI outside a BI section is still the reference's error class
+    with pytest.raises(PdfError):
+        parse_content_stream(b"(x) Tj EI")
