@@ -13,9 +13,12 @@ EXTENSIONS beyond the reference (documented divergences):
 - ``beginbfrange``/``endbfrange`` — the reference lacks it (its own
   ``embedded.pdf`` fixture's ToUnicode uses bfrange, but the render path
   never consults ToUnicode for Type0 fonts); an extraction engine must.
-- predefined ``Identity-H``/``Identity-V`` are built in (the reference loads
-  them from the cmap-resources asset tree, fonts/cmap_paths.c); all other
-  predefined CMaps raise UNSUPPORTED_CMAP.
+- predefined ``Identity-H``/``Identity-V`` plus the Unicode-keyed
+  ``Uni*-UCS2-H/V`` / ``Uni*-UTF16-H/V`` families are built in (the
+  reference loads the whole Adobe set from the cmap-resources asset tree,
+  fonts/cmap_paths.c — an asset its own submodule ships empty); the legacy
+  byte-oriented CJK CMaps (Shift-JIS/EUC/Big5 keyed) still raise
+  UNSUPPORTED_CMAP.
 
 Lookup semantics mirror the reference: codespace ranges are recorded but the
 Type0 code iterator always consumes 2 bytes (render/font.c:46-67 hardcodes
@@ -43,7 +46,10 @@ _TOKEN_RE = re.compile(
 class CMap:
     """Range tables + bf mappings (mirrors ``CMapTable``, cmap.c:60-78)."""
 
-    __slots__ = ("name", "codespace", "cid_ranges", "bf_singles", "bf_ranges", "parent")
+    __slots__ = (
+        "name", "codespace", "cid_ranges", "bf_singles", "bf_ranges",
+        "parent", "unicode_identity",
+    )
 
     def __init__(self, name: str = "") -> None:
         self.name = name
@@ -52,6 +58,10 @@ class CMap:
         self.bf_singles: dict[int, str] = {}
         self.bf_ranges: list[tuple[int, int, int]] = []  # (lo, hi, dst_base)
         self.parent: Optional[CMap] = None  # usecmap chain (cmap.c:176-205)
+        # True for the UCS-2/UTF-16 predefined families: the SOURCE code is
+        # itself the Unicode code point, so extraction can decode any BMP
+        # code even where the embedded CID table is partial
+        self.unicode_identity = False
 
     # code -> CID (pdf_cmap_get_cid, cmap.c:116-138)
     def get_cid(self, code: int) -> Optional[int]:
@@ -83,9 +93,36 @@ def _identity_cmap(name: str) -> CMap:
     return cm
 
 
+# The Unicode-keyed predefined families (PDF 32000-1 §9.7.5.2 Table 118):
+# <registry>-UCS2 maps UCS-2 code points to CIDs of the collection;
+# <registry>-UTF16 is the same over UTF-16BE. We embed the structural facts
+# that are stable public spec data: the 2-byte BMP codespace, the identity
+# "source code = Unicode" property (which is what extraction needs), and
+# the proportional-Latin CID run (U+0020..U+007E -> CID 1..95, identical in
+# the Adobe-Japan1 / GB1 / CNS1 / Korea1/KR character-collection specs).
+# CIDs outside that run fall back to the descendant font's /DW width —
+# text decode is still exact for every BMP code point.
+_UNICODE_CMAP_STEMS = frozenset(
+    f"Uni{reg}-{enc}"
+    for reg in ("JIS", "GB", "CNS", "KS", "KR", "JIS2004", "JISX0213")
+    for enc in ("UCS2", "UTF16")
+)
+
+
+def _unicode_cmap(name: str) -> CMap:
+    cm = CMap(name)
+    cm.codespace = [(0x0000, 0xFFFF, 2)]
+    cm.cid_ranges = [(0x0020, 0x007E, 1)]
+    cm.unicode_identity = True
+    return cm
+
+
 def get_predefined_cmap(name: str) -> CMap:
     if name in ("Identity-H", "Identity-V"):
         return _identity_cmap(name)
+    stem, _, direction = name.rpartition("-")
+    if direction in ("H", "V") and stem in _UNICODE_CMAP_STEMS:
+        return _unicode_cmap(name)
     raise PdfError(UNSUPPORTED_CMAP, f"predefined CMap {name!r}")
 
 

@@ -4,10 +4,12 @@ The reference maps ``code -> glyph name`` through built-in encoding tables
 (MacRoman/MacExpert/WinAnsi + /Differences overrides,
 /root/reference/libs/pdf/src/fonts/encoding.c:432-520) and then
 ``glyph name -> Unicode`` through the Adobe Glyph List asset
-(assets/agl-aglfn/glyphlist.txt, parsed at fonts/agl.c:27-…). We embed the
-Latin subset of these *public-spec* tables (PDF 32000-1 Annex D; AGL 2.0)
-directly — the full AGL covers CJK ligatures etc. that no simple 8-bit font
-in the corpus can address. Unknown names fall back to the AGL algorithm's
+(assets/agl-aglfn/glyphlist.txt, parsed at fonts/agl.c:27-…). We embed
+these *public-spec* tables (PDF 32000-1 Annex D; AGL 2.0) directly:
+Standard/WinAnsi in full, MacRoman including the complete 128-255 high
+range, and the AGL names every 8-bit encoding in Annex D can reach — the
+full AGL additionally covers CJK ligatures etc. that no simple 8-bit font
+can address. Unknown names fall back to the AGL algorithm's
 ``uniXXXX``/``uXXXX[XX]`` rule, then to U+FFFD.
 """
 
@@ -72,10 +74,47 @@ WIN_ANSI_ENCODING.update({
     252: "udieresis", 253: "yacute", 255: "ydieresis",
 })
 
-# MacRoman: ASCII identical to WinAnsi in the low range for our corpus
+# MacRoman: ASCII low range + the full 128-255 high range (PDF 32000-1
+# Annex D.2 / classic Mac OS Roman layout — public-spec data)
 MAC_ROMAN_ENCODING: dict[int, str] = dict(_ASCII_NAMES)
 MAC_ROMAN_ENCODING[39] = "quotesingle"
 MAC_ROMAN_ENCODING[96] = "grave"
+MAC_ROMAN_ENCODING.update({
+    128: "Adieresis", 129: "Aring", 130: "Ccedilla", 131: "Eacute",
+    132: "Ntilde", 133: "Odieresis", 134: "Udieresis", 135: "aacute",
+    136: "agrave", 137: "acircumflex", 138: "adieresis", 139: "atilde",
+    140: "aring", 141: "ccedilla", 142: "eacute", 143: "egrave",
+    144: "ecircumflex", 145: "edieresis", 146: "iacute", 147: "igrave",
+    148: "icircumflex", 149: "idieresis", 150: "ntilde", 151: "oacute",
+    152: "ograve", 153: "ocircumflex", 154: "odieresis", 155: "otilde",
+    156: "uacute", 157: "ugrave", 158: "ucircumflex", 159: "udieresis",
+    160: "dagger", 161: "degree", 162: "cent", 163: "sterling",
+    164: "section", 165: "bullet", 166: "paragraph", 167: "germandbls",
+    168: "registered", 169: "copyright", 170: "trademark", 171: "acute",
+    172: "dieresis", 173: "notequal", 174: "AE", 175: "Oslash",
+    176: "infinity", 177: "plusminus", 178: "lessequal", 179: "greaterequal",
+    180: "yen", 181: "mu", 182: "partialdiff", 183: "summation",
+    184: "product", 185: "pi", 186: "integral", 187: "ordfeminine",
+    188: "ordmasculine", 189: "Omega", 190: "ae", 191: "oslash",
+    192: "questiondown", 193: "exclamdown", 194: "logicalnot",
+    195: "radical", 196: "florin", 197: "approxequal", 198: "Delta",
+    199: "guillemotleft", 200: "guillemotright", 201: "ellipsis",
+    202: "space", 203: "Agrave", 204: "Atilde", 205: "Otilde", 206: "OE",
+    207: "oe", 208: "endash", 209: "emdash", 210: "quotedblleft",
+    211: "quotedblright", 212: "quoteleft", 213: "quoteright",
+    214: "divide", 215: "lozenge", 216: "ydieresis", 217: "Ydieresis",
+    218: "fraction", 219: "currency", 220: "guilsinglleft",
+    221: "guilsinglright", 222: "fi", 223: "fl", 224: "daggerdbl",
+    225: "periodcentered", 226: "quotesinglbase", 227: "quotedblbase",
+    228: "perthousand", 229: "Acircumflex", 230: "Ecircumflex",
+    231: "Aacute", 232: "Edieresis", 233: "Egrave", 234: "Iacute",
+    235: "Icircumflex", 236: "Idieresis", 237: "Igrave", 238: "Oacute",
+    239: "Ocircumflex", 240: "apple", 241: "Ograve", 242: "Uacute",
+    243: "Ucircumflex", 244: "Ugrave", 245: "dotlessi", 246: "circumflex",
+    247: "tilde", 248: "macron", 249: "breve", 250: "dotaccent",
+    251: "ring", 252: "cedilla", 253: "hungarumlaut", 254: "ogonek",
+    255: "caron",
+})
 
 BASE_ENCODINGS = {
     "StandardEncoding": STANDARD_ENCODING,
@@ -109,6 +148,14 @@ AGL: dict[str, str] = {
     "OE": "Œ", "oe": "œ", "Scaron": "Š", "scaron": "š",
     "Ydieresis": "Ÿ", "fi": "ﬁ", "fl": "ﬂ",
     "dotlessi": "ı", "lslash": "ł", "Lslash": "Ł",
+    # math/symbol names used by the MacRoman high range (AGL 2.0)
+    "notequal": "≠", "infinity": "∞", "lessequal": "≤",
+    "greaterequal": "≥", "partialdiff": "∂", "summation": "∑",
+    "product": "∏", "pi": "π", "integral": "∫", "Omega": "Ω",
+    "radical": "√", "approxequal": "≈", "Delta": "∆", "divide": "÷",
+    "multiply": "×", "lozenge": "◊", "fraction": "⁄", "apple": "",
+    "breve": "˘", "dotaccent": "˙", "ring": "˚", "hungarumlaut": "˝",
+    "ogonek": "˛", "caron": "ˇ", "minus": "−", "nbspace": " ",
 }
 for _c in range(65, 91):
     AGL[chr(_c)] = chr(_c)

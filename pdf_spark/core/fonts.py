@@ -32,6 +32,7 @@ from pdf_spark.core.cmap import CMap, get_predefined_cmap, parse_cmap
 from pdf_spark.core.encodings import BASE_ENCODINGS, STANDARD_ENCODING, glyph_name_to_unicode
 from pdf_spark.core.errors import INCORRECT_TYPE, UNSUPPORTED_FONT, PdfError
 from pdf_spark.core.objects import Name, Stream
+from pdf_spark.core.sfnt import parse_sfnt_cmaps
 
 DEFAULT_WIDTH = 500.0  # flat fallback (divergence, see module docstring)
 SIMPLE_SUBTYPES = ("Type1", "TrueType", "MMType1", "Type3")
@@ -47,6 +48,7 @@ class Font:
         "encoding_cmap", "to_unicode",
         "code_to_name", "first_char", "widths", "missing_width",
         "cid_widths", "default_width", "cid_to_gid", "decode_memo",
+        "symbolic", "sfnt",
     )
 
     def __init__(self) -> None:
@@ -62,6 +64,8 @@ class Font:
         self.cid_widths: dict[int, float] = {}
         self.default_width = 1000.0  # DW default (spec + font_widths.c)
         self.cid_to_gid: Optional[bytes] = None  # None = Identity
+        self.symbolic = False  # FontDescriptor Flags bit 3 (value 4)
+        self.sfnt = None  # parsed FontFile2 cmaps (core/sfnt.py), if any
         # per-code (text, width) memo filled lazily by the interpreter's
         # span emitter — decode/width are pure per font, so one dict lookup
         # replaces the per-glyph call chain on the hot path
@@ -93,19 +97,51 @@ class Font:
             if u is not None:
                 return u
         if not self.is_type0:
+            # symbolic fonts bypass the standard encodings and decode via
+            # the embedded program (reference render/font.c:140-186 prefers
+            # the font cmap for symbolic TrueType; extraction inverts it)
+            if self.symbolic and self.sfnt is not None:
+                u = self.sfnt.decode_code(code)
+                if u is not None:
+                    return u
             name = self.code_to_name.get(code)
             if name is not None:
                 u = glyph_name_to_unicode(name)
                 if u is not None:
                     return u
-            # fallback chain: StandardEncoding -> latin-1 chr
+            # fallback chain: StandardEncoding -> sfnt cmap -> latin-1 chr
             name = STANDARD_ENCODING.get(code)
             if name is not None:
                 u = glyph_name_to_unicode(name)
                 if u is not None:
                     return u
+            if self.sfnt is not None:
+                u = self.sfnt.decode_code(code)
+                if u is not None:
+                    return u
             return chr(code)
-        return chr(self.code_to_cid(code))
+        cid = self.code_to_cid(code)
+        if self.encoding_cmap is not None and self.encoding_cmap.unicode_identity:
+            # UCS-2/UTF-16 predefined CMaps: the code IS the code point
+            return chr(code)
+        if self.sfnt is not None:
+            # CIDFontType2: CID -> GID via CIDToGIDMap (Identity when absent,
+            # cid_to_gid_map.c:10-64) -> inverse sfnt Unicode cmap
+            u = self.sfnt.decode_gid(self.cid_to_gid_lookup(cid))
+            if u is not None:
+                return u
+        return chr(cid)
+
+    def cid_to_gid_lookup(self, cid: int) -> int:
+        """CIDToGIDMap: Identity or big-endian u16 pairs
+        (cid_to_gid_map.c:10-64)."""
+        m = self.cid_to_gid
+        if m is None:
+            return cid
+        off = 2 * cid
+        if off + 1 >= len(m):
+            return 0
+        return (m[off] << 8) | m[off + 1]
 
     # -- widths (font_widths.c:15-164; render/font.c:465-517) --
 
@@ -151,6 +187,33 @@ def _parse_cid_widths(w_array: list, resolver) -> dict[int, float]:
     return out
 
 
+def _load_descriptor(f: Font, fd, resolver) -> None:
+    """FontDescriptor: MissingWidth, the Symbolic flag (Flags bit 3), and
+    the embedded TrueType program's cmap table (FontFile2) for the decode
+    fallback (render/font.c:89-248, sfnt/src/cmap.c:30-91)."""
+    if fd is None:
+        return
+    try:
+        fdd = resolver.get_dict(fd, "font descriptor")
+    except PdfError:
+        return
+    mw = resolver.resolve(fdd.get("MissingWidth"))
+    if isinstance(mw, (int, float)):
+        f.missing_width = float(mw)
+    flags = resolver.resolve(fdd.get("Flags"))
+    if isinstance(flags, int):
+        f.symbolic = bool(flags & 4)
+    try:
+        ff2 = resolver.resolve(fdd.get("FontFile2"))
+    except PdfError:
+        return
+    if isinstance(ff2, Stream):
+        try:
+            f.sfnt = parse_sfnt_cmaps(ff2.decoded(resolver))
+        except PdfError:
+            f.sfnt = None
+
+
 def load_font(font_obj, resolver) -> Font:
     """Deserialize a font dict (font.c:193-259 dispatch)."""
     d = resolver.get_dict(font_obj, "font")
@@ -193,6 +256,7 @@ def load_font(font_obj, resolver) -> Font:
         c2g = resolver.resolve(cid_font.get("CIDToGIDMap"))
         if isinstance(c2g, Stream):
             f.cid_to_gid = c2g.decoded(resolver)
+        _load_descriptor(f, cid_font.get("FontDescriptor"), resolver)
         return f
 
     if subtype in (Name(s) for s in SIMPLE_SUBTYPES):
@@ -202,15 +266,7 @@ def load_font(font_obj, resolver) -> Font:
         widths = resolver.resolve(d.get("Widths"))
         if isinstance(widths, list):
             f.widths = [float(resolver.resolve(w)) for w in widths]
-        fd = d.get("FontDescriptor")
-        if fd is not None:
-            try:
-                fdd = resolver.get_dict(fd, "font descriptor")
-                mw = resolver.resolve(fdd.get("MissingWidth"))
-                if isinstance(mw, (int, float)):
-                    f.missing_width = float(mw)
-            except PdfError:
-                pass
+        _load_descriptor(f, d.get("FontDescriptor"), resolver)
         enc = resolver.resolve(d.get("Encoding"))
         if isinstance(enc, Name):
             f.code_to_name = BASE_ENCODINGS.get(str(enc), {})

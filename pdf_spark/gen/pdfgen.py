@@ -552,6 +552,212 @@ def _extgstate_doc(lines: list[str]) -> bytes:
     return b.build(cat)
 
 
+def _content_hex_byte_lines(lines_bytes: list[bytes]) -> bytes:
+    """Tm-positioned lines shown as hex strings of pre-encoded raw bytes."""
+    ops = [b"BT", b"/F1 " + _n(FONT_SIZE) + b" Tf"]
+    for i, raw in enumerate(lines_bytes):
+        y = TOP_Y - i * LINE_HEIGHT
+        ops.append(b"1 0 0 1 " + _n(LEFT_X) + b" " + _n(y) + b" Tm")
+        ops.append(b"<" + raw.hex().encode() + b"> Tj")
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def _mini_sfnt(
+    symbol_first: int,
+    symbol_gids: list[int],
+    uni_seg: tuple[int, int, int],
+) -> bytes:
+    """A minimal TrueType program containing ONLY a cmap table: a (1,0)
+    format-6 symbol subtable (firstCode + gid run) and a (3,1) format-4
+    Unicode subtable with one delta segment ``(start, end, delta)``. The
+    engine's sfnt reader touches nothing but cmap, so no glyf/head tables
+    are needed."""
+    import struct
+
+    fmt6 = struct.pack(
+        ">HHHHH", 6, 10 + 2 * len(symbol_gids), 0, symbol_first, len(symbol_gids)
+    ) + b"".join(struct.pack(">H", g) for g in symbol_gids)
+    s, e, d = uni_seg
+    fmt4 = struct.pack(
+        ">HHHHHHH", 4, 32, 0, 4, 4, 1, 0
+    ) + struct.pack(">HH", e, 0xFFFF)      # endCode[2]
+    fmt4 += struct.pack(">H", 0)            # reservedPad
+    fmt4 += struct.pack(">HH", s, 0xFFFF)   # startCode[2]
+    fmt4 += struct.pack(">HH", d & 0xFFFF, 1)  # idDelta[2]
+    fmt4 += struct.pack(">HH", 0, 0)        # idRangeOffset[2]
+    # cmap: header + 2 encoding records + subtables
+    sub1_off = 4 + 8 * 2
+    sub2_off = sub1_off + len(fmt6)
+    cmap = struct.pack(">HH", 0, 2)
+    cmap += struct.pack(">HHI", 1, 0, sub1_off)
+    cmap += struct.pack(">HHI", 3, 1, sub2_off)
+    cmap += fmt6 + fmt4
+    # sfnt wrapper: offset table + one table record
+    header = struct.pack(">IHHHH", 0x00010000, 1, 16, 0, 16)
+    record = b"cmap" + struct.pack(">III", 0, 12 + 16, len(cmap))
+    return header + record + cmap
+
+
+def _truetype_symbolic_doc(lines: list[str]) -> bytes:
+    """Symbolic TrueType with NO ToUnicode/Encoding: string codes are
+    shifted (+1) so only the embedded program's (1,0) cmap -> inverse (3,1)
+    Unicode cmap chain decodes them correctly."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    # (1,0): code 0x21+k -> gid k+1 (char 0x20+k); (3,1): U+0020..7E -> gid
+    sfnt = _mini_sfnt(0x21, [k + 1 for k in range(95)], (0x20, 0x7E, -0x1F))
+    ff2 = b.add(
+        b"<</Length " + str(len(sfnt)).encode() + b"/Length1 "
+        + str(len(sfnt)).encode() + b">>\nstream\n" + sfnt + b"\nendstream"
+    )
+    fd = b.add(
+        b"<</Type/FontDescriptor/FontName/FakeSymbolic/Flags 4"
+        b"/FontFile2 " + str(ff2).encode() + b" 0 R>>"
+    )
+    font = b.add(
+        b"<</Type/Font/Subtype/TrueType/BaseFont/FakeSymbolic"
+        b"/FontDescriptor " + str(fd).encode() + b" 0 R>>"
+    )
+    shifted = [bytes((ord(c) + 1) for c in line) for line in lines]
+    cont = b.stream(_content_hex_byte_lines(shifted), filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
+def _cidfont2_sfnt_doc(lines: list[str]) -> bytes:
+    """Type0/Identity-H over CIDFontType2 with NO ToUnicode: CIDs are
+    shifted (+2), so decode must go CID -> GID (CIDToGIDMap stream) ->
+    inverse sfnt Unicode cmap."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    # cid = ord+2; gid = ord-0x1F; unicode (3,1): U+0020..7E -> gid
+    sfnt = _mini_sfnt(0xFFFE, [], (0x20, 0x7E, -0x1F))
+    max_cid = 0x7E + 2
+    c2g = bytearray(2 * (max_cid + 1))
+    for o in range(0x20, 0x7F):
+        cid = o + 2
+        gid = o - 0x1F
+        c2g[2 * cid] = gid >> 8
+        c2g[2 * cid + 1] = gid & 0xFF
+    ff2 = b.add(
+        b"<</Length " + str(len(sfnt)).encode() + b"/Length1 "
+        + str(len(sfnt)).encode() + b">>\nstream\n" + sfnt + b"\nendstream"
+    )
+    fd = b.add(
+        b"<</Type/FontDescriptor/FontName/FakeCID/Flags 4"
+        b"/FontFile2 " + str(ff2).encode() + b" 0 R>>"
+    )
+    c2g_id = b.stream(bytes(c2g))
+    cid_font = b.add(
+        b"<</Type/Font/Subtype/CIDFontType2/BaseFont/FakeCID"
+        b"/CIDSystemInfo<</Registry(Adobe)/Ordering(Identity)/Supplement 0>>"
+        b"/DW 500"
+        b"/CIDToGIDMap " + str(c2g_id).encode() + b" 0 R"
+        b"/FontDescriptor " + str(fd).encode() + b" 0 R>>"
+    )
+    font = b.add(
+        b"<</Type/Font/Subtype/Type0/BaseFont/FakeCID/Encoding/Identity-H"
+        b"/DescendantFonts[" + str(cid_font).encode() + b" 0 R]>>"
+    )
+    coded = [
+        b"".join((ord(c) + 2).to_bytes(2, "big") for c in line) for line in lines
+    ]
+    cont = b.stream(_content_hex_byte_lines(coded), filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
+def _type0_predefined_doc(lines: list[str]) -> bytes:
+    """Type0 with the predefined /UniJIS-UCS2-H CMap and NO ToUnicode:
+    2-byte codes ARE the Unicode code points (decode must use the CMap's
+    unicode-identity property; widths come from the ASCII CID run 1..95)."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    cid_font = b.add(
+        b"<</Type/Font/Subtype/CIDFontType0/BaseFont/FakeMincho"
+        b"/CIDSystemInfo<</Registry(Adobe)/Ordering(Japan1)/Supplement 7>>"
+        b"/DW 1000/W[1 95 500]>>"
+    )
+    font = b.add(
+        b"<</Type/Font/Subtype/Type0/BaseFont/FakeMincho"
+        b"/Encoding/UniJIS-UCS2-H"
+        b"/DescendantFonts[" + str(cid_font).encode() + b" 0 R]>>"
+    )
+    coded = [
+        b"".join(ord(c).to_bytes(2, "big") for c in line) for line in lines
+    ]
+    cont = b.stream(_content_hex_byte_lines(coded), filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
+# MacRoman high-range bytes used by the macroman_high variant
+_MACROMAN_SUBST = {"a": (0x87, "á"), "e": (0x8E, "é")}
+
+
+def _macroman_doc(lines: list[str]) -> bytes:
+    """Simple font with /MacRomanEncoding: 'a'/'e' are written as the
+    high-range codes 0x87 (aacute) / 0x8E (eacute) — decode requires the
+    full MacRoman 128-255 table + AGL."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(
+        b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica"
+        b"/Encoding/MacRomanEncoding>>"
+    )
+    coded = [
+        bytes(
+            _MACROMAN_SUBST[c][0] if c in _MACROMAN_SUBST else ord(c)
+            for c in line
+        )
+        for line in lines
+    ]
+    cont = b.stream(_content_hex_byte_lines(coded), filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
 def _xref_stream_rows(entries: list[tuple[int, int, int]]) -> bytes:
     """Pack ``(type, a, b)`` rows with W=[1,4,2] big-endian fields."""
     rows = bytearray()
@@ -723,6 +929,10 @@ _GOOD_VARIANTS = [
     ("objstm", lambda L: _objstm_doc(L)),
     ("inline_image", lambda L: _simple_doc(L, _content_inline_image, filters="FlateDecode")),
     ("extgstate_font", lambda L: _extgstate_doc(L)),
+    ("type0_predefined_cmap", lambda L: _type0_predefined_doc(L)),
+    ("truetype_symbolic", lambda L: _truetype_symbolic_doc(L)),
+    ("cidfont2_sfnt", lambda L: _cidfont2_sfnt_doc(L)),
+    ("macroman_high", lambda L: _macroman_doc(L)),
 ]
 
 # corrupt variants: (name, payload builder, expected error_code)
@@ -781,6 +991,13 @@ def _expected_text(lines: list[str], variant_name: str) -> str:
     if variant_name == "truetype_widths":
         # Differences remap: A -> Adieresis, a -> aacute
         lines = [l.replace("A", "Ä").replace("a", "á") for l in lines]
+    elif variant_name == "macroman_high":
+        lines = [
+            "".join(
+                _MACROMAN_SUBST[c][1] if c in _MACROMAN_SUBST else c for c in l
+            )
+            for l in lines
+        ]
     return "\n".join(lines)
 
 

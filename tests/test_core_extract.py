@@ -207,3 +207,82 @@ def test_skip_inline_image_edges():
     # bare EI outside a BI section is still the reference's error class
     with pytest.raises(PdfError):
         parse_content_stream(b"(x) Tj EI")
+
+
+class TestSfntCmap:
+    def test_format_0(self):
+        import struct
+
+        from pdf_spark.core.sfnt import parse_sfnt_cmaps
+
+        # (1,0) format 0: byte table with gid 5 at code 65
+        table = bytearray(256)
+        table[65] = 5
+        sub = struct.pack(">HHH", 0, 262, 0) + bytes(table)
+        cmap = struct.pack(">HH", 0, 1) + struct.pack(">HHI", 1, 0, 12) + sub
+        data = (
+            struct.pack(">IHHHH", 0x00010000, 1, 16, 0, 16)
+            + b"cmap" + struct.pack(">III", 0, 28, len(cmap))
+            + cmap
+        )
+        out = parse_sfnt_cmaps(data)
+        assert out is not None and out.symbol_map[65] == 5
+
+    def test_format_4_and_6_via_mini_sfnt(self):
+        from pdf_spark.core.sfnt import parse_sfnt_cmaps
+        from pdf_spark.gen.pdfgen import _mini_sfnt
+
+        data = _mini_sfnt(0x21, [k + 1 for k in range(95)], (0x20, 0x7E, -0x1F))
+        out = parse_sfnt_cmaps(data)
+        # symbol (1,0) fmt6: code 0x41+1 -> gid of 'A' = 0x41-0x1F
+        assert out.symbol_map[0x42] == 0x41 - 0x1F + 1 - 1  # code 0x42 -> gid 0x22
+        # unicode (3,1) fmt4 delta segment + inverse
+        assert out.unicode_map[ord("A")] == ord("A") - 0x1F
+        assert out.decode_code(ord("A") + 1) == "A"
+        assert out.decode_gid(ord("z") - 0x1F) == "z"
+
+    def test_no_cmap_returns_none(self):
+        import struct
+
+        from pdf_spark.core.sfnt import parse_sfnt_cmaps
+
+        data = struct.pack(">IHHHH", 0x00010000, 1, 16, 0, 16) + b"glyf" + bytes(12)
+        assert parse_sfnt_cmaps(data) is None
+        assert parse_sfnt_cmaps(b"") is None
+
+
+class TestEncodingTables:
+    def test_macroman_high_range(self):
+        from pdf_spark.core.encodings import (
+            MAC_ROMAN_ENCODING,
+            glyph_name_to_unicode,
+        )
+
+        # spot checks against PDF 32000-1 Annex D.2
+        assert MAC_ROMAN_ENCODING[0x87] == "aacute"
+        assert MAC_ROMAN_ENCODING[0x8E] == "eacute"
+        assert MAC_ROMAN_ENCODING[0xA5] == "bullet"
+        assert MAC_ROMAN_ENCODING[0xD0] == "endash"
+        assert MAC_ROMAN_ENCODING[0xFF] == "caron"
+        assert glyph_name_to_unicode("aacute") == "á"
+        assert glyph_name_to_unicode("partialdiff") == "∂"
+        assert glyph_name_to_unicode("caron") == "ˇ"
+        # every MacRoman name must resolve through the AGL
+        for code, name in MAC_ROMAN_ENCODING.items():
+            assert glyph_name_to_unicode(name) is not None, (code, name)
+
+    def test_predefined_unicode_cmaps(self):
+        from pdf_spark.core.cmap import get_predefined_cmap
+        from pdf_spark.core.errors import PdfError
+
+        for name in (
+            "UniJIS-UCS2-H", "UniGB-UCS2-V", "UniCNS-UTF16-H",
+            "UniKS-UCS2-H", "UniKR-UTF16-V",
+        ):
+            cm = get_predefined_cmap(name)
+            assert cm.unicode_identity
+            assert cm.get_cid(0x41) == 0x41 - 0x20 + 1  # ASCII CID run
+        ident = get_predefined_cmap("Identity-H")
+        assert not ident.unicode_identity and ident.get_cid(0x1234) == 0x1234
+        with pytest.raises(PdfError):
+            get_predefined_cmap("90ms-RKSJ-H")  # legacy byte-keyed: unsupported
