@@ -254,51 +254,84 @@ _SIMHASH_SPARK = _SIMHASH_BODY.replace("{TOKFN}", "explode(split(text, ' '))")
 _SIMHASH_DUCK = _SIMHASH_BODY.replace("{TOKFN}", "unnest(string_split(text, ' '))")
 _pair("qt08_simhash", _SIMHASH_SPARK, _SIMHASH_DUCK)
 
-# -- SimHash near-dup pairs (hamming <= 3 via half-band join) ----------------
+# -- SimHash near-dup pairs: 64-bit signature, 4 x 16-bit band join ----------
+#
+# Scale cost model: a Hamming<=3 match over a 64-bit signature must agree
+# exactly on >=1 of 4 disjoint 16-bit bands (pigeonhole), so candidates per
+# band ~ N^2 / 2 / 2^16 — at N = 10^9 that is ~7.6e12 candidate pairs
+# spread over 2^16 hash-join buckets per band, each an equi-join AQE can
+# split further (per-band salting = appending a salt column to the band key
+# when one band value is hot). The previous 16-bit/8-bit-band scheme put
+# N^2/2^8 pairs in each bucket — quadratic blowup already visible at sf0.01
+# (40k pairs from 500 docs); this scheme yields only true near-dups.
+#
+# Bit j of the signature (j = 0..63) is the sign of the per-document sum of
+# bit (j%4) of hex nibble (j//4) of md5(token) — portable to DuckDB because
+# the nibble value comes from instr('0123456789abcdef', ch)-1 and the bit
+# from floor-division arithmetic. The signature is carried as four 16-bit
+# band columns b0..b3 (always positive — no BIGINT sign/shift pitfalls).
 
-# band join as UNION of two equi-joins (an OR-join would plan as a
-# nested-loop at scale; two hash joins + distinct is the 100 TB shape)
-_SIMHASH_PAIRS_MAIN = """
-WITH banded AS (
-  SELECT doc_id, simhash16,
-         CAST(simhash16 % 256 AS BIGINT) AS lo,
-         CAST(simhash16 DIV 256 AS BIGINT) AS hi
-  FROM qt09_sh
-),
-cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.simhash16 AS sig_a, b.simhash16 AS sig_b
-  FROM banded a JOIN banded b ON a.lo = b.lo AND a.doc_id < b.doc_id
-  UNION
-  SELECT a.doc_id, b.doc_id, a.simhash16, b.simhash16
-  FROM banded a JOIN banded b ON a.hi = b.hi AND a.doc_id < b.doc_id
+
+def _band_expr(k: int) -> str:
+    bits = []
+    for j in range(16):
+        g = 16 * k + j
+        nib, bit = g // 4 + 1, g % 4
+        term = (
+            f"CASE WHEN CAST(floor("
+            f"(instr('0123456789abcdef', substr(h, {nib}, 1)) - 1) "
+            f"/ {1 << bit}) AS INT) % 2 = 1 THEN 1 ELSE -1 END"
+        )
+        bits.append(f"CASE WHEN SUM({term}) > 0 THEN {1 << j} ELSE 0 END")
+    return "CAST(" + " + ".join(bits) + f" AS BIGINT) AS b{k}"
+
+
+_SIMHASH64_BODY = f"""
+SELECT doc_id,
+       {", ".join(_band_expr(k) for k in range(4))}
+FROM (
+  SELECT DISTINCT doc_id, md5(tok) AS h
+  FROM (SELECT doc_id, {{TOKFN}} AS tok FROM documents)
+  WHERE tok <> ''
 )
-SELECT doc_a, doc_b,
-       CAST(bit_count(sig_a ^ sig_b) AS INT) AS hamming
-FROM cand WHERE bit_count(sig_a ^ sig_b) <= 3
+GROUP BY doc_id
 """
-_SIMHASH_PAIRS_DUCK = f"""
-WITH sh AS ({_SIMHASH_DUCK}),
-banded AS (
-  SELECT doc_id, simhash16,
-         CAST(simhash16 % 256 AS BIGINT) AS lo,
-         CAST(simhash16 // 256 AS BIGINT) AS hi
-  FROM sh
-),
-cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.simhash16 AS sig_a, b.simhash16 AS sig_b
-  FROM banded a JOIN banded b ON a.lo = b.lo AND a.doc_id < b.doc_id
-  UNION
-  SELECT a.doc_id, b.doc_id, a.simhash16, b.simhash16
-  FROM banded a JOIN banded b ON a.hi = b.hi AND a.doc_id < b.doc_id
+_SIMHASH64_SPARK = _SIMHASH64_BODY.replace("{TOKFN}", "explode(split(text, ' '))")
+_SIMHASH64_DUCK = _SIMHASH64_BODY.replace(
+    "{TOKFN}", "unnest(string_split(text, ' '))"
 )
-SELECT doc_a, doc_b,
-       CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
-FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+
+_HAMMING_SPARK = " + ".join(
+    f"bit_count(a.b{k} ^ b.b{k})" for k in range(4)
+)
+_HAMMING_DUCK = " + ".join(
+    f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(4)
+)
+
+
+def _simhash_pairs_main(table: str, hamming: str, with_prefix: str = "WITH") -> str:
+    joins = "\n  UNION\n".join(
+        f"""  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         {hamming} AS hamming
+  FROM {table} a JOIN {table} b
+    ON a.b{k} = b.b{k} AND a.doc_id < b.doc_id"""
+        for k in range(4)
+    )
+    return f"""
+{with_prefix} cand AS (
+{joins}
+)
+SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+FROM cand WHERE hamming <= 3
 """
+
+
+_SIMHASH_PAIRS_MAIN = _simhash_pairs_main("qt09_sh", _HAMMING_SPARK)
+_SIMHASH_PAIRS_DUCK = f"WITH sh AS ({_SIMHASH64_DUCK})" + _simhash_pairs_main(
+    "sh", _HAMMING_DUCK, with_prefix=","
+)
 _pair_staged(
-    "qt09_simhash_near_pairs", "qt09_sh", _SIMHASH_SPARK, _SIMHASH_PAIRS_MAIN,
+    "qt09_simhash_near_pairs", "qt09_sh", _SIMHASH64_SPARK, _SIMHASH_PAIRS_MAIN,
     _SIMHASH_PAIRS_DUCK,
 )
 
