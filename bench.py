@@ -47,8 +47,14 @@ def build_corpus(spark, sf_dir: str, target_docs: int) -> str:
 
     from pdf_spark.gen.corpus import pages_from_documents
 
+    from pdf_spark.gen.pdfgen import N_VARIANTS
+
+    # variant count in the cache key: a new generator variant invalidates
+    # the cached corpus automatically
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(REPO, "data", "bench_pages", f"{tag}_n{target_docs}")
+    out = os.path.join(
+        REPO, "data", "bench_pages", f"{tag}_n{target_docs}_v{N_VARIANTS}"
+    )
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out

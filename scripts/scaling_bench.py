@@ -144,8 +144,13 @@ class Worker:
 
 
 def ensure_corpus(sf_dir: str, target: int) -> str:
+    sys.path.insert(0, REPO)
+    from pdf_spark.gen.pdfgen import N_VARIANTS  # keep path in sync w/ bench.py
+
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(REPO, "data", "bench_pages", f"{tag}_n{target}")
+    out = os.path.join(
+        REPO, "data", "bench_pages", f"{tag}_n{target}_v{N_VARIANTS}"
+    )
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
     env = dict(
