@@ -60,23 +60,26 @@ def build_corpus(spark, sf_dir: str, target_docs: int) -> str:
         return out
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = docs.count()
-    reps = max(1, (target_docs + n - 1) // n)
-    # replicate with distinct ids: id' = doc_id * reps + r (keeps generator
-    # variant mix uniform and urls unique)
+    # Drive replication from spark.range(target): the range source is
+    # parallel by construction and the small documents table broadcasts, so
+    # id generation, text lookup AND the expensive PDF build all fan out
+    # across ~8*cores partitions. (The previous docs-side crossJoin +
+    # .limit() inherited the single-file table's ONE partition and
+    # serialized the whole generation on one task.)
+    src = F.broadcast(docs.select(F.col("doc_id").alias("src_id"), "text"))
     replicated = (
-        docs.select("doc_id", "text")
-        .crossJoin(spark.range(reps).withColumnRenamed("id", "rep"))
-        .select(
-            (F.col("doc_id") * reps + F.col("rep")).alias("doc_id"), "text"
-        )
-        .limit(target_docs)
+        spark.range(0, target_docs, 1, max(256, CPUS * 8))
+        .withColumnRenamed("id", "doc_id")
+        .join(src, F.col("doc_id") % n == F.col("src_id"))
+        .select("doc_id", "text")
     )
     pages = pages_from_documents(replicated)
     # many small-ish files: parse is ~1 s/MB/core, so ~2 MB files give
     # ~2-4 s tasks and many scheduling waves per core at any cluster size
     # (parquet row groups bound split granularity, so file count is the
-    # real knob, not maxPartitionBytes)
-    pages.repartition(max(256, CPUS * 8)).write.mode("overwrite").parquet(out)
+    # real knob, not maxPartitionBytes). The range partitioning above
+    # already yields that file count — no post-generation shuffle needed.
+    pages.write.mode("overwrite").parquet(out)
     return out
 
 
