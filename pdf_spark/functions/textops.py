@@ -176,16 +176,26 @@ _pair("qt05_minhash_signatures", _MINHASH_SPARK, _MINHASH_DUCK)
 
 # -- LSH candidate pairs ------------------------------------------------------
 
-_LSH_MAIN = """
+# Banding: b bands of r rows — candidate iff SOME band matches entirely
+# (probability 1-(1-s^r)^b for Jaccard s). Two bands (h0,h1) and (h2,h3)
+# as a UNION of equi-joins: each band is a plain hash join on a 64-bit-ish
+# key, AQE-skew-splittable; at 10^12 docs a hot band value (boilerplate
+# pages) additionally gets a salt column appended to the band key. A
+# single-band join (the previous shape) misses near-dups whose first two
+# minhashes differ — recall, not just scale, is why banding exists.
+_LSH_BODY = """
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM qt06_sigs a JOIN qt06_sigs b
+FROM {T} a JOIN {T} b
   ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+UNION
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM {T} a JOIN {T} b
+  ON a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id
 """
+_LSH_MAIN = _LSH_BODY.replace("{T}", "qt06_sigs")
 _LSH_DUCK = f"""
 WITH sigs AS ({_MINHASH_DUCK})
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM sigs a JOIN sigs b
-  ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+{_LSH_BODY.replace("{T}", "sigs")}
 """
 _pair_staged(
     "qt06_minhash_lsh_pairs", "qt06_sigs", _MINHASH_SPARK, _LSH_MAIN, _LSH_DUCK
