@@ -35,6 +35,33 @@ from pdf_spark.core.objects import Name, Stream
 from pdf_spark.core.sfnt import parse_sfnt_cmaps
 
 DEFAULT_WIDTH = 500.0  # flat fallback (divergence, see module docstring)
+
+# Executor-level asset caches: real corpora repeat the same embedded
+# ToUnicode CMaps and font programs across millions of documents, and both
+# parses are pure functions of the decoded bytes (the reference keeps the
+# same memo for named CMaps, cmap.c:658-689). Bounded so adversarial
+# corpora cannot grow them without limit.
+_CMAP_CACHE: dict[bytes, object] = {}
+_SFNT_CACHE: dict[bytes, object] = {}
+_ASSET_CACHE_MAX = 256
+
+
+def _parse_cmap_cached(data: bytes):
+    cm = _CMAP_CACHE.get(data)
+    if cm is None:
+        cm = parse_cmap(data)
+        if len(_CMAP_CACHE) < _ASSET_CACHE_MAX:
+            _CMAP_CACHE[data] = cm
+    return cm
+
+
+def _parse_sfnt_cached(data: bytes):
+    if data in _SFNT_CACHE:
+        return _SFNT_CACHE[data]
+    out = parse_sfnt_cmaps(data)
+    if len(_SFNT_CACHE) < _ASSET_CACHE_MAX:
+        _SFNT_CACHE[data] = out
+    return out
 SIMPLE_SUBTYPES = ("Type1", "TrueType", "MMType1", "Type3")
 
 
@@ -209,7 +236,7 @@ def _load_descriptor(f: Font, fd, resolver) -> None:
         return
     if isinstance(ff2, Stream):
         try:
-            f.sfnt = parse_sfnt_cmaps(ff2.decoded(resolver))
+            f.sfnt = _parse_sfnt_cached(ff2.decoded(resolver))
         except PdfError:
             f.sfnt = None
 
@@ -226,7 +253,7 @@ def load_font(font_obj, resolver) -> Font:
 
     tu = resolver.resolve(d.get("ToUnicode"))
     if isinstance(tu, Stream):
-        f.to_unicode = parse_cmap(tu.decoded(resolver))
+        f.to_unicode = _parse_cmap_cached(tu.decoded(resolver))
 
     if subtype == Name("Type0"):
         f.is_type0 = True
@@ -234,7 +261,7 @@ def load_font(font_obj, resolver) -> Font:
         if isinstance(enc, Name):
             f.encoding_cmap = get_predefined_cmap(str(enc))
         elif isinstance(enc, Stream):
-            f.encoding_cmap = parse_cmap(enc.decoded(resolver))
+            f.encoding_cmap = _parse_cmap_cached(enc.decoded(resolver))
         else:
             raise PdfError(UNSUPPORTED_FONT, "Type0 font without Encoding")
         desc_fonts = resolver.resolve(d.get("DescendantFonts"))

@@ -32,6 +32,7 @@ real-world corpora, each flagged in SURVEY.md §2.2): ``Tz Tr Ts ' "``.
 
 from __future__ import annotations
 
+import re
 from typing import Any, Optional
 
 from pdf_spark.core.content import parse_content_stream
@@ -69,6 +70,34 @@ def _x_shift(tx: float, n: Mat) -> Mat:
     everywhere downstream (sort keys, line grouping)."""
     a2, b2, c2, d2, e2, f2 = n
     return (a2, b2, c2, d2, tx * a2 + e2, tx * b2 + f2)
+
+
+_SURROGATE_RE = re.compile("[\ud800-\udfff]")
+
+
+def _fix_surrogates(text: str) -> str:
+    """Make span text valid Unicode: combine UTF-16 surrogate PAIRS (a
+    predefined UTF16 CMap yields an astral char as two 2-byte codes, each
+    decoded to one surrogate) and replace unpaired surrogates with U+FFFD.
+
+    This is a task-survival requirement, not cosmetics: Arrow serializes
+    span text as UTF-8, which rejects lone surrogates — without this, one
+    adversarial document (e.g. Identity-H with CIDs in 0xD800-DFFF) would
+    crash the Python worker instead of becoming an error/replacement row.
+    """
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        o = ord(text[i])
+        if 0xD800 <= o <= 0xDBFF and i + 1 < n:
+            lo = ord(text[i + 1])
+            if 0xDC00 <= lo <= 0xDFFF:
+                out.append(chr(0x10000 + ((o - 0xD800) << 10) + (lo - 0xDC00)))
+                i += 2
+                continue
+        out.append("�" if 0xD800 <= o <= 0xDFFF else text[i])
+        i += 1
+    return "".join(out)
 
 
 class Span:
@@ -277,6 +306,8 @@ class Interpreter:
                 # tx = (w0/1000·Tfs + Tc)·Th ; Tw never applied (parity)
                 adv += (entry[1] / 1000.0 * fs + tc) * th
             text = "".join(chars)
+            if _SURROGATE_RE.search(text):
+                text = _fix_surrogates(text)
             if text:
                 self.spans.append(
                     Span(

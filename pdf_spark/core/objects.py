@@ -50,8 +50,23 @@ DELIMITERS = b"()<>[]{}/%"
 
 # whitespace run, optionally interleaved with %-comments
 _WS_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
+_WS_OR_PCT = frozenset(b"\x00\t\n\x0c\r %")
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 _INT_RE = re.compile(rb"\d+")
+# `id gen R` in one shot (the R must be its own token); used for the
+# backtracking indirect-ref probe so a failed probe costs one C-level match
+_REF_RE = re.compile(
+    rb"(\d+)(?:[\x00\t\n\x0c\r ]|%[^\r\n]*[\r\n])+(\d+)"
+    rb"(?:[\x00\t\n\x0c\r ]|%[^\r\n]*[\r\n])+R"
+    rb"(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])"
+)
+# `id gen obj` header in one shot
+_INDOBJ_RE = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]|%[^\r\n]*[\r\n])*(\d+)"
+    rb"(?:[\x00\t\n\x0c\r ]|%[^\r\n]*[\r\n])+(\d+)"
+    rb"(?:[\x00\t\n\x0c\r ]|%[^\r\n]*[\r\n])+obj"
+    rb"(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])"
+)
 # run of regular characters (not whitespace, not delimiter)
 _REG_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
 _HEX_RE = re.compile(rb"[0-9a-fA-F]")
@@ -148,15 +163,26 @@ PDF_NULL = None
 # -- parser -------------------------------------------------------------------
 
 
+_NAME_CACHE: dict[bytes, Name] = {}
+
+
 def decode_name_bytes(raw: bytes) -> Name:
     """Decode a name token body (after ``/``) with ``#xx`` escapes
     (object.c:554-651); shared by the recursive parser and the
-    content-stream scanner."""
+    content-stream scanner. Decoded names are interned in a bounded
+    module-level cache — the same few names (Type, Page, Font, ...) occur
+    in every document of a batch."""
+    cached = _NAME_CACHE.get(raw)
+    if cached is not None:
+        return cached
     if b"#" not in raw:
         try:
-            return Name(raw.decode("ascii"))
+            name = Name(raw.decode("ascii"))
         except UnicodeDecodeError:
             raise PdfError(NAME_BAD_CHAR_CODE, "non-ascii in name") from None
+        if len(_NAME_CACHE) < 4096:
+            _NAME_CACHE[raw] = name
+        return name
     out = bytearray()
     i = 0
     while i < len(raw):
@@ -198,9 +224,9 @@ class ObjectParser:
     # -- cursor helpers --
 
     def skip_ws(self) -> None:
-        m = _WS_RE.match(self.buf, self.pos)
-        if m:
-            self.pos = m.end()
+        buf, pos = self.buf, self.pos
+        if pos < len(buf) and buf[pos] in _WS_OR_PCT:
+            self.pos = _WS_RE.match(buf, pos).end()
 
     def at_end(self) -> bool:
         self.skip_ws()
@@ -279,43 +305,24 @@ class ObjectParser:
     # -- indirect ref backtrack (object.c:94-114, 851-926) --
 
     def _try_parse_ref(self) -> Optional[Ref]:
-        """Try ``id gen R``; on failure restore position (bounded backtrack)."""
-        saved = self.pos
-        m1 = _INT_RE.match(self.buf, self.pos)
-        if not m1:
+        """Try ``id gen R``; on failure restore position (bounded backtrack).
+        One compiled regex replaces the int/ws/int/ws/R probe chain."""
+        m = _REF_RE.match(self.buf, self.pos)
+        if m is None:
             return None
-        self.pos = m1.end()
-        self.skip_ws()
-        m2 = _INT_RE.match(self.buf, self.pos)
-        if not m2:
-            self.pos = saved
-            return None
-        self.pos = m2.end()
-        self.skip_ws()
-        if self.buf.startswith(b"R", self.pos) and (
-            self.pos + 1 >= len(self.buf)
-            or self.buf[self.pos + 1] in WHITESPACE
-            or self.buf[self.pos + 1] in DELIMITERS
-        ):
-            self.pos += 1
-            return Ref(int(m1.group()), int(m2.group()))
-        self.pos = saved
-        return None
+        self.pos = m.end()
+        return Ref(int(m.group(1)), int(m.group(2)))
 
     def parse_indirect_object(self) -> IndirectObject:
         """``id gen obj <value> [stream] endobj`` at the current offset."""
-        self.skip_ws()
-        m1 = _INT_RE.match(self.buf, self.pos)
-        if not m1:
-            raise PdfError(INVALID_OBJECT, "indirect object: missing id")
-        self.pos = m1.end()
-        self.skip_ws()
-        m2 = _INT_RE.match(self.buf, self.pos)
-        if not m2:
-            raise PdfError(INVALID_OBJECT, "indirect object: missing gen")
-        self.pos = m2.end()
-        self.skip_ws()
-        self.expect_keyword(b"obj")
+        m = _INDOBJ_RE.match(self.buf, self.pos)
+        if m is None:
+            # re-run the verbose path for the precise error message
+            self.skip_ws()
+            if not _INT_RE.match(self.buf, self.pos):
+                raise PdfError(INVALID_OBJECT, "indirect object: missing id")
+            raise PdfError(INVALID_OBJECT, "indirect object: malformed header")
+        self.pos = m.end()
         value = self.parse_object()
         self.skip_ws()
         # endobj is optional-lenient in many real files; the reference expects
@@ -325,7 +332,7 @@ class ObjectParser:
             self.expect_keyword(b"endobj")
         else:
             raise PdfError(INVALID_OBJECT, "indirect object: missing endobj")
-        return IndirectObject(int(m1.group()), int(m2.group()), value)
+        return IndirectObject(int(m.group(1)), int(m.group(2)), value)
 
     # -- strings (object.c:348-467) --
 

@@ -286,3 +286,46 @@ class TestEncodingTables:
         assert not ident.unicode_identity and ident.get_cid(0x1234) == 0x1234
         with pytest.raises(PdfError):
             get_predefined_cmap("90ms-RKSJ-H")  # legacy byte-keyed: unsupported
+
+
+def test_surrogate_codes_never_leak_invalid_unicode():
+    """Identity-H CIDs (or UTF16 CMap codes) in the surrogate range must
+    yield Arrow-serializable text: pairs combine into the astral char,
+    lone surrogates become U+FFFD. A lone surrogate in span text would
+    crash the UTF-8 Arrow boundary — a task failure, not an error row."""
+    from pdf_spark.gen.pdfgen import PdfBuilder
+
+    def type0_doc(hexcodes: bytes) -> bytes:
+        b = PdfBuilder()
+        cat = b.reserve()
+        pages = b.reserve()
+        page = b.reserve()
+        cid_font = b.add(
+            b"<</Type/Font/Subtype/CIDFontType0/BaseFont/X"
+            b"/CIDSystemInfo<</Registry(Adobe)/Ordering(Identity)"
+            b"/Supplement 0>>/DW 500>>"
+        )
+        font = b.add(
+            b"<</Type/Font/Subtype/Type0/BaseFont/X/Encoding/Identity-H"
+            b"/DescendantFonts[" + str(cid_font).encode() + b" 0 R]>>"
+        )
+        cont = b.stream(b"BT /F1 12 Tf 72 700 Td <" + hexcodes + b"> Tj ET")
+        b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+        b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+        b.set(
+            page,
+            b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+            b"/MediaBox[0 0 612 792]"
+            b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+            b"/Contents " + str(cont).encode() + b" 0 R>>",
+        )
+        return b.build(cat)
+
+    # valid pair D800 DC01 -> U+10001; lone high D800 + BMP char
+    text, status, _, _, _ = extract_text(type0_doc(b"D800DC01"))
+    assert status == "ok" and text == "\U00010001"
+    text2, status2, _, _, _ = extract_text(type0_doc(b"D8000041"))
+    assert status2 == "ok" and text2 == "�A"
+    # both must round-trip through UTF-8 (the Arrow requirement)
+    for t in (text, text2):
+        t.encode("utf-8")
