@@ -191,3 +191,58 @@ QUERIES["qx03_span_geometry"] = _qx03
 ORACLE["qx03_span_geometry"] = (
     "SELECT doc_id, CAST('t' AS BOOLEAN) AS ok FROM documents"
 )
+
+_VARIANT_SCHEMA = StructType(
+    [
+        StructField("variant", StringType()),
+        StructField("n", LongType()),
+        StructField("n_ok", LongType()),
+    ]
+)
+
+
+def _qx04(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-variant roundtrip histogram: every generator variant class
+    (classic/xref-stream/objstm layouts, filter chains, font/CMap paths,
+    inline images, ExtGState...) must extract its expected text for every
+    document — the oracle computes the variant histogram arithmetically
+    from doc_id % N_VARIANTS and asserts n_ok == n."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+
+    def per_variant(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = {"variant": [], "n": [], "n_ok": []}
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                variant = int(doc_id) % N_VARIANTS
+                pdf, expected, vname, _ = generate_doc(text or "", variant)
+                r = extract_document(pdf)
+                got = assemble_text(r.spans) if r.ok else None
+                rows["variant"].append(vname)
+                rows["n"].append(1)
+                rows["n_ok"].append(int(bool(r.ok and got == expected)))
+            yield pd.DataFrame(rows)
+
+    return (
+        docs.mapInPandas(per_variant, _VARIANT_SCHEMA)
+        .groupBy("variant")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("n_ok").cast("long").alias("n_ok"),
+        )
+    )
+
+
+def _variant_case_sql() -> str:
+    whens = "\n         ".join(
+        f"WHEN {i} THEN '{name}'" for i, (name, _) in enumerate(_GOOD_VARIANTS)
+    )
+    return f"CASE doc_id % {N_VARIANTS}\n         {whens}\n       END"
+
+
+QUERIES["qx04_variant_coverage"] = _qx04
+ORACLE["qx04_variant_coverage"] = f"""
+SELECT {_variant_case_sql()} AS variant,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_ok
+FROM documents GROUP BY 1
+"""
