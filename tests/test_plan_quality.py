@@ -1,0 +1,88 @@
+"""Physical-plan regression guards (scale contract, SURVEY.md §4).
+
+These assert the *shape* of the plans Catalyst produces, not results:
+- the extraction pipeline must stay a zero-exchange narrow map with a
+  column-pruned scan (url, html only);
+- small-dimension joins must stay broadcast (no SortMergeJoin creep);
+- predicate pushdown must reach the parquet scan.
+
+A regression here is invisible to correctness tests but catastrophic at
+corpus scale, so it gets its own failing test.
+"""
+
+import re
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    from pdf_spark.gen.corpus import rows_for_texts
+
+    out = str(tmp_path_factory.mktemp("plans") / "pages")
+    df = spark.createDataFrame(
+        pd.DataFrame(rows_for_texts([f"plan audit doc {i}" for i in range(64)]))
+    )
+    df.write.parquet(out)
+    return out
+
+
+def test_extraction_plan_is_narrow_and_pruned(spark, pages_parquet):
+    from pdf_spark.operators.extract import extract_docs_text
+
+    pages = spark.read.parquet(pages_parquet)
+    plan = _plan(spark, extract_docs_text(pages))
+    assert "Exchange" not in plan, "extraction must stay shuffle-free"
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    cols = {c.split(":")[0] for c in schemas[0].split(",")}
+    assert cols == {"url", "html"}, f"scan not pruned: {cols}"
+
+
+def test_dim_joins_stay_broadcast(spark):
+    from pdf_spark.functions.registry import all_queries
+
+    q = all_queries()
+    sf = "/root/testdata/sf0.001"
+    for name in ("qr03_broadcast_join_segment", "qr04_multiway_dim_join"):
+        plan = _plan(spark, q[name](spark, sf))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, f"{name}: dim join degraded to SMJ"
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    sf = "/root/testdata/sf0.001"
+    df = (
+        spark.read.parquet(f"{sf}/customer.parquet")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    plan = _plan(spark, df)
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(c_mktsegment,BUILDING\)", plan)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in schemas[0].split(",")}
+    assert "c_acctbal" not in cols, "projection not pruned"
+
+
+def test_lsh_band_joins_reuse_persisted_stage(spark):
+    """The staged signature table must feed every band join from cache —
+    re-deriving it per band would multiply the aggregation cost by the
+    band count (the Catalyst CTE-inlining trap)."""
+    from pdf_spark.functions.registry import all_queries
+
+    q = all_queries()
+    plan = _plan(
+        spark, q["qt06_minhash_lsh_pairs"](spark, "/root/testdata/sf0.001")
+    )
+    assert plan.count("InMemoryTableScan") >= 4  # 2 bands x 2 join sides
