@@ -345,6 +345,62 @@ _pair_staged(
     _SIMHASH_PAIRS_DUCK,
 )
 
+# -- LSH candidates -> exact Jaccard verification (the full dedup shape) ------
+#
+# The production near-dup pipeline is candidates-then-verify: the banded
+# MinHash join proposes O(near-dups) pairs, and only those pairs pay the
+# exact token-set Jaccard. The candidate set is tiny relative to N, so the
+# verify join broadcasts it against the token table — never an all-pairs
+# product. Threshold 0.5 keeps true near-dups.
+
+_QT11_CAND = _LSH_BODY.replace("{T}", "qt11_sigs")
+_QT11_VERIFY = """
+WITH cand AS ({CAND}),
+tok_counts AS (SELECT doc_id, COUNT(*) AS n FROM {TOKS} GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+  FROM cand c
+  JOIN {TOKS} ta ON ta.doc_id = c.doc_a
+  JOIN {TOKS} tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT s.doc_a, s.doc_b,
+       ROUND(CAST(s.n_shared AS DOUBLE)
+             / (ca.n + cb.n - s.n_shared), 4) AS jaccard
+FROM shared s
+JOIN tok_counts ca ON ca.doc_id = s.doc_a
+JOIN tok_counts cb ON cb.doc_id = s.doc_b
+WHERE CAST(s.n_shared AS DOUBLE) / (ca.n + cb.n - s.n_shared) >= 0.5
+"""
+
+
+def _qt11(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    for view, sql in (("qt11_sigs", _MINHASH_SPARK), ("qt11_toks", _TOKS_STAGE)):
+        prev = _STAGED_CACHE.pop(view, None)
+        if prev is not None:
+            prev.unpersist()
+        staged = spark.sql(sql)
+        staged.persist()
+        staged.createOrReplaceTempView(view)
+        _STAGED_CACHE[view] = staged
+    return spark.sql(
+        _QT11_VERIFY.replace("{CAND}", _QT11_CAND).replace("{TOKS}", "qt11_toks")
+    )
+
+
+QUERIES["qt11_lsh_verified_dups"] = _qt11
+ORACLE["qt11_lsh_verified_dups"] = (
+    f"WITH sigs AS ({_MINHASH_DUCK}), toks AS ("
+    "SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, "
+    "unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> ''"
+    "), "
+    + _QT11_VERIFY.replace("{CAND}", _LSH_BODY.replace("{T}", "sigs"))
+    .replace("{TOKS}", "toks")
+    .replace("WITH cand", "cand")
+    .lstrip()
+)
+
 # -- document fingerprint -----------------------------------------------------
 
 # floor() because CAST(double AS BIGINT) truncates in Spark but rounds in
