@@ -506,6 +506,31 @@ def _incremental_doc(lines: list[str]) -> bytes:
     return incremental_update(base, {5: body}, prev_xref)
 
 
+def _incremental_xref_stream_doc(lines: list[str]) -> bytes:
+    """Classic base doc + an incremental update whose xref section is a
+    PDF 1.5 cross-reference STREAM with /Prev to the classic table — the
+    mixed-chain layout signed/updated real-world PDFs use. Extraction must
+    see the updated text through the stream-form section."""
+    base = _simple_doc(["placeholder text that must not appear"], _content_td_tj)
+    prev_xref = _find_startxref(base)
+    content = _content_td_tj(lines)
+    out = bytearray(base)
+    out += b"\n\n"
+    # object 5 is the content stream in _simple_doc layout
+    cont_off = len(out)
+    out += (
+        b"5 0 obj\n<</Length " + str(len(content)).encode()
+        + b">>\nstream\n" + content + b"\nendstream\nendobj\n\n"
+    )
+    # xref stream (object 6) indexes only the replaced object + itself
+    rows = [(1, cont_off, 0), (1, len(out), 0)]
+    _emit_xref_stream(
+        out, 6, rows, 1, predictor=False,
+        extra=b"/Index[5 2]/Prev " + str(prev_xref).encode(), size=7,
+    )
+    return bytes(out)
+
+
 def _content_inline_image(lines: list[str]) -> bytes:
     """Text, then a ``BI … ID <binary> EI`` inline image (with an embedded
     non-delimited ``EI`` byte pair in the data to exercise the terminator
@@ -786,8 +811,11 @@ def _emit_xref_stream(
     root_id: int,
     predictor: bool,
     extra: bytes = b"",
+    size: int | None = None,
 ) -> None:
-    """Append the ``/Type/XRef`` stream object + startxref/%%EOF tail."""
+    """Append the ``/Type/XRef`` stream object + startxref/%%EOF tail.
+    ``size`` is the document's total object count (/Size); defaults to the
+    row count, which is only correct when /Index covers [0, Size)."""
     xref_off = len(out)
     data = _xref_stream_rows(rows)
     parms = b""
@@ -798,7 +826,7 @@ def _emit_xref_stream(
     out += (
         str(xref_id).encode()
         + b" 0 obj\n<</Type/XRef/Size "
-        + str(len(rows)).encode()
+        + str(size if size is not None else len(rows)).encode()
         + b"/W[1 4 2]/Root "
         + str(root_id).encode()
         + b" 0 R"
@@ -933,6 +961,7 @@ _GOOD_VARIANTS = [
     ("truetype_symbolic", lambda L: _truetype_symbolic_doc(L)),
     ("cidfont2_sfnt", lambda L: _cidfont2_sfnt_doc(L)),
     ("macroman_high", lambda L: _macroman_doc(L)),
+    ("incremental_xref_stream", lambda L: _incremental_xref_stream_doc(L)),
 ]
 
 # corrupt variants: (name, payload builder, expected error_code)
