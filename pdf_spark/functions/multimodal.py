@@ -213,3 +213,87 @@ frames AS (
 )
 SELECT doc_id, frame_idx, frame_md5 FROM frames
 """
+
+# -- qm04: fake audio features -------------------------------------------------
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("mean_amp", IntegerType()),
+        StructField("n_hops", IntegerType()),
+    ]
+)
+
+
+def _fake_audio_features(blob: bytes) -> tuple[int, int, int, int, int]:
+    """DETERMINISTIC FAKE audio decode (no soundfile/librosa in container).
+
+    Blob layout: ``b"AUD!" + 5-digit sample rate + 6-digit sample count +
+    payload``. Features a real pipeline computes post-decode: duration,
+    mean amplitude, and the 160-sample hop-window count (the STFT frame
+    count a feature extractor would produce); a real deployment swaps this
+    body for the decoder inside the same mapInPandas batch loop.
+    """
+    if len(blob) < 15 or blob[:4] != b"AUD!":
+        raise NotImplementedError("real audio decoding is stubbed")
+    rate = int(blob[4:9])
+    n_samples = int(blob[9:15])
+    payload = blob[15:]
+    mean_amp = (sum(payload) // len(payload)) if payload else 0
+    duration_ms = n_samples * 1000 // rate
+    n_hops = -(-n_samples // 160)
+    return rate, n_samples, duration_ms, mean_amp, n_hops
+
+
+def _qm04(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    blobs = docs.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("AUD!"),
+                F.lpad((F.col("doc_id") % 3 * 8000 + 8000).cast("string"), 5, "0"),
+                F.lpad((F.col("doc_id") % 890 + 110).cast("string"), 6, "0"),
+                F.substring("text", 1, 48),
+            ),
+            "UTF-8",
+        ).alias("blob"),
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {f.name: [] for f in _AUDIO_SCHEMA.fields}
+            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+                r, n, d, m, h = _fake_audio_features(bytes(blob))
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(r)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(d)
+                out["mean_amp"].append(m)
+                out["n_hops"].append(h)
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(featurize, _AUDIO_SCHEMA)
+
+
+QUERIES["qm04_fake_audio_features"] = _qm04
+ORACLE["qm04_fake_audio_features"] = """
+WITH auds AS (
+  SELECT doc_id,
+         CAST(doc_id % 3 * 8000 + 8000 AS INT) AS sample_rate,
+         CAST(doc_id % 890 + 110 AS INT) AS n_samples,
+         substr(text, 1, 48) AS payload
+  FROM documents
+)
+SELECT doc_id, sample_rate, n_samples,
+       CAST(floor(n_samples * 1000.0 / sample_rate) AS INT) AS duration_ms,
+       CAST(floor(list_aggregate(list_transform(
+              range(1, length(payload) + 1),
+              i -> ord(substr(payload, i, 1))), 'sum')
+            / length(payload)) AS INT) AS mean_amp,
+       CAST(ceil(n_samples / 160.0) AS INT) AS n_hops
+FROM auds
+"""
