@@ -228,3 +228,46 @@ _pair(
     _IVF_BODY.replace("{EXPLODE}", _EXPLODE_SPARK),
     _IVF_BODY.replace("{EXPLODE}", _EXPLODE_DUCK),
 )
+
+# -- embedding near-dup: LSH candidates -> exact cosine verify -----------------
+#
+# The embedding analog of the MinHash candidates->verify dedup shape: the
+# SRP bucket equi-join proposes pairs (N^2/2/2^bits of the corpus, spread
+# across bucket-keyed hash-join partitions), and only candidates pay the
+# exact cosine. At 10^9 vectors this is the near-dup path that replaces
+# the all-pairs product; a hot bucket (duplicate-heavy corpora) gets AQE
+# skew-splitting on the bucket key.
+
+_NEARDUP_BODY = """
+WITH b AS (
+  SELECT vec_id, CAST({PROJ} AS INT) AS bucket FROM embeddings
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+),
+vecpos AS ({EXPLODE}),
+scored AS (
+  SELECT cd.vec_a, cd.vec_b,
+         SUM(CAST(pa.v AS DOUBLE) * CAST(pb.v AS DOUBLE))
+           / (SQRT(SUM(CAST(pa.v AS DOUBLE) * CAST(pa.v AS DOUBLE)))
+              * SQRT(SUM(CAST(pb.v AS DOUBLE) * CAST(pb.v AS DOUBLE))))
+           AS cos_sim
+  FROM cand cd
+  JOIN vecpos pa ON pa.vec_id = cd.vec_a
+  JOIN vecpos pb ON pb.vec_id = cd.vec_b AND pb.pos = pa.pos
+  GROUP BY cd.vec_a, cd.vec_b
+)
+SELECT vec_a, vec_b, ROUND(cos_sim, 4) AS sim
+FROM scored WHERE cos_sim >= 0.3
+"""
+
+_pair(
+    "qs08_lsh_cosine_neardup",
+    _NEARDUP_BODY.replace("{PROJ}", _PROJ_TERMS_SPARK).replace(
+        "{EXPLODE}", _EXPLODE_SPARK
+    ),
+    _NEARDUP_BODY.replace("{PROJ}", _PROJ_TERMS_DUCK).replace(
+        "{EXPLODE}", _EXPLODE_DUCK
+    ),
+)
