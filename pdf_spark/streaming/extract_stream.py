@@ -84,6 +84,23 @@ def stream_event_counts(
     )
 
 
+def stream_dedup_exact(
+    spark: SparkSession, pages_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup on the content fingerprint within the
+    watermark horizon (``dropDuplicatesWithinWatermark``): a re-crawled /
+    mirrored page arriving inside the horizon is dropped; state older than
+    the watermark is evicted, so dedup state stays bounded at any corpus
+    rate — the streaming twin of qt01. Returns the unstarted DataFrame."""
+    stream = read_pages_stream(spark, pages_dir)
+    return (
+        stream.withColumn("fingerprint", F.md5(F.col("html")))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .select("url", "warc_ts", "fingerprint")
+    )
+
+
 def stream_lang_running_stats(spark: SparkSession, pages_dir: str) -> DataFrame:
     """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
     running per-``lang`` document count + byte total, carried across

@@ -97,3 +97,40 @@ def test_stateful_running_lang_stats_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_stream_dedup_exact_drops_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark on the content fingerprint: duplicate
+    payloads inside the horizon are emitted once; distinct payloads all
+    survive."""
+    import os
+
+    from pdf_spark.streaming.extract_stream import stream_dedup_exact
+
+    pages_dir = str(tmp_path / "pages")
+    # same text at different indexes yields different PDFs (variant
+    # differs), so build true duplicates by repeating whole rows 4x
+    base = rows_for_texts([f"dedup stream doc {i}" for i in range(10)])
+    dup_rows = []
+    for r in base:
+        for k in range(4):
+            r2 = dict(r)
+            r2["url"] = r["url"] + f"#{k}"  # distinct urls, same payload
+            dup_rows.append(r2)
+    spark.createDataFrame(pd.DataFrame(dup_rows)).write.parquet(pages_dir)
+
+    out = stream_dedup_exact(spark, pages_dir)
+    sink = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    assert got.count() == 10  # one survivor per distinct payload
+    assert got.select("fingerprint").distinct().count() == 10
