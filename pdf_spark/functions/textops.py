@@ -413,3 +413,60 @@ SELECT doc_id,
 FROM documents
 """
 _pair("qt10_fingerprint", _FP, _FP)
+
+# -- BPE-ish regex token counting ---------------------------------------------
+#
+# qt02 counts whitespace tokens; subword tokenizers split closer to
+# letter-runs / digit-runs / single punctuation. The class
+# [A-Za-z]+|[0-9]+|single-non-alnum is the engine-portable core of that
+# behavior (identical under Java regex and RE2); counts approximate real
+# BPE token counts well enough for length filtering and cost estimation.
+
+_BPEISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+_BPEISH = """
+SELECT doc_id,
+       CAST({LEN}(regexp_extract_all(text, '{RE}', 0)) AS BIGINT)
+         AS n_subword_tokens,
+       CAST({LEN}(regexp_extract_all(text, '[A-Za-z]+', 0)) AS BIGINT)
+         AS n_word_tokens,
+       CAST({LEN}(regexp_extract_all(text, '[0-9]+', 0)) AS BIGINT)
+         AS n_number_tokens
+FROM documents
+"""
+_pair(
+    "qt12_bpeish_token_count",
+    _BPEISH.replace("{LEN}", "size").replace("{RE}", _BPEISH_RE),
+    _BPEISH.replace("{LEN}", "len").replace("{RE}", _BPEISH_RE),
+)
+
+# -- k-gram min-hash fingerprint (winnowing-style rolling fingerprint) --------
+#
+# Every 8-byte gram of the document is hashed; the lexicographic MIN of the
+# gram hashes is a content fingerprint stable under edits far from the
+# minimizing gram (the winnowing family's global-min degenerate case), and
+# the distinct-gram count is a length-normalized novelty signal. All
+# map-side: explode(k-grams) + one groupBy.
+
+_KGRAM_SPARK = """
+SELECT doc_id,
+       MIN(g) AS min_gram_fp,
+       CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct_grams
+FROM (
+  SELECT doc_id, explode(transform(sequence(1, length(text) - 7),
+                                   i -> md5(substr(text, i, 8)))) AS g
+  FROM documents WHERE length(text) >= 8
+)
+GROUP BY doc_id
+"""
+_KGRAM_DUCK = """
+SELECT doc_id,
+       MIN(g) AS min_gram_fp,
+       CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct_grams
+FROM (
+  SELECT doc_id, unnest(list_transform(range(1, length(text) - 6),
+                                       i -> md5(substr(text, i, 8)))) AS g
+  FROM documents WHERE length(text) >= 8
+)
+GROUP BY doc_id
+"""
+_pair("qt13_kgram_min_fingerprint", _KGRAM_SPARK, _KGRAM_DUCK)
