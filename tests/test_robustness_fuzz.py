@@ -51,3 +51,46 @@ def test_truncations_never_raise():
             cut = rng.randrange(len(pdf))
             r = extract_document(pdf[:cut])
             assert r.status in ("ok", "error"), (name, cut)
+
+
+def test_scanner_slow_parity_on_random_token_soup():
+    """Randomized parity: the fast scanner and the recursive-descent loop
+    must agree on arbitrary token soups — same op list, or both raise a
+    PdfError (the status-class guarantee; exact codes may differ)."""
+    import random
+
+    from pdf_spark.core.content import (
+        parse_content_stream,
+        parse_content_stream_slow,
+    )
+    from pdf_spark.core.errors import PdfError
+
+    rng = random.Random(20260817)
+    atoms = [
+        b"BT", b"ET", b"Tf", b"Td", b"TD", b"Tm", b"T*", b"Tj", b"TJ",
+        b"'", b'"', b"q", b"Q", b"cm", b"gs", b"Do", b"BX", b"EX",
+        b"re", b"W", b"n", b"sh", b"BDC", b"EMC",
+        b"/F1", b"/Name#41", b"(str)", b"(ne(st)ed)", b"(esc\\))",
+        b"<48656c>", b"<48 65 6c>", b"[", b"]", b"1", b"-2.5", b".75",
+        b"0", b"true", b"false", b"null", b"% comment\n", b"woozle",
+        b"BI", b"ID", b"EI",
+    ]
+    for trial in range(500):
+        n = rng.randrange(0, 24)
+        soup = b" ".join(rng.choice(atoms) for _ in range(n))
+        try:
+            fast = parse_content_stream(soup)
+            fast_err = None
+        except PdfError:
+            fast = None
+            fast_err = True
+        try:
+            slow = parse_content_stream_slow(soup)
+            slow_err = None
+        except PdfError:
+            slow = None
+            slow_err = True
+        if fast_err or slow_err:
+            assert fast_err and slow_err, (trial, soup, fast, slow)
+        else:
+            assert fast == slow, (trial, soup)
