@@ -75,7 +75,7 @@ class Font:
         "encoding_cmap", "to_unicode",
         "code_to_name", "first_char", "widths", "missing_width",
         "cid_widths", "default_width", "cid_to_gid", "decode_memo",
-        "symbolic", "sfnt",
+        "symbolic", "sfnt", "fast_tables",
     )
 
     def __init__(self) -> None:
@@ -97,6 +97,22 @@ class Font:
         # span emitter — decode/width are pure per font, so one dict lookup
         # replaces the per-glyph call chain on the hot path
         self.decode_memo: dict[int, tuple[str, float]] = {}
+        # (translate_map, width_by_code) for the simple-font fast path;
+        # built lazily by the interpreter after the first span shows the
+        # font is text-carrying (256 decode calls amortize immediately)
+        self.fast_tables = None
+
+    def build_fast_tables(self):
+        """Simple fonts only: full code->text translate map + 256-entry
+        width table, so the span emitter replaces its per-glyph Python loop
+        with C-level ``str.translate`` + a mapped width sum."""
+        trans = {}
+        widths = [0.0] * 256
+        for c in range(256):
+            trans[c] = self.code_to_text(c)
+            widths[c] = self.width(c)
+        self.fast_tables = (trans, widths)
+        return self.fast_tables
 
     # -- code iteration (render/font.c:29-87) --
 

@@ -276,6 +276,7 @@ class Interpreter:
         memo = font.decode_memo
         memo_get = memo.get
         is_type0 = font.is_type0
+        fast = None if is_type0 else ts.font.fast_tables
         for el in elements:
             el = self.resolver.resolve(el)
             if isinstance(el, (int, float)):
@@ -287,6 +288,35 @@ class Interpreter:
             if not el:
                 continue
             dev = mat_mul(tm, ctm)
+            if fast is not None:
+                # simple-font fast path: C-level decode + width sum
+                trans, w256 = fast
+                text = el.decode("latin-1").translate(trans)
+                adv = (
+                    sum(map(w256.__getitem__, el)) / 1000.0 * fs
+                    + len(el) * tc
+                ) * th
+                if _SURROGATE_RE.search(text):
+                    text = _fix_surrogates(text)
+                if text:
+                    self.spans.append(
+                        Span(
+                            self.page,
+                            dev[4],
+                            dev[5],
+                            self.glyph_order,
+                            text,
+                            font.base_font or ts.font_name,
+                            fs,
+                        )
+                    )
+                    self.glyph_order += len(text)
+                tm = _x_shift(adv, tm)
+                continue
+            if not is_type0 and len(memo) >= 16:
+                # text-carrying font: build the full tables once and take
+                # the fast path from the next element on
+                fast = ts.font.build_fast_tables()
             chars: list[str] = []
             adv = 0.0
             if is_type0:
