@@ -331,3 +331,45 @@ class TestXrefStreams:
         assert entries[1] == ("n", 16, 0)
         assert 2 not in entries
         assert prev is None
+
+
+class TestAdversarialXref:
+    def test_self_referencing_objstm_is_error_row(self):
+        """An xref stream claiming object N lives inside ObjStm N (itself)
+        must terminate as an error row, not hang or crash the worker."""
+        import zlib
+
+        from pdf_spark.core.extract import extract_document
+        from pdf_spark.gen.pdfgen import _emit_xref_stream
+
+        out = bytearray(b"%PDF-1.7\n\n")
+        # object 1: the catalog, claimed to live inside ObjStm 1 (itself)
+        rows = [(0, 0, 65535), (2, 1, 0), (1, len(out), 0)]
+        _emit_xref_stream(out, 2, rows, 1, predictor=False)
+        r = extract_document(bytes(out))
+        assert r.status == "error"
+
+    def test_xref_stream_prev_cycle_terminates(self):
+        """/Prev chains that cycle (stream A -> B -> A) terminate via the
+        seen-offsets guard."""
+        import zlib
+
+        from pdf_spark.core.document import Resolver
+        from pdf_spark.core.errors import PdfError
+
+        out = bytearray(b"%PDF-1.7\n\n")
+        a_off = len(out)
+        enc = zlib.compress(b"\x01" + a_off.to_bytes(4, "big") + b"\x00\x00")
+        # stream at a_off whose /Prev points back at a_off
+        out += (
+            b"1 0 obj\n<</Type/XRef/Size 2/W[1 4 2]/Root 9 0 R/Prev "
+            + str(a_off).encode() + b"/Filter/FlateDecode/Length "
+            + str(len(enc)).encode() + b">>\nstream\n" + enc
+            + b"\nendstream\nendobj\nstartxref\n" + str(a_off).encode()
+            + b"\n%%EOF"
+        )
+        try:
+            r = Resolver(bytes(out))
+            # terminated without looping; missing Root object is fine here
+        except PdfError:
+            pass
