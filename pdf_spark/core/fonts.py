@@ -39,28 +39,38 @@ DEFAULT_WIDTH = 500.0  # flat fallback (divergence, see module docstring)
 # Executor-level asset caches: real corpora repeat the same embedded
 # ToUnicode CMaps and font programs across millions of documents, and both
 # parses are pure functions of the decoded bytes (the reference keeps the
-# same memo for named CMaps, cmap.c:658-689). Bounded so adversarial
-# corpora cannot grow them without limit.
+# same memo for named CMaps, cmap.c:658-689). Keyed by the md5 DIGEST of
+# the bytes — not the bytes themselves — so the entry-count bound actually
+# bounds memory (256 distinct 10 MB font programs must not pin 2.5 GB of
+# key material per executor).
 _CMAP_CACHE: dict[bytes, object] = {}
 _SFNT_CACHE: dict[bytes, object] = {}
 _ASSET_CACHE_MAX = 256
 
 
+def _digest(data: bytes) -> bytes:
+    import hashlib
+
+    return hashlib.md5(data).digest()
+
+
 def _parse_cmap_cached(data: bytes):
-    cm = _CMAP_CACHE.get(data)
+    key = _digest(data)
+    cm = _CMAP_CACHE.get(key)
     if cm is None:
         cm = parse_cmap(data)
         if len(_CMAP_CACHE) < _ASSET_CACHE_MAX:
-            _CMAP_CACHE[data] = cm
+            _CMAP_CACHE[key] = cm
     return cm
 
 
 def _parse_sfnt_cached(data: bytes):
-    if data in _SFNT_CACHE:
-        return _SFNT_CACHE[data]
+    key = _digest(data)
+    if key in _SFNT_CACHE:
+        return _SFNT_CACHE[key]
     out = parse_sfnt_cmaps(data)
     if len(_SFNT_CACHE) < _ASSET_CACHE_MAX:
-        _SFNT_CACHE[data] = out
+        _SFNT_CACHE[key] = out
     return out
 SIMPLE_SUBTYPES = ("Type1", "TrueType", "MMType1", "Type3")
 

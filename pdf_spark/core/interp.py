@@ -360,10 +360,19 @@ class Interpreter:
         """Look the ExtGState dict up in Resources and apply the parameters
         that affect text: ``/Font [fontRef size]`` (PDF 32000-1 Table 57).
         Stroke/dash/alpha params are state the renderer applies
-        (render.c:265-287) but text bytes never see — ignored here."""
-        d = self.resolver.get_dict(
-            self._lookup(resources, "ExtGState", name), "ExtGState"
-        )
+        (render.c:265-287) but text bytes never see — ignored here.
+
+        A ``gs`` naming a MISSING ExtGState is skipped silently: the op
+        usually has no text effect, and hand-edited/merged real-world PDFs
+        drop the resource often enough that erroring the whole document
+        would lose text for nothing (same leniency direction as the
+        BI..EI skip). A present-but-malformed /Font still errors."""
+        try:
+            d = self.resolver.get_dict(
+                self._lookup(resources, "ExtGState", name), "ExtGState"
+            )
+        except PdfError:
+            return
         fpair = self.resolver.resolve(d.get("Font"))
         if fpair is None:
             return

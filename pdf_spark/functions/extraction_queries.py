@@ -38,6 +38,7 @@ from pdf_spark.operators.extract import extract_spans
 
 QUERIES = {}
 ORACLE = {}
+_QX03_CACHE: dict[str, DataFrame] = {}
 
 _ROUNDTRIP_SCHEMA = StructType(
     [
@@ -161,7 +162,14 @@ def _qx03(spark: SparkSession, sf: str) -> DataFrame:
                 out["n_lines"].append(len(wrap_lines(t)))
             yield pd.DataFrame(out)
 
-    pages = docs.mapInPandas(gen, _GEOM_SCHEMA)
+    # pages feeds two subtrees (spans + predicted); persist so the PDF
+    # build + deflate inside the gen UDF runs once, not once per subtree
+    # (previous invocation's cache released on re-entry)
+    prev = _QX03_CACHE.pop("pages", None)
+    if prev is not None:
+        prev.unpersist()
+    pages = docs.mapInPandas(gen, _GEOM_SCHEMA).persist()
+    _QX03_CACHE["pages"] = pages
     predicted = pages.select("url", "n_lines")
     spans = extract_spans(pages)
     w = Window.partitionBy("url").orderBy("glyph_order")

@@ -83,8 +83,10 @@ def _fake_decode(blob: bytes) -> tuple[int, int, int, int]:
         raise NotImplementedError("real image decoding is stubbed")
     width = int(blob[4:8])
     height = int(blob[8:12])
-    payload = blob[12:]
-    mean = (sum(payload) // len(payload)) if payload else 0
+    # mean over CHARACTERS (not UTF-8 bytes) — the oracle computes
+    # ord-per-char, and a multi-byte char in the payload must not diverge
+    payload = blob[12:].decode("utf-8", errors="replace")
+    mean = (sum(map(ord, payload)) // len(payload)) if payload else 0
     return width, height, 3, mean
 
 
@@ -241,8 +243,9 @@ def _fake_audio_features(blob: bytes) -> tuple[int, int, int, int, int]:
         raise NotImplementedError("real audio decoding is stubbed")
     rate = int(blob[4:9])
     n_samples = int(blob[9:15])
-    payload = blob[15:]
-    mean_amp = (sum(payload) // len(payload)) if payload else 0
+    # chars, not bytes — see _fake_decode
+    payload = blob[15:].decode("utf-8", errors="replace")
+    mean_amp = (sum(map(ord, payload)) // len(payload)) if payload else 0
     duration_ms = n_samples * 1000 // rate
     n_hops = -(-n_samples // 160)
     return rate, n_samples, duration_ms, mean_amp, n_hops

@@ -58,18 +58,25 @@ def _pair_staged(
         spark: SparkSession, sf: str, _ss=stage_sql, _ms=main_sql, _v=stage_view
     ) -> DataFrame:
         register_views(spark, sf)
-        prev = _STAGED_CACHE.pop(_v, None)
-        if prev is not None:
-            prev.unpersist()
-        staged = spark.sql(_ss)
-        staged.persist()
-        staged.createOrReplaceTempView(_v)
-        _STAGED_CACHE[_v] = staged
+        _stage(spark, _v, _ss)
         return spark.sql(_ms)
 
     QUERIES[name] = fn
     if duck_sql is not None:
         ORACLE[name] = duck_sql
+
+
+def _stage(spark: SparkSession, view: str, sql: str) -> None:
+    """Persist + register one staged view, releasing the previous
+    invocation's cached copy for that view (shared by _pair_staged and
+    any query that stages multiple views, e.g. qt11)."""
+    prev = _STAGED_CACHE.pop(view, None)
+    if prev is not None:
+        prev.unpersist()
+    staged = spark.sql(sql)
+    staged.persist()
+    staged.createOrReplaceTempView(view)
+    _STAGED_CACHE[view] = staged
 
 
 # -- exact dedup --------------------------------------------------------------
@@ -376,14 +383,8 @@ WHERE CAST(s.n_shared AS DOUBLE) / (ca.n + cb.n - s.n_shared) >= 0.5
 
 def _qt11(spark: SparkSession, sf: str) -> DataFrame:
     register_views(spark, sf)
-    for view, sql in (("qt11_sigs", _MINHASH_SPARK), ("qt11_toks", _TOKS_STAGE)):
-        prev = _STAGED_CACHE.pop(view, None)
-        if prev is not None:
-            prev.unpersist()
-        staged = spark.sql(sql)
-        staged.persist()
-        staged.createOrReplaceTempView(view)
-        _STAGED_CACHE[view] = staged
+    _stage(spark, "qt11_sigs", _MINHASH_SPARK)
+    _stage(spark, "qt11_toks", _TOKS_STAGE)
     return spark.sql(
         _QT11_VERIFY.replace("{CAND}", _QT11_CAND).replace("{TOKS}", "qt11_toks")
     )

@@ -57,6 +57,13 @@ def make_row(i: int, text: str) -> dict:
         data = _fixture_bytes(name)
         if data is not None:
             return dict(url=url, warc_ts=ts, html=data, text=_FIXTURE_TEXT, lang=lang)
+        # fixture file unreadable (host without the reference tree): fall
+        # through to a GOOD generated doc, never the corrupt branch —
+        # expected_error_col can only derive ground truth for rows whose
+        # corruptness is a pure function of the index
+        variant = i % N_VARIANTS
+        pdf, expected, _, _ = generate_doc(text, variant)
+        return dict(url=url, warc_ts=ts, html=pdf, text=expected, lang=lang)
     if i % BAD_CADENCE == 13:
         variant = N_VARIANTS + (i // BAD_CADENCE) % 5
         pdf, _, _, _err = generate_doc(text, variant)

@@ -31,6 +31,24 @@ from pdf_spark.operators.lineage import (
 from pdf_spark.operators.partitioning import prepare_pages
 
 
+def _migrate_legacy_sink(docs_path: str) -> None:
+    """A sink written before the run_id partitioning holds flat parquet
+    files at the base path; mixing those with run_id=... subdirectories
+    makes Spark reject the whole directory ('conflicting directory
+    structures'). Move legacy files under run_id=legacy once — their rows
+    then read back with run_id='legacy' (the partition column is derived
+    from the directory, so the old schema needs no rewrite)."""
+    import glob
+
+    legacy = glob.glob(os.path.join(docs_path, "*.parquet"))
+    if not legacy:
+        return
+    legacy_dir = os.path.join(docs_path, "run_id=legacy")
+    os.makedirs(legacy_dir, exist_ok=True)
+    for f in legacy:
+        os.replace(f, os.path.join(legacy_dir, os.path.basename(f)))
+
+
 def run_extraction(
     spark: SparkSession,
     pages: DataFrame,
@@ -41,12 +59,15 @@ def run_extraction(
 ) -> dict:
     """Execute the pipeline; returns summary metrics."""
     run_id = run_id or new_run_id()
+    docs_path = os.path.join(out_dir, "docs_text")
+    # migrate BEFORE the resume anti-join plans its scan — the lazy read
+    # would otherwise list the flat files and lose them mid-execution
+    _migrate_legacy_sink(docs_path)
     todo = remaining_pages(pages, spark, out_dir) if resume else pages
     todo = prepare_pages(todo, salt_partitions)
     todo = tag_lineage_cols(todo)
 
     docs = extract_docs_text(todo, passthrough=("input_file", "partition_id"))
-    docs_path = os.path.join(out_dir, "docs_text")
     # Sink is partitioned by run_id so lineage + summary can be derived from
     # THIS run's output only (partition-pruned read — O(this run), never a
     # rescan of the whole committed corpus; on Iceberg this is the snapshot

@@ -329,3 +329,29 @@ def test_surrogate_codes_never_leak_invalid_unicode():
     # both must round-trip through UTF-8 (the Arrow requirement)
     for t in (text, text2):
         t.encode("utf-8")
+
+
+def test_gs_with_missing_extgstate_is_skipped():
+    """A gs op naming an absent ExtGState has no text effect and must not
+    error the document (leniency: hand-edited/merged PDFs drop resources)."""
+    from pdf_spark.gen.pdfgen import PdfBuilder, _content_td_tj, F_HELV
+
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    content = b"/GS9 gs\n" + _content_td_tj(["hello world"])
+    cont = b.stream(content)
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    text, status, err, _, _ = extract_text(b.build(cat))
+    assert status == "ok", err
+    assert text == "hello world"

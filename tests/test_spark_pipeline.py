@@ -116,3 +116,24 @@ def test_fixture_rows_ride_along(pages):
     got = docs.join(fixture_urls, "url").select("text").collect()
     assert len(got) >= 1
     assert all(r["text"] == "Hello World!" for r in got)
+
+
+def test_legacy_flat_sink_migrates(spark, pages, tmp_path):
+    """A docs_text sink written before run_id partitioning (flat parquet
+    files at the base path) must keep working: files are moved under
+    run_id=legacy and resume sees their urls as committed."""
+    import os
+
+    out = str(tmp_path / "legacy_out")
+    docs_path = os.path.join(out, "docs_text")
+    # simulate the old layout: flat write of extraction output
+    extract_docs_text(pages).write.parquet(docs_path)
+    n = spark.read.parquet(docs_path).count()
+
+    m = run_extraction(spark, pages, out)
+    # every url was already committed -> the resumed run extracts nothing
+    assert m["n_ok"] + m["n_err"] == 0
+    merged = spark.read.parquet(docs_path)
+    assert merged.count() == n
+    assert "run_id" in merged.columns
+    assert merged.where(F.col("run_id") == "legacy").count() == n
