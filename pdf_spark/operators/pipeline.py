@@ -63,9 +63,16 @@ def run_extraction(
     # migrate BEFORE the resume anti-join plans its scan — the lazy read
     # would otherwise list the flat files and lose them mid-execution
     _migrate_legacy_sink(docs_path)
-    todo = remaining_pages(pages, spark, out_dir) if resume else pages
+    # lineage columns are captured AT SCAN TIME, before the anti-join or
+    # the salted repartition: input_file_name() only resolves over a
+    # single file source (a resume plan joins two parquet relations —
+    # MULTI_SOURCES_UNSUPPORTED otherwise) and would return '' if
+    # projected after a shuffle; captured early, provenance rides along
+    # as ordinary data columns.
+    todo = tag_lineage_cols(pages)
+    if resume:
+        todo = remaining_pages(todo, spark, out_dir)
     todo = prepare_pages(todo, salt_partitions)
-    todo = tag_lineage_cols(todo)
 
     docs = extract_docs_text(todo, passthrough=("input_file", "partition_id"))
     # Sink is partitioned by run_id so lineage + summary can be derived from

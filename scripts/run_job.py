@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: run the resumable extraction pipeline.
+
+Usage (see scripts/submit.sh for the --py-files packaging):
+
+    spark-submit --py-files pdf_spark.zip scripts/run_job.py \
+        --pages <pages parquet dir> --out <sink dir> [--salt N]
+
+Reads the Common-Crawl-style pages table, runs the fused extraction with
+skew salting, writes docs_text (run_id-partitioned) + lineage, and prints
+the run summary as one JSON line. Re-running with the same --out resumes:
+already-committed urls are anti-joined away and the new run's lineage
+reports only what it actually processed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="pages parquet directory")
+    ap.add_argument("--out", required=True, help="sink directory")
+    ap.add_argument("--salt", type=int, default=None, help="salt partitions")
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    # spark-submit provides the session config; getOrCreate attaches to it
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("pdf-spark-extract").getOrCreate()
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+    from pdf_spark.operators.pipeline import run_extraction
+
+    pages = spark.read.parquet(args.pages)
+    summary = run_extraction(
+        spark,
+        pages,
+        args.out,
+        salt_partitions=args.salt,
+        resume=not args.no_resume,
+    )
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

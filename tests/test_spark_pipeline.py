@@ -137,3 +137,25 @@ def test_legacy_flat_sink_migrates(spark, pages, tmp_path):
     assert merged.count() == n
     assert "run_id" in merged.columns
     assert merged.where(F.col("run_id") == "legacy").count() == n
+
+
+def test_resume_with_parquet_pages(spark, pages, tmp_path):
+    """Resume over PARQUET-backed pages (the spark-submit shape): the
+    anti-join plan contains two file sources, which input_file_name() must
+    not be projected across — lineage provenance is captured at scan time.
+    Also asserts input_file is actually populated from the scan."""
+    import os
+
+    pages_dir = str(tmp_path / "pages_pq")
+    pages.write.parquet(pages_dir)
+    pq = spark.read.parquet(pages_dir)
+    out = str(tmp_path / "out")
+
+    m1 = run_extraction(spark, pq, out)
+    assert m1["n_ok"] + m1["n_err"] == pages.count()
+    lin = spark.read.parquet(m1["lineage_path"])
+    files = [r["input_file"] for r in lin.select("input_file").distinct().collect()]
+    assert any("pages_pq" in (f or "") for f in files)
+
+    m2 = run_extraction(spark, pq, out)  # resume: must plan + run cleanly
+    assert m2["n_ok"] + m2["n_err"] == 0
