@@ -56,7 +56,9 @@ class CMap:
         self.codespace: list[tuple[int, int, int]] = []  # (lo, hi, nbytes)
         self.cid_ranges: list[tuple[int, int, int]] = []  # (lo, hi, cid_base)
         self.bf_singles: dict[int, str] = {}
-        self.bf_ranges: list[tuple[int, int, int]] = []  # (lo, hi, dst_base)
+        # (lo, hi, dst_base, dst_nbytes) — nbytes preserved so >BMP
+        # destinations re-render as UTF-16BE instead of one chr()
+        self.bf_ranges: list[tuple[int, int, int, int]] = []
         self.parent: Optional[CMap] = None  # usecmap chain (cmap.c:176-205)
         # True for the UCS-2/UTF-16 predefined families: the SOURCE code is
         # itself the Unicode code point, so extraction can decode any BMP
@@ -78,9 +80,20 @@ class CMap:
         u = self.bf_singles.get(code)
         if u is not None:
             return u
-        for lo, hi, base in self.bf_ranges:
+        for lo, hi, base, nbytes in self.bf_ranges:
             if lo <= code <= hi:
-                return chr(base + (code - lo))
+                v = base + (code - lo)
+                if nbytes <= 2 and v <= 0xFFFF:
+                    return chr(v)
+                # multi-code-unit destination (e.g. a surrogate pair for
+                # mathematical alphanumerics): re-render the incremented
+                # value as UTF-16BE bytes of the declared width — chr()
+                # on a 4-byte value like 0xD835DC00 would raise
+                try:
+                    raw = v.to_bytes(max(nbytes, 2), "big")
+                    return raw.decode("utf-16-be", errors="surrogatepass")
+                except (OverflowError, UnicodeDecodeError):
+                    return "�"
         if self.parent is not None:
             return self.parent.get_unicode(code)
         return None
@@ -226,8 +239,8 @@ def parse_cmap(data: bytes) -> CMap:
                 ):
                     lo, _ = _hex_token_value(toks[i])
                     hi, _ = _hex_token_value(toks[i + 1])
-                    dst, _ = _hex_token_value(toks[i + 2])
-                    cm.bf_ranges.append((lo, hi, dst))
+                    dst, dst_nb = _hex_token_value(toks[i + 2])
+                    cm.bf_ranges.append((lo, hi, dst, dst_nb))
                     i += 3
                 elif is_hex(toks[i]) and i + 2 < n and toks[i + 2] == b"[":
                     # array form: <lo> <hi> [<d0> <d1> ...]

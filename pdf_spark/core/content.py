@@ -49,7 +49,13 @@ from pdf_spark.core.errors import (
     UNSUPPORTED_OPERATOR,
     PdfError,
 )
-from pdf_spark.core.objects import PDF_NULL, Name, ObjectParser, decode_name_bytes
+from pdf_spark.core.objects import (
+    PDF_NULL,
+    Name,
+    ObjectParser,
+    decode_name_bytes,
+    hex_body_to_bytes,
+)
 
 # full 73-operator token set (operator.h:3-306)
 OPERATORS = frozenset(
@@ -125,10 +131,7 @@ _WS_ONLY = frozenset(b"\x00\t\n\x0c\r ")
 
 
 def _hex_to_bytes(body: bytes) -> bytes:
-    compact = bytes(b for b in body if b not in _WS_ONLY)
-    if len(compact) % 2:
-        compact += b"0"  # odd trailing digit = high nibble (object.c:536)
-    return bytes.fromhex(compact.decode("ascii"))
+    return hex_body_to_bytes(body)
 
 
 def parse_content_stream(data: bytes) -> List[Op]:

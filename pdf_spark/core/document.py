@@ -363,14 +363,20 @@ class Resolver:
         return ObjectParser(data, pairs_entry[1], resolver=self).parse_object()
 
     def resolve(self, obj: Any) -> Any:
-        """Recursively unwrap Ref / IndirectObject (pdf_resolve_object)."""
-        while True:
+        """Recursively unwrap Ref / IndirectObject (pdf_resolve_object).
+
+        Bounded: a reference CYCLE (1 0 obj 2 0 R / 2 0 obj 1 0 R, or a
+        self-reference) would otherwise spin forever on pure cache hits —
+        no recursion, no exception, a permanently hung task. 64 hops is
+        far beyond any legitimate indirection chain."""
+        for _ in range(64):
             if isinstance(obj, Ref):
                 obj = self.resolve_ref(obj)
             elif isinstance(obj, IndirectObject):
                 obj = obj.value
             else:
                 return obj
+        raise PdfError(RECURSION_LIMIT, "indirect reference chain too deep/cyclic")
 
     # -- typed accessors --
 

@@ -34,13 +34,12 @@ WHITESPACE = b"\x00\t\n\x0c\r "
 def ascii_hex_decode(data: bytes) -> bytes:
     """Whitespace-tolerant hex pairs until ``>`` (EOD); odd trailing digit is
     the high nibble (ascii.c:27-76)."""
+    from pdf_spark.core.objects import hex_body_to_bytes
+
     end = data.find(b">")
     body = data[:end] if end >= 0 else data
-    compact = bytes(b for b in body if b not in WHITESPACE)
-    if len(compact) % 2:
-        compact += b"0"
     try:
-        return bytes.fromhex(compact.decode("ascii"))
+        return hex_body_to_bytes(body)
     except (ValueError, UnicodeDecodeError) as exc:
         raise PdfError(FILTER_ERROR, f"ASCIIHexDecode: {exc}") from None
 
@@ -242,6 +241,10 @@ def decode_stream(stream_dict: dict, raw: bytes, resolver=None) -> bytes:
     parms = rz(stream_dict.get("DecodeParms") or stream_dict.get("DP"))
     if not isinstance(parms, list):
         parms = [parms] * len(filters)
+    elif len(parms) < len(filters):
+        # malformed-but-real: a short DecodeParms array must not silently
+        # drop trailing filters via zip truncation
+        parms = parms + [None] * (len(filters) - len(parms))
     data = raw
     for name, parm in zip(filters, parms):
         name = rz(name)

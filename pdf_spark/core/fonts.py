@@ -232,6 +232,14 @@ def _parse_cid_widths(w_array: list, resolver) -> dict[int, float]:
             if i + 2 < n:
                 last = nxt
                 w = float(resolver.resolve(w_array[i + 2]))
+                # CID codes are at most 2-byte in the decode path, so a run
+                # past 0xFFFF is garbage; an adversarial `0 2147483647 500`
+                # would otherwise materialize a multi-GB dict and OOM the
+                # executor instead of becoming an error row
+                if int(last) - int(first) > 0x10000:
+                    raise PdfError(
+                        INCORRECT_TYPE, "W array: range exceeds CID space"
+                    )
                 for c in range(int(first), int(last) + 1):
                     out[c] = w
                 i += 3

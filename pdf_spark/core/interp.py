@@ -183,16 +183,34 @@ class Interpreter:
 
     def run(self, content: bytes, base_ctm: Mat = IDENTITY) -> list[Span]:
         ops = parse_content_stream(content)
-        self._exec_ops(ops, base_ctm, self.resources, depth=0)
+        self._exec_checked(ops, base_ctm)
         return self.spans
 
+    def _exec_checked(self, ops, base_ctm: Mat) -> None:
+        """Execute with operand-mismatch taxonomy: a truncated stream can
+        emit an op with too-few/wrong-typed operands (e.g. a bare ``Tf``),
+        which would otherwise escape as IndexError/ValueError/TypeError —
+        an INTERNAL_ERROR row instead of the correct INCORRECT_TYPE class
+        (the typecheck the reference does in operation.c:515-806)."""
+        try:
+            self._exec_ops(ops, base_ctm, self.resources, depth=0)
+        except PdfError:
+            raise
+        except (IndexError, ValueError, TypeError) as exc:
+            raise PdfError(
+                INCORRECT_TYPE, f"content operand mismatch: {exc}"
+            ) from None
+
     def run_streams(self, streams: list[bytes], base_ctm: Mat = IDENTITY) -> list[Span]:
-        """Each Contents stream is parsed separately, executed sequentially
-        (render.c:1175-1199) — graphics state carries across streams."""
-        ops: list = []
-        for s in streams:
-            ops.extend(parse_content_stream(s))
-        self._exec_ops(ops, base_ctm, self.resources, depth=0)
+        """The page's Contents streams form ONE content stream: PDF 32000-1
+        §7.8.2 allows the division to fall between any two tokens, so the
+        streams are joined with a newline and tokenized as a whole (an
+        operand emitted at the end of stream N may find its operator at the
+        start of stream N+1). DIVERGENCE from the reference, which parses
+        each stream separately (render.c:1175-1199) and would lose such
+        split operands; execution order is identical either way."""
+        ops = parse_content_stream(b"\n".join(streams))
+        self._exec_checked(ops, base_ctm)
         return self.spans
 
     def _exec_ops(
@@ -287,7 +305,14 @@ class Interpreter:
                 raise PdfError(INCORRECT_TYPE, f"TJ element {type(el).__name__}")
             if not el:
                 continue
-            dev = mat_mul(tm, ctm)
+            # span origin = Trm translation: [S, rise]·Tm·CTM — the rise
+            # term shifts the baseline (text_state.c:73-92; our Ts is a
+            # spec extension, so the shift must actually be applied)
+            dev = (
+                mat_mul(tm, ctm)
+                if ts.rise == 0.0
+                else mat_mul(translate(0.0, ts.rise), mat_mul(tm, ctm))
+            )
             if fast is not None:
                 # simple-font fast path: C-level decode + width sum
                 trans, w256 = fast
@@ -411,5 +436,12 @@ class Interpreter:
             if form_res is not None
             else resources
         )
-        ops = parse_content_stream(obj.decoded(self.resolver))
+        # tokenization cached per doc (the Stream object is memoized by the
+        # resolver, so id() is stable for the document's lifetime): a page
+        # stamping one form N times pays one parse, not N
+        cache_key = ("form_ops", id(obj))
+        ops = self.font_cache.get(cache_key)
+        if ops is None:
+            ops = parse_content_stream(obj.decoded(self.resolver))
+            self.font_cache[cache_key] = ops
         self._exec_ops(ops, form_ctm, res, depth + 1)

@@ -166,6 +166,16 @@ PDF_NULL = None
 _NAME_CACHE: dict[bytes, Name] = {}
 
 
+def hex_body_to_bytes(body: bytes) -> bytes:
+    """Shared hex-string decode core: strip PDF whitespace, pad an odd
+    trailing digit as the high nibble (object.c:536), bytes.fromhex. Used
+    by the object parser, the content scanner, and ASCIIHexDecode."""
+    compact = bytes(b for b in body if b not in WHITESPACE)
+    if len(compact) % 2:
+        compact += b"0"
+    return bytes.fromhex(compact.decode("ascii"))
+
+
 def decode_name_bytes(raw: bytes) -> Name:
     """Decode a name token body (after ``/``) with ``#xx`` escapes
     (object.c:554-651); shared by the recursive parser and the
@@ -176,10 +186,10 @@ def decode_name_bytes(raw: bytes) -> Name:
     if cached is not None:
         return cached
     if b"#" not in raw:
-        try:
-            name = Name(raw.decode("ascii"))
-        except UnicodeDecodeError:
-            raise PdfError(NAME_BAD_CHAR_CODE, "non-ascii in name") from None
+        # latin-1, matching the #xx escape path below: bytes 0x80-0xFF are
+        # regular characters per PDF 32000-1 §7.3.5, and /Fo\xe9 must decode
+        # the same as /Fo#E9
+        name = Name(raw.decode("latin-1"))
         if len(_NAME_CACHE) < 4096:
             _NAME_CACHE[raw] = name
         return name
@@ -405,11 +415,8 @@ class ObjectParser:
             raise PdfError(UNBALANCED_STR, "hex string never closed")
         body = buf[self.pos : end]
         self.pos = end + 1
-        compact = bytes(b for b in body if b not in WHITESPACE)
         try:
-            if len(compact) % 2:
-                compact += b"0"  # odd trailing digit = high nibble
-            return bytes.fromhex(compact.decode("ascii"))
+            return hex_body_to_bytes(body)
         except (ValueError, UnicodeDecodeError) as exc:
             raise PdfError(INVALID_OBJECT, f"bad hex string: {exc}") from None
 

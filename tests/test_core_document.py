@@ -373,3 +373,43 @@ class TestAdversarialXref:
             # terminated without looping; missing Root object is fine here
         except PdfError:
             pass
+
+    def test_ref_cycle_is_error_row(self):
+        """1 0 obj 2 0 R / 2 0 obj 1 0 R: a reference cycle must become an
+        error row, not an infinite cache-hit loop hanging the worker."""
+        from pdf_spark.core.extract import extract_document
+        from pdf_spark.gen.pdfgen import PdfBuilder
+
+        b = PdfBuilder()
+        one = b.reserve()
+        two = b.reserve()
+        b.set(one, b"2 0 R")
+        b.set(two, b"1 0 R")
+        r = extract_document(b.build(one))
+        assert r.status == "error"
+
+    def test_short_decodeparms_array_still_applies_all_filters(self):
+        import zlib
+
+        from pdf_spark.core.filters import decode_stream
+        from pdf_spark.core.objects import Name
+
+        enc = zlib.compress(b"payload").hex().encode() + b">"
+        d = {
+            "Filter": [Name("ASCIIHexDecode"), Name("FlateDecode")],
+            "DecodeParms": [None],
+        }
+        assert decode_stream(d, enc) == b"payload"
+
+    def test_w_array_giant_range_is_error_not_oom(self):
+        import pytest
+
+        from pdf_spark.core.errors import PdfError
+        from pdf_spark.core.fonts import _parse_cid_widths
+
+        class R:
+            def resolve(self, v):
+                return v
+
+        with pytest.raises(PdfError):
+            _parse_cid_widths([0, 2147483647, 500], R())

@@ -355,3 +355,99 @@ def test_gs_with_missing_extgstate_is_skipped():
     text, status, err, _, _ = extract_text(b.build(cat))
     assert status == "ok", err
     assert text == "hello world"
+
+
+def test_bfrange_surrogate_pair_destination():
+    """A bfrange whose destination is a 4-byte UTF-16BE value (surrogate
+    pair, e.g. mathematical alphanumerics) must decode to the astral char
+    instead of raising chr(>0x10FFFF)."""
+    from pdf_spark.core.cmap import parse_cmap
+
+    cm = parse_cmap(b"1 beginbfrange <00> <0A> <D835DC00> endbfrange")
+    assert cm.get_unicode(0) == "\U0001D400"
+    assert cm.get_unicode(5) == "\U0001D405"
+
+
+def test_operands_split_across_contents_streams():
+    """PDF 32000-1 §7.8.2: the division between Contents streams may fall
+    between any two tokens — operands at the end of stream 1 must find
+    their operator at the start of stream 2."""
+    from pdf_spark.core.document import Resolver
+    from pdf_spark.gen.pdfgen import PdfBuilder, F_HELV
+    from pdf_spark.core.interp import Interpreter
+
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    s1 = b.stream(b"BT /F1 12")          # ends mid-operator-operand group
+    s2 = b.stream(b" Tf 72 700 Td (split) Tj ET")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents[" + str(s1).encode() + b" 0 R " + str(s2).encode() + b" 0 R]>>",
+    )
+    text, status, err, _, _ = extract_text(b.build(cat))
+    assert status == "ok", err
+    assert text == "split"
+
+
+def test_truncated_op_gets_taxonomy_not_internal_error():
+    """A bare Tf with no operands must land in the PdfError taxonomy
+    (INCORRECT_TYPE), not INTERNAL_ERROR."""
+    from pdf_spark.gen.pdfgen import PdfBuilder, F_HELV
+
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    cont = b.stream(b"BT Tf (x) Tj ET")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    r = extract_document(b.build(cat))
+    assert r.status == "error"
+    assert r.error_code == "INCORRECT_TYPE"
+
+
+def test_high_byte_name_matches_hex_escape():
+    from pdf_spark.core.objects import decode_name_bytes
+
+    assert decode_name_bytes(b"Fo\xe9") == decode_name_bytes(b"Fo#E9")
+
+
+def test_ts_rise_shifts_span_y():
+    from pdf_spark.core.document import Resolver
+    from pdf_spark.core.interp import Interpreter
+    from pdf_spark.gen.pdfgen import PdfBuilder, F_HELV
+
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    cont = b.stream(b"BT /F1 10 Tf 72 700 Td 5 Ts (sup) Tj 0 Ts (base) Tj ET")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    r = extract_document(b.build(cat))
+    assert r.ok
+    sup = next(s for s in r.spans if s.text == "sup")
+    base = next(s for s in r.spans if s.text == "base")
+    assert sup.y == base.y + 5.0
