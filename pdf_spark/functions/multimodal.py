@@ -100,7 +100,7 @@ def _qm02(spark: SparkSession, sf: str) -> DataFrame:
                 F.lit("IMG!"),
                 F.lpad((F.col("doc_id") % 97 + 16).cast("string"), 4, "0"),
                 F.lpad((F.col("doc_id") % 53 + 16).cast("string"), 4, "0"),
-                F.substring("text", 1, 32),
+                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 32),
             ),
             "UTF-8",
         ).alias("blob"),
@@ -128,14 +128,15 @@ WITH blobs AS (
   SELECT doc_id,
          CAST(doc_id % 97 + 16 AS INT) AS width,
          CAST(doc_id % 53 + 16 AS INT) AS height,
-         substr(text, 1, 32) AS payload
+         substr(COALESCE(text, ''), 1, 32) AS payload
   FROM documents
 )
 SELECT doc_id, width, height, 3 AS n_channels,
-       CAST(floor(list_aggregate(list_transform(
-              range(1, length(payload) + 1),
-              i -> ord(substr(payload, i, 1))), 'sum')
-            / length(payload)) AS INT) AS mean_luma
+       CASE WHEN length(payload) = 0 THEN 0
+            ELSE CAST(floor(list_aggregate(list_transform(
+                   range(1, length(payload) + 1),
+                   i -> ord(substr(payload, i, 1))), 'sum')
+                 / length(payload)) AS INT) END AS mean_luma
 FROM blobs
 """
 
@@ -260,7 +261,7 @@ def _qm04(spark: SparkSession, sf: str) -> DataFrame:
                 F.lit("AUD!"),
                 F.lpad((F.col("doc_id") % 3 * 8000 + 8000).cast("string"), 5, "0"),
                 F.lpad((F.col("doc_id") % 890 + 110).cast("string"), 6, "0"),
-                F.substring("text", 1, 48),
+                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 48),
             ),
             "UTF-8",
         ).alias("blob"),
@@ -288,15 +289,16 @@ WITH auds AS (
   SELECT doc_id,
          CAST(doc_id % 3 * 8000 + 8000 AS INT) AS sample_rate,
          CAST(doc_id % 890 + 110 AS INT) AS n_samples,
-         substr(text, 1, 48) AS payload
+         substr(COALESCE(text, ''), 1, 48) AS payload
   FROM documents
 )
 SELECT doc_id, sample_rate, n_samples,
        CAST(floor(n_samples * 1000.0 / sample_rate) AS INT) AS duration_ms,
-       CAST(floor(list_aggregate(list_transform(
-              range(1, length(payload) + 1),
-              i -> ord(substr(payload, i, 1))), 'sum')
-            / length(payload)) AS INT) AS mean_amp,
+       CASE WHEN length(payload) = 0 THEN 0
+            ELSE CAST(floor(list_aggregate(list_transform(
+                   range(1, length(payload) + 1),
+                   i -> ord(substr(payload, i, 1))), 'sum')
+                 / length(payload)) AS INT) END AS mean_amp,
        CAST(ceil(n_samples / 160.0) AS INT) AS n_hops
 FROM auds
 """

@@ -385,7 +385,7 @@ def qr18(spark: SparkSession, sf: str) -> DataFrame:
 
 @q(
     "qr19_json_extract",
-    r"""SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k,
+    r"""SELECT TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k,
               COUNT(*) AS n, ROUND(SUM(value), 2) AS total
        FROM events GROUP BY 1""",
 )

@@ -23,10 +23,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Create temp views for spark.sql-based queries (idempotent)."""
-    marker = f"_pdfspark_views::{sf_dir}"
-    if spark.conf.get("spark.pdfspark.views", "") == marker:
-        return
+    """Create temp views for spark.sql-based queries. Re-registers every
+    call: createOrReplaceTempView is cheap, and a session-conf "already
+    registered" marker would pin views to a stale file listing after the
+    sf_dir parquet is rewritten (FileNotFoundException with no in-session
+    recovery)."""
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
-    spark.conf.set("spark.pdfspark.views", marker)

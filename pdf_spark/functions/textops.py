@@ -24,7 +24,7 @@ from pdf_spark.functions.tables import register_views
 
 QUERIES = {}
 ORACLE = {}
-_STAGED_CACHE: dict[str, DataFrame] = {}
+_STAGED_CACHE: dict[str, tuple[str, DataFrame]] = {}  # view -> (sql, df)
 
 N_MINHASH = 4  # 4 independent min-hashes; band = (h0,h1) for LSH
 
@@ -69,14 +69,25 @@ def _pair_staged(
 def _stage(spark: SparkSession, view: str, sql: str) -> None:
     """Persist + register one staged view, releasing the previous
     invocation's cached copy for that view (shared by _pair_staged and
-    any query that stages multiple views, e.g. qt11)."""
-    prev = _STAGED_CACHE.pop(view, None)
+    any query that stages multiple views, e.g. qt11). If the same SQL is
+    already staged under the view — or under another view (qt11 re-stages
+    qt06's signature SQL) — the cached DataFrame is reused instead of
+    recomputing the expensive aggregation."""
+    prev = _STAGED_CACHE.get(view)
+    if prev is not None and prev[0] == sql:
+        return
     if prev is not None:
-        prev.unpersist()
+        prev[1].unpersist()
+        del _STAGED_CACHE[view]
+    for other_sql, other_df in _STAGED_CACHE.values():
+        if other_sql == sql:
+            other_df.createOrReplaceTempView(view)
+            _STAGED_CACHE[view] = (sql, other_df)
+            return
     staged = spark.sql(sql)
     staged.persist()
     staged.createOrReplaceTempView(view)
-    _STAGED_CACHE[view] = staged
+    _STAGED_CACHE[view] = (sql, staged)
 
 
 # -- exact dedup --------------------------------------------------------------

@@ -24,7 +24,7 @@ from __future__ import annotations
 import datetime as _dt
 from typing import Iterator, Optional
 
-from pdf_spark.gen.pdfgen import N_VARIANTS, generate_doc
+from pdf_spark.gen.pdfgen import N_BAD_VARIANTS, N_VARIANTS, generate_doc
 
 _FIXDIR = "/root/reference/test-files"
 _FIXTURES = ("test.pdf", "compressed.pdf", "embedded.pdf")
@@ -65,7 +65,7 @@ def make_row(i: int, text: str) -> dict:
         pdf, expected, _, _ = generate_doc(text, variant)
         return dict(url=url, warc_ts=ts, html=pdf, text=expected, lang=lang)
     if i % BAD_CADENCE == 13:
-        variant = N_VARIANTS + (i // BAD_CADENCE) % 5
+        variant = N_VARIANTS + (i // BAD_CADENCE) % N_BAD_VARIANTS
         pdf, _, _, _err = generate_doc(text, variant)
         return dict(url=url, warc_ts=ts, html=pdf, text=None, lang=lang)
     variant = i % N_VARIANTS

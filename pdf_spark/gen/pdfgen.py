@@ -58,6 +58,25 @@ def esc(s: str) -> bytes:
     )
 
 
+def _encode_chain(data: bytes, names: list[str]) -> bytes:
+    """Apply the encode side of a decode-filter chain (shared by
+    PdfBuilder.stream and the indirect-length path; unknown names raise
+    instead of silently mis-encoding)."""
+    enc = data
+    for name in reversed(names):
+        if name == "FlateDecode":
+            enc = zlib.compress(enc)
+        elif name == "ASCIIHexDecode":
+            enc = enc.hex().encode("ascii") + b">"
+        elif name == "LZWDecode":
+            from pdf_spark.core.filters import lzw_encode
+
+            enc = lzw_encode(enc)
+        else:
+            raise ValueError(name)
+    return enc
+
+
 class PdfBuilder:
     """Serialize numbered objects into a classic-xref PDF."""
 
@@ -83,18 +102,7 @@ class PdfBuilder:
         reader hex-decodes then inflates — so we deflate then hex-encode.
         """
         names = filters.split()
-        enc = data
-        for name in reversed(names):
-            if name == "FlateDecode":
-                enc = zlib.compress(enc)
-            elif name == "ASCIIHexDecode":
-                enc = enc.hex().encode("ascii") + b">"
-            elif name == "LZWDecode":
-                from pdf_spark.core.filters import lzw_encode
-
-                enc = lzw_encode(enc)
-            else:
-                raise ValueError(name)
+        enc = _encode_chain(data, names)
         if not names:
             fpart = b""
         elif len(names) == 1:
@@ -333,11 +341,11 @@ def _simple_doc(lines: list[str], content_fn, filters: str = "",
     font = b.add(font_body)
     content = content_fn(lines)
     if indirect_length:
-        # /Length as an indirect ref (object.c:787-800 resolve path)
+        # /Length as an indirect ref (object.c:787-800 resolve path);
+        # encode chain shared with PdfBuilder.stream so every filter name
+        # (incl. LZW) encodes correctly or raises
         names = filters.split()
-        enc = content
-        for name in reversed(names):
-            enc = zlib.compress(enc) if name == "FlateDecode" else enc.hex().encode() + b">"
+        enc = _encode_chain(content, names)
         length_id = b.add(str(len(enc)).encode())
         fpart = b""
         if len(names) == 1:
@@ -390,7 +398,7 @@ def _multipage_doc(lines: list[str]) -> bytes:
     )
     b.set(
         inner,
-        b"<</Type/Pages/Parent " + str(cat).encode() + b" 0 R/Kids["
+        b"<</Type/Pages/Parent " + str(root).encode() + b" 0 R/Kids["
         + b" ".join(str(p).encode() + b" 0 R" for p in page_ids)
         + b"]/Count 2>>",
     )
@@ -1012,8 +1020,12 @@ def _corrupt_xref(pdf: bytes) -> bytes:
 
 
 def _unbalanced(pdf: bytes) -> bytes:
-    # content is uncompressed in the plain variant: break a `) Tj`
-    return pdf.replace(b") Tj", b"  Tj", 1)
+    # content is uncompressed in the plain variant: break the first
+    # UNESCAPED `) Tj` — an escaped `\) Tj` inside a string literal would
+    # leave the document balanced and the "corrupt" row parseable
+    import re as _re
+
+    return _re.sub(rb"(?<!\\)\) Tj", b"  Tj", pdf, count=1)
 
 
 def _expected_text(lines: list[str], variant_name: str) -> str:

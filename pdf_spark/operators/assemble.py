@@ -26,7 +26,12 @@ from pyspark.sql import functions as F
 
 
 def assemble_docs_text(spans: DataFrame) -> DataFrame:
-    """spans -> docs_text(url, text, status, error_code)."""
+    """spans -> docs_text(url, text, status, error_code).
+
+    PRECONDITION: ``url`` uniquely keys the pages table (the same contract
+    resume/anti-join relies on). Duplicate urls would interleave two
+    documents' spans into one garbled row here, while the fused path would
+    emit two rows — dedup upstream (qt01 / stream_dedup_exact) first."""
     order = [
         F.col("page").asc(),
         F.col("y").desc(),

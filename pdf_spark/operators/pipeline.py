@@ -84,8 +84,12 @@ def run_extraction(
         "run_id"
     ).parquet(docs_path)
 
+    # schema passed explicitly: a first run over an empty/fully-filtered
+    # input writes only _SUCCESS, and schema inference on a file-less
+    # directory raises instead of returning the benign 0-row frame
+    sink_schema = docs.schema.add("run_id", "string")
     written = (
-        spark.read.parquet(docs_path)
+        spark.read.schema(sink_schema).parquet(docs_path)
         .where(F.col("run_id") == run_id)
         .drop("run_id")
     )

@@ -159,3 +159,15 @@ def test_resume_with_parquet_pages(spark, pages, tmp_path):
 
     m2 = run_extraction(spark, pq, out)  # resume: must plan + run cleanly
     assert m2["n_ok"] + m2["n_err"] == 0
+
+
+def test_empty_input_run_is_benign(spark, tmp_path):
+    """A run over zero pages must return a 0-doc summary, not crash on
+    schema inference over a file-less sink directory."""
+    from pdf_spark.gen.corpus import rows_for_texts as _rft
+
+    empty = spark.createDataFrame(
+        pd.DataFrame(_rft(["x"]))
+    ).where(F.lit(False))
+    m = run_extraction(spark, empty, str(tmp_path / "empty_out"))
+    assert m["n_ok"] == 0 and m["n_err"] == 0
