@@ -86,3 +86,53 @@ def test_lsh_band_joins_reuse_persisted_stage(spark):
         spark, q["qt06_minhash_lsh_pairs"](spark, "/root/testdata/sf0.001")
     )
     assert plan.count("InMemoryTableScan") >= 4  # 2 bands x 2 join sides
+
+
+def test_bucketed_sink_join_avoids_shuffle(spark):
+    """Bucketing the docs_text sink by url lets downstream url-keyed joins
+    (parity checks, metadata enrichment, incremental diffs) run without
+    shuffling either side — the co-location technique the 100 TB design
+    relies on for repeated joins against the extraction output."""
+    import pandas as pd
+
+    from pdf_spark.gen.corpus import rows_for_texts
+    from pdf_spark.operators.extract import extract_docs_text
+
+    # tables land in the session's default warehouse dir (gitignored);
+    # warehouse.dir is a static conf and cannot be set per-test. A fresh
+    # session's catalog doesn't know about a previous run's directories,
+    # so stale locations must be removed from disk too.
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS docs_bucketed")
+    spark.sql("DROP TABLE IF EXISTS meta_bucketed")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("docs_bucketed", "meta_bucketed"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+
+    pages = spark.createDataFrame(
+        pd.DataFrame(rows_for_texts([f"bucketed doc {i}" for i in range(64)]))
+    )
+    docs = extract_docs_text(pages)
+    docs.write.bucketBy(8, "url").sortBy("url").saveAsTable("docs_bucketed")
+    pages.select("url", "lang").write.bucketBy(8, "url").sortBy(
+        "url"
+    ).saveAsTable("meta_bucketed")
+
+    # disable broadcast so the join exercises the bucketed SMJ path the
+    # way two large-at-scale tables would
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("docs_bucketed").join(
+            spark.table("meta_bucketed"), "url"
+        )
+        plan = _plan(spark, joined)
+        # co-located: SortMergeJoin without an Exchange on either side
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert joined.count() == 64
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS docs_bucketed")
+        spark.sql("DROP TABLE IF EXISTS meta_bucketed")
