@@ -247,6 +247,100 @@ def _variant_case_sql() -> str:
     return f"CASE doc_id % {N_VARIANTS}\n         {whens}\n       END"
 
 
+def _qx05(spark: SparkSession, sf: str) -> DataFrame:
+    """Layout analysis: paragraph segmentation over span GEOMETRY
+    (value-hashed, constant-true oracle).
+
+    The north rule's "layout parse" tier: documents are generated with an
+    extra vertical gap after every 4th line; the extractor's spans are then
+    segmented *declaratively* — a lag window over y detects breaks where
+    the inter-line gap exceeds 1.5x the line height — and the paragraph
+    count per document must equal the generator's prediction
+    ceil(n_lines/4). Exercises span geometry end to end through window
+    functions rather than Python.
+    """
+    from pyspark.sql import Window
+
+    from pdf_spark.gen.pdfgen import (
+        FONT_SIZE,
+        LEFT_X,
+        LINE_HEIGHT,
+        TOP_Y,
+        PdfBuilder,
+        _n,
+        esc,
+        wrap_lines,
+    )
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"url": [], "html": [], "n_lines": []}
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                t = text if isinstance(text, str) else ""
+                lines = wrap_lines(t)
+                ops = [b"BT", b"/F1 " + _n(FONT_SIZE) + b" Tf"]
+                for i, line in enumerate(lines):
+                    # paragraph gap: one extra line height after every 4th
+                    y = TOP_Y - i * LINE_HEIGHT - (i // 4) * LINE_HEIGHT
+                    ops.append(b"1 0 0 1 " + _n(LEFT_X) + b" " + _n(y) + b" Tm")
+                    ops.append(b"(" + esc(line) + b") Tj")
+                ops.append(b"ET")
+                b = PdfBuilder()
+                cat = b.reserve()
+                pages_id = b.reserve()
+                page = b.reserve()
+                font = b.add(b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>")
+                cont = b.stream(b"\n".join(ops), filters="FlateDecode")
+                b.set(cat, b"<</Type/Catalog/Pages " + str(pages_id).encode() + b" 0 R>>")
+                b.set(
+                    pages_id,
+                    b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>",
+                )
+                b.set(
+                    page,
+                    b"<</Type/Page/Parent " + str(pages_id).encode() + b" 0 R"
+                    b"/MediaBox[0 0 612 792]"
+                    b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+                    b"/Contents " + str(cont).encode() + b" 0 R>>",
+                )
+                out["url"].append(str(int(doc_id)))
+                out["html"].append(b.build(cat))
+                out["n_lines"].append(len(lines))
+            yield pd.DataFrame(out)
+
+    prev = _QX03_CACHE.pop("qx05_pages", None)
+    if prev is not None:
+        prev.unpersist()
+    pages = docs.mapInPandas(gen, _GEOM_SCHEMA).persist()
+    _QX03_CACHE["qx05_pages"] = pages
+    predicted = pages.select(
+        "url", (F.ceil(F.col("n_lines") / 4)).cast("long").alias("n_para_expected")
+    )
+    spans = extract_spans(pages)
+    w = Window.partitionBy("url").orderBy(F.desc("y"))
+    gap = F.lag("y").over(w) - F.col("y")
+    is_break = F.when(
+        gap.isNull() | (gap > 1.5 * LINE_HEIGHT), 1
+    ).otherwise(0)
+    per_doc = (
+        spans.where(F.col("status") == "ok")
+        .withColumn("brk", is_break)
+        .groupBy("url")
+        .agg(F.sum("brk").alias("n_paragraphs"))
+    )
+    return per_doc.join(predicted, "url").select(
+        F.col("url").cast("long").alias("doc_id"),
+        (F.col("n_paragraphs") == F.col("n_para_expected")).alias("ok"),
+    )
+
+
+QUERIES["qx05_paragraph_segmentation"] = _qx05
+ORACLE["qx05_paragraph_segmentation"] = (
+    "SELECT doc_id, CAST('t' AS BOOLEAN) AS ok FROM documents"
+)
+
 QUERIES["qx04_variant_coverage"] = _qx04
 ORACLE["qx04_variant_coverage"] = f"""
 SELECT {_variant_case_sql()} AS variant,
