@@ -76,9 +76,6 @@ ERROR_OPS = frozenset(("ID", "EI"))
 
 Op = Tuple[str, List[Any]]
 
-# a standalone ID token: preceded by ws or a delimiter that can end the image
-# dict (>> or ]), followed by the single whitespace byte that precedes data
-_ID_TOKEN_RE = re.compile(rb"(?:\A|[\x00\t\n\x0c\r\x20>\]])ID(?=[\x00\t\n\x0c\r\x20])")
 _DELIM_SET = frozenset(b"()<>[]{}/%")
 
 
@@ -91,11 +88,31 @@ def skip_inline_image(data: bytes, pos: int) -> int:
     the position after the terminating ``EI``, which must be a standalone
     token (whitespace before, whitespace/delimiter/EOF after) so binary data
     containing the two bytes ``EI`` doesn't end the image early.
+
+    The dict region between ``BI`` and ``ID`` is tokenized with the normal
+    scanner (names/numbers/strings/arrays), so an ``ID`` byte pair inside a
+    literal-string value — ``BI /Name (x ID y) ... ID`` — cannot terminate
+    the dict early and desynchronize the EI search.
     """
-    m = _ID_TOKEN_RE.search(data, pos)
-    if m is None:
-        raise PdfError(INVALID_OBJECT, "inline image: no ID token")
-    p = m.end() + 1  # consume the single post-ID whitespace byte
+    n = len(data)
+    fallback: ObjectParser | None = None
+    while True:
+        m = _TOK_RE.match(data, pos)
+        if m is None:
+            if pos < n and data[pos] in b"(<":
+                # escaped/nested string or << dict value: full parser
+                if fallback is None:
+                    fallback = ObjectParser(data, content=True)
+                fallback.pos = pos
+                fallback.parse_object()
+                pos = fallback.pos
+                continue
+            raise PdfError(INVALID_OBJECT, "inline image: no ID token")
+        pos = m.end()
+        if m.lastgroup == "op" and m.group("op") == b"ID":
+            break
+        # any other token is part of the image dict; keep scanning
+    p = pos + 1  # consume the single post-ID whitespace byte
     n = len(data)
     while True:
         j = data.find(b"EI", p)

@@ -159,6 +159,7 @@ class Interpreter:
         self.font_cache = font_cache if font_cache is not None else {}
         self.spans: list[Span] = []
         self.glyph_order = 0
+        self._cur_op = ""  # last dispatched op, for error-detail context
 
     # -- resource lookup --
 
@@ -191,14 +192,26 @@ class Interpreter:
         emit an op with too-few/wrong-typed operands (e.g. a bare ``Tf``),
         which would otherwise escape as IndexError/ValueError/TypeError —
         an INTERNAL_ERROR row instead of the correct INCORRECT_TYPE class
-        (the typecheck the reference does in operation.c:515-806)."""
+        (the typecheck the reference does in operation.c:515-806).
+
+        The reclassification names the failing op so a genuine interpreter
+        bug is distinguishable from a document defect in the error detail,
+        and ``PDF_SPARK_DEBUG=1`` re-raises the original exception so test
+        runs surface real regressions instead of folding them into
+        INCORRECT_TYPE rows."""
         try:
             self._exec_ops(ops, base_ctm, self.resources, depth=0)
         except PdfError:
             raise
         except (IndexError, ValueError, TypeError) as exc:
+            import os
+
+            if os.environ.get("PDF_SPARK_DEBUG"):
+                raise
             raise PdfError(
-                INCORRECT_TYPE, f"content operand mismatch: {exc}"
+                INCORRECT_TYPE,
+                f"operand mismatch at op {self._cur_op!r}: "
+                f"{type(exc).__name__}: {exc}",
             ) from None
 
     def run_streams(self, streams: list[bytes], base_ctm: Mat = IDENTITY) -> list[Span]:
@@ -224,6 +237,7 @@ class Interpreter:
         rz = self.resolver.resolve
 
         for op, args in ops:
+            self._cur_op = op
             if op == "q":
                 gs_stack.append((ctm, ts.copy()))
             elif op == "Q":

@@ -69,6 +69,13 @@ def _parse_subtable(data: bytes, off: int) -> Optional[dict[int, int]]:
         if range_offs + seg_x2 > len(data):
             return None
         out = {}
+        # Total-work cap: segCountX2 is attacker-controlled (up to ~32k
+        # segments each spanning up to 65536 codes -> ~2e9 iterations from
+        # one crafted FontFile2). The code space is 16-bit, so any honest
+        # table visits <= 65536 codes; twice that tolerates overlapping
+        # segments before we return the partial map (font falls through to
+        # the next decode source for unvisited codes).
+        visited_budget = 2 * 65536
         for s in range(nseg):
             end = _u16(data, ends + 2 * s)
             start = _u16(data, starts + 2 * s)
@@ -76,6 +83,9 @@ def _parse_subtable(data: bytes, off: int) -> Optional[dict[int, int]]:
             roff = _u16(data, range_offs + 2 * s)
             if start > end or (start == 0xFFFF and end == 0xFFFF):
                 continue
+            visited_budget -= end - start + 1
+            if visited_budget < 0:
+                break
             for code in range(start, end + 1):
                 if roff == 0:
                     gid = (code + delta) & 0xFFFF

@@ -166,7 +166,7 @@ def _qx03(spark: SparkSession, sf: str) -> DataFrame:
     # build + deflate inside the gen UDF runs once, not once per subtree
     # (previous invocation's cache released on re-entry)
     prev = _QX03_CACHE.pop("pages", None)
-    if prev is not None:
+    if prev is not None and prev.sparkSession is docs.sparkSession:
         prev.unpersist()
     pages = docs.mapInPandas(gen, _GEOM_SCHEMA).persist()
     _QX03_CACHE["pages"] = pages
@@ -311,7 +311,7 @@ def _qx05(spark: SparkSession, sf: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     prev = _QX03_CACHE.pop("qx05_pages", None)
-    if prev is not None:
+    if prev is not None and prev.sparkSession is docs.sparkSession:
         prev.unpersist()
     pages = docs.mapInPandas(gen, _GEOM_SCHEMA).persist()
     _QX03_CACHE["qx05_pages"] = pages

@@ -66,6 +66,18 @@ def _pair_staged(
         ORACLE[name] = duck_sql
 
 
+def _evict_stale_stages(spark: SparkSession) -> None:
+    """Drop cache entries bound to a session other than the active one: a
+    stopped-and-recreated SparkSession leaves DataFrames that either fail on
+    reuse or raise from unpersist(). Stale entries are discarded without
+    unpersist — their session's cache died with it."""
+    stale = [
+        v for v, (_s, df) in _STAGED_CACHE.items() if df.sparkSession is not spark
+    ]
+    for v in stale:
+        del _STAGED_CACHE[v]
+
+
 def _stage(spark: SparkSession, view: str, sql: str) -> None:
     """Persist + register one staged view, releasing the previous
     invocation's cached copy for that view (shared by _pair_staged and
@@ -73,11 +85,15 @@ def _stage(spark: SparkSession, view: str, sql: str) -> None:
     already staged under the view — or under another view (qt11 re-stages
     qt06's signature SQL) — the cached DataFrame is reused instead of
     recomputing the expensive aggregation."""
+    _evict_stale_stages(spark)
     prev = _STAGED_CACHE.get(view)
     if prev is not None and prev[0] == sql:
         return
     if prev is not None:
-        prev[1].unpersist()
+        try:
+            prev[1].unpersist()
+        except Exception:  # session torn down mid-check: entry is stale
+            pass
         del _STAGED_CACHE[view]
     for other_sql, other_df in _STAGED_CACHE.values():
         if other_sql == sql:

@@ -20,6 +20,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pdf_spark.operators.extract import extract_docs_text
 from pdf_spark.operators.lineage import (
@@ -87,7 +88,11 @@ def run_extraction(
     # schema passed explicitly: a first run over an empty/fully-filtered
     # input writes only _SUCCESS, and schema inference on a file-less
     # directory raises instead of returning the benign 0-row frame
-    sink_schema = docs.schema.add("run_id", "string")
+    # fresh StructType: StructType.add mutates in place, and DataFrame.schema
+    # returns the cached object — docs.schema must not grow a phantom run_id
+    sink_schema = T.StructType(
+        list(docs.schema.fields) + [T.StructField("run_id", T.StringType())]
+    )
     written = (
         spark.read.schema(sink_schema).parquet(docs_path)
         .where(F.col("run_id") == run_id)

@@ -207,6 +207,14 @@ def test_skip_inline_image_edges():
     # bare EI outside a BI section is still the reference's error class
     with pytest.raises(PdfError):
         parse_content_stream(b"(x) Tj EI")
+    # an 'ID' byte pair inside a literal-string dict value must NOT start
+    # the binary region early (the dict is tokenized, not regex-scanned)
+    s3 = b"BI /Name (x ID y) /W 1 ID \x00\x01 EI 9 9 Td (after) Tj"
+    ops3 = parse_content_stream(s3)
+    assert ops3 == [("Td", [9, 9]), ("TJ", [[b"after"]])]
+    # same with an escaped string value (fallback parser path)
+    s4 = b"BI /N (a\\) ID b) ID \xffEIx EI (t) Tj"
+    assert [o for o, _ in parse_content_stream(s4)] == ["TJ"]
 
 
 class TestSfntCmap:
@@ -248,6 +256,40 @@ class TestSfntCmap:
 
         data = struct.pack(">IHHHH", 0x00010000, 1, 16, 0, 16) + b"glyf" + bytes(12)
         assert parse_sfnt_cmaps(data) is None
+
+    def test_format_4_work_cap(self):
+        """A crafted format-4 table with ~32k full-range segments would cost
+        ~2e9 iterations; the visited-code budget must bound it to ~128k and
+        return the partial map instead of stalling the executor."""
+        import struct
+        import time
+
+        from pdf_spark.core.sfnt import parse_sfnt_cmaps
+
+        nseg = 16384
+        seg_x2 = 2 * nseg
+        # every segment covers 0..0xFFFE with delta +1, roff 0
+        ends = struct.pack(f">{nseg}H", *([0xFFFE] * nseg))
+        starts = struct.pack(f">{nseg}H", *([0] * nseg))
+        deltas = struct.pack(f">{nseg}H", *([1] * nseg))
+        roffs = struct.pack(f">{nseg}H", *([0] * nseg))
+        fmt4 = (
+            struct.pack(">HHHHHHH", 4, 0, 0, seg_x2, 0, 0, 0)
+            + ends + b"\x00\x00" + starts + deltas + roffs
+        )
+        cmap = (
+            struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 1, 12) + fmt4
+        )
+        data = (
+            struct.pack(">IHHHH", 0x00010000, 1, 16, 0, 16)
+            + b"cmap" + struct.pack(">III", 0, 28, len(cmap))
+            + cmap
+        )
+        t0 = time.monotonic()
+        out = parse_sfnt_cmaps(data)
+        assert time.monotonic() - t0 < 5.0
+        # the first budgeted segments still contribute a usable map
+        assert out is not None and out.unicode_map[0] == 1
         assert parse_sfnt_cmaps(b"") is None
 
 
