@@ -13,12 +13,16 @@ EXTENSIONS beyond the reference (documented divergences):
 - ``beginbfrange``/``endbfrange`` — the reference lacks it (its own
   ``embedded.pdf`` fixture's ToUnicode uses bfrange, but the render path
   never consults ToUnicode for Type0 fonts); an extraction engine must.
-- predefined ``Identity-H``/``Identity-V`` plus the Unicode-keyed
-  ``Uni*-UCS2-H/V`` / ``Uni*-UTF16-H/V`` families are built in (the
-  reference loads the whole Adobe set from the cmap-resources asset tree,
-  fonts/cmap_paths.c — an asset its own submodule ships empty); the legacy
-  byte-oriented CJK CMaps (Shift-JIS/EUC/Big5 keyed) still raise
-  UNSUPPORTED_CMAP.
+- predefined ``Identity-H``/``Identity-V``, the Unicode-keyed
+  ``Uni*-UCS2-H/V`` / ``Uni*-UTF16-H/V`` families, AND the legacy
+  byte-oriented CJK families (``90ms-RKSJ-H``, ``GB-EUC-H``, ``GBK-EUC-H``,
+  ``B5pc-H``, ``ETen-B5-H``, ``KSC-EUC-H``, ``KSCms-UHC-H`` + variants) are
+  built in (the reference loads the whole Adobe set from the cmap-resources
+  asset tree, fonts/cmap_paths.c:1-515 — an asset its own submodule ships
+  empty). The legacy families carry mixed 1/2-byte codespace ranges and a
+  stdlib charset codec: extraction needs code -> Unicode, which
+  shift_jis/gbk/big5/euc_kr provide without the Adobe CID tables. Only
+  EUC-TW (CNS-EUC-H) stays UNSUPPORTED_CMAP — CPython has no codec for it.
 
 Lookup semantics mirror the reference: codespace ranges are recorded but the
 Type0 code iterator always consumes 2 bytes (render/font.c:46-67 hardcodes
@@ -48,7 +52,7 @@ class CMap:
 
     __slots__ = (
         "name", "codespace", "cid_ranges", "bf_singles", "bf_ranges",
-        "parent", "unicode_identity",
+        "parent", "unicode_identity", "charset", "lead_lens",
     )
 
     def __init__(self, name: str = "") -> None:
@@ -64,6 +68,30 @@ class CMap:
         # itself the Unicode code point, so extraction can decode any BMP
         # code even where the embedded CID table is partial
         self.unicode_identity = False
+        # legacy byte-oriented CJK families (90ms-RKSJ-H, GB-EUC-H, …):
+        # the stdlib codec that maps raw code BYTES to Unicode, and the
+        # per-lead-byte code length table derived from the codespace
+        self.charset: Optional[str] = None
+        self.lead_lens: Optional[tuple[int, ...]] = None
+
+    def build_lead_lens(self) -> Optional[tuple[int, ...]]:
+        """Per-lead-byte code length (1 or 2) from the codespace ranges;
+        None when every range is the fixed 2-byte form (the common Identity/
+        UCS2 case keeps its unconditional 2-byte fast path). Lead bytes not
+        covered by any range default to 1 so a malformed string advances
+        instead of looping."""
+        if all(nb == 2 for _, _, nb in self.codespace) or not self.codespace:
+            return None
+        lens = [1] * 256
+        for lo, hi, nb in self.codespace:
+            if nb == 1:
+                continue
+            if nb == 2:
+                for lead in range(lo >> 8, min((hi >> 8) + 1, 256)):
+                    lens[lead] = 2
+            # 3/4-byte ranges don't occur in the supported families
+        self.lead_lens = tuple(lens)
+        return self.lead_lens
 
     # code -> CID (pdf_cmap_get_cid, cmap.c:116-138)
     def get_cid(self, code: int) -> Optional[int]:
@@ -130,12 +158,73 @@ def _unicode_cmap(name: str) -> CMap:
     return cm
 
 
+# Legacy byte-oriented predefined CJK CMaps (the pre-Unicode families the
+# reference loads from the Adobe cmap-resources asset tree,
+# fonts/cmap_paths.c:1-515 + fonts/cmap.c:529-689). Extraction needs
+# code -> UNICODE, which the charset's stdlib codec provides without the
+# Adobe CID tables; the codespace ranges below are the structural facts of
+# each encoding (public spec data: Shift-JIS / EUC / GBK / Big5 / UHC
+# layouts, identical to the ranges in Adobe's published CMap files).
+# stem -> (python codec, codespace ranges [(lo, hi, nbytes)])
+_SJIS_SPACE = [(0x00, 0x80, 1), (0xA0, 0xDF, 1), (0x8140, 0x9FFC, 2), (0xE040, 0xFCFC, 2)]
+_EUC_SPACE = [(0x00, 0x7F, 1), (0xA1A1, 0xFEFE, 2)]
+_GBK_SPACE = [(0x00, 0x7F, 1), (0x8140, 0xFEFE, 2)]
+_B5_SPACE = [(0x00, 0x7F, 1), (0xA140, 0xF9FE, 2)]
+_HK_SPACE = [(0x00, 0x7F, 1), (0x8140, 0xFEFE, 2)]
+_UHC_SPACE = [(0x00, 0x7F, 1), (0x8141, 0xFEFE, 2)]
+
+_LEGACY_CMAP_STEMS: dict[str, tuple[str, list[tuple[int, int, int]]]] = {
+    # Japanese (Adobe-Japan1): Shift-JIS keyed
+    "90ms-RKSJ": ("cp932", _SJIS_SPACE),
+    "90msp-RKSJ": ("cp932", _SJIS_SPACE),
+    "90pv-RKSJ": ("shift_jis", _SJIS_SPACE),
+    "83pv-RKSJ": ("shift_jis", _SJIS_SPACE),
+    "Ext-RKSJ": ("cp932", _SJIS_SPACE),
+    "Add-RKSJ": ("shift_jis", _SJIS_SPACE),
+    # Japanese EUC
+    "EUC": ("euc_jp", [(0x00, 0x7F, 1), (0x8EA0, 0x8EDF, 2), (0xA1A1, 0xFEFE, 2)]),
+    # Simplified Chinese (Adobe-GB1)
+    "GB-EUC": ("gb2312", _EUC_SPACE),
+    "GBpc-EUC": ("gb2312", _EUC_SPACE),
+    "GBK-EUC": ("gbk", _GBK_SPACE),
+    "GBKp-EUC": ("gbk", _GBK_SPACE),
+    "GBK2K": ("gb18030", _GBK_SPACE),
+    # Traditional Chinese (Adobe-CNS1)
+    "B5pc": ("big5", _B5_SPACE),
+    "B5": ("big5", _B5_SPACE),
+    "ETen-B5": ("big5", _B5_SPACE),
+    "ETenms-B5": ("big5", _B5_SPACE),
+    "HKscs-B5": ("big5hkscs", _HK_SPACE),
+    "CNS-EUC": ("euc_jis_2004", _EUC_SPACE),  # no exact stdlib codec; see note
+    # Korean (Adobe-Korea1 / KR)
+    "KSC-EUC": ("euc_kr", _EUC_SPACE),
+    "KSCms-UHC": ("cp949", _UHC_SPACE),
+    "KSCms-UHC-HW": ("cp949", _UHC_SPACE),
+    "KSCpc-EUC": ("euc_kr", _EUC_SPACE),
+}
+# CNS-EUC-H is EUC-TW, which CPython has no codec for; drop it rather than
+# decode wrongly (it remains UNSUPPORTED_CMAP, matching the error-row path).
+del _LEGACY_CMAP_STEMS["CNS-EUC"]
+
+
+def _legacy_cmap(name: str, codec: str, space: list[tuple[int, int, int]]) -> CMap:
+    cm = CMap(name)
+    cm.codespace = list(space)
+    cm.charset = codec
+    cm.build_lead_lens()
+    return cm
+
+
 def get_predefined_cmap(name: str) -> CMap:
     if name in ("Identity-H", "Identity-V"):
         return _identity_cmap(name)
     stem, _, direction = name.rpartition("-")
-    if direction in ("H", "V") and stem in _UNICODE_CMAP_STEMS:
-        return _unicode_cmap(name)
+    if direction in ("H", "V"):
+        if stem in _UNICODE_CMAP_STEMS:
+            return _unicode_cmap(name)
+        legacy = _LEGACY_CMAP_STEMS.get(stem)
+        if legacy is not None:
+            return _legacy_cmap(name, legacy[0], legacy[1])
     raise PdfError(UNSUPPORTED_CMAP, f"predefined CMap {name!r}")
 
 

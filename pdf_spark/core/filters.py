@@ -59,6 +59,126 @@ def flate_decode(data: bytes) -> bytes:
             raise PdfError(FILTER_ERROR, f"FlateDecode: {exc}") from None
 
 
+def ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (PDF 32000-1 §7.4.3): 5 chars ``!``..``u`` -> 4 bytes
+    base-85 big-endian; ``z`` is shorthand for 4 zero bytes (only between
+    groups); whitespace ignored; ``~>`` is EOD. A partial final group of n
+    chars (2..4) is padded with ``u`` and yields n-1 bytes.
+
+    EXTENSION beyond the reference (panics on any filter beyond
+    ASCIIHex/Flate, filters.c:54): A85 appears in real-world text content
+    streams, so it decodes here per spec.
+    """
+    out = bytearray()
+    group = []
+    end = data.find(b"~>")
+    body = data[:end] if end >= 0 else data
+    if body.startswith(b"<~"):  # btoa-style leader some writers emit
+        body = body[2:]
+    for ch in body:
+        if ch in WHITESPACE:
+            continue
+        if ch == 0x7A:  # 'z'
+            if group:
+                raise PdfError(FILTER_ERROR, "ASCII85: z inside group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not (0x21 <= ch <= 0x75):  # '!'..'u'
+            raise PdfError(FILTER_ERROR, f"ASCII85: bad char {ch:#x}")
+        group.append(ch - 0x21)
+        if len(group) == 5:
+            v = 0
+            for d in group:
+                v = v * 85 + d
+            if v > 0xFFFFFFFF:
+                raise PdfError(FILTER_ERROR, "ASCII85: group overflow")
+            out += v.to_bytes(4, "big")
+            group.clear()
+    if group:
+        if len(group) == 1:
+            raise PdfError(FILTER_ERROR, "ASCII85: lone trailing char")
+        n = len(group)
+        v = 0
+        for d in group + [84] * (5 - n):  # pad with 'u'
+            v = v * 85 + d
+        out += v.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def ascii85_encode(data: bytes) -> bytes:
+    """Encode side of :func:`ascii85_decode` (corpus generator + tests)."""
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i : i + 4]
+        n = len(chunk)
+        v = int.from_bytes(chunk + b"\x00" * (4 - n), "big")
+        if v == 0 and n == 4:
+            out.append(0x7A)  # 'z'
+            continue
+        digits = []
+        for _ in range(5):
+            digits.append(v % 85)
+            v //= 85
+        out += bytes(0x21 + d for d in reversed(digits))[: n + 1]
+    return bytes(out) + b"~>"
+
+
+def run_length_decode(data: bytes) -> bytes:
+    """RunLengthDecode (PDF 32000-1 §7.4.5): length byte L -> L<128 copies
+    the next L+1 bytes literally; L>128 repeats the next byte 257-L times;
+    L==128 is EOD. Truncated input past the last complete run is an error.
+    """
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        L = data[i]
+        i += 1
+        if L == 128:
+            return bytes(out)
+        if L < 128:
+            if i + L + 1 > n:
+                raise PdfError(FILTER_ERROR, "RunLength: truncated literal run")
+            out += data[i : i + L + 1]
+            i += L + 1
+        else:
+            if i >= n:
+                raise PdfError(FILTER_ERROR, "RunLength: truncated repeat run")
+            out += data[i : i + 1] * (257 - L)
+            i += 1
+    return bytes(out)  # EOD omitted by some writers: tolerate EOF
+
+
+def run_length_encode(data: bytes) -> bytes:
+    """Encode side of :func:`run_length_decode`: repeats of >=3 become
+    repeat runs; everything else literal runs of <=128 bytes."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = i
+    while i < n:
+        j = i
+        while j < n and data[j] == data[i] and j - i < 128:
+            j += 1
+        if j - i >= 3:
+            if lit_start < i:
+                for k in range(lit_start, i, 128):
+                    chunk = data[k : min(k + 128, i)]
+                    out.append(len(chunk) - 1)
+                    out += chunk
+            out.append(257 - (j - i))
+            out.append(data[i])
+            i = j
+            lit_start = i
+        else:
+            i = j
+    if lit_start < n:
+        for k in range(lit_start, n, 128):
+            chunk = data[k : min(k + 128, n)]
+            out.append(len(chunk) - 1)
+            out += chunk
+    out.append(128)
+    return bytes(out)
+
+
 def lzw_decode(data: bytes, early_change: int = 1) -> bytes:
     """PDF LZWDecode (PDF 32000-1 §7.4.4): TIFF-style LZW, MSB-first codes,
     9→12 bit widths, Clear=256, EOD=257, EarlyChange default 1.
@@ -251,6 +371,10 @@ def decode_stream(stream_dict: dict, raw: bytes, resolver=None) -> bytes:
         parm = rz(parm)
         if name == "ASCIIHexDecode" or name == "AHx":
             data = ascii_hex_decode(data)
+        elif name == "ASCII85Decode" or name == "A85":
+            data = ascii85_decode(data)
+        elif name == "RunLengthDecode" or name == "RL":
+            data = run_length_decode(data)
         elif name == "FlateDecode" or name == "Fl":
             data = flate_decode(data)
             data = _apply_predictor(data, parm)

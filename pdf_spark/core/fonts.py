@@ -126,15 +126,33 @@ class Font:
 
     # -- code iteration (render/font.c:29-87) --
 
-    def iter_codes(self, data: bytes) -> Iterator[int]:
-        if self.is_type0:
-            n = len(data)
-            off = 0
-            while off + 1 < n:  # trailing odd byte dropped (font.c:46)
-                yield (data[off] << 8) | data[off + 1]
+    def split_codes(self, data: bytes) -> list[int]:
+        """String bytes -> list of codes. Fixed 2-byte big-endian for the
+        Identity/UCS2 families (trailing odd byte dropped, font.c:46);
+        codespace-driven mixed 1/2-byte for the legacy CJK CMaps
+        (90ms-RKSJ-H's 1-byte ASCII/kana vs 2-byte kanji ranges —
+        PDF 32000-1 §9.7.6.2 next-code selection by codespace)."""
+        if not self.is_type0:
+            return list(data)
+        cm = self.encoding_cmap
+        lens = cm.lead_lens if cm is not None else None
+        n = len(data)
+        if lens is None:
+            return [(data[i] << 8) | data[i + 1] for i in range(0, n - 1, 2)]
+        out: list[int] = []
+        off = 0
+        while off < n:
+            lead = data[off]
+            if lens[lead] == 2 and off + 1 < n:
+                out.append((lead << 8) | data[off + 1])
                 off += 2
-        else:
-            yield from data
+            else:
+                out.append(lead)
+                off += 1
+        return out
+
+    def iter_codes(self, data: bytes) -> Iterator[int]:
+        yield from self.split_codes(data)
 
     # -- decode (render/font.c:89-248 priority, extraction-shaped) --
 
@@ -177,6 +195,16 @@ class Font:
         if self.encoding_cmap is not None and self.encoding_cmap.unicode_identity:
             # UCS-2/UTF-16 predefined CMaps: the code IS the code point
             return chr(code)
+        if self.encoding_cmap is not None and self.encoding_cmap.charset:
+            # legacy byte-oriented CJK CMap: the code bytes ARE a charset
+            # sequence (Shift-JIS/EUC/GBK/Big5/UHC); the stdlib codec gives
+            # code -> Unicode directly, no Adobe CID tables needed
+            raw = (
+                bytes([code])
+                if code <= 0xFF
+                else bytes([code >> 8, code & 0xFF])
+            )
+            return raw.decode(self.encoding_cmap.charset, errors="replace")
         if self.sfnt is not None:
             # CIDFontType2: CID -> GID via CIDToGIDMap (Identity when absent,
             # cid_to_gid_map.c:10-64) -> inverse sfnt Unicode cmap

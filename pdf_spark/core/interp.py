@@ -359,11 +359,9 @@ class Interpreter:
             chars: list[str] = []
             adv = 0.0
             if is_type0:
-                # 2-byte big-endian codes; trailing odd byte dropped
-                # (render/font.c:46)
-                codes = [
-                    (el[i] << 8) | el[i + 1] for i in range(0, len(el) - 1, 2)
-                ]
+                # fixed 2-byte or codespace-driven mixed 1/2-byte split
+                # (render/font.c:46; legacy CJK CMaps are mixed-width)
+                codes = font.split_codes(el)
             else:
                 codes = el
             for code in codes:

@@ -72,6 +72,14 @@ def _encode_chain(data: bytes, names: list[str]) -> bytes:
             from pdf_spark.core.filters import lzw_encode
 
             enc = lzw_encode(enc)
+        elif name == "ASCII85Decode":
+            from pdf_spark.core.filters import ascii85_encode
+
+            enc = ascii85_encode(enc)
+        elif name == "RunLengthDecode":
+            from pdf_spark.core.filters import run_length_encode
+
+            enc = run_length_encode(enc)
         else:
             raise ValueError(name)
     return enc
@@ -755,6 +763,52 @@ def _type0_predefined_doc(lines: list[str]) -> bytes:
     return b.build(cat)
 
 
+def _jp_char(c: str) -> str:
+    """Deterministic ASCII -> Japanese mapping for the legacy-CMap variant:
+    spaces/digits stay 1-byte ASCII, a-m/A-M become full-width katakana
+    (2-byte Shift-JIS), everything else half-width katakana (1-byte
+    0xB1-0xBF) — so one line exercises all three code widths."""
+    if c == " " or c.isdigit():
+        return c
+    if "a" <= c <= "m" or "A" <= c <= "M":
+        return chr(0x30A2 + (ord(c) % 0x40))
+    return chr(0xFF71 + (ord(c) % 0x0F))
+
+
+def _type0_legacy_cmap_doc(lines: list[str]) -> bytes:
+    """Type0 with the predefined byte-oriented /90ms-RKSJ-H CMap and NO
+    ToUnicode: string bytes are Shift-JIS (cp932) — decode requires the
+    legacy-CMap codespace split (mixed 1/2-byte) + charset decode."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    cid_font = b.add(
+        b"<</Type/Font/Subtype/CIDFontType0/BaseFont/FakeGothic"
+        b"/CIDSystemInfo<</Registry(Adobe)/Ordering(Japan1)/Supplement 7>>"
+        b"/DW 1000>>"
+    )
+    font = b.add(
+        b"<</Type/Font/Subtype/Type0/BaseFont/FakeGothic"
+        b"/Encoding/90ms-RKSJ-H"
+        b"/DescendantFonts[" + str(cid_font).encode() + b" 0 R]>>"
+    )
+    coded = [
+        "".join(_jp_char(c) for c in line).encode("cp932") for line in lines
+    ]
+    cont = b.stream(_content_hex_byte_lines(coded), filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
 # MacRoman high-range bytes used by the macroman_high variant
 _MACROMAN_SUBST = {"a": (0x87, "á"), "e": (0x8E, "é")}
 
@@ -961,6 +1015,8 @@ _GOOD_VARIANTS = [
     ("form_xobject", lambda L: _form_xobject_doc(L)),
     ("incremental_update", lambda L: _incremental_doc(L)),
     ("td_tj_lzw", lambda L: _simple_doc(L, _content_td_tj, filters="LZWDecode")),
+    ("td_tj_a85", lambda L: _simple_doc(L, _content_td_tj, filters="ASCII85Decode")),
+    ("td_tj_rle", lambda L: _simple_doc(L, _content_td_tj, filters="RunLengthDecode FlateDecode")),
     ("xref_stream", lambda L: _xref_stream_doc(L)),
     ("objstm", lambda L: _objstm_doc(L)),
     ("inline_image", lambda L: _simple_doc(L, _content_inline_image, filters="FlateDecode")),
@@ -970,6 +1026,7 @@ _GOOD_VARIANTS = [
     ("cidfont2_sfnt", lambda L: _cidfont2_sfnt_doc(L)),
     ("macroman_high", lambda L: _macroman_doc(L)),
     ("incremental_xref_stream", lambda L: _incremental_xref_stream_doc(L)),
+    ("type0_legacy_cmap", lambda L: _type0_legacy_cmap_doc(L)),
 ]
 
 # corrupt variants: (name, payload builder, expected error_code)
@@ -1039,6 +1096,8 @@ def _expected_text(lines: list[str], variant_name: str) -> str:
             )
             for l in lines
         ]
+    elif variant_name == "type0_legacy_cmap":
+        lines = ["".join(_jp_char(c) for c in l) for l in lines]
     return "\n".join(lines)
 
 

@@ -413,3 +413,93 @@ class TestAdversarialXref:
 
         with pytest.raises(PdfError):
             _parse_cid_widths([0, 2147483647, 500], R())
+
+
+class TestAscii85AndRunLength:
+    """ASCII85Decode (§7.4.3) + RunLengthDecode (§7.4.5) — EXTENSIONS (the
+    reference panics on both, filters.c:54); real-world text streams use
+    them, so both decode per spec with generator-side encoders."""
+
+    def test_a85_known_vector(self):
+        from pdf_spark.core.filters import ascii85_decode, ascii85_encode
+
+        # 'Man ' encodes to 9jqo^ per the classic btoa example
+        assert ascii85_encode(b"Man ") == b"9jqo^~>"
+        assert ascii85_decode(b"9jqo^~>") == b"Man "
+        # z shorthand + whitespace tolerance + partial final group
+        assert ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+        assert ascii85_decode(b" 9j qo^ \n 9jqo^ ~>") == b"Man Man "
+        assert ascii85_decode(ascii85_encode(b"ab")) == b"ab"
+
+    def test_a85_errors(self):
+        import pytest
+
+        from pdf_spark.core.errors import PdfError
+        from pdf_spark.core.filters import ascii85_decode
+
+        with pytest.raises(PdfError):
+            ascii85_decode(b"9jz~>")  # z inside a group
+        with pytest.raises(PdfError):
+            ascii85_decode(b"\x7f~>")  # out-of-alphabet byte
+        with pytest.raises(PdfError):
+            ascii85_decode(b"9~>")  # lone trailing char
+        with pytest.raises(PdfError):
+            ascii85_decode(b"uuuuu~>")  # > 2^32-1 group
+
+    def test_a85_roundtrip_fuzz(self):
+        import random
+
+        from pdf_spark.core.filters import ascii85_decode, ascii85_encode
+
+        rng = random.Random(85)
+        for n in (0, 1, 2, 3, 4, 5, 63, 256, 4097):
+            data = bytes(rng.randrange(256) for _ in range(n))
+            assert ascii85_decode(ascii85_encode(data)) == data
+        # zero-heavy payload exercises the z shortcut
+        data = b"\x00" * 37 + b"x" + b"\x00" * 9
+        assert ascii85_decode(ascii85_encode(data)) == data
+
+    def test_rle_spec_shapes(self):
+        import pytest
+
+        from pdf_spark.core.errors import PdfError
+        from pdf_spark.core.filters import run_length_decode, run_length_encode
+
+        # literal run, repeat run, EOD
+        assert run_length_decode(b"\x02abc\xfeZ\x80") == b"abc" + b"Z" * 3
+        # missing EOD tolerated
+        assert run_length_decode(b"\x00Q") == b"Q"
+        with pytest.raises(PdfError):
+            run_length_decode(b"\x05ab")  # truncated literal
+        with pytest.raises(PdfError):
+            run_length_decode(b"\xfe")  # truncated repeat
+        assert run_length_encode(b"") == b"\x80"
+
+    def test_rle_roundtrip_fuzz(self):
+        import random
+
+        from pdf_spark.core.filters import run_length_decode, run_length_encode
+
+        rng = random.Random(91)
+        cases = [
+            b"",
+            b"A" * 500,
+            b"ab" * 300,
+            bytes(rng.randrange(256) for _ in range(4096)),
+            bytes(rng.choice(b"aab") for _ in range(2000)),
+            b"x" * 127 + b"y" * 129 + b"z",
+        ]
+        for data in cases:
+            assert run_length_decode(run_length_encode(data)) == data
+
+    def test_new_filter_variants_extract(self):
+        from pdf_spark.core.extract import extract_text
+        from pdf_spark.gen.pdfgen import _GOOD_VARIANTS, generate_doc
+
+        names = [n for n, _ in _GOOD_VARIANTS]
+        for name in ("td_tj_a85", "td_tj_rle"):
+            v = names.index(name)
+            pdf, expected, vname, err = generate_doc("quick brown fox " * 9, v)
+            assert vname == name and err == ""
+            text, status, code, n_pages, n_spans = extract_text(pdf)
+            assert status == "ok" and text == expected

@@ -326,8 +326,11 @@ class TestEncodingTables:
             assert cm.get_cid(0x41) == 0x41 - 0x20 + 1  # ASCII CID run
         ident = get_predefined_cmap("Identity-H")
         assert not ident.unicode_identity and ident.get_cid(0x1234) == 0x1234
+        # legacy byte-keyed families are now supported (charset-decoded)
+        legacy = get_predefined_cmap("90ms-RKSJ-H")
+        assert legacy.charset == "cp932" and legacy.lead_lens is not None
         with pytest.raises(PdfError):
-            get_predefined_cmap("90ms-RKSJ-H")  # legacy byte-keyed: unsupported
+            get_predefined_cmap("Bogus-Keyed-H")
 
 
 def test_surrogate_codes_never_leak_invalid_unicode():
@@ -493,3 +496,70 @@ def test_ts_rise_shifts_span_y():
     sup = next(s for s in r.spans if s.text == "sup")
     base = next(s for s in r.spans if s.text == "base")
     assert sup.y == base.y + 5.0
+
+
+class TestLegacyCjkCmaps:
+    """Legacy byte-oriented predefined CMaps (reference capability surface
+    fonts/cmap_paths.c:1-515): mixed 1/2-byte codespace split + stdlib
+    charset decode. Extraction needs code->Unicode only."""
+
+    CASES = [
+        ("90ms-RKSJ-H", "カタカナ abc123 ｱｲｳﾝ", "cp932"),
+        ("90pv-RKSJ-H", "カナ abc", "shift_jis"),
+        ("GB-EUC-H", "汉字 abc", "gb2312"),
+        ("GBK-EUC-H", "汉字镕 abc", "gbk"),
+        ("B5pc-H", "漢字 abc", "big5"),
+        ("ETen-B5-V", "漢字 abc", "big5"),
+        ("KSC-EUC-H", "한글 abc", "euc_kr"),
+        ("KSCms-UHC-H", "한글샾 abc", "cp949"),
+    ]
+
+    def test_split_and_decode_roundtrip(self):
+        from pdf_spark.core.cmap import get_predefined_cmap
+        from pdf_spark.core.fonts import Font
+
+        for name, payload, codec in self.CASES:
+            cm = get_predefined_cmap(name)
+            f = Font()
+            f.is_type0 = True
+            f.encoding_cmap = cm
+            raw = payload.encode(codec)
+            got = "".join(f.code_to_text(c) for c in f.split_codes(raw))
+            assert got == payload, name
+
+    def test_mixed_width_split_boundaries(self):
+        from pdf_spark.core.cmap import get_predefined_cmap
+        from pdf_spark.core.fonts import Font
+
+        f = Font()
+        f.is_type0 = True
+        f.encoding_cmap = get_predefined_cmap("90ms-RKSJ-H")
+        # 1-byte ASCII, 2-byte lead 0x81, 1-byte halfwidth kana 0xB1,
+        # 2-byte lead 0xE0; trailing lead byte with no second byte -> 1 code
+        raw = b"A\x81\x40\xb1\xe0\x40\x81"
+        assert f.split_codes(raw) == [0x41, 0x8140, 0xB1, 0xE040, 0x81]
+
+    def test_unknown_cmap_still_errors(self):
+        import pytest
+
+        from pdf_spark.core.cmap import get_predefined_cmap
+        from pdf_spark.core.errors import PdfError
+
+        for name in ("CNS-EUC-H", "NoSuch-CMap-H", "90ms-RKSJ-X"):
+            with pytest.raises(PdfError):
+                get_predefined_cmap(name)
+
+    def test_legacy_variant_extracts_byte_identical(self):
+        from pdf_spark.core.extract import extract_text
+        from pdf_spark.gen.pdfgen import _GOOD_VARIANTS, generate_doc
+
+        names = [n for n, _ in _GOOD_VARIANTS]
+        v = names.index("type0_legacy_cmap")
+        pdf, expected, vname, err = generate_doc(
+            "The quick brown fox jumps over 12 lazy dogs! " * 4, v
+        )
+        assert vname == "type0_legacy_cmap" and err == ""
+        text, status, code, _, _ = extract_text(pdf)
+        assert status == "ok" and text == expected
+        # the expected text is genuinely non-ASCII (katakana)
+        assert any(ord(c) > 0x3000 for c in expected)
