@@ -7,9 +7,11 @@ The reference maps ``code -> glyph name`` through built-in encoding tables
 (assets/agl-aglfn/glyphlist.txt, parsed at fonts/agl.c:27-…). We embed
 these *public-spec* tables (PDF 32000-1 Annex D; AGL 2.0) directly:
 Standard/WinAnsi in full, MacRoman including the complete 128-255 high
-range, and the AGL names every 8-bit encoding in Annex D can reach — the
-full AGL additionally covers CJK ligatures etc. that no simple 8-bit font
-can address. Unknown names fall back to the AGL algorithm's
+range, MacExpert for the text-meaningful rows, the AGL names every 8-bit
+encoding in Annex D can reach, PLUS the non-Latin AGL blocks real-world
+``/Differences`` arrays use: Greek letter names, the Cyrillic ``afii*``
+runs (Russian + Ukrainian/Serbian extensions), and the expert-set
+smallcap/oldstyle names. Unknown names fall back to the AGL algorithm's
 ``uniXXXX``/``uXXXX[XX]`` rule, then to U+FFFD.
 """
 
@@ -116,13 +118,33 @@ MAC_ROMAN_ENCODING.update({
     255: "caron",
 })
 
+# MacExpertEncoding (PDF 32000-1 Annex D.4): expert-set glyphs — small
+# capitals, oldstyle figures, superiors/inferiors, fractions. The layout
+# below is the Annex D table for the rows extraction can use; codes whose
+# glyphs have no text meaning (ornaments) are omitted and fall through to
+# the U+FFFD path. DIVERGENCE (documented): AGL maps most expert names into
+# the Private Use Area (Asmall -> U+F761 etc., what the reference's
+# glyphlist.txt load produces, fonts/encoding.c:13-431 + agl.c); extraction
+# maps them to their TEXT equivalents instead — a small-cap A reads as
+# 'a', an oldstyle 7 as '7' — because PUA codepoints are useless to every
+# downstream text consumer.
+MAC_EXPERT_ENCODING: dict[int, str] = {32: "space"}
+for _k in range(10):  # 0x30..0x39: zerooldstyle..nineoldstyle
+    _dig = ("zero one two three four five six seven eight nine").split()[_k]
+    MAC_EXPERT_ENCODING[0x30 + _k] = f"{_dig}oldstyle"
+for _k in range(26):  # 0x61..0x7A: Asmall..Zsmall (small capitals)
+    MAC_EXPERT_ENCODING[0x61 + _k] = chr(65 + _k) + "small"
+MAC_EXPERT_ENCODING.update({
+    0x21: "exclamsmall", 0x26: "ampersandsmall", 0x27: "centoldstyle",
+    0x2C: "comma", 0x2D: "hyphen", 0x2E: "period", 0x2F: "fraction",
+    0x3A: "colon", 0x3B: "semicolon", 0x3F: "questionsmall",
+})
+
 BASE_ENCODINGS = {
     "StandardEncoding": STANDARD_ENCODING,
     "WinAnsiEncoding": WIN_ANSI_ENCODING,
     "MacRomanEncoding": MAC_ROMAN_ENCODING,
-    # MacExpertEncoding is registered by the reference but maps symbols only;
-    # unsupported names fall through to the U+FFFD path.
-    "MacExpertEncoding": {},
+    "MacExpertEncoding": MAC_EXPERT_ENCODING,
 }
 
 # AGL subset: glyph name -> unicode char (AGL 2.0, public)
@@ -165,6 +187,74 @@ for _c in range(97, 123):
 for _code, _name in WIN_ANSI_ENCODING.items():
     if _code >= 161 and _name not in AGL:
         AGL[_name] = chr(_code)
+
+# -- AGL non-Latin blocks (AGL 2.0, public Adobe asset; the reference loads
+# the same mapping from assets/agl-aglfn/glyphlist.txt via fonts/agl.c) --
+
+# Greek: plain letter names map to the Greek block. NOTE the three AGL
+# legacy quirks already present above (Delta -> U+2206 increment,
+# Omega -> ohm-adjacent, mu -> micro, pi -> U+03C0) keep their entries;
+# setdefault never overwrites them.
+_GREEK_UPPER = (
+    "Alpha Beta Gamma Delta Epsilon Zeta Eta Theta Iota Kappa Lambda Mu "
+    "Nu Xi Omicron Pi Rho  Sigma Tau Upsilon Phi Chi Psi Omega"
+).split()  # index 17 ('') skipped below: U+03A2 is unassigned
+_GREEK_LOWER = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+    "nu xi omicron pi rho sigmafinal sigma tau upsilon phi chi psi omega"
+).split()
+for _k, _n in enumerate(_GREEK_UPPER):
+    AGL.setdefault(_n, chr(0x0391 + _k + (1 if _k >= 17 else 0)))
+for _k, _n in enumerate(_GREEK_LOWER):
+    AGL.setdefault(_n, chr(0x03B1 + _k))
+AGL.setdefault("sigma1", "ς")      # AGL name for final sigma
+AGL.setdefault("theta1", "ϑ")
+AGL.setdefault("phi1", "ϕ")
+AGL.setdefault("omega1", "ϖ")
+
+# Cyrillic: the afii run (AGL 2.0). Uppercase afii10017..10049 covers
+# А..Я with Ё (U+0401) interleaved at afii10023; lowercase afii10065..10097
+# is the same layout at а../ё (U+0451).
+def _cyr(base: int, yo: int, k: int) -> str:
+    if k == 6:
+        return chr(yo)
+    return chr(base + k - (1 if k > 6 else 0))
+
+
+for _k in range(33):
+    AGL.setdefault(f"afii{10017 + _k}", _cyr(0x0410, 0x0401, _k))
+    AGL.setdefault(f"afii{10065 + _k}", _cyr(0x0430, 0x0451, _k))
+# extended Cyrillic (Ukrainian/Serbian/Macedonian/Belarusian) afii names
+_CYR_EXT_UPPER = {
+    10050: 0x0490, 10051: 0x0402, 10052: 0x0403, 10053: 0x0404,
+    10054: 0x0405, 10055: 0x0406, 10056: 0x0407, 10057: 0x0408,
+    10058: 0x0409, 10059: 0x040A, 10060: 0x040B, 10061: 0x040C,
+    10062: 0x040E, 10145: 0x040F,
+}
+_CYR_EXT_LOWER = {
+    10098: 0x0491, 10099: 0x0452, 10100: 0x0453, 10101: 0x0454,
+    10102: 0x0455, 10103: 0x0456, 10104: 0x0457, 10105: 0x0458,
+    10106: 0x0459, 10107: 0x045A, 10108: 0x045B, 10109: 0x045C,
+    10110: 0x045E, 10193: 0x045F,
+}
+for _a, _u in {**_CYR_EXT_UPPER, **_CYR_EXT_LOWER}.items():
+    AGL.setdefault(f"afii{_a}", chr(_u))
+AGL.setdefault("afii61352", "№")
+AGL.setdefault("afii00208", "―")  # horizontal bar
+
+# Expert-set names -> TEXT equivalents (divergence from AGL's Private Use
+# Area codepoints; rationale at MAC_EXPERT_ENCODING above)
+for _k, _dig in enumerate(
+    "zero one two three four five six seven eight nine".split()
+):
+    AGL.setdefault(f"{_dig}oldstyle", str(_k))
+for _k in range(26):
+    AGL.setdefault(chr(65 + _k) + "small", chr(97 + _k))
+AGL.setdefault("exclamsmall", "!")
+AGL.setdefault("questionsmall", "?")
+AGL.setdefault("ampersandsmall", "&")
+AGL.setdefault("centoldstyle", "¢")
+AGL.setdefault("onefitted", "1")
 
 
 def glyph_name_to_unicode(name: str) -> Optional[str]:

@@ -809,6 +809,121 @@ def _type0_legacy_cmap_doc(lines: list[str]) -> bytes:
     return b.build(cat)
 
 
+def _cyr_char(base: int, yo: int, k: int) -> str:
+    """Mirror of the AGL afii Cyrillic run layout (Ё interleaved at k=6)."""
+    if k == 6:
+        return chr(yo)
+    return chr(base + k - (1 if k > 6 else 0))
+
+
+def _nonlatin_map(c: str) -> tuple[int, str]:
+    """Deterministic code + expected char for the differences_nonlatin
+    variant: A-Z -> codes 0x80+k named afii100NN (Cyrillic uppercase),
+    a-z -> 0xA0+k (Cyrillic lowercase), digits 0-3 -> 0xC0+k Greek letters,
+    everything else stays its ASCII code through the base encoding."""
+    o = ord(c)
+    if 65 <= o <= 90:
+        return 0x80 + (o - 65), _cyr_char(0x0410, 0x0401, o - 65)
+    if 97 <= o <= 122:
+        return 0xA0 + (o - 97), _cyr_char(0x0430, 0x0451, o - 97)
+    if 48 <= o <= 51:
+        return 0xC0 + (o - 48), "αβγδ"[o - 48]
+    return o, c
+
+
+def _differences_nonlatin_doc(lines: list[str]) -> bytes:
+    """Simple font whose /Differences names Cyrillic afii* and Greek glyphs:
+    decode requires the non-Latin AGL blocks (reference: full glyphlist.txt
+    via fonts/agl.c; we embed the afii/Greek runs)."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    upper = b" ".join(
+        b"/afii" + str(10017 + k).encode() for k in range(26)
+    )
+    lower = b" ".join(
+        b"/afii" + str(10065 + k).encode() for k in range(26)
+    )
+    greek = b"/alpha /beta /gamma /delta"
+    enc = b.add(
+        b"<</Type/Encoding/BaseEncoding/WinAnsiEncoding/Differences["
+        b"128 " + upper + b" 160 " + lower + b" 192 " + greek + b"]>>"
+    )
+    font = b.add(
+        b"<</Type/Font/Subtype/Type1/BaseFont/FakeSerif"
+        b"/Encoding " + str(enc).encode() + b" 0 R>>"
+    )
+    coded = [
+        bytes(_nonlatin_map(c)[0] for c in line) for line in lines
+    ]
+    cont = b.stream(_content_hex_byte_lines(coded), filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
+def _macexpert_doc(lines: list[str]) -> bytes:
+    """Simple font with /Encoding /MacExpertEncoding: letters arrive as the
+    small-caps codes (0x61..0x7A read as Asmall..Zsmall -> lowercase text),
+    digits as oldstyle figures."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(
+        b"<</Type/Font/Subtype/Type1/BaseFont/FakeExpert"
+        b"/Encoding/MacExpertEncoding>>"
+    )
+    coded = [
+        bytes(_macexpert_code(c) for c in line) for line in lines
+    ]
+    cont = b.stream(_content_hex_byte_lines(coded), filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
+def _macexpert_code(c: str) -> int:
+    """Code + expected-text rule for the macexpert variant: uppercase AND
+    lowercase letters map to the small-caps codes (expected text is the
+    lowercase equivalent); digits/punct ride the expert rows at their
+    ASCII positions; anything unmapped becomes space."""
+    o = ord(c)
+    if 65 <= o <= 90:
+        return o + 32  # Asmall..Zsmall live at 0x61..0x7A
+    if 97 <= o <= 122 or 48 <= o <= 57:
+        return o
+    if c in " !&,-.:;?":
+        return o
+    return 0x20
+
+
+def _macexpert_expected(c: str) -> str:
+    o = ord(c)
+    if 65 <= o <= 90:
+        return chr(o + 32)
+    if 97 <= o <= 122 or 48 <= o <= 57:
+        return c
+    if c in " !&,-.:;?":
+        return c
+    return " "
+
+
 # MacRoman high-range bytes used by the macroman_high variant
 _MACROMAN_SUBST = {"a": (0x87, "á"), "e": (0x8E, "é")}
 
@@ -1027,6 +1142,8 @@ _GOOD_VARIANTS = [
     ("macroman_high", lambda L: _macroman_doc(L)),
     ("incremental_xref_stream", lambda L: _incremental_xref_stream_doc(L)),
     ("type0_legacy_cmap", lambda L: _type0_legacy_cmap_doc(L)),
+    ("differences_nonlatin", lambda L: _differences_nonlatin_doc(L)),
+    ("macexpert", lambda L: _macexpert_doc(L)),
 ]
 
 # corrupt variants: (name, payload builder, expected error_code)
@@ -1098,6 +1215,10 @@ def _expected_text(lines: list[str], variant_name: str) -> str:
         ]
     elif variant_name == "type0_legacy_cmap":
         lines = ["".join(_jp_char(c) for c in l) for l in lines]
+    elif variant_name == "differences_nonlatin":
+        lines = ["".join(_nonlatin_map(c)[1] for c in l) for l in lines]
+    elif variant_name == "macexpert":
+        lines = ["".join(_macexpert_expected(c) for c in l) for l in lines]
     return "\n".join(lines)
 
 

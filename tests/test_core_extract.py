@@ -563,3 +563,59 @@ class TestLegacyCjkCmaps:
         assert status == "ok" and text == expected
         # the expected text is genuinely non-ASCII (katakana)
         assert any(ord(c) > 0x3000 for c in expected)
+
+
+class TestNonLatinAgl:
+    """Non-Latin AGL blocks: Cyrillic afii* runs, Greek names, expert-set
+    smallcap/oldstyle names, MacExpertEncoding (reference: full
+    glyphlist.txt via fonts/agl.c + fonts/encoding.c:13-431)."""
+
+    def test_cyrillic_afii_run(self):
+        from pdf_spark.core.encodings import glyph_name_to_unicode as g
+
+        assert g("afii10017") == "А"  # U+0410
+        assert g("afii10023") == "Ё"  # U+0401 interleaved
+        assert g("afii10024") == "Ж"  # U+0416
+        assert g("afii10049") == "Я"  # U+042F
+        assert g("afii10065") == "а"
+        assert g("afii10071") == "ё"
+        assert g("afii10097") == "я"
+        assert g("afii10055") == "І" and g("afii10103") == "і"
+        assert g("afii61352") == "№"
+
+    def test_greek_names(self):
+        from pdf_spark.core.encodings import glyph_name_to_unicode as g
+
+        assert g("alpha") == "α" and g("omega") == "ω"
+        assert g("Alpha") == "Α" and g("Sigma") == "Σ" and g("Psi") == "Ψ"
+        assert g("sigma1") == "ς"
+        # legacy AGL quirks preserved: mu is micro, pi the math char
+        assert g("mu") == "µ" and g("pi") == "π"
+
+    def test_expert_names_text_equivalents(self):
+        from pdf_spark.core.encodings import (
+            MAC_EXPERT_ENCODING,
+            glyph_name_to_unicode as g,
+        )
+
+        assert g("sevenoldstyle") == "7"
+        assert g("Asmall") == "a" and g("Zsmall") == "z"
+        assert g("exclamsmall") == "!"
+        assert MAC_EXPERT_ENCODING[0x61] == "Asmall"
+        assert MAC_EXPERT_ENCODING[0x37] == "sevenoldstyle"
+
+    def test_variants_extract_byte_identical(self):
+        from pdf_spark.core.extract import extract_text
+        from pdf_spark.gen.pdfgen import _GOOD_VARIANTS, generate_doc
+
+        names = [n for n, _ in _GOOD_VARIANTS]
+        payload = "The Quick Brown Fox; jumps over 012 lazy dogs!? " * 4
+        for vn in ("differences_nonlatin", "macexpert"):
+            pdf, expected, vname, err = generate_doc(payload, names.index(vn))
+            assert vname == vn and err == ""
+            text, status, code, _, _ = extract_text(pdf)
+            assert status == "ok" and text == expected, (vn, code)
+        # the nonlatin expectation is genuinely Cyrillic/Greek
+        pdf, expected, _, _ = generate_doc(payload, names.index("differences_nonlatin"))
+        assert any("Ѐ" <= c <= "ӿ" for c in expected)
+        assert any("Α" <= c <= "ω" for c in expected)
