@@ -246,15 +246,56 @@ def parse_xref_at(buf: bytes, start: int) -> tuple[dict, dict, Optional[int]]:
     raise PdfError(UNSUPPORTED_XREF, "startxref points at neither table nor stream")
 
 
+# `N G obj` header scan for xref reconstruction. The lookbehind rejects a
+# match that is the numeric suffix of a longer token; gen is capped at 5
+# digits like the classic-table field.
+_OBJ_HEADER_RE = re.compile(rb"(?<![0-9])(\d{1,10})[\x00\t\n\x0c\r ]+(\d{1,5})[\x00\t\n\x0c\r ]+obj\b")
+
+
 class Resolver:
     """Lazy indirect-object resolver over one in-memory document
-    (pdf.c:64-118 pdf_resolver_new + pdf.c:206-273 resolution)."""
+    (pdf.c:64-118 pdf_resolver_new + pdf.c:206-273 resolution).
 
-    __slots__ = ("buf", "version", "xref", "trailer", "_cache", "_objstm_cache")
+    EXTENSION beyond the reference (which errors out, xref.c:144-228):
+    xref SCAVENGE recovery. When the startxref/xref structure is broken —
+    the single most common real-corpus corruption (truncated tails,
+    wrong offsets from naive concatenation/editing) — the table is rebuilt
+    by scanning the buffer for ``N G obj`` headers (latest in file order
+    wins, matching incremental-update semantics). Two trigger points:
+
+    - construction: the chain walk fails -> scavenge, then VALIDATE the
+      recovered document end-to-end (catalog, page tree, content streams
+      decodable); if validation fails the ORIGINAL structural error is
+      re-raised so corrupt docs keep their taxonomy.
+    - resolution: an entry points at the wrong object (stale/shifted
+      offsets with an intact walk) -> scavenge once and retry the ref.
+    """
+
+    __slots__ = (
+        "buf", "version", "xref", "trailer", "_cache", "_objstm_cache",
+        "_scavenged",
+    )
 
     def __init__(self, buf: bytes) -> None:
         self.buf = buf
         self.version = parse_header(buf)
+        self._cache: dict[tuple[int, int], Any] = {}
+        self._objstm_cache: dict[int, tuple[bytes, list[tuple[int, int]]]] = {}
+        self._scavenged = False
+        try:
+            self.xref, self.trailer = self._walk_xref_chain()
+        except PdfError as exc:
+            # any failure inside the walk is an xref-structure failure
+            # (header parse happened above); try reconstruction
+            try:
+                self._scavenge()
+                self._find_scavenged_trailer()
+                self._validate_recovered()
+            except PdfError:
+                raise exc from None
+
+    def _walk_xref_chain(self) -> tuple[dict, dict]:
+        buf = self.buf
         start = parse_startxref(buf)
         # walk the Prev chain newest -> oldest; newest section wins on
         # duplicate ids (setdefault preserves first insertion). Sections may
@@ -281,14 +322,82 @@ class Resolver:
             if isinstance(xrefstm, int):
                 worklist.append(xrefstm)  # pushed last -> popped before Prev
         assert trailer is not None
-        self.xref = xref
-        self.trailer = trailer
-        self._cache: dict[tuple[int, int], Any] = {}
-        self._objstm_cache: dict[int, tuple[bytes, list[tuple[int, int]]]] = {}
+        return xref, trailer
+
+    # -- xref scavenge recovery --
+
+    def _scavenge(self) -> None:
+        """Rebuild the xref from raw object headers. The LAST header for an
+        object id wins — incremental updates append replacements, so later
+        in file = newer (the inverse of the walk's newest-section-first
+        setdefault). Caches are dropped: memoized objects may have been
+        parsed from wrong offsets."""
+        entries: dict[int, tuple[str, int, int]] = {}
+        for m in _OBJ_HEADER_RE.finditer(self.buf):
+            entries[int(m.group(1))] = ("n", m.start(1), int(m.group(2)))
+        if not entries:
+            raise PdfError(INVALID_XREF, "scavenge: no object headers found")
+        self.xref = entries
+        self._cache.clear()
+        self._objstm_cache.clear()
+        self._scavenged = True
+
+    def _find_scavenged_trailer(self) -> None:
+        """Newest parseable ``trailer`` dict carrying /Root; when the doc has
+        none (xref-stream-only), locate the catalog object directly."""
+        buf = self.buf
+        pos = len(buf)
+        while True:
+            idx = buf.rfind(b"trailer", 0, pos)
+            if idx < 0:
+                break
+            pos = idx
+            try:
+                t = ObjectParser(buf, idx + len(b"trailer")).parse_object()
+            except PdfError:
+                continue
+            if isinstance(t, dict) and t.get("Root") is not None:
+                self.trailer = t
+                return
+        for oid, (kind, off, gen) in sorted(
+            self.xref.items(), key=lambda kv: -kv[1][1]
+        ):
+            if buf.find(b"/Catalog", off, off + 512) < 0:
+                continue
+            try:
+                obj = self.resolve_ref(Ref(oid, gen))
+            except PdfError:
+                continue
+            if isinstance(obj, dict) and obj.get("Type") == Name("Catalog"):
+                self.trailer = {"Root": Ref(oid, gen), "Size": max(self.xref) + 1}
+                return
+        raise PdfError(INVALID_TRAILER, "scavenge: no trailer or catalog")
+
+    def _validate_recovered(self) -> None:
+        """A recovered document must WORK, not merely construct: walk the
+        page tree and decode every content stream (both memoized, so the
+        real extraction pass reuses the work). Any failure here sends the
+        caller back to the original structural error."""
+        n = 0
+        for page in self.iter_pages():
+            self.content_streams(page)
+            n += 1
+        if n == 0:
+            raise PdfError(INVALID_TRAILER, "scavenge: page tree empty")
 
     # -- resolution (pdf.c:206-273) --
 
     def resolve_ref(self, ref: Ref) -> Any:
+        try:
+            return self._resolve_ref_inner(ref)
+        except PdfError:
+            if self._scavenged:
+                raise
+            # intact walk but stale/shifted offsets: rebuild once and retry
+            self._scavenge()
+            return self._resolve_ref_inner(ref)
+
+    def _resolve_ref_inner(self, ref: Ref) -> Any:
         key = (ref.obj_id, ref.gen)
         if key in self._cache:
             return self._cache[key]

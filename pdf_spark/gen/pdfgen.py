@@ -16,6 +16,7 @@ Layout constants shared with the engine by specification (not by code):
 
 from __future__ import annotations
 
+import re
 import zlib
 
 DEFAULT_WIDTH = 500.0  # layout constant (see module docstring)
@@ -1144,7 +1145,24 @@ _GOOD_VARIANTS = [
     ("type0_legacy_cmap", lambda L: _type0_legacy_cmap_doc(L)),
     ("differences_nonlatin", lambda L: _differences_nonlatin_doc(L)),
     ("macexpert", lambda L: _macexpert_doc(L)),
+    ("recovered_xref", lambda L: _shift_xref_offsets(_simple_doc(L, _content_td_tj, filters="FlateDecode"))),
+    ("recovered_startxref", lambda L: _simple_doc(L, _content_td_tj, filters="FlateDecode")[:-24]),
 ]
+
+
+def _shift_xref_offsets(pdf: bytes) -> bytes:
+    """Valid body, broken offsets: every in-use xref entry points 3 bytes
+    past the real object header (what a naive editor/concatenator produces).
+    The chain walk succeeds; resolution must scavenge-recover."""
+    i = pdf.index(b"xref\n")
+    j = pdf.index(b"trailer", i)
+    table = pdf[i:j]
+    fixed = re.sub(
+        rb"(?m)^(\d{10}) (\d{5}) n",
+        lambda m: b"%010d %s n" % (int(m.group(1)) + 3, m.group(2)),
+        table,
+    )
+    return pdf[:i] + fixed + pdf[j:]
 
 # corrupt variants: (name, payload builder, expected error_code)
 def _dct_doc(lines: list[str]) -> bytes:
@@ -1174,9 +1192,16 @@ def _dct_doc(lines: list[str]) -> bytes:
     return b.build(cat)
 
 
+def _truncate_body(pdf: bytes) -> bytes:
+    """Chop the file INSIDE the last content stream's data: startxref is
+    gone AND the body is unrecoverable, so xref scavenge validation fails
+    and the original INVALID_STARTXREF taxonomy is preserved."""
+    return pdf[: pdf.rindex(b"endstream") - 8]
+
+
 _BAD_VARIANTS = [
     ("bad_header", lambda L: b"%QQF-9.9 this is not a pdf at all" + b"x" * 64, "INVALID_VERSION"),
-    ("truncated_tail", lambda L: _simple_doc(L, _content_td_tj)[:-24], "INVALID_STARTXREF"),
+    ("truncated_tail", lambda L: _truncate_body(_simple_doc(L, _content_td_tj, filters="FlateDecode")), "INVALID_STARTXREF"),
     ("corrupt_xref", lambda L: _corrupt_xref(_simple_doc(L, _content_td_tj)), "INVALID_XREF"),
     ("dct_filter", _dct_doc, "UNSUPPORTED_FILTER"),
     ("unbalanced_string", lambda L: _unbalanced(_simple_doc(L, _content_td_tj)), "UNBALANCED_STR"),
@@ -1188,9 +1213,12 @@ N_BAD_VARIANTS = len(_BAD_VARIANTS)
 
 def _corrupt_xref(pdf: bytes) -> bytes:
     i = pdf.index(b"xref\n")
-    # smash one entry's digits
+    # smash one entry's digits -> the table parse fails
     j = pdf.index(b"0000000000 65536 f", i)
-    return pdf[:j] + b"00000zz000 65536 f" + pdf[j + 18 :]
+    pdf = pdf[:j] + b"00000zz000 65536 f" + pdf[j + 18 :]
+    # ALSO break the catalog (same byte length) so scavenge recovery cannot
+    # validate a root: this variant must stay an INVALID_XREF error row
+    return pdf.replace(b"/Type/Catalog/", b"/Type/Catalpg/", 1)
 
 
 def _unbalanced(pdf: bytes) -> bytes:

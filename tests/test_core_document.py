@@ -503,3 +503,71 @@ class TestAscii85AndRunLength:
             assert vname == name and err == ""
             text, status, code, n_pages, n_spans = extract_text(pdf)
             assert status == "ok" and text == expected
+
+
+class TestXrefScavenge:
+    """xref scavenge recovery (EXTENSION; the reference errors out,
+    xref.c:144-228): rebuild from `N G obj` headers when the startxref/xref
+    structure is broken or offsets are stale, validate end-to-end, and
+    preserve the original error taxonomy when recovery can't produce a
+    working document."""
+
+    PAYLOAD = "Scavenge me please, twenty ways to break a tail! " * 5
+
+    def _doc(self):
+        from pdf_spark.gen.pdfgen import _content_td_tj, _simple_doc, wrap_lines
+
+        return _simple_doc(
+            wrap_lines(self.PAYLOAD), _content_td_tj, filters="FlateDecode"
+        )
+
+    def test_broken_offsets_recover(self):
+        from pdf_spark.core.extract import extract_text
+        from pdf_spark.gen.pdfgen import _shift_xref_offsets
+
+        good = self._doc()
+        base_text, _, _, _, _ = extract_text(good)
+        text, status, code, _, _ = extract_text(_shift_xref_offsets(good))
+        assert status == "ok" and text == base_text
+
+    def test_chopped_tail_recovers(self):
+        from pdf_spark.core.extract import extract_text
+
+        good = self._doc()
+        base_text, _, _, _, _ = extract_text(good)
+        text, status, code, _, _ = extract_text(good[:-24])
+        assert status == "ok" and text == base_text
+
+    def test_incremental_update_scavenge_newest_wins(self):
+        """After scavenge, the LAST body of a replaced object must win
+        (incremental updates append replacements)."""
+        from pdf_spark.core.extract import extract_text
+        from pdf_spark.gen.pdfgen import _GOOD_VARIANTS, generate_doc
+
+        names = [n for n, _ in _GOOD_VARIANTS]
+        pdf, expected, _, _ = generate_doc(
+            self.PAYLOAD, names.index("incremental_update")
+        )
+        text, status, _, _, _ = extract_text(pdf[:-24])  # tail chopped
+        assert status == "ok" and text == expected
+        assert "placeholder" not in text
+
+    def test_unrecoverable_keeps_original_code(self):
+        from pdf_spark.core.extract import extract_text
+        from pdf_spark.gen.pdfgen import _corrupt_xref, _truncate_body
+
+        _, status, code, _, _ = extract_text(_corrupt_xref(self._doc()))
+        assert (status, code) == ("error", "INVALID_XREF")
+        _, status, code, _, _ = extract_text(_truncate_body(self._doc()))
+        assert (status, code) == ("error", "INVALID_STARTXREF")
+
+    def test_trailerless_scavenge_finds_catalog(self):
+        """Chop everything from `xref` on (no trailer at all): recovery must
+        locate the catalog object directly."""
+        from pdf_spark.core.extract import extract_text
+
+        good = self._doc()
+        chopped = good[: good.index(b"xref\n")]
+        text, status, code, _, _ = extract_text(chopped)
+        base_text, _, _, _, _ = extract_text(good)
+        assert status == "ok" and text == base_text
