@@ -273,7 +273,7 @@ class Resolver:
 
     __slots__ = (
         "buf", "version", "xref", "trailer", "_cache", "_objstm_cache",
-        "_scavenged",
+        "_scavenged", "_decryptor", "_encrypt_oid",
     )
 
     def __init__(self, buf: bytes) -> None:
@@ -282,6 +282,8 @@ class Resolver:
         self._cache: dict[tuple[int, int], Any] = {}
         self._objstm_cache: dict[int, tuple[bytes, list[tuple[int, int]]]] = {}
         self._scavenged = False
+        self._decryptor = None
+        self._encrypt_oid = -1
         try:
             self.xref, self.trailer = self._walk_xref_chain()
         except PdfError as exc:
@@ -290,9 +292,60 @@ class Resolver:
             try:
                 self._scavenge()
                 self._find_scavenged_trailer()
+                self._setup_decryption()
                 self._validate_recovered()
             except PdfError:
                 raise exc from None
+        else:
+            self._setup_decryption()
+
+    def _setup_decryption(self) -> None:
+        """Trailer /Encrypt -> a verified empty-user-password decryptor
+        (EXTENSION — the reference has no encryption support; PDF 32000-1
+        §7.6 standard security handler). The Encrypt dict's own strings
+        (/O /U /UE) and the /ID strings are never encrypted, so they are
+        resolved before the decryptor is installed; a rejected password or
+        unsupported scheme raises ENCRYPTED (error row)."""
+        enc_obj = self.trailer.get("Encrypt")
+        if enc_obj is None:
+            return
+        from pdf_spark.core.crypto import build_decryptor
+
+        if isinstance(enc_obj, Ref):
+            self._encrypt_oid = enc_obj.obj_id
+        enc = self.resolve(enc_obj)
+        if not isinstance(enc, dict):
+            from pdf_spark.core.errors import ENCRYPTED
+
+            raise PdfError(ENCRYPTED, "/Encrypt is not a dictionary")
+        ids = self.resolve(self.trailer.get("ID"))
+        id0 = b""
+        if isinstance(ids, list) and ids:
+            first = self.resolve(ids[0])
+            if isinstance(first, bytes):
+                id0 = first
+        self._decryptor = build_decryptor(enc, id0, self)
+
+    def _decrypt_value(self, value: Any, obj_id: int, gen: int) -> Any:
+        """Recursively decrypt the string/stream payloads of one resolved
+        object with its per-object key (Algorithm 1). Names/numbers are
+        never encrypted; XRef streams are excluded by spec (§7.5.8.2) —
+        and are parsed outside the resolver anyway."""
+        if isinstance(value, bytes):
+            return self._decryptor.decrypt(value, obj_id, gen)
+        if isinstance(value, list):
+            return [self._decrypt_value(v, obj_id, gen) for v in value]
+        if isinstance(value, Stream):
+            if value.dict.get("Type") == Name("XRef"):
+                return value
+            value.dict = self._decrypt_value(value.dict, obj_id, gen)
+            value.raw = self._decryptor.decrypt(value.raw, obj_id, gen)
+            return value
+        if isinstance(value, dict):
+            return {
+                k: self._decrypt_value(v, obj_id, gen) for k, v in value.items()
+            }
+        return value
 
     def _walk_xref_chain(self) -> tuple[dict, dict]:
         buf = self.buf
@@ -423,8 +476,13 @@ class Resolver:
         ind = ObjectParser(self.buf, offset, resolver=self).parse_indirect_object()
         if ind.obj_id != ref.obj_id:
             raise PdfError(INVALID_XREF, f"xref offset points at {ind.obj_id}")
-        self._cache[key] = ind.value
-        return ind.value
+        value = ind.value
+        if self._decryptor is not None and ref.obj_id != self._encrypt_oid:
+            # objects INSIDE an ObjStm (kind "s") are not re-encrypted: the
+            # container stream was decrypted when it resolved above
+            value = self._decrypt_value(value, ref.obj_id, ref.gen)
+        self._cache[key] = value
+        return value
 
     def _load_from_objstm(self, stm_num: int, idx: int, want_id: int) -> Any:
         """Parse one object out of a ``/Type/ObjStm`` stream (§7.5.7).

@@ -28,6 +28,7 @@ UNSUPPORTED_OPERATOR = "UNSUPPORTED_OPERATOR"  # content op outside supported se
 MISSING_KEY = "MISSING_KEY"                # required dict key absent (deserde.c on_missing)
 INCORRECT_TYPE = "INCORRECT_TYPE"          # wrong object type for a field
 RECURSION_LIMIT = "RECURSION_LIMIT"        # page-tree depth cap 1024 (page.c:288) / form depth
+ENCRYPTED = "ENCRYPTED"                    # password rejected / unsupported scheme (§7.6)
 DOC_TOO_LARGE = "DOC_TOO_LARGE"            # payload above byte cap (skew guard)
 EMPTY_DOC = "EMPTY_DOC"                    # null/near-empty payload
 INTERNAL_ERROR = "INTERNAL_ERROR"          # anything unexpected (still a row, not a crash)

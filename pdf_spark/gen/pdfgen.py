@@ -129,7 +129,7 @@ class PdfBuilder:
         )
         return self.add(body)
 
-    def build(self, root_id: int) -> bytes:
+    def build(self, root_id: int, trailer_extra: bytes = b"") -> bytes:
         out = bytearray(b"%PDF-1.7\n%\xb5\xb6\n\n")
         offsets = [0] * (len(self.objects) + 1)
         for i, body in enumerate(self.objects, start=1):
@@ -146,7 +146,9 @@ class PdfBuilder:
             + str(n).encode()
             + b"/Root "
             + str(root_id).encode()
-            + b" 0 R>>\nstartxref\n"
+            + b" 0 R"
+            + trailer_extra
+            + b">>\nstartxref\n"
             + str(xref_off).encode()
             + b"\n%%EOF"
         )
@@ -1147,6 +1149,9 @@ _GOOD_VARIANTS = [
     ("macexpert", lambda L: _macexpert_doc(L)),
     ("recovered_xref", lambda L: _shift_xref_offsets(_simple_doc(L, _content_td_tj, filters="FlateDecode"))),
     ("recovered_startxref", lambda L: _simple_doc(L, _content_td_tj, filters="FlateDecode")[:-24]),
+    ("encrypted_rc4", lambda L: _encrypted_doc(L, "rc4_128")),
+    ("encrypted_aes", lambda L: _encrypted_doc(L, "aes128")),
+    ("encrypted_aes256", lambda L: _encrypted_doc(L, "aes256")),
 ]
 
 
@@ -1192,6 +1197,105 @@ def _dct_doc(lines: list[str]) -> bytes:
     return b.build(cat)
 
 
+def _encrypted_doc(lines: list[str], mode: str) -> bytes:
+    """Standard-security-handler document (PDF 32000-1 §7.6): the content
+    stream is Flate-compressed then encrypted with the per-object key
+    (encryption is the OUTERMOST layer). Modes: ``rc4_40`` (V1/R2),
+    ``rc4_128`` (V2/R3), ``aes128`` (V4/R4/AESV2), ``aes256`` (V5/R6/AESV3),
+    ``badpw`` (AES-128 whose user password is NOT empty -> the engine must
+    produce an ENCRYPTED error row)."""
+    import hashlib
+
+    from pdf_spark.core import crypto
+
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    content = _content_td_tj(lines)
+    # /ID: content-derived for the cheap handlers; CONSTANT for R6, whose
+    # Algorithm-2.B KDF is intentionally slow per unique (salt, password)
+    # setup — one setup per variant keeps corpus generation and the bench
+    # measuring extraction, not the KDF (hash_2b memoizes; the per-object
+    # AES decrypt still runs per document)
+    if mode == "aes256":
+        id0 = hashlib.md5(b"pdf-spark-enc-r6-fixed").digest()
+    else:
+        id0 = hashlib.md5(b"pdf-spark-enc" + content).digest()
+    p_flags = -44
+    if mode == "aes256":
+        file_key = hashlib.md5(id0).digest() + hashlib.md5(id0 + b"2").digest()
+        # deterministic salts: the corpus must be a pure function of (text,
+        # variant). Real writers randomize these; verification math is
+        # identical either way.
+        vs, ks = id0[:8], id0[8:16]
+        u = crypto.hash_2b(b"", vs) + vs + ks
+        ue = crypto.aes_cbc_encrypt(
+            crypto.hash_2b(b"", ks), b"\x00" * 16, file_key, pad=False
+        )
+        ovs, oks = id0[4:12], id0[2:10]
+        o = crypto.hash_2b(b"owner", ovs, u) + ovs + oks
+        oe = crypto.aes_cbc_encrypt(
+            crypto.hash_2b(b"owner", oks, u), b"\x00" * 16, file_key, pad=False
+        )
+        dec = crypto.Decryptor(file_key, aes=True, v5=True)
+        enc_dict = (
+            b"<</Filter/Standard/V 5/R 6/Length 256"
+            b"/CF<</StdCF<</CFM/AESV3/Length 32>>>>/StmF/StdCF/StrF/StdCF"
+            b"/O <" + o.hex().encode() + b">/U <" + u.hex().encode() + b">"
+            b"/OE <" + oe.hex().encode() + b">/UE <" + ue.hex().encode() + b">"
+            b"/P " + str(p_flags).encode() + b">>"
+        )
+    else:
+        user_pw = b"secret" if mode == "badpw" else b""
+        if mode == "rc4_40":
+            v, r, klen, aes = 1, 2, 5, False
+        elif mode == "rc4_128":
+            v, r, klen, aes = 2, 3, 16, False
+        else:  # aes128 / badpw
+            v, r, klen, aes = 4, 4, 16, True
+        o = crypto.compute_o_value(b"owner", user_pw, klen, r)
+        file_key = crypto.compute_file_key_rc4(user_pw, o, p_flags, id0, klen, r)
+        u = crypto.compute_u_value(file_key, id0, r)
+        dec = crypto.Decryptor(file_key, aes=aes, v5=False)
+        cf = (
+            b"/CF<</StdCF<</CFM/AESV2/Length 16>>>>/StmF/StdCF/StrF/StdCF"
+            if v == 4
+            else b""
+        )
+        enc_dict = (
+            b"<</Filter/Standard/V " + str(v).encode()
+            + b"/R " + str(r).encode()
+            + b"/Length " + str(klen * 8).encode() + cf
+            + b"/O <" + o.hex().encode() + b">/U <" + u.hex().encode() + b">"
+            + b"/P " + str(p_flags).encode() + b">>"
+        )
+    cont_id = len(b.objects) + 1
+    iv = hashlib.md5(content).digest()
+    enc_content = dec.encrypt(zlib.compress(content), cont_id, 0, iv)
+    cont = b.add(
+        b"<</Length " + str(len(enc_content)).encode()
+        + b"/Filter/FlateDecode>>\nstream\n" + enc_content + b"\nendstream"
+    )
+    assert cont == cont_id
+    enc_id = b.add(enc_dict)
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    trailer_extra = (
+        b"/Encrypt " + str(enc_id).encode() + b" 0 R"
+        b"/ID[<" + id0.hex().encode() + b"> <" + id0.hex().encode() + b">]"
+    )
+    return b.build(cat, trailer_extra=trailer_extra)
+
+
 def _truncate_body(pdf: bytes) -> bytes:
     """Chop the file INSIDE the last content stream's data: startxref is
     gone AND the body is unrecoverable, so xref scavenge validation fails
@@ -1205,6 +1309,7 @@ _BAD_VARIANTS = [
     ("corrupt_xref", lambda L: _corrupt_xref(_simple_doc(L, _content_td_tj)), "INVALID_XREF"),
     ("dct_filter", _dct_doc, "UNSUPPORTED_FILTER"),
     ("unbalanced_string", lambda L: _unbalanced(_simple_doc(L, _content_td_tj)), "UNBALANCED_STR"),
+    ("encrypted_badpw", lambda L: _encrypted_doc(L, "badpw"), "ENCRYPTED"),
 ]
 
 N_VARIANTS = len(_GOOD_VARIANTS)
