@@ -371,6 +371,7 @@ class Decryptor:
 
 
 _R6_KEY_CACHE: dict[bytes, bytes] = {}
+_STD_KEY_CACHE: dict[bytes, bytes] = {}
 
 
 def _get_bytes(d: dict, key: str, resolver) -> bytes:
@@ -436,11 +437,22 @@ def build_decryptor(enc: dict, id0: bytes, resolver=None) -> Decryptor:
                 raise PdfError(ENCRYPTED, f"crypt filter {cfm!r}")
         em = rz(enc.get("EncryptMetadata"))
         em = True if em is None else bool(em)
+        # memoize the verified key per encryption setup: derivation is
+        # 50 MD5s + a 20-round RC4 U-check (~0.3 ms) and real corpora
+        # repeat setups across a site's documents
+        memo_key = hashlib.md5(
+            o[:32] + u[:32] + id0 + struct.pack("<iBBBB", p, r, v, key_len, em)
+        ).digest()
+        cached = _STD_KEY_CACHE.get(memo_key)
+        if cached is not None:
+            return Decryptor(cached, aes=aes, v5=False)
         file_key = compute_file_key_rc4(b"", o, p, id0, key_len, r, em)
         expect = compute_u_value(file_key, id0, r)
         n = 32 if r == 2 else 16
         if expect[:n] != u[:n]:
             raise PdfError(ENCRYPTED, "empty user password rejected")
+        if len(_STD_KEY_CACHE) < 256:
+            _STD_KEY_CACHE[memo_key] = file_key
         return Decryptor(file_key, aes=aes, v5=False)
 
     raise PdfError(ENCRYPTED, f"encryption V{v} unsupported")

@@ -26,6 +26,7 @@ out of scope, SURVEY.md §7.4):
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator, Optional
 
 from pdf_spark.core.cmap import CMap, get_predefined_cmap, parse_cmap
@@ -75,6 +76,36 @@ def _parse_sfnt_cached(data: bytes):
 SIMPLE_SUBTYPES = ("Type1", "TrueType", "MMType1", "Type3")
 
 
+class _LazyTransMap(dict):
+    """code -> decoded text, filled on demand (used by ``str.translate``)."""
+
+    __slots__ = ("font",)
+
+    def __init__(self, font: "Font") -> None:
+        super().__init__()
+        self.font = font
+
+    def __missing__(self, code: int) -> str:
+        v = self.font.code_to_text(code)
+        self[code] = v
+        return v
+
+
+class _LazyWidthMap(dict):
+    """code -> glyph width, filled on demand (summed for the advance)."""
+
+    __slots__ = ("font",)
+
+    def __init__(self, font: "Font") -> None:
+        super().__init__()
+        self.font = font
+
+    def __missing__(self, code: int) -> float:
+        v = self.font.width(code)
+        self[code] = v
+        return v
+
+
 class Font:
     """One resolved font resource; built once per (doc, resource name) and
     cached by the interpreter (the reference re-deserializes per Tf — a TODO
@@ -84,7 +115,7 @@ class Font:
         "subtype", "base_font", "is_type0",
         "encoding_cmap", "to_unicode",
         "code_to_name", "first_char", "widths", "missing_width",
-        "cid_widths", "default_width", "cid_to_gid", "decode_memo",
+        "cid_widths", "default_width", "cid_to_gid",
         "symbolic", "sfnt", "fast_tables",
     )
 
@@ -103,25 +134,20 @@ class Font:
         self.cid_to_gid: Optional[bytes] = None  # None = Identity
         self.symbolic = False  # FontDescriptor Flags bit 3 (value 4)
         self.sfnt = None  # parsed FontFile2 cmaps (core/sfnt.py), if any
-        # per-code (text, width) memo filled lazily by the interpreter's
-        # span emitter — decode/width are pure per font, so one dict lookup
-        # replaces the per-glyph call chain on the hot path
-        self.decode_memo: dict[int, tuple[str, float]] = {}
-        # (translate_map, width_by_code) for the simple-font fast path;
-        # built lazily by the interpreter after the first span shows the
-        # font is text-carrying (256 decode calls amortize immediately)
+        # (text_map, width_map) lazy decode tables built on first show —
+        # decode/width are pure per font, so one dict lookup replaces the
+        # per-glyph call chain on the hot path
         self.fast_tables = None
 
     def build_fast_tables(self):
-        """Simple fonts only: full code->text translate map + 256-entry
-        width table, so the span emitter replaces its per-glyph Python loop
-        with C-level ``str.translate`` + a mapped width sum."""
-        trans = {}
-        widths = [0.0] * 256
-        for c in range(256):
-            trans[c] = self.code_to_text(c)
-            widths[c] = self.width(c)
-        self.fast_tables = (trans, widths)
+        """code->text map + code->width map for the span emitter's C-level
+        loops: simple fonts feed the text map to ``str.translate``; Type0
+        fonts map the same tables over their code list with
+        ``map(__getitem__, codes)``. LAZY: entries materialize on first use
+        via ``__missing__`` — a typical font shows ~40 distinct codes, so
+        eagerly decoding the full space per (doc, font) costs more than the
+        loop it replaces on single-use fonts."""
+        self.fast_tables = (_LazyTransMap(self), _LazyWidthMap(self))
         return self.fast_tables
 
     # -- code iteration (render/font.c:29-87) --
@@ -138,7 +164,8 @@ class Font:
         lens = cm.lead_lens if cm is not None else None
         n = len(data)
         if lens is None:
-            return [(data[i] << 8) | data[i + 1] for i in range(0, n - 1, 2)]
+            nb = n & ~1
+            return list(struct.unpack(f">{nb >> 1}H", data[:nb]))
         out: list[int] = []
         off = 0
         while off < n:

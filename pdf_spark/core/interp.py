@@ -305,10 +305,13 @@ class Interpreter:
             raise PdfError(INCORRECT_TYPE, "text shown before Tf set a font")
         font = ts.font
         fs, th, tc = ts.font_size, ts.h_scale, ts.char_spacing
-        memo = font.decode_memo
-        memo_get = memo.get
         is_type0 = font.is_type0
-        fast = None if is_type0 else ts.font.fast_tables
+        # every font takes a C-level decode path — the lazy tables fill per
+        # code on first use, so there is no build cost to amortize: simple
+        # fonts go through str.translate, Type0 through map(__getitem__)
+        # over the (struct-unpacked or codespace-split) code list
+        tables = font.fast_tables or font.build_fast_tables()
+        fast = None if is_type0 else tables
         for el in elements:
             el = self.resolver.resolve(el)
             if isinstance(el, (int, float)):
@@ -352,27 +355,17 @@ class Interpreter:
                     self.glyph_order += len(text)
                 tm = _x_shift(adv, tm)
                 continue
-            if not is_type0 and len(memo) >= 16:
-                # text-carrying font: build the full tables once and take
-                # the fast path from the next element on
-                fast = ts.font.build_fast_tables()
-            chars: list[str] = []
-            adv = 0.0
-            if is_type0:
-                # fixed 2-byte or codespace-driven mixed 1/2-byte split
-                # (render/font.c:46; legacy CJK CMaps are mixed-width)
-                codes = font.split_codes(el)
-            else:
-                codes = el
-            for code in codes:
-                entry = memo_get(code)
-                if entry is None:
-                    entry = (font.code_to_text(code), font.width(code))
-                    memo[code] = entry
-                chars.append(entry[0])
-                # tx = (w0/1000·Tfs + Tc)·Th ; Tw never applied (parity)
-                adv += (entry[1] / 1000.0 * fs + tc) * th
-            text = "".join(chars)
+            # Type0: fixed 2-byte (struct-unpacked) or codespace-driven
+            # mixed 1/2-byte split (render/font.c:46; legacy CJK CMaps are
+            # mixed-width), then C-level map over the lazy decode tables.
+            # tx = (w0/1000·Tfs + Tc)·Th ; Tw never applied (parity)
+            tmap, wmap = tables
+            codes = font.split_codes(el)
+            text = "".join(map(tmap.__getitem__, codes))
+            adv = (
+                sum(map(wmap.__getitem__, codes)) / 1000.0 * fs
+                + len(codes) * tc
+            ) * th
             if _SURROGATE_RE.search(text):
                 text = _fix_surrogates(text)
             if text:
