@@ -128,16 +128,32 @@ def main() -> None:
     counts = one_pass()
     extract_s = time.time() - t0
 
+    # Per-query medians over same-window repeats: single-window wall times
+    # on this host swing up to ~2.7x between rounds, so one-shot per-query
+    # numbers cannot distinguish a regression from drift. The JSON keeps
+    # "queries" as the MEDIAN of BENCH_QUERY_REPEATS runs and adds
+    # "queries_spread" with [min, max] so the dispersion is visible.
+    repeats = max(1, int(os.environ.get("BENCH_QUERY_REPEATS", "3")))
     queries: dict[str, float] = {"extract_fused": round(extract_s, 3)}
+    spreads: dict[str, list[float]] = {}
     if os.environ.get("BENCH_SKIP_QUERIES") != "1":
+        import statistics
+
         from pdf_spark.functions.registry import all_queries
 
         qmap = all_queries()
-        for name in HEADLINE_QUERIES:
-            t0 = time.time()
-            df = qmap[name](spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            queries[name] = round(time.time() - t0, 3)
+        # round-robin over queries (q1 q2 ... qN, q1 q2 ... qN, ...) so one
+        # slow host window penalizes every query equally, not one of them
+        walls: dict[str, list[float]] = {name: [] for name in HEADLINE_QUERIES}
+        for _ in range(repeats):
+            for name in HEADLINE_QUERIES:
+                t0 = time.time()
+                df = qmap[name](spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                walls[name].append(time.time() - t0)
+        for name, ws in walls.items():
+            queries[name] = round(statistics.median(ws), 3)
+            spreads[name] = [round(min(ws), 3), round(max(ws), 3)]
 
     result = {
         "metric": "extraction_wall_sec_fused",
@@ -154,6 +170,8 @@ def main() -> None:
         "avg_doc_bytes": int(avg_bytes),
         "cores": CPUS,
         "setup_sec": round(setup_s, 3),
+        "query_repeats": repeats,
+        "queries_spread": spreads,
     }
     print(json.dumps(result))
     spark.stop()
