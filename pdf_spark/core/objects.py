@@ -170,7 +170,7 @@ def hex_body_to_bytes(body: bytes) -> bytes:
     """Shared hex-string decode core: strip PDF whitespace, pad an odd
     trailing digit as the high nibble (object.c:536), bytes.fromhex. Used
     by the object parser, the content scanner, and ASCIIHexDecode."""
-    compact = bytes(b for b in body if b not in WHITESPACE)
+    compact = body.translate(None, WHITESPACE)
     if len(compact) % 2:
         compact += b"0"
     return bytes.fromhex(compact.decode("ascii"))
