@@ -619,3 +619,50 @@ class TestNonLatinAgl:
         pdf, expected, _, _ = generate_doc(payload, names.index("differences_nonlatin"))
         assert any("Ѐ" <= c <= "ӿ" for c in expected)
         assert any("Α" <= c <= "ω" for c in expected)
+
+
+class TestFontCache:
+    """Executor-level Font cache: identical RESOLVED font definitions share
+    one instance across documents; any consumed difference misses."""
+
+    def _font_of(self, pdf: bytes):
+        from pdf_spark.core.document import Resolver
+        from pdf_spark.core.fonts import load_font
+
+        r = Resolver(pdf)
+        page = next(iter(r.iter_pages()))
+        res = r.resolve(page.get("Resources"))
+        fonts = r.resolve(res.get("Font"))
+        return load_font(next(iter(fonts.values())), r)
+
+    def test_identical_defs_share_instance(self):
+        from pdf_spark.gen.pdfgen import generate_doc
+
+        a = generate_doc("alpha one", 0)[0]
+        b = generate_doc("beta two three", 0)[0]
+        fa, fb = self._font_of(a), self._font_of(b)
+        assert fa is fb
+
+    def test_different_variant_fonts_do_not_collide(self):
+        from pdf_spark.gen.pdfgen import N_VARIANTS, generate_doc
+        from pdf_spark.core.extract import extract_text
+
+        # extraction stays byte-identical when the same variants are
+        # interleaved twice (second pass served from the cache)
+        for i in range(2 * N_VARIANTS):
+            pdf, exp, name, _ = generate_doc(f"cache pass {i}", i % N_VARIANTS)
+            got, status, err, _, _ = extract_text(pdf)
+            assert status == "ok", (name, err)
+            assert got == exp, name
+
+    def test_unserializable_tree_still_loads(self):
+        from pdf_spark.core.fonts import _canon_key
+        from pdf_spark.core.objects import Ref
+
+        class FakeResolver:
+            def resolve(self, obj):
+                return {"Self": Ref(1, 0)} if isinstance(obj, Ref) else obj
+
+        out: list = []
+        # ref cycle -> canon bails (no cache) instead of recursing/embedding ids
+        assert not _canon_key(Ref(1, 0), FakeResolver(), out, frozenset(), 0)
