@@ -49,10 +49,11 @@ _SFNT_CACHE: dict[bytes, object] = {}
 _ASSET_CACHE_MAX = 256
 
 
-def _digest(data: bytes) -> bytes:
-    import hashlib
+from hashlib import md5 as _md5
 
-    return hashlib.md5(data).digest()
+
+def _digest(data: bytes) -> bytes:
+    return _md5(data).digest()
 
 
 def _parse_cmap_cached(data: bytes):
