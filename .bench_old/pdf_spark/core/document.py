@@ -48,10 +48,6 @@ from pdf_spark.core.objects import (
 _HEADER_RE = re.compile(rb"%PDF-1\.([0-7])")
 _INT_RE = re.compile(rb"\d+")
 _WS = b"\x00\t\n\x0c\r "
-# classic xref 20-byte record `%010d %05d [nf]..` (trailing 2 EOL bytes
-# deliberately unvalidated, matching the reference's per-field checks)
-_XREF_REC_RE = re.compile(rb"(?s)(\d{10}) (\d{5}) ([nf])..")
-_XREF_BLOCK_RE = re.compile(rb"(?s)(?:\d{10} \d{5} [nf]..)*")
 
 PAGE_TREE_DEPTH_CAP = 1024  # page.c:288
 EOF_BACKSCAN = 32  # pdf.c:310
@@ -131,16 +127,17 @@ def parse_xref_section(buf: bytes, start: int) -> tuple[dict, dict, Optional[int
         base = p.pos
         if base + 20 * count > len(buf):
             raise PdfError(INVALID_XREF, "xref entries past EOF")
-        block = buf[base : base + 20 * count]
-        # validate the whole record block in one C-level pass, then
-        # extract aligned fields (fullmatch guarantees every 20-byte
-        # stride matches, so findall cannot desynchronize)
-        if _XREF_BLOCK_RE.fullmatch(block) is None:
-            for i in range(count):  # find the offender for the error detail
-                if _XREF_REC_RE.match(block, 20 * i) is None:
-                    rec = block[20 * i : 20 * i + 20]
-                    raise PdfError(INVALID_XREF, f"malformed entry {rec!r}")
-        for i, (off_b, gen_b, ty) in enumerate(_XREF_REC_RE.findall(block)):
+        for i in range(count):
+            rec = buf[base + 20 * i : base + 20 * i + 20]
+            off_b, gen_b, ty = rec[0:10], rec[11:16], rec[17:18]
+            if (
+                rec[10:11] != b" "
+                or rec[16:17] != b" "
+                or ty not in (b"n", b"f")
+                or not off_b.isdigit()
+                or not gen_b.isdigit()
+            ):
+                raise PdfError(INVALID_XREF, f"malformed entry {rec!r}")
             oid = first + i
             if oid not in entries:  # first (newest-parsed) wins
                 entries[oid] = (

@@ -1,0 +1,110 @@
+"""Per-document extraction: bytes -> spans -> deterministic text.
+
+This is the pure function the Spark ``mapInPandas`` stage applies per row
+(SURVEY.md §3 EP1: everything from ``pdf_resolver_new`` through the content
+interpreter stays inside the UDF; only flat span/text columns cross the
+Arrow boundary).
+
+Any ``PdfError`` becomes an error-code result — never an exception out of
+this module (north rule: bad documents are rows, not task failures).
+
+Text assembly rule (deterministic, the generator computes the same):
+sort spans by ``(page asc, y desc, x asc, glyph_order asc)``; spans on the
+same (page, y) concatenate directly; a change of y or page starts a new
+line ("\\n"). Exact float equality on y is deterministic because every
+executor runs the same IEEE-754 ops on the same bytes (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pdf_spark.core.document import Resolver
+from pdf_spark.core.errors import (
+    DOC_TOO_LARGE,
+    EMPTY_DOC,
+    INTERNAL_ERROR,
+    PdfError,
+)
+from pdf_spark.core.interp import IDENTITY, Interpreter, Span, translate
+
+DEFAULT_MAX_BYTES = 512 * 1024 * 1024  # per-doc byte cap (skew guard)
+
+
+class ExtractResult:
+    __slots__ = ("status", "error_code", "spans", "n_pages")
+
+    def __init__(self, status: str, error_code: str, spans: list[Span], n_pages: int):
+        self.status = status
+        self.error_code = error_code
+        self.spans = spans
+        self.n_pages = n_pages
+
+    @property
+    def ok(self) -> bool:
+        return self.status == "ok"
+
+
+def extract_document(
+    data: Optional[bytes], max_bytes: int = DEFAULT_MAX_BYTES
+) -> ExtractResult:
+    """Parse one PDF byte payload into spans. Never raises."""
+    if not data or len(data) <= 8:
+        return ExtractResult("error", EMPTY_DOC, [], 0)
+    if len(data) > max_bytes:
+        return ExtractResult("error", DOC_TOO_LARGE, [], 0)
+    try:
+        resolver = Resolver(bytes(data))
+        spans: list[Span] = []
+        font_cache: dict = {}
+        n_pages = 0
+        for page_index, page in enumerate(resolver.iter_pages()):
+            n_pages += 1
+            # base CTM: translate MediaBox origin to (0,0); no y-flip
+            # (render.c:1158-1172 flips for the raster canvas; user space
+            # stays y-up here so `y desc` = top-of-page first)
+            base = IDENTITY
+            mb = resolver.resolve(page.get("MediaBox"))
+            if isinstance(mb, list) and len(mb) == 4:
+                x0 = float(resolver.resolve(mb[0]))
+                y0 = float(resolver.resolve(mb[1]))
+                if x0 or y0:
+                    base = translate(-x0, -y0)
+            resources = page.get("Resources")
+            res_dict = (
+                resolver.get_dict(resources, "page resources")
+                if resources is not None
+                else {}
+            )
+            interp = Interpreter(resolver, page_index, res_dict, font_cache)
+            streams = resolver.content_streams(page)
+            spans.extend(interp.run_streams(streams, base))
+        return ExtractResult("ok", "", spans, n_pages)
+    except PdfError as exc:
+        return ExtractResult("error", exc.code, [], 0)
+    except RecursionError:
+        return ExtractResult("error", "RECURSION_LIMIT", [], 0)
+    except Exception:  # noqa: BLE001 — any other bug: error row, not crash
+        return ExtractResult("error", INTERNAL_ERROR, [], 0)
+
+
+def assemble_text(spans: list[Span]) -> str:
+    """Deterministic (page, y desc, x asc, glyph_order) sort + line joins."""
+    if not spans:
+        return ""
+    ordered = sorted(spans, key=lambda s: (s.page, -s.y, s.x, s.glyph_order))
+    parts: list[str] = []
+    prev_page: Optional[int] = None
+    prev_y: Optional[float] = None
+    for s in ordered:
+        if prev_page is not None and (s.page != prev_page or s.y != prev_y):
+            parts.append("\n")
+        parts.append(s.text)
+        prev_page, prev_y = s.page, s.y
+    return "".join(parts)
+
+
+def extract_text(data: Optional[bytes], max_bytes: int = DEFAULT_MAX_BYTES):
+    """Fused helper: returns ``(text, status, error_code, n_pages, n_spans)``."""
+    r = extract_document(data, max_bytes)
+    return assemble_text(r.spans), r.status, r.error_code, r.n_pages, len(r.spans)

@@ -1,0 +1,174 @@
+"""Minimal sfnt (TrueType) ``cmap`` table reader for text decode fallback.
+
+The reference parses the full sfnt table directory and cmap subtable
+formats 0/4/6 to map character codes to glyph ids for *rendering*
+(/root/reference/libs/sfnt/src/cmap.c:30-91, render/font.c:89-248). For
+extraction we need the same tables for a different purpose: a symbolic
+TrueType font with no ToUnicode/Encoding can only be decoded by going
+``code -> GID`` through its (3,0)/(1,0) cmap and then ``GID -> Unicode``
+through the *inverse* of its (3,1)/(0,x) Unicode cmap. Only the cmap table
+is read; glyf/loca/head stay untouched (glyph shapes are out of scope,
+SURVEY.md §7.4).
+
+All big-endian, per the OpenType/TrueType spec (public).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import struct
+
+
+def _u16(b: bytes, off: int) -> int:
+    return (b[off] << 8) | b[off + 1]
+
+
+def _u32(b: bytes, off: int) -> int:
+    return struct.unpack_from(">I", b, off)[0]
+
+
+def _parse_subtable(data: bytes, off: int) -> Optional[dict[int, int]]:
+    """One cmap subtable (formats 0, 4, 6) -> {code: gid}."""
+    if off + 2 > len(data):
+        return None
+    fmt = _u16(data, off)
+    if fmt == 0:
+        # byte encoding table: 256 glyph ids
+        if off + 6 + 256 > len(data):
+            return None
+        return {
+            c: data[off + 6 + c]
+            for c in range(256)
+            if data[off + 6 + c] != 0
+        }
+    if fmt == 6:
+        # trimmed table: firstCode + contiguous glyph run
+        if off + 10 > len(data):
+            return None
+        first = _u16(data, off + 6)
+        count = _u16(data, off + 8)
+        if off + 10 + 2 * count > len(data):
+            return None
+        out = {}
+        for k in range(count):
+            gid = _u16(data, off + 10 + 2 * k)
+            if gid:
+                out[first + k] = gid
+        return out
+    if fmt == 4:
+        # segment mapping to delta values
+        if off + 14 > len(data):
+            return None
+        seg_x2 = _u16(data, off + 6)
+        nseg = seg_x2 // 2
+        ends = off + 14
+        starts = ends + seg_x2 + 2  # +2: reservedPad
+        deltas = starts + seg_x2
+        range_offs = deltas + seg_x2
+        if range_offs + seg_x2 > len(data):
+            return None
+        out = {}
+        # Total-work cap: segCountX2 is attacker-controlled (up to ~32k
+        # segments each spanning up to 65536 codes -> ~2e9 iterations from
+        # one crafted FontFile2). The code space is 16-bit, so any honest
+        # table visits <= 65536 codes; twice that tolerates overlapping
+        # segments before we return the partial map (font falls through to
+        # the next decode source for unvisited codes).
+        visited_budget = 2 * 65536
+        for s in range(nseg):
+            end = _u16(data, ends + 2 * s)
+            start = _u16(data, starts + 2 * s)
+            delta = _u16(data, deltas + 2 * s)
+            roff = _u16(data, range_offs + 2 * s)
+            if start > end or (start == 0xFFFF and end == 0xFFFF):
+                continue
+            visited_budget -= end - start + 1
+            if visited_budget < 0:
+                break
+            for code in range(start, end + 1):
+                if roff == 0:
+                    gid = (code + delta) & 0xFFFF
+                else:
+                    # glyphIdArray addressing relative to the rangeOffset slot
+                    gpos = range_offs + 2 * s + roff + 2 * (code - start)
+                    if gpos + 2 > len(data):
+                        continue
+                    gid = _u16(data, gpos)
+                    if gid:
+                        gid = (gid + delta) & 0xFFFF
+                if gid:
+                    out[code] = gid
+        return out
+    return None  # formats 2/8/10/12/13/14 not needed for the decode path
+
+
+class SfntCmaps:
+    """Parsed cmap views of one embedded font program."""
+
+    __slots__ = ("symbol_map", "unicode_map", "gid_to_unicode")
+
+    def __init__(self) -> None:
+        self.symbol_map: dict[int, int] = {}  # (3,0) / (1,0): raw code -> gid
+        self.unicode_map: dict[int, int] = {}  # (3,1) / (0,x): unicode -> gid
+        self.gid_to_unicode: dict[int, str] = {}
+
+    def decode_code(self, code: int) -> Optional[str]:
+        """Symbolic decode: code -> gid (direct, then 0xF0xx symbol-area
+        alias) -> inverse-Unicode."""
+        gid = self.symbol_map.get(code)
+        if gid is None:
+            gid = self.symbol_map.get(0xF000 | code)
+        if gid is None:
+            gid = self.unicode_map.get(code)
+        if gid is None:
+            return None
+        return self.gid_to_unicode.get(gid)
+
+    def decode_gid(self, gid: int) -> Optional[str]:
+        return self.gid_to_unicode.get(gid)
+
+
+def parse_sfnt_cmaps(font_program: bytes) -> Optional[SfntCmaps]:
+    """Locate the ``cmap`` table in an sfnt and parse its usable subtables.
+
+    Returns None when there is no parseable cmap (CFF-only OpenType without
+    one, broken programs) — callers fall through to the next decode source.
+    """
+    data = font_program
+    if len(data) < 12:
+        return None
+    ntables = _u16(data, 4)
+    cmap_off = None
+    pos = 12
+    for _ in range(ntables):
+        if pos + 16 > len(data):
+            return None
+        if data[pos : pos + 4] == b"cmap":
+            cmap_off = _u32(data, pos + 8)
+            break
+        pos += 16
+    if cmap_off is None or cmap_off + 4 > len(data):
+        return None
+    n_sub = _u16(data, cmap_off + 2)
+    out = SfntCmaps()
+    for i in range(n_sub):
+        rec = cmap_off + 4 + 8 * i
+        if rec + 8 > len(data):
+            break
+        plat = _u16(data, rec)
+        enc = _u16(data, rec + 2)
+        sub_off = cmap_off + _u32(data, rec + 4)
+        table = _parse_subtable(data, sub_off)
+        if table is None:
+            continue
+        if (plat, enc) in ((3, 0), (1, 0)):
+            out.symbol_map.update(table)
+        elif plat == 3 and enc in (1, 10) or plat == 0:
+            out.unicode_map.update(table)
+    if not out.symbol_map and not out.unicode_map:
+        return None
+    # invert the Unicode view once; first (lowest) code point wins per gid
+    for code in sorted(out.unicode_map, reverse=True):
+        out.gid_to_unicode[out.unicode_map[code]] = chr(code)
+    return out

@@ -1,0 +1,350 @@
+"""Extraction queries for the driver harness: the flagship roundtrip.
+
+The testdata has no PDF column, so these queries *generate* the pages
+corpus from ``documents.text`` inside the same job (distributed, via
+mapInPandas — SURVEY.md M0 "synthesize the pages table"), extract it back,
+and verify. That makes the whole parse chain oracle-checkable: the oracle
+knows what must come out without parsing anything.
+
+- qx01_roundtrip_match: every good-variant doc must extract to its expected
+  text -> constant-true oracle. Any parser regression flips rows to false
+  and fails the driver's value-hash compare.
+- qx02_error_code_histogram: corrupt variants produce a deterministic
+  error-code histogram the oracle computes arithmetically.
+- qx03_span_geometry: every span of a known-layout variant must land at the
+  generator-predicted (page, x, y, size) -> constant-true oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pdf_spark.core.extract import extract_document, assemble_text
+from pdf_spark.functions.tables import load
+from pdf_spark.gen.pdfgen import N_VARIANTS, _GOOD_VARIANTS, generate_doc
+from pdf_spark.operators.extract import extract_spans
+
+QUERIES = {}
+ORACLE = {}
+_QX03_CACHE: dict[str, DataFrame] = {}
+
+_ROUNDTRIP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ok", BooleanType()),
+        StructField("variant", StringType()),
+    ]
+)
+
+
+def _qx01(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"doc_id": [], "ok": [], "variant": []}
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                variant = int(doc_id) % N_VARIANTS
+                pdf, expected, vname, _ = generate_doc(text or "", variant)
+                r = extract_document(pdf)
+                got = assemble_text(r.spans) if r.ok else None
+                out["doc_id"].append(int(doc_id))
+                out["ok"].append(bool(r.ok and got == expected))
+                out["variant"].append(vname)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(roundtrip, _ROUNDTRIP_SCHEMA).select("doc_id", "ok")
+
+
+QUERIES["qx01_roundtrip_match"] = _qx01
+ORACLE["qx01_roundtrip_match"] = (
+    "SELECT doc_id, CAST('t' AS BOOLEAN) AS ok FROM documents"
+)
+
+_ERRHIST_SCHEMA = StructType(
+    [
+        StructField("error_code", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _qx02(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+
+    def corrupt_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            codes = []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                variant = N_VARIANTS + int(doc_id) % 5
+                pdf, _, _, _ = generate_doc(text or "", variant)
+                codes.append(extract_document(pdf).error_code)
+            yield pd.DataFrame({"error_code": codes, "n": [1] * len(codes)})
+
+    return (
+        docs.mapInPandas(corrupt_extract, _ERRHIST_SCHEMA)
+        .groupBy("error_code")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+QUERIES["qx02_error_code_histogram"] = _qx02
+# corrupt class is doc_id % 5 -> the histogram is pure arithmetic
+ORACLE["qx02_error_code_histogram"] = """
+SELECT CASE doc_id % 5
+         WHEN 0 THEN 'INVALID_VERSION'
+         WHEN 1 THEN 'INVALID_STARTXREF'
+         WHEN 2 THEN 'INVALID_XREF'
+         WHEN 3 THEN 'UNSUPPORTED_FILTER'
+         ELSE 'UNBALANCED_STR' END AS error_code,
+       COUNT(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
+_GEOM_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("html", BinaryType()),
+        StructField("n_lines", LongType()),
+    ]
+)
+
+
+def _qx03(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-geometry self-check (value-hashed, constant-true oracle).
+
+    Builds the td_tj_flate variant for every document, extracts spans
+    through the distributed pipeline, and verifies each span's geometry
+    *declaratively* against the generator's layout constants
+    (gen/pdfgen.py: LEFT_X, TOP_Y, LINE_HEIGHT, FONT_SIZE): span i of a doc
+    must sit at (page 0, x=LEFT_X, y=TOP_Y - i*LINE_HEIGHT, size=FONT_SIZE),
+    and the span count must equal the wrapped line count the generator
+    predicted without parsing anything. Any interpreter positioning
+    regression (Td accumulation, Tf size, page indexing, span ordering)
+    flips ok to false and fails the driver's value-hash compare.
+    """
+    from pyspark.sql import Window
+
+    from pdf_spark.gen.pdfgen import (
+        FONT_SIZE,
+        LEFT_X,
+        LINE_HEIGHT,
+        TOP_Y,
+        wrap_lines,
+    )
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    td_tj_flate = next(
+        i for i, (name, _) in enumerate(_GOOD_VARIANTS) if name == "td_tj_flate"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"url": [], "html": [], "n_lines": []}
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                t = text if isinstance(text, str) else ""
+                pdf, _, _, _ = generate_doc(t, td_tj_flate)
+                out["url"].append(str(int(doc_id)))
+                out["html"].append(pdf)
+                out["n_lines"].append(len(wrap_lines(t)))
+            yield pd.DataFrame(out)
+
+    # pages feeds two subtrees (spans + predicted); persist so the PDF
+    # build + deflate inside the gen UDF runs once, not once per subtree
+    # (previous invocation's cache released on re-entry)
+    prev = _QX03_CACHE.pop("pages", None)
+    if prev is not None and prev.sparkSession is docs.sparkSession:
+        prev.unpersist()
+    pages = docs.mapInPandas(gen, _GEOM_SCHEMA).persist()
+    _QX03_CACHE["pages"] = pages
+    predicted = pages.select("url", "n_lines")
+    spans = extract_spans(pages)
+    w = Window.partitionBy("url").orderBy("glyph_order")
+    i = F.row_number().over(w) - 1
+    geom_ok = (
+        (F.col("status") == "ok")
+        & (F.col("page") == 0)
+        & (F.col("x") == F.lit(LEFT_X))
+        & (F.col("y") == F.lit(TOP_Y) - i * F.lit(LINE_HEIGHT))
+        & (F.col("size") == F.lit(FONT_SIZE))
+    )
+    per_doc = (
+        spans.withColumn("geom_ok", geom_ok)
+        .groupBy("url")
+        .agg(F.min("geom_ok").alias("all_ok"), F.count("*").alias("n_spans"))
+    )
+    return (
+        per_doc.join(predicted, "url")
+        .select(
+            F.col("url").cast("long").alias("doc_id"),
+            (F.col("all_ok") & (F.col("n_spans") == F.col("n_lines"))).alias("ok"),
+        )
+    )
+
+
+QUERIES["qx03_span_geometry"] = _qx03
+ORACLE["qx03_span_geometry"] = (
+    "SELECT doc_id, CAST('t' AS BOOLEAN) AS ok FROM documents"
+)
+
+_VARIANT_SCHEMA = StructType(
+    [
+        StructField("variant", StringType()),
+        StructField("n", LongType()),
+        StructField("n_ok", LongType()),
+    ]
+)
+
+
+def _qx04(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-variant roundtrip histogram: every generator variant class
+    (classic/xref-stream/objstm layouts, filter chains, font/CMap paths,
+    inline images, ExtGState...) must extract its expected text for every
+    document — the oracle computes the variant histogram arithmetically
+    from doc_id % N_VARIANTS and asserts n_ok == n."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+
+    def per_variant(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = {"variant": [], "n": [], "n_ok": []}
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                variant = int(doc_id) % N_VARIANTS
+                pdf, expected, vname, _ = generate_doc(text or "", variant)
+                r = extract_document(pdf)
+                got = assemble_text(r.spans) if r.ok else None
+                rows["variant"].append(vname)
+                rows["n"].append(1)
+                rows["n_ok"].append(int(bool(r.ok and got == expected)))
+            yield pd.DataFrame(rows)
+
+    return (
+        docs.mapInPandas(per_variant, _VARIANT_SCHEMA)
+        .groupBy("variant")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("n_ok").cast("long").alias("n_ok"),
+        )
+    )
+
+
+def _variant_case_sql() -> str:
+    whens = "\n         ".join(
+        f"WHEN {i} THEN '{name}'" for i, (name, _) in enumerate(_GOOD_VARIANTS)
+    )
+    return f"CASE doc_id % {N_VARIANTS}\n         {whens}\n       END"
+
+
+def _qx05(spark: SparkSession, sf: str) -> DataFrame:
+    """Layout analysis: paragraph segmentation over span GEOMETRY
+    (value-hashed, constant-true oracle).
+
+    The north rule's "layout parse" tier: documents are generated with an
+    extra vertical gap after every 4th line; the extractor's spans are then
+    segmented *declaratively* — a lag window over y detects breaks where
+    the inter-line gap exceeds 1.5x the line height — and the paragraph
+    count per document must equal the generator's prediction
+    ceil(n_lines/4). Exercises span geometry end to end through window
+    functions rather than Python.
+    """
+    from pyspark.sql import Window
+
+    from pdf_spark.gen.pdfgen import (
+        FONT_SIZE,
+        LEFT_X,
+        LINE_HEIGHT,
+        TOP_Y,
+        PdfBuilder,
+        _n,
+        esc,
+        wrap_lines,
+    )
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"url": [], "html": [], "n_lines": []}
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                t = text if isinstance(text, str) else ""
+                lines = wrap_lines(t)
+                ops = [b"BT", b"/F1 " + _n(FONT_SIZE) + b" Tf"]
+                for i, line in enumerate(lines):
+                    # paragraph gap: one extra line height after every 4th
+                    y = TOP_Y - i * LINE_HEIGHT - (i // 4) * LINE_HEIGHT
+                    ops.append(b"1 0 0 1 " + _n(LEFT_X) + b" " + _n(y) + b" Tm")
+                    ops.append(b"(" + esc(line) + b") Tj")
+                ops.append(b"ET")
+                b = PdfBuilder()
+                cat = b.reserve()
+                pages_id = b.reserve()
+                page = b.reserve()
+                font = b.add(b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>")
+                cont = b.stream(b"\n".join(ops), filters="FlateDecode")
+                b.set(cat, b"<</Type/Catalog/Pages " + str(pages_id).encode() + b" 0 R>>")
+                b.set(
+                    pages_id,
+                    b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>",
+                )
+                b.set(
+                    page,
+                    b"<</Type/Page/Parent " + str(pages_id).encode() + b" 0 R"
+                    b"/MediaBox[0 0 612 792]"
+                    b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+                    b"/Contents " + str(cont).encode() + b" 0 R>>",
+                )
+                out["url"].append(str(int(doc_id)))
+                out["html"].append(b.build(cat))
+                out["n_lines"].append(len(lines))
+            yield pd.DataFrame(out)
+
+    prev = _QX03_CACHE.pop("qx05_pages", None)
+    if prev is not None and prev.sparkSession is docs.sparkSession:
+        prev.unpersist()
+    pages = docs.mapInPandas(gen, _GEOM_SCHEMA).persist()
+    _QX03_CACHE["qx05_pages"] = pages
+    predicted = pages.select(
+        "url", (F.ceil(F.col("n_lines") / 4)).cast("long").alias("n_para_expected")
+    )
+    spans = extract_spans(pages)
+    w = Window.partitionBy("url").orderBy(F.desc("y"))
+    gap = F.lag("y").over(w) - F.col("y")
+    is_break = F.when(
+        gap.isNull() | (gap > 1.5 * LINE_HEIGHT), 1
+    ).otherwise(0)
+    per_doc = (
+        spans.where(F.col("status") == "ok")
+        .withColumn("brk", is_break)
+        .groupBy("url")
+        .agg(F.sum("brk").alias("n_paragraphs"))
+    )
+    return per_doc.join(predicted, "url").select(
+        F.col("url").cast("long").alias("doc_id"),
+        (F.col("n_paragraphs") == F.col("n_para_expected")).alias("ok"),
+    )
+
+
+QUERIES["qx05_paragraph_segmentation"] = _qx05
+ORACLE["qx05_paragraph_segmentation"] = (
+    "SELECT doc_id, CAST('t' AS BOOLEAN) AS ok FROM documents"
+)
+
+QUERIES["qx04_variant_coverage"] = _qx04
+ORACLE["qx04_variant_coverage"] = f"""
+SELECT {_variant_case_sql()} AS variant,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_ok
+FROM documents GROUP BY 1
+"""

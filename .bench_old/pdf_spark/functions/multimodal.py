@@ -1,0 +1,304 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+Image/audio decode libraries are not in this container, so the decode step
+is a clearly-marked deterministic fake (``_fake_decode``) — but everything
+Spark-side is real and tested: the BinaryType schema, the ``mapInPandas``
+batch shape (one Arrow batch of blobs in, one batch of feature rows out),
+partition behavior, and the metadata queries.
+
+- ``qm01_binary_meta``     — JVM-side binary column ops (encode/length/hash),
+  DuckDB-verified.
+- ``qm02_fake_image_features`` — the mapInPandas feature extractor over
+  synthetic "image" blobs; deterministic fake decode, oracle-checkable
+  because the fake is a pure function of the blob bytes that SQL can
+  reproduce (header-int parsing via substring arithmetic).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pdf_spark.functions.tables import load, register_views
+
+QUERIES = {}
+ORACLE = {}
+
+# -- qm01: binary metadata, pure JVM ------------------------------------------
+
+_META_SPARK = """
+SELECT doc_id,
+       octet_length(encode(text, 'UTF-8')) AS n_bytes,
+       md5(encode(text, 'UTF-8')) AS blob_md5
+FROM documents
+"""
+_META_DUCK = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS blob_md5
+FROM documents
+"""
+
+
+def _qm01(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    return spark.sql(_META_SPARK)
+
+
+QUERIES["qm01_binary_meta"] = _qm01
+ORACLE["qm01_binary_meta"] = _META_DUCK
+
+# -- qm02: fake decode over synthetic blobs -----------------------------------
+
+_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("mean_luma", IntegerType()),
+    ]
+)
+
+
+def _fake_decode(blob: bytes) -> tuple[int, int, int, int]:
+    """DETERMINISTIC FAKE decode (real image libs absent in this container).
+
+    The synthetic blob layout is ``b"IMG!" + 4-digit width + 4-digit height
+    + payload``; a real deployment swaps this for PIL/ffmpeg inside the
+    same mapInPandas batch loop (the Spark plumbing — schema, batching,
+    partitioning — is identical).
+    """
+    if len(blob) < 12 or blob[:4] != b"IMG!":
+        raise NotImplementedError("real image decoding is stubbed")
+    width = int(blob[4:8])
+    height = int(blob[8:12])
+    # mean over CHARACTERS (not UTF-8 bytes) — the oracle computes
+    # ord-per-char, and a multi-byte char in the payload must not diverge
+    payload = blob[12:].decode("utf-8", errors="replace")
+    mean = (sum(map(ord, payload)) // len(payload)) if payload else 0
+    return width, height, 3, mean
+
+
+def _qm02(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    # synthesize the blob column JVM-side: IMG! + zero-padded dims + payload
+    blobs = docs.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("IMG!"),
+                F.lpad((F.col("doc_id") % 97 + 16).cast("string"), 4, "0"),
+                F.lpad((F.col("doc_id") % 53 + 16).cast("string"), 4, "0"),
+                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 32),
+            ),
+            "UTF-8",
+        ).alias("blob"),
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "n_channels", "mean_luma")}
+            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+                w, h, c, m = _fake_decode(bytes(blob))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_channels"].append(c)
+                out["mean_luma"].append(m)
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(featurize, _FEATURES_SCHEMA)
+
+
+QUERIES["qm02_fake_image_features"] = _qm02
+# oracle: the fake decode is reproducible in SQL over the same construction
+ORACLE["qm02_fake_image_features"] = """
+WITH blobs AS (
+  SELECT doc_id,
+         CAST(doc_id % 97 + 16 AS INT) AS width,
+         CAST(doc_id % 53 + 16 AS INT) AS height,
+         substr(COALESCE(text, ''), 1, 32) AS payload
+  FROM documents
+)
+SELECT doc_id, width, height, 3 AS n_channels,
+       CASE WHEN length(payload) = 0 THEN 0
+            ELSE CAST(floor(list_aggregate(list_transform(
+                   range(1, length(payload) + 1),
+                   i -> ord(substr(payload, i, 1))), 'sum')
+                 / length(payload)) AS INT) END AS mean_luma
+FROM blobs
+"""
+
+# -- qm03: fake video frame-sampling ------------------------------------------
+
+_FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def _fake_frames(blob: bytes):
+    """DETERMINISTIC FAKE frame decoder (ffmpeg absent in this container).
+
+    Blob layout: ``b"VID!" + 4-digit frame count + 8 bytes per frame``.
+    Samples every 3rd frame (the frame-sample stride a real pipeline would
+    hand to a decoder); a real deployment swaps the body for an ffmpeg
+    call in the same mapInPandas batch loop.
+    """
+    import hashlib
+
+    if len(blob) < 8 or blob[:4] != b"VID!":
+        raise NotImplementedError("real video decoding is stubbed")
+    n_frames = int(blob[4:8])
+    payload = blob[8:]
+    for i in range(0, n_frames, 3):
+        frame = payload[8 * i : 8 * i + 8]
+        yield i, hashlib.md5(frame).hexdigest()
+
+
+def _qm03(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    # ASCII-safe 64-char payload (md5 hex x2) so SQL substr == byte slicing
+    blobs = docs.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("VID!"),
+                F.lpad((F.col("doc_id") % 7 + 2).cast("string"), 4, "0"),
+                F.md5(F.encode(F.col("text"), "UTF-8")),
+                F.md5(F.encode(F.col("lang"), "UTF-8")),
+            ),
+            "UTF-8",
+        ).alias("blob"),
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_md5": []}
+            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+                for idx, h in _fake_frames(bytes(blob)):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(idx)
+                    out["frame_md5"].append(h)
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(sample, _FRAMES_SCHEMA)
+
+
+QUERIES["qm03_fake_frame_sample"] = _qm03
+ORACLE["qm03_fake_frame_sample"] = """
+WITH vids AS (
+  SELECT doc_id,
+         CAST(doc_id % 7 + 2 AS INT) AS n_frames,
+         md5(text) || md5(lang) AS payload
+  FROM documents
+),
+idx AS (SELECT CAST(i AS INT) AS frame_idx FROM range(0, 8) t(i)),
+frames AS (
+  SELECT v.doc_id, i.frame_idx,
+         md5(substr(v.payload, 1 + 8 * i.frame_idx, 8)) AS frame_md5
+  FROM vids v JOIN idx i ON i.frame_idx < v.n_frames
+  WHERE i.frame_idx % 3 = 0
+)
+SELECT doc_id, frame_idx, frame_md5 FROM frames
+"""
+
+# -- qm04: fake audio features -------------------------------------------------
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("mean_amp", IntegerType()),
+        StructField("n_hops", IntegerType()),
+    ]
+)
+
+
+def _fake_audio_features(blob: bytes) -> tuple[int, int, int, int, int]:
+    """DETERMINISTIC FAKE audio decode (no soundfile/librosa in container).
+
+    Blob layout: ``b"AUD!" + 5-digit sample rate + 6-digit sample count +
+    payload``. Features a real pipeline computes post-decode: duration,
+    mean amplitude, and the 160-sample hop-window count (the STFT frame
+    count a feature extractor would produce); a real deployment swaps this
+    body for the decoder inside the same mapInPandas batch loop.
+    """
+    if len(blob) < 15 or blob[:4] != b"AUD!":
+        raise NotImplementedError("real audio decoding is stubbed")
+    rate = int(blob[4:9])
+    n_samples = int(blob[9:15])
+    # chars, not bytes — see _fake_decode
+    payload = blob[15:].decode("utf-8", errors="replace")
+    mean_amp = (sum(map(ord, payload)) // len(payload)) if payload else 0
+    duration_ms = n_samples * 1000 // rate
+    n_hops = -(-n_samples // 160)
+    return rate, n_samples, duration_ms, mean_amp, n_hops
+
+
+def _qm04(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    blobs = docs.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("AUD!"),
+                F.lpad((F.col("doc_id") % 3 * 8000 + 8000).cast("string"), 5, "0"),
+                F.lpad((F.col("doc_id") % 890 + 110).cast("string"), 6, "0"),
+                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 48),
+            ),
+            "UTF-8",
+        ).alias("blob"),
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {f.name: [] for f in _AUDIO_SCHEMA.fields}
+            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+                r, n, d, m, h = _fake_audio_features(bytes(blob))
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(r)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(d)
+                out["mean_amp"].append(m)
+                out["n_hops"].append(h)
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(featurize, _AUDIO_SCHEMA)
+
+
+QUERIES["qm04_fake_audio_features"] = _qm04
+ORACLE["qm04_fake_audio_features"] = """
+WITH auds AS (
+  SELECT doc_id,
+         CAST(doc_id % 3 * 8000 + 8000 AS INT) AS sample_rate,
+         CAST(doc_id % 890 + 110 AS INT) AS n_samples,
+         substr(COALESCE(text, ''), 1, 48) AS payload
+  FROM documents
+)
+SELECT doc_id, sample_rate, n_samples,
+       CAST(floor(n_samples * 1000.0 / sample_rate) AS INT) AS duration_ms,
+       CASE WHEN length(payload) = 0 THEN 0
+            ELSE CAST(floor(list_aggregate(list_transform(
+                   range(1, length(payload) + 1),
+                   i -> ord(substr(payload, i, 1))), 'sum')
+                 / length(payload)) AS INT) END AS mean_amp,
+       CAST(ceil(n_samples / 160.0) AS INT) AS n_hops
+FROM auds
+"""

@@ -1,0 +1,33 @@
+"""Aggregate the query/oracle matrices from every functions submodule."""
+
+from __future__ import annotations
+
+
+def all_queries():
+    from pdf_spark.functions import (  # noqa: WPS235
+        extraction_queries,
+        multimodal,
+        relational,
+        similarity,
+        textops,
+    )
+
+    out = {}
+    for mod in (relational, textops, similarity, multimodal, extraction_queries):
+        out.update(mod.QUERIES)
+    return out
+
+
+def all_oracles():
+    from pdf_spark.functions import (
+        extraction_queries,
+        multimodal,
+        relational,
+        similarity,
+        textops,
+    )
+
+    out = {}
+    for mod in (relational, textops, similarity, multimodal, extraction_queries):
+        out.update(mod.ORACLE)
+    return out

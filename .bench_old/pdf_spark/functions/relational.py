@@ -1,0 +1,458 @@
+"""Relational operator matrix (SURVEY.md §2.5 "driver-oracle operator
+queries"): projections, filters, joins (broadcast/semi/anti/multiway),
+aggregations, rollup, windows (rank/lag/frames), sorts/limits, set ops,
+scalar string/date/math/json functions.
+
+Every query is written DataFrame-first (Catalyst plans it); the oracle is
+the equivalent ANSI SQL for DuckDB. Column names are aliased identically on
+both sides (driver compares sorted-by-name). Double aggregates are rounded
+to 2 decimals on both sides so parallel-summation order can't flip the
+value hash.
+
+Scale notes (100 TB thinking, per-query):
+- dimension joins (nation/region/customer-dim) are broadcast — `F.broadcast`
+  hints where Catalyst's threshold might not see it;
+- aggregations are partial (map-side combine) by construction — groupBy on
+  low-cardinality keys;
+- windows partition by high-cardinality keys (custkey/user_id) so no single
+  partition explodes; none orders an unbounded global frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pdf_spark.functions.tables import load
+
+QUERIES = {}
+ORACLE = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# -- scans / filters / projections -------------------------------------------
+
+
+@q(
+    "qr01_scan_filter_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+       FROM lineitem WHERE l_quantity > 45 AND l_returnflag <> 'N'""",
+)
+def qr01(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "lineitem")
+        .where((F.col("l_quantity") > 45) & (F.col("l_returnflag") != "N"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+
+
+@q(
+    "qr02_agg_pricing_summary",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+              ROUND(SUM(l_quantity), 2) AS sum_qty,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              ROUND(AVG(l_discount), 4) AS avg_disc
+       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def qr02(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        )
+    )
+
+
+# -- joins --------------------------------------------------------------------
+
+
+@q(
+    "qr03_broadcast_join_segment",
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+              ROUND(SUM(o_totalprice), 2) AS revenue
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+       GROUP BY o_orderpriority""",
+)
+def qr03(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    return (
+        load(spark, sf, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@q(
+    "qr04_multiway_dim_join",
+    """SELECT r_name, n_name, COUNT(*) AS n_cust,
+              ROUND(SUM(c_acctbal), 2) AS total_bal
+       FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name, n_name""",
+)
+def qr04(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "customer")
+        .join(
+            F.broadcast(load(spark, sf, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(load(spark, sf, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@q(
+    "qr05_semijoin_exists",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey AND o_totalprice > 300000)""",
+)
+def qr05(spark: SparkSession, sf: str) -> DataFrame:
+    big = load(spark, sf, "orders").where(F.col("o_totalprice") > 300000)
+    return (
+        load(spark, sf, "customer")
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@q(
+    "qr06_antijoin_not_exists",
+    """SELECT c_custkey, c_acctbal FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+)
+def qr06(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "customer")
+        .join(
+            load(spark, sf, "orders"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+# -- windows ------------------------------------------------------------------
+
+
+@q(
+    "qr07_window_topk_per_group",
+    """SELECT c_custkey, o_orderkey, o_totalprice, rk FROM (
+         SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+                ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+         FROM orders) t
+       WHERE rk <= 3""",
+)
+def qr07(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        load(spark, sf, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            "rk",
+        )
+    )
+
+
+@q(
+    "qr08_window_lag_delta",
+    """SELECT event_id, user_id,
+              ROUND(value - LAG(value) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id), 2) AS delta
+       FROM events""",
+)
+def qr08(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    )
+
+
+@q(
+    "qr09_window_running_sum",
+    """SELECT o_custkey, o_orderkey,
+              ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                AS running_total
+       FROM orders""",
+)
+def qr09(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+# -- rollup / distinct / set ops ---------------------------------------------
+
+
+@q(
+    "qr10_rollup",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def qr10(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@q(
+    "qr11_intersect",
+    """SELECT c_nationkey AS nationkey FROM customer
+       INTERSECT
+       SELECT s_nationkey AS nationkey FROM supplier""",
+)
+def qr11(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@q(
+    "qr12_except",
+    """SELECT c_nationkey AS nationkey FROM customer
+       EXCEPT
+       SELECT s_nationkey AS nationkey FROM supplier""",
+)
+def qr12(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    # subtract = EXCEPT DISTINCT (exceptAll is multiset-minus — different op)
+    return c.subtract(s)
+
+
+@q(
+    "qr13_topk_global",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def qr13(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# -- scalar functions ---------------------------------------------------------
+
+
+@q(
+    "qr14_string_funcs",
+    """SELECT p_partkey, UPPER(p_brand) AS brand_uc,
+              SUBSTRING(p_name, 1, 8) AS name_prefix,
+              LENGTH(p_name) AS name_len,
+              CONCAT_WS('|', p_brand, p_type) AS brand_type
+       FROM part WHERE p_size >= 40""",
+)
+def qr14(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "part")
+        .where(F.col("p_size") >= 40)
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_uc"),
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+            F.length("p_name").alias("name_len"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        )
+    )
+
+
+@q(
+    "qr15_date_funcs",
+    """SELECT CAST(YEAR(o_orderdate) AS INT) AS yr,
+              CAST(MONTH(o_orderdate) AS INT) AS mon,
+              COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+       FROM orders GROUP BY 1, 2""",
+)
+def qr15(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mon"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@q(
+    "qr16_math_case_bands",
+    """SELECT CASE WHEN l_discount > 0.05 THEN 'hi' ELSE 'lo' END AS band,
+              COUNT(*) AS n,
+              ROUND(AVG(l_extendedprice), 2) AS avg_price,
+              ROUND(SUM(ABS(l_tax - l_discount)), 2) AS tax_gap
+       FROM lineitem GROUP BY 1""",
+)
+def qr16(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return (
+        li.withColumn(
+            "band", F.when(F.col("l_discount") > 0.05, "hi").otherwise("lo")
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.sum(F.abs(F.col("l_tax") - F.col("l_discount"))), 2).alias(
+                "tax_gap"
+            ),
+        )
+    )
+
+
+@q(
+    "qr17_scalar_subquery",
+    """SELECT c_nationkey, COUNT(*) AS n_rich FROM customer
+       WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+       GROUP BY c_nationkey""",
+)
+def qr17(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load(spark, sf, "customer")
+    avg_bal = cust.agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_rich"))
+    )
+
+
+@q(
+    "qr18_having",
+    """SELECT c_nationkey, COUNT(*) AS n FROM customer
+       GROUP BY c_nationkey HAVING COUNT(*) > 20""",
+)
+def qr18(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 20)
+    )
+
+
+@q(
+    "qr19_json_extract",
+    r"""SELECT TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k,
+              COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+       FROM events GROUP BY 1""",
+)
+def qr19(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return (
+        ev.withColumn(
+            "k", F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int")
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+@q(
+    "qr20_union_all_tagged",
+    """SELECT src, COUNT(*) AS n, ROUND(SUM(bal), 2) AS total FROM (
+         SELECT 'cust' AS src, c_acctbal AS bal FROM customer
+         UNION ALL
+         SELECT 'supp' AS src, s_acctbal AS bal FROM supplier
+       ) u GROUP BY src""",
+)
+def qr20(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").select(
+        F.lit("cust").alias("src"), F.col("c_acctbal").alias("bal")
+    )
+    s = load(spark, sf, "supplier").select(
+        F.lit("supp").alias("src"), F.col("s_acctbal").alias("bal")
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("src")
+        .agg(F.count("*").alias("n"), F.round(F.sum("bal"), 2).alias("total"))
+    )
+
+
+@q(
+    "qr21_count_distinct",
+    """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+              COUNT(DISTINCT l_partkey) AS n_part
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def qr21(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+        )
+    )
+
+
+@q(
+    "qr22_tumbling_window_events",
+    """SELECT DATE_TRUNC('hour', ts) AS bucket, event_type,
+              COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+       FROM events GROUP BY 1, 2""",
+)
+def qr22(spark: SparkSession, sf: str) -> DataFrame:
+    # batch twin of the structured-streaming aggregation
+    # (pdf_spark.streaming runs the same groupBy over readStream)
+    return (
+        load(spark, sf, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )

@@ -1,0 +1,273 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim).
+
+- brute-force cosine top-k (the correctness baseline): JVM-side
+  ``aggregate``/``zip_with`` dot products — no Python in the loop;
+- LSH-bucketed variant (the scale path): sign-random-projection buckets
+  from fixed deterministic hyperplanes (seeded from the dimension index),
+  candidate generation joins on the bucket key — at 10^9 vectors the
+  brute-force scan is one pass per query batch, the LSH path turns it into
+  an equi-join;
+- per-label centroids (posexplode + groupBy — the distributed reduction
+  shape for k-means-style iteration).
+
+All arithmetic is cast to DOUBLE on both engines before accumulating so the
+float32 inputs round-trip identically; results round to 4 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pdf_spark.functions.tables import register_views
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _pair(name: str, spark_sql: str, duck_sql: str | None):
+    def fn(spark: SparkSession, sf: str, _sql=spark_sql) -> DataFrame:
+        register_views(spark, sf)
+        return spark.sql(_sql)
+
+    QUERIES[name] = fn
+    if duck_sql is not None:
+        ORACLE[name] = duck_sql
+
+
+# dot(a,b), norm via aggregate; query vector = vec_id 0's embedding
+_COS_SPARK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label,
+         aggregate(zip_with(e.embedding, q.qv,
+                            (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+         / (sqrt(aggregate(e.embedding, CAST(0.0 AS DOUBLE),
+                           (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+            * sqrt(aggregate(q.qv, CAST(0.0 AS DOUBLE),
+                             (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+           AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0
+)
+"""
+
+_COS_DUCK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label,
+         list_aggregate(list_transform(range(1, 65),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum')
+         / (sqrt(list_aggregate(list_transform(e.embedding,
+                 v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))
+            * sqrt(list_aggregate(list_transform(q.qv,
+                 v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')))
+           AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0
+)
+"""
+
+_pair(
+    "qs01_cosine_threshold",
+    _COS_SPARK + "SELECT vec_id, label, ROUND(cos_sim, 4) AS sim FROM scored WHERE cos_sim > 0.15",
+    _COS_DUCK + "SELECT vec_id, label, ROUND(cos_sim, 4) AS sim FROM scored WHERE cos_sim > 0.15",
+)
+
+_pair(
+    "qs02_cosine_topk",
+    _COS_SPARK
+    + """SELECT vec_id, ROUND(cos_sim, 4) AS sim FROM scored
+         ORDER BY ROUND(cos_sim, 4) DESC, vec_id LIMIT 10""",
+    _COS_DUCK
+    + """SELECT vec_id, ROUND(cos_sim, 4) AS sim FROM scored
+         ORDER BY ROUND(cos_sim, 4) DESC, vec_id LIMIT 10""",
+)
+
+# L2 norms
+_pair(
+    "qs03_l2_norms",
+    """SELECT vec_id,
+              ROUND(sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),
+                    (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), 4)
+                AS l2_norm
+       FROM embeddings""",
+    """SELECT vec_id,
+              ROUND(sqrt(list_aggregate(list_transform(embedding,
+                    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')), 4)
+                AS l2_norm
+       FROM embeddings""",
+)
+
+# per-label centroids: flat (label, pos, cval) rows
+_pair(
+    "qs04_label_centroids",
+    # `+ 0.0` folds IEEE -0.0 to 0.0 so signed zero can't split the hash
+    """SELECT label, pos, ROUND(AVG(CAST(v AS DOUBLE)), 4) + 0.0 AS cval
+       FROM (SELECT label, posexplode(embedding) AS (pos, v) FROM embeddings)
+       GROUP BY label, pos""",
+    """SELECT label, pos, ROUND(AVG(v), 4) + 0.0 AS cval FROM (
+         SELECT label,
+                CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+                CAST(unnest(embedding) AS DOUBLE) AS v
+         FROM embeddings)
+       GROUP BY label, pos""",
+)
+
+# sign-random-projection LSH buckets: hyperplane h_j has +1 weight on
+# dimensions where (i*31 + j*17) % 7 < 3, else -1 — fixed, seedless, and
+# expressible in both engines; bucket = 4-bit signature
+_PROJ_TERMS_SPARK = " + ".join(
+    f"""CASE WHEN aggregate(zip_with(embedding,
+            transform(sequence(0, 63),
+                      i -> CASE WHEN (i * 31 + {j} * 17) % 7 < 3
+                           THEN 1.0D ELSE -1.0D END),
+            (x, w) -> CAST(x AS DOUBLE) * w),
+          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0
+        THEN {1 << j} ELSE 0 END"""
+    for j in range(4)
+)
+_PROJ_TERMS_DUCK = " + ".join(
+    f"""CASE WHEN list_aggregate(list_transform(range(1, 65),
+            i -> CAST(embedding[i] AS DOUBLE) *
+                 (CASE WHEN ((i - 1) * 31 + {j} * 17) % 7 < 3
+                  THEN 1.0 ELSE -1.0 END)), 'sum') > 0
+        THEN {1 << j} ELSE 0 END"""
+    for j in range(4)
+)
+
+_pair(
+    "qs05_srp_lsh_buckets",
+    f"""SELECT CAST({_PROJ_TERMS_SPARK} AS INT) AS bucket,
+               COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
+        FROM embeddings GROUP BY 1""",
+    f"""SELECT CAST({_PROJ_TERMS_DUCK} AS INT) AS bucket,
+               COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
+        FROM embeddings GROUP BY 1""",
+)
+
+# LSH candidate-pair counts per bucket (the ANN scale path's join stage)
+_pair(
+    "qs06_srp_lsh_pair_counts",
+    f"""WITH b AS (
+          SELECT vec_id, CAST({_PROJ_TERMS_SPARK} AS INT) AS bucket
+          FROM embeddings)
+        SELECT bucket, CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT)
+                 AS n_pairs
+        FROM b GROUP BY bucket""",
+    f"""WITH b AS (
+          SELECT vec_id, CAST({_PROJ_TERMS_DUCK} AS INT) AS bucket
+          FROM embeddings)
+        SELECT bucket, CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT)
+                 AS n_pairs
+        FROM b GROUP BY bucket""",
+)
+
+# -- IVF-style ANN (coarse quantize -> search only the query's cell) ----------
+#
+# The scale path the brute-force scan graduates to: per-label centroids act
+# as the coarse quantizer (K = #labels), every vector is assigned to its
+# nearest centroid (argmax cosine), and the query searches ONLY its own
+# cell — at 10^9 vectors this turns a full scan into (K dots) + (scan of
+# ~N/K). Fully SQL-expressible, so DuckDB-oracled on both engines.
+
+_IVF_BODY = """
+WITH cents AS (
+  SELECT label AS clabel, pos, AVG(CAST(v AS DOUBLE)) AS c
+  FROM ({EXPLODE})
+  GROUP BY label, pos
+),
+vecpos AS (
+  SELECT vec_id, pos, CAST(v AS DOUBLE) AS x FROM ({EXPLODE})
+),
+dots AS (
+  SELECT v.vec_id, c.clabel,
+         SUM(v.x * c.c)
+           / (SQRT(SUM(v.x * v.x)) * SQRT(SUM(c.c * c.c))) AS cos
+  FROM vecpos v JOIN cents c ON v.pos = c.pos
+  GROUP BY v.vec_id, c.clabel
+),
+cells AS (
+  SELECT vec_id, clabel AS cell FROM (
+    SELECT vec_id, clabel,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+    FROM dots
+  ) WHERE rn = 1
+),
+qcell AS (SELECT cell FROM cells WHERE vec_id = 0),
+incell AS (
+  SELECT s.vec_id FROM cells s JOIN qcell q ON s.cell = q.cell
+  WHERE s.vec_id <> 0
+),
+q AS (SELECT pos, x AS qx FROM vecpos WHERE vec_id = 0),
+scored AS (
+  SELECT v.vec_id,
+         SUM(v.x * q.qx)
+           / (SQRT(SUM(v.x * v.x)) * SQRT(SUM(q.qx * q.qx))) AS cos_sim
+  FROM vecpos v
+  JOIN incell i ON v.vec_id = i.vec_id
+  JOIN q ON v.pos = q.pos
+  GROUP BY v.vec_id
+)
+SELECT vec_id, ROUND(cos_sim, 4) AS sim
+FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 5
+"""
+
+_EXPLODE_SPARK = (
+    "SELECT vec_id, label, pos, v FROM embeddings "
+    "LATERAL VIEW posexplode(embedding) t AS pos, v"
+)
+_EXPLODE_DUCK = (  # fixed 64-dim embeddings (range() can't be lateral)
+    "SELECT vec_id, label, i - 1 AS pos, embedding[CAST(i AS INT)] AS v "
+    "FROM embeddings, range(1, 65) t(i)"
+)
+
+_pair(
+    "qs07_ivf_topk",
+    _IVF_BODY.replace("{EXPLODE}", _EXPLODE_SPARK),
+    _IVF_BODY.replace("{EXPLODE}", _EXPLODE_DUCK),
+)
+
+# -- embedding near-dup: LSH candidates -> exact cosine verify -----------------
+#
+# The embedding analog of the MinHash candidates->verify dedup shape: the
+# SRP bucket equi-join proposes pairs (N^2/2/2^bits of the corpus, spread
+# across bucket-keyed hash-join partitions), and only candidates pay the
+# exact cosine. At 10^9 vectors this is the near-dup path that replaces
+# the all-pairs product; a hot bucket (duplicate-heavy corpora) gets AQE
+# skew-splitting on the bucket key.
+
+_NEARDUP_BODY = """
+WITH b AS (
+  SELECT vec_id, CAST({PROJ} AS INT) AS bucket FROM embeddings
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+),
+vecpos AS ({EXPLODE}),
+scored AS (
+  SELECT cd.vec_a, cd.vec_b,
+         SUM(CAST(pa.v AS DOUBLE) * CAST(pb.v AS DOUBLE))
+           / (SQRT(SUM(CAST(pa.v AS DOUBLE) * CAST(pa.v AS DOUBLE)))
+              * SQRT(SUM(CAST(pb.v AS DOUBLE) * CAST(pb.v AS DOUBLE))))
+           AS cos_sim
+  FROM cand cd
+  JOIN vecpos pa ON pa.vec_id = cd.vec_a
+  JOIN vecpos pb ON pb.vec_id = cd.vec_b AND pb.pos = pa.pos
+  GROUP BY cd.vec_a, cd.vec_b
+)
+SELECT vec_a, vec_b, ROUND(cos_sim, 4) AS sim
+FROM scored WHERE cos_sim >= 0.3
+"""
+
+_pair(
+    "qs08_lsh_cosine_neardup",
+    _NEARDUP_BODY.replace("{PROJ}", _PROJ_TERMS_SPARK).replace(
+        "{EXPLODE}", _EXPLODE_SPARK
+    ),
+    _NEARDUP_BODY.replace("{PROJ}", _PROJ_TERMS_DUCK).replace(
+        "{EXPLODE}", _EXPLODE_DUCK
+    ),
+)

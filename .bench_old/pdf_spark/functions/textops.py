@@ -1,0 +1,500 @@
+"""Training-data text operators over the ``documents`` table: exact and
+near dedup (MinHash+LSH, SimHash, n-gram Jaccard), language-ID heuristic,
+quality scoring, token counting, fingerprinting.
+
+Every operator is a *declarative* Spark query (spark.sql / DataFrame —
+Catalyst plans it, whole-stage codegen executes it; no Python UDFs), with a
+portable-hash design so DuckDB can verify it: the hash primitive is
+``md5(string)`` (identical hex in Spark and DuckDB), bits are extracted
+from hex nibbles with pure string ops, and shingling uses
+split/slice/transform on both sides.
+
+Scale notes (100 TB): every query below is one scan + one shuffle (the
+groupBy/join on the hash key). MinHash signatures and SimHash are pure
+map-side expressions; the LSH band join self-joins on the band key — at
+real scale that key is salted per band and the join is AQE-skew-handled;
+the pair generation never materializes the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pdf_spark.functions.tables import register_views
+
+QUERIES = {}
+ORACLE = {}
+_STAGED_CACHE: dict[str, tuple[str, DataFrame]] = {}  # view -> (sql, df)
+
+N_MINHASH = 4  # 4 independent min-hashes; band = (h0,h1) for LSH
+
+
+def _pair(name: str, spark_sql: str, duck_sql: str | None):
+    def fn(spark: SparkSession, sf: str, _sql=spark_sql) -> DataFrame:
+        register_views(spark, sf)
+        return spark.sql(_sql)
+
+    QUERIES[name] = fn
+    if duck_sql is not None:
+        ORACLE[name] = duck_sql
+
+
+def _pair_staged(
+    name: str, stage_view: str, stage_sql: str, main_sql: str, duck_sql: str | None
+):
+    """Two-stage query: the shared intermediate (signature/token table) is
+    computed ONCE, persisted, and exposed as a temp view the main query
+    references. Without this, a CTE referenced on both sides of a self-join
+    is inlined and the expensive aggregation runs per reference (no
+    ReusedExchange across broadcast/shuffle boundaries). At 10^12 scale the
+    persist becomes a write to an intermediate table — same dataflow.
+
+    The previous invocation's staged DataFrame for the same view is
+    unpersisted on re-entry, so repeated runs in one session hold at most
+    one cached copy per query (the current one stays cached because the
+    returned main DataFrame is evaluated lazily by the caller)."""
+
+    def fn(
+        spark: SparkSession, sf: str, _ss=stage_sql, _ms=main_sql, _v=stage_view
+    ) -> DataFrame:
+        register_views(spark, sf)
+        _stage(spark, _v, _ss)
+        return spark.sql(_ms)
+
+    QUERIES[name] = fn
+    if duck_sql is not None:
+        ORACLE[name] = duck_sql
+
+
+def _evict_stale_stages(spark: SparkSession) -> None:
+    """Drop cache entries bound to a session other than the active one: a
+    stopped-and-recreated SparkSession leaves DataFrames that either fail on
+    reuse or raise from unpersist(). Stale entries are discarded without
+    unpersist — their session's cache died with it."""
+    stale = [
+        v for v, (_s, df) in _STAGED_CACHE.items() if df.sparkSession is not spark
+    ]
+    for v in stale:
+        del _STAGED_CACHE[v]
+
+
+def _stage(spark: SparkSession, view: str, sql: str) -> None:
+    """Persist + register one staged view, releasing the previous
+    invocation's cached copy for that view (shared by _pair_staged and
+    any query that stages multiple views, e.g. qt11). If the same SQL is
+    already staged under the view — or under another view (qt11 re-stages
+    qt06's signature SQL) — the cached DataFrame is reused instead of
+    recomputing the expensive aggregation."""
+    _evict_stale_stages(spark)
+    prev = _STAGED_CACHE.get(view)
+    if prev is not None and prev[0] == sql:
+        return
+    if prev is not None:
+        try:
+            prev[1].unpersist()
+        except Exception:  # session torn down mid-check: entry is stale
+            pass
+        del _STAGED_CACHE[view]
+    for other_sql, other_df in _STAGED_CACHE.values():
+        if other_sql == sql:
+            other_df.createOrReplaceTempView(view)
+            _STAGED_CACHE[view] = (sql, other_df)
+            return
+    staged = spark.sql(sql)
+    staged.persist()
+    staged.createOrReplaceTempView(view)
+    _STAGED_CACHE[view] = (sql, staged)
+
+
+# -- exact dedup --------------------------------------------------------------
+
+_pair(
+    "qt01_dedup_exact",
+    """SELECT md5(text) AS fingerprint, COUNT(*) AS n_copies,
+              MIN(doc_id) AS keeper_id
+       FROM documents GROUP BY md5(text)""",
+    """SELECT md5(text) AS fingerprint, COUNT(*) AS n_copies,
+              MIN(doc_id) AS keeper_id
+       FROM documents GROUP BY md5(text)""",
+)
+
+# -- token counting -----------------------------------------------------------
+
+_pair(
+    "qt02_token_count",
+    """SELECT doc_id, size(split(text, ' ')) AS n_tokens,
+              length(text) AS n_chars_computed, n_chars
+       FROM documents""",
+    """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+              length(text) AS n_chars_computed, n_chars
+       FROM documents""",
+)
+
+# -- quality scoring ----------------------------------------------------------
+
+_QUALITY_BODY = """
+SELECT doc_id,
+       length(text) AS n,
+       ROUND(CAST(length(regexp_replace(text, '[^aeiou]', ''{G})) AS DOUBLE)
+             / length(text), 4) AS vowel_ratio,
+       ROUND(CAST(length(regexp_replace(text, '[^ ]', ''{G})) AS DOUBLE)
+             / length(text), 4) AS space_ratio,
+       CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1 ELSE 0 END
+         AS len_ok
+FROM documents WHERE length(text) > 0
+"""
+# DuckDB regexp_replace is first-match-only without the 'g' flag
+_pair(
+    "qt03_quality_score",
+    _QUALITY_BODY.replace("{G}", ""),
+    _QUALITY_BODY.replace("{G}", ", 'g'"),
+)
+
+# -- language-ID heuristic ----------------------------------------------------
+
+# stopword-hit counting via length deltas (portable, no regex_count needed)
+# outer CAST: DuckDB SUM(BIGINT) yields HUGEINT (int128) while Spark yields
+# BIGINT; the driver's value hash distinguishes result *types*, so both
+# engines cast the sum back down (same trick as qt10's floor()).
+_LANG_SPARK = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+           AS BIGINT)) AS BIGINT) AS en_hits,
+       CAST(SUM(CAST((length(text) - length(replace(text, ' der ', ''))) / 5
+           AS BIGINT)) AS BIGINT) AS de_hits
+FROM documents GROUP BY lang
+"""
+_pair("qt04_langid_stopwords", _LANG_SPARK, _LANG_SPARK)
+
+# -- MinHash signatures (word 3-shingles) -------------------------------------
+
+
+def _minhash_cols(engine: str) -> str:
+    return ",\n       ".join(
+        f"MIN(substr(md5(concat(sh, '#{j}')), 1, 8)) AS h{j}"
+        for j in range(N_MINHASH)
+    )
+
+
+_MINHASH_SPARK = f"""
+SELECT doc_id,
+       {_minhash_cols('spark')}
+FROM (
+  SELECT doc_id, explode(shingles) AS sh FROM (
+    SELECT doc_id,
+           transform(sequence(1, size(toks) - 2),
+                     i -> concat_ws(' ', slice(toks, i, 3))) AS shingles
+    FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents)
+    WHERE size(toks) >= 3
+  )
+)
+GROUP BY doc_id
+"""
+
+_MINHASH_DUCK = f"""
+SELECT doc_id,
+       {_minhash_cols('duck')}
+FROM (
+  SELECT doc_id, unnest(shingles) AS sh FROM (
+    SELECT doc_id,
+           list_transform(range(1, len(toks) - 1),
+                          i -> array_to_string(toks[i:i+2], ' ')) AS shingles
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    WHERE len(toks) >= 3
+  )
+)
+GROUP BY doc_id
+"""
+_pair("qt05_minhash_signatures", _MINHASH_SPARK, _MINHASH_DUCK)
+
+# -- LSH candidate pairs ------------------------------------------------------
+
+# Banding: b bands of r rows — candidate iff SOME band matches entirely
+# (probability 1-(1-s^r)^b for Jaccard s). Two bands (h0,h1) and (h2,h3)
+# as a UNION of equi-joins: each band is a plain hash join on a 64-bit-ish
+# key, AQE-skew-splittable; at 10^12 docs a hot band value (boilerplate
+# pages) additionally gets a salt column appended to the band key. A
+# single-band join (the previous shape) misses near-dups whose first two
+# minhashes differ — recall, not just scale, is why banding exists.
+_LSH_BODY = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM {T} a JOIN {T} b
+  ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+UNION
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM {T} a JOIN {T} b
+  ON a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id
+"""
+_LSH_MAIN = _LSH_BODY.replace("{T}", "qt06_sigs")
+_LSH_DUCK = f"""
+WITH sigs AS ({_MINHASH_DUCK})
+{_LSH_BODY.replace("{T}", "sigs")}
+"""
+_pair_staged(
+    "qt06_minhash_lsh_pairs", "qt06_sigs", _MINHASH_SPARK, _LSH_MAIN, _LSH_DUCK
+)
+
+# -- n-gram (token) Jaccard between adjacent doc ids --------------------------
+
+_TOKS_STAGE = """
+SELECT DISTINCT doc_id, tok
+FROM (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)
+WHERE tok <> ''
+"""
+_JACCARD_MAIN = """
+WITH counts AS (SELECT doc_id, COUNT(*) AS n FROM qt07_toks GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM qt07_toks a JOIN qt07_toks b
+    ON a.tok = b.tok AND b.doc_id = a.doc_id + 1
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.doc_a, s.doc_b,
+       ROUND(CAST(s.n_shared AS DOUBLE)
+             / (ca.n + cb.n - s.n_shared), 4) AS jaccard
+FROM shared s
+JOIN counts ca ON ca.doc_id = s.doc_a
+JOIN counts cb ON cb.doc_id = s.doc_b
+"""
+_JACCARD_DUCK = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+),
+{_JACCARD_MAIN.replace("qt07_toks", "toks").split("WITH ", 1)[1]}
+"""
+_pair_staged(
+    "qt07_token_jaccard_adjacent", "qt07_toks", _TOKS_STAGE, _JACCARD_MAIN,
+    _JACCARD_DUCK,
+)
+
+# -- SimHash (16-bit, from md5 nibble high-bits) ------------------------------
+
+
+def _simhash_bits() -> str:
+    # bit j source: high bit of hex nibble j of md5(tok): nibble in 8..f
+    terms = []
+    for j in range(16):
+        terms.append(
+            f"CASE WHEN SUM(CASE WHEN substr(h, {j + 1}, 1) IN "
+            f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 "
+            f"THEN {1 << j} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+_SIMHASH_BODY = f"""
+SELECT doc_id, CAST({_simhash_bits()} AS BIGINT) AS simhash16
+FROM (
+  SELECT DISTINCT doc_id, md5(tok) AS h
+  FROM (SELECT doc_id, {{TOKFN}} AS tok FROM documents)
+  WHERE tok <> ''
+)
+GROUP BY doc_id
+"""
+_SIMHASH_SPARK = _SIMHASH_BODY.replace("{TOKFN}", "explode(split(text, ' '))")
+_SIMHASH_DUCK = _SIMHASH_BODY.replace("{TOKFN}", "unnest(string_split(text, ' '))")
+_pair("qt08_simhash", _SIMHASH_SPARK, _SIMHASH_DUCK)
+
+# -- SimHash near-dup pairs: 64-bit signature, 4 x 16-bit band join ----------
+#
+# Scale cost model: a Hamming<=3 match over a 64-bit signature must agree
+# exactly on >=1 of 4 disjoint 16-bit bands (pigeonhole), so candidates per
+# band ~ N^2 / 2 / 2^16 — at N = 10^9 that is ~7.6e12 candidate pairs
+# spread over 2^16 hash-join buckets per band, each an equi-join AQE can
+# split further (per-band salting = appending a salt column to the band key
+# when one band value is hot). The previous 16-bit/8-bit-band scheme put
+# N^2/2^8 pairs in each bucket — quadratic blowup already visible at sf0.01
+# (40k pairs from 500 docs); this scheme yields only true near-dups.
+#
+# Bit j of the signature (j = 0..63) is the sign of the per-document sum of
+# bit (j%4) of hex nibble (j//4) of md5(token) — portable to DuckDB because
+# the nibble value comes from instr('0123456789abcdef', ch)-1 and the bit
+# from floor-division arithmetic. The signature is carried as four 16-bit
+# band columns b0..b3 (always positive — no BIGINT sign/shift pitfalls).
+
+
+def _band_expr(k: int) -> str:
+    bits = []
+    for j in range(16):
+        g = 16 * k + j
+        nib, bit = g // 4 + 1, g % 4
+        term = (
+            f"CASE WHEN CAST(floor("
+            f"(instr('0123456789abcdef', substr(h, {nib}, 1)) - 1) "
+            f"/ {1 << bit}) AS INT) % 2 = 1 THEN 1 ELSE -1 END"
+        )
+        bits.append(f"CASE WHEN SUM({term}) > 0 THEN {1 << j} ELSE 0 END")
+    return "CAST(" + " + ".join(bits) + f" AS BIGINT) AS b{k}"
+
+
+_SIMHASH64_BODY = f"""
+SELECT doc_id,
+       {", ".join(_band_expr(k) for k in range(4))}
+FROM (
+  SELECT DISTINCT doc_id, md5(tok) AS h
+  FROM (SELECT doc_id, {{TOKFN}} AS tok FROM documents)
+  WHERE tok <> ''
+)
+GROUP BY doc_id
+"""
+_SIMHASH64_SPARK = _SIMHASH64_BODY.replace("{TOKFN}", "explode(split(text, ' '))")
+_SIMHASH64_DUCK = _SIMHASH64_BODY.replace(
+    "{TOKFN}", "unnest(string_split(text, ' '))"
+)
+
+_HAMMING_SPARK = " + ".join(
+    f"bit_count(a.b{k} ^ b.b{k})" for k in range(4)
+)
+_HAMMING_DUCK = " + ".join(
+    f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(4)
+)
+
+
+def _simhash_pairs_main(table: str, hamming: str, with_prefix: str = "WITH") -> str:
+    joins = "\n  UNION\n".join(
+        f"""  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         {hamming} AS hamming
+  FROM {table} a JOIN {table} b
+    ON a.b{k} = b.b{k} AND a.doc_id < b.doc_id"""
+        for k in range(4)
+    )
+    return f"""
+{with_prefix} cand AS (
+{joins}
+)
+SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+FROM cand WHERE hamming <= 3
+"""
+
+
+_SIMHASH_PAIRS_MAIN = _simhash_pairs_main("qt09_sh", _HAMMING_SPARK)
+_SIMHASH_PAIRS_DUCK = f"WITH sh AS ({_SIMHASH64_DUCK})" + _simhash_pairs_main(
+    "sh", _HAMMING_DUCK, with_prefix=","
+)
+_pair_staged(
+    "qt09_simhash_near_pairs", "qt09_sh", _SIMHASH64_SPARK, _SIMHASH_PAIRS_MAIN,
+    _SIMHASH_PAIRS_DUCK,
+)
+
+# -- LSH candidates -> exact Jaccard verification (the full dedup shape) ------
+#
+# The production near-dup pipeline is candidates-then-verify: the banded
+# MinHash join proposes O(near-dups) pairs, and only those pairs pay the
+# exact token-set Jaccard. The candidate set is tiny relative to N, so the
+# verify join broadcasts it against the token table — never an all-pairs
+# product. Threshold 0.5 keeps true near-dups.
+
+_QT11_CAND = _LSH_BODY.replace("{T}", "qt11_sigs")
+_QT11_VERIFY = """
+WITH cand AS ({CAND}),
+tok_counts AS (SELECT doc_id, COUNT(*) AS n FROM {TOKS} GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+  FROM cand c
+  JOIN {TOKS} ta ON ta.doc_id = c.doc_a
+  JOIN {TOKS} tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT s.doc_a, s.doc_b,
+       ROUND(CAST(s.n_shared AS DOUBLE)
+             / (ca.n + cb.n - s.n_shared), 4) AS jaccard
+FROM shared s
+JOIN tok_counts ca ON ca.doc_id = s.doc_a
+JOIN tok_counts cb ON cb.doc_id = s.doc_b
+WHERE CAST(s.n_shared AS DOUBLE) / (ca.n + cb.n - s.n_shared) >= 0.5
+"""
+
+
+def _qt11(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    _stage(spark, "qt11_sigs", _MINHASH_SPARK)
+    _stage(spark, "qt11_toks", _TOKS_STAGE)
+    return spark.sql(
+        _QT11_VERIFY.replace("{CAND}", _QT11_CAND).replace("{TOKS}", "qt11_toks")
+    )
+
+
+QUERIES["qt11_lsh_verified_dups"] = _qt11
+ORACLE["qt11_lsh_verified_dups"] = (
+    f"WITH sigs AS ({_MINHASH_DUCK}), toks AS ("
+    "SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, "
+    "unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> ''"
+    "), "
+    + _QT11_VERIFY.replace("{CAND}", _LSH_BODY.replace("{T}", "sigs"))
+    .replace("{TOKS}", "toks")
+    .replace("WITH cand", "cand")
+    .lstrip()
+)
+
+# -- document fingerprint -----------------------------------------------------
+
+# floor() because CAST(double AS BIGINT) truncates in Spark but rounds in
+# DuckDB
+_FP = """
+SELECT doc_id,
+       md5(substr(text, 1, 64)) AS head_fp,
+       md5(concat(lang, ':', source)) AS meta_fp,
+       CAST(floor(length(text) / 100) AS BIGINT) AS len_bucket
+FROM documents
+"""
+_pair("qt10_fingerprint", _FP, _FP)
+
+# -- BPE-ish regex token counting ---------------------------------------------
+#
+# qt02 counts whitespace tokens; subword tokenizers split closer to
+# letter-runs / digit-runs / single punctuation. The class
+# [A-Za-z]+|[0-9]+|single-non-alnum is the engine-portable core of that
+# behavior (identical under Java regex and RE2); counts approximate real
+# BPE token counts well enough for length filtering and cost estimation.
+
+_BPEISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+_BPEISH = """
+SELECT doc_id,
+       CAST({LEN}(regexp_extract_all(text, '{RE}', 0)) AS BIGINT)
+         AS n_subword_tokens,
+       CAST({LEN}(regexp_extract_all(text, '[A-Za-z]+', 0)) AS BIGINT)
+         AS n_word_tokens,
+       CAST({LEN}(regexp_extract_all(text, '[0-9]+', 0)) AS BIGINT)
+         AS n_number_tokens
+FROM documents
+"""
+_pair(
+    "qt12_bpeish_token_count",
+    _BPEISH.replace("{LEN}", "size").replace("{RE}", _BPEISH_RE),
+    _BPEISH.replace("{LEN}", "len").replace("{RE}", _BPEISH_RE),
+)
+
+# -- k-gram min-hash fingerprint (winnowing-style rolling fingerprint) --------
+#
+# Every 8-byte gram of the document is hashed; the lexicographic MIN of the
+# gram hashes is a content fingerprint stable under edits far from the
+# minimizing gram (the winnowing family's global-min degenerate case), and
+# the distinct-gram count is a length-normalized novelty signal. All
+# map-side: explode(k-grams) + one groupBy.
+
+_KGRAM_SPARK = """
+SELECT doc_id,
+       MIN(g) AS min_gram_fp,
+       CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct_grams
+FROM (
+  SELECT doc_id, explode(transform(sequence(1, length(text) - 7),
+                                   i -> md5(substr(text, i, 8)))) AS g
+  FROM documents WHERE length(text) >= 8
+)
+GROUP BY doc_id
+"""
+_KGRAM_DUCK = """
+SELECT doc_id,
+       MIN(g) AS min_gram_fp,
+       CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct_grams
+FROM (
+  SELECT doc_id, unnest(list_transform(range(1, length(text) - 6),
+                                       i -> md5(substr(text, i, 8)))) AS g
+  FROM documents WHERE length(text) >= 8
+)
+GROUP BY doc_id
+"""
+_pair("qt13_kgram_min_fingerprint", _KGRAM_SPARK, _KGRAM_DUCK)

@@ -1,0 +1,1407 @@
+"""Deterministic minimal-PDF writer + the variant matrix of FIXTURES.md §3.
+
+Every generated document is spec-shaped like the reference's ``test.pdf``
+(header -> body objects -> classic xref -> trailer -> startxref -> %%EOF;
+/root/reference/test-files/). ``generate_doc(text, variant)`` returns
+``(pdf_bytes, expected_text)`` where the expected text is computed at
+generation time from the *placed strings and positions* — the generator
+lays out spans with its own arithmetic and runs the published ordering rule
+(page asc, y desc, x asc), it does not call the extractor.
+
+Layout constants shared with the engine by specification (not by code):
+- default glyph width for metric-less simple fonts = 500/1000 em
+  (pdf_spark.core.fonts.DEFAULT_WIDTH, a documented rule of the engine)
+- line assembly: same (page, y) concatenates, y/page change -> "\\n"
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+DEFAULT_WIDTH = 500.0  # layout constant (see module docstring)
+FONT_SIZE = 12.0
+LINE_HEIGHT = 16.0
+TOP_Y = 700.0
+LEFT_X = 72.0
+WRAP = 60
+MAX_LINES = 20
+
+# printable ASCII minus the two StandardEncoding quote quirks (' -> U+2019,
+# ` -> U+2018 via quoteright/quoteleft; FIXTURES.md §3 keeps expected text
+# trivially computable by avoiding them) and minus backslash-escape chars.
+_OK = set(chr(c) for c in range(32, 127)) - {"'", "`"}
+
+
+def sanitize_text(text: str) -> str:
+    return "".join(c if c in _OK else " " for c in text)
+
+
+def wrap_lines(text: str, wrap: int = WRAP, max_lines: int = MAX_LINES) -> list[str]:
+    text = sanitize_text(text)
+    lines = []
+    for i in range(0, len(text), wrap):
+        chunk = text[i : i + wrap].strip()
+        if chunk:
+            lines.append(chunk)
+        if len(lines) >= max_lines:
+            break
+    return lines or ["empty"]
+
+
+def esc(s: str) -> bytes:
+    """PDF literal-string escaping for ASCII payloads."""
+    return (
+        s.encode("latin-1")
+        .replace(b"\\", b"\\\\")
+        .replace(b"(", b"\\(")
+        .replace(b")", b"\\)")
+    )
+
+
+def _encode_chain(data: bytes, names: list[str]) -> bytes:
+    """Apply the encode side of a decode-filter chain (shared by
+    PdfBuilder.stream and the indirect-length path; unknown names raise
+    instead of silently mis-encoding)."""
+    enc = data
+    for name in reversed(names):
+        if name == "FlateDecode":
+            enc = zlib.compress(enc)
+        elif name == "ASCIIHexDecode":
+            enc = enc.hex().encode("ascii") + b">"
+        elif name == "LZWDecode":
+            from pdf_spark.core.filters import lzw_encode
+
+            enc = lzw_encode(enc)
+        elif name == "ASCII85Decode":
+            from pdf_spark.core.filters import ascii85_encode
+
+            enc = ascii85_encode(enc)
+        elif name == "RunLengthDecode":
+            from pdf_spark.core.filters import run_length_encode
+
+            enc = run_length_encode(enc)
+        else:
+            raise ValueError(name)
+    return enc
+
+
+class PdfBuilder:
+    """Serialize numbered objects into a classic-xref PDF."""
+
+    def __init__(self) -> None:
+        self.objects: list[bytes] = []  # body of object i+1
+
+    def add(self, body: bytes) -> int:
+        self.objects.append(body)
+        return len(self.objects)  # 1-based object id
+
+    def reserve(self) -> int:
+        self.objects.append(b"")
+        return len(self.objects)
+
+    def set(self, obj_id: int, body: bytes) -> None:
+        self.objects[obj_id - 1] = body
+
+    def stream(self, data: bytes, extra_dict: bytes = b"", filters: str = "") -> int:
+        """Add a stream object, applying the named encode chain.
+
+        ``filters`` is a space-separated *decode* chain (left-to-right as it
+        appears in /Filter), e.g. ``"ASCIIHexDecode FlateDecode"`` means the
+        reader hex-decodes then inflates — so we deflate then hex-encode.
+        """
+        names = filters.split()
+        enc = _encode_chain(data, names)
+        if not names:
+            fpart = b""
+        elif len(names) == 1:
+            fpart = b"/Filter/" + names[0].encode()
+        else:
+            fpart = b"/Filter[" + b"".join(b"/" + n.encode() for n in names) + b"]"
+        body = (
+            b"<</Length "
+            + str(len(enc)).encode()
+            + fpart
+            + extra_dict
+            + b">>\nstream\n"
+            + enc
+            + b"\nendstream"
+        )
+        return self.add(body)
+
+    def build(self, root_id: int, trailer_extra: bytes = b"") -> bytes:
+        out = bytearray(b"%PDF-1.7\n%\xb5\xb6\n\n")
+        offsets = [0] * (len(self.objects) + 1)
+        for i, body in enumerate(self.objects, start=1):
+            offsets[i] = len(out)
+            out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n\n"
+        xref_off = len(out)
+        n = len(self.objects) + 1
+        out += b"xref\n0 " + str(n).encode() + b"\n"
+        out += b"0000000000 65536 f \n"
+        for i in range(1, n):
+            out += f"{offsets[i]:010d} 00000 n \n".encode()
+        out += (
+            b"\ntrailer\n<</Size "
+            + str(n).encode()
+            + b"/Root "
+            + str(root_id).encode()
+            + b" 0 R"
+            + trailer_extra
+            + b">>\nstartxref\n"
+            + str(xref_off).encode()
+            + b"\n%%EOF"
+        )
+        return bytes(out)
+
+
+def incremental_update(base: bytes, replacements: dict[int, bytes], prev_xref: int) -> bytes:
+    """Append an incremental-update section replacing the given objects
+    (trailer /Prev chain; newest xref section wins, xref.c:230-291)."""
+    out = bytearray(base)
+    out += b"\n\n"
+    offsets: dict[int, int] = {}
+    max_id = 0
+    for oid, body in sorted(replacements.items()):
+        offsets[oid] = len(out)
+        out += str(oid).encode() + b" 0 obj\n" + body + b"\nendobj\n\n"
+        max_id = max(max_id, oid)
+    xref_off = len(out)
+    out += b"xref\n"
+    for oid in sorted(offsets):
+        out += str(oid).encode() + b" 1\n"
+        out += f"{offsets[oid]:010d} 00000 n \n".encode()
+    out += (
+        b"\ntrailer\n<</Size "
+        + str(max_id + 1).encode()
+        + b"/Root 1 0 R/Prev "
+        + str(prev_xref).encode()
+        + b">>\nstartxref\n"
+        + str(xref_off).encode()
+        + b"\n%%EOF"
+    )
+    return bytes(out)
+
+
+def _find_startxref(pdf: bytes) -> int:
+    idx = pdf.rindex(b"startxref")
+    return int(pdf[idx + 9 : pdf.rindex(b"%%EOF")].strip())
+
+
+# -- content-stream builders --------------------------------------------------
+
+
+def _content_td_tj(lines: list[str]) -> bytes:
+    """One Td per line then Tj (test.pdf shape)."""
+    ops = [b"BT", b"/F1 " + _n(FONT_SIZE) + b" Tf"]
+    prev_y = None
+    for i, line in enumerate(lines):
+        y = TOP_Y - i * LINE_HEIGHT
+        if prev_y is None:
+            ops.append(_n(LEFT_X) + b" " + _n(y) + b" Td")
+        else:
+            ops.append(b"0 " + _n(y - prev_y) + b" Td")
+        prev_y = y
+        ops.append(b"(" + esc(line) + b") Tj")
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def _content_tj_arrays(lines: list[str]) -> bytes:
+    """TJ arrays: each line split into pieces with kern numbers between."""
+    ops = [b"BT", b"/F1 " + _n(FONT_SIZE) + b" Tf", b"1 0 0 1 " + _n(LEFT_X) + b" " + _n(TOP_Y) + b" Tm"]
+    for i, line in enumerate(lines):
+        if i > 0:
+            ops.append(b"1 0 0 1 " + _n(LEFT_X) + b" " + _n(TOP_Y - i * LINE_HEIGHT) + b" Tm")
+        mid = max(1, len(line) // 2)
+        a, b = line[:mid], line[mid:]
+        arr = b"[(" + esc(a) + b") -120 (" + esc(b) + b")]" if b else b"[(" + esc(a) + b")]"
+        ops.append(arr + b" TJ")
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def _content_hex_strings(lines: list[str]) -> bytes:
+    ops = [b"BT", b"/F1 " + _n(FONT_SIZE) + b" Tf"]
+    for i, line in enumerate(lines):
+        y = TOP_Y - i * LINE_HEIGHT
+        ops.append(b"1 0 0 1 " + _n(LEFT_X) + b" " + _n(y) + b" Tm")
+        ops.append(b"<" + line.encode("latin-1").hex().encode() + b"> Tj")
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def _content_tstar(lines: list[str]) -> bytes:
+    """TL + T* line stepping (quirk path: T* mutates Tm)."""
+    ops = [
+        b"BT",
+        b"/F1 " + _n(FONT_SIZE) + b" Tf",
+        _n(LINE_HEIGHT) + b" TL",
+        _n(LEFT_X) + b" " + _n(TOP_Y) + b" Td",
+    ]
+    for i, line in enumerate(lines):
+        if i > 0:
+            ops.append(b"T*")
+        ops.append(b"(" + esc(line) + b") Tj")
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def _content_quote_ops(lines: list[str]) -> bytes:
+    """' and \" next-line show operators (engine extension)."""
+    ops = [
+        b"BT",
+        b"/F1 " + _n(FONT_SIZE) + b" Tf",
+        _n(LINE_HEIGHT) + b" TL",
+        _n(LEFT_X) + b" " + _n(TOP_Y + LINE_HEIGHT) + b" Td",
+    ]
+    for i, line in enumerate(lines):
+        if i % 2 == 0:
+            ops.append(b"(" + esc(line) + b") '")
+        else:
+            ops.append(b"0 0 (" + esc(line) + b") \"")
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def _content_reversed_blocks(lines: list[str]) -> bytes:
+    """Emit lines in REVERSED order with explicit Tm — the deterministic
+    (y desc) sort must restore document order."""
+    ops = []
+    for i, line in reversed(list(enumerate(lines))):
+        y = TOP_Y - i * LINE_HEIGHT
+        ops += [
+            b"BT",
+            b"/F1 " + _n(FONT_SIZE) + b" Tf",
+            b"1 0 0 1 " + _n(LEFT_X) + b" " + _n(y) + b" Tm",
+            b"(" + esc(line) + b") Tj",
+            b"ET",
+        ]
+    return b"\n".join(ops)
+
+
+def _n(v: float) -> bytes:
+    if v == int(v):
+        return str(int(v)).encode()
+    return f"{v:g}".encode()
+
+
+# -- font dict builders -------------------------------------------------------
+
+F_HELV = b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>"
+
+
+def _truetype_font(builder: PdfBuilder) -> int:
+    """TrueType + Widths + a Differences encoding (A-> named glyph)."""
+    widths = b"[" + b" ".join(b"500" for _ in range(95)) + b"]"
+    enc = builder.add(
+        b"<</Type/Encoding/BaseEncoding/WinAnsiEncoding"
+        b"/Differences[65 /Adieresis 97 /aacute]>>"
+    )
+    return builder.add(
+        b"<</Type/Font/Subtype/TrueType/BaseFont/FakeSans"
+        b"/FirstChar 32/LastChar 126/Widths " + widths +
+        b"/Encoding " + str(enc).encode() + b" 0 R>>"
+    )
+
+
+def _type0_font(builder: PdfBuilder, charset: list[str]) -> tuple[int, dict[str, int]]:
+    """Type0/Identity-H with a ToUnicode bfchar table over ``charset``.
+
+    Returns (font obj id, char -> 2-byte code map). Codes start at 1.
+    """
+    code_of = {c: i + 1 for i, c in enumerate(charset)}
+    bf = b"".join(
+        f"<{code:04x}> <{ord(c):04x}>\n".encode() for c, code in code_of.items()
+    )
+    tounicode = (
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CIDSystemInfo <</Registry(Adobe)/Ordering(UCS)/Supplement 0>> def\n"
+        b"/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        + str(len(code_of)).encode() + b" beginbfchar\n" + bf + b"endbfchar\n"
+        b"endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+    )
+    tu_id = builder.stream(tounicode, filters="FlateDecode")
+    # CIDToGIDMap stream: identity u16 pairs for our code range
+    n = len(code_of) + 1
+    c2g = b"".join(i.to_bytes(2, "big") for i in range(n))
+    c2g_id = builder.stream(c2g, filters="FlateDecode")
+    desc = builder.add(
+        b"<</Type/Font/Subtype/CIDFontType2/BaseFont/FakeCID"
+        b"/CIDSystemInfo<</Registry(Adobe)/Ordering(Identity)/Supplement 0>>"
+        b"/DW 500/CIDToGIDMap " + str(c2g_id).encode() + b" 0 R>>"
+    )
+    font = builder.add(
+        b"<</Type/Font/Subtype/Type0/BaseFont/FakeCID/Encoding/Identity-H"
+        b"/DescendantFonts[" + str(desc).encode() + b" 0 R]"
+        b"/ToUnicode " + str(tu_id).encode() + b" 0 R>>"
+    )
+    return font, code_of
+
+
+# -- document variants --------------------------------------------------------
+
+
+def _simple_doc(lines: list[str], content_fn, filters: str = "",
+                font_body: bytes = F_HELV, indirect_length: bool = False) -> bytes:
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(font_body)
+    content = content_fn(lines)
+    if indirect_length:
+        # /Length as an indirect ref (object.c:787-800 resolve path);
+        # encode chain shared with PdfBuilder.stream so every filter name
+        # (incl. LZW) encodes correctly or raises
+        names = filters.split()
+        enc = _encode_chain(content, names)
+        length_id = b.add(str(len(enc)).encode())
+        fpart = b""
+        if len(names) == 1:
+            fpart = b"/Filter/" + names[0].encode()
+        elif names:
+            fpart = b"/Filter[" + b"".join(b"/" + n.encode() for n in names) + b"]"
+        cont = b.add(
+            b"<</Length " + str(length_id).encode() + b" 0 R" + fpart
+            + b">>\nstream\n" + enc + b"\nendstream"
+        )
+    else:
+        cont = b.stream(content, filters=filters)
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
+def _multipage_doc(lines: list[str]) -> bytes:
+    """Nested Pages tree (depth 3) with inherited Resources/MediaBox."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    root = b.reserve()
+    inner = b.reserve()
+    font = b.add(F_HELV)
+    half = max(1, len(lines) // 2)
+    chunks = [lines[:half], lines[half:]]
+    page_ids = []
+    for chunk in chunks:
+        cont = b.stream(_content_td_tj(chunk), filters="FlateDecode")
+        page_ids.append(
+            b.add(
+                b"<</Type/Page/Parent " + str(inner).encode() + b" 0 R"
+                b"/Contents " + str(cont).encode() + b" 0 R>>"
+            )
+        )
+    b.set(cat, b"<</Type/Catalog/Pages " + str(root).encode() + b" 0 R>>")
+    # Resources + MediaBox ONLY on the root: must inherit two levels down
+    b.set(
+        root,
+        b"<</Type/Pages/Kids[" + str(inner).encode() + b" 0 R]/Count 2"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>>>",
+    )
+    b.set(
+        inner,
+        b"<</Type/Pages/Parent " + str(root).encode() + b" 0 R/Kids["
+        + b" ".join(str(p).encode() + b" 0 R" for p in page_ids)
+        + b"]/Count 2>>",
+    )
+    return b.build(cat)
+
+
+def _multistream_doc(lines: list[str]) -> bytes:
+    """Contents as an array of 2 streams; ops split mid-text-object
+    (render.c:1175-1199 executes them sequentially)."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    half = max(1, len(lines) // 2)
+    c1 = _content_td_tj(lines[:half])
+    c1 = c1.rsplit(b"\nET", 1)[0]  # leave the text object open
+    c2_lines = lines[half:]
+    ops = []
+    for i, line in enumerate(c2_lines):
+        y = TOP_Y - (half + i) * LINE_HEIGHT
+        ops.append(b"1 0 0 1 " + _n(LEFT_X) + b" " + _n(y) + b" Tm")
+        ops.append(b"(" + esc(line) + b") Tj")
+    c2 = b"\n".join(ops) + b"\nET"
+    s1 = b.stream(c1, filters="FlateDecode")
+    s2 = b.stream(c2, filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents[" + str(s1).encode() + b" 0 R " + str(s2).encode() + b" 0 R]>>",
+    )
+    return b.build(cat)
+
+
+def _form_xobject_doc(lines: list[str]) -> bytes:
+    """Text inside a Form XObject invoked by Do with a translate Matrix
+    (render.c:979-1066)."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    # form places text at origin-relative coords; Matrix translates into page
+    ops = [b"BT", b"/F1 " + _n(FONT_SIZE) + b" Tf"]
+    for i, line in enumerate(lines):
+        ops.append(b"1 0 0 1 0 " + _n(-i * LINE_HEIGHT) + b" Tm")
+        ops.append(b"(" + esc(line) + b") Tj")
+    ops.append(b"ET")
+    form = b.stream(
+        b"\n".join(ops),
+        extra_dict=(
+            b"/Type/XObject/Subtype/Form/BBox[0 0 612 792]"
+            b"/Matrix[1 0 0 1 " + _n(LEFT_X) + b" " + _n(TOP_Y) + b"]"
+            b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        ),
+        filters="FlateDecode",
+    )
+    cont = b.stream(b"q /Fm1 Do Q")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</XObject<</Fm1 " + str(form).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
+def _type0_doc(lines: list[str]) -> bytes:
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    charset = sorted(set("".join(lines)))
+    font, code_of = _type0_font(b, charset)
+    ops = [b"BT", b"/F1 " + _n(FONT_SIZE) + b" Tf"]
+    for i, line in enumerate(lines):
+        y = TOP_Y - i * LINE_HEIGHT
+        ops.append(b"1 0 0 1 " + _n(LEFT_X) + b" " + _n(y) + b" Tm")
+        hexcodes = "".join(f"{code_of[c]:04x}" for c in line)
+        ops.append(b"<" + hexcodes.encode() + b"> Tj")
+    ops.append(b"ET")
+    cont = b.stream(b"\n".join(ops), filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
+def _incremental_doc(lines: list[str]) -> bytes:
+    """Base doc with placeholder text, then an incremental update replacing
+    the content stream — extraction must see the UPDATED text."""
+    base = _simple_doc(["placeholder text that must not appear"], _content_td_tj)
+    prev_xref = _find_startxref(base)
+    content = _content_td_tj(lines)
+    body = (
+        b"<</Length " + str(len(content)).encode() + b">>\nstream\n"
+        + content + b"\nendstream"
+    )
+    # object 5 is the content stream in _simple_doc layout (cat,pages,page,font,cont)
+    return incremental_update(base, {5: body}, prev_xref)
+
+
+def _incremental_xref_stream_doc(lines: list[str]) -> bytes:
+    """Classic base doc + an incremental update whose xref section is a
+    PDF 1.5 cross-reference STREAM with /Prev to the classic table — the
+    mixed-chain layout signed/updated real-world PDFs use. Extraction must
+    see the updated text through the stream-form section."""
+    base = _simple_doc(["placeholder text that must not appear"], _content_td_tj)
+    prev_xref = _find_startxref(base)
+    content = _content_td_tj(lines)
+    out = bytearray(base)
+    out += b"\n\n"
+    # object 5 is the content stream in _simple_doc layout
+    cont_off = len(out)
+    out += (
+        b"5 0 obj\n<</Length " + str(len(content)).encode()
+        + b">>\nstream\n" + content + b"\nendstream\nendobj\n\n"
+    )
+    # xref stream (object 6) indexes only the replaced object + itself
+    rows = [(1, cont_off, 0), (1, len(out), 0)]
+    _emit_xref_stream(
+        out, 6, rows, 1, predictor=False,
+        extra=b"/Index[5 2]/Prev " + str(prev_xref).encode(), size=7,
+    )
+    return bytes(out)
+
+
+def _content_inline_image(lines: list[str]) -> bytes:
+    """Text, then a ``BI … ID <binary> EI`` inline image (with an embedded
+    non-delimited ``EI`` byte pair in the data to exercise the terminator
+    guard), then more text — all of which must survive the skip."""
+    half = max(1, len(lines) // 2)
+    part1 = _content_td_tj(lines[:half])
+    data = bytes(range(64)) + b"xEIx" + bytes(range(64, 96))
+    img = b"BI /W 8/H 8/BPC 8/CS/G ID " + data + b"\nEI"
+    ops = [b"BT", b"/F1 " + _n(FONT_SIZE) + b" Tf"]
+    for i, line in enumerate(lines[half:], start=half):
+        y = TOP_Y - i * LINE_HEIGHT
+        ops.append(b"1 0 0 1 " + _n(LEFT_X) + b" " + _n(y) + b" Tm")
+        ops.append(b"(" + esc(line) + b") Tj")
+    ops.append(b"ET")
+    return part1 + b"\n" + img + b"\n" + b"\n".join(ops)
+
+
+def _extgstate_doc(lines: list[str]) -> bytes:
+    """Font set via ``/GS1 gs`` (ExtGState /Font pair) instead of Tf — the
+    page has no Tf at all, so extraction only works if gs is applied."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    g = b.add(
+        b"<</Type/ExtGState/LW 2/Font["
+        + str(font).encode() + b" 0 R " + _n(FONT_SIZE) + b"]>>"
+    )
+    content = _content_td_tj(lines).replace(
+        b"/F1 " + _n(FONT_SIZE) + b" Tf", b"/GS1 gs", 1
+    )
+    cont = b.stream(content, filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>"
+        b"/ExtGState<</GS1 " + str(g).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
+def _content_hex_byte_lines(lines_bytes: list[bytes]) -> bytes:
+    """Tm-positioned lines shown as hex strings of pre-encoded raw bytes."""
+    ops = [b"BT", b"/F1 " + _n(FONT_SIZE) + b" Tf"]
+    for i, raw in enumerate(lines_bytes):
+        y = TOP_Y - i * LINE_HEIGHT
+        ops.append(b"1 0 0 1 " + _n(LEFT_X) + b" " + _n(y) + b" Tm")
+        ops.append(b"<" + raw.hex().encode() + b"> Tj")
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def _mini_sfnt(
+    symbol_first: int,
+    symbol_gids: list[int],
+    uni_seg: tuple[int, int, int],
+) -> bytes:
+    """A minimal TrueType program containing ONLY a cmap table: a (1,0)
+    format-6 symbol subtable (firstCode + gid run) and a (3,1) format-4
+    Unicode subtable with one delta segment ``(start, end, delta)``. The
+    engine's sfnt reader touches nothing but cmap, so no glyf/head tables
+    are needed."""
+    import struct
+
+    fmt6 = struct.pack(
+        ">HHHHH", 6, 10 + 2 * len(symbol_gids), 0, symbol_first, len(symbol_gids)
+    ) + b"".join(struct.pack(">H", g) for g in symbol_gids)
+    s, e, d = uni_seg
+    fmt4 = struct.pack(
+        ">HHHHHHH", 4, 32, 0, 4, 4, 1, 0
+    ) + struct.pack(">HH", e, 0xFFFF)      # endCode[2]
+    fmt4 += struct.pack(">H", 0)            # reservedPad
+    fmt4 += struct.pack(">HH", s, 0xFFFF)   # startCode[2]
+    fmt4 += struct.pack(">HH", d & 0xFFFF, 1)  # idDelta[2]
+    fmt4 += struct.pack(">HH", 0, 0)        # idRangeOffset[2]
+    # cmap: header + 2 encoding records + subtables
+    sub1_off = 4 + 8 * 2
+    sub2_off = sub1_off + len(fmt6)
+    cmap = struct.pack(">HH", 0, 2)
+    cmap += struct.pack(">HHI", 1, 0, sub1_off)
+    cmap += struct.pack(">HHI", 3, 1, sub2_off)
+    cmap += fmt6 + fmt4
+    # sfnt wrapper: offset table + one table record
+    header = struct.pack(">IHHHH", 0x00010000, 1, 16, 0, 16)
+    record = b"cmap" + struct.pack(">III", 0, 12 + 16, len(cmap))
+    return header + record + cmap
+
+
+def _truetype_symbolic_doc(lines: list[str]) -> bytes:
+    """Symbolic TrueType with NO ToUnicode/Encoding: string codes are
+    shifted (+1) so only the embedded program's (1,0) cmap -> inverse (3,1)
+    Unicode cmap chain decodes them correctly."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    # (1,0): code 0x21+k -> gid k+1 (char 0x20+k); (3,1): U+0020..7E -> gid
+    sfnt = _mini_sfnt(0x21, [k + 1 for k in range(95)], (0x20, 0x7E, -0x1F))
+    ff2 = b.add(
+        b"<</Length " + str(len(sfnt)).encode() + b"/Length1 "
+        + str(len(sfnt)).encode() + b">>\nstream\n" + sfnt + b"\nendstream"
+    )
+    fd = b.add(
+        b"<</Type/FontDescriptor/FontName/FakeSymbolic/Flags 4"
+        b"/FontFile2 " + str(ff2).encode() + b" 0 R>>"
+    )
+    font = b.add(
+        b"<</Type/Font/Subtype/TrueType/BaseFont/FakeSymbolic"
+        b"/FontDescriptor " + str(fd).encode() + b" 0 R>>"
+    )
+    shifted = [bytes((ord(c) + 1) for c in line) for line in lines]
+    cont = b.stream(_content_hex_byte_lines(shifted), filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
+def _cidfont2_sfnt_doc(lines: list[str]) -> bytes:
+    """Type0/Identity-H over CIDFontType2 with NO ToUnicode: CIDs are
+    shifted (+2), so decode must go CID -> GID (CIDToGIDMap stream) ->
+    inverse sfnt Unicode cmap."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    # cid = ord+2; gid = ord-0x1F; unicode (3,1): U+0020..7E -> gid
+    sfnt = _mini_sfnt(0xFFFE, [], (0x20, 0x7E, -0x1F))
+    max_cid = 0x7E + 2
+    c2g = bytearray(2 * (max_cid + 1))
+    for o in range(0x20, 0x7F):
+        cid = o + 2
+        gid = o - 0x1F
+        c2g[2 * cid] = gid >> 8
+        c2g[2 * cid + 1] = gid & 0xFF
+    ff2 = b.add(
+        b"<</Length " + str(len(sfnt)).encode() + b"/Length1 "
+        + str(len(sfnt)).encode() + b">>\nstream\n" + sfnt + b"\nendstream"
+    )
+    fd = b.add(
+        b"<</Type/FontDescriptor/FontName/FakeCID/Flags 4"
+        b"/FontFile2 " + str(ff2).encode() + b" 0 R>>"
+    )
+    c2g_id = b.stream(bytes(c2g))
+    cid_font = b.add(
+        b"<</Type/Font/Subtype/CIDFontType2/BaseFont/FakeCID"
+        b"/CIDSystemInfo<</Registry(Adobe)/Ordering(Identity)/Supplement 0>>"
+        b"/DW 500"
+        b"/CIDToGIDMap " + str(c2g_id).encode() + b" 0 R"
+        b"/FontDescriptor " + str(fd).encode() + b" 0 R>>"
+    )
+    font = b.add(
+        b"<</Type/Font/Subtype/Type0/BaseFont/FakeCID/Encoding/Identity-H"
+        b"/DescendantFonts[" + str(cid_font).encode() + b" 0 R]>>"
+    )
+    coded = [
+        b"".join((ord(c) + 2).to_bytes(2, "big") for c in line) for line in lines
+    ]
+    cont = b.stream(_content_hex_byte_lines(coded), filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
+def _type0_predefined_doc(lines: list[str]) -> bytes:
+    """Type0 with the predefined /UniJIS-UCS2-H CMap and NO ToUnicode:
+    2-byte codes ARE the Unicode code points (decode must use the CMap's
+    unicode-identity property; widths come from the ASCII CID run 1..95)."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    cid_font = b.add(
+        b"<</Type/Font/Subtype/CIDFontType0/BaseFont/FakeMincho"
+        b"/CIDSystemInfo<</Registry(Adobe)/Ordering(Japan1)/Supplement 7>>"
+        b"/DW 1000/W[1 95 500]>>"
+    )
+    font = b.add(
+        b"<</Type/Font/Subtype/Type0/BaseFont/FakeMincho"
+        b"/Encoding/UniJIS-UCS2-H"
+        b"/DescendantFonts[" + str(cid_font).encode() + b" 0 R]>>"
+    )
+    coded = [
+        b"".join(ord(c).to_bytes(2, "big") for c in line) for line in lines
+    ]
+    cont = b.stream(_content_hex_byte_lines(coded), filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
+def _jp_char(c: str) -> str:
+    """Deterministic ASCII -> Japanese mapping for the legacy-CMap variant:
+    spaces/digits stay 1-byte ASCII, a-m/A-M become full-width katakana
+    (2-byte Shift-JIS), everything else half-width katakana (1-byte
+    0xB1-0xBF) — so one line exercises all three code widths."""
+    if c == " " or c.isdigit():
+        return c
+    if "a" <= c <= "m" or "A" <= c <= "M":
+        return chr(0x30A2 + (ord(c) % 0x40))
+    return chr(0xFF71 + (ord(c) % 0x0F))
+
+
+def _type0_legacy_cmap_doc(lines: list[str]) -> bytes:
+    """Type0 with the predefined byte-oriented /90ms-RKSJ-H CMap and NO
+    ToUnicode: string bytes are Shift-JIS (cp932) — decode requires the
+    legacy-CMap codespace split (mixed 1/2-byte) + charset decode."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    cid_font = b.add(
+        b"<</Type/Font/Subtype/CIDFontType0/BaseFont/FakeGothic"
+        b"/CIDSystemInfo<</Registry(Adobe)/Ordering(Japan1)/Supplement 7>>"
+        b"/DW 1000>>"
+    )
+    font = b.add(
+        b"<</Type/Font/Subtype/Type0/BaseFont/FakeGothic"
+        b"/Encoding/90ms-RKSJ-H"
+        b"/DescendantFonts[" + str(cid_font).encode() + b" 0 R]>>"
+    )
+    coded = [
+        "".join(_jp_char(c) for c in line).encode("cp932") for line in lines
+    ]
+    cont = b.stream(_content_hex_byte_lines(coded), filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
+def _cyr_char(base: int, yo: int, k: int) -> str:
+    """Mirror of the AGL afii Cyrillic run layout (Ё interleaved at k=6)."""
+    if k == 6:
+        return chr(yo)
+    return chr(base + k - (1 if k > 6 else 0))
+
+
+def _nonlatin_map(c: str) -> tuple[int, str]:
+    """Deterministic code + expected char for the differences_nonlatin
+    variant: A-Z -> codes 0x80+k named afii100NN (Cyrillic uppercase),
+    a-z -> 0xA0+k (Cyrillic lowercase), digits 0-3 -> 0xC0+k Greek letters,
+    everything else stays its ASCII code through the base encoding."""
+    o = ord(c)
+    if 65 <= o <= 90:
+        return 0x80 + (o - 65), _cyr_char(0x0410, 0x0401, o - 65)
+    if 97 <= o <= 122:
+        return 0xA0 + (o - 97), _cyr_char(0x0430, 0x0451, o - 97)
+    if 48 <= o <= 51:
+        return 0xC0 + (o - 48), "αβγδ"[o - 48]
+    return o, c
+
+
+def _differences_nonlatin_doc(lines: list[str]) -> bytes:
+    """Simple font whose /Differences names Cyrillic afii* and Greek glyphs:
+    decode requires the non-Latin AGL blocks (reference: full glyphlist.txt
+    via fonts/agl.c; we embed the afii/Greek runs)."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    upper = b" ".join(
+        b"/afii" + str(10017 + k).encode() for k in range(26)
+    )
+    lower = b" ".join(
+        b"/afii" + str(10065 + k).encode() for k in range(26)
+    )
+    greek = b"/alpha /beta /gamma /delta"
+    enc = b.add(
+        b"<</Type/Encoding/BaseEncoding/WinAnsiEncoding/Differences["
+        b"128 " + upper + b" 160 " + lower + b" 192 " + greek + b"]>>"
+    )
+    font = b.add(
+        b"<</Type/Font/Subtype/Type1/BaseFont/FakeSerif"
+        b"/Encoding " + str(enc).encode() + b" 0 R>>"
+    )
+    coded = [
+        bytes(_nonlatin_map(c)[0] for c in line) for line in lines
+    ]
+    cont = b.stream(_content_hex_byte_lines(coded), filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
+def _macexpert_doc(lines: list[str]) -> bytes:
+    """Simple font with /Encoding /MacExpertEncoding: letters arrive as the
+    small-caps codes (0x61..0x7A read as Asmall..Zsmall -> lowercase text),
+    digits as oldstyle figures."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(
+        b"<</Type/Font/Subtype/Type1/BaseFont/FakeExpert"
+        b"/Encoding/MacExpertEncoding>>"
+    )
+    coded = [
+        bytes(_macexpert_code(c) for c in line) for line in lines
+    ]
+    cont = b.stream(_content_hex_byte_lines(coded), filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
+def _macexpert_code(c: str) -> int:
+    """Code + expected-text rule for the macexpert variant: uppercase AND
+    lowercase letters map to the small-caps codes (expected text is the
+    lowercase equivalent); digits/punct ride the expert rows at their
+    ASCII positions; anything unmapped becomes space."""
+    o = ord(c)
+    if 65 <= o <= 90:
+        return o + 32  # Asmall..Zsmall live at 0x61..0x7A
+    if 97 <= o <= 122 or 48 <= o <= 57:
+        return o
+    if c in " !&,-.:;?":
+        return o
+    return 0x20
+
+
+def _macexpert_expected(c: str) -> str:
+    o = ord(c)
+    if 65 <= o <= 90:
+        return chr(o + 32)
+    if 97 <= o <= 122 or 48 <= o <= 57:
+        return c
+    if c in " !&,-.:;?":
+        return c
+    return " "
+
+
+# MacRoman high-range bytes used by the macroman_high variant
+_MACROMAN_SUBST = {"a": (0x87, "á"), "e": (0x8E, "é")}
+
+
+def _macroman_doc(lines: list[str]) -> bytes:
+    """Simple font with /MacRomanEncoding: 'a'/'e' are written as the
+    high-range codes 0x87 (aacute) / 0x8E (eacute) — decode requires the
+    full MacRoman 128-255 table + AGL."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(
+        b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica"
+        b"/Encoding/MacRomanEncoding>>"
+    )
+    coded = [
+        bytes(
+            _MACROMAN_SUBST[c][0] if c in _MACROMAN_SUBST else ord(c)
+            for c in line
+        )
+        for line in lines
+    ]
+    cont = b.stream(_content_hex_byte_lines(coded), filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
+def _xref_stream_rows(entries: list[tuple[int, int, int]]) -> bytes:
+    """Pack ``(type, a, b)`` rows with W=[1,4,2] big-endian fields."""
+    rows = bytearray()
+    for ty, a, bb in entries:
+        rows += bytes([ty]) + a.to_bytes(4, "big") + bb.to_bytes(2, "big")
+    return bytes(rows)
+
+
+def _png_up_predict(data: bytes, rowlen: int) -> bytes:
+    """Apply the PNG Up row filter (predictor 12 encode side): each row is
+    prefixed with filter byte 2 and stored as a delta vs the prior row."""
+    out = bytearray()
+    prior = bytes(rowlen)
+    for r in range(0, len(data), rowlen):
+        row = data[r : r + rowlen]
+        out.append(2)
+        out += bytes((row[j] - prior[j]) & 0xFF for j in range(len(row)))
+        prior = row
+    return bytes(out)
+
+
+def _emit_xref_stream(
+    out: bytearray,
+    xref_id: int,
+    rows: list[tuple[int, int, int]],
+    root_id: int,
+    predictor: bool,
+    extra: bytes = b"",
+    size: int | None = None,
+) -> None:
+    """Append the ``/Type/XRef`` stream object + startxref/%%EOF tail.
+    ``size`` is the document's total object count (/Size); defaults to the
+    row count, which is only correct when /Index covers [0, Size)."""
+    xref_off = len(out)
+    data = _xref_stream_rows(rows)
+    parms = b""
+    if predictor:
+        data = _png_up_predict(data, 7)
+        parms = b"/DecodeParms<</Predictor 12/Columns 7>>"
+    enc = zlib.compress(data)
+    out += (
+        str(xref_id).encode()
+        + b" 0 obj\n<</Type/XRef/Size "
+        + str(size if size is not None else len(rows)).encode()
+        + b"/W[1 4 2]/Root "
+        + str(root_id).encode()
+        + b" 0 R"
+        + extra
+        + b"/Filter/FlateDecode"
+        + parms
+        + b"/Length "
+        + str(len(enc)).encode()
+        + b">>\nstream\n"
+        + enc
+        + b"\nendstream\nendobj\n\nstartxref\n"
+        + str(xref_off).encode()
+        + b"\n%%EOF"
+    )
+
+
+def _xref_stream_doc(lines: list[str], predictor: bool = False) -> bytes:
+    """PDF 1.5 layout: body objects are classic, but the cross-reference is
+    a ``/Type/XRef`` stream (engine extension; reference supports classic
+    tables only, xref.c:144-228)."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    cont = b.stream(_content_td_tj(lines), filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    out = bytearray(b"%PDF-1.7\n%\xb5\xb6\n\n")
+    offsets = [0] * (len(b.objects) + 1)
+    for i, body in enumerate(b.objects, start=1):
+        offsets[i] = len(out)
+        out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n\n"
+    xref_id = len(b.objects) + 1
+    rows = (
+        [(0, 0, 65535)]
+        + [(1, offsets[i], 0) for i in range(1, xref_id)]
+        + [(1, len(out), 0)]  # the xref stream indexes itself
+    )
+    _emit_xref_stream(out, xref_id, rows, cat, predictor)
+    return bytes(out)
+
+
+def _objstm_doc(lines: list[str]) -> bytes:
+    """PDF 1.5 compressed-object layout: catalog/pages/page/font live inside
+    a ``/Type/ObjStm``; the xref stream (with a PNG Up predictor, for
+    predictor-path coverage) maps them as type-2 entries."""
+    content = _content_td_tj(lines)
+    cont_enc = zlib.compress(content)
+    # ids: 1 cat, 2 pages, 3 page, 4 font (inside ObjStm 5); 6 content; 7 xref
+    bodies = [
+        (1, b"<</Type/Catalog/Pages 2 0 R>>"),
+        (2, b"<</Type/Pages/Kids[3 0 R]/Count 1>>"),
+        (
+            3,
+            b"<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+            b"/Resources<</Font<</F1 4 0 R>>>>/Contents 6 0 R>>",
+        ),
+        (4, F_HELV),
+    ]
+    payload = bytearray()
+    pair_parts = []
+    for oid, body in bodies:
+        pair_parts.append(f"{oid} {len(payload)}")
+        payload += body + b"\n"
+    header = (" ".join(pair_parts) + "\n").encode()
+    stm_enc = zlib.compress(header + bytes(payload))
+    out = bytearray(b"%PDF-1.7\n%\xb5\xb6\n\n")
+    offsets: dict[int, int] = {}
+
+    def emit(oid: int, body: bytes) -> None:
+        offsets[oid] = len(out)
+        out.extend(str(oid).encode() + b" 0 obj\n" + body + b"\nendobj\n\n")
+
+    emit(
+        5,
+        b"<</Type/ObjStm/N 4/First " + str(len(header)).encode()
+        + b"/Filter/FlateDecode/Length " + str(len(stm_enc)).encode()
+        + b">>\nstream\n" + stm_enc + b"\nendstream",
+    )
+    emit(
+        6,
+        b"<</Length " + str(len(cont_enc)).encode()
+        + b"/Filter/FlateDecode>>\nstream\n" + cont_enc + b"\nendstream",
+    )
+    rows = [
+        (0, 0, 65535),
+        (2, 5, 0),
+        (2, 5, 1),
+        (2, 5, 2),
+        (2, 5, 3),
+        (1, offsets[5], 0),
+        (1, offsets[6], 0),
+        (1, len(out), 0),
+    ]
+    _emit_xref_stream(out, 7, rows, 1, predictor=True, extra=b"/Index[0 8]")
+    return bytes(out)
+
+
+# -- the variant matrix -------------------------------------------------------
+
+_GOOD_VARIANTS = [
+    ("td_tj_plain", lambda L: _simple_doc(L, _content_td_tj)),
+    ("td_tj_flate", lambda L: _simple_doc(L, _content_td_tj, filters="FlateDecode")),
+    ("td_tj_ahx", lambda L: _simple_doc(L, _content_td_tj, filters="ASCIIHexDecode")),
+    ("td_tj_ahx_flate", lambda L: _simple_doc(L, _content_td_tj, filters="ASCIIHexDecode FlateDecode")),
+    ("tj_arrays_kern", lambda L: _simple_doc(L, _content_tj_arrays, filters="FlateDecode")),
+    ("hex_strings", lambda L: _simple_doc(L, _content_hex_strings, filters="FlateDecode")),
+    ("tstar_leading", lambda L: _simple_doc(L, _content_tstar, filters="FlateDecode")),
+    ("quote_ops", lambda L: _simple_doc(L, _content_quote_ops, filters="FlateDecode")),
+    ("reversed_blocks", lambda L: _simple_doc(L, _content_reversed_blocks, filters="FlateDecode")),
+    ("indirect_length", lambda L: _simple_doc(L, _content_td_tj, filters="FlateDecode", indirect_length=True)),
+    ("truetype_widths", None),  # special-cased below (expected text differs)
+    ("type0_tounicode", lambda L: _type0_doc(L)),
+    ("multipage_inherit", lambda L: _multipage_doc(L)),
+    ("multistream", lambda L: _multistream_doc(L)),
+    ("form_xobject", lambda L: _form_xobject_doc(L)),
+    ("incremental_update", lambda L: _incremental_doc(L)),
+    ("td_tj_lzw", lambda L: _simple_doc(L, _content_td_tj, filters="LZWDecode")),
+    ("td_tj_a85", lambda L: _simple_doc(L, _content_td_tj, filters="ASCII85Decode")),
+    ("td_tj_rle", lambda L: _simple_doc(L, _content_td_tj, filters="RunLengthDecode FlateDecode")),
+    ("xref_stream", lambda L: _xref_stream_doc(L)),
+    ("objstm", lambda L: _objstm_doc(L)),
+    ("inline_image", lambda L: _simple_doc(L, _content_inline_image, filters="FlateDecode")),
+    ("extgstate_font", lambda L: _extgstate_doc(L)),
+    ("type0_predefined_cmap", lambda L: _type0_predefined_doc(L)),
+    ("truetype_symbolic", lambda L: _truetype_symbolic_doc(L)),
+    ("cidfont2_sfnt", lambda L: _cidfont2_sfnt_doc(L)),
+    ("macroman_high", lambda L: _macroman_doc(L)),
+    ("incremental_xref_stream", lambda L: _incremental_xref_stream_doc(L)),
+    ("type0_legacy_cmap", lambda L: _type0_legacy_cmap_doc(L)),
+    ("differences_nonlatin", lambda L: _differences_nonlatin_doc(L)),
+    ("macexpert", lambda L: _macexpert_doc(L)),
+    ("recovered_xref", lambda L: _shift_xref_offsets(_simple_doc(L, _content_td_tj, filters="FlateDecode"))),
+    ("recovered_startxref", lambda L: _simple_doc(L, _content_td_tj, filters="FlateDecode")[:-24]),
+    ("encrypted_rc4", lambda L: _encrypted_doc(L, "rc4_128")),
+    ("encrypted_aes", lambda L: _encrypted_doc(L, "aes128")),
+    ("encrypted_aes256", lambda L: _encrypted_doc(L, "aes256")),
+]
+
+
+def _shift_xref_offsets(pdf: bytes) -> bytes:
+    """Valid body, broken offsets: every in-use xref entry points 3 bytes
+    past the real object header (what a naive editor/concatenator produces).
+    The chain walk succeeds; resolution must scavenge-recover."""
+    i = pdf.index(b"xref\n")
+    j = pdf.index(b"trailer", i)
+    table = pdf[i:j]
+    fixed = re.sub(
+        rb"(?m)^(\d{10}) (\d{5}) n",
+        lambda m: b"%010d %s n" % (int(m.group(1)) + 3, m.group(2)),
+        table,
+    )
+    return pdf[:i] + fixed + pdf[j:]
+
+# corrupt variants: (name, payload builder, expected error_code)
+def _dct_doc(lines: list[str]) -> bytes:
+    """Well-formed doc whose content stream declares /DCTDecode — decode must
+    fail with UNSUPPORTED_FILTER (the reference panics on any filter beyond
+    ASCIIHex/Flate, filters.c:54; we additionally implement LZW, so the
+    unsupported representative is DCT)."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    content = _content_td_tj(lines)
+    cont = b.add(
+        b"<</Length " + str(len(content)).encode()
+        + b"/Filter/DCTDecode>>\nstream\n" + content + b"\nendstream"
+    )
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
+_ENC_SETUP_CACHE: dict[str, tuple] = {}
+
+
+def _enc_setup(mode: str) -> tuple:
+    """(id0, enc_dict_bytes, Decryptor) for one encryption mode, memoized:
+    the setup is CONSTANT per mode (see /ID note below), and O/U/KDF
+    derivation is the expensive part of generating an encrypted doc."""
+    cached = _ENC_SETUP_CACHE.get(mode)
+    if cached is not None:
+        return cached
+    import hashlib
+
+    from pdf_spark.core import crypto
+
+    # CONSTANT /ID per mode: key derivation (50 MD5 + 20 RC4 for R3/4, the
+    # Algorithm-2.B KDF for R6) is per unique encryption SETUP, and both
+    # engine and generator memoize it — one setup per variant keeps corpus
+    # generation and the bench measuring extraction, not key derivation
+    # (the per-object decrypt still runs per document; fresh-setup
+    # derivation is covered per mode by the crypto unit tests)
+    id0 = hashlib.md5(b"pdf-spark-enc-" + mode.encode()).digest()
+    p_flags = -44
+    if mode == "aes256":
+        file_key = hashlib.md5(id0).digest() + hashlib.md5(id0 + b"2").digest()
+        # deterministic salts: the corpus must be a pure function of (text,
+        # variant). Real writers randomize these; verification math is
+        # identical either way.
+        vs, ks = id0[:8], id0[8:16]
+        u = crypto.hash_2b(b"", vs) + vs + ks
+        ue = crypto.aes_cbc_encrypt(
+            crypto.hash_2b(b"", ks), b"\x00" * 16, file_key, pad=False
+        )
+        ovs, oks = id0[4:12], id0[2:10]
+        o = crypto.hash_2b(b"owner", ovs, u) + ovs + oks
+        oe = crypto.aes_cbc_encrypt(
+            crypto.hash_2b(b"owner", oks, u), b"\x00" * 16, file_key, pad=False
+        )
+        dec = crypto.Decryptor(file_key, aes=True, v5=True)
+        enc_dict = (
+            b"<</Filter/Standard/V 5/R 6/Length 256"
+            b"/CF<</StdCF<</CFM/AESV3/Length 32>>>>/StmF/StdCF/StrF/StdCF"
+            b"/O <" + o.hex().encode() + b">/U <" + u.hex().encode() + b">"
+            b"/OE <" + oe.hex().encode() + b">/UE <" + ue.hex().encode() + b">"
+            b"/P " + str(p_flags).encode() + b">>"
+        )
+    else:
+        user_pw = b"secret" if mode == "badpw" else b""
+        if mode == "rc4_40":
+            v, r, klen, aes = 1, 2, 5, False
+        elif mode == "rc4_128":
+            v, r, klen, aes = 2, 3, 16, False
+        else:  # aes128 / badpw
+            v, r, klen, aes = 4, 4, 16, True
+        o = crypto.compute_o_value(b"owner", user_pw, klen, r)
+        file_key = crypto.compute_file_key_rc4(user_pw, o, p_flags, id0, klen, r)
+        u = crypto.compute_u_value(file_key, id0, r)
+        dec = crypto.Decryptor(file_key, aes=aes, v5=False)
+        cf = (
+            b"/CF<</StdCF<</CFM/AESV2/Length 16>>>>/StmF/StdCF/StrF/StdCF"
+            if v == 4
+            else b""
+        )
+        enc_dict = (
+            b"<</Filter/Standard/V " + str(v).encode()
+            + b"/R " + str(r).encode()
+            + b"/Length " + str(klen * 8).encode() + cf
+            + b"/O <" + o.hex().encode() + b">/U <" + u.hex().encode() + b">"
+            + b"/P " + str(p_flags).encode() + b">>"
+        )
+    _ENC_SETUP_CACHE[mode] = (id0, enc_dict, dec)
+    return _ENC_SETUP_CACHE[mode]
+
+
+def _encrypted_doc(lines: list[str], mode: str) -> bytes:
+    """Standard-security-handler document (PDF 32000-1 §7.6): the content
+    stream is Flate-compressed then encrypted with the per-object key
+    (encryption is the OUTERMOST layer). Modes: ``rc4_40`` (V1/R2),
+    ``rc4_128`` (V2/R3), ``aes128`` (V4/R4/AESV2), ``aes256`` (V5/R6/AESV3),
+    ``badpw`` (AES-128 whose user password is NOT empty -> the engine must
+    produce an ENCRYPTED error row)."""
+    import hashlib
+
+    id0, enc_dict, dec = _enc_setup(mode)
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    content = _content_td_tj(lines)
+    cont_id = len(b.objects) + 1
+    iv = hashlib.md5(content).digest()
+    enc_content = dec.encrypt(zlib.compress(content), cont_id, 0, iv)
+    cont = b.add(
+        b"<</Length " + str(len(enc_content)).encode()
+        + b"/Filter/FlateDecode>>\nstream\n" + enc_content + b"\nendstream"
+    )
+    assert cont == cont_id
+    enc_id = b.add(enc_dict)
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    trailer_extra = (
+        b"/Encrypt " + str(enc_id).encode() + b" 0 R"
+        b"/ID[<" + id0.hex().encode() + b"> <" + id0.hex().encode() + b">]"
+    )
+    return b.build(cat, trailer_extra=trailer_extra)
+
+
+def _truncate_body(pdf: bytes) -> bytes:
+    """Chop the file INSIDE the last content stream's data: startxref is
+    gone AND the body is unrecoverable, so xref scavenge validation fails
+    and the original INVALID_STARTXREF taxonomy is preserved."""
+    return pdf[: pdf.rindex(b"endstream") - 8]
+
+
+_BAD_VARIANTS = [
+    ("bad_header", lambda L: b"%QQF-9.9 this is not a pdf at all" + b"x" * 64, "INVALID_VERSION"),
+    ("truncated_tail", lambda L: _truncate_body(_simple_doc(L, _content_td_tj, filters="FlateDecode")), "INVALID_STARTXREF"),
+    ("corrupt_xref", lambda L: _corrupt_xref(_simple_doc(L, _content_td_tj)), "INVALID_XREF"),
+    ("dct_filter", _dct_doc, "UNSUPPORTED_FILTER"),
+    ("unbalanced_string", lambda L: _unbalanced(_simple_doc(L, _content_td_tj)), "UNBALANCED_STR"),
+    ("encrypted_badpw", lambda L: _encrypted_doc(L, "badpw"), "ENCRYPTED"),
+]
+
+N_VARIANTS = len(_GOOD_VARIANTS)
+N_BAD_VARIANTS = len(_BAD_VARIANTS)
+
+
+def _corrupt_xref(pdf: bytes) -> bytes:
+    i = pdf.index(b"xref\n")
+    # smash one entry's digits -> the table parse fails
+    j = pdf.index(b"0000000000 65536 f", i)
+    pdf = pdf[:j] + b"00000zz000 65536 f" + pdf[j + 18 :]
+    # ALSO break the catalog (same byte length) so scavenge recovery cannot
+    # validate a root: this variant must stay an INVALID_XREF error row
+    return pdf.replace(b"/Type/Catalog/", b"/Type/Catalpg/", 1)
+
+
+def _unbalanced(pdf: bytes) -> bytes:
+    # content is uncompressed in the plain variant: break the first
+    # UNESCAPED `) Tj` — an escaped `\) Tj` inside a string literal would
+    # leave the document balanced and the "corrupt" row parseable
+    import re as _re
+
+    return _re.sub(rb"(?<!\\)\) Tj", b"  Tj", pdf, count=1)
+
+
+def _expected_text(lines: list[str], variant_name: str) -> str:
+    if variant_name == "truetype_widths":
+        # Differences remap: A -> Adieresis, a -> aacute
+        lines = [l.replace("A", "Ä").replace("a", "á") for l in lines]
+    elif variant_name == "macroman_high":
+        lines = [
+            "".join(
+                _MACROMAN_SUBST[c][1] if c in _MACROMAN_SUBST else c for c in l
+            )
+            for l in lines
+        ]
+    elif variant_name == "type0_legacy_cmap":
+        lines = ["".join(_jp_char(c) for c in l) for l in lines]
+    elif variant_name == "differences_nonlatin":
+        lines = ["".join(_nonlatin_map(c)[1] for c in l) for l in lines]
+    elif variant_name == "macexpert":
+        lines = ["".join(_macexpert_expected(c) for c in l) for l in lines]
+    return "\n".join(lines)
+
+
+def generate_doc(text: str, variant: int) -> tuple[bytes, str, str, str]:
+    """Deterministically build one document.
+
+    Returns ``(pdf_bytes, expected_text, variant_name, expected_error)``;
+    ``expected_error`` is '' for good docs. ``variant`` indexes the combined
+    good+bad matrix: values >= N_VARIANTS are corrupt docs (FIXTURES.md §4).
+    """
+    lines = wrap_lines(text)
+    if variant < N_VARIANTS:
+        name, fn = _GOOD_VARIANTS[variant]
+        if name in ("multipage_inherit", "multistream") and len(lines) < 2:
+            lines = lines + ["..."]
+        if name == "truetype_widths":
+            b = PdfBuilder()
+            cat = b.reserve()
+            pages = b.reserve()
+            page = b.reserve()
+            font = _truetype_font(b)
+            cont = b.stream(_content_td_tj(lines), filters="FlateDecode")
+            b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+            b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+            b.set(
+                page,
+                b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+                b"/MediaBox[0 0 612 792]"
+                b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+                b"/Contents " + str(cont).encode() + b" 0 R>>",
+            )
+            pdf = b.build(cat)
+        else:
+            pdf = fn(lines)
+        return pdf, _expected_text(lines, name), name, ""
+    bad = _BAD_VARIANTS[(variant - N_VARIANTS) % N_BAD_VARIANTS]
+    name, fn, err = bad
+    return fn(lines), "", name, err

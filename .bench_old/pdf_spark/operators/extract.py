@@ -1,0 +1,159 @@
+"""The mapInPandas extraction stage (SURVEY.md §2.5, §3 EP1).
+
+Two shapes, both batched Arrow UDFs with zero per-row Python at the Spark
+level (``input_hint`` mandate):
+
+- ``extract_docs_text(df)`` — the FUSED fast path: one row in -> one row
+  out ``(url, text, status, error_code, n_pages, n_spans)``. The span sort
+  and line assembly happen *inside* the UDF (per document, embarrassingly
+  parallel) so the whole extraction is a single narrow map stage — **no
+  shuffle at all** between scan and sink. This is the 100 TB path: wall
+  time scales with bytes scanned / cores, and there is no wide dependency
+  to skew.
+
+- ``extract_spans(df)`` — the span-table path: one row in -> N span rows
+  out (flatMap shape). Feeds layout-aware downstream queries and the
+  Spark-side assembly in ``operators.assemble`` (which demonstrates the
+  declarative sort semantics and must agree byte-for-byte with the fused
+  path — tested).
+
+Per-batch guards (SURVEY.md §7.3 "skew + memory"): the Arrow batch row cap
+is configured at session level; each document is additionally size-capped
+(``DOC_TOO_LARGE``) and any parse failure becomes an error row.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pdf_spark.core.extract import DEFAULT_MAX_BYTES, assemble_text, extract_document
+
+DOCS_TEXT_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("text", StringType()),
+        StructField("status", StringType()),
+        StructField("error_code", StringType()),
+        StructField("n_pages", IntegerType()),
+        StructField("n_spans", IntegerType()),
+    ]
+)
+
+SPANS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("page", IntegerType()),
+        StructField("y", DoubleType()),
+        StructField("x", DoubleType()),
+        StructField("glyph_order", LongType()),
+        StructField("text", StringType()),
+        StructField("font", StringType()),
+        StructField("size", DoubleType()),
+        StructField("status", StringType()),
+        StructField("error_code", StringType()),
+    ]
+)
+
+
+def extract_docs_text(
+    pages: DataFrame,
+    max_bytes: int = DEFAULT_MAX_BYTES,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """pages(url, html, ...) -> docs_text — fused, shuffle-free.
+
+    ``passthrough`` names string columns copied verbatim from input to
+    output (e.g. ``input_file`` for lineage) without a post-UDF join.
+    """
+    schema = StructType(
+        DOCS_TEXT_SCHEMA.fields
+        + [StructField(c, StringType()) for c in passthrough]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            urls = batch["url"].tolist()
+            payloads = batch["html"].tolist()
+            out = {
+                "url": urls,
+                "text": [],
+                "status": [],
+                "error_code": [],
+                "n_pages": [],
+                "n_spans": [],
+            }
+            for data in payloads:
+                r = extract_document(data, max_bytes)
+                out["text"].append(assemble_text(r.spans) if r.ok else None)
+                out["status"].append(r.status)
+                out["error_code"].append(r.error_code)
+                out["n_pages"].append(r.n_pages)
+                out["n_spans"].append(len(r.spans))
+            for c in passthrough:
+                out[c] = batch[c].tolist()
+            yield pd.DataFrame(out)
+
+    cols = ["url", "html", *passthrough]
+    return pages.select(*cols).mapInPandas(run, schema)
+
+
+def extract_spans(pages: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES) -> DataFrame:
+    """pages(url, html, ...) -> spans (one row per text-show element).
+
+    Error documents emit a single marker row with ``page = -1`` so lineage
+    counts reconcile (FIXTURES.md §7: docs_text.status derives from it).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows: dict[str, list] = {f.name: [] for f in SPANS_SCHEMA.fields}
+            for url, data in zip(batch["url"], batch["html"]):
+                r = extract_document(data, max_bytes)
+                if not r.ok:
+                    rows["url"].append(url)
+                    rows["page"].append(-1)
+                    rows["y"].append(0.0)
+                    rows["x"].append(0.0)
+                    rows["glyph_order"].append(0)
+                    rows["text"].append(None)
+                    rows["font"].append(None)
+                    rows["size"].append(0.0)
+                    rows["status"].append("error")
+                    rows["error_code"].append(r.error_code)
+                    continue
+                for s in r.spans:
+                    rows["url"].append(url)
+                    rows["page"].append(s.page)
+                    rows["y"].append(s.y)
+                    rows["x"].append(s.x)
+                    rows["glyph_order"].append(s.glyph_order)
+                    rows["text"].append(s.text)
+                    rows["font"].append(s.font)
+                    rows["size"].append(s.size)
+                    rows["status"].append("ok")
+                    rows["error_code"].append("")
+                if not r.spans:
+                    rows["url"].append(url)
+                    rows["page"].append(-1)
+                    rows["y"].append(0.0)
+                    rows["x"].append(0.0)
+                    rows["glyph_order"].append(0)
+                    rows["text"].append("")
+                    rows["font"].append(None)
+                    rows["size"].append(0.0)
+                    rows["status"].append("ok")
+                    rows["error_code"].append("")
+            yield pd.DataFrame(rows)
+
+    return pages.select("url", "html").mapInPandas(run, SPANS_SCHEMA)
