@@ -99,7 +99,6 @@ def skip_inline_image(data: bytes, pos: int) -> int:
     while True:
         m = _TOK_RE.match(data, pos)
         if m is None:
-            pos = _WS_SKIP_RE.match(data, pos).end()
             if pos < n and data[pos] in b"(<":
                 # escaped/nested string or << dict value: full parser
                 if fallback is None:
@@ -108,8 +107,6 @@ def skip_inline_image(data: bytes, pos: int) -> int:
                 fallback.parse_object()
                 pos = fallback.pos
                 continue
-            raise PdfError(INVALID_OBJECT, "inline image: no ID token")
-        if m.lastgroup == "ws":  # trailing ws at EOF: dict never closed
             raise PdfError(INVALID_OBJECT, "inline image: no ID token")
         pos = m.end()
         if m.lastgroup == "op" and m.group("op") == b"ID":
@@ -128,37 +125,24 @@ def skip_inline_image(data: bytes, pos: int) -> int:
             return j + 2
         p = j + 1
 
-# one alternation, ordered: number, name, simple string (no escapes/
-# nesting), hex string, array brackets, quote singletons, operator run.
-# Quote chars lead only as singletons (matching the slow path, which
-# checks them before the regular-char run); mid-run quotes stay part of
-# the run. Whitespace/comments are folded into a prefix so every match
-# yields a REAL token (standalone-ws matches used to be ~40% of all
-# match calls); the terminal (?P<ws>\Z) alternative fires only for
-# trailing ws at EOF, via backtracking out of the greedy prefix.
+# one alternation, ordered: ws/comments, number, name, simple string
+# (no escapes/nesting), hex string, array brackets, quote singletons,
+# operator run. Quote chars lead only as singletons (matching the slow
+# path, which checks them before the regular-char run); mid-run quotes
+# stay part of the run.
 _TOK_RE = re.compile(
-    rb"""(?:[\x00\t\n\x0c\r\x20]+|%[^\r\n]*)*
-    (?:
-      (?P<num>[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+))
+    rb"""(?:
+      (?P<ws>(?:[\x00\t\n\x0c\r\x20]+|%[^\r\n]*)+)
+    | (?P<num>[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+))
     | (?P<name>/[^\x00\t\n\x0c\r\x20()<>\[\]{}/%]*)
     | \((?P<sstr>[^()\\]*)\)
     | <(?P<hstr>[0-9a-fA-F\x00\t\n\x0c\r\x20]*)>
     | (?P<arr>[\[\]])
     | (?P<q>['"])
     | (?P<op>[^\x00\t\n\x0c\r\x20()<>\[\]{}/%]+)
-    | (?P<ws>\Z)
     )""",
     re.X,
 )
-
-# ws/comment-only skipper for the fallback path: when the alternation
-# fails (escaped string, << dict), the leading ws the prefix would have
-# eaten is still at ``pos`` and must be stepped over before dispatch.
-_WS_SKIP_RE = re.compile(rb"(?:[\x00\t\n\x0c\r\x20]+|%[^\r\n]*)*")
-
-# pre-decoded operator-token interning: the same few dozen operator
-# byte-tokens recur in every stream; avoids a per-token str allocation
-_OP_STR = {s.encode("ascii"): s for s in OPERATORS}
 
 _WS_ONLY = frozenset(b"\x00\t\n\x0c\r ")
 
@@ -181,7 +165,6 @@ def parse_content_stream(data: bytes) -> List[Op]:
     while pos < n:
         m = match(data, pos)
         if m is None:
-            pos = _WS_SKIP_RE.match(data, pos).end()
             c = data[pos]
             if c in b"(<":
                 # escaped/nested string or << dict: recursive-descent parse
@@ -196,8 +179,8 @@ def parse_content_stream(data: bytes) -> List[Op]:
             )
         pos = m.end()
         g = m.lastgroup
-        if g == "ws":  # trailing ws/comments at EOF
-            break
+        if g == "ws":
+            continue
         if g == "num":
             tok = m.group("num")
             if b"." in tok:
@@ -250,7 +233,7 @@ def parse_content_stream(data: bytes) -> List[Op]:
                 continue
         if arr_stack:
             raise PdfError(INVALID_OBJECT, f"operator {tok_b!r} inside array")
-        tok = _OP_STR.get(tok_b) or tok_b.decode("latin-1")
+        tok = tok_b.decode("latin-1")
         if tok == "BX":
             in_compat += 1
             operands = cur = []

@@ -32,7 +32,7 @@ from typing import Iterator, Optional
 from pdf_spark.core.cmap import CMap, get_predefined_cmap, parse_cmap
 from pdf_spark.core.encodings import BASE_ENCODINGS, STANDARD_ENCODING, glyph_name_to_unicode
 from pdf_spark.core.errors import INCORRECT_TYPE, UNSUPPORTED_FONT, PdfError
-from pdf_spark.core.objects import Name, Ref, Stream
+from pdf_spark.core.objects import Name, Stream
 from pdf_spark.core.sfnt import parse_sfnt_cmaps
 
 DEFAULT_WIDTH = 500.0  # flat fallback (divergence, see module docstring)
@@ -49,11 +49,10 @@ _SFNT_CACHE: dict[bytes, object] = {}
 _ASSET_CACHE_MAX = 256
 
 
-from hashlib import md5 as _md5
-
-
 def _digest(data: bytes) -> bytes:
-    return _md5(data).digest()
+    import hashlib
+
+    return hashlib.md5(data).digest()
 
 
 def _parse_cmap_cached(data: bytes):
@@ -331,87 +330,8 @@ def _load_descriptor(f: Font, fd, resolver) -> None:
             f.sfnt = None
 
 
-_FONT_CACHE: dict[bytes, Font] = {}
-
-
-def _canon_key(obj, resolver, out: list, seen: frozenset, depth: int) -> bool:
-    """Serialize the RESOLVED value tree reachable from a font dict into a
-    canonical byte sequence, resolving indirect refs exactly as
-    ``load_font`` would. Returns False (no caching) on ref cycles, depth
-    caps, or unknown node types — the key must capture everything the
-    loader consumes, so anything unserializable disables the cache rather
-    than risking a false hit. Streams contribute their resolved dict plus
-    a digest of the raw bytes (raw + params determine the decoded form)."""
-    if depth > 12 or len(out) > 8192:
-        return False
-    if isinstance(obj, Ref):
-        rid = (obj.obj_id, obj.gen)
-        if rid in seen:
-            return False  # cycle: bail rather than embed doc-local ids
-        return _canon_key(
-            resolver.resolve(obj), resolver, out, seen | {rid}, depth + 1
-        )
-    if obj is None or isinstance(obj, bool):
-        out.append(b"n" if obj is None else (b"T" if obj else b"F"))
-        return True
-    if isinstance(obj, Name):  # before str/num: Name is a str subclass
-        out.append(b"/" + obj.encode("utf-8", "surrogateescape"))
-        return True
-    if isinstance(obj, (int, float)):
-        out.append(repr(obj).encode("ascii"))
-        return True
-    if isinstance(obj, bytes):
-        out.append(b"b" + (obj if len(obj) <= 64 else _digest(obj)))
-        return True
-    if isinstance(obj, str):
-        out.append(b"s" + obj.encode("utf-8", "surrogateescape"))
-        return True
-    if isinstance(obj, list):
-        out.append(b"[")
-        for v in obj:
-            if not _canon_key(v, resolver, out, seen, depth + 1):
-                return False
-        out.append(b"]")
-        return True
-    if isinstance(obj, Stream):
-        out.append(b"S" + _digest(obj.raw))
-        obj = obj.dict  # fall through to dict canon of the params
-    if isinstance(obj, dict):
-        out.append(b"<")
-        for k in sorted(obj):
-            out.append(b"/" + str(k).encode("utf-8", "surrogateescape"))
-            if not _canon_key(obj[k], resolver, out, seen, depth + 1):
-                return False
-        out.append(b">")
-        return True
-    return False
-
-
 def load_font(font_obj, resolver) -> Font:
-    """Deserialize a font dict (font.c:193-259 dispatch).
-
-    Executor-level cache: real corpora repeat identical font definitions
-    across millions of documents, and a loaded ``Font`` is immutable apart
-    from its lazily-filled decode tables — sharing one instance across
-    documents keeps those tables warm (the per-(doc, font) rebuild was
-    ~15% of per-doc CPU on 1 KB docs). The key is a canonical
-    serialization of the fully-RESOLVED tree the loader consumes, so two
-    documents share an entry only when every byte the loader would read is
-    identical; anything unserializable (cycles, depth) skips the cache."""
-    parts: list = []
-    key = None
-    if _canon_key(font_obj, resolver, parts, frozenset(), 0):
-        key = _digest(b"".join(parts))
-        f = _FONT_CACHE.get(key)
-        if f is not None:
-            return f
-    f = _load_font_uncached(font_obj, resolver)
-    if key is not None and len(_FONT_CACHE) < _ASSET_CACHE_MAX:
-        _FONT_CACHE[key] = f
-    return f
-
-
-def _load_font_uncached(font_obj, resolver) -> Font:
+    """Deserialize a font dict (font.c:193-259 dispatch)."""
     d = resolver.get_dict(font_obj, "font")
     if d.get("Type") != Name("Font"):
         raise PdfError(INCORRECT_TYPE, f"font /Type is {d.get('Type')!r}")

@@ -234,64 +234,59 @@ class Interpreter:
         ts = TextState()
         tm: Mat = IDENTITY
         tlm: Mat = IDENTITY
-        # no resolve on operands: the scanner runs with content=True, so
-        # operands can never be indirect refs — float()/int() coerce (or
-        # raise into _exec_checked's INCORRECT_TYPE path) directly.
-        # Dispatch chain ordered by corpus frequency: show/position ops
-        # dominate a text page; op strings are interned by the scanner so
-        # each == is an identity hit.
+        rz = self.resolver.resolve
 
         for op, args in ops:
             self._cur_op = op
-            if op == "TJ":
-                tm = self._show_tj(args[0], ts, tm, ctm)
-            elif op == "Td" or op == "TD":
-                tx, ty = float(args[0]), float(args[1])
-                if op == "TD":
-                    ts.leading = -ty
-                tlm = mat_mul(translate(tx, ty), tlm)
-                tm = tlm
-            elif op == "Tm":
-                m = tuple(float(a) for a in args[:6])
-                tm = tlm = m
-            elif op == "T*":
-                # quirk: mutates Tm, not Tlm (render.c:640-650)
-                tm = mat_mul(translate(0.0, -ts.leading), tm)
-            elif op == "Tf":
-                ts.font_name = str(args[0])
-                ts.font_size = float(args[1])
-                ts.font = self._get_font(resources, ts.font_name)
-            elif op == "BT":
-                tm = tlm = IDENTITY
-            elif op == "ET":
-                pass
-            elif op == "q":
+            if op == "q":
                 gs_stack.append((ctm, ts.copy()))
             elif op == "Q":
                 if gs_stack:
                     ctm, ts = gs_stack.pop()
             elif op == "cm":
-                m = tuple(float(a) for a in args[:6])
+                m = tuple(float(rz(a)) for a in args[:6])
                 ctm = mat_mul(m, ctm)  # CTM' = M·CTM (render.c:297-303)
+            elif op == "BT":
+                tm = tlm = IDENTITY
+            elif op == "ET":
+                pass
             elif op == "Tc":
-                ts.char_spacing = float(args[0])
+                ts.char_spacing = float(rz(args[0]))
             elif op == "Tw":
-                ts.word_spacing = float(args[0])  # stored, never applied
+                ts.word_spacing = float(rz(args[0]))  # stored, never applied
             elif op == "Tz":
-                ts.h_scale = float(args[0]) / 100.0
+                ts.h_scale = float(rz(args[0])) / 100.0
             elif op == "TL":
-                ts.leading = float(args[0])
+                ts.leading = float(rz(args[0]))
+            elif op == "Tf":
+                ts.font_name = str(args[0])
+                ts.font_size = float(rz(args[1]))
+                ts.font = self._get_font(resources, ts.font_name)
             elif op == "Tr":
-                ts.render_mode = int(args[0])
+                ts.render_mode = int(rz(args[0]))
             elif op == "Ts":
-                ts.rise = float(args[0])
+                ts.rise = float(rz(args[0]))
+            elif op == "Td" or op == "TD":
+                tx, ty = float(rz(args[0])), float(rz(args[1]))
+                if op == "TD":
+                    ts.leading = -ty
+                tlm = mat_mul(translate(tx, ty), tlm)
+                tm = tlm
+            elif op == "Tm":
+                m = tuple(float(rz(a)) for a in args[:6])
+                tm = tlm = m
+            elif op == "T*":
+                # quirk: mutates Tm, not Tlm (render.c:640-650)
+                tm = mat_mul(translate(0.0, -ts.leading), tm)
+            elif op == "TJ":
+                tm = self._show_tj(args[0], ts, tm, ctm)
             elif op == "'":
                 tm = mat_mul(translate(0.0, -ts.leading), tm)
                 tlm = tm
                 tm = self._show_tj([args[0]], ts, tm, ctm)
             elif op == '"':
-                ts.word_spacing = float(args[0])
-                ts.char_spacing = float(args[1])
+                ts.word_spacing = float(rz(args[0]))
+                ts.char_spacing = float(rz(args[1]))
                 tm = mat_mul(translate(0.0, -ts.leading), tm)
                 tlm = tm
                 tm = self._show_tj([args[2]], ts, tm, ctm)
@@ -317,9 +312,8 @@ class Interpreter:
         # over the (struct-unpacked or codespace-split) code list
         tables = font.fast_tables or font.build_fast_tables()
         fast = None if is_type0 else tables
-        # no resolve per element: content-stream operands are scanned with
-        # content=True, so a TJ array can never contain indirect refs
         for el in elements:
+            el = self.resolver.resolve(el)
             if isinstance(el, (int, float)):
                 # kern: Tm = translate(-n/1000·Tfs·Th, 0)·Tm
                 tm = _x_shift(-float(el) / 1000.0 * fs * th, tm)

@@ -69,11 +69,6 @@ _INDOBJ_RE = re.compile(
 )
 # run of regular characters (not whitespace, not delimiter)
 _REG_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
-# dict-body step: ws/comments, then either the ``>>`` close or a ``/key``
-_DICT_KEY_RE = re.compile(
-    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
-    rb"(?:(>>)|/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*))"
-)
 _HEX_RE = re.compile(rb"[0-9a-fA-F]")
 _EOL_RE = re.compile(rb"\r\n|\n|\r")
 
@@ -175,7 +170,7 @@ def hex_body_to_bytes(body: bytes) -> bytes:
     """Shared hex-string decode core: strip PDF whitespace, pad an odd
     trailing digit as the high nibble (object.c:536), bytes.fromhex. Used
     by the object parser, the content scanner, and ASCIIHexDecode."""
-    compact = body.translate(None, WHITESPACE)
+    compact = bytes(b for b in body if b not in WHITESPACE)
     if len(compact) % 2:
         compact += b"0"
     return bytes.fromhex(compact.decode("ascii"))
@@ -271,33 +266,8 @@ class ObjectParser:
     # -- object dispatch (object.c:65-134) --
 
     def parse_object(self) -> Any:
-        # inlined skip_ws/peek + dispatch ordered by corpus frequency
-        # (numbers/refs and names dominate body objects)
-        buf, pos = self.buf, self.pos
-        if pos < len(buf) and buf[pos] in _WS_OR_PCT:
-            pos = self.pos = _WS_RE.match(buf, pos).end()
-        if pos >= len(buf):
-            raise PdfError(INVALID_OBJECT, "unexpected EOF")
-        c = buf[pos]
-        if 0x30 <= c <= 0x39:  # digit
-            if not self.content:
-                ref = self._try_parse_ref()
-                if ref is not None:
-                    return ref
-            return self.parse_number()
-        if c == 0x2F:  # /
-            return self.parse_name()
-        if c == 0x3C:  # <
-            if buf.startswith(b"<<", pos):
-                d = self.parse_dict()
-                return self._maybe_stream(d)
-            return self.parse_hex_string()
-        if c == 0x28:  # (
-            return self.parse_string_literal()
-        if c == 0x5B:  # [
-            return self.parse_array()
-        if c in (0x2B, 0x2D, 0x2E):  # + - .
-            return self.parse_number()
+        self.skip_ws()
+        c = self.peek()
         if c == 0x74:  # t
             self.expect_keyword(b"true")
             return True
@@ -307,6 +277,23 @@ class ObjectParser:
         if c == 0x6E:  # n
             self.expect_keyword(b"null")
             return PDF_NULL
+        if c == 0x28:  # (
+            return self.parse_string_literal()
+        if c == 0x3C:  # <
+            if self.buf.startswith(b"<<", self.pos):
+                d = self.parse_dict()
+                return self._maybe_stream(d)
+            return self.parse_hex_string()
+        if c == 0x2F:  # /
+            return self.parse_name()
+        if c == 0x5B:  # [
+            return self.parse_array()
+        if 0x30 <= c <= 0x39 or c in (0x2B, 0x2D, 0x2E):  # digit + - .
+            if not self.content and 0x30 <= c <= 0x39:
+                ref = self._try_parse_ref()
+                if ref is not None:
+                    return ref
+            return self.parse_number()
         raise PdfError(INVALID_OBJECT, f"cannot parse object at byte {c:#x}")
 
     # -- numbers (object.c:226-346) --
@@ -436,52 +423,35 @@ class ObjectParser:
     # -- names (object.c:554-651) --
 
     def parse_name(self) -> Name:
-        buf, pos = self.buf, self.pos
-        if not buf.startswith(b"/", pos):
-            raise PdfError(INVALID_OBJECT, f"expected b'/' at offset {pos}")
-        m = _REG_RE.match(buf, pos + 1)
-        if m is None:
-            self.pos = pos + 1
-            return decode_name_bytes(b"")
-        self.pos = m.end()
-        return decode_name_bytes(m.group())
+        self.expect(b"/")
+        m = _REG_RE.match(self.buf, self.pos)
+        raw = m.group() if m else b""
+        self.pos = m.end() if m else self.pos
+        return decode_name_bytes(raw)
 
     # -- array/dict (object.c:653-773) --
 
     def parse_array(self) -> list:
         self.expect(b"[")
         out = []
-        buf = self.buf
-        n = len(buf)
         while True:
-            pos = self.pos
-            if pos < n and buf[pos] in _WS_OR_PCT:
-                pos = self.pos = _WS_RE.match(buf, pos).end()
-            if pos >= n:
-                raise PdfError(INVALID_OBJECT, "unexpected EOF")
-            if buf[pos] == 0x5D:  # ]
-                self.pos = pos + 1
+            self.skip_ws()
+            if self.peek() == 0x5D:  # ]
+                self.pos += 1
                 return out
             out.append(self.parse_object())
 
     def parse_dict(self) -> dict:
         self.expect(b"<<")
         out: dict = {}
-        buf = self.buf
-        key_match = _DICT_KEY_RE.match
         while True:
-            # one match consumes ws/comments plus either the >> close or
-            # the next /key name (was skip_ws + startswith + peek + expect)
-            m = key_match(buf, self.pos)
-            if m is None:
-                self.skip_ws()
-                if self.pos >= len(buf):
-                    raise PdfError(INVALID_OBJECT, "unexpected EOF")
-                raise PdfError(INVALID_OBJECT, "dict key must be a name")
-            self.pos = m.end()
-            if m.group(1) is not None:
+            self.skip_ws()
+            if self.buf.startswith(b">>", self.pos):
+                self.pos += 2
                 return out
-            key = decode_name_bytes(m.group(2))
+            if self.peek() != 0x2F:
+                raise PdfError(INVALID_OBJECT, "dict key must be a name")
+            key = self.parse_name()
             value = self.parse_object()
             # duplicate keys: FIRST wins (linear-scan lookup, object.c:929-945)
             if key not in out:

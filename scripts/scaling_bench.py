@@ -42,7 +42,7 @@ spark = (SparkSession.builder.master("local[{cores}]")
     .config("spark.sql.shuffle.partitions", "{cores}")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .config("spark.sql.execution.arrow.maxRecordsPerBatch", "{batch}")
-    .config("spark.sql.files.maxPartitionBytes", "8m")
+    .config("spark.sql.files.maxPartitionBytes", "64m")
     .config("spark.driver.memory", "8g")
     .config("spark.ui.enabled", "false")
     .getOrCreate())
