@@ -171,8 +171,12 @@ _pair("qt04_langid_stopwords", _LANG_SPARK, _LANG_SPARK)
 
 
 def _minhash_cols(engine: str) -> str:
+    # one md5 per shingle, sliced into N_MINHASH disjoint 32-bit (8 hex
+    # char) windows — md5 bits are uniformly mixed, so the slices act as
+    # independent hash functions (the split-one-128-bit-hash trick),
+    # replacing N_MINHASH md5(concat(...)) calls per shingle with one
     return ",\n       ".join(
-        f"MIN(substr(md5(concat(sh, '#{j}')), 1, 8)) AS h{j}"
+        f"MIN(substr(md5(sh), {1 + 8 * j}, 8)) AS h{j}"
         for j in range(N_MINHASH)
     )
 
