@@ -134,10 +134,14 @@ def skip_inline_image(data: bytes, pos: int) -> int:
 # checks them before the regular-char run); mid-run quotes stay part of
 # the run. Whitespace/comments are folded into a prefix so every match
 # yields a REAL token (standalone-ws matches used to be ~40% of all
-# match calls); the terminal (?P<ws>\Z) alternative fires only for
-# trailing ws at EOF, via backtracking out of the greedy prefix.
+# match calls); the terminal (?P<ws>\Z) alternative fires for trailing
+# ws at EOF. The prefix quantifier MUST be possessive (*+): a
+# backtrackable prefix lets the engine shorten a %-comment when the
+# following token needs the fallback parser, re-interpreting comment
+# text as tokens (`1 % c\n (ne(st)ed)` dropped the 1 and emitted a
+# phantom `c` operator before the fix).
 _TOK_RE = re.compile(
-    rb"""(?:[\x00\t\n\x0c\r\x20]+|%[^\r\n]*)*
+    rb"""(?:[\x00\t\n\x0c\r\x20]+|%[^\r\n]*)*+
     (?:
       (?P<num>[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+))
     | (?P<name>/[^\x00\t\n\x0c\r\x20()<>\[\]{}/%]*)
@@ -287,6 +291,17 @@ def parse_content_stream(data: bytes) -> List[Op]:
     return ops
 
 
+_REGULAR_EXCLUDE = frozenset(b"\x00\t\n\x0c\r ()<>[]{}/%")
+
+
+def _kw_at(data: bytes, pos: int, kw: bytes) -> bool:
+    """Keyword present AND delimited (next byte non-regular or EOF)."""
+    if not data.startswith(kw, pos):
+        return False
+    j = pos + len(kw)
+    return j >= len(data) or data[j] in _REGULAR_EXCLUDE
+
+
 def parse_content_stream_slow(data: bytes) -> List[Op]:
     """Original per-token loop (behavioral oracle for the scanner)."""
     p = ObjectParser(data, content=True)
@@ -300,13 +315,15 @@ def parse_content_stream_slow(data: bytes) -> List[Op]:
             break
         c = data[p.pos]
         # operand start bytes: ( < / [ digit + - . or keyword true/false/null
+        # (keywords only when delimited: `truen` is ONE regular-char token —
+        # an unknown operator — not `true` + `n`)
         if (
             c in b"(</["
             or 0x30 <= c <= 0x39
             or c in b"+-."
-            or data.startswith(b"true", p.pos)
-            or data.startswith(b"false", p.pos)
-            or data.startswith(b"null", p.pos)
+            or _kw_at(data, p.pos, b"true")
+            or _kw_at(data, p.pos, b"false")
+            or _kw_at(data, p.pos, b"null")
         ):
             operands.append(p.parse_object())
             continue

@@ -69,9 +69,12 @@ _INDOBJ_RE = re.compile(
 )
 # run of regular characters (not whitespace, not delimiter)
 _REG_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
-# dict-body step: ws/comments, then either the ``>>`` close or a ``/key``
+# dict-body step: ws/comments, then either the ``>>`` close or a ``/key``.
+# Possessive prefix (*+): backtracking could otherwise shorten a
+# %-comment and extract a phantom key/close from inside the comment text
+# when the next real token matches neither alternative.
 _DICT_KEY_RE = re.compile(
-    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*+"
     rb"(?:(>>)|/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*))"
 )
 _HEX_RE = re.compile(rb"[0-9a-fA-F]")

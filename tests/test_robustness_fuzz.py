@@ -94,3 +94,55 @@ def test_scanner_slow_parity_on_random_token_soup():
             assert fast_err and slow_err, (trial, soup, fast, slow)
         else:
             assert fast == slow, (trial, soup)
+
+
+def test_scanner_slow_parity_glued_and_comment_separated():
+    """Same parity sweep with EMPTY and %-comment separators: caught two
+    real divergences — (a) a backtrackable ws/comment prefix in _TOK_RE
+    let the regex shorten a comment and emit phantom tokens from inside
+    it when the next token needed the fallback parser (now possessive),
+    (b) the slow path's keyword probe lacked a delimiter check, lexing
+    `truen` as `true`+error instead of one unknown-operator token."""
+    import random
+
+    from pdf_spark.core.content import (
+        parse_content_stream,
+        parse_content_stream_slow,
+    )
+    from pdf_spark.core.errors import PdfError
+
+    # pinned regressions
+    for soup in (
+        b'Tj q     "\tfalse % c\n (ne(st)ed)\r\n % c\n T* % c\n ',
+        b"1 % c\n (ne(st)ed) T*",
+        b"BX truen EX BT ET",
+    ):
+        assert parse_content_stream(soup) == parse_content_stream_slow(soup)
+
+    rng = random.Random(777)
+    atoms = [
+        b"BT", b"ET", b"Tf", b"Td", b"TD", b"Tm", b"T*", b"Tj", b"TJ",
+        b"'", b'"', b"q", b"Q", b"cm", b"gs", b"Do", b"BX", b"EX",
+        b"re", b"W", b"n", b"sh", b"BDC", b"EMC",
+        b"/F1", b"/Name#41", b"(str)", b"(ne(st)ed)", b"(esc\\))",
+        b"<48656c>", b"<48 65 6c>", b"[", b"]", b"1", b"-2.5", b".75",
+        b"0", b"true", b"false", b"null", b"% comment\n", b"woozle",
+        b"BI", b"ID", b"EI", b"<<", b">>", b"{", b"}",
+        b"%co", b"", b"\x00", b"   ", b"\r\n",
+    ]
+    seps = [b" ", b"", b"\n", b"\t", b" % c\n "]
+    for trial in range(3000):
+        n = rng.randrange(0, 30)
+        soup = b"".join(rng.choice(atoms) + rng.choice(seps) for _ in range(n))
+        try:
+            fast, fast_err = parse_content_stream(soup), None
+        except PdfError:
+            fast, fast_err = None, True
+        try:
+            slow, slow_err = parse_content_stream_slow(soup), None
+        except PdfError:
+            slow, slow_err = None, True
+        if fast_err or slow_err:
+            assert fast_err and slow_err, (trial, soup, fast, slow)
+        else:
+            assert fast == slow, (trial, soup)
