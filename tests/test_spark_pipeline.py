@@ -171,3 +171,58 @@ def test_empty_input_run_is_benign(spark, tmp_path):
     ).where(F.lit(False))
     m = run_extraction(spark, empty, str(tmp_path / "empty_out"))
     assert m["n_ok"] == 0 and m["n_err"] == 0
+
+
+def test_skewed_giants_spread_and_capped(spark):
+    """E2E skew handling (north rule): giants spread across partitions by
+    the salted (salt, size_bucket) repartition; docs over the byte cap
+    become DOC_TOO_LARGE error rows, never task failures."""
+    from pdf_spark.gen.pdfgen import generate_doc
+
+    from pdf_spark.gen.pdfgen import _GOOD_VARIANTS, _expected_text, wrap_lines
+
+    rows = []
+    for i in range(120):
+        pdf, exp, _, _ = generate_doc(f"tiny doc {i} with a little text", 0)
+        rows.append({"url": f"https://ex.com/t{i}", "html": pdf, "exp": exp})
+    # giants: bypass generate_doc's MAX_LINES cap via the variant builder
+    build_plain = dict(_GOOD_VARIANTS)["td_tj_plain"]
+    for g in range(4):
+        big_text = f"giant {g} sentence that wraps across many lines. " * 3000
+        lines = wrap_lines(big_text, max_lines=10**9)
+        pdf = build_plain(lines)
+        exp = _expected_text(lines, "td_tj_plain")
+        assert len(pdf) > 64 * 1024, "giant fixture unexpectedly small"
+        rows.append({"url": f"https://ex.com/giant{g}", "html": pdf, "exp": exp})
+
+    pdf_df = spark.createDataFrame(
+        pd.DataFrame([{"url": r["url"], "html": r["html"]} for r in rows])
+    )
+    prepared = prepare_pages(pdf_df, salt_partitions=8, giant_bucket=16)
+
+    # round-robin giant placement: all four giants on DISTINCT partitions
+    part_of = (
+        prepared.withColumn("pid", F.spark_partition_id())
+        .where(F.col("url").startswith("https://ex.com/giant"))
+        .select("url", "pid")
+        .collect()
+    )
+    pids = [r["pid"] for r in part_of]
+    assert len(set(pids)) == 4, f"giants clumped: {pids}"
+
+    out = {r["url"]: r for r in extract_docs_text(prepared).collect()}
+    assert len(out) == len(rows)
+    exp_by_url = {r["url"]: r["exp"] for r in rows}
+    for url, r in out.items():
+        assert r["status"] == "ok", (url, r["error_code"])
+        assert r["text"] == exp_by_url[url], url
+
+    # byte cap: the giant docs error out as DOC_TOO_LARGE when the cap is low
+    capped = {
+        r["url"]: r
+        for r in extract_docs_text(pdf_df, max_bytes=64 * 1024).collect()
+    }
+    for g in range(4):
+        assert capped[f"https://ex.com/giant{g}"]["status"] == "error"
+        assert capped[f"https://ex.com/giant{g}"]["error_code"] == "DOC_TOO_LARGE"
+    assert capped["https://ex.com/t0"]["status"] == "ok"
