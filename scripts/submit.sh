@@ -23,6 +23,6 @@ exec spark-submit \
     --master "$MASTER" \
     --conf spark.sql.adaptive.enabled=true \
     --conf spark.sql.execution.arrow.pyspark.enabled=true \
-    --conf spark.sql.files.maxPartitionBytes=8m \
+    --conf spark.sql.files.maxPartitionBytes=64m \
     --py-files "$ZIP" \
     "$REPO/scripts/run_job.py" "$@"
