@@ -1,4 +1,4 @@
-"""The mapInPandas extraction stage (SURVEY.md §2.5, §3 EP1).
+"""The mapInArrow extraction stage (SURVEY.md §2.5, §3 EP1).
 
 Two shapes, both batched Arrow UDFs with zero per-row Python at the Spark
 level (``input_hint`` mandate):
@@ -24,9 +24,6 @@ is configured at session level; each document is additionally size-capped
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     DoubleType,
@@ -144,11 +141,31 @@ def extract_spans(pages: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES) -> DataF
     counts reconcile (FIXTURES.md §7: docs_text.status derives from it).
     """
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches):
+        import pyarrow as pa
+
+        out_schema = pa.schema(
+            [
+                pa.field("url", pa.string()),
+                pa.field("page", pa.int32()),
+                pa.field("y", pa.float64()),
+                pa.field("x", pa.float64()),
+                pa.field("glyph_order", pa.int64()),
+                pa.field("text", pa.string()),
+                pa.field("font", pa.string()),
+                pa.field("size", pa.float64()),
+                pa.field("status", pa.string()),
+                pa.field("error_code", pa.string()),
+            ]
+        )
         for batch in batches:
+            names = batch.schema.names
             rows: dict[str, list] = {f.name: [] for f in SPANS_SCHEMA.fields}
-            for url, data in zip(batch["url"], batch["html"]):
-                r = extract_document(data, max_bytes)
+            for url, data in zip(
+                batch.column(names.index("url")).to_pylist(),
+                batch.column(names.index("html")),
+            ):
+                r = extract_document(data.as_py(), max_bytes)
                 if not r.ok:
                     rows["url"].append(url)
                     rows["page"].append(-1)
@@ -183,6 +200,12 @@ def extract_spans(pages: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES) -> DataF
                     rows["size"].append(0.0)
                     rows["status"].append("ok")
                     rows["error_code"].append("")
-            yield pd.DataFrame(rows)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(rows[f.name], out_schema.field(i).type)
+                    for i, f in enumerate(SPANS_SCHEMA.fields)
+                ],
+                schema=out_schema,
+            )
 
-    return pages.select("url", "html").mapInPandas(run, SPANS_SCHEMA)
+    return pages.select("url", "html").mapInArrow(run, SPANS_SCHEMA)
