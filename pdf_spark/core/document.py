@@ -255,6 +255,30 @@ def parse_xref_at(buf: bytes, start: int) -> tuple[dict, dict, Optional[int]]:
 _OBJ_HEADER_RE = re.compile(rb"(?<![0-9])(\d{1,10})[\x00\t\n\x0c\r ]+(\d{1,5})[\x00\t\n\x0c\r ]+obj\b")
 
 
+def _has_identity_crypt_filter(stream_dict: dict) -> bool:
+    """True when the stream's /Filter chain names the /Crypt filter with
+    /Identity (or no /Name — Identity is the default): such a stream's
+    bytes are stored UNencrypted inside an encrypted document and must be
+    exempted from the per-object decrypt (PDF 32000-1 §7.4.10). Only
+    direct (non-ref) /Filter//DecodeParms values are inspected — the spec
+    usage is direct, and decrypting an exempt stream is the only failure
+    a missed indirect form could cause, which matches the pre-Crypt
+    behavior."""
+    filters = stream_dict.get("Filter")
+    if filters is None:
+        return False
+    if not isinstance(filters, list):
+        filters = [filters]
+    parms = stream_dict.get("DecodeParms") or stream_dict.get("DP")
+    if not isinstance(parms, list):
+        parms = [parms] * len(filters)
+    for name, parm in zip(filters, parms):
+        if isinstance(name, Name) and str(name) == "Crypt":
+            cf = parm.get("Name") if isinstance(parm, dict) else None
+            return cf is None or (isinstance(cf, Name) and str(cf) == "Identity")
+    return False
+
+
 class Resolver:
     """Lazy indirect-object resolver over one in-memory document
     (pdf.c:64-118 pdf_resolver_new + pdf.c:206-273 resolution).
@@ -341,8 +365,10 @@ class Resolver:
         if isinstance(value, Stream):
             if value.dict.get("Type") == Name("XRef"):
                 return value
+            exempt = _has_identity_crypt_filter(value.dict)
             value.dict = self._decrypt_value(value.dict, obj_id, gen)
-            value.raw = self._decryptor.decrypt(value.raw, obj_id, gen)
+            if not exempt:  # §7.4.10 Identity crypt filter: raw is plaintext
+                value.raw = self._decryptor.decrypt(value.raw, obj_id, gen)
             return value
         if isinstance(value, dict):
             return {

@@ -385,6 +385,16 @@ def decode_stream(stream_dict: dict, raw: bytes, resolver=None) -> bytes:
                 ec = 1 if ec is None else int(ec)
             data = lzw_decode(data, ec)
             data = _apply_predictor(data, parm)
+        elif name == "Crypt":
+            # §7.4.10: /Crypt names the crypt filter applied to THIS
+            # stream. /Identity (also the default when no /Name is given)
+            # means "not encrypted" — a pass-through; the resolver's
+            # decrypt walk already exempts such streams. Named crypt
+            # filters beyond Identity are unsupported.
+            cf = rz(parm.get("Name")) if isinstance(parm, dict) else None
+            if cf is None or str(cf) == "Identity":
+                continue
+            raise PdfError(UNSUPPORTED_FILTER, f"Crypt filter {cf!r}")
         else:
             raise PdfError(UNSUPPORTED_FILTER, str(name))
     return data

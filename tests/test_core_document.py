@@ -118,6 +118,40 @@ class TestFilters:
             decode_stream({"Filter": "DCTDecode"}, b"")
         assert e.value.code == "UNSUPPORTED_FILTER"
 
+    def test_identity_crypt_filter_passthrough(self):
+        # §7.4.10: /Crypt with /Identity (or no /Name) is a no-op stage
+        from pdf_spark.core.objects import Name
+
+        assert decode_stream({"Filter": Name("Crypt")}, b"plain") == b"plain"
+        d = {
+            "Filter": [Name("Crypt"), Name("FlateDecode")],
+            "DecodeParms": [{"Name": Name("Identity")}, None],
+        }
+        assert decode_stream(d, zlib.compress(b"x")) == b"x"
+        with pytest.raises(PdfError) as e:
+            decode_stream(
+                {"Filter": Name("Crypt"), "DecodeParms": {"Name": Name("V2")}},
+                b"",
+            )
+        assert e.value.code == "UNSUPPORTED_FILTER"
+
+    def test_identity_crypt_exemption_probe(self):
+        from pdf_spark.core.document import _has_identity_crypt_filter
+        from pdf_spark.core.objects import Name
+
+        assert _has_identity_crypt_filter({"Filter": Name("Crypt")})
+        assert _has_identity_crypt_filter(
+            {
+                "Filter": [Name("Crypt"), Name("FlateDecode")],
+                "DecodeParms": [{"Name": Name("Identity")}, None],
+            }
+        )
+        assert not _has_identity_crypt_filter({"Filter": Name("FlateDecode")})
+        assert not _has_identity_crypt_filter(
+            {"Filter": Name("Crypt"), "DecodeParms": {"Name": Name("V2")}}
+        )
+        assert not _has_identity_crypt_filter({})
+
 
 class TestResolverOnFixture:
     def test_resolver_walks_test_pdf(self):
