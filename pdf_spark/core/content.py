@@ -135,13 +135,29 @@ def skip_inline_image(data: bytes, pos: int) -> int:
 # the run. Whitespace/comments are folded into a prefix so every match
 # yields a REAL token (standalone-ws matches used to be ~40% of all
 # match calls); the terminal (?P<ws>\Z) alternative fires for trailing
-# ws at EOF. The prefix quantifier MUST be possessive (*+): a
-# backtrackable prefix lets the engine shorten a %-comment when the
-# following token needs the fallback parser, re-interpreting comment
-# text as tokens (`1 % c\n (ne(st)ed)` dropped the 1 and emitted a
-# phantom `c` operator before the fix).
+# ws at EOF. The prefix MUST be atomic: a backtrackable prefix lets the
+# engine shorten a %-comment when the following token needs the
+# fallback parser, re-interpreting comment text as tokens
+# (`1 % c\n (ne(st)ed)` dropped the 1 and emitted a phantom `c`
+# operator before the fix). Possessive quantifiers (*+) need
+# Python >= 3.11; older interpreters get the equivalent
+# lookahead-capture + backreference idiom (a satisfied lookahead is
+# never re-entered on backtrack, so the consumed prefix is fixed).
+
+
+def _atomic_star(atom: bytes, tag: bytes) -> bytes:
+    try:
+        re.compile(b"(?:" + atom + b")*+")
+        return b"(?:" + atom + b")*+"
+    except re.error:  # pragma: no cover — Python < 3.11
+        g = b"(?P<" + tag + b">(?:" + atom + b")*)"
+        return b"(?=" + g + b")(?P=" + tag + b")"
+
+
+_WS_ATOM = rb"[\x00\t\n\x0c\r\x20]+|%[^\r\n]*"
 _TOK_RE = re.compile(
-    rb"""(?:[\x00\t\n\x0c\r\x20]+|%[^\r\n]*)*+
+    _atomic_star(_WS_ATOM, b"wsat")
+    + rb"""
     (?:
       (?P<num>[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+))
     | (?P<name>/[^\x00\t\n\x0c\r\x20()<>\[\]{}/%]*)

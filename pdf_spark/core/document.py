@@ -272,6 +272,10 @@ def _has_identity_crypt_filter(stream_dict: dict) -> bool:
     parms = stream_dict.get("DecodeParms") or stream_dict.get("DP")
     if not isinstance(parms, list):
         parms = [parms] * len(filters)
+    elif len(parms) < len(filters):
+        # mirror decode_stream's padding: a short DecodeParms array must
+        # not hide a trailing /Crypt entry from the exemption probe
+        parms = parms + [None] * (len(filters) - len(parms))
     for name, parm in zip(filters, parms):
         if isinstance(name, Name) and str(name) == "Crypt":
             cf = parm.get("Name") if isinstance(parm, dict) else None

@@ -77,6 +77,15 @@ def _parse_sfnt_cached(data: bytes):
 SIMPLE_SUBTYPES = ("Type1", "TrueType", "MMType1", "Type3")
 
 
+# Cached Fonts live for the executor process's lifetime (_FONT_CACHE), so
+# their lazily-filled tables need a bound: a shared CJK Type0 font hit by
+# millions of documents would otherwise accumulate the full 65,536-code
+# space (~tens of MB) per font, times up to _ASSET_CACHE_MAX fonts. Past
+# the cap, lookups still return correct values — they are just recomputed
+# instead of memoized (real text uses far fewer distinct codes).
+_LAZY_TABLE_MAX = 8192
+
+
 class _LazyTransMap(dict):
     """code -> decoded text, filled on demand (used by ``str.translate``)."""
 
@@ -88,7 +97,8 @@ class _LazyTransMap(dict):
 
     def __missing__(self, code: int) -> str:
         v = self.font.code_to_text(code)
-        self[code] = v
+        if len(self) < _LAZY_TABLE_MAX:
+            self[code] = v
         return v
 
 
@@ -103,7 +113,8 @@ class _LazyWidthMap(dict):
 
     def __missing__(self, code: int) -> float:
         v = self.font.width(code)
-        self[code] = v
+        if len(self) < _LAZY_TABLE_MAX:
+            self[code] = v
         return v
 
 
@@ -341,7 +352,12 @@ def _canon_key(obj, resolver, out: list, seen: frozenset, depth: int) -> bool:
     caps, or unknown node types — the key must capture everything the
     loader consumes, so anything unserializable disables the cache rather
     than risking a false hit. Streams contribute their resolved dict plus
-    a digest of the raw bytes (raw + params determine the decoded form)."""
+    a digest of the raw bytes (raw + params determine the decoded form).
+
+    Every variable-length atom is LENGTH-PREFIXED so the serialization is
+    injective — sibling scalars must never be able to re-segment into a
+    different tree ([500,300,250] vs [50,0,300,250], or two names vs one
+    name containing a separator byte)."""
     if depth > 12 or len(out) > 8192:
         return False
     if isinstance(obj, Ref):
@@ -355,16 +371,20 @@ def _canon_key(obj, resolver, out: list, seen: frozenset, depth: int) -> bool:
         out.append(b"n" if obj is None else (b"T" if obj else b"F"))
         return True
     if isinstance(obj, Name):  # before str/num: Name is a str subclass
-        out.append(b"/" + obj.encode("utf-8", "surrogateescape"))
+        enc = obj.encode("utf-8", "surrogateescape")
+        out.append(b"/%d:%s" % (len(enc), enc))
         return True
     if isinstance(obj, (int, float)):
-        out.append(repr(obj).encode("ascii"))
+        r = repr(obj).encode("ascii")
+        out.append(b"#%d:%s" % (len(r), r))
         return True
     if isinstance(obj, bytes):
-        out.append(b"b" + (obj if len(obj) <= 64 else _digest(obj)))
+        body = obj if len(obj) <= 64 else _digest(obj)
+        out.append(b"b%d,%d:%s" % (len(obj), len(body), body))
         return True
     if isinstance(obj, str):
-        out.append(b"s" + obj.encode("utf-8", "surrogateescape"))
+        enc = obj.encode("utf-8", "surrogateescape")
+        out.append(b"s%d:%s" % (len(enc), enc))
         return True
     if isinstance(obj, list):
         out.append(b"[")
@@ -374,12 +394,13 @@ def _canon_key(obj, resolver, out: list, seen: frozenset, depth: int) -> bool:
         out.append(b"]")
         return True
     if isinstance(obj, Stream):
-        out.append(b"S" + _digest(obj.raw))
+        out.append(b"S%d:%s" % (len(obj.raw), _digest(obj.raw)))
         obj = obj.dict  # fall through to dict canon of the params
     if isinstance(obj, dict):
         out.append(b"<")
         for k in sorted(obj):
-            out.append(b"/" + str(k).encode("utf-8", "surrogateescape"))
+            ke = str(k).encode("utf-8", "surrogateescape")
+            out.append(b"k%d:%s" % (len(ke), ke))
             if not _canon_key(obj[k], resolver, out, seen, depth + 1):
                 return False
         out.append(b">")

@@ -70,12 +70,24 @@ _INDOBJ_RE = re.compile(
 # run of regular characters (not whitespace, not delimiter)
 _REG_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
 # dict-body step: ws/comments, then either the ``>>`` close or a ``/key``.
-# Possessive prefix (*+): backtracking could otherwise shorten a
-# %-comment and extract a phantom key/close from inside the comment text
-# when the next real token matches neither alternative.
+# The prefix must be ATOMIC (possessive on 3.11+, lookahead+backref
+# otherwise): backtracking could shorten a %-comment and extract a
+# phantom key/close from inside the comment text when the next real
+# token matches neither alternative.
+
+
+def _atomic_ws_prefix() -> bytes:
+    atom = rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)"
+    try:
+        re.compile(atom + b"*+")
+        return atom + b"*+"
+    except re.error:  # pragma: no cover — Python < 3.11
+        return b"(?=(?P<dws>" + atom + b"*))(?P=dws)"
+
+
 _DICT_KEY_RE = re.compile(
-    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*+"
-    rb"(?:(>>)|/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*))"
+    _atomic_ws_prefix()
+    + rb"(?:(?P<close>>>)|/(?P<key>[^\x00\t\n\x0c\r ()<>\[\]{}/%]*))"
 )
 _HEX_RE = re.compile(rb"[0-9a-fA-F]")
 _EOL_RE = re.compile(rb"\r\n|\n|\r")
@@ -482,9 +494,9 @@ class ObjectParser:
                     raise PdfError(INVALID_OBJECT, "unexpected EOF")
                 raise PdfError(INVALID_OBJECT, "dict key must be a name")
             self.pos = m.end()
-            if m.group(1) is not None:
+            if m.group("close") is not None:
                 return out
-            key = decode_name_bytes(m.group(2))
+            key = decode_name_bytes(m.group("key"))
             value = self.parse_object()
             # duplicate keys: FIRST wins (linear-scan lookup, object.c:929-945)
             if key not in out:

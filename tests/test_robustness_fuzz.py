@@ -146,3 +146,36 @@ def test_scanner_slow_parity_glued_and_comment_separated():
             assert fast_err and slow_err, (trial, soup, fast, slow)
         else:
             assert fast == slow, (trial, soup)
+
+
+def test_atomic_prefix_fallback_equivalent():
+    """The pre-3.11 lookahead+backref prefix must behave identically to
+    the possessive one (this container runs 3.11+, so the fallback branch
+    is exercised here by building both patterns explicitly)."""
+    import re
+
+    from pdf_spark.core.content import _WS_ATOM
+
+    possessive = re.compile(
+        b"(?:" + _WS_ATOM + b")*+" + rb"(?:(?P<num>\d+)|\((?P<s>[^()\\\\]*)\))"
+    )
+    fallback = re.compile(
+        b"(?=(?P<wsat>(?:" + _WS_ATOM + b")*))(?P=wsat)"
+        + rb"(?:(?P<num>\d+)|\((?P<s>[^()\\\\]*)\))"
+    )
+    cases = [
+        b"  % c\n 42",        # ws+comment then token
+        b"% c\n (ab)",        # comment then string
+        b"% c\n (ne(st)",     # comment then fallback-needing text: NO match
+        b"%only-comment",     # no token at all
+        b"7",                 # bare token
+        b"   ",               # pure ws
+    ]
+    for s in cases:
+        mp = possessive.match(s)
+        mf = fallback.match(s)
+        assert (mp is None) == (mf is None), s
+        if mp is not None:
+            assert mp.end() == mf.end(), s
+            assert mp.group("num") == mf.group("num"), s
+            assert mp.group("s") == mf.group("s"), s
