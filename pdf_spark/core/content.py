@@ -26,7 +26,8 @@ Operator support classes (SURVEY.md §2.2):
   deserializes ``Tz`` but panics executing it and panics parsing the others
   (operator.h:153-157,196-211); a 100TB extraction engine needs them.
 - parsed + ignored (no effect on text): path/paint/clip/color/shading ops.
-- warn-skip class (matching the reference): ``d BDC EMC``.
+- warn-skip class (matching the reference): ``d``; ``BMC BDC EMC`` are
+  emitted to the interpreter (EXTENSION: /ActualText scopes, §14.9.4).
 - inline images: ``BI`` skips spec-correctly to the terminating ``EI``
   (EXTENSION — the reference panics and loses the document; see
   ``skip_inline_image``); a bare ``ID``/``EI`` outside a BI section is
@@ -64,10 +65,14 @@ OPERATORS = frozenset(
     scn G g RG rg K k sh BI ID EI Do MP DP BMC BDC EMC BX EX""".split()
 )
 
-# ops with no bearing on extracted text: operands validated loosely, dropped
+# ops with no bearing on extracted text: operands validated loosely, dropped.
+# BMC/BDC/EMC are NOT here: marked-content scopes carry /ActualText
+# replacement text (PDF 32000-1 §14.9.4), which the interpreter honors
+# (EXTENSION — the reference warn-skips them); point marks MP/DP open no
+# scope and stay dropped.
 IGNORED = frozenset(
     """w J j M i ri m l c v y h re S s f F f* B B* b b* n W W* CS cs SC SCN
-    sc scn G g RG rg K k sh d0 d1 MP DP BMC BDC EMC d""".split()
+    sc scn G g RG rg K k sh d0 d1 MP DP d""".split()
 )
 
 # bare ID/EI outside a BI section are malformed (BI itself is handled by the

@@ -275,3 +275,41 @@ def glyph_name_to_unicode(name: str) -> Optional[str]:
         except ValueError:
             return None
     return None
+
+
+# -- PDF text strings (PDF 32000-1 §7.9.2.2 + Annex D.3) ---------------------
+#
+# Strings OUTSIDE content streams' show operators (ActualText, outlines,
+# document info) are "text strings": UTF-16BE with a FEFF BOM, else
+# PDFDocEncoding. PDF 2.0 (ISO 32000-2 §7.9.2.2) additionally allows a
+# UTF-8 BOM; UTF-16LE appears in the wild from sloppy producers and is
+# sniffed too. PDFDocEncoding is Latin-1 except the 0x18-0x1F accent row,
+# the 0x80-0x9E publishing block, and 0xA0 = EURO (Table D.2); the
+# undefined codes 0x7F/0x9F decode to U+FFFD.
+
+_PDFDOC_DIFF = {
+    0x18: "˘", 0x19: "ˇ", 0x1a: "ˆ", 0x1b: "˙",
+    0x1c: "˝", 0x1d: "˛", 0x1e: "˚", 0x1f: "˜",
+    0x7f: "�",
+    0x80: "•", 0x81: "†", 0x82: "‡", 0x83: "…",
+    0x84: "—", 0x85: "–", 0x86: "ƒ", 0x87: "⁄",
+    0x88: "‹", 0x89: "›", 0x8a: "−", 0x8b: "‰",
+    0x8c: "„", 0x8d: "“", 0x8e: "”", 0x8f: "‘",
+    0x90: "’", 0x91: "‚", 0x92: "™", 0x93: "ﬁ",
+    0x94: "ﬂ", 0x95: "Ł", 0x96: "Œ", 0x97: "Š",
+    0x98: "Ÿ", 0x99: "Ž", 0x9a: "ı", 0x9b: "ł",
+    0x9c: "œ", 0x9d: "š", 0x9e: "ž", 0x9f: "�",
+    0xa0: "€",
+}
+
+
+def decode_text_string(raw: bytes) -> str:
+    """Decode a PDF text string: BOM-sniffed UTF-16BE/LE/UTF-8, else
+    PDFDocEncoding. Never raises (malformed UTF-16 -> U+FFFD)."""
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", "replace")
+    if raw[:2] == b"\xff\xfe":
+        return raw[2:].decode("utf-16-le", "replace")
+    if raw[:3] == b"\xef\xbb\xbf":
+        return raw[3:].decode("utf-8", "replace")
+    return raw.decode("latin-1").translate(_PDFDOC_DIFF)

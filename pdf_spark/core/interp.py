@@ -36,6 +36,7 @@ import re
 from typing import Any, Optional
 
 from pdf_spark.core.content import parse_content_stream
+from pdf_spark.core.encodings import decode_text_string
 from pdf_spark.core.errors import INCORRECT_TYPE, RECURSION_LIMIT, PdfError
 from pdf_spark.core.fonts import Font, load_font
 from pdf_spark.core.objects import Name, Stream
@@ -160,6 +161,10 @@ class Interpreter:
         self.spans: list[Span] = []
         self.glyph_order = 0
         self._cur_op = ""  # last dispatched op, for error-detail context
+        # marked-content scopes (BMC/BDC..EMC): entries are None, or the
+        # open /ActualText scope's mutable [replacement_text, emitted] pair
+        self._mc_stack: list = []
+        self._actual: Optional[list] = None
 
     # -- resource lookup --
 
@@ -231,6 +236,7 @@ class Interpreter:
     ) -> None:
         ctm = base_ctm
         gs_stack: list[tuple[Mat, TextState]] = []
+        mc_base = len(self._mc_stack)  # EMC may not pop the CALLER's scopes
         ts = TextState()
         tm: Mat = IDENTITY
         tlm: Mat = IDENTITY
@@ -299,9 +305,59 @@ class Interpreter:
                 self._apply_extgstate(str(args[0]), resources, ts)
             elif op == "Do":
                 self._do_xobject(str(args[0]), resources, ctm, depth)
+            elif op == "BDC":
+                self._begin_marked(args, resources)
+            elif op == "BMC":
+                self._mc_stack.append(None)
+            elif op == "EMC":
+                if len(self._mc_stack) > mc_base:
+                    ent = self._mc_stack.pop()
+                    if ent is not None and ent is self._actual:
+                        self._actual = None
             else:  # pragma: no cover — parser already filters
                 pass
+        # a stream's unclosed scopes end with the stream (spec requires
+        # BMC/BDC..EMC balance WITHIN one stream, §14.6); a form's open
+        # ActualText scope must not suppress the caller's text
+        if len(self._mc_stack) > mc_base:
+            if self._actual is not None and any(
+                e is self._actual for e in self._mc_stack[mc_base:]
+            ):
+                self._actual = None
+            del self._mc_stack[mc_base:]
         return None
+
+    def _begin_marked(self, args, resources: dict) -> None:
+        """``BDC``: open a marked-content scope (PDF 32000-1 §14.6).
+
+        EXTENSION — the reference warn-skips BDC/EMC entirely: if the
+        scope's property list (inline dict, or a Name looked up in
+        Resources /Properties) carries ``/ActualText`` (§14.9.4) and no
+        ActualText scope is already open (the OUTERMOST replacement wins —
+        nested scopes are part of the replaced content), glyph-decoded
+        spans are suppressed until the matching EMC and the replacement
+        text is emitted once, at the position and font/size of the scope's
+        first show op. Real-world producers (LaTeX, Word) use ActualText
+        for ligature/hyphenation fix-ups, so honoring it IS the correct
+        extracted text for those documents. A scope containing no show op
+        contributes nothing (there is no geometry to anchor the text to).
+        A missing named property list is skipped silently (same leniency
+        direction as ``gs``)."""
+        entry = None
+        if self._actual is None and len(args) >= 2:
+            props = args[1]
+            if isinstance(props, Name):
+                try:
+                    props = self._lookup(resources, "Properties", str(props))
+                except PdfError:
+                    props = None
+            props = self.resolver.resolve(props)
+            if isinstance(props, dict):
+                at = self.resolver.resolve(props.get("ActualText"))
+                if isinstance(at, (bytes, bytearray)):
+                    entry = [decode_text_string(bytes(at)), False]
+                    self._actual = entry
+        self._mc_stack.append(entry)
 
     # -- the TJ span emitter (render.c:651-704 + text_state.c:27-118) --
 
@@ -310,6 +366,7 @@ class Interpreter:
             raise PdfError(INCORRECT_TYPE, "text shown before Tf set a font")
         font = ts.font
         fs, th, tc = ts.font_size, ts.h_scale, ts.char_spacing
+        actual = self._actual  # open /ActualText scope (BDC can't occur mid-TJ)
         is_type0 = font.is_type0
         # every font takes a C-level decode path — the lazy tables fill per
         # code on first use, so there is no build cost to amortize: simple
@@ -346,6 +403,11 @@ class Interpreter:
                 ) * th
                 if _SURROGATE_RE.search(text):
                     text = _fix_surrogates(text)
+                if actual is not None:
+                    # suppressed: the scope's ActualText replaces glyph
+                    # text, emitted once at the first show's position
+                    text = actual[0] if not actual[1] else ""
+                    actual[1] = True
                 if text:
                     self.spans.append(
                         Span(

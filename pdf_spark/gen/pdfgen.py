@@ -567,6 +567,67 @@ def _content_inline_image(lines: list[str]) -> bytes:
     return part1 + b"\n" + img + b"\n" + b"\n".join(ops)
 
 
+def _actualtext_doc(lines: list[str]) -> bytes:
+    """/ActualText marked-content scopes (PDF 32000-1 §14.9.4; engine
+    EXTENSION — the reference warn-skips BDC/EMC, operator.h:208-211).
+
+    Per-line cycle of four shapes:
+      i%4==0  plain ``Tj`` (no scope)
+      i%4==1  named property list (``/Span /ATn BDC`` via Resources
+              /Properties), glyphs carry a hyphenation fix-up, ActualText
+              (PDFDocEncoding literal) carries the true line
+      i%4==2  non-ActualText scope (``/P BMC``): glyph text passes through
+      i%4==3  inline dict with a UTF-16BE (BOM) hex-string ActualText;
+              the scope spans TWO show ops (replacement emitted once)
+    Expected text is exactly the input lines (default ``_expected_text``)."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    props = []
+    ops = [b"BT", b"/F1 " + _n(FONT_SIZE) + b" Tf"]
+    for i, line in enumerate(lines):
+        y = TOP_Y - i * LINE_HEIGHT
+        ops.append(b"1 0 0 1 " + _n(LEFT_X) + b" " + _n(y) + b" Tm")
+        mode = i % 4
+        mid = max(1, len(line) // 2)
+        if mode == 0:
+            ops.append(b"(" + esc(line) + b") Tj")
+        elif mode == 1:
+            pname = b"AT%d" % i
+            props.append(b"/" + pname + b"<</ActualText(" + esc(line) + b")>>")
+            garbled = line[:mid] + "- " + line[mid:]
+            ops.append(b"/Span /" + pname + b" BDC")
+            ops.append(b"(" + esc(garbled) + b") Tj")
+            ops.append(b"EMC")
+        elif mode == 2:
+            ops.append(b"/P BMC")
+            ops.append(b"(" + esc(line) + b") Tj")
+            ops.append(b"EMC")
+        else:
+            at = b"\xfe\xff" + line.encode("utf-16-be")
+            ops.append(
+                b"/Span <</ActualText<" + at.hex().encode() + b">>> BDC"
+            )
+            ops.append(b"(" + esc(line[:mid] + "-") + b") Tj")
+            ops.append(b"(" + esc(line[mid:]) + b") Tj")
+            ops.append(b"EMC")
+    ops.append(b"ET")
+    cont = b.stream(b"\n".join(ops), filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>"
+        b"/Properties<<" + b"".join(props) + b">>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
 def _extgstate_doc(lines: list[str]) -> bytes:
     """Font set via ``/GS1 gs`` (ExtGState /Font pair) instead of Tf — the
     page has no Tf at all, so extraction only works if gs is applied."""
@@ -1152,6 +1213,7 @@ _GOOD_VARIANTS = [
     ("encrypted_rc4", lambda L: _encrypted_doc(L, "rc4_128")),
     ("encrypted_aes", lambda L: _encrypted_doc(L, "aes128")),
     ("encrypted_aes256", lambda L: _encrypted_doc(L, "aes256")),
+    ("actualtext", lambda L: _actualtext_doc(L)),
 ]
 
 

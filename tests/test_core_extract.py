@@ -666,3 +666,169 @@ class TestFontCache:
         out: list = []
         # ref cycle -> canon bails (no cache) instead of recursing/embedding ids
         assert not _canon_key(Ref(1, 0), FakeResolver(), out, frozenset(), 0)
+
+
+class TestActualText:
+    """/ActualText marked-content scopes (PDF 32000-1 §14.9.4) — engine
+    EXTENSION; the reference warn-skips BDC/EMC (operator.h:208-211)."""
+
+    @staticmethod
+    def _doc(content: bytes, props: bytes = b"") -> bytes:
+        from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder
+
+        b = PdfBuilder()
+        cat = b.reserve()
+        pages = b.reserve()
+        page = b.reserve()
+        font = b.add(F_HELV)
+        cont = b.stream(content)
+        b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+        b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+        b.set(
+            page,
+            b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+            b"/MediaBox[0 0 612 792]"
+            b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>"
+            + (b"/Properties<<" + props + b">>" if props else b"")
+            + b">>/Contents " + str(cont).encode() + b" 0 R>>",
+        )
+        return b.build(cat)
+
+    def test_decode_text_string_encodings(self):
+        from pdf_spark.core.encodings import decode_text_string
+
+        assert decode_text_string(b"\xfe\xff\x00f\x00i") == "fi"
+        assert decode_text_string(b"\xff\xfef\x00i\x00") == "fi"
+        assert decode_text_string(b"\xef\xbb\xbffi") == "fi"
+        # PDFDocEncoding: 0x93 = fi-ligature, 0xa0 = EURO, ASCII unchanged
+        assert decode_text_string(b"x\x93\xa0") == "xﬁ€"
+        # undefined codes decode to U+FFFD, never raise
+        assert decode_text_string(b"\x7f\x9f") == "��"
+        # truncated UTF-16 payload -> replacement char, no exception
+        assert "�" in decode_text_string(b"\xfe\xff\x00")
+
+    def test_actualtext_replaces_glyph_text(self):
+        content = (
+            b"BT /F1 12 Tf 1 0 0 1 72 700 Tm\n"
+            b"/Span <</ActualText (efficient)>> BDC (ef- ficient) Tj EMC\n"
+            b"ET"
+        )
+        text, status, err, _, n_spans = extract_text(self._doc(content))
+        assert (status, text) == ("ok", "efficient")
+        assert n_spans == 1
+
+    def test_scope_spanning_two_shows_emits_once(self):
+        content = (
+            b"BT /F1 12 Tf 1 0 0 1 72 700 Tm\n"
+            b"/Span <</ActualText (whole)>> BDC (wh-) Tj (ole) Tj EMC\n"
+            b"ET"
+        )
+        text, status, _, _, n_spans = extract_text(self._doc(content))
+        assert (status, text) == ("ok", "whole")
+        assert n_spans == 1
+
+    def test_nested_scopes_outermost_wins(self):
+        content = (
+            b"BT /F1 12 Tf 1 0 0 1 72 700 Tm\n"
+            b"/Span <</ActualText (outer)>> BDC (a) Tj\n"
+            b"/Span <</ActualText (inner)>> BDC (b) Tj EMC\n"
+            b"(c) Tj EMC (after) Tj\n"
+            b"ET"
+        )
+        text, status, _, _, _ = extract_text(self._doc(content))
+        assert status == "ok"
+        assert text == "outerafter"
+
+    def test_scope_without_show_contributes_nothing(self):
+        content = (
+            b"BT /F1 12 Tf 1 0 0 1 72 700 Tm\n"
+            b"/Span <</ActualText (ghost)>> BDC EMC (real) Tj\n"
+            b"ET"
+        )
+        text, status, _, _, _ = extract_text(self._doc(content))
+        assert (status, text) == ("ok", "real")
+
+    def test_empty_actualtext_suppresses_content(self):
+        # empty replacement = decorative/dropped content (spec-sanctioned)
+        content = (
+            b"BT /F1 12 Tf 1 0 0 1 72 700 Tm\n"
+            b"/Span <</ActualText ()>> BDC (noise) Tj EMC (keep) Tj\n"
+            b"ET"
+        )
+        text, status, _, _, _ = extract_text(self._doc(content))
+        assert (status, text) == ("ok", "keep")
+
+    def test_stray_emc_and_bmc_passthrough(self):
+        content = (
+            b"BT /F1 12 Tf 1 0 0 1 72 700 Tm\n"
+            b"EMC /P BMC (visible) Tj EMC EMC\n"
+            b"ET"
+        )
+        text, status, _, _, _ = extract_text(self._doc(content))
+        assert (status, text) == ("ok", "visible")
+
+    def test_named_properties_resolved_and_missing_lenient(self):
+        props = b"/AT1 <</ActualText (named)>>"
+        content = (
+            b"BT /F1 12 Tf 1 0 0 1 72 700 Tm\n"
+            b"/Span /AT1 BDC (garb) Tj EMC\n"
+            b"1 0 0 1 72 686 Tm\n"
+            b"/Span /NoSuch BDC (kept) Tj EMC\n"
+            b"ET"
+        )
+        text, status, _, _, _ = extract_text(self._doc(content, props))
+        assert (status, text) == ("ok", "named\nkept")
+
+    def test_unclosed_scope_in_form_does_not_leak(self):
+        from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder
+
+        b = PdfBuilder()
+        cat = b.reserve()
+        pages = b.reserve()
+        page = b.reserve()
+        font = b.add(F_HELV)
+        # form opens an ActualText scope and never closes it (stream ends)
+        form = b.stream(
+            b"BT /F1 12 Tf 1 0 0 1 0 0 Tm\n"
+            b"/Span <</ActualText (formtext)>> BDC (x) Tj\n"
+            b"ET",
+            extra_dict=(
+                b"/Type/XObject/Subtype/Form/BBox[0 0 612 792]"
+                b"/Matrix[1 0 0 1 72 700]"
+                b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+            ),
+        )
+        cont = b.stream(
+            b"q /Fm1 Do Q BT /F1 12 Tf 1 0 0 1 72 686 Tm (pagetext) Tj ET"
+        )
+        b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+        b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+        b.set(
+            page,
+            b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+            b"/MediaBox[0 0 612 792]"
+            b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>"
+            b"/XObject<</Fm1 " + str(form).encode() + b" 0 R>>>>"
+            b"/Contents " + str(cont).encode() + b" 0 R>>",
+        )
+        text, status, _, _, _ = extract_text(b.build(cat))
+        assert status == "ok"
+        # the form's replacement is emitted; the page's own text must NOT
+        # be suppressed by the form's unclosed scope
+        assert text == "formtext\npagetext"
+
+    def test_actualtext_variant_roundtrip(self):
+        from pdf_spark.core.extract import extract_text
+        from pdf_spark.gen.pdfgen import _GOOD_VARIANTS, generate_doc
+
+        idx = [n for n, _ in _GOOD_VARIANTS].index("actualtext")
+        corpus = (
+            "the quick brown fox jumps over the lazy dog while the "
+            "marked content scopes carry actual text replacements for "
+            "ligature and hyphenation fix ups across many wrapped lines"
+        )
+        pdf, exp, name, err = generate_doc(corpus, idx)
+        assert name == "actualtext" and err == ""
+        got, status, ecode, _, _ = extract_text(pdf)
+        assert (status, ecode) == ("ok", "")
+        assert got == exp
