@@ -502,3 +502,218 @@ FROM (
 GROUP BY doc_id
 """
 _pair("qt13_kgram_min_fingerprint", _KGRAM_SPARK, _KGRAM_DUCK)
+
+# -- near-dup clustering: connected components over LSH candidate edges -------
+#
+# The dedup ENDGAME: qt06's candidate pairs are edges, and the actual dedup
+# action is "keep one document per connected component". Components are
+# computed by iterative min-label propagation over DataFrames: each round
+# every node takes the min component id among itself and its neighbors
+# (one equi-join + one min-aggregation — both plain shuffles Catalyst/AQE
+# plan like any other). LSH components are near-cliques (every near-dup
+# pair shares a band value), so the graph diameter — which bounds the
+# round count — is tiny; for adversarial diameters the same per-round
+# dataflow generalizes to large-star/small-star (Kiveris et al.,
+# "Connected Components in MapReduce and Beyond", SoCC'14), which
+# converges in O(log^2 n) rounds.
+#
+# Convergence uses the monotone invariant sum(comp): labels only ever
+# decrease, so an unchanged sum IS a fixed point — one cheap aggregate per
+# round instead of a change-count self-join. Each round persists its label
+# table and releases the previous one; at 10^12 scale those persists
+# become writes to an intermediate table, which also truncates the plan
+# lineage the iteration would otherwise accumulate.
+
+_QT14_MAX_ROUNDS = 30  # diameter cap; LSH clusters converge in 2-3
+
+_QT14_FINAL = """
+SELECT doc_id, comp AS component,
+       CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS cluster_size
+FROM qt14_labels
+"""
+
+
+def _qt14(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf)
+    _stage(spark, "qt06_sigs", _MINHASH_SPARK)
+    _evict_stale_stages(spark)
+    key = "<qt14 min-label propagation over>" + _MINHASH_SPARK
+    prev = _STAGED_CACHE.get("qt14_labels")
+    if prev is None or prev[0] != key:
+        edges = spark.sql(_LSH_MAIN)
+        und = (
+            edges.selectExpr("doc_a AS src", "doc_b AS dst")
+            .unionAll(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
+            .persist()
+        )
+        labels = (
+            und.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .withColumn("comp", F.col("doc_id"))
+        )
+        prev_sum: object = object()  # sum is legitimately None on empty input
+        prev_labels = None
+        for _ in range(_QT14_MAX_ROUNDS):
+            labels = labels.persist()
+            cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+            if prev_labels is not None:
+                prev_labels.unpersist()
+            prev_labels = labels
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+            nbr = (
+                und.join(labels, und["dst"] == labels["doc_id"])
+                .groupBy("src")
+                .agg(F.min("comp").alias("nbr_comp"))
+            )
+            labels = labels.join(
+                nbr, labels["doc_id"] == nbr["src"], "left"
+            ).select(
+                labels["doc_id"],
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+        und.unpersist()
+        if prev is not None:
+            try:
+                prev[1].unpersist()
+            except Exception:  # stale session entry: cache died with it
+                pass
+        prev_labels.createOrReplaceTempView("qt14_labels")
+        _STAGED_CACHE["qt14_labels"] = (key, prev_labels)
+    return spark.sql(_QT14_FINAL)
+
+
+QUERIES["qt14_dup_clusters"] = _qt14
+ORACLE["qt14_dup_clusters"] = f"""
+WITH RECURSIVE sigs AS ({_MINHASH_DUCK}),
+edges AS ({_LSH_BODY.replace("{T}", "sigs")}),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM edges
+),
+reach(doc_id, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.doc_id
+),
+comp AS (SELECT doc_id, MIN(r) AS component FROM reach GROUP BY doc_id)
+SELECT doc_id, component,
+       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+FROM comp
+"""
+
+# -- deterministic stratified sampling ----------------------------------------
+#
+# Training mixes need per-stratum (language) samples whose membership is
+# REPRODUCIBLE across runs, engines, and cluster sizes — rand() is none of
+# those. The keep decision hashes the doc id (3 md5 hex nibbles = 12
+# uniform bits, extracted with the same portable instr() arithmetic as
+# qt09's SimHash bands) and keeps v/4096 < target/stratum_n, evaluated as
+# v * n < target * 4096 in EXACT integer arithmetic. One scan plus a
+# broadcast join against the tiny per-lang count dim; the rate
+# self-adjusts so every stratum yields ~TARGET docs regardless of its
+# population — exactly the oversampling control a 10^12-doc mix needs.
+
+_QT15_TARGET = 40
+_QT15_BODY = """
+WITH strata AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN strata s ON d.lang = s.lang
+WHERE (  (instr('0123456789abcdef', substr(md5({DID}), 1, 1)) - 1) * 256
+       + (instr('0123456789abcdef', substr(md5({DID}), 2, 1)) - 1) * 16
+       + (instr('0123456789abcdef', substr(md5({DID}), 3, 1)) - 1)
+      ) * s.n < {T} * 4096
+"""
+_pair(
+    "qt15_stratified_sample",
+    _QT15_BODY.replace("{DID}", "CAST(d.doc_id AS STRING)")
+    .replace("{T}", str(_QT15_TARGET)),
+    _QT15_BODY.replace("{DID}", "CAST(d.doc_id AS VARCHAR)")
+    .replace("{T}", str(_QT15_TARGET)),
+)
+
+# -- corpus-wide n-gram top-k -------------------------------------------------
+#
+# Vocabulary/boilerplate analysis: the most frequent word bigrams across
+# the corpus. Map-side explode + partial aggregation (whole-stage codegen,
+# map-side combine makes the shuffle carry one row per distinct gram per
+# task, not per occurrence), then ORDER BY + LIMIT plans as TakeOrdered —
+# a per-partition top-k followed by a k-row driver merge, never a full
+# sort. Tie at the cut broken by the gram string so the k rows are
+# engine-deterministic.
+
+_NGRAM_TOPK_SPARK = """
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (
+  SELECT explode(transform(sequence(1, size(toks) - 1),
+                           i -> concat_ws(' ', slice(toks, i, 2)))) AS gram
+  FROM (SELECT split(text, ' ') AS toks FROM documents)
+  WHERE size(toks) >= 2
+)
+GROUP BY gram
+ORDER BY cnt DESC, gram
+LIMIT 25
+"""
+_NGRAM_TOPK_DUCK = """
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> array_to_string(toks[i:i+1], ' '))) AS gram
+  FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 2
+)
+GROUP BY gram
+ORDER BY cnt DESC, gram
+LIMIT 25
+"""
+_pair("qt16_ngram_topk", _NGRAM_TOPK_SPARK, _NGRAM_TOPK_DUCK)
+
+# -- per-document keyword extraction (tf-idf-style top terms) -----------------
+#
+# The classic IR shape: term frequency per doc, document frequency per
+# term, score = tf * (N+1)/(df+1), top-3 terms per doc by window
+# ROW_NUMBER. The idf factor is the RAW inverse ratio rather than its log:
+# tf*(N+1) is an exact small-integer product in double and (df+1) divides
+# it in one correctly-rounded IEEE op, so the score — and therefore the
+# rank cut — is bit-identical across engines, where ln() (only 1-ulp
+# accurate in java.lang.Math) could flip a rank at a near-tie. log-idf is
+# a monotone transform of the ratio for fixed tf, and the ranking question
+# this query answers is within-document. Dataflow: two aggregations + a
+# broadcast scalar (1-row corpus count) + a window top-k partitioned by
+# doc — every stage shuffle-bounded by distinct (doc, term).
+
+_KEYWORD_TOPK = """
+WITH tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, {TOKFN} AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY doc_id, tok
+),
+docfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+corpus AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.tok,
+         CAST(t.tf AS DOUBLE) * (c.n_docs + 1) / (d.df + 1) AS score
+  FROM tf t JOIN docfreq d ON t.tok = d.tok CROSS JOIN corpus c
+)
+SELECT doc_id, tok AS term, ROUND(score, 4) AS tfidf_score,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT doc_id, tok, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tok) AS rnk
+  FROM scored
+)
+WHERE rnk <= 3
+"""
+_pair(
+    "qt17_keyword_topk",
+    _KEYWORD_TOPK.replace("{TOKFN}", "explode(split(text, ' '))"),
+    _KEYWORD_TOPK.replace("{TOKFN}", "unnest(string_split(text, ' '))"),
+)
