@@ -484,6 +484,27 @@ def _load_font_uncached(font_obj, resolver) -> Font:
         if isinstance(widths, list):
             f.widths = [float(resolver.resolve(w)) for w in widths]
         _load_descriptor(f, d.get("FontDescriptor"), resolver)
+        if subtype == Name("Type3"):
+            # Type3 widths are in GLYPH SPACE mapped to text space by
+            # /FontMatrix (PDF 32000-1 §9.6.5, §9.2.4) — not the fixed
+            # 1/1000 of Type1/TrueType. Fold the matrix's x-scale into the
+            # width table (and MissingWidth) so the span emitter's uniform
+            # w/1000 math yields w*a in text space (the common
+            # [0.001 0 0 0.001 0 0] matrix makes this a no-op).
+            # EXTENSION: the reference panics on Type3 dictionaries
+            # outright (font.c:234-236).
+            fm = resolver.resolve(d.get("FontMatrix"))
+            if isinstance(fm, list) and len(fm) == 6:
+                try:
+                    a = float(resolver.resolve(fm[0]))
+                except (TypeError, ValueError):
+                    a = 0.001
+                scale = a * 1000.0
+                if scale != 1.0:
+                    if f.widths is not None:
+                        f.widths = [w * scale for w in f.widths]
+                    if f.missing_width is not None:
+                        f.missing_width *= scale
         enc = resolver.resolve(d.get("Encoding"))
         if isinstance(enc, Name):
             f.code_to_name = BASE_ENCODINGS.get(str(enc), {})

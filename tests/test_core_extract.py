@@ -832,3 +832,62 @@ class TestActualText:
         got, status, ecode, _, _ = extract_text(pdf)
         assert (status, ecode) == ("ok", "")
         assert got == exp
+
+
+class TestType3FontMatrix:
+    """Type3 width scaling: /Widths are in glyph space mapped by /FontMatrix
+    (§9.6.5), folded into the width table at load so the emitter's w/1000
+    math stays uniform. EXTENSION — the reference panics on Type3
+    (font.c:234-236)."""
+
+    @staticmethod
+    def _doc(font_matrix: bytes) -> bytes:
+        from pdf_spark.gen.pdfgen import PdfBuilder
+
+        b = PdfBuilder()
+        cat = b.reserve()
+        pages = b.reserve()
+        page = b.reserve()
+        font = b.add(
+            b"<</Type/Font/Subtype/Type3"
+            b"/FontMatrix" + font_matrix +
+            b"/FirstChar 97/LastChar 99/Widths[50 60 70]"
+            b"/Encoding<</Differences[97/a 98/b 99/c]>>"
+            b"/CharProcs<<>>>>"
+        )
+        cont = b.stream(b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (abc) Tj ET")
+        b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+        b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+        b.set(
+            page,
+            b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+            b"/MediaBox[0 0 612 792]"
+            b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+            b"/Contents " + str(cont).encode() + b" 0 R>>",
+        )
+        return b.build(cat)
+
+    def _load(self, pdf: bytes):
+        from pdf_spark.core.document import Resolver
+        from pdf_spark.core.fonts import load_font
+
+        r = Resolver(pdf)
+        page = next(iter(r.iter_pages()))
+        res = r.resolve(page.get("Resources"))
+        fonts = r.resolve(res.get("Font"))
+        return load_font(next(iter(fonts.values())), r)
+
+    def test_nonstandard_matrix_scales_widths(self):
+        # a = 0.01 -> scale 10x: glyph-space 50 -> 500 per-mille
+        f = self._load(self._doc(b"[0.01 0 0 0.01 0 0]"))
+        assert f.widths == [500.0, 600.0, 700.0]
+
+    def test_standard_matrix_is_noop(self):
+        f = self._load(self._doc(b"[0.001 0 0 0.001 0 0]"))
+        assert f.widths == [50.0, 60.0, 70.0]
+
+    def test_extraction_with_type3_font(self):
+        text, status, code, _, n_spans = extract_text(
+            self._doc(b"[0.01 0 0 0.01 0 0]")
+        )
+        assert (status, text) == ("ok", "abc"), code
