@@ -26,6 +26,7 @@ from pdf_spark.core.errors import (
     INTERNAL_ERROR,
     PdfError,
 )
+from pdf_spark.core.htmltext import html_spans, looks_like_html
 from pdf_spark.core.interp import IDENTITY, Interpreter, Span, translate
 
 DEFAULT_MAX_BYTES = 512 * 1024 * 1024  # per-doc byte cap (skew guard)
@@ -48,11 +49,23 @@ class ExtractResult:
 def extract_document(
     data: Optional[bytes], max_bytes: int = DEFAULT_MAX_BYTES
 ) -> ExtractResult:
-    """Parse one PDF byte payload into spans. Never raises."""
+    """Parse one payload (PDF or HTML, sniffed by magic) into spans.
+    Never raises."""
     if not data or len(data) <= 8:
         return ExtractResult("error", EMPTY_DOC, [], 0)
     if len(data) > max_bytes:
         return ExtractResult("error", DOC_TOO_LARGE, [], 0)
+    if looks_like_html(data):
+        # HTML tier (north rule: "HTML boilerplate strip ... DOM
+        # heuristics"). Routed by magic bytes, never URL extension —
+        # Content-Type lies at crawl scale. One content block = one span
+        # at (page 0, y = -block_index), so assembly, lineage, streaming
+        # and every downstream operator work unchanged on mixed corpora.
+        try:
+            spans, _n_blocks = html_spans(bytes(data))
+            return ExtractResult("ok", "", spans, 1)
+        except Exception:  # noqa: BLE001 — bad doc = row, not crash
+            return ExtractResult("error", INTERNAL_ERROR, [], 0)
     try:
         resolver = Resolver(bytes(data))
         spans: list[Span] = []

@@ -1,0 +1,370 @@
+"""HTML main-content extraction: boilerplate strip via DOM heuristics.
+
+The north rule names three extraction tiers — "HTML boilerplate strip,
+PDF/layout parse, DOM heuristics". This module is the HTML tier, a pure
+function of the payload bytes with the same contract as the PDF core
+(never raises; deterministic across executors):
+
+1. **Sniff** — ``looks_like_html`` routes payloads by magic bytes
+   (``<!doctype html`` / ``<html``), never by URL extension: at
+   Common-Crawl scale the Content-Type header and the URL suffix both lie,
+   the first bytes do not.
+2. **Decode** — BOM, then ``<meta charset>`` sniff over the first 2 KiB,
+   then strict UTF-8, then windows-1252 (the de-facto web fallback).
+3. **Tokenize** — a single linear regex scanner over the decoded text:
+   comments, CDATA, declarations, end tags, start tags (quoted attributes
+   may contain ``>``), text. Raw-text elements (``script``/``style``/
+   ``template``/``textarea``/``noscript``) are skipped to their matching
+   close tag so their bodies can never leak into text.
+4. **Segment** — text accumulates into *blocks*; any block-level tag
+   boundary flushes the current block. An element stack (depth-capped,
+   with the HTML5 implied-end-tag rules for ``p``/``li``/``td``/…)
+   tracks three inherited context flags per block: *hidden* (head, svg,
+   form controls), *boiler* (nav/header/footer/aside/form ancestry or a
+   class/id hint such as ``cookie``/``sidebar``/``share``), and *main*
+   (article/main ancestry).
+5. **Classify** — shallow text features in the spirit of Kohlschuetter
+   et al., "Boilerplate Detection Using Shallow Text Features" (WSDM
+   2010) and Pomikalek's jusText (2011): link density and block length
+   are the dominant signals, DOM context breaks ties, and a second
+   context-propagation pass lets short/medium blocks inherit the class
+   of their decided neighbours (good wins over bad, as in jusText).
+
+The reference engine (someone13574/pdf) has no HTML path at all — this
+tier is net-new capability mandated by the north rule, so there is no
+reference file to cite; the published algorithms above are the spec.
+
+Whitespace inside a block is normalised to single spaces (``&nbsp;`` and
+friends are Unicode whitespace after entity expansion and normalise the
+same way); blocks join with ``\n`` downstream via the standard span
+assembly (one block = one span at ``y = -block_index``).
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+
+# --- sniffing ---------------------------------------------------------------
+
+_MAGIC_RE = re.compile(
+    rb"^(?:\xef\xbb\xbf)?[ \t\r\n\f]{0,256}<(?:!doctype[ \t\r\n\f]|html[ \t\r\n\f>])",
+    re.I,
+)
+
+
+def looks_like_html(data: bytes) -> bool:
+    """True iff the payload's first bytes are an HTML document marker.
+
+    Deliberately conservative (requires ``<!doctype`` or ``<html``, not a
+    bare ``<``) so that corrupt PDF payloads and random tag soup keep
+    flowing to the PDF error path unchanged."""
+    return bool(_MAGIC_RE.match(data[:512]))
+
+
+# --- decoding ---------------------------------------------------------------
+
+_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)", re.I)
+
+
+def decode_html(data: bytes) -> str:
+    if data[:3] == b"\xef\xbb\xbf":
+        return data[3:].decode("utf-8", "replace")
+    m = _CHARSET_RE.search(data[:2048])
+    if m:
+        try:
+            return data.decode(m.group(1).decode("ascii"), "replace")
+        except (LookupError, UnicodeDecodeError):
+            pass
+    try:
+        return data.decode("utf-8")
+    except UnicodeDecodeError:
+        return data.decode("windows-1252", "replace")
+
+
+# --- tokenizer --------------------------------------------------------------
+
+# One linear pass; quoted attribute values may contain '>'. Alternatives are
+# ordered most-specific-first; every '<' falls into exactly one arm (the
+# final '<' arm catches stray less-thans in text).
+_TOKEN_RE = re.compile(
+    r"""
+      <!--.*?(?:-->|\Z)                                    # comment
+    | <!\[CDATA\[.*?(?:\]\]>|\Z)                           # CDATA
+    | <![^>]*>?                                            # doctype / decl
+    | <\?[^>]*>?                                           # processing instr
+    | </\s*([a-zA-Z][a-zA-Z0-9:_\-]*)[^>]*>?               # 1: end tag
+    | <([a-zA-Z][a-zA-Z0-9:_\-]*)                          # 2: start tag name
+      ((?:"[^"]*"|'[^']*'|[^>"'])*)>?                      # 3: attrs
+    | [^<]+                                                # text
+    | <                                                    # stray '<'
+    """,
+    re.S | re.X,
+)
+
+# Elements whose raw bodies may contain '<' and must be skipped wholesale.
+_RAWTEXT = {"script", "style", "template", "textarea", "noscript", "xmp"}
+
+# Void elements: never pushed on the stack.
+_VOID = {
+    "br", "img", "hr", "meta", "link", "input", "area", "base", "col",
+    "embed", "param", "source", "track", "wbr",
+}
+
+# A start/end of any of these flushes the current text block.
+_BLOCK_TAGS = {
+    "p", "div", "section", "article", "aside", "header", "footer", "nav",
+    "main", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol", "dl",
+    "dt", "dd", "table", "thead", "tbody", "tfoot", "tr", "td", "th",
+    "blockquote", "pre", "figure", "figcaption", "form", "fieldset",
+    "legend", "hr", "br", "address", "details", "summary", "caption",
+    "center", "body", "html",
+}
+
+# Subtrees whose text is never content (hidden flag).
+_HIDDEN_TAGS = {
+    "head", "title", "select", "option", "datalist", "iframe", "object",
+    "svg", "math", "audio", "video", "map", "style", "script",
+}
+
+# Ancestry that marks a block boilerplate / main content.
+_BOILER_TAGS = {"nav", "header", "footer", "aside", "form", "fieldset"}
+_MAIN_TAGS = {"article", "main"}
+
+# HTML5 implied end tags (subset that matters for block segmentation).
+_AUTOCLOSE = {
+    "p": {"p"},
+    "li": {"li"},
+    "dt": {"dd", "dt"},
+    "dd": {"dd", "dt"},
+    "td": {"td", "th"},
+    "th": {"td", "th"},
+    "tr": {"tr", "td", "th"},
+    "option": {"option"},
+}
+
+_ATTR_HINT_RE = re.compile(
+    r"""(?:class|id)\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)""", re.I
+)
+_BOILER_WORD_RE = re.compile(
+    r"comment|sidebar|footer|masthead|nav(?:bar|igation)?\b|menu|breadcrumb"
+    r"|share|social|cookie|banner|advert|\bads?\b|promo|related|widget|popup",
+    re.I,
+)
+
+_MAX_STACK = 256
+
+# Classification thresholds (jusText uses length_low=70/length_high=200 on
+# full paragraphs; our blocks are finer-grained, so the bands sit lower —
+# chars are counted non-whitespace).
+LINK_DENSITY_MAX = 0.33
+GOOD_MIN_CHARS = 40
+SHORT_MAX_CHARS = 10
+
+_GOOD, _BAD, _SHORT, _NEAR = "good", "bad", "short", "near"
+
+
+class HtmlBlock:
+    """One segmented text block with its classification features."""
+
+    __slots__ = ("text", "chars", "link_chars", "boiler_ctx", "main_ctx", "label")
+
+    def __init__(self, text, chars, link_chars, boiler_ctx, main_ctx):
+        self.text = text
+        self.chars = chars
+        self.link_chars = link_chars
+        self.boiler_ctx = boiler_ctx
+        self.main_ctx = main_ctx
+        self.label = None
+
+    @property
+    def link_density(self) -> float:
+        return self.link_chars / self.chars if self.chars else 0.0
+
+
+def _attr_hint(attrs: str) -> bool:
+    for m in _ATTR_HINT_RE.finditer(attrs):
+        if _BOILER_WORD_RE.search(m.group(1)):
+            return True
+    return False
+
+
+def segment_blocks(html_text: str) -> list[HtmlBlock]:
+    """Tokenize + segment: decoded HTML -> ordered blocks with context."""
+    # stack entries: (tag, hidden, boiler, main)
+    stack: list[tuple[str, bool, bool, bool]] = []
+    hidden = boiler = main = False
+    in_link = 0
+    parts: list[str] = []
+    link_chars = 0
+    total_chars = 0
+    blocks: list[HtmlBlock] = []
+
+    def flush(b_ctx: bool, m_ctx: bool) -> None:
+        nonlocal parts, link_chars, total_chars
+        if parts:
+            text = " ".join("".join(parts).split())
+            if text:
+                blocks.append(
+                    HtmlBlock(text, total_chars, link_chars, b_ctx, m_ctx)
+                )
+        parts = []
+        link_chars = 0
+        total_chars = 0
+
+    def refresh() -> tuple[bool, bool, bool]:
+        if stack:
+            _, h, b, m = stack[-1]
+            return h, b, m
+        return False, False, False
+
+    pos = 0
+    n = len(html_text)
+    while pos < n:
+        m = _TOKEN_RE.match(html_text, pos)
+        if m is None:  # pragma: no cover — the regex is total
+            pos += 1
+            continue
+        pos = m.end()
+        end_tag, start_tag, attrs = m.group(1), m.group(2), m.group(3)
+        if start_tag is not None:
+            tag = start_tag.lower()
+            self_closing = attrs.rstrip().endswith("/")
+            if tag in _BLOCK_TAGS:
+                flush(boiler, main)
+            if tag == "a":
+                in_link += 1
+                continue
+            if tag in _VOID or self_closing:
+                continue
+            if tag in _RAWTEXT:
+                # skip the raw body to the matching close tag (or EOF)
+                close = re.compile(r"</\s*%s[\s>]" % re.escape(tag), re.I)
+                cm = close.search(html_text, pos)
+                if cm is None:
+                    pos = n
+                else:
+                    gt = html_text.find(">", cm.start())
+                    pos = n if gt == -1 else gt + 1
+                continue
+            closes = _AUTOCLOSE.get(tag)
+            if closes:
+                popped = False
+                while stack and stack[-1][0] in closes:
+                    stack.pop()
+                    popped = True
+                if popped:
+                    hidden, boiler, main = refresh()
+            if len(stack) < _MAX_STACK:
+                h = hidden or tag in _HIDDEN_TAGS
+                b = boiler or tag in _BOILER_TAGS or _attr_hint(attrs)
+                mm = main or tag in _MAIN_TAGS
+                stack.append((tag, h, b, mm))
+                hidden, boiler, main = h, b, mm
+        elif end_tag is not None:
+            tag = end_tag.lower()
+            if tag in _BLOCK_TAGS:
+                flush(boiler, main)
+            if tag == "a":
+                if in_link:
+                    in_link -= 1
+                continue
+            for i in range(len(stack) - 1, -1, -1):
+                if stack[i][0] == tag:
+                    del stack[i:]
+                    hidden, boiler, main = refresh()
+                    break
+        elif m.group(0)[0] != "<":  # text node
+            if hidden:
+                continue
+            text = unescape(m.group(0))
+            nchars = sum(1 for c in text if not c.isspace())
+            if nchars:
+                total_chars += nchars
+                if in_link:
+                    link_chars += nchars
+            parts.append(text)
+        # comments / CDATA / doctype / PI / stray '<': dropped
+    flush(boiler, main)
+    return blocks
+
+
+def classify_blocks(blocks: list[HtmlBlock]) -> list[HtmlBlock]:
+    """Label each block good/bad in place and return the list.
+
+    Pass 1 (context-free, per block): boiler ancestry or high link density
+    -> bad; main ancestry -> good; long low-link blocks -> good; the rest
+    undecided (short/near). Pass 2 (context, jusText-style): undecided
+    blocks inherit from their nearest decided neighbours, good winning
+    over bad (jusText's short-block rule); a *near* block (medium length)
+    with zero links stays content even between bad neighbours — the
+    Boilerpipe densitometric analogue of "words without links are text" —
+    so plain pages that open with a menu are not wiped out.
+    """
+    for b in blocks:
+        if b.boiler_ctx or b.link_density > LINK_DENSITY_MAX:
+            b.label = _BAD
+        elif b.main_ctx:
+            b.label = _GOOD
+        elif b.chars >= GOOD_MIN_CHARS and b.link_density < LINK_DENSITY_MAX / 2:
+            b.label = _GOOD
+        elif b.chars <= SHORT_MAX_CHARS:
+            b.label = _SHORT
+        else:
+            b.label = _NEAR
+    # nearest decided neighbour on each side
+    n = len(blocks)
+    prev: list = [None] * n
+    nxt: list = [None] * n
+    last = None
+    for i, b in enumerate(blocks):
+        prev[i] = last
+        if b.label in (_GOOD, _BAD):
+            last = b.label
+    last = None
+    for i in range(n - 1, -1, -1):
+        nxt[i] = last
+        if blocks[i].label in (_GOOD, _BAD):
+            last = blocks[i].label
+    for i, b in enumerate(blocks):
+        if b.label in (_GOOD, _BAD):
+            continue
+        if prev[i] == _GOOD or nxt[i] == _GOOD:
+            b.label = _GOOD
+        elif b.label == _NEAR and b.link_chars == 0:
+            b.label = _GOOD
+        elif prev[i] == _BAD or nxt[i] == _BAD:
+            b.label = _BAD
+        else:
+            b.label = _GOOD  # undecorated plain page: keep the text
+    return blocks
+
+
+def extract_main_blocks(data: bytes) -> list[HtmlBlock]:
+    """bytes -> classified blocks (all of them, labels set)."""
+    return classify_blocks(segment_blocks(decode_html(data)))
+
+
+def extract_main_text(data: bytes) -> str:
+    return "\n".join(
+        b.text for b in extract_main_blocks(data) if b.label == _GOOD
+    )
+
+
+def html_spans(data: bytes):
+    """bytes -> (spans, n_blocks_total): one Span per content block.
+
+    Block *i* (content ordering) lands at ``(page=0, y=-i, x=0)`` so the
+    standard span assembly sort ``(page, y desc, x, glyph_order)`` yields
+    document order with one line per block — byte-identical to
+    ``extract_main_text`` + ``\\n``-join by construction."""
+    from pdf_spark.core.interp import Span
+
+    blocks = extract_main_blocks(data)
+    spans = []
+    i = 0
+    for b in blocks:
+        if b.label == _GOOD:
+            spans.append(Span(0, 0.0, -float(i), i, b.text, "#html", 0.0))
+            i += 1
+    return spans, len(blocks)

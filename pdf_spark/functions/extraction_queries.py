@@ -341,6 +341,74 @@ ORACLE["qx05_paragraph_segmentation"] = (
     "SELECT doc_id, CAST('t' AS BOOLEAN) AS ok FROM documents"
 )
 
+def _qx06(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML boilerplate strip (value-hashed, constant-true oracle).
+
+    The north rule's HTML tier end to end: for every document, build all
+    three HTML variants (semantic article, tag soup, table/list carriers),
+    extract through the full magic-dispatch path, and verify per doc:
+
+    - the extracted main text equals the generator's expected text
+      byte-for-byte (boilerplate gone, payload intact, order preserved);
+    - the classifier stripped *exactly* the planted boilerplate: the
+      bad-block count is a structural constant of each variant's template,
+      independent of the payload, so it is computed once from a probe page
+      and must match on every document.
+    """
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.htmltext import extract_main_blocks
+        from pdf_spark.gen.htmlgen import (
+            expected_for_variant,
+            html_article,
+            html_messy,
+            html_table_list,
+        )
+        from pdf_spark.gen.pdfgen import wrap_lines
+
+        variants = (
+            ("html_article", html_article),
+            ("html_messy", html_messy),
+            ("html_table_list", html_table_list),
+        )
+        planted = {
+            name: sum(
+                1
+                for b in extract_main_blocks(fn(["probe line"]))
+                if b.label == "bad"
+            )
+            for name, fn in variants
+        }
+        for batch in batches:
+            out = {"doc_id": [], "ok": []}
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                lines = wrap_lines(text if isinstance(text, str) else "")
+                ok = True
+                for name, fn in variants:
+                    data = fn(lines)
+                    r = extract_document(data)
+                    got = assemble_text(r.spans) if r.ok else None
+                    ok = ok and got == expected_for_variant(name, lines)
+                    n_bad = sum(
+                        1
+                        for b in extract_main_blocks(data)
+                        if b.label == "bad"
+                    )
+                    ok = ok and n_bad == planted[name]
+                out["doc_id"].append(int(doc_id))
+                out["ok"].append(bool(ok))
+            yield pd.DataFrame(out)
+
+    ok_schema = StructType([_ROUNDTRIP_SCHEMA.fields[0], _ROUNDTRIP_SCHEMA.fields[1]])
+    return docs.mapInPandas(check, ok_schema)
+
+
+QUERIES["qx06_html_boilerplate_strip"] = _qx06
+ORACLE["qx06_html_boilerplate_strip"] = (
+    "SELECT doc_id, CAST('t' AS BOOLEAN) AS ok FROM documents"
+)
+
 QUERIES["qx04_variant_coverage"] = _qx04
 ORACLE["qx04_variant_coverage"] = f"""
 SELECT {_variant_case_sql()} AS variant,

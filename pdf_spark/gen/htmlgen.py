@@ -1,0 +1,137 @@
+"""Deterministic HTML page writer for the corpus variant matrix.
+
+Mirrors ``pdfgen``: each builder takes the wrapped payload lines and
+returns page bytes whose *expected* extracted text is computable at
+generation time without running the extractor. The expected text for
+every HTML variant is::
+
+    "\\n".join(" ".join(line.split()) for line in lines)
+
+i.e. the payload lines in order, whitespace-normalised (the extractor
+collapses intra-block whitespace runs), with every boilerplate block
+stripped. Each builder places exactly one payload line per content block
+and surrounds them with boilerplate the classifier must kill:
+
+- ``html_article``  — HTML5 semantic page: head (title/style/script),
+  link-dense ``<nav>``, cookie-hinted div, ``<main><article>`` with one
+  ``<p>`` per line, ``<aside>`` and ``<footer>`` boilerplate.
+- ``html_messy``    — pre-HTML5 tag soup: no semantic containers,
+  unclosed ``<p>``s, entities in the payload, comments and a mid-body
+  ``<script>``, attribute values containing ``>``; content survives via
+  the length/propagation rules, the link farm dies via link density.
+- ``html_table_list`` — content carried in ``<li>`` and ``<td>`` cells
+  (implied end tags), boilerplate in a hinted sidebar list.
+
+Payload text is HTML-escaped at generation (& < > -> entities); the
+extractor unescapes, so round-trip equality is exact.
+"""
+
+from __future__ import annotations
+
+from html import escape
+
+
+def expected_html_text(lines: list[str]) -> str:
+    return "\n".join(" ".join(l.split()) for l in lines)
+
+
+# Non-semantic variants (no <main>/<article>) open with a fixed long
+# paragraph: pages whose payload wraps to only SHORT blocks (<=10 chars)
+# need one decided-good neighbour for jusText-style propagation — exactly
+# how a real article's lede anchors its short trailing lines. It is part
+# of the page text, so it is part of the expected text too.
+INTRO_LINE = (
+    "This page describes the subject matter in careful detail for"
+    " interested readers everywhere."
+)
+
+
+def expected_for_variant(name: str, lines: list[str]) -> str:
+    if name in ("html_messy", "html_table_list"):
+        lines = [INTRO_LINE] + lines
+    return expected_html_text(lines)
+
+
+_NAV = (
+    '<nav class="topnav"><ul>'
+    '<li><a href="/">Home</a></li>'
+    '<li><a href="/about">About our company</a></li>'
+    '<li><a href="/products">Products and services</a></li>'
+    '<li><a href="/contact">Contact us today</a></li>'
+    "</ul></nav>"
+)
+_COOKIE = (
+    '<div class="cookie-banner">We use cookies to improve your experience.'
+    ' <a href="/privacy">Learn more</a></div>'
+)
+_ASIDE = (
+    '<aside><h3>Related articles</h3><ul>'
+    '<li><a href="/a1">Ten things you did not know</a></li>'
+    '<li><a href="/a2">The complete guide</a></li>'
+    "</ul></aside>"
+)
+_FOOTER = (
+    "<footer><p>Copyright 2026 Example Corp. All rights reserved.</p>"
+    '<p><a href="/terms">Terms</a> <a href="/privacy">Privacy</a></p></footer>'
+)
+_HEAD = (
+    "<head><title>Example page title</title>"
+    "<style>body { margin: 0; } .x > span { color: red; }</style>"
+    '<script>if (1 < 2) { document.write("<p>injected</p>"); }</script>'
+    '<meta charset="utf-8"></head>'
+)
+
+
+def html_article(lines: list[str]) -> bytes:
+    paras = "".join(f"<p>{escape(l)}</p>" for l in lines)
+    page = (
+        "<!DOCTYPE html><html lang=\"en\">"
+        + _HEAD
+        + "<body>"
+        + '<header><h1><a href="/">Example Site</a></h1></header>'
+        + _NAV
+        + _COOKIE
+        + f"<main><article>{paras}</article></main>"
+        + _ASIDE
+        + _FOOTER
+        + "</body></html>"
+    )
+    return page.encode("utf-8")
+
+
+def html_messy(lines: list[str]) -> bytes:
+    # unclosed <p> tags, soup attributes, comments, mid-body script
+    paras = "".join(f"<p>{escape(l)}\n" for l in [INTRO_LINE] + lines)
+    page = (
+        "<html><head><title>messy</title></head>"
+        "<body bgcolor=white>"
+        "<!-- header starts -->"
+        '<div class="menu"><a href="/x">one link</a> <a href="/y">two '
+        'link</a> <a href="/z">three link</a></div>'
+        '<div title="a > b" data-x=\'c > d\'>'
+        + paras
+        + "</div>"
+        "<script type=text/javascript>var s = '<div>not text</div>';</script>"
+        "<!-- trailing comment"
+        "</body></html>"
+    )
+    return page.encode("utf-8")
+
+
+def html_table_list(lines: list[str]) -> bytes:
+    # alternate carriers in strict line order: odd-indexed lines ride in
+    # <li> (implied end tags exercised), even-indexed in <td> cells
+    body = [f"<p>{escape(INTRO_LINE)}</p>"]
+    for i, l in enumerate(lines):
+        if i % 2:
+            body.append(f"<ul><li>{escape(l)}</ul>")
+        else:
+            body.append(f"<table><tr><td>{escape(l)}</table>")
+    page = (
+        "<!doctype html><html><head><title>t</title></head><body>"
+        '<ul class="sidebar-widget"><li>Popular posts<li>Archive<li>Tags</ul>'
+        + "".join(body)
+        + _FOOTER
+        + "</body></html>"
+    )
+    return page.encode("utf-8")

@@ -1214,7 +1214,18 @@ _GOOD_VARIANTS = [
     ("encrypted_aes", lambda L: _encrypted_doc(L, "aes128")),
     ("encrypted_aes256", lambda L: _encrypted_doc(L, "aes256")),
     ("actualtext", lambda L: _actualtext_doc(L)),
+    # HTML tier (north rule: boilerplate strip / DOM heuristics). Same
+    # (lines) -> bytes contract; expected text via htmlgen per-variant.
+    ("html_article", lambda L: _htmlgen().html_article(L)),
+    ("html_messy", lambda L: _htmlgen().html_messy(L)),
+    ("html_table_list", lambda L: _htmlgen().html_table_list(L)),
 ]
+
+
+def _htmlgen():
+    from pdf_spark.gen import htmlgen
+
+    return htmlgen
 
 
 def _shift_xref_offsets(pdf: bytes) -> bytes:
@@ -1429,6 +1440,8 @@ def _expected_text(lines: list[str], variant_name: str) -> str:
         lines = ["".join(_nonlatin_map(c)[1] for c in l) for l in lines]
     elif variant_name == "macexpert":
         lines = ["".join(_macexpert_expected(c) for c in l) for l in lines]
+    elif variant_name.startswith("html_"):
+        return _htmlgen().expected_for_variant(variant_name, lines)
     return "\n".join(lines)
 
 

@@ -1,0 +1,232 @@
+"""HTML tier unit tests: sniffing, decoding, tokenizing, classification."""
+
+from pdf_spark.core.extract import assemble_text, extract_document
+from pdf_spark.core.htmltext import (
+    decode_html,
+    extract_main_blocks,
+    extract_main_text,
+    looks_like_html,
+)
+
+
+def _page(body: str, head: str = "<head><title>t</title></head>") -> bytes:
+    return f"<!doctype html><html>{head}<body>{body}</body></html>".encode()
+
+
+# --- sniffing ---------------------------------------------------------------
+
+
+def test_sniff_positive_forms():
+    assert looks_like_html(b"<!DOCTYPE html><html></html>")
+    assert looks_like_html(b"<!doctype HTML\n><html>")
+    assert looks_like_html(b"<html lang='en'>")
+    assert looks_like_html(b"<HTML>")
+    assert looks_like_html(b"  \r\n\t<!doctype html>x")
+    assert looks_like_html(b"\xef\xbb\xbf<html>")
+
+
+def test_sniff_negative_forms():
+    assert not looks_like_html(b"%PDF-1.4 ...")
+    assert not looks_like_html(b"<div>plain tag soup</div>")
+    assert not looks_like_html(b"<htmlish>")
+    assert not looks_like_html(b"plain text < html >")
+    assert not looks_like_html(b"")
+
+
+def test_pdf_path_untouched_by_dispatch():
+    from pdf_spark.gen.pdfgen import generate_doc
+
+    pdf, expected, _, _ = generate_doc("dispatch check", 0)
+    r = extract_document(pdf)
+    assert r.ok and assemble_text(r.spans) == expected
+
+
+# --- decoding ---------------------------------------------------------------
+
+
+def test_decode_meta_charset():
+    raw = (
+        b'<html><head><meta charset="iso-8859-1"></head>'
+        b"<body><p>caf\xe9</p></body></html>"
+    )
+    assert "caf\xe9" in decode_html(raw)
+
+
+def test_decode_bom_and_utf8_fallback():
+    assert decode_html("<html>é".encode("utf-8-sig")) == "<html>é"
+    # invalid utf-8, no charset -> windows-1252, never raises
+    assert "’" in decode_html(b"<html><body>it\x92s</body></html>")
+
+
+def test_decode_bad_charset_name_falls_back():
+    raw = b'<html><head><meta charset="no-such-enc"></head><body>ok</body></html>'
+    assert "ok" in decode_html(raw)
+
+
+# --- tokenizer / segmentation ----------------------------------------------
+
+
+def test_script_style_bodies_never_leak():
+    b = _page(
+        "<p>keep this line of article text which is long enough to stand</p>"
+        "<script>var x = '<p>fake</p>'; if (a < b) {}</script>"
+        "<style>p > span { color: red }</style>"
+        "<p>and keep this second line of article text too thank you</p>"
+    )
+    t = extract_main_text(b)
+    assert "fake" not in t and "color" not in t
+    assert "keep this line" in t and "second line" in t
+
+
+def test_comments_cdata_doctype_dropped():
+    b = _page(
+        "<!-- a comment with <p>markup</p> inside -->"
+        "<p>real content line that is definitely long enough to classify</p>"
+        "<![CDATA[ not text ]]><?php also not ?>"
+    )
+    t = extract_main_text(b)
+    assert t == "real content line that is definitely long enough to classify"
+
+
+def test_quoted_attr_with_gt():
+    b = _page(
+        '<div title="a > b" data-x=\'c > d\'>'
+        "<p>attribute escaping works and this text is long enough to keep</p>"
+        "</div>"
+    )
+    assert extract_main_text(b) == (
+        "attribute escaping works and this text is long enough to keep"
+    )
+
+
+def test_entities_and_nbsp_normalise():
+    b = _page("<p>fish &amp; chips&nbsp;&nbsp;with &lt;extra&gt; salt on the side</p>")
+    assert extract_main_text(b) == "fish & chips with <extra> salt on the side"
+
+
+def test_unterminated_comment_and_tag_no_crash():
+    for payload in (
+        b"<html><body><p>text then <!-- never closed",
+        b"<html><body><p>text then <div class='x",
+        b"<html><body><p>stray < less-than </p></body>",
+    ):
+        r = extract_document(payload + b" " * 16)
+        assert r.status == "ok"
+
+
+def test_head_and_title_hidden():
+    b = _page(
+        "<p>body content line long enough to be kept as the main text</p>",
+        head="<head><title>The Page Title</title></head>",
+    )
+    t = extract_main_text(b)
+    assert "Page Title" not in t and "body content" in t
+
+
+# --- classification ---------------------------------------------------------
+
+
+def test_nav_header_footer_aside_stripped():
+    b = _page(
+        "<header><h1>Site Name</h1></header>"
+        "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>"
+        "<p>the single content paragraph is long enough to be kept here</p>"
+        "<aside>promo text</aside><footer>copyright notice</footer>"
+    )
+    assert extract_main_text(b) == (
+        "the single content paragraph is long enough to be kept here"
+    )
+
+
+def test_class_hint_kills_subtree():
+    b = _page(
+        "<div class='cookie-banner'>We use cookies on this very long banner"
+        " line that would otherwise classify as content text</div>"
+        "<p>actual article text that is long enough to stand on its own</p>"
+    )
+    assert extract_main_text(b) == (
+        "actual article text that is long enough to stand on its own"
+    )
+
+
+def test_link_density_kills_link_farm_without_hints():
+    b = _page(
+        "<div><a href='1'>one link</a> <a href='2'>two link</a>"
+        " <a href='3'>three link</a> and</div>"
+        "<p>real paragraph content long enough to anchor classification</p>"
+    )
+    assert extract_main_text(b) == (
+        "real paragraph content long enough to anchor classification"
+    )
+
+
+def test_main_ctx_keeps_short_blocks():
+    b = _page("<main><article><p>hi</p><p>yo</p></article></main>")
+    assert extract_main_text(b) == "hi\nyo"
+
+
+def test_short_blocks_inherit_good_neighbour():
+    b = _page(
+        "<p>a genuinely long opening paragraph that anchors the page text</p>"
+        "<p>tail</p>"
+    )
+    assert extract_main_text(b).endswith("\ntail")
+
+
+def test_implied_end_tag_ctx_does_not_leak():
+    # first <li> carries a boiler hint; the implied close before the second
+    # <li> must drop that context (regression: ctx refresh after autoclose)
+    b = _page(
+        "<ul><li class='menu-item'>Nav entry"
+        "<li>plain list item text that is long enough to classify good</ul>"
+    )
+    t = extract_main_text(b)
+    assert "plain list item" in t and "Nav entry" not in t
+
+
+def test_plain_page_all_kept():
+    b = _page("<p>short</p><p>also short</p>")
+    assert extract_main_text(b) == "short\nalso short"
+
+
+def test_nav_only_page_empty():
+    b = _page("<nav><a href='/'>Home</a> <a href='/b'>B</a></nav>")
+    assert extract_main_text(b) == ""
+
+
+def test_deep_nesting_capped_no_crash():
+    b = _page("<div>" * 1000 + "<p>deep text long enough to classify as content</p>")
+    assert "deep text" in extract_main_text(b)
+
+
+# --- span bridge ------------------------------------------------------------
+
+
+def test_html_spans_order_and_assembly():
+    b = _page(
+        "<main><p>first block</p><p>second block</p><p>third block</p></main>"
+    )
+    r = extract_document(b)
+    assert r.ok and r.n_pages == 1
+    assert [s.text for s in r.spans] == ["first block", "second block", "third block"]
+    assert assemble_text(r.spans) == "first block\nsecond block\nthird block"
+    # spans carry the synthetic geometry contract (page 0, y = -index)
+    assert [(s.page, s.y) for s in r.spans] == [(0, 0.0), (0, -1.0), (0, -2.0)]
+
+
+def test_html_variant_generators_roundtrip():
+    from pdf_spark.gen.htmlgen import (
+        expected_for_variant,
+        html_article,
+        html_messy,
+        html_table_list,
+    )
+
+    lines = ["alpha beta gamma delta epsilon zeta eta theta iota kappa", "x"]
+    for fn, name in (
+        (html_article, "html_article"),
+        (html_messy, "html_messy"),
+        (html_table_list, "html_table_list"),
+    ):
+        got = extract_main_text(fn(lines))
+        assert got == expected_for_variant(name, lines), name
