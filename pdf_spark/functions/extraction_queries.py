@@ -364,6 +364,7 @@ def _qx06(spark: SparkSession, sf: str) -> DataFrame:
             html_article,
             html_messy,
             html_table_list,
+            html_win1251,
         )
         from pdf_spark.gen.pdfgen import wrap_lines
 
@@ -371,6 +372,7 @@ def _qx06(spark: SparkSession, sf: str) -> DataFrame:
             ("html_article", html_article),
             ("html_messy", html_messy),
             ("html_table_list", html_table_list),
+            ("html_win1251", html_win1251),
         )
         planted = {
             name: sum(
@@ -408,6 +410,54 @@ QUERIES["qx06_html_boilerplate_strip"] = _qx06
 ORACLE["qx06_html_boilerplate_strip"] = (
     "SELECT doc_id, CAST('t' AS BOOLEAN) AS ok FROM documents"
 )
+
+
+_KIND_SCHEMA = StructType(
+    [StructField("kind", StringType()), StructField("n", LongType())]
+)
+
+
+def _qx07(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixed-corpus payload routing histogram (arithmetic oracle).
+
+    Builds each document's corpus variant and reports which extraction
+    tier the magic-byte sniff routes it to. The oracle recomputes the
+    histogram purely from ``doc_id % N_VARIANTS`` and the variant
+    registry — any sniffing false positive/negative breaks the counts."""
+    from pdf_spark.core.htmltext import looks_like_html
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+
+    def kinds(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"kind": [], "n": []}
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                payload, _, _, _ = generate_doc(
+                    text if isinstance(text, str) else "",
+                    int(doc_id) % N_VARIANTS,
+                )
+                out["kind"].append("html" if looks_like_html(payload) else "pdf")
+                out["n"].append(1)
+            yield pd.DataFrame(out)
+
+    return (
+        docs.mapInPandas(kinds, _KIND_SCHEMA)
+        .groupBy("kind")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+_HTML_VARIANT_IDS = [
+    i for i, (name, _) in enumerate(_GOOD_VARIANTS) if name.startswith("html_")
+]
+
+QUERIES["qx07_payload_type_routing"] = _qx07
+ORACLE["qx07_payload_type_routing"] = f"""
+SELECT CASE WHEN doc_id % {N_VARIANTS} IN ({", ".join(map(str, _HTML_VARIANT_IDS))})
+            THEN 'html' ELSE 'pdf' END AS kind,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY 1
+"""
 
 QUERIES["qx04_variant_coverage"] = _qx04
 ORACLE["qx04_variant_coverage"] = f"""

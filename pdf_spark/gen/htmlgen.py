@@ -46,9 +46,20 @@ INTRO_LINE = (
 )
 
 
+# html_win1251 payload substitution: Latin -> Cyrillic homoglyphs, all
+# encodable in windows-1251 and all OUTSIDE cp1252, so a wrong decode
+# (the UTF-8 or cp1252 fallback) produces visibly different text — the
+# variant discriminates the meta-charset sniff end to end.
+WIN1251_SUBST = {"a": "а", "e": "е", "o": "о", "c": "с"}
+
+
 def expected_for_variant(name: str, lines: list[str]) -> str:
     if name in ("html_messy", "html_table_list"):
         lines = [INTRO_LINE] + lines
+    elif name == "html_win1251":
+        lines = [
+            "".join(WIN1251_SUBST.get(c, c) for c in l) for l in lines
+        ]
     return expected_html_text(lines)
 
 
@@ -116,6 +127,25 @@ def html_messy(lines: list[str]) -> bytes:
         "</body></html>"
     )
     return page.encode("utf-8")
+
+
+def html_win1251(lines: list[str]) -> bytes:
+    """Legacy-charset page: windows-1251 body with a <meta charset> tag.
+
+    The payload is substituted to Cyrillic homoglyphs (WIN1251_SUBST), so
+    only the sniffed-charset decode yields the expected text."""
+    subst = ["".join(WIN1251_SUBST.get(c, c) for c in l) for l in lines]
+    paras = "".join(f"<p>{escape(l)}</p>" for l in subst)
+    page = (
+        "<!DOCTYPE html><html><head><title>Пример</title>"
+        '<meta http-equiv="Content-Type" content="text/html; charset=windows-1251">'
+        "</head><body>"
+        + _NAV
+        + f"<main><article>{paras}</article></main>"
+        + _FOOTER
+        + "</body></html>"
+    )
+    return page.encode("windows-1251")
 
 
 def html_table_list(lines: list[str]) -> bytes:

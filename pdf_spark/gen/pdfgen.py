@@ -1219,6 +1219,7 @@ _GOOD_VARIANTS = [
     ("html_article", lambda L: _htmlgen().html_article(L)),
     ("html_messy", lambda L: _htmlgen().html_messy(L)),
     ("html_table_list", lambda L: _htmlgen().html_table_list(L)),
+    ("html_win1251", lambda L: _htmlgen().html_win1251(L)),
 ]
 
 

@@ -220,6 +220,7 @@ def test_html_variant_generators_roundtrip():
         html_article,
         html_messy,
         html_table_list,
+        html_win1251,
     )
 
     lines = ["alpha beta gamma delta epsilon zeta eta theta iota kappa", "x"]
@@ -227,6 +228,23 @@ def test_html_variant_generators_roundtrip():
         (html_article, "html_article"),
         (html_messy, "html_messy"),
         (html_table_list, "html_table_list"),
+        (html_win1251, "html_win1251"),
     ):
         got = extract_main_text(fn(lines))
         assert got == expected_for_variant(name, lines), name
+
+
+def test_win1251_charset_discriminates():
+    # the windows-1251 page decodes to Cyrillic only via the meta-charset
+    # sniff; the cp1252 fallback would yield different (accented-Latin) text
+    from pdf_spark.gen.htmlgen import WIN1251_SUBST, html_win1251
+
+    data = html_win1251(["economy once more"])
+    text = extract_main_text(data)
+    assert WIN1251_SUBST["e"] in text and WIN1251_SUBST["o"] in text
+    # and the raw bytes are NOT valid UTF-8 (so the sniff, not the
+    # fallback chain, must be doing the work)
+    import pytest
+
+    with pytest.raises(UnicodeDecodeError):
+        data.decode("utf-8")

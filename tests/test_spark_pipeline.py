@@ -226,3 +226,35 @@ def test_skewed_giants_spread_and_capped(spark):
         assert capped[f"https://ex.com/giant{g}"]["status"] == "error"
         assert capped[f"https://ex.com/giant{g}"]["error_code"] == "DOC_TOO_LARGE"
     assert capped["https://ex.com/t0"]["status"] == "ok"
+
+
+def test_fused_operator_mixed_pdf_html(spark):
+    """The fused mapInArrow stage handles a mixed PDF/HTML batch: routing
+    is per row by magic bytes, and both tiers produce their expected text
+    through one narrow stage."""
+    import pandas as pd
+
+    from pdf_spark.gen.htmlgen import expected_for_variant, html_article, html_messy
+    from pdf_spark.gen.pdfgen import generate_doc
+
+    rows = []
+    for i in range(8):
+        text = f"mixed corpus row number {i} with enough words to wrap around"
+        if i % 2:
+            fn, name = (html_article, "html_article") if i % 4 == 1 else (
+                html_messy,
+                "html_messy",
+            )
+            lines = [text]
+            rows.append(
+                dict(url=f"u{i}", html=fn(lines), exp=expected_for_variant(name, lines))
+            )
+        else:
+            payload, exp, _, _ = generate_doc(text, i % 3)
+            rows.append(dict(url=f"u{i}", html=payload, exp=exp))
+    df = spark.createDataFrame(pd.DataFrame([{"url": r["url"], "html": r["html"]} for r in rows]))
+    out = {r["url"]: r for r in extract_docs_text(df).collect()}
+    for r in rows:
+        got = out[r["url"]]
+        assert got["status"] == "ok", (r["url"], got["error_code"])
+        assert got["text"] == r["exp"], r["url"]
