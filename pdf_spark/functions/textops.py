@@ -717,3 +717,64 @@ _pair(
     _KEYWORD_TOPK.replace("{TOKFN}", "explode(split(text, ' '))"),
     _KEYWORD_TOPK.replace("{TOKFN}", "unnest(string_split(text, ' '))"),
 )
+
+# -- per-source corpus profile ------------------------------------------------
+
+# Crawl-ops dashboard shape: one scan, one groupBy on the (low-cardinality)
+# source key — COUNT DISTINCT md5(text) rides the same shuffle as the other
+# aggregates (partial_count(distinct) is map-side expanded by Catalyst).
+# avg is computed as SUM/COUNT of exact integers (one correctly-rounded
+# divide) rather than AVG so both engines round the same double.
+_SOURCE_PROFILE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
+       ROUND(CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE) / COUNT(*), 2)
+         AS avg_chars,
+       CAST(SUM(CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_len_ok,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+FROM documents GROUP BY source
+"""
+_pair("qt18_source_profile", _SOURCE_PROFILE, _SOURCE_PROFILE)
+
+# -- benchmark-contamination probe -------------------------------------------
+
+# Train/test decontamination, the standard 13-gram membership check
+# (GPT-3 appendix C / PaLM / Llama data cards all use word n-gram overlap):
+# a probe set (here: the first 13-gram of every doc_id % 97 == 0 document,
+# standing in for a benchmark's prompts) is matched against EVERY 13-gram
+# of the corpus. Dataflow at 10^12 docs: the probe side is tiny ->
+# broadcast; the corpus side explodes to one row per shingle but never
+# shuffles (the join is map-side against the broadcast), and the only wide
+# stage is the final per-probe distinct-doc count, bounded by |matches|.
+# Spark `sequence(1, size-12)` would generate a DESCENDING range for short
+# docs, so the size >= 13 filter sits inside the subquery, before explode.
+_CONTAMINATION_SPARK = """
+WITH words AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+probes AS (
+  SELECT doc_id AS pid, array_join(slice(w, 1, 13), ' ') AS probe
+  FROM words WHERE doc_id % 97 = 0 AND size(w) >= 13),
+shingles AS (
+  SELECT doc_id, explode(transform(sequence(1, size(w) - 12),
+                                   i -> array_join(slice(w, i, 13), ' '))) AS sh
+  FROM words WHERE size(w) >= 13)
+SELECT /*+ BROADCAST(probes) */
+       pid, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_contaminated
+FROM probes JOIN shingles ON probe = sh
+GROUP BY pid
+"""
+_CONTAMINATION_DUCK = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+probes AS (
+  SELECT doc_id AS pid, array_to_string(w[1:13], ' ') AS probe
+  FROM words WHERE doc_id % 97 = 0 AND len(w) >= 13),
+shingles AS (
+  SELECT doc_id, array_to_string(w[i:i+12], ' ') AS sh
+  FROM words, LATERAL unnest(range(1, greatest(len(w) - 11, 1))) AS t(i)
+  WHERE len(w) >= 13)
+SELECT pid, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_contaminated
+FROM probes JOIN shingles ON probe = sh
+GROUP BY pid
+"""
+_pair("qt19_contamination_probe", _CONTAMINATION_SPARK, _CONTAMINATION_DUCK)

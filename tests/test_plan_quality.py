@@ -136,3 +136,17 @@ def test_bucketed_sink_join_avoids_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS docs_bucketed")
         spark.sql("DROP TABLE IF EXISTS meta_bucketed")
+
+
+def test_contamination_probe_plan_broadcasts(spark):
+    """qt19: the probe side must broadcast (map-side shingle match, no
+    sort-merge join of the exploded shingle table), or the 10^12-doc
+    version shuffles the entire shingle explosion."""
+    from pdf_spark.functions.registry import all_queries
+
+    df = all_queries()["qt19_contamination_probe"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
