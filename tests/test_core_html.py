@@ -248,3 +248,42 @@ def test_win1251_charset_discriminates():
 
     with pytest.raises(UnicodeDecodeError):
         data.decode("utf-8")
+
+
+def test_html_fuzz_never_raises_and_deterministic():
+    """Random tag soup through the dispatch path: no exception may escape
+    (bad doc = row, not task failure) and extraction is deterministic."""
+    import random
+
+    rng = random.Random(20260817)
+    frags = [
+        "<div", "<p>", "</p>", ">", '"', "'", "<a href='x'>", "</a>",
+        "<!--", "-->", "<script>", "</script>", "text word ", "&amp;",
+        "&#65;", "&unknown;", "<![CDATA[", "]]>", "</", "<", "\x00", "é",
+        "<table><tr><td>", "</li>", "<li>", "<meta charset=latin-1>",
+        "<style>", "p{", "<br>", "<input type=text>", "\n", "  ",
+    ]
+    for trial in range(300):
+        body = "".join(rng.choice(frags) for _ in range(rng.randint(1, 120)))
+        payload = ("<!doctype html><html>" + body).encode("utf-8", "replace")
+        r1 = extract_document(payload)
+        r2 = extract_document(payload)
+        assert r1.status in ("ok", "error"), trial
+        assert [s.text for s in r1.spans] == [s.text for s in r2.spans], trial
+
+
+def test_html_fuzz_mutated_bytes_never_raise():
+    """Byte-level mutations of a real page (including into multi-byte
+    UTF-8 sequences) stay inside the never-raise contract."""
+    import random
+
+    from pdf_spark.gen.htmlgen import html_article
+
+    rng = random.Random(7)
+    base = bytearray(html_article(["mutation base line with words"]))
+    for _ in range(300):
+        data = bytearray(base)
+        for _ in range(rng.randint(1, 8)):
+            data[rng.randrange(len(data))] = rng.randrange(256)
+        r = extract_document(bytes(data))
+        assert r.status in ("ok", "error")
