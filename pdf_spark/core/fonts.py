@@ -421,7 +421,18 @@ def load_font(font_obj, resolver) -> Font:
     identical; anything unserializable (cycles, depth) skips the cache."""
     parts: list = []
     key = None
-    if _canon_key(font_obj, resolver, parts, frozenset(), 0):
+    d = resolver.get_dict(font_obj, "font")
+    # Cheap-font fast path: the cache exists to amortize the EXPENSIVE
+    # loads (ToUnicode CMap parse, CID descendant walk, FontFile2 sfnt
+    # parse — all behind these three keys). A plain simple font rebuilds
+    # faster than the canonical key walk itself (~15% of per-doc CPU on
+    # 1 KB docs was the keying, not the loading), so skip the cache
+    # entirely when none of the expensive keys is present.
+    if (
+        "ToUnicode" in d
+        or "DescendantFonts" in d
+        or "FontDescriptor" in d
+    ) and _canon_key(font_obj, resolver, parts, frozenset(), 0):
         key = _digest(b"".join(parts))
         f = _FONT_CACHE.get(key)
         if f is not None:

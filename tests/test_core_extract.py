@@ -638,12 +638,27 @@ class TestFontCache:
         return load_font(next(iter(fonts.values())), r)
 
     def test_identical_defs_share_instance(self):
+        # expensive fonts (ToUnicode / DescendantFonts / FontDescriptor)
+        # go through the executor cache: identical resolved definitions
+        # across documents share one instance
+        from pdf_spark.gen.pdfgen import _GOOD_VARIANTS, generate_doc
+
+        v = [n for n, _ in _GOOD_VARIANTS].index("truetype_symbolic")
+        a = generate_doc("alpha one", v)[0]
+        b = generate_doc("beta two three", v)[0]
+        fa, fb = self._font_of(a), self._font_of(b)
+        assert fa is fb
+
+    def test_cheap_fonts_skip_cache(self):
+        # plain simple fonts rebuild faster than the canonical key walk,
+        # so they deliberately bypass the cache (fresh instance per doc)
         from pdf_spark.gen.pdfgen import generate_doc
 
         a = generate_doc("alpha one", 0)[0]
         b = generate_doc("beta two three", 0)[0]
         fa, fb = self._font_of(a), self._font_of(b)
-        assert fa is fb
+        assert fa is not fb
+        assert fa.base_font == fb.base_font
 
     def test_different_variant_fonts_do_not_collide(self):
         from pdf_spark.gen.pdfgen import N_VARIANTS, generate_doc
