@@ -368,3 +368,125 @@ def html_spans(data: bytes):
             spans.append(Span(0, 0.0, -float(i), i, b.text, "#html", 0.0))
             i += 1
     return spans, len(blocks)
+
+
+# --- structured extraction: links + tables ----------------------------------
+
+_HREF_RE = re.compile(
+    r"""href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.I
+)
+
+
+def extract_links(data: bytes) -> list:
+    """All ``<a href>`` targets in document order (the WAT/link-graph op).
+
+    A second linear scan, independent of the main-content pass — link
+    extraction wants EVERY anchor (nav and footer links are exactly what a
+    crawl frontier needs), not just content-block ones."""
+    html_text = decode_html(data)
+    out = []
+    pos = 0
+    n = len(html_text)
+    while pos < n:
+        m = _TOKEN_RE.match(html_text, pos)
+        if m is None:  # pragma: no cover
+            pos += 1
+            continue
+        pos = m.end()
+        tag = m.group(2)
+        if tag is None:
+            continue
+        low = tag.lower()
+        if low == "a":
+            hm = _HREF_RE.search(m.group(3))
+            if hm:
+                href = hm.group(2) or hm.group(3) or hm.group(4) or ""
+                href = unescape(href).strip()
+                if href:
+                    out.append(href)
+        elif low in _RAWTEXT:
+            close = re.compile(r"</\s*%s[\s>]" % re.escape(low), re.I)
+            cm = close.search(html_text, pos)
+            if cm is None:
+                pos = n
+            else:
+                gt = html_text.find(">", cm.start())
+                pos = n if gt == -1 else gt + 1
+    return out
+
+
+def extract_tables(data: bytes) -> list:
+    """``(table_idx, row_idx, col_idx, cell_text)`` tuples in document
+    order (the web-table / WDC-style structured-extraction op).
+
+    Nested tables are flattened depth-first: an inner ``<table>`` closes
+    the current cell and gets its own table index (cell-level nesting
+    fidelity is not worth stateful recursion at crawl scale). Cell text is
+    whitespace-normalised like content blocks."""
+    html_text = decode_html(data)
+    out = []
+    pos = 0
+    n = len(html_text)
+    table_stack: list[int] = []  # table ids, innermost last
+    next_table = 0
+    row_of: dict[int, int] = {}
+    col_of: dict[int, int] = {}
+    cell_parts: list[str] = []
+    in_cell = False
+
+    def flush_cell() -> None:
+        nonlocal cell_parts, in_cell
+        if in_cell and table_stack:
+            t = table_stack[-1]
+            text = " ".join("".join(cell_parts).split())
+            out.append((t, row_of.get(t, 0), col_of.get(t, 0), text))
+        cell_parts = []
+        in_cell = False
+
+    while pos < n:
+        m = _TOKEN_RE.match(html_text, pos)
+        if m is None:  # pragma: no cover
+            pos += 1
+            continue
+        pos = m.end()
+        end_tag, start_tag = m.group(1), m.group(2)
+        if start_tag is not None:
+            low = start_tag.lower()
+            if low == "table":
+                flush_cell()
+                table_stack.append(next_table)
+                row_of[next_table] = -1
+                col_of[next_table] = -1
+                next_table += 1
+            elif low == "tr" and table_stack:
+                flush_cell()
+                t = table_stack[-1]
+                row_of[t] += 1
+                col_of[t] = -1
+            elif low in ("td", "th") and table_stack:
+                flush_cell()
+                t = table_stack[-1]
+                if row_of[t] < 0:  # <td> with no <tr>: implied first row
+                    row_of[t] = 0
+                col_of[t] += 1
+                in_cell = True
+            elif low in _RAWTEXT:
+                close = re.compile(r"</\s*%s[\s>]" % re.escape(low), re.I)
+                cm = close.search(html_text, pos)
+                if cm is None:
+                    pos = n
+                else:
+                    gt = html_text.find(">", cm.start())
+                    pos = n if gt == -1 else gt + 1
+        elif end_tag is not None:
+            low = end_tag.lower()
+            if low in ("td", "th", "tr"):
+                flush_cell()
+            elif low == "table":
+                flush_cell()
+                if table_stack:
+                    table_stack.pop()
+        elif m.group(0)[0] != "<" and in_cell:
+            cell_parts.append(unescape(m.group(0)))
+    flush_cell()
+    return out

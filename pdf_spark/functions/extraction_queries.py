@@ -466,3 +466,114 @@ SELECT {_variant_case_sql()} AS variant,
        CAST(COUNT(*) AS BIGINT) AS n_ok
 FROM documents GROUP BY 1
 """
+
+
+def _qx08(spark: SparkSession, sf: str) -> DataFrame:
+    """Link-graph extraction histogram (arithmetic oracle).
+
+    The WAT / crawl-frontier op: every ``<a href>`` of every page, counted
+    per target. Each document renders the html_article template, whose
+    link set is a payload-independent constant — the oracle is that
+    constant's multiset times COUNT(documents), computed from one probe
+    page at query-build time so template and oracle cannot drift apart.
+    At 10^12 docs this is the same narrow map + one groupBy(href) shape.
+    """
+    from pdf_spark.core.htmltext import extract_links
+    from pdf_spark.gen.htmlgen import html_article
+    from pdf_spark.gen.pdfgen import wrap_lines
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    schema = StructType(
+        [StructField("href", StringType()), StructField("n", LongType())]
+    )
+
+    def links(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"href": [], "n": []}
+            for text in batch["text"]:
+                page = html_article(
+                    wrap_lines(text if isinstance(text, str) else "")
+                )
+                for href in extract_links(page):
+                    out["href"].append(href)
+                    out["n"].append(1)
+            yield pd.DataFrame(out)
+
+    return (
+        docs.mapInPandas(links, schema)
+        .groupBy("href")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def _qx08_oracle() -> str:
+    from collections import Counter
+
+    from pdf_spark.core.htmltext import extract_links
+    from pdf_spark.gen.htmlgen import html_article
+
+    counts = Counter(extract_links(html_article(["probe line"])))
+    values = ", ".join(
+        "('{}', {})".format(h.replace("'", "''"), c)
+        for h, c in sorted(counts.items())
+    )
+    return f"""
+SELECT href, CAST(mult * (SELECT COUNT(*) FROM documents) AS BIGINT) AS n
+FROM (VALUES {values}) AS m(href, mult)
+"""
+
+
+QUERIES["qx08_html_link_graph"] = _qx08
+ORACLE["qx08_html_link_graph"] = _qx08_oracle()
+
+
+def _qx09(spark: SparkSession, sf: str) -> DataFrame:
+    """Web-table structured extraction (value-hashed, constant-true oracle).
+
+    The WDC-style op: each document renders a page carrying one table of
+    ``len(lines)`` rows x 3 cols — (row index, word count, line text) —
+    and the extracted (table, row, col, text) cells must reproduce the
+    generator's layout exactly: cell count, coordinates, numeric columns
+    and the payload text all verified per doc inside the UDF."""
+    from html import escape
+
+    from pdf_spark.core.htmltext import extract_tables
+    from pdf_spark.gen.pdfgen import wrap_lines
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    ok_schema = StructType(
+        [_ROUNDTRIP_SCHEMA.fields[0], _ROUNDTRIP_SCHEMA.fields[1]]
+    )
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"doc_id": [], "ok": []}
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                lines = wrap_lines(text if isinstance(text, str) else "")
+                rows_html = "".join(
+                    f"<tr><td>{i}</td><td>{len(l.split())}</td>"
+                    f"<td>{escape(l)}</td></tr>"
+                    for i, l in enumerate(lines)
+                )
+                page = (
+                    "<!doctype html><html><body><table>"
+                    + rows_html
+                    + "</table></body></html>"
+                ).encode()
+                cells = extract_tables(page)
+                exp = []
+                for i, l in enumerate(lines):
+                    exp.append((0, i, 0, str(i)))
+                    exp.append((0, i, 1, str(len(l.split()))))
+                    exp.append((0, i, 2, " ".join(l.split())))
+                out["doc_id"].append(int(doc_id))
+                out["ok"].append(cells == exp)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(check, ok_schema)
+
+
+QUERIES["qx09_html_table_cells"] = _qx09
+ORACLE["qx09_html_table_cells"] = (
+    "SELECT doc_id, CAST('t' AS BOOLEAN) AS ok FROM documents"
+)

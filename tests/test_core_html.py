@@ -287,3 +287,68 @@ def test_html_fuzz_mutated_bytes_never_raise():
             data[rng.randrange(len(data))] = rng.randrange(256)
         r = extract_document(bytes(data))
         assert r.status in ("ok", "error")
+
+
+# --- structured extraction (links / tables) ---------------------------------
+
+
+def test_extract_links_order_and_forms():
+    from pdf_spark.core.htmltext import extract_links
+
+    b = (
+        b"<html><body>"
+        b"<a href='/one'>1</a>"
+        b'<a href="/two?a=b&amp;c=d">2</a>'
+        b"<a href=bare>3</a>"
+        b"<a name='anchor-no-href'>4</a>"
+        b"<script>var a = '<a href=\"/fake\">x</a>';</script>"
+        b"<a href=''>empty</a>"
+        b"</body></html>"
+    )
+    assert extract_links(b) == ["/one", "/two?a=b&c=d", "bare"]
+
+
+def test_extract_tables_shapes():
+    from pdf_spark.core.htmltext import extract_tables
+
+    b = (
+        b"<html><body><table>"
+        b"<tr><td>a</td><th>b &amp; c</th></tr>"
+        b"<tr><td>d<table><tr><td>inner</td></tr></table>"
+        b"<tr><td>e</table></body></html>"
+    )
+    assert extract_tables(b) == [
+        (0, 0, 0, "a"),
+        (0, 0, 1, "b & c"),
+        (0, 1, 0, "d"),
+        (1, 0, 0, "inner"),
+        (0, 2, 0, "e"),
+    ]
+
+
+def test_extract_tables_implied_row_and_no_table():
+    from pdf_spark.core.htmltext import extract_tables
+
+    # td with no tr: implied row 0; td outside any table: ignored
+    assert extract_tables(b"<html><table><td>x</td></table>") == [(0, 0, 0, "x")]
+    assert extract_tables(b"<html><body><td>stray</td></body>") == []
+
+
+def test_links_tables_never_raise_on_soup():
+    import random
+
+    from pdf_spark.core.htmltext import extract_links, extract_tables
+
+    rng = random.Random(99)
+    frags = [
+        "<a href=", "'x'", ">", "<table>", "<tr>", "<td>", "</table>",
+        "</td>", "text ", "<a>", "</a>", "&amp;", "<script>", "</script>",
+        '"q"', "<", "</", "<th>", "</tr>",
+    ]
+    for _ in range(200):
+        soup = "<html>" + "".join(
+            rng.choice(frags) for _ in range(rng.randint(1, 80))
+        )
+        data = soup.encode()
+        extract_links(data)
+        extract_tables(data)
