@@ -23,6 +23,7 @@ from pdf_spark.core.document import Resolver
 from pdf_spark.core.errors import (
     DOC_TOO_LARGE,
     EMPTY_DOC,
+    FILTER_ERROR,
     INTERNAL_ERROR,
     PdfError,
 )
@@ -46,15 +47,54 @@ class ExtractResult:
         return self.status == "ok"
 
 
+def gunzip_payload(data: bytes, max_bytes: int):
+    """Bounded gzip-transport decode (Content-Encoding: gzip bodies are
+    routinely stored raw in crawl archives). Returns the decompressed
+    bytes, or None if the stream is corrupt, truncated, or expands past
+    ``max_bytes`` (decompression-bomb guard: zlib is fed a hard
+    ``max_length`` so a bomb costs at most max_bytes of output, never
+    unbounded memory)."""
+    import zlib
+
+    d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+    try:
+        out = d.decompress(data, max_bytes + 1)
+    except zlib.error:
+        return None
+    if len(out) > max_bytes or not d.eof:
+        return None
+    return out
+
+
+def payload_kind(data: bytes, max_bytes: int = DEFAULT_MAX_BYTES) -> str:
+    """Routing decision as a pure function: 'html' or 'pdf' (the error
+    tiers fall under 'pdf', whose parser owns the error taxonomy)."""
+    if data[:2] == b"\x1f\x8b":
+        inner = gunzip_payload(data, max_bytes)
+        if inner is not None:
+            data = inner
+    return "html" if looks_like_html(data) else "pdf"
+
+
 def extract_document(
     data: Optional[bytes], max_bytes: int = DEFAULT_MAX_BYTES
 ) -> ExtractResult:
-    """Parse one payload (PDF or HTML, sniffed by magic) into spans.
-    Never raises."""
+    """Parse one payload (PDF or HTML, optionally gzip transport-encoded;
+    all sniffed by magic) into spans. Never raises."""
     if not data or len(data) <= 8:
         return ExtractResult("error", EMPTY_DOC, [], 0)
     if len(data) > max_bytes:
         return ExtractResult("error", DOC_TOO_LARGE, [], 0)
+    if data[:2] == b"\x1f\x8b":
+        # gzip transport encoding: unwrap (bounded) and re-dispatch once.
+        # A corrupt/bomb stream is an error row, not a crash; the byte cap
+        # applies to the DECOMPRESSED size, same contract as raw payloads.
+        inner = gunzip_payload(bytes(data), max_bytes)
+        if inner is None:
+            return ExtractResult("error", FILTER_ERROR, [], 0)
+        data = inner
+        if len(data) <= 8:
+            return ExtractResult("error", EMPTY_DOC, [], 0)
     if looks_like_html(data):
         # HTML tier (north rule: "HTML boilerplate strip ... DOM
         # heuristics"). Routed by magic bytes, never URL extension —

@@ -424,7 +424,7 @@ def _qx07(spark: SparkSession, sf: str) -> DataFrame:
     tier the magic-byte sniff routes it to. The oracle recomputes the
     histogram purely from ``doc_id % N_VARIANTS`` and the variant
     registry — any sniffing false positive/negative breaks the counts."""
-    from pdf_spark.core.htmltext import looks_like_html
+    from pdf_spark.core.extract import payload_kind
 
     docs = load(spark, sf, "documents").select("doc_id", "text")
 
@@ -436,7 +436,7 @@ def _qx07(spark: SparkSession, sf: str) -> DataFrame:
                     text if isinstance(text, str) else "",
                     int(doc_id) % N_VARIANTS,
                 )
-                out["kind"].append("html" if looks_like_html(payload) else "pdf")
+                out["kind"].append(payload_kind(payload))
                 out["n"].append(1)
             yield pd.DataFrame(out)
 

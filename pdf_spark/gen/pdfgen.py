@@ -1220,7 +1220,17 @@ _GOOD_VARIANTS = [
     ("html_messy", lambda L: _htmlgen().html_messy(L)),
     ("html_table_list", lambda L: _htmlgen().html_table_list(L)),
     ("html_win1251", lambda L: _htmlgen().html_win1251(L)),
+    # gzip transport encoding (Content-Encoding: gzip stored raw — common
+    # in crawl archives): same documents, wrapped; dispatch must unwrap.
+    ("html_gzip", lambda L: _gzip(_htmlgen().html_article(L))),
+    ("pdf_gzip", lambda L: _gzip(_simple_doc(L, _content_td_tj, filters="FlateDecode"))),
 ]
+
+
+def _gzip(data: bytes) -> bytes:
+    import gzip as _gz
+
+    return _gz.compress(data, compresslevel=6, mtime=0)  # mtime=0: deterministic
 
 
 def _htmlgen():

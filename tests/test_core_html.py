@@ -352,3 +352,56 @@ def test_links_tables_never_raise_on_soup():
         data = soup.encode()
         extract_links(data)
         extract_tables(data)
+
+
+# --- gzip transport ----------------------------------------------------------
+
+
+def test_gzip_html_and_pdf_roundtrip():
+    import gzip
+
+    from pdf_spark.gen.htmlgen import html_article
+    from pdf_spark.gen.pdfgen import generate_doc
+
+    lines = ["gzip transported content line with several words inside"]
+    wrapped = gzip.compress(html_article(lines), mtime=0)
+    r = extract_document(wrapped)
+    assert r.ok and assemble_text(r.spans) == lines[0]
+
+    pdf, exp, _, _ = generate_doc("gzip pdf payload", 0)
+    r2 = extract_document(gzip.compress(pdf, mtime=0))
+    assert r2.ok and assemble_text(r2.spans) == exp
+
+
+def test_gzip_corrupt_and_bomb_guard():
+    import gzip
+
+    from pdf_spark.gen.htmlgen import html_article
+
+    good = gzip.compress(html_article(["x"]), mtime=0)
+    # corrupt body -> FILTER_ERROR row
+    r = extract_document(good[:10] + b"\x00\x00\x00\x00" + good[14:])
+    assert r.status == "error" and r.error_code == "FILTER_ERROR"
+    # truncated stream -> error row
+    assert extract_document(good[:-4]).status == "error"
+    # bomb: 64 MB of zeros compresses tiny; cap at 1 MB must reject as a
+    # bounded error row (decompressed size wins over wire size)
+    bomb = gzip.compress(b"\x00" * (64 << 20), mtime=0)
+    r3 = extract_document(bomb, max_bytes=1 << 20)
+    assert r3.status == "error"
+
+
+def test_payload_kind_routing():
+    import gzip
+
+    from pdf_spark.core.extract import payload_kind
+    from pdf_spark.gen.htmlgen import html_article
+    from pdf_spark.gen.pdfgen import generate_doc
+
+    html = html_article(["k"])
+    pdf = generate_doc("k", 0)[0]
+    assert payload_kind(html) == "html"
+    assert payload_kind(pdf) == "pdf"
+    assert payload_kind(gzip.compress(html, mtime=0)) == "html"
+    assert payload_kind(gzip.compress(pdf, mtime=0)) == "pdf"
+    assert payload_kind(b"\x1f\x8bgarbage") == "pdf"
