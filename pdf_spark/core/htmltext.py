@@ -490,3 +490,95 @@ def extract_tables(data: bytes) -> list:
             cell_parts.append(unescape(m.group(0)))
     flush_cell()
     return out
+
+
+# --- structured extraction: head metadata ------------------------------------
+
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z][a-zA-Z0-9:_\-]*)\s*(?:=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*)))?"""
+)
+
+
+def _parse_attrs(raw: str) -> dict:
+    """Start-tag attribute text -> {lowercased name: unescaped value}.
+    Valueless attributes map to ""; first occurrence wins (HTML5 rule)."""
+    out: dict[str, str] = {}
+    for m in _ATTR_RE.finditer(raw):
+        name = m.group(1).lower()
+        if name not in out:
+            v = m.group(2)
+            if v is None:
+                v = m.group(3)
+            if v is None:
+                v = m.group(4)
+            out[name] = unescape(v) if v else ""
+    return out
+
+
+def extract_html_meta(data: bytes) -> dict:
+    """Head metadata: {title, description, og_title, og_description,
+    canonical, lang} — str or None each.
+
+    The WAT-record fields a crawl pipeline stores per page: first
+    ``<title>`` text, ``<meta name=description>`` / ``property=og:*``
+    content, ``<link rel=canonical>`` href, ``<html lang>``. First
+    occurrence wins throughout; scan is one linear pass sharing the
+    main tokenizer (rawtext bodies can never fake a tag). Net-new vs the
+    reference engine, like the rest of the HTML tier."""
+    html_text = decode_html(data)
+    out = {
+        "title": None, "description": None, "og_title": None,
+        "og_description": None, "canonical": None, "lang": None,
+    }
+    pos = 0
+    n = len(html_text)
+    in_title = False
+    title_parts: list[str] = []
+    while pos < n:
+        m = _TOKEN_RE.match(html_text, pos)
+        if m is None:  # pragma: no cover
+            pos += 1
+            continue
+        pos = m.end()
+        end_tag, start_tag = m.group(1), m.group(2)
+        if start_tag is not None:
+            low = start_tag.lower()
+            if low == "html" and out["lang"] is None:
+                lang = _parse_attrs(m.group(3)).get("lang", "").strip()
+                if lang:
+                    out["lang"] = lang
+            elif low == "title" and out["title"] is None:
+                in_title = True
+            elif low == "meta":
+                attrs = _parse_attrs(m.group(3))
+                key = attrs.get("name", attrs.get("property", "")).lower()
+                content = attrs.get("content", "").strip()
+                slot = {
+                    "description": "description",
+                    "og:title": "og_title",
+                    "og:description": "og_description",
+                }.get(key)
+                if slot and content and out[slot] is None:
+                    out[slot] = content
+            elif low == "link":
+                attrs = _parse_attrs(m.group(3))
+                rels = attrs.get("rel", "").lower().split()
+                href = attrs.get("href", "").strip()
+                if "canonical" in rels and href and out["canonical"] is None:
+                    out["canonical"] = href
+            elif low in _RAWTEXT:
+                close = re.compile(r"</\s*%s[\s>]" % re.escape(low), re.I)
+                cm = close.search(html_text, pos)
+                if cm is None:
+                    pos = n
+                else:
+                    gt = html_text.find(">", cm.start())
+                    pos = n if gt == -1 else gt + 1
+        elif end_tag is not None:
+            if end_tag.lower() == "title" and in_title:
+                in_title = False
+                text = " ".join(unescape("".join(title_parts)).split())
+                out["title"] = text or None
+        elif in_title and m.group(0)[0] != "<":
+            title_parts.append(m.group(0))
+    return out

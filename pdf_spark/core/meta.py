@@ -1,0 +1,256 @@
+"""Document-info metadata extraction (PDF tier).
+
+The training-data side-channel every crawl pipeline keeps next to the
+text: title/author/dates from the PDF's document information dictionary
+(trailer ``/Info``, PDF 32000-1 §14.3.3) with an XMP fallback (catalog
+``/Metadata`` stream, §14.3.2).
+
+The reference engine (someone13574/pdf) stops at text — it never reads
+/Info or /Metadata — so this module is spec-driven net-new capability,
+like the HTML tier. Everything here follows the public spec:
+
+- **Text strings** (§7.9.2.2): a PDF *text string* is UTF-16BE when it
+  opens with the BOM ``FE FF`` (UTF-8 with ``EF BB BF`` since PDF 2.0),
+  otherwise PDFDocEncoding — a one-byte encoding that is NOT Latin-1
+  (0x18-0x1F are accents, 0x80-0x9F are publishing glyphs, 0xA0 is the
+  Euro). Annex D.2 is the table below.
+- **Dates** (§7.9.4): ``D:YYYYMMDDHHmmSSOHH'mm`` with every field after
+  the year optional; normalised here to ISO-8601 so downstream SQL can
+  compare them as plain strings.
+
+Contract matches the rest of the core: pure function of the payload,
+never raises on malformed values (a bad date is ``None``, not an error
+row — metadata is best-effort by nature).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+from pdf_spark.core.objects import Name, Stream
+
+# --- PDFDocEncoding (PDF 32000-1 Annex D.2, column PDFDoc) ------------------
+# Identity to ASCII in 0x20-0x7E and to Latin-1 in 0xA1-0xFF except where
+# noted; the rows below are every position that differs from Latin-1.
+_PDFDOC_DIFF = {
+    0x18: "˘",  # breve
+    0x19: "ˇ",  # caron
+    0x1A: "ˆ",  # circumflex
+    0x1B: "˙",  # dotaccent
+    0x1C: "˝",  # hungarumlaut
+    0x1D: "˛",  # ogonek
+    0x1E: "˚",  # ring
+    0x1F: "˜",  # tilde
+    0x7F: "�",  # undefined
+    0x80: "•",  # bullet
+    0x81: "†",  # dagger
+    0x82: "‡",  # daggerdbl
+    0x83: "…",  # ellipsis
+    0x84: "—",  # emdash
+    0x85: "–",  # endash
+    0x86: "ƒ",  # florin
+    0x87: "⁄",  # fraction
+    0x88: "‹",  # guilsinglleft
+    0x89: "›",  # guilsinglright
+    0x8A: "−",  # minus
+    0x8B: "‰",  # perthousand
+    0x8C: "„",  # quotedblbase
+    0x8D: "“",  # quotedblleft
+    0x8E: "”",  # quotedblright
+    0x8F: "‘",  # quoteleft
+    0x90: "’",  # quoteright
+    0x91: "‚",  # quotesinglbase
+    0x92: "™",  # trademark
+    0x93: "ﬁ",  # fi
+    0x94: "ﬂ",  # fl
+    0x95: "Ł",  # Lslash
+    0x96: "Œ",  # OE
+    0x97: "Š",  # Scaron
+    0x98: "Ÿ",  # Ydieresis
+    0x99: "Ž",  # Zcaron
+    0x9A: "ı",  # dotlessi
+    0x9B: "ł",  # lslash
+    0x9C: "œ",  # oe
+    0x9D: "š",  # scaron
+    0x9E: "ž",  # zcaron
+    0x9F: "�",  # undefined
+    0xA0: "€",  # Euro
+    0xAD: "�",  # undefined (Latin-1 soft hyphen slot)
+}
+
+# latin-1 decode is the identity byte->U+00XX map; translating the
+# difference rows on top of it yields the full Annex-D.2 decode.
+_PDFDOC_XLATE = {k: v for k, v in _PDFDOC_DIFF.items()}
+
+
+def pdf_text_string(raw: Any) -> Optional[str]:
+    """Decode a PDF *text string* value (§7.9.2.2) to Python str.
+
+    UTF-16BE with BOM, UTF-8 with BOM (PDF 2.0), else PDFDocEncoding.
+    Non-bytes inputs (a malformed /Info slot holding a number or name)
+    return None rather than raising."""
+    if isinstance(raw, str):  # a Name leaked into a string slot
+        return None
+    if not isinstance(raw, (bytes, bytearray)):
+        return None
+    b = bytes(raw)
+    if b[:2] == b"\xfe\xff":
+        return b[2:].decode("utf-16-be", "replace")
+    if b[:3] == b"\xef\xbb\xbf":
+        return b[3:].decode("utf-8", "replace")
+    return b.decode("latin-1").translate(_PDFDOC_XLATE)
+
+
+_DATE_RE = re.compile(
+    rb"^D?:?(\d{4})(\d{2})?(\d{2})?(\d{2})?(\d{2})?(\d{2})?"
+    rb"(?:([Zz+\-])(?:(\d{2})(?:'(\d{2})'?)?)?)?"
+)
+
+_DAYS_IN = (31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+
+
+def parse_pdf_date(raw: Any) -> Optional[str]:
+    """``D:YYYYMMDDHHmmSSOHH'mm'`` (§7.9.4) -> ISO-8601 string, else None.
+
+    Missing fields default per spec (month/day 01, time 00); an
+    out-of-range field invalidates the whole date (best-effort metadata,
+    never a guess)."""
+    if isinstance(raw, str):
+        raw = raw.encode("ascii", "ignore")
+    if not isinstance(raw, (bytes, bytearray)):
+        return None
+    m = _DATE_RE.match(bytes(raw).strip())
+    if m is None:
+        return None
+    year = int(m.group(1))
+    month = int(m.group(2) or 1)
+    day = int(m.group(3) or 1)
+    hour = int(m.group(4) or 0)
+    minute = int(m.group(5) or 0)
+    second = int(m.group(6) or 0)
+    if not (1 <= month <= 12 and 1 <= day <= _DAYS_IN[month - 1]):
+        return None
+    if hour > 23 or minute > 59 or second > 59:
+        return None
+    iso = f"{year:04d}-{month:02d}-{day:02d}T{hour:02d}:{minute:02d}:{second:02d}"
+    sign = m.group(7)
+    if sign in (b"+", b"-"):
+        oh = int(m.group(8) or 0)
+        om = int(m.group(9) or 0)
+        if oh > 23 or om > 59:
+            return None
+        iso += f"{sign.decode()}{oh:02d}:{om:02d}"
+    elif sign in (b"Z", b"z"):
+        iso += "+00:00"
+    return iso
+
+
+# --- /Info dictionary --------------------------------------------------------
+
+_TEXT_KEYS = ("Title", "Author", "Subject", "Keywords", "Creator", "Producer")
+_DATE_KEYS = ("CreationDate", "ModDate")
+
+# Minimal XMP fallback: Dublin Core title/creator out of the catalog
+# /Metadata packet (§14.3.2). XMP is RDF/XML; the two shapes in the wild
+# are an rdf:Alt/rdf:Seq of rdf:li, or an attribute-less inline value.
+_XMP_LI_RE = {
+    "Title": re.compile(
+        rb"<dc:title>.*?<rdf:li[^>]*>(.*?)</rdf:li>", re.S
+    ),
+    "Author": re.compile(
+        rb"<dc:creator>.*?<rdf:li[^>]*>(.*?)</rdf:li>", re.S
+    ),
+}
+_XML_ENT = {b"&lt;": "<", b"&gt;": ">", b"&amp;": "&",
+            b"&apos;": "'", b"&quot;": '"'}
+
+
+def _xml_unescape(b: bytes) -> str:
+    s = b.decode("utf-8", "replace")
+    for ent, ch in _XML_ENT.items():
+        s = s.replace(ent.decode(), ch)
+    return s
+
+
+def extract_pdf_meta(resolver) -> dict:
+    """Trailer ``/Info`` -> {title, author, subject, keywords, creator,
+    producer, created, modified}; XMP ``/Metadata`` fills title/author
+    when /Info lacks them. Values are str or None; never raises."""
+    out: dict[str, Optional[str]] = {
+        "title": None, "author": None, "subject": None, "keywords": None,
+        "creator": None, "producer": None, "created": None, "modified": None,
+    }
+    try:
+        info = resolver.resolve(resolver.trailer.get("Info"))
+    except Exception:
+        info = None
+    if isinstance(info, dict):
+        for key in _TEXT_KEYS:
+            try:
+                out[key.lower()] = pdf_text_string(resolver.resolve(info.get(key)))
+            except Exception:
+                pass
+        for key, slot in zip(_DATE_KEYS, ("created", "modified")):
+            try:
+                out[slot] = parse_pdf_date(resolver.resolve(info.get(key)))
+            except Exception:
+                pass
+    if out["title"] is None or out["author"] is None:
+        xmp = _xmp_packet(resolver)
+        if xmp:
+            for key, slot in (("Title", "title"), ("Author", "author")):
+                if out[slot] is None:
+                    m = _XMP_LI_RE[key].search(xmp)
+                    if m:
+                        out[slot] = _xml_unescape(m.group(1)).strip() or None
+    return out
+
+
+def _xmp_packet(resolver) -> bytes:
+    try:
+        cat = resolver.catalog()
+        md = resolver.resolve(cat.get("Metadata"))
+        if isinstance(md, Stream):
+            return md.decoded(resolver)
+    except Exception:
+        pass
+    return b""
+
+
+# --- link annotations (the PDF twin of the HTML link graph) ------------------
+
+
+def extract_pdf_links(resolver) -> list:
+    """Every URI a Link annotation targets, in (page, annot) order.
+
+    §12.5.6.5 Link annotations + §12.6.4.7 URI actions: page ``/Annots``
+    array -> dicts with ``/Subtype /Link`` -> ``/A`` action with
+    ``/S /URI`` -> the ``/URI`` byte string (7-bit ASCII per spec; decoded
+    permissively). Malformed entries are skipped, never fatal."""
+    out: list[str] = []
+    try:
+        pages = list(resolver.iter_pages())
+    except Exception:
+        return out
+    for page in pages:
+        try:
+            annots = resolver.resolve(page.get("Annots"))
+        except Exception:
+            continue
+        if not isinstance(annots, list):
+            continue
+        for entry in annots:
+            try:
+                a = resolver.resolve(entry)
+                if not isinstance(a, dict) or a.get("Subtype") != Name("Link"):
+                    continue
+                action = resolver.resolve(a.get("A"))
+                if not isinstance(action, dict) or action.get("S") != Name("URI"):
+                    continue
+                uri = resolver.resolve(action.get("URI"))
+                if isinstance(uri, (bytes, bytearray)) and uri:
+                    out.append(bytes(uri).decode("utf-8", "replace"))
+            except Exception:
+                continue
+    return out

@@ -577,3 +577,206 @@ QUERIES["qx09_html_table_cells"] = _qx09
 ORACLE["qx09_html_table_cells"] = (
     "SELECT doc_id, CAST('t' AS BOOLEAN) AS ok FROM documents"
 )
+
+
+_AUTHORS = ("Ada Lovelace", "Grace Hopper", "Alan Turing", "Edsger Dijkstra")
+_LANGS = ("en", "de", "fr")
+
+_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("title", StringType()),
+        StructField("author", StringType()),
+        StructField("created", StringType()),
+        StructField("lang", StringType()),
+        StructField("canonical", StringType()),
+    ]
+)
+
+
+def _qx10(spark: SparkSession, sf: str) -> DataFrame:
+    """Document-info metadata extraction, both tiers, VALUE oracle.
+
+    For every document, build a PDF whose trailer ``/Info`` (UTF-16BE
+    title, PDFDocEncoding author, ``D:...Z`` date) and an HTML page whose
+    head (``<title>``, ``lang``, ``rel=canonical``) carry the same
+    doc_id-derived metadata; extract through ``core.meta`` /
+    ``extract_html_meta`` and emit the values ONLY where the two tiers
+    agree — so the oracle recomputing title/author/created/lang/canonical
+    arithmetically from doc_id catches a wrong decode in either tier
+    (a disagreement nulls the column and fails the value hash)."""
+    from pdf_spark.core.document import Resolver
+    from pdf_spark.core.htmltext import extract_html_meta
+    from pdf_spark.core.meta import extract_pdf_meta
+    from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder, _content_td_tj, _escb
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from html import escape
+
+        from pdf_spark.gen.pdfgen import wrap_lines
+
+        for batch in batches:
+            out = {k.name: [] for k in _META_SCHEMA.fields}
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                i = int(doc_id)
+                title = f"Doc {i} 例"
+                author = _AUTHORS[i % 4]
+                created = (
+                    f"2024-{1 + i % 12:02d}-{1 + i % 28:02d}"
+                    f"T{i % 24:02d}:30:00+00:00"
+                )
+                lang = _LANGS[i % 3]
+                canonical = f"https://example.com/doc/{i}"
+                lines = wrap_lines(text if isinstance(text, str) else "")
+
+                b = PdfBuilder()
+                cat = b.reserve()
+                pages_id = b.reserve()
+                page = b.reserve()
+                font = b.add(F_HELV)
+                cont = b.stream(_content_td_tj(lines), filters="FlateDecode")
+                t16 = b"\xfe\xff" + title.encode("utf-16-be")
+                date = (
+                    f"D:2024{1 + i % 12:02d}{1 + i % 28:02d}"
+                    f"{i % 24:02d}3000Z"
+                ).encode()
+                info = b.add(
+                    b"<</Title(" + _escb(t16) + b")/Author("
+                    + author.encode() + b")/CreationDate(" + date + b")>>"
+                )
+                b.set(cat, b"<</Type/Catalog/Pages " + str(pages_id).encode() + b" 0 R>>")
+                b.set(pages_id, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+                b.set(
+                    page,
+                    b"<</Type/Page/Parent " + str(pages_id).encode() + b" 0 R"
+                    b"/MediaBox[0 0 612 792]"
+                    b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+                    b"/Contents " + str(cont).encode() + b" 0 R>>",
+                )
+                pdf = b.build(cat, trailer_extra=b"/Info " + str(info).encode() + b" 0 R")
+
+                page_html = (
+                    f'<!doctype html><html lang="{lang}"><head>'
+                    f"<title>{escape(title)}</title>"
+                    f'<link rel="canonical" href="{canonical}">'
+                    f'<meta name="author" content="{escape(author)}">'
+                    "</head><body><p>"
+                    + escape(" ".join(lines) or "x")
+                    + "</p></body></html>"
+                ).encode()
+
+                pm = extract_pdf_meta(Resolver(pdf))
+                hm = extract_html_meta(page_html)
+                agree_title = pm["title"] if pm["title"] == hm["title"] else None
+                out["doc_id"].append(i)
+                out["title"].append(agree_title)
+                out["author"].append(pm["author"])
+                out["created"].append(pm["created"])
+                out["lang"].append(hm["lang"])
+                out["canonical"].append(hm["canonical"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(meta, _META_SCHEMA)
+
+
+QUERIES["qx10_doc_metadata"] = _qx10
+ORACLE["qx10_doc_metadata"] = f"""
+SELECT doc_id,
+       'Doc ' || doc_id || ' 例' AS title,
+       CASE doc_id % 4 WHEN 0 THEN '{_AUTHORS[0]}' WHEN 1 THEN '{_AUTHORS[1]}'
+                       WHEN 2 THEN '{_AUTHORS[2]}' ELSE '{_AUTHORS[3]}' END AS author,
+       printf('2024-%02d-%02dT%02d:30:00+00:00',
+              1 + doc_id % 12, 1 + doc_id % 28, doc_id % 24) AS created,
+       CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END AS lang,
+       'https://example.com/doc/' || doc_id AS canonical
+FROM documents
+"""
+
+
+def _qx11(spark: SparkSession, sf: str) -> DataFrame:
+    """PDF link-annotation graph (value oracle) — the PDF twin of qx08.
+
+    Every document's page carries two fixed Link annots (same URIs as the
+    corpus ``info_annots`` variant) plus one per-doc URI ``.../doc/{id}``
+    and one non-link annot that must be skipped; ``extract_pdf_links``
+    walks /Annots -> /A -> /URI through the full resolver and the target
+    histogram is grouped exactly like a crawl frontier. The oracle is the
+    fixed pair times COUNT(documents) union the per-doc rows."""
+    from pdf_spark.core.document import Resolver
+    from pdf_spark.core.meta import extract_pdf_links
+    from pdf_spark.gen.pdfgen import (
+        F_HELV,
+        PdfBuilder,
+        _content_td_tj,
+        wrap_lines,
+    )
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    schema = StructType(
+        [StructField("href", StringType()), StructField("n", LongType())]
+    )
+
+    def links(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"href": [], "n": []}
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                i = int(doc_id)
+                lines = wrap_lines(text if isinstance(text, str) else "")
+                b = PdfBuilder()
+                cat = b.reserve()
+                pages_id = b.reserve()
+                page = b.reserve()
+                font = b.add(F_HELV)
+                cont = b.stream(_content_td_tj(lines), filters="FlateDecode")
+                uris = (
+                    b"https://example.com/next",
+                    b"https://example.com/refs",
+                    b"https://example.com/doc/" + str(i).encode(),
+                )
+                annots = [
+                    b.add(
+                        b"<</Type/Annot/Subtype/Link/Rect[0 0 1 1]"
+                        b"/A<</S/URI/URI(" + u + b")>>>>"
+                    )
+                    for u in uris
+                ]
+                annots.append(
+                    b.add(b"<</Type/Annot/Subtype/Text/Rect[0 0 1 1]>>")
+                )
+                b.set(cat, b"<</Type/Catalog/Pages " + str(pages_id).encode() + b" 0 R>>")
+                b.set(pages_id, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+                b.set(
+                    page,
+                    b"<</Type/Page/Parent " + str(pages_id).encode() + b" 0 R"
+                    b"/MediaBox[0 0 612 792]"
+                    b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+                    b"/Contents " + str(cont).encode() + b" 0 R"
+                    b"/Annots["
+                    + b" ".join(str(a).encode() + b" 0 R" for a in annots)
+                    + b"]>>",
+                )
+                pdf = b.build(cat)
+                for href in extract_pdf_links(Resolver(pdf)):
+                    out["href"].append(href)
+                    out["n"].append(1)
+            yield pd.DataFrame(out)
+
+    return (
+        docs.mapInPandas(links, schema)
+        .groupBy("href")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+QUERIES["qx11_pdf_link_graph"] = _qx11
+ORACLE["qx11_pdf_link_graph"] = """
+SELECT href, CAST(n AS BIGINT) AS n FROM (
+  SELECT 'https://example.com/next' AS href, COUNT(*) AS n FROM documents
+  UNION ALL
+  SELECT 'https://example.com/refs', COUNT(*) FROM documents
+  UNION ALL
+  SELECT 'https://example.com/doc/' || doc_id, 1 FROM documents
+)
+"""

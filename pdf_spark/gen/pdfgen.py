@@ -1224,7 +1224,60 @@ _GOOD_VARIANTS = [
     # in crawl archives): same documents, wrapped; dispatch must unwrap.
     ("html_gzip", lambda L: _gzip(_htmlgen().html_article(L))),
     ("pdf_gzip", lambda L: _gzip(_simple_doc(L, _content_td_tj, filters="FlateDecode"))),
+    # document-info metadata + link annotations (PDF 32000-1 §14.3.3,
+    # §12.5.6.5): neither may perturb the extracted text.
+    ("info_annots", lambda L: _info_annots_doc(L)),
 ]
+
+
+def _info_annots_doc(lines: list[str]) -> bytes:
+    """td_tj document carrying a trailer ``/Info`` (UTF-16BE title with
+    non-Latin chars, PDFDocEncoding author, both date forms) and two URI
+    Link annotations plus one non-link annotation. The text roundtrip must
+    be unaffected; core/meta.py reads the side channel."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    cont = b.stream(_content_td_tj(lines), filters="FlateDecode")
+    a1 = b.add(
+        b"<</Type/Annot/Subtype/Link/Rect[72 700 200 712]"
+        b"/A<</S/URI/URI(https://example.com/next)>>>>"
+    )
+    a2 = b.add(
+        b"<</Type/Annot/Subtype/Link/Rect[72 680 200 692]"
+        b"/A<</S/URI/URI(https://example.com/refs)>>>>"
+    )
+    a3 = b.add(b"<</Type/Annot/Subtype/Text/Rect[0 0 10 10]>>")
+    title = b"\xfe\xff" + "Título — 例".encode("utf-16-be")
+    info = b.add(
+        b"<</Title(" + _escb(title) + b")"
+        b"/Author(J. Author \x93\x94)"  # PDFDoc fi/fl ligature bytes
+        b"/CreationDate(D:20240115103000Z)/ModDate(D:20240116)>>"
+    )
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R"
+        b"/Annots[" + b" ".join(str(a).encode() + b" 0 R" for a in (a1, a2, a3))
+        + b"]>>",
+    )
+    return b.build(cat, trailer_extra=b"/Info " + str(info).encode() + b" 0 R")
+
+
+def _escb(raw: bytes) -> bytes:
+    """PDF literal-string escaping for arbitrary byte payloads."""
+    return (
+        raw.replace(b"\\", b"\\\\")
+        .replace(b"(", b"\\(")
+        .replace(b")", b"\\)")
+        .replace(b"\r", b"\\r")
+    )
 
 
 def _gzip(data: bytes) -> bytes:

@@ -1,0 +1,248 @@
+"""core/meta.py (PDF /Info + XMP + Link annots) and extract_html_meta."""
+
+from pdf_spark.core.document import Resolver
+from pdf_spark.core.htmltext import extract_html_meta
+from pdf_spark.core.meta import (
+    extract_pdf_links,
+    extract_pdf_meta,
+    parse_pdf_date,
+    pdf_text_string,
+)
+from pdf_spark.gen.pdfgen import (
+    F_HELV,
+    N_VARIANTS,
+    PdfBuilder,
+    _content_td_tj,
+    _escb,
+    _info_annots_doc,
+    generate_doc,
+)
+
+
+# --- text strings (PDF 32000-1 §7.9.2.2 + Annex D.2) -------------------------
+
+def test_pdfdoc_encoding_ascii_identity():
+    assert pdf_text_string(b"Hello, World! 123") == "Hello, World! 123"
+
+
+def test_pdfdoc_encoding_difference_rows():
+    # bullet, emdash, euro, quotes, ligatures, caron accent
+    assert pdf_text_string(b"\x80\x84\xa0\x8d\x8e\x93\x94\x19") == "•—€“”ﬁﬂˇ"
+    # latin-1 upper half where PDFDoc == latin-1
+    assert pdf_text_string(b"caf\xe9") == "café"
+    # undefined slots -> replacement char, never raise
+    assert pdf_text_string(b"\x7f\x9f\xad") == "���"
+
+
+def test_utf16_and_utf8_boms():
+    assert pdf_text_string(b"\xfe\xff\x00H\x00i") == "Hi"
+    assert pdf_text_string(b"\xfe\xff" + "漢字".encode("utf-16-be")) == "漢字"
+    assert pdf_text_string(b"\xef\xbb\xbfcaf\xc3\xa9") == "café"
+    # truncated UTF-16 payload: permissive, never raises
+    assert pdf_text_string(b"\xfe\xff\x00") is not None
+
+
+def test_text_string_bad_types():
+    assert pdf_text_string(None) is None
+    assert pdf_text_string(42) is None
+    assert pdf_text_string("already-a-name") is None
+
+
+# --- dates (§7.9.4) -----------------------------------------------------------
+
+def test_date_full_forms():
+    assert parse_pdf_date(b"D:20240115103000+05'30'") == "2024-01-15T10:30:00+05:30"
+    assert parse_pdf_date(b"D:20240115103000-08'00'") == "2024-01-15T10:30:00-08:00"
+    assert parse_pdf_date(b"D:20240115103000Z") == "2024-01-15T10:30:00+00:00"
+
+
+def test_date_defaulted_fields():
+    assert parse_pdf_date(b"D:2024") == "2024-01-01T00:00:00"
+    assert parse_pdf_date(b"D:202407") == "2024-07-01T00:00:00"
+    assert parse_pdf_date(b"20240115") == "2024-01-15T00:00:00"  # no D: prefix
+
+
+def test_date_rejects_out_of_range():
+    assert parse_pdf_date(b"D:20241315") is None  # month 13
+    assert parse_pdf_date(b"D:20240230") is None  # Feb 30
+    assert parse_pdf_date(b"D:20240115253000Z") is None  # hour 25
+    assert parse_pdf_date(b"not a date") is None
+    assert parse_pdf_date(None) is None
+
+
+# --- /Info + XMP --------------------------------------------------------------
+
+def _doc_with(info_body: bytes = b"", catalog_extra: bytes = b"",
+              builder_hook=None) -> bytes:
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    cont = b.stream(_content_td_tj(["hello"]))
+    extra = b""
+    if info_body:
+        info = b.add(info_body)
+        extra = b"/Info " + str(info).encode() + b" 0 R"
+    if builder_hook is not None:
+        catalog_extra = builder_hook(b)
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R"
+          + catalog_extra + b">>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(page, b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+          b"/MediaBox[0 0 612 792]"
+          b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+          b"/Contents " + str(cont).encode() + b" 0 R>>")
+    return b.build(cat, trailer_extra=extra)
+
+
+def test_info_dict_full():
+    title = b"\xfe\xff" + "T — §".encode("utf-16-be")
+    pdf = _doc_with(
+        b"<</Title(" + _escb(title) + b")/Author(A. Writer)"
+        b"/Subject(Sub)/Keywords(k1 k2)/Creator(ed)/Producer(pr)"
+        b"/CreationDate(D:20230401120000Z)/ModDate(D:20230402)>>"
+    )
+    m = extract_pdf_meta(Resolver(pdf))
+    assert m["title"] == "T — §"
+    assert m["author"] == "A. Writer"
+    assert m["subject"] == "Sub"
+    assert m["keywords"] == "k1 k2"
+    assert m["creator"] == "ed"
+    assert m["producer"] == "pr"
+    assert m["created"] == "2023-04-01T12:00:00+00:00"
+    assert m["modified"] == "2023-04-02T00:00:00"
+
+
+def test_info_missing_and_malformed():
+    m = extract_pdf_meta(Resolver(_doc_with()))
+    assert all(v is None for v in m.values())
+    # /Info holding a number, /Title a name: best-effort Nones, no raise
+    m = extract_pdf_meta(Resolver(_doc_with(b"<</Title/NameNotString>>")))
+    assert m["title"] is None
+
+
+def test_xmp_fallback_fills_missing():
+    xmp = (b'<x:xmpmeta><rdf:RDF><rdf:Description>'
+           b'<dc:title><rdf:Alt><rdf:li xml:lang="x-default">X &amp; Y</rdf:li>'
+           b'</rdf:Alt></dc:title>'
+           b'<dc:creator><rdf:Seq><rdf:li>C1</rdf:li></rdf:Seq></dc:creator>'
+           b'</rdf:Description></rdf:RDF></x:xmpmeta>')
+
+    def hook(b: PdfBuilder) -> bytes:
+        md = b.stream(xmp, extra_dict=b"/Type/Metadata/Subtype/XML",
+                      filters="FlateDecode")
+        return b"/Metadata " + str(md).encode() + b" 0 R"
+
+    m = extract_pdf_meta(Resolver(_doc_with(builder_hook=hook)))
+    assert m["title"] == "X & Y"
+    assert m["author"] == "C1"
+    # /Info wins over XMP when present; XMP fills only the missing slots
+    pdf = _doc_with(b"<</Title(InfoTitle)>>", builder_hook=hook)
+    m2 = extract_pdf_meta(Resolver(pdf))
+    assert m2["title"] == "InfoTitle"
+    assert m2["author"] == "C1"  # missing in /Info -> XMP fills
+
+
+# --- link annotations ----------------------------------------------------------
+
+def test_corpus_info_annots_variant():
+    pdf = _info_annots_doc(["one line of text"])
+    r = Resolver(pdf)
+    m = extract_pdf_meta(r)
+    assert m["title"] == "Título — 例"
+    assert m["author"] == "J. Author ﬁﬂ"
+    assert m["created"] == "2024-01-15T10:30:00+00:00"
+    assert extract_pdf_links(r) == [
+        "https://example.com/next",
+        "https://example.com/refs",
+    ]
+
+
+def test_info_annots_text_roundtrip_unperturbed():
+    from pdf_spark.core.extract import assemble_text, extract_document
+
+    idx = next(
+        i for i in range(N_VARIANTS)
+        if generate_doc("x", i)[2] == "info_annots"
+    )
+    pdf, expected, _, _ = generate_doc(
+        "metadata must never perturb the extracted text bytes", idx
+    )
+    r = extract_document(pdf)
+    assert r.ok and assemble_text(r.spans) == expected
+
+
+def test_links_skip_malformed_entries():
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    cont = b.stream(_content_td_tj(["x"]))
+    good = b.add(b"<</Subtype/Link/A<</S/URI/URI(https://ok)>>>>")
+    no_a = b.add(b"<</Subtype/Link>>")
+    goto = b.add(b"<</Subtype/Link/A<</S/GoTo/D[1 0 R]>>>>")  # non-URI action
+    num = b.add(b"42")  # not even a dict
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(page, b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+          b"/MediaBox[0 0 612 792]"
+          b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+          b"/Contents " + str(cont).encode() + b" 0 R"
+          b"/Annots[" + b" ".join(
+              str(a).encode() + b" 0 R" for a in (good, no_a, goto, num)
+          ) + b"]>>")
+    assert extract_pdf_links(Resolver(b.build(cat))) == ["https://ok"]
+
+
+# --- HTML head metadata ---------------------------------------------------------
+
+def test_html_meta_basic():
+    page = (b'<!doctype html><html lang="en-US"><head>'
+            b"<title> Hello &amp; Welcome </title>"
+            b'<meta name="description" content="A test page">'
+            b'<meta property="og:title" content="OG Hello">'
+            b'<meta property="og:description" content="OG Desc">'
+            b'<link rel="canonical" href="https://ex.com/p">'
+            b"</head><body></body></html>")
+    m = extract_html_meta(page)
+    assert m == {
+        "title": "Hello & Welcome", "description": "A test page",
+        "og_title": "OG Hello", "og_description": "OG Desc",
+        "canonical": "https://ex.com/p", "lang": "en-US",
+    }
+
+
+def test_html_meta_first_wins_and_rawtext_immune():
+    page = (b"<html lang=de><head><title>First</title>"
+            b"<script>document.title='<title>fake</title>';</script>"
+            b"</head><body><title>Second</title>"
+            b'<html lang="fr"></html>')
+    m = extract_html_meta(page)
+    assert m["title"] == "First"
+    assert m["lang"] == "de"
+
+
+def test_html_meta_attr_quoting_variants():
+    page = (b"<html><head>"
+            b"<meta content='single quoted' name=description>"
+            b"<link href=https://c.example rel=canonical>"
+            b"</head></html>")
+    m = extract_html_meta(page)
+    assert m["description"] == "single quoted"
+    assert m["canonical"] == "https://c.example"
+
+
+def test_html_meta_rel_list_and_empty():
+    m = extract_html_meta(b'<html><link rel="alternate canonical" href="/x"></html>')
+    assert m["canonical"] == "/x"
+    m = extract_html_meta(b"<html><body>nothing</body></html>")
+    assert all(v is None for v in m.values())
+
+
+def test_html_meta_never_raises_on_garbage():
+    for junk in (b"", b"<", b"<html", b"\xff\xfe\x00\x01" * 50,
+                 b"<html><title>" + b"a" * 10000):
+        m = extract_html_meta(junk)
+        assert isinstance(m, dict)
