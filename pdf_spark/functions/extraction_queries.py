@@ -780,3 +780,76 @@ SELECT href, CAST(n AS BIGINT) AS n FROM (
   SELECT 'https://example.com/doc/' || doc_id, 1 FROM documents
 )
 """
+
+
+def _qx12(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC ingest roundtrip (value oracle) — the container-format edge.
+
+    Per document, write a one-record WARC archive (gzip member, the
+    Common-Crawl layout) whose HTTP message exercises a different
+    transfer/content-encoding layer combination by ``doc_id % 4``
+    (plain / chunked / gzip / chunked+gzip), then parse it back through
+    ``sources.warc.records_to_rows``. Emitted url/status/mime come from
+    the parsed record; ``ok`` additionally asserts payload byte equality
+    through the full decode stack — the oracle recomputes every column
+    from doc_id."""
+    from pdf_spark.gen.pdfgen import wrap_lines
+    from pdf_spark.sources.warc import build_response_record, records_to_rows, write_warc
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("url", StringType()),
+            StructField("http_status", LongType()),
+            StructField("mime", StringType()),
+            StructField("ok", BooleanType()),
+        ]
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from html import escape
+
+        for batch in batches:
+            out = {k.name: [] for k in schema.fields}
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                i = int(doc_id)
+                lines = wrap_lines(text if isinstance(text, str) else "")
+                payload = (
+                    "<html><body><p>"
+                    + escape(" ".join(lines) or "x")
+                    + "</p></body></html>"
+                ).encode()
+                url = f"warc://doc/{i}"
+                rec = build_response_record(
+                    url,
+                    "2024-01-01T00:00:00Z",
+                    payload,
+                    chunked=bool(i % 4 in (1, 3)),
+                    content_gzip=bool(i % 4 in (2, 3)),
+                )
+                rows = list(records_to_rows(write_warc([rec])))
+                got_url, _, got_payload, status, mime = (
+                    rows[0] if rows else (None, None, None, 0, "")
+                )
+                out["doc_id"].append(i)
+                out["url"].append(got_url)
+                out["http_status"].append(int(status))
+                out["mime"].append(mime)
+                out["ok"].append(
+                    bool(len(rows) == 1 and got_payload == payload)
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(roundtrip, schema)
+
+
+QUERIES["qx12_warc_ingest"] = _qx12
+ORACLE["qx12_warc_ingest"] = """
+SELECT doc_id,
+       'warc://doc/' || doc_id AS url,
+       CAST(200 AS BIGINT) AS http_status,
+       'text/html' AS mime,
+       CAST('t' AS BOOLEAN) AS ok
+FROM documents
+"""

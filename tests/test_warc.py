@@ -1,0 +1,121 @@
+"""WARC source connector: parser, HTTP decode layers, Spark reader."""
+
+import gzip
+
+import pytest
+
+from pdf_spark.sources.warc import (
+    build_response_record,
+    http_payload,
+    iter_warc_records,
+    read_warc,
+    records_to_rows,
+    write_warc,
+)
+
+
+def _recs():
+    return [
+        build_response_record(
+            "https://a.example/1", "2024-01-01T00:00:00Z",
+            b"<html><body>one</body></html>"),
+        build_response_record(
+            "https://a.example/2", "2024-01-02T00:00:00Z",
+            b"<html>two</html>", chunked=True),
+        build_response_record(
+            "https://a.example/3", "2024-01-03T00:00:00Z",
+            b"<html>three</html>", content_gzip=True),
+        build_response_record(
+            "https://a.example/4", "2024-01-04T00:00:00Z",
+            b"<html>four</html>", chunked=True, content_gzip=True),
+    ]
+
+
+@pytest.mark.parametrize("gzip_per_record", [True, False])
+def test_roundtrip_layouts(gzip_per_record):
+    arc = write_warc(_recs(), gzip_per_record=gzip_per_record)
+    rows = list(records_to_rows(arc))
+    assert [r[0] for r in rows] == [f"https://a.example/{i}" for i in (1, 2, 3, 4)]
+    assert rows[0][2] == b"<html><body>one</body></html>"
+    assert rows[1][2] == b"<html>two</html>"  # chunked
+    assert rows[2][2] == b"<html>three</html>"  # content-encoding gzip
+    assert rows[3][2] == b"<html>four</html>"  # both layers
+    assert all(r[3] == 200 and r[4] == "text/html" for r in rows)
+
+
+def test_whole_file_gzip():
+    arc = gzip.compress(b"".join(_recs()), mtime=0)
+    assert len(list(records_to_rows(arc))) == 4
+
+
+def test_non_response_records_skipped():
+    req = _recs()[0].replace(b"WARC-Type: response", b"WARC-Type: request")
+    info = _recs()[0].replace(b"WARC-Type: response", b"WARC-Type: warcinfo")
+    arc = write_warc([req, info, _recs()[1]])
+    rows = list(records_to_rows(arc))
+    assert len(rows) == 1 and rows[0][0].endswith("/2")
+
+
+def test_truncated_tail_tolerated():
+    arc = write_warc(_recs()[:2]) + b"\x1f\x8b\x08\x00trunc"
+    assert len(list(records_to_rows(arc))) == 2
+    # truncation INSIDE an uncompressed record: earlier records survive
+    plain = b"".join(_recs()[:2])
+    assert len(list(records_to_rows(plain[: len(plain) - 40]))) >= 1
+
+
+def test_resync_on_garbage_between_records():
+    recs = _recs()
+    arc = recs[0] + b"GARBAGE NOT A RECORD\r\n\r\n" + recs[1]
+    got = [r.target_uri for r in iter_warc_records(arc)
+           if r.rec_type == "response"]
+    assert got == ["https://a.example/1", "https://a.example/2"]
+
+
+def test_record_cap_skips_oversized_member():
+    big = build_response_record(
+        "https://a.example/big", "2024-01-01T00:00:00Z", b"x" * 100_000)
+    arc = write_warc([big, _recs()[0]])
+    rows = list(records_to_rows(arc, max_record_bytes=50_000))
+    assert [r[0] for r in rows] == ["https://a.example/1"]
+
+
+def test_http_payload_malformed():
+    assert http_payload(b"not http at all")[0] is None
+    assert http_payload(b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked"
+                        b"\r\n\r\nZZZ\r\n")[0] is None  # bad chunk size
+    # bad content-encoding stream -> None (never raises)
+    assert http_payload(b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip"
+                        b"\r\n\r\nnot-gzip")[0] is None
+
+
+def test_deflate_content_encoding():
+    import zlib
+
+    body = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+            + zlib.compress(b"<html>z</html>"))
+    assert http_payload(body)[0] == b"<html>z</html>"
+
+
+def test_read_warc_spark(spark, tmp_path):
+    import datetime
+
+    d = tmp_path / "warcs"
+    d.mkdir()
+    for f in range(3):
+        recs = [
+            build_response_record(
+                f"https://ex.com/{f}/{i}", f"2024-01-0{f + 1}T00:00:00Z",
+                f"<html><body>doc {f}-{i}</body></html>".encode(),
+                chunked=(i % 2 == 0), content_gzip=(i % 3 == 0))
+            for i in range(5)
+        ]
+        (d / f"part-{f}.warc.gz").write_bytes(write_warc(recs))
+    df = read_warc(spark, str(d))
+    rows = {r["url"]: r for r in df.collect()}
+    assert len(rows) == 15
+    r = rows["https://ex.com/1/2"]
+    assert bytes(r["html"]) == b"<html><body>doc 1-2</body></html>"
+    assert r["http_status"] == 200 and r["mime"] == "text/html"
+    assert r["warc_ts"] == datetime.datetime(2024, 1, 2)
+    assert dict(df.dtypes)["warc_ts"] == "timestamp"
