@@ -10,10 +10,11 @@ def all_queries():
         relational,
         similarity,
         textops,
+        urlops,
     )
 
     out = {}
-    for mod in (relational, textops, similarity, multimodal, extraction_queries):
+    for mod in (relational, textops, urlops, similarity, multimodal, extraction_queries):
         out.update(mod.QUERIES)
     return out
 
@@ -25,9 +26,10 @@ def all_oracles():
         relational,
         similarity,
         textops,
+        urlops,
     )
 
     out = {}
-    for mod in (relational, textops, similarity, multimodal, extraction_queries):
+    for mod in (relational, textops, urlops, similarity, multimodal, extraction_queries):
         out.update(mod.ORACLE)
     return out

@@ -1,0 +1,176 @@
+"""URL canonicalization — declarative, JVM-side, zero Python per row.
+
+Every crawl pipeline dedups and joins on a canonical URL key (SURT-style
+normalisation; cf. the Common-Crawl index's url canonicalizer). At 10^12
+rows this runs inside whole-stage codegen as pure Catalyst expressions —
+a Python UDF here would be the single hottest regression in the engine,
+so everything below is built from `pyspark.sql.functions` only.
+
+Normalisation rules (the widely-agreed-safe subset):
+
+- scheme and host lowercased; userinfo dropped
+- default port stripped (``http:80``, ``https:443``); others kept
+- fragment removed
+- empty path -> ``/``
+- tracking params removed (``utm_*``, ``gclid``, ``fbclid``,
+  ``msclkid``, ``mc_eid``, ``igshid``); remaining params keep their
+  order (reordering is NOT safe in general); ``?`` dropped if the query
+  empties
+- inputs with no ``scheme://`` (relative/garbage) pass through trimmed —
+  canonicalization must be total, never raise
+
+``registrable_domain`` approximates the public-suffix cut with the
+common two-level suffixes; production would broadcast the full public
+PSL as a lookup table — the expression shape (split + element_at) is the
+same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?.*$"
+
+_TRACKING_RE = "^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|igshid)="
+
+# common two-level public suffixes (approximate PSL cut)
+_TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gov.in", "ac.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "co.kr", "or.kr", "go.kr", "ac.kr",
+    "com.mx", "com.ar", "com.tr", "com.tw", "com.sg", "com.hk",
+    "co.za", "co.nz", "co.id", "co.th", "com.my", "com.ph", "com.vn",
+    "com.pl", "com.ru", "com.ua", "co.il", "com.sa", "com.eg",
+)
+
+
+def _strip_fragment(url: Column) -> Column:
+    return F.regexp_replace(F.trim(url), "#.*$", "")
+
+
+def canonicalize_url(url) -> Column:
+    """Canonical form of a URL column (see module docstring for rules)."""
+    u = _strip_fragment(F.col(url) if isinstance(url, str) else url)
+    scheme = F.lower(F.regexp_extract(u, _URL_RE, 1))
+    authority = F.regexp_extract(u, _URL_RE, 2)
+    path = F.regexp_extract(u, _URL_RE, 3)
+    query = F.regexp_extract(u, _URL_RE, 4)
+
+    host = F.lower(F.regexp_extract(authority, r"^(?:[^@]*@)?([^:]*)", 1))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    port_part = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+
+    path_part = F.when(path == "", F.lit("/")).otherwise(path)
+
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+    )
+    q = F.array_join(kept, "&")
+    q_part = F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))
+
+    return F.when(
+        scheme == "", u  # schemeless: pass through trimmed/defragmented
+    ).otherwise(F.concat(scheme, F.lit("://"), host, port_part, path_part, q_part))
+
+
+def host_of(url) -> Column:
+    """Lowercased host of a URL column ('' when schemeless)."""
+    u = _strip_fragment(F.col(url) if isinstance(url, str) else url)
+    authority = F.regexp_extract(u, _URL_RE, 2)
+    return F.lower(F.regexp_extract(authority, r"^(?:[^@]*@)?([^:]*)", 1))
+
+
+def registrable_domain(host) -> Column:
+    """Approximate registrable domain (eTLD+1) of a host column."""
+    h = F.col(host) if isinstance(host, str) else host
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(".", F.element_at(parts, -3), last2)
+    is_two_level = last2.isin(*_TWO_LEVEL_SUFFIXES)
+    return (
+        F.when(n <= 1, h)
+        .when((n >= 3) & is_two_level, last3)
+        .otherwise(last2)
+    )
+
+
+# --- driver-contract query -----------------------------------------------------
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _qt20(spark, sf):
+    """Canonicalize six deterministic messy-URL classes (userinfo, default
+    and non-default ports, mixed-case scheme/host, tracking params,
+    fragments, whitespace, schemeless passthrough) built from doc_id —
+    entirely declarative, so the whole query is one codegen'd projection.
+    The oracle CONSTRUCTS the expected canonical form per class rather
+    than reimplementing the algorithm."""
+    from pdf_spark.functions.tables import load
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    messy = (
+        F.when(i % 6 == 0, F.concat(F.lit("HTTPS://WWW.Example.COM:443/Doc/"), s,
+                                    F.lit("?utm_source=feed&id="), s, F.lit("#sec")))
+        .when(i % 6 == 1, F.concat(F.lit("http://user:pw@News.example.CO.UK:80/a//b?x="), s,
+                                   F.lit("&utm_campaign=c&y=2")))
+        .when(i % 6 == 2, F.lit("https://Example.Org"))
+        .when(i % 6 == 3, F.concat(F.lit("HTTP://blog.example.com.au:8080/p"), s,
+                                   F.lit("?fbclid=abc")))
+        .when(i % 6 == 4, F.concat(F.lit("  https://example.net/x"), s,
+                                   F.lit("?utm_source=a&utm_medium=b#f  ")))
+        .otherwise(F.concat(F.lit("mailto:someone"), s, F.lit("@example.com")))
+    )
+    host = host_of(messy)
+    return docs.select(
+        "doc_id",
+        canonicalize_url(messy).alias("url_canon"),
+        host.alias("host"),
+        registrable_domain(host).alias("domain"),
+    )
+
+
+QUERIES["qt20_url_canonicalize"] = _qt20
+ORACLE["qt20_url_canonicalize"] = """
+SELECT doc_id,
+       CASE doc_id % 6
+         WHEN 0 THEN 'https://www.example.com/Doc/' || doc_id || '?id=' || doc_id
+         WHEN 1 THEN 'http://news.example.co.uk/a//b?x=' || doc_id || '&y=2'
+         WHEN 2 THEN 'https://example.org/'
+         WHEN 3 THEN 'http://blog.example.com.au:8080/p' || doc_id
+         WHEN 4 THEN 'https://example.net/x' || doc_id
+         ELSE 'mailto:someone' || doc_id || '@example.com'
+       END AS url_canon,
+       CASE doc_id % 6
+         WHEN 0 THEN 'www.example.com'
+         WHEN 1 THEN 'news.example.co.uk'
+         WHEN 2 THEN 'example.org'
+         WHEN 3 THEN 'blog.example.com.au'
+         WHEN 4 THEN 'example.net'
+         ELSE ''
+       END AS host,
+       CASE doc_id % 6
+         WHEN 0 THEN 'example.com'
+         WHEN 1 THEN 'example.co.uk'
+         WHEN 2 THEN 'example.org'
+         WHEN 3 THEN 'example.com.au'
+         WHEN 4 THEN 'example.net'
+         ELSE ''
+       END AS domain
+FROM documents
+"""
