@@ -778,3 +778,74 @@ FROM probes JOIN shingles ON probe = sh
 GROUP BY pid
 """
 _pair("qt19_contamination_probe", _CONTAMINATION_SPARK, _CONTAMINATION_DUCK)
+
+
+# --- qt21: text normalization (the CCNet/RefinedWeb-style cleanup step) -------
+#
+# Unicode NFC + control-char strip + whitespace collapse, the first map
+# stage of every LLM-corpus pipeline. Control strip and whitespace
+# collapse stay declarative (codegen'd regexp_replace); NFC has no Spark
+# built-in, so it is the one deliberately Arrow-batched pandas-UDF hop
+# (vectorized per batch, never per-row Python through Spark). The DuckDB
+# oracle runs its own independent NFC (nfc_normalize) — cross-library
+# agreement is the check. A deterministic messy prefix (combining accent,
+# TAB, BEL, run of spaces) exercises every rule on every row.
+
+_CTRL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def _nfc_udf():
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("string")
+    def nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return nfc
+
+
+def normalize_text(col):
+    """Canonical training-text form of a string column: control chars
+    stripped, whitespace runs collapsed to single spaces, trimmed, NFC."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _CTRL_CLASS, "")
+    c = F.trim(F.regexp_replace(c, "[ \\t\\n\\r]+", " "))
+    return _nfc_udf()(c)
+
+
+def _qt21(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from pdf_spark.functions.tables import load
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    # A + combining-acute (U+0301) composes to Á under NFC; \t\x07 and the
+    # double space exercise strip + collapse on every row.
+    messy = F.concat(F.lit("A\u0301\t\x07 x  "), F.col("text"))
+    norm = normalize_text(messy)
+    return docs.select(
+        "doc_id",
+        norm.alias("text_norm"),
+        F.length(norm).cast("long").alias("n_chars"),
+    )
+
+
+QUERIES["qt21_text_normalize"] = _qt21
+ORACLE["qt21_text_normalize"] = r"""
+WITH normed AS (
+  SELECT doc_id,
+         nfc_normalize(trim(regexp_replace(regexp_replace(
+             'A' || chr(769) || chr(9) || chr(7) || ' x  ' || text,
+             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             '[ \t\n\r]+', ' ', 'g'))) AS text_norm
+  FROM documents)
+SELECT doc_id, text_norm, CAST(length(text_norm) AS BIGINT) AS n_chars
+FROM normed
+"""

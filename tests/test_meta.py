@@ -246,3 +246,40 @@ def test_html_meta_never_raises_on_garbage():
                  b"<html><title>" + b"a" * 10000):
         m = extract_html_meta(junk)
         assert isinstance(m, dict)
+
+
+def test_fuzz_meta_never_raises():
+    import random
+
+    from pdf_spark.core.errors import PdfError
+
+    rng = random.Random(31338)
+    base = _info_annots_doc(["some text to mutate around"])
+    for _ in range(250):
+        buf = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            buf[rng.randrange(len(buf))] = rng.randrange(256)
+        data = bytes(buf)
+        try:
+            r = Resolver(data)
+        except PdfError:
+            continue  # structural failure is the error-row path, fine
+        m1 = extract_pdf_meta(r)
+        l1 = extract_pdf_links(r)
+        r2 = Resolver(data)
+        assert extract_pdf_meta(r2) == m1 and extract_pdf_links(r2) == l1
+
+
+def test_fuzz_html_meta_never_raises():
+    import random
+
+    rng = random.Random(555)
+    base = (b'<!doctype html><html lang="en"><head><title>T</title>'
+            b'<meta name="description" content="d">'
+            b'<link rel="canonical" href="/c"></head><body>x</body></html>')
+    for _ in range(300):
+        buf = bytearray(base)
+        for _ in range(rng.randint(1, 10)):
+            buf[rng.randrange(len(buf))] = rng.randrange(256)
+        m = extract_html_meta(bytes(buf))
+        assert isinstance(m, dict)

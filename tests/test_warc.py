@@ -119,3 +119,36 @@ def test_read_warc_spark(spark, tmp_path):
     assert r["http_status"] == 200 and r["mime"] == "text/html"
     assert r["warc_ts"] == datetime.datetime(2024, 1, 2)
     assert dict(df.dtypes)["warc_ts"] == "timestamp"
+
+
+def test_fuzz_mutations_never_raise_and_deterministic():
+    import random
+
+    rng = random.Random(20260817)
+    base = write_warc(_recs())
+    for _ in range(300):
+        buf = bytearray(base)
+        for _ in range(rng.randint(1, 8)):
+            op = rng.random()
+            if op < 0.5 and buf:
+                buf[rng.randrange(len(buf))] = rng.randrange(256)
+            elif op < 0.8 and buf:
+                del buf[rng.randrange(len(buf))]
+            else:
+                buf.insert(rng.randrange(len(buf) + 1), rng.randrange(256))
+        data = bytes(buf)
+        a = list(records_to_rows(data))  # must never raise
+        b = list(records_to_rows(data))
+        assert a == b  # and must be deterministic
+
+
+def test_fuzz_random_junk_never_raises():
+    import random
+
+    rng = random.Random(4242)
+    for _ in range(200):
+        n = rng.randint(0, 2000)
+        data = bytes(rng.randrange(256) for _ in range(n))
+        list(records_to_rows(data))
+        list(records_to_rows(b"WARC/1.0\r\n" + data))
+        list(records_to_rows(b"\x1f\x8b" + data))
