@@ -28,7 +28,7 @@ from __future__ import annotations
 import re
 from typing import Any, Optional
 
-from pdf_spark.core.objects import Name, Stream
+from pdf_spark.core.objects import Name, Ref, Stream
 
 # --- PDFDocEncoding (PDF 32000-1 Annex D.2, column PDFDoc) ------------------
 # Identity to ASCII in 0x20-0x7E and to Latin-1 in 0xA1-0xFF except where
@@ -253,4 +253,58 @@ def extract_pdf_links(resolver) -> list:
                     out.append(bytes(uri).decode("utf-8", "replace"))
             except Exception:
                 continue
+    return out
+
+
+# --- outline (bookmarks, §12.3.3) ---------------------------------------------
+
+OUTLINE_CAP = 4096  # total items (adversarial /Next cycles + bombs)
+
+
+def extract_pdf_outline(resolver) -> list:
+    """Document outline ("bookmarks", §12.3.3) as (level, title) tuples
+    in display order.
+
+    Catalog /Outlines -> /First chain of items; each item: /Title text
+    string, /First child subtree, /Next sibling. Cycles and bombs are
+    bounded by OUTLINE_CAP and a visited set (real-world PDFs contain
+    both). Malformed items are skipped; never raises."""
+    out = []
+    try:
+        cat = resolver.catalog()
+        root = resolver.resolve(cat.get("Outlines"))
+    except Exception:
+        return out
+    if not isinstance(root, dict):
+        return out
+    seen = set()
+    stack = [(root.get("First"), 0)]
+    while stack and len(out) < OUTLINE_CAP:
+        node_ref, level = stack.pop()
+        if node_ref is None:
+            continue
+        key = (
+            (node_ref.obj_id, node_ref.gen)
+            if isinstance(node_ref, Ref)
+            else id(node_ref)
+        )
+        if key in seen:
+            continue
+        seen.add(key)
+        try:
+            node = resolver.resolve(node_ref)
+        except Exception:
+            continue
+        if not isinstance(node, dict):
+            continue
+        title = None
+        try:
+            title = pdf_text_string(resolver.resolve(node.get("Title")))
+        except Exception:
+            pass
+        if title is not None:
+            out.append((level, title))
+        # siblings first on the stack so children pop (and emit) first
+        stack.append((node.get("Next"), level))
+        stack.append((node.get("First"), level + 1))
     return out

@@ -853,3 +853,99 @@ SELECT doc_id,
        CAST('t' AS BOOLEAN) AS ok
 FROM documents
 """
+
+
+def _qx13(spark: SparkSession, sf: str) -> DataFrame:
+    """PDF outline (bookmark) extraction (value oracle).
+
+    Each document carries an /Outlines tree with 1 + doc_id % 3 chapters,
+    each chapter holding one child section; the extracted (position,
+    level, title) rows must reproduce the generator's plan exactly —
+    titles, nesting levels and display order are all recomputed by the
+    oracle from doc_id arithmetic."""
+    from pdf_spark.core.document import Resolver
+    from pdf_spark.core.meta import extract_pdf_outline
+    from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder, _content_td_tj, wrap_lines
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("pos", LongType()),
+            StructField("level", LongType()),
+            StructField("title", StringType()),
+        ]
+    )
+
+    def outline(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"doc_id": [], "pos": [], "level": [], "title": []}
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                i = int(doc_id)
+                n_ch = 1 + i % 3
+                b = PdfBuilder()
+                cat = b.reserve()
+                pages_id = b.reserve()
+                page = b.reserve()
+                font = b.add(F_HELV)
+                cont = b.stream(
+                    _content_td_tj(wrap_lines(text if isinstance(text, str) else "")),
+                    filters="FlateDecode",
+                )
+                root = b.reserve()
+                chapters = [b.reserve() for _ in range(n_ch)]
+                sections = [b.reserve() for _ in range(n_ch)]
+                r = lambda n: str(n).encode() + b" 0 R"
+                b.set(
+                    root,
+                    b"<</Type/Outlines/First " + r(chapters[0])
+                    + b"/Last " + r(chapters[-1]) + b">>",
+                )
+                for c in range(n_ch):
+                    nxt = b"/Next " + r(chapters[c + 1]) if c + 1 < n_ch else b""
+                    b.set(
+                        chapters[c],
+                        b"<</Title(Chapter " + str(c).encode() + b" of doc "
+                        + str(i).encode() + b")/Parent " + r(root)
+                        + b"/First " + r(sections[c]) + b"/Last "
+                        + r(sections[c]) + nxt + b">>",
+                    )
+                    b.set(
+                        sections[c],
+                        b"<</Title(Section " + str(c).encode() + b".1)/Parent "
+                        + r(chapters[c]) + b">>",
+                    )
+                b.set(cat, b"<</Type/Catalog/Pages " + r(pages_id)
+                      + b"/Outlines " + r(root) + b">>")
+                b.set(pages_id, b"<</Type/Pages/Kids[" + r(page) + b"]/Count 1>>")
+                b.set(
+                    page,
+                    b"<</Type/Page/Parent " + r(pages_id)
+                    + b"/MediaBox[0 0 612 792]"
+                    b"/Resources<</Font<</F1 " + r(font) + b">>>>"
+                    b"/Contents " + r(cont) + b">>",
+                )
+                items = extract_pdf_outline(Resolver(b.build(cat)))
+                for pos, (level, title) in enumerate(items):
+                    out["doc_id"].append(i)
+                    out["pos"].append(pos)
+                    out["level"].append(level)
+                    out["title"].append(title)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(outline, schema)
+
+
+QUERIES["qx13_pdf_outline"] = _qx13
+# 1 + doc_id % 3 chapters, each with one child section; display order is
+# chapter c at pos 2c (level 0), its section at pos 2c+1 (level 1)
+ORACLE["qx13_pdf_outline"] = """
+SELECT doc_id,
+       CAST(2 * c + s AS BIGINT) AS pos,
+       CAST(s AS BIGINT) AS level,
+       CASE WHEN s = 0 THEN 'Chapter ' || c || ' of doc ' || doc_id
+            ELSE 'Section ' || c || '.1' END AS title
+FROM documents,
+     LATERAL (SELECT unnest(range(0, 1 + doc_id % 3)) AS c),
+     LATERAL (SELECT unnest(range(0, 2)) AS s)
+"""

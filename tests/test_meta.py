@@ -283,3 +283,66 @@ def test_fuzz_html_meta_never_raises():
             buf[rng.randrange(len(buf))] = rng.randrange(256)
         m = extract_html_meta(bytes(buf))
         assert isinstance(m, dict)
+
+
+# --- outline (bookmarks) ---------------------------------------------------------
+
+def _outline_doc(cycle: bool = False) -> bytes:
+    """Catalog /Outlines with two top-level items, the first having one
+    child; optional /Next cycle between the top-level items."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    cont = b.stream(_content_td_tj(["x"]))
+    outlines = b.reserve()
+    i1 = b.reserve()
+    i2 = b.reserve()
+    c1 = b.reserve()
+    r = lambda n: str(n).encode() + b" 0 R"
+    b.set(outlines, b"<</Type/Outlines/First " + r(i1) + b"/Last " + r(i2) + b">>")
+    nxt2 = b"/Next " + r(i1) if cycle else b""
+    b.set(i1, b"<</Title(Chapter 1)/Parent " + r(outlines)
+          + b"/First " + r(c1) + b"/Last " + r(c1) + b"/Next " + r(i2) + b">>")
+    b.set(i2, b"<</Title(" + _escb(b"\xfe\xff" + "Chapitre 2 \u00e9".encode("utf-16-be"))
+          + b")/Parent " + r(outlines) + nxt2 + b">>")
+    b.set(c1, b"<</Title(Section 1.1)/Parent " + r(i1) + b">>")
+    b.set(cat, b"<</Type/Catalog/Pages " + r(pages) + b"/Outlines " + r(outlines) + b">>")
+    b.set(pages, b"<</Type/Pages/Kids[" + r(page) + b"]/Count 1>>")
+    b.set(page, b"<</Type/Page/Parent " + r(pages)
+          + b"/MediaBox[0 0 612 792]"
+          b"/Resources<</Font<</F1 " + r(font) + b">>>>"
+          b"/Contents " + r(cont) + b">>")
+    return b.build(cat)
+
+
+def test_outline_order_and_levels():
+    from pdf_spark.core.meta import extract_pdf_outline
+
+    got = extract_pdf_outline(Resolver(_outline_doc()))
+    assert got == [
+        (0, "Chapter 1"),
+        (1, "Section 1.1"),
+        (0, "Chapitre 2 \u00e9"),
+    ]
+
+
+def test_outline_cycle_bounded():
+    from pdf_spark.core.meta import extract_pdf_outline
+
+    got = extract_pdf_outline(Resolver(_outline_doc(cycle=True)))
+    # the /Next cycle back to item 1 is cut by the visited set
+    assert got == [
+        (0, "Chapter 1"),
+        (1, "Section 1.1"),
+        (0, "Chapitre 2 \u00e9"),
+    ]
+
+
+def test_outline_absent_or_malformed():
+    from pdf_spark.core.meta import extract_pdf_outline
+
+    assert extract_pdf_outline(Resolver(_doc_with())) == []
+    pdf = _doc_with(catalog_extra=b"/Outlines 42")
+    assert extract_pdf_outline(Resolver(pdf)) == []
