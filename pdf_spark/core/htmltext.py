@@ -582,3 +582,46 @@ def extract_html_meta(data: bytes) -> dict:
         elif in_title and m.group(0)[0] != "<":
             title_parts.append(m.group(0))
     return out
+
+
+# --- structured extraction: JSON-LD ------------------------------------------
+
+
+def extract_jsonld(data: bytes) -> list:
+    """Raw text of every ``<script type="application/ld+json">`` block in
+    document order (the schema.org structured-data op — the other thing,
+    besides text, that web-scale corpora mine out of Common Crawl).
+
+    Only the RAW JSON strings are returned; parsing them stays
+    declarative downstream (``get_json_object`` runs JVM-side), so a page
+    with a 1 MB JSON-LD blob costs Python only the substring copy."""
+    html_text = decode_html(data)
+    out = []
+    pos = 0
+    n = len(html_text)
+    while pos < n:
+        m = _TOKEN_RE.match(html_text, pos)
+        if m is None:  # pragma: no cover
+            pos += 1
+            continue
+        pos = m.end()
+        tag = m.group(2)
+        if tag is None:
+            continue
+        low = tag.lower()
+        if low in _RAWTEXT:
+            close = re.compile(r"</\s*%s[\s>]" % re.escape(low), re.I)
+            cm = close.search(html_text, pos)
+            end = cm.start() if cm else n
+            if low == "script":
+                kind = _parse_attrs(m.group(3)).get("type", "").lower()
+                if kind.split(";")[0].strip() == "application/ld+json":
+                    body = html_text[pos:end].strip()
+                    if body:
+                        out.append(body)
+            if cm is None:
+                pos = n
+            else:
+                gt = html_text.find(">", cm.start())
+                pos = n if gt == -1 else gt + 1
+    return out

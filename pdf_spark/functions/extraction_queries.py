@@ -949,3 +949,74 @@ FROM documents,
      LATERAL (SELECT unnest(range(0, 1 + doc_id % 3)) AS c),
      LATERAL (SELECT unnest(range(0, 2)) AS s)
 """
+
+
+def _qx14(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-LD structured-data extraction (value oracle).
+
+    Each document's page embeds one schema.org Article JSON-LD block
+    (fields derived from doc_id) next to a plain <script> decoy that must
+    be ignored. The UDF only LIFTS the raw JSON strings
+    (``extract_jsonld``); field access is declarative ``get_json_object``
+    (JVM JsonPath) — at 10^12 docs the JSON parsing happens inside
+    codegen, not Python. The oracle recomputes every field from doc_id."""
+    from pdf_spark.core.htmltext import extract_jsonld
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    raw_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_blocks", LongType()),
+            StructField("raw", StringType()),
+        ]
+    )
+
+    def lift(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+
+        for batch in batches:
+            out = {"doc_id": [], "n_blocks": [], "raw": []}
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                ld = json.dumps(
+                    {
+                        "@context": "https://schema.org",
+                        "@type": "Article",
+                        "headline": f"Headline {i}",
+                        "author": {"@type": "Person", "name": f"Author {i % 7}"},
+                        "wordCount": i % 1000,
+                    }
+                )
+                page = (
+                    "<html><head>"
+                    f'<script type="application/ld+json">{ld}</script>'
+                    "<script>var decoy = '</p>{\"@type\":\"Fake\"}';</script>"
+                    "</head><body>x</body></html>"
+                ).encode()
+                blocks = extract_jsonld(page)
+                out["doc_id"].append(i)
+                out["n_blocks"].append(len(blocks))
+                out["raw"].append(blocks[0] if blocks else None)
+            yield pd.DataFrame(out)
+
+    lifted = docs.mapInPandas(lift, raw_schema)
+    return lifted.select(
+        "doc_id",
+        "n_blocks",
+        F.get_json_object("raw", "$['@type']").alias("ld_type"),
+        F.get_json_object("raw", "$.headline").alias("headline"),
+        F.get_json_object("raw", "$.author.name").alias("author"),
+        F.get_json_object("raw", "$.wordCount").cast("long").alias("word_count"),
+    )
+
+
+QUERIES["qx14_jsonld"] = _qx14
+ORACLE["qx14_jsonld"] = """
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS n_blocks,
+       'Article' AS ld_type,
+       'Headline ' || doc_id AS headline,
+       'Author ' || (doc_id % 7) AS author,
+       CAST(doc_id % 1000 AS BIGINT) AS word_count
+FROM documents
+"""
