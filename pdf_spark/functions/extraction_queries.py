@@ -1020,3 +1020,64 @@ SELECT doc_id,
        CAST(doc_id % 1000 AS BIGINT) AS word_count
 FROM documents
 """
+
+
+def _qx15(spark: SparkSession, sf: str) -> DataFrame:
+    """robots.txt politeness evaluation (RFC 9309, value oracle).
+
+    Per document, build a robots.txt whose Allow exception rotates with
+    doc_id, then evaluate five probes: three /private/ docs (only the
+    doc_id%3-th is allowed), a public path (allowed), and a different
+    agent that falls into the Disallow-everything '*' group (denied).
+    The oracle recomputes all five verdicts arithmetically."""
+    from pdf_spark.core.robots import allowed_mask, parse_robots, is_allowed
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("probe", StringType()),
+            StructField("allowed", BooleanType()),
+        ]
+    )
+
+    def evaluate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"doc_id": [], "probe": [], "allowed": []}
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                robots = (
+                    "User-agent: trainbot\n"
+                    "Disallow: /private/\n"
+                    f"Allow: /private/doc{i % 3}.html\n"
+                    "\n"
+                    "User-agent: *\n"
+                    "Disallow: /\n"
+                ).encode()
+                paths = [f"/private/doc{j}.html" for j in range(3)] + ["/public/x"]
+                verdicts = allowed_mask(robots, "trainbot/1.0", paths)
+                verdicts.append(
+                    is_allowed(parse_robots(robots), "otherbot", "/public/x")
+                )
+                for probe, allowed in zip(("p0", "p1", "p2", "pub", "other"), verdicts):
+                    out["doc_id"].append(i)
+                    out["probe"].append(probe)
+                    out["allowed"].append(bool(allowed))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(evaluate, schema)
+
+
+QUERIES["qx15_robots_rules"] = _qx15
+ORACLE["qx15_robots_rules"] = """
+SELECT doc_id, probe,
+       CASE probe
+         WHEN 'p0' THEN doc_id % 3 = 0
+         WHEN 'p1' THEN doc_id % 3 = 1
+         WHEN 'p2' THEN doc_id % 3 = 2
+         WHEN 'pub' THEN CAST('t' AS BOOLEAN)
+         ELSE CAST('f' AS BOOLEAN)
+       END AS allowed
+FROM documents,
+     LATERAL (SELECT unnest(['p0','p1','p2','pub','other']) AS probe)
+"""

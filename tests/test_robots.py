@@ -1,0 +1,77 @@
+"""robots.txt evaluator (core/robots.py, RFC 9309)."""
+
+import random
+
+from pdf_spark.core.robots import allowed_mask, is_allowed, parse_robots
+
+ROBOTS = b"""
+# example
+User-agent: googlebot
+Disallow: /private/
+Allow: /private/ok.html
+
+User-agent: *
+Disallow: /tmp/
+Disallow: /*.pdf$
+Allow: /tmp/public*
+"""
+
+
+def test_group_selection():
+    g = parse_robots(ROBOTS)
+    assert len(g) == 2
+    # specific group beats '*' and groups are NOT merged
+    assert is_allowed(g, "Googlebot/2.1", "/private/x") is False
+    assert is_allowed(g, "Googlebot/2.1", "/private/ok.html") is True
+    assert is_allowed(g, "Googlebot/2.1", "/tmp/x") is True
+    assert is_allowed(g, "otherbot", "/tmp/x") is False
+
+
+def test_longest_match_and_wildcards():
+    g = parse_robots(ROBOTS)
+    assert is_allowed(g, "otherbot", "/tmp/public/x") is True  # longer Allow
+    assert is_allowed(g, "otherbot", "/doc.pdf") is False  # $ anchor
+    assert is_allowed(g, "otherbot", "/doc.pdfx") is True
+    assert is_allowed(g, "otherbot", "/anything") is True
+
+
+def test_allow_wins_ties():
+    g = parse_robots(b"User-agent: *\nDisallow: /a/b\nAllow: /a/b\n")
+    assert is_allowed(g, "x", "/a/b/c") is True
+
+
+def test_multi_agent_group_and_case():
+    g = parse_robots(b"User-Agent: AgentA\nuser-agent: agentb\nDISALLOW: /\n")
+    assert is_allowed(g, "AGENTB/2", "/x") is False
+    assert is_allowed(g, "agenta", "/x") is False
+    assert is_allowed(g, "agentc", "/x") is True  # no '*' group
+
+
+def test_empty_and_garbage():
+    assert is_allowed(parse_robots(b""), "x", "/a") is True
+    assert is_allowed(parse_robots(b"\xff\xfe junk\n::\nDisallow /x"), "x", "/a") is True
+    # empty Disallow matches nothing (allow-all idiom)
+    g = parse_robots(b"User-agent: *\nDisallow:\n")
+    assert is_allowed(g, "x", "/anything") is True
+
+
+def test_directive_ends_agent_run():
+    # a second User-agent AFTER rules starts a NEW group
+    g = parse_robots(
+        b"User-agent: a\nDisallow: /x\nUser-agent: b\nDisallow: /y\n"
+    )
+    assert is_allowed(g, "a", "/x1") is False
+    assert is_allowed(g, "a", "/y1") is True
+    assert is_allowed(g, "b", "/y1") is False
+
+
+def test_fuzz_never_raises():
+    rng = random.Random(777)
+    for _ in range(300):
+        buf = bytearray(ROBOTS)
+        for _ in range(rng.randint(1, 12)):
+            buf[rng.randrange(len(buf))] = rng.randrange(256)
+        g = parse_robots(bytes(buf))
+        a = [is_allowed(g, "googlebot", "/private/x") for _ in range(2)]
+        assert a[0] == a[1]  # deterministic
+        allowed_mask(bytes(buf), "x", ["/a", "/b"])
