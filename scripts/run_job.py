@@ -4,9 +4,11 @@
 Usage (see scripts/submit.sh for the --py-files packaging):
 
     spark-submit --py-files pdf_spark.zip scripts/run_job.py \
-        --pages <pages parquet dir> --out <sink dir> [--salt N]
+        --pages <pages parquet dir> --out <sink dir> [--salt N] \
+        [--format parquet|warc]
 
-Reads the Common-Crawl-style pages table, runs the fused extraction with
+Reads the Common-Crawl-style pages table (parquet, or raw WARC archives
+via the sources.warc connector), runs the fused extraction with
 skew salting, writes docs_text (run_id-partitioned) + lineage, and prints
 the run summary as one JSON line. Re-running with the same --out resumes:
 already-committed urls are anti-joined away and the new run's lineage
@@ -25,6 +27,12 @@ def main() -> None:
     ap.add_argument("--out", required=True, help="sink directory")
     ap.add_argument("--salt", type=int, default=None, help="salt partitions")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--format",
+        choices=("parquet", "warc"),
+        default="parquet",
+        help="pages input: a parquet pages table, or raw WARC archives",
+    )
     args = ap.parse_args()
 
     # spark-submit provides the session config; getOrCreate attaches to it
@@ -35,7 +43,12 @@ def main() -> None:
 
     from pdf_spark.operators.pipeline import run_extraction
 
-    pages = spark.read.parquet(args.pages)
+    if args.format == "warc":
+        from pdf_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.pages).select("url", "warc_ts", "html")
+    else:
+        pages = spark.read.parquet(args.pages)
     summary = run_extraction(
         spark,
         pages,

@@ -176,3 +176,34 @@ def test_read_warc_stream(spark, tmp_path):
         f"https://a.example/{i}" for i in (1, 2, 3, 4)
     ]
     assert all(r["http_status"] == 200 for r in rows)
+
+
+def test_run_job_over_warc_archives(spark, tmp_path):
+    """Deployment path end to end: raw WARC archives -> read_warc ->
+    the full salted/resumable extraction pipeline -> docs_text sink."""
+    from pdf_spark.operators.pipeline import run_extraction
+    from pdf_spark.sources.warc import read_warc
+
+    d = tmp_path / "archives"
+    d.mkdir()
+    page = (b"<!doctype html><html><body><main><p>"
+            b"The actual content paragraph with enough characters to be"
+            b" classified as good content by the extractor heuristics."
+            b"</p></main></body></html>")
+    for f in range(2):
+        recs = [
+            build_response_record(
+                f"https://w.example/{f}/{i}", "2024-02-01T00:00:00Z",
+                page, content_gzip=(i % 2 == 0))
+            for i in range(4)
+        ]
+        (d / f"crawl-{f}.warc.gz").write_bytes(write_warc(recs))
+
+    pages = read_warc(spark, str(d)).select("url", "warc_ts", "html")
+    out = str(tmp_path / "sink")
+    summary = run_extraction(spark, pages, out, resume=False)
+    assert summary["n_ok"] == 8 and summary["n_err"] == 0
+    docs = spark.read.parquet(out + "/docs_text")
+    rows = docs.collect()
+    assert len(rows) == 8
+    assert all("actual content paragraph" in r["text"] for r in rows)
