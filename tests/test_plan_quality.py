@@ -150,3 +150,33 @@ def test_contamination_probe_plan_broadcasts(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_new_operator_plan_shapes(spark):
+    """Session-4 operators keep their scale shapes: the WARC flattener and
+    metadata/normalization maps are shuffle-free; the link-graph histogram
+    pays exactly one exchange (the groupBy); URL canonicalization has no
+    Python eval node at all."""
+    from pdf_spark.functions.registry import all_queries
+
+    q = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    def exchanges(plan: str) -> int:
+        # formatted explain lists each node once as "(N) Exchange" in the
+        # detail section; the tree render would double-count
+        return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+    for name in ("qx10_doc_metadata", "qx12_warc_ingest",
+                 "qt21_text_normalize", "qx13_pdf_outline",
+                 "qx14_jsonld", "qx15_robots_rules"):
+        plan = _plan(spark, q[name](spark, sf))
+        assert exchanges(plan) == 0, f"{name}: map stage grew a shuffle"
+
+    for name in ("qx11_pdf_link_graph", "qx08_html_link_graph"):
+        plan = _plan(spark, q[name](spark, sf))
+        assert exchanges(plan) == 1, f"{name}: expected exactly the groupBy shuffle"
+
+    plan = _plan(spark, q["qt20_url_canonicalize"](spark, sf))
+    assert exchanges(plan) == 0
+    assert "EvalPython" not in plan, "qt20 must stay JVM-only"
