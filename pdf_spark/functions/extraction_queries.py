@@ -1081,3 +1081,73 @@ SELECT doc_id, probe,
 FROM documents,
      LATERAL (SELECT unnest(['p0','p1','p2','pub','other']) AS probe)
 """
+
+
+def _qx16(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap frontier extraction (value oracle).
+
+    Per document, parse a gzip-wrapped <urlset> sitemap whose entry count
+    (2 + doc_id % 4) and lastmod dates rotate with doc_id, plus a
+    <sitemapindex> whose child pointer must be classified (not mixed into
+    the frontier). Emitted rows are the frontier entries; the oracle
+    recomputes loc/lastmod/kind arithmetically."""
+    import gzip as _gz
+
+    from pdf_spark.core.sitemap import parse_sitemap
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("pos", LongType()),
+            StructField("loc", StringType()),
+            StructField("lastmod", StringType()),
+            StructField("n_index_children", LongType()),
+        ]
+    )
+
+    def frontier(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k.name: [] for k in schema.fields}
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                n = 2 + i % 4
+                urls = "".join(
+                    f"<url><loc>https://site{i % 10}.example/p/{j}?a=1&amp;b=2</loc>"
+                    f"<lastmod>2024-0{1 + j % 9}-01</lastmod></url>"
+                    for j in range(n)
+                )
+                sm = _gz.compress(
+                    (f'<?xml version="1.0"?><urlset>{urls}</urlset>').encode(),
+                    mtime=0,
+                )
+                idx = (
+                    f"<sitemapindex><sitemap><loc>https://site{i % 10}.example"
+                    f"/s-{i}.xml.gz</loc></sitemap></sitemapindex>"
+                ).encode()
+                kind, entries = parse_sitemap(sm)
+                ikind, ientries = parse_sitemap(idx)
+                n_children = len(ientries) if ikind == "index" else -1
+                if kind != "urlset":
+                    entries = []
+                for pos, (loc, lastmod) in enumerate(entries):
+                    out["doc_id"].append(i)
+                    out["pos"].append(pos)
+                    out["loc"].append(loc)
+                    out["lastmod"].append(lastmod)
+                    out["n_index_children"].append(n_children)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(frontier, schema)
+
+
+QUERIES["qx16_sitemap_frontier"] = _qx16
+ORACLE["qx16_sitemap_frontier"] = """
+SELECT doc_id,
+       CAST(j AS BIGINT) AS pos,
+       'https://site' || (doc_id % 10) || '.example/p/' || j || '?a=1&b=2' AS loc,
+       '2024-0' || (1 + j % 9) || '-01' AS lastmod,
+       CAST(1 AS BIGINT) AS n_index_children
+FROM documents,
+     LATERAL (SELECT unnest(range(0, 2 + doc_id % 4)) AS j)
+"""
