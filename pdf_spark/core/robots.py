@@ -82,15 +82,37 @@ def _select_group(groups: list, agent: str) -> Optional[list]:
 
 
 def _pattern_matches(pattern: str, path: str) -> bool:
-    """'*' wildcard + '$' end anchor, literal otherwise (RFC 9309 §2.2.3)."""
+    """'*' wildcard + '$' end anchor, literal otherwise (RFC 9309 §2.2.3).
+
+    Linear greedy segment matching (not a backtracking regex): a hostile
+    robots.txt packing hundreds of '*' into one rule must cost O(path),
+    never exponential. Greedy leftmost placement of each literal segment
+    is complete for this glob dialect because trailing input is free."""
     if "*" not in pattern and not pattern.endswith("$"):
         return path.startswith(pattern)
     anchored = pattern.endswith("$")
     if anchored:
         pattern = pattern[:-1]
-    rx = ".*".join(re.escape(part) for part in pattern.split("*"))
-    m = re.match(rx + ("$" if anchored else ""), path)
-    return m is not None
+    segs = pattern.split("*")
+    if not path.startswith(segs[0]):
+        return False
+    pos = len(segs[0])
+    if len(segs) == 1:
+        return path[pos:] == "" if anchored else True
+    last = segs[-1]
+    # the anchored tail claims the end of the path; middles must fit
+    # strictly before it
+    limit = len(path) - len(last) if anchored else len(path)
+    if anchored and (limit < pos or not path.endswith(last)):
+        return False
+    for seg in segs[1:-1] if anchored else segs[1:]:
+        if not seg:
+            continue
+        hit = path.find(seg, pos, limit if anchored else len(path))
+        if hit == -1 or (anchored and hit + len(seg) > limit):
+            return False
+        pos = hit + len(seg)
+    return True
 
 
 def is_allowed(groups: list, agent: str, path: str) -> bool:

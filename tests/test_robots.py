@@ -75,3 +75,21 @@ def test_fuzz_never_raises():
         a = [is_allowed(g, "googlebot", "/private/x") for _ in range(2)]
         assert a[0] == a[1]  # deterministic
         allowed_mask(bytes(buf), "x", ["/a", "/b"])
+
+
+def test_adversarial_wildcards_linear():
+    """A hostile rule packing hundreds of '*' must match in O(path) —
+    the matcher is greedy segment placement, not a backtracking regex."""
+    import time
+
+    from pdf_spark.core.robots import _pattern_matches as pm
+
+    assert pm("/a*b*c", "/aXbYc") and not pm("/a*b*c", "/acb")
+    assert pm("/a*b$", "/aXYb") and not pm("/a*b$", "/aXbY")
+    assert not pm("/ab*b$", "/ab") and pm("/ab*b$", "/abb")
+    hostile = "/" + "*a" * 200 + "$"
+    path = "/" + "a" * 500 + "b"  # fails only at the anchor
+    t0 = time.perf_counter()
+    for _ in range(100):
+        assert pm(hostile, path) is False
+    assert time.perf_counter() - t0 < 1.0
