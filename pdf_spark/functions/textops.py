@@ -849,3 +849,66 @@ WITH normed AS (
 SELECT doc_id, text_norm, CAST(length(text_norm) AS BIGINT) AS n_chars
 FROM normed
 """
+
+
+# --- qt22: Gopher-style quality rules (Rae et al. 2021, public report) --------
+#
+# The canonical LLM-corpus document filter, fully declarative on both
+# sides. All emitted features are INTEGERS and the keep-decision is pure
+# integer arithmetic (mean-word-length in [3,10] becomes
+# 3*wc <= chars <= 10*wc), so the cross-engine value hash can never trip
+# on float formatting. Rules implemented (the text-shape subset that
+# applies to a one-line text column): word-count bounds, mean word
+# length, symbol-to-word ratio (# and ellipsis), alphabetic-word
+# fraction >= 0.8, >= 2 distinct stop words.
+
+_QT22_SPARK = """
+WITH feats AS (
+  SELECT doc_id,
+         CAST(size(split(text, ' ')) AS BIGINT) AS word_count,
+         aggregate(split(text, ' '), 0L, (a, w) -> a + length(w)) AS total_chars,
+         CAST(size(filter(split(text, ' '), w -> w rlike '[a-zA-Z]')) AS BIGINT)
+           AS n_alpha,
+         CAST(size(array_intersect(split(text, ' '),
+              array('the','a','of','to','and','in','on','with'))) AS BIGINT)
+           AS n_stop,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) DIV 3
+              AS BIGINT) AS n_symbols
+  FROM documents)
+SELECT doc_id, word_count, total_chars, n_alpha, n_stop, n_symbols,
+       (word_count >= 50 AND word_count <= 100000
+        AND total_chars >= 3 * word_count AND total_chars <= 10 * word_count
+        AND 10 * n_symbols <= word_count
+        AND 10 * n_alpha >= 8 * word_count
+        AND n_stop >= 2) AS keep
+FROM feats
+"""
+
+_QT22_DUCK = """
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS word_count,
+         CAST(list_aggregate(list_transform(string_split(text, ' '),
+                                            w -> length(w)), 'sum') AS BIGINT)
+           AS total_chars,
+         CAST(len(list_filter(string_split(text, ' '),
+                              w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT)
+           AS n_alpha,
+         CAST(len(list_intersect(string_split(text, ' '),
+              ['the','a','of','to','and','in','on','with'])) AS BIGINT)
+           AS n_stop,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) // 3
+              AS BIGINT) AS n_symbols
+  FROM documents)
+SELECT doc_id, word_count, total_chars, n_alpha, n_stop, n_symbols,
+       (word_count >= 50 AND word_count <= 100000
+        AND total_chars >= 3 * word_count AND total_chars <= 10 * word_count
+        AND 10 * n_symbols <= word_count
+        AND 10 * n_alpha >= 8 * word_count
+        AND n_stop >= 2) AS keep
+FROM feats
+"""
+
+_pair("qt22_gopher_quality", _QT22_SPARK, _QT22_DUCK)
