@@ -75,3 +75,62 @@ def parse_sitemap(data: bytes) -> tuple:
         if len(entries) >= MAX_ENTRIES:
             break
     return kind, entries
+
+
+# --- RSS / Atom feeds ---------------------------------------------------------
+
+_ITEM_RE = re.compile(rb"<(item|entry)\b[^>]*>(.*?)</\1\s*>", re.S | re.I)
+_TITLE_RE = re.compile(rb"<title\b[^>]*>\s*(.*?)\s*</title\s*>", re.S | re.I)
+_LINK_PAIR_RE = re.compile(rb"<link\b[^>]*>\s*(.*?)\s*</link\s*>", re.S | re.I)
+_LINK_HREF_RE = re.compile(
+    rb"""<link\b[^>]*?href\s*=\s*("([^"]*)"|'([^']*)')""", re.S | re.I
+)
+_CDATA_RE = re.compile(rb"^<!\[CDATA\[(.*?)\]\]>$", re.S)
+
+
+def parse_feed(data: bytes) -> tuple:
+    """RSS 2.0 / Atom feed bytes (plain or gzip) -> (kind, entries).
+
+    kind is ``'rss'``, ``'atom'``, or ``''``; entries are (link, title)
+    tuples in document order — the same crawl-frontier shape as
+    ``parse_sitemap``. RSS carries the URL as ``<link>text</link>``, Atom
+    as ``<link href="...">``; titles may be CDATA-wrapped. Tolerant linear
+    scan, capped, never raises."""
+    if data[:2] == b"\x1f\x8b":
+        from pdf_spark.core.extract import DEFAULT_MAX_BYTES, gunzip_payload
+
+        inner = gunzip_payload(data, DEFAULT_MAX_BYTES)
+        if inner is None:
+            return "", []
+        data = inner
+    head = data[:4096].lower()
+    if b"<rss" in head or b"<rdf:rdf" in head:
+        kind = "rss"
+    elif b"<feed" in head:
+        kind = "atom"
+    else:
+        return "", []
+    entries = []
+    for m in _ITEM_RE.finditer(data):
+        block = m.group(2)
+        link = None
+        if kind == "atom":
+            hm = _LINK_HREF_RE.search(block)
+            if hm:
+                link = _text(hm.group(2) if hm.group(2) is not None else hm.group(3))
+        else:
+            lm = _LINK_PAIR_RE.search(block)
+            if lm:
+                link = _text(lm.group(1))
+        if not link:
+            continue
+        title = None
+        tm = _TITLE_RE.search(block)
+        if tm:
+            raw = tm.group(1)
+            cm = _CDATA_RE.match(raw)
+            title = _text(cm.group(1) if cm else raw).strip() or None
+        entries.append((link, title))
+        if len(entries) >= MAX_ENTRIES:
+            break
+    return kind, entries

@@ -1151,3 +1151,74 @@ SELECT doc_id,
 FROM documents,
      LATERAL (SELECT unnest(range(0, 2 + doc_id % 4)) AS j)
 """
+
+
+def _qx17(spark: SparkSession, sf: str) -> DataFrame:
+    """RSS/Atom feed frontier extraction (value oracle).
+
+    Even doc_ids parse an RSS 2.0 feed, odd ones an Atom feed — both
+    carrying 1 + doc_id % 3 entries with doc_id-derived links and titles
+    (RSS titles CDATA-wrapped, Atom links attribute-borne) — through
+    ``parse_feed``; the oracle recomputes kind/link/title arithmetically."""
+    from pdf_spark.core.sitemap import parse_feed
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("pos", LongType()),
+            StructField("kind", StringType()),
+            StructField("link", StringType()),
+            StructField("title", StringType()),
+        ]
+    )
+
+    def frontier(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k.name: [] for k in schema.fields}
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                n = 1 + i % 3
+                if i % 2 == 0:
+                    items = "".join(
+                        f"<item><title><![CDATA[Post {i}-{j}]]></title>"
+                        f"<link>https://feed{i % 5}.example/p/{j}</link></item>"
+                        for j in range(n)
+                    )
+                    feed = (
+                        '<?xml version="1.0"?><rss version="2.0"><channel>'
+                        f"<title>chan</title>{items}</channel></rss>"
+                    ).encode()
+                else:
+                    items = "".join(
+                        f"<entry><title>Post {i}-{j}</title>"
+                        f'<link rel="alternate" href="https://feed{i % 5}.example/p/{j}"/>'
+                        "</entry>"
+                        for j in range(n)
+                    )
+                    feed = (
+                        '<feed xmlns="http://www.w3.org/2005/Atom">'
+                        f"<title>chan</title>{items}</feed>"
+                    ).encode()
+                kind, entries = parse_feed(feed)
+                for pos, (link, title) in enumerate(entries):
+                    out["doc_id"].append(i)
+                    out["pos"].append(pos)
+                    out["kind"].append(kind)
+                    out["link"].append(link)
+                    out["title"].append(title)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(frontier, schema)
+
+
+QUERIES["qx17_feed_frontier"] = _qx17
+ORACLE["qx17_feed_frontier"] = """
+SELECT doc_id,
+       CAST(j AS BIGINT) AS pos,
+       CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+       'https://feed' || (doc_id % 5) || '.example/p/' || j AS link,
+       'Post ' || doc_id || '-' || j AS title
+FROM documents,
+     LATERAL (SELECT unnest(range(0, 1 + doc_id % 3)) AS j)
+"""
