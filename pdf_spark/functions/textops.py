@@ -912,3 +912,55 @@ FROM feats
 """
 
 _pair("qt22_gopher_quality", _QT22_SPARK, _QT22_DUCK)
+
+
+# --- qt23: Gopher repetition rules (the other half of the quality filter) -----
+#
+# Repetition signals from the same public report: the fraction of the doc
+# claimed by its single most frequent 2-gram (<= 0.20) and the duplicate
+# -word fraction (<= 0.50). Shape: explode bigrams -> two groupBys — the
+# count-then-max cascade is all partial-aggregatable, so at 10^12 docs it
+# is two map-side-combined shuffles on doc_id. Integer-only outputs.
+
+_QT23_SPARK = """
+WITH words AS (
+  SELECT doc_id, split(text, ' ') AS w FROM documents WHERE size(split(text, ' ')) >= 2),
+bigrams AS (
+  SELECT doc_id,
+         explode(transform(sequence(1, size(w) - 1),
+                 i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))) AS bg
+  FROM words),
+counts AS (SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg),
+top AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams
+        FROM counts GROUP BY doc_id),
+dups AS (SELECT doc_id, CAST(size(w) AS BIGINT) AS n_words,
+                CAST(size(array_distinct(w)) AS BIGINT) AS n_distinct
+         FROM words)
+SELECT t.doc_id, top_bigram, n_bigrams, n_words, n_distinct,
+       (5 * top_bigram <= n_bigrams AND 2 * (n_words - n_distinct) <= n_words)
+         AS keep
+FROM top t JOIN dups d ON t.doc_id = d.doc_id
+"""
+
+_QT23_DUCK = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 2),
+bigrams AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+  FROM words, LATERAL unnest(range(1, len(w))) AS t(i)),
+counts AS (SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg),
+top AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams
+        FROM counts GROUP BY doc_id),
+dups AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+                CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+         FROM words)
+SELECT t.doc_id, top_bigram, n_bigrams, n_words, n_distinct,
+       (5 * top_bigram <= n_bigrams AND 2 * (n_words - n_distinct) <= n_words)
+         AS keep
+FROM top t JOIN dups d ON t.doc_id = d.doc_id
+"""
+
+_pair("qt23_repetition_rules", _QT23_SPARK, _QT23_DUCK)
