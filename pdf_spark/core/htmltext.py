@@ -625,3 +625,109 @@ def extract_jsonld(data: bytes) -> list:
                 gt = html_text.find(">", cm.start())
                 pos = n if gt == -1 else gt + 1
     return out
+
+
+def extract_headings(data: bytes) -> list:
+    """(level, text) for every <h1>-<h6> in document order — the HTML
+    twin of the PDF outline walk (core/meta.py::extract_pdf_outline):
+    the section structure a chunking pipeline keys on. Heading text is
+    whitespace-normalised and entity-decoded; rawtext bodies can never
+    contribute; nested markup inside a heading contributes its text."""
+    html_text = decode_html(data)
+    out = []
+    pos = 0
+    n = len(html_text)
+    level = 0
+    parts: list = []
+    while pos < n:
+        m = _TOKEN_RE.match(html_text, pos)
+        if m is None:  # pragma: no cover
+            pos += 1
+            continue
+        pos = m.end()
+        end_tag, start_tag = m.group(1), m.group(2)
+        if start_tag is not None:
+            low = start_tag.lower()
+            if len(low) == 2 and low[0] == "h" and low[1] in "123456":
+                if level:  # implied close of an unclosed heading
+                    text = " ".join(unescape("".join(parts)).split())
+                    if text:
+                        out.append((level, text))
+                level = int(low[1])
+                parts = []
+            elif low in _RAWTEXT:
+                close = re.compile(r"</\s*%s[\s>]" % re.escape(low), re.I)
+                cm = close.search(html_text, pos)
+                if cm is None:
+                    pos = n
+                else:
+                    gt = html_text.find(">", cm.start())
+                    pos = n if gt == -1 else gt + 1
+        elif end_tag is not None:
+            low = end_tag.lower()
+            if level and len(low) == 2 and low[0] == "h" and low[1] in "123456":
+                text = " ".join(unescape("".join(parts)).split())
+                if text:
+                    out.append((level, text))
+                level = 0
+                parts = []
+        elif level and m.group(0)[0] != "<":
+            parts.append(m.group(0))
+    if level:
+        text = " ".join(unescape("".join(parts)).split())
+        if text:
+            out.append((level, text))
+    return out
+
+
+def extract_links_with_text(data: bytes) -> list:
+    """(href, anchor_text) for every <a href> in document order — the WAT
+    link graph with the anchor text a ranking/training pipeline keeps.
+    Anchor text is the whitespace-normalised text between <a> and its
+    closing </a> (nested tags contribute text; an unclosed <a> runs to
+    the next <a> or EOF, matching browser recovery)."""
+    html_text = decode_html(data)
+    out = []
+    pos = 0
+    n = len(html_text)
+    href = None
+    parts: list = []
+
+    def flush():
+        nonlocal href, parts
+        if href is not None:
+            out.append((href, " ".join(unescape("".join(parts)).split())))
+        href = None
+        parts = []
+
+    while pos < n:
+        m = _TOKEN_RE.match(html_text, pos)
+        if m is None:  # pragma: no cover
+            pos += 1
+            continue
+        pos = m.end()
+        end_tag, start_tag = m.group(1), m.group(2)
+        if start_tag is not None:
+            low = start_tag.lower()
+            if low == "a":
+                flush()
+                hm = _HREF_RE.search(m.group(3))
+                if hm:
+                    h = hm.group(2) or hm.group(3) or hm.group(4) or ""
+                    h = unescape(h).strip()
+                    href = h if h else None
+            elif low in _RAWTEXT:
+                close = re.compile(r"</\s*%s[\s>]" % re.escape(low), re.I)
+                cm = close.search(html_text, pos)
+                if cm is None:
+                    pos = n
+                else:
+                    gt = html_text.find(">", cm.start())
+                    pos = n if gt == -1 else gt + 1
+        elif end_tag is not None:
+            if end_tag.lower() == "a":
+                flush()
+        elif href is not None and m.group(0)[0] != "<":
+            parts.append(m.group(0))
+    flush()
+    return out

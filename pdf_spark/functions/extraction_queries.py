@@ -1222,3 +1222,118 @@ SELECT doc_id,
 FROM documents,
      LATERAL (SELECT unnest(range(0, 1 + doc_id % 3)) AS j)
 """
+
+
+def _qx18(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML heading outline (value oracle) — the HTML twin of qx13.
+
+    Each page carries an h1 plus 1 + doc_id % 3 h2 sections (entities in
+    titles, a decoy heading inside a script, one unclosed h2 recovered at
+    EOF); the extracted (pos, level, title) rows are recomputed
+    arithmetically by the oracle."""
+    from pdf_spark.core.htmltext import extract_headings
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("pos", LongType()),
+            StructField("level", LongType()),
+            StructField("title", StringType()),
+        ]
+    )
+
+    def headings(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k.name: [] for k in schema.fields}
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                n = 1 + i % 3
+                secs = "".join(
+                    f"<h2>Part {j} &amp; more</h2><p>body</p>" for j in range(n)
+                )
+                page = (
+                    f"<html><body><h1>Doc {i}</h1>{secs}"
+                    "<script>var d='<h3>decoy</h3>';</script>"
+                    f"<h2>Tail {i} (unclosed)"
+                ).encode()
+                for pos, (level, title) in enumerate(extract_headings(page)):
+                    out["doc_id"].append(i)
+                    out["pos"].append(pos)
+                    out["level"].append(level)
+                    out["title"].append(title)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(headings, schema)
+
+
+QUERIES["qx18_html_headings"] = _qx18
+# pos 0 = h1; pos 1..n = h2 parts; pos n+1 = the unclosed tail h2
+ORACLE["qx18_html_headings"] = """
+SELECT doc_id,
+       CAST(p AS BIGINT) AS pos,
+       CAST(CASE WHEN p = 0 THEN 1 ELSE 2 END AS BIGINT) AS level,
+       CASE WHEN p = 0 THEN 'Doc ' || doc_id
+            WHEN p <= doc_id % 3 + 1 THEN 'Part ' || (p - 1) || ' & more'
+            ELSE 'Tail ' || doc_id || ' (unclosed)' END AS title
+FROM documents,
+     LATERAL (SELECT unnest(range(0, doc_id % 3 + 3)) AS p)
+"""
+
+
+def _qx19(spark: SparkSession, sf: str) -> DataFrame:
+    """Anchor-text link graph (value oracle) — WAT records keep the text.
+
+    Each page carries one fixed nav anchor, one per-doc anchor whose text
+    nests markup, and a no-href anchor that must be skipped;
+    ``extract_links_with_text`` returns (href, anchor) pairs the oracle
+    recomputes from doc_id."""
+    from pdf_spark.core.htmltext import extract_links_with_text
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("pos", LongType()),
+            StructField("href", StringType()),
+            StructField("anchor", StringType()),
+        ]
+    )
+
+    def anchors(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k.name: [] for k in schema.fields}
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                page = (
+                    '<html><body><nav><a href="/home">Home page</a></nav>'
+                    f'<p>See <a href="/doc/{i}">doc <b>number {i}</b></a> now.</p>'
+                    "<a name='x'>not a link</a>"
+                    f'<a href="/next?id={i}&amp;ref=a">next &gt; page</a>'
+                    "</body></html>"
+                ).encode()
+                for pos, (href, anchor) in enumerate(
+                    extract_links_with_text(page)
+                ):
+                    out["doc_id"].append(i)
+                    out["pos"].append(pos)
+                    out["href"].append(href)
+                    out["anchor"].append(anchor)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(anchors, schema)
+
+
+QUERIES["qx19_anchor_text"] = _qx19
+ORACLE["qx19_anchor_text"] = """
+SELECT doc_id,
+       CAST(p AS BIGINT) AS pos,
+       CASE p WHEN 0 THEN '/home'
+              WHEN 1 THEN '/doc/' || doc_id
+              ELSE '/next?id=' || doc_id || '&ref=a' END AS href,
+       CASE p WHEN 0 THEN 'Home page'
+              WHEN 1 THEN 'doc number ' || doc_id
+              ELSE 'next > page' END AS anchor
+FROM documents,
+     LATERAL (SELECT unnest(range(0, 3)) AS p)
+"""

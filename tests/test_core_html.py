@@ -405,3 +405,55 @@ def test_payload_kind_routing():
     assert payload_kind(gzip.compress(html, mtime=0)) == "html"
     assert payload_kind(gzip.compress(pdf, mtime=0)) == "pdf"
     assert payload_kind(b"\x1f\x8bgarbage") == "pdf"
+
+
+# --- headings + anchor text (session-4 structured extraction) ------------------
+
+def test_extract_headings():
+    from pdf_spark.core.htmltext import extract_headings
+
+    page = (b"<html><body><h1>Main &amp; Title</h1><p>x</p>"
+            b"<h2>Section <em>One</em></h2>"
+            b"<script>var h = '<h3>fake</h3>';</script>"
+            b"<h3></h3>"  # empty: dropped
+            b"<h2>Unclosed heading"
+            b"<h4>After</h4></body></html>")
+    assert extract_headings(page) == [
+        (1, "Main & Title"), (2, "Section One"),
+        (2, "Unclosed heading"), (4, "After"),
+    ]
+    # nested block content belongs to the open heading (HTML5: only
+    # another heading or its end tag closes h2)
+    assert extract_headings(b"<h2>T <p>inner</p>") == [(2, "T inner")]
+    assert extract_headings(b"no headings at all") == []
+
+
+def test_extract_links_with_text():
+    from pdf_spark.core.htmltext import extract_links_with_text
+
+    page = (b'<html><body><a href="/a">First <b>link</b></a>'
+            b'<a href="/b">second</a> plain'
+            b"<a>no href</a>"
+            b'<a href="/c">unclosed runs to next'
+            b'<a href="/d"></a></body></html>')
+    assert extract_links_with_text(page) == [
+        ("/a", "First link"), ("/b", "second"),
+        ("/c", "unclosed runs to next"), ("/d", ""),
+    ]
+
+
+def test_headings_anchors_fuzz_never_raise():
+    import random
+
+    from pdf_spark.core.htmltext import extract_headings, extract_links_with_text
+
+    rng = random.Random(4141)
+    base = (b'<html><h1>T</h1><a href="/x">y</a>'
+            b"<script>s</script><h2>U</h2></html>")
+    for _ in range(300):
+        buf = bytearray(base)
+        for _ in range(rng.randint(1, 8)):
+            buf[rng.randrange(len(buf))] = rng.randrange(256)
+        data = bytes(buf)
+        assert extract_headings(data) == extract_headings(data)
+        assert extract_links_with_text(data) == extract_links_with_text(data)
