@@ -226,7 +226,7 @@ def segment_blocks(html_text: str) -> list[HtmlBlock]:
             pos += 1
             continue
         pos = m.end()
-        end_tag, start_tag, attrs = m.group(1), m.group(2), m.group(3)
+        end_tag, start_tag, attrs = m.group(1, 2, 3)
         if start_tag is not None:
             tag = start_tag.lower()
             self_closing = attrs.rstrip().endswith("/")
@@ -278,7 +278,10 @@ def segment_blocks(html_text: str) -> list[HtmlBlock]:
             if hidden:
                 continue
             text = unescape(m.group(0))
-            nchars = sum(1 for c in text if not c.isspace())
+            # non-whitespace char count via C-level split (same whitespace
+            # class as str.isspace) — the per-char generator was the
+            # hottest line of the HTML path
+            nchars = sum(map(len, text.split()))
             if nchars:
                 total_chars += nchars
                 if in_link:
