@@ -1337,3 +1337,68 @@ SELECT doc_id,
 FROM documents,
      LATERAL (SELECT unnest(range(0, 3)) AS p)
 """
+
+
+def _qx20(spark: SparkSession, sf: str) -> DataFrame:
+    """Frontier dedup capstone (value oracle): page links + sitemap locs +
+    feed links — each through its REAL parser — unioned, then
+    declaratively canonicalized (urlops: case, fragment, tracking params)
+    and deduped per doc. The cross-source overlap is engineered so the
+    unique count only comes out right if every parser AND the
+    canonicalizer agree: n_raw = 5 + doc_id%3, n_unique = 2 + doc_id%3."""
+    from pdf_spark.core.htmltext import extract_links
+    from pdf_spark.core.sitemap import parse_feed, parse_sitemap
+    from pdf_spark.functions.urlops import canonicalize_url
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    raw_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("href", StringType())]
+    )
+
+    def lift(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"doc_id": [], "href": []}
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                page = (
+                    '<html><body><a href="HTTPS://Site.Example/p/0#top">a</a>'
+                    f'<a href="https://site.example/doc/{i}">b</a></body></html>'
+                ).encode()
+                sm = (
+                    "<urlset>" + "".join(
+                        f"<url><loc>https://site.example/p/{j}</loc></url>"
+                        for j in range(1 + i % 3)
+                    ) + "</urlset>"
+                ).encode()
+                feed = (
+                    '<rss version="2.0"><channel>'
+                    "<item><link>https://site.example/p/0?utm_source=feed</link></item>"
+                    f"<item><link>https://site.example/doc/{i}</link></item>"
+                    "</channel></rss>"
+                ).encode()
+                hrefs = list(extract_links(page))
+                hrefs += [loc for loc, _ in parse_sitemap(sm)[1]]
+                hrefs += [link for link, _ in parse_feed(feed)[1]]
+                for h in hrefs:
+                    out["doc_id"].append(i)
+                    out["href"].append(h)
+            yield pd.DataFrame(out)
+
+    lifted = docs.mapInPandas(lift, raw_schema)
+    return (
+        lifted.select("doc_id", canonicalize_url("href").alias("u"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_raw"),
+            F.countDistinct("u").cast("long").alias("n_unique"),
+        )
+    )
+
+
+QUERIES["qx20_frontier_dedup"] = _qx20
+ORACLE["qx20_frontier_dedup"] = """
+SELECT doc_id,
+       CAST(5 + doc_id % 3 AS BIGINT) AS n_raw,
+       CAST(2 + doc_id % 3 AS BIGINT) AS n_unique
+FROM documents
+"""
