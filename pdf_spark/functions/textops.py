@@ -964,3 +964,38 @@ FROM top t JOIN dups d ON t.doc_id = d.doc_id
 """
 
 _pair("qt23_repetition_rules", _QT23_SPARK, _QT23_DUCK)
+
+
+# --- qt24: corpus-frequency commonness score (the CCNet shape) -----------------
+#
+# CCNet buckets documents by LM perplexity; with no LM in the container,
+# the same DATAFLOW is exercised with corpus unigram frequencies as the
+# model: global word counts (one groupBy), joined back to the exploded
+# words (at 10^12 docs the frequency table is top-K-truncated and
+# BROADCAST — the join never shuffles the corpus side twice), summed per
+# doc. Integer outputs only.
+
+_QT24_SPARK = """
+WITH words AS (SELECT doc_id, explode(split(text, ' ')) AS w FROM documents),
+freq AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS commonness,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(MIN(c) AS BIGINT) AS rarest
+FROM words JOIN freq USING (w)
+GROUP BY doc_id
+"""
+
+_QT24_DUCK = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+freq AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS commonness,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(MIN(c) AS BIGINT) AS rarest
+FROM words JOIN freq USING (w)
+GROUP BY doc_id
+"""
+
+_pair("qt24_word_commonness", _QT24_SPARK, _QT24_DUCK)
