@@ -999,3 +999,170 @@ GROUP BY doc_id
 """
 
 _pair("qt24_word_commonness", _QT24_SPARK, _QT24_DUCK)
+
+
+# --- qt25: paragraph-level exact dedup (the CCNet/Dolma unit of dedup) --------
+#
+# CCNet (Wenzek et al. 2020) and Dolma deduplicate at PARAGRAPH
+# granularity, not document granularity: hash every paragraph, count
+# global occurrences, drop (or flag) paragraphs seen elsewhere in the
+# corpus. The documents table is a single-line word soup, so paragraphs
+# are derived deterministically as consecutive 20-word chunks — the
+# DATAFLOW is the real one: chunk (map-side) -> explode -> one groupBy on
+# the paragraph hash (partial-agg combines upstream) -> hash-join the
+# frequency table back. At 10^12 docs the frequency table is itself
+# corpus-sized, so the join back is a shuffle join on md5 — evenly
+# distributed by construction (hash keys don't skew), which is why
+# paragraph dedup scales where URL-keyed joins need salting. Outputs are
+# integers only (dup decision as 2*dup <= total, no float hashes).
+
+_QT25_SPARK = """
+WITH paras AS (
+  SELECT doc_id,
+         explode(transform(sequence(0, (size(split(text, ' ')) - 1) DIV 20),
+                 i -> array_join(slice(split(text, ' '), i * 20 + 1, 20), ' ')))
+           AS para
+  FROM documents),
+hashed AS (SELECT doc_id, md5(para) AS h FROM paras),
+freq AS (SELECT h, COUNT(*) AS c FROM hashed GROUP BY h)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+       CAST(MAX(c) AS BIGINT) AS max_para_freq,
+       (2 * SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) <= COUNT(*)) AS keep
+FROM hashed JOIN freq USING (h)
+GROUP BY doc_id
+"""
+
+_QT25_DUCK = """
+WITH paras AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, (len(string_split(text, ' ')) - 1) // 20 + 1),
+                i -> array_to_string(string_split(text, ' ')[i * 20 + 1 : i * 20 + 20], ' ')))
+           AS para
+  FROM documents),
+hashed AS (SELECT doc_id, md5(para) AS h FROM paras),
+freq AS (SELECT h, COUNT(*) AS c FROM hashed GROUP BY h)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+       CAST(MAX(c) AS BIGINT) AS max_para_freq,
+       (2 * SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) <= COUNT(*)) AS keep
+FROM hashed JOIN freq USING (h)
+GROUP BY doc_id
+"""
+
+_pair("qt25_paragraph_dedup", _QT25_SPARK, _QT25_DUCK)
+
+
+# --- qt26: PII detection + masking (the Dolma scrub pass) ---------------------
+#
+# Dolma's PII tagger finds emails / phone numbers / IP addresses with
+# regexes and masks them before training. The corpus text carries no PII,
+# so each doc deterministically plants its own (email when doc_id%3=0,
+# phone when %5=0, IPv4 when %7=0) — the measured operation is the real
+# one: three regexp_extract_all counts + a chained regexp_replace mask,
+# all map-side JVM expressions (one narrow stage, no shuffle, scales
+# linearly to 10^12 docs). Patterns avoid lookarounds so Java regex and
+# RE2 agree byte-for-byte.
+
+_QT26_SPARK = """
+WITH planted AS (
+  SELECT doc_id,
+         concat(substr(text, 1, 80),
+                CASE WHEN doc_id % 3 = 0
+                     THEN concat(' user', CAST(doc_id AS STRING), '@mail.example.com') ELSE '' END,
+                CASE WHEN doc_id % 5 = 0
+                     THEN concat(' +1-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END,
+                CASE WHEN doc_id % 7 = 0
+                     THEN concat(' 10.', CAST(doc_id % 256 AS STRING), '.0.1') ELSE '' END)
+           AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(size(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', 0)) AS BIGINT) AS n_email,
+       CAST(size(regexp_extract_all(t, '[+]1-555-[0-9]{4}', 0)) AS BIGINT) AS n_phone,
+       CAST(size(regexp_extract_all(t, '10[.][0-9]{1,3}[.]0[.]1', 0)) AS BIGINT) AS n_ip,
+       regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>'),
+           '[+]1-555-[0-9]{4}', '<PHONE>'),
+           '10[.][0-9]{1,3}[.]0[.]1', '<IP>') AS masked
+FROM planted
+"""
+
+_QT26_DUCK = """
+WITH planted AS (
+  SELECT doc_id,
+         substr(text, 1, 80)
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END
+           AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '[+]1-555-[0-9]{4}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '10[.][0-9]{1,3}[.]0[.]1')) AS BIGINT) AS n_ip,
+       regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[+]1-555-[0-9]{4}', '<PHONE>', 'g'),
+           '10[.][0-9]{1,3}[.]0[.]1', '<IP>', 'g') AS masked
+FROM planted
+"""
+
+_pair("qt26_pii_mask", _QT26_SPARK, _QT26_DUCK)
+
+
+# --- qt27: training sequence packing (greedy cumulative-sum binning) ----------
+#
+# Pretraining dataloaders pack variable-length documents into fixed
+# TOKEN-budget sequences (e.g. 2048); the corpus-side version of that is
+# a cumulative token sum per shard, integer-divided by the budget. Done
+# globally this is a single-partition window (a scale-killer), so the
+# window is PARTITIONED BY source — exactly how a real packer runs one
+# ordering per shard/worker. Per (source, seq_id) the query reports docs
+# packed, tokens used, and the boundary doc that straddles the budget.
+
+_QT27_SPARK = """
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(size(split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+packed AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM toks)
+SELECT source,
+       CAST((cum - n_tok) DIV 2048 AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM packed
+GROUP BY source, (cum - n_tok) DIV 2048
+"""
+
+_QT27_DUCK = """
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+packed AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM toks)
+SELECT source,
+       CAST((cum - n_tok) // 2048 AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM packed
+GROUP BY source, (cum - n_tok) // 2048
+"""
+
+_pair("qt27_sequence_packing", _QT27_SPARK, _QT27_DUCK)

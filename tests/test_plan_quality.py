@@ -180,3 +180,31 @@ def test_new_operator_plan_shapes(spark):
     plan = _plan(spark, q["qt20_url_canonicalize"](spark, sf))
     assert exchanges(plan) == 0
     assert "EvalPython" not in plan, "qt20 must stay JVM-only"
+
+
+def test_session5_operator_plan_shapes(spark):
+    """qt25/26/27 keep their scale shapes: PII masking is a pure map
+    (zero exchanges, JVM regex only); paragraph dedup pays the freq
+    groupBy + join-back shuffles but keeps partial aggregation map-side;
+    sequence packing's window is partitioned (no single-partition
+    Exchange SinglePartition in the plan)."""
+    from pdf_spark.functions.registry import all_queries
+
+    q = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    def exchanges(plan: str) -> int:
+        return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+    plan = _plan(spark, q["qt26_pii_mask"](spark, sf))
+    assert exchanges(plan) == 0, "qt26: PII mask must stay a narrow map"
+    assert "EvalPython" not in plan, "qt26 must stay JVM-only"
+
+    plan = _plan(spark, q["qt25_paragraph_dedup"](spark, sf))
+    assert "HashAggregate" in plan
+    assert "partial_count" in plan, "qt25: freq count lost map-side combine"
+
+    plan = _plan(spark, q["qt27_sequence_packing"](spark, sf))
+    assert "SinglePartition" not in plan, (
+        "qt27: packing window collapsed to one partition — scale-killer"
+    )
