@@ -106,6 +106,31 @@ def registrable_domain(host) -> Column:
     )
 
 
+def surt_key(url) -> Column:
+    """SURT form of a URL column — the Common-Crawl CDX index's sort key.
+
+    ``https://www.Example.org/a/b?x=1`` -> ``org,example)/a/b?x=1``:
+    host lowercased, leading ``www.`` dropped, labels reversed and
+    comma-joined, ``)`` separator, path+query appended verbatim (empty
+    path -> ``/``). Scheme, port and fragment never participate (ports
+    are non-canonical in the CDX key; fragments never reach the index).
+    Like everything in this module it is a single codegen'd Catalyst
+    projection — no Python per row.
+    """
+    u = _strip_fragment(F.col(url) if isinstance(url, str) else url)
+    authority = F.regexp_extract(u, _URL_RE, 2)
+    host = F.lower(F.regexp_extract(authority, r"^(?:[^@]*@)?([^:]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.regexp_extract(u, _URL_RE, 3)
+    query = F.regexp_extract(u, _URL_RE, 4)
+    path_part = F.when(path == "", F.lit("/")).otherwise(path)
+    q_part = F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query))
+    return F.when(host == "", u).otherwise(
+        F.concat(rev, F.lit(")"), path_part, q_part)
+    )
+
+
 # --- driver-contract query -----------------------------------------------------
 
 QUERIES = {}
@@ -172,5 +197,81 @@ SELECT doc_id,
          WHEN 4 THEN 'example.net'
          ELSE ''
        END AS domain
+FROM documents
+"""
+
+
+def _qt28(spark, sf):
+    """SURT keys + CDX-J index parse (the Common-Crawl index format).
+
+    Each doc synthesizes one CDX-J line — ``<surt-urlkey> <14-digit
+    timestamp> <json>`` — from a deterministic URL class, then the query
+    PARSES it back: urlkey split, timestamp field, JSON payload fields
+    via ``get_json_object`` (JVM JsonPath inside codegen — Python never
+    touches the JSON). The oracle constructs every expected value
+    arithmetically, so the SURT computation, the line split and the JSON
+    access are all independently checked. Shape at 10^12 rows: one
+    narrow codegen'd projection, zero exchanges.
+    """
+    from pdf_spark.functions.tables import load
+
+    docs = load(spark, sf, "documents").select("doc_id", "n_chars")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    url = (
+        F.when(i % 4 == 0, F.concat(F.lit("https://www.site"), (i % 7).cast("string"),
+                                    F.lit(".example.com/page/"), s))
+        .when(i % 4 == 1, F.concat(F.lit("http://Archive.example.ORG/item?id="), s,
+                                   F.lit("&ref=x")))
+        .when(i % 4 == 2, F.concat(F.lit("https://cdn.example.net:8443/asset/"), s,
+                                   F.lit(".js")))
+        .otherwise(F.lit("https://example.io"))
+    )
+    ts = (F.lit(20240101000000) + i).cast("string")
+    mime = F.when(i % 2 == 0, F.lit("text/html")).otherwise(F.lit("application/pdf"))
+    status = F.when(i % 5 == 0, F.lit("404")).otherwise(F.lit("200"))
+    payload = F.concat(
+        F.lit('{"url":"'), url,
+        F.lit('","mime":"'), mime,
+        F.lit('","status":"'), status,
+        F.lit('","length":"'), F.col("n_chars").cast("string"),
+        F.lit('"}'),
+    )
+    line = F.concat(surt_key(url), F.lit(" "), ts, F.lit(" "), payload)
+
+    cdx = docs.select("doc_id", line.alias("cdx_line"))
+    parts = F.split(F.col("cdx_line"), " ", 3)
+    return cdx.select(
+        "doc_id",
+        F.element_at(parts, 1).alias("urlkey"),
+        F.element_at(parts, 2).alias("cdx_ts"),
+        F.get_json_object(F.element_at(parts, 3), "$.mime").alias("mime"),
+        F.get_json_object(F.element_at(parts, 3), "$.status")
+            .cast("bigint").alias("status"),
+        F.get_json_object(F.element_at(parts, 3), "$.length")
+            .cast("bigint").alias("content_length"),
+        F.get_json_object(F.element_at(parts, 3), "$.url").alias("url"),
+    )
+
+
+QUERIES["qt28_surt_cdx_index"] = _qt28
+ORACLE["qt28_surt_cdx_index"] = """
+SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN 'com,example,site' || (doc_id % 7) || ')/page/' || doc_id
+         WHEN 1 THEN 'org,example,archive)/item?id=' || doc_id || '&ref=x'
+         WHEN 2 THEN 'net,example,cdn)/asset/' || doc_id || '.js'
+         ELSE 'io,example)/'
+       END AS urlkey,
+       CAST(20240101000000 + doc_id AS VARCHAR) AS cdx_ts,
+       CASE WHEN doc_id % 2 = 0 THEN 'text/html' ELSE 'application/pdf' END AS mime,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS BIGINT) AS status,
+       CAST(n_chars AS BIGINT) AS content_length,
+       CASE doc_id % 4
+         WHEN 0 THEN 'https://www.site' || (doc_id % 7) || '.example.com/page/' || doc_id
+         WHEN 1 THEN 'http://Archive.example.ORG/item?id=' || doc_id || '&ref=x'
+         WHEN 2 THEN 'https://cdn.example.net:8443/asset/' || doc_id || '.js'
+         ELSE 'https://example.io'
+       END AS url
 FROM documents
 """

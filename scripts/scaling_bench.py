@@ -182,16 +182,17 @@ def main() -> None:
     mp_hi = Worker(hi_cores, corpus, mode="mp") if with_ceiling else None
     n_docs = lo_w.n_docs
 
-    # warm to plateau: keep passing until the last pass is within 10% of the
-    # best so far (JIT + worker pool + page cache all need several passes at
-    # high core counts), minimum 2, cap 6
+    # warm to plateau: JIT at 32 threads keeps improving long after a single
+    # non-improving pass (measured: hi-pass rates climb across 4+ passes), so
+    # require TWO consecutive passes within 10% of best, minimum 4, cap 8
     for w in [w for w in (lo_w, hi_w, mp_lo, mp_hi) if w is not None]:
         best = w.one_pass()
-        for _ in range(5):
+        flat = 0
+        for i in range(7):
             t = w.one_pass()
-            still_improving = t < best * 0.90
+            flat = 0 if t < best * 0.90 else flat + 1
             best = min(best, t)
-            if not still_improving:
+            if flat >= 2 and i >= 2:
                 break
 
     # sandwich pairing: lo0 hi0 lo1 hi1 ... loN — each hi pass is
