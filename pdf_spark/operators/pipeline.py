@@ -57,8 +57,21 @@ def run_extraction(
     salt_partitions: int | None = None,
     resume: bool = True,
     run_id: str | None = None,
+    partition_cols: tuple[str, ...] = (),
 ) -> dict:
-    """Execute the pipeline; returns summary metrics."""
+    """Execute the pipeline; returns summary metrics.
+
+    ``partition_cols`` names string columns from ``pages`` (e.g. ``lang``)
+    that ride through extraction and become sink partition directories
+    AFTER run_id — downstream per-language/per-crawl consumers then read
+    with partition pruning (an Iceberg identity-partition spec at 100 TB:
+    a reader of one language scans that directory only, never the corpus).
+    run_id stays the leading partition so lineage/resume still prune to
+    one run regardless. Use the SAME partition_cols for the life of a
+    sink: parquet partition discovery rejects a directory whose runs
+    disagree on layout (Iceberg would carry this as the table's
+    partition spec and evolve it per-snapshot instead).
+    """
     run_id = run_id or new_run_id()
     docs_path = os.path.join(out_dir, "docs_text")
     # migrate BEFORE the resume anti-join plans its scan — the lazy read
@@ -75,14 +88,16 @@ def run_extraction(
         todo = remaining_pages(todo, spark, out_dir)
     todo = prepare_pages(todo, salt_partitions)
 
-    docs = extract_docs_text(todo, passthrough=("input_file", "partition_id"))
+    docs = extract_docs_text(
+        todo, passthrough=("input_file", "partition_id", *partition_cols)
+    )
     # Sink is partitioned by run_id so lineage + summary can be derived from
     # THIS run's output only (partition-pruned read — O(this run), never a
     # rescan of the whole committed corpus; on Iceberg this is the snapshot
     # the append created). A resumed run that extracts 0 new docs therefore
     # reports 0 docs in its lineage instead of re-claiming the corpus.
     docs.withColumn("run_id", F.lit(run_id)).write.mode("append").partitionBy(
-        "run_id"
+        "run_id", *partition_cols
     ).parquet(docs_path)
 
     # schema passed explicitly: a first run over an empty/fully-filtered

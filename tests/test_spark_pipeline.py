@@ -258,3 +258,29 @@ def test_fused_operator_mixed_pdf_html(spark):
         got = out[r["url"]]
         assert got["status"] == "ok", (r["url"], got["error_code"])
         assert got["text"] == r["exp"], r["url"]
+
+
+def test_partitioned_sink_prunes(spark, pages, tmp_path):
+    """partition_cols=('lang',): the sink gains lang=... directories under
+    run_id and a per-language read shows PartitionFilters on lang — the
+    100 TB consumer's partition-pruned scan. Resume over the partitioned
+    layout must still plan and extract nothing."""
+    import os
+
+    out = str(tmp_path / "out_part")
+    m = run_extraction(spark, pages, out, partition_cols=("lang",))
+    assert m["n_ok"] > 0
+
+    run_dir = os.path.join(m["docs_path"], f"run_id={m['run_id']}")
+    subdirs = {d for d in os.listdir(run_dir) if d.startswith("lang=")}
+    assert subdirs, "sink not partitioned by lang"
+
+    df = spark.read.parquet(m["docs_path"]).where(F.col("lang") == "en")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "lang" in pf.group(1), plan[:2000]
+    assert df.count() == pages.where(F.col("lang") == "en").count()
+
+    m2 = run_extraction(spark, pages, out, partition_cols=("lang",))
+    assert m2["n_ok"] + m2["n_err"] == 0
