@@ -1166,3 +1166,59 @@ GROUP BY source, (cum - n_tok) // 2048
 """
 
 _pair("qt27_sequence_packing", _QT27_SPARK, _QT27_DUCK)
+
+
+# --- qt29: hashed linear quality classifier (the fastText-filter dataflow) ----
+#
+# CCNet/DCLM-style model-based quality filtering scores each doc with a
+# linear model over hashed bag-of-words features. No model ships in the
+# container, so the weight vector is synthesized deterministically from
+# the feature id — the DATAFLOW is the real one: explode words -> hash
+# into a 256-bucket feature space (two md5 nibbles via the portable
+# strpos-on-hex-digits trick) -> join the weight table -> sum per doc.
+# The weight table is tiny by construction (a real fastText vocab is
+# ~2^20 rows — still broadcast-sized), so Catalyst must broadcast it and
+# the whole classifier costs ONE shuffle (the per-doc sum); the plan test
+# pins BroadcastHashJoin. Integer weights keep the value hash stable.
+
+_QT29_SPARK = """
+WITH words AS (SELECT doc_id, explode(split(text, ' ')) AS w FROM documents),
+feats AS (
+  SELECT doc_id,
+         CAST(16 * (instr('0123456789abcdef', substr(md5(w), 1, 1)) - 1)
+                 + (instr('0123456789abcdef', substr(md5(w), 2, 1)) - 1)
+              AS BIGINT) AS f
+  FROM words),
+weights AS (
+  SELECT CAST(f AS BIGINT) AS f,
+         CAST((f * 2654435761) % 1001 - 500 AS BIGINT) AS wt
+  FROM (SELECT explode(sequence(0, 255)) AS f))
+SELECT doc_id,
+       CAST(SUM(wt) AS BIGINT) AS score,
+       CAST(COUNT(*) AS BIGINT) AS n_feat,
+       (SUM(wt) >= 0) AS keep
+FROM feats JOIN weights USING (f)
+GROUP BY doc_id
+"""
+
+_QT29_DUCK = """
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+feats AS (
+  SELECT doc_id,
+         CAST(16 * (instr('0123456789abcdef', substr(md5(w), 1, 1)) - 1)
+                 + (instr('0123456789abcdef', substr(md5(w), 2, 1)) - 1)
+              AS BIGINT) AS f
+  FROM words),
+weights AS (
+  SELECT CAST(f AS BIGINT) AS f,
+         CAST((f * 2654435761) % 1001 - 500 AS BIGINT) AS wt
+  FROM range(0, 256) t(f))
+SELECT doc_id,
+       CAST(SUM(wt) AS BIGINT) AS score,
+       CAST(COUNT(*) AS BIGINT) AS n_feat,
+       (SUM(wt) >= 0) AS keep
+FROM feats JOIN weights USING (f)
+GROUP BY doc_id
+"""
+
+_pair("qt29_hashed_linear_quality", _QT29_SPARK, _QT29_DUCK)

@@ -208,3 +208,7 @@ def test_session5_operator_plan_shapes(spark):
     assert "SinglePartition" not in plan, (
         "qt27: packing window collapsed to one partition — scale-killer"
     )
+
+    plan = _plan(spark, q["qt29_hashed_linear_quality"](spark, sf))
+    assert "BroadcastHashJoin" in plan, "qt29: weight table must broadcast"
+    assert "SortMergeJoin" not in plan, "qt29: classifier join degraded to SMJ"
