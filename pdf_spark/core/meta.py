@@ -308,3 +308,110 @@ def extract_pdf_outline(resolver) -> list:
         stack.append((node.get("Next"), level))
         stack.append((node.get("First"), level + 1))
     return out
+
+
+# --- interactive form fields (AcroForm, §12.7) ----------------------------------
+
+FORM_FIELD_CAP = 2048  # terminal fields (adversarial /Kids cycles + bombs)
+
+
+def extract_form_fields(resolver) -> list:
+    """AcroForm field values as (name, ftype, value) tuples in field-tree
+    order (PDF 32000-1 §12.7.2-4). EXTENSION: the reference never reads
+    ``/AcroForm`` — but filled-in form values are document text that lives
+    OUTSIDE content streams, so a web-corpus extractor that skips them
+    drops the payload of every filled form.
+
+    Walk: catalog ``/AcroForm`` -> ``/Fields`` array, depth-first in array
+    order. A kid carrying ``/T`` is a child FIELD (its partial name joins
+    the parent's with ``.`` — §12.7.4.2); a kid without ``/T`` is a widget
+    annotation of the same field and is not descended into. ``/FT`` and
+    ``/V`` are inheritable (§12.7.4.1). Values: text strings decode per
+    §7.9.2.2 (``pdf_text_string``), ``/Btn`` name values decode to the
+    name token, choice arrays join with ``'; '``. Cycles and kid bombs
+    are bounded; malformed entries are skipped, never fatal."""
+    out: list = []
+    try:
+        cat = resolver.catalog()
+        acro = resolver.resolve(cat.get("AcroForm"))
+    except Exception:
+        return out
+    if not isinstance(acro, dict):
+        return out
+    try:
+        roots = resolver.resolve(acro.get("Fields"))
+    except Exception:
+        return out
+    if not isinstance(roots, list):
+        return out
+
+    def _decode_value(v) -> Optional[str]:
+        if isinstance(v, (bytes, bytearray)):
+            return pdf_text_string(bytes(v))
+        if isinstance(v, str):  # Name is a str subclass: the name token
+            return str(v)
+        if isinstance(v, list):
+            parts = [_decode_value(x) for x in v]
+            return "; ".join(p for p in parts if p is not None)
+        return None
+
+    seen: set = set()
+    # stack of (node_ref, name_prefix, inherited_ft, inherited_v); seeded
+    # in reverse so array order pops first
+    stack = [(r, "", None, None) for r in reversed(roots)]
+    while stack and len(out) < FORM_FIELD_CAP:
+        node_ref, prefix, ft, v = stack.pop()
+        key = (
+            (node_ref.obj_id, node_ref.gen)
+            if isinstance(node_ref, Ref)
+            else id(node_ref)
+        )
+        if key in seen:
+            continue
+        seen.add(key)
+        try:
+            node = resolver.resolve(node_ref)
+        except Exception:
+            continue
+        if not isinstance(node, dict):
+            continue
+        t = None
+        try:
+            raw_t = resolver.resolve(node.get("T"))
+            if isinstance(raw_t, (bytes, bytearray)):
+                t = pdf_text_string(bytes(raw_t))
+        except Exception:
+            pass
+        name = f"{prefix}.{t}" if (prefix and t) else (t or prefix)
+        if "FT" in node:
+            try:
+                ft = resolver.resolve(node.get("FT"))
+            except Exception:
+                pass
+        if "V" in node:
+            try:
+                v = resolver.resolve(node.get("V"))
+            except Exception:
+                pass
+        kids = None
+        try:
+            kids = resolver.resolve(node.get("Kids"))
+        except Exception:
+            pass
+        child_fields = []
+        if isinstance(kids, list):
+            for k in kids:
+                try:
+                    kd = resolver.resolve(k)
+                except Exception:
+                    continue
+                if isinstance(kd, dict) and "T" in kd:
+                    child_fields.append(k)
+        if child_fields:  # non-terminal: descend, array order first
+            for k in reversed(child_fields):
+                stack.append((k, name, ft, v))
+            continue
+        ftype = str(ft) if isinstance(ft, Name) else None
+        if name and ftype:
+            out.append((name, ftype, _decode_value(v)))
+    return out

@@ -1402,3 +1402,121 @@ SELECT doc_id,
        CAST(2 + doc_id % 3 AS BIGINT) AS n_unique
 FROM documents
 """
+
+
+def _qx21(spark: SparkSession, sf: str) -> DataFrame:
+    """AcroForm field-value extraction (value oracle).
+
+    Filled-form text lives OUTSIDE content streams (§12.7); this is the
+    op that recovers it. Each doc synthesizes a field tree with doc_id-
+    dependent values covering every walk behavior: a text field with a
+    widget kid (must not double-emit), a UTF-16BE value, a /Btn name
+    value, and a parent whose /T kids yield qualified names — one with
+    its own /V, one inheriting the parent's. The oracle reconstructs all
+    five rows per doc arithmetically."""
+    from pdf_spark.core.document import Resolver
+    from pdf_spark.core.meta import extract_form_fields
+    from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder, _content_td_tj, _escb
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("field", StringType()),
+            StructField("ftype", StringType()),
+            StructField("value", StringType()),
+        ]
+    )
+
+    def fields(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"doc_id": [], "field": [], "ftype": [], "value": []}
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                b = PdfBuilder()
+                cat = b.reserve()
+                pages_id = b.reserve()
+                page = b.reserve()
+                font = b.add(F_HELV)
+                cont = b.stream(_content_td_tj(["form doc"]), filters="FlateDecode")
+                f1 = b.reserve()
+                w1 = b.add(
+                    b"<</Subtype/Widget/Rect[0 0 1 1]/Parent "
+                    + str(f1).encode() + b" 0 R>>"
+                )
+                b.set(
+                    f1,
+                    b"<</FT/Tx/T(name)/V(User " + str(i).encode() + b")/Kids["
+                    + str(w1).encode() + b" 0 R]>>",
+                )
+                utf16 = b"\xfe\xff" + f"Straße — 例 {i}".encode(
+                    "utf-16-be"
+                )
+                f2 = b.add(b"<</FT/Tx/T(title)/V(" + _escb(utf16) + b")>>")
+                box = b"/Yes" if i % 2 == 0 else b"/Off"
+                f3 = b.add(b"<</FT/Btn/T(subscribed)/V" + box + b">>")
+                parent = b.reserve()
+                k1 = b.add(
+                    b"<</T(street)/Parent " + str(parent).encode()
+                    + b" 0 R/V(Main St " + str(i % 97).encode() + b")>>"
+                )
+                k2 = b.add(
+                    b"<</T(city)/Parent " + str(parent).encode() + b" 0 R>>"
+                )
+                b.set(
+                    parent,
+                    b"<</FT/Tx/T(address)/V(Berlin)/Kids["
+                    + str(k1).encode() + b" 0 R " + str(k2).encode() + b" 0 R]>>",
+                )
+                acro = b.add(
+                    b"<</Fields["
+                    + b" ".join(
+                        str(f).encode() + b" 0 R" for f in (f1, f2, f3, parent)
+                    )
+                    + b"]>>"
+                )
+                b.set(
+                    cat,
+                    b"<</Type/Catalog/Pages " + str(pages_id).encode()
+                    + b" 0 R/AcroForm " + str(acro).encode() + b" 0 R>>",
+                )
+                b.set(
+                    pages_id,
+                    b"<</Type/Pages/Kids[" + str(page).encode()
+                    + b" 0 R]/Count 1>>",
+                )
+                b.set(
+                    page,
+                    b"<</Type/Page/Parent " + str(pages_id).encode() + b" 0 R"
+                    b"/MediaBox[0 0 612 792]"
+                    b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+                    b"/Contents " + str(cont).encode() + b" 0 R>>",
+                )
+                pdf = b.build(cat)
+                for fname, ftype, val in extract_form_fields(Resolver(pdf)):
+                    out["doc_id"].append(i)
+                    out["field"].append(fname)
+                    out["ftype"].append(ftype)
+                    out["value"].append(val)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(fields, schema)
+
+
+QUERIES["qx21_form_fields"] = _qx21
+ORACLE["qx21_form_fields"] = """
+SELECT doc_id, 'name' AS field, 'Tx' AS ftype,
+       'User ' || doc_id AS value FROM documents
+UNION ALL
+SELECT doc_id, 'title', 'Tx',
+       'Stra' || chr(223) || 'e ' || chr(8212) || ' ' || chr(20363)
+         || ' ' || doc_id FROM documents
+UNION ALL
+SELECT doc_id, 'subscribed', 'Btn',
+       CASE WHEN doc_id % 2 = 0 THEN 'Yes' ELSE 'Off' END FROM documents
+UNION ALL
+SELECT doc_id, 'address.street', 'Tx',
+       'Main St ' || (doc_id % 97) FROM documents
+UNION ALL
+SELECT doc_id, 'address.city', 'Tx', 'Berlin' FROM documents
+"""

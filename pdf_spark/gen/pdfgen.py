@@ -1227,6 +1227,9 @@ _GOOD_VARIANTS = [
     # document-info metadata + link annotations (PDF 32000-1 §14.3.3,
     # §12.5.6.5): neither may perturb the extracted text.
     ("info_annots", lambda L: _info_annots_doc(L)),
+    # interactive form field values (§12.7): text that lives OUTSIDE
+    # content streams; page text must be unaffected by the field tree.
+    ("acroform", lambda L: _acroform_doc(L)),
 ]
 
 
@@ -1268,6 +1271,49 @@ def _info_annots_doc(lines: list[str]) -> bytes:
         + b"]>>",
     )
     return b.build(cat, trailer_extra=b"/Info " + str(info).encode() + b" 0 R")
+
+
+def _acroform_doc(lines: list[str]) -> bytes:
+    """td_tj document carrying an /AcroForm field tree (§12.7): a text
+    field with a widget kid (no /T — must not double-emit), a UTF-16BE
+    text field, a checkbox with a name value, and a parent field whose
+    two /T kids produce qualified names (one inheriting the parent /V).
+    The page-text roundtrip must be unaffected; core/meta.py reads the
+    field tree."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    cont = b.stream(_content_td_tj(lines), filters="FlateDecode")
+    f1 = b.reserve()
+    w1 = b.add(
+        b"<</Subtype/Widget/Rect[0 0 1 1]/Parent " + str(f1).encode() + b" 0 R>>"
+    )
+    b.set(f1, b"<</FT/Tx/T(name)/V(Ada Lovelace)/Kids["
+             + str(w1).encode() + b" 0 R]>>")
+    utf16 = b"\xfe\xff" + "Stra\u00dfe \u2014 \u4f8b".encode("utf-16-be")
+    f2 = b.add(b"<</FT/Tx/T(title)/V(" + _escb(utf16) + b")>>")
+    f3 = b.add(b"<</FT/Btn/T(subscribed)/V/Yes>>")
+    parent = b.reserve()
+    k1 = b.add(b"<</T(street)/Parent " + str(parent).encode()
+               + b" 0 R/V(Main St 7)>>")
+    k2 = b.add(b"<</T(city)/Parent " + str(parent).encode() + b" 0 R>>")
+    b.set(parent, b"<</FT/Tx/T(address)/V(Berlin)/Kids["
+                  + str(k1).encode() + b" 0 R " + str(k2).encode() + b" 0 R]>>")
+    acro = b.add(b"<</Fields[" + b" ".join(
+        str(f).encode() + b" 0 R" for f in (f1, f2, f3, parent)) + b"]>>")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode()
+               + b" 0 R/AcroForm " + str(acro).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
 
 
 def _escb(raw: bytes) -> bytes:

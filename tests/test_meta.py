@@ -346,3 +346,81 @@ def test_outline_absent_or_malformed():
     assert extract_pdf_outline(Resolver(_doc_with())) == []
     pdf = _doc_with(catalog_extra=b"/Outlines 42")
     assert extract_pdf_outline(Resolver(pdf)) == []
+
+
+# --- AcroForm field extraction (§12.7) ------------------------------------------
+
+
+def _acroform_resolver():
+    from pdf_spark.core.document import Resolver
+    from pdf_spark.gen.pdfgen import _GOOD_VARIANTS
+
+    build = dict(_GOOD_VARIANTS)["acroform"]
+    return Resolver(build(["form body text"]))
+
+
+def test_form_fields_full_walk():
+    from pdf_spark.core.meta import extract_form_fields
+
+    rows = extract_form_fields(_acroform_resolver())
+    assert rows == [
+        ("name", "Tx", "Ada Lovelace"),          # widget kid not double-emitted
+        ("title", "Tx", "Straße — 例"),          # UTF-16BE text string
+        ("subscribed", "Btn", "Yes"),            # name value
+        ("address.street", "Tx", "Main St 7"),   # qualified name, own /V
+        ("address.city", "Tx", "Berlin"),        # qualified name, inherited /V
+    ]
+
+
+def test_form_fields_absent_and_malformed():
+    from pdf_spark.core.document import Resolver
+    from pdf_spark.core.meta import extract_form_fields
+    from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder, _content_td_tj
+
+    def doc(acroform: bytes | None) -> bytes:
+        b = PdfBuilder()
+        cat = b.reserve()
+        pages = b.reserve()
+        page = b.reserve()
+        font = b.add(F_HELV)
+        cont = b.stream(_content_td_tj(["x"]), filters="FlateDecode")
+        extra = b""
+        if acroform is not None:
+            extra = b"/AcroForm " + str(b.add(acroform)).encode() + b" 0 R"
+        b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R" + extra + b">>")
+        b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+        b.set(page, b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+                    b"/MediaBox[0 0 612 792]"
+                    b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+                    b"/Contents " + str(cont).encode() + b" 0 R>>")
+        return b.build(cat)
+
+    assert extract_form_fields(Resolver(doc(None))) == []
+    assert extract_form_fields(Resolver(doc(b"<</Fields 3>>"))) == []  # not an array
+    assert extract_form_fields(Resolver(doc(b"<</Fields[null 7 (x)]>>"))) == []
+
+
+def test_form_fields_kid_cycle_bounded():
+    from pdf_spark.core.document import Resolver
+    from pdf_spark.core.meta import extract_form_fields
+    from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder, _content_td_tj
+
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    cont = b.stream(_content_td_tj(["x"]), filters="FlateDecode")
+    # a field whose /Kids points back at itself (both carry /T: walked)
+    f1 = b.reserve()
+    b.set(f1, b"<</FT/Tx/T(loop)/Kids[" + str(f1).encode() + b" 0 R]>>")
+    acro = b.add(b"<</Fields[" + str(f1).encode() + b" 0 R]>>")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode()
+               + b" 0 R/AcroForm " + str(acro).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(page, b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+                b"/MediaBox[0 0 612 792]"
+                b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+                b"/Contents " + str(cont).encode() + b" 0 R>>")
+    rows = extract_form_fields(Resolver(b.build(cat)))
+    assert rows == []  # cycle visits once, terminates, emits nothing twice
