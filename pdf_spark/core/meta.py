@@ -415,3 +415,82 @@ def extract_form_fields(resolver) -> list:
         if name and ftype:
             out.append((name, ftype, _decode_value(v)))
     return out
+
+
+# --- image XObject inventory (§8.9.5) --------------------------------------------
+
+IMAGE_CAP = 4096  # per doc (adversarial XObject bombs)
+
+
+def extract_image_inventory(resolver) -> list:
+    """Image XObjects as (page, name, width, height, bpc, filter) tuples.
+
+    §8.9.5 image dictionaries: page ``/Resources /XObject`` entries with
+    ``/Subtype /Image`` report their geometry WITHOUT decoding the pixel
+    stream (the dims live in the stream dict — a 100 TB inventory pass
+    never touches pixels). Form XObjects (§8.10) are descended one
+    resource level deep with a visited set: images referenced only from a
+    form's own resources are a common real-PDF shape. The reference
+    rasterizes images but has no inventory surface; this is the
+    multimodal-corpus mining op (find docs with N images ≥ some size).
+    Malformed entries are skipped, never fatal."""
+    out: list = []
+    seen: set = set()
+
+    def visit(res, page_no: int, depth: int) -> None:
+        if len(out) >= IMAGE_CAP or depth > 2:
+            return
+        try:
+            res = resolver.resolve(res)
+            xobjs = resolver.resolve(res.get("XObject")) if isinstance(res, dict) else None
+        except Exception:
+            return
+        if not isinstance(xobjs, dict):
+            return
+        for name, ref in xobjs.items():
+            if len(out) >= IMAGE_CAP:
+                return
+            key = (
+                (ref.obj_id, ref.gen) if isinstance(ref, Ref) else (page_no, str(name))
+            )
+            if key in seen:
+                continue
+            seen.add(key)
+            try:
+                xo = resolver.resolve(ref)
+            except Exception:
+                continue
+            if not isinstance(xo, Stream):
+                continue
+            d = xo.dict
+            try:
+                sub = resolver.resolve(d.get("Subtype"))
+                if sub == Name("Image"):
+                    w = resolver.resolve(d.get("Width"))
+                    h = resolver.resolve(d.get("Height"))
+                    bpc = resolver.resolve(d.get("BitsPerComponent"))
+                    filt = resolver.resolve(d.get("Filter"))
+                    if isinstance(filt, list) and filt:
+                        filt = resolver.resolve(filt[-1])
+                    out.append(
+                        (
+                            page_no,
+                            str(name),
+                            int(w) if isinstance(w, (int, float)) else 0,
+                            int(h) if isinstance(h, (int, float)) else 0,
+                            int(bpc) if isinstance(bpc, (int, float)) else 0,
+                            str(filt) if isinstance(filt, Name) else None,
+                        )
+                    )
+                elif sub == Name("Form"):
+                    visit(d.get("Resources"), page_no, depth + 1)
+            except Exception:
+                continue
+
+    try:
+        pages = list(resolver.iter_pages())
+    except Exception:
+        return out
+    for page_no, page in enumerate(pages):
+        visit(page.get("Resources"), page_no, 0)
+    return out

@@ -1520,3 +1520,104 @@ SELECT doc_id, 'address.street', 'Tx',
 UNION ALL
 SELECT doc_id, 'address.city', 'Tx', 'Berlin' FROM documents
 """
+
+
+def _qx22(spark: SparkSession, sf: str) -> DataFrame:
+    """Image XObject inventory (value oracle) — the multimodal mining op.
+
+    Each doc synthesizes ``1 + i%3`` top-level page images (deterministic
+    dims, DCTDecode — the dims come from the stream DICT, pixels are never
+    decoded) plus one image reachable only through a Form XObject's own
+    resources (the one-level-deep walk). The oracle recomputes the
+    aggregate arithmetically."""
+    from pdf_spark.core.document import Resolver
+    from pdf_spark.core.meta import extract_image_inventory
+    from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder, _content_td_tj
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_images", LongType()),
+            StructField("max_w", LongType()),
+            StructField("max_h", LongType()),
+            StructField("sum_pixels", LongType()),
+        ]
+    )
+
+    def inventory(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"doc_id": [], "n_images": [], "max_w": [],
+                   "max_h": [], "sum_pixels": []}
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                w, h = 100 + i % 50, 50 + i % 40
+                b = PdfBuilder()
+                cat = b.reserve()
+                pages_id = b.reserve()
+                page = b.reserve()
+                font = b.add(F_HELV)
+                cont = b.stream(_content_td_tj(["img doc"]), filters="FlateDecode")
+                imgs = [
+                    b.stream(
+                        b"\x00",
+                        extra_dict=(
+                            b"/Subtype/Image/Width " + str(w).encode()
+                            + b"/Height " + str(h).encode()
+                            + b"/BitsPerComponent 8/ColorSpace/DeviceRGB"
+                            + b"/Filter/DCTDecode"
+                        ),
+                    )
+                    for _ in range(1 + i % 3)
+                ]
+                inner = b.stream(
+                    b"\x00",
+                    extra_dict=(
+                        b"/Subtype/Image/Width 32/Height 32"
+                        b"/BitsPerComponent 1/Filter/FlateDecode"
+                    ),
+                )
+                form = b.stream(
+                    b"",
+                    extra_dict=(
+                        b"/Subtype/Form/BBox[0 0 1 1]"
+                        b"/Resources<</XObject<</Inner "
+                        + str(inner).encode() + b" 0 R>>>>"
+                    ),
+                )
+                xo = b"/Fm0 " + str(form).encode() + b" 0 R" + b"".join(
+                    b"/Im" + str(k).encode() + b" " + str(o).encode() + b" 0 R"
+                    for k, o in enumerate(imgs)
+                )
+                b.set(cat, b"<</Type/Catalog/Pages " + str(pages_id).encode() + b" 0 R>>")
+                b.set(pages_id, b"<</Type/Pages/Kids[" + str(page).encode()
+                              + b" 0 R]/Count 1>>")
+                b.set(
+                    page,
+                    b"<</Type/Page/Parent " + str(pages_id).encode() + b" 0 R"
+                    b"/MediaBox[0 0 612 792]"
+                    b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>"
+                    b"/XObject<<" + xo + b">>>>"
+                    b"/Contents " + str(cont).encode() + b" 0 R>>",
+                )
+                rows = extract_image_inventory(Resolver(b.build(cat)))
+                out["doc_id"].append(i)
+                out["n_images"].append(len(rows))
+                out["max_w"].append(max((r[2] for r in rows), default=0))
+                out["max_h"].append(max((r[3] for r in rows), default=0))
+                out["sum_pixels"].append(sum(r[2] * r[3] for r in rows))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(inventory, schema)
+
+
+QUERIES["qx22_image_inventory"] = _qx22
+ORACLE["qx22_image_inventory"] = """
+SELECT doc_id,
+       CAST(2 + doc_id % 3 AS BIGINT) AS n_images,
+       CAST(100 + doc_id % 50 AS BIGINT) AS max_w,
+       CAST(50 + doc_id % 40 AS BIGINT) AS max_h,
+       CAST((1 + doc_id % 3) * (100 + doc_id % 50) * (50 + doc_id % 40)
+            + 1024 AS BIGINT) AS sum_pixels
+FROM documents
+"""

@@ -424,3 +424,48 @@ def test_form_fields_kid_cycle_bounded():
                 b"/Contents " + str(cont).encode() + b" 0 R>>")
     rows = extract_form_fields(Resolver(b.build(cat)))
     assert rows == []  # cycle visits once, terminates, emits nothing twice
+
+
+def test_image_inventory_dedup_and_form_depth():
+    from pdf_spark.core.document import Resolver
+    from pdf_spark.core.meta import extract_image_inventory
+    from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder, _content_td_tj
+
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    p1 = b.reserve()
+    p2 = b.reserve()
+    font = b.add(F_HELV)
+    cont = b.stream(_content_td_tj(["x"]), filters="FlateDecode")
+    shared = b.stream(
+        b"\x00",
+        extra_dict=b"/Subtype/Image/Width 10/Height 20/BitsPerComponent 8",
+    )
+    # form -> form -> form -> image: beyond the depth-2 walk, not counted
+    deep_img = b.stream(
+        b"\x00", extra_dict=b"/Subtype/Image/Width 9/Height 9"
+    )
+    f3 = b.stream(b"", extra_dict=b"/Subtype/Form/BBox[0 0 1 1]"
+                  b"/Resources<</XObject<</I " + str(deep_img).encode() + b" 0 R>>>>")
+    f2 = b.stream(b"", extra_dict=b"/Subtype/Form/BBox[0 0 1 1]"
+                  b"/Resources<</XObject<</F " + str(f3).encode() + b" 0 R>>>>")
+    f1 = b.stream(b"", extra_dict=b"/Subtype/Form/BBox[0 0 1 1]"
+                  b"/Resources<</XObject<</F " + str(f2).encode() + b" 0 R>>>>")
+
+    def page(pid, parent):
+        b.set(pid, b"<</Type/Page/Parent " + str(parent).encode() + b" 0 R"
+              b"/MediaBox[0 0 612 792]"
+              b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>"
+              b"/XObject<</Im " + str(shared).encode() + b" 0 R"
+              b"/Fm " + str(f1).encode() + b" 0 R>>>>"
+              b"/Contents " + str(cont).encode() + b" 0 R>>")
+
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(p1).encode() + b" 0 R "
+          + str(p2).encode() + b" 0 R]/Count 2>>")
+    page(p1, pages)
+    page(p2, pages)
+    rows = extract_image_inventory(Resolver(b.build(cat)))
+    # shared image counted ONCE (visited set), deep image beyond depth cap
+    assert rows == [(0, "Im", 10, 20, 8, None)]
