@@ -399,3 +399,63 @@ def write_warc(records: Iterable[bytes], gzip_per_record: bool = True) -> bytes:
     for rec in records:
         out.write(_gzip.compress(rec, 6, mtime=0) if gzip_per_record else rec)
     return out.getvalue()
+
+
+# --- WET output (the Common-Crawl extracted-text product) -----------------------
+
+
+def build_conversion_record(url: str, date: str, text: str) -> bytes:
+    """One WARC/1.0 ``conversion`` record (ISO 28500 §6.8) — the WET
+    shape: extracted plain text standing in for the response it was
+    derived from, ``Content-Type: text/plain``."""
+    payload = text.encode("utf-8")
+    warc_headers = _CRLF.join(
+        [
+            b"WARC/1.0",
+            b"WARC-Type: conversion",
+            b"WARC-Target-URI: " + url.encode(),
+            b"WARC-Date: " + date.encode(),
+            b"Content-Type: text/plain; charset=utf-8",
+            b"Content-Length: " + str(len(payload)).encode(),
+        ]
+    )
+    return warc_headers + _CRLF * 2 + payload + _CRLF * 2
+
+
+def write_wet(docs_text, out_dir: str, date: str = "2026-01-01T00:00:00Z"):
+    """Distributed WET sink: docs_text(url, text, ...) -> one
+    gzip-per-record archive per partition under ``out_dir``.
+
+    The shape that scales: rows are sorted within (never across)
+    partitions for deterministic archives, each task streams its own
+    member-gzip file, no shuffle, no driver data movement — the returned
+    list of (path, n_records) is O(partitions). Local filesystem here;
+    a cluster deployment swaps the ``open()`` for the object-store/HDFS
+    client with the identical per-partition layout (how WET shards are
+    actually produced). Error rows (text IS NULL) are skipped — WET
+    carries conversions only."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(it):
+        from pyspark import TaskContext
+
+        recs = []
+        for row in it:
+            if row["text"] is not None:
+                recs.append(build_conversion_record(row["url"], date, row["text"]))
+        if not recs:
+            return iter([])
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
+        with open(path, "wb") as f:
+            f.write(write_warc(recs))
+        return iter([(path, len(recs))])
+
+    return (
+        docs_text.select("url", "text")
+        .sortWithinPartitions("url")
+        .rdd.mapPartitions(dump)
+        .collect()
+    )

@@ -28,6 +28,11 @@ def main() -> None:
     ap.add_argument("--salt", type=int, default=None, help="salt partitions")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument(
+        "--wet-out",
+        default=None,
+        help="also write this run's extracted text as WET archives here",
+    )
+    ap.add_argument(
         "--format",
         choices=("parquet", "warc"),
         default="parquet",
@@ -56,6 +61,18 @@ def main() -> None:
         salt_partitions=args.salt,
         resume=not args.no_resume,
     )
+    if args.wet_out:
+        from pyspark.sql import functions as F
+
+        from pdf_spark.sources.warc import write_wet
+
+        run_docs = (
+            spark.read.parquet(summary["docs_path"])
+            .where(F.col("run_id") == summary["run_id"])
+        )
+        parts = write_wet(run_docs, args.wet_out)
+        summary["wet_files"] = len(parts)
+        summary["wet_records"] = sum(n for _, n in parts)
     print(json.dumps(summary))
     spark.stop()
 

@@ -207,3 +207,35 @@ def test_run_job_over_warc_archives(spark, tmp_path):
     rows = docs.collect()
     assert len(rows) == 8
     assert all("actual content paragraph" in r["text"] for r in rows)
+
+
+def test_wet_roundtrip(spark, tmp_path):
+    """extract -> write_wet -> re-parse: every ok row's text comes back
+    byte-identical as a conversion record; error rows are absent."""
+    import glob
+
+    import pandas as pd
+
+    from pdf_spark.gen.corpus import rows_for_texts
+    from pdf_spark.operators.extract import extract_docs_text
+    from pdf_spark.sources.warc import iter_warc_records, write_wet
+
+    pages = spark.createDataFrame(
+        pd.DataFrame(rows_for_texts([f"wet doc {i} body text" for i in range(130)]))
+    ).repartition(4)
+    docs = extract_docs_text(pages)
+    out = str(tmp_path / "wet")
+    parts = write_wet(docs, out)
+    assert sum(n for _, n in parts) == docs.where("text is not null").count()
+
+    got = {}
+    for path in glob.glob(out + "/*.warc.wet.gz"):
+        with open(path, "rb") as f:
+            for rec in iter_warc_records(f.read()):
+                assert rec.rec_type == "conversion"
+                got[rec.target_uri] = rec.body.decode("utf-8")
+    expected = {
+        r["url"]: r["text"]
+        for r in docs.where("text is not null").collect()
+    }
+    assert got == expected
