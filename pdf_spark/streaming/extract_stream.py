@@ -139,3 +139,106 @@ def stream_lang_running_stats(spark: SparkSession, pages_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_neardup_minhash(
+    spark: SparkSession,
+    pages_dir: str,
+    watermark: str = "1 hour",
+    min_matching_slices: int = 6,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Streaming NEAR-duplicate detection — the stateful twin of the batch
+    MinHash-LSH chain (qt05 -> qt06 -> qt11).
+
+    The whole signature is computed MAP-SIDE before any state: word
+    3-shingles -> one md5 per shingle -> 8 disjoint 32-bit slices, each
+    minimized over the shingle array with ``array_min(transform(...))``
+    (no explode, no pre-aggregation — the stream stays single-stateful-op).
+    The first slice is the LSH band key: near-duplicates collide there with
+    the usual single-band recall, and ``applyInPandasWithState`` keeps each
+    bucket's previously-seen 7-slice signatures in explicit group state. An
+    arrival is flagged ``is_dup`` when >= ``min_matching_slices`` of its 7
+    remaining slices match a stored signature (a Jaccard estimate, exactly
+    the qt11 candidates-then-verify shape with the verify folded into the
+    bucket).
+
+    State is bounded two ways, which is what makes this runnable forever
+    at crawl rate: per-bucket signature list capped at ``bucket_cap``
+    (FIFO — a bucket that hot is a mirror farm, every later arrival in it
+    is a dup anyway), and idle buckets evicted by EventTimeTimeout one
+    ``watermark`` horizon after their last arrival — the same horizon
+    ``dropDuplicatesWithinWatermark`` uses for exact dedup.
+    Returns the unstarted DataFrame; start with outputMode("append").
+    """
+    from typing import Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n_slices = 8
+    sig_expr = (
+        "transform(sequence(0, {k}), j -> "
+        "array_min(transform(shingles, s -> substring(md5(s), 1 + 8 * j, 8))))"
+    ).format(k=n_slices - 1)
+
+    stream = (
+        read_pages_stream(spark, pages_dir)
+        .where(F.col("text").isNotNull())
+        .withColumn("toks", F.split(F.col("text"), " "))
+        .where(F.size("toks") >= 3)
+        .withColumn(
+            "shingles",
+            F.expr(
+                "transform(sequence(1, size(toks) - 2),"
+                " i -> concat_ws(' ', slice(toks, i, 3)))"
+            ),
+        )
+        .withColumn("sig", F.expr(sig_expr))
+        .withColumn("band", F.element_at("sig", 1))
+        .withColumn("rest", F.concat_ws(",", F.expr("slice(sig, 2, 7)")))
+        .withWatermark("warc_ts", watermark)
+        .select("band", "url", "warc_ts", "rest")
+    )
+
+    horizon_ms = 60 * 60 * 1000  # parse of `watermark` kept simple: 1h default
+
+    def update(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (sigs,) = state.get if state.exists else ([],)
+        sigs = list(sigs)
+        out = {"url": [], "warc_ts": [], "band": [], "is_dup": [], "n_prior": []}
+        for pdf in pdfs:
+            for url, ts, rest in zip(pdf["url"], pdf["warc_ts"], pdf["rest"]):
+                mine = rest.split(",")
+                dup = any(
+                    sum(a == b for a, b in zip(mine, s.split(",")))
+                    >= min_matching_slices
+                    for s in sigs
+                )
+                out["url"].append(url)
+                out["warc_ts"].append(ts)
+                out["band"].append(key[0])
+                out["is_dup"].append(dup)
+                out["n_prior"].append(len(sigs))
+                sigs.append(rest)
+                if len(sigs) > bucket_cap:
+                    sigs = sigs[-bucket_cap:]
+        state.update((sigs,))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + horizon_ms)
+        yield pd.DataFrame(out)
+
+    return stream.groupBy("band").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "url string, warc_ts timestamp, band string,"
+            " is_dup boolean, n_prior long"
+        ),
+        stateStructType="sigs array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

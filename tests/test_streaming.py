@@ -134,3 +134,52 @@ def test_stream_dedup_exact_drops_duplicates(spark, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == 10  # one survivor per distinct payload
     assert got.select("fingerprint").distinct().count() == 10
+
+
+def test_stream_neardup_minhash(spark, tmp_path):
+    """Planted exact + near duplicates are flagged inside their LSH bucket;
+    distinct docs are not. The near pair (last word swapped) was verified
+    offline to share the band slice and 7/7 remaining slices >= threshold."""
+    import datetime as dt
+
+    from pdf_spark.streaming.extract_stream import stream_neardup_minhash
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    near = base.replace("upsilon", "phi")
+    distinct = [
+        f"wholly different document number {i} talking about substance {i * 7}"
+        for i in range(6)
+    ]
+    texts = [base, near, base] + distinct  # exact dup of base too
+    ts = dt.datetime(2026, 1, 1)
+    rows = [
+        dict(
+            url=f"https://x.org/{k}",
+            warc_ts=ts,
+            html=b"",
+            text=t,
+            lang="en",
+        )
+        for k, t in enumerate(texts)
+    ]
+    pages_dir = os.path.join(str(tmp_path), "pages")
+    spark.createDataFrame(pd.DataFrame(rows)).repartition(1).write.parquet(pages_dir)
+
+    df = stream_neardup_minhash(spark, pages_dir)
+    q = (
+        df.writeStream.format("memory")
+        .queryName("neardup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["url"]: r["is_dup"] for r in spark.table("neardup").collect()}
+    assert len(got) == len(texts)  # every doc emitted exactly once
+    family = [got[f"https://x.org/{k}"] for k in (0, 1, 2)]
+    assert sum(family) == 2, family  # first arrival clean, both dups flagged
+    for k in range(3, len(texts)):
+        assert got[f"https://x.org/{k}"] is False
