@@ -179,3 +179,45 @@ def test_atomic_prefix_fallback_equivalent():
             assert mp.end() == mf.end(), s
             assert mp.group("num") == mf.group("num"), s
             assert mp.group("s") == mf.group("s"), s
+
+
+def test_metadata_walkers_never_raise_on_mutations():
+    """The side-channel walkers (form fields, image inventory, meta, links,
+    outline) share the extraction contract: any byte-mutated document
+    yields a (possibly empty) result, never an exception."""
+    import random
+
+    from pdf_spark.core.document import Resolver
+    from pdf_spark.core.meta import (
+        extract_form_fields,
+        extract_image_inventory,
+        extract_pdf_links,
+        extract_pdf_meta,
+        extract_pdf_outline,
+    )
+    from pdf_spark.gen.pdfgen import _GOOD_VARIANTS
+
+    rng = random.Random(0xF0F0)
+    builders = dict(_GOOD_VARIANTS)
+    seeds = [
+        builders["acroform"](["fuzz seed text body"]),
+        builders["info_annots"](["fuzz seed text body"]),
+    ]
+    for seed in seeds:
+        for _ in range(150):
+            mutated = bytearray(seed)
+            for _ in range(rng.randrange(1, 8)):
+                mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+            try:
+                r = Resolver(bytes(mutated))
+            except Exception:
+                continue  # constructor may reject the doc: that's an error row
+            for walker in (
+                extract_form_fields,
+                extract_image_inventory,
+                extract_pdf_links,
+                extract_pdf_meta,
+                extract_pdf_outline,
+            ):
+                out = walker(r)  # must never raise
+                assert out is not None
