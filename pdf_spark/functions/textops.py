@@ -1222,3 +1222,39 @@ GROUP BY doc_id
 """
 
 _pair("qt29_hashed_linear_quality", _QT29_SPARK, _QT29_DUCK)
+
+
+# --- qt30: the full filter stack as ONE plan (composition capstone) -----------
+#
+# A real corpus build runs every filter in one pass, not one job per rule:
+# this composes the four verified decisions (Gopher quality qt22,
+# repetition qt23, paragraph dedup qt25, linear classifier qt29) by
+# textual reuse of their SQL — Catalyst plans the union of their
+# dataflows (three explode+groupBy subtrees + one broadcast join) and
+# shares the documents scan; the final keep is the conjunction. Like
+# qx20, the capstone is only green if every component AND the composition
+# arithmetic agree across engines.
+
+_QT30_SPARK = f"""
+SELECT g.doc_id,
+       g.keep AS gopher, r.keep AS repetition,
+       p.keep AS paradup, c.keep AS classifier,
+       (g.keep AND r.keep AND p.keep AND c.keep) AS keep
+FROM ({_QT22_SPARK}) g
+JOIN ({_QT23_SPARK}) r ON g.doc_id = r.doc_id
+JOIN ({_QT25_SPARK}) p ON g.doc_id = p.doc_id
+JOIN ({_QT29_SPARK}) c ON g.doc_id = c.doc_id
+"""
+
+_QT30_DUCK = f"""
+SELECT g.doc_id,
+       g.keep AS gopher, r.keep AS repetition,
+       p.keep AS paradup, c.keep AS classifier,
+       (g.keep AND r.keep AND p.keep AND c.keep) AS keep
+FROM ({_QT22_DUCK}) g
+JOIN ({_QT23_DUCK}) r ON g.doc_id = r.doc_id
+JOIN ({_QT25_DUCK}) p ON g.doc_id = p.doc_id
+JOIN ({_QT29_DUCK}) c ON g.doc_id = c.doc_id
+"""
+
+_pair("qt30_filter_stack", _QT30_SPARK, _QT30_DUCK)
