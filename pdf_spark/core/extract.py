@@ -132,6 +132,7 @@ def extract_document(
             interp = Interpreter(resolver, page_index, res_dict, font_cache)
             streams = resolver.content_streams(page)
             spans.extend(interp.run_streams(streams, base))
+        assign_columns(spans)
         return ExtractResult("ok", "", spans, n_pages)
     except PdfError as exc:
         return ExtractResult("error", exc.code, [], 0)
@@ -141,19 +142,81 @@ def extract_document(
         return ExtractResult("error", INTERNAL_ERROR, [], 0)
 
 
+# Column detection thresholds — deliberately conservative: a split only
+# happens when the page unambiguously presents as side-by-side columns.
+# Anything ambiguous keeps col=0 everywhere, i.e. the historical
+# (page, y desc, x) order, so the reference fixtures and every
+# single-column layout are byte-unaffected.
+_COL_MIN_SPANS = 6      # per side
+_COL_MIN_GUTTER = 24.0  # empty vertical band no span may cross (pt)
+_COL_CHAR_W = 0.6       # estimated advance per char, em fraction
+_COL_MIN_Y_OVERLAP = 0.5  # columns must run side by side, not stacked
+
+
+def _detect_gutter(page_spans: list) -> Optional[float]:
+    if len(page_spans) < 2 * _COL_MIN_SPANS:
+        return None
+    spans = sorted(page_spans, key=lambda s: s.x)
+    ends = [
+        s.x + _COL_CHAR_W * (s.size or 12.0) * len(s.text or "") for s in spans
+    ]
+    best_gap, gutter = 0.0, None
+    lmax_end = 0.0
+    for i in range(1, len(spans)):
+        lmax_end = max(lmax_end, ends[i - 1])
+        if i < _COL_MIN_SPANS or len(spans) - i < _COL_MIN_SPANS:
+            continue
+        gap = spans[i].x - lmax_end
+        if gap >= _COL_MIN_GUTTER and gap > best_gap:
+            best_gap, gutter = gap, spans[i].x
+    if gutter is None:
+        return None
+    left_y = sorted(s.y for s in spans if s.x < gutter)
+    right_y = sorted(s.y for s in spans if s.x >= gutter)
+    l_span = left_y[-1] - left_y[0]
+    r_span = right_y[-1] - right_y[0]
+    if l_span <= 0 or r_span <= 0:
+        return None
+    overlap = min(left_y[-1], right_y[-1]) - max(left_y[0], right_y[0])
+    if overlap < _COL_MIN_Y_OVERLAP * max(l_span, r_span):
+        return None
+    return gutter
+
+
+def assign_columns(spans: list) -> None:
+    """Conservative two-column reading order (layout tier, north rule
+    "PDF/layout parse"): per page, when spans split into two >=6-span
+    groups separated by a >=24pt empty gutter (span extents estimated
+    from font size — no span crosses it) whose y-ranges overlap >=50%,
+    the right group gets ``col=1`` and reads AFTER the whole left column
+    — the reading order every real 2-column paper/newsletter intends,
+    where the plain (y, x) sort would interleave the columns line by
+    line. Ambiguous pages keep col=0 (exact historical order)."""
+    by_page: dict = {}
+    for s in spans:
+        by_page.setdefault(s.page, []).append(s)
+    for page_spans in by_page.values():
+        gutter = _detect_gutter(page_spans)
+        if gutter is not None:
+            for s in page_spans:
+                s.col = 1 if s.x >= gutter else 0
+
+
 def assemble_text(spans: list[Span]) -> str:
-    """Deterministic (page, y desc, x asc, glyph_order) sort + line joins."""
+    """Deterministic (page, col, y desc, x asc, glyph_order) sort + line
+    joins; ``col`` comes from :func:`assign_columns` (0 unless the page
+    unambiguously reads as two columns)."""
     if not spans:
         return ""
-    ordered = sorted(spans, key=lambda s: (s.page, -s.y, s.x, s.glyph_order))
+    ordered = sorted(spans, key=lambda s: (s.page, s.col, -s.y, s.x, s.glyph_order))
     parts: list[str] = []
-    prev_page: Optional[int] = None
-    prev_y: Optional[float] = None
+    prev_key = None
     for s in ordered:
-        if prev_page is not None and (s.page != prev_page or s.y != prev_y):
+        key = (s.page, s.col, s.y)
+        if prev_key is not None and key != prev_key:
             parts.append("\n")
         parts.append(s.text)
-        prev_page, prev_y = s.page, s.y
+        prev_key = key
     return "".join(parts)
 
 

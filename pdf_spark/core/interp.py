@@ -104,7 +104,7 @@ def _fix_surrogates(text: str) -> str:
 class Span:
     """One text-show string element (SURVEY.md §2.4 span emitter)."""
 
-    __slots__ = ("page", "x", "y", "glyph_order", "text", "font", "size")
+    __slots__ = ("page", "x", "y", "glyph_order", "text", "font", "size", "col")
 
     def __init__(self, page, x, y, glyph_order, text, font, size):
         self.page = page
@@ -114,6 +114,9 @@ class Span:
         self.text = text
         self.font = font
         self.size = size
+        # reading-order column, assigned post-hoc per page by
+        # core.extract.assign_columns (0 = single column / left)
+        self.col = 0
 
 
 class TextState:

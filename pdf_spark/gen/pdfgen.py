@@ -1230,6 +1230,9 @@ _GOOD_VARIANTS = [
     # interactive form field values (§12.7): text that lives OUTSIDE
     # content streams; page text must be unaffected by the field tree.
     ("acroform", lambda L: _acroform_doc(L)),
+    # two-column layout: reading order is column-major (layout tier) —
+    # the (y, x) sort alone would interleave the columns line by line.
+    ("twocolumn", lambda L: _twocolumn_doc(L)),
 ]
 
 
@@ -1314,6 +1317,39 @@ def _acroform_doc(lines: list[str]) -> bytes:
         b"/Contents " + str(cont).encode() + b" 0 R>>",
     )
     return b.build(cat)
+
+
+# two-column layout geometry: narrow re-wrapped lines so the estimated
+# span extents (core.extract._COL_CHAR_W) leave a real gutter
+_TWOCOL_WRAP = 36
+_TWOCOL_LEFT_X = 40.0
+_TWOCOL_RIGHT_X = 330.0
+
+
+def _twocol_layout(lines: list[str]) -> tuple[list[str], list[str]] | None:
+    """Shared by the builder and _expected_text: re-wrap the payload at
+    the column width and split half/half; None (single-column fallback)
+    when the payload is too short for an unambiguous two-column page."""
+    col_lines = wrap_lines(" ".join(lines), wrap=_TWOCOL_WRAP, max_lines=24)
+    if len(col_lines) < 12:
+        return None
+    half = (len(col_lines) + 1) // 2
+    return col_lines[:half], col_lines[half:]
+
+
+def _twocolumn_doc(lines: list[str]) -> bytes:
+    layout = _twocol_layout(lines)
+    if layout is None:
+        return _simple_doc(lines, _content_td_tj, filters="FlateDecode")
+    ops = [b"BT", b"/F1 " + _n(FONT_SIZE) + b" Tf"]
+    for x, col in zip((_TWOCOL_LEFT_X, _TWOCOL_RIGHT_X), layout):
+        for i, line in enumerate(col):
+            y = TOP_Y - i * LINE_HEIGHT
+            ops.append(b"1 0 0 1 " + _n(x) + b" " + _n(y) + b" Tm")
+            ops.append(b"(" + esc(line) + b") Tj")
+    ops.append(b"ET")
+    content = b"\n".join(ops)
+    return _simple_doc(lines, lambda _L: content, filters="FlateDecode")
 
 
 def _escb(raw: bytes) -> bytes:
@@ -1550,6 +1586,10 @@ def _expected_text(lines: list[str], variant_name: str) -> str:
         lines = ["".join(_nonlatin_map(c)[1] for c in l) for l in lines]
     elif variant_name == "macexpert":
         lines = ["".join(_macexpert_expected(c) for c in l) for l in lines]
+    elif variant_name == "twocolumn":
+        layout = _twocol_layout(lines)
+        if layout is not None:
+            return "\n".join(layout[0] + layout[1])
     elif variant_name.startswith("html_"):
         return _htmlgen().expected_for_variant(variant_name, lines)
     return "\n".join(lines)

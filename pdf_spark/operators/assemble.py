@@ -1,6 +1,6 @@
 """Spark-side span assembly: spans -> docs_text, fully declarative.
 
-Demonstrates the deterministic ``(page, y desc, x asc, glyph_order)``
+Demonstrates the deterministic ``(page, col, y desc, x asc, glyph_order)``
 ordering as Catalyst-visible operators (north_star: "followed by a
 deterministic span-ordering sort"). Implementation avoids any Python:
 
@@ -34,6 +34,7 @@ def assemble_docs_text(spans: DataFrame) -> DataFrame:
     emit two rows — dedup upstream (qt01 / stream_dedup_exact) first."""
     order = [
         F.col("page").asc(),
+        F.col("col").asc(),
         F.col("y").desc(),
         F.col("x").asc(),
         F.col("glyph_order").asc(),
@@ -44,6 +45,7 @@ def assemble_docs_text(spans: DataFrame) -> DataFrame:
         F.when(F.row_number().over(w) == 1, F.lit(""))
         .when(
             (F.lag("page").over(w) != F.col("page"))
+            | (F.lag("col").over(w) != F.col("col"))
             | (F.lag("y").over(w) != F.col("y")),
             F.lit("\n"),
         )
@@ -53,6 +55,7 @@ def assemble_docs_text(spans: DataFrame) -> DataFrame:
         "url",
         F.struct(
             F.col("page"),
+            F.col("col"),
             (-F.col("y")).alias("neg_y"),
             F.col("x"),
             F.col("glyph_order"),

@@ -51,6 +51,7 @@ SPANS_SCHEMA = StructType(
     [
         StructField("url", StringType()),
         StructField("page", IntegerType()),
+        StructField("col", IntegerType()),
         StructField("y", DoubleType()),
         StructField("x", DoubleType()),
         StructField("glyph_order", LongType()),
@@ -148,6 +149,7 @@ def extract_spans(pages: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES) -> DataF
             [
                 pa.field("url", pa.string()),
                 pa.field("page", pa.int32()),
+                pa.field("col", pa.int32()),
                 pa.field("y", pa.float64()),
                 pa.field("x", pa.float64()),
                 pa.field("glyph_order", pa.int64()),
@@ -169,6 +171,7 @@ def extract_spans(pages: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES) -> DataF
                 if not r.ok:
                     rows["url"].append(url)
                     rows["page"].append(-1)
+                    rows["col"].append(0)
                     rows["y"].append(0.0)
                     rows["x"].append(0.0)
                     rows["glyph_order"].append(0)
@@ -181,6 +184,7 @@ def extract_spans(pages: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES) -> DataF
                 for s in r.spans:
                     rows["url"].append(url)
                     rows["page"].append(s.page)
+                    rows["col"].append(s.col)
                     rows["y"].append(s.y)
                     rows["x"].append(s.x)
                     rows["glyph_order"].append(s.glyph_order)
@@ -192,6 +196,7 @@ def extract_spans(pages: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES) -> DataF
                 if not r.spans:
                     rows["url"].append(url)
                     rows["page"].append(-1)
+                    rows["col"].append(0)
                     rows["y"].append(0.0)
                     rows["x"].append(0.0)
                     rows["glyph_order"].append(0)

@@ -908,3 +908,57 @@ class TestType3FontMatrix:
             self._doc(b"[0.01 0 0 0.01 0 0]")
         )
         assert (status, text) == ("ok", "abc"), code
+
+
+class TestTwoColumnReadingOrder:
+    def _span(self, x, y, text="word word word", page=0, order=0, size=12.0):
+        from pdf_spark.core.interp import Span
+
+        return Span(page, x, y, order, text, "F1", size)
+
+    def test_side_by_side_columns_read_column_major(self):
+        from pdf_spark.core.extract import assemble_text, assign_columns
+
+        spans = []
+        for i in range(8):
+            spans.append(self._span(40.0, 700 - 16 * i, f"L{i}", order=2 * i))
+            spans.append(self._span(330.0, 700 - 16 * i, f"R{i}", order=2 * i + 1))
+        assign_columns(spans)
+        text = assemble_text(spans)
+        assert text == "\n".join([f"L{i}" for i in range(8)] + [f"R{i}" for i in range(8)])
+
+    def test_stacked_blocks_stay_interleaved_order(self):
+        """An indented block BELOW the main text (no y-overlap) must not
+        be mistaken for a column: historical (y, x) order kept."""
+        from pdf_spark.core.extract import assemble_text, assign_columns
+
+        spans = [self._span(40.0, 700 - 16 * i, f"T{i}", order=i) for i in range(8)]
+        spans += [
+            self._span(330.0, 300 - 16 * i, f"Q{i}", order=8 + i) for i in range(8)
+        ]
+        assign_columns(spans)
+        assert all(s.col == 0 for s in spans)
+        assert assemble_text(spans).split("\n")[:8] == [f"T{i}" for i in range(8)]
+
+    def test_wide_lines_crossing_gutter_block_split(self):
+        """A full-width line anywhere kills the gutter (no false split on
+        indented quotes inside normal text)."""
+        from pdf_spark.core.extract import assign_columns
+
+        spans = []
+        for i in range(7):
+            spans.append(self._span(40.0, 700 - 16 * i, f"L{i}", order=2 * i))
+            spans.append(self._span(330.0, 700 - 16 * i, f"R{i}", order=2 * i + 1))
+        spans.append(self._span(40.0, 700 - 16 * 7, "x" * 60, order=99))
+        assign_columns(spans)
+        assert all(s.col == 0 for s in spans)
+
+    def test_too_few_spans_per_side(self):
+        from pdf_spark.core.extract import assign_columns
+
+        spans = []
+        for i in range(4):
+            spans.append(self._span(40.0, 700 - 16 * i, f"L{i}", order=2 * i))
+            spans.append(self._span(330.0, 700 - 16 * i, f"R{i}", order=2 * i + 1))
+        assign_columns(spans)
+        assert all(s.col == 0 for s in spans)
