@@ -1258,3 +1258,73 @@ JOIN ({_QT29_DUCK}) c ON g.doc_id = c.doc_id
 """
 
 _pair("qt30_filter_stack", _QT30_SPARK, _QT30_DUCK)
+
+
+# --- qt31: salted skew join (the 100 TB skew technique as a first-class op) ----
+#
+# A URL-host / domain-keyed join at crawl scale always has a hot key (one
+# CDN/host owns a double-digit share of the corpus). The fix is salting:
+# the fact side appends salt = hash % S to the hot key, the dim side
+# EXPLODES its hot rows into all S salted twins (dims are small — the
+# explode is S rows, the broadcast stays tiny), and the join key becomes
+# (key, salt) — the hot key's rows now land on S shuffle partitions
+# instead of one straggler. This query engineers the skew (70% of docs on
+# one key), joins BOTH ways inside one statement, and returns per-key
+# totals that only match the oracle if the salted join loses/duplicates
+# nothing. Salt is deterministic (doc_id % S), so the result is
+# engine-independent.
+
+_QT31_SALT = 8
+
+_QT31_SPARK = f"""
+WITH facts AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 7 THEN 'hot.example.com'
+              ELSE concat('site', CAST(doc_id % 13 AS STRING), '.example.org')
+         END AS host,
+         CAST(doc_id % {_QT31_SALT} AS INT) AS salt,
+         n_chars
+  FROM documents),
+dim AS (
+  SELECT host, weight, salt
+  FROM (
+    SELECT 'hot.example.com' AS host, CAST(100 AS BIGINT) AS weight
+    UNION ALL
+    SELECT concat('site', CAST(k AS STRING), '.example.org'),
+           CAST(k + 1 AS BIGINT)
+    FROM (SELECT explode(sequence(0, 12)) AS k)
+  )
+  LATERAL VIEW explode(sequence(0, {_QT31_SALT - 1})) s AS salt)
+SELECT f.host,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f.n_chars * d.weight) AS BIGINT) AS weighted_chars
+FROM facts f JOIN dim d ON f.host = d.host AND f.salt = d.salt
+GROUP BY f.host
+"""
+
+_QT31_DUCK = f"""
+WITH facts AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 7 THEN 'hot.example.com'
+              ELSE 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.org'
+         END AS host,
+         CAST(doc_id % {_QT31_SALT} AS INT) AS salt,
+         n_chars
+  FROM documents),
+dim AS (
+  SELECT host, weight, s.salt
+  FROM (
+    SELECT 'hot.example.com' AS host, CAST(100 AS BIGINT) AS weight
+    UNION ALL
+    SELECT 'site' || CAST(k AS VARCHAR) || '.example.org',
+           CAST(k + 1 AS BIGINT)
+    FROM range(0, 13) t(k)
+  ), LATERAL (SELECT unnest(range(0, {_QT31_SALT})) AS salt) s)
+SELECT f.host,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f.n_chars * d.weight) AS BIGINT) AS weighted_chars
+FROM facts f JOIN dim d ON f.host = d.host AND f.salt = d.salt
+GROUP BY f.host
+"""
+
+_pair("qt31_salted_skew_join", _QT31_SPARK, _QT31_DUCK)
