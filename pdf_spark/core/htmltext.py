@@ -734,3 +734,41 @@ def extract_links_with_text(data: bytes) -> list:
             parts.append(m.group(0))
     flush()
     return out
+
+
+def extract_image_alts(data: bytes) -> list:
+    """``(src, alt)`` pairs for every ``<img>`` in document order — the
+    image-text pair mining op (LAION-style multimodal corpus building:
+    alt text is the caption candidate). Same independent linear scan as
+    :func:`extract_links`; rawtext elements are skipped so an ``<img>``
+    inside a script string never counts. Images with an empty/missing
+    ``src`` are dropped; a missing ``alt`` yields ``""`` (present-but-
+    uncaptioned is a real, countable class downstream)."""
+    html_text = decode_html(data)
+    out = []
+    pos = 0
+    n = len(html_text)
+    while pos < n:
+        m = _TOKEN_RE.match(html_text, pos)
+        if m is None:  # pragma: no cover
+            pos += 1
+            continue
+        pos = m.end()
+        tag = m.group(2)
+        if tag is None:
+            continue
+        low = tag.lower()
+        if low == "img":
+            attrs = _parse_attrs(m.group(3))
+            src = (attrs.get("src") or "").strip()
+            if src:
+                out.append((src, attrs.get("alt", "")))
+        elif low in _RAWTEXT:
+            close = re.compile(r"</\s*%s[\s>]" % re.escape(low), re.I)
+            cm = close.search(html_text, pos)
+            if cm is None:
+                pos = n
+            else:
+                gt = html_text.find(">", cm.start())
+                pos = n if gt == -1 else gt + 1
+    return out

@@ -1621,3 +1621,65 @@ SELECT doc_id,
             + 1024 AS BIGINT) AS sum_pixels
 FROM documents
 """
+
+
+def _qx23(spark: SparkSession, sf: str) -> DataFrame:
+    """Image-text pair mining (value oracle) — the LAION shape: every
+    ``<img>``'s (src, alt) in document order, with a script-embedded
+    decoy img that must NOT count (rawtext skip) and one uncaptioned
+    image per doc (alt='')."""
+    from pdf_spark.core.htmltext import extract_image_alts
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("idx", LongType()),
+            StructField("src", StringType()),
+            StructField("alt", StringType()),
+        ]
+    )
+
+    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"doc_id": [], "idx": [], "src": [], "alt": []}
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                n_imgs = 1 + i % 3
+                body = "".join(
+                    f'<p>text</p><img src="/img/{i}_{k}.jpg" '
+                    f'alt="caption {i} item {k}">'
+                    for k in range(n_imgs)
+                )
+                html = (
+                    "<html><body>"
+                    + body
+                    + "<script>var d='<img src=\"/decoy.jpg\" alt=\"x\">';"
+                    "</script>"
+                    + f'<img src="/img/{i}_plain.png">'
+                    + "</body></html>"
+                ).encode()
+                for idx, (src, alt) in enumerate(extract_image_alts(html)):
+                    out["doc_id"].append(i)
+                    out["idx"].append(idx)
+                    out["src"].append(src)
+                    out["alt"].append(alt)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(pairs, schema)
+
+
+QUERIES["qx23_image_alt_pairs"] = _qx23
+ORACLE["qx23_image_alt_pairs"] = """
+SELECT doc_id,
+       CAST(k AS BIGINT) AS idx,
+       '/img/' || doc_id || '_' || k || '.jpg' AS src,
+       'caption ' || doc_id || ' item ' || k AS alt
+FROM documents, LATERAL unnest(range(0, 1 + doc_id % 3)) t(k)
+UNION ALL
+SELECT doc_id,
+       CAST(1 + doc_id % 3 AS BIGINT) AS idx,
+       '/img/' || doc_id || '_plain.png' AS src,
+       '' AS alt
+FROM documents
+"""

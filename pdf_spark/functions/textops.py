@@ -1328,3 +1328,54 @@ GROUP BY f.host
 """
 
 _pair("qt31_salted_skew_join", _QT31_SPARK, _QT31_DUCK)
+
+
+# --- qt32: dehyphenation (line-break repair) -----------------------------------
+#
+# Extracted text carries end-of-line hyphenations ("exam-\\nple"); every
+# corpus pipeline rejoins them before tokenization. The corpus text has
+# no hyphens, so each doc plants its own deterministic hyphenated breaks
+# and the op repairs them: one regexp_replace on the lowercase-letter--
+# hyphen--newline--lowercase-letter pattern (never touches real hyphens
+# like "state-of-the-art" inside a line or uppercase acronym breaks),
+# plus the join count. Newlines are constructed with chr(10) — Spark SQL
+# interprets '\\n' escapes in string literals and DuckDB does not, so an
+# escape-based pattern would silently diverge between engines. Map-only.
+
+_QT32_SPARK = """
+WITH planted AS (
+  SELECT doc_id,
+         concat(substr(text, 1, 40), ' exam-', chr(10), 'ple of a mid-', chr(10),
+                'line break, a real in-line state-of-the-art hyphen',
+                CASE WHEN doc_id % 2 = 0
+                     THEN concat(' and an ex-', chr(10), 'tra join') ELSE '' END)
+           AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(size(regexp_extract_all(
+              t, concat('([a-z])-', chr(10), '([a-z])'), 0)) AS BIGINT)
+         AS n_joins,
+       regexp_replace(t, concat('([a-z])-', chr(10), '([a-z])'), '$1$2')
+         AS repaired
+FROM planted
+"""
+
+_QT32_DUCK = """
+WITH planted AS (
+  SELECT doc_id,
+         substr(text, 1, 40) || ' exam-' || chr(10) || 'ple of a mid-' || chr(10)
+           || 'line break, a real in-line state-of-the-art hyphen'
+           || CASE WHEN doc_id % 2 = 0
+                   THEN ' and an ex-' || chr(10) || 'tra join' ELSE '' END
+           AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(
+              t, '([a-z])-' || chr(10) || '([a-z])')) AS BIGINT)
+         AS n_joins,
+       regexp_replace(t, '([a-z])-' || chr(10) || '([a-z])', '\\1\\2', 'g')
+         AS repaired
+FROM planted
+"""
+
+_pair("qt32_dehyphenate", _QT32_SPARK, _QT32_DUCK)

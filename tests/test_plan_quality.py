@@ -212,3 +212,7 @@ def test_session5_operator_plan_shapes(spark):
     plan = _plan(spark, q["qt29_hashed_linear_quality"](spark, sf))
     assert "BroadcastHashJoin" in plan, "qt29: weight table must broadcast"
     assert "SortMergeJoin" not in plan, "qt29: classifier join degraded to SMJ"
+
+    plan = _plan(spark, q["qt32_dehyphenate"](spark, sf))
+    assert exchanges(plan) == 0, "qt32: dehyphenation must stay a narrow map"
+    assert "EvalPython" not in plan, "qt32 must stay JVM-only"
