@@ -1379,3 +1379,59 @@ FROM planted
 """
 
 _pair("qt32_dehyphenate", _QT32_SPARK, _QT32_DUCK)
+
+
+# --- qt33: crawl delta (two-snapshot CDC over the corpus) ----------------------
+#
+# Every recurring crawl asks "what changed since last time": FULL OUTER
+# join of two snapshots on url, rows classified new / gone / changed /
+# same by presence and content hash. Snapshots are synthesized
+# deterministically from the documents table (v2 drops every 17th url,
+# adds shifted urls, and edits every 5th text), so the classification
+# counts are pure arithmetic. At 10^12 urls this is ONE co-partitioned
+# shuffle join on the url hash — the exact shape of a production
+# crawl-diff — and the md5 comparison is map-side on both legs.
+
+_QT33_SPARK = """
+WITH v1 AS (
+  SELECT concat('u', CAST(doc_id AS STRING)) AS url, md5(text) AS h
+  FROM documents),
+v2 AS (
+  SELECT concat('u', CAST(doc_id AS STRING)) AS url,
+         CASE WHEN doc_id % 5 = 0 THEN md5(concat(text, ' edited'))
+              ELSE md5(text) END AS h
+  FROM documents WHERE doc_id % 17 != 0
+  UNION ALL
+  SELECT concat('new', CAST(doc_id AS STRING)), md5(text)
+  FROM documents WHERE doc_id % 11 = 0)
+SELECT CASE WHEN v1.url IS NULL THEN 'new'
+            WHEN v2.url IS NULL THEN 'gone'
+            WHEN v1.h = v2.h THEN 'same'
+            ELSE 'changed' END AS change,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM v1 FULL OUTER JOIN v2 ON v1.url = v2.url
+GROUP BY 1
+"""
+
+_QT33_DUCK = """
+WITH v1 AS (
+  SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, md5(text) AS h
+  FROM documents),
+v2 AS (
+  SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 5 = 0 THEN md5(text || ' edited')
+              ELSE md5(text) END AS h
+  FROM documents WHERE doc_id % 17 != 0
+  UNION ALL
+  SELECT 'new' || CAST(doc_id AS VARCHAR), md5(text)
+  FROM documents WHERE doc_id % 11 = 0)
+SELECT CASE WHEN v1.url IS NULL THEN 'new'
+            WHEN v2.url IS NULL THEN 'gone'
+            WHEN v1.h = v2.h THEN 'same'
+            ELSE 'changed' END AS change,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM v1 FULL OUTER JOIN v2 ON v1.url = v2.url
+GROUP BY 1
+"""
+
+_pair("qt33_crawl_delta", _QT33_SPARK, _QT33_DUCK)
