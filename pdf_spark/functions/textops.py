@@ -181,19 +181,29 @@ def _minhash_cols(engine: str) -> str:
     )
 
 
+# Spark side is MAP-ONLY: the per-doc minimum of each md5 window is
+# array_min over the in-row hash array — one md5 per shingle, zero
+# explode, zero shuffle (the explode+groupBy shape pays a full exchange
+# of every shingle row for the same multiset minimum; at 10^12 docs
+# that exchange IS the job). DuckDB keeps the explode+GROUP BY form —
+# an independently-shaped computation of the same values is a stronger
+# oracle than a mirrored one.
+_MINHASH_MAP_COLS = ",\n       ".join(
+    f"array_min(transform(hs, h -> substr(h, {1 + 8 * j}, 8))) AS h{j}"
+    for j in range(N_MINHASH)
+)
+
 _MINHASH_SPARK = f"""
 SELECT doc_id,
-       {_minhash_cols('spark')}
+       {_MINHASH_MAP_COLS}
 FROM (
-  SELECT doc_id, explode(shingles) AS sh FROM (
-    SELECT doc_id,
-           transform(sequence(1, size(toks) - 2),
-                     i -> concat_ws(' ', slice(toks, i, 3))) AS shingles
-    FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents)
-    WHERE size(toks) >= 3
-  )
+  SELECT doc_id,
+         transform(transform(sequence(1, size(toks) - 2),
+                             i -> concat_ws(' ', slice(toks, i, 3))),
+                   s -> md5(s)) AS hs
+  FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents)
+  WHERE size(toks) >= 3
 )
-GROUP BY doc_id
 """
 
 _MINHASH_DUCK = f"""

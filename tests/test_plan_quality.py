@@ -216,3 +216,9 @@ def test_session5_operator_plan_shapes(spark):
     plan = _plan(spark, q["qt32_dehyphenate"](spark, sf))
     assert exchanges(plan) == 0, "qt32: dehyphenation must stay a narrow map"
     assert "EvalPython" not in plan, "qt32 must stay JVM-only"
+
+    plan = _plan(spark, q["qt05_minhash_signatures"](spark, sf))
+    assert exchanges(plan) == 0, (
+        "qt05: minhash signatures regressed to explode+groupBy — at corpus "
+        "scale that exchange of every shingle row IS the job"
+    )
