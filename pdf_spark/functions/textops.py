@@ -308,7 +308,20 @@ FROM (
 )
 GROUP BY doc_id
 """
-_SIMHASH_SPARK = _SIMHASH_BODY.replace("{TOKFN}", "explode(split(text, ' '))")
+# Spark side dedups token hashes IN-ROW (array_distinct) before the
+# explode: the generic DISTINCT pays an exchange of every (doc_id, hash)
+# row, while after in-row dedup the groupBy's map-side partial aggregation
+# compresses each doc to one row before the only remaining (tiny) exchange.
+_SIMHASH_SPARK = f"""
+SELECT doc_id, CAST({_simhash_bits()} AS BIGINT) AS simhash16
+FROM (
+  SELECT doc_id,
+         explode(array_distinct(transform(
+             filter(split(text, ' '), t -> t <> ''), t -> md5(t)))) AS h
+  FROM documents
+)
+GROUP BY doc_id
+"""
 _SIMHASH_DUCK = _SIMHASH_BODY.replace("{TOKFN}", "unnest(string_split(text, ' '))")
 _pair("qt08_simhash", _SIMHASH_SPARK, _SIMHASH_DUCK)
 
@@ -354,7 +367,21 @@ FROM (
 )
 GROUP BY doc_id
 """
-_SIMHASH64_SPARK = _SIMHASH64_BODY.replace("{TOKFN}", "explode(split(text, ' '))")
+# Spark side dedups tokens IN-ROW (array_distinct) before exploding: the
+# generic DISTINCT form pays an exchange of every (doc_id, hash) token row,
+# while after in-row dedup the groupBy's map-side partial aggregation
+# compresses each doc to ONE row before the only remaining (tiny) exchange.
+_SIMHASH64_SPARK = f"""
+SELECT doc_id,
+       {", ".join(_band_expr(k) for k in range(4))}
+FROM (
+  SELECT doc_id,
+         explode(array_distinct(transform(
+             filter(split(text, ' '), t -> t <> ''), t -> md5(t)))) AS h
+  FROM documents
+)
+GROUP BY doc_id
+"""
 _SIMHASH64_DUCK = _SIMHASH64_BODY.replace(
     "{TOKFN}", "unnest(string_split(text, ' '))"
 )
@@ -489,16 +516,18 @@ _pair(
 # the distinct-gram count is a length-normalized novelty signal. All
 # map-side: explode(k-grams) + one groupBy.
 
+# Spark side map-only (same rationale as the minhash rewrite: the
+# explode+groupBy pays an exchange of every gram row; array_min /
+# array_distinct compute the identical per-doc values in-row)
 _KGRAM_SPARK = """
 SELECT doc_id,
-       MIN(g) AS min_gram_fp,
-       CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct_grams
+       array_min(grams) AS min_gram_fp,
+       CAST(size(array_distinct(grams)) AS BIGINT) AS n_distinct_grams
 FROM (
-  SELECT doc_id, explode(transform(sequence(1, length(text) - 7),
-                                   i -> md5(substr(text, i, 8)))) AS g
+  SELECT doc_id, transform(sequence(1, length(text) - 7),
+                           i -> md5(substr(text, i, 8))) AS grams
   FROM documents WHERE length(text) >= 8
 )
-GROUP BY doc_id
 """
 _KGRAM_DUCK = """
 SELECT doc_id,

@@ -222,3 +222,13 @@ def test_session5_operator_plan_shapes(spark):
         "qt05: minhash signatures regressed to explode+groupBy — at corpus "
         "scale that exchange of every shingle row IS the job"
     )
+
+    plan = _plan(spark, q["qt13_kgram_min_fingerprint"](spark, sf))
+    assert exchanges(plan) == 0, "qt13: k-gram fingerprint regressed to a shuffle"
+
+    plan = _plan(spark, q["qt08_simhash"](spark, sf))
+    assert exchanges(plan) == 1, (
+        "qt08: expected exactly the 1-row/doc groupBy exchange — the "
+        "(doc_id, hash) DISTINCT exchange must stay deleted"
+    )
+    assert "partial" in plan.lower(), "qt08: lost map-side combine"
