@@ -961,25 +961,36 @@ _pair("qt22_gopher_quality", _QT22_SPARK, _QT22_DUCK)
 # count-then-max cascade is all partial-aggregatable, so at 10^12 docs it
 # is two map-side-combined shuffles on doc_id. Integer-only outputs.
 
+# Spark side map-only: the most frequent bigram's count equals the
+# longest equal-run in the SORTED in-row bigram array, computed by a
+# single `aggregate` fold — where the explode -> GROUP BY (doc_id, bg)
+# form exchanges every bigram row of the corpus. DuckDB keeps the
+# grouped form: an independently-shaped oracle of the same values.
 _QT23_SPARK = """
 WITH words AS (
   SELECT doc_id, split(text, ' ') AS w FROM documents WHERE size(split(text, ' ')) >= 2),
-bigrams AS (
+feats AS (
+  SELECT doc_id, w,
+         sort_array(transform(sequence(1, size(w) - 1),
+                    i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))) AS bgs
+  FROM words)
+SELECT doc_id, top_bigram, n_bigrams, n_words, n_distinct,
+       (5 * top_bigram <= n_bigrams
+        AND 2 * (n_words - n_distinct) <= n_words) AS keep
+FROM (
   SELECT doc_id,
-         explode(transform(sequence(1, size(w) - 1),
-                 i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))) AS bg
-  FROM words),
-counts AS (SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg),
-top AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram,
-               CAST(SUM(c) AS BIGINT) AS n_bigrams
-        FROM counts GROUP BY doc_id),
-dups AS (SELECT doc_id, CAST(size(w) AS BIGINT) AS n_words,
-                CAST(size(array_distinct(w)) AS BIGINT) AS n_distinct
-         FROM words)
-SELECT t.doc_id, top_bigram, n_bigrams, n_words, n_distinct,
-       (5 * top_bigram <= n_bigrams AND 2 * (n_words - n_distinct) <= n_words)
-         AS keep
-FROM top t JOIN dups d ON t.doc_id = d.doc_id
+         aggregate(bgs,
+                   named_struct('prev', '', 'run', 0L, 'best', 0L),
+                   (a, x) -> named_struct(
+                     'prev', x,
+                     'run', IF(x = a.prev, a.run + 1, 1L),
+                     'best', greatest(a.best, IF(x = a.prev, a.run + 1, 1L))),
+                   a -> a.best) AS top_bigram,
+         CAST(size(bgs) AS BIGINT) AS n_bigrams,
+         CAST(size(w) AS BIGINT) AS n_words,
+         CAST(size(array_distinct(w)) AS BIGINT) AS n_distinct
+  FROM feats
+)
 """
 
 _QT23_DUCK = """

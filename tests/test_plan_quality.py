@@ -226,6 +226,11 @@ def test_session5_operator_plan_shapes(spark):
     plan = _plan(spark, q["qt13_kgram_min_fingerprint"](spark, sf))
     assert exchanges(plan) == 0, "qt13: k-gram fingerprint regressed to a shuffle"
 
+    plan = _plan(spark, q["qt23_repetition_rules"](spark, sf))
+    assert exchanges(plan) == 0, (
+        "qt23: repetition rules regressed to the per-bigram groupBy shuffle"
+    )
+
     plan = _plan(spark, q["qt08_simhash"](spark, sf))
     assert exchanges(plan) == 1, (
         "qt08: expected exactly the 1-row/doc groupBy exchange — the "
