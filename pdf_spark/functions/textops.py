@@ -1485,3 +1485,73 @@ GROUP BY 1
 """
 
 _pair("qt33_crawl_delta", _QT33_SPARK, _QT33_DUCK)
+
+
+# --- qt34: C4 line-level cleaning (Raffel et al. 2020 §2.2) --------------------
+#
+# The C4 rules: keep only lines that end in terminal punctuation AND have
+# >= 5 words; drop the whole document if it contains "lorem ipsum" or a
+# curly brace. The corpus text is punctuation-free, so each doc plants a
+# deterministic 4-line body (one good line, one unterminated, one short,
+# one good) plus per-class poison (lorem ipsum when doc_id%7=0, a brace
+# when %11=0). Everything is in-row array work over split(chr(10)):
+# zero exchanges, the canonical line-filter shape at any corpus size.
+
+_QT34_SPARK = """
+WITH planted AS (
+  SELECT doc_id,
+         concat('A good line with enough words here ', CAST(doc_id AS STRING), '.',
+                chr(10), 'an unterminated line with many words in it',
+                chr(10), 'Too short.',
+                chr(10), 'Another proper sentence with plenty of words, id ',
+                CAST(doc_id AS STRING), '!',
+                CASE WHEN doc_id % 7 = 0 THEN concat(chr(10), 'Some Lorem ipsum filler text here.') ELSE '' END,
+                CASE WHEN doc_id % 11 = 0 THEN concat(chr(10), 'function f() { return 1; }') ELSE '' END)
+           AS t
+  FROM documents),
+lined AS (
+  SELECT doc_id,
+         filter(split(t, chr(10)),
+                l -> l rlike '[.!?"]$' AND size(split(l, ' ')) >= 5) AS kept,
+         CAST(size(split(t, chr(10))) AS BIGINT) AS n_lines,
+         (lower(t) LIKE '%lorem ipsum%' OR t LIKE '%{%') AS poisoned
+  FROM planted)
+SELECT doc_id,
+       n_lines,
+       CAST(size(kept) AS BIGINT) AS n_kept,
+       CASE WHEN poisoned THEN NULL
+            ELSE array_join(kept, chr(10)) END AS cleaned,
+       (NOT poisoned AND size(kept) >= 2) AS keep
+FROM lined
+"""
+
+_QT34_DUCK = """
+WITH planted AS (
+  SELECT doc_id,
+         'A good line with enough words here ' || CAST(doc_id AS VARCHAR) || '.'
+           || chr(10) || 'an unterminated line with many words in it'
+           || chr(10) || 'Too short.'
+           || chr(10) || 'Another proper sentence with plenty of words, id '
+           || CAST(doc_id AS VARCHAR) || '!'
+           || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Some Lorem ipsum filler text here.' ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'function f() { return 1; }' ELSE '' END
+           AS t
+  FROM documents),
+lined AS (
+  SELECT doc_id,
+         list_filter(string_split(t, chr(10)),
+                     l -> regexp_matches(l, '[.!?"]$')
+                          AND len(string_split(l, ' ')) >= 5) AS kept,
+         CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+         (lower(t) LIKE '%lorem ipsum%' OR t LIKE '%{%') AS poisoned
+  FROM planted)
+SELECT doc_id,
+       n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CASE WHEN poisoned THEN NULL
+            ELSE array_to_string(kept, chr(10)) END AS cleaned,
+       (NOT poisoned AND len(kept) >= 2) AS keep
+FROM lined
+"""
+
+_pair("qt34_c4_line_rules", _QT34_SPARK, _QT34_DUCK)
