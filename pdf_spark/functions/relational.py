@@ -456,3 +456,72 @@ def qr22(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
     )
+
+
+@q(
+    "qr23_sessionize",
+    """WITH e AS (
+         SELECT user_id, event_id,
+                date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts) AS us
+         FROM events),
+       gaps AS (
+         SELECT user_id, event_id, us,
+                CASE WHEN LAG(us) OVER w IS NULL
+                          OR us - LAG(us) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       sess AS (
+         SELECT user_id, event_id, us,
+                SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+         FROM gaps)
+       SELECT user_id,
+              CAST(session_no AS BIGINT) AS session_no,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS duration_s,
+              CAST(MIN(event_id) AS BIGINT) AS first_event
+       FROM sess GROUP BY user_id, session_no""",
+)
+def qr23(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap): the classic
+    lag -> session-start flag -> running-sum session id cascade. The two
+    windows share one user_id exchange (same partitioning + ordering) and
+    the per-session aggregate adds one map-side-combined shuffle — two
+    exchanges total at any corpus size. Gaps compare
+    microsecond epochs (unix_micros / epoch_us) because second-truncated
+    timestamps diverge between engines on sub-second data. The streaming
+    twin of this op is a session window with watermark; the batch form is
+    what backfills it."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)"
+        ).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = gaps.withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").cast("long").alias("n_events"),
+        ((F.max("us") - F.min("us")) / 1_000_000)
+            .cast("long").alias("duration_s"),
+        F.min("event_id").cast("long").alias("first_event"),
+    ).select(
+        "user_id",
+        F.col("session_no").cast("long").alias("session_no"),
+        "n_events", "duration_s", "first_event",
+    )
