@@ -284,3 +284,27 @@ def test_partitioned_sink_prunes(spark, pages, tmp_path):
 
     m2 = run_extraction(spark, pages, out, partition_cols=("lang",))
     assert m2["n_ok"] + m2["n_err"] == 0
+
+
+def test_two_column_agreement_fused_vs_declarative(spark):
+    """A genuinely SPLIT two-column doc (long enough to trigger the gutter
+    detector) must extract byte-identically through the fused path and the
+    declarative span-assembly path — i.e. the `col` ordering key flows
+    through the Spark-side sort too. The module corpus fixture's texts are
+    too short to split, so this doc is crafted explicitly."""
+    from pdf_spark.gen.corpus import make_row
+    from pdf_spark.gen.pdfgen import _GOOD_VARIANTS, generate_doc
+    from pdf_spark.operators.assemble import assemble_docs_text
+    from pdf_spark.operators.extract import extract_spans
+
+    vi = [i for i, (n, _) in enumerate(_GOOD_VARIANTS) if n == "twocolumn"][0]
+    long_text = " ".join(f"col word {j} text" for j in range(80))
+    rows = [make_row(vi, long_text)]
+    pages = spark.createDataFrame(pd.DataFrame(rows))
+
+    fused = extract_docs_text(pages).collect()[0]
+    decl = assemble_docs_text(extract_spans(pages)).collect()[0]
+    _, expected, name, _ = generate_doc(long_text, vi)
+    assert name == "twocolumn"
+    assert fused["text"] == expected  # actually split (column-major rewrap)
+    assert decl["text"] == expected
