@@ -201,7 +201,14 @@ def stream_neardup_minhash(
         .select("band", "url", "warc_ts", "rest")
     )
 
-    horizon_ms = 60 * 60 * 1000  # parse of `watermark` kept simple: 1h default
+    # state-eviction horizon mirrors the watermark string ("N unit" forms)
+    _qty, _unit = watermark.split()
+    horizon_ms = int(_qty) * {
+        "second": 1000, "seconds": 1000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+        "day": 86_400_000, "days": 86_400_000,
+    }[_unit.lower()]
 
     def update(
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
