@@ -1555,3 +1555,35 @@ FROM lined
 """
 
 _pair("qt34_c4_line_rules", _QT34_SPARK, _QT34_DUCK)
+
+
+# --- qt35: sketch-based distinct counting (HLL) --------------------------------
+#
+# COUNT(DISTINCT url) over 10^12 rows is a full shuffle of every distinct
+# value; the production answer is a mergeable HyperLogLog sketch
+# (approx_count_distinct in both engines) — constant memory per partition,
+# one tiny merge. The two engines' sketch implementations differ, so raw
+# estimates can NOT be value-hash-compared; instead each engine asserts
+# its own estimate against its own exact count within the configured
+# error bound — the oracle-able contract a sketch actually makes. Exact
+# counts (hash-comparable) ride along per source group.
+
+_QT35_SPARK = """
+WITH words AS (SELECT source, explode(split(text, ' ')) AS w FROM documents)
+SELECT source,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_exact,
+       (abs(approx_count_distinct(w, 0.02) - COUNT(DISTINCT w))
+          <= CAST(0.05 * COUNT(DISTINCT w) AS BIGINT)) AS sketch_within_5pct
+FROM words GROUP BY source
+"""
+
+_QT35_DUCK = """
+WITH words AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+SELECT source,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_exact,
+       (abs(approx_count_distinct(w) - COUNT(DISTINCT w))
+          <= CAST(0.05 * COUNT(DISTINCT w) AS BIGINT)) AS sketch_within_5pct
+FROM words GROUP BY source
+"""
+
+_pair("qt35_sketch_distinct", _QT35_SPARK, _QT35_DUCK)
