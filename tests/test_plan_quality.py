@@ -231,6 +231,15 @@ def test_session5_operator_plan_shapes(spark):
         "qt23: repetition rules regressed to the per-bigram groupBy shuffle"
     )
 
+    plan = _plan(spark, q["qt34_c4_line_rules"](spark, sf))
+    assert exchanges(plan) == 0, "qt34: line cleaning must stay a narrow map"
+
+    plan = _plan(spark, q["qr23_sessionize"](spark, sf))
+    assert exchanges(plan) <= 2, (
+        "qr23: sessionize grew beyond the shared window exchange + "
+        "per-session aggregate shuffle"
+    )
+
     plan = _plan(spark, q["qt08_simhash"](spark, sf))
     assert exchanges(plan) == 1, (
         "qt08: expected exactly the 1-row/doc groupBy exchange — the "
