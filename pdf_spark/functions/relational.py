@@ -525,3 +525,44 @@ def qr23(spark: SparkSession, sf: str) -> DataFrame:
         F.col("session_no").cast("long").alias("session_no"),
         "n_events", "duration_s", "first_event",
     )
+
+
+@q(
+    "qr24_pivot_status_matrix",
+    """SELECT o_orderpriority,
+              CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_open,
+              CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_filled,
+              CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_partial,
+              ROUND(SUM(CASE WHEN o_orderstatus = 'O'
+                             THEN o_totalprice ELSE 0 END), 2) AS open_value
+       FROM orders GROUP BY o_orderpriority""",
+)
+def qr24(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot: long -> wide status matrix per priority. The values list is
+    EXPLICIT (["O","F","P"]) — without it Spark runs a separate
+    distinct-values job and collects the keys to the driver before it can
+    even plan, which at 10^12 rows is a full extra scan; with it the
+    whole pivot is ONE map-side-combined exchange, exactly a groupBy with
+    fixed conditional aggregates (which is also how the oracle states
+    it). Missing (priority, status) cells surface as NULL from pivot and
+    are coalesced to the 0 the conditional-agg formulation produces."""
+    wide = (
+        load(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            # count(lit(1)) == count(*); bare * is rejected inside Pivot
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("val"),
+        )
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce("O_n", F.lit(0)).cast("long").alias("n_open"),
+        F.coalesce("F_n", F.lit(0)).cast("long").alias("n_filled"),
+        F.coalesce("P_n", F.lit(0)).cast("long").alias("n_partial"),
+        F.coalesce("O_val", F.lit(0.0)).alias("open_value"),
+    )

@@ -271,3 +271,163 @@ _pair(
         "{EXPLODE}", _EXPLODE_DUCK
     ),
 )
+
+# --- qs09: int8 embedding quantization ----------------------------------------
+#
+# Storage-tier op: symmetric per-vector int8 quantization (the faiss
+# SQ8/"scalar quantizer" layout) — scale = 127/max|x|, q_i =
+# floor(x_i * scale + 0.5). Cuts a 10^12-vector embedding store 4x and is
+# the precursor to int8 SIMD distance kernels. Pure map-side: one scan,
+# zero exchanges, output one row per vector. floor(x+0.5) instead of
+# ROUND inside the lambda because Spark's round() on doubles and DuckDB's
+# round() agree only through the ROUND(...,n) display path — floor is a
+# single exactly-specified IEEE op in both. The all-zero vector guards to
+# scale=0 / q=0 rather than dividing by zero.
+
+_QS09_SPARK = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+  FROM embeddings
+)
+SELECT vec_id,
+       ROUND(CASE WHEN maxabs = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(127 AS DOUBLE) / maxabs END, 6) AS scale,
+       transform(embedding,
+                 x -> CAST(CASE WHEN maxabs = 0 THEN CAST(0 AS DOUBLE)
+                           ELSE floor(CAST(x AS DOUBLE)
+                                      * (CAST(127 AS DOUBLE) / maxabs) + 0.5)
+                           END AS INT)) AS q
+FROM m
+"""
+
+_QS09_DUCK = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+  FROM embeddings
+)
+SELECT vec_id,
+       ROUND(CASE WHEN maxabs = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(127 AS DOUBLE) / maxabs END, 6) AS scale,
+       list_transform(embedding,
+                      x -> CAST(CASE WHEN maxabs = 0 THEN CAST(0 AS DOUBLE)
+                                ELSE floor(CAST(x AS DOUBLE)
+                                           * (CAST(127 AS DOUBLE) / maxabs) + 0.5)
+                                END AS INT)) AS q
+FROM m
+"""
+
+_pair("qs09_int8_quantize", _QS09_SPARK, _QS09_DUCK)
+
+# --- qs10: k-means (Lloyd's), two deterministic iterations ---------------------
+#
+# The iterative-algorithm shape on Spark: per-iteration state is K
+# centroids — TINY — so each round is (a) one narrow scan computing
+# argmin distance against the K centroids embedded as broadcast literal
+# arrays (no join, no shuffle for assignment), (b) one
+# map-side-combined groupBy to re-average centroids, collected to the
+# driver (K*64 doubles). At 10^9 vectors the assignment stage dominates
+# and is embarrassingly parallel; the reduce moves K*64 doubles per
+# partition. That driver-feedback loop IS how MLlib's KMeans schedules
+# Lloyd's — expressed here directly in DataFrame algebra.
+#
+# Determinism across engines (the oracle unrolls the same two rounds in
+# SQL): init = the vectors with vec_id < 4 (seedless); distances are
+# left-to-right folds of (x-c)^2 in double, bit-identical in both
+# engines (same op sequence, proven by qs01-qs03); argmin ties break to
+# the LOWEST centroid id (array_position-of-min / ROW_NUMBER ORDER BY
+# d2, cid); updated centroids are ROUND(avg, 4)-ed — double-sum
+# associativity drift (~1e-13) cannot move a 1e-4 grid except on an
+# astronomically unlikely boundary, the same contract qs04 ships.
+
+_KMEANS_K = 4
+
+
+def _qs10(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    init = spark.sql(
+        f"""SELECT vec_id AS cid,
+                   transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+            FROM embeddings WHERE vec_id < {_KMEANS_K} ORDER BY vec_id"""
+    ).collect()
+    cents = [(int(r.cid), list(r.c)) for r in init]
+
+    def dist(c: list) -> str:
+        lits = ", ".join(f"{v!r}D" for v in c)
+        return (
+            f"aggregate(zip_with(embedding, array({lits}), "
+            "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
+            "0.0D, (a, v) -> a + v)"
+        )
+
+    def assign(cents_: list) -> DataFrame:
+        darr = "array(" + ", ".join(dist(c) for _cid, c in cents_) + ")"
+        cmap = "array(" + ", ".join(str(cid) for cid, _c in cents_) + ")"
+        return spark.sql(
+            f"""SELECT vec_id,
+                       CAST({cmap}[CAST(array_position({darr},
+                                        array_min({darr})) AS INT) - 1]
+                            AS INT) AS cluster
+                FROM embeddings"""
+        )
+
+    a1 = assign(cents)
+    a1.createOrReplaceTempView("qs10_assign1")
+    upd = spark.sql(
+        """SELECT a.cluster AS cid, p.pos,
+                  ROUND(AVG(CAST(p.v AS DOUBLE)), 4) AS c
+           FROM qs10_assign1 a
+           JOIN (SELECT vec_id, posexplode(embedding) AS (pos, v)
+                 FROM embeddings) p ON a.vec_id = p.vec_id
+           GROUP BY a.cluster, p.pos"""
+    ).collect()
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in upd:
+        by_cid.setdefault(int(r.cid), {})[int(r.pos)] = float(r.c)
+    cents2 = [
+        (cid, [pos_map[p] for p in range(len(pos_map))])
+        for cid, pos_map in sorted(by_cid.items())
+    ]
+    return assign(cents2)
+
+
+QUERIES["qs10_kmeans_lloyd"] = _qs10
+ORACLE["qs10_kmeans_lloyd"] = f"""
+WITH init AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+  FROM embeddings WHERE vec_id < {_KMEANS_K}
+),
+d1 AS (
+  SELECT e.vec_id, i.cid,
+         list_aggregate(list_transform(range(1, 65),
+           j -> (CAST(e.embedding[j] AS DOUBLE) - i.c[j])
+              * (CAST(e.embedding[j] AS DOUBLE) - i.c[j])), 'sum') AS d2
+  FROM embeddings e CROSS JOIN init i
+),
+a1 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d1) WHERE rn = 1
+),
+upd AS (
+  SELECT a1.cluster AS cid, t.j AS pos,
+         ROUND(AVG(CAST(e.embedding[t.j] AS DOUBLE)), 4) AS c
+  FROM a1 JOIN embeddings e USING (vec_id)
+  CROSS JOIN range(1, 65) AS t(j)
+  GROUP BY cid, pos
+),
+c2 AS (SELECT cid, list(c ORDER BY pos) AS c FROM upd GROUP BY cid),
+dd AS (
+  SELECT e.vec_id, c2.cid,
+         list_aggregate(list_transform(range(1, 65),
+           j -> (CAST(e.embedding[j] AS DOUBLE) - c2.c[j])
+              * (CAST(e.embedding[j] AS DOUBLE) - c2.c[j])), 'sum') AS d2
+  FROM embeddings e CROSS JOIN c2
+)
+SELECT vec_id, CAST(cid AS INT) AS cluster FROM (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM dd) WHERE rn = 1
+"""

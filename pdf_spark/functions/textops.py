@@ -1587,3 +1587,117 @@ FROM words GROUP BY source
 """
 
 _pair("qt35_sketch_distinct", _QT35_SPARK, _QT35_DUCK)
+
+# --- qt36: BM25 keyword ranking (map-only TF, one tiny stats row) -------------
+#
+# Retrieval scoring over the corpus for a FIXED query term set — the shape
+# a training-data pipeline uses to mine topical subsets ("find the docs
+# about X") and the inverse of qt17's per-doc keyword extraction. The
+# dataflow is the one that survives 10^12 docs: per-term TF is computed
+# IN-ROW (size(filter(tokens))), so the corpus is never exploded to token
+# rows; document frequencies and avgdl reduce to ONE tiny stats row
+# (broadcast back via CROSS JOIN); the scan count is 2 (stats + scoring)
+# and the only wide op is the final top-k. Contrast qt17, which pays a
+# (doc, term) shuffle because its term set is open.
+#
+# Determinism: BM25's idf is classically ln((N-df+0.5)/(df+0.5)); ln() is
+# only 1-ulp accurate and differs between java.lang.Math and libm, so a
+# near-tie could flip the rank cut between engines (same reasoning as
+# qt17). We keep the RAW rational idf — every factor below is +,-,*,/ on
+# exact small integers-in-double, each correctly rounded by IEEE 754, so
+# both engines produce bit-identical scores. The tf-saturation term is
+# standard BM25 with k1=1.2, b=0.75.
+
+_BM25_TERMS = ("spark", "join", "vector")
+
+_BM25_BODY = """
+WITH base AS (
+  SELECT doc_id,
+         CAST({DL} AS DOUBLE) AS dl,
+         CAST({TF0} AS DOUBLE) AS tf0,
+         CAST({TF1} AS DOUBLE) AS tf1,
+         CAST({TF2} AS DOUBLE) AS tf2
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(dl) / COUNT(*) AS avgdl,
+         CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+  FROM base
+),
+scored AS (
+  SELECT b.doc_id,
+           (s.n - s.df0 + 0.5) / (s.df0 + 0.5)
+         * (b.tf0 * CAST(2.2 AS DOUBLE))
+         / (b.tf0 + CAST(1.2 AS DOUBLE) * (0.25 + 0.75 * b.dl / s.avgdl))
+       + (s.n - s.df1 + 0.5) / (s.df1 + 0.5)
+         * (b.tf1 * CAST(2.2 AS DOUBLE))
+         / (b.tf1 + CAST(1.2 AS DOUBLE) * (0.25 + 0.75 * b.dl / s.avgdl))
+       + (s.n - s.df2 + 0.5) / (s.df2 + 0.5)
+         * (b.tf2 * CAST(2.2 AS DOUBLE))
+         / (b.tf2 + CAST(1.2 AS DOUBLE) * (0.25 + 0.75 * b.dl / s.avgdl))
+         AS score
+  FROM base b CROSS JOIN stats s
+)
+SELECT doc_id, ROUND(score, 4) AS bm25
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+def _bm25_sql(dialect: str) -> str:
+    if dialect == "spark":
+        dl = "size(split(text, ' '))"
+        tf = "size(filter(split(text, ' '), x -> x = '{t}'))"
+    else:
+        dl = "len(string_split(text, ' '))"
+        tf = "len(list_filter(string_split(text, ' '), x -> x = '{t}'))"
+    sql = _BM25_BODY.replace("{DL}", dl)
+    for i, term in enumerate(_BM25_TERMS):
+        sql = sql.replace("{TF%d}" % i, tf.replace("{t}", term))
+    return sql
+
+
+_pair("qt36_bm25_rank", _bm25_sql("spark"), _bm25_sql("duck"))
+
+# --- qt37: inverted-index postings (bounded per-term output) -------------------
+#
+# The index-construction shape: term -> document frequency + the head of
+# the sorted posting list. In-row array_distinct before the explode means
+# the exchange carries one row per (doc, DISTINCT term) — the minimum for
+# building postings — and the output per term is BOUNDED (df + first 32
+# doc_ids) so result size is O(|vocab|) regardless of corpus size. At
+# 10^12 docs a real index shards posting lists by term range and
+# delta-encodes doc_ids within a shard; df + bounded head is the
+# driver-visible contract of that layout.
+
+_QT37_SPARK = """
+WITH posts AS (
+  SELECT tok, doc_id
+  FROM (SELECT doc_id, explode(array_distinct(split(text, ' '))) AS tok
+        FROM documents)
+  WHERE tok <> ''
+)
+SELECT tok AS term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       slice(sort_array(collect_list(doc_id)), 1, 32) AS postings_head
+FROM posts GROUP BY tok
+"""
+
+_QT37_DUCK = """
+WITH posts AS (
+  SELECT tok, doc_id
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents)
+  WHERE tok <> ''
+)
+SELECT tok AS term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       (list_sort(list(doc_id)))[1:32] AS postings_head
+FROM posts GROUP BY tok
+"""
+
+_pair("qt37_inverted_index", _QT37_SPARK, _QT37_DUCK)
