@@ -117,10 +117,13 @@ def extract_document(
             # (render.c:1158-1172 flips for the raster canvas; user space
             # stays y-up here so `y desc` = top-of-page first)
             base = IDENTITY
+            page_w = page_h = None
             mb = resolver.resolve(page.get("MediaBox"))
             if isinstance(mb, list) and len(mb) == 4:
                 x0 = float(resolver.resolve(mb[0]))
                 y0 = float(resolver.resolve(mb[1]))
+                page_w = float(resolver.resolve(mb[2])) - x0
+                page_h = float(resolver.resolve(mb[3])) - y0
                 if x0 or y0:
                     base = translate(-x0, -y0)
             resources = page.get("Resources")
@@ -131,7 +134,12 @@ def extract_document(
             )
             interp = Interpreter(resolver, page_index, res_dict, font_cache)
             streams = resolver.content_streams(page)
+            n_before = len(spans)
             spans.extend(interp.run_streams(streams, base))
+            _apply_page_rotation(
+                spans, n_before, resolver.resolve(page.get("Rotate")),
+                page_w, page_h,
+            )
         assign_columns(spans)
         return ExtractResult("ok", "", spans, n_pages)
     except PdfError as exc:
@@ -140,6 +148,33 @@ def extract_document(
         return ExtractResult("error", "RECURSION_LIMIT", [], 0)
     except Exception:  # noqa: BLE001 — any other bug: error row, not crash
         return ExtractResult("error", INTERNAL_ERROR, [], 0)
+
+
+def _apply_page_rotation(spans, start, rotate, page_w, page_h) -> None:
+    """Normalize span coordinates into READER space when the page carries
+    a ``/Rotate`` of 90/180/270 (inheritable, §7.7.3.3/§14.2 — the page is
+    displayed rotated clockwise by that many degrees). The (y desc, x asc)
+    reading-order sort is meaningful only in the orientation a human reads,
+    so spans on rotated pages (scanned landscape docs are the common
+    real-corpus case) are mapped through the display rotation before
+    assembly. The reference parses Rotate for its raster canvas
+    (page.c:51,110) but its extractor ignores it; unrotated pages —
+    every reference fixture — are byte-unaffected (rot 0 is a no-op).
+    Values are snapped per spec (multiples of 90; anything else reads as
+    0), negatives wrap. MediaBox-less pages can't be rotated (no dims)."""
+    try:
+        rot = int(rotate) % 360
+    except (TypeError, ValueError):
+        return
+    if rot not in (90, 180, 270) or page_w is None or page_h is None:
+        return
+    for s in spans[start:]:
+        if rot == 90:  # reader space is (H x W); rx = y, ry = W - x
+            s.x, s.y = s.y, page_w - s.x
+        elif rot == 180:
+            s.x, s.y = page_w - s.x, page_h - s.y
+        else:  # 270
+            s.x, s.y = page_h - s.y, s.x
 
 
 # Column detection thresholds — deliberately conservative: a split only

@@ -1233,6 +1233,11 @@ _GOOD_VARIANTS = [
     # two-column layout: reading order is column-major (layout tier) —
     # the (y, x) sort alone would interleave the columns line by line.
     ("twocolumn", lambda L: _twocolumn_doc(L)),
+    # page /Rotate (scanned-landscape class): text laid out pre-rotated in
+    # page space so it reads correctly only after the display rotation the
+    # extractor must apply (core/extract._apply_page_rotation).
+    ("rotate90", lambda L: _rotated_doc(L, 90)),
+    ("rotate270", lambda L: _rotated_doc(L, 270)),
 ]
 
 
@@ -1335,6 +1340,46 @@ def _twocol_layout(lines: list[str]) -> tuple[list[str], list[str]] | None:
         return None
     half = (len(col_lines) + 1) // 2
     return col_lines[:half], col_lines[half:]
+
+
+def _rotated_doc(lines: list[str], rot: int) -> bytes:
+    """Page with ``/Rotate {rot}`` whose text is laid out PRE-rotated in
+    page space (Tm carries the +/-90-degree rotation), so the plain
+    unrotated (y desc, x asc) sort would read it sideways; only an
+    extractor that maps spans through the display rotation recovers the
+    natural line order. MediaBox [0 0 612 792]; reader-space lines start
+    at (72, 560) stepping LINE_HEIGHT down (560 keeps every line inside
+    the rotated 792x612 reader page)."""
+    ops = [b"BT", b"/F1 " + _n(FONT_SIZE) + b" Tf"]
+    for i, line in enumerate(lines):
+        rx, ry = 72.0, 560.0 - i * LINE_HEIGHT
+        if rot == 90:
+            # display rotates 90 cw; reader (rx, ry) <- page (y, W - x)
+            x, y = 612.0 - ry, rx
+            tm = b"0 1 -1 0 "
+        else:  # 270: reader (rx, ry) <- page (H - y, x)
+            x, y = ry, 792.0 - rx
+            tm = b"0 -1 1 0 "
+        ops.append(tm + _n(x) + b" " + _n(y) + b" Tm")
+        ops.append(b"(" + esc(line) + b") Tj")
+    ops.append(b"ET")
+    content = b"\n".join(ops)
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    cont = b.stream(content, filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]/Rotate " + str(rot).encode() +
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
 
 
 def _twocolumn_doc(lines: list[str]) -> bytes:

@@ -962,3 +962,55 @@ class TestTwoColumnReadingOrder:
             spans.append(self._span(330.0, 700 - 16 * i, f"R{i}", order=2 * i + 1))
         assign_columns(spans)
         assert all(s.col == 0 for s in spans)
+
+
+class TestPageRotation:
+    """/Rotate normalization: spans must sort in READER order
+    (core/extract._apply_page_rotation; reference parses Rotate at
+    page.c:51,110 for its canvas but never reorders text)."""
+
+    LINES = "alpha beta gamma delta epsilon zeta eta theta " * 6
+
+    def _roundtrip(self, variant_name):
+        from pdf_spark.gen.pdfgen import _GOOD_VARIANTS, generate_doc
+
+        idx = [n for n, _ in _GOOD_VARIANTS].index(variant_name)
+        pdf, expected, _, _ = generate_doc(self.LINES, idx)
+        r = extract_document(pdf)
+        assert r.ok, r.error_code
+        return assemble_text(r.spans), expected
+
+    def test_rotate90_reader_order(self):
+        got, expected = self._roundtrip("rotate90")
+        assert got == expected
+
+    def test_rotate270_reader_order(self):
+        got, expected = self._roundtrip("rotate270")
+        assert got == expected
+
+    def test_rotate180_and_negative_wrap(self):
+        # 180 flips both axes; -90 must wrap to 270 (spec allows negatives)
+        from pdf_spark.core.extract import _apply_page_rotation
+        from pdf_spark.core.interp import Span
+
+        spans = [Span(0, 100.0, 700.0, 0, "a", "F1", 12.0),
+                 Span(0, 200.0, 600.0, 1, "b", "F1", 12.0)]
+        _apply_page_rotation(spans, 0, 180, 612.0, 792.0)
+        assert (spans[0].x, spans[0].y) == (512.0, 92.0)
+        assert (spans[1].x, spans[1].y) == (412.0, 192.0)
+        spans2 = [Span(0, 100.0, 700.0, 0, "a", "F1", 12.0)]
+        _apply_page_rotation(spans2, 0, -90, 612.0, 792.0)  # == 270
+        assert (spans2[0].x, spans2[0].y) == (92.0, 100.0)
+
+    def test_bogus_rotate_values_are_noops(self):
+        from pdf_spark.core.extract import _apply_page_rotation
+        from pdf_spark.core.interp import Span
+
+        for rot in (None, "x", 45, 360, 0):
+            s = [Span(0, 100.0, 700.0, 0, "a", "F1", 12.0)]
+            _apply_page_rotation(s, 0, rot, 612.0, 792.0)
+            assert (s[0].x, s[0].y) == (100.0, 700.0)
+        # no MediaBox dims -> cannot rotate -> no-op, no crash
+        s = [Span(0, 100.0, 700.0, 0, "a", "F1", 12.0)]
+        _apply_page_rotation(s, 0, 90, None, None)
+        assert (s[0].x, s[0].y) == (100.0, 700.0)
