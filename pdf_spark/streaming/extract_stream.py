@@ -101,6 +101,29 @@ def stream_dedup_exact(
     )
 
 
+def stream_sessionize(
+    spark: SparkSession,
+    pages_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Streaming gap-based sessionization — the streaming twin of the
+    batch qr23 cascade — via the built-in ``session_window``: per ``lang``,
+    rows closer than ``gap`` merge into one session; a quiet period longer
+    than ``gap`` closes it. Session state is evicted once the watermark
+    passes a session's end, so state is bounded by (active keys x open
+    sessions) at ANY corpus rate — the property the batch lag/running-sum
+    form cannot give a continuous crawl. Append mode emits each session
+    exactly once, when it closes. Returns the unstarted DataFrame."""
+    stream = read_pages_stream(spark, pages_dir)
+    return (
+        stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.session_window("warc_ts", gap).alias("sess"), "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .select("sess.start", "sess.end", "lang", "n_docs")
+    )
+
+
 def stream_lang_running_stats(spark: SparkSession, pages_dir: str) -> DataFrame:
     """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
     running per-``lang`` document count + byte total, carried across

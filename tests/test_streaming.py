@@ -183,3 +183,60 @@ def test_stream_neardup_minhash(spark, tmp_path):
     assert sum(family) == 2, family  # first arrival clean, both dups flagged
     for k in range(3, len(texts)):
         assert got[f"https://x.org/{k}"] is False
+
+
+def test_stream_sessionize_gap_windows(spark, tmp_path):
+    """session_window sessionization: two bursts per lang separated by a
+    >30-min quiet gap must emit as separate sessions once the watermark
+    passes them (append mode emits closed sessions exactly once)."""
+    import datetime as dt
+
+    from pdf_spark.streaming.extract_stream import stream_sessionize
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = rows_for_texts([f"session doc {i}" for i in range(10)])
+    # lang alternates en/de per make_row; rebuild warc_ts into two bursts
+    # (0-4: minutes 0,2,4,6,8; 5-9: minutes 60,62,...) + a far sentinel
+    # row per lang that advances the watermark past burst 2 but stays
+    # open (and unemitted) itself.
+    for i, r in enumerate(rows):
+        burst, k = divmod(i, 5)
+        r["warc_ts"] = base + dt.timedelta(minutes=burst * 60 + 2 * k)
+    langs = {r["lang"] for r in rows}
+    sentinels = rows_for_texts(["sentinel"] * len(langs), start_index=100)
+    for r, lang in zip(sentinels, sorted(langs)):
+        r["lang"] = lang
+        r["warc_ts"] = base + dt.timedelta(days=2)
+    pages_dir = str(tmp_path / "pages")
+    pdf = pd.DataFrame(rows + sentinels)
+    spark.createDataFrame(pdf).write.parquet(pages_dir)
+
+    q = (
+        stream_sessionize(spark, pages_dir)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["lang"], r["start"], r["n_docs"])
+        for r in spark.table("sessions").collect()
+    }
+    # expected: per lang, the two bursts as separate sessions
+    expected = set()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["warc_ts"])
+    for lang, tss in by_lang.items():
+        tss.sort()
+        sess = [[tss[0]]]
+        for ts in tss[1:]:
+            if (ts - sess[-1][-1]).total_seconds() > 1800:
+                sess.append([])
+            sess[-1].append(ts)
+        assert len(sess) == 2  # the fixture really does form two bursts
+        for s in sess:
+            expected.add((lang, s[0], len(s)))
+    assert got == expected
