@@ -127,6 +127,9 @@ _HIDDEN_TAGS = {
     "svg", "math", "audio", "video", "map", "style", "script",
 }
 
+# Structural kinds preserved for markdown output (nearest enclosing wins).
+_KIND_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6", "li", "blockquote", "pre"}
+
 # Ancestry that marks a block boilerplate / main content.
 _BOILER_TAGS = {"nav", "header", "footer", "aside", "form", "fieldset"}
 _MAIN_TAGS = {"article", "main"}
@@ -167,15 +170,23 @@ _GOOD, _BAD, _SHORT, _NEAR = "good", "bad", "short", "near"
 class HtmlBlock:
     """One segmented text block with its classification features."""
 
-    __slots__ = ("text", "chars", "link_chars", "boiler_ctx", "main_ctx", "label")
+    __slots__ = (
+        "text", "chars", "link_chars", "boiler_ctx", "main_ctx", "label",
+        "kind",
+    )
 
-    def __init__(self, text, chars, link_chars, boiler_ctx, main_ctx):
+    def __init__(self, text, chars, link_chars, boiler_ctx, main_ctx,
+                 kind="p"):
         self.text = text
         self.chars = chars
         self.link_chars = link_chars
         self.boiler_ctx = boiler_ctx
         self.main_ctx = main_ctx
         self.label = None
+        # structural kind for markdown serialization: "h1".."h6", "li",
+        # "blockquote", "pre", else "p" — the nearest enclosing
+        # structural tag at flush time
+        self.kind = kind
 
     @property
     def link_density(self) -> float:
@@ -205,8 +216,14 @@ def segment_blocks(html_text: str) -> list[HtmlBlock]:
         if parts:
             text = " ".join("".join(parts).split())
             if text:
+                kind = "p"
+                for tag, _h, _b, _m in reversed(stack):
+                    if tag in _KIND_TAGS:
+                        kind = tag
+                        break
                 blocks.append(
-                    HtmlBlock(text, total_chars, link_chars, b_ctx, m_ctx)
+                    HtmlBlock(text, total_chars, link_chars, b_ctx, m_ctx,
+                              kind)
                 )
         parts = []
         link_chars = 0
@@ -352,6 +369,43 @@ def extract_main_text(data: bytes) -> str:
     return "\n".join(
         b.text for b in extract_main_blocks(data) if b.label == _GOOD
     )
+
+
+def extract_markdown(data: bytes) -> str:
+    """Structure-preserving main-content extraction: the same classified
+    blocks as :func:`extract_main_text`, serialized as Markdown — the
+    output shape structure-aware training corpora (FineWeb-Edu-style
+    "markdownified" web text) keep, where flat text would lose headings
+    and list nesting. Headings map to ``#`` runs, ``li`` to ``- `` items
+    (consecutive items stay in one list), ``blockquote`` to ``> ``,
+    ``pre`` to fenced code; everything else is a paragraph. Blocks join
+    with blank lines; list items with single newlines. Same linear scan,
+    same boilerplate classifier — only the serializer differs, so
+    markdown and plain text keep identical content coverage."""
+    out: list[str] = []
+    prev_kind = None
+    for b in extract_main_blocks(data):
+        if b.label != _GOOD:
+            continue
+        k = b.kind
+        if k == "li":
+            piece = "- " + b.text
+            sep = "\n" if prev_kind == "li" else "\n\n"
+        elif k in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            piece = "#" * int(k[1]) + " " + b.text
+            sep = "\n\n"
+        elif k == "blockquote":
+            piece = "> " + b.text
+            sep = "\n\n"
+        elif k == "pre":
+            piece = "```\n" + b.text + "\n```"
+            sep = "\n\n"
+        else:
+            piece = b.text
+            sep = "\n\n"
+        out.append(piece if not out else sep + piece)
+        prev_kind = k
+    return "".join(out)
 
 
 def html_spans(data: bytes):

@@ -1683,3 +1683,62 @@ SELECT doc_id,
        '' AS alt
 FROM documents
 """
+
+
+def _qx24(spark: SparkSession, sf: str) -> DataFrame:
+    """Markdown-tier extraction (value-hashed, constant-true oracle): for
+    every document, build all five HTML variants and verify that
+    ``extract_markdown`` — the structure-preserving serializer over the
+    SAME classified blocks as the plain-text path — reproduces the
+    generator-predicted markdown byte-for-byte (heading levels, list
+    grouping, separators), AND that stripping its markers recovers
+    exactly the plain extracted text (the two serializers may never
+    diverge on content coverage). Narrow mapInPandas, zero shuffles."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re
+
+        from pdf_spark.core.htmltext import extract_main_text, extract_markdown
+        from pdf_spark.gen import htmlgen as hg
+        from pdf_spark.gen.pdfgen import wrap_lines
+
+        variants = (
+            ("html_article", hg.html_article),
+            ("html_messy", hg.html_messy),
+            ("html_table_list", hg.html_table_list),
+            ("html_win1251", hg.html_win1251),
+            ("html_structured", hg.html_structured),
+        )
+        strip = _re.compile(r"^(#{1,6} |- |> |```$)", _re.M)
+        for batch in batches:
+            out = {"doc_id": [], "ok": []}
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                lines = wrap_lines(text or "")
+                ok = True
+                for name, fn in variants:
+                    page = fn(lines)
+                    md = extract_markdown(page)
+                    if md != hg.expected_markdown_for_variant(name, lines):
+                        ok = False
+                        break
+                    flat = "\n".join(
+                        l for l in strip.sub("", md).split("\n") if l
+                    )
+                    if flat != extract_main_text(page):
+                        ok = False
+                        break
+                out["doc_id"].append(int(doc_id))
+                out["ok"].append(ok)
+            yield pd.DataFrame(out)
+
+    ok_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("ok", BooleanType())]
+    )
+    return docs.mapInPandas(check, ok_schema)
+
+
+QUERIES["qx24_html_markdown"] = _qx24
+ORACLE["qx24_html_markdown"] = (
+    "SELECT doc_id, CAST('t' AS BOOLEAN) AS ok FROM documents"
+)

@@ -1701,3 +1701,49 @@ FROM posts GROUP BY tok
 """
 
 _pair("qt37_inverted_index", _QT37_SPARK, _QT37_DUCK)
+
+# --- qt38: classifier evaluation — ROC-AUC by rank-sum -------------------------
+#
+# Shipping a quality filter (qt29) without measuring it is how corpora
+# rot: this computes the classifier's ROC-AUC against a weak label
+# (n_chars >= 300 — length is the classic weak supervision signal) using
+# the Mann-Whitney rank-sum identity
+#     AUC = (sum of positive ranks - n1(n1+1)/2) / (n1 * n0),
+# with midranks for score ties (RANK() + (tie_count-1)/2). Dataflow: the
+# classifier's own plan (broadcast weight join + one per-doc sum)
+# followed by ONE global sort of doc-level rows — at 10^12 docs the
+# doc-level table is 12 orders smaller than the token explode that fed
+# it, and a rank over it is a routine range-partitioned sort. Every rank
+# is an exact integer-or-half in double and the final divide is one
+# correctly-rounded IEEE op, so the AUC is bit-identical across engines
+# with no rounding needed.
+
+_QT38_BODY = """
+WITH lab AS (
+  SELECT s.doc_id, s.score,
+         CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS y
+  FROM ({CLS}) s JOIN documents d ON s.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT y,
+         RANK() OVER (ORDER BY score)
+           + (COUNT(*) OVER (PARTITION BY score) - 1) / 2.0 AS r_avg
+  FROM lab
+),
+agg AS (
+  SELECT CAST(SUM(y) AS DOUBLE) AS n1,
+         CAST(SUM(1 - y) AS DOUBLE) AS n0,
+         SUM(CASE WHEN y = 1 THEN r_avg ELSE 0.0 END) AS rank_sum
+  FROM ranked
+)
+SELECT CAST(n1 AS BIGINT) AS n_pos,
+       CAST(n0 AS BIGINT) AS n_neg,
+       (rank_sum - n1 * (n1 + 1) / 2) / (n1 * n0) AS auc
+FROM agg
+"""
+
+_pair(
+    "qt38_classifier_auc",
+    _QT38_BODY.replace("{CLS}", _QT29_SPARK),
+    _QT38_BODY.replace("{CLS}", _QT29_DUCK),
+)

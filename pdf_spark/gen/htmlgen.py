@@ -63,6 +63,43 @@ def expected_for_variant(name: str, lines: list[str]) -> str:
     return expected_html_text(lines)
 
 
+def expected_markdown_for_variant(name: str, lines: list[str]) -> str:
+    """Expected ``extract_markdown`` output per variant (same content as
+    the plain expected text, structural prefixes per carrier)."""
+    norm = [" ".join(l.split()) for l in lines]
+    if name in ("html_article", "html_messy"):
+        if name == "html_messy":
+            norm = [" ".join(INTRO_LINE.split())] + norm
+        return "\n\n".join(norm)
+    if name == "html_win1251":
+        return "\n\n".join(
+            " ".join("".join(WIN1251_SUBST.get(c, c) for c in l).split())
+            for l in lines
+        )
+    if name == "html_table_list":
+        # INTRO <p>, then alternating <td> (plain) / single-item <ul><li>
+        out = [" ".join(INTRO_LINE.split())]
+        for i, l in enumerate(norm):
+            out.append(("- " + l) if i % 2 else l)
+        return "\n\n".join(out)
+    if name == "html_structured":
+        pieces = []
+        for i, l in enumerate(norm):
+            k = i % 4
+            if k == 0:
+                pieces.append(("\n\n", "## " + l))
+            elif k == 1:
+                pieces.append(("\n\n", "- " + l))
+            elif k == 2:
+                pieces.append(("\n", "- " + l))  # same <ul> -> single \n
+            else:
+                pieces.append(("\n\n", l))
+        return "".join(
+            p if j == 0 else sep + p for j, (sep, p) in enumerate(pieces)
+        )
+    raise ValueError(name)
+
+
 _NAV = (
     '<nav class="topnav"><ul>'
     '<li><a href="/">Home</a></li>'
@@ -146,6 +183,43 @@ def html_win1251(lines: list[str]) -> bytes:
         + "</body></html>"
     )
     return page.encode("windows-1251")
+
+
+def html_structured(lines: list[str]) -> bytes:
+    """Structure-rich page for the markdown tier: payload lines cycle
+    through h2 / two-item ul / p carriers inside <main><article>, with
+    the standard nav/footer boilerplate around them."""
+    body = []
+    i = 0
+    n = len(lines)
+    while i < n:
+        k = i % 4
+        if k == 0:
+            body.append(f"<h2>{escape(lines[i])}</h2>")
+            i += 1
+        elif k == 1:
+            items = f"<li>{escape(lines[i])}</li>"
+            if i + 1 < n:
+                items += f"<li>{escape(lines[i + 1])}</li>"
+                i += 2
+            else:
+                i += 1
+            body.append(f"<ul>{items}</ul>")
+        else:  # k == 3
+            body.append(f"<p>{escape(lines[i])}</p>")
+            i += 1
+    page = (
+        "<!DOCTYPE html><html>"
+        + _HEAD
+        + "<body>"
+        + _NAV
+        + "<main><article>"
+        + "".join(body)
+        + "</article></main>"
+        + _FOOTER
+        + "</body></html>"
+    )
+    return page.encode("utf-8")
 
 
 def html_table_list(lines: list[str]) -> bytes:

@@ -1220,6 +1220,7 @@ _GOOD_VARIANTS = [
     ("html_messy", lambda L: _htmlgen().html_messy(L)),
     ("html_table_list", lambda L: _htmlgen().html_table_list(L)),
     ("html_win1251", lambda L: _htmlgen().html_win1251(L)),
+    ("html_structured", lambda L: _htmlgen().html_structured(L)),
     # gzip transport encoding (Content-Encoding: gzip stored raw — common
     # in crawl archives): same documents, wrapped; dispatch must unwrap.
     ("html_gzip", lambda L: _gzip(_htmlgen().html_article(L))),

@@ -457,3 +457,61 @@ def test_headings_anchors_fuzz_never_raise():
         data = bytes(buf)
         assert extract_headings(data) == extract_headings(data)
         assert extract_links_with_text(data) == extract_links_with_text(data)
+
+
+class TestMarkdown:
+    """extract_markdown: structure-preserving serializer over the same
+    classified blocks as extract_main_text."""
+
+    def test_headings_lists_quotes(self):
+        page = (
+            b"<html><body><main><article>"
+            b"<h1>Top</h1><h3>Sub level</h3>"
+            b"<p>A paragraph of reasonable length for the classifier.</p>"
+            b"<ul><li>first item</li><li>second item</li></ul>"
+            b"<blockquote>quoted words</blockquote>"
+            b"<pre>code &amp; stuff</pre>"
+            b"</article></main></body></html>"
+        )
+        from pdf_spark.core.htmltext import extract_markdown
+
+        assert extract_markdown(page) == (
+            "# Top\n\n### Sub level\n\n"
+            "A paragraph of reasonable length for the classifier.\n\n"
+            "- first item\n- second item\n\n"
+            "> quoted words\n\n"
+            "```\ncode & stuff\n```"
+        )
+
+    def test_separate_lists_get_blank_line(self):
+        page = (
+            b"<html><body><main>"
+            b"<ul><li>alpha one</li></ul>"
+            b"<p>between paragraph text here</p>"
+            b"<ul><li>beta two</li></ul>"
+            b"</main></body></html>"
+        )
+        from pdf_spark.core.htmltext import extract_markdown
+
+        assert extract_markdown(page) == (
+            "- alpha one\n\nbetween paragraph text here\n\n- beta two"
+        )
+
+    def test_markdown_strips_boilerplate_same_as_text(self):
+        from pdf_spark.core.htmltext import extract_main_text, extract_markdown
+        from pdf_spark.gen.htmlgen import html_article
+
+        page = html_article(["one content line that is long enough to keep"])
+        assert extract_markdown(page) == extract_main_text(page)
+
+    def test_variant_matrix_markdown(self):
+        from pdf_spark.core.htmltext import extract_markdown
+        from pdf_spark.gen import htmlgen as hg
+        from pdf_spark.gen.pdfgen import wrap_lines
+
+        lines = wrap_lines("structured markdown payload words " * 8)
+        for name in ("html_article", "html_messy", "html_table_list",
+                     "html_win1251", "html_structured"):
+            page = getattr(hg, name)(lines)
+            assert extract_markdown(page) == \
+                hg.expected_markdown_for_variant(name, lines), name
