@@ -566,3 +566,136 @@ def qr24(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce("P_n", F.lit(0)).cast("long").alias("n_partial"),
         F.coalesce("O_val", F.lit(0.0)).alias("open_value"),
     )
+
+
+@q(
+    "qr25_asof_join",
+    """WITH p AS (
+         SELECT event_id AS purchase_id, user_id,
+                date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts) AS us
+         FROM events WHERE event_type = 'purchase'),
+       v AS (
+         SELECT event_id AS view_id, user_id,
+                date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts) AS us
+         FROM events WHERE event_type = 'view')
+       SELECT p.purchase_id, p.user_id,
+              CAST(v.view_id AS BIGINT) AS view_id,
+              CAST(p.us - v.us AS BIGINT) AS gap_us
+       FROM p ASOF LEFT JOIN v
+         ON p.user_id = v.user_id AND v.us <= p.us""",
+)
+def qr25(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (attribution: each purchase -> the most recent
+    prior-or-equal view by the same user). Spark has no ASOF JOIN
+    operator; the scale-correct formulation is the UNION-MERGE shape
+    used here: tag both sides, ONE shuffle on the join key, one ordered
+    window pass carrying the last view forward
+    (last_value IGNORE NULLS over rows unbounded-preceding), filter to
+    the probe side. Cost at 10^12 rows: a single sort-merge exchange —
+    never the per-probe range lookup or the key x key interval product a
+    naive join-then-filter plans. Inclusive semantics (a view at the
+    exact purchase timestamp matches) via the side-ordering tiebreak:
+    views sort before purchases at equal timestamps. The oracle computes
+    the same result through DuckDB's native ASOF LEFT JOIN — an
+    independently-shaped implementation of the same operator."""
+    from pyspark.sql import Window
+
+    e = (
+        load(spark, sf, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)"
+            ).alias("us"),
+        )
+    )
+    side = F.when(F.col("event_type") == "view", 0).otherwise(1)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", side, "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_view = F.col("event_type") == "view"
+    carried = e.withColumn(
+        "view_id",
+        F.last(F.when(is_view, F.col("event_id")), ignorenulls=True).over(w),
+    ).withColumn(
+        "view_us",
+        F.last(F.when(is_view, F.col("us")), ignorenulls=True).over(w),
+    )
+    return carried.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("view_id").cast("long").alias("view_id"),
+        (F.col("us") - F.col("view_us")).cast("long").alias("gap_us"),
+    )
+
+
+@q(
+    "qr26_range_join_bucketed",
+    """WITH s AS (
+         SELECT event_id AS signup_id, user_id,
+                date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts) AS us
+         FROM events WHERE event_type = 'signup'),
+       c AS (
+         SELECT user_id,
+                date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts) AS us
+         FROM events WHERE event_type = 'click')
+       SELECT s.signup_id, s.user_id,
+              CAST(COUNT(c.us) AS BIGINT) AS n_clicks_1h
+       FROM s LEFT JOIN c
+         ON c.user_id = s.user_id
+        AND c.us >= s.us AND c.us < s.us + 3600000000
+       GROUP BY s.signup_id, s.user_id""",
+)
+def qr26(spark: SparkSession, sf: str) -> DataFrame:
+    """Range (interval) join, bucketed: clicks within one hour after each
+    signup, per signup. A raw range join plans as a per-key interval
+    product (BroadcastNestedLoop at worst); the technique that survives
+    10^12 rows is TIME-BUCKETING: each 1h query window spans at most two
+    1h buckets, so the interval explodes to its <=2 covering buckets and
+    the join becomes a plain equi-join on (user_id, bucket) — hash
+    join, map-side prunable — followed by the exact range filter. A
+    click matches through exactly one bucket (its own), so no dedup step
+    is needed. The oracle states the same result as the naive range join
+    (exclusive upper bound keeps the boundary deterministic)."""
+    base = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)"
+    hour_us = 3_600_000_000
+    e = load(spark, sf, "events")
+    s = e.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.expr(base).alias("sus"),
+    )
+    sb = s.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                (F.col("sus") / hour_us).cast("long"),
+                (F.col("sus") / hour_us).cast("long") + 1,
+            )
+        ),
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.expr(base).alias("cus"),
+    ).withColumn("bucket", (F.col("cus") / hour_us).cast("long"))
+    joined = sb.join(c, ["user_id", "bucket"], "left")
+    return (
+        joined.groupBy("signup_id", "user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("cus") >= F.col("sus"))
+                    & (F.col("cus") < F.col("sus") + hour_us),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clicks_1h")
+        )
+    )

@@ -246,3 +246,27 @@ def test_session5_operator_plan_shapes(spark):
         "(doc_id, hash) DISTINCT exchange must stay deleted"
     )
     assert "partial" in plan.lower(), "qt08: lost map-side combine"
+
+
+def test_asof_and_range_join_shapes(spark):
+    """qr25 must stay the single-exchange union-merge as-of (no per-probe
+    range lookup); qr26 must plan as a hash equi-join on (key, bucket) —
+    a NestedLoop regression is the shape that dies at corpus scale."""
+    from __spark_entry__ import queries
+
+    q = queries()
+    sf = "/root/testdata/sf0.001"
+
+    plan = _plan(spark, q["qr25_asof_join"](spark, sf))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, (
+        "qr25: as-of join must cost exactly one user_id exchange"
+    )
+    assert "NestedLoop" not in plan
+
+    plan = _plan(spark, q["qr26_range_join_bucketed"](spark, sf))
+    assert "NestedLoop" not in plan, (
+        "qr26: range join regressed to an interval product"
+    )
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
