@@ -1,0 +1,131 @@
+"""Link-graph operators (the crawl-stack graph tier).
+
+A web corpus IS a graph: rank-by-link-structure (PageRank) decides crawl
+priority and quality weighting at every serious crawler. The synthetic
+edge set is derived arithmetically from doc_ids (out-degree doc_id%3+1,
+targets (u*7+k) % N) so both engines construct the identical graph with
+no external data, matching the qx-family's generator-derived style.
+
+Scale shape (10^12 nodes): each PageRank iteration is one explode of the
+(tiny per-node) adjacency + one shuffle on the destination key — the
+classic Spark formulation. Iteration count is fixed (2) and unrolled in
+the DuckDB oracle; the Spark side runs the same two rounds as a loop
+over DataFrames, the way a real driver schedules it (same driver-feedback
+pattern as qs10's Lloyd iterations). Scores are rounded per iteration so
+double-summation association drift (~1e-16) can never cross engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_spark.functions.tables import load, register_views
+
+QUERIES = {}
+ORACLE = {}
+
+_DAMP = 0.85
+
+
+def _qg01(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    docs = load(spark, sf, "documents").select("doc_id")
+    n = docs.count()  # node count: tiny driver-side scalar, like qs10's K
+    deg = docs.select(
+        F.col("doc_id").alias("u"),
+        (F.col("doc_id") % 3 + 1).cast("long").alias("d"),
+    )
+    edges = deg.select(
+        "u",
+        "d",
+        F.explode(F.expr("sequence(1, CAST(d AS INT))")).alias("k"),
+    ).select(
+        "u", "d", ((F.col("u") * 7 + F.col("k")) % n).cast("long").alias("v")
+    )
+    # pr0 = 1/n everywhere; two damped iterations, rounded each round
+    pr = docs.select("doc_id", (F.lit(1.0) / n).alias("pr"))
+    for _ in range(2):
+        contrib = (
+            edges.join(pr, edges["u"] == pr["doc_id"])
+            .select("v", (F.col("pr") / F.col("d")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("mass"))
+        )
+        pr = (
+            docs.join(contrib, docs["doc_id"] == contrib["v"], "left")
+            .select(
+                "doc_id",
+                F.round(
+                    F.lit(0.15) / n
+                    + F.lit(_DAMP) * F.coalesce(F.col("mass"), F.lit(0.0)),
+                    8,
+                ).alias("pr"),
+            )
+        )
+    return pr.select("doc_id", F.col("pr").alias("pagerank"))
+
+
+QUERIES["qg01_pagerank"] = _qg01
+ORACLE["qg01_pagerank"] = f"""
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+deg AS (SELECT doc_id AS u, CAST(doc_id % 3 + 1 AS BIGINT) AS d FROM documents),
+edges AS (
+  SELECT u, d, CAST((u * 7 + t.k) % (SELECT n FROM nn) AS BIGINT) AS v
+  FROM deg, LATERAL unnest(range(1, d + 1)) t(k)
+),
+pr0 AS (SELECT doc_id, 1.0 / (SELECT n FROM nn) AS pr FROM documents),
+m1 AS (
+  SELECT e.v, SUM(p.pr / e.d) AS mass
+  FROM edges e JOIN pr0 p ON e.u = p.doc_id GROUP BY e.v
+),
+pr1 AS (
+  SELECT d.doc_id,
+         ROUND(0.15 / (SELECT n FROM nn)
+               + {_DAMP} * COALESCE(m.mass, 0.0), 8) AS pr
+  FROM documents d LEFT JOIN m1 m ON d.doc_id = m.v
+),
+m2 AS (
+  SELECT e.v, SUM(p.pr / e.d) AS mass
+  FROM edges e JOIN pr1 p ON e.u = p.doc_id GROUP BY e.v
+),
+pr2 AS (
+  SELECT d.doc_id,
+         ROUND(0.15 / (SELECT n FROM nn)
+               + {_DAMP} * COALESCE(m.mass, 0.0), 8) AS pr
+  FROM documents d LEFT JOIN m2 m ON d.doc_id = m.v
+)
+SELECT doc_id, pr AS pagerank FROM pr2
+"""
+
+
+# --- qg02: degree profile ------------------------------------------------------
+#
+# The link-graph sanity dashboard: in/out degree distribution. One edge
+# construction + two tiny aggregations; at corpus scale both group-bys
+# are map-side-combined on small-integer keys.
+
+_QG02_BODY = """
+WITH deg AS (SELECT doc_id AS u, CAST(doc_id % 3 + 1 AS BIGINT) AS d
+             FROM documents),
+edges AS (
+  SELECT u, CAST((u * 7 + k) % (SELECT COUNT(*) FROM documents) AS BIGINT) AS v
+  FROM {EDGE_SRC}
+),
+indeg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS ind FROM edges GROUP BY v)
+SELECT ind AS in_degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM indeg GROUP BY ind
+"""
+
+QUERIES["qg02_degree_profile"] = lambda spark, sf: (
+    register_views(spark, sf)
+    or spark.sql(
+        _QG02_BODY.replace(
+            "{EDGE_SRC}",
+            "(SELECT u, d, explode(sequence(1, CAST(d AS INT))) AS k FROM deg)",
+        )
+    )
+)
+ORACLE["qg02_degree_profile"] = _QG02_BODY.replace(
+    "{EDGE_SRC}", "deg, LATERAL unnest(range(1, d + 1)) t(k)"
+)

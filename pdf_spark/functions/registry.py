@@ -6,6 +6,7 @@ from __future__ import annotations
 def all_queries():
     from pdf_spark.functions import (  # noqa: WPS235
         extraction_queries,
+        graph,
         multimodal,
         relational,
         similarity,
@@ -14,7 +15,8 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, textops, urlops, similarity, multimodal, extraction_queries):
+    for mod in (relational, textops, urlops, similarity, multimodal, graph,
+                extraction_queries):
         out.update(mod.QUERIES)
     return out
 
@@ -22,6 +24,7 @@ def all_queries():
 def all_oracles():
     from pdf_spark.functions import (
         extraction_queries,
+        graph,
         multimodal,
         relational,
         similarity,
@@ -30,6 +33,7 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, textops, urlops, similarity, multimodal, extraction_queries):
+    for mod in (relational, textops, urlops, similarity, multimodal, graph,
+                extraction_queries):
         out.update(mod.ORACLE)
     return out
