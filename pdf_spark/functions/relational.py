@@ -699,3 +699,47 @@ def qr26(spark: SparkSession, sf: str) -> DataFrame:
             .alias("n_clicks_1h")
         )
     )
+
+
+@q(
+    "qr27_group_median",
+    """WITH r AS (
+         SELECT o_orderpriority, o_totalprice,
+                ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice, o_orderkey) AS rn,
+                COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+         FROM orders)
+       SELECT o_orderpriority,
+              CAST(MAX(cnt) AS BIGINT) AS n_orders,
+              ROUND(AVG(o_totalprice), 2) AS median_price
+       FROM r
+       WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+       GROUP BY o_orderpriority""",
+)
+def qr27(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-group median WITHOUT percentile functions: engines
+    disagree on percentile interpolation modes (and Spark's
+    percentile_approx is a sketch), so the cross-engine-deterministic
+    form is the midrank identity — row_number the group, average the one
+    or two middle rows ((n+1)//2, (n+2)//2; equal for odd n). One
+    exchange (the window partition), and the grouped-sort scales because
+    the partition key is the group, never global. The final AVG touches
+    at most two doubles, one correctly-rounded IEEE op per engine."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wc = Window.partitionBy("o_orderpriority")
+    r = load(spark, sf, "orders").select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+    mid = r.where(
+        (F.col("rn") == F.expr("(cnt + 1) div 2"))
+        | (F.col("rn") == F.expr("(cnt + 2) div 2"))
+    )
+    return mid.groupBy("o_orderpriority").agg(
+        F.max("cnt").cast("long").alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 2).alias("median_price"),
+    )

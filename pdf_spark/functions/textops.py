@@ -1747,3 +1747,30 @@ _pair(
     _QT38_BODY.replace("{CLS}", _QT29_SPARK),
     _QT38_BODY.replace("{CLS}", _QT29_DUCK),
 )
+
+# --- qt39: corpus mixture reweighting ------------------------------------------
+#
+# The "data mixing" stage every multi-source training corpus runs: given
+# a per-stratum population (here: lang) and a TARGET share (uniform), the
+# per-doc sampling weight is target_share / actual_share, and the planned
+# per-stratum contribution to a fixed token budget follows. All values
+# are ratios of exact integers — one small-key aggregation plus one
+# broadcast scalar, deterministic across engines without rounding
+# concessions (ROUND only for display). Pairs with qt15, which executes
+# a plan like this via deterministic hash sampling.
+
+_QT39_BODY = """
+WITH strata AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY lang),
+tot AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS total,
+               CAST(COUNT(*) AS DOUBLE) AS n_strata
+        FROM strata)
+SELECT s.lang, s.n_docs,
+       ROUND(CAST(s.n_docs AS DOUBLE) / t.total, 6) AS actual_share,
+       ROUND(1.0 / t.n_strata, 6) AS target_share,
+       ROUND(t.total / (t.n_strata * CAST(s.n_docs AS DOUBLE)), 6) AS weight,
+       CAST(FLOOR(10000 / t.n_strata) AS BIGINT) AS planned_docs
+FROM strata s CROSS JOIN tot t
+"""
+
+_pair("qt39_mixture_weights", _QT39_BODY, _QT39_BODY)
