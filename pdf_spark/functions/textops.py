@@ -1707,16 +1707,17 @@ _pair("qt37_inverted_index", _QT37_SPARK, _QT37_DUCK)
 # Shipping a quality filter (qt29) without measuring it is how corpora
 # rot: this computes the classifier's ROC-AUC against a weak label
 # (n_chars >= 300 — length is the classic weak supervision signal) using
-# the Mann-Whitney rank-sum identity
-#     AUC = (sum of positive ranks - n1(n1+1)/2) / (n1 * n0),
-# with midranks for score ties (RANK() + (tie_count-1)/2). Dataflow: the
-# classifier's own plan (broadcast weight join + one per-doc sum)
-# followed by ONE global sort of doc-level rows — at 10^12 docs the
-# doc-level table is 12 orders smaller than the token explode that fed
-# it, and a rank over it is a routine range-partitioned sort. Every rank
-# is an exact integer-or-half in double and the final divide is one
-# correctly-rounded IEEE op, so the AUC is bit-identical across engines
-# with no rounding needed.
+# the Mann-Whitney PAIR identity
+#     AUC = (#(pos > neg) + 0.5 * #(pos == neg)) / (n1 * n0),
+# evaluated over the SCORE HISTOGRAM: group docs by score (one map-side
+# combined aggregation), then a running negative-count over the ordered
+# DISTINCT scores. The naive rank formulation windows over every doc row
+# — Spark plans an unpartitioned window as a single-partition sort, a
+# scale-killer at 10^12 docs; the histogram window runs over |distinct
+# scores| rows, bounded by the score domain (the hashed-weight sum),
+# not the corpus. Counts are exact integers, tie mass contributes exact
+# halves, and the final divide is one correctly-rounded IEEE op — the
+# AUC is bit-identical across engines with no rounding concession.
 
 _QT38_BODY = """
 WITH lab AS (
@@ -1724,21 +1725,27 @@ WITH lab AS (
          CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS y
   FROM ({CLS}) s JOIN documents d ON s.doc_id = d.doc_id
 ),
-ranked AS (
-  SELECT y,
-         RANK() OVER (ORDER BY score)
-           + (COUNT(*) OVER (PARTITION BY score) - 1) / 2.0 AS r_avg
-  FROM lab
+hist AS (
+  SELECT score,
+         CAST(SUM(y) AS DOUBLE) AS p,
+         CAST(SUM(1 - y) AS DOUBLE) AS q
+  FROM lab GROUP BY score
+),
+w AS (
+  SELECT p, q,
+         SUM(q) OVER (ORDER BY score
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - q AS q_below
+  FROM hist
 ),
 agg AS (
-  SELECT CAST(SUM(y) AS DOUBLE) AS n1,
-         CAST(SUM(1 - y) AS DOUBLE) AS n0,
-         SUM(CASE WHEN y = 1 THEN r_avg ELSE 0.0 END) AS rank_sum
-  FROM ranked
+  SELECT SUM(p) AS n1, SUM(q) AS n0,
+         SUM(p * q_below + 0.5 * p * q) AS wins
+  FROM w
 )
 SELECT CAST(n1 AS BIGINT) AS n_pos,
        CAST(n0 AS BIGINT) AS n_neg,
-       (rank_sum - n1 * (n1 + 1) / 2) / (n1 * n0) AS auc
+       wins / (n1 * n0) AS auc
 FROM agg
 """
 
