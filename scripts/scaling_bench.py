@@ -183,16 +183,19 @@ def main() -> None:
     n_docs = lo_w.n_docs
 
     # warm to plateau: JIT at 32 threads keeps improving long after a single
-    # non-improving pass (measured: hi-pass rates climb across 4+ passes), so
-    # require TWO consecutive passes within 10% of best, minimum 4, cap 8
+    # non-improving pass. The original 10%-of-best criterion exits on a
+    # slow improvement slope (measured 2026-08-18: hi passes kept climbing
+    # 14.6k -> 39.2k across "measured" pairs after warmup had "passed",
+    # biasing early pair efficiencies down). Require TWO consecutive
+    # passes within 3% of best, minimum 6 passes, cap 12.
     for w in [w for w in (lo_w, hi_w, mp_lo, mp_hi) if w is not None]:
         best = w.one_pass()
         flat = 0
-        for i in range(7):
+        for i in range(11):
             t = w.one_pass()
-            flat = 0 if t < best * 0.90 else flat + 1
+            flat = 0 if t < best * 0.97 else flat + 1
             best = min(best, t)
-            if flat >= 2 and i >= 2:
+            if flat >= 2 and i >= 4:
                 break
 
     # sandwich pairing: lo0 hi0 lo1 hi1 ... loN — each hi pass is
