@@ -234,6 +234,18 @@ class Interpreter:
         self._exec_checked(ops, base_ctm)
         return self.spans
 
+    # Minimum operand counts for EXECUTED ops — the explicit per-op
+    # typecheck the reference performs when deserializing operations
+    # (operation.c:515-806). A short operand list raises INCORRECT_TYPE
+    # naming the op BEFORE dispatch touches args, so the blanket
+    # IndexError reclassification in _exec_checked is a backstop for
+    # genuine bugs, not the primary arity path.
+    _MIN_OPERANDS = {
+        "TJ": 1, "Tj": 1, "Td": 2, "TD": 2, "Tm": 6, "Tf": 2,
+        "cm": 6, "Tc": 1, "Tw": 1, "Tz": 1, "TL": 1, "Tr": 1, "Ts": 1,
+        "'": 1, '"': 3, "gs": 1, "Do": 1, "BMC": 1, "BDC": 2,
+    }
+
     def _exec_ops(
         self, ops, base_ctm: Mat, resources: dict, depth: int
     ) -> None:
@@ -252,6 +264,12 @@ class Interpreter:
 
         for op, args in ops:
             self._cur_op = op
+            need = self._MIN_OPERANDS.get(op, 0)
+            if len(args) < need:
+                raise PdfError(
+                    INCORRECT_TYPE,
+                    f"{op}: expected {need} operand(s), got {len(args)}",
+                )
             if op == "TJ":
                 tm = self._show_tj(args[0], ts, tm, ctm)
             elif op == "Td" or op == "TD":

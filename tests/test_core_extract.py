@@ -1014,3 +1014,40 @@ class TestPageRotation:
         s = [Span(0, 100.0, 700.0, 0, "a", "F1", 12.0)]
         _apply_page_rotation(s, 0, 90, None, None)
         assert (s[0].x, s[0].y) == (100.0, 700.0)
+
+
+class TestOperandArity:
+    """Per-op minimum-operand typecheck at dispatch (the reference's
+    operation.c deserialization typecheck): a truncated stream's bare op
+    is an INCORRECT_TYPE document error naming the op, raised before
+    dispatch indexes the operand list."""
+
+    def _doc_with_content(self, content: bytes) -> bytes:
+        from pdf_spark.gen.pdfgen import _simple_doc
+
+        return _simple_doc(["x"], lambda _L: content, filters="")
+
+    def test_bare_tf_is_incorrect_type(self):
+        r = extract_document(self._doc_with_content(b"BT /F1 Tf (x) Tj ET"))
+        assert r.status == "error" and r.error_code == "INCORRECT_TYPE"
+
+    def test_short_tm_is_incorrect_type(self):
+        r = extract_document(
+            self._doc_with_content(b"BT /F1 12 Tf 1 0 0 1 Tm (x) Tj ET")
+        )
+        assert r.status == "error" and r.error_code == "INCORRECT_TYPE"
+
+    def test_short_cm_is_incorrect_type(self):
+        # (bare Tj is NOT here: the scanner canonicalizes it to TJ with an
+        # empty show string — a harmless no-op show, matching the lenient
+        # reading real viewers take)
+        r = extract_document(
+            self._doc_with_content(b"1 0 0 cm BT /F1 12 Tf (x) Tj ET")
+        )
+        assert r.status == "error" and r.error_code == "INCORRECT_TYPE"
+
+    def test_correct_arity_still_extracts(self):
+        r = extract_document(
+            self._doc_with_content(b"BT /F1 12 Tf 72 700 Td (ok) Tj ET")
+        )
+        assert r.ok and assemble_text(r.spans) == "ok"
