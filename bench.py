@@ -37,6 +37,8 @@ HEADLINE_QUERIES = (
     "qt05_minhash_signatures",
     "qt08_simhash",
     "qs02_cosine_topk",
+    "qr25_asof_join",
+    "qg01_pagerank",
     "qx01_roundtrip_match",
 )
 
