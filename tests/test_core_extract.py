@@ -1051,3 +1051,46 @@ class TestOperandArity:
             self._doc_with_content(b"BT /F1 12 Tf 72 700 Td (ok) Tj ET")
         )
         assert r.ok and assemble_text(r.spans) == "ok"
+
+    def test_rotate_inherited_from_pages_node(self):
+        """/Rotate on the Pages PARENT must reach the page via the
+        inheritance walk (INHERITABLE includes Rotate) and reorder spans
+        exactly like a page-local /Rotate 90."""
+        from pdf_spark.gen.pdfgen import (
+            F_HELV,
+            FONT_SIZE,
+            PdfBuilder,
+            _n,
+            esc,
+        )
+
+        lines = ["first line of the rotated page", "second line follows it"]
+        ops = [b"BT", b"/F1 " + _n(FONT_SIZE) + b" Tf"]
+        for i, line in enumerate(lines):
+            rx, ry = 72.0, 560.0 - i * 16.0
+            x, y = 612.0 - ry, rx
+            ops.append(b"0 1 -1 0 " + _n(x) + b" " + _n(y) + b" Tm")
+            ops.append(b"(" + esc(line) + b") Tj")
+        ops.append(b"ET")
+        b = PdfBuilder()
+        cat = b.reserve()
+        pages = b.reserve()
+        page = b.reserve()
+        font = b.add(F_HELV)
+        cont = b.stream(b"\n".join(ops), filters="FlateDecode")
+        b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+        # Rotate + MediaBox live on the PARENT only
+        b.set(
+            pages,
+            b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1"
+            b"/MediaBox[0 0 612 792]/Rotate 90>>",
+        )
+        b.set(
+            page,
+            b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+            b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+            b"/Contents " + str(cont).encode() + b" 0 R>>",
+        )
+        r = extract_document(b.build(cat))
+        assert r.ok, r.error_code
+        assert assemble_text(r.spans) == "\n".join(lines)
