@@ -11,8 +11,13 @@ Scale shape (10^12 nodes): each PageRank iteration is one explode of the
 classic Spark formulation. Iteration count is fixed (2) and unrolled in
 the DuckDB oracle; the Spark side runs the same two rounds as a loop
 over DataFrames, the way a real driver schedules it (same driver-feedback
-pattern as qs10's Lloyd iterations). Scores are rounded per iteration so
-double-summation association drift (~1e-16) can never cross engines.
+pattern as qs10's Lloyd iterations). Scores are FIXED-POINT BIGINTs
+(1e-12 grain): float PageRank needs a per-iteration ROUND whose halfway
+semantics differ across engines (Spark HALF_UP vs DuckDB HALF_EVEN on
+doubles — this structured value set lands EXACTLY on .5 boundaries, seen
+at sf0.1), while integer sums are order-independent and integer division
+of positives floors identically everywhere. pr = pr_fp / 1e12; damping
+0.85 = 17/20 and teleport 0.15 = 3/20 stay exact rationals.
 """
 
 from __future__ import annotations
@@ -26,6 +31,9 @@ QUERIES = {}
 ORACLE = {}
 
 _DAMP = 0.85
+
+
+_SCALE = 10**12  # fixed-point grain: pr = pr_fp / 1e12
 
 
 def _qg01(spark: SparkSession, sf: str) -> DataFrame:
@@ -43,12 +51,14 @@ def _qg01(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         "u", "d", ((F.col("u") * 7 + F.col("k")) % n).cast("long").alias("v")
     )
-    # pr0 = 1/n everywhere; two damped iterations, rounded each round
-    pr = docs.select("doc_id", (F.lit(1.0) / n).alias("pr"))
+    # pr0 = SCALE/n everywhere; two damped iterations, all-integer:
+    # pr' = (3*SCALE) div (20n) + (17 * mass) div 20,
+    # mass = sum over in-edges of (pr div d)
+    pr = docs.select("doc_id", F.lit(_SCALE // n).alias("pr_fp"))
     for _ in range(2):
         contrib = (
             edges.join(pr, edges["u"] == pr["doc_id"])
-            .select("v", (F.col("pr") / F.col("d")).alias("c"))
+            .select("v", F.expr("pr_fp div d").alias("c"))
             .groupBy("v")
             .agg(F.sum("c").alias("mass"))
         )
@@ -56,14 +66,13 @@ def _qg01(spark: SparkSession, sf: str) -> DataFrame:
             docs.join(contrib, docs["doc_id"] == contrib["v"], "left")
             .select(
                 "doc_id",
-                F.round(
-                    F.lit(0.15) / n
-                    + F.lit(_DAMP) * F.coalesce(F.col("mass"), F.lit(0.0)),
-                    8,
-                ).alias("pr"),
+                (
+                    F.lit((3 * _SCALE) // (20 * n))
+                    + F.expr("(17 * coalesce(mass, 0L)) div 20")
+                ).cast("long").alias("pr_fp"),
             )
         )
-    return pr.select("doc_id", F.col("pr").alias("pagerank"))
+    return pr.select("doc_id", F.col("pr_fp").alias("pagerank_fp"))
 
 
 QUERIES["qg01_pagerank"] = _qg01
@@ -74,28 +83,28 @@ edges AS (
   SELECT u, d, CAST((u * 7 + t.k) % (SELECT n FROM nn) AS BIGINT) AS v
   FROM deg, LATERAL unnest(range(1, d + 1)) t(k)
 ),
-pr0 AS (SELECT doc_id, 1.0 / (SELECT n FROM nn) AS pr FROM documents),
+pr0 AS (SELECT doc_id, {_SCALE} // (SELECT n FROM nn) AS pr_fp FROM documents),
 m1 AS (
-  SELECT e.v, SUM(p.pr / e.d) AS mass
+  SELECT e.v, SUM(p.pr_fp // e.d) AS mass
   FROM edges e JOIN pr0 p ON e.u = p.doc_id GROUP BY e.v
 ),
 pr1 AS (
   SELECT d.doc_id,
-         ROUND(0.15 / (SELECT n FROM nn)
-               + {_DAMP} * COALESCE(m.mass, 0.0), 8) AS pr
+         CAST((3 * {_SCALE}) // (20 * (SELECT n FROM nn))
+              + ((17 * COALESCE(m.mass, 0)) // 20) AS BIGINT) AS pr_fp
   FROM documents d LEFT JOIN m1 m ON d.doc_id = m.v
 ),
 m2 AS (
-  SELECT e.v, SUM(p.pr / e.d) AS mass
+  SELECT e.v, SUM(p.pr_fp // e.d) AS mass
   FROM edges e JOIN pr1 p ON e.u = p.doc_id GROUP BY e.v
 ),
 pr2 AS (
   SELECT d.doc_id,
-         ROUND(0.15 / (SELECT n FROM nn)
-               + {_DAMP} * COALESCE(m.mass, 0.0), 8) AS pr
+         CAST((3 * {_SCALE}) // (20 * (SELECT n FROM nn))
+              + ((17 * COALESCE(m.mass, 0)) // 20) AS BIGINT) AS pr_fp
   FROM documents d LEFT JOIN m2 m ON d.doc_id = m.v
 )
-SELECT doc_id, pr AS pagerank FROM pr2
+SELECT doc_id, pr_fp AS pagerank_fp FROM pr2
 """
 
 
