@@ -131,3 +131,102 @@ class TestEncryptedDocs:
         assert err == "ENCRYPTED"
         _, status, code, _, _ = extract_text(pdf)
         assert (status, code) == ("error", "ENCRYPTED")
+
+
+class TestEncryptedObjStm:
+    """Objects INSIDE a /Type/ObjStm of an ENCRYPTED document must be
+    EXEMPT from the per-object decrypt (the container stream was already
+    decrypted; §7.5.7: strings in compressed objects are not separately
+    encrypted). The xref stream itself is never encrypted (§7.5.8.2) and
+    parses before the decryptor exists."""
+
+    def _build(self) -> bytes:
+        import hashlib
+        import zlib
+
+        from pdf_spark.gen.pdfgen import (
+            F_HELV,
+            _content_td_tj,
+            _emit_xref_stream,
+            _enc_setup,
+        )
+
+        id0, enc_dict, dec = _enc_setup("aes128")
+        content = _content_td_tj(["objstm under encryption"])
+        # ids: 1 cat, 2 pages, 3 page (w/ string), 4 font — inside ObjStm 5;
+        # 6 content (encrypted, type-1); 7 xref stream; 8 /Encrypt dict
+        bodies = [
+            (1, b"<</Type/Catalog/Pages 2 0 R>>"),
+            (2, b"<</Type/Pages/Kids[3 0 R]/Count 1>>"),
+            (
+                3,
+                b"<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+                b"/Note (plaintext inside objstm)"
+                b"/Resources<</Font<</F1 4 0 R>>>>/Contents 6 0 R>>",
+            ),
+            (4, F_HELV),
+        ]
+        payload = bytearray()
+        pair_parts = []
+        for oid, body in bodies:
+            pair_parts.append(f"{oid} {len(payload)}")
+            payload += body + b"\n"
+        header = (" ".join(pair_parts) + "\n").encode()
+        stm_plain = zlib.compress(header + bytes(payload))
+        stm_enc = dec.encrypt(stm_plain, 5, 0, hashlib.md5(b"s5").digest())
+        cont_enc = dec.encrypt(
+            zlib.compress(content), 6, 0, hashlib.md5(b"s6").digest()
+        )
+        out = bytearray(b"%PDF-1.7\n%\xb5\xb6\n\n")
+        offsets = {}
+
+        def emit(oid: int, body: bytes) -> None:
+            offsets[oid] = len(out)
+            out.extend(str(oid).encode() + b" 0 obj\n" + body + b"\nendobj\n\n")
+
+        emit(
+            5,
+            b"<</Type/ObjStm/N 4/First " + str(len(header)).encode()
+            + b"/Filter/FlateDecode/Length " + str(len(stm_enc)).encode()
+            + b">>\nstream\n" + stm_enc + b"\nendstream",
+        )
+        emit(
+            6,
+            b"<</Length " + str(len(cont_enc)).encode()
+            + b"/Filter/FlateDecode>>\nstream\n" + cont_enc + b"\nendstream",
+        )
+        emit(8, enc_dict)
+        rows = [
+            (0, 0, 65535),
+            (2, 5, 0),
+            (2, 5, 1),
+            (2, 5, 2),
+            (2, 5, 3),
+            (1, offsets[5], 0),
+            (1, offsets[6], 0),
+            (1, len(out), 0),  # xref stream itself (id 7)
+            (1, offsets[8], 0),
+        ]
+        _emit_xref_stream(
+            out, 7, rows, 1, predictor=False,
+            extra=(
+                b"/Encrypt 8 0 R/ID[<" + id0.hex().encode() + b"> <"
+                + id0.hex().encode() + b">]/Index[0 9]"
+            ),
+            size=9,
+        )
+        return bytes(out)
+
+    def test_text_extracts_and_objstm_strings_not_redecrypted(self):
+        from pdf_spark.core.document import Resolver
+        from pdf_spark.core.extract import assemble_text, extract_document
+
+        pdf = self._build()
+        r = extract_document(pdf)
+        assert r.ok, r.error_code
+        assert assemble_text(r.spans) == "objstm under encryption"
+        # the string INSIDE the ObjStm must come back verbatim — a
+        # double-decrypt would garble it
+        res = Resolver(pdf)
+        page = next(iter(res.iter_pages()))
+        assert res.resolve(page.get("Note")) == b"plaintext inside objstm"
