@@ -743,3 +743,115 @@ def qr27(spark: SparkSession, sf: str) -> DataFrame:
         F.max("cnt").cast("long").alias("n_orders"),
         F.round(F.avg("o_totalprice"), 2).alias("median_price"),
     )
+
+
+@q(
+    "qr28_cube_grouping",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+              CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              ROUND(SUM(l_quantity), 2) AS qty
+       FROM lineitem
+       GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def qr28(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE grouping sets: all 2^k aggregation granularities in ONE pass —
+    Catalyst expands the cube map-side (Expand node) so the fact table is
+    scanned once, not once per granularity. GROUPING() flags disambiguate
+    a real NULL key from a rolled-up one (the standard pitfall when the
+    grouped column is nullable). Rollup (qr10) covers the hierarchical
+    prefix sets; CUBE is the full lattice."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status", "n", "qty"
+        )
+    )
+
+
+@q(
+    "qr29_range_frame_window",
+    """SELECT o_custkey, o_orderkey,
+              CAST(COUNT(*) OVER (
+                PARTITION BY o_custkey ORDER BY epoch_d
+                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS n_orders_30d,
+              ROUND(SUM(o_totalprice) OVER (
+                PARTITION BY o_custkey ORDER BY epoch_d
+                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2)
+                AS rev_30d
+       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                    CAST(date_diff('day', TIMESTAMP '1992-01-01 00:00:00',
+                                   o_orderdate) AS BIGINT) AS epoch_d
+             FROM orders)""",
+)
+def qr29(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-count-based): trailing
+    30-day order count + revenue per customer — the frame every retention
+    / velocity metric needs, where ROWS frames silently break on gaps and
+    ties. Ordering key is integer days from a fixed anchor so the frame
+    bound arithmetic is exact and identical across engines (date-interval
+    RANGE frames have engine-specific timestamp semantics; integer days
+    do not). One exchange on the partition key."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("epoch_d")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    o = load(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.expr(
+            "timestampdiff(DAY, TIMESTAMP_NTZ'1992-01-01 00:00:00',"
+            " o_orderdate)"
+        ).cast("long").alias("epoch_d"),
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).cast("long").alias("n_orders_30d"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rev_30d"),
+    )
+
+
+@q(
+    "qr30_unpivot",
+    """SELECT o_orderpriority, metric, ROUND(val, 2) AS val
+       FROM (
+         SELECT o_orderpriority,
+                ROUND(SUM(o_totalprice), 2) AS total_rev,
+                ROUND(AVG(o_totalprice), 2) AS avg_rev,
+                ROUND(MAX(o_totalprice), 2) AS max_rev
+         FROM orders GROUP BY o_orderpriority)
+       UNPIVOT (val FOR metric IN (total_rev, avg_rev, max_rev))""",
+)
+def qr30(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot (wide -> long, the inverse of qr24): per-priority metric
+    columns melt into (metric, value) rows via the built-in unpivot
+    (Expand node — map-side, zero extra shuffles beyond the feeding
+    aggregate). The metric columns are rounded BEFORE melting so both
+    engines stack identical doubles."""
+    wide = (
+        load(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_rev"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_rev"),
+            F.round(F.max("o_totalprice"), 2).alias("max_rev"),
+        )
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["total_rev", "avg_rev", "max_rev"],
+        "metric",
+        "val",
+    ).select("o_orderpriority", "metric", F.round("val", 2).alias("val"))

@@ -431,3 +431,43 @@ SELECT vec_id, CAST(cid AS INT) AS cluster FROM (
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
   FROM dd) WHERE rn = 1
 """
+
+# --- qs11: product quantization codes ------------------------------------------
+#
+# The IVF-PQ storage layout's second half (qs07 is the IVF half): the
+# 64-dim vector splits into 8 subvectors of 8 dims; each subvector maps
+# to a 4-bit code = the sign pattern of 4 fixed hyperplanes (the qs05
+# SRP family restricted to the subspace). 8 codes x 4 bits = a 4-byte
+# sketch per vector — the 64x compression that makes 10^12-vector
+# rerank-from-RAM possible. Pure map-side; sign tests are deterministic
+# because both engines fold the identical dot product left-to-right
+# (the qs05/qs06 contract).
+
+def _pq_codes(dialect: str) -> str:
+    codes = []
+    for m in range(8):
+        b = 8 * m
+        terms = []
+        for j in range(4):
+            if dialect == "spark":
+                dot = (
+                    f"aggregate(transform(sequence(0, 7), k -> "
+                    f"CAST(embedding[{b} + k] AS DOUBLE) * "
+                    f"(CASE WHEN (({b} + k) * 31 + {j} * 17) % 7 < 3 "
+                    f"THEN 1.0D ELSE -1.0D END)), 0.0D, (a, v) -> a + v)"
+                )
+            else:
+                dot = (
+                    f"list_aggregate(list_transform(range(0, 8), k -> "
+                    f"CAST(embedding[{b} + k + 1] AS DOUBLE) * "
+                    f"(CASE WHEN (({b} + k) * 31 + {j} * 17) % 7 < 3 "
+                    f"THEN 1.0 ELSE -1.0 END)), 'sum')"
+                )
+            terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+        codes.append("CAST(" + " + ".join(terms) + " AS INT)")
+    inner = ", ".join(codes)
+    arr = f"array({inner})" if dialect == "spark" else f"[{inner}]"
+    return f"SELECT vec_id, {arr} AS pq_code FROM embeddings"
+
+
+_pair("qs11_product_quantization", _pq_codes("spark"), _pq_codes("duck"))

@@ -272,3 +272,58 @@ def stream_neardup_minhash(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+_EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def stream_interval_join(
+    spark: SparkSession,
+    events_dir: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """STREAM-STREAM interval join (the attribution join, live): purchases
+    join views by user within one hour AFTER the view. Both sides carry
+    watermarks and the join condition bounds event time in BOTH
+    directions, so Spark can evict buffered state for rows no future
+    match can reach — without the bound, stream-stream join state grows
+    forever. This is the streaming twin of the batch bucketed range join
+    (qr26): same semantics, state-bounded incremental execution. Returns
+    the unstarted DataFrame."""
+    views = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(events_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(events_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    return joined.select(
+        "purchase_id", F.col("p_user").alias("user_id"), "view_id"
+    )

@@ -240,3 +240,50 @@ def test_stream_sessionize_gap_windows(spark, tmp_path):
         for s in sess:
             expected.add((lang, s[0], len(s)))
     assert got == expected
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """The stream-stream interval join must emit exactly the pairs the
+    equivalent batch join produces on the same data."""
+    import shutil
+
+    from pdf_spark.streaming.extract_stream import stream_interval_join
+
+    events_dir = str(tmp_path / "events")
+    shutil.copytree("/root/testdata/sf0.001", tmp_path / "src")
+    spark.read.parquet(str(tmp_path / "src" / "events.parquet")).repartition(
+        3
+    ).write.parquet(events_dir)
+
+    q = (
+        stream_interval_join(spark, events_dir)
+        .writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["purchase_id"], r["user_id"], r["view_id"])
+        for r in spark.table("ssj").collect()
+    }
+
+    e = spark.read.parquet(events_dir)
+    v = e.where("event_type = 'view'").selectExpr(
+        "event_id AS view_id", "user_id AS v_user", "ts AS v_ts"
+    )
+    p = e.where("event_type = 'purchase'").selectExpr(
+        "event_id AS purchase_id", "user_id AS p_user", "ts AS p_ts"
+    )
+    batch = p.join(
+        v,
+        (p["p_user"] == v["v_user"])
+        & (v["v_ts"] <= p["p_ts"])
+        & (p["p_ts"] < v["v_ts"] + F.expr("INTERVAL 1 HOUR")),
+    )
+    expected = {
+        (r["purchase_id"], r["p_user"], r["view_id"])
+        for r in batch.collect()
+    }
+    assert got == expected and len(expected) > 0
