@@ -138,3 +138,46 @@ QUERIES["qg02_degree_profile"] = lambda spark, sf: (
 ORACLE["qg02_degree_profile"] = _QG02_BODY.replace(
     "{EDGE_SRC}", "deg, LATERAL unnest(range(1, d + 1)) t(k)"
 )
+
+
+# --- qg03: triangle counting ----------------------------------------------------
+#
+# The standard graph-analytics benchmark op (clustering-coefficient
+# numerator). Edges undirected-ize and canonicalize to u < v, so each
+# triangle {a<b<c} is counted exactly once by the (a,b)x(b,c)->(a,c)
+# wedge-close join. The canonical-ordering trick is ALSO the scale trick:
+# joining only low->high halves the wedge count and bounds the self-join
+# by the degree distribution (here deg<=~6 after undirection; at web
+# scale this is where you'd cap/sample hub degrees first).
+
+_QG03_BODY = """
+WITH deg AS (SELECT doc_id AS u, CAST(doc_id % 3 + 1 AS BIGINT) AS d
+             FROM documents),
+raw AS (
+  SELECT u, CAST((u * 7 + k) % (SELECT COUNT(*) FROM documents) AS BIGINT) AS v
+  FROM {EDGE_SRC}
+),
+und AS (
+  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+  FROM raw WHERE u <> v
+),
+wedges AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1 JOIN und e2 ON e1.b = e2.a
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM wedges w JOIN und e3 ON w.a = e3.a AND w.c = e3.b
+"""
+
+_EDGE_SRC_SPARK = (
+    "(SELECT u, d, explode(sequence(1, CAST(d AS INT))) AS k FROM deg)"
+)
+_EDGE_SRC_DUCK = "deg, LATERAL unnest(range(1, d + 1)) t(k)"
+
+QUERIES["qg03_triangle_count"] = lambda spark, sf: (
+    register_views(spark, sf)
+    or spark.sql(_QG03_BODY.replace("{EDGE_SRC}", _EDGE_SRC_SPARK))
+)
+ORACLE["qg03_triangle_count"] = _QG03_BODY.replace(
+    "{EDGE_SRC}", _EDGE_SRC_DUCK
+)

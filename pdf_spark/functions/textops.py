@@ -1781,3 +1781,58 @@ FROM strata s CROSS JOIN tot t
 """
 
 _pair("qt39_mixture_weights", _QT39_BODY, _QT39_BODY)
+
+# --- qt40: duplicated-window fraction (substring-level dedup signal) -----------
+#
+# The suffix-array substring dedup of Lee et al. 2022 ("Deduplicating
+# Training Data...") removes exact substrings repeated across the corpus;
+# the Spark-shaped approximation hashes every 20-token window (stride 1)
+# and asks what fraction of a doc's windows occur elsewhere too. Dataflow:
+# explode windows -> md5 -> global count per hash (map-side combined; the
+# count table is itself hash-keyed and uniform, the property that lets
+# this scale where key-skewed joins need salting) -> join back -> per-doc
+# dup-window fraction as an exact integer ratio. qt25 is the
+# paragraph-grain version; this is the finer n-gram grain that catches
+# partially-copied documents.
+
+_QT40_BODY = """
+WITH words AS (SELECT doc_id, {SPLIT} AS w FROM documents),
+wins AS (
+  SELECT doc_id, md5({JOINFN}) AS h
+  FROM (
+    SELECT doc_id, w, {IDX} AS i
+    FROM words{LATERAL} WHERE {SZ} >= 20
+  )
+),
+freq AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n FROM wins GROUP BY h),
+per_doc AS (
+  SELECT w.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM wins w JOIN freq f ON w.h = f.h
+  GROUP BY w.doc_id
+)
+SELECT doc_id, n_windows, n_dup,
+       ROUND(CAST(n_dup AS DOUBLE) / n_windows, 6) AS dup_fraction
+FROM per_doc
+"""
+
+_QT40_SPARK = (
+    _QT40_BODY
+    .replace("{SPLIT}", "split(text, ' ')")
+    .replace("{SZ}", "size(w)")
+    .replace("{IDX}", "explode(sequence(1, size(w) - 19))")
+    .replace("{LATERAL}", "")
+    .replace("{JOINFN}", "array_join(slice(w, i, 20), ' ')")
+)
+
+_QT40_DUCK = (
+    _QT40_BODY
+    .replace("{SPLIT}", "string_split(text, ' ')")
+    .replace("{SZ}", "len(w)")
+    .replace("{IDX}", "t.i")
+    .replace("{LATERAL}", ", LATERAL unnest(range(1, len(w) - 18)) t(i)")
+    .replace("{JOINFN}", "array_to_string(w[i:i+19], ' ')")
+)
+
+_pair("qt40_dup_window_fraction", _QT40_SPARK, _QT40_DUCK)
