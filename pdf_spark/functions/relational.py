@@ -855,3 +855,35 @@ def qr30(spark: SparkSession, sf: str) -> DataFrame:
         "metric",
         "val",
     ).select("o_orderpriority", "metric", F.round("val", 2).alias("val"))
+
+
+@q(
+    "qr31_quantile_sketch",
+    """SELECT l_returnflag,
+              ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_exact,
+              ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_exact,
+              (abs(approx_quantile(l_quantity, 0.5)
+                   - quantile_cont(l_quantity, 0.5))
+                 <= 0.10 * quantile_cont(l_quantity, 0.5)) AS sketch_p50_ok
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def qr31(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile sketch vs exact — the qt35 (HLL) contract for the OTHER
+    sketch family: exact percentiles (linear interpolation over order
+    statistics — a SORT, so deterministic across engines, unlike sums)
+    are hash-compared, while each engine asserts ITS OWN approximate
+    quantile (Spark approx_percentile, DuckDB approx_quantile — different
+    sketches) within 10% of its own exact value, the only contract a
+    sketch makes. At 10^12 rows the exact form needs a per-group sort;
+    the sketch is one mergeable KLL/t-digest pass — this query certifies
+    the sketch is usable as the drop-in."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_exact"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_exact"),
+        F.expr(
+            "abs(approx_percentile(l_quantity, 0.5, 10000)"
+            " - percentile(l_quantity, 0.5))"
+            " <= 0.10 * percentile(l_quantity, 0.5)"
+        ).alias("sketch_p50_ok"),
+    )
