@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pdf_spark.functions.tables import load
+from pdf_spark.functions.tables import load, register_views
 
 QUERIES = {}
 ORACLE = {}
@@ -887,3 +887,67 @@ def qr31(spark: SparkSession, sf: str) -> DataFrame:
             " <= 0.10 * percentile(l_quantity, 0.5)"
         ).alias("sketch_p50_ok"),
     )
+
+
+# --- qr32: per-segment NTILE deciles -------------------------------------------
+#
+# Equal-frequency bucketing inside bounded partitions. The window is
+# PARTITION BY c_mktsegment deliberately: a global `NTILE(n) OVER (ORDER
+# BY ...)` plans as a SinglePartition sort — the same 10^12-row
+# scale-killer qt38's AUC rewrite removed — while a partitioned NTILE
+# shuffles once on the partition key and sorts per group. At corpus
+# scale the global equivalent is qr31's mergeable quantile sketch; this
+# is the exact within-group form. NTILE's floor-based uneven-bucket rule
+# is standard SQL and identical in both engines; the (c_acctbal,
+# c_custkey) order makes the assignment deterministic under ties.
+
+_QR32_SQL = """
+WITH t AS (
+  SELECT c_mktsegment, c_acctbal,
+         NTILE(10) OVER (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal, c_custkey) AS decile
+  FROM customer
+)
+SELECT c_mktsegment, decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(c_acctbal), 2) AS lo,
+       ROUND(MAX(c_acctbal), 2) AS hi
+FROM t GROUP BY c_mktsegment, decile
+"""
+
+
+@q("qr32_ntile_deciles", _QR32_SQL)
+def qr32(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    return spark.sql(_QR32_SQL)
+
+
+# --- qr33: correlated scalar subqueries ----------------------------------------
+#
+# Orders priced above their own customer's average order value, written
+# as two correlated scalar subqueries so Catalyst's decorrelation
+# machinery (RewriteCorrelatedScalarSubquery) is exercised: the planned
+# shape is ONE aggregate over orders grouped by o_custkey joined back to
+# orders — never a per-row subquery execution. The comparison is done in
+# exact integer cents, cross-multiplied (price * n > total) instead of
+# dividing: AVG over DOUBLE is a float sum whose accumulation order
+# differs between engines and could flip rows at the boundary, while
+# BIGINT sums are order-independent — the qg01 lesson applied to
+# predicates.
+
+_QR33_SQL = """
+SELECT o.o_custkey, o.o_orderkey,
+       ROUND(o.o_totalprice, 2) AS price
+FROM orders o
+WHERE CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+        * (SELECT COUNT(*) FROM orders o2
+           WHERE o2.o_custkey = o.o_custkey)
+      > (SELECT SUM(CAST(ROUND(o2.o_totalprice * 100) AS BIGINT))
+         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@q("qr33_correlated_subquery", _QR33_SQL)
+def qr33(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    return spark.sql(_QR33_SQL)

@@ -471,3 +471,79 @@ def _pq_codes(dialect: str) -> str:
 
 
 _pair("qs11_product_quantization", _pq_codes("spark"), _pq_codes("duck"))
+
+
+# --- qs12: SemDeDup — semantic dedup inside embedding cells --------------------
+#
+# The SemDeDup recipe (Abbas et al. 2023): cluster the embedding space,
+# then dedup ONLY within each cluster — the clustering turns an O(N^2)
+# cosine dedup into K independent in-cell problems, the same
+# candidates-then-verify economics as qt11/qs08 but driven by semantic
+# cells instead of hash buckets. Cells here are the K=8 lowest-id
+# vectors as fixed centroids (deterministic, seedless — qs10's init
+# rule); assignment is a K-row broadcast hash join + argmin, so the
+# 10^12-row side never shuffles for assignment. Within a cell, a vector
+# is dropped when an earlier (lower vec_id) cell-mate has cosine >= the
+# threshold — the one-pass keep-first rule, exactly how production
+# SemDeDup resolves groups without iterating. Output one row per vector
+# (vec_id, cell, kept) so the result is hash-comparable at any scale.
+
+_SEMDEDUP_BODY = """
+WITH init AS (
+  SELECT vec_id AS cid, {DBL_VEC} AS c
+  FROM embeddings WHERE vec_id < 8
+),
+d AS (
+  SELECT e.vec_id, i.cid, {D2} AS d2
+  FROM embeddings e CROSS JOIN init i
+),
+a AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d) WHERE rn = 1
+),
+cand AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cell
+  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+),
+vecpos AS ({EXPLODE}),
+scored AS (
+  SELECT cd.vec_b,
+         SUM(CAST(pa.v AS DOUBLE) * CAST(pb.v AS DOUBLE))
+           / (SQRT(SUM(CAST(pa.v AS DOUBLE) * CAST(pa.v AS DOUBLE)))
+              * SQRT(SUM(CAST(pb.v AS DOUBLE) * CAST(pb.v AS DOUBLE))))
+           AS cos_sim
+  FROM cand cd
+  JOIN vecpos pa ON pa.vec_id = cd.vec_a
+  JOIN vecpos pb ON pb.vec_id = cd.vec_b AND pb.pos = pa.pos
+  GROUP BY cd.vec_a, cd.vec_b
+),
+dropped AS (SELECT DISTINCT vec_b FROM scored WHERE cos_sim >= 0.3)
+SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+       dr.vec_b IS NULL AS kept
+FROM a LEFT JOIN dropped dr ON a.vec_id = dr.vec_b
+"""
+
+_SEMDEDUP_D2_SPARK = (
+    "aggregate(zip_with(e.embedding, i.c, "
+    "(x, cc) -> (CAST(x AS DOUBLE) - cc) * (CAST(x AS DOUBLE) - cc)), "
+    "0.0D, (acc, v) -> acc + v)"
+)
+_SEMDEDUP_D2_DUCK = (
+    "list_aggregate(list_transform(range(1, 65), "
+    "j -> (CAST(e.embedding[j] AS DOUBLE) - i.c[j]) "
+    "* (CAST(e.embedding[j] AS DOUBLE) - i.c[j])), 'sum')"
+)
+
+_pair(
+    "qs12_semdedup",
+    _SEMDEDUP_BODY
+    .replace("{DBL_VEC}", "transform(embedding, x -> CAST(x AS DOUBLE))")
+    .replace("{D2}", _SEMDEDUP_D2_SPARK)
+    .replace("{EXPLODE}", _EXPLODE_SPARK),
+    _SEMDEDUP_BODY
+    .replace("{DBL_VEC}", "list_transform(embedding, x -> CAST(x AS DOUBLE))")
+    .replace("{D2}", _SEMDEDUP_D2_DUCK)
+    .replace("{EXPLODE}", _EXPLODE_DUCK),
+)

@@ -1836,3 +1836,75 @@ _QT40_DUCK = (
 )
 
 _pair("qt40_dup_window_fraction", _QT40_SPARK, _QT40_DUCK)
+
+
+# --- qt42: dedup-cluster representatives (keep-best) ---------------------------
+#
+# The step after clustering that actually builds the training corpus:
+# inside every near-dup cluster (qt14's min-label components over the
+# MinHash-LSH edge set) keep exactly one representative — the longest
+# document, doc_id as the deterministic tie-break — and count what the
+# cluster drops. The rep choice is a ROW_NUMBER window PARTITIONED BY
+# component: cluster sizes are bounded by near-dup density, never by
+# corpus size, so the window shuffles once on the component key and
+# sorts tiny groups — no global ordering anywhere. Reuses qt14's
+# propagated labels (cached view), so the LSH + propagation work is paid
+# once per session across both queries.
+
+_QT42_FINAL = """
+WITH sized AS (
+  SELECT l.doc_id, l.comp, d.n_chars
+  FROM qt14_labels l JOIN documents d ON l.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, comp, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY comp
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM sized
+)
+SELECT comp AS component,
+       CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS rep_doc_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS rep_n_chars,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+FROM ranked GROUP BY comp
+"""
+
+
+def _qt42(spark: SparkSession, sf: str) -> DataFrame:
+    _qt14(spark, sf)  # materializes/caches the qt14_labels view
+    return spark.sql(_QT42_FINAL)
+
+
+QUERIES["qt42_cluster_representatives"] = _qt42
+ORACLE["qt42_cluster_representatives"] = f"""
+WITH RECURSIVE sigs AS ({_MINHASH_DUCK}),
+edges AS ({_LSH_BODY.replace("{T}", "sigs")}),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM edges
+),
+reach(doc_id, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.doc_id
+),
+comp AS (SELECT doc_id, MIN(r) AS comp FROM reach GROUP BY doc_id),
+sized AS (
+  SELECT c.doc_id, c.comp, d.n_chars
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, comp, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY comp
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM sized
+)
+SELECT comp AS component,
+       CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS rep_doc_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS rep_n_chars,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+FROM ranked GROUP BY comp
+"""

@@ -275,3 +275,58 @@ SELECT doc_id,
        END AS url
 FROM documents
 """
+
+
+def _qt41(spark, sf):
+    """Domain-tier filtering (the RefinedWeb/CCNet URL-filter stage): build
+    five deterministic host classes from doc_id, cut each to its
+    registrable domain (approximate-PSL, [[registrable_domain]]), and
+    LEFT-join a broadcast blocklist of bad registrable domains — the
+    production shape where the blocklist (UT1/adult lists, ~1M domains)
+    is dimension-sized and the page table is 10^12 rows: blocklist
+    broadcast, fact side never shuffles. Output is the per-domain audit
+    (docs seen / docs blocked), one map-side-combined groupBy on a
+    5-value key. The oracle CONSTRUCTS the expected domains and counts
+    arithmetically per class, so it verifies the canonicalize -> host ->
+    registrable-domain chain end to end without reimplementing it."""
+    from pyspark.sql import functions as F
+
+    from pdf_spark.functions.tables import load
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    url = (
+        F.when(i % 5 == 0, F.concat(F.lit("https://ads.TRACKER-NET.com/px?id="), s))
+        .when(i % 5 == 1, F.concat(F.lit("HTTPS://www.News.example.CO.UK:443/a/"), s))
+        .when(i % 5 == 2, F.concat(F.lit("http://blog.example.org/p"), s))
+        .when(i % 5 == 3, F.concat(F.lit("http://SPAM-FARM.net/l"), s, F.lit("#x")))
+        .otherwise(F.concat(F.lit("https://shop.example.com.au:8080/i"), s))
+    )
+    dom = registrable_domain(host_of(canonicalize_url(url)))
+    block = spark.createDataFrame(
+        [("tracker-net.com",), ("spam-farm.net",)], "bad_domain string"
+    )
+    joined = docs.select(dom.alias("domain")).join(
+        F.broadcast(block), F.col("domain") == F.col("bad_domain"), "left"
+    )
+    return joined.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count("bad_domain").cast("bigint").alias("n_blocked"),
+    )
+
+
+QUERIES["qt41_domain_blocklist"] = _qt41
+ORACLE["qt41_domain_blocklist"] = """
+WITH cls AS (SELECT CAST(doc_id % 5 AS INT) AS c FROM documents)
+SELECT CASE c
+         WHEN 0 THEN 'tracker-net.com'
+         WHEN 1 THEN 'example.co.uk'
+         WHEN 2 THEN 'example.org'
+         WHEN 3 THEN 'spam-farm.net'
+         ELSE 'example.com.au'
+       END AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(CASE WHEN c IN (0, 3) THEN COUNT(*) ELSE 0 END AS BIGINT) AS n_blocked
+FROM cls GROUP BY c
+"""
