@@ -33,6 +33,11 @@ def main() -> None:
         help="also write this run's extracted text as WET archives here",
     )
     ap.add_argument(
+        "--jsonl-out",
+        default=None,
+        help="also write this run's extracted text as gzip JSONL shards here",
+    )
+    ap.add_argument(
         "--format",
         choices=("parquet", "warc"),
         default="parquet",
@@ -73,6 +78,20 @@ def main() -> None:
         parts = write_wet(run_docs, args.wet_out)
         summary["wet_files"] = len(parts)
         summary["wet_records"] = sum(n for _, n in parts)
+    if args.jsonl_out:
+        from pyspark.sql import functions as F
+
+        from pdf_spark.sources.jsonl import write_jsonl
+
+        run_docs = (
+            spark.read.parquet(summary["docs_path"])
+            .where(F.col("run_id") == summary["run_id"])
+            .where(F.col("text").isNotNull())
+            .select("url", "text")
+        )
+        parts = write_jsonl(run_docs, args.jsonl_out, sort_cols=["url"])
+        summary["jsonl_files"] = len(parts)
+        summary["jsonl_records"] = sum(n for _, n in parts)
     print(json.dumps(summary))
     spark.stop()
 
