@@ -327,3 +327,55 @@ def stream_interval_join(
     return joined.select(
         "purchase_id", F.col("p_user").alias("user_id"), "view_id"
     )
+
+
+def upsert_batch(docs_batch: DataFrame, batch_id: int, out_dir: str) -> bool:
+    """Idempotent micro-batch writer for non-transactional sinks.
+
+    Structured Streaming replays a micro-batch after failure with the
+    SAME batch_id; a sink without transactional append (JDBC, plain
+    object-store prefix) must make the replay a no-op itself. The
+    standard recipe, implemented here: (1) a committed-marker check
+    keyed by batch_id short-circuits replays of finished batches;
+    (2) the data write is mode("overwrite") into a batch_id-suffixed
+    prefix, so replaying a HALF-written batch overwrites the partial
+    output instead of appending next to it; (3) the marker is created
+    only after the write returns — write-then-commit order is what makes
+    the pair exactly-once. Returns True if the batch was written, False
+    if it was a replay skip."""
+    import os
+
+    marker_dir = os.path.join(out_dir, "_committed")
+    os.makedirs(marker_dir, exist_ok=True)
+    marker = os.path.join(marker_dir, str(batch_id))
+    if os.path.exists(marker):  # replayed, already fully committed
+        return False
+    (
+        docs_batch.write.mode("overwrite")
+        .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return True
+
+
+def stream_extract_upsert(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming extraction through a foreachBatch exactly-once upsert
+    sink (the deployment shape when the sink is not a transactional
+    file sink — e.g. a warehouse table). Batch twin: stream_extract."""
+    stream = read_pages_stream(spark, pages_dir)
+    docs = extract_docs_text(stream)
+    return (
+        docs.writeStream.foreachBatch(
+            lambda df, bid: upsert_batch(df, bid, out_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -287,3 +287,41 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == expected and len(expected) > 0
+
+
+def test_foreachbatch_upsert_exactly_once(spark, tmp_path):
+    """foreachBatch upsert sink: replayed batches are no-ops, restart
+    from checkpoint adds nothing, totals match the batch pipeline."""
+    import glob
+
+    from pdf_spark.streaming.extract_stream import (
+        stream_extract_upsert,
+        upsert_batch,
+    )
+
+    texts = [f"upsert doc {i} body words" for i in range(30)]
+    pages_dir = str(tmp_path / "pages")
+    pdf = pd.DataFrame(rows_for_texts(texts))
+    spark.createDataFrame(pdf).repartition(4).write.parquet(pages_dir)
+
+    out_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_extract_upsert(spark, pages_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    data_glob = os.path.join(out_dir, "batch_id=*")
+    total = spark.read.parquet(*glob.glob(data_glob))
+    assert total.count() == len(texts)
+    assert total.select("url").distinct().count() == len(texts)
+
+    # manual replay of an already-committed batch id: skipped, no growth
+    some = spark.read.parquet(pages_dir).limit(5)
+    from pdf_spark.operators.extract import extract_docs_text as _edt
+
+    assert upsert_batch(_edt(some), 0, out_dir) is False
+    assert spark.read.parquet(*glob.glob(data_glob)).count() == len(texts)
+
+    # restart from the same checkpoint: availableNow re-run adds nothing
+    q2 = stream_extract_upsert(spark, pages_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(*glob.glob(data_glob)).count() == len(texts)
