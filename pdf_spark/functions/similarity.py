@@ -547,3 +547,86 @@ _pair(
     .replace("{D2}", _SEMDEDUP_D2_DUCK)
     .replace("{EXPLODE}", _EXPLODE_DUCK),
 )
+
+# --- qs13: IVF recall contract ---------------------------------------------------
+#
+# The recall certification for the qs07 scale path — the qr31/qt35
+# "contract query" pattern applied to ANN: compute the EXACT brute-force
+# top-10 for the query vector (the qs02 ground truth) and the IVF
+# answer at nprobe=1 and nprobe=2 (searching the query's 1 or 2 nearest
+# centroid cells), and report hits@10 / recall@10 per nprobe. This is
+# the number a 10^9-vector deployment tunes against: nprobe trades scan
+# fraction (nprobe/K of the corpus) for recall, and the cross-engine
+# hash-equality of this query certifies the whole chain — centroid
+# build, cell assignment, probe ranking, in-cell top-k — is
+# deterministic. Rankings order by ROUND(sim, 4) with vec_id tie-break
+# (the qs02 contract) so float summation order can't flip adjacent
+# ranks between engines. Monotonicity (recall@nprobe=2 >= @nprobe=1)
+# holds by construction since the candidate set only grows.
+
+_QS13_BODY = """
+WITH cents AS (
+  SELECT label AS clabel, pos, AVG(CAST(v AS DOUBLE)) AS c
+  FROM ({EXPLODE}) GROUP BY label, pos
+),
+vecpos AS (
+  SELECT vec_id, pos, CAST(v AS DOUBLE) AS x FROM ({EXPLODE})
+),
+dots AS (
+  SELECT v.vec_id, c.clabel,
+         SUM(v.x * c.c) / (SQRT(SUM(v.x * v.x)) * SQRT(SUM(c.c * c.c))) AS cos
+  FROM vecpos v JOIN cents c ON v.pos = c.pos
+  GROUP BY v.vec_id, c.clabel
+),
+cells AS (
+  SELECT vec_id, clabel AS cell FROM (
+    SELECT vec_id, clabel,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+    FROM dots) t WHERE rn = 1
+),
+qrank AS (
+  SELECT clabel AS cell,
+         ROW_NUMBER() OVER (ORDER BY cos DESC, clabel) AS cell_rank
+  FROM dots WHERE vec_id = 0
+),
+q AS (SELECT pos, x AS qx FROM vecpos WHERE vec_id = 0),
+scored AS (
+  SELECT v.vec_id,
+         ROUND(SUM(v.x * q.qx)
+               / (SQRT(SUM(v.x * v.x)) * SQRT(SUM(q.qx * q.qx))), 4) AS sim
+  FROM vecpos v JOIN q ON v.pos = q.pos
+  WHERE v.vec_id <> 0
+  GROUP BY v.vec_id
+),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rn
+    FROM scored) t WHERE rn <= 10
+),
+probes AS (SELECT 1 AS nprobe UNION ALL SELECT 2 AS nprobe),
+ivf AS (
+  SELECT p.nprobe, s.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY p.nprobe
+                            ORDER BY s.sim DESC, s.vec_id) AS rn
+  FROM probes p
+  JOIN qrank r ON r.cell_rank <= p.nprobe
+  JOIN cells c ON c.cell = r.cell AND c.vec_id <> 0
+  JOIN scored s ON s.vec_id = c.vec_id
+),
+hits AS (
+  SELECT i.nprobe, COUNT(*) AS n_hits
+  FROM ivf i JOIN exact e ON i.vec_id = e.vec_id
+  WHERE i.rn <= 10 GROUP BY i.nprobe
+)
+SELECT p.nprobe,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS hits_at_10,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_10
+FROM probes p LEFT JOIN hits h ON p.nprobe = h.nprobe
+ORDER BY p.nprobe
+"""
+
+_pair(
+    "qs13_ivf_recall",
+    _QS13_BODY.replace("{EXPLODE}", _EXPLODE_SPARK),
+    _QS13_BODY.replace("{EXPLODE}", _EXPLODE_DUCK),
+)
