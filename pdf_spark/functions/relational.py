@@ -951,3 +951,96 @@ WHERE CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
 def qr33(spark: SparkSession, sf: str) -> DataFrame:
     register_views(spark, sf)
     return spark.sql(_QR33_SQL)
+
+
+# --- qr34: bloom-filter semi-join (runtime-filter pattern) -----------------------
+#
+# The runtime-filter shape every 10^12-row engine ships (Spark's
+# spark.sql.optimizer.runtime.bloomFilter, Trino dynamic filtering,
+# DataFusion's join pruning), made explicit and CERTIFIED: a selective
+# build side (orders with o_totalprice > 490000, ~2% of orders) hashes
+# each key into an m=65536-bit / k=2 bloom (positions = two disjoint
+# 16-bit windows of md5(key) — identical hex in both engines, nibbles
+# parsed with pure string ops, the qt05/qt08 hashing contract); the
+# DISTINCT set bit positions aggregate into ONE broadcast scalar array
+# (<= 2|build| entries, bounded by 65536 — dimension-sized at any corpus
+# scale), and the probe (lineitem) applies the membership test MAP-SIDE
+# before any join. The output certifies the two properties a runtime
+# filter must have: n_true == n_exact (a bloom NEVER drops a true match
+# — zero false negatives, reported as a boolean the cross-engine hash
+# pins) and the measured false-positive rate (honest: grows as the
+# build side saturates m; real deployments size m from the build-side
+# count). At 10^12 probe rows this turns "shuffle everything, join,
+# discard 98%" into "scan-side filter to ~2% + fp, then join the
+# survivors".
+
+def _hash16(col: str, off: int) -> str:
+    """16-bit integer from 4 hex nibbles of md5 column `col` at 1-based `off`."""
+    nibs = [
+        f"(instr('0123456789abcdef', substr({col}, {off + i}, 1)) - 1)"
+        for i in range(4)
+    ]
+    mults = (4096, 256, 16, 1)
+    return "(" + " + ".join(f"{n} * {m}" for n, m in zip(nibs, mults)) + ")"
+
+
+_QR34_BODY = """
+WITH build AS (
+  SELECT DISTINCT o_orderkey AS k, md5(CAST(o_orderkey AS STRING)) AS h
+  FROM orders WHERE o_totalprice > 490000
+),
+bits AS (
+  SELECT DISTINCT p FROM (
+    SELECT {P1} AS p FROM build
+    UNION ALL
+    SELECT {P2} AS p FROM build
+  ) t
+),
+bloom AS (SELECT {AGG} AS bs FROM bits),
+probe AS (
+  SELECT l_orderkey, md5(CAST(l_orderkey AS STRING)) AS h FROM lineitem
+),
+cand AS (
+  SELECT p.l_orderkey
+  FROM probe p CROSS JOIN bloom b
+  WHERE {CONTAINS}(b.bs, {P1p}) AND {CONTAINS}(b.bs, {P2p})
+),
+counted AS (
+  SELECT COUNT(*) AS n_candidates,
+         SUM(CASE WHEN bk.k IS NOT NULL THEN 1 ELSE 0 END) AS n_true
+  FROM cand c LEFT JOIN (SELECT k FROM build) bk ON c.l_orderkey = bk.k
+),
+exactn AS (
+  SELECT COUNT(*) AS n_exact
+  FROM lineitem l JOIN (SELECT k FROM build) bk ON l.l_orderkey = bk.k
+),
+tot AS (SELECT COUNT(*) AS n_probe FROM lineitem)
+SELECT CAST(e.n_exact AS BIGINT) AS n_exact,
+       CAST(c.n_candidates AS BIGINT) AS n_candidates,
+       CAST(c.n_candidates - c.n_true AS BIGINT) AS n_false_pos,
+       c.n_true = e.n_exact AS no_false_negatives,
+       ROUND(CAST(c.n_candidates - c.n_true AS DOUBLE)
+             / CAST(t.n_probe AS DOUBLE), 6) AS fp_rate
+FROM counted c CROSS JOIN exactn e CROSS JOIN tot t
+"""
+
+_QR34_SPARK = (
+    _QR34_BODY
+    .replace("{P1p}", _hash16("p.h", 1)).replace("{P2p}", _hash16("p.h", 5))
+    .replace("{P1}", _hash16("h", 1)).replace("{P2}", _hash16("h", 5))
+    .replace("{AGG}", "collect_set(p)")
+    .replace("{CONTAINS}", "array_contains")
+)
+_QR34_DUCK = (
+    _QR34_BODY
+    .replace("{P1p}", _hash16("p.h", 1)).replace("{P2p}", _hash16("p.h", 5))
+    .replace("{P1}", _hash16("h", 1)).replace("{P2}", _hash16("h", 5))
+    .replace("{AGG}", "list(DISTINCT p)")
+    .replace("{CONTAINS}", "list_contains")
+)
+
+
+@q("qr34_bloom_semijoin", _QR34_DUCK)
+def qr34(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    return spark.sql(_QR34_SPARK)
