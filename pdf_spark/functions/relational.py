@@ -1044,3 +1044,77 @@ _QR34_DUCK = (
 def qr34(spark: SparkSession, sf: str) -> DataFrame:
     register_views(spark, sf)
     return spark.sql(_QR34_SPARK)
+
+
+# --- qr35: Z-order layout + min-max chunk skipping -------------------------------
+#
+# The data-LAYOUT lever at 100 TB (Delta OPTIMIZE ZORDER, Iceberg
+# sort-order rewrite): interleaving the bits of two filter columns into
+# one sort key co-locates 2-D-close rows into the same files, so
+# parquet footer min-max stats prune both dimensions at once. This
+# query builds the 12-bit z-value (6 bits per dimension, pure integer
+# arithmetic — identical in both engines), splits the corpus into 64
+# equal chunks under (a) z-order and (b) the natural key order, computes
+# each chunk's min-max envelope (exactly what a parquet footer stores),
+# and reports the fraction of chunks a 2-D range predicate skips under
+# each layout — the measured number that justifies paying the layout
+# sort. NTILE here is the measurement harness over a bounded sample;
+# the production writer is repartitionByRange(zval) +
+# sortWithinPartitions (a range-partitioned sort, never a single
+# global window over the corpus).
+
+def _zexpr(div: str) -> str:
+    terms = []
+    for i in range(6):
+        terms.append(f"((a {div} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((b {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+_QR35_BODY = """
+WITH pts AS (
+  SELECT o_orderkey AS k,
+         CAST(o_custkey % 64 AS BIGINT) AS a,
+         CAST(CAST(date_part('doy', o_orderdate) AS BIGINT) % 64 AS BIGINT) AS b
+  FROM orders
+),
+z AS (SELECT k, a, b, {ZEXPR} AS zval FROM pts),
+zc AS (SELECT a, b, NTILE(64) OVER (ORDER BY zval, k) AS chunk FROM z),
+nc AS (SELECT a, b, NTILE(64) OVER (ORDER BY k) AS chunk FROM z),
+zstat AS (
+  SELECT chunk, MIN(a) AS mina, MAX(a) AS maxa,
+         MIN(b) AS minb, MAX(b) AS maxb
+  FROM zc GROUP BY chunk
+),
+nstat AS (
+  SELECT chunk, MIN(a) AS mina, MAX(a) AS maxa,
+         MIN(b) AS minb, MAX(b) AS maxb
+  FROM nc GROUP BY chunk
+),
+hits AS (
+  SELECT 'zorder' AS layout, COUNT(*) AS n_chunks,
+         SUM(CASE WHEN mina <= 23 AND maxa >= 8
+                   AND minb <= 31 AND maxb >= 16 THEN 1 ELSE 0 END) AS n_scan
+  FROM zstat
+  UNION ALL
+  SELECT 'linear' AS layout, COUNT(*) AS n_chunks,
+         SUM(CASE WHEN mina <= 23 AND maxa >= 8
+                   AND minb <= 31 AND maxb >= 16 THEN 1 ELSE 0 END) AS n_scan
+  FROM nstat
+)
+SELECT layout,
+       CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(n_scan AS BIGINT) AS chunks_scanned,
+       ROUND(1.0 - CAST(n_scan AS DOUBLE) / CAST(n_chunks AS DOUBLE), 6)
+         AS skip_fraction
+FROM hits ORDER BY layout
+"""
+
+_QR35_SPARK = _QR35_BODY.replace("{ZEXPR}", _zexpr("div"))
+_QR35_DUCK = _QR35_BODY.replace("{ZEXPR}", _zexpr("//"))
+
+
+@q("qr35_zorder_skipping", _QR35_DUCK)
+def qr35(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    return spark.sql(_QR35_SPARK)
