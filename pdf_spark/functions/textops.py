@@ -1908,3 +1908,77 @@ SELECT comp AS component,
        CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
 FROM ranked GROUP BY comp
 """
+
+# --- qt43: count-min sketch heavy hitters ---------------------------------------
+#
+# Completes the mergeable-sketch triptych (qt35 = HLL distinct count,
+# qr31 = quantile sketch): a d=2 x w=16 count-min sketch over the
+# token stream, certified against the exact counts of the exact top-10
+# tokens. Each CMS row j buckets a token by a disjoint 16-bit md5
+# window mod 1024 (the qt05/qt08 hashing contract — identical hex in
+# both engines, nibbles via instr string ops); row counts are one
+# map-side-combined groupBy per row over (bucket) — 2 x w counters
+# total, mergeable across partitions/days by simple addition, which is
+# why CMS is the 10^12-row streaming-frequency structure. w=16 here —
+# deliberately UNDERSIZED for the corpus's 31-token vocabulary so
+# collisions actually occur and the error law is demonstrated, not
+# vacuous (a production sketch sizes w ~ e/eps). The estimate
+# is min_j cms[j][bucket_j(tok)], and the output pins the CMS's
+# one-sided error law: est >= true ALWAYS (never_undercounts boolean
+# the cross-engine hash certifies) with the observed overestimate
+# reported per token (collision mass; shrinks as w grows).
+
+def _cms_bucket(col: str, off: int) -> str:
+    """(16-bit md5 window at 1-based hex offset `off`) % 16."""
+    nibs = [
+        f"(instr('0123456789abcdef', substr({col}, {off + i}, 1)) - 1)"
+        for i in range(4)
+    ]
+    mults = (4096, 256, 16, 1)
+    word = " + ".join(f"{n} * {m}" for n, m in zip(nibs, mults))
+    return f"(({word}) % 16)"
+
+
+_QT43_BODY = f"""
+WITH toks AS (
+  SELECT tok, md5(tok) AS h FROM ({{EXPLODE}}) t WHERE tok <> ''
+),
+hashed AS (
+  SELECT tok, {_cms_bucket('h', 1)} AS b0, {_cms_bucket('h', 9)} AS b1
+  FROM toks
+),
+cms0 AS (SELECT b0 AS bucket, COUNT(*) AS cnt FROM hashed GROUP BY b0),
+cms1 AS (SELECT b1 AS bucket, COUNT(*) AS cnt FROM hashed GROUP BY b1),
+exact AS (
+  SELECT tok, COUNT(*) AS true_cnt,
+         MIN(b0) AS b0, MIN(b1) AS b1
+  FROM hashed GROUP BY tok
+),
+top10 AS (
+  SELECT tok, true_cnt, b0, b1 FROM exact
+  ORDER BY true_cnt DESC, tok LIMIT 10
+),
+est AS (
+  SELECT t.tok, t.true_cnt,
+         CASE WHEN c0.cnt < c1.cnt THEN c0.cnt ELSE c1.cnt END AS est_cnt
+  FROM top10 t
+  JOIN cms0 c0 ON c0.bucket = t.b0
+  JOIN cms1 c1 ON c1.bucket = t.b1
+)
+SELECT tok, CAST(true_cnt AS BIGINT) AS true_cnt,
+       CAST(est_cnt AS BIGINT) AS est_cnt,
+       CAST(est_cnt - true_cnt AS BIGINT) AS overestimate,
+       est_cnt >= true_cnt AS never_undercounts
+FROM est ORDER BY true_cnt DESC, tok
+"""
+
+_QT43_SPARK = _QT43_BODY.replace(
+    "{EXPLODE}",
+    "SELECT explode(split(text, ' ')) AS tok FROM documents",
+)
+_QT43_DUCK = _QT43_BODY.replace(
+    "{EXPLODE}",
+    "SELECT unnest(string_split(text, ' ')) AS tok FROM documents",
+)
+
+_pair("qt43_countmin_heavyhitters", _QT43_SPARK, _QT43_DUCK)
