@@ -1118,3 +1118,46 @@ _QR35_DUCK = _QR35_BODY.replace("{ZEXPR}", _zexpr("//"))
 def qr35(spark: SparkSession, sf: str) -> DataFrame:
     register_views(spark, sf)
     return spark.sql(_QR35_SPARK)
+
+
+# --- qr36: SCD2 validity intervals ------------------------------------------------
+#
+# The warehouse temporal-modeling core (slowly-changing-dimension type
+# 2): the event stream is read as per-key attribute OBSERVATIONS, runs
+# of the unchanged attribute collapse (LAG detects change points — only
+# a change opens a new version), and each version gets
+# [valid_from, valid_to) via LEAD, the open version flagged is_current
+# with valid_to NULL. This is how a 10^12-row crawl archive models
+# "what was this page's language/content-type between March and May":
+# both windows PARTITION BY the key (user here) so no partition ever
+# holds more than one key's history — scale-bounded by the hottest key,
+# never the corpus. Ties inside a key break on event_id so the change
+# detection is deterministic under identical timestamps.
+
+_QR36_SQL = """
+WITH obs AS (
+  SELECT user_id, event_id, ts, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_id, ts, event_type FROM obs
+  WHERE prev IS NULL OR prev <> event_type
+),
+versions AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS valid_to
+  FROM changes
+)
+SELECT user_id, event_type, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM versions
+"""
+
+
+@q("qr36_scd2_intervals", _QR36_SQL)
+def qr36(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    return spark.sql(_QR36_SQL)

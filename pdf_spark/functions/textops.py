@@ -1982,3 +1982,73 @@ _QT43_DUCK = _QT43_BODY.replace(
 )
 
 _pair("qt43_countmin_heavyhitters", _QT43_SPARK, _QT43_DUCK)
+
+# --- qt44: rendezvous-hash sharding + minimal-movement law -----------------------
+#
+# The shard-assignment op for a GROWING 10^12-doc corpus: rendezvous
+# (highest-random-weight) hashing — shard(doc, S) = argmax over shards
+# s of md5(doc_id || '|' || s) — has the property mod-hashing lacks:
+# growing S -> S+1 moves EXACTLY the docs whose new weight on the added
+# shard wins (expected 1/(S+1) of the corpus), and every moved doc
+# lands ON the new shard — nothing reshuffles between old shards. This
+# query computes assignments at S=16 and S=17 and CERTIFIES both halves
+# of that law cross-engine: all_moves_to_new pins the destination,
+# moved_frac reports the movement mass (vs the 1/17 expectation; mod-16
+# -> mod-17 would move ~16/17 of everything). Weights are 16-bit md5
+# windows (the qt05 hashing contract), ties broken by shard id; the
+# explode is docs x 33 hashes — map-side, one argmax groupBy per S.
+
+def _cms_bucket_word(h: str) -> str:
+    """Full 16-bit weight from the first 4 hex nibbles of md5 expr `h`."""
+    nibs = [
+        f"(instr('0123456789abcdef', substr({h}, {1 + i}, 1)) - 1)"
+        for i in range(4)
+    ]
+    mults = (4096, 256, 16, 1)
+    return "(" + " + ".join(f"{n} * {m}" for n, m in zip(nibs, mults)) + ")"
+
+
+_QT44_BODY = f"""
+WITH shards AS ({{SEQ}}),
+w AS (
+  SELECT d.doc_id, s.s,
+         {_cms_bucket_word("md5(CAST(d.doc_id AS STRING) || '|' || CAST(s.s AS STRING))")} AS wt
+  FROM documents d CROSS JOIN shards s
+),
+a16 AS (
+  SELECT doc_id, s AS shard16 FROM (
+    SELECT doc_id, s,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY wt DESC, s) AS rn
+    FROM w WHERE s < 16) t WHERE rn = 1
+),
+a17 AS (
+  SELECT doc_id, s AS shard17 FROM (
+    SELECT doc_id, s,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY wt DESC, s) AS rn
+    FROM w) t WHERE rn = 1
+),
+j AS (
+  SELECT a16.doc_id, shard16, shard17,
+         CASE WHEN shard16 <> shard17 THEN 1 ELSE 0 END AS moved
+  FROM a16 JOIN a17 ON a16.doc_id = a17.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(moved) AS BIGINT) AS n_moved,
+       ROUND(CAST(SUM(moved) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS moved_frac,
+       ROUND(1.0 / 17.0, 6) AS expected_frac,
+       SUM(CASE WHEN moved = 1 AND shard17 <> 16 THEN 1 ELSE 0 END) = 0
+         AS all_moves_to_new
+FROM j
+"""
+
+_QT44_SPARK = _QT44_BODY.replace(
+    "{SEQ}", "SELECT explode(sequence(0, 16)) AS s"
+)
+_QT44_DUCK = _QT44_BODY.replace(
+    "{SEQ}", "SELECT CAST(unnest(range(0, 17)) AS BIGINT) AS s"
+)
+
+_pair("qt44_rendezvous_sharding", _QT44_SPARK, _QT44_DUCK)
