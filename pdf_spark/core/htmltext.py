@@ -66,20 +66,58 @@ def looks_like_html(data: bytes) -> bool:
 
 _CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)", re.I)
 
+# mojibake signature: a 2- or 3-byte UTF-8 sequence read as latin-1/cp1252 —
+# lead char U+00C2..U+00EF followed by chars in the continuation range
+# U+0080..U+00BF (plus the cp1252 remaps of 0x80..0x9F). 'Ã©' for 'é' etc.
+_MOJI_CONT = (
+    "\u0080-\u00bf"  # continuation bytes under a latin-1 read
+    "\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030\u0160"
+    "\u2039\u0152\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014"
+    "\u02dc\u2122\u0161\u203a\u0153\u017e\u0178"  # cp1252 0x80-0x9f
+)
+_MOJI_RE = re.compile(f"[\u00c2-\u00ef][{_MOJI_CONT}]")
+
+
+def _repair_double_utf8(text: str) -> str:
+    """Undo double-encoded UTF-8 ("mojibake": UTF-8 bytes decoded as
+    latin-1/cp1252, then re-served as UTF-8 — a standing fraction of any
+    real crawl). Conservative: repairs only when >= 3 signature digraphs
+    are present, the whole text strictly round-trips (encode latin-1 or
+    cp1252 -> decode UTF-8), and the repair strictly reduces the
+    signature count — genuine text about 'Ã' can't trip all three. At
+    most two passes (triple-encoding exists in the wild but is rare)."""
+    for _ in range(2):
+        sigs = len(_MOJI_RE.findall(text))
+        if sigs < 3:
+            return text
+        repaired = None
+        for enc in ("latin-1", "cp1252"):
+            try:
+                repaired = text.encode(enc).decode("utf-8")
+                break
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+        if repaired is None or len(_MOJI_RE.findall(repaired)) >= sigs:
+            return text
+        text = repaired
+    return text
+
 
 def decode_html(data: bytes) -> str:
     if data[:3] == b"\xef\xbb\xbf":
-        return data[3:].decode("utf-8", "replace")
+        return _repair_double_utf8(data[3:].decode("utf-8", "replace"))
     m = _CHARSET_RE.search(data[:2048])
     if m:
         try:
-            return data.decode(m.group(1).decode("ascii"), "replace")
+            return _repair_double_utf8(
+                data.decode(m.group(1).decode("ascii"), "replace")
+            )
         except (LookupError, UnicodeDecodeError):
             pass
     try:
-        return data.decode("utf-8")
+        return _repair_double_utf8(data.decode("utf-8"))
     except UnicodeDecodeError:
-        return data.decode("windows-1252", "replace")
+        return _repair_double_utf8(data.decode("windows-1252", "replace"))
 
 
 # --- tokenizer --------------------------------------------------------------

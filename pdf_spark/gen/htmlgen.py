@@ -53,12 +53,23 @@ INTRO_LINE = (
 WIN1251_SUBST = {"a": "а", "e": "е", "o": "о", "c": "с"}
 
 
+# html_mojibake payload substitution: Latin -> accented latin-1 chars whose
+# UTF-8 encodings, re-read as latin-1, produce the classic 'Ã©'-style
+# digraphs — the variant discriminates the double-UTF-8 repair end to end
+# (an unrepaired decode yields the digraphs, not the expected text).
+MOJIBAKE_SUBST = {"a": "á", "e": "é", "o": "ó", "u": "ú", "c": "ç"}
+
+
 def expected_for_variant(name: str, lines: list[str]) -> str:
     if name in ("html_messy", "html_table_list"):
         lines = [INTRO_LINE] + lines
     elif name == "html_win1251":
         lines = [
             "".join(WIN1251_SUBST.get(c, c) for c in l) for l in lines
+        ]
+    elif name == "html_mojibake":
+        lines = [
+            "".join(MOJIBAKE_SUBST.get(c, c) for c in l) for l in lines
         ]
     return expected_html_text(lines)
 
@@ -74,6 +85,11 @@ def expected_markdown_for_variant(name: str, lines: list[str]) -> str:
     if name == "html_win1251":
         return "\n\n".join(
             " ".join("".join(WIN1251_SUBST.get(c, c) for c in l).split())
+            for l in lines
+        )
+    if name == "html_mojibake":
+        return "\n\n".join(
+            " ".join("".join(MOJIBAKE_SUBST.get(c, c) for c in l).split())
             for l in lines
         )
     if name == "html_table_list":
@@ -145,6 +161,26 @@ def html_article(lines: list[str]) -> bytes:
         + "</body></html>"
     )
     return page.encode("utf-8")
+
+
+def html_mojibake(lines: list[str]) -> bytes:
+    """Double-encoded UTF-8 page (the crawl-scale mojibake class): the
+    accented payload's UTF-8 bytes were read as latin-1 by a broken
+    origin stack and re-served as UTF-8 under a ``charset=utf-8`` meta.
+    Only the ``_repair_double_utf8`` pass yields the expected text; a
+    naive decode extracts 'Ã©'-style digraphs."""
+    subst = ["".join(MOJIBAKE_SUBST.get(c, c) for c in l) for l in lines]
+    paras = "".join(f"<p>{escape(l)}</p>" for l in subst)
+    page = (
+        "<!DOCTYPE html><html>"
+        + _HEAD
+        + "<body>"
+        + _NAV
+        + f"<main><article>{paras}</article></main>"
+        + _FOOTER
+        + "</body></html>"
+    )
+    return page.encode("utf-8").decode("latin-1").encode("utf-8")
 
 
 def html_messy(lines: list[str]) -> bytes:

@@ -1221,6 +1221,9 @@ _GOOD_VARIANTS = [
     ("html_table_list", lambda L: _htmlgen().html_table_list(L)),
     ("html_win1251", lambda L: _htmlgen().html_win1251(L)),
     ("html_structured", lambda L: _htmlgen().html_structured(L)),
+    # double-encoded UTF-8 (mojibake): the decode path must detect and
+    # repair UTF-8-read-as-latin-1 before segmentation.
+    ("html_mojibake", lambda L: _htmlgen().html_mojibake(L)),
     # gzip transport encoding (Content-Encoding: gzip stored raw — common
     # in crawl archives): same documents, wrapped; dispatch must unwrap.
     ("html_gzip", lambda L: _gzip(_htmlgen().html_article(L))),

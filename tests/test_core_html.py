@@ -515,3 +515,47 @@ class TestMarkdown:
             page = getattr(hg, name)(lines)
             assert extract_markdown(page) == \
                 hg.expected_markdown_for_variant(name, lines), name
+
+
+class TestMojibakeRepair:
+    def test_double_utf8_repaired(self):
+        from pdf_spark.core.htmltext import _repair_double_utf8
+
+        orig = "Un café élégant à São Paulo — ação, 10€ de órgão"
+        assert _repair_double_utf8(orig.encode("utf-8").decode("latin-1")) == orig
+
+    def test_cp1252_flavour_repaired(self):
+        from pdf_spark.core.htmltext import _repair_double_utf8
+
+        # chars whose UTF-8 bytes are all cp1252-mappable (no 0x81/0x8d/
+        # 0x8f/0x90/0x9d continuation bytes — those arrive as U+FFFD and
+        # are unrecoverable, which ftfy calls "sloppy-1252" territory)
+        orig = "curly “quotes and – dashes — and €uro"
+        moji = orig.encode("utf-8").decode("cp1252")
+        assert _repair_double_utf8(moji) == orig
+
+    def test_triple_encoding_two_passes(self):
+        from pdf_spark.core.htmltext import _repair_double_utf8
+
+        orig = "ação é órgão común"
+        moji2 = (orig.encode("utf-8").decode("latin-1")
+                 .encode("utf-8").decode("latin-1"))
+        assert _repair_double_utf8(moji2) == orig
+
+    def test_genuine_accents_untouched(self):
+        from pdf_spark.core.htmltext import _repair_double_utf8
+
+        clean = "naïve café résumé — déjà vu"
+        assert _repair_double_utf8(clean) == clean
+
+    def test_variant_end_to_end(self):
+        from pdf_spark.core.htmltext import extract_main_text, extract_markdown
+        from pdf_spark.gen import htmlgen as hg
+        from pdf_spark.gen.pdfgen import wrap_lines
+
+        lines = wrap_lines("repair sample about economy and culture " * 6)
+        page = hg.html_mojibake(lines)
+        assert extract_main_text(page) == \
+            hg.expected_for_variant("html_mojibake", lines)
+        assert extract_markdown(page) == \
+            hg.expected_markdown_for_variant("html_mojibake", lines)
