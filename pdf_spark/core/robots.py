@@ -139,3 +139,66 @@ def allowed_mask(
     """Vector form for batch evaluation: one parse, many paths."""
     groups = parse_robots(data)
     return [is_allowed(groups, agent, p) for p in paths]
+
+
+def parse_crawl_delays(data: bytes) -> list:
+    """robots.txt bytes -> list of (agents, delay_seconds) groups.
+
+    Crawl-delay is an extension directive (outside RFC 9309's grammar
+    but honored by Bing/Yandex and emitted by a large fraction of real
+    robots files); group boundaries follow the same rules as
+    parse_robots. Non-numeric / negative values are ignored; fractional
+    seconds are kept (some CDNs emit '0.5')."""
+    groups: list = []
+    agents: list = []
+    delay = None
+    in_rules = False
+    for raw in data.split(b"\n"):
+        hash_at = raw.find(b"#")
+        if hash_at != -1:
+            raw = raw[:hash_at]
+        m = _LINE_RE.match(raw)
+        if m is None:
+            continue
+        key = m.group(1).lower()
+        val = m.group(2)
+        if key == b"user-agent":
+            if in_rules:
+                if agents:
+                    groups.append((agents, delay))
+                agents, delay, in_rules = [], None, False
+            agents.append(val.lower().decode("utf-8", "replace"))
+        elif key == b"crawl-delay":
+            in_rules = True
+            try:
+                d = float(val.decode("ascii", "replace").strip())
+                if d >= 0:
+                    delay = d
+            except ValueError:
+                pass
+        elif key in (b"allow", b"disallow", b"sitemap"):
+            in_rules = True
+    if agents:
+        groups.append((agents, delay))
+    return groups
+
+
+def crawl_delay_for(data: bytes, agent: str) -> Optional[float]:
+    """The effective Crawl-delay for `agent`: longest-token agent match
+    with '*' fallback (same group selection as the Allow/Disallow path);
+    None when the selected group (or the whole file) sets no delay."""
+    agent = agent.lower()
+    best_len = -1
+    best: Optional[float] = None
+    star: Optional[float] = None
+    saw_star = False
+    for agents, delay in parse_crawl_delays(data):
+        for tok in agents:
+            if tok == "*":
+                if not saw_star:
+                    star = delay
+                    saw_star = True
+            elif tok and tok in agent and len(tok) > best_len:
+                best_len = len(tok)
+                best = delay
+    return best if best_len >= 0 else star

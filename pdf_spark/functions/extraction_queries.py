@@ -1742,3 +1742,81 @@ QUERIES["qx24_html_markdown"] = _qx24
 ORACLE["qx24_html_markdown"] = (
     "SELECT doc_id, CAST('t' AS BOOLEAN) AS ok FROM documents"
 )
+
+
+def _qx25(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host politeness scheduling (the crawler op downstream of
+    robots + frontier): each doc's robots.txt carries a Crawl-delay for
+    our agent (host-consistent: 1 + (doc_id%20)%5 s) and a '*' group
+    with a decoy delay that must NOT be selected; the REAL parser
+    (`core/robots.crawl_delay_for`, longest-agent-match with '*'
+    fallback) extracts it, then the fetch schedule is DECLARATIVE:
+    fetch_slot = ROW_NUMBER() PARTITION BY host ORDER BY url, fetch_at_s
+    = slot * delay. At 10^12 frontier URLs the window is bounded by the
+    hottest host (the true constraint a polite crawler schedules
+    around), never the corpus; the oracle recomputes the delay
+    arithmetically so a wrong group selection fails the value hash."""
+    from pdf_spark.core.robots import crawl_delay_for
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("url", StringType()),
+            StructField("crawl_delay", LongType()),
+        ]
+    )
+
+    def schedule(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"host": [], "url": [], "crawl_delay": []}
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                h = i % 20
+                robots = (
+                    "User-agent: trainbot\n"
+                    f"Crawl-delay: {1 + h % 5}\n"
+                    "Disallow: /private/\n"
+                    "\n"
+                    "User-agent: *\n"
+                    "Crawl-delay: 60\n"
+                ).encode()
+                delay = crawl_delay_for(robots, "trainbot/1.0")
+                host = f"host{h}.example"
+                for j in range(2 + i % 3):
+                    out["host"].append(host)
+                    out["url"].append(f"https://{host}/doc{i}/p{j}")
+                    out["crawl_delay"].append(int(delay))
+            yield pd.DataFrame(out)
+
+    per_url = docs.mapInPandas(schedule, schema)
+    per_url.createOrReplaceTempView("qx25_frontier")
+    return spark.sql(
+        """
+        SELECT host, url, crawl_delay,
+               CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) - 1
+                    AS BIGINT) AS fetch_slot,
+               CAST((ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) - 1)
+                    * crawl_delay AS BIGINT) AS fetch_at_s
+        FROM qx25_frontier
+        """
+    )
+
+
+QUERIES["qx25_politeness_schedule"] = _qx25
+ORACLE["qx25_politeness_schedule"] = """
+WITH frontier AS (
+  SELECT 'host' || (doc_id % 20) || '.example' AS host,
+         'https://host' || (doc_id % 20) || '.example/doc' || doc_id
+           || '/p' || j AS url,
+         CAST(1 + (doc_id % 20) % 5 AS BIGINT) AS crawl_delay
+  FROM documents,
+       LATERAL (SELECT unnest(range(0, 2 + documents.doc_id % 3)) AS j)
+)
+SELECT host, url, crawl_delay,
+       CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) - 1
+            AS BIGINT) AS fetch_slot,
+       CAST((ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) - 1)
+            * crawl_delay AS BIGINT) AS fetch_at_s
+FROM frontier
+"""

@@ -93,3 +93,45 @@ def test_adversarial_wildcards_linear():
     for _ in range(100):
         assert pm(hostile, path) is False
     assert time.perf_counter() - t0 < 1.0
+
+
+class TestCrawlDelay:
+    def test_agent_group_wins_over_star(self):
+        from pdf_spark.core.robots import crawl_delay_for
+
+        r = (b"User-agent: trainbot\nCrawl-delay: 3\nDisallow: /x\n\n"
+             b"User-agent: *\nCrawl-delay: 60\n")
+        assert crawl_delay_for(r, "trainbot/1.0") == 3.0
+        assert crawl_delay_for(r, "otherbot") == 60.0
+
+    def test_no_delay_is_none(self):
+        from pdf_spark.core.robots import crawl_delay_for
+
+        assert crawl_delay_for(b"User-agent: *\nDisallow: /\n", "bot") is None
+
+    def test_invalid_values_ignored(self):
+        from pdf_spark.core.robots import crawl_delay_for
+
+        assert crawl_delay_for(b"User-agent: a\nCrawl-delay: -5\n", "a") is None
+        assert crawl_delay_for(b"User-agent: a\nCrawl-delay: soon\n", "a") is None
+
+    def test_fractional_kept(self):
+        from pdf_spark.core.robots import crawl_delay_for
+
+        assert crawl_delay_for(b"User-agent: a\nCrawl-delay: 0.5\n", "a") == 0.5
+
+    def test_longest_token_match(self):
+        from pdf_spark.core.robots import crawl_delay_for
+
+        r = (b"User-agent: train\nCrawl-delay: 9\n\n"
+             b"User-agent: trainbot\nCrawl-delay: 2\n")
+        assert crawl_delay_for(r, "trainbot/1.0") == 2.0
+
+    def test_shared_group_boundaries_with_rules_parser(self):
+        # a directive line ends the user-agent run exactly as in
+        # parse_robots: the second UA opens a NEW group
+        from pdf_spark.core.robots import crawl_delay_for
+
+        r = (b"User-agent: a\nDisallow: /x\nUser-agent: b\nCrawl-delay: 7\n")
+        assert crawl_delay_for(r, "a") is None
+        assert crawl_delay_for(r, "b") == 7.0
