@@ -1161,3 +1161,82 @@ FROM versions
 def qr36(spark: SparkSession, sf: str) -> DataFrame:
     register_views(spark, sf)
     return spark.sql(_QR36_SQL)
+
+
+# --- qr37: CDC MERGE apply, certified against direct construction ----------------
+#
+# The warehouse ingestion op (MERGE INTO / Iceberg-Delta upsert apply):
+# base = per-key ((user, event_type) entity) latest state before the
+# cutoff; changelog = per-key latest post-cutoff event, value < 5
+# mapped to a DELETE op (the CDC op column convention); apply = ONE
+# full outer join on the key — update
+# wins over base, insert appears, delete drops. The query CERTIFIES the
+# apply: the merged snapshot must equal DIRECT construction from the
+# full history under the same rules (matches_direct boolean, pinned by
+# the cross-engine hash) — the idempotence/consistency property every
+# incremental ingestion pipeline must hold at 10^12 rows, where
+# reprocessing history is unaffordable and the delta path MUST land on
+# the same state. Per-key windows + one key-partitioned join: bounded
+# by the hottest key, never the corpus.
+
+_QR37_SQL = """
+WITH latest_pre AS (
+  SELECT user_id, event_type, value, ts FROM (
+    SELECT user_id, event_type, value, ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts < TIMESTAMP '2024-01-30 00:00:00') t
+  WHERE rn = 1
+),
+changes AS (
+  SELECT user_id, event_type, value, ts,
+         CASE WHEN value < 5.0 THEN 'D' ELSE 'U' END AS op
+  FROM (
+    SELECT user_id, event_type, value, ts, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts >= TIMESTAMP '2024-01-30 00:00:00') t
+  WHERE rn = 1
+),
+merged AS (
+  SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+         COALESCE(c.event_type, b.event_type) AS event_type,
+         CASE WHEN c.user_id IS NOT NULL THEN c.value ELSE b.value END AS value,
+         CASE WHEN c.user_id IS NOT NULL THEN c.ts ELSE b.ts END AS ts,
+         CASE WHEN c.user_id IS NULL THEN 'carried'
+              WHEN b.user_id IS NULL THEN 'inserted'
+              ELSE 'updated' END AS src,
+         COALESCE(c.op, 'U') AS op
+  FROM latest_pre b FULL OUTER JOIN changes c
+    ON b.user_id = c.user_id AND b.event_type = c.event_type
+),
+final AS (
+  SELECT user_id, event_type, value, ts, src FROM merged WHERE op <> 'D'
+),
+direct AS (
+  SELECT user_id, event_type, value, ts FROM (
+    SELECT user_id, event_type, value, ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) t
+  WHERE rn = 1
+    AND NOT (ts >= TIMESTAMP '2024-01-30 00:00:00' AND value < 5.0)
+),
+diff AS (
+  SELECT COUNT(*) AS n_mismatch
+  FROM final f FULL OUTER JOIN direct d
+    ON f.user_id = d.user_id AND f.event_type = d.event_type
+       AND f.ts = d.ts AND f.value = d.value
+  WHERE f.user_id IS NULL OR d.user_id IS NULL
+)
+SELECT src,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       (SELECT n_mismatch FROM diff) = 0 AS matches_direct
+FROM final GROUP BY src ORDER BY src
+"""
+
+
+@q("qr37_cdc_merge_apply", _QR37_SQL)
+def qr37(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    return spark.sql(_QR37_SQL)
