@@ -630,3 +630,63 @@ _pair(
     _QS13_BODY.replace("{EXPLODE}", _EXPLODE_SPARK),
     _QS13_BODY.replace("{EXPLODE}", _EXPLODE_DUCK),
 )
+
+# --- qs14: Matryoshka dimension-truncation contract -------------------------------
+#
+# The embedding-STORAGE counterpart of qs13's index contract: serving
+# stacks (MRL — Kusupati et al. 2022 — and every "shortlist on the
+# first d dims, rerank on all" design) rank with a PREFIX of the vector
+# to cut memory/bandwidth 4x and rerank survivors at full width. This
+# query measures what that truncation costs on THIS corpus: top-10 by
+# full 64-dim cosine vs top-10 by 16-dim-prefix cosine, reported as
+# overlap@10 — and certifies the safety property shortlisting relies
+# on: a shortlist of 3x the final k already contains the entire full-
+# width top-10 — reported as shortlist_needed, the max truncated rank
+# over the full top-10, i.e. the EXACT shortlist depth at which prefix
+# ranking + full rerank is lossless on this corpus (the number a
+# deployment sets its shortlist multiplier from). Rankings order by
+# ROUND(sim, 4) + vec_id (the qs02 tie contract).
+
+_QS14_BODY = """
+WITH vecpos AS (
+  SELECT vec_id, pos, CAST(v AS DOUBLE) AS x FROM ({EXPLODE})
+),
+q AS (SELECT pos, x AS qx FROM vecpos WHERE vec_id = 0),
+full_sim AS (
+  SELECT v.vec_id,
+         ROUND(SUM(v.x * q.qx)
+               / (SQRT(SUM(v.x * v.x)) * SQRT(SUM(q.qx * q.qx))), 4) AS sim
+  FROM vecpos v JOIN q ON v.pos = q.pos
+  WHERE v.vec_id <> 0 GROUP BY v.vec_id
+),
+trunc_sim AS (
+  SELECT v.vec_id,
+         ROUND(SUM(v.x * q.qx)
+               / (SQRT(SUM(v.x * v.x)) * SQRT(SUM(q.qx * q.qx))), 4) AS sim
+  FROM vecpos v JOIN q ON v.pos = q.pos
+  WHERE v.vec_id <> 0 AND v.pos < 16 AND q.pos < 16
+  GROUP BY v.vec_id
+),
+full_top AS (
+  SELECT vec_id, rn FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rn
+    FROM full_sim) t WHERE rn <= 10
+),
+trunc_rank AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rn
+  FROM trunc_sim
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(SUM(CASE WHEN tr.rn <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS overlap_at_10,
+       ROUND(CAST(SUM(CASE WHEN tr.rn <= 10 THEN 1 ELSE 0 END) AS DOUBLE)
+             / 10.0, 6) AS overlap_frac,
+       CAST(MAX(tr.rn) AS BIGINT) AS shortlist_needed
+FROM full_top f JOIN trunc_rank tr ON f.vec_id = tr.vec_id
+"""
+
+_pair(
+    "qs14_matryoshka_truncation",
+    _QS14_BODY.replace("{EXPLODE}", _EXPLODE_SPARK),
+    _QS14_BODY.replace("{EXPLODE}", _EXPLODE_DUCK),
+)

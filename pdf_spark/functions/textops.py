@@ -2052,3 +2052,59 @@ _QT44_DUCK = _QT44_BODY.replace(
 )
 
 _pair("qt44_rendezvous_sharding", _QT44_SPARK, _QT44_DUCK)
+
+# --- qt45: train/val/test split + near-dup leakage audit --------------------------
+#
+# Split hygiene — the step between dedup and training: a DETERMINISTIC
+# hash split (3 md5 nibbles of the doc key = 12 bits -> 98/1/1 by
+# threshold; disjoint and stable by construction, no RNG, no shuffle —
+# the only split rule that survives reruns and backfills at 10^12
+# docs), then the audit every eval set needs: an eval doc that shares a
+# MinHash-LSH band bucket (the qt06 2-band scheme) with ANY train doc
+# is contamination — its near-duplicate was trained on, and eval loss
+# on it is dishonest (the Lee et al. 2022 / GPT-3 dedup-eval concern).
+# Per split: doc count + distinct leaked eval docs (band equi-joins
+# propose, exactly the candidates-then-verify shape; train row audits
+# as 0 by definition). Docs under 3 tokens carry no signature and sit
+# outside the audit (same domain rule as qt05/qt06).
+
+_QT45_SPLIT_NIBS = (
+    "( (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 2, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 3, 1)) - 1) )"
+)
+
+_QT45_BODY = f"""
+WITH sigs AS ({{SIGS}}),
+lab AS (
+  SELECT doc_id, h0, h1, h2, h3,
+         CASE WHEN {_QT45_SPLIT_NIBS} < 4015 THEN 'train'
+              WHEN {_QT45_SPLIT_NIBS} < 4056 THEN 'val'
+              ELSE 'test' END AS split
+  FROM sigs
+),
+train AS (SELECT * FROM lab WHERE split = 'train'),
+ev AS (SELECT * FROM lab WHERE split <> 'train'),
+leaks AS (
+  SELECT e.doc_id, e.split
+  FROM ev e JOIN train t ON e.h0 = t.h0 AND e.h1 = t.h1
+  UNION
+  SELECT e.doc_id, e.split
+  FROM ev e JOIN train t ON e.h2 = t.h2 AND e.h3 = t.h3
+),
+leak_counts AS (
+  SELECT split, COUNT(DISTINCT doc_id) AS n_leaked
+  FROM leaks GROUP BY split
+)
+SELECT l.split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(MAX(k.n_leaked), 0) AS BIGINT) AS n_leaked_docs
+FROM lab l LEFT JOIN leak_counts k ON l.split = k.split
+GROUP BY l.split ORDER BY l.split
+"""
+
+_pair(
+    "qt45_split_leakage_audit",
+    _QT45_BODY.replace("{SIGS}", _MINHASH_SPARK),
+    _QT45_BODY.replace("{SIGS}", _MINHASH_DUCK),
+)
