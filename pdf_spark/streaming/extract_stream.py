@@ -379,3 +379,32 @@ def stream_extract_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_enrich_static(
+    spark: SparkSession, pages_dir: str, dim: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of extracted docs
+    broadcast-joins a STATIC dimension (here: a per-lang policy table —
+    sampling weight + quality floor, the shape of every "join the crawl
+    stream to the allowlist/config/centroid table" step). Stream-static
+    joins keep NO state (the static side is just re-joined per batch),
+    so this is the zero-state enrichment path — at 10^12 stream rows the
+    only requirement is that the dim stays broadcast-sized, which a
+    policy/config table is by construction. The broadcast hint keeps
+    Catalyst from ever planning the static side into a shuffle. Returns
+    the unstarted DataFrame."""
+    stream = read_pages_stream(spark, pages_dir)
+    docs = extract_docs_text(stream, passthrough=("lang",))
+    return (
+        docs.join(F.broadcast(dim), "lang", "left")
+        .select(
+            "url",
+            "lang",
+            "status",
+            F.coalesce("sample_weight", F.lit(1.0)).alias("sample_weight"),
+            F.coalesce("min_chars", F.lit(0)).alias("min_chars"),
+            (F.length(F.coalesce("text", F.lit("")))
+             >= F.coalesce("min_chars", F.lit(0))).alias("passes_floor"),
+        )
+    )

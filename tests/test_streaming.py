@@ -325,3 +325,49 @@ def test_foreachbatch_upsert_exactly_once(spark, tmp_path):
     q2 = stream_extract_upsert(spark, pages_dir, out_dir, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(*glob.glob(data_glob)).count() == len(texts)
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path):
+    """Stream-static broadcast enrichment: drained stream output equals
+    the same join run in batch; unmatched langs fall to the defaults."""
+    from pdf_spark.streaming.extract_stream import stream_enrich_static
+
+    texts = [f"enrich doc {i} with content words" for i in range(30)]
+    pages_dir = os.path.join(str(tmp_path), "pages")
+    spark.createDataFrame(pd.DataFrame(rows_for_texts(texts))).repartition(
+        3
+    ).write.parquet(pages_dir)
+
+    dim = spark.createDataFrame(
+        [("en", 1.5, 10), ("de", 0.5, 5)],
+        "lang string, sample_weight double, min_chars int",
+    )
+    out = stream_enrich_static(spark, pages_dir, dim)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.table("enriched")
+    batch = (
+        extract_docs_text(spark.read.parquet(pages_dir), passthrough=("lang",))
+        .join(F.broadcast(dim), "lang", "left")
+        .select(
+            "url",
+            "lang",
+            "status",
+            F.coalesce("sample_weight", F.lit(1.0)).alias("sample_weight"),
+            F.coalesce("min_chars", F.lit(0)).alias("min_chars"),
+            (F.length(F.coalesce("text", F.lit("")))
+             >= F.coalesce("min_chars", F.lit(0))).alias("passes_floor"),
+        )
+    )
+    diff = streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
+    assert diff == 0
+    assert streamed.count() == len(texts)
+    # default branch actually exercised: some lang outside the dim table
+    assert streamed.filter("sample_weight = 1.0 AND min_chars = 0").count() > 0
