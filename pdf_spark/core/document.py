@@ -304,12 +304,13 @@ class Resolver:
 
     __slots__ = (
         "buf", "version", "xref", "trailer", "_cache", "_objstm_cache",
-        "_scavenged", "_decryptor", "_encrypt_oid",
+        "_scavenged", "_decryptor", "_encrypt_oid", "_hidden_ocgs",
     )
 
     def __init__(self, buf: bytes) -> None:
         self.buf = buf
         self.version = parse_header(buf)
+        self._hidden_ocgs = None
         self._cache: dict[tuple[int, int], Any] = {}
         self._objstm_cache: dict[int, tuple[bytes, list[tuple[int, int]]]] = {}
         self._scavenged = False
@@ -596,6 +597,51 @@ class Resolver:
         if cat.get("Type") != Name("Catalog"):
             raise PdfError(INCORRECT_TYPE, "Root is not /Type/Catalog")
         return cat
+
+    def hidden_ocgs(self) -> frozenset:
+        """Identity set (``id()`` of the resolved OCG dict — stable, the
+        resolver memoizes per (obj_id, gen)) of optional-content groups
+        that are OFF in the document's DEFAULT configuration
+        (``/OCProperties /D``, PDF 32000-1 §8.11.4.3): ``/BaseState``
+        applies first (default ON; /OFF turns every /OCGs member off),
+        then ``/ON`` re-enables, then ``/OFF`` disables. Malformed or
+        absent optional-content data -> empty set (everything visible).
+
+        EXTENSION — the reference's catalog deserde marks OCProperties
+        unimplemented (``catalog.c:38``); the interpreter uses this set to
+        drop watermark/alternate-layer text a viewer never shows."""
+        if self._hidden_ocgs is not None:
+            return self._hidden_ocgs
+        hidden: set = set()
+        try:
+            ocp = self.resolve(self.catalog().get("OCProperties"))
+            if isinstance(ocp, dict):
+                d = self.resolve(ocp.get("D"))
+                if isinstance(d, dict):
+                    if self.resolve(d.get("BaseState")) == Name("OFF"):
+                        groups = self.resolve(ocp.get("OCGs"))
+                        if isinstance(groups, list):
+                            for g in groups:
+                                g = self.resolve(g)
+                                if isinstance(g, dict):
+                                    hidden.add(id(g))
+                    on = self.resolve(d.get("ON"))
+                    if isinstance(on, list):
+                        for g in on:
+                            g = self.resolve(g)
+                            if isinstance(g, dict):
+                                hidden.discard(id(g))
+                    off = self.resolve(d.get("OFF"))
+                    if isinstance(off, list):
+                        for g in off:
+                            g = self.resolve(g)
+                            if isinstance(g, dict):
+                                hidden.add(id(g))
+        except PdfError:
+            hidden = set()
+        result = frozenset(hidden)
+        self._hidden_ocgs = result
+        return result
 
     def iter_pages(self) -> Iterator[dict]:
         """DFS over the page tree with attribute inheritance and a depth cap

@@ -46,6 +46,11 @@ Mat = tuple[float, float, float, float, float, float]
 IDENTITY: Mat = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 FORM_DEPTH_CAP = 32
 
+# marked-content-stack sentinel for an open hidden optional-content scope
+# (BDC /OC over an OFF layer); distinct from None (plain scope) and from
+# the mutable ActualText pair
+_OC_HIDDEN = object()
+
 
 def mat_mul(m: Mat, n: Mat) -> Mat:
     """Row-vector convention: result = m · n (points transform as p·m·n)."""
@@ -168,6 +173,9 @@ class Interpreter:
         # open /ActualText scope's mutable [replacement_text, emitted] pair
         self._mc_stack: list = []
         self._actual: Optional[list] = None
+        # count of open hidden optional-content scopes (§8.11.3): while
+        # > 0, _show_tj advances geometry but emits no spans
+        self._hidden = 0
 
     # -- resource lookup --
 
@@ -333,7 +341,9 @@ class Interpreter:
             elif op == "EMC":
                 if len(self._mc_stack) > mc_base:
                     ent = self._mc_stack.pop()
-                    if ent is not None and ent is self._actual:
+                    if ent is _OC_HIDDEN:
+                        self._hidden -= 1
+                    elif ent is not None and ent is self._actual:
                         self._actual = None
             else:  # pragma: no cover — parser already filters
                 pass
@@ -341,6 +351,9 @@ class Interpreter:
         # BMC/BDC..EMC balance WITHIN one stream, §14.6); a form's open
         # ActualText scope must not suppress the caller's text
         if len(self._mc_stack) > mc_base:
+            for e in self._mc_stack[mc_base:]:
+                if e is _OC_HIDDEN:
+                    self._hidden -= 1
             if self._actual is not None and any(
                 e is self._actual for e in self._mc_stack[mc_base:]
             ):
@@ -363,9 +376,19 @@ class Interpreter:
         extracted text for those documents. A scope containing no show op
         contributes nothing (there is no geometry to anchor the text to).
         A missing named property list is skipped silently (same leniency
-        direction as ``gs``)."""
+        direction as ``gs``).
+
+        EXTENSION — optional content (§8.11.3): a ``/OC`` tag whose
+        property list is an OCG that is OFF in the document's default
+        configuration (or an OCMD whose membership policy evaluates
+        not-visible) opens a HIDDEN scope: geometry still advances but no
+        spans are emitted until the matching EMC. The reference's catalog
+        deserde marks /OCProperties unimplemented (catalog.c:38); real
+        corpora carry watermark/alternate-language layers OFF by default,
+        and a viewer never shows them — so neither does the extractor."""
         entry = None
-        if self._actual is None and len(args) >= 2:
+        props = None
+        if len(args) >= 2:
             props = args[1]
             if isinstance(props, Name):
                 try:
@@ -373,12 +396,51 @@ class Interpreter:
                 except PdfError:
                     props = None
             props = self.resolver.resolve(props)
-            if isinstance(props, dict):
-                at = self.resolver.resolve(props.get("ActualText"))
-                if isinstance(at, (bytes, bytearray)):
-                    entry = [decode_text_string(bytes(at)), False]
-                    self._actual = entry
+        if args and args[0] == Name("OC"):
+            if isinstance(props, dict) and self._oc_hidden(props):
+                self._hidden += 1
+                entry = _OC_HIDDEN
+        elif self._actual is None and isinstance(props, dict):
+            at = self.resolver.resolve(props.get("ActualText"))
+            if isinstance(at, (bytes, bytearray)):
+                entry = [decode_text_string(bytes(at)), False]
+                self._actual = entry
         self._mc_stack.append(entry)
+
+    def _oc_hidden(self, props: dict) -> bool:
+        """Visibility of an optional-content scope/XObject (§8.11.2.3-4):
+        a plain ``/Type/OCG`` is hidden iff it is OFF in the default
+        config; a ``/Type/OCMD`` evaluates its ``/P`` policy (AnyOn
+        default, AllOn, AnyOff, AllOff) over ``/OCGs`` (single dict or
+        array). No members / unknown shape -> visible (fail-open: what a
+        viewer shows when optional-content data is malformed). ``/VE``
+        visibility expressions are not evaluated (rare; fail-open keeps
+        their text)."""
+        hidden = self.resolver.hidden_ocgs()
+        if props.get("Type") == Name("OCMD"):
+            ocgs = self.resolver.resolve(props.get("OCGs"))
+            if isinstance(ocgs, dict):
+                ocgs = [ocgs]
+            states = []  # True = that member group is OFF
+            if isinstance(ocgs, list):
+                for g in ocgs:
+                    g = self.resolver.resolve(g)
+                    if isinstance(g, dict):
+                        states.append(id(g) in hidden)
+            if not states:
+                return False
+            p = self.resolver.resolve(props.get("P"))
+            pol = str(p) if isinstance(p, Name) else "AnyOn"
+            if pol == "AllOn":
+                visible = not any(states)
+            elif pol == "AnyOff":
+                visible = any(states)
+            elif pol == "AllOff":
+                visible = all(states)
+            else:  # AnyOn (spec default)
+                visible = not all(states)
+            return not visible
+        return id(props) in hidden
 
     # -- the TJ span emitter (render.c:651-704 + text_state.c:27-118) --
 
@@ -429,7 +491,7 @@ class Interpreter:
                     # text, emitted once at the first show's position
                     text = actual[0] if not actual[1] else ""
                     actual[1] = True
-                if text:
+                if text and not self._hidden:
                     self.spans.append(
                         Span(
                             self.page,
@@ -457,7 +519,7 @@ class Interpreter:
             ) * th
             if _SURROGATE_RE.search(text):
                 text = _fix_surrogates(text)
-            if text:
+            if text and not self._hidden:
                 self.spans.append(
                     Span(
                         self.page,
@@ -519,6 +581,13 @@ class Interpreter:
             return  # reference LOG_TODOs images; extraction skips them
         if subtype != Name("Form"):
             raise PdfError(INCORRECT_TYPE, f"XObject subtype {subtype!r}")
+        # optional-content XObject (§8.11.3.2): a form whose /OC evaluates
+        # hidden in the default config is skipped whole, like a viewer
+        oc = obj.dict.get("OC")
+        if oc is not None:
+            oc_props = self.resolver.resolve(oc)
+            if isinstance(oc_props, dict) and self._oc_hidden(oc_props):
+                return
         form_ctm = ctm
         matrix = self.resolver.resolve(obj.dict.get("Matrix"))
         if isinstance(matrix, list) and len(matrix) == 6:

@@ -657,6 +657,86 @@ def _extgstate_doc(lines: list[str]) -> bytes:
     return b.build(cat)
 
 
+def _ocg_layers_doc(lines: list[str]) -> bytes:
+    """Optional-content layers (PDF 32000-1 §8.11; engine EXTENSION — the
+    reference's catalog deserde marks /OCProperties unimplemented,
+    catalog.c:38). Default config: body layer ON, watermark layer OFF.
+
+    - line 0 sits inside a ``/OC /P1 BDC..EMC`` scope over the ON group
+      (visible -> kept);
+    - a DRAFT banner sits inside a ``/OC /P2`` scope over the OFF group,
+      positioned BETWEEN the visible lines (dropped — and only because the
+      scope is evaluated, not because of sort order);
+    - the last line (when >1) sits inside ``/OC /P3`` naming an OCMD with
+      ``/P /AnyOff`` over the OFF group (policy evaluates VISIBLE -> kept);
+    - a form XObject whose dict carries ``/OC`` = the OFF group stamps more
+      junk (dropped whole at ``Do``).
+
+    Expected text = exactly ``lines``."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    ocg_on = b.add(b"<</Type/OCG/Name(Body)>>")
+    ocg_off = b.add(b"<</Type/OCG/Name(Watermark)>>")
+    ocmd = b.add(
+        b"<</Type/OCMD/OCGs[" + str(ocg_off).encode() + b" 0 R]/P/AnyOff>>"
+    )
+    ops = [b"BT", b"/F1 " + _n(FONT_SIZE) + b" Tf"]
+    last = len(lines) - 1
+    for i, line in enumerate(lines):
+        y = TOP_Y - i * LINE_HEIGHT
+        ops.append(b"1 0 0 1 " + _n(LEFT_X) + b" " + _n(y) + b" Tm")
+        shown = b"(" + esc(line) + b") Tj"
+        if i == 0:
+            ops += [b"/OC /P1 BDC", shown, b"EMC"]
+        elif i == last:
+            ops += [b"/OC /P3 BDC", shown, b"EMC"]
+        else:
+            ops.append(shown)
+        if i == 0:
+            # hidden watermark BETWEEN visible lines: same x, a y midway
+            # into the body — included, it would sort into the middle
+            ops.append(
+                b"1 0 0 1 " + _n(LEFT_X) + b" "
+                + _n(TOP_Y - 0.5 * LINE_HEIGHT) + b" Tm"
+            )
+            ops += [b"/OC /P2 BDC", b"(DRAFT DRAFT DRAFT) Tj", b"EMC"]
+    ops.append(b"ET")
+    form = b.stream(
+        b"BT /F1 " + _n(FONT_SIZE) + b" Tf (CONFIDENTIAL) Tj ET",
+        extra_dict=(
+            b"/Type/XObject/Subtype/Form/BBox[0 0 612 792]"
+            b"/Matrix[1 0 0 1 " + _n(LEFT_X) + b" " + _n(TOP_Y) + b"]"
+            b"/OC " + str(ocg_off).encode() + b" 0 R"
+            b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        ),
+    )
+    cont = b.stream(b"\n".join(ops) + b"\nq /Fm1 Do Q", filters="FlateDecode")
+    b.set(
+        cat,
+        b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R"
+        b"/OCProperties<</OCGs["
+        + str(ocg_on).encode() + b" 0 R " + str(ocg_off).encode() + b" 0 R]"
+        b"/D<</ON[" + str(ocg_on).encode() + b" 0 R]"
+        b"/OFF[" + str(ocg_off).encode() + b" 0 R]>>>>>>",
+    )
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>"
+        b"/XObject<</Fm1 " + str(form).encode() + b" 0 R>>"
+        b"/Properties<</P1 " + str(ocg_on).encode() + b" 0 R"
+        b"/P2 " + str(ocg_off).encode() + b" 0 R"
+        b"/P3 " + str(ocmd).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
 def _content_hex_byte_lines(lines_bytes: list[bytes]) -> bytes:
     """Tm-positioned lines shown as hex strings of pre-encoded raw bytes."""
     ops = [b"BT", b"/F1 " + _n(FONT_SIZE) + b" Tf"]
@@ -1242,6 +1322,10 @@ _GOOD_VARIANTS = [
     # extractor must apply (core/extract._apply_page_rotation).
     ("rotate90", lambda L: _rotated_doc(L, 90)),
     ("rotate270", lambda L: _rotated_doc(L, 270)),
+    # optional-content layers (§8.11): watermark layer OFF by default —
+    # its text (BDC /OC scope + /OC form XObject) must be dropped, the ON
+    # layer and an /AnyOff OCMD scope kept.
+    ("ocg_layers", lambda L: _ocg_layers_doc(L)),
 ]
 
 

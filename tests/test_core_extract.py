@@ -910,6 +910,171 @@ class TestType3FontMatrix:
         assert (status, text) == ("ok", "abc"), code
 
 
+class TestOptionalContent:
+    """Optional-content layers (§8.11): text in OFF layers is dropped, ON
+    layers and policy-visible OCMDs kept. EXTENSION — the reference's
+    catalog deserde marks /OCProperties unimplemented (catalog.c:38)."""
+
+    @staticmethod
+    def _doc(ocprops: bytes | None, content_ops: bytes,
+             extra_props: bytes = b"") -> bytes:
+        from pdf_spark.gen.pdfgen import PdfBuilder
+
+        b = PdfBuilder()
+        cat = b.reserve()
+        pages = b.reserve()
+        page = b.reserve()
+        font = b.add(b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>")
+        # objects 5/6: the ON and OFF groups referenced by the templates
+        g1 = b.add(b"<</Type/OCG/Name(L1)>>")
+        g2 = b.add(b"<</Type/OCG/Name(L2)>>")
+        content = content_ops.replace(b"{G1}", str(g1).encode()).replace(
+            b"{G2}", str(g2).encode()
+        )
+        cont = b.stream(content)
+        cat_body = b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R"
+        if ocprops is not None:
+            cat_body += (
+                b"/OCProperties"
+                + ocprops.replace(b"{G1}", str(g1).encode()).replace(
+                    b"{G2}", str(g2).encode()
+                )
+            )
+        b.set(cat, cat_body + b">>")
+        b.set(
+            pages,
+            b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>",
+        )
+        props = (
+            b"/Properties<</P1 " + str(g1).encode() + b" 0 R"
+            b"/P2 " + str(g2).encode() + b" 0 R" + extra_props.replace(
+                b"{G1}", str(g1).encode()
+            ).replace(b"{G2}", str(g2).encode()) + b">>"
+        )
+        b.set(
+            page,
+            b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+            b"/MediaBox[0 0 612 792]"
+            b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>"
+            + props + b">>"
+            b"/Contents " + str(cont).encode() + b" 0 R>>",
+        )
+        return b.build(cat)
+
+    _TWO_SCOPES = (
+        b"BT /F1 12 Tf"
+        b" 1 0 0 1 72 700 Tm /OC /P1 BDC (visible) Tj EMC"
+        b" 1 0 0 1 72 680 Tm /OC /P2 BDC (hidden) Tj EMC"
+        b" 1 0 0 1 72 660 Tm (plain) Tj ET"
+    )
+
+    def test_off_layer_dropped_on_layer_kept(self):
+        pdf = self._doc(
+            b"<</OCGs[{G1} 0 R {G2} 0 R]/D<</OFF[{G2} 0 R]>>>>",
+            self._TWO_SCOPES,
+        )
+        text, status, code, _, _ = extract_text(pdf)
+        assert (status, text) == ("ok", "visible\nplain"), code
+
+    def test_no_ocproperties_everything_visible(self):
+        pdf = self._doc(None, self._TWO_SCOPES)
+        text, status, _, _, _ = extract_text(pdf)
+        assert (status, text) == ("ok", "visible\nhidden\nplain")
+
+    def test_basestate_off_with_on_reenable(self):
+        pdf = self._doc(
+            b"<</OCGs[{G1} 0 R {G2} 0 R]"
+            b"/D<</BaseState/OFF/ON[{G1} 0 R]>>>>",
+            self._TWO_SCOPES,
+        )
+        text, status, _, _, _ = extract_text(pdf)
+        # G2 off via BaseState, G1 re-enabled by /ON; unmarked text stays
+        assert (status, text) == ("ok", "visible\nplain")
+
+    @pytest.mark.parametrize(
+        "policy,expect_shown",
+        [
+            (b"/P/AnyOn", True),    # members: G1 on, G2 off -> any on
+            (b"/P/AllOn", False),   # not all on
+            (b"/P/AnyOff", True),   # G2 is off
+            (b"/P/AllOff", False),  # G1 is on
+            (b"", True),            # default AnyOn
+        ],
+    )
+    def test_ocmd_policies(self, policy, expect_shown):
+        extra = (
+            b"/P3 <</Type/OCMD/OCGs[{G1} 0 R {G2} 0 R]" + policy + b">>"
+        )
+        pdf = self._doc(
+            b"<</OCGs[{G1} 0 R {G2} 0 R]/D<</OFF[{G2} 0 R]>>>>",
+            b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (head) Tj"
+            b" 1 0 0 1 72 680 Tm /OC /P3 BDC (scoped) Tj EMC ET",
+            extra_props=extra,
+        )
+        text, status, _, _, _ = extract_text(pdf)
+        assert status == "ok"
+        assert text == ("head\nscoped" if expect_shown else "head")
+
+    def test_unclosed_hidden_scope_in_form_does_not_leak(self):
+        # a form opens a hidden /OC scope and never closes it (§14.6
+        # requires balance WITHIN one stream — forms are separate
+        # streams); the CALLER's text after Do must still emit. NB the
+        # page's own Contents ARRAY is one logical stream (§7.8.2,
+        # run_streams joins it), so the boundary under test is the form's.
+        from pdf_spark.gen.pdfgen import PdfBuilder
+
+        b = PdfBuilder()
+        cat = b.reserve()
+        pages = b.reserve()
+        page = b.reserve()
+        font = b.add(b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>")
+        g2 = b.add(b"<</Type/OCG/Name(L2)>>")
+        form = b.stream(
+            b"/OC /P2 BDC BT /F1 12 Tf 1 0 0 1 0 0 Tm (gone) Tj ET",
+            extra_dict=(
+                b"/Type/XObject/Subtype/Form/BBox[0 0 612 792]"
+                b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>"
+                b"/Properties<</P2 " + str(g2).encode() + b" 0 R>>>>"
+            ),
+        )
+        cont = b.stream(
+            b"q /Fm1 Do Q BT /F1 12 Tf 1 0 0 1 72 680 Tm (kept) Tj ET"
+        )
+        b.set(
+            cat,
+            b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R"
+            b"/OCProperties<</OCGs[" + str(g2).encode() + b" 0 R]"
+            b"/D<</OFF[" + str(g2).encode() + b" 0 R]>>>>>>",
+        )
+        b.set(
+            pages,
+            b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>",
+        )
+        b.set(
+            page,
+            b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+            b"/MediaBox[0 0 612 792]"
+            b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>"
+            b"/XObject<</Fm1 " + str(form).encode() + b" 0 R>>>>"
+            b"/Contents " + str(cont).encode() + b" 0 R>>",
+        )
+        text, status, code, _, _ = extract_text(b.build(cat))
+        assert (status, text) == ("ok", "kept"), code
+
+    def test_hidden_form_xobject_skipped(self):
+        from pdf_spark.gen.pdfgen import _GOOD_VARIANTS, generate_doc
+
+        idx = next(
+            i for i, (n, _) in enumerate(_GOOD_VARIANTS) if n == "ocg_layers"
+        )
+        pdf, expected, _, _ = generate_doc(
+            "the watermark layer must never surface in extracted text", idx
+        )
+        text, status, code, _, _ = extract_text(pdf)
+        assert (status, text) == ("ok", expected), code
+        assert "CONFIDENTIAL" not in text and "DRAFT" not in text
+
+
 class TestTwoColumnReadingOrder:
     def _span(self, x, y, text="word word word", page=0, order=0, size=12.0):
         from pdf_spark.core.interp import Span
