@@ -2108,3 +2108,99 @@ _pair(
     _QT45_BODY.replace("{SIGS}", _MINHASH_SPARK),
     _QT45_BODY.replace("{SIGS}", _MINHASH_DUCK),
 )
+
+# --- qt46: class-balanced deterministic downsample (data mixing) ----------------
+#
+# The corpus-curation downsample stage (CCNet/RefinedWeb/Dolma mixing):
+# every language is cut to (approximately) the size of the SMALLEST
+# class by a DETERMINISTIC 12-bit md5 threshold on the doc key — no
+# RNG, no shuffle of the big side, stable across reruns and backfills
+# (the qt45 split rule applied to sampling). Shape at 10^12 rows: the
+# per-lang counts are ONE map-side-combined groupBy collapsing to a
+# K-row dim; thresholds broadcast-join back; the keep decision is pure
+# map-side. Expected kept ~ n_min per lang (hash uniformity), reported
+# alongside the exact integer threshold so the contract is auditable.
+
+_QT46_HASH12 = (
+    "( (instr('0123456789abcdef', substr(md5(CAST(d.doc_id AS STRING)), 1, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substr(md5(CAST(d.doc_id AS STRING)), 2, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(CAST(d.doc_id AS STRING)), 3, 1)) - 1) )"
+)
+
+_QT46_BODY = f"""
+WITH stats AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang FROM documents GROUP BY lang
+),
+mn AS (SELECT MIN(n_lang) AS n_min FROM stats),
+thr AS (
+  SELECT s.lang, s.n_lang, ((4096 * m.n_min) {{IDIV}} s.n_lang) AS keep_bits
+  FROM stats s CROSS JOIN mn m
+),
+dec AS (
+  SELECT d.doc_id, d.lang, t.n_lang, t.keep_bits,
+         CASE WHEN {_QT46_HASH12} < t.keep_bits THEN 1 ELSE 0 END AS kept
+  FROM documents d JOIN thr t ON d.lang = t.lang
+)
+SELECT lang,
+       CAST(MAX(n_lang) AS BIGINT) AS n_seen,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(MAX(keep_bits) AS BIGINT) AS keep_threshold
+FROM dec GROUP BY lang ORDER BY lang
+"""
+
+_pair(
+    "qt46_balanced_downsample",
+    _QT46_BODY.replace("{IDIV}", "DIV"),
+    _QT46_BODY.replace("{IDIV}", "//"),
+)
+
+# --- qt47: BPE pair-merge statistic (tokenizer induction) -----------------------
+#
+# The inner statistic of BPE vocabulary training (Sennrich et al. 2016):
+# adjacent-symbol pair counts at iteration 0, weighted by word
+# frequency. The scale-defining trick IS the reference algorithm's: the
+# corpus collapses to a word-frequency dict first (one exchange
+# carrying distinct words), and pair enumeration runs over the
+# VOCABULARY (bounded), never the raw corpus — the in-row
+# transform(sequence(...)) enumerates every adjacent position, so
+# within-word multiplicity ("aaaa" -> "aa" x3) counts exactly like the
+# real algorithm. Top-20 with (count desc, pair) tie-break is fully
+# deterministic cross-engine.
+
+_QT47_BODY = """
+WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM ({WORDS}) t
+  WHERE {LEN}(w) >= 2
+  GROUP BY w
+),
+pairs AS (
+  SELECT {PAIRS} AS pair, freq FROM words
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT 20
+"""
+
+_pair(
+    "qt47_bpe_pair_merges",
+    _QT47_BODY.replace(
+        "{WORDS}", "SELECT explode(split(lower(text), ' ')) AS w FROM documents"
+    )
+    .replace("{LEN}", "length")
+    .replace(
+        "{PAIRS}",
+        "explode(transform(sequence(1, length(w) - 1), i -> substring(w, i, 2)))",
+    ),
+    _QT47_BODY.replace(
+        "{WORDS}",
+        "SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents",
+    )
+    .replace("{LEN}", "length")
+    .replace(
+        "{PAIRS}",
+        "unnest(list_transform(generate_series(1, length(w) - 1),"
+        " i -> substr(w, i, 2)))",
+    ),
+)
