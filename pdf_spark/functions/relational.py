@@ -1240,3 +1240,87 @@ FROM final GROUP BY src ORDER BY src
 def qr37(spark: SparkSession, sf: str) -> DataFrame:
     register_views(spark, sf)
     return spark.sql(_QR37_SQL)
+
+
+# --- qr38: scalable global ranking (the SinglePartition-window killer, solved) --
+#
+# A global ROW_NUMBER() OVER (ORDER BY ...) plans as ONE Exchange
+# SinglePartition + one sort — every row through one task, the plan that
+# dies at 10^12 rows (the qt38/qr32 class; those queries AVOIDED it by
+# partitioning). This operator SOLVES it, the classic two-phase shape a
+# publishing/sharding stage needs (stable global ids for a training
+# corpus): (1) repartitionByRange on the total sort key — Spark's range
+# partitioner samples deterministically (seed = byteswap(partition
+# index)) and every partition holds a disjoint key range; (2) sort
+# WITHIN partitions; (3) count rows per partition — a K-row driver
+# collect, the only coordination; (4) broadcast the prefix offsets and
+# add them to the within-partition position in one mapInPandas pass.
+# Total order = (n_chars DESC, doc_id) — the unique tiebreak makes the
+# output deterministic regardless of where the sampled range boundaries
+# land. Oracle: the straightforward (single-partition) window.
+
+_QR38_PARTS = 8
+
+
+def _qr38(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = load(spark, sf, "documents").select("doc_id", "n_chars")
+    # phase 1+2: disjoint ordered ranges, sorted within
+    ranged = docs.repartitionByRange(
+        _QR38_PARTS, F.col("n_chars").desc(), F.col("doc_id").asc()
+    ).sortWithinPartitions(F.col("n_chars").desc(), F.col("doc_id").asc())
+    ranged = ranged.persist()
+    # phase 3: per-partition counts (K rows to the driver — the ONLY
+    # driver-side data at any corpus size)
+    counts = (
+        ranged.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    sizes = {r["pid"]: r["count"] for r in counts}
+    offsets = {}
+    acc = 0
+    for pid in range(_QR38_PARTS):
+        offsets[pid] = acc
+        acc += sizes.get(pid, 0)
+    b_off = spark.sparkContext.broadcast(offsets)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("rank", T.LongType()),
+        ]
+    )
+
+    def add_rank(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = b_off.value.get(pid, 0)
+        pos = 0
+        for pdf_batch in it:
+            n = len(pdf_batch)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf_batch["doc_id"].to_numpy(),
+                    "rank": range(base + pos + 1, base + pos + n + 1),
+                }
+            )
+            pos += n
+
+    result = ranged.mapInPandas(add_rank, schema=out_schema)
+    # note: ranged stays persisted while `result` is lazily consumed; the
+    # session-scoped stage cache pattern (textops._stage) is overkill for
+    # a K-row coordination query run once per publish
+    return result
+
+
+QUERIES["qr38_scalable_global_rank"] = _qr38
+ORACLE["qr38_scalable_global_rank"] = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+FROM documents
+"""

@@ -2204,3 +2204,103 @@ _pair(
         " i -> substr(w, i, 2)))",
     ),
 )
+
+# --- qt48: deterministic epoch shuffle (the training dataloader order) ----------
+#
+# How a 10^12-doc corpus is actually "shuffled" per epoch: global
+# shuffle = hash shard assignment + within-shard order by a seeded hash
+# — no RNG state, reproducible from (doc_id, epoch) alone, and every
+# window is PARTITIONED BY (epoch, shard) so no task ever sees more
+# than one shard (the qr38/qt38 single-partition class stays dead). The
+# full permutation per (epoch, shard) is pinned compactly by an exact
+# integer fingerprint SUM(position * doc_id) — any transposition
+# changes it — so the oracle certifies the entire order, not a sample.
+
+_QT48_BODY = """
+WITH ordered AS (
+  SELECT doc_id,
+         e.epoch AS epoch,
+         {SHARD} AS shard,
+         md5(CAST(doc_id AS STRING) || '#' || CAST(e.epoch AS STRING)) AS ok
+  FROM documents CROSS JOIN ({EPOCHS}) e
+),
+pos AS (
+  SELECT epoch, shard, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY epoch, shard
+                            ORDER BY ok, doc_id) AS position
+  FROM ordered
+)
+SELECT epoch, shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(position * doc_id) AS BIGINT) AS order_fingerprint
+FROM pos GROUP BY epoch, shard ORDER BY epoch, shard
+"""
+
+_QT48_SHARD = (
+    "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1)"
+)
+
+_pair(
+    "qt48_epoch_shuffle",
+    _QT48_BODY.replace("{SHARD}", _QT48_SHARD).replace(
+        "{EPOCHS}", "SELECT explode(array(0, 1)) AS epoch"
+    ),
+    _QT48_BODY.replace("{SHARD}", _QT48_SHARD).replace(
+        "{EPOCHS}", "SELECT unnest([0, 1]) AS epoch"
+    ),
+)
+
+# --- qt49: benchmark n-gram decontamination (eval-set overlap scrub) ------------
+#
+# The GPT-3-appendix / Lee et al. decontamination stage: flag training
+# docs sharing an exact word n-gram with the eval benchmark. The
+# benchmark here is self-derived (top-3 corpus 5-grams, count-desc +
+# lexicographic tie-break) so the query is closed over the fixture
+# tables; in production it is a provided dim — either way it is
+# dimension-sized, so the scan side applies membership via a BROADCAST
+# semi-join after an IN-ROW distinct (the exchange carries one row per
+# (doc, distinct gram), the construction minimum — qt37's trick).
+
+_QT49_BODY = """
+WITH toks AS (
+  SELECT doc_id, {TOKS} AS a FROM documents
+),
+grams AS (
+  SELECT doc_id, gram
+  FROM (SELECT doc_id, {DEDUP_GRAMS} AS gl FROM toks WHERE {LEN}(a) >= 5) t
+       {UNNEST}
+),
+bench AS (
+  SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs_gram
+  FROM grams GROUP BY gram
+  ORDER BY n_docs_gram DESC, gram LIMIT 3
+),
+contaminated AS (
+  SELECT DISTINCT g.doc_id
+  FROM grams g JOIN bench b ON g.gram = b.gram
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM contaminated)
+SELECT b.gram, b.n_docs_gram, t.n_total AS n_docs_contaminated
+FROM bench b CROSS JOIN total t
+ORDER BY b.n_docs_gram DESC, b.gram
+"""
+
+_pair(
+    "qt49_benchmark_decontamination",
+    _QT49_BODY.replace("{TOKS}", "split(lower(text), ' ')")
+    .replace(
+        "{DEDUP_GRAMS}",
+        "array_distinct(transform(sequence(1, size(a) - 4),"
+        " i -> concat_ws(' ', slice(a, i, 5))))",
+    )
+    .replace("{LEN}", "size")
+    .replace("{UNNEST}", "LATERAL VIEW explode(gl) g AS gram"),
+    _QT49_BODY.replace("{TOKS}", "string_split(lower(text), ' ')")
+    .replace(
+        "{DEDUP_GRAMS}",
+        "list_distinct(list_transform(generate_series(1, len(a) - 4),"
+        " i -> array_to_string(list_slice(a, i, i + 4), ' ')))",
+    )
+    .replace("{LEN}", "len")
+    .replace("{UNNEST}", ", LATERAL UNNEST(t.gl) AS u(gram)"),
+)

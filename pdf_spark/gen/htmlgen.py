@@ -59,6 +59,17 @@ WIN1251_SUBST = {"a": "а", "e": "е", "o": "о", "c": "с"}
 # (an unrepaired decode yields the digraphs, not the expected text).
 MOJIBAKE_SUBST = {"a": "á", "e": "é", "o": "ó", "u": "ú", "c": "ç"}
 
+# Fixed intro paragraph for the mojibake variant (the html_messy
+# INTRO_LINE pattern): its substitution carries many accented chars, so
+# the document ALWAYS crosses `_repair_double_utf8`'s >=3-signature gate
+# — a degenerate payload ("empty" fallback has a single accent) would
+# otherwise stay deliberately unrepaired and diverge from the expected
+# text, which assumes repair.
+MOJIBAKE_INTRO = (
+    "Each annotated catalogue conveys accurate outcomes because"
+    " educators around our coast document everything."
+)
+
 
 def expected_for_variant(name: str, lines: list[str]) -> str:
     if name in ("html_messy", "html_table_list"):
@@ -69,7 +80,8 @@ def expected_for_variant(name: str, lines: list[str]) -> str:
         ]
     elif name == "html_mojibake":
         lines = [
-            "".join(MOJIBAKE_SUBST.get(c, c) for c in l) for l in lines
+            "".join(MOJIBAKE_SUBST.get(c, c) for c in l)
+            for l in [MOJIBAKE_INTRO] + lines
         ]
     return expected_html_text(lines)
 
@@ -90,7 +102,7 @@ def expected_markdown_for_variant(name: str, lines: list[str]) -> str:
     if name == "html_mojibake":
         return "\n\n".join(
             " ".join("".join(MOJIBAKE_SUBST.get(c, c) for c in l).split())
-            for l in lines
+            for l in [MOJIBAKE_INTRO] + lines
         )
     if name == "html_table_list":
         # INTRO <p>, then alternating <td> (plain) / single-item <ul><li>
@@ -169,7 +181,10 @@ def html_mojibake(lines: list[str]) -> bytes:
     origin stack and re-served as UTF-8 under a ``charset=utf-8`` meta.
     Only the ``_repair_double_utf8`` pass yields the expected text; a
     naive decode extracts 'Ã©'-style digraphs."""
-    subst = ["".join(MOJIBAKE_SUBST.get(c, c) for c in l) for l in lines]
+    subst = [
+        "".join(MOJIBAKE_SUBST.get(c, c) for c in l)
+        for l in [MOJIBAKE_INTRO] + lines
+    ]
     paras = "".join(f"<p>{escape(l)}</p>" for l in subst)
     page = (
         "<!DOCTYPE html><html>"

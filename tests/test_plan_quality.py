@@ -270,3 +270,25 @@ def test_asof_and_range_join_shapes(spark):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_global_rank_avoids_single_partition(spark):
+    """qr38's whole point: a global total-order ranking WITHOUT the
+    Exchange SinglePartition a plain ROW_NUMBER() OVER (ORDER BY ...)
+    plans (one task sees every row — dead at corpus scale). The
+    two-phase range-partition + offset form must keep the plan free of
+    any single-partition exchange."""
+    from pdf_spark.functions.relational import QUERIES
+
+    df = QUERIES["qr38_scalable_global_rank"](spark, "/root/testdata/sf0.001")
+    plan = _plan(spark, df)
+    assert "SinglePartition" not in plan
+    # and the naive form DOES plan one (the thing being avoided is real)
+    from pdf_spark.functions.tables import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    naive = spark.sql(
+        "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)"
+        " AS rank FROM documents"
+    )
+    assert "SinglePartition" in _plan(spark, naive)
