@@ -56,10 +56,26 @@ def stream_extract(
     out_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    observe: bool = False,
 ):
-    """Start the streaming extraction; returns the StreamingQuery."""
+    """Start the streaming extraction; returns the StreamingQuery.
+
+    With ``observe=True`` the plan carries a Dataset.observe() node named
+    ``extract_metrics`` (n_docs / n_ok / n_err per micro-batch): the
+    accumulator-backed metrics surface in every StreamingQueryProgress
+    under ``observedMetrics`` — the zero-extra-pass monitoring hook a
+    production pipeline alarms on (an extra count() per batch would
+    re-run the whole Arrow extract; observe costs one accumulator
+    update inside the pass that already runs)."""
     stream = read_pages_stream(spark, pages_dir)
     docs = extract_docs_text(stream)
+    if observe:
+        docs = docs.observe(
+            "extract_metrics",
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("status") == "ok").cast("long")).alias("n_ok"),
+            F.sum((F.col("status") != "ok").cast("long")).alias("n_err"),
+        )
     writer = (
         docs.writeStream.format("parquet")
         .option("path", out_dir)

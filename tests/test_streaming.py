@@ -36,6 +36,38 @@ def test_stream_matches_batch(spark, tmp_out):
     assert spark.read.parquet(out_dir).count() == len(texts)
 
 
+def test_observed_metrics_match_batch_counts(spark, tmp_out):
+    """observe() metrics (n_docs/n_ok/n_err per micro-batch) must sum to
+    the batch pipeline's counts — the zero-extra-pass monitoring surface:
+    the accumulators ride the extraction pass that already runs, no
+    second count() job over the Arrow UDF."""
+    texts = [f"observed doc {i} body text" for i in range(30)]
+    pages_dir = os.path.join(tmp_out, "pages_obs")
+    pdf = pd.DataFrame(rows_for_texts(texts))
+    spark.createDataFrame(pdf).repartition(3).write.parquet(pages_dir)
+
+    out_dir = os.path.join(tmp_out, "stream_obs_out")
+    ckpt = os.path.join(tmp_out, "ckpt_obs")
+    q = stream_extract(
+        spark, pages_dir, out_dir, ckpt, available_now=True, observe=True
+    )
+    q.awaitTermination(120)
+
+    totals = {"n_docs": 0, "n_ok": 0, "n_err": 0}
+    for prog in q.recentProgress:
+        m = prog["observedMetrics"].get("extract_metrics")
+        if m:
+            for k in totals:
+                totals[k] += m[k]
+    batch = extract_docs_text(spark.read.parquet(pages_dir))
+    n_ok = batch.filter(F.col("status") == "ok").count()
+    assert totals == {
+        "n_docs": len(texts),
+        "n_ok": n_ok,
+        "n_err": len(texts) - n_ok,
+    }
+
+
 def test_watermarked_window_plan(spark, tmp_out):
     """The watermark + tumbling-window agg builds a valid streaming plan."""
     import pandas as pd
