@@ -302,3 +302,155 @@ SELECT doc_id, sample_rate, n_samples,
        CAST(ceil(n_samples / 160.0) AS INT) AS n_hops
 FROM auds
 """
+
+# -- qm05: perceptual-hash near-dup (aHash + banded Hamming join) ---------------
+#
+# The image-dedup stage of a multimodal corpus (LAION-style): a 16-bit
+# average-hash per image — each of 16 evenly-sampled "pixels" (payload
+# chars here; a real deployment thresholds downscaled luma inside the
+# SAME mapInPandas loop) thresholded against the image mean — then
+# near-dup pairs found the qt08 way: an equi-join per 8-bit band
+# proposes candidates, exact bit_count(xor) <= 2 verifies. Pigeonhole
+# guarantee is d < n_bands, so d<=1 recall is exact with two bands;
+# d=2 pairs are caught only when both flips share a band (documented
+# recall gap — a real deployment sizes bands to the target distance,
+# e.g. 3 bands for exact d<=2), and the verify step keeps every
+# REPORTED pair exact regardless. Hash computation is the Python
+# "decode" stage (the
+# multimodal plumbing under test); banding, joins and verification stay
+# JVM-side.
+
+_PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def _fake_ahash(blob: bytes) -> int:
+    """DETERMINISTIC FAKE aHash (real decode stubbed like _fake_decode):
+    16 evenly-sampled payload chars thresholded against the char mean.
+    Bit i (LSB-first) = 1 iff ord(sample_i) > floor(mean)."""
+    if len(blob) < 12 or blob[:4] != b"IMG!":
+        raise NotImplementedError("real image decoding is stubbed")
+    payload = blob[12:].decode("utf-8", errors="replace")
+    n = len(payload)
+    if n == 0:
+        return 0
+    mean = sum(map(ord, payload)) // n
+    h = 0
+    for i in range(16):
+        pos = (i * n) // 16
+        if ord(payload[pos]) > mean:
+            h |= 1 << i
+    return h
+
+
+_QM05_MAIN = """
+WITH h AS (SELECT doc_id, phash FROM {HASHES}),
+cands AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.phash AS pa, b.phash AS pb
+  FROM h a JOIN h b
+    ON (a.phash % 256) = (b.phash % 256) AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id, a.phash, b.phash
+  FROM h a JOIN h b
+    ON (a.phash {IDIV} 256) = (b.phash {IDIV} 256) AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b FROM cands WHERE bit_count({XOR}) <= 2
+)
+SELECT CAST((SELECT COUNT(*) FROM h) AS BIGINT) AS n_images,
+       CAST((SELECT COUNT(*) FROM cands) AS BIGINT) AS n_candidate_pairs,
+       CAST((SELECT COUNT(*) FROM verified) AS BIGINT) AS n_dup_pairs
+"""
+
+_QM05_HASH_SQL = """
+SELECT doc_id,
+  CASE WHEN length(payload) = 0 THEN CAST(0 AS BIGINT) ELSE (
+    {BITS}
+  ) END AS phash
+FROM (
+  SELECT doc_id, payload,
+         CASE WHEN length(payload) = 0 THEN 0
+              ELSE {FLOORDIV} END AS mean_luma
+  FROM (
+    SELECT doc_id, substr(COALESCE(text, ''), 1, 32) AS payload
+    FROM documents
+  ) p0
+) p
+"""
+
+
+def _qm05_bit(i: int) -> str:
+    # ord of the evenly-sampled char (1-based substr), engine-neutral
+    return (
+        f"(CASE WHEN ord(substr(payload, ({i} * length(payload)) / 16 + 1, 1))"
+        f" > mean_luma THEN {1 << i} ELSE 0 END)"
+    )
+
+
+def _qm05_hash_sql(dialect: str) -> str:
+    bits = " + ".join(_qm05_bit(i) for i in range(16))
+    if dialect == "spark":
+        floordiv = (
+            "CAST(aggregate(transform(sequence(1, length(payload)),"
+            " i -> ascii(substring(payload, i, 1))), 0L, (acc, x) -> acc + x)"
+            " / length(payload) AS INT)"
+        )
+        # Spark: integer / is fractional; use DIV for the sample index
+        bits = bits.replace("* length(payload)) / 16", "* length(payload)) DIV 16")
+        sql = _QM05_HASH_SQL.replace("{BITS}", "CAST(" + bits + " AS BIGINT)")
+        sql = sql.replace("{FLOORDIV}", floordiv)
+        return sql.replace("ord(", "ascii(")
+    floordiv = (
+        "CAST(list_aggregate(list_transform(range(1, length(payload) + 1),"
+        " i -> ord(substr(payload, i, 1))), 'sum') // length(payload) AS INT)"
+    )
+    bits = bits.replace("* length(payload)) / 16", "* length(payload)) // 16")
+    sql = _QM05_HASH_SQL.replace("{BITS}", "CAST(" + bits + " AS BIGINT)")
+    return sql.replace("{FLOORDIV}", floordiv)
+
+
+def _qm05(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    blobs = docs.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("IMG!"),
+                F.lpad((F.col("doc_id") % 97 + 16).cast("string"), 4, "0"),
+                F.lpad((F.col("doc_id") % 53 + 16).cast("string"), 4, "0"),
+                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 32),
+            ),
+            "UTF-8",
+        ).alias("blob"),
+    )
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": [int(d) for d in batch["doc_id"]],
+                    "phash": [
+                        _fake_ahash(bytes(b)) for b in batch["blob"]
+                    ],
+                }
+            )
+
+    hashes = blobs.mapInPandas(hash_batches, _PHASH_SCHEMA)
+    hashes.createOrReplaceTempView("qm05_hashes")
+    return spark.sql(
+        _QM05_MAIN.replace("{HASHES}", "qm05_hashes")
+        .replace("{IDIV}", "DIV")
+        .replace("{XOR}", "pa ^ pb")
+    )
+
+
+QUERIES["qm05_phash_neardup"] = _qm05
+ORACLE["qm05_phash_neardup"] = (
+    _QM05_MAIN.replace("{HASHES}", "(" + _qm05_hash_sql("duck") + ")")
+    .replace("{IDIV}", "//")
+    .replace("{XOR}", "xor(pa, pb)")
+)
