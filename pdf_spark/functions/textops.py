@@ -2304,3 +2304,57 @@ _pair(
     .replace("{LEN}", "len")
     .replace("{UNNEST}", ", LATERAL UNNEST(t.gl) AS u(gram)"),
 )
+
+# --- qt50: incremental dedup against an existing corpus --------------------------
+#
+# The PRODUCTION dedup dataflow: a new crawl batch is deduped against
+# the standing corpus — never the corpus against itself again. The
+# standing side contributes only its (incrementally maintained)
+# signature store: exact tier = md5 anti-join (a new doc byte-equal to
+# ANY existing doc drops), near tier = the qt06 2-band MinHash LSH
+# join flagging survivors that near-duplicate an existing doc. At
+# 10^12 standing rows the NEW batch is the small side — it broadcasts,
+# and the standing signature table is only ever probed, never
+# reshuffled; batch split here is deterministic (doc_id % 5 = 4 is the
+# "new" batch) so the query closes over the fixture tables.
+
+_QT50_BODY = """
+WITH sigs AS ({SIGS}),
+exact AS (
+  SELECT doc_id, md5(text) AS xh, lang FROM documents
+),
+new_exact AS (SELECT * FROM exact WHERE doc_id % 5 = 4),
+old_exact AS (SELECT * FROM exact WHERE doc_id % 5 <> 4),
+exact_dropped AS (
+  SELECT DISTINCT n.doc_id
+  FROM new_exact n JOIN old_exact o ON n.xh = o.xh
+),
+survivors AS (
+  SELECT n.doc_id, n.lang FROM new_exact n
+  WHERE n.doc_id NOT IN (SELECT doc_id FROM exact_dropped)
+),
+new_sigs AS (
+  SELECT s.* FROM sigs s JOIN survivors v ON s.doc_id = v.doc_id
+),
+old_sigs AS (SELECT * FROM sigs WHERE doc_id % 5 <> 4),
+near_flagged AS (
+  SELECT DISTINCT n.doc_id
+  FROM new_sigs n JOIN old_sigs o ON n.h0 = o.h0 AND n.h1 = o.h1
+  UNION
+  SELECT DISTINCT n.doc_id
+  FROM new_sigs n JOIN old_sigs o ON n.h2 = o.h2 AND n.h3 = o.h3
+)
+SELECT v.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_near_flagged,
+       CAST((SELECT COUNT(*) FROM exact_dropped) AS BIGINT) AS n_exact_dropped
+FROM survivors v LEFT JOIN near_flagged f ON v.doc_id = f.doc_id
+GROUP BY v.lang ORDER BY v.lang
+"""
+
+_pair(
+    "qt50_incremental_dedup",
+    _QT50_BODY.replace("{SIGS}", _MINHASH_SPARK),
+    _QT50_BODY.replace("{SIGS}", _MINHASH_DUCK),
+)
