@@ -259,3 +259,94 @@ def extract_text(data: Optional[bytes], max_bytes: int = DEFAULT_MAX_BYTES):
     """Fused helper: returns ``(text, status, error_code, n_pages, n_spans)``."""
     r = extract_document(data, max_bytes)
     return assemble_text(r.spans), r.status, r.error_code, r.n_pages, len(r.spans)
+
+
+def detect_table_cells(
+    spans: list, y_tol: float = 2.0
+) -> list[tuple[int, int, int, str]]:
+    """Conservative grid/table recovery from span geometry (layout tier;
+    the PDF twin of the HTML ``<td>`` walk in qx09). Per page: spans
+    cluster into rows by y (within ``y_tol``); an x position that starts
+    spans in >=2 DIFFERENT rows is a column candidate; rows holding >=2
+    candidate columns are table rows, and a table needs >=2 such rows.
+    Returns ``(page, row_idx, col_idx, text)`` sorted in row-major
+    reading order; cells sharing a (row, col) concatenate in glyph
+    order. A normal text page — every line starting at one left margin —
+    yields a single repeated x, below the >=2-column floor, so prose is
+    never misread as a table (same conservatism rule as
+    :func:`assign_columns`)."""
+    by_page: dict = {}
+    for s in spans:
+        by_page.setdefault(s.page, []).append(s)
+    out: list[tuple[int, int, int, str]] = []
+    for page in sorted(by_page):
+        rows: list[list] = []  # list of [y_repr, spans]
+        for s in sorted(by_page[page], key=lambda t: (-t.y, t.x, t.glyph_order)):
+            if rows and abs(rows[-1][0] - s.y) <= y_tol:
+                rows[-1][1].append(s)
+            else:
+                rows.append([s.y, [s]])
+        # column candidates: x starts seen in >= 2 distinct rows
+        seen_in_rows: dict = {}
+        for ri, (_, row_spans) in enumerate(rows):
+            for s in row_spans:
+                xs = round(s.x, 1)
+                seen_in_rows.setdefault(xs, set()).add(ri)
+        col_xs = sorted(x for x, rws in seen_in_rows.items() if len(rws) >= 2)
+        if len(col_xs) < 2:
+            continue
+        col_idx = {x: i for i, x in enumerate(col_xs)}
+        table_rows = [
+            (ri, row_spans)
+            for ri, (_, row_spans) in enumerate(rows)
+            if len({round(s.x, 1) for s in row_spans} & set(col_xs)) >= 2
+        ]
+        if len(table_rows) < 2:
+            continue
+        for out_ri, (_, row_spans) in enumerate(table_rows):
+            cells: dict = {}
+            for s in row_spans:
+                ci = col_idx.get(round(s.x, 1))
+                if ci is None:
+                    continue
+                cells.setdefault(ci, []).append(s)
+            for ci in sorted(cells):
+                text = "".join(
+                    t.text
+                    for t in sorted(cells[ci], key=lambda t: t.glyph_order)
+                )
+                out.append((page, out_ri, ci, text))
+    return out
+
+
+def classify_headings(
+    spans: list, ratio: float = 1.3
+) -> list[tuple[int, str]]:
+    """Font-size heading detection (layout tier; the PDF twin of the
+    HTML heading walk in qx18): body size = the modal span size over the
+    document (ties -> smaller, the prose size), a LINE is a heading when
+    every span on it is >= ``ratio`` x body size. Returns
+    ``(line_index, line_text)`` in reading order over the heading lines
+    only — the signal a markdownified-PDF tier would prefix with '#'."""
+    if not spans:
+        return []
+    freq: dict = {}
+    for s in spans:
+        freq[s.size] = freq.get(s.size, 0) + len(s.text)
+    body = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    ordered = sorted(
+        spans, key=lambda s: (s.page, s.col, -s.y, s.x, s.glyph_order)
+    )
+    lines: list[tuple[list, bool]] = []
+    prev_key = None
+    for s in ordered:
+        key = (s.page, s.col, s.y)
+        if key != prev_key:
+            lines.append(([], True))
+            prev_key = key
+        lines[-1][0].append(s.text)
+        if s.size < ratio * body:
+            lines[-1] = (lines[-1][0], False)
+    return [
+        (i, "".join(texts)) for i, (texts, is_h) in enumerate(lines) if is_h
+    ]

@@ -1820,3 +1820,170 @@ SELECT host, url, crawl_delay,
             * crawl_delay AS BIGINT) AS fetch_at_s
 FROM frontier
 """
+
+
+# -- qx26: PDF table-cell recovery from span geometry ---------------------------
+#
+# Layout tier: a deterministic grid PDF per sampled doc (dims and cell
+# text pure functions of doc_id), extracted to spans, recovered to
+# (row, col, text) by core.extract.detect_table_cells — the PDF twin of
+# the HTML <td> walk (qx09). The oracle reconstructs every expected
+# cell arithmetically, so the whole geometry -> grid chain (Tm
+# placement, span emission, y-row clustering, repeated-x column
+# election, row-major ordering) is value-hashed end to end.
+
+_TABLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("row_idx", LongType()),
+        StructField("col_idx", LongType()),
+        StructField("cell_text", StringType()),
+    ]
+)
+
+
+def _grid_pdf(doc_id: int) -> bytes:
+    from pdf_spark.gen.pdfgen import PdfBuilder
+
+    rows = doc_id % 3 + 2
+    cols = doc_id % 4 + 2
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>")
+    ops = [b"BT /F1 10 Tf"]
+    for r in range(rows):
+        for c in range(cols):
+            ops.append(
+                f"1 0 0 1 {72 + 90 * c} {700 - 24 * r} Tm "
+                f"(r{r}c{c}d{doc_id % 1000}) Tj".encode()
+            )
+    ops.append(b"ET")
+    cont = b.stream(b"\n".join(ops))
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
+def _qx26(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_spark.core.extract import detect_table_cells
+
+    docs = load(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") % 10 == 0
+    )
+
+    def recover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"doc_id": [], "row_idx": [], "col_idx": [], "cell_text": []}
+            for doc_id in batch["doc_id"]:
+                did = int(doc_id)
+                r = extract_document(_grid_pdf(did))
+                for _page, ri, ci, text in detect_table_cells(r.spans):
+                    out["doc_id"].append(did)
+                    out["row_idx"].append(ri)
+                    out["col_idx"].append(ci)
+                    out["cell_text"].append(text)
+            yield pd.DataFrame(out, columns=list(_TABLE_SCHEMA.names))
+
+    return docs.mapInPandas(recover, _TABLE_SCHEMA)
+
+
+QUERIES["qx26_pdf_table_cells"] = _qx26
+ORACLE["qx26_pdf_table_cells"] = """
+SELECT d.doc_id,
+       CAST(r AS BIGINT) AS row_idx,
+       CAST(c AS BIGINT) AS col_idx,
+       'r' || r || 'c' || c || 'd' || (d.doc_id % 1000) AS cell_text
+FROM documents d,
+     LATERAL UNNEST(generate_series(0, CAST(d.doc_id % 3 + 1 AS INT))) AS tr(r),
+     LATERAL UNNEST(generate_series(0, CAST(d.doc_id % 4 + 1 AS INT))) AS tc(c)
+WHERE d.doc_id % 10 = 0
+"""
+
+# -- qx27: PDF heading detection by font size ------------------------------------
+#
+# Layout tier twin of the HTML heading walk (qx18): k = doc_id%3+1
+# headings at 18pt, each followed by two 12pt body lines; the modal-size
+# rule in core.extract.classify_headings must return exactly the heading
+# lines (indices i*3) — what a markdownified-PDF tier prefixes with '#'.
+
+_HEAD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("line_idx", LongType()),
+        StructField("heading", StringType()),
+    ]
+)
+
+
+def _heading_pdf(doc_id: int) -> bytes:
+    from pdf_spark.gen.pdfgen import PdfBuilder
+
+    k = doc_id % 3 + 1
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>")
+    ops = [b"BT"]
+    y = 720
+    for i in range(k):
+        ops.append(
+            f"/F1 18 Tf 1 0 0 1 72 {y} Tm (h{i}d{doc_id % 1000}) Tj".encode()
+        )
+        y -= 20
+        for j in range(2):
+            ops.append(
+                f"/F1 12 Tf 1 0 0 1 72 {y} Tm (body {i} {j}) Tj".encode()
+            )
+            y -= 16
+    ops.append(b"ET")
+    cont = b.stream(b"\n".join(ops))
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
+def _qx27(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_spark.core.extract import classify_headings
+
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"doc_id": [], "line_idx": [], "heading": []}
+            for doc_id in batch["doc_id"]:
+                did = int(doc_id)
+                r = extract_document(_heading_pdf(did))
+                for li, text in classify_headings(r.spans):
+                    out["doc_id"].append(did)
+                    out["line_idx"].append(li)
+                    out["heading"].append(text)
+            yield pd.DataFrame(out, columns=list(_HEAD_SCHEMA.names))
+
+    return docs.mapInPandas(detect, _HEAD_SCHEMA)
+
+
+QUERIES["qx27_pdf_headings"] = _qx27
+ORACLE["qx27_pdf_headings"] = """
+SELECT d.doc_id,
+       CAST(i * 3 AS BIGINT) AS line_idx,
+       'h' || i || 'd' || (d.doc_id % 1000) AS heading
+FROM documents d,
+     LATERAL UNNEST(generate_series(0, CAST(d.doc_id % 3 AS INT))) AS t(i)
+"""

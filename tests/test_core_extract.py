@@ -1259,3 +1259,112 @@ class TestOperandArity:
         r = extract_document(b.build(cat))
         assert r.ok, r.error_code
         assert assemble_text(r.spans) == "\n".join(lines)
+
+
+class TestTableCellDetection:
+    """detect_table_cells: conservative grid recovery from span geometry
+    (layout tier — the PDF twin of the HTML <td> walk)."""
+
+    def _grid_doc(self, rows=3, cols=4):
+        from pdf_spark.gen.pdfgen import PdfBuilder
+
+        b = PdfBuilder()
+        cat = b.reserve()
+        pages = b.reserve()
+        page = b.reserve()
+        font = b.add(b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>")
+        ops = [b"BT /F1 10 Tf"]
+        for r in range(rows):
+            for c in range(cols):
+                x, y = 72 + 90 * c, 700 - 24 * r
+                ops.append(
+                    f"1 0 0 1 {x} {y} Tm (r{r}c{c}) Tj".encode()
+                )
+        ops.append(b"ET")
+        cont = b.stream(b"\n".join(ops))
+        b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+        b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+        b.set(
+            page,
+            b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+            b"/MediaBox[0 0 612 792]"
+            b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+            b"/Contents " + str(cont).encode() + b" 0 R>>",
+        )
+        return b.build(cat)
+
+    def test_grid_recovered(self):
+        from pdf_spark.core.extract import detect_table_cells
+
+        r = extract_document(self._grid_doc())
+        assert r.ok
+        cells = detect_table_cells(r.spans)
+        assert len(cells) == 12
+        assert cells[0] == (0, 0, 0, "r0c0")
+        assert cells[-1] == (0, 2, 3, "r2c3")
+        # row-major reading order
+        assert [c[:3] for c in cells] == [
+            (0, r_, c_) for r_ in range(3) for c_ in range(4)
+        ]
+
+    def test_prose_is_not_a_table(self):
+        from pdf_spark.core.extract import detect_table_cells
+        from pdf_spark.gen.pdfgen import generate_doc
+
+        pdf, _, _, _ = generate_doc(
+            "ordinary prose lines all start at the same left margin "
+            "and must never be misread as a table " * 3,
+            0,
+        )
+        r = extract_document(pdf)
+        assert r.ok
+        assert detect_table_cells(r.spans) == []
+
+
+class TestHeadingClassification:
+    def _doc(self):
+        from pdf_spark.gen.pdfgen import PdfBuilder
+
+        b = PdfBuilder()
+        cat = b.reserve()
+        pages = b.reserve()
+        page = b.reserve()
+        font = b.add(b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>")
+        ops = [
+            b"BT /F1 18 Tf 1 0 0 1 72 720 Tm (Title Line) Tj",
+            b"/F1 12 Tf 1 0 0 1 72 700 Tm (body one) Tj",
+            b"1 0 0 1 72 680 Tm (body two) Tj",
+            b"/F1 16 Tf 1 0 0 1 72 660 Tm (Section) Tj",
+            b"/F1 12 Tf 1 0 0 1 72 640 Tm (body three) Tj",
+            # 13pt line: above body but below the 1.3x ratio -> not a heading
+            b"/F1 13 Tf 1 0 0 1 72 620 Tm (emphasis) Tj ET",
+        ]
+        cont = b.stream(b"\n".join(ops))
+        b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+        b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+        b.set(
+            page,
+            b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+            b"/MediaBox[0 0 612 792]"
+            b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+            b"/Contents " + str(cont).encode() + b" 0 R>>",
+        )
+        return b.build(cat)
+
+    def test_headings_by_font_size(self):
+        from pdf_spark.core.extract import classify_headings
+
+        r = extract_document(self._doc())
+        assert r.ok
+        heads = classify_headings(r.spans)
+        assert heads == [(0, "Title Line"), (3, "Section")]
+
+    def test_uniform_size_no_headings(self):
+        from pdf_spark.core.extract import classify_headings
+        from pdf_spark.gen.pdfgen import generate_doc
+
+        pdf, _, _, _ = generate_doc("all lines one size " * 10, 0)
+        r = extract_document(pdf)
+        # every span IS >= 1.3x? no — all equal the modal size, ratio 1.3
+        # excludes them, so zero headings
+        assert classify_headings(r.spans) == []
