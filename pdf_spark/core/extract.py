@@ -350,3 +350,30 @@ def classify_headings(
     return [
         (i, "".join(texts)) for i, (texts, is_h) in enumerate(lines) if is_h
     ]
+
+
+def assemble_markdown(spans: list, ratio: float = 1.3) -> str:
+    """Markdownified-PDF serialization (the PDF twin of
+    ``htmltext.extract_markdown``): same deterministic reading order as
+    :func:`assemble_text`, with :func:`classify_headings`' font-size
+    rule prefixing heading lines with ``## ``. Stripping the markers
+    recovers :func:`assemble_text`'s output exactly (content coverage
+    can never diverge between the two serializations — the qx24
+    contract, now held on the PDF side too)."""
+    if not spans:
+        return ""
+    heads = {i for i, _ in classify_headings(spans, ratio)}
+    ordered = sorted(
+        spans, key=lambda s: (s.page, s.col, -s.y, s.x, s.glyph_order)
+    )
+    lines: list[str] = []
+    prev_key = None
+    for s in ordered:
+        key = (s.page, s.col, s.y)
+        if key != prev_key:
+            lines.append("")
+            prev_key = key
+        lines[-1] += s.text
+    return "\n".join(
+        ("## " + l) if i in heads else l for i, l in enumerate(lines)
+    )

@@ -1987,3 +1987,62 @@ SELECT d.doc_id,
 FROM documents d,
      LATERAL UNNEST(generate_series(0, CAST(d.doc_id % 3 AS INT))) AS t(i)
 """
+
+# -- qx28: markdownified-PDF serialization contract -------------------------------
+#
+# The qx24 contract held on the PDF side: assemble_markdown over the
+# deterministic heading docs must equal the arithmetic construction
+# (headings '## '-prefixed, bodies verbatim, same reading order), and
+# stripping the markers must recover assemble_text exactly — coverage
+# equality between the two serializations by construction.
+
+_MD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("md", StringType()),
+        StructField("coverage_equal", BooleanType()),
+    ]
+)
+
+
+def _qx28(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_spark.core.extract import assemble_markdown
+
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def serialize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"doc_id": [], "md": [], "coverage_equal": []}
+            for doc_id in batch["doc_id"]:
+                did = int(doc_id)
+                r = extract_document(_heading_pdf(did))
+                md = assemble_markdown(r.spans)
+                stripped = "\n".join(
+                    l[3:] if l.startswith("## ") else l
+                    for l in md.split("\n")
+                )
+                out["doc_id"].append(did)
+                out["md"].append(md)
+                out["coverage_equal"].append(
+                    stripped == assemble_text(r.spans)
+                )
+            yield pd.DataFrame(out, columns=list(_MD_SCHEMA.names))
+
+    return docs.mapInPandas(serialize, _MD_SCHEMA)
+
+
+QUERIES["qx28_pdf_markdown"] = _qx28
+ORACLE["qx28_pdf_markdown"] = """
+WITH lines AS (
+  SELECT d.doc_id, i,
+         '## h' || i || 'd' || (d.doc_id % 1000) || chr(10) ||
+         'body ' || i || ' 0' || chr(10) ||
+         'body ' || i || ' 1' AS block
+  FROM documents d,
+       LATERAL UNNEST(generate_series(0, CAST(d.doc_id % 3 AS INT))) AS t(i)
+)
+SELECT doc_id,
+       string_agg(block, chr(10) ORDER BY i) AS md,
+       CAST('t' AS BOOLEAN) AS coverage_equal
+FROM lines GROUP BY doc_id
+"""

@@ -1368,3 +1368,19 @@ class TestHeadingClassification:
         # every span IS >= 1.3x? no — all equal the modal size, ratio 1.3
         # excludes them, so zero headings
         assert classify_headings(r.spans) == []
+
+
+class TestPdfMarkdown:
+    def test_markdown_prefixes_and_coverage(self):
+        from pdf_spark.core.extract import assemble_markdown, assemble_text
+
+        doc = TestHeadingClassification()._doc()
+        r = extract_document(doc)
+        md = assemble_markdown(r.spans)
+        assert md.split("\n")[0] == "## Title Line"
+        assert "## Section" in md
+        assert "## emphasis" not in md  # 13pt: below the 1.3x ratio
+        stripped = "\n".join(
+            l[3:] if l.startswith("## ") else l for l in md.split("\n")
+        )
+        assert stripped == assemble_text(r.spans)
