@@ -34,7 +34,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from pdf_spark.core.extract import DEFAULT_MAX_BYTES, assemble_text, extract_document
+from pdf_spark.core.extract import (
+    DEFAULT_MAX_BYTES,
+    assemble_markdown,
+    assemble_text,
+    extract_document,
+)
 
 DOCS_TEXT_SCHEMA = StructType(
     [
@@ -68,11 +73,19 @@ def extract_docs_text(
     pages: DataFrame,
     max_bytes: int = DEFAULT_MAX_BYTES,
     passthrough: tuple[str, ...] = (),
+    markdown: bool = False,
 ) -> DataFrame:
     """pages(url, html, ...) -> docs_text — fused, shuffle-free.
 
     ``passthrough`` names string columns copied verbatim from input to
     output (e.g. ``input_file`` for lineage) without a post-UDF join.
+
+    ``markdown=True`` adds an ``md`` column (``assemble_markdown`` over
+    the same spans — assembly-only cost, the parse is not repeated):
+    PDF headings surface as ``## `` via the font-size rule; HTML spans
+    (uniform size) degrade to plain paragraphs here — the
+    structure-preserving HTML serializer stays ``extract_markdown``
+    (qx24's path), which needs block kinds the span schema drops.
 
     Implemented over ``mapInArrow`` rather than ``mapInPandas``: the UDF
     consumes the html bytes row-at-a-time anyway, so the pandas block
@@ -83,6 +96,7 @@ def extract_docs_text(
     """
     schema = StructType(
         DOCS_TEXT_SCHEMA.fields
+        + ([StructField("md", StringType())] if markdown else [])
         + [StructField(c, StringType()) for c in passthrough]
     )
 
@@ -103,6 +117,7 @@ def extract_docs_text(
                     pa.field("n_pages", pa.int32()),
                     pa.field("n_spans", pa.int32()),
                 ]
+                + ([pa.field("md", pa.string())] if markdown else [])
                 + [
                     pa.field(c, batch.column(names.index(c)).type)
                     for c in passthrough
@@ -114,6 +129,7 @@ def extract_docs_text(
             codes: list = []
             npg: list = []
             nsp: list = []
+            mds: list = []
             for data in payloads:
                 r = extract_document(data.as_py(), max_bytes)
                 texts.append(assemble_text(r.spans) if r.ok else None)
@@ -121,6 +137,8 @@ def extract_docs_text(
                 codes.append(r.error_code)
                 npg.append(r.n_pages)
                 nsp.append(len(r.spans))
+                if markdown:
+                    mds.append(assemble_markdown(r.spans) if r.ok else None)
             arrays = [
                 urls,
                 pa.array(texts, pa.string()),
@@ -128,7 +146,9 @@ def extract_docs_text(
                 pa.array(codes, pa.string()),
                 pa.array(npg, pa.int32()),
                 pa.array(nsp, pa.int32()),
-            ] + [batch.column(names.index(c)) for c in passthrough]
+            ] + (
+                [pa.array(mds, pa.string())] if markdown else []
+            ) + [batch.column(names.index(c)) for c in passthrough]
             yield pa.RecordBatch.from_arrays(arrays, schema=out_fields)
 
     cols = ["url", "html", *passthrough]

@@ -58,6 +58,7 @@ def run_extraction(
     resume: bool = True,
     run_id: str | None = None,
     partition_cols: tuple[str, ...] = (),
+    markdown: bool = False,
 ) -> dict:
     """Execute the pipeline; returns summary metrics.
 
@@ -89,7 +90,9 @@ def run_extraction(
     todo = prepare_pages(todo, salt_partitions)
 
     docs = extract_docs_text(
-        todo, passthrough=("input_file", "partition_id", *partition_cols)
+        todo,
+        passthrough=("input_file", "partition_id", *partition_cols),
+        markdown=markdown,
     )
     # Sink is partitioned by run_id so lineage + summary can be derived from
     # THIS run's output only (partition-pruned read — O(this run), never a

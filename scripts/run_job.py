@@ -38,6 +38,12 @@ def main() -> None:
         help="also write this run's extracted text as gzip JSONL shards here",
     )
     ap.add_argument(
+        "--markdown",
+        action="store_true",
+        help="also emit an md column (markdownified text; PDF headings"
+        " via the font-size rule)",
+    )
+    ap.add_argument(
         "--format",
         choices=("parquet", "warc"),
         default="parquet",
@@ -65,6 +71,7 @@ def main() -> None:
         args.out,
         salt_partitions=args.salt,
         resume=not args.no_resume,
+        markdown=args.markdown,
     )
     if args.wet_out:
         from pyspark.sql import functions as F

@@ -308,3 +308,26 @@ def test_two_column_agreement_fused_vs_declarative(spark):
     assert name == "twocolumn"
     assert fused["text"] == expected  # actually split (column-major rewrap)
     assert decl["text"] == expected
+
+
+def test_extract_markdown_column(spark):
+    """markdown=True adds an md column whose marker-stripped text equals
+    the text column (coverage contract through the fused Arrow path)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pdf_spark.gen.corpus import rows_for_texts
+    from pdf_spark.operators.extract import extract_docs_text
+
+    pages = spark.createDataFrame(
+        pd.DataFrame(rows_for_texts([f"md column doc {i}" for i in range(12)]))
+    )
+    docs = extract_docs_text(pages, markdown=True)
+    assert "md" in docs.columns
+    rows = docs.filter(F.col("status") == "ok").collect()
+    assert rows
+    for r in rows:
+        stripped = "\n".join(
+            l[3:] if l.startswith("## ") else l for l in r["md"].split("\n")
+        )
+        assert stripped == r["text"]
