@@ -2358,3 +2358,64 @@ _pair(
     _QT50_BODY.replace("{SIGS}", _MINHASH_SPARK),
     _QT50_BODY.replace("{SIGS}", _MINHASH_DUCK),
 )
+
+# --- qt51: bigram novelty vs the standing corpus (OOD / perplexity proxy) -------
+#
+# The CCNet perplexity-filter stage without its cross-engine float trap:
+# a true LM score sums ln-probabilities (libm ln is 1-ulp
+# engine-dependent; summation order another), so the novelty signal
+# here is EXACT integers — per new doc, the fraction of its word
+# bigrams absent from the standing corpus's bigram vocabulary, as
+# (n_unseen, n_bigrams) integer pairs plus a per-lang aggregate. High
+# unseen fraction = out-of-domain/garbled (what the perplexity filter
+# actually flags). Shape at 10^12 rows: the standing vocabulary is a
+# DISTINCT-bigram table probed by a LEFT join (build once,
+# incrementally maintained like qt50's signature store); the doc side
+# explodes AFTER in-row distinct so the exchange carries one row per
+# (doc, distinct bigram). Same deterministic doc_id%5 batch split as
+# qt50.
+
+_QT51_BODY = """
+WITH toks AS (
+  SELECT doc_id, lang, {TOKS} AS a FROM documents
+),
+bi AS (
+  SELECT doc_id, lang, gram
+  FROM (SELECT doc_id, lang, {BIGRAMS} AS gl FROM toks WHERE {LEN}(a) >= 2) t
+       {UNNEST}
+),
+vocab AS (
+  SELECT DISTINCT gram FROM bi WHERE doc_id % 5 <> 4
+),
+probe AS (
+  SELECT b.doc_id, b.lang,
+         CASE WHEN v.gram IS NULL THEN 1 ELSE 0 END AS unseen
+  FROM bi b LEFT JOIN vocab v ON b.gram = v.gram
+  WHERE b.doc_id % 5 = 4
+)
+SELECT lang,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams
+FROM probe GROUP BY lang ORDER BY lang
+"""
+
+_pair(
+    "qt51_bigram_novelty",
+    _QT51_BODY.replace("{TOKS}", "split(lower(text), ' ')")
+    .replace(
+        "{BIGRAMS}",
+        "array_distinct(transform(sequence(1, size(a) - 1),"
+        " i -> concat_ws(' ', slice(a, i, 2))))",
+    )
+    .replace("{LEN}", "size")
+    .replace("{UNNEST}", "LATERAL VIEW explode(gl) g AS gram"),
+    _QT51_BODY.replace("{TOKS}", "string_split(lower(text), ' ')")
+    .replace(
+        "{BIGRAMS}",
+        "list_distinct(list_transform(generate_series(1, len(a) - 1),"
+        " i -> array_to_string(list_slice(a, i, i + 1), ' ')))",
+    )
+    .replace("{LEN}", "len")
+    .replace("{UNNEST}", ", LATERAL UNNEST(t.gl) AS u(gram)"),
+)
