@@ -1384,3 +1384,53 @@ class TestPdfMarkdown:
             l[3:] if l.startswith("## ") else l for l in md.split("\n")
         )
         assert stripped == assemble_text(r.spans)
+
+
+class TestOcgIncrementalInteraction:
+    """An incremental update that replaces the CATALOG with one whose
+    /OCProperties turns a layer OFF: newest-wins must hide text the base
+    revision showed (the sign/redact-by-update pattern — Prev chain and
+    default-config visibility interacting)."""
+
+    def _base(self):
+        from pdf_spark.gen.pdfgen import PdfBuilder
+
+        b = PdfBuilder()
+        cat = b.reserve()      # 1
+        pages = b.reserve()    # 2
+        page = b.reserve()     # 3
+        font = b.add(b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>")  # 4
+        ocg = b.add(b"<</Type/OCG/Name(Layer)>>")  # 5
+        cont = b.stream(       # 6
+            b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (always) Tj"
+            b" 1 0 0 1 72 680 Tm /OC /P1 BDC (layered) Tj EMC ET"
+        )
+        b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+        b.set(
+            pages,
+            b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>",
+        )
+        b.set(
+            page,
+            b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+            b"/MediaBox[0 0 612 792]"
+            b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>"
+            b"/Properties<</P1 " + str(ocg).encode() + b" 0 R>>>>"
+            b"/Contents " + str(cont).encode() + b" 0 R>>",
+        )
+        return b.build(cat), ocg
+
+    def test_update_turns_layer_off(self):
+        from pdf_spark.gen.pdfgen import _find_startxref, incremental_update
+
+        base, ocg = self._base()
+        text, status, _, _, _ = extract_text(base)
+        assert (status, text) == ("ok", "always\nlayered")
+        new_cat = (
+            b"<</Type/Catalog/Pages 2 0 R"
+            b"/OCProperties<</OCGs[" + str(ocg).encode() + b" 0 R]"
+            b"/D<</OFF[" + str(ocg).encode() + b" 0 R]>>>>>>"
+        )
+        updated = incremental_update(base, {1: new_cat}, _find_startxref(base))
+        text2, status2, code2, _, _ = extract_text(updated)
+        assert (status2, text2) == ("ok", "always"), code2
