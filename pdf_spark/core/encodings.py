@@ -147,6 +147,114 @@ BASE_ENCODINGS = {
     "MacExpertEncoding": MAC_EXPERT_ENCODING,
 }
 
+# -- Built-in encodings of the two symbolic base-14 fonts --------------------
+#
+# Symbol and ZapfDingbats do NOT use the standard Latin encodings: their
+# code->glyph tables are the fonts' own built-in encodings (PDF 32000-1
+# Annex D.5 / D.6 — public tables). A PDF that selects them typically has
+# no /Encoding entry at all (symbolic fonts, §9.6.6.2), so without these
+# tables every bullet, Greek letter, and math operator decodes through the
+# StandardEncoding/latin-1 fallback to the WRONG character (e.g. Symbol
+# code 0x61 'alpha' would read back as 'a'). The reference has no table
+# for either (fonts/encoding.c carries only the three Latin encodings) —
+# this is an EXTENSION, motivated by how common Symbol bullets are in real
+# office-exported PDFs.
+
+# Symbol (Annex D.5): ASCII slots carry Greek + math operator glyph names.
+# The glyph-fragment rows (bracket/brace/integral extenders 0xE2..0xFE,
+# radicalex 0x60) are omitted — they have no text meaning and fall through
+# to the U+FFFD path.
+SYMBOL_ENCODING: dict[int, str] = {
+    0x20: "space", 0x21: "exclam", 0x22: "universal", 0x23: "numbersign",
+    0x24: "existential", 0x25: "percent", 0x26: "ampersand",
+    0x27: "suchthat", 0x28: "parenleft", 0x29: "parenright",
+    0x2A: "asteriskmath", 0x2B: "plus", 0x2C: "comma", 0x2D: "minus",
+    0x2E: "period", 0x2F: "slash",
+    0x3A: "colon", 0x3B: "semicolon", 0x3C: "less", 0x3D: "equal",
+    0x3E: "greater", 0x3F: "question", 0x40: "congruent",
+    0x5B: "bracketleft", 0x5C: "therefore", 0x5D: "bracketright",
+    0x5E: "perpendicular", 0x5F: "underscore",
+    0x7B: "braceleft", 0x7C: "bar", 0x7D: "braceright", 0x7E: "similar",
+    # high range: math/symbol rows (text-meaningful subset)
+    0xA0: "Euro", 0xA1: "Upsilon1", 0xA2: "minute", 0xA3: "lessequal",
+    0xA4: "fraction", 0xA5: "infinity", 0xA6: "florin", 0xA7: "club",
+    0xA8: "diamond", 0xA9: "heart", 0xAA: "spade", 0xAB: "arrowboth",
+    0xAC: "arrowleft", 0xAD: "arrowup", 0xAE: "arrowright",
+    0xAF: "arrowdown", 0xB0: "degree", 0xB1: "plusminus", 0xB2: "second",
+    0xB3: "greaterequal", 0xB4: "multiply", 0xB5: "proportional",
+    0xB6: "partialdiff", 0xB7: "bullet", 0xB8: "divide", 0xB9: "notequal",
+    0xBA: "equivalence", 0xBB: "approxequal", 0xBC: "ellipsis",
+    0xBF: "carriagereturn", 0xC0: "aleph", 0xC1: "Ifraktur",
+    0xC2: "Rfraktur", 0xC3: "weierstrass", 0xC4: "circlemultiply",
+    0xC5: "circleplus", 0xC6: "emptyset", 0xC7: "intersection",
+    0xC8: "union", 0xC9: "propersuperset", 0xCA: "reflexsuperset",
+    0xCB: "notsubset", 0xCC: "propersubset", 0xCD: "reflexsubset",
+    0xCE: "element", 0xCF: "notelement", 0xD0: "angle", 0xD1: "gradient",
+    0xD2: "registerserif", 0xD3: "copyrightserif", 0xD4: "trademarkserif",
+    0xD5: "product", 0xD6: "radical", 0xD7: "dotmath", 0xD8: "logicalnot",
+    0xD9: "logicaland", 0xDA: "logicalor", 0xDB: "arrowdblboth",
+    0xDC: "arrowdblleft", 0xDD: "arrowdblup", 0xDE: "arrowdblright",
+    0xDF: "arrowdbldown", 0xE0: "lozenge", 0xE1: "angleleft",
+    0xF1: "angleright", 0xE5: "summation",
+}
+for _k in range(10):  # digits keep their slots
+    SYMBOL_ENCODING[0x30 + _k] = (
+        "zero one two three four five six seven eight nine".split()[_k]
+    )
+# Greek letters at the Latin letter slots (the Symbol layout: X=Chi, Q=Theta,
+# W=Omega, J/j carry the variant theta/phi forms, v = variant pi)
+_SYMBOL_UPPER = (
+    "Alpha Beta Chi Delta Epsilon Phi Gamma Eta Iota theta1 Kappa Lambda "
+    "Mu Nu Omicron Pi Theta Rho Sigma Tau Upsilon sigma1 Omega Xi Psi Zeta"
+).split()
+_SYMBOL_LOWER = (
+    "alpha beta chi delta epsilon phi gamma eta iota phi1 kappa lambda "
+    "mu nu omicron pi theta rho sigma tau upsilon omega1 omega xi psi zeta"
+).split()
+for _k in range(26):
+    SYMBOL_ENCODING[0x41 + _k] = _SYMBOL_UPPER[_k]
+    SYMBOL_ENCODING[0x61 + _k] = _SYMBOL_LOWER[_k]
+
+# ZapfDingbats (Annex D.6): the Unicode Dingbats block U+2701..U+275E was
+# taken from this font IN CODE ORDER, except the four glyphs Unicode 1.0
+# already had in Miscellaneous Symbols (telephone, the two pointing hands,
+# black star) — their block slots (U+2705/270A/270B/2728) stayed empty for
+# two decades. Names are the Adobe aN series (zapfdingbats.txt, public).
+_ZAPF_NAMES = (
+    "a1 a2 a202 a3 a4 a5 a119 a118 a117 a11 a12 a13 a14 a15 a16 a105 "
+    "a17 a18 a19 a20 a21 a22 a23 a24 a25 a26 a27 a28 a6 a7 a8 a9 a10 "
+    "a29 a30 a31 a32 a33 a34 a35 a36 a37 a38 a39 a40 a41 a42 a43 a44 "
+    "a45 a46 a47 a48 a49 a50 a51 a52 a53 a54 a55 a56 a57 a58 a59 a60 "
+    "a61 a62 a63 a64 a65 a66 a67 a68 a69 a70 a71 a72 a73 a74 a203 a75 "
+    "a204 a76 a77 a78 a79 a81 a82 a83 a84 a97 a98 a99 a100"
+).split()
+_ZAPF_UNICODE_EXCEPTIONS = {
+    # Miscellaneous Symbols block (their Dingbats slots 2705/270A/270B/2728
+    # stayed empty until Unicode 6.0 reused them for emoji)
+    0x25: 0x260E,  # a4  black telephone
+    0x2A: 0x261B,  # a11 black right pointing index
+    0x2B: 0x261E,  # a12 white right pointing index
+    0x48: 0x2605,  # a35 black star
+    # Geometric Shapes block (slots 274C/274E/2753-2755 likewise)
+    0x6C: 0x25CF,  # a71 black circle
+    0x6E: 0x25A0,  # a73 black square
+    0x73: 0x25B2,  # a76 black up-pointing triangle
+    0x74: 0x25BC,  # a77 black down-pointing triangle
+    0x75: 0x25C6,  # a78 black diamond
+}
+ZAPF_DINGBATS_ENCODING: dict[int, str] = {0x20: "space"}
+for _k, _n in enumerate(_ZAPF_NAMES):
+    _code = 0x21 + _k
+    ZAPF_DINGBATS_ENCODING[_code] = _n
+
+# built-in encodings selected by (subset-stripped) BaseFont name when a
+# simple font carries no usable /Encoding (§9.6.6.2: symbolic fonts use
+# the font program's built-in encoding)
+BUILTIN_FONT_ENCODINGS = {
+    "Symbol": SYMBOL_ENCODING,
+    "ZapfDingbats": ZAPF_DINGBATS_ENCODING,
+}
+
 # AGL subset: glyph name -> unicode char (AGL 2.0, public)
 AGL: dict[str, str] = {
     "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
@@ -255,6 +363,37 @@ AGL.setdefault("questionsmall", "?")
 AGL.setdefault("ampersandsmall", "&")
 AGL.setdefault("centoldstyle", "¢")
 AGL.setdefault("onefitted", "1")
+
+# Symbol-font glyph names (AGL 2.0 math/symbol block; the variant letter
+# forms keep their U+03D* codepoints). The three *serif/*sans aliases map
+# to the plain marks — AGL sends them to PUA, text consumers want ®©™.
+AGL.update({
+    "universal": "∀", "existential": "∃", "suchthat": "∋",
+    "asteriskmath": "∗", "congruent": "≅", "therefore": "∴",
+    "perpendicular": "⊥", "similar": "∼", "Upsilon1": "ϒ",
+    "minute": "′", "second": "″", "club": "♣", "diamond": "♦",
+    "heart": "♥", "spade": "♠", "arrowboth": "↔", "arrowleft": "←",
+    "arrowup": "↑", "arrowright": "→", "arrowdown": "↓",
+    "proportional": "∝", "equivalence": "≡", "carriagereturn": "↵",
+    "aleph": "ℵ", "Ifraktur": "ℑ", "Rfraktur": "ℜ", "weierstrass": "℘",
+    "circlemultiply": "⊗", "circleplus": "⊕", "emptyset": "∅",
+    "intersection": "∩", "union": "∪", "propersuperset": "⊃",
+    "reflexsuperset": "⊇", "notsubset": "⊄", "propersubset": "⊂",
+    "reflexsubset": "⊆", "element": "∈", "notelement": "∉",
+    "angle": "∠", "gradient": "∇", "dotmath": "⋅", "logicaland": "∧",
+    "logicalor": "∨", "arrowdblboth": "⇔", "arrowdblleft": "⇐",
+    "arrowdblup": "⇑", "arrowdblright": "⇒", "arrowdbldown": "⇓",
+    "angleleft": "〈", "angleright": "〉",
+    "registerserif": "®", "copyrightserif": "©", "trademarkserif": "™",
+    "registersans": "®", "copyrightsans": "©", "trademarksans": "™",
+})
+
+# ZapfDingbats aN names -> Unicode via the in-code-order rule (see
+# ZAPF_DINGBATS_ENCODING above for the derivation + the four exceptions)
+for _k, _n in enumerate(_ZAPF_NAMES):
+    AGL.setdefault(
+        _n, chr(_ZAPF_UNICODE_EXCEPTIONS.get(0x21 + _k, 0x2701 + _k))
+    )
 
 
 def glyph_name_to_unicode(name: str) -> Optional[str]:

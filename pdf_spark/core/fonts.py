@@ -30,7 +30,12 @@ import struct
 from typing import Iterator, Optional
 
 from pdf_spark.core.cmap import CMap, get_predefined_cmap, parse_cmap
-from pdf_spark.core.encodings import BASE_ENCODINGS, STANDARD_ENCODING, glyph_name_to_unicode
+from pdf_spark.core.encodings import (
+    BASE_ENCODINGS,
+    BUILTIN_FONT_ENCODINGS,
+    STANDARD_ENCODING,
+    glyph_name_to_unicode,
+)
 from pdf_spark.core.errors import INCORRECT_TYPE, UNSUPPORTED_FONT, PdfError
 from pdf_spark.core.objects import Name, Ref, Stream
 from pdf_spark.core.sfnt import parse_sfnt_cmaps
@@ -516,6 +521,13 @@ def _load_font_uncached(font_obj, resolver) -> Font:
                         f.widths = [w * scale for w in f.widths]
                     if f.missing_width is not None:
                         f.missing_width *= scale
+        # built-in encoding of the symbolic base-14 fonts (Annex D.5/D.6):
+        # with no /Encoding — or a /Differences-only dict — the font's own
+        # table is the base (§9.6.6.2), NOT StandardEncoding. Subset tags
+        # ("ABCDEF+Symbol") are stripped per §9.6.4.
+        builtin = BUILTIN_FONT_ENCODINGS.get(f.base_font.rsplit("+", 1)[-1])
+        if builtin is not None:
+            f.code_to_name = builtin
         enc = resolver.resolve(d.get("Encoding"))
         if isinstance(enc, Name):
             f.code_to_name = BASE_ENCODINGS.get(str(enc), {})
@@ -524,7 +536,7 @@ def _load_font_uncached(font_obj, resolver) -> Font:
             table = dict(
                 BASE_ENCODINGS.get(str(base), STANDARD_ENCODING)
                 if base is not None
-                else STANDARD_ENCODING
+                else (builtin or STANDARD_ENCODING)
             )
             diffs = resolver.resolve(enc.get("Differences"))
             if isinstance(diffs, list):

@@ -256,6 +256,49 @@ def extract_pdf_links(resolver) -> list:
     return out
 
 
+def extract_annotation_texts(resolver) -> list:
+    """Markup-annotation text (§12.5.6.2 Table 170: ``/Contents``) as
+    (page_no, subtype, text) in (page, annot) order — the sticky-note /
+    FreeText / Highlight-comment side channel. This text lives OUTSIDE
+    content streams (like AcroForm values) and never perturbs the page
+    text; reviewers' comments are a real corpus signal.
+
+    Skipped: ``/Link`` (its payload is the URI, extract_pdf_links),
+    ``/Popup`` (a popup carries no content of its own — when a producer
+    writes one anyway it duplicates the parent markup annotation's
+    ``/Contents``, §12.5.6.14), and entries with an absent/empty
+    ``/Contents``. Malformed entries are skipped, never fatal."""
+    out: list = []
+    try:
+        pages = list(resolver.iter_pages())
+    except Exception:
+        return out
+    for page_no, page in enumerate(pages):
+        try:
+            annots = resolver.resolve(page.get("Annots"))
+        except Exception:
+            continue
+        if not isinstance(annots, list):
+            continue
+        for entry in annots:
+            try:
+                a = resolver.resolve(entry)
+                if not isinstance(a, dict):
+                    continue
+                subtype = a.get("Subtype")
+                if not isinstance(subtype, Name) or subtype in (
+                    Name("Link"),
+                    Name("Popup"),
+                ):
+                    continue
+                text = pdf_text_string(resolver.resolve(a.get("Contents")))
+                if text:
+                    out.append((page_no, str(subtype), text))
+            except Exception:
+                continue
+    return out
+
+
 # --- outline (bookmarks, §12.3.3) ---------------------------------------------
 
 OUTLINE_CAP = 4096  # total items (adversarial /Next cycles + bombs)

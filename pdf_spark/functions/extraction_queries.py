@@ -2046,3 +2046,120 @@ SELECT doc_id,
        CAST('t' AS BOOLEAN) AS coverage_equal
 FROM lines GROUP BY doc_id
 """
+
+
+# -- qx29: markup-annotation text (reviewer-comment side channel) -------------
+
+
+def _qx29(spark: SparkSession, sf: str) -> DataFrame:
+    """Markup-annotation ``/Contents`` extraction (value oracle).
+
+    Reviewer comments (§12.5.6.2) live OUTSIDE content streams, like
+    AcroForm values (qx21) — a corpus pipeline that drops them loses the
+    annotation layer entirely. Each doc synthesizes: a /Text sticky note
+    (PDFDoc-encoded), a /FreeText with a UTF-16BE text string, a
+    /Highlight comment on every third doc, PLUS three rows that must NOT
+    emit — the /Popup mirror of the sticky note (§12.5.6.14 duplicate), a
+    /Link (its payload is the URI channel), and a /Square with no
+    /Contents. The oracle reconstructs the emitted rows arithmetically."""
+    from pdf_spark.core.document import Resolver
+    from pdf_spark.core.meta import extract_annotation_texts
+    from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder, _content_td_tj, _escb
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("page_no", LongType()),
+            StructField("subtype", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+
+    def annots(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"doc_id": [], "page_no": [], "subtype": [], "text": []}
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                b = PdfBuilder()
+                cat = b.reserve()
+                pages_id = b.reserve()
+                page = b.reserve()
+                font = b.add(F_HELV)
+                cont = b.stream(
+                    _content_td_tj(["annotated"]), filters="FlateDecode"
+                )
+                pop = b.reserve()
+                note = b"Fix section " + str(i % 50).encode()
+                a1 = b.add(
+                    b"<</Type/Annot/Subtype/Text/Rect[0 0 9 9]/Contents("
+                    + note + b")/Popup " + str(pop).encode() + b" 0 R>>"
+                )
+                b.set(
+                    pop,
+                    b"<</Type/Annot/Subtype/Popup/Rect[0 0 9 9]/Contents("
+                    + note + b")>>",
+                )
+                u16 = b"\xfe\xff" + f"Nota — {i}".encode("utf-16-be")
+                a2 = b.add(
+                    b"<</Type/Annot/Subtype/FreeText/Rect[0 0 9 9]/Contents("
+                    + _escb(u16) + b")>>"
+                )
+                a3 = b.add(
+                    b"<</Type/Annot/Subtype/Link/Rect[0 0 9 9]/Contents(alt)"
+                    b"/A<</S/URI/URI(https://example.com)>>>>"
+                )
+                a4 = b.add(b"<</Type/Annot/Subtype/Square/Rect[0 0 9 9]>>")
+                ids = [a1, pop, a2, a3, a4]
+                if i % 3 == 0:
+                    ids.append(
+                        b.add(
+                            b"<</Type/Annot/Subtype/Highlight/Rect[0 0 9 9]"
+                            b"/Contents(hl " + str(i % 7).encode() + b")>>"
+                        )
+                    )
+                b.set(
+                    cat,
+                    b"<</Type/Catalog/Pages " + str(pages_id).encode()
+                    + b" 0 R>>",
+                )
+                b.set(
+                    pages_id,
+                    b"<</Type/Pages/Kids[" + str(page).encode()
+                    + b" 0 R]/Count 1>>",
+                )
+                b.set(
+                    page,
+                    b"<</Type/Page/Parent " + str(pages_id).encode() + b" 0 R"
+                    b"/MediaBox[0 0 612 792]"
+                    b"/Resources<</Font<</F1 " + str(font).encode()
+                    + b" 0 R>>>>"
+                    b"/Contents " + str(cont).encode() + b" 0 R"
+                    b"/Annots["
+                    + b" ".join(str(a).encode() + b" 0 R" for a in ids)
+                    + b"]>>",
+                )
+                pdf = b.build(cat)
+                for page_no, subtype, text in extract_annotation_texts(
+                    Resolver(pdf)
+                ):
+                    out["doc_id"].append(i)
+                    out["page_no"].append(page_no)
+                    out["subtype"].append(subtype)
+                    out["text"].append(text)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(annots, schema)
+
+
+QUERIES["qx29_annotation_texts"] = _qx29
+ORACLE["qx29_annotation_texts"] = """
+SELECT doc_id, 0 AS page_no, 'Text' AS subtype,
+       'Fix section ' || (doc_id % 50) AS text FROM documents
+UNION ALL
+SELECT doc_id, 0, 'FreeText',
+       'Nota ' || chr(8212) || ' ' || doc_id FROM documents
+UNION ALL
+SELECT doc_id, 0, 'Highlight', 'hl ' || (doc_id % 7)
+FROM documents WHERE doc_id % 3 = 0
+"""

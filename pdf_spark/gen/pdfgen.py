@@ -1104,6 +1104,75 @@ def _macroman_doc(lines: list[str]) -> bytes:
     return b.build(cat)
 
 
+# -- Symbol / ZapfDingbats built-in encodings (Annex D.5/D.6) -----------------
+# Expected mapping written INDEPENDENTLY of core/encodings.py (the point of
+# the roundtrip oracle): Greek letters ride the ASCII letter slots of the
+# Symbol layout; the keep-set punctuation decodes to itself; anything else
+# is written as the space code. A trailing line set in /F2 ZapfDingbats
+# shows four fixed dingbat codes (check mark, scissors, pencil, telephone).
+_SYMBOL_UPPER_EXPECT = "ΑΒΧ∆ΕΦΓΗΙϑΚΛΜΝΟΠΘΡΣΤΥςΩΞΨΖ"
+_SYMBOL_LOWER_EXPECT = "αβχδεφγηιϕκλµνοπθρστυϖωξψζ"
+_SYMBOL_KEEP = " !#%&()+,./0123456789:;<=>?"
+_ZAPF_LINE_CODES = bytes((0x33, 0x22, 0x2E, 0x25))
+_ZAPF_LINE_EXPECT = "✓✂✎☎"
+
+
+def _symbol_expected(c: str) -> str:
+    o = ord(c)
+    if 65 <= o <= 90:
+        return _SYMBOL_UPPER_EXPECT[o - 65]
+    if 97 <= o <= 122:
+        return _SYMBOL_LOWER_EXPECT[o - 97]
+    return c if c in _SYMBOL_KEEP else " "
+
+
+def _symbol_doc(lines: list[str]) -> bytes:
+    """Two symbolic base-14 fonts with NO /Encoding entry: /F1 is a
+    subset-tagged Symbol (the ABCDEF+ prefix must be stripped before the
+    built-in-encoding lookup, §9.6.4), /F2 ZapfDingbats. Decode requires
+    the fonts' built-in encoding tables — StandardEncoding would read the
+    Greek back as Latin letters."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    f1 = b.add(b"<</Type/Font/Subtype/Type1/BaseFont/ABCDEF+Symbol>>")
+    f2 = b.add(b"<</Type/Font/Subtype/Type1/BaseFont/ZapfDingbats>>")
+    coded = [
+        bytes(
+            ord(c)
+            if (65 <= ord(c) <= 90 or 97 <= ord(c) <= 122 or c in _SYMBOL_KEEP)
+            else 0x20
+            for c in line
+        )
+        for line in lines
+    ]
+    ops = [b"BT", b"/F1 " + _n(FONT_SIZE) + b" Tf"]
+    for i, raw in enumerate(coded):
+        y = TOP_Y - i * LINE_HEIGHT
+        ops.append(b"1 0 0 1 " + _n(LEFT_X) + b" " + _n(y) + b" Tm")
+        ops.append(b"<" + raw.hex().encode() + b"> Tj")
+    y = TOP_Y - len(coded) * LINE_HEIGHT
+    ops += [
+        b"/F2 " + _n(FONT_SIZE) + b" Tf",
+        b"1 0 0 1 " + _n(LEFT_X) + b" " + _n(y) + b" Tm",
+        b"<" + _ZAPF_LINE_CODES.hex().encode() + b"> Tj",
+        b"ET",
+    ]
+    cont = b.stream(b"\n".join(ops), filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(f1).encode() + b" 0 R"
+        b"/F2 " + str(f2).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
 def _xref_stream_rows(entries: list[tuple[int, int, int]]) -> bytes:
     """Pack ``(type, a, b)`` rows with W=[1,4,2] big-endian fields."""
     rows = bytearray()
@@ -1326,6 +1395,10 @@ _GOOD_VARIANTS = [
     # its text (BDC /OC scope + /OC form XObject) must be dropped, the ON
     # layer and an /AnyOff OCMD scope kept.
     ("ocg_layers", lambda L: _ocg_layers_doc(L)),
+    # built-in encodings of the symbolic base-14 fonts (Annex D.5/D.6):
+    # no /Encoding entry — decode must come from the Symbol/ZapfDingbats
+    # tables, with the subset tag stripped first.
+    ("symbol_zapf", lambda L: _symbol_doc(L)),
 ]
 
 
@@ -1719,6 +1792,10 @@ def _expected_text(lines: list[str], variant_name: str) -> str:
         lines = ["".join(_nonlatin_map(c)[1] for c in l) for l in lines]
     elif variant_name == "macexpert":
         lines = ["".join(_macexpert_expected(c) for c in l) for l in lines]
+    elif variant_name == "symbol_zapf":
+        lines = ["".join(_symbol_expected(c) for c in l) for l in lines] + [
+            _ZAPF_LINE_EXPECT
+        ]
     elif variant_name == "twocolumn":
         layout = _twocol_layout(lines)
         if layout is not None:

@@ -606,13 +606,70 @@ class TestNonLatinAgl:
         assert MAC_EXPERT_ENCODING[0x61] == "Asmall"
         assert MAC_EXPERT_ENCODING[0x37] == "sevenoldstyle"
 
+    def test_symbol_zapf_builtin_encodings(self):
+        # Annex D.5/D.6: symbolic base-14 fonts decode through their own
+        # built-in tables, not StandardEncoding
+        from pdf_spark.core.encodings import (
+            SYMBOL_ENCODING,
+            ZAPF_DINGBATS_ENCODING,
+            glyph_name_to_unicode as g,
+        )
+
+        assert SYMBOL_ENCODING[0x61] == "alpha" and g("alpha") == "α"
+        assert SYMBOL_ENCODING[0x57] == "Omega" and g("Omega") == "Ω"
+        assert SYMBOL_ENCODING[0x4A] == "theta1" and g("theta1") == "ϑ"
+        assert g(SYMBOL_ENCODING[0x22]) == "∀"   # universal
+        assert g(SYMBOL_ENCODING[0xB7]) == "•"   # bullet
+        assert g(SYMBOL_ENCODING[0xCE]) == "∈"   # element
+        # dingbats: in-code-order rule + the Misc-Symbols/Geometric-Shapes
+        # exceptions Unicode 1.0 had elsewhere
+        assert ZAPF_DINGBATS_ENCODING[0x33] == "a19" and g("a19") == "✓"
+        assert g(ZAPF_DINGBATS_ENCODING[0x25]) == "☎"  # a4 telephone
+        assert g(ZAPF_DINGBATS_ENCODING[0x2B]) == "☞"  # a12 pointing hand
+        assert g(ZAPF_DINGBATS_ENCODING[0x48]) == "★"  # a35 black star
+        assert g(ZAPF_DINGBATS_ENCODING[0x6C]) == "●"  # a71 black circle
+        assert g(ZAPF_DINGBATS_ENCODING[0x6E]) == "■"  # a73 black square
+
+    def test_symbol_differences_over_builtin_base(self):
+        # /Encoding dict WITHOUT BaseEncoding on a Symbol font: the base
+        # table is the font's built-in encoding (§9.6.6.2), with the
+        # Differences overrides applied on top
+        from pdf_spark.core.document import Resolver
+        from pdf_spark.core.fonts import load_font
+        from pdf_spark.gen.pdfgen import PdfBuilder
+
+        b = PdfBuilder()
+        cat = b.reserve()
+        pages = b.reserve()
+        page = b.reserve()
+        font = b.add(
+            b"<</Type/Font/Subtype/Type1/BaseFont/Symbol"
+            b"/Encoding<</Differences[65 /bullet]>>>>"
+        )
+        cont = b.stream(b"BT /F1 12 Tf 72 700 Td (A B) Tj ET")
+        b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+        b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+        b.set(
+            page,
+            b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+            b"/MediaBox[0 0 612 792]"
+            b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+            b"/Contents " + str(cont).encode() + b" 0 R>>",
+        )
+        r = Resolver(b.build(cat))
+        pg = next(iter(r.iter_pages()))
+        fonts = r.resolve(r.resolve(pg.get("Resources")).get("Font"))
+        f = load_font(next(iter(fonts.values())), r)
+        assert f.code_to_text(0x41) == "•"   # Differences override
+        assert f.code_to_text(0x42) == "Β"   # built-in base, not latin 'B'
+
     def test_variants_extract_byte_identical(self):
         from pdf_spark.core.extract import extract_text
         from pdf_spark.gen.pdfgen import _GOOD_VARIANTS, generate_doc
 
         names = [n for n, _ in _GOOD_VARIANTS]
         payload = "The Quick Brown Fox; jumps over 012 lazy dogs!? " * 4
-        for vn in ("differences_nonlatin", "macexpert"):
+        for vn in ("differences_nonlatin", "macexpert", "symbol_zapf"):
             pdf, expected, vname, err = generate_doc(payload, names.index(vn))
             assert vname == vn and err == ""
             text, status, code, _, _ = extract_text(pdf)

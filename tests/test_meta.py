@@ -469,3 +469,64 @@ def test_image_inventory_dedup_and_form_depth():
     rows = extract_image_inventory(Resolver(b.build(cat)))
     # shared image counted ONCE (visited set), deep image beyond depth cap
     assert rows == [(0, "Im", 10, 20, 8, None)]
+
+
+def test_annotation_texts_markup_only():
+    # /Text + /FreeText (UTF-16BE) + /Highlight emit; the /Popup mirror,
+    # /Link alt text, and a Contents-less /Square do not (§12.5.6.2/.14)
+    from pdf_spark.core.document import Resolver
+    from pdf_spark.core.meta import extract_annotation_texts
+    from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder, _content_td_tj, _escb
+
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    cont = b.stream(_content_td_tj(["body"]), filters="FlateDecode")
+    pop = b.reserve()
+    a1 = b.add(
+        b"<</Type/Annot/Subtype/Text/Rect[0 0 9 9]/Contents(Fix the heading)"
+        b"/Popup " + str(pop).encode() + b" 0 R>>"
+    )
+    b.set(
+        pop,
+        b"<</Type/Annot/Subtype/Popup/Rect[0 0 9 9]"
+        b"/Contents(Fix the heading)>>",
+    )
+    u = b"\xfe\xff" + "Größe — ok".encode("utf-16-be")
+    a2 = b.add(
+        b"<</Type/Annot/Subtype/FreeText/Rect[0 0 9 9]/Contents("
+        + _escb(u) + b")>>"
+    )
+    a3 = b.add(
+        b"<</Type/Annot/Subtype/Link/Rect[0 0 9 9]/Contents(alt)"
+        b"/A<</S/URI/URI(http://x)>>>>"
+    )
+    a4 = b.add(b"<</Type/Annot/Subtype/Highlight/Rect[0 0 9 9]>>")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R"
+        b"/Annots[" + b" ".join(str(a).encode() + b" 0 R" for a in (a1, pop, a2, a3, a4))
+        + b"]>>",
+    )
+    got = extract_annotation_texts(Resolver(b.build(cat)))
+    assert got == [
+        (0, "Text", "Fix the heading"),
+        (0, "FreeText", "Größe — ok"),
+    ]
+
+
+def test_annotation_texts_never_raises_on_garbage():
+    from pdf_spark.core.document import Resolver
+    from pdf_spark.core.meta import extract_annotation_texts
+    from pdf_spark.gen.pdfgen import generate_doc
+
+    # malformed docs (bad xref etc.) and docs without /Annots -> []
+    pdf, _, _, _ = generate_doc("plain text", 0)
+    assert extract_annotation_texts(Resolver(pdf)) == []
