@@ -131,6 +131,73 @@ def surt_key(url) -> Column:
     )
 
 
+_DOT_DEPTH = 8  # bounded ../-collapse passes (max nesting depth handled)
+
+# "one path segment that is not '.' or '..'" WITHOUT lookahead — the
+# pattern must stay inside the RE2 subset so the DuckDB oracle can run the
+# character-identical regex (RE2 has no lookarounds; Java does, but a
+# mirrored oracle beats a cleverer pattern)
+_SEG = r"(?:[^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)"
+
+
+def resolve_url(base, href) -> Column:
+    """RFC 3986 §5 reference resolution — the frontier op that turns a
+    page's raw ``<a href>`` values into absolute crawl targets. Pure
+    Catalyst expressions (codegen'd; zero Python per row): at 10^12 link
+    rows this is the hottest projection in frontier construction.
+
+    Branches (§5.2.2): absolute href kept; ``//authority`` adopts the base
+    scheme; ``/rooted`` replaces the path; ``?query`` replaces the query;
+    empty href = the (defragmented) base; anything else merges onto the
+    base path's directory. Dot segments are then collapsed (§5.2.4) by
+    bounded regex passes: ``/./`` drops, ``/seg/../`` contracts
+    (``_DOT_DEPTH`` nesting levels — deeper chains stay partially
+    collapsed, documented), leading ``/../`` clamps to ``/``. Fragments
+    are stripped on both inputs (crawl frontiers never keep them);
+    schemeless bases pass the href through trimmed — resolution is total,
+    never raises."""
+    b = _strip_fragment(F.col(base) if isinstance(base, str) else base)
+    h = _strip_fragment(F.col(href) if isinstance(href, str) else href)
+    scheme = F.lower(F.regexp_extract(b, _URL_RE, 1))
+    authority = F.regexp_extract(b, _URL_RE, 2)
+    bpath = F.regexp_extract(b, _URL_RE, 3)
+    root = F.concat(scheme, F.lit("://"), authority)
+    # base-path directory: up to and including the last '/'; '/' when the
+    # base path is empty (an authority's implicit root, §5.2.3)
+    bdir = F.regexp_replace(bpath, "[^/]*$", "")
+    bdir = F.when(bdir == "", F.lit("/")).otherwise(bdir)
+    resolved = (
+        F.when(scheme == "", F.trim(h))
+        .when(h == "", b)
+        .when(h.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*:"), h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(root, h))
+        .when(
+            h.startswith("?"),
+            F.concat(
+                root,
+                F.when(bpath == "", F.lit("/")).otherwise(bpath),
+                h,
+            ),
+        )
+        .otherwise(F.concat(root, bdir, h))
+    )
+    # dot-segment removal on the path component only
+    pre = F.regexp_extract(resolved, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
+    rest = F.substring(resolved, F.length(pre) + F.lit(1), F.lit(1 << 20))
+    path = F.regexp_extract(rest, r"^([^?#]*)", 1)
+    query = F.substring(rest, F.length(path) + F.lit(1), F.lit(1 << 20))
+    for _ in range(2):  # '/./' passes (non-overlapping matches need two)
+        path = F.regexp_replace(path, r"/\.(/)", "$1")
+    path = F.regexp_replace(path, r"/\.$", "/")
+    for _ in range(_DOT_DEPTH):
+        # literal '/' (not a backreference): at end-of-path the RFC keeps
+        # the trailing slash ('/a/b/..' -> '/a/', §5.2.4 step 2C)
+        path = F.regexp_replace(path, "/" + _SEG + r"/\.\.(/|$)", "/")
+    path = F.regexp_replace(path, r"^(/\.\.)+(/|$)", "/")
+    return F.when(pre == "", resolved).otherwise(F.concat(pre, path, query))
+
+
 # --- driver-contract query -----------------------------------------------------
 
 QUERIES = {}
@@ -329,4 +396,69 @@ SELECT CASE c
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(CASE WHEN c IN (0, 3) THEN COUNT(*) ELSE 0 END AS BIGINT) AS n_blocked
 FROM cls GROUP BY c
+"""
+
+
+def _qt52(spark, sf):
+    """RFC 3986 reference resolution over ten deterministic href classes
+    per page (the frontier-construction op downstream of qx08's raw
+    ``<a href>`` mining): plain relative, single/over-root ``..`` chains,
+    ``.``-segment mixes, rooted, protocol-relative, absolute-with-
+    fragment, query-only, empty, and non-http schemes. Entirely
+    declarative — base, href and resolution are ONE codegen'd projection
+    (posexplode of a 10-literal array is the only generator). The oracle
+    CONSTRUCTS each expected absolute URL per class rather than mirroring
+    the algorithm."""
+    from pdf_spark.functions.tables import load
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    i = F.col("doc_id")
+    base = F.concat(
+        F.lit("https://ex"), (i % 5).cast("string"),
+        F.lit(".org/d"), (i % 3).cast("string"), F.lit("/sub/page.html"),
+    )
+    hrefs = F.array(
+        F.concat(F.lit("img"), (i % 4).cast("string"), F.lit("/x.png")),
+        F.lit("../up.html"),
+        F.lit("../../../deep.html"),
+        F.lit("/rooted/y?k=2"),
+        F.lit("//cdn.other.net/z.js"),
+        F.lit("https://abs.example.com/a#frag"),
+        F.concat(F.lit("?q="), (i % 9).cast("string")),
+        F.lit("./here/./a/../b.html"),
+        F.lit(""),
+        F.lit("mailto:someone@example.com"),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(hrefs).alias("case_no", "href"))
+        .select(
+            "doc_id",
+            F.col("case_no").cast("long").alias("case_no"),
+            resolve_url(base, F.col("href")).alias("resolved"),
+        )
+    )
+
+
+QUERIES["qt52_link_resolution"] = _qt52
+ORACLE["qt52_link_resolution"] = """
+WITH cases AS (
+  SELECT doc_id, i AS case_no,
+         'https://ex' || (doc_id % 5) || '.org' AS root,
+         '/d' || (doc_id % 3) || '/sub/' AS dir
+  FROM documents, LATERAL UNNEST(generate_series(0, 9)) AS t(i)
+)
+SELECT doc_id, CAST(case_no AS BIGINT) AS case_no,
+       CASE case_no
+         WHEN 0 THEN root || dir || 'img' || (doc_id % 4) || '/x.png'
+         WHEN 1 THEN root || '/d' || (doc_id % 3) || '/up.html'
+         WHEN 2 THEN root || '/deep.html'
+         WHEN 3 THEN root || '/rooted/y?k=2'
+         WHEN 4 THEN 'https://cdn.other.net/z.js'
+         WHEN 5 THEN 'https://abs.example.com/a'
+         WHEN 6 THEN root || dir || 'page.html?q=' || (doc_id % 9)
+         WHEN 7 THEN root || dir || 'here/b.html'
+         WHEN 8 THEN root || dir || 'page.html'
+         ELSE 'mailto:someone@example.com'
+       END AS resolved
+FROM cases
 """

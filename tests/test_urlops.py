@@ -82,3 +82,58 @@ def test_no_python_udf_in_plan(spark):
     out = df.select(canonicalize_url("raw"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+RESOLVE_CASES = [
+    # (base, href, resolved) — RFC 3986 §5.4 reference-resolution shapes
+    ("https://h.org/a/b/c.html", "d.html", "https://h.org/a/b/d.html"),
+    ("https://h.org/a/b/c.html", "./d.html", "https://h.org/a/b/d.html"),
+    ("https://h.org/a/b/c.html", "../d", "https://h.org/a/d"),
+    ("https://h.org/a/b/c.html", "../../d", "https://h.org/d"),
+    # over-root .. clamps at / (§5.4.2 abnormal examples)
+    ("https://h.org/a/b/c.html", "../../../../d", "https://h.org/d"),
+    ("https://h.org/a/b/c.html", "/rooted?q=1", "https://h.org/rooted?q=1"),
+    ("https://h.org/a/b/c.html", "//cdn.net/z", "https://cdn.net/z"),
+    ("https://h.org/a/b/c.html", "http://x.y/p#f", "http://x.y/p"),
+    ("https://h.org/a/b/c.html", "?q=2", "https://h.org/a/b/c.html?q=2"),
+    ("https://h.org/a/b/c.html", "", "https://h.org/a/b/c.html"),
+    ("https://h.org/a/b/c.html", "#top", "https://h.org/a/b/c.html"),
+    ("https://h.org/a/b/c.html", "mailto:u@v", "mailto:u@v"),
+    # authority-only base: merge happens onto the implicit root path
+    ("https://h.org", "x/y", "https://h.org/x/y"),
+    ("https://h.org", "?q", "https://h.org/?q"),
+    # dotted mixes; trailing /. and /..
+    ("https://h.org/a/b/", "./x/./y/../z", "https://h.org/a/b/x/z"),
+    ("https://h.org/a/b/c", "..", "https://h.org/a/"),
+    ("https://h.org/a/b/c", ".", "https://h.org/a/b/"),
+    # dots inside ordinary segment names must NOT collapse
+    ("https://h.org/v1.2/lib/", "x.min.js", "https://h.org/v1.2/lib/x.min.js"),
+    ("https://h.org/a/", "..b/c", "https://h.org/a/..b/c"),
+    # schemeless base: total-function passthrough of the href
+    ("page.html", "x/y", "x/y"),
+]
+
+
+def test_resolve_url_cases(spark):
+    from pdf_spark.functions.urlops import resolve_url
+
+    df = spark.createDataFrame(
+        [(i, b, h) for i, (b, h, _) in enumerate(RESOLVE_CASES)],
+        ["i", "base", "href"],
+    )
+    rows = (
+        df.select("i", resolve_url("base", "href").alias("r"))
+        .orderBy("i")
+        .collect()
+    )
+    for row, (b, h, want) in zip(rows, RESOLVE_CASES):
+        assert row["r"] == want, (b, h, row["r"], want)
+
+
+def test_resolve_url_stays_jvm_side(spark):
+    from pdf_spark.functions.urlops import resolve_url
+
+    df = spark.createDataFrame([("https://x.example/a/", "b/c")], ["b", "h"])
+    out = df.select(resolve_url("b", "h"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
