@@ -181,3 +181,64 @@ QUERIES["qg03_triangle_count"] = lambda spark, sf: (
 ORACLE["qg03_triangle_count"] = _QG03_BODY.replace(
     "{EDGE_SRC}", _EDGE_SRC_DUCK
 )
+
+
+def _qg04(spark: SparkSession, sf: str) -> DataFrame:
+    """Redirect-chain resolution by POINTER DOUBLING (path contraction).
+
+    Crawls accumulate 3xx chains (http->https, www rewrites, moved
+    pages); the canonical-destination map is a per-node "follow until
+    terminal" walk. The naive formulation is h sequential joins for
+    chains of length h; this one doubles the pointer each round —
+    after k rounds every node knows its 2^k-th ancestor (clamped at the
+    terminal, which points to itself) — so 10^12 rows resolve in
+    ceil(log2(h_max)) shuffles, not h_max. Three rounds cover chains of
+    length <= 8; nodes still unresolved after that (cycles, longer
+    chains) would surface as resolved=false, the production escape
+    hatch. Hop counts ride the same doubling (dist' = dist_a + dist_b),
+    so the chain length is verified exactly, not just the endpoint.
+
+    Chain structure (constructed-answer oracle): doc i redirects to i-1
+    unless i % 8 == 0 (the block head is terminal), so final = i - i%8
+    and hops = i%8 — but the ENGINE walks real per-row edges; only the
+    oracle uses the closed form."""
+    docs = load(spark, sf, "documents").select("doc_id")
+    i = F.col("doc_id")
+    url = lambda c: F.concat(  # noqa: E731
+        F.lit("https://s"), (c % 10).cast("string"), F.lit(".ex.org/p/"),
+        c.cast("string"),
+    )
+    terminal = (i % 8) == 0
+    m = docs.select(
+        i.alias("node"),
+        F.when(terminal, i).otherwise(i - 1).cast("long").alias("parent"),
+        F.when(terminal, F.lit(0)).otherwise(F.lit(1))
+        .cast("long")
+        .alias("dist"),
+        terminal.alias("done"),
+    )
+    for _ in range(3):  # 2^3 = 8 >= h_max
+        a, b = m.alias("a"), m.alias("b")
+        m = a.join(b, F.col("a.parent") == F.col("b.node")).select(
+            F.col("a.node").alias("node"),
+            F.col("b.parent").alias("parent"),
+            (F.col("a.dist") + F.col("b.dist")).alias("dist"),
+            F.col("b.done").alias("done"),
+        )
+    return m.select(
+        F.col("node").alias("doc_id"),
+        url(F.col("parent")).alias("final_url"),
+        F.col("dist").alias("hops"),
+        F.col("done").alias("resolved"),
+    )
+
+
+QUERIES["qg04_redirect_resolution"] = _qg04
+ORACLE["qg04_redirect_resolution"] = """
+SELECT doc_id,
+       'https://s' || ((doc_id - doc_id % 8) % 10) || '.ex.org/p/'
+         || (doc_id - doc_id % 8) AS final_url,
+       CAST(doc_id % 8 AS BIGINT) AS hops,
+       CAST('t' AS BOOLEAN) AS resolved
+FROM documents
+"""
