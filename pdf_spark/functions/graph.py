@@ -217,7 +217,14 @@ def _qg04(spark: SparkSession, sf: str) -> DataFrame:
         .alias("dist"),
         terminal.alias("done"),
     )
+    # Each round self-joins m, referencing it twice: without a
+    # materialization barrier the logical plan doubles per round (2^k
+    # scan subtrees), which at 10^12 rows means recomputing the base k
+    # extra times and an optimizer blow-up. localCheckpoint truncates
+    # lineage so every round reads the PREVIOUS round's result once —
+    # k shuffles total, the whole point of pointer doubling.
     for _ in range(3):  # 2^3 = 8 >= h_max
+        m = m.localCheckpoint(eager=False)
         a, b = m.alias("a"), m.alias("b")
         m = a.join(b, F.col("a.parent") == F.col("b.node")).select(
             F.col("a.node").alias("node"),
