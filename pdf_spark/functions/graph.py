@@ -249,3 +249,89 @@ SELECT doc_id,
        CAST('t' AS BOOLEAN) AS resolved
 FROM documents
 """
+
+
+# --- qg05: host-graph aggregation + reciprocity ---------------------------------
+#
+# Crawlers reason about HOSTS, not pages: the page-level graph collapses
+# to a host graph (who links to whom, how often) for politeness budgets,
+# spam detection (link farms show near-total reciprocity) and domain-
+# level rank. Hosts reuse qg04's url scheme (host = doc_id % 10).
+#
+# Scale shape: host extraction is a map-side projection, the collapse is
+# ONE groupBy on (src_host, dst_host) — bounded by hosts^2 regardless of
+# corpus size — and reciprocity is a self-join on the REVERSED key of the
+# already-collapsed (tiny) host table, never of the page edges. Self
+# links (intra-host navigation) are excluded before the shuffle, where
+# they die cheapest.
+
+_QG05_BODY = """
+WITH deg AS (SELECT doc_id AS u, CAST(doc_id % 3 + 1 AS BIGINT) AS d
+             FROM documents),
+edges AS (
+  SELECT u, CAST((u * 7 + k) % (SELECT COUNT(*) FROM documents) AS BIGINT) AS v
+  FROM {EDGE_SRC}
+),
+hg AS (
+  SELECT CAST(u % 10 AS BIGINT) AS src_host,
+         CAST(v % 10 AS BIGINT) AS dst_host,
+         CAST(COUNT(*) AS BIGINT) AS n_links
+  FROM edges
+  WHERE u % 10 <> v % 10
+  GROUP BY u % 10, v % 10
+)
+SELECT a.src_host, a.dst_host, a.n_links,
+       (b.n_links IS NOT NULL) AS reciprocal
+FROM hg a LEFT JOIN hg b
+  ON a.src_host = b.dst_host AND a.dst_host = b.src_host
+"""
+
+QUERIES["qg05_host_graph"] = lambda spark, sf: (
+    register_views(spark, sf)
+    or spark.sql(_QG05_BODY.replace("{EDGE_SRC}", _EDGE_SRC_SPARK))
+)
+ORACLE["qg05_host_graph"] = _QG05_BODY.replace("{EDGE_SRC}", _EDGE_SRC_DUCK)
+
+
+# --- qg06: two-round HITS (hubs & authorities) ----------------------------------
+#
+# Kleinberg's HITS as the second rank signal next to qg01's PageRank:
+# authority = linked-from-good-hubs, hub = links-to-good-authorities.
+# UNNORMALIZED integer iterates: the per-round L2 normalization only
+# rescales (ranking-invariant — what crawl prioritization consumes), and
+# dropping it keeps every score an exact BIGINT sum (the qg01 lesson:
+# float normalization would be order-dependent across engines). With
+# h0 = 1: a1 = indegree, h1 = sum of a1 over out-links, a2 = sum of h1
+# over in-links. Each round is one explode + one shuffle on the
+# destination key — same dataflow (and same 10^12-row cost model) as a
+# PageRank round.
+
+_QG06_BODY = """
+WITH deg AS (SELECT doc_id AS u, CAST(doc_id % 3 + 1 AS BIGINT) AS d
+             FROM documents),
+edges AS (
+  SELECT u, CAST((u * 7 + k) % (SELECT COUNT(*) FROM documents) AS BIGINT) AS v
+  FROM {EDGE_SRC}
+),
+a1 AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS a FROM edges GROUP BY v),
+h1 AS (
+  SELECT e.u, CAST(SUM(COALESCE(a1.a, 0)) AS BIGINT) AS h
+  FROM edges e LEFT JOIN a1 ON e.v = a1.v GROUP BY e.u
+),
+a2 AS (
+  SELECT e.v, CAST(SUM(COALESCE(h1.h, 0)) AS BIGINT) AS a
+  FROM edges e LEFT JOIN h1 ON e.u = h1.u GROUP BY e.v
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h1.h, 0) AS BIGINT) AS hub_fp,
+       CAST(COALESCE(a2.a, 0) AS BIGINT) AS authority_fp
+FROM documents d
+LEFT JOIN h1 ON d.doc_id = h1.u
+LEFT JOIN a2 ON d.doc_id = a2.v
+"""
+
+QUERIES["qg06_hits"] = lambda spark, sf: (
+    register_views(spark, sf)
+    or spark.sql(_QG06_BODY.replace("{EDGE_SRC}", _EDGE_SRC_SPARK))
+)
+ORACLE["qg06_hits"] = _QG06_BODY.replace("{EDGE_SRC}", _EDGE_SRC_DUCK)

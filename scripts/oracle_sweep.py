@@ -1,0 +1,52 @@
+"""Full queries()-vs-DuckDB-oracle sweep at a given sf dir (what the
+driver's per-round CORRECTNESS check does; also used for the 10x-scale
+net that caught qg01's float-ROUND boundary).
+
+Usage: python scripts/oracle_sweep.py [sf_dir] [name_prefix_filter]
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pdf_spark.functions.oracle_harness import compare  # noqa: E402
+from pdf_spark.functions.registry import all_oracles, all_queries  # noqa: E402
+from pdf_spark.session import spark_session  # noqa: E402
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    prefix = sys.argv[2] if len(sys.argv) > 2 else ""
+    queries, oracles = all_queries(), all_oracles()
+    spark = spark_session()
+    bad = {}
+    t0 = time.time()
+    names = [n for n in sorted(queries) if n.startswith(prefix)]
+    for i, name in enumerate(names):
+        t = time.time()
+        try:
+            df = queries[name](spark, sf)
+            if name in oracles:
+                problems = compare(name, df, oracles[name], sf)
+            else:
+                problems = [] if df.count() >= 0 else ["count failed"]
+        except Exception as exc:  # noqa: BLE001 — sweep must report, not die
+            problems = [f"EXCEPTION: {exc!r}"]
+        status = "ok" if not problems else "FAIL"
+        print(
+            f"[{i + 1}/{len(names)}] {name}: {status} ({time.time() - t:.1f}s)",
+            flush=True,
+        )
+        if problems:
+            bad[name] = [str(p)[:300] for p in problems]
+    print(f"TOTAL {len(names) - len(bad)}/{len(names)} ok in "
+          f"{time.time() - t0:.0f}s at {sf}")
+    if bad:
+        print(json.dumps(bad, indent=2))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
