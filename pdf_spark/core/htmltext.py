@@ -612,7 +612,7 @@ def _parse_attrs(raw: str) -> dict:
 
 def extract_html_meta(data: bytes) -> dict:
     """Head metadata: {title, description, og_title, og_description,
-    canonical, lang} — str or None each.
+    canonical, lang, robots} — str or None each.
 
     The WAT-record fields a crawl pipeline stores per page: first
     ``<title>`` text, ``<meta name=description>`` / ``property=og:*``
@@ -624,7 +624,9 @@ def extract_html_meta(data: bytes) -> dict:
     out = {
         "title": None, "description": None, "og_title": None,
         "og_description": None, "canonical": None, "lang": None,
+        "robots": None,
     }
+    robots_parts: list[str] = []
     pos = 0
     n = len(html_text)
     in_title = False
@@ -655,6 +657,12 @@ def extract_html_meta(data: bytes) -> dict:
                 }.get(key)
                 if slot and content and out[slot] is None:
                     out[slot] = content
+                elif key == "robots" and content:
+                    # unlike the first-wins display fields, robots
+                    # directives UNION across tags (a crawler honors the
+                    # most restrictive combination — Google/Bing documented
+                    # behavior), so every tag's content is kept
+                    robots_parts.append(content)
             elif low == "link":
                 attrs = _parse_attrs(m.group(3))
                 rels = attrs.get("rel", "").lower().split()
@@ -676,6 +684,8 @@ def extract_html_meta(data: bytes) -> dict:
                 out["title"] = text or None
         elif in_title and m.group(0)[0] != "<":
             title_parts.append(m.group(0))
+    if robots_parts:
+        out["robots"] = ",".join(robots_parts)
     return out
 
 

@@ -2163,3 +2163,99 @@ UNION ALL
 SELECT doc_id, 0, 'Highlight', 'hl ' || (doc_id % 7)
 FROM documents WHERE doc_id % 3 = 0
 """
+
+
+# -- qx30: index-eligibility decision (meta robots + canonical) ----------------
+
+
+def _qx30(spark: SparkSession, sf: str) -> DataFrame:
+    """The per-page INDEX DECISION a crawler makes before a document may
+    enter the corpus: ``<meta name=robots>`` directives (noindex drops
+    the page, nofollow stops link mining — directives UNION across
+    multiple tags, the documented Google/Bing combination rule) plus
+    ``rel=canonical`` self-or-elsewhere (a non-self canonical means the
+    text belongs to ANOTHER url — corpus builders either skip or re-key).
+
+    Five directive classes by doc_id % 5: none / noindex / nofollow (as
+    two separate meta tags, exercising the union) / 'noindex, nofollow'
+    (one tag, comma form) / 'all'. Canonical points to the doc_id%3
+    block head, so is_canonical_self is true iff doc_id % 3 == 0.
+
+    Only the STRING extraction (robots union, canonical href) happens in
+    Python; the directive parse + decision logic is Catalyst expressions
+    (split/trim/contains over the tiny robots string), so the decision
+    tier itself is JVM-side at 10^12 rows."""
+    from html import escape
+
+    from pdf_spark.core.htmltext import extract_html_meta
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("robots", StringType()),
+            StructField("canonical", StringType()),
+        ]
+    )
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"doc_id": [], "robots": [], "canonical": []}
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                i = int(doc_id)
+                cls = i % 5
+                tags = {
+                    0: "",
+                    1: '<meta name="robots" content="noindex">',
+                    2: '<meta name="robots" content="noindex">'
+                       '<meta name="ROBOTS" content="nofollow">',
+                    3: '<meta name="robots" content="noindex, nofollow">',
+                    4: '<meta name="robots" content="all">',
+                }[cls]
+                canonical = f"https://example.com/doc/{i - i % 3}"
+                page = (
+                    f"<!doctype html><html><head><title>d{i}</title>{tags}"
+                    f'<link rel="canonical" href="{canonical}">'
+                    "</head><body><p>"
+                    + escape(str(text) or "x")
+                    + "</p></body></html>"
+                ).encode()
+                hm = extract_html_meta(page)
+                out["doc_id"].append(i)
+                out["robots"].append(hm["robots"])
+                out["canonical"].append(hm["canonical"])
+            yield pd.DataFrame(out)
+
+    ex = docs.mapInPandas(meta, schema)
+    ex.createOrReplaceTempView("qx30_extracted")
+    return spark.sql(
+        """
+        SELECT doc_id, robots, canonical,
+               NOT (robots IS NOT NULL AND EXISTS(
+                   split(robots, ','), x -> trim(lower(x)) = 'noindex'
+               )) AS indexable,
+               NOT (robots IS NOT NULL AND EXISTS(
+                   split(robots, ','), x -> trim(lower(x)) = 'nofollow'
+               )) AS follow_links,
+               canonical = concat('https://example.com/doc/',
+                                  CAST(doc_id AS STRING))
+                   AS is_canonical_self
+        FROM qx30_extracted
+        """
+    )
+
+
+QUERIES["qx30_index_eligibility"] = _qx30
+ORACLE["qx30_index_eligibility"] = """
+SELECT doc_id,
+       CASE doc_id % 5
+            WHEN 1 THEN 'noindex'
+            WHEN 2 THEN 'noindex,nofollow'
+            WHEN 3 THEN 'noindex, nofollow'
+            WHEN 4 THEN 'all' END AS robots,
+       'https://example.com/doc/' || (doc_id - doc_id % 3) AS canonical,
+       doc_id % 5 IN (0, 4) AS indexable,
+       doc_id % 5 IN (0, 1, 4) AS follow_links,
+       doc_id % 3 = 0 AS is_canonical_self
+FROM documents
+"""

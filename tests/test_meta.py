@@ -211,7 +211,26 @@ def test_html_meta_basic():
         "title": "Hello & Welcome", "description": "A test page",
         "og_title": "OG Hello", "og_description": "OG Desc",
         "canonical": "https://ex.com/p", "lang": "en-US",
+        "robots": None,
     }
+
+
+def test_html_meta_robots_union_across_tags():
+    # directives UNION across tags (most-restrictive-wins combination),
+    # unlike the first-wins display fields; name match is case-blind
+    page = (b"<html><head>"
+            b'<meta name="robots" content="noindex">'
+            b'<meta name="ROBOTS" content="nofollow, noarchive">'
+            b"</head></html>")
+    m = extract_html_meta(page)
+    assert m["robots"] == "noindex,nofollow, noarchive"
+
+
+def test_html_meta_robots_single_and_absent():
+    assert extract_html_meta(
+        b'<html><meta name=robots content="noindex, nofollow"></html>'
+    )["robots"] == "noindex, nofollow"
+    assert extract_html_meta(b"<html><body>x</body></html>")["robots"] is None
 
 
 def test_html_meta_first_wins_and_rawtext_immune():
