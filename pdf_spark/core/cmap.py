@@ -52,7 +52,7 @@ class CMap:
 
     __slots__ = (
         "name", "codespace", "cid_ranges", "bf_singles", "bf_ranges",
-        "parent", "unicode_identity", "charset", "lead_lens",
+        "parent", "unicode_identity", "charset", "lead_lens", "wmode",
     )
 
     def __init__(self, name: str = "") -> None:
@@ -73,6 +73,11 @@ class CMap:
         # per-lead-byte code length table derived from the codespace
         self.charset: Optional[str] = None
         self.lead_lens: Optional[tuple[int, ...]] = None
+        # writing mode (PDF 32000-1 §9.7.5.1 /WMode): 0 horizontal,
+        # 1 vertical. Predefined ``*-V`` names and embedded CMaps carrying
+        # ``/WMode 1`` set it; the font layer turns it into a downward
+        # advance and the extractor into column-major reading order.
+        self.wmode = 0
 
     def build_lead_lens(self) -> Optional[tuple[int, ...]]:
         """Per-lead-byte code length (1 or 2) from the codespace ranges;
@@ -216,16 +221,25 @@ def _legacy_cmap(name: str, codec: str, space: list[tuple[int, int, int]]) -> CM
 
 
 def get_predefined_cmap(name: str) -> CMap:
+    cm = None
     if name in ("Identity-H", "Identity-V"):
-        return _identity_cmap(name)
-    stem, _, direction = name.rpartition("-")
-    if direction in ("H", "V"):
-        if stem in _UNICODE_CMAP_STEMS:
-            return _unicode_cmap(name)
-        legacy = _LEGACY_CMAP_STEMS.get(stem)
-        if legacy is not None:
-            return _legacy_cmap(name, legacy[0], legacy[1])
-    raise PdfError(UNSUPPORTED_CMAP, f"predefined CMap {name!r}")
+        cm = _identity_cmap(name)
+    else:
+        stem, _, direction = name.rpartition("-")
+        if direction in ("H", "V"):
+            if stem in _UNICODE_CMAP_STEMS:
+                cm = _unicode_cmap(name)
+            else:
+                legacy = _LEGACY_CMAP_STEMS.get(stem)
+                if legacy is not None:
+                    cm = _legacy_cmap(name, legacy[0], legacy[1])
+    if cm is None:
+        raise PdfError(UNSUPPORTED_CMAP, f"predefined CMap {name!r}")
+    if name.endswith("-V"):
+        # the V form of every predefined family shares the H codespace and
+        # mappings; only the writing mode differs (§9.7.5.2 Table 118)
+        cm.wmode = 1
+    return cm
 
 
 def _hex_token_value(tok: bytes) -> tuple[int, int]:
@@ -349,5 +363,10 @@ def parse_cmap(data: bytes) -> CMap:
         if t.startswith(b"/") and t[1:] == b"CMapName":
             if i + 1 < n and toks[i + 1].startswith(b"/"):
                 cm.name = toks[i + 1][1:].decode("latin-1")
+        elif t == b"/WMode" and i + 1 < n:
+            try:
+                cm.wmode = 1 if int(toks[i + 1]) == 1 else 0
+            except ValueError:
+                pass
         i += 1
     return cm

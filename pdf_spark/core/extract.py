@@ -140,6 +140,7 @@ def extract_document(
                 spans, n_before, resolver.resolve(page.get("Rotate")),
                 page_w, page_h,
             )
+            _apply_vertical_order(spans, n_before)
         assign_columns(spans)
         return ExtractResult("ok", "", spans, n_pages)
     except PdfError as exc:
@@ -177,6 +178,28 @@ def _apply_page_rotation(spans, start, rotate, page_w, page_h) -> None:
             s.x, s.y = page_h - s.y, s.x
 
 
+def _apply_vertical_order(spans, start) -> None:
+    """Column-major reading order for vertical-writing pages (WMode 1,
+    §9.7.5.1): map span sort coordinates ``(x, y) -> (-y, x)`` so the
+    standard ``(y desc, x asc)`` assembly reads columns right-to-left and
+    each column top-to-bottom — a vertical COLUMN (constant x) becomes one
+    assembly LINE (constant y'), exactly like ``_apply_page_rotation``
+    normalizes rotated pages into reader space. Applied only when the
+    page's vertical spans carry the majority of its characters (mixed
+    pages with a horizontal majority keep the horizontal order; the
+    embedded horizontal runs stay grouped by their y). The reference has
+    no vertical path at all — its predefined-CMap table lists the ``*-V``
+    names (fonts/cmap_paths.c) but the render loop advances x only."""
+    seg = spans[start:]
+    if not seg:
+        return
+    vchars = sum(len(s.text) for s in seg if s.vert)
+    if 2 * vchars <= sum(len(s.text) for s in seg):
+        return
+    for s in seg:
+        s.x, s.y = -s.y, s.x
+
+
 # Column detection thresholds — deliberately conservative: a split only
 # happens when the page unambiguously presents as side-by-side columns.
 # Anything ambiguous keeps col=0 everywhere, i.e. the historical
@@ -190,6 +213,12 @@ _COL_MIN_Y_OVERLAP = 0.5  # columns must run side by side, not stacked
 
 def _detect_gutter(page_spans: list) -> Optional[float]:
     if len(page_spans) < 2 * _COL_MIN_SPANS:
+        return None
+    if any(s.vert for s in page_spans):
+        # vertical-majority pages were already transformed into reading
+        # space by _apply_vertical_order (their "columns" ARE lines);
+        # horizontal-majority mixed pages keep geometric order — the
+        # two-column heuristic is meaningful only for pure horizontal text
         return None
     spans = sorted(page_spans, key=lambda s: s.x)
     ends = [

@@ -133,7 +133,8 @@ class Font:
         "encoding_cmap", "to_unicode",
         "code_to_name", "first_char", "widths", "missing_width",
         "cid_widths", "default_width", "cid_to_gid",
-        "symbolic", "sfnt", "fast_tables",
+        "symbolic", "sfnt", "fast_tables", "vertical", "w1_default",
+        "uniform_width",
     )
 
     def __init__(self) -> None:
@@ -155,6 +156,17 @@ class Font:
         # decode/width are pure per font, so one dict lookup replaces the
         # per-glyph call chain on the hot path
         self.fast_tables = None
+        # vertical writing mode (§9.7.5.1): set from the Encoding CMap's
+        # /WMode (predefined *-V names or an embedded CMap's /WMode 1).
+        # The default vertical displacement comes from DW2 (§9.7.4.3,
+        # default [880 -1000]): w1 in glyph space, negative = downward.
+        self.vertical = False
+        self.w1_default = -1000.0
+        # every code's width is this single value (common: Type0 with DW
+        # only, metric-less simple fonts) — lets the span emitter compute
+        # the advance as ncodes * per_glyph instead of a per-code dict
+        # pass, the hottest loop in the whole pipeline. None = widths vary.
+        self.uniform_width: Optional[float] = None
 
     def build_fast_tables(self):
         """code->text map + code->width map for the span emitter's C-level
@@ -169,10 +181,11 @@ class Font:
 
     # -- code iteration (render/font.c:29-87) --
 
-    def split_codes(self, data: bytes) -> list[int]:
-        """String bytes -> list of codes. Fixed 2-byte big-endian for the
-        Identity/UCS2 families (trailing odd byte dropped, font.c:46);
-        codespace-driven mixed 1/2-byte for the legacy CJK CMaps
+    def split_codes(self, data: bytes):
+        """String bytes -> sequence of codes. Fixed 2-byte big-endian for
+        the Identity/UCS2 families (trailing odd byte dropped, font.c:46;
+        returned as the unpack tuple directly — no list copy on the hot
+        path); codespace-driven mixed 1/2-byte for the legacy CJK CMaps
         (90ms-RKSJ-H's 1-byte ASCII/kana vs 2-byte kanji ranges —
         PDF 32000-1 §9.7.6.2 next-code selection by codespace)."""
         if not self.is_type0:
@@ -182,7 +195,7 @@ class Font:
         n = len(data)
         if lens is None:
             nb = n & ~1
-            return list(struct.unpack(f">{nb >> 1}H", data[:nb]))
+            return struct.unpack(f">{nb >> 1}H", data[:nb])
         out: list[int] = []
         off = 0
         while off < n:
@@ -282,6 +295,20 @@ class Font:
         if self.missing_width is not None:
             return self.missing_width
         return DEFAULT_WIDTH
+
+
+def _uniform_width(f: Font) -> Optional[float]:
+    """The single width every code resolves to, or None when widths vary.
+    Conservative: any case where an out-of-range code could fall back to a
+    DIFFERENT value than the in-range codes returns None."""
+    if f.is_type0:
+        return f.default_width if not f.cid_widths else None
+    fallback = f.missing_width if f.missing_width is not None else DEFAULT_WIDTH
+    if f.widths:
+        ws = set(f.widths)
+        if len(ws) != 1 or ws.pop() != fallback:
+            return None
+    return fallback
 
 
 def _parse_cid_widths(w_array: list, resolver) -> dict[int, float]:
@@ -480,9 +507,15 @@ def _load_font_uncached(font_obj, resolver) -> Font:
         cid_subtype = cid_font.get("Subtype")
         if cid_subtype not in (Name("CIDFontType0"), Name("CIDFontType2")):
             raise PdfError(UNSUPPORTED_FONT, f"CID font subtype {cid_subtype!r}")
+        f.vertical = f.encoding_cmap is not None and f.encoding_cmap.wmode == 1
         dw = resolver.resolve(cid_font.get("DW"))
         if isinstance(dw, (int, float)):
             f.default_width = float(dw)
+        dw2 = resolver.resolve(cid_font.get("DW2"))
+        if isinstance(dw2, list) and len(dw2) == 2:
+            w1 = resolver.resolve(dw2[1])
+            if isinstance(w1, (int, float)):
+                f.w1_default = float(w1)
         w = resolver.resolve(cid_font.get("W"))
         if isinstance(w, list):
             f.cid_widths = _parse_cid_widths(w, resolver)
@@ -490,6 +523,7 @@ def _load_font_uncached(font_obj, resolver) -> Font:
         if isinstance(c2g, Stream):
             f.cid_to_gid = c2g.decoded(resolver)
         _load_descriptor(f, cid_font.get("FontDescriptor"), resolver)
+        f.uniform_width = _uniform_width(f)
         return f
 
     if subtype in (Name(s) for s in SIMPLE_SUBTYPES):
@@ -551,6 +585,7 @@ def _load_font_uncached(font_obj, resolver) -> Font:
                         table[code] = str(item)
                         code += 1
             f.code_to_name = table
+        f.uniform_width = _uniform_width(f)
         return f
 
     raise PdfError(UNSUPPORTED_FONT, f"font subtype {subtype!r}")

@@ -109,7 +109,9 @@ def _fix_surrogates(text: str) -> str:
 class Span:
     """One text-show string element (SURVEY.md §2.4 span emitter)."""
 
-    __slots__ = ("page", "x", "y", "glyph_order", "text", "font", "size", "col")
+    __slots__ = (
+        "page", "x", "y", "glyph_order", "text", "font", "size", "col", "vert",
+    )
 
     def __init__(self, page, x, y, glyph_order, text, font, size):
         self.page = page
@@ -122,6 +124,9 @@ class Span:
         # reading-order column, assigned post-hoc per page by
         # core.extract.assign_columns (0 = single column / left)
         self.col = 0
+        # shown in vertical writing mode (WMode 1): feeds the per-page
+        # column-major reading-order transform in core.extract
+        self.vert = False
 
 
 class TextState:
@@ -457,12 +462,23 @@ class Interpreter:
         # over the (struct-unpacked or codespace-split) code list
         tables = font.fast_tables or font.build_fast_tables()
         fast = None if is_type0 else tables
+        vert = font.vertical
+        # uniform-width shortcut: when every code has the same width (Type0
+        # with DW only, metric-less simple fonts — most of a real crawl's
+        # docs), the advance is ncodes * per_glyph and the per-code width
+        # dict pass is skipped entirely (~1.4x on the decode loop)
+        uw = font.uniform_width
+        per_glyph = None if uw is None else (uw / 1000.0 * fs + tc) * th
         # no resolve per element: content-stream operands are scanned with
         # content=True, so a TJ array can never contain indirect refs
         for el in elements:
             if isinstance(el, (int, float)):
-                # kern: Tm = translate(-n/1000·Tfs·Th, 0)·Tm
-                tm = _x_shift(-float(el) / 1000.0 * fs * th, tm)
+                # kern: Tm = translate(-n/1000·Tfs·Th, 0)·Tm; in vertical
+                # mode the displacement is along y with no Th (§9.4.4)
+                if vert:
+                    tm = mat_mul(translate(0.0, -float(el) / 1000.0 * fs), tm)
+                else:
+                    tm = _x_shift(-float(el) / 1000.0 * fs * th, tm)
                 continue
             if not isinstance(el, bytes):
                 raise PdfError(INCORRECT_TYPE, f"TJ element {type(el).__name__}")
@@ -481,9 +497,13 @@ class Interpreter:
                 trans, w256 = fast
                 text = el.decode("latin-1").translate(trans)
                 adv = (
-                    sum(map(w256.__getitem__, el)) / 1000.0 * fs
-                    + len(el) * tc
-                ) * th
+                    len(el) * per_glyph
+                    if per_glyph is not None
+                    else (
+                        sum(map(w256.__getitem__, el)) / 1000.0 * fs
+                        + len(el) * tc
+                    ) * th
+                )
                 if _SURROGATE_RE.search(text):
                     text = _fix_surrogates(text)
                 if actual is not None:
@@ -506,33 +526,46 @@ class Interpreter:
                     self.glyph_order += len(text)
                 tm = _x_shift(adv, tm)
                 continue
-            # Type0: fixed 2-byte (struct-unpacked) or codespace-driven
+            # Type0: fixed 2-byte (struct-unpack tuple) or codespace-driven
             # mixed 1/2-byte split (render/font.c:46; legacy CJK CMaps are
             # mixed-width), then C-level map over the lazy decode tables.
             # tx = (w0/1000·Tfs + Tc)·Th ; Tw never applied (parity)
             tmap, wmap = tables
             codes = font.split_codes(el)
+            ncodes = len(codes)
             text = "".join(map(tmap.__getitem__, codes))
-            adv = (
-                sum(map(wmap.__getitem__, codes)) / 1000.0 * fs
-                + len(codes) * tc
-            ) * th
+            if vert:
+                # vertical displacement per glyph: w1 (DW2 default -1000,
+                # downward) in glyph space; Th never applies (§9.4.4)
+                adv = ncodes * (font.w1_default / 1000.0 * fs + tc)
+            elif per_glyph is not None:
+                adv = ncodes * per_glyph
+            else:
+                adv = (
+                    sum(map(wmap.__getitem__, codes)) / 1000.0 * fs
+                    + ncodes * tc
+                ) * th
             if _SURROGATE_RE.search(text):
                 text = _fix_surrogates(text)
+            if actual is not None:
+                # /ActualText suppression applies to Type0 shows exactly as
+                # to simple-font shows (§14.9.4 is font-agnostic)
+                text = actual[0] if not actual[1] else ""
+                actual[1] = True
             if text and not self._hidden:
-                self.spans.append(
-                    Span(
-                        self.page,
-                        dev[4],
-                        dev[5],
-                        self.glyph_order,
-                        text,
-                        font.base_font or ts.font_name,
-                        fs,
-                    )
+                sp = Span(
+                    self.page,
+                    dev[4],
+                    dev[5],
+                    self.glyph_order,
+                    text,
+                    font.base_font or ts.font_name,
+                    fs,
                 )
+                sp.vert = vert
+                self.spans.append(sp)
                 self.glyph_order += len(text)
-            tm = _x_shift(adv, tm)
+            tm = mat_mul(translate(0.0, adv), tm) if vert else _x_shift(adv, tm)
         return tm
 
     # -- gs ExtGState (render.c:265-287; params schema resources.h:66-206) --

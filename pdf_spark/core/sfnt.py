@@ -2,7 +2,9 @@
 
 The reference parses the full sfnt table directory and cmap subtable
 formats 0/4/6 to map character codes to glyph ids for *rendering*
-(/root/reference/libs/sfnt/src/cmap.c:30-91, render/font.c:89-248). For
+(/root/reference/libs/sfnt/src/cmap.c:30-91, render/font.c:89-248); we
+additionally read format 12 (supplementary-plane coverage, which the
+reference lacks). For
 extraction we need the same tables for a different purpose: a symbolic
 TrueType font with no ToUnicode/Encoding can only be decoded by going
 ``code -> GID`` through its (3,0)/(1,0) cmap and then ``GID -> Unicode``
@@ -100,7 +102,42 @@ def _parse_subtable(data: bytes, off: int) -> Optional[dict[int, int]]:
                 if gid:
                     out[code] = gid
         return out
-    return None  # formats 2/8/10/12/13/14 not needed for the decode path
+    if fmt == 12:
+        # segmented coverage: sequential-map groups of u32
+        # (startCharCode, endCharCode, startGlyphID). EXTENSION beyond the
+        # reference's 0/4/6 set (sfnt/src/cmap.c:30-91): modern fonts carry
+        # format 12 for supplementary-plane text, which the symbolic /
+        # CIDFontType2 inverse-Unicode fallback would otherwise miss.
+        if off + 16 > len(data):
+            return None
+        ngroups = _u32(data, off + 12)
+        if off + 16 + 12 * ngroups > len(data):
+            return None
+        out = {}
+        # same total-work cap rationale as format 4: nGroups and per-group
+        # spans are attacker-controlled; an honest font maps a bounded
+        # character repertoire
+        visited_budget = 2 * 65536
+        for g in range(ngroups):
+            base = off + 16 + 12 * g
+            start = _u32(data, base)
+            end = _u32(data, base + 4)
+            gid0 = _u32(data, base + 8)
+            if start > end or end > 0x10FFFF:
+                continue
+            if end - start + 1 > visited_budget:
+                # clamp an oversized group to the remaining budget so one
+                # whole-range group still yields a usable partial map
+                end = start + visited_budget - 1
+                if end < start:
+                    break
+            visited_budget -= end - start + 1
+            for k in range(end - start + 1):
+                gid = (gid0 + k) & 0xFFFF
+                if gid:
+                    out[start + k] = gid
+        return out
+    return None  # formats 2/8/10/13/14 not needed for the decode path
 
 
 class SfntCmaps:

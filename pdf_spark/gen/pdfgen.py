@@ -305,8 +305,13 @@ def _truetype_font(builder: PdfBuilder) -> int:
     )
 
 
-def _type0_font(builder: PdfBuilder, charset: list[str]) -> tuple[int, dict[str, int]]:
-    """Type0/Identity-H with a ToUnicode bfchar table over ``charset``.
+def _type0_font(
+    builder: PdfBuilder,
+    charset: list[str],
+    encoding: bytes = b"/Identity-H",
+    desc_extra: bytes = b"",
+) -> tuple[int, dict[str, int]]:
+    """Type0 with a ToUnicode bfchar table over ``charset``.
 
     Returns (font obj id, char -> 2-byte code map). Codes start at 1.
     """
@@ -330,10 +335,10 @@ def _type0_font(builder: PdfBuilder, charset: list[str]) -> tuple[int, dict[str,
     desc = builder.add(
         b"<</Type/Font/Subtype/CIDFontType2/BaseFont/FakeCID"
         b"/CIDSystemInfo<</Registry(Adobe)/Ordering(Identity)/Supplement 0>>"
-        b"/DW 500/CIDToGIDMap " + str(c2g_id).encode() + b" 0 R>>"
+        b"/DW 500" + desc_extra + b"/CIDToGIDMap " + str(c2g_id).encode() + b" 0 R>>"
     )
     font = builder.add(
-        b"<</Type/Font/Subtype/Type0/BaseFont/FakeCID/Encoding/Identity-H"
+        b"<</Type/Font/Subtype/Type0/BaseFont/FakeCID/Encoding" + encoding +
         b"/DescendantFonts[" + str(desc).encode() + b" 0 R]"
         b"/ToUnicode " + str(tu_id).encode() + b" 0 R>>"
     )
@@ -479,6 +484,47 @@ def _form_xobject_doc(lines: list[str]) -> bytes:
         b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
         b"/MediaBox[0 0 612 792]"
         b"/Resources<</XObject<</Fm1 " + str(form).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
+def _type0_vertical_doc(lines: list[str]) -> bytes:
+    """Vertical writing mode (Identity-V + DW2): each LINE becomes one
+    vertical COLUMN, columns placed right-to-left so reading order keeps
+    the line order. Every line is split into two Tj shows with a TJ kern
+    between them — the second show's position depends entirely on the
+    interpreter applying the DW2 vertical advance (w1 = -1000 downward)
+    and the vertical TJ-number displacement correctly; a wrong advance
+    reorders or merges the halves."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    charset = sorted(set("".join(lines)))
+    font, code_of = _type0_font(
+        b, charset, encoding=b"/Identity-V", desc_extra=b"/DW2[880 -1000]"
+    )
+    ops = [b"BT", b"/F1 " + _n(FONT_SIZE) + b" Tf"]
+    right_x = 560.0
+    for i, line in enumerate(lines):
+        x = right_x - i * LINE_HEIGHT
+        ops.append(b"1 0 0 1 " + _n(x) + b" " + _n(TOP_Y) + b" Tm")
+        half = max(1, len(line) // 2)
+        h1 = "".join(f"{code_of[c]:04x}" for c in line[:half])
+        h2 = "".join(f"{code_of[c]:04x}" for c in line[half:])
+        ops.append(b"<" + h1.encode() + b"> Tj")
+        if h2:
+            ops.append(b"[40 <" + h2.encode() + b">] TJ")
+    ops.append(b"ET")
+    cont = b.stream(b"\n".join(ops), filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
         b"/Contents " + str(cont).encode() + b" 0 R>>",
     )
     return b.build(cat)
@@ -752,32 +798,42 @@ def _mini_sfnt(
     symbol_first: int,
     symbol_gids: list[int],
     uni_seg: tuple[int, int, int],
+    uni12: list[tuple[int, int, int]] | None = None,
 ) -> bytes:
     """A minimal TrueType program containing ONLY a cmap table: a (1,0)
-    format-6 symbol subtable (firstCode + gid run) and a (3,1) format-4
-    Unicode subtable with one delta segment ``(start, end, delta)``. The
-    engine's sfnt reader touches nothing but cmap, so no glyf/head tables
-    are needed."""
+    format-6 symbol subtable (firstCode + gid run) and either a (3,1)
+    format-4 Unicode subtable with one delta segment ``(start, end,
+    delta)`` or — when ``uni12`` is given — a (3,10) format-12 subtable
+    of ``(startChar, endChar, startGid)`` groups (supplementary-plane
+    coverage). The engine's sfnt reader touches nothing but cmap, so no
+    glyf/head tables are needed."""
     import struct
 
     fmt6 = struct.pack(
         ">HHHHH", 6, 10 + 2 * len(symbol_gids), 0, symbol_first, len(symbol_gids)
     ) + b"".join(struct.pack(">H", g) for g in symbol_gids)
-    s, e, d = uni_seg
-    fmt4 = struct.pack(
-        ">HHHHHHH", 4, 32, 0, 4, 4, 1, 0
-    ) + struct.pack(">HH", e, 0xFFFF)      # endCode[2]
-    fmt4 += struct.pack(">H", 0)            # reservedPad
-    fmt4 += struct.pack(">HH", s, 0xFFFF)   # startCode[2]
-    fmt4 += struct.pack(">HH", d & 0xFFFF, 1)  # idDelta[2]
-    fmt4 += struct.pack(">HH", 0, 0)        # idRangeOffset[2]
+    if uni12 is not None:
+        uni = struct.pack(
+            ">HHIII", 12, 0, 16 + 12 * len(uni12), 0, len(uni12)
+        ) + b"".join(struct.pack(">III", s, e, g) for s, e, g in uni12)
+        uni_rec = (3, 10)
+    else:
+        s, e, d = uni_seg
+        uni = struct.pack(
+            ">HHHHHHH", 4, 32, 0, 4, 4, 1, 0
+        ) + struct.pack(">HH", e, 0xFFFF)      # endCode[2]
+        uni += struct.pack(">H", 0)            # reservedPad
+        uni += struct.pack(">HH", s, 0xFFFF)   # startCode[2]
+        uni += struct.pack(">HH", d & 0xFFFF, 1)  # idDelta[2]
+        uni += struct.pack(">HH", 0, 0)        # idRangeOffset[2]
+        uni_rec = (3, 1)
     # cmap: header + 2 encoding records + subtables
     sub1_off = 4 + 8 * 2
     sub2_off = sub1_off + len(fmt6)
     cmap = struct.pack(">HH", 0, 2)
     cmap += struct.pack(">HHI", 1, 0, sub1_off)
-    cmap += struct.pack(">HHI", 3, 1, sub2_off)
-    cmap += fmt6 + fmt4
+    cmap += struct.pack(">HHI", uni_rec[0], uni_rec[1], sub2_off)
+    cmap += fmt6 + uni
     # sfnt wrapper: offset table + one table record
     header = struct.pack(">IHHHH", 0x00010000, 1, 16, 0, 16)
     record = b"cmap" + struct.pack(">III", 0, 12 + 16, len(cmap))
@@ -804,6 +860,75 @@ def _truetype_symbolic_doc(lines: list[str]) -> bytes:
     )
     font = b.add(
         b"<</Type/Font/Subtype/TrueType/BaseFont/FakeSymbolic"
+        b"/FontDescriptor " + str(fd).encode() + b" 0 R>>"
+    )
+    shifted = [bytes((ord(c) + 1) for c in line) for line in lines]
+    cont = b.stream(_content_hex_byte_lines(shifted), filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
+# truetype_nonbmp: ASCII letters/digits render as MATHEMATICAL BOLD
+# supplementary-plane chars (U+1D400.. blocks); the gid runs mirror the
+# ord-0x1F gid scheme of _truetype_symbolic_doc. (startChar, endChar,
+# startGid) groups of the (3,10) format-12 subtable:
+_NONBMP_GROUPS = [
+    (0x20, 0x2F, 0x20 - 0x1F),        # space + punct: BMP identity runs
+    (0x1D7CE, 0x1D7D7, 0x30 - 0x1F),  # 0-9 -> MATHEMATICAL BOLD DIGIT
+    (0x3A, 0x40, 0x3A - 0x1F),
+    (0x1D400, 0x1D419, 0x41 - 0x1F),  # A-Z -> MATHEMATICAL BOLD CAPITAL
+    (0x5B, 0x60, 0x5B - 0x1F),
+    (0x1D41A, 0x1D433, 0x61 - 0x1F),  # a-z -> MATHEMATICAL BOLD SMALL
+    (0x7B, 0x7E, 0x7B - 0x1F),
+]
+
+
+def _nonbmp_expected(c: str) -> str:
+    o = ord(c)
+    if 0x41 <= o <= 0x5A:
+        return chr(0x1D400 + o - 0x41)
+    if 0x61 <= o <= 0x7A:
+        return chr(0x1D41A + o - 0x61)
+    if 0x30 <= o <= 0x39:
+        return chr(0x1D7CE + o - 0x30)
+    return c
+
+
+def _truetype_nonbmp_doc(lines: list[str]) -> bytes:
+    """Symbolic TrueType with NO ToUnicode/Encoding whose embedded cmap
+    carries a (3,10) FORMAT 12 Unicode subtable mapping letters/digits to
+    supplementary-plane (astral) chars: decode must go (1,0) symbol cmap
+    -> gid -> inverse format-12 Unicode cmap. The reference's sfnt reader
+    stops at formats 0/4/6 (sfnt/src/cmap.c:30-91) — this variant pins
+    the format-12 extension AND astral-char survival through the Arrow
+    UTF-8 boundary."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    # (1,0): code 0x21+k -> gid k+1 (char 0x20+k), same shift scheme as
+    # _truetype_symbolic_doc
+    sfnt = _mini_sfnt(
+        0x21, [k + 1 for k in range(95)], (0, 0, 0), uni12=_NONBMP_GROUPS
+    )
+    ff2 = b.add(
+        b"<</Length " + str(len(sfnt)).encode() + b"/Length1 "
+        + str(len(sfnt)).encode() + b">>\nstream\n" + sfnt + b"\nendstream"
+    )
+    fd = b.add(
+        b"<</Type/FontDescriptor/FontName/FakeAstral/Flags 4"
+        b"/FontFile2 " + str(ff2).encode() + b" 0 R>>"
+    )
+    font = b.add(
+        b"<</Type/Font/Subtype/TrueType/BaseFont/FakeAstral"
         b"/FontDescriptor " + str(fd).encode() + b" 0 R>>"
     )
     shifted = [bytes((ord(c) + 1) for c in line) for line in lines]
@@ -1399,6 +1524,12 @@ _GOOD_VARIANTS = [
     # no /Encoding entry — decode must come from the Symbol/ZapfDingbats
     # tables, with the subset tag stripped first.
     ("symbol_zapf", lambda L: _symbol_doc(L)),
+    # vertical writing mode (§9.7.5.1 WMode 1): Identity-V + DW2 downward
+    # advance; reading order is column-major right-to-left.
+    ("type0_vertical", lambda L: _type0_vertical_doc(L)),
+    # sfnt cmap format 12 (supplementary plane): symbolic decode must
+    # surface astral chars via the (3,10) subtable's inverse.
+    ("truetype_nonbmp", lambda L: _truetype_nonbmp_doc(L)),
 ]
 
 
@@ -1792,6 +1923,8 @@ def _expected_text(lines: list[str], variant_name: str) -> str:
         lines = ["".join(_nonlatin_map(c)[1] for c in l) for l in lines]
     elif variant_name == "macexpert":
         lines = ["".join(_macexpert_expected(c) for c in l) for l in lines]
+    elif variant_name == "truetype_nonbmp":
+        lines = ["".join(_nonbmp_expected(c) for c in l) for l in lines]
     elif variant_name == "symbol_zapf":
         lines = ["".join(_symbol_expected(c) for c in l) for l in lines] + [
             _ZAPF_LINE_EXPECT

@@ -251,6 +251,45 @@ class TestSfntCmap:
         assert out.decode_code(ord("A") + 1) == "A"
         assert out.decode_gid(ord("z") - 0x1F) == "z"
 
+    def test_format_12_astral(self):
+        from pdf_spark.core.sfnt import parse_sfnt_cmaps
+        from pdf_spark.gen.pdfgen import _NONBMP_GROUPS, _mini_sfnt
+
+        data = _mini_sfnt(
+            0x21, [k + 1 for k in range(95)], (0, 0, 0), uni12=_NONBMP_GROUPS
+        )
+        out = parse_sfnt_cmaps(data)
+        # (3,10) format 12: 'A' gid maps from U+1D400 (MATH BOLD CAPITAL A)
+        gid_a = ord("A") - 0x1F
+        assert out.unicode_map[0x1D400] == gid_a
+        assert out.decode_gid(gid_a) == "\U0001D400"
+        # symbolic chain: shifted code -> gid -> astral char
+        assert out.decode_code(ord("A") + 1) == "\U0001D400"
+        # BMP identity run in the same format-12 table
+        assert out.decode_code(ord(" ") + 1) == " "
+
+    def test_format_12_work_cap(self):
+        """One group spanning the whole Unicode range must be budget-bounded
+        (honest fonts map a bounded repertoire)."""
+        import struct
+        import time
+
+        from pdf_spark.core.sfnt import parse_sfnt_cmaps
+
+        fmt12 = struct.pack(">HHIII", 12, 0, 16 + 12, 0, 1) + struct.pack(
+            ">III", 0, 0x10FFFF, 1
+        )
+        cmap = struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 10, 12) + fmt12
+        data = (
+            struct.pack(">IHHHH", 0x00010000, 1, 16, 0, 16)
+            + b"cmap" + struct.pack(">III", 0, 28, len(cmap))
+            + cmap
+        )
+        t0 = time.monotonic()
+        out = parse_sfnt_cmaps(data)
+        assert time.monotonic() - t0 < 5.0
+        assert out is not None and out.unicode_map[0] == 1
+
     def test_no_cmap_returns_none(self):
         import struct
 
@@ -1491,3 +1530,69 @@ class TestOcgIncrementalInteraction:
         updated = incremental_update(base, {1: new_cat}, _find_startxref(base))
         text2, status2, code2, _, _ = extract_text(updated)
         assert (status2, text2) == ("ok", "always"), code2
+
+
+class TestVerticalWriting:
+    """WMode 1 (§9.7.5.1): *-V predefined CMaps, embedded /WMode, DW2
+    advance, and column-major reading order."""
+
+    def test_predefined_v_cmaps_carry_wmode(self):
+        from pdf_spark.core.cmap import get_predefined_cmap
+
+        assert get_predefined_cmap("Identity-V").wmode == 1
+        assert get_predefined_cmap("Identity-H").wmode == 0
+        assert get_predefined_cmap("UniJIS-UCS2-V").wmode == 1
+        assert get_predefined_cmap("90ms-RKSJ-V").wmode == 1
+        # V forms share the H form's mappings (only the mode differs)
+        v = get_predefined_cmap("90ms-RKSJ-V")
+        h = get_predefined_cmap("90ms-RKSJ-H")
+        assert v.charset == h.charset and v.codespace == h.codespace
+
+    def test_embedded_cmap_wmode_token(self):
+        from pdf_spark.core.cmap import parse_cmap
+
+        cm = parse_cmap(
+            b"/CIDSystemInfo <</Registry(A)/Ordering(B)/Supplement 0>> def\n"
+            b"/WMode 1 def\n"
+            b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            b"1 begincidrange\n<0000> <FFFF> 0\nendcidrange\nendcmap"
+        )
+        assert cm.wmode == 1
+        cm0 = parse_cmap(b"/WMode 0 def\nendcmap")
+        assert cm0.wmode == 0
+
+    def test_vertical_variant_reading_order(self):
+        from pdf_spark.gen.pdfgen import _GOOD_VARIANTS, generate_doc
+
+        vi = [n for n, _ in _GOOD_VARIANTS].index("type0_vertical")
+        pdf, expected, name, _ = generate_doc(
+            "columns read right to left and glyphs top to bottom " * 8, vi
+        )
+        text, status, code, _, _ = extract_text(pdf)
+        assert status == "ok", code
+        assert text == expected
+
+    def test_vertical_advance_orders_halves_within_column(self):
+        """The second show of a column must land BELOW the first (DW2
+        advance applied), so the assembled line reads half1+half2 — a
+        missing vertical advance would leave both at the column top and
+        glyph_order alone would still save it; a POSITIVE (upward)
+        advance would swap them. Use distinct x for a second column to
+        pin right-to-left column order too."""
+        from pdf_spark.gen.pdfgen import _GOOD_VARIANTS, generate_doc
+        from pdf_spark.core.document import Resolver
+        from pdf_spark.core.extract import extract_document
+
+        vi = [n for n, _ in _GOOD_VARIANTS].index("type0_vertical")
+        pdf, expected, _, _ = generate_doc("abcdefgh " * 30, vi)
+        r = extract_document(pdf)
+        assert r.ok
+        # after the reading-space transform: spans on one line share y
+        # (the column x), ordered by transformed x = -original y
+        lines = {}
+        for s in r.spans:
+            lines.setdefault(s.y, []).append(s)
+        assert len(lines) >= 2
+        for y, spans in lines.items():
+            xs = [s.x for s in sorted(spans, key=lambda t: t.glyph_order)]
+            assert xs == sorted(xs), "second half must sort after first"
