@@ -286,6 +286,13 @@ AGL: dict[str, str] = {
     "multiply": "×", "lozenge": "◊", "fraction": "⁄", "apple": "",
     "breve": "˘", "dotaccent": "˙", "ring": "˚", "hungarumlaut": "˝",
     "ogonek": "˛", "caron": "ˇ", "minus": "−", "nbspace": " ",
+    # Latin-1 names NOT reachable via the WinAnsi table below (WinAnsi
+    # drops these codes); needed by the CFF standard-strings set (SIDs
+    # 150-228) and by /Differences arrays
+    "onesuperior": "¹", "twosuperior": "²", "threesuperior": "³",
+    "onehalf": "½", "onequarter": "¼", "threequarters": "¾",
+    "Eth": "Ð", "eth": "ð", "Thorn": "Þ", "thorn": "þ",
+    "Zcaron": "Ž", "zcaron": "ž",
 }
 for _c in range(65, 91):
     AGL[chr(_c)] = chr(_c)

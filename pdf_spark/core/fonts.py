@@ -37,6 +37,7 @@ from pdf_spark.core.encodings import (
     glyph_name_to_unicode,
 )
 from pdf_spark.core.errors import INCORRECT_TYPE, UNSUPPORTED_FONT, PdfError
+from pdf_spark.core.cff import parse_cff_names
 from pdf_spark.core.objects import Name, Ref, Stream
 from pdf_spark.core.sfnt import parse_sfnt_cmaps
 
@@ -78,6 +79,19 @@ def _parse_sfnt_cached(data: bytes):
     out = parse_sfnt_cmaps(data)
     if len(_SFNT_CACHE) < _ASSET_CACHE_MAX:
         _SFNT_CACHE[key] = out
+    return out
+
+
+_CFF_CACHE: dict[bytes, object] = {}
+
+
+def _parse_cff_cached(data: bytes):
+    key = _digest(data)
+    if key in _CFF_CACHE:
+        return _CFF_CACHE[key]
+    out = parse_cff_names(data)
+    if len(_CFF_CACHE) < _ASSET_CACHE_MAX:
+        _CFF_CACHE[key] = out
     return out
 SIMPLE_SUBTYPES = ("Type1", "TrueType", "MMType1", "Type3")
 
@@ -133,7 +147,7 @@ class Font:
         "encoding_cmap", "to_unicode",
         "code_to_name", "first_char", "widths", "missing_width",
         "cid_widths", "default_width", "cid_to_gid",
-        "symbolic", "sfnt", "fast_tables", "vertical", "w1_default",
+        "symbolic", "sfnt", "cff", "fast_tables", "vertical", "w1_default",
         "uniform_width",
     )
 
@@ -152,6 +166,7 @@ class Font:
         self.cid_to_gid: Optional[bytes] = None  # None = Identity
         self.symbolic = False  # FontDescriptor Flags bit 3 (value 4)
         self.sfnt = None  # parsed FontFile2 cmaps (core/sfnt.py), if any
+        self.cff = None  # parsed FontFile3 charset/encoding (core/cff.py)
         # (text_map, width_map) lazy decode tables built on first show —
         # decode/width are pure per font, so one dict lookup replaces the
         # per-glyph call chain on the hot path
@@ -228,16 +243,25 @@ class Font:
             # symbolic fonts bypass the standard encodings and decode via
             # the embedded program (reference render/font.c:140-186 prefers
             # the font cmap for symbolic TrueType; extraction inverts it)
-            if self.symbolic and self.sfnt is not None:
-                u = self.sfnt.decode_code(code)
-                if u is not None:
-                    return u
+            if self.symbolic:
+                if self.sfnt is not None:
+                    u = self.sfnt.decode_code(code)
+                    if u is not None:
+                        return u
+                if self.cff is not None:
+                    # Type1C built-in encoding -> charset glyph name -> AGL
+                    name = self.cff.code_to_name(code)
+                    if name is not None:
+                        u = glyph_name_to_unicode(name)
+                        if u is not None:
+                            return u
             name = self.code_to_name.get(code)
             if name is not None:
                 u = glyph_name_to_unicode(name)
                 if u is not None:
                     return u
-            # fallback chain: StandardEncoding -> sfnt cmap -> latin-1 chr
+            # fallback chain: StandardEncoding -> embedded program (sfnt
+            # cmap / CFF charset) -> latin-1 chr
             name = STANDARD_ENCODING.get(code)
             if name is not None:
                 u = glyph_name_to_unicode(name)
@@ -247,6 +271,12 @@ class Font:
                 u = self.sfnt.decode_code(code)
                 if u is not None:
                     return u
+            if self.cff is not None:
+                name = self.cff.code_to_name(code)
+                if name is not None:
+                    u = glyph_name_to_unicode(name)
+                    if u is not None:
+                        return u
             return chr(code)
         cid = self.code_to_cid(code)
         if self.encoding_cmap is not None and self.encoding_cmap.unicode_identity:
@@ -372,6 +402,27 @@ def _load_descriptor(f: Font, fd, resolver) -> None:
             f.sfnt = _parse_sfnt_cached(ff2.decoded(resolver))
         except PdfError:
             f.sfnt = None
+    try:
+        ff3 = resolver.resolve(fdd.get("FontFile3"))
+    except PdfError:
+        return
+    if isinstance(ff3, Stream):
+        sub = ff3.dict.get("Subtype")
+        if sub in (Name("Type1C"), Name("CIDFontType0C")):
+            # bare-CFF programs: charset+encoding at the top; CID-keyed
+            # ones are rejected inside the parser (returns None) and fall
+            # through to other decode sources
+            try:
+                f.cff = _parse_cff_cached(ff3.decoded(resolver))
+            except PdfError:
+                f.cff = None
+        elif sub == Name("OpenType") and f.sfnt is None:
+            # sfnt-wrapped program: its cmap table serves the same decode
+            # fallback as a FontFile2
+            try:
+                f.sfnt = _parse_sfnt_cached(ff3.decoded(resolver))
+            except PdfError:
+                f.sfnt = None
 
 
 _FONT_CACHE: dict[bytes, Font] = {}

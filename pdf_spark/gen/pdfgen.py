@@ -794,6 +794,113 @@ def _content_hex_byte_lines(lines_bytes: list[bytes]) -> bytes:
     return b"\n".join(ops)
 
 
+def _cff_index(items: list[bytes]) -> bytes:
+    """One CFF INDEX (count u16, offSize, 1-based offsets, data)."""
+    import struct
+
+    if not items:
+        return struct.pack(">H", 0)
+    offs = [1]
+    for it in items:
+        offs.append(offs[-1] + len(it))
+    return (
+        struct.pack(">HB", len(items), 4)
+        + b"".join(struct.pack(">I", o) for o in offs)
+        + b"".join(items)
+    )
+
+
+def _mini_cff(
+    charset_sids: list[int],
+    encoding_codes: list[int],
+    custom_strings: list[bytes],
+) -> bytes:
+    """A minimal bare-CFF (Type1C) program: header, Name/TopDict/String/
+    GlobalSubr INDEXes, a format-0 custom Encoding (code of glyph i+1 =
+    ``encoding_codes[i]``), a format-0 charset (SID of glyph i+1 =
+    ``charset_sids[i]``) and a CharStrings INDEX of 1-byte endchar stubs
+    (the engine only counts them). Offsets in the Top DICT use the 5-byte
+    int form so the layout is computable in one pass."""
+    import struct
+
+    n_glyphs = len(charset_sids) + 1
+    hdr = b"\x01\x00\x04\x04"
+    name_idx = _cff_index([b"FakeType1C"])
+    # Top DICT: three 5-byte-int entries (charset 15, encoding 16,
+    # charstrings 17) -> fixed 18-byte dict
+    td_size = 3 * 6
+    top_idx_size = 2 + 1 + 2 * 4 + td_size
+    string_idx = _cff_index(custom_strings)
+    gsubr_idx = _cff_index([])
+    enc_off = len(hdr) + len(name_idx) + top_idx_size + len(string_idx) + len(gsubr_idx)
+    enc = bytes([0, len(encoding_codes)]) + bytes(encoding_codes)
+    charset_off = enc_off + len(enc)
+    charset = b"\x00" + b"".join(struct.pack(">H", s) for s in charset_sids)
+    cs_off = charset_off + len(charset)
+    charstrings = _cff_index([b"\x0e"] * n_glyphs)
+    td = (
+        b"\x1d" + struct.pack(">I", charset_off) + bytes([15])
+        + b"\x1d" + struct.pack(">I", enc_off) + bytes([16])
+        + b"\x1d" + struct.pack(">I", cs_off) + bytes([17])
+    )
+    top_idx = _cff_index([td])
+    assert len(top_idx) == top_idx_size
+    return hdr + name_idx + top_idx + string_idx + gsubr_idx + enc + charset + charstrings
+
+
+def _type1c_code(c: str) -> int:
+    """Content-stream code for char ``c`` in the type1c_symbolic variant:
+    codes are ord+1 so the StandardEncoding fallback would decode the
+    WRONG char — only the CFF encoding+charset chain recovers the text."""
+    return ord(c) + 1
+
+
+def _type1c_symbolic_doc(lines: list[str]) -> bytes:
+    """Symbolic Type1 with NO ToUnicode/Encoding and a FontFile3/Type1C
+    program: decode must walk code -> CFF built-in Encoding -> GID ->
+    charset SID -> glyph name -> AGL. Glyph order is REVERSED relative to
+    ASCII (gid k = chr(0x7E-(k-1))) so an identity-charset shortcut fails;
+    'Q' resolves through a CUSTOM String-INDEX name (SID 391 'uni0051').
+    The reference parses CFF charsets for rendering (libs/cff/src/
+    charsets.c) but never maps names to text."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    # gid k (1..95) = chr(0x7E-(k-1)); standard SID = ord-31, except 'Q'
+    # which routes through the String INDEX (custom SID 391)
+    sids = []
+    for k in range(1, 96):
+        o = 0x7E - (k - 1)
+        sids.append(391 if o == ord("Q") else o - 31)
+    codes = [0x7F - (k - 1) for k in range(1, 96)]  # code of gid k = ord+1
+    cff = _mini_cff(sids, codes, [b"uni0051"])
+    ff3 = b.add(
+        b"<</Subtype/Type1C/Length " + str(len(cff)).encode()
+        + b">>\nstream\n" + cff + b"\nendstream"
+    )
+    fd = b.add(
+        b"<</Type/FontDescriptor/FontName/FakeType1C/Flags 4"
+        b"/FontFile3 " + str(ff3).encode() + b" 0 R>>"
+    )
+    font = b.add(
+        b"<</Type/Font/Subtype/Type1/BaseFont/FakeType1C"
+        b"/FontDescriptor " + str(fd).encode() + b" 0 R>>"
+    )
+    shifted = [bytes(_type1c_code(c) for c in line) for line in lines]
+    cont = b.stream(_content_hex_byte_lines(shifted), filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
 def _mini_sfnt(
     symbol_first: int,
     symbol_gids: list[int],
@@ -1530,6 +1637,9 @@ _GOOD_VARIANTS = [
     # sfnt cmap format 12 (supplementary plane): symbolic decode must
     # surface astral chars via the (3,10) subtable's inverse.
     ("truetype_nonbmp", lambda L: _truetype_nonbmp_doc(L)),
+    # embedded CFF (FontFile3/Type1C): symbolic decode via the CFF's own
+    # Encoding + charset glyph names (incl. one String-INDEX custom name).
+    ("type1c_symbolic", lambda L: _type1c_symbolic_doc(L)),
 ]
 
 

@@ -1596,3 +1596,122 @@ class TestVerticalWriting:
         for y, spans in lines.items():
             xs = [s.x for s in sorted(spans, key=lambda t: t.glyph_order)]
             assert xs == sorted(xs), "second half must sort after first"
+
+
+class TestCffCharset:
+    """FontFile3/Type1C charset+encoding reader (core/cff.py). Reference
+    parity anchor: libs/cff/src/charsets.c parses the same three charset
+    formats (for rendering); we additionally resolve SIDs to names."""
+
+    def _prog(self, sids, codes, strings=()):
+        from pdf_spark.gen.pdfgen import _mini_cff
+
+        return _mini_cff(list(sids), list(codes), list(strings))
+
+    def test_format0_charset_and_encoding(self):
+        from pdf_spark.core.cff import parse_cff_names
+
+        # gid1='A' (SID 34), gid2='B', code of gid k = 0x41+k-1+1
+        out = parse_cff_names(self._prog([34, 35], [0x42, 0x43]))
+        assert out is not None
+        assert out.gid_to_name(0) == ".notdef"
+        assert out.gid_to_name(1) == "A"
+        assert out.code_to_name(0x42) == "A"
+        assert out.code_to_name(0x43) == "B"
+        assert out.code_to_name(0x99) is None
+
+    def test_custom_string_sid(self):
+        from pdf_spark.core.cff import parse_cff_names
+
+        out = parse_cff_names(self._prog([391], [0x30], [b"uni0051"]))
+        assert out.code_to_name(0x30) == "uni0051"
+
+    def test_expert_sid_range_unnamed(self):
+        from pdf_spark.core.cff import parse_cff_names
+
+        # SIDs 229-390 (expert set) intentionally resolve to None
+        out = parse_cff_names(self._prog([300], [0x30]))
+        assert out.code_to_name(0x30) is None
+
+    def test_charset_format1_ranges(self):
+        import struct
+
+        from pdf_spark.core.cff import parse_cff_names
+
+        from pdf_spark.core.cff import _read_charset, parse_cff_names
+
+        # format 1: one range (SID 34 'A', nLeft 2) covers gids 1..3
+        # (offset must be non-zero: 0 selects the predefined ISOAdobe set)
+        fmt1 = bytes([1]) + struct.pack(">H", 34) + bytes([2])
+        names = _read_charset(b"\x00" * 4 + fmt1, 4, 4, [])
+        assert names == [".notdef", "A", "B", "C"]
+        # format 2 (same content, u16 nLeft) happens to be byte-equal in
+        # LENGTH to the 3-glyph format-0 table, so splice it into a real
+        # program and run the FULL parser over it
+        prog = bytes(self._prog([34, 35, 36], [0x41, 0x42, 0x43]))
+        cs0 = bytes([0]) + struct.pack(">HHH", 34, 35, 36)
+        fmt2 = bytes([2]) + struct.pack(">HH", 34, 2) + bytes([0, 0])
+        assert len(fmt2) == len(cs0)
+        out = parse_cff_names(prog.replace(cs0, fmt2))
+        assert out is not None
+        assert [out.gid_to_name(g) for g in range(4)] == [
+            ".notdef", "A", "B", "C",
+        ]
+
+    def test_encoding_supplement(self):
+        from pdf_spark.core.cff import _read_encoding, CffNames
+
+        # format 0 with supplement flag: 1 code, then 1 (code, SID) pair
+        enc = bytes([0x80, 1, 0x41]) + bytes([1, 0x24]) + (34).to_bytes(2, "big")
+        out = CffNames()
+        out.gid_names = [".notdef", "A"]
+        _read_encoding(enc, 0x10, out, [])  # need offset: rebuild w/ pad
+        out2 = CffNames()
+        out2.gid_names = [".notdef", "A"]
+        _read_encoding(b"\x00" * 4 + enc, 4, out2, [])
+        assert out2.enc_code_to_gid == {0x41: 1}
+        assert out2.sup_code_to_name == {0x24: "A"}
+        assert out2.code_to_name(0x24) == "A"
+
+    def test_cid_keyed_rejected(self):
+        from pdf_spark.core.cff import parse_cff_names, _read_index, _parse_dict
+
+        prog = bytearray(self._prog([34], [0x41]))
+        # splice a ROS op (12 30) into the Top DICT by rebuilding: easier
+        # to assert on a handcrafted top dict through _parse_dict
+        d = _parse_dict(b"\x8b\x8b\x8b\x0c\x1e")  # 0 0 0 ROS
+        assert (0xC00 | 30) in d
+        # and the full parser accepts the non-CID program
+        assert parse_cff_names(bytes(prog)) is not None
+
+    def test_malformed_inputs_return_none(self):
+        from pdf_spark.core.cff import parse_cff_names
+
+        good = self._prog([34], [0x41])
+        assert parse_cff_names(b"") is None
+        assert parse_cff_names(b"\x02\x00\x04\x04") is None  # major != 1
+        for cut in (3, 7, 15, len(good) // 2):
+            parse_cff_names(good[:cut])  # must not raise
+        # bit-flip fuzz: never raises
+        for i in range(0, len(good), 7):
+            mut = bytearray(good)
+            mut[i] ^= 0xFF
+            parse_cff_names(bytes(mut))
+
+    def test_standard_strings_agl_consistency(self):
+        """Every standard string with text value must resolve through the
+        AGL path; the ASCII run must match StandardEncoding's names."""
+        from pdf_spark.core.cff import STANDARD_STRINGS
+        from pdf_spark.core.encodings import (
+            STANDARD_ENCODING,
+            glyph_name_to_unicode,
+        )
+
+        assert len(STANDARD_STRINGS) == 229
+        # SIDs 1..95 are the StandardEncoding printable run in code order
+        for code in range(32, 127):
+            assert STANDARD_STRINGS[code - 31] == STANDARD_ENCODING[code]
+        unresolved = [
+            n for n in STANDARD_STRINGS[1:] if glyph_name_to_unicode(n) is None
+        ]
+        assert unresolved == [], unresolved
