@@ -454,3 +454,131 @@ ORACLE["qm05_phash_neardup"] = (
     .replace("{IDIV}", "//")
     .replace("{XOR}", "xor(pa, pb)")
 )
+
+# -- qm06/qm07: REAL image decode (core/imaging.py) ----------------------------
+#
+# Upgrades the multimodal tier from "deterministic stand-in" to real decode:
+# each doc synthesizes a REAL PNG (inside the same mapInPandas loop a
+# production job would run its decoder in), and the pure-Python PNG codec —
+# or PIL, when importable; both feed identical integer math — decodes it
+# back. The PNG content is a pure function of doc_id, so DuckDB can state
+# the expected features arithmetically: the oracle checks the ENTIRE
+# encode->decode->featurize pipeline, filters included (the encoder cycles
+# all five PNG row filters).
+
+_PNG_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("mean_luma", IntegerType()),
+    ]
+)
+
+
+def _qm06_make_png(doc_id: int) -> bytes:
+    """Deterministic real PNG for one doc: constant-pixel image whose
+    dims/channels/value derive from doc_id (constant content means every
+    row filter still roundtrips non-trivially while the expected features
+    stay SQL-computable)."""
+    from pdf_spark.core.imaging import encode_png
+
+    w = int(doc_id) % 13 + 8
+    h = int(doc_id) % 7 + 8
+    ch = 3 if doc_id % 2 == 0 else 1
+    v = int(doc_id) % 256
+    samples = bytearray([v]) * (w * h * ch)
+    return encode_png(w, h, ch, samples, "cycle")
+
+
+def _qm06(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_spark.core.imaging import image_features
+
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            feats = [image_features(_qm06_make_png(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_channels": [f[2] for f in feats],
+                    "mean_luma": [f[3] for f in feats],
+                }
+            )
+
+    return docs.mapInPandas(run, _PNG_FEATURES_SCHEMA)
+
+
+QUERIES["qm06_png_decode_features"] = _qm06
+# constant-pixel image: luma == the pixel value for gray AND for rgb
+# ((299+587+114)*v // 1000 == v)
+ORACLE["qm06_png_decode_features"] = """
+SELECT doc_id,
+       CAST(doc_id % 13 + 8 AS INTEGER) AS width,
+       CAST(doc_id % 7 + 8 AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INTEGER) AS n_channels,
+       CAST(doc_id % 256 AS INTEGER) AS mean_luma
+FROM documents
+"""
+
+
+_PNG_AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ahash_hex", StringType()),
+    ]
+)
+
+
+def _qm07_make_png(doc_id: int) -> bytes:
+    """16x16 gray PNG split into a left half of value ``a`` and a right
+    half of value ``b`` (a != b by construction): the 8x8 block-mean
+    aHash is then exactly 0xF0F0... (a > b) or 0x0F0F... (a < b)."""
+    from pdf_spark.core.imaging import encode_png
+
+    a = int(doc_id) % 256
+    b = (int(doc_id) * 7 + 13) % 256
+    if a == b:
+        b = (b + 1) % 256
+    samples = bytearray(
+        (a if x < 8 else b) for _y in range(16) for x in range(16)
+    )
+    return encode_png(16, 16, 1, samples, "cycle")
+
+
+def _qm07(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_spark.core.imaging import average_hash
+
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "ahash_hex": [
+                        format(average_hash(_qm07_make_png(d)), "016x")
+                        for d in ids
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(run, _PNG_AHASH_SCHEMA)
+
+
+QUERIES["qm07_png_ahash"] = _qm07
+ORACLE["qm07_png_ahash"] = """
+SELECT doc_id,
+       CASE WHEN (doc_id % 256) >
+                 (CASE WHEN doc_id % 256 = (doc_id * 7 + 13) % 256
+                       THEN ((doc_id * 7 + 13) % 256 + 1) % 256
+                       ELSE (doc_id * 7 + 13) % 256 END)
+            THEN 'f0f0f0f0f0f0f0f0' ELSE '0f0f0f0f0f0f0f0f' END AS ahash_hex
+FROM documents
+"""

@@ -1,0 +1,153 @@
+"""Real image decode (core/imaging.py): PNG codec roundtrip, feature/aHash
+integer math, bomb guards, and PIL backend parity (skipped when PIL is
+absent — the pure decoder is the fallback backend either way)."""
+
+import random
+
+import pytest
+
+from pdf_spark.core.imaging import (
+    MAX_PIXELS,
+    average_hash,
+    decode_png,
+    encode_png,
+    image_features,
+)
+
+
+class TestPngCodec:
+    def test_roundtrip_all_channels_and_filters(self):
+        for ch in (1, 2, 3, 4):
+            for mode in ("none", "cycle"):
+                w, h = 13, 11
+                samples = bytearray(
+                    ((x * 7 + y * 13 + c * 29) % 256)
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(ch)
+                )
+                png = encode_png(w, h, ch, samples, mode)
+                assert decode_png(png) == (w, h, ch, samples)
+
+    def test_roundtrip_random_noise(self):
+        rng = random.Random(7)
+        for _ in range(8):
+            w = rng.randint(1, 40)
+            h = rng.randint(1, 40)
+            ch = rng.choice([1, 2, 3, 4])
+            samples = bytearray(rng.randrange(256) for _ in range(w * h * ch))
+            assert decode_png(encode_png(w, h, ch, samples, "cycle"))[3] == samples
+
+    def test_rejects_non_png_and_malformed(self):
+        with pytest.raises(ValueError):
+            decode_png(b"JFIF not a png")
+        good = encode_png(4, 4, 1, bytearray(16), "none")
+        for cut in (4, 12, 20):
+            with pytest.raises(ValueError):
+                decode_png(good[:cut])
+        # losing only the IEND tail is tolerated (lenient, data complete)
+        assert decode_png(good[: len(good) - 6])[0] == 4
+        # bit-flip fuzz: ValueError or zlib noise must never escape as a
+        # non-Exception crash; corrupt streams may still decode if the
+        # flip hits the CRC (we skip CRCs by design)
+        for i in range(8, len(good), 5):
+            mut = bytearray(good)
+            mut[i] ^= 0xFF
+            try:
+                decode_png(bytes(mut))
+            except Exception:
+                pass
+
+    def test_bomb_guard(self):
+        import struct
+        import zlib
+
+        # IHDR claims 65536 x 65536 gray: must be rejected before any
+        # allocation of that size
+        sig = b"\x89PNG\r\n\x1a\n"
+        ihdr = struct.pack(">IIBBBBB", 65536, 65536, 8, 0, 0, 0, 0)
+        chunk = (
+            struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        )
+        with pytest.raises(ValueError):
+            decode_png(sig + chunk)
+        assert 65536 * 65536 > MAX_PIXELS
+
+    def test_unsupported_shapes(self):
+        import struct
+        import zlib
+
+        sig = b"\x89PNG\r\n\x1a\n"
+        for depth, color, inter in ((16, 0, 0), (8, 3, 0), (8, 0, 1)):
+            ihdr = struct.pack(">IIBBBBB", 4, 4, depth, color, 0, 0, inter)
+            chunk = (
+                struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+                + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+            )
+            with pytest.raises(ValueError):
+                decode_png(sig + chunk)
+
+
+class TestFeatures:
+    def test_constant_gray(self):
+        png = encode_png(16, 16, 1, bytearray([77] * 256), "cycle")
+        assert image_features(png) == (16, 16, 1, 77)
+
+    def test_rgb_luma(self):
+        samples = bytearray()
+        for _ in range(16 * 16):
+            samples += bytes((100, 150, 200))
+        png = encode_png(16, 16, 3, samples, "none")
+        expected = (299 * 100 + 587 * 150 + 114 * 200) // 1000
+        assert image_features(png) == (16, 16, 3, expected)
+
+    def test_ahash_halves(self):
+        samples = bytearray(
+            (200 if x < 8 else 10) for _y in range(16) for x in range(16)
+        )
+        png = encode_png(16, 16, 1, samples, "cycle")
+        assert average_hash(png) == 0xF0F0F0F0F0F0F0F0
+        flipped = bytearray(
+            (10 if x < 8 else 200) for _y in range(16) for x in range(16)
+        )
+        assert average_hash(encode_png(16, 16, 1, flipped, "none")) == (
+            0x0F0F0F0F0F0F0F0F
+        )
+
+    def test_ahash_constant_image_is_zero(self):
+        png = encode_png(8, 8, 1, bytearray([42] * 64), "none")
+        assert average_hash(png) == 0
+
+    def test_non_divisible_dims(self):
+        # 10x6 image: block boundaries via floor division must cover every
+        # pixel exactly once in features (mean over all pixels)
+        samples = bytearray((x + y) % 256 for y in range(6) for x in range(10))
+        png = encode_png(10, 6, 1, samples, "cycle")
+        w, h, ch, mean = image_features(png)
+        assert (w, h, ch) == (10, 6, 1)
+        assert mean == sum(samples) // 60
+
+
+@pytest.mark.skipif(
+    pytest.importorskip("importlib").util.find_spec("PIL") is None,
+    reason="PIL not installed (pure-Python PNG backend is the fallback)",
+)
+class TestPilParity:
+    def test_backend_parity_on_png(self):
+        """When PIL is importable it becomes the pixel source; every
+        derived number must match the pure decoder bit-for-bit (shared
+        integer math after the pixels)."""
+        from pdf_spark.core import imaging
+
+        samples = bytearray(
+            ((x * 3 + y * 5) % 256) for y in range(16) for x in range(16)
+        )
+        png = encode_png(16, 16, 1, samples, "cycle")
+        via_pil = imaging.image_features(png)
+        pil_backend, imaging._PIL = imaging._PIL, None
+        try:
+            via_pure = imaging.image_features(png)
+        finally:
+            imaging._PIL = pil_backend
+        assert via_pil == via_pure
