@@ -643,6 +643,78 @@ class Resolver:
         self._hidden_ocgs = result
         return result
 
+    def struct_mcid_order(self) -> dict:
+        """Tagged-PDF reading order (§14.7-14.8): DFS over
+        ``/StructTreeRoot``'s ``/K`` tree, collecting marked-content ids in
+        logical order. Returns ``{id(resolved page dict): {mcid: rank}}``
+        (same identity convention as :meth:`hidden_ocgs`), or ``{}`` when
+        the document is not tagged (``/MarkInfo /Marked true`` required) or
+        the tree is malformed. EXTENSION — the reference has no structure-
+        tree support at all; §14.8 is the principled reading-order source
+        for multi-column documents that carry it, stronger than the
+        geometric gutter heuristic."""
+        try:
+            cat = self.catalog()
+            mi = self.resolve(cat.get("MarkInfo"))
+            if not (isinstance(mi, dict) and self.resolve(mi.get("Marked")) is True):
+                return {}
+            root = self.resolve(cat.get("StructTreeRoot"))
+            if not isinstance(root, dict):
+                return {}
+        except PdfError:
+            return {}
+        out: dict = {}
+        counters: dict = {}
+        seen: set = set()
+
+        def add(page_dict, mcid: int) -> None:
+            if not isinstance(page_dict, dict) or not isinstance(mcid, int):
+                return
+            key = id(page_dict)
+            ranks = out.setdefault(key, {})
+            if mcid not in ranks:
+                ranks[mcid] = counters.get(key, 0)
+                counters[key] = ranks[mcid] + 1
+
+        def walk(node, pg, depth: int) -> None:
+            if depth > PAGE_TREE_DEPTH_CAP or len(seen) > 65536:
+                return
+            node = self.resolve(node)
+            if isinstance(node, int):
+                add(pg, node)
+                return
+            if isinstance(node, list):
+                for kid in node:
+                    walk(kid, pg, depth + 1)
+                return
+            if not isinstance(node, dict):
+                return
+            if id(node) in seen:
+                return  # ref cycle
+            seen.add(id(node))
+            own_pg = node.get("Pg")
+            if own_pg is not None:
+                try:
+                    pg = self.resolve(own_pg)
+                except PdfError:
+                    pass
+            if node.get("Type") == Name("MCR"):
+                mcid = self.resolve(node.get("MCID"))
+                if isinstance(mcid, int):
+                    add(pg, mcid)
+                return
+            if node.get("Type") == Name("OBJR"):
+                return  # object references carry no text order
+            k = node.get("K")
+            if k is not None:
+                walk(k, pg, depth + 1)
+
+        try:
+            walk(root.get("K"), None, 0)
+        except PdfError:
+            return {}
+        return out
+
     def iter_pages(self) -> Iterator[dict]:
         """DFS over the page tree with attribute inheritance and a depth cap
         (page.c:221-293). Yields leaf page dicts with inherited attributes
@@ -668,6 +740,12 @@ class Resolver:
                 page = dict(node)
                 for k, v in merged.items():
                     page.setdefault(k, v)
+                # identity of the RESOLVED page node (memoized by the
+                # resolver, so the struct tree's /Pg resolves to the same
+                # object): lets struct_mcid_order ranks match this page
+                # even though the yielded dict is a merged copy. A plain
+                # str key can never collide with PDF Name keys.
+                page["_node_id"] = id(node)
                 yield page
             elif ntype == Name("Pages"):
                 kids = self.resolve(node.get("Kids"))

@@ -111,6 +111,7 @@ def extract_document(
         spans: list[Span] = []
         font_cache: dict = {}
         n_pages = 0
+        page_span_ranges: list[tuple[dict, int, int]] = []
         for page_index, page in enumerate(resolver.iter_pages()):
             n_pages += 1
             # base CTM: translate MediaBox origin to (0,0); no y-flip
@@ -141,7 +142,9 @@ def extract_document(
                 page_w, page_h,
             )
             _apply_vertical_order(spans, n_before)
-        assign_columns(spans)
+            page_span_ranges.append((page, n_before, len(spans)))
+        if not _apply_struct_order(spans, page_span_ranges, resolver):
+            assign_columns(spans)
         return ExtractResult("ok", "", spans, n_pages)
     except PdfError as exc:
         return ExtractResult("error", exc.code, [], 0)
@@ -176,6 +179,39 @@ def _apply_page_rotation(spans, start, rotate, page_w, page_h) -> None:
             s.x, s.y = page_w - s.x, page_h - s.y
         else:  # 270
             s.x, s.y = page_h - s.y, s.x
+
+
+def _apply_struct_order(spans, page_span_ranges, resolver) -> bool:
+    """Tagged-PDF reading order (§14.8): when the document declares
+    ``/MarkInfo /Marked true`` with a ``/StructTreeRoot`` whose tree
+    covers EVERY emitted span's MCID, spans are re-ordered by the
+    structure tree's logical order instead of geometry. Serialization
+    rule: one assembly LINE per structure-tree leaf (MCID), spans within
+    a leaf in content order — encoded as the coordinate transform
+    ``y = -rank, x = glyph_order`` so the standard ``(y desc, x asc)``
+    sort and the Spark-side declarative assembly both follow it
+    unchanged (the same trick _apply_page_rotation and
+    _apply_vertical_order use). CONSERVATIVE: any span without an MCID,
+    or any MCID missing from the tree, keeps the geometric order for the
+    whole document (a partially-tagged PDF's tree order is not evidence
+    of full reading order). Returns True when applied (callers then skip
+    the geometric column heuristic)."""
+    if not spans:
+        return False
+    order = resolver.struct_mcid_order()
+    if not order:
+        return False
+    for page_dict, start, end in page_span_ranges:
+        ranks = order.get(page_dict.get("_node_id"))
+        for s in spans[start:end]:
+            if s.mcid < 0 or ranks is None or s.mcid not in ranks:
+                return False
+    for page_dict, start, end in page_span_ranges:
+        ranks = order[page_dict.get("_node_id")]
+        for s in spans[start:end]:
+            s.y = -float(ranks[s.mcid])
+            s.x = float(s.glyph_order)
+    return True
 
 
 def _apply_vertical_order(spans, start) -> None:

@@ -110,7 +110,8 @@ class Span:
     """One text-show string element (SURVEY.md §2.4 span emitter)."""
 
     __slots__ = (
-        "page", "x", "y", "glyph_order", "text", "font", "size", "col", "vert",
+        "page", "x", "y", "glyph_order", "text", "font", "size", "col",
+        "vert", "mcid",
     )
 
     def __init__(self, page, x, y, glyph_order, text, font, size):
@@ -127,6 +128,9 @@ class Span:
         # shown in vertical writing mode (WMode 1): feeds the per-page
         # column-major reading-order transform in core.extract
         self.vert = False
+        # innermost marked-content /MCID at emission (-1 = none): feeds
+        # the tagged-PDF structure-tree reading order in core.extract
+        self.mcid = -1
 
 
 class TextState:
@@ -181,6 +185,11 @@ class Interpreter:
         # count of open hidden optional-content scopes (§8.11.3): while
         # > 0, _show_tj advances geometry but emits no spans
         self._hidden = 0
+        # innermost marked-content /MCID (§14.7.5.3; -1 = outside any);
+        # _mcid_stack moves in lockstep with _mc_stack so EMC restores the
+        # enclosing scope's value
+        self._mcid = -1
+        self._mcid_stack: list[int] = []
 
     # -- resource lookup --
 
@@ -343,9 +352,11 @@ class Interpreter:
                 self._begin_marked(args, resources)
             elif op == "BMC":
                 self._mc_stack.append(None)
+                self._mcid_stack.append(self._mcid)
             elif op == "EMC":
                 if len(self._mc_stack) > mc_base:
                     ent = self._mc_stack.pop()
+                    self._mcid = self._mcid_stack.pop()
                     if ent is _OC_HIDDEN:
                         self._hidden -= 1
                     elif ent is not None and ent is self._actual:
@@ -364,6 +375,8 @@ class Interpreter:
             ):
                 self._actual = None
             del self._mc_stack[mc_base:]
+            self._mcid = self._mcid_stack[mc_base]
+            del self._mcid_stack[mc_base:]
         return None
 
     def _begin_marked(self, args, resources: dict) -> None:
@@ -401,6 +414,11 @@ class Interpreter:
                 except PdfError:
                     props = None
             props = self.resolver.resolve(props)
+        self._mcid_stack.append(self._mcid)
+        if isinstance(props, dict):
+            mcid = self.resolver.resolve(props.get("MCID"))
+            if isinstance(mcid, int):
+                self._mcid = mcid
         if args and args[0] == Name("OC"):
             if isinstance(props, dict) and self._oc_hidden(props):
                 self._hidden += 1
@@ -512,17 +530,18 @@ class Interpreter:
                     text = actual[0] if not actual[1] else ""
                     actual[1] = True
                 if text and not self._hidden:
-                    self.spans.append(
-                        Span(
-                            self.page,
-                            dev[4],
-                            dev[5],
-                            self.glyph_order,
-                            text,
-                            font.base_font or ts.font_name,
-                            fs,
-                        )
+                    sp = Span(
+                        self.page,
+                        dev[4],
+                        dev[5],
+                        self.glyph_order,
+                        text,
+                        font.base_font or ts.font_name,
+                        fs,
                     )
+                    if self._mcid >= 0:
+                        sp.mcid = self._mcid
+                    self.spans.append(sp)
                     self.glyph_order += len(text)
                 tm = _x_shift(adv, tm)
                 continue
@@ -563,6 +582,8 @@ class Interpreter:
                     fs,
                 )
                 sp.vert = vert
+                if self._mcid >= 0:
+                    sp.mcid = self._mcid
                 self.spans.append(sp)
                 self.glyph_order += len(text)
             tm = mat_mul(translate(0.0, adv), tm) if vert else _x_shift(adv, tm)

@@ -530,6 +530,62 @@ def _type0_vertical_doc(lines: list[str]) -> bytes:
     return b.build(cat)
 
 
+def _tagged_pdf_doc(lines: list[str]) -> bytes:
+    """Tagged PDF (§14.8) whose STRUCTURE order differs from the GEOMETRIC
+    order: line i is placed at the i-th position FROM THE BOTTOM of the
+    page (geometric reading would reverse the lines), wrapped in
+    ``BDC /P <</MCID i>> .. EMC``; the /StructTreeRoot's kids list the
+    MCIDs in logical order 0..n-1. The extractor must follow the
+    structure tree — expected text is the ORIGINAL line order."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    struct_root = b.reserve()
+    n = len(lines)
+    ops = [b"BT", b"/F1 " + _n(FONT_SIZE) + b" Tf"]
+    for i, line in enumerate(lines):
+        # geometric position: logical line i sits LOW on the page for
+        # small i (bottom-up placement = reversed geometric order)
+        y = TOP_Y - (n - 1 - i) * LINE_HEIGHT
+        ops.append(b"/P <</MCID " + str(i).encode() + b">> BDC")
+        ops.append(b"1 0 0 1 " + _n(LEFT_X) + b" " + _n(y) + b" Tm")
+        ops.append(b"(" + esc(line) + b") Tj")
+        ops.append(b"EMC")
+    ops.append(b"ET")
+    cont = b.stream(b"\n".join(ops), filters="FlateDecode")
+    font = b.add(b"<</Type/Font/Subtype/Type1/BaseFont/Times-Roman>>")
+    elems = []
+    for i in range(n):
+        elems.append(
+            b.add(
+                b"<</Type/StructElem/S/P/P " + str(struct_root).encode()
+                + b" 0 R/Pg " + str(page).encode() + b" 0 R/K "
+                + str(i).encode() + b">>"
+            )
+        )
+    b.set(
+        struct_root,
+        b"<</Type/StructTreeRoot/K["
+        + b" ".join(str(e).encode() + b" 0 R" for e in elems) + b"]>>",
+    )
+    b.set(
+        cat,
+        b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R"
+        b"/MarkInfo<</Marked true>>"
+        b"/StructTreeRoot " + str(struct_root).encode() + b" 0 R>>",
+    )
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
 def _type0_doc(lines: list[str]) -> bytes:
     b = PdfBuilder()
     cat = b.reserve()
@@ -1640,6 +1696,9 @@ _GOOD_VARIANTS = [
     # embedded CFF (FontFile3/Type1C): symbolic decode via the CFF's own
     # Encoding + charset glyph names (incl. one String-INDEX custom name).
     ("type1c_symbolic", lambda L: _type1c_symbolic_doc(L)),
+    # tagged PDF (§14.8): structure-tree reading order differs from the
+    # geometric order; MarkInfo/Marked + MCID coverage must win.
+    ("tagged_pdf", lambda L: _tagged_pdf_doc(L)),
 ]
 
 

@@ -1715,3 +1715,98 @@ class TestCffCharset:
             n for n in STANDARD_STRINGS[1:] if glyph_name_to_unicode(n) is None
         ]
         assert unresolved == [], unresolved
+
+
+class TestTaggedReadingOrder:
+    """Structure-tree reading order (§14.8): applied only when the tagged
+    document's tree covers every span's MCID."""
+
+    def _doc(self, tagged=True, cover_all=True, mcr=False):
+        from pdf_spark.gen.pdfgen import PdfBuilder, esc
+
+        b = PdfBuilder()
+        cat = b.reserve()
+        pages = b.reserve()
+        page = b.reserve()
+        sr = b.reserve()
+        lines = ["first logical", "second logical", "third logical"]
+        ops = [b"BT", b"/F1 12 Tf"]
+        for i, line in enumerate(lines):
+            y = 700 - (len(lines) - 1 - i) * 16  # geometric = reversed
+            ops.append(b"/P <</MCID " + str(i).encode() + b">> BDC")
+            ops.append(b"1 0 0 1 72 " + str(y).encode() + b" Tm")
+            ops.append(b"(" + esc(line) + b") Tj")
+            ops.append(b"EMC")
+        ops.append(b"ET")
+        cont = b.stream(b"\n".join(ops))
+        font = b.add(b"<</Type/Font/Subtype/Type1/BaseFont/Times-Roman>>")
+        n_cover = len(lines) if cover_all else len(lines) - 1
+        kids = []
+        for i in range(n_cover):
+            k = (
+                b"<</Type/MCR/Pg " + str(page).encode() + b" 0 R/MCID "
+                + str(i).encode() + b">>"
+                if mcr
+                else str(i).encode()
+            )
+            kids.append(
+                b.add(
+                    b"<</Type/StructElem/S/P/Pg " + str(page).encode()
+                    + b" 0 R/K " + k + b">>"
+                )
+            )
+        b.set(
+            sr,
+            b"<</Type/StructTreeRoot/K["
+            + b" ".join(str(e).encode() + b" 0 R" for e in kids) + b"]>>",
+        )
+        mark = b"/MarkInfo<</Marked true>>" if tagged else b""
+        b.set(
+            cat,
+            b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R" + mark
+            + b"/StructTreeRoot " + str(sr).encode() + b" 0 R>>",
+        )
+        b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+        b.set(
+            page,
+            b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+            b"/MediaBox[0 0 612 792]"
+            b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+            b"/Contents " + str(cont).encode() + b" 0 R>>",
+        )
+        return b.build(cat)
+
+    def test_struct_order_wins_when_covered(self):
+        text, status, _, _, _ = extract_text(self._doc())
+        assert status == "ok"
+        assert text == "first logical\nsecond logical\nthird logical"
+
+    def test_mcr_dict_form(self):
+        text, status, _, _, _ = extract_text(self._doc(mcr=True))
+        assert status == "ok"
+        assert text == "first logical\nsecond logical\nthird logical"
+
+    def test_unmarked_doc_keeps_geometric_order(self):
+        # StructTreeRoot present but MarkInfo absent: geometric (reversed)
+        text, status, _, _, _ = extract_text(self._doc(tagged=False))
+        assert status == "ok"
+        assert text == "third logical\nsecond logical\nfirst logical"
+
+    def test_partial_coverage_keeps_geometric_order(self):
+        # tree covers only 2 of 3 MCIDs: conservative fallback
+        text, status, _, _, _ = extract_text(self._doc(cover_all=False))
+        assert status == "ok"
+        assert text == "third logical\nsecond logical\nfirst logical"
+
+    def test_struct_tree_cycle_is_safe(self):
+        from pdf_spark.gen.pdfgen import _find_startxref, incremental_update
+
+        base = self._doc()
+        # make the struct root's kid array point at the root itself
+        # (object 4 is the reserved struct root in _doc's build order)
+        cyc = b"<</Type/StructTreeRoot/K[4 0 R]>>"
+        updated = incremental_update(base, {4: cyc}, _find_startxref(base))
+        text, status, _, _, _ = extract_text(updated)
+        # cycle breaks coverage -> geometric order, never a hang/crash
+        assert status == "ok"
+        assert "logical" in text
