@@ -3,7 +3,13 @@ driver's per-round CORRECTNESS check does; also used for the 10x-scale
 net that caught qg01's float-ROUND boundary).
 
 Usage: python scripts/oracle_sweep.py [sf_dir] [name_prefix_filter]
+
+Set SWEEP_JSON_OUT=<path> to also write the machine-readable result
+(per-query wall + status) — the per-round artifact the judge can check
+without rerunning the sweep (VERDICT r3 "Next round" item 8).
 """
+
+import os
 
 import json
 import sys
@@ -24,6 +30,7 @@ def main() -> None:
     bad = {}
     t0 = time.time()
     names = [n for n in sorted(queries) if n.startswith(prefix)]
+    per_query: dict = {}
     for i, name in enumerate(names):
         t = time.time()
         try:
@@ -35,6 +42,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — sweep must report, not die
             problems = [f"EXCEPTION: {exc!r}"]
         status = "ok" if not problems else "FAIL"
+        per_query[name] = {"status": status, "sec": round(time.time() - t, 2)}
         print(
             f"[{i + 1}/{len(names)}] {name}: {status} ({time.time() - t:.1f}s)",
             flush=True,
@@ -43,6 +51,21 @@ def main() -> None:
             bad[name] = [str(p)[:300] for p in problems]
     print(f"TOTAL {len(names) - len(bad)}/{len(names)} ok in "
           f"{time.time() - t0:.0f}s at {sf}")
+    out_path = os.environ.get("SWEEP_JSON_OUT")
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf,
+                    "total": len(names),
+                    "ok": len(names) - len(bad),
+                    "wall_sec": round(time.time() - t0, 1),
+                    "failures": bad,
+                    "queries": per_query,
+                },
+                fh,
+                indent=1,
+            )
     if bad:
         print(json.dumps(bad, indent=2))
         sys.exit(1)
