@@ -148,7 +148,7 @@ class Font:
         "code_to_name", "first_char", "widths", "missing_width",
         "cid_widths", "default_width", "cid_to_gid",
         "symbolic", "sfnt", "cff", "fast_tables", "vertical", "w1_default",
-        "uniform_width",
+        "cid_vwidths", "uniform_width",
     )
 
     def __init__(self) -> None:
@@ -177,6 +177,9 @@ class Font:
         # default [880 -1000]): w1 in glyph space, negative = downward.
         self.vertical = False
         self.w1_default = -1000.0
+        # per-CID vertical displacements from the W2 array (§9.7.4.3);
+        # empty = every glyph uses w1_default
+        self.cid_vwidths: dict[int, float] = {}
         # every code's width is this single value (common: Type0 with DW
         # only, metric-less simple fonts) — lets the span emitter compute
         # the advance as ncodes * per_glyph instead of a per-code dict
@@ -313,6 +316,15 @@ class Font:
 
     # -- widths (font_widths.c:15-164; render/font.c:465-517) --
 
+    def vert_width(self, code: int) -> float:
+        """Vertical displacement w1 for one code (SIGNED, negative =
+        downward): W2 per-CID value, else the DW2 default (§9.7.4.3)."""
+        if self.cid_vwidths:
+            w = self.cid_vwidths.get(self.code_to_cid(code))
+            if w is not None:
+                return w
+        return self.w1_default
+
     def width(self, code: int) -> float:
         if self.is_type0:
             cid = self.code_to_cid(code)
@@ -374,6 +386,40 @@ def _parse_cid_widths(w_array: list, resolver) -> dict[int, float]:
                 i += 3
                 continue
         raise PdfError(INCORRECT_TYPE, "W array: truncated run")
+    return out
+
+
+def _parse_cid_vwidths(w2_array: list, resolver) -> dict[int, float]:
+    """The ``W2`` array's two forms (§9.7.4.3): ``c [w1 v1x v1y ...]``
+    (triplets per consecutive CID) and ``c_first c_last w1 v1x v1y``.
+    Extraction keeps only the vertical displacement w1 — the v position
+    vector shifts the glyph origin, not the span's deterministic order."""
+    out: dict[int, float] = {}
+    i = 0
+    n = len(w2_array)
+    while i < n:
+        first = resolver.resolve(w2_array[i])
+        if not isinstance(first, (int, float)):
+            raise PdfError(INCORRECT_TYPE, "W2 array: expected number")
+        if i + 1 < n:
+            nxt = resolver.resolve(w2_array[i + 1])
+            if isinstance(nxt, list):
+                for k in range(0, len(nxt) - (len(nxt) % 3), 3):
+                    out[int(first) + k // 3] = float(resolver.resolve(nxt[k]))
+                i += 2
+                continue
+            if i + 4 < n:
+                last = nxt
+                w1 = float(resolver.resolve(w2_array[i + 2]))
+                if int(last) - int(first) > 0x10000:
+                    raise PdfError(
+                        INCORRECT_TYPE, "W2 array: range exceeds CID space"
+                    )
+                for c in range(int(first), int(last) + 1):
+                    out[c] = w1
+                i += 5
+                continue
+        raise PdfError(INCORRECT_TYPE, "W2 array: truncated run")
     return out
 
 
@@ -567,6 +613,9 @@ def _load_font_uncached(font_obj, resolver) -> Font:
             w1 = resolver.resolve(dw2[1])
             if isinstance(w1, (int, float)):
                 f.w1_default = float(w1)
+        w2 = resolver.resolve(cid_font.get("W2"))
+        if isinstance(w2, list):
+            f.cid_vwidths = _parse_cid_vwidths(w2, resolver)
         w = resolver.resolve(cid_font.get("W"))
         if isinstance(w, list):
             f.cid_widths = _parse_cid_widths(w, resolver)

@@ -554,9 +554,16 @@ class Interpreter:
             ncodes = len(codes)
             text = "".join(map(tmap.__getitem__, codes))
             if vert:
-                # vertical displacement per glyph: w1 (DW2 default -1000,
-                # downward) in glyph space; Th never applies (§9.4.4)
-                adv = ncodes * (font.w1_default / 1000.0 * fs + tc)
+                # vertical displacement per glyph: W2 per-CID w1, else the
+                # DW2 default (-1000, downward), glyph space; Th never
+                # applies (§9.4.4)
+                if font.cid_vwidths:
+                    adv = (
+                        sum(font.vert_width(c) for c in codes) / 1000.0 * fs
+                        + ncodes * tc
+                    )
+                else:
+                    adv = ncodes * (font.w1_default / 1000.0 * fs + tc)
             elif per_glyph is not None:
                 adv = ncodes * per_glyph
             else:

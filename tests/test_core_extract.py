@@ -1810,3 +1810,71 @@ class TestTaggedReadingOrder:
         # cycle breaks coverage -> geometric order, never a hang/crash
         assert status == "ok"
         assert "logical" in text
+
+
+class TestW2VerticalWidths:
+    def test_w2_both_forms_and_applied_advance(self):
+        from pdf_spark.gen.pdfgen import PdfBuilder, _type0_font
+        from pdf_spark.core.extract import extract_document
+
+        b = PdfBuilder()
+        cat = b.reserve()
+        pages = b.reserve()
+        page = b.reserve()
+        # charset 'ABC' -> codes 1,2,3; W2: CID 1 triplet form w1=-500,
+        # CID 2..3 range form w1=-250
+        font, code_of = _type0_font(
+            b,
+            ["A", "B", "C"],
+            encoding=b"/Identity-V",
+            desc_extra=(
+                b"/DW2[880 -1000]"
+                b"/W2[1 [-500 0 440] 2 3 -250 0 440]"
+            ),
+        )
+        ops = (
+            b"BT /F1 10 Tf 1 0 0 1 300 700 Tm "
+            b"<0001> Tj <0002> Tj <0003> Tj ET"
+        )
+        cont = b.stream(ops)
+        b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+        b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+        b.set(
+            page,
+            b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+            b"/MediaBox[0 0 612 792]"
+            b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+            b"/Contents " + str(cont).encode() + b" 0 R>>",
+        )
+        r = extract_document(b.build(cat))
+        assert r.ok and len(r.spans) == 3
+        spans = sorted(r.spans, key=lambda s: s.glyph_order)
+        # vertical transform maps (x,y)->(-y,x): original y = -span.x.
+        # show 1 at y=700; show 2 after w1(-500)/1000*10 = -5 -> 695;
+        # show 3 after w1(-250)/1000*10 = -2.5 -> 692.5
+        ys = [-s.x for s in spans]
+        assert ys == [700.0, 695.0, 692.5]
+
+    def test_w2_malformed_is_error_row(self):
+        from pdf_spark.gen.pdfgen import PdfBuilder, _type0_font
+        from pdf_spark.core.extract import extract_document
+
+        b = PdfBuilder()
+        cat = b.reserve()
+        pages = b.reserve()
+        page = b.reserve()
+        font, _ = _type0_font(
+            b, ["A"], encoding=b"/Identity-V", desc_extra=b"/W2[1 2]"
+        )
+        cont = b.stream(b"BT /F1 10 Tf <0001> Tj ET")
+        b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+        b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+        b.set(
+            page,
+            b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+            b"/MediaBox[0 0 612 792]"
+            b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+            b"/Contents " + str(cont).encode() + b" 0 R>>",
+        )
+        r = extract_document(b.build(cat))
+        assert r.status == "error" and r.error_code == "INCORRECT_TYPE"
