@@ -292,3 +292,18 @@ def test_global_rank_avoids_single_partition(spark):
         " AS rank FROM documents"
     )
     assert "SinglePartition" in _plan(spark, naive)
+
+
+def test_png_decode_queries_stay_narrow(spark):
+    """qm06/qm07 (real PNG encode->decode->featurize) must stay zero-
+    exchange narrow maps over a doc_id-pruned scan — the decode tier adds
+    per-row CPU, never a shuffle."""
+    from pdf_spark.functions.multimodal import QUERIES
+
+    for name in ("qm06_png_decode_features", "qm07_png_ahash"):
+        plan = _plan(spark, QUERIES[name](spark, "/root/testdata/sf0.001"))
+        assert "Exchange" not in plan, f"{name} must stay shuffle-free"
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and m.group(1).startswith("doc_id"), (
+            f"{name} scan must prune to doc_id: {m and m.group(1)}"
+        )
