@@ -40,6 +40,7 @@ from pdf_spark.core.errors import INCORRECT_TYPE, UNSUPPORTED_FONT, PdfError
 from pdf_spark.core.cff import parse_cff_names
 from pdf_spark.core.objects import Name, Ref, Stream
 from pdf_spark.core.sfnt import parse_sfnt_cmaps
+from pdf_spark.core.type1 import parse_type1_encoding
 
 DEFAULT_WIDTH = 500.0  # flat fallback (divergence, see module docstring)
 
@@ -92,6 +93,19 @@ def _parse_cff_cached(data: bytes):
     out = parse_cff_names(data)
     if len(_CFF_CACHE) < _ASSET_CACHE_MAX:
         _CFF_CACHE[key] = out
+    return out
+
+
+_T1_CACHE: dict[bytes, object] = {}
+
+
+def _parse_type1_cached(data: bytes):
+    key = _digest(data)
+    if key in _T1_CACHE:
+        return _T1_CACHE[key]
+    out = parse_type1_encoding(data)
+    if len(_T1_CACHE) < _ASSET_CACHE_MAX:
+        _T1_CACHE[key] = out
     return out
 SIMPLE_SUBTYPES = ("Type1", "TrueType", "MMType1", "Type3")
 
@@ -147,8 +161,8 @@ class Font:
         "encoding_cmap", "to_unicode",
         "code_to_name", "first_char", "widths", "missing_width",
         "cid_widths", "default_width", "cid_to_gid",
-        "symbolic", "sfnt", "cff", "fast_tables", "vertical", "w1_default",
-        "cid_vwidths", "uniform_width",
+        "symbolic", "sfnt", "cff", "t1_encoding", "fast_tables",
+        "vertical", "w1_default", "cid_vwidths", "uniform_width",
     )
 
     def __init__(self) -> None:
@@ -167,6 +181,8 @@ class Font:
         self.symbolic = False  # FontDescriptor Flags bit 3 (value 4)
         self.sfnt = None  # parsed FontFile2 cmaps (core/sfnt.py), if any
         self.cff = None  # parsed FontFile3 charset/encoding (core/cff.py)
+        # FontFile (Type1 program) built-in /Encoding: code -> glyph name
+        self.t1_encoding: Optional[dict[int, str]] = None
         # (text_map, width_map) lazy decode tables built on first show —
         # decode/width are pure per font, so one dict lookup replaces the
         # per-glyph call chain on the hot path
@@ -258,6 +274,13 @@ class Font:
                         u = glyph_name_to_unicode(name)
                         if u is not None:
                             return u
+                if self.t1_encoding is not None:
+                    # Type1 program built-in /Encoding -> glyph name -> AGL
+                    name = self.t1_encoding.get(code)
+                    if name is not None:
+                        u = glyph_name_to_unicode(name)
+                        if u is not None:
+                            return u
             name = self.code_to_name.get(code)
             if name is not None:
                 u = glyph_name_to_unicode(name)
@@ -280,6 +303,10 @@ class Font:
                     u = glyph_name_to_unicode(name)
                     if u is not None:
                         return u
+            if self.t1_encoding is not None:
+                u = glyph_name_to_unicode(self.t1_encoding.get(code, ""))
+                if u is not None:
+                    return u
             return chr(code)
         cid = self.code_to_cid(code)
         if self.encoding_cmap is not None and self.encoding_cmap.unicode_identity:
@@ -448,6 +475,15 @@ def _load_descriptor(f: Font, fd, resolver) -> None:
             f.sfnt = _parse_sfnt_cached(ff2.decoded(resolver))
         except PdfError:
             f.sfnt = None
+    try:
+        ff1 = resolver.resolve(fdd.get("FontFile"))
+    except PdfError:
+        return
+    if isinstance(ff1, Stream):
+        try:
+            f.t1_encoding = _parse_type1_cached(ff1.decoded(resolver))
+        except PdfError:
+            f.t1_encoding = None
     try:
         ff3 = resolver.resolve(fdd.get("FontFile3"))
     except PdfError:

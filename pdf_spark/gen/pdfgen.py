@@ -957,6 +957,76 @@ def _type1c_symbolic_doc(lines: list[str]) -> bytes:
     return b.build(cat)
 
 
+def _mini_type1(encoding: dict[int, str], pfb: bool = False) -> bytes:
+    """A minimal Type1 program CLEARTEXT header carrying a custom
+    /Encoding (``dup code /name put`` lines) — the only part the engine
+    reads (charstrings are irrelevant to text decode). ``pfb=True`` wraps
+    it in PFB segment headers (0x80-prefixed, little-endian lengths)."""
+    lines = [
+        b"%!PS-AdobeFont-1.0: FakeType1 001.001",
+        b"/FontName /FakeType1 def",
+        b"/Encoding 256 array",
+        b"0 1 255 {1 index exch /.notdef put} for",
+    ]
+    for code in sorted(encoding):
+        lines.append(
+            b"dup " + str(code).encode() + b" /" + encoding[code].encode() + b" put"
+        )
+    lines.append(b"readonly def")
+    lines.append(b"currentdict end")
+    lines.append(b"currentfile eexec")
+    clear = b"\n".join(lines) + b"\n"
+    binary = b"\x00" * 32  # stand-in for the eexec-encrypted section
+    if not pfb:
+        return clear + binary
+    def seg(t: int, payload: bytes) -> bytes:
+        return bytes([0x80, t]) + len(payload).to_bytes(4, "little") + payload
+    return seg(1, clear) + seg(2, binary) + bytes([0x80, 3])
+
+
+def _type1_builtin_doc(lines: list[str]) -> bytes:
+    """Symbolic Type1 with NO PDF /Encoding and NO ToUnicode; the embedded
+    FontFile program's cleartext /Encoding (PFB-wrapped) maps the SHIFTED
+    codes (ord+1) to the right glyph names — only the program's built-in
+    encoding decodes the text (StandardEncoding at the shifted code would
+    yield the wrong char). The reference leaves FontFile unread
+    (font_descriptor.c FontFile todo)."""
+    from pdf_spark.core.encodings import STANDARD_ENCODING
+
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    charset = sorted(set("".join(lines)))
+    enc = {ord(c) + 1: STANDARD_ENCODING[ord(c)] for c in charset}
+    prog = _mini_type1(enc, pfb=True)
+    ff = b.add(
+        b"<</Length " + str(len(prog)).encode()
+        + b"/Length1 " + str(len(prog)).encode()
+        + b"/Length2 0/Length3 0>>\nstream\n" + prog + b"\nendstream"
+    )
+    fd = b.add(
+        b"<</Type/FontDescriptor/FontName/FakeType1/Flags 4"
+        b"/FontFile " + str(ff).encode() + b" 0 R>>"
+    )
+    font = b.add(
+        b"<</Type/Font/Subtype/Type1/BaseFont/FakeType1"
+        b"/FontDescriptor " + str(fd).encode() + b" 0 R>>"
+    )
+    shifted = [bytes((ord(c) + 1) for c in line) for line in lines]
+    cont = b.stream(_content_hex_byte_lines(shifted), filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
 def _mini_sfnt(
     symbol_first: int,
     symbol_gids: list[int],
@@ -1699,6 +1769,9 @@ _GOOD_VARIANTS = [
     # tagged PDF (§14.8): structure-tree reading order differs from the
     # geometric order; MarkInfo/Marked + MCID coverage must win.
     ("tagged_pdf", lambda L: _tagged_pdf_doc(L)),
+    # Type1 FontFile built-in /Encoding (PFB cleartext header): the last
+    # of the three FontFile forms read for decode.
+    ("type1_builtin", lambda L: _type1_builtin_doc(L)),
 ]
 
 

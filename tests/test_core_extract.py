@@ -1878,3 +1878,57 @@ class TestW2VerticalWidths:
         )
         r = extract_document(b.build(cat))
         assert r.status == "error" and r.error_code == "INCORRECT_TYPE"
+
+
+class TestType1BuiltinEncoding:
+    """FontFile (Type1 program) cleartext /Encoding reader (core/type1.py)."""
+
+    def test_raw_and_pfb_forms(self):
+        from pdf_spark.core.type1 import parse_type1_encoding
+        from pdf_spark.gen.pdfgen import _mini_type1
+
+        enc = {65: "B", 33: "exclam", 255: "ydieresis"}
+        assert parse_type1_encoding(_mini_type1(enc)) == enc
+        assert parse_type1_encoding(_mini_type1(enc, pfb=True)) == enc
+
+    def test_standard_encoding_and_garbage_return_none(self):
+        from pdf_spark.core.type1 import parse_type1_encoding
+
+        assert parse_type1_encoding(
+            b"%!PS-AdobeFont\n/Encoding StandardEncoding def\n"
+        ) is None
+        assert parse_type1_encoding(b"") is None
+        assert parse_type1_encoding(b"\x01\x02 not a font") is None
+        assert parse_type1_encoding(b"%!PS-AdobeFont\nno encoding here") is None
+        # truncated PFB headers must not raise
+        from pdf_spark.gen.pdfgen import _mini_type1
+
+        prog = _mini_type1({65: "B"}, pfb=True)
+        for cut in (1, 3, 5, len(prog) // 2):
+            parse_type1_encoding(prog[:cut])
+
+    def test_variant_roundtrip(self):
+        from pdf_spark.gen.pdfgen import _GOOD_VARIANTS, generate_doc
+
+        vi = [n for n, _ in _GOOD_VARIANTS].index("type1_builtin")
+        pdf, expected, _, _ = generate_doc(
+            "shifted codes decode only via the embedded program 123", vi
+        )
+        text, status, code, _, _ = extract_text(pdf)
+        assert status == "ok", code
+        assert text == expected
+
+    def test_dup_scan_is_bounded(self):
+        import time
+
+        from pdf_spark.core.type1 import parse_type1_encoding
+
+        # a multi-MB encoding block must stay under the scan cap
+        big = (
+            b"%!PS-AdobeFont\n/Encoding 256 array\n"
+            + b"dup 65 /A put\n" * 2_000_000
+        )
+        t0 = time.monotonic()
+        out = parse_type1_encoding(big)
+        assert time.monotonic() - t0 < 2.0
+        assert out == {65: "A"}
