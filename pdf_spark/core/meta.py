@@ -25,6 +25,7 @@ row — metadata is best-effort by nature).
 
 from __future__ import annotations
 
+import hashlib
 import re
 from typing import Any, Optional
 
@@ -536,4 +537,159 @@ def extract_image_inventory(resolver) -> list:
         return out
     for page_no, page in enumerate(pages):
         visit(page.get("Resources"), page_no, 0)
+    return out
+
+
+# --- embedded files (attachments, §7.11 + §7.7.4) ----------------------------
+
+ATTACH_CAP = 1024  # filespecs per doc (adversarial name-tree bombs)
+ATTACH_TREE_DEPTH = 32  # name-tree recursion bound (§7.9.6 trees are shallow)
+
+
+def extract_embedded_files(resolver) -> list:
+    """Embedded-file attachments as
+    ``(source, name, desc, mime, size_declared, size_bytes, md5)`` tuples.
+
+    Two discovery channels, in deterministic order:
+
+    - ``'names'``: catalog ``/Names /EmbeddedFiles`` name tree (§7.7.4)
+      walked in tree order — interior ``/Kids`` recursed depth-first,
+      leaf ``/Names [key filespec ...]`` pairs in array order (``/Limits``
+      is advisory and ignored; real producers get it wrong). Bounded by
+      ATTACH_TREE_DEPTH / ATTACH_CAP with a visited set (cyclic trees
+      appear in the wild).
+    - ``'annot'``: page ``/Annots`` entries with ``/Subtype
+      /FileAttachment`` (§12.5.6.15), filespec under ``/FS``, in
+      (page, annot) order.
+
+    Each filespec (§7.11.3) contributes one row when it actually embeds
+    bytes: name prefers ``/UF`` over ``/F`` (text-string decoded), desc
+    from ``/Desc``; the embedded-file stream (§7.11.4) is ``/EF /UF`` or
+    ``/EF /F``, its ``/Subtype`` name is the MIME type (``#2F``-escaped
+    ``/`` decodes via the standard name parser), ``/Params /Size`` is the
+    producer's declared length. ``size_bytes``/``md5`` come from the
+    DECODED stream — the extractor reports what the bytes ARE, not what
+    the dict claims (mismatch = corruption signal). Filespecs with no
+    ``/EF`` (references to external files) are skipped: nothing is
+    embedded. Malformed entries are skipped, never fatal.
+
+    The reference engine has no attachment surface (render-only); this is
+    spec-driven net-new capability like /Info and the outline. At corpus
+    scale attachments matter twice: PDF portfolios carry their real
+    payload documents here, and attachment inventory (name/MIME/digest)
+    is how a pipeline finds them without decoding pixels.
+    """
+    out: list = []
+    seen_specs: set = set()
+
+    def emit(spec_ref, source: str) -> None:
+        if len(out) >= ATTACH_CAP:
+            return
+        try:
+            key = (
+                (spec_ref.obj_id, spec_ref.gen)
+                if isinstance(spec_ref, Ref)
+                else id(spec_ref)
+            )
+            if key in seen_specs:
+                return
+            seen_specs.add(key)
+            spec = resolver.resolve(spec_ref)
+            if not isinstance(spec, dict):
+                return
+            ef = resolver.resolve(spec.get("EF"))
+            if not isinstance(ef, dict):
+                return  # external reference, nothing embedded
+            stream = None
+            for slot in ("UF", "F"):
+                cand = resolver.resolve(ef.get(slot))
+                if isinstance(cand, Stream):
+                    stream = cand
+                    break
+            if stream is None:
+                return
+            name = None
+            for slot in ("UF", "F"):
+                name = pdf_text_string(resolver.resolve(spec.get(slot)))
+                if name:
+                    break
+            desc = pdf_text_string(resolver.resolve(spec.get("Desc")))
+            sub = resolver.resolve(stream.dict.get("Subtype"))
+            mime = str(sub) if isinstance(sub, Name) else None
+            declared = None
+            params = resolver.resolve(stream.dict.get("Params"))
+            if isinstance(params, dict):
+                size = resolver.resolve(params.get("Size"))
+                if isinstance(size, (int, float)):
+                    declared = int(size)
+            data = stream.decoded(resolver)
+            out.append(
+                (
+                    source,
+                    name,
+                    desc,
+                    mime,
+                    declared,
+                    len(data),
+                    hashlib.md5(data).hexdigest(),
+                )
+            )
+        except Exception:
+            return
+
+    def walk(node_ref, depth: int) -> None:
+        if depth > ATTACH_TREE_DEPTH or len(out) >= ATTACH_CAP:
+            return
+        try:
+            key = (
+                (node_ref.obj_id, node_ref.gen)
+                if isinstance(node_ref, Ref)
+                else None
+            )
+            if key is not None:
+                if key in seen_nodes:
+                    return
+                seen_nodes.add(key)
+            node = resolver.resolve(node_ref)
+            if not isinstance(node, dict):
+                return
+            kids = resolver.resolve(node.get("Kids"))
+            if isinstance(kids, list):
+                for kid in kids:
+                    walk(kid, depth + 1)
+            names = resolver.resolve(node.get("Names"))
+            if isinstance(names, list):
+                for i in range(1, len(names), 2):
+                    emit(names[i], "names")
+        except Exception:
+            return
+
+    seen_nodes: set = set()
+    try:
+        cat = resolver.catalog()
+        names_dict = resolver.resolve(cat.get("Names"))
+        if isinstance(names_dict, dict):
+            walk(names_dict.get("EmbeddedFiles"), 0)
+    except Exception:
+        pass
+    try:
+        pages = list(resolver.iter_pages())
+    except Exception:
+        pages = []
+    for page in pages:
+        try:
+            annots = resolver.resolve(page.get("Annots"))
+        except Exception:
+            continue
+        if not isinstance(annots, list):
+            continue
+        for entry in annots:
+            try:
+                a = resolver.resolve(entry)
+                if isinstance(a, dict) and a.get("Subtype") == Name(
+                    "FileAttachment"
+                ):
+                    emit(a.get("FS"), "annot")
+            except Exception:
+                continue
     return out

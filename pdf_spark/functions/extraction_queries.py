@@ -2259,3 +2259,172 @@ SELECT doc_id,
        doc_id % 3 = 0 AS is_canonical_self
 FROM documents
 """
+
+
+# -- qx31: embedded-file attachments (name tree + FileAttachment annots) ------
+
+
+def _qx31(spark: SparkSession, sf: str) -> DataFrame:
+    """Attachment inventory (§7.11 filespecs + §7.7.4 /EmbeddedFiles name
+    tree + §12.5.6.15 FileAttachment annots) — E117.
+
+    PDF portfolios carry their REAL payload documents as attachments; a
+    corpus pipeline that never opens the name tree loses them entirely.
+    Each doc synthesizes both discovery channels plus a non-emitting
+    external filespec (no /EF — nothing embedded):
+
+    - name tree (two-level, /Kids then leaf /Names): ``data_<i%100>.csv``
+      (Flate-compressed, declared /Params /Size, ``text/csv`` via a
+      ``#2F``-escaped Name) and ``readme.txt`` (raw stream, /Desc text);
+    - a FileAttachment annot carrying ``note.bin``
+      (``application/octet-stream``) on every even doc;
+    - an external ``/F``-only filespec listed in the tree — skipped.
+
+    size_bytes and md5 come from the DECODED stream, so the oracle
+    reconstructs them arithmetically from the same payload formulas
+    (DuckDB ``md5()``); the declared size matches here (the corruption
+    case is unit-tested). The reference engine has no attachment
+    surface (render-only)."""
+    import zlib
+
+    from pdf_spark.core.document import Resolver
+    from pdf_spark.core.meta import extract_embedded_files
+    from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder, _content_td_tj
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("fname", StringType()),
+            StructField("att_desc", StringType()),
+            StructField("mime", StringType()),
+            StructField("size_declared", LongType()),
+            StructField("size_bytes", LongType()),
+            StructField("md5", StringType()),
+        ]
+    )
+    cols = list(schema.fieldNames())
+
+    def attachments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict = {c: [] for c in cols}
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                b = PdfBuilder()
+                cat = b.reserve()
+                pages_id = b.reserve()
+                page = b.reserve()
+                font = b.add(F_HELV)
+                cont = b.stream(
+                    _content_td_tj(["attached"]), filters="FlateDecode"
+                )
+                csv = f"id,value\n{i},{i * i}".encode()
+                enc = zlib.compress(csv)
+                ef1 = b.add(
+                    b"<</Length " + str(len(enc)).encode()
+                    + b"/Filter/FlateDecode/Subtype/text#2Fcsv"
+                    b"/Params<</Size " + str(len(csv)).encode() + b">>"
+                    b">>\nstream\n" + enc + b"\nendstream"
+                )
+                spec1 = b.add(
+                    b"<</Type/Filespec/F(data_" + str(i % 100).encode()
+                    + b".csv)/EF<</F " + str(ef1).encode() + b" 0 R>>>>"
+                )
+                readme = f"readme {i % 5}".encode()
+                ef2 = b.add(
+                    b"<</Length " + str(len(readme)).encode()
+                    + b"/Subtype/text#2Fplain/Params<</Size "
+                    + str(len(readme)).encode() + b">>"
+                    b">>\nstream\n" + readme + b"\nendstream"
+                )
+                spec2 = b.add(
+                    b"<</Type/Filespec/F(readme.txt)/Desc(attachment for doc "
+                    + str(i).encode() + b")/EF<</F " + str(ef2).encode()
+                    + b" 0 R>>>>"
+                )
+                spec_ext = b.add(b"<</Type/Filespec/F(external-only.bin)>>")
+                kid1 = b.add(
+                    b"<</Names[(data) " + str(spec1).encode() + b" 0 R]>>"
+                )
+                kid2 = b.add(
+                    b"<</Names[(ext) " + str(spec_ext).encode()
+                    + b" 0 R (readme) " + str(spec2).encode() + b" 0 R]>>"
+                )
+                root = b.add(
+                    b"<</Kids[" + str(kid1).encode() + b" 0 R "
+                    + str(kid2).encode() + b" 0 R]>>"
+                )
+                annots = b""
+                if i % 2 == 0:
+                    note = f"note {i % 7}".encode()
+                    ef3 = b.add(
+                        b"<</Length " + str(len(note)).encode()
+                        + b"/Subtype/application#2Foctet-stream"
+                        b"/Params<</Size " + str(len(note)).encode() + b">>"
+                        b">>\nstream\n" + note + b"\nendstream"
+                    )
+                    spec3 = b.add(
+                        b"<</Type/Filespec/F(note.bin)/EF<</F "
+                        + str(ef3).encode() + b" 0 R>>>>"
+                    )
+                    a = b.add(
+                        b"<</Type/Annot/Subtype/FileAttachment"
+                        b"/Rect[0 0 9 9]/FS " + str(spec3).encode() + b" 0 R>>"
+                    )
+                    annots = b"/Annots[" + str(a).encode() + b" 0 R]"
+                b.set(
+                    cat,
+                    b"<</Type/Catalog/Pages " + str(pages_id).encode()
+                    + b" 0 R/Names<</EmbeddedFiles " + str(root).encode()
+                    + b" 0 R>>>>",
+                )
+                b.set(
+                    pages_id,
+                    b"<</Type/Pages/Kids[" + str(page).encode()
+                    + b" 0 R]/Count 1>>",
+                )
+                b.set(
+                    page,
+                    b"<</Type/Page/Parent " + str(pages_id).encode() + b" 0 R"
+                    b"/MediaBox[0 0 612 792]"
+                    b"/Resources<</Font<</F1 " + str(font).encode()
+                    + b" 0 R>>>>"
+                    b"/Contents " + str(cont).encode() + b" 0 R" + annots
+                    + b">>",
+                )
+                pdf = b.build(cat)
+                for row in extract_embedded_files(Resolver(pdf)):
+                    out["doc_id"].append(i)
+                    for col, val in zip(cols[1:], row):
+                        out[col].append(val)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(attachments, schema)
+
+
+QUERIES["qx31_embedded_files"] = _qx31
+ORACLE["qx31_embedded_files"] = """
+WITH payloads AS (
+    SELECT doc_id, 'names' AS source,
+           'data_' || (doc_id % 100) || '.csv' AS fname,
+           CAST(NULL AS VARCHAR) AS att_desc, 'text/csv' AS mime,
+           'id,value' || chr(10) || doc_id || ',' || (doc_id * doc_id)
+               AS payload
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'names', 'readme.txt',
+           'attachment for doc ' || doc_id, 'text/plain',
+           'readme ' || (doc_id % 5)
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'annot', 'note.bin', NULL, 'application/octet-stream',
+           'note ' || (doc_id % 7)
+    FROM documents WHERE doc_id % 2 = 0
+)
+SELECT doc_id, source, fname, att_desc, mime,
+       CAST(length(payload) AS BIGINT) AS size_declared,
+       CAST(length(payload) AS BIGINT) AS size_bytes,
+       md5(payload) AS md5
+FROM payloads
+"""

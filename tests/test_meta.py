@@ -549,3 +549,157 @@ def test_annotation_texts_never_raises_on_garbage():
     # malformed docs (bad xref etc.) and docs without /Annots -> []
     pdf, _, _, _ = generate_doc("plain text", 0)
     assert extract_annotation_texts(Resolver(pdf)) == []
+
+
+# --- embedded files (§7.11 + §7.7.4 name tree) -------------------------------
+
+def _doc_with_attachments():
+    import zlib
+
+    from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder, _content_td_tj, _escb
+
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    cont = b.stream(_content_td_tj(["body"]), filters="FlateDecode")
+
+    # leaf 1: CSV, Flate-encoded, declared /Size WRONG on purpose (7 vs 12),
+    # MIME with a #2F escape in the Name
+    csv_payload = b"id,value\n1,1"
+    ef1 = b.add(
+        b"<</Length " + str(len(zlib.compress(csv_payload))).encode()
+        + b"/Filter/FlateDecode/Subtype/text#2Fcsv/Params<</Size 7>>"
+        b">>\nstream\n" + zlib.compress(csv_payload) + b"\nendstream"
+    )
+    spec1 = b.add(
+        b"<</Type/Filespec/F(data.csv)/EF<</F " + str(ef1).encode() + b" 0 R>>>>"
+    )
+    # leaf 2: raw stream, /UF preferred over /F, UTF-16BE /Desc
+    ef2 = b.add(
+        b"<</Length 9/Subtype/text#2Fplain/Params<</Size 9>>"
+        b">>\nstream\nreadme ok\nendstream"
+    )
+    desc = b"\xfe\xff" + "Liesmich — hier".encode("utf-16-be")
+    spec2 = b.add(
+        b"<</Type/Filespec/F(legacy83.txt)/UF(r\xe9adme.txt)/Desc("
+        + _escb(desc) + b")/EF<</UF " + str(ef2).encode() + b" 0 R>>>>"
+    )
+    # external reference: /F but no /EF -> must NOT emit
+    spec_ext = b.add(b"<</Type/Filespec/F(on-disk-only.bin)>>")
+    # attachment annot with its own filespec
+    ef3 = b.add(
+        b"<</Length 6/Subtype/application#2Foctet-stream"
+        b">>\nstream\nblob!!\nendstream"
+    )
+    spec3 = b.add(
+        b"<</Type/Filespec/F(note.bin)/EF<</F " + str(ef3).encode() + b" 0 R>>>>"
+    )
+    annot = b.add(
+        b"<</Type/Annot/Subtype/FileAttachment/Rect[0 0 9 9]/FS "
+        + str(spec3).encode() + b" 0 R>>"
+    )
+    # name tree: root -> two kids (tree order: kid1 then kid2)
+    kid1 = b.add(
+        b"<</Limits[(a)(m)]/Names[(data.csv) " + str(spec1).encode() + b" 0 R]>>"
+    )
+    kid2 = b.add(
+        b"<</Limits[(n)(z)]/Names[(readme) " + str(spec2).encode()
+        + b" 0 R (x-ext) " + str(spec_ext).encode() + b" 0 R]>>"
+    )
+    root = b.add(
+        b"<</Kids[" + str(kid1).encode() + b" 0 R " + str(kid2).encode()
+        + b" 0 R]>>"
+    )
+    b.set(
+        cat,
+        b"<</Type/Catalog/Pages " + str(pages).encode()
+        + b" 0 R/Names<</EmbeddedFiles " + str(root).encode() + b" 0 R>>>>",
+    )
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R"
+        b"/Annots[" + str(annot).encode() + b" 0 R]>>",
+    )
+    return b, cat, spec3
+
+
+def test_embedded_files_name_tree_and_annot():
+    import hashlib
+
+    from pdf_spark.core.meta import extract_embedded_files
+
+    b, cat, _ = _doc_with_attachments()
+    got = extract_embedded_files(Resolver(b.build(cat)))
+    assert got == [
+        # declared size 7 is the producer's lie; actual decoded is 12
+        ("names", "data.csv", None, "text/csv", 7, 12,
+         hashlib.md5(b"id,value\n1,1").hexdigest()),
+        # /UF beats /F; PDFDoc-encoded name, UTF-16BE desc
+        ("names", "réadme.txt", "Liesmich — hier", "text/plain", 9, 9,
+         hashlib.md5(b"readme ok").hexdigest()),
+        # the external no-/EF filespec is skipped entirely
+        ("annot", "note.bin", None, "application/octet-stream", None, 6,
+         hashlib.md5(b"blob!!").hexdigest()),
+    ]
+
+
+def test_embedded_files_dedup_across_channels_and_cycles():
+    from pdf_spark.core.meta import extract_embedded_files
+    from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder
+
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    ef = b.add(b"<</Length 4>>\nstream\nSAME\nendstream")
+    spec = b.add(
+        b"<</Type/Filespec/F(dup.txt)/EF<</F " + str(ef).encode() + b" 0 R>>>>"
+    )
+    # a self-cyclic name-tree node that also lists the spec
+    node = b.reserve()
+    b.set(
+        node,
+        b"<</Kids[" + str(node).encode() + b" 0 R]"
+        b"/Names[(dup) " + str(spec).encode() + b" 0 R]>>",
+    )
+    annot = b.add(
+        b"<</Type/Annot/Subtype/FileAttachment/Rect[0 0 9 9]/FS "
+        + str(spec).encode() + b" 0 R>>"
+    )
+    b.set(
+        cat,
+        b"<</Type/Catalog/Pages " + str(pages).encode()
+        + b" 0 R/Names<</EmbeddedFiles " + str(node).encode() + b" 0 R>>>>",
+    )
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Annots[" + str(annot).encode() + b" 0 R]>>",
+    )
+    got = extract_embedded_files(Resolver(b.build(cat)))
+    # cycle bounded; the SAME filespec reached via tree AND annot emits once
+    assert [(r[0], r[1], r[5]) for r in got] == [("names", "dup.txt", 4)]
+
+
+def test_embedded_files_never_raises_on_garbage():
+    from pdf_spark.core.meta import extract_embedded_files
+    from pdf_spark.gen.pdfgen import generate_doc
+
+    pdf, _, _, _ = generate_doc("plain text", 0)
+    assert extract_embedded_files(Resolver(pdf)) == []
+    for cut in (40, 120, 400):
+        try:
+            assert extract_embedded_files(Resolver(pdf[:cut])) == []
+        except Exception as exc:  # Resolver itself may reject the stub
+            from pdf_spark.core.errors import PdfError
+
+            assert isinstance(exc, PdfError)
