@@ -546,6 +546,53 @@ ATTACH_CAP = 1024  # filespecs per doc (adversarial name-tree bombs)
 ATTACH_TREE_DEPTH = 32  # name-tree recursion bound (§7.9.6 trees are shallow)
 
 
+def walk_name_tree(resolver, root_ref, visit, full=lambda: False) -> None:
+    """Generic §7.9.6 name-tree walk in tree order: interior ``/Kids``
+    depth-first, leaf ``/Names [key value ...]`` pairs in array order
+    (``/Limits`` is advisory and ignored — real producers get it wrong).
+    Calls ``visit(key_bytes_or_None, value_ref)`` per pair; stops early
+    when ``full()`` returns True. Cyclic trees (via a visited ref set)
+    and depth bombs are bounded; malformed nodes are skipped, never
+    fatal. Shared by /EmbeddedFiles (attachments) and /Dests (named
+    destinations)."""
+    seen_nodes: set = set()
+
+    def walk(node_ref, depth: int) -> None:
+        if depth > ATTACH_TREE_DEPTH or full():
+            return
+        try:
+            key = (
+                (node_ref.obj_id, node_ref.gen)
+                if isinstance(node_ref, Ref)
+                else None
+            )
+            if key is not None:
+                if key in seen_nodes:
+                    return
+                seen_nodes.add(key)
+            node = resolver.resolve(node_ref)
+            if not isinstance(node, dict):
+                return
+            kids = resolver.resolve(node.get("Kids"))
+            if isinstance(kids, list):
+                for kid in kids:
+                    walk(kid, depth + 1)
+            names = resolver.resolve(node.get("Names"))
+            if isinstance(names, list):
+                for i in range(1, len(names), 2):
+                    k = names[i - 1]
+                    try:
+                        k = resolver.resolve(k)
+                    except Exception:
+                        k = None
+                    visit(k if isinstance(k, (bytes, bytearray)) else None,
+                          names[i])
+        except Exception:
+            return
+
+    walk(root_ref, 0)
+
+
 def extract_embedded_files(resolver) -> list:
     """Embedded-file attachments as
     ``(source, name, desc, mime, size_declared, size_bytes, md5)`` tuples.
@@ -637,39 +684,16 @@ def extract_embedded_files(resolver) -> list:
         except Exception:
             return
 
-    def walk(node_ref, depth: int) -> None:
-        if depth > ATTACH_TREE_DEPTH or len(out) >= ATTACH_CAP:
-            return
-        try:
-            key = (
-                (node_ref.obj_id, node_ref.gen)
-                if isinstance(node_ref, Ref)
-                else None
-            )
-            if key is not None:
-                if key in seen_nodes:
-                    return
-                seen_nodes.add(key)
-            node = resolver.resolve(node_ref)
-            if not isinstance(node, dict):
-                return
-            kids = resolver.resolve(node.get("Kids"))
-            if isinstance(kids, list):
-                for kid in kids:
-                    walk(kid, depth + 1)
-            names = resolver.resolve(node.get("Names"))
-            if isinstance(names, list):
-                for i in range(1, len(names), 2):
-                    emit(names[i], "names")
-        except Exception:
-            return
-
-    seen_nodes: set = set()
     try:
         cat = resolver.catalog()
         names_dict = resolver.resolve(cat.get("Names"))
         if isinstance(names_dict, dict):
-            walk(names_dict.get("EmbeddedFiles"), 0)
+            walk_name_tree(
+                resolver,
+                names_dict.get("EmbeddedFiles"),
+                lambda _key, value_ref: emit(value_ref, "names"),
+                lambda: len(out) >= ATTACH_CAP,
+            )
     except Exception:
         pass
     try:
@@ -690,6 +714,130 @@ def extract_embedded_files(resolver) -> list:
                     "FileAttachment"
                 ):
                     emit(a.get("FS"), "annot")
+            except Exception:
+                continue
+    return out
+
+
+# --- internal destinations (GoTo links + named dests, §12.3.2) ---------------
+
+LINK_CAP = 4096  # internal links per doc
+
+
+def extract_internal_links(resolver) -> list:
+    """Intra-document navigation edges as
+    ``(page_from, via, dest_name, page_to, fit)`` tuples in (page, annot)
+    order — the PDF twin of the HTML anchor graph (qx19): table-of-
+    contents pages, "see section N" cross-references, and figure/table
+    callouts all materialize here.
+
+    §12.3.2 destinations: a Link annot targets a destination either
+    directly (``/Dest``) or through a ``/GoTo`` action's ``/D``
+    (§12.6.4.2) — ``via`` records which. The value is an EXPLICIT array
+    ``[page /XYZ x y z]`` / ``[page /Fit]`` / ... or a NAMED destination
+    (byte string or Name) resolved through the catalog ``/Names /Dests``
+    name tree (PDF 1.2, walked with the shared §7.9.6 walker) or the
+    legacy catalog ``/Dests`` dict (PDF 1.1); named values may wrap the
+    array in a ``<</D [...]>>`` dict. ``page_to`` is the 0-based index of
+    the target page, mapped by resolved-object identity (the resolver
+    memoizes, so the dest array's page ref resolves to the same node
+    ``iter_pages`` yielded — the ``_node_id`` trick the struct tree
+    uses); a dangling page ref yields ``page_to=None`` rather than a
+    dropped row (the link EXISTS; its target is broken — a corpus
+    corruption signal). ``fit`` is the §12.3.2.2 fit-type Name. Remote
+    ``GoToR`` targets another FILE and is out of scope (the URI channel
+    covers external edges). Malformed entries are skipped, never fatal.
+
+    The reference engine parses no annotations at all (render-only
+    canvas); this channel is spec-driven net-new, like the outline."""
+    out: list = []
+    named: dict = {}
+
+    def remember(key, value_ref) -> None:
+        if key is not None and key not in named:
+            named[bytes(key)] = value_ref
+
+    try:
+        cat = resolver.catalog()
+    except Exception:
+        return out
+    try:
+        names_dict = resolver.resolve(cat.get("Names"))
+        if isinstance(names_dict, dict):
+            walk_name_tree(resolver, names_dict.get("Dests"), remember)
+    except Exception:
+        pass
+    try:
+        legacy = resolver.resolve(cat.get("Dests"))
+        if isinstance(legacy, dict):
+            for k, v in legacy.items():
+                if isinstance(k, Name):
+                    named.setdefault(str(k).encode("utf-8"), v)
+    except Exception:
+        pass
+
+    try:
+        pages = list(resolver.iter_pages())
+    except Exception:
+        return out
+    page_index = {
+        p.get("_node_id"): i for i, p in enumerate(pages)
+    }
+
+    def dest_row(page_from: int, via: str, raw) -> None:
+        if len(out) >= LINK_CAP:
+            return
+        dest_name = None
+        try:
+            d = resolver.resolve(raw)
+            if isinstance(d, Name):
+                dest_name = str(d)
+                d = resolver.resolve(named.get(dest_name.encode("utf-8")))
+            elif isinstance(d, (bytes, bytearray)):
+                dest_name = pdf_text_string(d)
+                d = resolver.resolve(named.get(bytes(d)))
+            if isinstance(d, dict):  # named value wrapped as <</D [...]>>
+                d = resolver.resolve(d.get("D"))
+            if not isinstance(d, list) or not d:
+                if dest_name is not None:
+                    out.append((page_from, via, dest_name, None, None))
+                return
+            target = resolver.resolve(d[0])
+            page_to = page_index.get(id(target))
+            fit = d[1] if len(d) > 1 else None
+            out.append(
+                (
+                    page_from,
+                    via,
+                    dest_name,
+                    page_to,
+                    str(fit) if isinstance(fit, Name) else None,
+                )
+            )
+        except Exception:
+            return
+
+    for page_from, page in enumerate(pages):
+        try:
+            annots = resolver.resolve(page.get("Annots"))
+        except Exception:
+            continue
+        if not isinstance(annots, list):
+            continue
+        for entry in annots:
+            try:
+                a = resolver.resolve(entry)
+                if not isinstance(a, dict) or a.get("Subtype") != Name("Link"):
+                    continue
+                if "Dest" in a:
+                    dest_row(page_from, "Dest", a.get("Dest"))
+                    continue
+                action = resolver.resolve(a.get("A"))
+                if (
+                    isinstance(action, dict)
+                    and action.get("S") == Name("GoTo")
+                ):
+                    dest_row(page_from, "GoTo", action.get("D"))
             except Exception:
                 continue
     return out

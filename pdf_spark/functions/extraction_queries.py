@@ -2428,3 +2428,143 @@ SELECT doc_id, source, fname, att_desc, mime,
        md5(payload) AS md5
 FROM payloads
 """
+
+
+# -- qx32: internal GoTo/Dest link graph (the PDF twin of HTML anchors) -------
+
+
+def _qx32(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document navigation graph (§12.3.2 destinations) — E118.
+
+    TOC pages, "see section N" cross-references and figure callouts are
+    Link annots targeting destinations INSIDE the document; mining them
+    gives the same structural signal the HTML anchor graph (qx19) gives
+    a crawler. Each doc synthesizes a 3-page body whose first page
+    carries: an explicit-array ``/Dest [page 1+(i%2) /XYZ]``, a /GoTo
+    action with a NAMED byte-string destination resolved through the
+    ``/Names /Dests`` tree to page 1 wrapped in the PDF-1.2 ``<</D
+    [...]>>`` shape, a DANGLING named dest on every third doc (the row
+    emits with page_to NULL — the link exists, its target is broken),
+    plus a remote GoToR and a URI link that must NOT emit (other-file /
+    external channels). Oracle is arithmetic reconstruction."""
+    from pdf_spark.core.document import Resolver
+    from pdf_spark.core.meta import extract_internal_links
+    from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder, _content_td_tj
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("page_from", LongType()),
+            StructField("via", StringType()),
+            StructField("dest_name", StringType()),
+            StructField("page_to", LongType()),
+            StructField("fit", StringType()),
+        ]
+    )
+    cols = list(schema.fieldNames())
+
+    def links(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict = {c: [] for c in cols}
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                b = PdfBuilder()
+                cat = b.reserve()
+                pages_id = b.reserve()
+                p1, p2, p3 = b.reserve(), b.reserve(), b.reserve()
+                font = b.add(F_HELV)
+                cont = b.stream(
+                    _content_td_tj(["linked"]), filters="FlateDecode"
+                )
+                target = p2 if i % 2 == 0 else p3
+                a_dest = b.add(
+                    b"<</Type/Annot/Subtype/Link/Rect[0 0 9 9]/Dest["
+                    + str(target).encode() + b" 0 R/XYZ 0 792 0]>>"
+                )
+                wrapped = b.add(b"<</D[" + str(p2).encode() + b" 0 R/Fit]>>")
+                a_goto = b.add(
+                    b"<</Type/Annot/Subtype/Link/Rect[0 0 9 9]"
+                    b"/A<</S/GoTo/D(sec.two)>>>>"
+                )
+                annot_ids = [a_dest, a_goto]
+                if i % 3 == 0:
+                    annot_ids.append(
+                        b.add(
+                            b"<</Type/Annot/Subtype/Link/Rect[0 0 9 9]"
+                            b"/A<</S/GoTo/D(no.such)>>>>"
+                        )
+                    )
+                annot_ids.append(
+                    b.add(
+                        b"<</Type/Annot/Subtype/Link/Rect[0 0 9 9]"
+                        b"/A<</S/GoToR/F(other.pdf)/D[0/Fit]>>>>"
+                    )
+                )
+                annot_ids.append(
+                    b.add(
+                        b"<</Type/Annot/Subtype/Link/Rect[0 0 9 9]"
+                        b"/A<</S/URI/URI(https://example.com)>>>>"
+                    )
+                )
+                leaf = b.add(
+                    b"<</Names[(sec.two) " + str(wrapped).encode()
+                    + b" 0 R]>>"
+                )
+                b.set(
+                    cat,
+                    b"<</Type/Catalog/Pages " + str(pages_id).encode()
+                    + b" 0 R/Names<</Dests " + str(leaf).encode()
+                    + b" 0 R>>>>",
+                )
+                b.set(
+                    pages_id,
+                    b"<</Type/Pages/Kids[" + str(p1).encode() + b" 0 R "
+                    + str(p2).encode() + b" 0 R " + str(p3).encode()
+                    + b" 0 R]/Count 3>>",
+                )
+                common = (
+                    b" 0 R/MediaBox[0 0 612 792]"
+                    b"/Resources<</Font<</F1 " + str(font).encode()
+                    + b" 0 R>>>>"
+                    b"/Contents " + str(cont).encode() + b" 0 R"
+                )
+                b.set(
+                    p1,
+                    b"<</Type/Page/Parent " + str(pages_id).encode() + common
+                    + b"/Annots["
+                    + b" ".join(str(a).encode() + b" 0 R" for a in annot_ids)
+                    + b"]>>",
+                )
+                b.set(
+                    p2,
+                    b"<</Type/Page/Parent " + str(pages_id).encode()
+                    + common + b">>",
+                )
+                b.set(
+                    p3,
+                    b"<</Type/Page/Parent " + str(pages_id).encode()
+                    + common + b">>",
+                )
+                pdf = b.build(cat)
+                for row in extract_internal_links(Resolver(pdf)):
+                    out["doc_id"].append(i)
+                    for col, val in zip(cols[1:], row):
+                        out[col].append(val)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(links, schema)
+
+
+QUERIES["qx32_internal_links"] = _qx32
+ORACLE["qx32_internal_links"] = """
+SELECT doc_id, CAST(0 AS BIGINT) AS page_from, 'Dest' AS via,
+       CAST(NULL AS VARCHAR) AS dest_name,
+       CAST(1 + doc_id % 2 AS BIGINT) AS page_to, 'XYZ' AS fit
+FROM documents
+UNION ALL
+SELECT doc_id, 0, 'GoTo', 'sec.two', 1, 'Fit' FROM documents
+UNION ALL
+SELECT doc_id, 0, 'GoTo', 'no.such', NULL, NULL
+FROM documents WHERE doc_id % 3 = 0
+"""

@@ -703,3 +703,107 @@ def test_embedded_files_never_raises_on_garbage():
             from pdf_spark.core.errors import PdfError
 
             assert isinstance(exc, PdfError)
+
+
+# --- internal destinations (§12.3.2 GoTo/Dest + named dests) -----------------
+
+def _doc_with_internal_links(legacy_dests: bool = False):
+    from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder, _content_td_tj
+
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    p1, p2, p3 = b.reserve(), b.reserve(), b.reserve()
+    font = b.add(F_HELV)
+    cont = b.stream(_content_td_tj(["x"]), filters="FlateDecode")
+    # explicit-array /Dest to page 3
+    a_dest = b.add(
+        b"<</Type/Annot/Subtype/Link/Rect[0 0 9 9]/Dest["
+        + str(p3).encode() + b" 0 R/XYZ 0 792 0]>>"
+    )
+    # /GoTo action with a NAMED byte-string destination -> page 2 via tree,
+    # value wrapped in <</D [...]>> (the PDF-1.2 shape)
+    wrapped = b.add(b"<</D[" + str(p2).encode() + b" 0 R/Fit]>>")
+    a_goto = b.add(
+        b"<</Type/Annot/Subtype/Link/Rect[0 0 9 9]"
+        b"/A<</S/GoTo/D(sec.two)>>>>"
+    )
+    # named dest that dangles (no such entry) -> row with page_to NULL
+    a_broken = b.add(
+        b"<</Type/Annot/Subtype/Link/Rect[0 0 9 9]"
+        b"/A<</S/GoTo/D(no.such)>>>>"
+    )
+    # GoToR (remote) and URI links must NOT emit here
+    a_remote = b.add(
+        b"<</Type/Annot/Subtype/Link/Rect[0 0 9 9]"
+        b"/A<</S/GoToR/F(other.pdf)/D[0/Fit]>>>>"
+    )
+    a_uri = b.add(
+        b"<</Type/Annot/Subtype/Link/Rect[0 0 9 9]"
+        b"/A<</S/URI/URI(https://x)>>>>"
+    )
+    if legacy_dests:
+        extra = b"/Dests<</sec#2Etwo " + str(wrapped).encode() + b" 0 R>>"
+    else:
+        leaf = b.add(
+            b"<</Names[(sec.two) " + str(wrapped).encode() + b" 0 R]>>"
+        )
+        extra = b"/Names<</Dests " + str(leaf).encode() + b" 0 R>>"
+    b.set(
+        cat,
+        b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R"
+        + extra
+        + b">>",
+    )
+    b.set(
+        pages,
+        b"<</Type/Pages/Kids[" + str(p1).encode() + b" 0 R "
+        + str(p2).encode() + b" 0 R " + str(p3).encode()
+        + b" 0 R]/Count 3>>",
+    )
+    common = (
+        b" 0 R/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R"
+    )
+    b.set(
+        p1,
+        b"<</Type/Page/Parent " + str(pages).encode() + common
+        + b"/Annots["
+        + b" ".join(
+            str(a).encode() + b" 0 R"
+            for a in (a_dest, a_goto, a_broken, a_remote, a_uri)
+        )
+        + b"]>>",
+    )
+    b.set(p2, b"<</Type/Page/Parent " + str(pages).encode() + common + b">>")
+    b.set(p3, b"<</Type/Page/Parent " + str(pages).encode() + common + b">>")
+    return b.build(cat)
+
+
+def test_internal_links_dest_goto_named_broken():
+    from pdf_spark.core.meta import extract_internal_links
+
+    got = extract_internal_links(Resolver(_doc_with_internal_links()))
+    assert got == [
+        (0, "Dest", None, 2, "XYZ"),
+        (0, "GoTo", "sec.two", 1, "Fit"),
+        (0, "GoTo", "no.such", None, None),
+    ]
+
+
+def test_internal_links_legacy_dests_dict():
+    from pdf_spark.core.meta import extract_internal_links
+
+    got = extract_internal_links(
+        Resolver(_doc_with_internal_links(legacy_dests=True))
+    )
+    assert (0, "GoTo", "sec.two", 1, "Fit") in got
+
+
+def test_internal_links_never_raises_on_garbage():
+    from pdf_spark.core.meta import extract_internal_links
+    from pdf_spark.gen.pdfgen import generate_doc
+
+    pdf, _, _, _ = generate_doc("plain", 0)
+    assert extract_internal_links(Resolver(pdf)) == []
