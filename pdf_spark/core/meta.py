@@ -546,16 +546,20 @@ ATTACH_CAP = 1024  # filespecs per doc (adversarial name-tree bombs)
 ATTACH_TREE_DEPTH = 32  # name-tree recursion bound (§7.9.6 trees are shallow)
 
 
-def walk_name_tree(resolver, root_ref, visit, full=lambda: False) -> None:
-    """Generic §7.9.6 name-tree walk in tree order: interior ``/Kids``
-    depth-first, leaf ``/Names [key value ...]`` pairs in array order
-    (``/Limits`` is advisory and ignored — real producers get it wrong).
-    Calls ``visit(key_bytes_or_None, value_ref)`` per pair; stops early
-    when ``full()`` returns True. Cyclic trees (via a visited ref set)
-    and depth bombs are bounded; malformed nodes are skipped, never
-    fatal. Shared by /EmbeddedFiles (attachments) and /Dests (named
-    destinations)."""
+def walk_name_tree(resolver, root_ref, visit, full=lambda: False,
+                   leaf_slot: str = "Names") -> None:
+    """Generic §7.9.6/§7.9.7 tree walk in tree order: interior ``/Kids``
+    depth-first, leaf ``/Names`` (name tree — byte-string keys) or
+    ``/Nums`` (number tree — integer keys, ``leaf_slot="Nums"``) pairs
+    in array order (``/Limits`` is advisory and ignored — real producers
+    get it wrong). Calls ``visit(key_or_None, value_ref)`` per pair —
+    key is bytes for name trees, int for number trees; stops early when
+    ``full()`` returns True. Cyclic trees (via a visited ref set) and
+    depth bombs are bounded; malformed nodes are skipped, never fatal.
+    Shared by /EmbeddedFiles (attachments), /Dests (named destinations)
+    and /PageLabels (§12.4.2)."""
     seen_nodes: set = set()
+    key_type = (bytes, bytearray) if leaf_slot == "Names" else int
 
     def walk(node_ref, depth: int) -> None:
         if depth > ATTACH_TREE_DEPTH or full():
@@ -577,16 +581,15 @@ def walk_name_tree(resolver, root_ref, visit, full=lambda: False) -> None:
             if isinstance(kids, list):
                 for kid in kids:
                     walk(kid, depth + 1)
-            names = resolver.resolve(node.get("Names"))
-            if isinstance(names, list):
-                for i in range(1, len(names), 2):
-                    k = names[i - 1]
+            pairs = resolver.resolve(node.get(leaf_slot))
+            if isinstance(pairs, list):
+                for i in range(1, len(pairs), 2):
+                    k = pairs[i - 1]
                     try:
                         k = resolver.resolve(k)
                     except Exception:
                         k = None
-                    visit(k if isinstance(k, (bytes, bytearray)) else None,
-                          names[i])
+                    visit(k if isinstance(k, key_type) else None, pairs[i])
         except Exception:
             return
 
@@ -840,4 +843,114 @@ def extract_internal_links(resolver) -> list:
                     dest_row(page_from, "GoTo", action.get("D"))
             except Exception:
                 continue
+    return out
+
+
+# --- page labels (§12.4.2) ----------------------------------------------------
+
+_ROMAN = (
+    (1000, "m"), (900, "cm"), (500, "d"), (400, "cd"), (100, "c"),
+    (90, "xc"), (50, "l"), (40, "xl"), (10, "x"), (9, "ix"),
+    (5, "v"), (4, "iv"), (1, "i"),
+)
+
+
+def _roman(n: int) -> str:
+    if n <= 0 or n > 99999:  # spec leaves huge/0 undefined; clamp decimal
+        return str(n)
+    parts = []
+    for val, sym in _ROMAN:
+        while n >= val:
+            parts.append(sym)
+            n -= val
+    return "".join(parts)
+
+
+def _letters(n: int) -> str:
+    # 1..26 -> a..z, 27 -> aa, ... (§12.4.2: doubled letters, not base-26)
+    if n <= 0:
+        return str(n)
+    q, r = divmod(n - 1, 26)
+    return chr(ord("a") + r) * (q + 1)
+
+
+def format_page_label(style, start: int, offset: int, prefix: str) -> str:
+    """One §12.4.2 label: ``prefix + numeral(start + offset)`` with the
+    numeral rendered per ``/S`` (D decimal, R/r Roman, A/a letters; no
+    /S -> prefix only, the spec's 'no numeric portion' case)."""
+    n = start + offset
+    if style == "D":
+        return prefix + str(n)
+    if style == "r":
+        return prefix + _roman(n)
+    if style == "R":
+        return prefix + _roman(n).upper()
+    if style == "a":
+        return prefix + _letters(n)
+    if style == "A":
+        return prefix + _letters(n).upper()
+    return prefix
+
+
+def extract_page_labels(resolver) -> list:
+    """Display page labels (§12.4.2) as (page_no, label) for every page:
+    'iv', 'A-2', '3' — the numbers HUMANS cite, vs the 0-based physical
+    index. Catalog ``/PageLabels`` is a NUMBER tree (§7.9.7, integer
+    keys = the page index where each labelling range starts; walked with
+    the shared tree walker, ``/Nums`` leaves); each value dict carries
+    ``/S`` style, ``/P`` prefix (text string), ``/St`` start (default 1).
+    Pages before the first range (malformed files — §12.4.2 requires a
+    range at 0) and docs with no /PageLabels label as 1-based decimal,
+    the viewer fallback. At corpus scale labels align extracted text
+    with citations ("see p. iv") and reveal front-matter/body structure
+    without any content inspection. The reference never reads them."""
+    try:
+        pages = list(resolver.iter_pages())
+    except Exception:
+        return []
+    n_pages = len(pages)
+    ranges: list = []
+
+    def remember(key, value_ref) -> None:
+        if isinstance(key, bool) or not isinstance(key, int) or key < 0:
+            return
+        try:
+            v = resolver.resolve(value_ref)
+        except Exception:
+            return
+        if isinstance(v, dict):
+            ranges.append((key, v))
+
+    try:
+        cat = resolver.catalog()
+        walk_name_tree(
+            resolver, cat.get("PageLabels"), remember, leaf_slot="Nums"
+        )
+    except Exception:
+        pass
+    ranges.sort(key=lambda kv: kv[0])
+    out: list = []
+    for page_no in range(n_pages):
+        governing = None
+        for start, v in ranges:
+            if start <= page_no:
+                governing = (start, v)
+            else:
+                break
+        if governing is None:
+            out.append((page_no, str(page_no + 1)))
+            continue
+        start, v = governing
+        try:
+            style = v.get("S")
+            style = str(style) if isinstance(style, Name) else None
+            prefix = pdf_text_string(resolver.resolve(v.get("P"))) or ""
+            st = resolver.resolve(v.get("St"))
+            st = int(st) if isinstance(st, (int, float)) and st >= 1 else 1
+            out.append(
+                (page_no,
+                 format_page_label(style, st, page_no - start, prefix))
+            )
+        except Exception:
+            out.append((page_no, str(page_no + 1)))
     return out

@@ -2568,3 +2568,92 @@ UNION ALL
 SELECT doc_id, 0, 'GoTo', 'no.such', NULL, NULL
 FROM documents WHERE doc_id % 3 = 0
 """
+
+
+# -- qx33: display page labels (§12.4.2 number tree) --------------------------
+
+
+def _qx33(spark: SparkSession, sf: str) -> DataFrame:
+    """Display page labels (§12.4.2) — E119: the numbers HUMANS cite.
+
+    Front matter labels as lowercase Roman ('i', 'ii'), the body
+    restarts decimal with a per-doc prefix and start offset — the
+    /PageLabels NUMBER tree (§7.9.7, integer keys through the shared
+    tree walker) maps physical page index to display label. Citation
+    alignment ("see p. iv") and front-matter/body segmentation at
+    corpus scale need exactly this mapping; a pipeline keyed on physical
+    indices mis-resolves every citation in a front-mattered document.
+    Oracle is arithmetic reconstruction of the same formatting rules."""
+    from pdf_spark.core.document import Resolver
+    from pdf_spark.core.meta import extract_page_labels
+    from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder, _content_td_tj
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("page_no", LongType()),
+            StructField("label", StringType()),
+        ]
+    )
+
+    def labels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict = {"doc_id": [], "page_no": [], "label": []}
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                b = PdfBuilder()
+                cat = b.reserve()
+                pages_id = b.reserve()
+                kids = [b.reserve() for _ in range(4)]
+                font = b.add(F_HELV)
+                cont = b.stream(
+                    _content_td_tj(["labeled"]), filters="FlateDecode"
+                )
+                nums = (
+                    b"<</Nums[0<</S/r>> 2<</S/D/P(c" + str(i % 3).encode()
+                    + b"-)/St " + str(1 + i % 7).encode() + b">>]>>"
+                )
+                lab = b.add(nums)
+                b.set(
+                    cat,
+                    b"<</Type/Catalog/Pages " + str(pages_id).encode()
+                    + b" 0 R/PageLabels " + str(lab).encode() + b" 0 R>>",
+                )
+                b.set(
+                    pages_id,
+                    b"<</Type/Pages/Kids["
+                    + b" ".join(str(k).encode() + b" 0 R" for k in kids)
+                    + b"]/Count 4>>",
+                )
+                for k in kids:
+                    b.set(
+                        k,
+                        b"<</Type/Page/Parent " + str(pages_id).encode()
+                        + b" 0 R/MediaBox[0 0 612 792]"
+                        b"/Resources<</Font<</F1 " + str(font).encode()
+                        + b" 0 R>>>>"
+                        b"/Contents " + str(cont).encode() + b" 0 R>>",
+                    )
+                pdf = b.build(cat)
+                for page_no, label in extract_page_labels(Resolver(pdf)):
+                    out["doc_id"].append(i)
+                    out["page_no"].append(page_no)
+                    out["label"].append(label)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(labels, schema)
+
+
+QUERIES["qx33_page_labels"] = _qx33
+ORACLE["qx33_page_labels"] = """
+SELECT doc_id, CAST(0 AS BIGINT) AS page_no, 'i' AS label FROM documents
+UNION ALL
+SELECT doc_id, 1, 'ii' FROM documents
+UNION ALL
+SELECT doc_id, 2, 'c' || (doc_id % 3) || '-' || (1 + doc_id % 7)
+FROM documents
+UNION ALL
+SELECT doc_id, 3, 'c' || (doc_id % 3) || '-' || (2 + doc_id % 7)
+FROM documents
+"""

@@ -807,3 +807,73 @@ def test_internal_links_never_raises_on_garbage():
 
     pdf, _, _, _ = generate_doc("plain", 0)
     assert extract_internal_links(Resolver(pdf)) == []
+
+
+# --- page labels (§12.4.2) ----------------------------------------------------
+
+def _doc_with_page_labels(nums_body: bytes, n_pages: int = 5):
+    from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder, _content_td_tj
+
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    kids = [b.reserve() for _ in range(n_pages)]
+    font = b.add(F_HELV)
+    cont = b.stream(_content_td_tj(["x"]), filters="FlateDecode")
+    extra = b""
+    if nums_body:
+        labels = b.add(nums_body)
+        extra = b"/PageLabels " + str(labels).encode() + b" 0 R"
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R"
+          + extra + b">>")
+    b.set(
+        pages,
+        b"<</Type/Pages/Kids["
+        + b" ".join(str(k).encode() + b" 0 R" for k in kids)
+        + b"]/Count " + str(n_pages).encode() + b">>",
+    )
+    for k in kids:
+        b.set(
+            k,
+            b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+            b"/MediaBox[0 0 612 792]"
+            b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+            b"/Contents " + str(cont).encode() + b" 0 R>>",
+        )
+    return b.build(cat)
+
+
+def test_page_labels_styles_prefixes_starts():
+    from pdf_spark.core.meta import extract_page_labels
+
+    pdf = _doc_with_page_labels(
+        b"<</Nums[0<</S/r>> 2<</S/D/P(p-)/St 10>> 4<</P(App )>>]>>"
+    )
+    assert extract_page_labels(Resolver(pdf)) == [
+        (0, "i"), (1, "ii"), (2, "p-10"), (3, "p-11"), (4, "App "),
+    ]
+
+
+def test_page_labels_fallback_and_missing_range_zero():
+    from pdf_spark.core.meta import extract_page_labels
+
+    # no /PageLabels at all -> viewer-default 1-based decimal
+    assert extract_page_labels(Resolver(_doc_with_page_labels(b""))) == [
+        (0, "1"), (1, "2"), (2, "3"), (3, "4"), (4, "5"),
+    ]
+    # malformed: first range starts at 2 -> pages 0-1 fall back
+    pdf = _doc_with_page_labels(b"<</Nums[2<</S/A>>]>>")
+    assert extract_page_labels(Resolver(pdf)) == [
+        (0, "1"), (1, "2"), (2, "A"), (3, "B"), (4, "C"),
+    ]
+
+
+def test_page_labels_roman_letters_helpers():
+    from pdf_spark.core.meta import _letters, _roman
+
+    assert [_roman(n) for n in (1, 4, 9, 14, 40, 90, 400, 1990)] == [
+        "i", "iv", "ix", "xiv", "xl", "xc", "cd", "mcmxc",
+    ]
+    assert [_letters(n) for n in (1, 26, 27, 52, 53)] == [
+        "a", "z", "aa", "zz", "aaa",
+    ]
