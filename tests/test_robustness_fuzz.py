@@ -188,9 +188,18 @@ def test_metadata_walkers_never_raise_on_mutations():
     import random
 
     from pdf_spark.core.document import Resolver
+    from test_meta import (
+        _doc_with_attachments,
+        _doc_with_internal_links,
+        _doc_with_page_labels,
+    )
+
     from pdf_spark.core.meta import (
+        extract_embedded_files,
         extract_form_fields,
         extract_image_inventory,
+        extract_internal_links,
+        extract_page_labels,
         extract_pdf_links,
         extract_pdf_meta,
         extract_pdf_outline,
@@ -199,9 +208,13 @@ def test_metadata_walkers_never_raise_on_mutations():
 
     rng = random.Random(0xF0F0)
     builders = dict(_GOOD_VARIANTS)
+    ab, acat, _ = _doc_with_attachments()
     seeds = [
         builders["acroform"](["fuzz seed text body"]),
         builders["info_annots"](["fuzz seed text body"]),
+        ab.build(acat),
+        _doc_with_internal_links(),
+        _doc_with_page_labels(b"<</Nums[0<</S/r>> 2<</S/D/P(p-)/St 9>>]>>"),
     ]
     for seed in seeds:
         for _ in range(150):
@@ -213,8 +226,11 @@ def test_metadata_walkers_never_raise_on_mutations():
             except Exception:
                 continue  # constructor may reject the doc: that's an error row
             for walker in (
+                extract_embedded_files,
                 extract_form_fields,
                 extract_image_inventory,
+                extract_internal_links,
+                extract_page_labels,
                 extract_pdf_links,
                 extract_pdf_meta,
                 extract_pdf_outline,
