@@ -954,3 +954,85 @@ def extract_page_labels(resolver) -> list:
         except Exception:
             out.append((page_no, str(page_no + 1)))
     return out
+
+
+# --- document profile (triage pass: §14.9.2 /Lang + structure booleans) ------
+
+
+def extract_doc_profile(resolver) -> dict:
+    """The corpus TRIAGE record — one cheap dict per doc, no content
+    decode: ``lang`` (catalog ``/Lang``, §14.9.2 — the document-default
+    language tag, a direct prior for the language-ID tier), ``version``
+    ("1.N" from the header, overridden by the catalog ``/Version`` Name
+    when newer, §7.7.2), ``page_count``, ``tagged`` (``/MarkInfo
+    /Marked``, §14.7 — predicts struct-tree reading order availability),
+    ``encrypted`` (trailer ``/Encrypt`` present — this resolver only
+    reaches here when empty-user-password decryption succeeded),
+    ``has_acroform`` / ``has_outline`` / ``has_attachments`` /
+    ``has_page_labels`` (catalog key presence — each gates a deeper
+    side-channel pass, so a 100 TB pipeline runs the expensive walkers
+    only where the booleans say there is anything to walk). Never
+    raises; absent slots are None/False."""
+    out: dict = {
+        "lang": None, "version": None, "page_count": None,
+        "tagged": False, "encrypted": False, "has_acroform": False,
+        "has_outline": False, "has_attachments": False,
+        "has_page_labels": False,
+    }
+    try:
+        out["encrypted"] = resolver.trailer.get("Encrypt") is not None
+    except Exception:
+        pass
+    minor = getattr(resolver, "version", None)
+    if isinstance(minor, int):
+        out["version"] = f"1.{minor}"
+    try:
+        cat = resolver.catalog()
+    except Exception:
+        return out
+    try:
+        out["lang"] = pdf_text_string(resolver.resolve(cat.get("Lang")))
+    except Exception:
+        pass
+    try:
+        v = resolver.resolve(cat.get("Version"))
+        if isinstance(v, Name):
+            sv = str(v)
+            # catalog /Version replaces the header version when it names a
+            # LATER one (§7.7.2); producers that write an older one are
+            # ignored, matching viewer behavior
+            if re.fullmatch(r"[12]\.\d", sv) and (
+                out["version"] is None or sv > out["version"]
+            ):
+                out["version"] = sv
+    except Exception:
+        pass
+    try:
+        out["page_count"] = sum(1 for _ in resolver.iter_pages())
+    except Exception:
+        pass
+    try:
+        mi = resolver.resolve(cat.get("MarkInfo"))
+        out["tagged"] = bool(
+            isinstance(mi, dict) and resolver.resolve(mi.get("Marked")) is True
+        )
+    except Exception:
+        pass
+    for key, slot in (
+        ("AcroForm", "has_acroform"),
+        ("Outlines", "has_outline"),
+        ("PageLabels", "has_page_labels"),
+    ):
+        try:
+            out[slot] = cat.get(key) is not None
+        except Exception:
+            pass
+    try:
+        names_dict = resolver.resolve(cat.get("Names"))
+        out["has_attachments"] = bool(
+            isinstance(names_dict, dict)
+            and names_dict.get("EmbeddedFiles") is not None
+        )
+    except Exception:
+        pass
+    return out

@@ -2657,3 +2657,106 @@ UNION ALL
 SELECT doc_id, 3, 'c' || (doc_id % 3) || '-' || (2 + doc_id % 7)
 FROM documents
 """
+
+
+# -- qx34: document triage profile (/Lang + structure booleans) ---------------
+
+
+def _qx34(spark: SparkSession, sf: str) -> DataFrame:
+    """Document triage profile (§14.9.2 /Lang, §7.7.2 /Version, §14.7
+    MarkInfo) — E120: the FIRST pass a 100 TB pipeline runs.
+
+    ``lang`` is the author-declared language prior the language-ID tier
+    seeds from; the booleans gate the expensive side-channel walkers
+    (run the attachment/outline/label passes only where the catalog says
+    there is anything to walk). Five /Lang classes (incl. absent),
+    catalog /Version 2.0 overriding the 1.7 header on every fourth doc
+    (older overrides ignored per spec), MarkInfo tagging on evens, page
+    count 1 + i%3, AcroForm presence on every seventh. Oracle is
+    arithmetic."""
+    from pdf_spark.core.document import Resolver
+    from pdf_spark.core.meta import extract_doc_profile
+    from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder, _content_td_tj
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("version", StringType()),
+            StructField("page_count", LongType()),
+            StructField("tagged", BooleanType()),
+            StructField("has_acroform", BooleanType()),
+        ]
+    )
+
+    def profiles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict = {c: [] for c in schema.fieldNames()}
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                b = PdfBuilder()
+                cat = b.reserve()
+                pages_id = b.reserve()
+                n_pages = 1 + i % 3
+                kids = [b.reserve() for _ in range(n_pages)]
+                font = b.add(F_HELV)
+                cont = b.stream(
+                    _content_td_tj(["profiled"]), filters="FlateDecode"
+                )
+                extra = b""
+                lang = {0: b"en", 1: b"de-DE", 2: b"ja", 4: b"pt-BR"}.get(
+                    i % 5
+                )
+                if lang is not None:
+                    extra += b"/Lang(" + lang + b")"
+                if i % 4 == 0:
+                    extra += b"/Version/2.0"
+                if i % 2 == 0:
+                    extra += b"/MarkInfo<</Marked true>>"
+                if i % 7 == 0:
+                    acro = b.add(b"<</Fields[]>>")
+                    extra += b"/AcroForm " + str(acro).encode() + b" 0 R"
+                b.set(
+                    cat,
+                    b"<</Type/Catalog/Pages " + str(pages_id).encode()
+                    + b" 0 R" + extra + b">>",
+                )
+                b.set(
+                    pages_id,
+                    b"<</Type/Pages/Kids["
+                    + b" ".join(str(k).encode() + b" 0 R" for k in kids)
+                    + b"]/Count " + str(n_pages).encode() + b">>",
+                )
+                for k in kids:
+                    b.set(
+                        k,
+                        b"<</Type/Page/Parent " + str(pages_id).encode()
+                        + b" 0 R/MediaBox[0 0 612 792]"
+                        b"/Resources<</Font<</F1 " + str(font).encode()
+                        + b" 0 R>>>>"
+                        b"/Contents " + str(cont).encode() + b" 0 R>>",
+                    )
+                prof = extract_doc_profile(Resolver(b.build(cat)))
+                out["doc_id"].append(i)
+                out["lang"].append(prof["lang"])
+                out["version"].append(prof["version"])
+                out["page_count"].append(prof["page_count"])
+                out["tagged"].append(prof["tagged"])
+                out["has_acroform"].append(prof["has_acroform"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(profiles, schema)
+
+
+QUERIES["qx34_doc_profile"] = _qx34
+ORACLE["qx34_doc_profile"] = """
+SELECT doc_id,
+       CASE doc_id % 5 WHEN 0 THEN 'en' WHEN 1 THEN 'de-DE'
+            WHEN 2 THEN 'ja' WHEN 4 THEN 'pt-BR' END AS lang,
+       CASE WHEN doc_id % 4 = 0 THEN '2.0' ELSE '1.7' END AS version,
+       CAST(1 + doc_id % 3 AS BIGINT) AS page_count,
+       doc_id % 2 = 0 AS tagged,
+       doc_id % 7 = 0 AS has_acroform
+FROM documents
+"""

@@ -877,3 +877,73 @@ def test_page_labels_roman_letters_helpers():
     assert [_letters(n) for n in (1, 26, 27, 52, 53)] == [
         "a", "z", "aa", "zz", "aaa",
     ]
+
+
+# --- document profile (§14.9.2 /Lang + triage booleans) ----------------------
+
+def test_doc_profile_full():
+    from pdf_spark.core.meta import extract_doc_profile
+    from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder, _content_td_tj
+
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    p1, p2 = b.reserve(), b.reserve()
+    font = b.add(F_HELV)
+    cont = b.stream(_content_td_tj(["x"]), filters="FlateDecode")
+    leaf = b.add(b"<</Names[]>>")
+    acro = b.add(b"<</Fields[]>>")
+    outline = b.add(b"<</Type/Outlines/Count 0>>")
+    labels = b.add(b"<</Nums[0<</S/D>>]>>")
+    b.set(
+        cat,
+        b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R"
+        b"/Lang(de-DE)/Version/2.0/MarkInfo<</Marked true>>"
+        b"/AcroForm " + str(acro).encode() + b" 0 R"
+        b"/Outlines " + str(outline).encode() + b" 0 R"
+        b"/PageLabels " + str(labels).encode() + b" 0 R"
+        b"/Names<</EmbeddedFiles " + str(leaf).encode() + b" 0 R>>>>",
+    )
+    b.set(pages, b"<</Type/Pages/Kids[" + str(p1).encode() + b" 0 R "
+          + str(p2).encode() + b" 0 R]/Count 2>>")
+    for p in (p1, p2):
+        b.set(p, b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+              b"/MediaBox[0 0 612 792]"
+              b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+              b"/Contents " + str(cont).encode() + b" 0 R>>")
+    got = extract_doc_profile(Resolver(b.build(cat)))
+    assert got == {
+        "lang": "de-DE", "version": "2.0", "page_count": 2,
+        "tagged": True, "encrypted": False, "has_acroform": True,
+        "has_outline": True, "has_attachments": True,
+        "has_page_labels": True,
+    }
+
+
+def test_doc_profile_defaults_and_older_version_ignored():
+    from pdf_spark.core.meta import extract_doc_profile
+    from pdf_spark.gen.pdfgen import generate_doc
+
+    pdf, _, _, _ = generate_doc("plain", 0)
+    got = extract_doc_profile(Resolver(pdf))
+    assert got["version"] == "1.7" and got["page_count"] == 1
+    assert got["lang"] is None and not got["tagged"]
+    # catalog /Version OLDER than the header is ignored (§7.7.2)
+    pdf2 = pdf.replace(b"/Type/Catalog", b"/Type/Catalog/Version/1.4", 1)
+    # xref offsets shift -> scavenge may kick in; profile must not raise
+    got2 = extract_doc_profile(Resolver(pdf2))
+    assert got2["version"] == "1.7"
+
+
+def test_doc_profile_encrypted_variant():
+    from pdf_spark.core.meta import extract_doc_profile
+    from pdf_spark.gen.pdfgen import N_VARIANTS, generate_doc
+
+    idx = next(
+        (i for i in range(N_VARIANTS)
+         if "encrypted" in generate_doc("x", i)[2]), None
+    )
+    assert idx is not None
+    pdf, _, name, _ = generate_doc("secret body", idx)
+    got = extract_doc_profile(Resolver(pdf))
+    assert got["encrypted"] is True, name
