@@ -109,6 +109,11 @@ def _parse_type1_cached(data: bytes):
     return out
 SIMPLE_SUBTYPES = ("Type1", "TrueType", "MMType1", "Type3")
 
+# character collections whose CIDs 1..95 are the printable ASCII set in
+# order (Adobe-Japan1 / Adobe-GB1 / Adobe-CNS1 / Adobe-Korea1 / Adobe-KR
+# collection specs; core/cmap.py's Uni*-UCS2 CMaps embed the same run)
+_ASCII_CID_ORDERINGS = frozenset({"Japan1", "GB1", "CNS1", "Korea1", "KR"})
+
 
 # Cached Fonts live for the executor process's lifetime (_FONT_CACHE), so
 # their lazily-filled tables need a bound: a shared CJK Type0 font hit by
@@ -163,6 +168,7 @@ class Font:
         "cid_widths", "default_width", "cid_to_gid",
         "symbolic", "sfnt", "cff", "t1_encoding", "fast_tables",
         "vertical", "w1_default", "cid_vwidths", "uniform_width",
+        "registry_ordering",
     )
 
     def __init__(self) -> None:
@@ -201,6 +207,10 @@ class Font:
         # the advance as ncodes * per_glyph instead of a per-code dict
         # pass, the hottest loop in the whole pipeline. None = widths vary.
         self.uniform_width: Optional[float] = None
+        # descendant CIDSystemInfo /Ordering ("Japan1", "GB1", …): enables
+        # the character-collection ASCII block fallback for raw-CID Type0
+        # shows with no ToUnicode (see code_to_text)
+        self.registry_ordering = ""
 
     def build_fast_tables(self):
         """code->text map + code->width map for the span emitter's C-level
@@ -328,6 +338,16 @@ class Font:
             u = self.sfnt.decode_gid(self.cid_to_gid_lookup(cid))
             if u is not None:
                 return u
+        if 1 <= cid <= 95 and self.registry_ordering in _ASCII_CID_ORDERINGS:
+            # character-collection ASCII block: the four classic Adobe
+            # orderings (and Adobe-KR) all open with the 95 printable ASCII
+            # characters at CIDs 1..95 (Adobe-Japan1/GB1/CNS1/Korea1/KR
+            # collection specs — the same public fact the Uni*-UCS2 CMaps
+            # in core/cmap.py embed as their CID run). Raw-CID Identity-H
+            # shows with no ToUnicode and no embedded cmap thus recover
+            # their Latin runs exactly; CIDs past the block still fall
+            # through. The reference returns GIDs here (render-only).
+            return chr(0x20 + cid - 1)
         return chr(cid)
 
     def cid_to_gid_lookup(self, cid: int) -> int:
@@ -640,6 +660,13 @@ def _load_font_uncached(font_obj, resolver) -> Font:
         cid_subtype = cid_font.get("Subtype")
         if cid_subtype not in (Name("CIDFontType0"), Name("CIDFontType2")):
             raise PdfError(UNSUPPORTED_FONT, f"CID font subtype {cid_subtype!r}")
+        csi = resolver.resolve(cid_font.get("CIDSystemInfo"))
+        if isinstance(csi, dict):
+            ordering = resolver.resolve(csi.get("Ordering"))
+            if isinstance(ordering, bytes):
+                f.registry_ordering = ordering.decode("latin-1", "replace")
+            elif isinstance(ordering, str):
+                f.registry_ordering = ordering
         f.vertical = f.encoding_cmap is not None and f.encoding_cmap.wmode == 1
         dw = resolver.resolve(cid_font.get("DW"))
         if isinstance(dw, (int, float)):

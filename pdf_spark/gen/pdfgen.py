@@ -1265,6 +1265,50 @@ def _type0_predefined_doc(lines: list[str]) -> bytes:
     return b.build(cat)
 
 
+def _type0_cid_ascii_doc(lines: list[str]) -> bytes:
+    """Type0 /Identity-H with a declared Adobe-Japan1 CIDSystemInfo and NO
+    ToUnicode / embedded font: string bytes are raw 2-byte CIDs. Decode
+    must use the character-collection ASCII block (CIDs 1..95 = the 95
+    printable ASCII characters, identical across the Adobe-Japan1/GB1/
+    CNS1/Korea1/KR collection specs) — the common shape of subset-embedded
+    CJK fonts whose ToUnicode was stripped by an optimizer."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    cid_font = b.add(
+        b"<</Type/Font/Subtype/CIDFontType0/BaseFont/FakeMincho"
+        b"/CIDSystemInfo<</Registry(Adobe)/Ordering(Japan1)/Supplement 7>>"
+        b"/DW 1000/W[1 95 500]>>"
+    )
+    font = b.add(
+        b"<</Type/Font/Subtype/Type0/BaseFont/FakeMincho"
+        b"/Encoding/Identity-H"
+        b"/DescendantFonts[" + str(cid_font).encode() + b" 0 R]>>"
+    )
+    coded = [
+        b"".join(_ascii_cid(c).to_bytes(2, "big") for c in line)
+        for line in lines
+    ]
+    cont = b.stream(_content_hex_byte_lines(coded), filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
+def _ascii_cid(c: str) -> int:
+    """char -> Adobe collection ASCII-block CID (non-ASCII -> '?')."""
+    o = ord(c)
+    return o - 0x20 + 1 if 0x20 <= o <= 0x7E else 0x3F - 0x20 + 1
+
+
 def _jp_char(c: str) -> str:
     """Deterministic ASCII -> Japanese mapping for the legacy-CMap variant:
     spaces/digits stay 1-byte ASCII, a-m/A-M become full-width katakana
@@ -1772,6 +1816,9 @@ _GOOD_VARIANTS = [
     # Type1 FontFile built-in /Encoding (PFB cleartext header): the last
     # of the three FontFile forms read for decode.
     ("type1_builtin", lambda L: _type1_builtin_doc(L)),
+    # raw-CID Identity-H with a declared ROS and no ToUnicode: decode via
+    # the character collections' ASCII block (CIDs 1..95).
+    ("type0_cid_ascii", lambda L: _type0_cid_ascii_doc(L)),
 ]
 
 
@@ -2161,6 +2208,10 @@ def _expected_text(lines: list[str], variant_name: str) -> str:
         ]
     elif variant_name == "type0_legacy_cmap":
         lines = ["".join(_jp_char(c) for c in l) for l in lines]
+    elif variant_name == "type0_cid_ascii":
+        lines = [
+            "".join(c if " " <= c <= "~" else "?" for c in l) for l in lines
+        ]
     elif variant_name == "differences_nonlatin":
         lines = ["".join(_nonlatin_map(c)[1] for c in l) for l in lines]
     elif variant_name == "macexpert":

@@ -1932,3 +1932,86 @@ class TestType1BuiltinEncoding:
         out = parse_type1_encoding(big)
         assert time.monotonic() - t0 < 2.0
         assert out == {65: "A"}
+
+
+class TestRegistryAsciiBlock:
+    """Raw-CID Type0 (Identity-H, declared ROS, no ToUnicode): CIDs 1..95
+    decode via the character collections' shared printable-ASCII block
+    (Adobe-Japan1/GB1/CNS1/Korea1/KR specs)."""
+
+    @staticmethod
+    def _doc(ordering: bytes, hexcodes: bytes, tounicode: bool = False) -> bytes:
+        from pdf_spark.gen.pdfgen import PdfBuilder
+
+        b = PdfBuilder()
+        cat = b.reserve()
+        pages = b.reserve()
+        page = b.reserve()
+        cid_font = b.add(
+            b"<</Type/Font/Subtype/CIDFontType0/BaseFont/X"
+            b"/CIDSystemInfo<</Registry(Adobe)/Ordering(" + ordering + b")"
+            b"/Supplement 0>>/DW 500>>"
+        )
+        extra = b""
+        if tounicode:
+            tu = b.stream(
+                b"/CIDInit /ProcSet findresource begin 12 dict begin\n"
+                b"begincmap\n1 begincodespacerange <0000> <FFFF> "
+                b"endcodespacerange\n1 beginbfchar <0022> <0416> endbfchar\n"
+                b"endcmap end end"
+            )
+            extra = b"/ToUnicode " + str(tu).encode() + b" 0 R"
+        font = b.add(
+            b"<</Type/Font/Subtype/Type0/BaseFont/X/Encoding/Identity-H"
+            + extra
+            + b"/DescendantFonts[" + str(cid_font).encode() + b" 0 R]>>"
+        )
+        cont = b.stream(b"BT /F1 12 Tf 72 700 Td <" + hexcodes + b"> Tj ET")
+        b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+        b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+        b.set(
+            page,
+            b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+            b"/MediaBox[0 0 612 792]"
+            b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+            b"/Contents " + str(cont).encode() + b" 0 R>>",
+        )
+        return b.build(cat)
+
+    def test_ascii_block_decodes_for_all_five_orderings(self):
+        # CIDs 34 1 41 41 47 = "A HHN": chr(0x20 + cid - 1)
+        codes = b"0022000100290029002F"
+        for ordering in (b"Japan1", b"GB1", b"CNS1", b"Korea1", b"KR"):
+            text, status, code, _, _ = extract_text(self._doc(ordering, codes))
+            assert status == "ok", (ordering, code)
+            assert text == "A HHN", ordering
+
+    def test_identity_ordering_does_not_map(self):
+        # Ordering Identity has no ASCII block: chr(cid) fallback holds
+        text, status, _, _, _ = extract_text(self._doc(b"Identity", b"0041"))
+        assert status == "ok"
+        assert text == chr(0x41)
+
+    def test_tounicode_wins_over_block(self):
+        # CID 0x22 maps to U+0416 via ToUnicode; the block must NOT fire
+        text, status, _, _, _ = extract_text(
+            self._doc(b"Japan1", b"0022", tounicode=True)
+        )
+        assert status == "ok"
+        assert text == "Ж"
+
+    def test_out_of_block_cid_falls_through(self):
+        text, status, _, _, _ = extract_text(self._doc(b"Japan1", b"1234"))
+        assert status == "ok"
+        assert text == chr(0x1234)
+
+    def test_variant_roundtrip(self):
+        from pdf_spark.gen.pdfgen import _GOOD_VARIANTS, generate_doc
+
+        vi = [n for n, _ in _GOOD_VARIANTS].index("type0_cid_ascii")
+        pdf, expected, _, _ = generate_doc(
+            "stripped ToUnicode still yields exact Latin runs 42", vi
+        )
+        text, status, code, _, _ = extract_text(pdf)
+        assert status == "ok", code
+        assert text == expected
