@@ -186,17 +186,24 @@ def main() -> None:
     # non-improving pass. The original 10%-of-best criterion exits on a
     # slow improvement slope (measured 2026-08-18: hi passes kept climbing
     # 14.6k -> 39.2k across "measured" pairs after warmup had "passed",
-    # biasing early pair efficiencies down). Require TWO consecutive
-    # passes within 3% of best, minimum 6 passes, cap 12.
+    # biasing early pair efficiencies down). Second revision 2026-08-19:
+    # the 2-within-3% exit still admitted a persistent ~2-5%/pass climb
+    # (hi pairs 20.8k -> 45.6k through MEASURED pairs, mp control flat) —
+    # require THREE consecutive passes within 2% of best, minimum 8,
+    # cap 16, then one unmeasured alternating settle pass per worker so
+    # every session enters pairing from the same just-ran state.
     for w in [w for w in (lo_w, hi_w, mp_lo, mp_hi) if w is not None]:
         best = w.one_pass()
         flat = 0
-        for i in range(11):
+        for i in range(15):
             t = w.one_pass()
-            flat = 0 if t < best * 0.97 else flat + 1
+            flat = 0 if t < best * 0.98 else flat + 1
             best = min(best, t)
-            if flat >= 2 and i >= 4:
+            if flat >= 3 and i >= 6:
                 break
+    for w in (lo_w, hi_w, mp_lo, mp_hi):
+        if w is not None:
+            w.one_pass()
 
     # sandwich pairing: lo0 hi0 lo1 hi1 ... loN — each hi pass is
     # normalized by the AVERAGE of its two surrounding lo passes, so any
