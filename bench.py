@@ -133,6 +133,23 @@ def main() -> None:
     t0 = time.time()
     counts = one_pass()
     cold_s = time.time() - t0
+    # plateau warmup before measurement: JVM JIT at 32 threads keeps
+    # improving for ~6-8 passes (scaling-sandwich evidence 2026-08-19:
+    # hi-side passes climbed 36.7k -> 68.8k docs/s after the cold pass);
+    # the fused metric claims steady state, so warm until two consecutive
+    # passes land within 3% of best (cap 6 warm passes), THEN measure.
+    best = None
+    flat = 0
+    n_warm = 0
+    for _ in range(int(os.environ.get("BENCH_WARM_CAP", "6"))):
+        t0 = time.time()
+        one_pass()
+        t = time.time() - t0
+        n_warm += 1
+        flat = 0 if best is None or t < best * 0.97 else flat + 1
+        best = t if best is None else min(best, t)
+        if flat >= 2:
+            break
     fused_walls: list[float] = []
     for _ in range(repeats):
         t0 = time.time()
@@ -181,6 +198,7 @@ def main() -> None:
         "cores": CPUS,
         "setup_sec": round(setup_s, 3),
         "query_repeats": repeats,
+        "fused_warm_passes": n_warm,
         "queries_spread": spreads,
     }
     print(json.dumps(result))
