@@ -1036,3 +1036,164 @@ def extract_doc_profile(resolver) -> dict:
     except Exception:
         pass
     return out
+
+
+# --- digital-signature & revision forensics (§12.8) --------------------------
+
+SIG_FIELD_CAP = 256  # signature fields per doc (adversarial field bombs)
+
+
+def count_revisions(raw: bytes) -> int:
+    """Number of incremental-update revisions = count of ``%%EOF`` markers
+    (§7.5.6: every revision — original write plus each incremental update —
+    ends with its own ``%%EOF``). A cheap byte scan, no parse; the forensic
+    companion to :func:`extract_signatures`'s ``covers_eof`` (a signed doc
+    with revisions AFTER the signed one was modified post-signing). The
+    reference walks ``/Prev`` chains to READ updated objects
+    (reimplemented in ``core/document.py``) but exposes no revision count.
+    Capped at 64 markers (adversarial repetition); 0 means not-a-PDF tail.
+    """
+    return min(raw.count(b"%%EOF"), 64)
+
+
+def extract_signatures(resolver) -> list:
+    """Digital-signature forensics rows, one per signed ``/FT /Sig`` field
+    (PDF 32000-1 §12.8). EXTENSION: the reference never reads AcroForm —
+    but at corpus scale "is this document signed, by whom, and does the
+    signature still cover the bytes we fetched" is a TRUST/provenance
+    signal (contract/invoice detection, tamper evidence) that costs one
+    dict walk, no crypto.
+
+    Each row: ``(field_name, subfilter, signer, sign_time, reason,
+    whole_file, revisions)``:
+
+    - ``subfilter`` — the ``/SubFilter`` Name of the signature dict
+      (``adbe.pkcs7.detached``, ``ETSI.CAdES.detached``, ...), the
+      encoding a verifier would dispatch on (§12.8.3).
+    - ``signer`` / ``sign_time`` / ``reason`` — ``/Name``, ``/M``
+      (PDF date, normalized by :func:`parse_pdf_date`), ``/Reason``
+      text strings (§12.8.1 Table 252).
+    - ``whole_file`` — the §12.8.1 ByteRange check a verifier performs
+      BEFORE any cryptography: ``/ByteRange [0 a b c]`` must start at
+      offset 0 and its last range must end exactly at EOF
+      (``b + c == len(buf)``), with the one hole (``a..b``) left for the
+      ``/Contents`` hex. False means bytes were appended after signing
+      (incremental update — the signature may still verify over its
+      range, but it no longer covers the document being read) or the
+      range is malformed.
+    - ``revisions`` — :func:`count_revisions` of the same buffer, so the
+      consumer can tell "updated after signing" (revisions > 1, last
+      signature ``whole_file`` False) from "malformed range".
+
+    Unsigned fields (``/V`` absent) are skipped — an empty signature
+    field is a placeholder, not a signature. Field-tree walk (``/Kids``,
+    dotted names) and caps shared with :func:`extract_form_fields`'s
+    rules. Never raises.
+    """
+    out: list = []
+    try:
+        cat = resolver.catalog()
+        acro = resolver.resolve(cat.get("AcroForm"))
+        roots = resolver.resolve(acro.get("Fields")) if isinstance(acro, dict) else None
+    except Exception:
+        return out
+    if not isinstance(roots, list):
+        return out
+    buf_len = len(resolver.buf)
+    revisions = count_revisions(resolver.buf)
+
+    def _text(v) -> Optional[str]:
+        if isinstance(v, (bytes, bytearray)):
+            return pdf_text_string(bytes(v))
+        return None
+
+    seen: set = set()
+    stack = [(r, "") for r in reversed(roots)]
+    while stack and len(out) < SIG_FIELD_CAP:
+        node_ref, prefix = stack.pop()
+        key = (
+            (node_ref.obj_id, node_ref.gen)
+            if isinstance(node_ref, Ref)
+            else id(node_ref)
+        )
+        if key in seen:
+            continue
+        seen.add(key)
+        try:
+            node = resolver.resolve(node_ref)
+        except Exception:
+            continue
+        if not isinstance(node, dict):
+            continue
+        t = None
+        try:
+            t = _text(resolver.resolve(node.get("T")))
+        except Exception:
+            pass
+        name = f"{prefix}.{t}" if (prefix and t) else (t or prefix)
+        kids = None
+        try:
+            kids = resolver.resolve(node.get("Kids"))
+        except Exception:
+            pass
+        if isinstance(kids, list):
+            child_fields = []
+            for k in kids:
+                try:
+                    kd = resolver.resolve(k)
+                except Exception:
+                    continue
+                if isinstance(kd, dict) and "T" in kd:
+                    child_fields.append(k)
+            if child_fields:
+                for k in reversed(child_fields):
+                    stack.append((k, name))
+                continue
+        try:
+            ft = resolver.resolve(node.get("FT"))
+        except Exception:
+            continue
+        if not (isinstance(ft, Name) and str(ft) == "Sig"):
+            continue
+        try:
+            sig = resolver.resolve(node.get("V"))
+        except Exception:
+            continue
+        if not isinstance(sig, dict):
+            continue  # unsigned placeholder field
+        subfilter = None
+        signer = None
+        sign_time = None
+        reason = None
+        whole_file = False
+        try:
+            sf = resolver.resolve(sig.get("SubFilter"))
+            if isinstance(sf, Name):
+                subfilter = str(sf)
+            signer = _text(resolver.resolve(sig.get("Name")))
+            reason = _text(resolver.resolve(sig.get("Reason")))
+            m = resolver.resolve(sig.get("M"))
+            if isinstance(m, (bytes, bytearray)):
+                sign_time = parse_pdf_date(bytes(m))
+        except Exception:
+            pass
+        try:
+            br = resolver.resolve(sig.get("ByteRange"))
+            if isinstance(br, list) and len(br) == 4:
+                a0, a1, b0, b1 = (
+                    resolver.resolve(x) for x in br
+                )
+                ints = [a0, a1, b0, b1]
+                if all(isinstance(x, int) and x >= 0 for x in ints):
+                    whole_file = (
+                        a0 == 0
+                        and a1 <= b0
+                        and b0 + b1 == buf_len
+                    )
+        except Exception:
+            pass
+        out.append(
+            (name or None, subfilter, signer, sign_time, reason,
+             whole_file, revisions)
+        )
+    return out

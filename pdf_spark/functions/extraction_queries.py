@@ -2760,3 +2760,145 @@ SELECT doc_id,
        doc_id % 7 = 0 AS has_acroform
 FROM documents
 """
+
+
+# -- qx35: digital-signature & revision forensics (§12.8) ---------------------
+
+
+def _qx35(spark: SparkSession, sf: str) -> DataFrame:
+    """Signature forensics (E122): one row per signed ``/FT /Sig`` field —
+    subfilter, signer, sign time, reason, the §12.8.1 whole-file
+    ByteRange check, and the ``%%EOF`` revision count.
+
+    Construction per doc_id i: docs with ``i % 5 == 4`` are unsigned (no
+    AcroForm -> no row — the common case in a crawl). The rest carry one
+    signed field whose ``/ByteRange`` is patched post-build to the REAL
+    ``[0 a b c]`` covering everything but the ``/Contents`` hex hole
+    (fixed-width zero-padded placeholder, the standard signer technique,
+    so xref offsets survive). Then:
+
+    - ``i % 4 == 0``: a post-signing incremental-update stub (own
+      ``%%EOF``) is appended -> whole_file False, revisions 2 — the
+      tamper-evidence case.
+    - else ``i % 3 == 0``: trailing junk without ``%%EOF`` appended ->
+      whole_file False, revisions 1 — the malformed/truncated-range case.
+    - else: the signature covers exactly EOF -> whole_file True.
+
+    Oracle is arithmetic over the same residues."""
+    from pdf_spark.core.document import Resolver
+    from pdf_spark.core.meta import extract_signatures
+    from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder, _content_td_tj
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("field_name", StringType()),
+            StructField("subfilter", StringType()),
+            StructField("signer", StringType()),
+            StructField("sign_time", StringType()),
+            StructField("reason", StringType()),
+            StructField("whole_file", BooleanType()),
+            StructField("revisions", LongType()),
+        ]
+    )
+
+    _BR_PLACEHOLDER = (
+        b"/ByteRange[0 0000000000 0000000000 0000000000]"
+    )
+
+    def rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict = {c: [] for c in schema.fieldNames()}
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                if i % 5 == 4:
+                    continue  # unsigned doc: no row
+                b = PdfBuilder()
+                cat = b.reserve()
+                pages_id = b.reserve()
+                page = b.reserve()
+                font = b.add(F_HELV)
+                cont = b.stream(
+                    _content_td_tj(["signed"]), filters="FlateDecode"
+                )
+                subfilter = (
+                    b"adbe.pkcs7.detached" if i % 2 == 0
+                    else b"ETSI.CAdES.detached"
+                )
+                reason = b"certification" if i % 3 == 0 else b"approval"
+                sig_date = b"D:202601011200%02d+00'00'" % (i % 60)
+                sig = b.add(
+                    b"<</Type/Sig/Filter/Adobe.PPKLite/SubFilter/"
+                    + subfilter
+                    + b"/Name(Signer " + str(i % 11).encode() + b")"
+                    + b"/M(" + sig_date + b")"
+                    + b"/Reason(" + reason + b")"
+                    + _BR_PLACEHOLDER
+                    + b"/Contents<" + b"00" * 16 + b">>>"
+                )
+                fld = b.add(
+                    b"<</FT/Sig/T(Sig1)/V " + str(sig).encode() + b" 0 R"
+                    b"/Type/Annot/Subtype/Widget/Rect[0 0 0 0]>>"
+                )
+                b.set(
+                    cat,
+                    b"<</Type/Catalog/Pages " + str(pages_id).encode()
+                    + b" 0 R/AcroForm<</SigFlags 3/Fields["
+                    + str(fld).encode() + b" 0 R]>>>>",
+                )
+                b.set(
+                    pages_id,
+                    b"<</Type/Pages/Kids[" + str(page).encode()
+                    + b" 0 R]/Count 1>>",
+                )
+                b.set(
+                    page,
+                    b"<</Type/Page/Parent " + str(pages_id).encode()
+                    + b" 0 R/MediaBox[0 0 612 792]"
+                    b"/Resources<</Font<</F1 " + str(font).encode()
+                    + b" 0 R>>>>"
+                    b"/Contents " + str(cont).encode() + b" 0 R>>",
+                )
+                raw = b.build(cat)
+                # patch the ByteRange placeholder to the real [0 a b c]
+                # (same byte length -> xref offsets stay valid)
+                hole_a = raw.index(b"/Contents<") + len(b"/Contents")
+                hole_b = raw.index(b">", hole_a) + 1
+                br = b"/ByteRange[0 %010d %010d %010d]" % (
+                    hole_a, hole_b, len(raw) - hole_b
+                )
+                assert len(br) == len(_BR_PLACEHOLDER)
+                raw = raw.replace(_BR_PLACEHOLDER, br, 1)
+                if i % 4 == 0:  # post-signing incremental update
+                    raw += (
+                        b"\nxref\n0 0\ntrailer\n<<>>\nstartxref\n0\n%%EOF\n"
+                    )
+                elif i % 3 == 0:  # post-signing junk, no new revision
+                    raw += b"\n% appended-after-signing junk\n"
+                for row in extract_signatures(Resolver(raw)):
+                    out["doc_id"].append(i)
+                    for col, val in zip(schema.fieldNames()[1:], row):
+                        out[col].append(val)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(rows, schema)
+
+
+QUERIES["qx35_signatures"] = _qx35
+ORACLE["qx35_signatures"] = """
+SELECT doc_id,
+       'Sig1' AS field_name,
+       CASE WHEN doc_id % 2 = 0 THEN 'adbe.pkcs7.detached'
+            ELSE 'ETSI.CAdES.detached' END AS subfilter,
+       'Signer ' || CAST(doc_id % 11 AS VARCHAR) AS signer,
+       '2026-01-01T12:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+           || '+00:00' AS sign_time,
+       CASE WHEN doc_id % 3 = 0 THEN 'certification'
+            ELSE 'approval' END AS reason,
+       NOT (doc_id % 4 = 0 OR doc_id % 3 = 0) AS whole_file,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS BIGINT)
+           AS revisions
+FROM documents
+WHERE doc_id % 5 <> 4
+"""

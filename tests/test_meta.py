@@ -947,3 +947,125 @@ def test_doc_profile_encrypted_variant():
     pdf, _, name, _ = generate_doc("secret body", idx)
     got = extract_doc_profile(Resolver(pdf))
     assert got["encrypted"] is True, name
+
+
+# --- digital-signature & revision forensics (E122, §12.8) --------------------
+
+
+def _signed_doc(byte_range=None, extra_field=b"", tail=b""):
+    """One signed Sig field; byte_range None -> patch the real [0 a b c]."""
+    from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder, _content_td_tj
+
+    placeholder = b"/ByteRange[0 0000000000 0000000000 0000000000]"
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    font = b.add(F_HELV)
+    cont = b.stream(_content_td_tj(["signed"]), filters="FlateDecode")
+    sig = b.add(
+        b"<</Type/Sig/Filter/Adobe.PPKLite/SubFilter/adbe.pkcs7.detached"
+        b"/Name(Alice)/M(D:20260101120000Z)/Reason(approval)"
+        + (placeholder if byte_range is None else byte_range)
+        + b"/Contents<" + b"00" * 16 + b">>>"
+    )
+    fld = b.add(
+        b"<</FT/Sig/T(Sig1)/V " + str(sig).encode() + b" 0 R"
+        b"/Type/Annot/Subtype/Widget/Rect[0 0 0 0]>>"
+    )
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode()
+          + b" 0 R/AcroForm<</SigFlags 3/Fields[" + str(fld).encode()
+          + b" 0 R" + extra_field + b"]>>>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode()
+          + b" 0 R]/Count 1>>")
+    b.set(page, b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+          b"/MediaBox[0 0 612 792]"
+          b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+          b"/Contents " + str(cont).encode() + b" 0 R>>")
+    raw = b.build(cat)
+    if byte_range is None:
+        a = raw.index(b"/Contents<") + len(b"/Contents")
+        e = raw.index(b">", a) + 1
+        br = b"/ByteRange[0 %010d %010d %010d]" % (a, e, len(raw) - e)
+        raw = raw.replace(placeholder, br, 1)
+    return raw + tail
+
+
+def test_signature_whole_file_and_revisions():
+    from pdf_spark.core.meta import count_revisions, extract_signatures
+
+    raw = _signed_doc()
+    rows = extract_signatures(Resolver(raw))
+    assert rows == [
+        ("Sig1", "adbe.pkcs7.detached", "Alice",
+         "2026-01-01T12:00:00+00:00", "approval", True, 1)
+    ]
+    assert count_revisions(raw) == 1
+
+    # bytes appended after signing -> no longer covers EOF
+    rows2 = extract_signatures(Resolver(_signed_doc(tail=b"\n% junk\n")))
+    assert rows2[0][5] is False and rows2[0][6] == 1
+
+    # a post-signing incremental update adds a revision
+    upd = b"\nxref\n0 0\ntrailer\n<<>>\nstartxref\n0\n%%EOF\n"
+    rows3 = extract_signatures(Resolver(_signed_doc(tail=upd)))
+    assert rows3[0][5] is False and rows3[0][6] == 2
+    assert count_revisions(b"%%EOF" * 1000) == 64  # bounded
+
+
+def test_signature_malformed_range_and_placeholder_skipped():
+    from pdf_spark.core.meta import extract_signatures
+
+    # malformed ByteRange shapes are whole_file False, never fatal
+    for br in (b"/ByteRange[0 1 2]",              # wrong arity
+               b"/ByteRange[1 2 3 4]",            # doesn't start at 0
+               b"/ByteRange[0 (a) 3 4]",          # non-integer
+               b"/ByteRange[0 99 3 4]"):          # hole inverted
+        rows = extract_signatures(Resolver(_signed_doc(byte_range=br)))
+        assert len(rows) == 1 and rows[0][5] is False, br
+
+    # an unsigned placeholder field (no /V) emits nothing
+    from pdf_spark.gen.pdfgen import PdfBuilder
+
+    raw = _signed_doc()
+    # second field without /V, appended into /Fields via extra_field:
+    # build a fresh doc whose only field has no /V
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    fld = b.add(b"<</FT/Sig/T(Empty)>>")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode()
+          + b" 0 R/AcroForm<</Fields[" + str(fld).encode() + b" 0 R]>>>>")
+    b.set(pages, b"<</Type/Pages/Kids[]/Count 0>>")
+    assert extract_signatures(Resolver(b.build(cat))) == []
+    assert len(extract_signatures(Resolver(raw))) == 1
+
+
+def test_signature_field_tree_dotted_name_and_garbage():
+    from pdf_spark.core.meta import extract_signatures
+    from pdf_spark.gen.pdfgen import PdfBuilder
+
+    # signature as a CHILD field: dotted name parent.child (§12.7.4.2)
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    sig = b.add(b"<</Type/Sig/SubFilter/ETSI.CAdES.detached"
+                b"/ByteRange[0 10 20 30]>>")
+    child = b.add(b"<</FT/Sig/T(child)/V " + str(sig).encode() + b" 0 R>>")
+    parent = b.add(b"<</T(grp)/Kids[" + str(child).encode() + b" 0 R]>>")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode()
+          + b" 0 R/AcroForm<</Fields[" + str(parent).encode() + b" 0 R]>>>>")
+    b.set(pages, b"<</Type/Pages/Kids[]/Count 0>>")
+    rows = extract_signatures(Resolver(b.build(cat)))
+    assert len(rows) == 1
+    assert rows[0][0] == "grp.child"
+    assert rows[0][1] == "ETSI.CAdES.detached"
+    assert rows[0][2] is None and rows[0][3] is None
+
+    # garbage never raises
+    for junk in (b"", b"%PDF-1.7\nnot a pdf", _signed_doc()[:200]):
+        try:
+            r = Resolver(junk)
+        except Exception:
+            continue
+        assert extract_signatures(r) == []
