@@ -732,6 +732,69 @@ def extract_jsonld(data: bytes) -> list:
     return out
 
 
+LINK_REL_CAP = 512  # link relations per page (adversarial repetition)
+
+# the <link rel> values a crawl pipeline consumes: alternate (hreflang
+# language clusters + RSS/Atom discovery), next/prev (pagination chains),
+# amphtml (AMP twin), canonical (also surfaced first-wins in
+# extract_html_meta; here every occurrence is kept in document order so
+# conflicting-canonical pages are detectable)
+_TRACKED_RELS = ("alternate", "next", "prev", "amphtml", "canonical")
+
+
+def extract_link_relations(data: bytes) -> list:
+    """``<link rel=...>`` relations as (rel, hreflang, href) tuples in
+    document order — the head-link graph a crawl pipeline mines beyond the
+    single canonical slot: ``rel=alternate hreflang=x`` edges cluster the
+    SAME content across languages (the multilingual dedup/alignment key —
+    one cluster member's quality score transfers to all), ``next``/``prev``
+    chain paginated listings, ``amphtml`` points to the AMP twin (a
+    near-dup the dedup tier should collapse), and repeated ``canonical``
+    rows surface conflicting-canonical pages that extract_html_meta's
+    first-wins slot hides. A multi-valued ``rel`` attribute emits one row
+    per tracked token (HTML spec: rel is a space-separated token set);
+    ``hreflang`` is lowercased (BCP 47 tags compare case-insensitive),
+    non-alternate rows carry None; rows without an ``href`` are dropped
+    (no target, no edge). Shares the main tokenizer — rawtext bodies can
+    never fake a ``<link>``. Net-new vs the reference engine, like the
+    rest of the HTML tier."""
+    html_text = decode_html(data)
+    out: list = []
+    pos = 0
+    n = len(html_text)
+    while pos < n and len(out) < LINK_REL_CAP:
+        m = _TOKEN_RE.match(html_text, pos)
+        if m is None:  # pragma: no cover
+            pos += 1
+            continue
+        pos = m.end()
+        tag = m.group(2)
+        if tag is None:
+            continue
+        low = tag.lower()
+        if low == "link":
+            attrs = _parse_attrs(m.group(3))
+            rels = attrs.get("rel", "").lower().split()
+            href = attrs.get("href", "").strip()
+            if not href:
+                continue
+            hreflang = attrs.get("hreflang", "").strip().lower() or None
+            for rel in _TRACKED_RELS:
+                if rel in rels:
+                    out.append(
+                        (rel, hreflang if rel == "alternate" else None, href)
+                    )
+        elif low in _RAWTEXT:
+            close = re.compile(r"</\s*%s[\s>]" % re.escape(low), re.I)
+            cm = close.search(html_text, pos)
+            if cm is None:
+                pos = n
+            else:
+                gt = html_text.find(">", cm.start())
+                pos = n if gt == -1 else gt + 1
+    return out
+
+
 def extract_headings(data: bytes) -> list:
     """(level, text) for every <h1>-<h6> in document order — the HTML
     twin of the PDF outline walk (core/meta.py::extract_pdf_outline):

@@ -2902,3 +2902,119 @@ SELECT doc_id,
 FROM documents
 WHERE doc_id % 5 <> 4
 """
+
+
+# -- qx36: head link-relation graph (<link rel>) -------------------------------
+
+
+def _qx36(spark: SparkSession, sf: str) -> DataFrame:
+    """Head ``<link rel>`` relation extraction (E123): one row per tracked
+    relation in document order — the hreflang/pagination/AMP/canonical
+    edge set a crawl pipeline mines beyond the single canonical slot
+    (``extract_link_relations``; companion to qx10's first-wins meta).
+
+    Construction per doc_id i (deterministic head, decoys included):
+
+    - pos 0: ``rel=canonical`` -> https://ex.org/p{i}
+    - pos 1..1+i%3: ``rel=alternate hreflang=<tag>`` over the rotating
+      prefix of (EN-US, DE, FR-ca) — hreflang arrives mixed-case and must
+      come back lowercased (BCP 47 compares case-insensitive)
+    - next: ``rel=alternate`` RSS feed link with NO hreflang -> NULL
+    - next: ``rel=next`` (even i) / ``rel=prev`` (odd i) pagination edge
+    - next: ``rel=amphtml`` AMP twin
+    - last (i%5==0 only): a SECOND conflicting ``rel=canonical`` — the
+      row qx10's first-wins slot hides
+    - decoys that must emit nothing: ``rel=stylesheet``, a ``rel=next``
+      link with no href, and a <script> body writing a fake canonical
+      (rawtext safety — shares the main tokenizer).
+
+    The oracle rebuilds every (pos, rel, hreflang, href) arithmetically."""
+    from pdf_spark.core.htmltext import extract_link_relations
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("pos", LongType()),
+            StructField("rel", StringType()),
+            StructField("hreflang", StringType()),
+            StructField("href", StringType()),
+        ]
+    )
+    langs = ["EN-US", "DE", "FR-ca"]
+
+    def rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"doc_id": [], "pos": [], "rel": [], "hreflang": [], "href": []}
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                head = [f'<link rel="canonical" href="https://ex.org/p{i}">']
+                for j in range(1 + i % 3):
+                    head.append(
+                        f'<link rel="alternate" hreflang="{langs[j]}" '
+                        f'href="https://ex.org/p{i}?lang={langs[j].lower()}">'
+                    )
+                head.append(
+                    '<link rel="alternate" type="application/rss+xml" '
+                    f'href="/feed{i}.xml">'
+                )
+                if i % 2 == 0:
+                    head.append('<link rel="next" href="?page=2">')
+                else:
+                    head.append('<link rel="prev" href="?page=0">')
+                head.append(f'<link rel="amphtml" href="https://amp.ex.org/p{i}">')
+                if i % 5 == 0:
+                    head.append(
+                        f'<link rel="canonical" href="https://ex.org/dup{i}">'
+                    )
+                head.append('<link rel="stylesheet" href="/s.css">')
+                head.append('<link rel="next">')
+                page = (
+                    "<html><head>" + "".join(head) + "</head><body>"
+                    "<script>document.write('<link rel=\"canonical\" "
+                    "href=\"https://evil/x\">')</script>p</body></html>"
+                ).encode()
+                for pos, (rel, hreflang, href) in enumerate(
+                    extract_link_relations(page)
+                ):
+                    out["doc_id"].append(i)
+                    out["pos"].append(pos)
+                    out["rel"].append(rel)
+                    out["hreflang"].append(hreflang)
+                    out["href"].append(href)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(rows, schema)
+
+
+QUERIES["qx36_link_relations"] = _qx36
+ORACLE["qx36_link_relations"] = """
+SELECT doc_id, CAST(0 AS BIGINT) AS pos, 'canonical' AS rel,
+       CAST(NULL AS VARCHAR) AS hreflang,
+       'https://ex.org/p' || doc_id AS href
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(1 + j AS BIGINT), 'alternate', hl,
+       'https://ex.org/p' || doc_id || '?lang=' || hl
+FROM documents
+JOIN (VALUES (0, 'en-us'), (1, 'de'), (2, 'fr-ca')) AS t(j, hl)
+  ON j <= doc_id % 3
+UNION ALL
+SELECT doc_id, CAST(2 + doc_id % 3 AS BIGINT), 'alternate',
+       CAST(NULL AS VARCHAR), '/feed' || doc_id || '.xml'
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(3 + doc_id % 3 AS BIGINT),
+       CASE WHEN doc_id % 2 = 0 THEN 'next' ELSE 'prev' END,
+       CAST(NULL AS VARCHAR),
+       CASE WHEN doc_id % 2 = 0 THEN '?page=2' ELSE '?page=0' END
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(4 + doc_id % 3 AS BIGINT), 'amphtml',
+       CAST(NULL AS VARCHAR), 'https://amp.ex.org/p' || doc_id
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(5 + doc_id % 3 AS BIGINT), 'canonical',
+       CAST(NULL AS VARCHAR), 'https://ex.org/dup' || doc_id
+FROM documents WHERE doc_id % 5 = 0
+"""

@@ -559,3 +559,57 @@ class TestMojibakeRepair:
             hg.expected_for_variant("html_mojibake", lines)
         assert extract_markdown(page) == \
             hg.expected_markdown_for_variant("html_mojibake", lines)
+
+
+class TestLinkRelations:
+    def test_document_order_and_hreflang_lowercase(self):
+        from pdf_spark.core.htmltext import extract_link_relations
+
+        page = (b'<html><head>'
+                b'<link rel="canonical" href="https://ex.org/a">'
+                b'<link rel="alternate" hreflang="EN-US" href="/en">'
+                b'<link rel="next" href="?p=2">'
+                b'<link rel="amphtml" href="https://amp/a">'
+                b'</head><body>x</body></html>')
+        assert extract_link_relations(page) == [
+            ("canonical", None, "https://ex.org/a"),
+            ("alternate", "en-us", "/en"),
+            ("next", None, "?p=2"),
+            ("amphtml", None, "https://amp/a"),
+        ]
+
+    def test_multi_token_rel_emits_each_tracked(self):
+        from pdf_spark.core.htmltext import extract_link_relations
+
+        # rel is a space-separated token set; one row per tracked token,
+        # untracked tokens (nofollow) ignored
+        page = b'<link rel="alternate nofollow amphtml" href="/x">'
+        assert extract_link_relations(page) == [
+            ("alternate", None, "/x"),
+            ("amphtml", None, "/x"),
+        ]
+
+    def test_untracked_and_missing_href_dropped(self):
+        from pdf_spark.core.htmltext import extract_link_relations
+
+        page = (b'<link rel="stylesheet" href="/s.css">'
+                b'<link rel="next">'
+                b'<link rel="prev" href="">')
+        assert extract_link_relations(page) == []
+
+    def test_rawtext_body_cannot_fake_links(self):
+        from pdf_spark.core.htmltext import extract_link_relations
+
+        page = (b'<head><link rel="canonical" href="/real"></head>'
+                b'<script>var s = \'<link rel="canonical" '
+                b'href="https://evil/x">\';</script>')
+        assert extract_link_relations(page) == [("canonical", None, "/real")]
+
+    def test_cap_bounds_adversarial_repetition(self):
+        from pdf_spark.core.htmltext import (
+            LINK_REL_CAP,
+            extract_link_relations,
+        )
+
+        page = b'<link rel="next" href="/n">' * (LINK_REL_CAP + 100)
+        assert len(extract_link_relations(page)) == LINK_REL_CAP
