@@ -60,6 +60,17 @@ _REF_RE = re.compile(
     rb"(?:[\x00\t\n\x0c\r ]|%[^\r\n]*[\r\n])+R"
     rb"(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])"
 )
+# digit-start body token in ONE probe: `id gen R` ref, else the number
+# itself (entered only when buf[pos] is a digit, so no sign/.-prefix
+# alternative needed — those dispatch straight to parse_number). Fuses
+# the old _try_parse_ref + parse_number pair (two C matches + two Python
+# calls per numeric token) into a single C-level match.
+_REF_OR_NUM_RE = re.compile(
+    rb"(\d+)(?:[\x00\t\n\x0c\r ]|%[^\r\n]*[\r\n])+(\d+)"
+    rb"(?:[\x00\t\n\x0c\r ]|%[^\r\n]*[\r\n])+R"
+    rb"(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])"
+    rb"|\d+\.?\d*"
+)
 # `id gen obj` header in one shot
 _INDOBJ_RE = re.compile(
     rb"(?:[\x00\t\n\x0c\r ]|%[^\r\n]*[\r\n])*(\d+)"
@@ -295,11 +306,20 @@ class ObjectParser:
             raise PdfError(INVALID_OBJECT, "unexpected EOF")
         c = buf[pos]
         if 0x30 <= c <= 0x39:  # digit
-            if not self.content:
-                ref = self._try_parse_ref()
-                if ref is not None:
-                    return ref
-            return self.parse_number()
+            if self.content:
+                return self.parse_number()
+            m = _REF_OR_NUM_RE.match(buf, pos)
+            self.pos = m.end()
+            if m.group(1) is not None:
+                return Ref(int(m.group(1)), int(m.group(2)))
+            tok = m.group()
+            if b"." in tok:
+                return float(tok)
+            v = int(tok)
+            # reference clamps to i32 with overflow error (object.c:288-294)
+            if not (-2147483648 <= v <= 2147483647):
+                raise PdfError(INVALID_OBJECT, f"integer out of i32 range: {v}")
+            return v
         if c == 0x2F:  # /
             return self.parse_name()
         if c == 0x3C:  # <
