@@ -612,7 +612,7 @@ def _parse_attrs(raw: str) -> dict:
 
 def extract_html_meta(data: bytes) -> dict:
     """Head metadata: {title, description, og_title, og_description,
-    canonical, lang, robots} — str or None each.
+    canonical, lang, robots, base} — str or None each.
 
     The WAT-record fields a crawl pipeline stores per page: first
     ``<title>`` text, ``<meta name=description>`` / ``property=og:*``
@@ -624,7 +624,7 @@ def extract_html_meta(data: bytes) -> dict:
     out = {
         "title": None, "description": None, "og_title": None,
         "og_description": None, "canonical": None, "lang": None,
-        "robots": None,
+        "robots": None, "base": None,
     }
     robots_parts: list[str] = []
     pos = 0
@@ -669,6 +669,13 @@ def extract_html_meta(data: bytes) -> dict:
                 href = attrs.get("href", "").strip()
                 if "canonical" in rels and href and out["canonical"] is None:
                     out["canonical"] = href
+            elif low == "base" and out["base"] is None:
+                # HTML spec: the FIRST <base href> wins and rebases every
+                # URL in the document (itself resolved against the page
+                # URL — qx37 chains that resolution JVM-side)
+                href = _parse_attrs(m.group(3)).get("href", "").strip()
+                if href:
+                    out["base"] = href
             elif low in _RAWTEXT:
                 close = re.compile(r"</\s*%s[\s>]" % re.escape(low), re.I)
                 cm = close.search(html_text, pos)

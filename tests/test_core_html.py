@@ -613,3 +613,24 @@ class TestLinkRelations:
 
         page = b'<link rel="next" href="/n">' * (LINK_REL_CAP + 100)
         assert len(extract_link_relations(page)) == LINK_REL_CAP
+
+
+class TestBaseHref:
+    def test_first_base_wins(self):
+        from pdf_spark.core.htmltext import extract_html_meta
+
+        page = (b'<head><base href="/first/"><base href="/second/"></head>'
+                b'<body>x</body>')
+        assert extract_html_meta(page)["base"] == "/first/"
+
+    def test_no_base_is_none_and_empty_href_skipped(self):
+        from pdf_spark.core.htmltext import extract_html_meta
+
+        assert extract_html_meta(b"<body>x</body>")["base"] is None
+        assert extract_html_meta(b'<base href="">')["base"] is None
+
+    def test_rawtext_cannot_fake_base(self):
+        from pdf_spark.core.htmltext import extract_html_meta
+
+        page = b'<script>var b = \'<base href="/evil/">\';</script>'
+        assert extract_html_meta(page)["base"] is None
