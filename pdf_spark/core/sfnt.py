@@ -166,46 +166,157 @@ class SfntCmaps:
         return self.gid_to_unicode.get(gid)
 
 
-def parse_sfnt_cmaps(font_program: bytes) -> Optional[SfntCmaps]:
-    """Locate the ``cmap`` table in an sfnt and parse its usable subtables.
+# The 258 standard Macintosh glyph names a `post` version-2.0 table
+# indexes below 258 (OpenType spec, "Macintosh standard glyph ordering" —
+# identical in Apple's TrueType reference manual). Indices 3..97 are the
+# 95 printable ASCII glyphs in AGL-name form, which is why a subset font
+# that keeps only the standard indices still decodes perfectly.
+_MAC_GLYPH_ORDER = (
+    ".notdef", ".null", "nonmarkingreturn", "space", "exclam", "quotedbl",
+    "numbersign", "dollar", "percent", "ampersand", "quotesingle",
+    "parenleft", "parenright", "asterisk", "plus", "comma", "hyphen",
+    "period", "slash", "zero", "one", "two", "three", "four", "five",
+    "six", "seven", "eight", "nine", "colon", "semicolon", "less",
+    "equal", "greater", "question", "at",
+    "A", "B", "C", "D", "E", "F", "G", "H", "I", "J", "K", "L", "M",
+    "N", "O", "P", "Q", "R", "S", "T", "U", "V", "W", "X", "Y", "Z",
+    "bracketleft", "backslash", "bracketright", "asciicircum",
+    "underscore", "grave",
+    "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l", "m",
+    "n", "o", "p", "q", "r", "s", "t", "u", "v", "w", "x", "y", "z",
+    "braceleft", "bar", "braceright", "asciitilde",
+    "Adieresis", "Aring", "Ccedilla", "Eacute", "Ntilde", "Odieresis",
+    "Udieresis", "aacute", "agrave", "acircumflex", "adieresis",
+    "atilde", "aring", "ccedilla", "eacute", "egrave", "ecircumflex",
+    "edieresis", "iacute", "igrave", "icircumflex", "idieresis",
+    "ntilde", "oacute", "ograve", "ocircumflex", "odieresis", "otilde",
+    "uacute", "ugrave", "ucircumflex", "udieresis", "dagger", "degree",
+    "cent", "sterling", "section", "bullet", "paragraph", "germandbls",
+    "registered", "copyright", "trademark", "acute", "dieresis",
+    "notequal", "AE", "Oslash", "infinity", "plusminus", "lessequal",
+    "greaterequal", "yen", "mu", "partialdiff", "summation", "product",
+    "pi", "integral", "ordfeminine", "ordmasculine", "Omega", "ae",
+    "oslash", "questiondown", "exclamdown", "logicalnot", "radical",
+    "florin", "approxequal", "Delta", "guillemotleft", "guillemotright",
+    "ellipsis", "nonbreakingspace", "Agrave", "Atilde", "Otilde", "OE",
+    "oe", "endash", "emdash", "quotedblleft", "quotedblright",
+    "quoteleft", "quoteright", "divide", "lozenge", "ydieresis",
+    "Ydieresis", "fraction", "currency", "guilsinglleft",
+    "guilsinglright", "fi", "fl", "daggerdbl", "periodcentered",
+    "quotesinglbase", "quotedblbase", "perthousand", "Acircumflex",
+    "Ecircumflex", "Aacute", "Edieresis", "Egrave", "Iacute",
+    "Icircumflex", "Idieresis", "Igrave", "Oacute", "Ocircumflex",
+    "apple", "Ograve", "Uacute", "Ucircumflex", "Ugrave", "dotlessi",
+    "circumflex", "tilde", "macron", "breve", "dotaccent", "ring",
+    "cedilla", "hungarumlaut", "ogonek", "caron", "Lslash", "lslash",
+    "Scaron", "scaron", "Zcaron", "zcaron", "brokenbar", "Eth", "eth",
+    "Yacute", "yacute", "Thorn", "thorn", "minus", "multiply",
+    "onesuperior", "twosuperior", "threesuperior", "onehalf",
+    "onequarter", "threequarters", "franc", "Gbreve", "gbreve",
+    "Idotaccent", "Scedilla", "scedilla", "Cacute", "cacute", "Ccaron",
+    "ccaron", "dcroat",
+)
 
-    Returns None when there is no parseable cmap (CFF-only OpenType without
-    one, broken programs) — callers fall through to the next decode source.
-    """
+_POST_GLYPH_CAP = 65536
+
+
+def _parse_post_names(data: bytes, off: int, length: int) -> dict[int, str]:
+    """``post`` version-2.0 table -> {gid: glyph name}.
+
+    Header (32 bytes: version, italicAngle, underline metrics, memory
+    hints) + numberOfGlyphs + glyphNameIndex[n] + Pascal-string pool.
+    Index < 258 = the standard Macintosh order above; >= 258 indexes the
+    pool. Versions 1.0 (implicit standard order) map gid k -> name k for
+    k < 258; 2.5/3.0 carry no usable names. Bounds-tolerant throughout —
+    a truncated pool yields the names that fit."""
+    end = min(off + length, len(data))
+    if off + 4 > end:
+        return {}
+    version = _u32(data, off)
+    out: dict[int, str] = {}
+    if version == 0x00010000:
+        # implicit standard ordering, 258 glyphs
+        return dict(enumerate(_MAC_GLYPH_ORDER))
+    if version != 0x00020000 or off + 34 > end:
+        return {}
+    n = min(_u16(data, off + 32), _POST_GLYPH_CAP)
+    idx_base = off + 34
+    if idx_base + 2 * n > end:
+        n = max(0, (end - idx_base) // 2)
+    indices = [_u16(data, idx_base + 2 * k) for k in range(n)]
+    # pool: Pascal strings in order; custom index i = pool entry i-258
+    pool: list[str] = []
+    p = idx_base + 2 * n
+    need = max((i - 258 for i in indices if i >= 258), default=-1)
+    while p < end and len(pool) <= need:
+        ln = data[p]
+        pool.append(data[p + 1 : p + 1 + ln].decode("latin-1"))
+        p += 1 + ln
+    for gid, i in enumerate(indices):
+        if i < 258:
+            out[gid] = _MAC_GLYPH_ORDER[i]
+        elif i - 258 < len(pool):
+            out[gid] = pool[i - 258]
+    return out
+
+
+def parse_sfnt_cmaps(font_program: bytes) -> Optional[SfntCmaps]:
+    """Locate the ``cmap`` (and ``post``) tables in an sfnt and parse the
+    usable subtables.
+
+    Returns None when there is neither a parseable cmap nor a named
+    ``post`` (CFF-only OpenType without one, broken programs) — callers
+    fall through to the next decode source. ``post`` glyph names feed
+    ``gid -> Unicode`` through the AGL (subset-embedded symbolic fonts
+    whose Unicode cmap the subsetter dropped routinely keep ``post`` —
+    it is required for PostScript printing); the inverse Unicode cmap
+    stays authoritative where both exist. The reference's sfnt reader
+    has no post path (sfnt/src/cmap.c covers cmap only) — net-new, like
+    format 12."""
     data = font_program
     if len(data) < 12:
         return None
     ntables = _u16(data, 4)
     cmap_off = None
+    post_span = None
     pos = 12
     for _ in range(ntables):
         if pos + 16 > len(data):
             return None
-        if data[pos : pos + 4] == b"cmap":
+        tag = data[pos : pos + 4]
+        if tag == b"cmap":
             cmap_off = _u32(data, pos + 8)
-            break
+        elif tag == b"post":
+            post_span = (_u32(data, pos + 8), _u32(data, pos + 12))
         pos += 16
-    if cmap_off is None or cmap_off + 4 > len(data):
-        return None
-    n_sub = _u16(data, cmap_off + 2)
     out = SfntCmaps()
-    for i in range(n_sub):
-        rec = cmap_off + 4 + 8 * i
-        if rec + 8 > len(data):
-            break
-        plat = _u16(data, rec)
-        enc = _u16(data, rec + 2)
-        sub_off = cmap_off + _u32(data, rec + 4)
-        table = _parse_subtable(data, sub_off)
-        if table is None:
-            continue
-        if (plat, enc) in ((3, 0), (1, 0)):
-            out.symbol_map.update(table)
-        elif plat == 3 and enc in (1, 10) or plat == 0:
-            out.unicode_map.update(table)
-    if not out.symbol_map and not out.unicode_map:
-        return None
+    if cmap_off is not None and cmap_off + 4 <= len(data):
+        n_sub = _u16(data, cmap_off + 2)
+        for i in range(n_sub):
+            rec = cmap_off + 4 + 8 * i
+            if rec + 8 > len(data):
+                break
+            plat = _u16(data, rec)
+            enc = _u16(data, rec + 2)
+            sub_off = cmap_off + _u32(data, rec + 4)
+            table = _parse_subtable(data, sub_off)
+            if table is None:
+                continue
+            if (plat, enc) in ((3, 0), (1, 0)):
+                out.symbol_map.update(table)
+            elif plat == 3 and enc in (1, 10) or plat == 0:
+                out.unicode_map.update(table)
     # invert the Unicode view once; first (lowest) code point wins per gid
     for code in sorted(out.unicode_map, reverse=True):
         out.gid_to_unicode[out.unicode_map[code]] = chr(code)
+    if post_span is not None and post_span[0] < len(data):
+        from pdf_spark.core.encodings import glyph_name_to_unicode
+
+        for gid, name in _parse_post_names(data, *post_span).items():
+            if gid not in out.gid_to_unicode:
+                u = glyph_name_to_unicode(name)
+                if u is not None:
+                    out.gid_to_unicode[gid] = u
+    if not out.symbol_map and not out.unicode_map and not out.gid_to_unicode:
+        return None
     return out

@@ -1178,6 +1178,79 @@ def _truetype_nonbmp_doc(lines: list[str]) -> bytes:
     return b.build(cat)
 
 
+def _mini_sfnt_post(
+    symbol_first: int, symbol_gids: list[int], name_indices: list[int],
+    pool: list[bytes],
+) -> bytes:
+    """sfnt with a (1,0) format-6 symbol cmap and a ``post`` version-2.0
+    table — NO Unicode cmap subtable at all, so decode can only succeed
+    through gid -> post glyph name -> AGL."""
+    import struct
+
+    fmt6 = struct.pack(
+        ">HHHHH", 6, 10 + 2 * len(symbol_gids), 0, symbol_first, len(symbol_gids)
+    ) + b"".join(struct.pack(">H", g) for g in symbol_gids)
+    cmap = struct.pack(">HH", 0, 1) + struct.pack(">HHI", 1, 0, 12) + fmt6
+    post = struct.pack(">IiHHIIIII", 0x00020000, 0, 0, 0, 0, 0, 0, 0, 0)
+    post += struct.pack(">H", len(name_indices))
+    post += b"".join(struct.pack(">H", i) for i in name_indices)
+    post += b"".join(bytes([len(s)]) + s for s in pool)
+    # sfnt wrapper: offset table + two table records
+    header = struct.pack(">IHHHH", 0x00010000, 2, 16, 1, 0)
+    off0 = 12 + 16 * 2
+    records = (
+        b"cmap" + struct.pack(">III", 0, off0, len(cmap))
+        + b"post" + struct.pack(">III", 0, off0 + len(cmap), len(post))
+    )
+    return header + records + cmap + post
+
+
+def _truetype_post_doc(lines: list[str]) -> bytes:
+    """Symbolic TrueType whose embedded program has ONLY a (1,0) symbol
+    cmap plus a ``post`` version-2.0 glyph-name table (no Unicode cmap,
+    no ToUnicode, no /Encoding): decode must go code -> gid -> post name
+    -> AGL. The common shape of subset-embedded symbolic fonts — the
+    subsetter drops the Unicode cmap but must keep ``post`` for
+    PostScript printing. Gid k+1 carries the STANDARD Macintosh index
+    3+k (the printable-ASCII block of the 258-name order) except '~'
+    (gid 95), which uses custom index 258 into the Pascal-string pool —
+    both index classes pinned in one font. Reference has no post path."""
+    b = PdfBuilder()
+    cat = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    # (1,0): code 0x21+k -> gid k+1 (char 0x20+k); post names gid k+1
+    indices = [0] + [3 + k for k in range(95)]   # gid 0 = .notdef
+    indices[95] = 258                            # '~' via the custom pool
+    sfnt = _mini_sfnt_post(
+        0x21, [k + 1 for k in range(95)], indices, [b"asciitilde"]
+    )
+    ff2 = b.add(
+        b"<</Length " + str(len(sfnt)).encode() + b"/Length1 "
+        + str(len(sfnt)).encode() + b">>\nstream\n" + sfnt + b"\nendstream"
+    )
+    fd = b.add(
+        b"<</Type/FontDescriptor/FontName/FakePost/Flags 4"
+        b"/FontFile2 " + str(ff2).encode() + b" 0 R>>"
+    )
+    font = b.add(
+        b"<</Type/Font/Subtype/TrueType/BaseFont/FakePost"
+        b"/FontDescriptor " + str(fd).encode() + b" 0 R>>"
+    )
+    shifted = [bytes((ord(c) + 1) for c in line) for line in lines]
+    cont = b.stream(_content_hex_byte_lines(shifted), filters="FlateDecode")
+    b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode() + b" 0 R]/Count 1>>")
+    b.set(
+        page,
+        b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+        b"/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>>>"
+        b"/Contents " + str(cont).encode() + b" 0 R>>",
+    )
+    return b.build(cat)
+
+
 def _cidfont2_sfnt_doc(lines: list[str]) -> bytes:
     """Type0/Identity-H over CIDFontType2 with NO ToUnicode: CIDs are
     shifted (+2), so decode must go CID -> GID (CIDToGIDMap stream) ->
@@ -1819,6 +1892,9 @@ _GOOD_VARIANTS = [
     # raw-CID Identity-H with a declared ROS and no ToUnicode: decode via
     # the character collections' ASCII block (CIDs 1..95).
     ("type0_cid_ascii", lambda L: _type0_cid_ascii_doc(L)),
+    # post v2.0 glyph names (no Unicode cmap anywhere): decode via
+    # gid -> post name -> AGL, standard Mac indices + one pool name.
+    ("truetype_post", lambda L: _truetype_post_doc(L)),
 ]
 
 

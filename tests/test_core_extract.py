@@ -268,6 +268,90 @@ class TestSfntCmap:
         # BMP identity run in the same format-12 table
         assert out.decode_code(ord(" ") + 1) == " "
 
+
+    def test_post_v2_names(self):
+        from pdf_spark.core.sfnt import parse_sfnt_cmaps
+        from pdf_spark.gen.pdfgen import _mini_sfnt_post
+
+        indices = [0] + [3 + k for k in range(95)]
+        indices[95] = 258  # '~' via the custom pool
+        data = _mini_sfnt_post(
+            0x21, [k + 1 for k in range(95)], indices, [b"asciitilde"]
+        )
+        out = parse_sfnt_cmaps(data)
+        # no Unicode cmap at all: unicode_map empty, post fills gids
+        assert not out.unicode_map
+        assert out.decode_gid(ord("A") - 0x1F) == "A"
+        # symbolic chain: shifted code -> gid -> post name -> AGL
+        assert out.decode_code(ord("z") + 1) == "z"
+        # custom Pascal-pool name (index 258)
+        assert out.decode_code(ord("~") + 1) == "~"
+        # .notdef (index 0) has no AGL mapping
+        assert out.decode_gid(0) is None
+
+    def test_post_v1_standard_order(self):
+        import struct
+
+        from pdf_spark.core.sfnt import _parse_post_names
+
+        post = struct.pack(">IiHHIIIII", 0x00010000, 0, 0, 0, 0, 0, 0, 0, 0)
+        names = _parse_post_names(post, 0, len(post))
+        assert names[3] == "space" and names[36] == "A" and names[97] == "asciitilde"
+        assert len(names) == 258
+
+    def test_post_unicode_cmap_wins(self):
+        """Where both an inverse Unicode cmap and post names exist, the
+        cmap is authoritative."""
+        import struct
+
+        from pdf_spark.core.sfnt import parse_sfnt_cmaps
+        from pdf_spark.gen.pdfgen import _mini_sfnt
+
+        base = _mini_sfnt(0x21, [k + 1 for k in range(95)], (0x20, 0x7E, -0x1F))
+        # graft a post v2 that (wrongly) names every gid 'B'
+        indices = [37] * 96  # index 37 = 'B'
+        post = struct.pack(">IiHHIIIII", 0x00020000, 0, 0, 0, 0, 0, 0, 0, 0)
+        post += struct.pack(">H", len(indices))
+        post += b"".join(struct.pack(">H", i) for i in indices)
+        # rebuild wrapper with both tables
+        cmap = base[12 + 16:]
+        header = struct.pack(">IHHHH", 0x00010000, 2, 16, 1, 0)
+        off0 = 12 + 32
+        data = (
+            header
+            + b"cmap" + struct.pack(">III", 0, off0, len(cmap))
+            + b"post" + struct.pack(">III", 0, off0 + len(cmap), len(post))
+            + cmap + post
+        )
+        out = parse_sfnt_cmaps(data)
+        assert out.decode_code(ord("A") + 1) == "A"  # cmap, not post's 'B'
+
+    def test_post_truncated_pool_tolerated(self):
+        import struct
+
+        from pdf_spark.core.sfnt import _parse_post_names
+
+        post = struct.pack(">IiHHIIIII", 0x00020000, 0, 0, 0, 0, 0, 0, 0, 0)
+        post += struct.pack(">HHH", 2, 258, 259)  # two custom indices
+        post += bytes([10]) + b"only"  # pascal length 10, only 4 bytes
+        names = _parse_post_names(post, 0, len(post))
+        assert names.get(0) == "only"  # truncated but captured
+        assert 1 not in names  # second pool entry never materializes
+
+    def test_variant_truetype_post_roundtrip(self):
+        from pdf_spark.core.extract import extract_text
+        from pdf_spark.gen.pdfgen import _GOOD_VARIANTS, generate_doc
+
+        idx = [i for i, (n, _) in enumerate(_GOOD_VARIANTS)
+               if n == "truetype_post"][0]
+        text = "Mixed CASE ~tilde~ & (parens) 0123!"
+        pdf, expected, name, err = generate_doc(text, idx)
+        assert name == "truetype_post" and err == ""
+        got = extract_text(pdf)
+        got_text = got[0] if isinstance(got, tuple) else got
+        assert got_text == expected
+
+
     def test_format_12_work_cap(self):
         """One group spanning the whole Unicode range must be budget-bounded
         (honest fonts map a bounded repertoire)."""
