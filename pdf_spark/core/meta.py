@@ -971,14 +971,30 @@ def extract_doc_profile(resolver) -> dict:
     ``has_acroform`` / ``has_outline`` / ``has_attachments`` /
     ``has_page_labels`` (catalog key presence — each gates a deeper
     side-channel pass, so a 100 TB pipeline runs the expensive walkers
-    only where the booleans say there is anything to walk). Never
-    raises; absent slots are None/False."""
+    only where the booleans say there is anything to walk), plus the
+    §14.4 file identifier: ``file_id`` (first /ID half, lowercase hex —
+    the writer-assigned identity that SURVIVES re-serialization, so it
+    catches the same document re-saved by a different producer where a
+    byte hash cannot) and ``id_unchanged`` (first == second half: True =
+    never incrementally updated since creation, False = updated, None =
+    no /ID, a non-conforming writer). Never raises; absent slots are
+    None/False."""
     out: dict = {
         "lang": None, "version": None, "page_count": None,
         "tagged": False, "encrypted": False, "has_acroform": False,
         "has_outline": False, "has_attachments": False,
-        "has_page_labels": False,
+        "has_page_labels": False, "file_id": None, "id_unchanged": None,
     }
+    try:
+        fid = resolver.resolve(resolver.trailer.get("ID"))
+        if isinstance(fid, list) and len(fid) == 2:
+            a = resolver.resolve(fid[0])
+            b = resolver.resolve(fid[1])
+            if isinstance(a, bytes) and isinstance(b, bytes) and a:
+                out["file_id"] = a.hex()
+                out["id_unchanged"] = a == b
+    except Exception:
+        pass
     try:
         out["encrypted"] = resolver.trailer.get("Encrypt") is not None
     except Exception:

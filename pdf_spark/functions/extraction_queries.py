@@ -2672,8 +2672,12 @@ def _qx34(spark: SparkSession, sf: str) -> DataFrame:
     there is anything to walk). Five /Lang classes (incl. absent),
     catalog /Version 2.0 overriding the 1.7 header on every fourth doc
     (older overrides ignored per spec), MarkInfo tagging on evens, page
-    count 1 + i%3, AcroForm presence on every seventh. Oracle is
-    arithmetic."""
+    count 1 + i%3, AcroForm presence on every seventh, and three §14.4
+    /ID residue classes — absent (i%3==0, non-conforming writer),
+    unchanged pair (i%3==1: never incrementally updated) and differing
+    pair (i%3==2: updated since creation); ``file_id`` is the FIRST half
+    (the identity that survives re-serialization — the crawl-dedup key a
+    byte hash cannot provide). Oracle is arithmetic."""
     from pdf_spark.core.document import Resolver
     from pdf_spark.core.meta import extract_doc_profile
     from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder, _content_td_tj
@@ -2687,6 +2691,8 @@ def _qx34(spark: SparkSession, sf: str) -> DataFrame:
             StructField("page_count", LongType()),
             StructField("tagged", BooleanType()),
             StructField("has_acroform", BooleanType()),
+            StructField("file_id", StringType()),
+            StructField("id_unchanged", BooleanType()),
         ]
     )
 
@@ -2737,13 +2743,25 @@ def _qx34(spark: SparkSession, sf: str) -> DataFrame:
                         + b" 0 R>>>>"
                         b"/Contents " + str(cont).encode() + b" 0 R>>",
                     )
-                prof = extract_doc_profile(Resolver(b.build(cat)))
+                trailer_extra = b""
+                if i % 3:
+                    first = i.to_bytes(16, "big")
+                    second = first if i % 3 == 1 else (i + 1).to_bytes(16, "big")
+                    trailer_extra = (
+                        b"/ID[<" + first.hex().encode() + b"><"
+                        + second.hex().encode() + b">]"
+                    )
+                prof = extract_doc_profile(
+                    Resolver(b.build(cat, trailer_extra=trailer_extra))
+                )
                 out["doc_id"].append(i)
                 out["lang"].append(prof["lang"])
                 out["version"].append(prof["version"])
                 out["page_count"].append(prof["page_count"])
                 out["tagged"].append(prof["tagged"])
                 out["has_acroform"].append(prof["has_acroform"])
+                out["file_id"].append(prof["file_id"])
+                out["id_unchanged"].append(prof["id_unchanged"])
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(profiles, schema)
@@ -2757,7 +2775,11 @@ SELECT doc_id,
        CASE WHEN doc_id % 4 = 0 THEN '2.0' ELSE '1.7' END AS version,
        CAST(1 + doc_id % 3 AS BIGINT) AS page_count,
        doc_id % 2 = 0 AS tagged,
-       doc_id % 7 = 0 AS has_acroform
+       doc_id % 7 = 0 AS has_acroform,
+       CASE WHEN doc_id % 3 = 0 THEN NULL
+            ELSE lpad(lower(to_hex(doc_id)), 32, '0') END AS file_id,
+       CASE WHEN doc_id % 3 = 0 THEN NULL
+            ELSE doc_id % 3 = 1 END AS id_unchanged
 FROM documents
 """
 

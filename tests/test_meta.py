@@ -211,7 +211,7 @@ def test_html_meta_basic():
         "title": "Hello & Welcome", "description": "A test page",
         "og_title": "OG Hello", "og_description": "OG Desc",
         "canonical": "https://ex.com/p", "lang": "en-US",
-        "robots": None,
+        "robots": None, "base": None,
     }
 
 
@@ -916,7 +916,7 @@ def test_doc_profile_full():
         "lang": "de-DE", "version": "2.0", "page_count": 2,
         "tagged": True, "encrypted": False, "has_acroform": True,
         "has_outline": True, "has_attachments": True,
-        "has_page_labels": True,
+        "has_page_labels": True, "file_id": None, "id_unchanged": None,
     }
 
 
@@ -1069,3 +1069,54 @@ def test_signature_field_tree_dotted_name_and_garbage():
         except Exception:
             continue
         assert extract_signatures(r) == []
+
+
+class TestFileId:
+    def _doc(self, trailer_extra=b""):
+        from pdf_spark.core.document import Resolver
+        from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder, _content_td_tj
+
+        b = PdfBuilder()
+        cat = b.reserve()
+        pages = b.reserve()
+        page = b.reserve()
+        font = b.add(F_HELV)
+        cont = b.stream(_content_td_tj(["x"]))
+        b.set(cat, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+        b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode()
+              + b" 0 R]/Count 1>>")
+        b.set(page, b"<</Type/Page/Parent " + str(pages).encode()
+              + b" 0 R/MediaBox[0 0 612 792]/Resources<</Font<</F1 "
+              + str(font).encode() + b" 0 R>>>>/Contents "
+              + str(cont).encode() + b" 0 R>>")
+        return Resolver(b.build(cat, trailer_extra=trailer_extra))
+
+    def test_id_unchanged_pair(self):
+        from pdf_spark.core.meta import extract_doc_profile
+
+        prof = extract_doc_profile(
+            self._doc(b"/ID[<0102030405060708090a0b0c0d0e0f10>"
+                      b"<0102030405060708090a0b0c0d0e0f10>]")
+        )
+        assert prof["file_id"] == "0102030405060708090a0b0c0d0e0f10"
+        assert prof["id_unchanged"] is True
+
+    def test_id_changed_pair(self):
+        from pdf_spark.core.meta import extract_doc_profile
+
+        prof = extract_doc_profile(
+            self._doc(b"/ID[<01><02>]")
+        )
+        assert prof["file_id"] == "01"
+        assert prof["id_unchanged"] is False
+
+    def test_id_absent_or_malformed(self):
+        from pdf_spark.core.meta import extract_doc_profile
+
+        assert extract_doc_profile(self._doc())["file_id"] is None
+        assert extract_doc_profile(self._doc())["id_unchanged"] is None
+        # one-element array and non-string halves are rejected shapes
+        assert extract_doc_profile(self._doc(b"/ID[<01>]"))["file_id"] is None
+        assert extract_doc_profile(
+            self._doc(b"/ID[3 4]")
+        )["file_id"] is None
