@@ -202,9 +202,191 @@ def encode_png(
     )
 
 
+# --- GIF (87a/89a): the second real pure-Python format -----------------------
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step)
+
+
+def _gif_lzw_decode(min_code: int, data: bytes, max_out: int) -> bytearray:
+    """GIF-flavor LZW (variable width, LSB-first bit order — NOT the
+    MSB-first TIFF flavor core/filters.py implements for PDF streams).
+    Output hard-capped at ``max_out`` indices (the frame's pixel count):
+    a decompression bomb cannot outgrow its declared dimensions."""
+    clear = 1 << min_code
+    end = clear + 1
+    width = min_code + 1
+    dict_codes: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: Optional[bytes] = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                dict_codes = dict_codes[: clear + 2]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                if code >= len(dict_codes):
+                    raise ValueError("bad first LZW code")
+                entry = dict_codes[code]
+            elif code < len(dict_codes):
+                entry = dict_codes[code]
+                dict_codes.append(prev + entry[:1])
+            elif code == len(dict_codes):
+                entry = prev + prev[:1]
+                dict_codes.append(entry)
+            else:
+                raise ValueError("LZW code out of range")
+            out += entry
+            if len(out) > max_out:
+                raise ValueError("LZW output exceeds frame size")
+            prev = entry
+            if len(dict_codes) == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def decode_gif(blob: bytes) -> tuple[int, int, int, bytearray]:
+    """GIF87a/89a first frame -> ``(width, height, 3, rgb_samples)``.
+
+    Global and local color tables, interlaced and sequential row order,
+    extension blocks skipped; animation frames past the first ignored
+    (feature extraction wants the poster frame). Transparency is not
+    composited — the palette RGB is emitted as-is."""
+    if blob[:4] != b"GIF8" or len(blob) < 13:
+        raise ValueError("not a GIF")
+    flags = blob[10]
+    pos = 13
+    global_pal = b""
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_pal = blob[pos : pos + 3 * n]
+        pos += 3 * n
+    n_blob = len(blob)
+    while pos < n_blob:
+        b0 = blob[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < n_blob and blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            if pos + 10 > n_blob:
+                raise ValueError("truncated image descriptor")
+            w, h = struct.unpack_from("<HH", blob, pos + 5)
+            iflags = blob[pos + 9]
+            pos += 10
+            pal = global_pal
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = blob[pos : pos + 3 * n]
+                pos += 3 * n
+            if w == 0 or h == 0 or w * h * 3 > MAX_PIXELS:
+                raise ValueError("image too large")
+            if not pal:
+                raise ValueError("no color table")
+            min_code = blob[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < n_blob and blob[pos] != 0:
+                ln = blob[pos]
+                lzw += blob[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            indices = _gif_lzw_decode(min_code, bytes(lzw), w * h)
+            if len(indices) < w * h:
+                raise ValueError("LZW underflow")
+            if iflags & 0x40:  # de-interlace: map stored order -> rows
+                order = [
+                    y
+                    for start, step in _GIF_INTERLACE_PASSES
+                    for y in range(start, h, step)
+                ]
+            else:
+                order = list(range(h))
+            npal = len(pal) // 3
+            out = bytearray(w * h * 3)
+            for stored, y in enumerate(order):
+                dst = y * w * 3
+                src = stored * w
+                for x in range(w):
+                    i = indices[src + x]
+                    if i >= npal:
+                        raise ValueError("palette index out of range")
+                    p = 3 * i
+                    out[dst : dst + 3] = pal[p : p + 3]
+                    dst += 3
+            return w, h, 3, out
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block {b0:#x}")
+    raise ValueError("no image data")
+
+
+def encode_gif(
+    w: int, h: int, palette: bytes, indices, interlace: bool = False
+) -> bytes:
+    """Minimal GIF89a writer (synthesis/test helper — the inverse of
+    :func:`decode_gif`). Emits a clear code before every pixel code so the
+    LZW dictionary never grows — the classic constant-width 'uncompressed
+    GIF' construction; ~1.5 bytes/pixel, fine for fixtures."""
+    npal = len(palette) // 3
+    bits = max(2, (npal - 1).bit_length())
+    pal_n = 1 << bits
+    pal = bytes(palette) + b"\x00" * (3 * (pal_n - npal))
+    head = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0) + pal
+    desc = b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
+    if interlace:
+        order = [
+            y
+            for start, step in _GIF_INTERLACE_PASSES
+            for y in range(start, h, step)
+        ]
+    else:
+        order = list(range(h))
+    clear = 1 << bits
+    end = clear + 1
+    width = bits + 1
+    acc = 0
+    nbits = 0
+    data = bytearray()
+    codes: list[int] = []
+    for y in order:
+        for x in range(w):
+            codes.append(clear)
+            codes.append(indices[y * w + x])
+    codes.append(end)
+    for code in codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    body = bytearray([bits])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        body += bytes([len(chunk)]) + chunk
+    body += b"\x00"
+    return head + desc + bytes(body) + b"\x3b"
+
+
 def _pixels(blob: bytes) -> tuple[int, int, int, bytearray]:
     """Raw samples via the preferred backend: PIL when importable, the
-    pure PNG decoder otherwise. Raises ValueError when neither applies."""
+    pure PNG/GIF decoders otherwise. Raises ValueError when none apply."""
     if _PIL is not None:  # pragma: no cover — exercised where PIL exists
         import io
 
@@ -218,6 +400,8 @@ def _pixels(blob: bytes) -> tuple[int, int, int, bytearray]:
             if w * h * ch > MAX_PIXELS:
                 raise ValueError("image too large")
             return w, h, ch, bytearray(im.tobytes())
+    if blob[:4] == b"GIF8":
+        return decode_gif(blob)
     return decode_png(blob)
 
 

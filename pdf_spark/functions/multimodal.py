@@ -582,3 +582,110 @@ SELECT doc_id,
             THEN 'f0f0f0f0f0f0f0f0' ELSE '0f0f0f0f0f0f0f0f' END AS ahash_hex
 FROM documents
 """
+
+
+# -- qm08/qm09: REAL GIF decode (core/imaging.py) ------------------------------
+#
+# The second real format: GIF-flavor LZW (variable-width LSB-first — the
+# mirror image of the PDF streams' MSB-first TIFF flavor in
+# core/filters.py), global color table, and BOTH row orders (sequential
+# and four-pass interlace — odd docs encode interlaced, so a de-interlace
+# bug cannot stay green). Content is a pure function of doc_id; the
+# oracle states the expected features arithmetically, checking the whole
+# encode -> LZW -> palette -> (de-interlace) -> featurize pipeline.
+
+
+def _qm08_make_gif(doc_id: int) -> bytes:
+    """Constant-color GIF: dims and the 4-entry gray palette derive from
+    doc_id, every pixel uses palette slot doc_id%4, odd docs interlaced."""
+    from pdf_spark.core.imaging import encode_gif
+
+    i = int(doc_id)
+    w = i % 11 + 8
+    h = i % 5 + 8
+    pal = bytes(v for k in range(4) for v in ((i * 31 + k) % 256,) * 3)
+    return encode_gif(w, h, pal, [i % 4] * (w * h), interlace=bool(i % 2))
+
+
+def _qm08(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_spark.core.imaging import image_features
+
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            feats = [image_features(_qm08_make_gif(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_channels": [f[2] for f in feats],
+                    "mean_luma": [f[3] for f in feats],
+                }
+            )
+
+    return docs.mapInPandas(run, _PNG_FEATURES_SCHEMA)
+
+
+QUERIES["qm08_gif_decode_features"] = _qm08
+# constant gray palette slot: luma == the palette value (r=g=b)
+ORACLE["qm08_gif_decode_features"] = """
+SELECT doc_id,
+       CAST(doc_id % 11 + 8 AS INTEGER) AS width,
+       CAST(doc_id % 5 + 8 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       CAST((doc_id * 31 + doc_id % 4) % 256 AS INTEGER) AS mean_luma
+FROM documents
+"""
+
+
+def _qm09_make_gif(doc_id: int) -> bytes:
+    """16x16 two-tone GIF split into a TOP half of value ``a`` and a
+    BOTTOM half of ``b`` (a != b): the aHash is exactly the top-32-bits
+    mask (a > b) or its complement — and on odd docs the frame is
+    INTERLACED, so a wrong de-interlace row mapping flips hash bits."""
+    from pdf_spark.core.imaging import encode_gif
+
+    i = int(doc_id)
+    a = i % 256
+    b = (i * 7 + 13) % 256
+    if a == b:
+        b = (b + 1) % 256
+    pal = bytes((a, a, a, b, b, b))
+    idx = [0] * 128 + [1] * 128
+    return encode_gif(16, 16, pal, idx, interlace=bool(i % 2))
+
+
+def _qm09(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_spark.core.imaging import average_hash
+
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "ahash_hex": [
+                        format(average_hash(_qm09_make_gif(d)), "016x")
+                        for d in ids
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(run, _PNG_AHASH_SCHEMA)
+
+
+QUERIES["qm09_gif_ahash"] = _qm09
+ORACLE["qm09_gif_ahash"] = """
+SELECT doc_id,
+       CASE WHEN (doc_id % 256) >
+                 (CASE WHEN doc_id % 256 = (doc_id * 7 + 13) % 256
+                       THEN ((doc_id * 7 + 13) % 256 + 1) % 256
+                       ELSE (doc_id * 7 + 13) % 256 END)
+            THEN 'ffffffff00000000' ELSE '00000000ffffffff' END AS ahash_hex
+FROM documents
+"""

@@ -151,3 +151,84 @@ class TestPilParity:
         finally:
             imaging._PIL = pil_backend
         assert via_pil == via_pure
+
+
+class TestGif:
+    def test_roundtrip_sequential_and_interlaced(self):
+        from pdf_spark.core.imaging import decode_gif, encode_gif
+
+        w, h = 13, 9
+        pal = bytes([10, 20, 30, 200, 100, 50, 0, 0, 0, 255, 255, 255])
+        idx = [(x * 3 + y * 7) % 4 for y in range(h) for x in range(w)]
+        for inter in (False, True):
+            W, H, C, s = decode_gif(encode_gif(w, h, pal, idx, interlace=inter))
+            assert (W, H, C) == (w, h, 3)
+            for y in range(h):
+                for x in range(w):
+                    i = idx[y * w + x]
+                    p = 3 * (y * w + x)
+                    assert bytes(s[p:p + 3]) == pal[3 * i:3 * i + 3]
+
+    def test_interlace_actually_reorders(self):
+        """The interlaced byte stream must differ from sequential for a
+        row-varying image (guards against a no-op interlace flag)."""
+        from pdf_spark.core.imaging import encode_gif
+
+        pal = bytes([0, 0, 0, 255, 255, 255])
+        idx = [0] * 32 + [1] * 224  # row-dependent
+        assert encode_gif(16, 16, pal, idx) != \
+            encode_gif(16, 16, pal, idx, interlace=True)
+
+    def test_extension_blocks_skipped(self):
+        from pdf_spark.core.imaging import decode_gif, encode_gif
+
+        blob = encode_gif(4, 4, bytes([7, 7, 7, 9, 9, 9]), [0] * 16)
+        # splice a graphic-control extension between LSD+palette and the
+        # image descriptor
+        head_len = 13 + 6  # header+LSD + 2-entry padded... palette is 2 slots
+        # palette is padded to 4 entries (bits>=2): 12 bytes
+        head_len = 13 + 12
+        gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        spliced = blob[:head_len] + gce + blob[head_len:]
+        W, H, C, s = decode_gif(spliced)
+        assert (W, H) == (4, 4) and s[0] == 7
+
+    def test_bombs_and_malformed_rejected(self):
+        import pytest
+        import struct
+
+        from pdf_spark.core.imaging import decode_gif, encode_gif, _gif_lzw_decode
+
+        with pytest.raises(ValueError):
+            decode_gif(b"NOTAGIF")
+        # LZW output larger than the declared frame
+        blob = encode_gif(2, 2, bytes([1, 1, 1, 2, 2, 2]), [0, 1, 0, 1])
+        # truncate: keep descriptor, drop data terminator -> underflow or error
+        with pytest.raises(ValueError):
+            decode_gif(blob[:-6])
+        # empty LZW stream -> no output; decode_gif surfaces the underflow
+        assert _gif_lzw_decode(2, b"", 4) == bytearray()
+        # oversized dims rejected before any decode work
+        huge = bytearray(blob)
+        struct.pack_into("<HH", huge, 6 + 0, 60000, 60000)
+        # also patch the image descriptor dims
+        desc_at = blob.index(b"\x2c")
+        struct.pack_into("<HH", huge, desc_at + 5, 60000, 60000)
+        with pytest.raises(ValueError):
+            decode_gif(bytes(huge))
+
+    def test_local_palette_wins(self):
+        import struct
+
+        from pdf_spark.core.imaging import decode_gif, encode_gif
+
+        blob = bytearray(encode_gif(2, 2, bytes([5, 5, 5, 6, 6, 6]), [0, 1, 1, 0]))
+        desc_at = blob.index(b"\x2c")
+        # set the local-color-table flag (4 entries) and splice a local
+        # palette after the descriptor
+        blob[desc_at + 9] |= 0x81  # local table, 4 entries
+        local = bytes([100, 0, 0, 0, 100, 0, 0, 0, 100, 9, 9, 9])
+        spliced = bytes(blob[:desc_at + 10]) + local + bytes(blob[desc_at + 10:])
+        W, H, C, s = decode_gif(spliced)
+        assert bytes(s[0:3]) == bytes([100, 0, 0])
+        assert bytes(s[3:6]) == bytes([0, 100, 0])
