@@ -466,3 +466,47 @@ def average_hash(blob: bytes) -> int:
         if b > mean:
             out |= 1 << (63 - i)
     return out
+
+
+# --- header-only metadata (no pixel decode) -----------------------------------
+
+def image_meta(blob: bytes) -> Optional[tuple[str, int, int, int]]:
+    """``(format, width, height, channels)`` from the HEADER bytes alone —
+    no pixel decode, no decompression. The op a corpus inventory actually
+    runs at 10^12 images: dims/format gate the expensive decode tier
+    (too-small thumbnails dropped, giant bombs quarantined) at ~100 bytes
+    read per blob. PNG (IHDR), GIF (logical screen descriptor), and
+    baseline/progressive JPEG (first SOF0/1/2 marker segment; EXIF/JFIF
+    APPn and other segments skipped by their big-endian lengths). Returns
+    None for anything else — unknown formats are a routing decision, not
+    an error."""
+    if blob[:8] == _PNG_SIG and len(blob) >= 26 and blob[12:16] == b"IHDR":
+        w, h = struct.unpack_from(">II", blob, 16)
+        color = blob[25]
+        return ("png", w, h, _CHANNELS.get(color, 0))
+    if blob[:4] == b"GIF8" and len(blob) >= 10:
+        w, h = struct.unpack_from("<HH", blob, 6)
+        return ("gif", w, h, 3)
+    if blob[:2] == b"\xff\xd8":  # JPEG SOI
+        pos = 2
+        n = len(blob)
+        while pos + 4 <= n:
+            if blob[pos] != 0xFF:
+                return None  # marker desync
+            marker = blob[pos + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # standalone
+                pos += 2
+                continue
+            if marker in (0xD9, 0xDA):  # EOI / SOS: no SOF seen
+                return None
+            (seg_len,) = struct.unpack_from(">H", blob, pos + 2)
+            if seg_len < 2:
+                return None
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                if pos + 9 > n:
+                    return None
+                h, w = struct.unpack_from(">HH", blob, pos + 5)
+                ncomp = blob[pos + 9]
+                return ("jpeg", w, h, ncomp)
+            pos += 2 + seg_len
+    return None

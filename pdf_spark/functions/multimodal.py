@@ -689,3 +689,92 @@ SELECT doc_id,
             THEN 'ffffffff00000000' ELSE '00000000ffffffff' END AS ahash_hex
 FROM documents
 """
+
+
+# -- qm10: header-only image metadata (the inventory op) ------------------------
+
+
+def _qm10_make_blob(doc_id: int) -> bytes:
+    """One of four residue classes: PNG, GIF, JPEG (with APP0+COM segments
+    the scanner must skip by length), or a non-image blob."""
+    import struct
+
+    from pdf_spark.core.imaging import encode_gif, encode_png
+
+    i = int(doc_id)
+    k = i % 4
+    if k == 0:
+        w, h, ch = i % 13 + 1, i % 9 + 1, 1 + (i // 4) % 4
+        return encode_png(w, h, ch, bytearray(w * h * ch), "none")
+    if k == 1:
+        w, h = i % 20 + 1, i % 6 + 1
+        return encode_gif(w, h, bytes([0, 0, 0, 9, 9, 9]), [0] * (w * h))
+    if k == 2:
+        w, h = i % 300 + 16, i % 200 + 16
+        ncomp = 3 if i % 2 else 1
+        app0 = (b"\xff\xe0" + struct.pack(">H", 16)
+                + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
+        sof2 = (b"\xff\xc2" + struct.pack(">H", 8 + 3 * ncomp) + b"\x08"
+                + struct.pack(">HH", h, w) + bytes([ncomp])
+                + b"\x01\x11\x00" * ncomp)
+        return b"\xff\xd8" + app0 + com + sof2 + b"\xff\xd9"
+    return b"BLOB" + str(i).encode()
+
+
+def _qm10(spark: SparkSession, sf: str) -> DataFrame:
+    """Header-only image inventory (E127): format/dims/channels read from
+    ~100 header bytes with NO pixel decode or decompression — the op a
+    10^12-image corpus actually runs to gate the expensive decode tier
+    (thumbnails dropped, bombs quarantined, format routing). Unknown
+    formats surface as 'other' rows, not errors."""
+    from pdf_spark.core.imaging import image_meta
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("format", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("n_channels", IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict = {c: [] for c in schema.fieldNames()}
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                meta = image_meta(_qm10_make_blob(i))
+                fmt, w, h, ch = meta if meta else ("other", None, None, None)
+                out["doc_id"].append(i)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_channels"].append(ch)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema)
+
+
+QUERIES["qm10_image_meta"] = _qm10
+ORACLE["qm10_image_meta"] = """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+            WHEN 2 THEN 'jpeg' ELSE 'other' END AS format,
+       CAST(CASE doc_id % 4
+            WHEN 0 THEN doc_id % 13 + 1
+            WHEN 1 THEN doc_id % 20 + 1
+            WHEN 2 THEN doc_id % 300 + 16 END AS INTEGER) AS width,
+       CAST(CASE doc_id % 4
+            WHEN 0 THEN doc_id % 9 + 1
+            WHEN 1 THEN doc_id % 6 + 1
+            WHEN 2 THEN doc_id % 200 + 16 END AS INTEGER) AS height,
+       CAST(CASE doc_id % 4
+            WHEN 0 THEN 1 + (doc_id // 4) % 4
+            WHEN 1 THEN 3
+            WHEN 2 THEN CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END
+            END AS INTEGER) AS n_channels
+FROM documents
+"""

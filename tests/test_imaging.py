@@ -232,3 +232,31 @@ class TestGif:
         W, H, C, s = decode_gif(spliced)
         assert bytes(s[0:3]) == bytes([100, 0, 0])
         assert bytes(s[3:6]) == bytes([0, 100, 0])
+
+
+class TestImageMeta:
+    def test_png_gif_jpeg_and_unknown(self):
+        import struct
+
+        from pdf_spark.core.imaging import encode_gif, encode_png, image_meta
+
+        assert image_meta(encode_png(12, 7, 3, bytearray(12 * 7 * 3))) == \
+            ("png", 12, 7, 3)
+        assert image_meta(
+            encode_gif(9, 4, bytes([0, 0, 0, 1, 1, 1]), [0] * 36)
+        ) == ("gif", 9, 4, 3)
+        app0 = (b"\xff\xe0" + struct.pack(">H", 16)
+                + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+                + struct.pack(">HH", 33, 47) + b"\x03\x01\x11\x00")
+        assert image_meta(b"\xff\xd8" + app0 + sof0 + b"\xff\xd9") == \
+            ("jpeg", 47, 33, 3)
+        assert image_meta(b"garbage") is None
+        assert image_meta(b"") is None
+
+    def test_jpeg_desync_and_missing_sof(self):
+        from pdf_spark.core.imaging import image_meta
+
+        # SOS before any SOF -> None; marker desync -> None
+        assert image_meta(b"\xff\xd8\xff\xda\x00\x02") is None
+        assert image_meta(b"\xff\xd8\x00\x00\x00\x00") is None
