@@ -384,9 +384,498 @@ def encode_gif(
     return head + desc + bytes(body) + b"\x3b"
 
 
+# --- JPEG (baseline sequential DCT, ITU T.81): the third real format ----------
+#
+# Decoder scope: SOF0/SOF1 (baseline + extended-sequential Huffman),
+# grayscale and 3-component YCbCr with any sampling factors up to 2x2
+# (4:4:4 / 4:2:2 / 4:2:0), DQT (8-bit and 16-bit tables), DHT, DRI +
+# restart markers, entropy byte-stuffing. Progressive (SOF2), arithmetic
+# coding, and 12-bit precision raise ValueError (callers surface an
+# error row; at corpus scale those route to the native-backend tier).
+# The IDCT is the exact orthonormal separable form via numpy matmul —
+# no fixed-point approximation, so fixture blocks built from DC + the
+# (4,4) basis (whose cosines are ±sqrt(2)/2, squaring to exactly 1/2)
+# reconstruct to exact integers and stay SQL-oracle-checkable.
+
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+_IDCT_BASIS = None  # lazy 8x8 orthonormal DCT-II matrix (numpy)
+
+
+def _idct_matrix():
+    global _IDCT_BASIS
+    if _IDCT_BASIS is None:
+        import numpy as np
+
+        a = np.zeros((8, 8))
+        for u in range(8):
+            cu = (0.5 / (2.0 ** 0.5)) if u == 0 else 0.5
+            for x in range(8):
+                a[u, x] = cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+        _IDCT_BASIS = a
+    return _IDCT_BASIS
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table: decode walks code lengths 1..16 with
+    the classic min/max-code-per-length algorithm (T.81 F.2.2.3)."""
+
+    __slots__ = ("mincode", "maxcode", "valptr", "values")
+
+    def __init__(self, counts: bytes, values: bytes) -> None:
+        self.values = values
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            n = counts[ln - 1]
+            if n:
+                self.valptr[ln] = k
+                self.mincode[ln] = code
+                code += n
+                self.maxcode[ln] = code - 1
+                k += n
+            code <<= 1
+        if k != len(values):
+            raise ValueError("DHT count/value mismatch")
+
+
+class _BitReader:
+    """Entropy-segment bit reader: 0xFF00 unstuffed, restart markers
+    surfaced via ``restart()``, past-the-end reads yield zero bits (the
+    spec's padded-final-byte tolerance)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits", "marker")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker = 0  # pending marker byte (0xD0..0xD9), 0 = none
+
+    def _fill(self) -> None:
+        d = self.data
+        n = len(d)
+        while self.nbits <= 24:
+            p = self.pos
+            if p >= n or self.marker:
+                self.acc = (self.acc << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                continue
+            b = d[p]
+            if b == 0xFF:
+                nxt = d[p + 1] if p + 1 < n else 0xD9
+                if nxt == 0x00:
+                    self.pos = p + 2
+                elif 0xD0 <= nxt <= 0xD9:
+                    self.marker = nxt
+                    self.pos = p + 2
+                    continue
+                else:
+                    raise ValueError(f"unexpected marker {nxt:#x} in scan")
+            else:
+                self.pos = p + 1
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+    def huff(self, table: _HuffTable) -> int:
+        code = self.bit()
+        ln = 1
+        while True:
+            if code <= table.maxcode[ln]:
+                return table.values[table.valptr[ln] + code - table.mincode[ln]]
+            if ln >= 16:
+                raise ValueError("bad Huffman code")
+            code = (code << 1) | self.bit()
+            ln += 1
+
+    def restart(self) -> None:
+        """Consume a pending/next restart marker and reset bit state."""
+        self.acc = 0
+        self.nbits = 0
+        if self.marker:
+            if not 0xD0 <= self.marker <= 0xD7:
+                raise ValueError("truncated scan at restart")
+            self.marker = 0
+            return
+        d = self.data
+        p = self.pos
+        n = len(d)
+        while p + 1 < n and not (d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
+            p += 1
+        if p + 1 >= n:
+            raise ValueError("missing restart marker")
+        self.pos = p + 2
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: size-bit raw value -> signed coefficient."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytearray]:
+    """Baseline JPEG -> ``(width, height, channels, samples)``; channels
+    is 1 (grayscale) or 3 (RGB after JFIF YCbCr conversion). Raises
+    ValueError on progressive/arithmetic/12-bit or malformed input."""
+    import numpy as np
+
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    n = len(blob)
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    dc_tabs: dict[int, _HuffTable] = {}
+    ac_tabs: dict[int, _HuffTable] = {}
+    comps: list[tuple[int, int, int, int]] = []  # (id, hs, vs, qsel)
+    w = h = 0
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= n:
+        if blob[pos] != 0xFF:
+            raise ValueError("marker desync")
+        marker = blob[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack_from(">H", blob, pos + 2)
+        if seg_len < 2 or pos + 2 + seg_len > n:
+            raise ValueError("bad segment length")
+        seg = blob[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0x0F
+                off += 1
+                if pq == 0:
+                    vals = list(seg[off : off + 64])
+                    off += 64
+                else:
+                    vals = [
+                        (seg[off + 2 * i] << 8) | seg[off + 2 * i + 1]
+                        for i in range(64)
+                    ]
+                    off += 128
+                if len(vals) < 64:
+                    raise ValueError("short DQT")
+                qtables[tq] = vals
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off + 17 <= len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 0x0F
+                counts = seg[off + 1 : off + 17]
+                total = sum(counts)
+                values = seg[off + 17 : off + 17 + total]
+                off += 17 + total
+                tab = _HuffTable(counts, values)
+                (dc_tabs if tc == 0 else ac_tabs)[th] = tab
+        elif marker in (0xC0, 0xC1):  # SOF0/1
+            if seg[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            h, w = struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
+            if nc not in (1, 3):
+                raise ValueError(f"{nc}-component JPEG unsupported")
+            comps = []
+            for i in range(nc):
+                cid = seg[6 + 3 * i]
+                hv = seg[7 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * i]))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = [
+                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0x0F)
+                for i in range(ns)
+            ]
+            pos = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if not comps or scan is None or w == 0 or h == 0:
+        raise ValueError("missing SOF/SOS")
+    if w * h * (3 if len(comps) == 3 else 1) > MAX_PIXELS:
+        raise ValueError("image too large")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2 or hmax < 1 or vmax < 1:
+        raise ValueError("sampling factors beyond 2x2 unsupported")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    basis = _idct_matrix()
+    # per-component full-resolution (subsampled-grid) planes
+    planes = []
+    meta = []  # (hs, vs, qtab, dct, act, bw_blocks) per scan component
+    for cid, sdc, sac in scan:
+        match = [c for c in comps if c[0] == cid]
+        if not match:
+            raise ValueError("SOS references unknown component")
+        _, hs, vs, qsel = match[0]
+        if qsel not in qtables:
+            raise ValueError("missing quant table")
+        bw = mcux * hs  # blocks per row for this component
+        bh = mcuy * vs
+        planes.append(np.zeros((bh * 8, bw * 8), dtype=np.float64))
+        q = np.array(qtables[qsel], dtype=np.float64)
+        dq = np.zeros(64)
+        dq[list(_ZIGZAG)] = q  # zigzag index -> natural index dequant
+        meta.append((hs, vs, dq.reshape(8, 8),
+                     dc_tabs.get(sdc), ac_tabs.get(sac), bw))
+    reader = _BitReader(blob, pos)
+    preds = [0] * len(scan)
+    coef = np.zeros(64, dtype=np.float64)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                reader.restart()
+                preds = [0] * len(scan)
+            mcu_count += 1
+            for ci, (hs, vs, dq, dct, act, bw) in enumerate(meta):
+                if dct is None or act is None:
+                    raise ValueError("missing Huffman table")
+                for by in range(vs):
+                    for bx in range(hs):
+                        coef[:] = 0.0
+                        s = reader.huff(dct)
+                        diff = _extend(reader.bits(s), s) if s else 0
+                        preds[ci] += diff
+                        coef[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff(act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            coef[_ZIGZAG[k]] = _extend(reader.bits(s), s)
+                            k += 1
+                        block = (coef.reshape(8, 8) * dq)
+                        px = basis.T @ block @ basis + 128.0
+                        plane = planes[ci]
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        plane[y0 : y0 + 8, x0 : x0 + 8] = px
+    out_ch = 1 if len(scan) == 1 else 3
+    full = []
+    for ci, (hs, vs, _dq, _dct, _act, _bw) in enumerate(meta):
+        p = planes[ci]
+        if hs != hmax or vs != vmax:  # nearest-neighbor upsample
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:h, :w])
+    if out_ch == 1:
+        gray = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, bytearray(gray.tobytes())
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack(
+        [np.clip(np.rint(r), 0, 255), np.clip(np.rint(g), 0, 255),
+         np.clip(np.rint(b), 0, 255)], axis=-1
+    ).astype(np.uint8)
+    return w, h, 3, bytearray(rgb.tobytes())
+
+
+def _huff_all8(symbols: list[int]) -> tuple[bytes, bytes, dict[int, tuple[int, int]]]:
+    """Fixture Huffman table: every symbol at code length 8 (canonical,
+    valid while <=255 symbols). Returns (counts, values, sym->(code,len))."""
+    if len(symbols) > 255:
+        raise ValueError("too many symbols for flat-8 table")
+    counts = bytes([0] * 7 + [len(symbols)] + [0] * 8)
+    values = bytes(symbols)
+    enc = {sym: (i, 8) for i, sym in enumerate(symbols)}
+    return counts, values, enc
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, ln: int) -> None:
+        self.acc = (self.acc << ln) | code
+        self.nbits += ln
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            b = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nbits = 0
+            self.acc = 0
+
+
+def encode_jpeg(
+    w: int,
+    h: int,
+    blocks,
+    chroma=None,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal baseline JPEG writer (synthesis/test helper — the inverse
+    of :func:`decode_jpeg`). ``blocks`` maps each 8x8 luma block (row-major
+    block grid) to ``(dc, ac44)``: the block decodes to the exact integer
+    pattern ``dc + sign(x)*sign(y)*ac44/8`` (sign = +1 for x%8 in
+    {0,3,4,7}, -1 otherwise) because the (4,4) DCT basis squares to 1/2 —
+    integer-exact when ``ac44`` is a multiple of 8 and values stay in
+    range. All quant values are 8 with DC coded as value/8, so the
+    round-trip is exact by construction. ``chroma=(cb, cr)`` adds two
+    constant chroma components (4:4:4, or 2x2-subsampled when
+    ``subsample``); 128/128 yields exact gray RGB. ``restart_interval``
+    emits DRI + RSTn markers to exercise the decoder's restart path.
+
+    Dimensions must be multiples of 8 (of 16 when ``subsample``)."""
+    if w % 8 or h % 8:
+        raise ValueError("dims must be multiples of 8")
+    if subsample and (w % 16 or h % 16):
+        raise ValueError("subsampled dims must be multiples of 16")
+    bw, bh = w // 8, h // 8
+    ncomp = 1 if chroma is None else 3
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.append(0xFF)
+        out.append(marker)
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0]) + bytes([8] * 64))  # DQT id 0, all 8s
+    # SOF0
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    lum_hv = 0x22 if (subsample and ncomp == 3) else 0x11
+    sof += bytes([1, lum_hv, 0])
+    if ncomp == 3:
+        sof += bytes([2, 0x11, 0, 3, 0x11, 0])
+    seg(0xC0, bytes(sof))
+    # Huffman: DC categories 0..11; AC symbols EOB, ZRL and every
+    # (run,size) with run in 0..15, size in 1..10 — enough for any
+    # fixture this writer can express.
+    dc_counts, dc_values, dc_enc = _huff_all8(list(range(12)))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_counts, ac_values, ac_enc = _huff_all8(ac_syms[:255])
+    seg(0xC4, bytes([0x00]) + dc_counts + dc_values)
+    seg(0xC4, bytes([0x10]) + ac_counts + ac_values)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, bytes(sos))
+
+    def put_coef(bw_: _BitWriter, val: int, enc, is_dc: bool, run: int = 0):
+        if val == 0 and is_dc:
+            bw_.write(*enc[0])
+            return
+        size = abs(val).bit_length()
+        raw = val if val >= 0 else val + (1 << size) - 1
+        sym = size if is_dc else ((run << 4) | size)
+        bw_.write(*enc[sym])
+        bw_.write(raw, size)
+
+    writer = _BitWriter()
+    sub = subsample and ncomp == 3
+    mcux = bw // (2 if sub else 1)
+    mcuy = bh // (2 if sub else 1)
+    preds = [0, 0, 0]
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                writer.flush()
+                out += writer.out
+                writer = _BitWriter()
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                preds = [0, 0, 0]
+            mcu_count += 1
+            lum_blocks = (
+                [(my * 2 + by, mx * 2 + bx) for by in range(2) for bx in range(2)]
+                if sub
+                else [(my, mx)]
+            )
+            for (gy, gx) in lum_blocks:
+                dc, ac44 = blocks[gy * bw + gx]
+                if ac44 % 8:
+                    raise ValueError("ac44 must be a multiple of 8")
+                qdc = dc - 128  # quant 8, DC basis gain 8 -> code (dc-128)
+                diff = qdc - preds[0]
+                preds[0] = qdc
+                put_coef(writer, diff, dc_enc, True)
+                if ac44:
+                    # natural (4,4) sits at zigzag position 39: 38 zero
+                    # ACs first = ZRL x2 (32) + run 6 on the coef symbol
+                    writer.write(*ac_enc[0xF0])
+                    writer.write(*ac_enc[0xF0])
+                    put_coef(writer, ac44 // 8, ac_enc, False, run=6)
+                writer.write(*ac_enc[0x00])  # EOB
+            for ci in (1, 2):
+                if ncomp == 1:
+                    break
+                qv = chroma[ci - 1] - 128
+                diff = qv - preds[ci]
+                preds[ci] = qv
+                put_coef(writer, diff, dc_enc, True)
+                writer.write(*ac_enc[0x00])
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def _pixels(blob: bytes) -> tuple[int, int, int, bytearray]:
     """Raw samples via the preferred backend: PIL when importable, the
-    pure PNG/GIF decoders otherwise. Raises ValueError when none apply."""
+    pure PNG/GIF/JPEG decoders otherwise. Raises ValueError when none
+    apply."""
     if _PIL is not None:  # pragma: no cover — exercised where PIL exists
         import io
 
@@ -402,6 +891,8 @@ def _pixels(blob: bytes) -> tuple[int, int, int, bytearray]:
             return w, h, ch, bytearray(im.tobytes())
     if blob[:4] == b"GIF8":
         return decode_gif(blob)
+    if blob[:2] == b"\xff\xd8":
+        return decode_jpeg(blob)
     return decode_png(blob)
 
 

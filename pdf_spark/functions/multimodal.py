@@ -778,3 +778,128 @@ SELECT doc_id,
             END AS INTEGER) AS n_channels
 FROM documents
 """
+
+
+# -- qm11/qm12: REAL baseline JPEG decode (core/imaging.py) ---------------------
+#
+# The third real format: Huffman entropy decode (canonical min/max-code
+# walk), zigzag dequantization, exact orthonormal IDCT, restart markers,
+# byte unstuffing, YCbCr conversion and 2x2 chroma upsampling. Fixtures
+# are built from DC + the (4,4) DCT basis — whose cosines are +-sqrt(2)/2,
+# squaring to exactly 1/2 — so reconstruction is INTEGER-EXACT and the
+# oracle states the expected features arithmetically. Docs rotate through
+# gray/color, 4:4:4/4:2:0, and restart-interval shapes so a bug in any of
+# those decoder paths cannot stay green.
+
+
+def _qm11_make_jpeg(doc_id: int) -> bytes:
+    """Deterministic baseline JPEG: 32x16 (gray, odd ids) or 16x16 color
+    4:2:0 (even ids), constant DC per doc with the exact-AC (4,4) pattern
+    on odd-index blocks (per-block mean unchanged: the pattern sums to
+    zero), restart markers every 2 MCUs when doc_id%3 == 0."""
+    from pdf_spark.core.imaging import encode_jpeg
+
+    i = int(doc_id)
+    dc = (i * 13) % 192 + 32  # 32..223: +-2 AC ripple never clips
+    rst = 2 if i % 3 == 0 else 0
+    if i % 2:
+        w, h = 32, 16
+        blocks = [(dc, 16 if b % 2 else 0) for b in range(8)]
+        return encode_jpeg(w, h, blocks, restart_interval=rst)
+    w, h = 16, 16
+    blocks = [(dc, 16 if b % 2 else 0) for b in range(4)]
+    return encode_jpeg(
+        w, h, blocks, chroma=(128, 128), subsample=True, restart_interval=rst
+    )
+
+
+def _qm11(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_spark.core.imaging import image_features
+
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            feats = [image_features(_qm11_make_jpeg(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_channels": [f[2] for f in feats],
+                    "mean_luma": [f[3] for f in feats],
+                }
+            )
+
+    return docs.mapInPandas(run, _PNG_FEATURES_SCHEMA)
+
+
+QUERIES["qm11_jpeg_decode_features"] = _qm11
+# constant-DC blocks, zero-sum AC, gray chroma (128/128 -> r=g=b=Y):
+# mean luma == the DC value for both the gray and the color shape
+ORACLE["qm11_jpeg_decode_features"] = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 32 ELSE 16 END AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS INTEGER)
+           AS n_channels,
+       CAST((doc_id * 13) % 192 + 32 AS INTEGER) AS mean_luma
+FROM documents
+"""
+
+
+def _qm12_make_jpeg(doc_id: int) -> bytes:
+    """16x16 two-tone JPEG: TOP blocks at DC ``a``, BOTTOM at ``b``
+    (a != b), every block carrying the +-1 exact-AC ripple (each aHash
+    2x2 cell straddles a sign-balanced pair, so cell means stay exactly
+    at the DC — but a zigzag/Huffman bug shifts the coefficient and
+    flips hash bits). Odd ids color 4:2:0, doc_id%3==0 adds restarts."""
+    from pdf_spark.core.imaging import encode_jpeg
+
+    i = int(doc_id)
+    a = (i * 11) % 200 + 28
+    b = (i * 7 + 13) % 200 + 28
+    if a == b:
+        b = b + 1
+    blocks = [(a, 8), (a, 8), (b, 8), (b, 8)]
+    rst = 2 if i % 3 == 0 else 0
+    if i % 2:
+        return encode_jpeg(
+            16, 16, blocks, chroma=(128, 128), subsample=True,
+            restart_interval=rst,
+        )
+    return encode_jpeg(16, 16, blocks, restart_interval=rst)
+
+
+def _qm12(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_spark.core.imaging import average_hash
+
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "ahash_hex": [
+                        format(average_hash(_qm12_make_jpeg(d)), "016x")
+                        for d in ids
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(run, _PNG_AHASH_SCHEMA)
+
+
+QUERIES["qm12_jpeg_ahash"] = _qm12
+ORACLE["qm12_jpeg_ahash"] = """
+SELECT doc_id,
+       CASE WHEN ((doc_id * 11) % 200 + 28) >
+                 (CASE WHEN (doc_id * 11) % 200 = (doc_id * 7 + 13) % 200
+                       THEN (doc_id * 7 + 13) % 200 + 29
+                       ELSE (doc_id * 7 + 13) % 200 + 28 END)
+            THEN 'ffffffff00000000' ELSE '00000000ffffffff' END AS ahash_hex
+FROM documents
+"""

@@ -260,3 +260,122 @@ class TestImageMeta:
         # SOS before any SOF -> None; marker desync -> None
         assert image_meta(b"\xff\xd8\xff\xda\x00\x02") is None
         assert image_meta(b"\xff\xd8\x00\x00\x00\x00") is None
+
+
+class TestJpegCodec:
+    """Baseline JPEG (core/imaging.py decode_jpeg/encode_jpeg): the
+    fixture scheme is integer-exact — quant all-8s, constant DC plus the
+    (4,4) DCT basis whose cosines square to exactly 1/2 — so roundtrips
+    assert exact bytes, not tolerances."""
+
+    def test_gray_constant_blocks_exact(self):
+        from pdf_spark.core.imaging import decode_jpeg, encode_jpeg
+
+        w, h = 24, 16
+        blocks = [(50 + 10 * i, 0) for i in range(6)]
+        ww, hh, ch, s = decode_jpeg(encode_jpeg(w, h, blocks))
+        assert (ww, hh, ch) == (w, h, 1)
+        for gy in range(2):
+            for gx in range(3):
+                exp = 50 + 10 * (gy * 3 + gx)
+                for yy in range(8):
+                    for xx in range(8):
+                        assert s[(gy * 8 + yy) * w + gx * 8 + xx] == exp
+
+    def test_ac44_basis_pattern_exact(self):
+        from pdf_spark.core.imaging import decode_jpeg, encode_jpeg
+
+        _, _, _, s = decode_jpeg(encode_jpeg(8, 8, [(100, 40)]))
+        sgn = lambda i: 1 if i % 8 in (0, 3, 4, 7) else -1
+        for y in range(8):
+            for x in range(8):
+                assert s[y * 8 + x] == 100 + sgn(x) * sgn(y) * 5
+
+    def test_color_444_gray_chroma_exact(self):
+        from pdf_spark.core.imaging import decode_jpeg, encode_jpeg
+
+        vals = (10, 200, 99, 145)
+        _, _, ch, s = decode_jpeg(
+            encode_jpeg(16, 16, [(v, 0) for v in vals], chroma=(128, 128))
+        )
+        assert ch == 3
+        for gy in range(2):
+            for gx in range(2):
+                base = ((gy * 8) * 16 + gx * 8) * 3
+                v = vals[gy * 2 + gx]
+                assert s[base] == s[base + 1] == s[base + 2] == v
+
+    def test_color_420_subsampled_exact(self):
+        from pdf_spark.core.imaging import decode_jpeg, encode_jpeg
+
+        blocks = [(v, 0) for v in range(30, 38)]
+        ww, hh, ch, s = decode_jpeg(
+            encode_jpeg(32, 16, blocks, chroma=(128, 128), subsample=True)
+        )
+        assert (ww, hh, ch) == (32, 16, 3)
+        for gy in range(2):
+            for gx in range(4):
+                base = ((gy * 8) * 32 + gx * 8) * 3
+                v = 30 + gy * 4 + gx
+                assert s[base] == s[base + 1] == s[base + 2] == v
+
+    def test_restart_markers_reset_predictors(self):
+        from pdf_spark.core.imaging import decode_jpeg, encode_jpeg
+
+        blocks = [(40 + i, 8 if i % 2 else 0) for i in range(12)]
+        _, _, _, s = decode_jpeg(
+            encode_jpeg(32, 24, blocks, restart_interval=3)
+        )
+        for i, (dc, ac) in enumerate(blocks):
+            gy, gx = divmod(i, 4)
+            assert s[(gy * 8) * 32 + gx * 8] == dc + ac // 8
+
+    def test_nongray_chroma_conversion(self):
+        from pdf_spark.core.imaging import decode_jpeg, encode_jpeg
+
+        # Y=128, Cb=90, Cr=170: JFIF floats then round — deterministic
+        _, _, _, s = decode_jpeg(
+            encode_jpeg(16, 16, [(128, 0)] * 4, chroma=(90, 170))
+        )
+        assert (s[0], s[1], s[2]) == (187, 111, 61)
+
+    def test_rejects_progressive_and_malformed(self):
+        from pdf_spark.core.imaging import decode_jpeg, encode_jpeg
+
+        with pytest.raises(ValueError):
+            decode_jpeg(b"")
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\x89PNG")
+        # progressive SOF2
+        sof2 = (b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00")
+        with pytest.raises(ValueError, match="non-baseline"):
+            decode_jpeg(sof2)
+        # truncated scan: entropy data missing -> zero-bit reads decode to
+        # SOMETHING (spec padding tolerance) or raise; must not hang/crash
+        good = bytearray(encode_jpeg(8, 8, [(100, 0)]))
+        try:
+            decode_jpeg(bytes(good[:-10]))
+        except ValueError:
+            pass
+        with pytest.raises(ValueError):
+            encode_jpeg(10, 10, [(1, 0)])  # dims not /8
+        with pytest.raises(ValueError):
+            encode_jpeg(8, 8, [(1, 4)])  # ac44 not /8
+
+    def test_dispatch_and_features(self):
+        from pdf_spark.core.imaging import (
+            average_hash,
+            encode_jpeg,
+            image_features,
+            image_meta,
+        )
+
+        blob = encode_jpeg(
+            16, 16, [(60, 16), (200, 0), (90, 8), (130, 24)],
+            chroma=(128, 128),
+        )
+        assert image_meta(blob) == ("jpeg", 16, 16, 3)
+        # block means stay at DC (the AC pattern sums to zero)
+        assert image_features(blob) == (16, 16, 3, (60 + 200 + 90 + 130) // 4)
+        # left column blocks (60, 90) darker than right (200, 130)
+        assert format(average_hash(blob), "016x") == "0f0f0f0f0f0f0f0f"
