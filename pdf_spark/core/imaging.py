@@ -922,13 +922,18 @@ def _luma_rows(w: int, h: int, ch: int, samples) -> list[list[int]]:
     return rows
 
 
+def features_from_samples(w: int, h: int, ch: int, samples) -> int:
+    """Floor integer mean luma over decoded samples (shared by the blob
+    path and the PDF embedded-image path)."""
+    rows = _luma_rows(w, h, ch, samples)
+    return sum(sum(r) for r in rows) // (w * h)
+
+
 def image_features(blob: bytes) -> tuple[int, int, int, int]:
     """``(width, height, channels, mean_luma)`` — mean_luma is the floor
     integer mean over all pixels' luma."""
     w, h, ch, samples = _pixels(bytes(blob))
-    rows = _luma_rows(w, h, ch, samples)
-    total = sum(sum(r) for r in rows)
-    return w, h, ch, total // (w * h)
+    return w, h, ch, features_from_samples(w, h, ch, samples)
 
 
 def average_hash(blob: bytes) -> int:
@@ -936,6 +941,11 @@ def average_hash(blob: bytes) -> int:
     ``y*8+x`` (MSB-first) set when the block mean is STRICTLY greater
     than the overall block mean. Deterministic integer arithmetic only."""
     w, h, ch, samples = _pixels(bytes(blob))
+    return ahash_from_samples(w, h, ch, samples)
+
+
+def ahash_from_samples(w: int, h: int, ch: int, samples) -> int:
+    """64-bit aHash over decoded samples — see :func:`average_hash`."""
     rows = _luma_rows(w, h, ch, samples)
     blocks: list[int] = []
     for by in range(8):

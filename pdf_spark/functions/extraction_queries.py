@@ -3154,3 +3154,223 @@ SELECT doc_id, CAST(4 AS BIGINT), '?q=' || qv,
              || '?q=' || qv
 FROM d
 """
+
+
+def _qx38(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedded-image PIXEL decode (value oracle) — the decode tier the
+    qx22 inventory gates.
+
+    Each doc embeds four images spanning the decoder's codec matrix:
+    FlateDecode 8-bpc DeviceGray, DCTDecode baseline JPEG (integer-exact
+    constant-DC fixture), a 1-bpc /Indexed palette into DeviceRGB, and a
+    4-bpc sub-byte gray (row-padded). The oracle restates every decoded
+    mean-luma arithmetically, so a slip anywhere in the chain — filter
+    prefix handling, palette clamp, MSB-first nibble unpack, JPEG
+    Huffman/IDCT — lands on a value mismatch, not just a row count."""
+    from pdf_spark.core.document import Resolver
+    from pdf_spark.core.imaging import encode_jpeg
+    from pdf_spark.core.pdfimages import extract_embedded_images
+    from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder, _content_td_tj
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_images", LongType()),
+            StructField("n_ok", LongType()),
+            StructField("luma_flate", LongType()),
+            StructField("luma_dct", LongType()),
+            StructField("luma_indexed", LongType()),
+            StructField("luma_subbyte", LongType()),
+        ]
+    )
+
+    def build_doc(i: int) -> bytes:
+        b = PdfBuilder()
+        cat = b.reserve()
+        pages_id = b.reserve()
+        page = b.reserve()
+        font = b.add(F_HELV)
+        cont = b.stream(_content_td_tj(["img"]), filters="FlateDecode")
+        w, h = 8 + i % 5, 8 + i % 3
+        v1 = (i * 29) % 256
+        im0 = b.stream(
+            bytes([v1]) * (w * h),
+            extra_dict=(
+                b"/Subtype/Image/Width " + str(w).encode()
+                + b"/Height " + str(h).encode()
+                + b"/BitsPerComponent 8/ColorSpace/DeviceGray"
+            ),
+            filters="FlateDecode",
+        )
+        dc = (i * 13) % 192 + 32
+        im1 = b.stream(
+            encode_jpeg(16, 16, [(dc, 0)] * 4),
+            extra_dict=(
+                b"/Subtype/Image/Width 16/Height 16/BitsPerComponent 8"
+                b"/ColorSpace/DeviceGray/Filter/DCTDecode"
+            ),
+        )
+        p, q = (i * 17) % 256, (i * 17 + 90) % 256
+        pal = bytes([p, p, p, q, q, q]).hex().encode()
+        im2 = b.stream(
+            (b"\x00" if i % 2 == 0 else b"\xff") * 4,
+            extra_dict=(
+                b"/Subtype/Image/Width 8/Height 4/BitsPerComponent 1"
+                b"/ColorSpace[/Indexed/DeviceRGB 1 <" + pal + b">]"
+            ),
+            filters="FlateDecode",
+        )
+        n1, n2 = i % 16, (i * 5) % 16
+        im3 = b.stream(
+            bytes([(n1 << 4) | n2, 0]) * 2,
+            extra_dict=(
+                b"/Subtype/Image/Width 2/Height 2/BitsPerComponent 4"
+                b"/ColorSpace/DeviceGray"
+            ),
+        )
+        xo = b"".join(
+            b"/Im" + str(k).encode() + b" " + str(o).encode() + b" 0 R"
+            for k, o in enumerate((im0, im1, im2, im3))
+        )
+        b.set(cat, b"<</Type/Catalog/Pages " + str(pages_id).encode() + b" 0 R>>")
+        b.set(pages_id, b"<</Type/Pages/Kids[" + str(page).encode()
+                      + b" 0 R]/Count 1>>")
+        b.set(
+            page,
+            b"<</Type/Page/Parent " + str(pages_id).encode() + b" 0 R"
+            b"/MediaBox[0 0 612 792]"
+            b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>"
+            b"/XObject<<" + xo + b">>>>"
+            b"/Contents " + str(cont).encode() + b" 0 R>>",
+        )
+        return b.build(cat)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k: [] for k in ("doc_id", "n_images", "n_ok", "luma_flate",
+                                   "luma_dct", "luma_indexed", "luma_subbyte")}
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                rows = extract_embedded_images(Resolver(build_doc(i)))
+                by_name = {r[1]: r for r in rows}
+                out["doc_id"].append(i)
+                out["n_images"].append(len(rows))
+                out["n_ok"].append(sum(1 for r in rows if r[8] is None))
+                out["luma_flate"].append(by_name["Im0"][5])
+                out["luma_dct"].append(by_name["Im1"][5])
+                out["luma_indexed"].append(by_name["Im2"][5])
+                out["luma_subbyte"].append(by_name["Im3"][5])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema)
+
+
+QUERIES["qx38_embedded_image_decode"] = _qx38
+# gray palettes/samples: luma == the gray value everywhere; sub-byte
+# scaling is v*255//15 per nibble, floor-mean over the 2x2 (second row
+# is the 0x00 pad byte -> two zero samples)
+ORACLE["qx38_embedded_image_decode"] = """
+SELECT doc_id,
+       CAST(4 AS BIGINT) AS n_images,
+       CAST(4 AS BIGINT) AS n_ok,
+       CAST((doc_id * 29) % 256 AS BIGINT) AS luma_flate,
+       CAST((doc_id * 13) % 192 + 32 AS BIGINT) AS luma_dct,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 17) % 256
+                 ELSE (doc_id * 17 + 90) % 256 END AS BIGINT) AS luma_indexed,
+       CAST(((doc_id % 16) * 255 // 15
+             + ((doc_id * 5) % 16) * 255 // 15) // 4 AS BIGINT)
+           AS luma_subbyte
+FROM documents
+"""
+
+
+def _qx39(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-codec image dedup by DECODED-pixel digest (value oracle) —
+    the shared-logo op: the same 16x16 logo is stored FlateDecode in
+    even docs and as an integer-exact baseline JPEG in odd docs, so a
+    byte-level hash of the stream can never match across codecs but the
+    decoded-sample md5 does. The lift decodes map-side; the cross-doc
+    part is a single hash-partitioned window over the 16-byte digest —
+    uniform keys, no skew, the 10^12-image shape."""
+    from pdf_spark.core.document import Resolver
+    from pdf_spark.core.imaging import encode_jpeg
+    from pdf_spark.core.pdfimages import extract_embedded_images
+    from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder, _content_td_tj
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("pixel_md5", StringType()),
+            StructField("mean_luma", LongType()),
+        ]
+    )
+
+    def build_doc(i: int) -> bytes:
+        v = ((i % 7) * 41) % 192 + 32
+        b = PdfBuilder()
+        cat = b.reserve()
+        pages_id = b.reserve()
+        page = b.reserve()
+        font = b.add(F_HELV)
+        cont = b.stream(_content_td_tj(["logo"]), filters="FlateDecode")
+        if i % 2 == 0:
+            logo = b.stream(
+                bytes([v]) * 256,
+                extra_dict=(
+                    b"/Subtype/Image/Width 16/Height 16"
+                    b"/BitsPerComponent 8/ColorSpace/DeviceGray"
+                ),
+                filters="FlateDecode",
+            )
+        else:
+            logo = b.stream(
+                encode_jpeg(16, 16, [(v, 0)] * 4),
+                extra_dict=(
+                    b"/Subtype/Image/Width 16/Height 16/BitsPerComponent 8"
+                    b"/ColorSpace/DeviceGray/Filter/DCTDecode"
+                ),
+            )
+        b.set(cat, b"<</Type/Catalog/Pages " + str(pages_id).encode() + b" 0 R>>")
+        b.set(pages_id, b"<</Type/Pages/Kids[" + str(page).encode()
+                      + b" 0 R]/Count 1>>")
+        b.set(
+            page,
+            b"<</Type/Page/Parent " + str(pages_id).encode() + b" 0 R"
+            b"/MediaBox[0 0 612 792]"
+            b"/Resources<</Font<</F1 " + str(font).encode() + b" 0 R>>"
+            b"/XObject<</Logo " + str(logo).encode() + b" 0 R>>>>"
+            b"/Contents " + str(cont).encode() + b" 0 R>>",
+        )
+        return b.build(cat)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"doc_id": [], "pixel_md5": [], "mean_luma": []}
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                rows = extract_embedded_images(Resolver(build_doc(i)))
+                r = rows[0]
+                out["doc_id"].append(i)
+                out["pixel_md5"].append(r[7])
+                out["mean_luma"].append(r[5])
+            yield pd.DataFrame(out)
+
+    decoded = docs.mapInPandas(run, schema)
+    w = Window.partitionBy("pixel_md5")
+    return decoded.select(
+        "doc_id",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        "mean_luma",
+    )
+
+
+QUERIES["qx39_image_pixel_dedup"] = _qx39
+ORACLE["qx39_image_pixel_dedup"] = """
+SELECT doc_id,
+       CAST(COUNT(*) OVER (PARTITION BY doc_id % 7) AS BIGINT) AS group_size,
+       CAST(((doc_id % 7) * 41) % 192 + 32 AS BIGINT) AS mean_luma
+FROM documents
+"""
