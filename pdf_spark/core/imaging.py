@@ -30,6 +30,12 @@ MAX_PIXELS = 64 * 1024 * 1024  # decoded samples cap (bytes, 8-bit)
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # colortype -> samples/px (8-bit only)
+_PNG_RAW_CH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # raw samples/px incl. palette
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}  # legal bit depths per color type
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, spec order
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 try:  # pragma: no cover — PIL absent in this container
     import PIL.Image as _PIL  # type: ignore
@@ -49,55 +55,16 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png(blob: bytes) -> tuple[int, int, int, bytearray]:
-    """PNG bytes -> ``(width, height, channels, samples)`` where samples is
-    the row-major interleaved 8-bit sample array. Raises ValueError on
-    unsupported shapes or malformed/oversized data."""
-    if blob[:8] != _PNG_SIG:
-        raise ValueError("not a PNG")
-    pos = 8
-    w = h = channels = None
-    idat = bytearray()
-    n = len(blob)
-    while pos + 8 <= n:
-        (length,) = struct.unpack_from(">I", blob, pos)
-        ctype = blob[pos + 4 : pos + 8]
-        data_off = pos + 8
-        if data_off + length > n:
-            raise ValueError("truncated chunk")
-        if ctype == b"IHDR":
-            if length < 13:
-                raise ValueError("short IHDR")
-            w, h, depth, color, _comp, _filt, interlace = struct.unpack_from(
-                ">IIBBBBB", blob, data_off
-            )
-            if depth != 8:
-                raise ValueError(f"bit depth {depth} unsupported")
-            if color not in _CHANNELS:
-                raise ValueError(f"color type {color} unsupported")
-            if interlace != 0:
-                raise ValueError("interlaced PNG unsupported")
-            channels = _CHANNELS[color]
-            if w == 0 or h == 0 or w * h * channels > MAX_PIXELS:
-                raise ValueError("image too large")
-        elif ctype == b"IDAT":
-            idat += blob[data_off : data_off + length]
-        elif ctype == b"IEND":
-            break
-        pos = data_off + length + 4  # skip CRC
-    if w is None or channels is None:
-        raise ValueError("missing IHDR")
-    stride = w * channels
-    want = (stride + 1) * h
-    d = zlib.decompressobj()
-    raw = d.decompress(bytes(idat), want + 1)
-    if len(raw) < want:
-        raise ValueError("IDAT underflow")
-    out = bytearray(stride * h)
+def _png_unfilter(raw: bytes, off: int, ph: int, stride: int,
+                  bpp: int) -> bytearray:
+    """Undo the five standard row filters over ``ph`` rows of ``stride``
+    bytes each (one leading filter-type byte per row) starting at
+    ``raw[off]``. ``bpp`` is the filter's byte distance to the left
+    neighbor (whole bytes; sub-byte depths use 1 per spec)."""
+    out = bytearray(stride * ph)
     prev_start = -1
-    bpp = channels
-    for y in range(h):
-        src = (stride + 1) * y
+    for y in range(ph):
+        src = off + (stride + 1) * y
         ftype = raw[src]
         row_src = src + 1
         dst = stride * y
@@ -128,6 +95,128 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytearray]:
         else:
             raise ValueError(f"filter type {ftype}")
         prev_start = dst
+    return out
+
+
+def _png_row_samples(plane: bytearray, row: int, stride: int, count: int,
+                     depth: int, scale: bool) -> list[int]:
+    """``count`` raw samples from one unfiltered row. Sub-byte depths
+    unpack MSB-first; 16-bit keeps the high byte (the low byte carries
+    no visual weight for feature math); ``scale`` maps sub-byte gray
+    onto 0..255 (identity for palette indices)."""
+    base = row * stride
+    if depth == 8:
+        return list(plane[base : base + count])
+    if depth == 16:
+        return [plane[base + 2 * i] for i in range(count)]
+    maxv = (1 << depth) - 1
+    out = []
+    pos = base * 8
+    for _ in range(count):
+        byte = plane[pos >> 3]
+        shift = 8 - depth - (pos & 7)
+        v = (byte >> shift) & maxv
+        out.append(v * 255 // maxv if scale else v)
+        pos += depth
+    return out
+
+
+def decode_png(blob: bytes) -> tuple[int, int, int, bytearray]:
+    """PNG bytes -> ``(width, height, channels, samples)`` where samples is
+    the row-major interleaved 8-bit sample array. Full static-PNG
+    coverage: all five color types (palette via PLTE -> RGB expand),
+    bit depths 1/2/4/8/16 (sub-byte gray scaled onto 0..255, 16-bit
+    high byte), sequential and Adam7-interlaced row order. Raises
+    ValueError on malformed/oversized data."""
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    depth = color = interlace = 0
+    plte = b""
+    idat = bytearray()
+    n = len(blob)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4 : pos + 8]
+        data_off = pos + 8
+        if data_off + length > n:
+            raise ValueError("truncated chunk")
+        if ctype == b"IHDR":
+            if length < 13:
+                raise ValueError("short IHDR")
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack_from(
+                ">IIBBBBB", blob, data_off
+            )
+            if color not in _PNG_RAW_CH or depth not in _PNG_DEPTHS[color]:
+                raise ValueError(f"color type {color}/depth {depth}")
+            if interlace not in (0, 1):
+                raise ValueError("bad interlace method")
+        elif ctype == b"PLTE":
+            plte = blob[data_off : data_off + length]
+        elif ctype == b"IDAT":
+            idat += blob[data_off : data_off + length]
+        elif ctype == b"IEND":
+            break
+        pos = data_off + length + 4  # skip CRC
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw_ch = _PNG_RAW_CH[color]
+    paletted = color == 3
+    channels = 3 if paletted else _CHANNELS[color]
+    if w == 0 or h == 0 or w * h * channels > MAX_PIXELS:
+        raise ValueError("image too large")
+    if paletted and not plte:
+        raise ValueError("palette image without PLTE")
+
+    passes = (
+        [(x0, y0, dx, dy) for x0, y0, dx, dy in _ADAM7]
+        if interlace
+        else [(0, 0, 1, 1)]
+    )
+    # total compressed-plane budget across passes (+1 filter byte per row)
+    want = 0
+    dims = []
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        stride = (pw * raw_ch * depth + 7) // 8
+        dims.append((pw, ph, stride))
+        if pw and ph:
+            want += (stride + 1) * ph
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), want + 1)
+    if len(raw) < want:
+        raise ValueError("IDAT underflow")
+
+    out = bytearray(w * channels * h)
+    bpp = max(1, raw_ch * depth // 8)
+    off = 0
+    for (x0, y0, dx, dy), (pw, ph, stride) in zip(passes, dims):
+        if not pw or not ph:
+            continue
+        plane = _png_unfilter(raw, off, ph, stride, bpp)
+        off += (stride + 1) * ph
+        for py in range(ph):
+            samples = _png_row_samples(
+                plane, py, stride, pw * raw_ch, depth, scale=not paletted
+            )
+            y = y0 + py * dy
+            if paletted:
+                for px in range(pw):
+                    idx = samples[px] * 3
+                    dst = (y * w + x0 + px * dx) * 3
+                    ent = plte[idx : idx + 3]
+                    if len(ent) < 3:
+                        ent = b"\x00\x00\x00"
+                    out[dst : dst + 3] = ent
+            else:
+                for px in range(pw):
+                    dst = (y * w + x0 + px * dx) * channels
+                    src = px * raw_ch
+                    out[dst : dst + channels] = bytes(
+                        samples[src : src + raw_ch]
+                    )
     return w, h, channels, out
 
 
@@ -199,6 +288,62 @@ def encode_png(
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
+    )
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_indexed(
+    w: int,
+    h: int,
+    palette: bytes,
+    indices,
+    depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
+    """Indexed-color PNG writer (fixture helper — the inverse of the
+    palette path in :func:`decode_png`). ``palette`` is RGB triples;
+    ``indices`` is one palette index per pixel, row-major; ``depth``
+    packs them at 1/2/4/8 bits MSB-first; ``interlace`` emits the
+    Adam7 pass order. Filter 0 per row (the decode fixture's job is
+    palette/packing/interlace coverage — filter coverage lives in
+    :func:`encode_png`)."""
+    if depth not in (1, 2, 4, 8):
+        raise ValueError("indexed depth must be 1/2/4/8")
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if not pw or not ph:
+            continue
+        for py in range(ph):
+            raw.append(0)  # filter None
+            acc = nbits = 0
+            y = y0 + py * dy
+            for px in range(pw):
+                acc = (acc << depth) | (indices[y * w + x0 + px * dx]
+                                        & ((1 << depth) - 1))
+                nbits += depth
+                if nbits == 8:
+                    raw.append(acc)
+                    acc = nbits = 0
+            if nbits:
+                raw.append(acc << (8 - nbits))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 1 if interlace else 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", bytes(palette))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
     )
 
 

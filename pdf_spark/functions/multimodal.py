@@ -903,3 +903,91 @@ SELECT doc_id,
             THEN 'ffffffff00000000' ELSE '00000000ffffffff' END AS ahash_hex
 FROM documents
 """
+
+
+# -- qm13: palette/interlace PNG decode (core/imaging.py) -----------------------
+#
+# Completes static-PNG coverage for the real-web shapes: PLTE palettes
+# at every legal indexed depth (1/2/4/8 bits, MSB-first packing with
+# row bit-padding) and Adam7 interlace (odd docs). The fixture is a
+# two-tone left/right split, so the oracle's aHash column fails on any
+# scatter bug that moves pixels BETWEEN halves even though the mean
+# stays put — position fidelity, not just value fidelity.
+
+
+def _qm13_make_png(doc_id: int) -> bytes:
+    """16x16 two-palette-entry PNG: left half entry 0 (gray ``a``),
+    right half entry 1 (gray ``b``, forced distinct), indexed depth
+    rotating 1/2/4/8 via doc_id%4, Adam7-interlaced on odd ids."""
+    from pdf_spark.core.imaging import encode_png_indexed
+
+    i = int(doc_id)
+    a = (i * 23) % 256
+    b = (i * 31 + 7) % 256
+    if a == b:
+        b = (b + 1) % 256
+    depth = (1, 2, 4, 8)[i % 4]
+    pal = bytes([a, a, a, b, b, b])
+    idx = [(0 if x < 8 else 1) for _y in range(16) for x in range(16)]
+    return encode_png_indexed(16, 16, pal, idx, depth, interlace=bool(i % 2))
+
+
+_PALETTE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("mean_luma", IntegerType()),
+        StructField("ahash_hex", StringType()),
+    ]
+)
+
+
+def _qm13(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_spark.core.imaging import average_hash, image_features
+
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            blobs = [_qm13_make_png(d) for d in ids]
+            feats = [image_features(bl) for bl in blobs]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_channels": [f[2] for f in feats],
+                    "mean_luma": [f[3] for f in feats],
+                    "ahash_hex": [
+                        format(average_hash(bl), "016x") for bl in blobs
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(run, _PALETTE_SCHEMA)
+
+
+QUERIES["qm13_png_palette_features"] = _qm13
+# gray palette entries: luma == the entry value; halves are 128px each
+# so the mean is the floor average of the two entries
+ORACLE["qm13_png_palette_features"] = """
+WITH v AS (
+    SELECT doc_id,
+           (doc_id * 23) % 256 AS a,
+           CASE WHEN (doc_id * 23) % 256 = (doc_id * 31 + 7) % 256
+                THEN ((doc_id * 31 + 7) % 256 + 1) % 256
+                ELSE (doc_id * 31 + 7) % 256 END AS b
+    FROM documents
+)
+SELECT doc_id,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       CAST((a + b) // 2 AS INTEGER) AS mean_luma,
+       CASE WHEN a > b THEN 'f0f0f0f0f0f0f0f0'
+            ELSE '0f0f0f0f0f0f0f0f' END AS ahash_hex
+FROM v
+"""

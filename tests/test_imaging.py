@@ -379,3 +379,114 @@ class TestJpegCodec:
         assert image_features(blob) == (16, 16, 3, (60 + 200 + 90 + 130) // 4)
         # left column blocks (60, 90) darker than right (200, 130)
         assert format(average_hash(blob), "016x") == "0f0f0f0f0f0f0f0f"
+
+
+class TestPngPaletteAndDepths:
+    """Full static-PNG coverage: PLTE palettes at 1/2/4/8 bits,
+    sub-byte gray scaling, 16-bit high byte, Adam7 interlace."""
+
+    def test_palette_roundtrip_all_depths_and_orders(self):
+        from pdf_spark.core.imaging import decode_png, encode_png_indexed
+
+        for depth, npal in ((1, 2), (2, 4), (4, 16), (8, 17)):
+            pal = bytes(
+                v for k in range(npal)
+                for v in ((k * 255 // max(1, npal - 1)),) * 3
+            )
+            for interlace in (False, True):
+                W, H = 13, 9  # odd dims: bit padding + ragged passes
+                idx = [(x * y + x + y) % npal
+                       for y in range(H) for x in range(W)]
+                w, h, c, out = decode_png(
+                    encode_png_indexed(W, H, pal, idx, depth,
+                                       interlace=interlace)
+                )
+                assert (w, h, c) == (W, H, 3)
+                got = [out[3 * i] for i in range(W * H)]
+                assert got == [pal[3 * j] for j in idx], (depth, interlace)
+
+    def test_subbyte_gray_scales_to_255(self):
+        import struct
+        import zlib
+
+        from pdf_spark.core.imaging import decode_png
+
+        def mkgray(w, h, depth, bits):
+            stride = (w * depth + 7) // 8
+            raw = bytearray()
+            for y in range(h):
+                raw.append(0)
+                raw += bits[y * stride:(y + 1) * stride]
+            ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+
+            def chunk(t, d):
+                return (struct.pack(">I", len(d)) + t + d
+                        + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                    + chunk(b"IEND", b""))
+
+        assert list(decode_png(mkgray(3, 1, 4, bytes([0xF8, 0x00])))[3]) \
+            == [255, 136, 0]
+        assert list(decode_png(mkgray(3, 1, 1, bytes([0b10100000])))[3]) \
+            == [255, 0, 255]
+        assert list(decode_png(mkgray(4, 1, 2, bytes([0b00011011])))[3]) \
+            == [0, 85, 170, 255]
+
+    def test_16bit_keeps_high_byte(self):
+        import struct
+        import zlib
+
+        from pdf_spark.core.imaging import decode_png
+
+        def mk16(w, h, color, ch, payload):
+            stride = w * ch * 2
+            raw = bytearray()
+            for y in range(h):
+                raw.append(0)
+                raw += payload[y * stride:(y + 1) * stride]
+            ihdr = struct.pack(">IIBBBBB", w, h, 16, color, 0, 0, 0)
+
+            def chunk(t, d):
+                return (struct.pack(">I", len(d)) + t + d
+                        + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                    + chunk(b"IEND", b""))
+
+        assert list(decode_png(mk16(2, 1, 0, 1, bytes([0xAB, 0xCD, 0x12, 0x34])))[3]) \
+            == [0xAB, 0x12]
+        assert list(decode_png(mk16(1, 1, 2, 3, bytes([1, 2, 3, 4, 5, 6])))[3]) \
+            == [1, 3, 5]
+
+    def test_palette_guards(self):
+        import pytest
+
+        from pdf_spark.core.imaging import decode_png, encode_png_indexed
+
+        # PLTE missing entirely
+        with pytest.raises(ValueError):
+            decode_png(encode_png_indexed(4, 4, b"", [0] * 16, 8))
+        # index past the palette end -> black fill, not a crash
+        w, h, c, out = decode_png(
+            encode_png_indexed(2, 1, bytes([9, 9, 9]), [0, 1], 8)
+        )
+        assert list(out) == [9, 9, 9, 0, 0, 0]
+
+    def test_interlaced_position_fidelity(self):
+        """A two-tone split image: a Adam7 scatter bug that misplaces
+        columns flips the aHash; the mean alone would not catch it."""
+        from pdf_spark.core.imaging import (
+            ahash_from_samples,
+            decode_png,
+            encode_png_indexed,
+        )
+
+        pal = bytes([200] * 3 + [40] * 3)
+        idx = [(0 if x < 8 else 1) for _y in range(16) for x in range(16)]
+        seq = decode_png(encode_png_indexed(16, 16, pal, idx, 1, False))
+        il = decode_png(encode_png_indexed(16, 16, pal, idx, 1, True))
+        assert bytes(seq[3]) == bytes(il[3])
+        assert format(ahash_from_samples(*il), "016x") == "f0f0f0f0f0f0f0f0"
