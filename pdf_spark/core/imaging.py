@@ -529,18 +529,26 @@ def encode_gif(
     return head + desc + bytes(body) + b"\x3b"
 
 
-# --- JPEG (baseline sequential DCT, ITU T.81): the third real format ----------
+# --- JPEG (sequential + progressive DCT, ITU T.81): the third real format -----
 #
-# Decoder scope: SOF0/SOF1 (baseline + extended-sequential Huffman),
-# grayscale and 3-component YCbCr with any sampling factors up to 2x2
-# (4:4:4 / 4:2:2 / 4:2:0), DQT (8-bit and 16-bit tables), DHT, DRI +
-# restart markers, entropy byte-stuffing. Progressive (SOF2), arithmetic
-# coding, and 12-bit precision raise ValueError (callers surface an
-# error row; at corpus scale those route to the native-backend tier).
-# The IDCT is the exact orthonormal separable form via numpy matmul —
-# no fixed-point approximation, so fixture blocks built from DC + the
-# (4,4) basis (whose cosines are ±sqrt(2)/2, squaring to exactly 1/2)
-# reconstruct to exact integers and stay SQL-oracle-checkable.
+# Decoder scope: SOF0/SOF1 (baseline + extended-sequential Huffman) AND
+# SOF2 (progressive: spectral selection + successive approximation —
+# DC first/refine, AC first/refine with cross-block EOB runs, per T.81
+# G.1.2 / the libjpeg-compatible correction-bit arithmetic), grayscale
+# and 3-component YCbCr with sampling factors up to 4 (divisibility
+# required; covers 4:4:4 / 4:2:2 / 4:2:0), DQT (8-bit and 16-bit
+# tables), DHT (tables redefinable between scans), DRI + restart
+# markers in both interleaved-MCU and non-interleaved block order,
+# entropy byte-stuffing. Lossless/hierarchical/arithmetic coding and
+# 12-bit precision raise ValueError (callers surface an error row; at
+# corpus scale those route to the native-backend tier). All scans
+# accumulate into per-component int32 coefficient planes (zigzag
+# order); dequantization + IDCT happen once at EOI as a single batched
+# numpy einsum over every block. The IDCT is the exact orthonormal
+# separable form — no fixed-point approximation, so fixture blocks
+# built from DC + the (4,4) basis (whose cosines are ±sqrt(2)/2,
+# squaring to exactly 1/2) reconstruct to exact integers and stay
+# SQL-oracle-checkable.
 
 _ZIGZAG = (
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -620,12 +628,13 @@ class _BitReader:
                 nxt = d[p + 1] if p + 1 < n else 0xD9
                 if nxt == 0x00:
                     self.pos = p + 2
-                elif 0xD0 <= nxt <= 0xD9:
-                    self.marker = nxt
-                    self.pos = p + 2
-                    continue
                 else:
-                    raise ValueError(f"unexpected marker {nxt:#x} in scan")
+                    # any real marker ends the entropy segment: pend it
+                    # (pos stays AT the 0xFF so the caller can resume
+                    # marker parsing there) and pad zero bits — the
+                    # spec's padded-final-byte tolerance.
+                    self.marker = nxt
+                    continue
             else:
                 self.pos = p + 1
             self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
@@ -660,19 +669,20 @@ class _BitReader:
         """Consume a pending/next restart marker and reset bit state."""
         self.acc = 0
         self.nbits = 0
-        if self.marker:
-            if not 0xD0 <= self.marker <= 0xD7:
-                raise ValueError("truncated scan at restart")
-            self.marker = 0
-            return
         d = self.data
-        p = self.pos
         n = len(d)
-        while p + 1 < n and not (d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
-            p += 1
-        if p + 1 >= n:
-            raise ValueError("missing restart marker")
-        self.pos = p + 2
+        if not self.marker:
+            p = self.pos
+            while p + 1 < n and not (d[p] == 0xFF and d[p + 1] != 0x00):
+                p += 1
+            if p + 1 >= n:
+                raise ValueError("missing restart marker")
+            self.pos = p
+            self.marker = d[p + 1]
+        if not 0xD0 <= self.marker <= 0xD7:
+            raise ValueError("truncated scan at restart")
+        self.pos += 2
+        self.marker = 0
 
 
 def _extend(v: int, size: int) -> int:
@@ -680,10 +690,178 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _jpeg_scan(
+    blob: bytes,
+    pos: int,
+    scan: list[tuple[int, int, int]],  # (comp index, DC table, AC table)
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    comps: list[tuple[int, int, int, int]],
+    coefs: list,
+    grids: list[tuple[int, int, int, int]],
+    dc_tabs: dict,
+    ac_tabs: dict,
+    restart_interval: int,
+    mcux: int,
+    mcuy: int,
+) -> int:
+    """Decode one entropy-coded scan into the per-component coefficient
+    planes (T.81 G.1.2: DC first/refine, AC first/refine with EOB runs;
+    a baseline scan is the Ss=0..Se=63, Ah=Al=0 case of the same code).
+    Returns the offset of the next marker after the scan's data."""
+    if se > 63 or ss > se or (ah and ss == 0 and se != 0):
+        raise ValueError("bad scan header")
+    reader = _BitReader(blob, pos)
+    ns = len(scan)
+    preds = [0] * ns
+    eobrun = 0
+    lo = ss if ss > 0 else 1
+    p1 = 1 << al
+    m1 = -p1
+
+    def ac_first(coef, act) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = lo
+        while k <= se:
+            rs = reader.huff(act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.bits(r)
+                return  # EOB run starts (covers this block's tail)
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow")
+            coef[k] = _extend(reader.bits(s), s) << al
+            k += 1
+
+    def ac_refine(coef, act) -> None:
+        # successive-approximation AC refinement: one correction bit per
+        # already-nonzero coefficient, run/size codes introduce new ±1<<Al
+        nonlocal eobrun
+        k = lo
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.huff(act)
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        # full count INCLUDING this block — its
+                        # correction-bit tail below still consumes bits
+                        eobrun = (1 << r)
+                        if r:
+                            eobrun += reader.bits(r)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("bad refinement size")
+                    val = p1 if reader.bit() else m1
+                while k <= se:
+                    c = int(coef[k])
+                    if c:
+                        if reader.bit() and (c & p1) == 0:
+                            coef[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    coef[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:  # EOB-run tail: corrections only
+                c = int(coef[k])
+                if c and reader.bit() and (c & p1) == 0:
+                    coef[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    def block(si: int, ci: int, bi: int) -> None:
+        coef = coefs[ci][bi]
+        sdc, sac = scan[si][1], scan[si][2]
+        if ss == 0:
+            if ah == 0:
+                dct = dc_tabs.get(sdc)
+                if dct is None:
+                    raise ValueError("missing Huffman table")
+                s = reader.huff(dct)
+                diff = _extend(reader.bits(s), s) if s else 0
+                preds[si] += diff
+                coef[0] = preds[si] << al
+            elif reader.bit():
+                coef[0] = int(coef[0]) | p1
+        if se >= 1:
+            act = ac_tabs.get(sac)
+            if act is None:
+                raise ValueError("missing Huffman table")
+            if ah == 0:
+                ac_first(coef, act)
+            else:
+                ac_refine(coef, act)
+
+    count = 0
+    if ns == 1:
+        # non-interleaved: the component's own block raster order over
+        # its USED grid (ceil(comp_size/8)), not the MCU-padded grid
+        ci = scan[0][0]
+        bwp, _bhp, bwu, bhu = grids[ci]
+        for by in range(bhu):
+            for bx in range(bwu):
+                if restart_interval and count and \
+                        count % restart_interval == 0:
+                    reader.restart()
+                    preds[0] = 0
+                    eobrun = 0
+                count += 1
+                block(0, ci, by * bwp + bx)
+    else:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and count and \
+                        count % restart_interval == 0:
+                    reader.restart()
+                    preds[:] = [0] * ns
+                    eobrun = 0
+                count += 1
+                for si, (ci, _sdc, _sac) in enumerate(scan):
+                    hs, vs = comps[ci][1], comps[ci][2]
+                    bwp = grids[ci][0]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            block(si, ci,
+                                  (my * vs + by) * bwp + (mx * hs + bx))
+    # resume marker parsing at the next real marker
+    p = reader.pos
+    if reader.marker:
+        return p  # _fill left pos AT the pending marker's 0xFF
+    n = len(blob)
+    while p + 1 < n:
+        if blob[p] == 0xFF and blob[p + 1] != 0x00:
+            if 0xD0 <= blob[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    return n
+
+
 def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytearray]:
-    """Baseline JPEG -> ``(width, height, channels, samples)``; channels
-    is 1 (grayscale) or 3 (RGB after JFIF YCbCr conversion). Raises
-    ValueError on progressive/arithmetic/12-bit or malformed input."""
+    """Sequential (SOF0/1) or progressive (SOF2) JPEG ->
+    ``(width, height, channels, samples)``; channels is 1 (grayscale) or
+    3 (RGB after JFIF YCbCr conversion). Raises ValueError on
+    lossless/hierarchical/arithmetic/12-bit or malformed input."""
     import numpy as np
 
     if blob[:2] != b"\xff\xd8":
@@ -695,17 +873,27 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytearray]:
     ac_tabs: dict[int, _HuffTable] = {}
     comps: list[tuple[int, int, int, int]] = []  # (id, hs, vs, qsel)
     w = h = 0
+    hmax = vmax = 1
+    mcux = mcuy = 0
     restart_interval = 0
-    scan = None
-    while pos + 4 <= n:
+    coefs: list = []  # per component: int32 (nblocks, 64), zigzag order
+    grids: list[tuple[int, int, int, int]] = []  # (bwp, bhp, bwu, bhu)
+    qsnap: list[list[int]] = []  # quant table per component at first scan
+    saw_scan = False
+    while pos + 2 <= n:
         if blob[pos] != 0xFF:
             raise ValueError("marker desync")
         marker = blob[pos + 1]
-        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             pos += 2
             continue
         if marker == 0xD9:
             break
+        if pos + 4 > n:
+            raise ValueError("truncated segment")
         (seg_len,) = struct.unpack_from(">H", blob, pos + 2)
         if seg_len < 2 or pos + 2 + seg_len > n:
             raise ValueError("bad segment length")
@@ -727,7 +915,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytearray]:
                 if len(vals) < 64:
                     raise ValueError("short DQT")
                 qtables[tq] = vals
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (tables may be redefined between scans)
             off = 0
             while off + 17 <= len(seg):
                 tc, th = seg[off] >> 4, seg[off] & 0x0F
@@ -737,7 +925,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytearray]:
                 off += 17 + total
                 tab = _HuffTable(counts, values)
                 (dc_tabs if tc == 0 else ac_tabs)[th] = tab
-        elif marker in (0xC0, 0xC1):  # SOF0/1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
             if seg[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             h, w = struct.unpack_from(">HH", seg, 1)
@@ -749,98 +937,82 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytearray]:
                 cid = seg[6 + 3 * i]
                 hv = seg[7 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * i]))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if w == 0 or h == 0 or w * h * (3 if nc == 3 else 1) > MAX_PIXELS:
+                raise ValueError("image too large")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if not all(
+                1 <= c[1] <= 4 and 1 <= c[2] <= 4
+                and hmax % c[1] == 0 and vmax % c[2] == 0
+                for c in comps
+            ):
+                raise ValueError("unsupported sampling factors")
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG unsupported")
+            raise ValueError("non-baseline JPEG coding process unsupported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode the scan inline, keep parsing
+            if not comps:
+                raise ValueError("SOS before SOF")
+            if not coefs:  # first scan: allocate coefficient planes
+                for _cid, hs, vs, qsel in comps:
+                    if qsel not in qtables:
+                        raise ValueError("missing quant table")
+                    qsnap.append(list(qtables[qsel]))
+                    bwp, bhp = mcux * hs, mcuy * vs
+                    bwu = ((w * hs + hmax - 1) // hmax + 7) // 8
+                    bhu = ((h * vs + vmax - 1) // vmax + 7) // 8
+                    grids.append((bwp, bhp, bwu, bhu))
+                    coefs.append(
+                        np.zeros((bwp * bhp, 64), dtype=np.int32)
+                    )
             ns = seg[0]
-            scan = [
-                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0x0F)
-                for i in range(ns)
-            ]
-            pos = pos + 2 + seg_len
-            break
+            scan = []
+            for i in range(ns):
+                cid = seg[1 + 2 * i]
+                tsel = seg[2 + 2 * i]
+                match = [j for j, c in enumerate(comps) if c[0] == cid]
+                if not match:
+                    raise ValueError("SOS references unknown component")
+                scan.append((match[0], tsel >> 4, tsel & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = _jpeg_scan(
+                blob, pos + 2 + seg_len, scan, ss, se,
+                ahal >> 4, ahal & 0x0F, comps, coefs, grids,
+                dc_tabs, ac_tabs, restart_interval, mcux, mcuy,
+            )
+            saw_scan = True
+            continue
         pos += 2 + seg_len
-    if not comps or scan is None or w == 0 or h == 0:
+    if not comps or not saw_scan or w == 0 or h == 0:
         raise ValueError("missing SOF/SOS")
-    if w * h * (3 if len(comps) == 3 else 1) > MAX_PIXELS:
-        raise ValueError("image too large")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if hmax > 2 or vmax > 2 or hmax < 1 or vmax < 1:
-        raise ValueError("sampling factors beyond 2x2 unsupported")
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # dequantize + batch IDCT every block of every component at once
     basis = _idct_matrix()
-    # per-component full-resolution (subsampled-grid) planes
-    planes = []
-    meta = []  # (hs, vs, qtab, dct, act, bw_blocks) per scan component
-    for cid, sdc, sac in scan:
-        match = [c for c in comps if c[0] == cid]
-        if not match:
-            raise ValueError("SOS references unknown component")
-        _, hs, vs, qsel = match[0]
-        if qsel not in qtables:
-            raise ValueError("missing quant table")
-        bw = mcux * hs  # blocks per row for this component
-        bh = mcuy * vs
-        planes.append(np.zeros((bh * 8, bw * 8), dtype=np.float64))
-        q = np.array(qtables[qsel], dtype=np.float64)
-        dq = np.zeros(64)
-        dq[list(_ZIGZAG)] = q  # zigzag index -> natural index dequant
-        meta.append((hs, vs, dq.reshape(8, 8),
-                     dc_tabs.get(sdc), ac_tabs.get(sac), bw))
-    reader = _BitReader(blob, pos)
-    preds = [0] * len(scan)
-    coef = np.zeros(64, dtype=np.float64)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and \
-                    mcu_count % restart_interval == 0:
-                reader.restart()
-                preds = [0] * len(scan)
-            mcu_count += 1
-            for ci, (hs, vs, dq, dct, act, bw) in enumerate(meta):
-                if dct is None or act is None:
-                    raise ValueError("missing Huffman table")
-                for by in range(vs):
-                    for bx in range(hs):
-                        coef[:] = 0.0
-                        s = reader.huff(dct)
-                        diff = _extend(reader.bits(s), s) if s else 0
-                        preds[ci] += diff
-                        coef[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.huff(act)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            coef[_ZIGZAG[k]] = _extend(reader.bits(s), s)
-                            k += 1
-                        block = (coef.reshape(8, 8) * dq)
-                        px = basis.T @ block @ basis + 128.0
-                        plane = planes[ci]
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        plane[y0 : y0 + 8, x0 : x0 + 8] = px
-    out_ch = 1 if len(scan) == 1 else 3
+    zig = np.array(_ZIGZAG)
     full = []
-    for ci, (hs, vs, _dq, _dct, _act, _bw) in enumerate(meta):
-        p = planes[ci]
+    for ci, (_cid, hs, vs, _qsel) in enumerate(comps):
+        bwp, bhp, _bwu, _bhu = grids[ci]
+        qzz = np.array(qsnap[ci], dtype=np.float64)
+        zzc = coefs[ci].astype(np.float64) * qzz[None, :]
+        nat = np.zeros_like(zzc)
+        nat[:, zig] = zzc  # zigzag index -> natural index
+        blocks = nat.reshape(-1, 8, 8)
+        px = np.einsum("ux,nuv,vy->nxy", basis, blocks, basis) + 128.0
+        plane = (
+            px.reshape(bhp, bwp, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bhp * 8, bwp * 8)
+        )
         if hs != hmax or vs != vmax:  # nearest-neighbor upsample
-            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
-        full.append(p[:h, :w])
-    if out_ch == 1:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+            )
+        full.append(plane[:h, :w])
+    if len(comps) == 1:
         gray = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
         return w, h, 1, bytearray(gray.tobytes())
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
@@ -1013,6 +1185,229 @@ def encode_jpeg(
                 writer.write(*ac_enc[0x00])
     writer.flush()
     out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    w: int,
+    h: int,
+    blocks,
+    chroma=None,
+    subsample: bool = False,
+    successive: bool = False,
+) -> bytes:
+    """Minimal progressive (SOF2) JPEG writer over the same exact-integer
+    block model as :func:`encode_jpeg` (``blocks`` maps each 8x8 luma
+    block to ``(dc, ac44)``). Scan script: interleaved DC scan, then one
+    non-interleaved AC scan per component (spectral selection 1..63)
+    with cross-block EOB runs over zero-AC blocks; with ``successive``
+    the DC and AC passes are each split into a first pass at point
+    transform Al=1 and a refinement pass (Ah=1, Al=0) — exercising the
+    decoder's successive-approximation paths including newly-nonzero-in-
+    refinement coefficients and buffered correction bits. Dimensions
+    must be multiples of 8; with ``subsample`` and w or h not a multiple
+    of 16 the luma MCU grid is padded with neutral blocks, exercising
+    the decoder's used-vs-padded non-interleaved AC geometry."""
+    if w % 8 or h % 8:
+        raise ValueError("dims must be multiples of 8")
+    bw, bh = w // 8, h // 8
+    ncomp = 1 if chroma is None else 3
+    sub = subsample and ncomp == 3
+    hv = 2 if sub else 1
+    mcux = (bw + hv - 1) // hv
+    mcuy = (bh + hv - 1) // hv
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.append(0xFF)
+        out.append(marker)
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0]) + bytes([8] * 64))  # DQT id 0, all 8s
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    sof += bytes([1, (hv << 4) | hv, 0])
+    if ncomp == 3:
+        sof += bytes([2, 0x11, 0, 3, 0x11, 0])
+    seg(0xC2, bytes(sof))
+    dc_counts, dc_values, dc_enc = _huff_all8(list(range(12)))
+    # EOBRUN codes (r<<4) for r 0..14, ZRL, every (run,size) s<=10
+    ac_syms = (
+        [r << 4 for r in range(15)]
+        + [0xF0]
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    )
+    ac_counts, ac_values, ac_enc = _huff_all8(ac_syms)
+    seg(0xC4, bytes([0x00]) + dc_counts + dc_values)
+    seg(0xC4, bytes([0x10]) + ac_counts + ac_values)
+
+    def comp_zz(ci: int, gy: int, gx: int) -> tuple[int, int]:
+        """Quantized (dc, ac@zigzag39) for one block; luma blocks beyond
+        the supplied grid (MCU padding) are neutral."""
+        if ci:
+            return chroma[ci - 1] - 128, 0
+        if gy < bh and gx < bw:
+            dc, ac44 = blocks[gy * bw + gx]
+            if ac44 % 8:
+                raise ValueError("ac44 must be a multiple of 8")
+            return dc - 128, ac44 // 8
+        return 0, 0
+
+    def dc_scan(ah: int, al: int) -> None:
+        sos = bytearray([ncomp])
+        for cid in range(1, ncomp + 1):
+            sos += bytes([cid, 0x00])
+        sos += bytes([0, 0, (ah << 4) | al])
+        seg(0xDA, bytes(sos))
+        bwr = _BitWriter()
+        preds = [0] * ncomp
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    cells = (
+                        [(my * 2 + b, mx * 2 + a)
+                         for b in range(2) for a in range(2)]
+                        if (ci == 0 and sub)
+                        else [(my, mx)]
+                    )
+                    for gy, gx in cells:
+                        dc = comp_zz(ci, gy, gx)[0]
+                        if ah:  # refinement: one raw bit per block
+                            bwr.write(dc & 1, 1)
+                            continue
+                        v = dc >> al
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        size = abs(diff).bit_length()
+                        bwr.write(*dc_enc[size])
+                        if size:
+                            raw = diff if diff >= 0 \
+                                else diff + (1 << size) - 1
+                            bwr.write(raw, size)
+        bwr.flush()
+        out.extend(bwr.out)
+
+    def ac_scan(ci: int, ah: int, al: int) -> None:
+        seg(0xDA, bytes([1, ci + 1, 0x10, 1, 63, (ah << 4) | al]))
+        if ci == 0:
+            gw, gh = bw, bh
+        elif sub:
+            gw = ((w + 1) // 2 + 7) // 8
+            gh = ((h + 1) // 2 + 7) // 8
+        else:
+            gw, gh = bw, bh
+        bwr = _BitWriter()
+        eobrun = 0
+        brbits: list[int] = []  # correction bits pending with the EOB run
+
+        def emit_eobrun() -> None:
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                bwr.write(*ac_enc[nb << 4])
+                if nb:
+                    bwr.write(eobrun - (1 << nb), nb)
+                for bit in brbits:
+                    bwr.write(bit, 1)
+                brbits.clear()
+                eobrun = 0
+
+        def first_block(zz: list[int]) -> None:
+            nonlocal eobrun
+            vals = [
+                (abs(zz[k]) >> al) * (1 if zz[k] >= 0 else -1)
+                for k in range(64)
+            ]
+            nz = [k for k in range(1, 64) if vals[k]]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    emit_eobrun()
+                return
+            emit_eobrun()
+            r = 0
+            for k in range(1, nz[-1] + 1):
+                v = vals[k]
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    bwr.write(*ac_enc[0xF0])
+                    r -= 16
+                size = abs(v).bit_length()
+                bwr.write(*ac_enc[(r << 4) | size])
+                raw = v if v >= 0 else v + (1 << size) - 1
+                bwr.write(raw, size)
+                r = 0
+            if nz[-1] < 63:
+                eobrun += 1  # this block's zero tail opens an EOB run
+
+        def refine_block(zz: list[int]) -> None:
+            nonlocal eobrun
+            # newly-nonzero: |coef|>>Al == 1; history: |coef|>>Al > 1
+            mags = [abs(zz[k]) >> al for k in range(64)]
+            newly = [k for k in range(1, 64) if mags[k] == 1]
+            if not newly:
+                eobrun += 1
+                brbits.extend(mags[k] & 1 for k in range(1, 64)
+                              if mags[k] > 1)
+                if eobrun == 0x7FFF:
+                    emit_eobrun()
+                return
+            emit_eobrun()
+            r = 0
+            pend: list[int] = []
+            for k in range(1, 64):
+                t = mags[k]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= newly[-1]:
+                    bwr.write(*ac_enc[0xF0])
+                    for bit in pend:
+                        bwr.write(bit, 1)
+                    pend.clear()
+                    r -= 16
+                if t > 1:
+                    pend.append(t & 1)
+                    continue
+                bwr.write(*ac_enc[(r << 4) | 1])
+                bwr.write(1 if zz[k] > 0 else 0, 1)
+                for bit in pend:
+                    bwr.write(bit, 1)
+                pend.clear()
+                r = 0
+            # tail past the last newly-nonzero joins an EOB run; its
+            # history-coefficient corrections ride with the run symbol
+            eobrun += 1
+            brbits.extend(pend)
+
+        for gy in range(gh):
+            for gx in range(gw):
+                dc, ac = comp_zz(ci, gy, gx)
+                zz = [0] * 64
+                zz[0] = dc
+                zz[39] = ac
+                if ah == 0:
+                    first_block(zz)
+                else:
+                    refine_block(zz)
+        emit_eobrun()
+        bwr.flush()
+        out.extend(bwr.out)
+
+    if successive:
+        dc_scan(0, 1)
+        dc_scan(1, 0)
+        for ci in range(ncomp):
+            ac_scan(ci, 0, 1)
+        for ci in range(ncomp):
+            ac_scan(ci, 1, 0)
+    else:
+        dc_scan(0, 0)
+        for ci in range(ncomp):
+            ac_scan(ci, 0, 0)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 

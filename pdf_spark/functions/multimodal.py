@@ -991,3 +991,83 @@ SELECT doc_id,
             ELSE '0f0f0f0f0f0f0f0f' END AS ahash_hex
 FROM v
 """
+
+
+# -- qm14: PROGRESSIVE JPEG decode (core/imaging.py, T.81 G.1.2) ----------------
+#
+# The dominant JPEG flavor on the real web is progressive (SOF2). The
+# fixture rotates spectral-selection-only vs full successive
+# approximation (doc_id%3==0), gray vs 4:2:0 color (parity), with odd
+# AC magnitudes (24 -> coefficient 3: the refinement pass must apply a
+# +1 correction bit; a broken refine path shifts every block's ripple
+# and the position-sensitive aHash flips). Two-tone top/bottom DC keeps
+# the mean and the hash SQL-expressible exactly, as in qm12.
+
+
+def _qm14_make_jpeg(doc_id: int) -> bytes:
+    from pdf_spark.core.imaging import encode_jpeg_progressive
+
+    i = int(doc_id)
+    a = (i * 11) % 200 + 28
+    b = (i * 7 + 13) % 200 + 28
+    if a == b:
+        b = b + 1
+    blocks = [(a, 24), (a, 24), (b, 24), (b, 24)]
+    succ = i % 3 == 0
+    if i % 2:
+        return encode_jpeg_progressive(
+            16, 16, blocks, chroma=(128, 128), subsample=True,
+            successive=succ,
+        )
+    return encode_jpeg_progressive(16, 16, blocks, successive=succ)
+
+
+def _qm14(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_spark.core.imaging import average_hash, image_features
+
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            blobs = [_qm14_make_jpeg(d) for d in ids]
+            feats = [image_features(bl) for bl in blobs]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_channels": [f[2] for f in feats],
+                    "mean_luma": [f[3] for f in feats],
+                    "ahash_hex": [
+                        format(average_hash(bl), "016x") for bl in blobs
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(run, _PALETTE_SCHEMA)
+
+
+QUERIES["qm14_jpeg_progressive"] = _qm14
+# each 8x8 block's AC ripple sums to zero and every aligned 2x2 aHash
+# cell straddles a sign-balanced pair, so mean = floor((a+b)/2) and the
+# hash is the pure two-tone pattern
+ORACLE["qm14_jpeg_progressive"] = """
+WITH v AS (
+    SELECT doc_id,
+           (doc_id * 11) % 200 + 28 AS a,
+           CASE WHEN (doc_id * 11) % 200 = (doc_id * 7 + 13) % 200
+                THEN (doc_id * 7 + 13) % 200 + 29
+                ELSE (doc_id * 7 + 13) % 200 + 28 END AS b
+    FROM documents
+)
+SELECT doc_id,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS INTEGER)
+           AS n_channels,
+       CAST((a + b) // 2 AS INTEGER) AS mean_luma,
+       CASE WHEN a > b THEN 'ffffffff00000000'
+            ELSE '00000000ffffffff' END AS ahash_hex
+FROM v
+"""

@@ -339,17 +339,23 @@ class TestJpegCodec:
         )
         assert (s[0], s[1], s[2]) == (187, 111, 61)
 
-    def test_rejects_progressive_and_malformed(self):
+    def test_rejects_lossless_and_malformed(self):
         from pdf_spark.core.imaging import decode_jpeg, encode_jpeg
 
         with pytest.raises(ValueError):
             decode_jpeg(b"")
         with pytest.raises(ValueError):
             decode_jpeg(b"\x89PNG")
-        # progressive SOF2
+        # SOF3 (lossless) and SOF9 (arithmetic) stay routed to native
+        for sof in (0xC3, 0xC9):
+            blob = (b"\xff\xd8\xff" + bytes([sof])
+                    + b"\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00")
+            with pytest.raises(ValueError, match="non-baseline"):
+                decode_jpeg(blob)
+        # SOF2 with no scan data: parses the header, then missing SOS
         sof2 = (b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00")
-        with pytest.raises(ValueError, match="non-baseline"):
-            decode_jpeg(sof2)
+        with pytest.raises(ValueError, match="missing SOF/SOS"):
+            decode_jpeg(sof2 + b"\xff\xd9")
         # truncated scan: entropy data missing -> zero-bit reads decode to
         # SOMETHING (spec padding tolerance) or raise; must not hang/crash
         good = bytearray(encode_jpeg(8, 8, [(100, 0)]))
@@ -490,3 +496,96 @@ class TestPngPaletteAndDepths:
         il = decode_png(encode_png_indexed(16, 16, pal, idx, 1, True))
         assert bytes(seq[3]) == bytes(il[3])
         assert format(ahash_from_samples(*il), "016x") == "f0f0f0f0f0f0f0f0"
+
+
+class TestJpegProgressive:
+    """Progressive JPEG (core/imaging.py decode_jpeg + the SOF2 fixture
+    writer): spectral selection, successive approximation, cross-block
+    EOB runs, non-interleaved used-vs-padded geometry. Reference decodes
+    no JPEG at all (DCTDecode panics: filters, libs/pdf); this tier is
+    a from-spec extension (ITU T.81 G.1.2)."""
+
+    @staticmethod
+    def _expected(w, h, blocks):
+        sgn = lambda t: 1 if t % 8 in (0, 3, 4, 7) else -1  # noqa: E731
+        bw = w // 8
+        return [
+            [
+                blocks[(y // 8) * bw + x // 8][0]
+                + sgn(x) * sgn(y) * blocks[(y // 8) * bw + x // 8][1] // 8
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+
+    def _check(self, w, h, blocks, **kw):
+        from pdf_spark.core.imaging import decode_jpeg, encode_jpeg_progressive
+
+        blob = encode_jpeg_progressive(w, h, blocks, **kw)
+        ww, hh, ch, s = decode_jpeg(blob)
+        assert (ww, hh) == (w, h)
+        exp = self._expected(w, h, blocks)
+        for y in range(h):
+            for x in range(w):
+                assert s[(y * w + x) * ch] == exp[y][x], (x, y, kw)
+        return ch, s
+
+    def test_spectral_selection_gray_exact(self):
+        # alternating zero-AC blocks exercise cross-block EOB runs
+        ch, _ = self._check(
+            32, 16, [(100 + i * 7, 16 if i % 2 else 0) for i in range(8)]
+        )
+        assert ch == 1
+
+    def test_spectral_selection_color_420_exact(self):
+        ch, s = self._check(
+            32, 32, [(60 + i, 16) for i in range(16)],
+            chroma=(128, 128), subsample=True,
+        )
+        assert ch == 3
+        assert s[0] == s[1] == s[2]  # gray chroma -> R=G=B
+
+    def test_successive_approximation_exact(self):
+        # odd DC and odd AC magnitudes force real refinement bits:
+        # ac44=24 -> coefficient 3 (history correction +1), ac44=8 ->
+        # coefficient 1 (newly-nonzero only in the refinement scan)
+        self._check(8, 8, [(101, 24)], successive=True)
+        self._check(
+            48, 8, [(50, 0), (51, 8), (52, 0), (53, 0), (54, 24), (55, 0)],
+            successive=True,
+        )
+        self._check(
+            16, 16, [(90, 24), (200, 0), (40, 8), (128, 16)],
+            chroma=(128, 128), successive=True,
+        )
+
+    def test_padded_luma_grid_nonmultiple_of_16(self):
+        # w=24 with 4:2:0: luma MCU grid is 4 blocks wide but the
+        # non-interleaved AC scans cover only the 3 used blocks per row
+        self._check(
+            24, 16, [(77 + i * 11, 8 * (i % 3)) for i in range(6)],
+            chroma=(128, 128), subsample=True, successive=True,
+        )
+
+    def test_progressive_matches_baseline_pixels(self):
+        from pdf_spark.core.imaging import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        blocks = [(90, 24), (200, 0), (40, 8), (128, 16)]
+        base = decode_jpeg(encode_jpeg(16, 16, blocks, chroma=(128, 128)))
+        for succ in (False, True):
+            prog = decode_jpeg(
+                encode_jpeg_progressive(
+                    16, 16, blocks, chroma=(128, 128), successive=succ
+                )
+            )
+            assert bytes(prog[3]) == bytes(base[3])
+
+    def test_image_meta_reports_progressive(self):
+        from pdf_spark.core.imaging import encode_jpeg_progressive, image_meta
+
+        blob = encode_jpeg_progressive(16, 8, [(100, 0), (120, 0)])
+        assert image_meta(blob) == ("jpeg", 16, 8, 1)
