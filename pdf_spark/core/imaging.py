@@ -1412,10 +1412,971 @@ def encode_jpeg_progressive(
     return bytes(out)
 
 
+# --- WebP lossless (VP8L): the fourth real format -----------------------------
+#
+# Decoder scope (WebP Lossless Bitstream Specification, public): RIFF
+# container walk, VP8L header, all four transforms (predictor with the
+# full 14-mode set, color transform with signed 3.5 fixed-point deltas,
+# subtract-green, color-indexing incl. sub-byte pixel bundling), simple
+# AND normal prefix codes (code-length code with 16/17/18 repeats and
+# the optional max-symbol cut), color cache (hash 0x1e35a7bd), LZ77
+# backward references with the 120-entry 2D distance mapping, and meta
+# prefix groups (recursive entropy image). Lossy (VP8) raises — that's
+# a DCT video codec, a different tier. The fixture writer is a real
+# encoder over the same machinery: frequency-built canonical Huffman
+# codes serialized through the code-length code, optional cache /
+# dist-1 LZ77 runs / meta split / palette / subtract-green, so every
+# decoder path is exercised by honest bitstreams, not replayed bytes.
+
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
+                  13, 14, 15)
+
+# 2D distance mapping for LZ77 distance values 1..120: (dx, dy) relative
+# neighborhood, dist = dy*width + dx (clamped to >= 1)
+_VP8L_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+
+
+class _LsbBitReader:
+    """VP8L bitstream reader: bits fill values LSB-first (DEFLATE
+    convention); prefix-code bits are walked MSB-of-code-first."""
+
+    __slots__ = ("data", "bitpos", "nbits")
+
+    def __init__(self, data: bytes, start: int = 0) -> None:
+        self.data = data
+        self.bitpos = start * 8
+        self.nbits = len(data) * 8
+
+    def bits(self, n: int) -> int:
+        v = 0
+        d = self.data
+        bp = self.bitpos
+        if bp + n > self.nbits:
+            raise ValueError("VP8L bitstream overrun")
+        for i in range(n):
+            v |= ((d[bp >> 3] >> (bp & 7)) & 1) << i
+            bp += 1
+        self.bitpos = bp
+        return v
+
+    def bit(self) -> int:
+        bp = self.bitpos
+        if bp >= self.nbits:
+            raise ValueError("VP8L bitstream overrun")
+        self.bitpos = bp + 1
+        return (self.data[bp >> 3] >> (bp & 7)) & 1
+
+
+class _Vp8lCode:
+    """Canonical prefix code: dict walk keyed (length, code); a
+    single-symbol code reads zero bits per use."""
+
+    __slots__ = ("single", "table", "maxlen")
+
+    def __init__(self, single=None, table=None, maxlen=0) -> None:
+        self.single = single
+        self.table = table
+        self.maxlen = maxlen
+
+    def read(self, br: _LsbBitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        ln = 0
+        while ln < self.maxlen:
+            code = (code << 1) | br.bit()
+            ln += 1
+            sym = self.table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad VP8L prefix code")
+
+
+def _vp8l_canonical(lengths: list[int]) -> _Vp8lCode:
+    nz = [(ln, s) for s, ln in enumerate(lengths) if ln]
+    if not nz:
+        raise ValueError("empty VP8L prefix code")
+    if len(nz) == 1:
+        return _Vp8lCode(single=nz[0][1])
+    maxlen = max(ln for ln, _ in nz)
+    bl = [0] * (maxlen + 1)
+    for ln, _ in nz:
+        bl[ln] += 1
+    next_code = [0] * (maxlen + 1)
+    code = 0
+    for ln in range(1, maxlen + 1):
+        code = (code + bl[ln - 1]) << 1
+        next_code[ln] = code
+    table = {}
+    for s, ln in enumerate(lengths):
+        if ln:
+            table[(ln, next_code[ln])] = s
+            next_code[ln] += 1
+    return _Vp8lCode(table=table, maxlen=maxlen)
+
+
+def _vp8l_read_prefix_code(br: _LsbBitReader, alphabet: int) -> _Vp8lCode:
+    if br.bit():  # simple code: 1 or 2 symbols, codes in stream order
+        nsym = br.bit() + 1
+        s0 = br.bits(8) if br.bit() else br.bit()
+        if nsym == 1:
+            return _Vp8lCode(single=s0)
+        s1 = br.bits(8)
+        return _Vp8lCode(table={(1, 0): s0, (1, 1): s1}, maxlen=1)
+    ncodes = br.bits(4) + 4
+    if ncodes > 19:
+        raise ValueError("bad code-length count")
+    cl_lengths = [0] * 19
+    for i in range(ncodes):
+        cl_lengths[_VP8L_CL_ORDER[i]] = br.bits(3)
+    cl_code = _vp8l_canonical(cl_lengths)
+    if br.bit():  # optional coded-symbol budget
+        len_nbits = 2 + 2 * br.bits(3)
+        budget = 2 + br.bits(len_nbits)
+    else:
+        budget = alphabet
+    lengths = [0] * alphabet
+    prev = 8
+    sym = 0
+    while sym < alphabet:
+        if budget == 0:
+            break
+        budget -= 1
+        cl = cl_code.read(br)
+        if cl < 16:
+            lengths[sym] = cl
+            sym += 1
+            if cl:
+                prev = cl
+        elif cl == 16:
+            for _ in range(3 + br.bits(2)):
+                if sym >= alphabet:
+                    break
+                lengths[sym] = prev
+                sym += 1
+        elif cl == 17:
+            sym += 3 + br.bits(3)
+        else:
+            sym += 11 + br.bits(7)
+    return _vp8l_canonical(lengths)
+
+
+def _vp8l_lz77_value(br: _LsbBitReader, code: int) -> int:
+    """Length/distance prefix value (T-like slot coding, 1-based)."""
+    if code < 4:
+        return code + 1
+    eb = (code - 2) >> 1
+    offset = (2 + (code & 1)) << eb
+    return offset + br.bits(eb) + 1
+
+
+def _vp8l_decode_image(
+    br: _LsbBitReader, w: int, h: int, allow_meta: bool
+) -> list[int]:
+    """One entropy-coded VP8L image -> list of ARGB ints, raster order.
+    Handles color cache, LZ77 copies, and (top level) meta prefix
+    groups via a recursive subresolution entropy image."""
+    cache_bits = 0
+    if br.bit():
+        cache_bits = br.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("bad color-cache size")
+    meta = None
+    mbits = mw = 0
+    num_groups = 1
+    if allow_meta and br.bit():
+        mbits = br.bits(3) + 2
+        mw = (w + (1 << mbits) - 1) >> mbits
+        mh = (h + (1 << mbits) - 1) >> mbits
+        meta_px = _vp8l_decode_image(br, mw, mh, False)
+        meta = [(p >> 8) & 0xFFFF for p in meta_px]  # (red<<8)|green
+        num_groups = max(meta) + 1
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    groups = []
+    for _ in range(num_groups):
+        cg = _vp8l_read_prefix_code(br, 256 + 24 + cache_size)
+        cr = _vp8l_read_prefix_code(br, 256)
+        cb = _vp8l_read_prefix_code(br, 256)
+        ca = _vp8l_read_prefix_code(br, 256)
+        cd = _vp8l_read_prefix_code(br, 40)
+        groups.append((cg, cr, cb, ca, cd))
+    cache = [0] * cache_size
+    total = w * h
+    px = [0] * total
+    pos = 0
+    cg, cr, cb, ca, cd = groups[0]
+    while pos < total:
+        if meta is not None:
+            gi = meta[((pos // w) >> mbits) * mw + ((pos % w) >> mbits)]
+            cg, cr, cb, ca, cd = groups[gi]
+        s = cg.read(br)
+        if s < 256:  # literal
+            red = cr.read(br)
+            blue = cb.read(br)
+            alpha = ca.read(br)
+            p = (alpha << 24) | (red << 16) | (s << 8) | blue
+            px[pos] = p
+            if cache_size:
+                cache[(0x1E35A7BD * p & 0xFFFFFFFF) >> (32 - cache_bits)] = p
+            pos += 1
+        elif s < 280:  # LZ77 backward reference
+            length = _vp8l_lz77_value(br, s - 256)
+            dist = _vp8l_lz77_value(br, cd.read(br))
+            if dist > 120:
+                dist -= 120
+            else:
+                dx, dy = _VP8L_DIST_MAP[dist - 1]
+                dist = dy * w + dx
+                if dist < 1:
+                    dist = 1
+            if dist > pos or pos + length > total:
+                raise ValueError("bad LZ77 reference")
+            for _ in range(length):
+                p = px[pos - dist]
+                px[pos] = p
+                if cache_size:
+                    cache[
+                        (0x1E35A7BD * p & 0xFFFFFFFF) >> (32 - cache_bits)
+                    ] = p
+                pos += 1
+        else:  # color-cache hit
+            if s - 280 >= cache_size:
+                raise ValueError("cache index out of range")
+            px[pos] = cache[s - 280]
+            pos += 1
+    return px
+
+
+def _argb_add(p: int, q: int) -> int:
+    """Per-channel mod-256 addition of two packed ARGB words."""
+    return (
+        (((p >> 24) + (q >> 24)) & 0xFF) << 24
+        | ((((p >> 16) & 0xFF) + ((q >> 16) & 0xFF)) & 0xFF) << 16
+        | ((((p >> 8) & 0xFF) + ((q >> 8) & 0xFF)) & 0xFF) << 8
+        | (((p & 0xFF) + (q & 0xFF)) & 0xFF)
+    )
+
+
+def _avg2(a: int, b: int) -> int:
+    return (
+        (((a >> 24) + (b >> 24)) >> 1) << 24
+        | ((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) >> 1) << 16
+        | ((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) >> 1) << 8
+        | (((a & 0xFF) + (b & 0xFF)) >> 1)
+    )
+
+
+def _clip255(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _vp8l_predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _avg2(_avg2(left, tr), top)
+    if mode == 6:
+        return _avg2(left, tl)
+    if mode == 7:
+        return _avg2(left, top)
+    if mode == 8:
+        return _avg2(tl, top)
+    if mode == 9:
+        return _avg2(top, tr)
+    if mode == 10:
+        return _avg2(_avg2(left, tl), _avg2(top, tr))
+    if mode == 11:  # Select(top, left, top_left)
+        diff = 0
+        for sh in (24, 16, 8, 0):
+            t = (top >> sh) & 0xFF
+            le = (left >> sh) & 0xFF
+            c = (tl >> sh) & 0xFF
+            diff += abs(le - c) - abs(t - c)
+        return top if diff <= 0 else left
+    if mode == 12:  # ClampedAddSubtractFull(left, top, tl)
+        out = 0
+        for sh in (24, 16, 8, 0):
+            out |= _clip255(
+                ((left >> sh) & 0xFF) + ((top >> sh) & 0xFF)
+                - ((tl >> sh) & 0xFF)
+            ) << sh
+        return out
+    if mode == 13:  # ClampedAddSubtractHalf(left, top, tl)
+        ave = _avg2(left, top)
+        out = 0
+        for sh in (24, 16, 8, 0):
+            a = (ave >> sh) & 0xFF
+            b = (tl >> sh) & 0xFF
+            d = a - b
+            half = d // 2 if d >= 0 else -((-d) // 2)  # trunc toward zero
+            out |= _clip255(a + half) << sh
+        return out
+    raise ValueError(f"bad predictor mode {mode}")
+
+
+def _vp8l_inv_predictor(
+    px: list[int], w: int, h: int, bits: int, sw: int, modes: list[int]
+) -> list[int]:
+    for pos in range(w * h):
+        x = pos - (pos // w) * w
+        y = pos // w
+        if pos == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = px[pos - 1]
+        elif x == 0:
+            pred = px[pos - w]
+        else:
+            mode = (modes[(y >> bits) * sw + (x >> bits)] >> 8) & 0xFF
+            # flat-array addressing gives the spec's edge semantics:
+            # top-right of the last column wraps to this row's first px
+            pred = _vp8l_predict(
+                mode, px[pos - 1], px[pos - w], px[pos - w - 1],
+                px[pos - w + 1],
+            )
+        px[pos] = _argb_add(px[pos], pred)
+    return px
+
+
+def _s8(v: int) -> int:
+    return v - 256 if v > 127 else v
+
+
+def _vp8l_inv_color(
+    px: list[int], w: int, h: int, bits: int, sw: int, elems: list[int]
+) -> list[int]:
+    for pos in range(w * h):
+        cte = elems[((pos // w) >> bits) * sw + ((pos - (pos // w) * w) >> bits)]
+        g2r = _s8(cte & 0xFF)
+        g2b = _s8((cte >> 8) & 0xFF)
+        r2b = _s8((cte >> 16) & 0xFF)
+        p = px[pos]
+        g = (p >> 8) & 0xFF
+        red = ((p >> 16) & 0xFF) + ((g2r * _s8(g)) >> 5)
+        blue = (p & 0xFF) + ((g2b * _s8(g)) >> 5)
+        blue += (r2b * _s8(red & 0xFF)) >> 5
+        px[pos] = (p & 0xFF00FF00) | ((red & 0xFF) << 16) | (blue & 0xFF)
+    return px
+
+
+def _vp8l_inv_subtract_green(px: list[int]) -> list[int]:
+    for pos, p in enumerate(px):
+        g = (p >> 8) & 0xFF
+        px[pos] = (
+            (p & 0xFF00FF00)
+            | ((((p >> 16) & 0xFF) + g) & 0xFF) << 16
+            | ((p & 0xFF) + g) & 0xFF
+        )
+    return px
+
+
+def _vp8l_inv_palette(
+    px: list[int], w: int, h: int, psize: int, pal: list[int], xb: int
+) -> list[int]:
+    if xb == 0:
+        return [
+            pal[(p >> 8) & 0xFF] if ((p >> 8) & 0xFF) < psize else 0
+            for p in px
+        ]
+    cw = (w + (1 << xb) - 1) >> xb
+    ppb = 1 << xb  # packed pixels per coded green byte
+    ibits = 8 >> xb
+    mask = (1 << ibits) - 1
+    out = [0] * (w * h)
+    for y in range(h):
+        row = y * cw
+        orow = y * w
+        for cx in range(cw):
+            packed = (px[row + cx] >> 8) & 0xFF
+            base = cx * ppb
+            for i in range(ppb):
+                x = base + i
+                if x >= w:
+                    break
+                idx = (packed >> (i * ibits)) & mask
+                out[orow + x] = pal[idx] if idx < psize else 0
+    return out
+
+
+def decode_webp(blob: bytes) -> tuple[int, int, int, bytearray]:
+    """Lossless WebP (VP8L) -> ``(width, height, channels, samples)``;
+    channels follows the header's alpha hint (4 = RGBA, 3 = RGB).
+    Raises ValueError on lossy (VP8) payloads or malformed data."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        raise ValueError("not a WebP")
+    n = len(blob)
+    pos = 12
+    payload = None
+    while pos + 8 <= n:
+        tag = blob[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", blob, pos + 4)
+        if tag == b"VP8L":
+            payload = blob[pos + 8 : pos + 8 + sz]
+            break
+        if tag == b"VP8 ":
+            raise ValueError("lossy WebP (VP8) unsupported")
+        pos += 8 + sz + (sz & 1)
+    if payload is None or not payload or payload[0] != 0x2F:
+        raise ValueError("missing VP8L chunk")
+    br = _LsbBitReader(payload, 1)
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    alpha_hint = br.bit()
+    if br.bits(3) != 0:
+        raise ValueError("bad VP8L version")
+    if w * h * 4 > MAX_PIXELS:
+        raise ValueError("image too large")
+    transforms = []  # (type, data, width-before-this-transform)
+    cur_w = w
+    seen: set[int] = set()
+    while br.bit():
+        t = br.bits(2)
+        if t in seen:
+            raise ValueError("duplicate transform")
+        seen.add(t)
+        if t == 2:  # subtract green
+            transforms.append((2, None, cur_w))
+        elif t in (0, 1):  # predictor / color: subresolution image
+            tb = br.bits(3) + 2
+            sw = (cur_w + (1 << tb) - 1) >> tb
+            sh = (h + (1 << tb) - 1) >> tb
+            data = _vp8l_decode_image(br, sw, sh, False)
+            transforms.append((t, (tb, sw, data), cur_w))
+        else:  # color indexing
+            psize = br.bits(8) + 1
+            pal_deltas = _vp8l_decode_image(br, psize, 1, False)
+            pal = []
+            prev = 0
+            for d in pal_deltas:  # entries are per-channel delta-coded
+                prev = _argb_add(d, prev)
+                pal.append(prev)
+            xb = 3 if psize <= 2 else (2 if psize <= 4 else
+                                       (1 if psize <= 16 else 0))
+            transforms.append((3, (psize, pal, xb), cur_w))
+            cur_w = (cur_w + (1 << xb) - 1) >> xb
+    px = _vp8l_decode_image(br, cur_w, h, True)
+    for t, data, w_before in reversed(transforms):
+        if t == 2:
+            px = _vp8l_inv_subtract_green(px)
+        elif t == 0:
+            px = _vp8l_inv_predictor(px, w_before, h, *data)
+        elif t == 1:
+            px = _vp8l_inv_color(px, w_before, h, *data)
+        else:
+            px = _vp8l_inv_palette(px, w_before, h, *data)
+    ch = 4 if alpha_hint else 3
+    out = bytearray(w * h * ch)
+    i = 0
+    for p in px:
+        out[i] = (p >> 16) & 0xFF
+        out[i + 1] = (p >> 8) & 0xFF
+        out[i + 2] = p & 0xFF
+        if ch == 4:
+            out[i + 3] = (p >> 24) & 0xFF
+        i += ch
+    return w, h, ch, out
+
+
+class _LsbBitWriter:
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, v: int, n: int) -> None:
+        self.acc |= (v & ((1 << n) - 1)) << self.n
+        self.n += n
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def code(self, c: int, ln: int) -> None:
+        for i in range(ln - 1, -1, -1):  # prefix codes pack MSB-first
+            self.bits((c >> i) & 1, 1)
+
+    def flush(self) -> None:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.n = 0
+
+
+def _huffman_lengths(freqs: dict[int, int], maxlen: int = 15) -> dict[int, int]:
+    """Code lengths from symbol frequencies (plain Huffman; falls back
+    to the Kraft-complete two-level balanced assignment if a skew would
+    exceed ``maxlen`` — validity is the point, not compression)."""
+    import heapq
+
+    syms = sorted(freqs)
+    if len(syms) == 1:
+        return {syms[0]: 1}
+    heap: list = [
+        (f, i, ("leaf", s)) for i, (s, f) in enumerate(sorted(freqs.items()))
+    ]
+    heapq.heapify(heap)
+    nid = len(heap)
+    while len(heap) > 1:
+        f1, _, n1 = heapq.heappop(heap)
+        f2, _, n2 = heapq.heappop(heap)
+        nid += 1
+        heapq.heappush(heap, (f1 + f2, nid, ("node", n1, n2)))
+    depths: dict[int, int] = {}
+
+    def walk(node, d: int) -> None:
+        if node[0] == "leaf":
+            depths[node[1]] = max(d, 1)
+        else:
+            walk(node[1], d + 1)
+            walk(node[2], d + 1)
+
+    walk(heap[0][2], 0)
+    if max(depths.values()) > maxlen:
+        n = len(syms)
+        lng = 1
+        while (1 << lng) < n:
+            lng += 1
+        k = (1 << lng) - n  # k symbols get length lng-1: Kraft-complete
+        by_freq = sorted(syms, key=lambda s: -freqs[s])
+        depths = {s: (lng - 1 if i < k else lng)
+                  for i, s in enumerate(by_freq)}
+    return depths
+
+
+def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical (code, length) per symbol — the writer twin of
+    :func:`_vp8l_canonical`."""
+    maxlen = max(lengths)
+    bl = [0] * (maxlen + 1)
+    for ln in lengths:
+        if ln:
+            bl[ln] += 1
+    next_code = [0] * (maxlen + 1)
+    code = 0
+    for ln in range(1, maxlen + 1):
+        code = (code + bl[ln - 1]) << 1
+        next_code[ln] = code
+    out = {}
+    for s, ln in enumerate(lengths):
+        if ln:
+            out[s] = (next_code[ln], ln)
+            next_code[ln] += 1
+    return out
+
+
+def _vp8l_slot(v: int) -> tuple[int, int, int]:
+    """Inverse of :func:`_vp8l_lz77_value`: value -> (code, ebits, extra)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    for c in range(4, 24):
+        e = (c - 2) >> 1
+        off = (2 + (c & 1)) << e
+        if off + 1 <= v <= off + (1 << e):
+            return c, e, v - off - 1
+    raise ValueError("LZ77 value out of range")
+
+
+def _vp8l_write_lengths(bw: _LsbBitWriter, lengths: list[int]) -> None:
+    """Serialize a full code-length array through the code-length code
+    (symbols 0/17/18 + literal lengths; trailing zeros spelled out)."""
+    seq: list[tuple[int, int, int]] = []
+    i, n = 0, len(lengths)
+    while i < n:
+        ln = lengths[i]
+        if ln == 0:
+            run = 1
+            while i + run < n and lengths[i + run] == 0:
+                run += 1
+            i += run
+            while run >= 11:
+                c = min(run, 138)
+                seq.append((18, 7, c - 11))
+                run -= c
+            while run >= 3:
+                c = min(run, 10)
+                seq.append((17, 3, c - 3))
+                run -= c
+            seq.extend((0, 0, 0) for _ in range(run))
+        else:
+            seq.append((ln, 0, 0))
+            i += 1
+    clfreq: dict[int, int] = {}
+    for s, _, _ in seq:
+        clfreq[s] = clfreq.get(s, 0) + 1
+    cl_depths = _huffman_lengths(clfreq, maxlen=7)
+    cl_lengths = [cl_depths.get(s, 0) for s in range(19)]
+    order_pos = {s: i for i, s in enumerate(_VP8L_CL_ORDER)}
+    ncodes = max(4, max(order_pos[s] for s in clfreq) + 1)
+    bw.bits(ncodes - 4, 4)
+    for j in range(ncodes):
+        bw.bits(cl_lengths[_VP8L_CL_ORDER[j]], 3)
+    bw.bits(0, 1)  # no explicit coded-symbol budget
+    if len(clfreq) == 1:
+        sym = next(iter(clfreq))
+        # zero-bit CL code: the decoder fills the whole alphabet with
+        # this literal length — only valid when that IS the array
+        if sym >= 16 or any(s != sym for s, _, _ in seq) \
+                or len(seq) != len(lengths):
+            raise ValueError("degenerate code-length stream")
+        return
+    codes = _canonical_codes(cl_lengths)
+    for s, eb, ev in seq:
+        c, ln = codes[s]
+        bw.code(c, ln)
+        if eb:
+            bw.bits(ev, eb)
+
+
+def _vp8l_write_code(
+    bw: _LsbBitWriter, freqs: dict[int, int], alphabet: int
+) -> dict[int, tuple[int, int]]:
+    """Serialize one prefix code (simple when 1-2 byte-sized symbols,
+    else normal) and return the emission map symbol -> (code, bits)."""
+    syms = sorted(freqs)
+    if len(syms) == 1 and syms[0] < 256:
+        bw.bits(1, 1)
+        bw.bits(0, 1)  # one symbol
+        s = syms[0]
+        if s <= 1:
+            bw.bits(0, 1)
+            bw.bits(s, 1)
+        else:
+            bw.bits(1, 1)
+            bw.bits(s, 8)
+        return {s: (0, 0)}
+    if len(syms) == 2 and syms[1] < 256:
+        bw.bits(1, 1)
+        bw.bits(1, 1)  # two symbols — stream order gets codes 0 and 1
+        s0, s1 = syms
+        if s0 <= 1:
+            bw.bits(0, 1)
+            bw.bits(s0, 1)
+        else:
+            bw.bits(1, 1)
+            bw.bits(s0, 8)
+        bw.bits(s1, 8)
+        return {s0: (0, 1), s1: (1, 1)}
+    bw.bits(0, 1)  # normal code
+    depths = _huffman_lengths(freqs)
+    lengths = [depths.get(s, 0) for s in range(alphabet)]
+    _vp8l_write_lengths(bw, lengths)
+    if len(syms) == 1:  # single >=256 symbol: zero bits per use
+        return {syms[0]: (0, 0)}
+    return _canonical_codes(lengths)
+
+
+def _vp8l_emit_image(
+    bw: _LsbBitWriter,
+    px: list[int],
+    w: int,
+    h: int,
+    cache_bits: int = 0,
+    lz77: bool = False,
+    meta_split: int = 0,
+    sub: bool = False,
+) -> None:
+    """Serialize one entropy-coded image (writer twin of
+    :func:`_vp8l_decode_image`). ``meta_split`` (block bits, >=2) emits
+    a two-group left/right meta prefix image. ``sub`` marks a
+    subresolution image (transform data / palette / meta), which has no
+    meta-prefix bit of its own."""
+    if cache_bits:
+        bw.bits(1, 1)
+        bw.bits(cache_bits, 4)
+    else:
+        bw.bits(0, 1)
+    ngroups = 1
+    mbits = mw = 0
+    if meta_split:
+        bw.bits(1, 1)
+        mbits = meta_split
+        bw.bits(mbits - 2, 3)
+        mw = (w + (1 << mbits) - 1) >> mbits
+        mh = (h + (1 << mbits) - 1) >> mbits
+        meta_px = [
+            0xFF000000 | ((0 if (mx << mbits) < w // 2 else 1) << 8)
+            for _my in range(mh)
+            for mx in range(mw)
+        ]
+        _vp8l_emit_image(bw, meta_px, mw, mh, sub=True)
+        ngroups = 2
+    elif not sub:
+        bw.bits(0, 1)
+
+    def group_of(pos: int) -> int:
+        if ngroups == 1:
+            return 0
+        return 0 if (pos % w) < w // 2 else 1
+
+    # tokenize (must mirror decode-side cache/copy state exactly)
+    tokens: list[tuple] = []
+    cache: list = [None] * (1 << cache_bits) if cache_bits else []
+    pos, total = 0, len(px)
+    while pos < total:
+        g = group_of(pos)
+        p = px[pos]
+        if lz77 and pos > 0 and px[pos - 1] == p:
+            run = 1
+            while pos + run < total and px[pos + run] == p and run < 4096:
+                run += 1
+            if run >= 4:
+                tokens.append((g, "copy", run, 1))
+                if cache_bits:
+                    cache[
+                        (0x1E35A7BD * p & 0xFFFFFFFF) >> (32 - cache_bits)
+                    ] = p
+                pos += run
+                continue
+        if cache_bits:
+            hsh = (0x1E35A7BD * p & 0xFFFFFFFF) >> (32 - cache_bits)
+            if cache[hsh] == p:
+                tokens.append((g, "cache", hsh))
+                pos += 1
+                continue
+            cache[hsh] = p
+        tokens.append((g, "lit", p))
+        pos += 1
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    galpha = 256 + 24 + cache_size
+    group_codes = []
+    for gi in range(ngroups):
+        gf: dict[int, int] = {}
+        rf: dict[int, int] = {}
+        bf: dict[int, int] = {}
+        af: dict[int, int] = {}
+        df: dict[int, int] = {}
+        for t in tokens:
+            if t[0] != gi:
+                continue
+            if t[1] == "lit":
+                p = t[2]
+                for d, v in ((gf, (p >> 8) & 0xFF), (rf, (p >> 16) & 0xFF),
+                             (bf, p & 0xFF), (af, (p >> 24) & 0xFF)):
+                    d[v] = d.get(v, 0) + 1
+            elif t[1] == "copy":
+                c, _, _ = _vp8l_slot(t[2])
+                gf[256 + c] = gf.get(256 + c, 0) + 1
+                dval = 2 if t[3] == 1 else t[3] + 120
+                c2, _, _ = _vp8l_slot(dval)
+                df[c2] = df.get(c2, 0) + 1
+            else:
+                gf[280 + t[2]] = gf.get(280 + t[2], 0) + 1
+        group_codes.append((
+            _vp8l_write_code(bw, gf or {0: 1}, galpha),
+            _vp8l_write_code(bw, rf or {0: 1}, 256),
+            _vp8l_write_code(bw, bf or {0: 1}, 256),
+            _vp8l_write_code(bw, af or {0: 1}, 256),
+            _vp8l_write_code(bw, df or {0: 1}, 40),
+        ))
+    for t in tokens:
+        cg, cr, cb, ca, cd = group_codes[t[0]]
+        if t[1] == "lit":
+            p = t[2]
+            for table, v in ((cg, (p >> 8) & 0xFF), (cr, (p >> 16) & 0xFF),
+                             (cb, p & 0xFF), (ca, (p >> 24) & 0xFF)):
+                c, ln = table[v]
+                if ln:
+                    bw.code(c, ln)
+        elif t[1] == "copy":
+            c, eb, ev = _vp8l_slot(t[2])
+            cc, ln = cg[256 + c]
+            if ln:
+                bw.code(cc, ln)
+            if eb:
+                bw.bits(ev, eb)
+            dval = 2 if t[3] == 1 else t[3] + 120
+            c2, eb2, ev2 = _vp8l_slot(dval)
+            cc2, ln2 = cd[c2]
+            if ln2:
+                bw.code(cc2, ln2)
+            if eb2:
+                bw.bits(ev2, eb2)
+        else:
+            cc, ln = cg[280 + t[2]]
+            if ln:
+                bw.code(cc, ln)
+
+
+def encode_webp_lossless(
+    w: int,
+    h: int,
+    channels: int,
+    samples,
+    *,
+    cache_bits: int = 0,
+    lz77: bool = False,
+    meta_split: int = 0,
+    subtract_green: bool = False,
+    predictor: Optional[int] = None,
+    color_cte: Optional[tuple[int, int, int]] = None,
+    palette: Optional[list[int]] = None,
+) -> bytes:
+    """Lossless-WebP fixture writer (the inverse of :func:`decode_webp`).
+    ``samples``: interleaved per ``channels`` (1=gray, 3=RGB, 4=RGBA) —
+    or palette indices (one per pixel) when ``palette`` (list of packed
+    ARGB entries) is given. Options layer real transforms: forward
+    subtract-green, a constant-mode predictor transform (any of the 14
+    modes), a constant color-transform element ``(g2r, g2b, r2b)``,
+    color-indexing with sub-byte bundling, a color cache, dist-1 LZ77
+    runs, and a two-group meta prefix split."""
+    if palette is not None:
+        pixels = None
+        idx = list(samples)
+        ahint = 1 if any((p >> 24) & 0xFF != 0xFF for p in palette) else 0
+    else:
+        pixels = []
+        for i in range(w * h):
+            if channels == 1:
+                v = samples[i]
+                a, r, g, b = 0xFF, v, v, v
+            elif channels == 3:
+                r, g, b = samples[3 * i : 3 * i + 3]
+                a = 0xFF
+            else:
+                r, g, b, a = samples[4 * i : 4 * i + 4]
+            pixels.append((a << 24) | (r << 16) | (g << 8) | b)
+        ahint = 1 if channels == 4 else 0
+    bw = _LsbBitWriter()
+    bw.bits(w - 1, 14)
+    bw.bits(h - 1, 14)
+    bw.bits(ahint, 1)
+    bw.bits(0, 3)  # version
+    cur_w = w
+    if subtract_green and palette is None:
+        bw.bits(1, 1)
+        bw.bits(2, 2)
+        pixels = [
+            (p & 0xFF00FF00)
+            | ((((p >> 16) & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF) << 16
+            | ((p & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF
+            for p in pixels
+        ]
+    if color_cte is not None and palette is None:
+        g2r, g2b, r2b = color_cte
+        bw.bits(1, 1)
+        bw.bits(1, 2)
+        tb = 4
+        bw.bits(tb - 2, 3)
+        sw = (cur_w + 15) >> 4
+        sh = (h + 15) >> 4
+        cte = (0xFF000000 | ((r2b & 0xFF) << 16) | ((g2b & 0xFF) << 8)
+               | (g2r & 0xFF))
+        _vp8l_emit_image(bw, [cte] * (sw * sh), sw, sh, sub=True)
+        fwd = []
+        for p in pixels:
+            g = (p >> 8) & 0xFF
+            r = (p >> 16) & 0xFF
+            b = p & 0xFF
+            nr = (r - ((_s8(g2r & 0xFF) * _s8(g)) >> 5)) & 0xFF
+            nb = (b - ((_s8(g2b & 0xFF) * _s8(g)) >> 5)
+                  - ((_s8(r2b & 0xFF) * _s8(r)) >> 5)) & 0xFF
+            fwd.append((p & 0xFF00FF00) | (nr << 16) | nb)
+        pixels = fwd
+    if predictor is not None and palette is None:
+        bw.bits(1, 1)
+        bw.bits(0, 2)
+        tb = 4
+        bw.bits(tb - 2, 3)
+        sw = (cur_w + 15) >> 4
+        sh = (h + 15) >> 4
+        _vp8l_emit_image(
+            bw, [0xFF000000 | (predictor << 8)] * (sw * sh), sw, sh,
+            sub=True,
+        )
+        res = [0] * (cur_w * h)
+        for pos in range(cur_w * h):
+            x = pos % cur_w
+            y = pos // cur_w
+            if pos == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = pixels[pos - 1]
+            elif x == 0:
+                pred = pixels[pos - cur_w]
+            else:
+                pred = _vp8l_predict(
+                    predictor, pixels[pos - 1], pixels[pos - cur_w],
+                    pixels[pos - cur_w - 1], pixels[pos - cur_w + 1],
+                )
+            res[pos] = _argb_add(
+                pixels[pos],
+                (-(pred >> 24) & 0xFF) << 24
+                | (-(pred >> 16) & 0xFF) << 16
+                | (-(pred >> 8) & 0xFF) << 8
+                | (-pred & 0xFF),
+            )
+        pixels = res
+    if palette is not None:
+        psize = len(palette)
+        bw.bits(1, 1)
+        bw.bits(3, 2)
+        bw.bits(psize - 1, 8)
+        deltas = []
+        prev = 0
+        for p in palette:  # per-channel delta vs previous entry
+            deltas.append(_argb_add(
+                p,
+                (-(prev >> 24) & 0xFF) << 24 | (-(prev >> 16) & 0xFF) << 16
+                | (-(prev >> 8) & 0xFF) << 8 | (-prev & 0xFF),
+            ))
+            prev = p
+        _vp8l_emit_image(bw, deltas, psize, 1, sub=True)
+        xb = 3 if psize <= 2 else (2 if psize <= 4 else
+                                   (1 if psize <= 16 else 0))
+        ppb = 1 << xb
+        ibits = 8 >> xb
+        cur_w = (w + ppb - 1) >> xb if xb else w
+        packed = []
+        for y in range(h):
+            for cx in range(cur_w):
+                acc = 0
+                for i in range(ppb):
+                    x = cx * ppb + i
+                    if x < w:
+                        acc |= (idx[y * w + x] & ((1 << ibits) - 1)) \
+                            << (i * ibits)
+                packed.append(acc << 8)
+        pixels = packed
+    bw.bits(0, 1)  # end of transforms
+    _vp8l_emit_image(bw, pixels, cur_w, h, cache_bits, lz77, meta_split)
+    bw.flush()
+    payload = b"\x2f" + bytes(bw.out)
+    vp8l = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        vp8l += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(vp8l)) + b"WEBP" + vp8l
+
+
 def _pixels(blob: bytes) -> tuple[int, int, int, bytearray]:
     """Raw samples via the preferred backend: PIL when importable, the
-    pure PNG/GIF/JPEG decoders otherwise. Raises ValueError when none
-    apply."""
+    pure PNG/GIF/JPEG/WebP decoders otherwise. Raises ValueError when
+    none apply."""
     if _PIL is not None:  # pragma: no cover — exercised where PIL exists
         import io
 
@@ -1433,6 +2394,8 @@ def _pixels(blob: bytes) -> tuple[int, int, int, bytearray]:
         return decode_gif(blob)
     if blob[:2] == b"\xff\xd8":
         return decode_jpeg(blob)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        return decode_webp(blob)
     return decode_png(blob)
 
 
@@ -1528,6 +2491,23 @@ def image_meta(blob: bytes) -> Optional[tuple[str, int, int, int]]:
     if blob[:4] == b"GIF8" and len(blob) >= 10:
         w, h = struct.unpack_from("<HH", blob, 6)
         return ("gif", w, h, 3)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP" and len(blob) >= 30:
+        tag = blob[12:16]
+        if tag == b"VP8L" and blob[20] == 0x2F:
+            bits = int.from_bytes(blob[21:25], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            alpha = (bits >> 28) & 1
+            return ("webp", w, h, 4 if alpha else 3)
+        if tag == b"VP8 " and blob[23:26] == b"\x9d\x01\x2a":
+            w, h = struct.unpack_from("<HH", blob, 26)
+            return ("webp", w & 0x3FFF, h & 0x3FFF, 3)
+        if tag == b"VP8X":
+            flags = blob[20]
+            w = int.from_bytes(blob[24:27], "little") + 1
+            h = int.from_bytes(blob[27:30], "little") + 1
+            return ("webp", w, h, 4 if flags & 0x10 else 3)
+        return None
     if blob[:2] == b"\xff\xd8":  # JPEG SOI
         pos = 2
         n = len(blob)

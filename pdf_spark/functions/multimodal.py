@@ -1071,3 +1071,88 @@ SELECT doc_id,
             ELSE '00000000ffffffff' END AS ahash_hex
 FROM v
 """
+
+
+# -- qm15: lossless WebP (VP8L) decode (core/imaging.py) ------------------------
+#
+# Fourth real web format. The fixture rotates through the decoder's
+# structural paths by doc residue — color cache, LZ77 runs, meta prefix
+# groups (the group split coincides with the tone split), and the
+# subtract-green + predictor transform stack — while the two-tone
+# left/right pattern keeps mean and aHash purely arithmetic. Any prefix
+# desync, wrong transform inverse, or broken group routing moves pixels
+# and flips the position-sensitive hash.
+
+
+def _qm15_make_webp(doc_id: int) -> bytes:
+    from pdf_spark.core.imaging import encode_webp_lossless
+
+    i = int(doc_id)
+    a = (i * 29) % 224 + 16
+    b = (i * 17 + 31) % 224 + 16
+    if a == b:
+        b = b + 1
+    samples = [(a if x < 8 else b) for _y in range(16) for x in range(16)]
+    mode = i % 5
+    kw = (
+        {},
+        {"cache_bits": 4},
+        {"lz77": True},
+        {"meta_split": 2},
+        {"subtract_green": True, "predictor": 7},
+    )[mode]
+    return encode_webp_lossless(16, 16, 1, samples, **kw)
+
+
+def _qm15(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_spark.core import imaging
+
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # force the pure decoder so the oracle pins OUR bit math even
+        # where a PIL backend exists
+        pil, imaging._PIL = imaging._PIL, None
+        try:
+            for batch in batches:
+                ids = [int(d) for d in batch["doc_id"]]
+                blobs = [_qm15_make_webp(d) for d in ids]
+                feats = [imaging.image_features(bl) for bl in blobs]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "width": [f[0] for f in feats],
+                        "height": [f[1] for f in feats],
+                        "n_channels": [f[2] for f in feats],
+                        "mean_luma": [f[3] for f in feats],
+                        "ahash_hex": [
+                            format(imaging.average_hash(bl), "016x")
+                            for bl in blobs
+                        ],
+                    }
+                )
+        finally:
+            imaging._PIL = pil
+
+    return docs.mapInPandas(run, _PALETTE_SCHEMA)
+
+
+QUERIES["qm15_webp_lossless_features"] = _qm15
+ORACLE["qm15_webp_lossless_features"] = """
+WITH v AS (
+    SELECT doc_id,
+           (doc_id * 29) % 224 + 16 AS a,
+           CASE WHEN (doc_id * 29) % 224 = (doc_id * 17 + 31) % 224
+                THEN (doc_id * 17 + 31) % 224 + 17
+                ELSE (doc_id * 17 + 31) % 224 + 16 END AS b
+    FROM documents
+)
+SELECT doc_id,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       CAST((a + b) // 2 AS INTEGER) AS mean_luma,
+       CASE WHEN a > b THEN 'f0f0f0f0f0f0f0f0'
+            ELSE '0f0f0f0f0f0f0f0f' END AS ahash_hex
+FROM v
+"""

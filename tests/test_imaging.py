@@ -589,3 +589,163 @@ class TestJpegProgressive:
 
         blob = encode_jpeg_progressive(16, 8, [(100, 0), (120, 0)])
         assert image_meta(blob) == ("jpeg", 16, 8, 1)
+
+
+class TestWebpLossless:
+    """VP8L lossless WebP (core/imaging.py decode_webp + fixture
+    writer): prefix codes (simple + normal w/ code-length code), color
+    cache, LZ77 with the 2D distance map, meta prefix groups, and all
+    four transforms. From-spec (WebP Lossless Bitstream Specification);
+    the reference has no image decode tier at all."""
+
+    @staticmethod
+    def _rt(w, h, ch, samples, **kw):
+        from pdf_spark.core.imaging import decode_webp, encode_webp_lossless
+
+        blob = encode_webp_lossless(w, h, ch, samples, **kw)
+        ww, hh, och, out = decode_webp(blob)
+        assert (ww, hh) == (w, h)
+        exp = bytearray()
+        for i in range(w * h):
+            if ch == 1:
+                exp += bytes((samples[i],) * 3)
+            else:
+                exp += bytes(samples[ch * i : ch * i + ch])
+        assert och == (4 if ch == 4 else 3)
+        assert bytes(out) == bytes(exp), kw
+        return blob
+
+    def test_literals_simple_and_normal_codes(self):
+        import random
+
+        rng = random.Random(42)
+        # two gray values -> simple 2-symbol codes
+        self._rt(8, 8, 1, [10 if x < 4 else 200
+                           for _y in range(8) for x in range(8)])
+        # dense noise -> normal codes through the code-length code
+        self._rt(16, 16, 3, [rng.randrange(256) for _ in range(16 * 16 * 3)])
+        self._rt(12, 5, 4, [rng.randrange(256) for _ in range(12 * 5 * 4)])
+
+    def test_color_cache_and_lz77(self):
+        import random
+
+        rng = random.Random(1)
+        self._rt(16, 16, 1, [(x % 3) * 90
+                             for _y in range(16) for x in range(16)],
+                 cache_bits=4)
+        self._rt(16, 16, 1, [7] * 100
+                 + [rng.randrange(256) for _ in range(156)], lz77=True)
+
+    def test_meta_prefix_two_groups(self):
+        self._rt(
+            16, 16, 1,
+            [(x * 16) % 256 if x < 8 else (y * 16) % 256
+             for y in range(16) for x in range(16)],
+            meta_split=2,
+        )
+
+    def test_all_transforms_roundtrip(self):
+        import random
+
+        rng = random.Random(7)
+        self._rt(10, 10, 3, [rng.randrange(256) for _ in range(300)],
+                 subtract_green=True)
+        for mode in range(14):  # every predictor mode
+            self._rt(11, 7, 3, [rng.randrange(256) for _ in range(231)],
+                     predictor=mode)
+        self._rt(9, 9, 3, [rng.randrange(256) for _ in range(243)],
+                 color_cte=(37, 236, 101))
+        self._rt(17, 6, 3, [rng.randrange(256) for _ in range(306)],
+                 subtract_green=True, predictor=11, cache_bits=3, lz77=True)
+
+    def test_palette_all_bundle_depths(self):
+        import random
+
+        from pdf_spark.core.imaging import decode_webp, encode_webp_lossless
+
+        rng = random.Random(3)
+        for psize, w in ((2, 19), (4, 10), (13, 9), (40, 7)):
+            pal = [
+                0xFF000000 | (rng.randrange(256) << 16)
+                | (rng.randrange(256) << 8) | rng.randrange(256)
+                for _ in range(psize)
+            ]
+            idx = [rng.randrange(psize) for _ in range(w * 6)]
+            ww, hh, ch, out = decode_webp(
+                encode_webp_lossless(w, 6, 0, idx, palette=pal)
+            )
+            assert (ww, hh, ch) == (w, 6, 3)
+            for i, ix in enumerate(idx):
+                p = pal[ix]
+                assert bytes(out[3 * i : 3 * i + 3]) == bytes(
+                    ((p >> 16) & 255, (p >> 8) & 255, p & 255)
+                ), psize
+
+    def test_distance_map_row_copy(self):
+        """Hand-emitted LZ77 copy with mapped distance code value 1 =
+        (0,1) = one row up — verifies the 2D map semantically (the
+        writer's own runs only use (1,0))."""
+        from pdf_spark.core.imaging import (
+            _LsbBitReader,
+            _LsbBitWriter,
+            _vp8l_decode_image,
+            _vp8l_slot,
+            _vp8l_write_code,
+        )
+
+        w, h = 4, 2
+        lits = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (5, 15, 25)]
+        len_sym = 256 + _vp8l_slot(4)[0]  # length 4, no extra bits
+        bw = _LsbBitWriter()
+        bw.bits(0, 1)  # no color cache
+        bw.bits(0, 1)  # no meta prefix
+        cg = _vp8l_write_code(
+            bw, {**{g: 1 for _r, g, _b in lits}, len_sym: 1}, 280
+        )
+        cr = _vp8l_write_code(bw, {r: 1 for r, _g, _b in lits}, 256)
+        cb = _vp8l_write_code(bw, {b: 1 for _r, _g, b in lits}, 256)
+        _ca = _vp8l_write_code(bw, {0xFF: 1}, 256)  # 0-bit single
+        _cd = _vp8l_write_code(bw, {0: 1}, 40)  # dist slot 0 -> value 1
+        for r, g, b in lits:
+            for table, v in ((cg, g), (cr, r), (cb, b)):
+                c, ln = table[v]
+                if ln:
+                    bw.code(c, ln)
+        c, ln = cg[len_sym]
+        bw.code(c, ln)  # copy of length 4; distance code is 0-bit
+        bw.flush()
+        px = _vp8l_decode_image(_LsbBitReader(bytes(bw.out)), w, h, True)
+        assert px[4:8] == px[0:4]  # value 1 -> map (0,1) -> dist = w
+        assert px[0] == 0xFF000000 | (10 << 16) | (20 << 8) | 30
+
+    def test_meta_and_malformed(self):
+        from pdf_spark.core.imaging import (
+            decode_webp,
+            encode_webp_lossless,
+            image_meta,
+        )
+
+        blob = self._rt(20, 11, 1, list(range(220)))
+        assert image_meta(blob) == ("webp", 20, 11, 3)
+        rgba = encode_webp_lossless(4, 4, 4, [1, 2, 3, 4] * 16)
+        assert image_meta(rgba) == ("webp", 4, 4, 4)
+        with pytest.raises(ValueError):
+            decode_webp(b"RIFF\x00\x00\x00\x00WAVE")
+        with pytest.raises(ValueError, match="lossy"):
+            decode_webp(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd")
+        with pytest.raises(ValueError):
+            decode_webp(blob[:30])  # truncated bitstream
+
+    def test_features_dispatch(self):
+        from pdf_spark.core import imaging
+
+        blob = self._rt(
+            16, 16, 1,
+            [200 if x < 8 else 10 for _y in range(16) for x in range(16)],
+        )
+        pil_backend, imaging._PIL = imaging._PIL, None
+        try:
+            assert imaging.image_features(blob) == (16, 16, 3, 105)
+            assert imaging.average_hash(blob) == 0xF0F0F0F0F0F0F0F0
+        finally:
+            imaging._PIL = pil_backend
