@@ -1156,3 +1156,88 @@ SELECT doc_id,
             ELSE '0f0f0f0f0f0f0f0f' END AS ahash_hex
 FROM v
 """
+
+
+# -- qm16: REAL WAV/PCM audio decode (core/audio.py) ----------------------------
+#
+# Upgrades the audio tier from the qm04 deterministic stand-in to a real
+# container format: RIFF/WAVE PCM at 8/16/24-bit depths, mono/stereo.
+# The fixture is a ±A square wave, so peak and mean-absolute amplitude
+# are both exactly A in the raw integer sample domain and the oracle is
+# pure arithmetic; any chunk-walk, sign-extension (24-bit!), or
+# interleave bug shifts them.
+
+_WAV_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("bits", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("peak", LongType()),
+        StructField("mean_abs", LongType()),
+    ]
+)
+
+
+def _qm16_make_wav(doc_id: int) -> bytes:
+    from pdf_spark.core.audio import encode_wav
+
+    i = int(doc_id)
+    bits = (8, 16, 24)[i % 3]
+    channels = 1 + (i % 2)
+    frames = 400 + (i % 5) * 40
+    amp = ((i * 13) % 100 + 20) * {8: 1, 16: 100, 24: 10000}[bits]
+    wave = [amp if f % 8 < 4 else -amp for f in range(frames)]
+    samples = [s for s in wave for _ in range(channels)]
+    return encode_wav(8000, channels, bits, samples)
+
+
+def _qm16(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_spark.core.audio import audio_features
+
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            feats = [audio_features(_qm16_make_wav(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "sample_rate": [f[0] for f in feats],
+                    "n_channels": [f[1] for f in feats],
+                    "bits": [f[2] for f in feats],
+                    "n_frames": [f[3] for f in feats],
+                    "duration_ms": [f[4] for f in feats],
+                    "peak": [f[5] for f in feats],
+                    "mean_abs": [f[6] for f in feats],
+                }
+            )
+
+    return docs.mapInPandas(run, _WAV_SCHEMA)
+
+
+QUERIES["qm16_wav_pcm_features"] = _qm16
+ORACLE["qm16_wav_pcm_features"] = """
+WITH v AS (
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 24 END AS bits,
+           1 + doc_id % 2 AS ch,
+           400 + (doc_id % 5) * 40 AS frames,
+           ((doc_id * 13) % 100 + 20)
+               * CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 100
+                 ELSE 10000 END AS amp
+    FROM documents
+)
+SELECT doc_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(ch AS INTEGER) AS n_channels,
+       CAST(bits AS INTEGER) AS bits,
+       CAST(frames AS INTEGER) AS n_frames,
+       CAST(frames // 8 AS INTEGER) AS duration_ms,
+       CAST(amp AS BIGINT) AS peak,
+       CAST(amp AS BIGINT) AS mean_abs
+FROM v
+"""
