@@ -3160,15 +3160,18 @@ def _qx38(spark: SparkSession, sf: str) -> DataFrame:
     """Embedded-image PIXEL decode (value oracle) — the decode tier the
     qx22 inventory gates.
 
-    Each doc embeds four images spanning the decoder's codec matrix:
+    Each doc embeds five images spanning the decoder's codec matrix:
     FlateDecode 8-bpc DeviceGray, DCTDecode baseline JPEG (integer-exact
-    constant-DC fixture), a 1-bpc /Indexed palette into DeviceRGB, and a
-    4-bpc sub-byte gray (row-padded). The oracle restates every decoded
+    constant-DC fixture), a 1-bpc /Indexed palette into DeviceRGB, a
+    4-bpc sub-byte gray (row-padded), and a DCTDecode PROGRESSIVE
+    (SOF2) JPEG — successive approximation on odd ids — proving the
+    embedded-image path shares the full multi-scan decoder with the
+    loose-blob tier. The oracle restates every decoded
     mean-luma arithmetically, so a slip anywhere in the chain — filter
     prefix handling, palette clamp, MSB-first nibble unpack, JPEG
     Huffman/IDCT — lands on a value mismatch, not just a row count."""
     from pdf_spark.core.document import Resolver
-    from pdf_spark.core.imaging import encode_jpeg
+    from pdf_spark.core.imaging import encode_jpeg, encode_jpeg_progressive
     from pdf_spark.core.pdfimages import extract_embedded_images
     from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder, _content_td_tj
 
@@ -3182,6 +3185,7 @@ def _qx38(spark: SparkSession, sf: str) -> DataFrame:
             StructField("luma_dct", LongType()),
             StructField("luma_indexed", LongType()),
             StructField("luma_subbyte", LongType()),
+            StructField("luma_dct_prog", LongType()),
         ]
     )
 
@@ -3229,9 +3233,19 @@ def _qx38(spark: SparkSession, sf: str) -> DataFrame:
                 b"/ColorSpace/DeviceGray"
             ),
         )
+        dc2 = (i * 19) % 180 + 40
+        im4 = b.stream(
+            encode_jpeg_progressive(
+                16, 16, [(dc2, 24)] * 4, successive=bool(i % 2)
+            ),
+            extra_dict=(
+                b"/Subtype/Image/Width 16/Height 16/BitsPerComponent 8"
+                b"/ColorSpace/DeviceGray/Filter/DCTDecode"
+            ),
+        )
         xo = b"".join(
             b"/Im" + str(k).encode() + b" " + str(o).encode() + b" 0 R"
-            for k, o in enumerate((im0, im1, im2, im3))
+            for k, o in enumerate((im0, im1, im2, im3, im4))
         )
         b.set(cat, b"<</Type/Catalog/Pages " + str(pages_id).encode() + b" 0 R>>")
         b.set(pages_id, b"<</Type/Pages/Kids[" + str(page).encode()
@@ -3249,7 +3263,8 @@ def _qx38(spark: SparkSession, sf: str) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out = {k: [] for k in ("doc_id", "n_images", "n_ok", "luma_flate",
-                                   "luma_dct", "luma_indexed", "luma_subbyte")}
+                                   "luma_dct", "luma_indexed", "luma_subbyte",
+                                   "luma_dct_prog")}
             for doc_id in batch["doc_id"]:
                 i = int(doc_id)
                 rows = extract_embedded_images(Resolver(build_doc(i)))
@@ -3261,6 +3276,7 @@ def _qx38(spark: SparkSession, sf: str) -> DataFrame:
                 out["luma_dct"].append(by_name["Im1"][5])
                 out["luma_indexed"].append(by_name["Im2"][5])
                 out["luma_subbyte"].append(by_name["Im3"][5])
+                out["luma_dct_prog"].append(by_name["Im4"][5])
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(run, schema)
@@ -3272,15 +3288,16 @@ QUERIES["qx38_embedded_image_decode"] = _qx38
 # is the 0x00 pad byte -> two zero samples)
 ORACLE["qx38_embedded_image_decode"] = """
 SELECT doc_id,
-       CAST(4 AS BIGINT) AS n_images,
-       CAST(4 AS BIGINT) AS n_ok,
+       CAST(5 AS BIGINT) AS n_images,
+       CAST(5 AS BIGINT) AS n_ok,
        CAST((doc_id * 29) % 256 AS BIGINT) AS luma_flate,
        CAST((doc_id * 13) % 192 + 32 AS BIGINT) AS luma_dct,
        CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 17) % 256
                  ELSE (doc_id * 17 + 90) % 256 END AS BIGINT) AS luma_indexed,
        CAST(((doc_id % 16) * 255 // 15
              + ((doc_id * 5) % 16) * 255 // 15) // 4 AS BIGINT)
-           AS luma_subbyte
+           AS luma_subbyte,
+       CAST((doc_id * 19) % 180 + 40 AS BIGINT) AS luma_dct_prog
 FROM documents
 """
 
