@@ -1241,3 +1241,110 @@ SELECT doc_id,
        CAST(amp AS BIGINT) AS mean_abs
 FROM v
 """
+
+
+# -- qm17: cross-FORMAT image dedup by decoded-luma digest ----------------------
+#
+# The loose-blob twin of qx39's cross-codec dedup: the same two-tone
+# pattern (keyed pat = doc_id // 2) is stored as a real PNG in even
+# docs and a real lossless WebP in odd docs. A byte hash can never
+# match across containers; the md5 over decoded LUMA rows (gray PNG
+# decodes 1-channel, WebP 3-channel — luma normalizes both) matches by
+# construction. Grouping is ONE hash-partitioned window over 16-byte
+# digests — uniform keys, no skew, the 10^12-image shape. Formula
+# cycles make some patterns repeat across pats; the oracle restates
+# group sizes arithmetically with the same COUNT OVER PARTITION.
+
+_XFMT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("group_size", LongType()),
+        StructField("cross_format", IntegerType()),
+    ]
+)
+
+
+def _qm17_make_blob(doc_id: int) -> bytes:
+    from pdf_spark.core.imaging import encode_png, encode_webp_lossless
+
+    i = int(doc_id)
+    pat = i // 2
+    a = (pat * 23) % 200 + 28
+    b = (pat * 31 + 7) % 200 + 28
+    if a == b:
+        b = b + 1
+    samples = [(a if x < 8 else b) for _y in range(16) for x in range(16)]
+    if i % 2 == 0:
+        return encode_png(16, 16, 1, bytearray(samples), "none")
+    return encode_webp_lossless(16, 16, 1, samples)
+
+
+def _qm17(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from pdf_spark.core import imaging
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("luma_md5", StringType()),
+            StructField("fmt", IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        pil, imaging._PIL = imaging._PIL, None
+        try:
+            for batch in batches:
+                ids = [int(d) for d in batch["doc_id"]]
+                digests = []
+                for i in ids:
+                    w, h, ch, s = imaging._pixels(_qm17_make_blob(i))
+                    rows = imaging._luma_rows(w, h, ch, s)
+                    digests.append(
+                        hashlib.md5(
+                            b"".join(bytes(r) for r in rows)
+                        ).hexdigest()
+                    )
+                yield pd.DataFrame(
+                    {"doc_id": ids, "luma_md5": digests,
+                     "fmt": [i % 2 for i in ids]}
+                )
+        finally:
+            imaging._PIL = pil
+
+    lifted = docs.mapInPandas(run, schema)
+    win = Window.partitionBy("luma_md5")
+    return lifted.select(
+        "doc_id",
+        F.count(F.lit(1)).over(win).alias("group_size"),
+        (F.count(F.when(F.col("fmt") == 0, 1)).over(win) > 0).cast("int")
+        .bitwiseAND(
+            (F.count(F.when(F.col("fmt") == 1, 1)).over(win) > 0)
+            .cast("int")
+        ).alias("cross_format"),
+    )
+
+
+QUERIES["qm17_crossformat_image_dedup"] = _qm17
+ORACLE["qm17_crossformat_image_dedup"] = """
+WITH v AS (
+    SELECT doc_id,
+           (doc_id // 2 * 23) % 200 + 28 AS a,
+           CASE WHEN (doc_id // 2 * 23) % 200
+                     = (doc_id // 2 * 31 + 7) % 200
+                THEN (doc_id // 2 * 31 + 7) % 200 + 29
+                ELSE (doc_id // 2 * 31 + 7) % 200 + 28 END AS b
+    FROM documents
+)
+SELECT doc_id,
+       COUNT(*) OVER (PARTITION BY a, b) AS group_size,
+       CAST(CASE WHEN SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY a, b) > 0
+                  AND SUM(doc_id % 2) OVER (PARTITION BY a, b) > 0
+            THEN 1 ELSE 0 END AS INTEGER) AS cross_format
+FROM v
+"""
