@@ -907,6 +907,8 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytearray]:
                     vals = list(seg[off : off + 64])
                     off += 64
                 else:
+                    if off + 128 > len(seg):
+                        raise ValueError("short DQT")
                     vals = [
                         (seg[off + 2 * i] << 8) | seg[off + 2 * i + 1]
                         for i in range(64)
@@ -932,6 +934,8 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytearray]:
             nc = seg[5]
             if nc not in (1, 3):
                 raise ValueError(f"{nc}-component JPEG unsupported")
+            if 6 + 3 * nc > len(seg):
+                raise ValueError("short SOF")
             comps = []
             for i in range(nc):
                 cid = seg[6 + 3 * i]
@@ -970,6 +974,8 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytearray]:
                         np.zeros((bwp * bhp, 64), dtype=np.int32)
                     )
             ns = seg[0]
+            if ns < 1 or 4 + 2 * ns > len(seg):
+                raise ValueError("short SOS")
             scan = []
             for i in range(ns):
                 cid = seg[1 + 2 * i]
