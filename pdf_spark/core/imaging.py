@@ -347,6 +347,108 @@ def encode_png_indexed(
     )
 
 
+# --- BMP (Windows DIB): uncompressed 8-bit indexed / 24 / 32-bit --------------
+#
+# Old-web common. BITMAPINFOHEADER (and the larger V4/V5 headers, read
+# by their declared size), bottom-up AND top-down row order, 4-byte row
+# padding, BI_RGB only (RLE4/8 and bitfields raise — rare on crawls).
+
+
+def decode_bmp(blob: bytes) -> tuple[int, int, int, bytearray]:
+    """BMP bytes -> ``(width, height, channels, samples)`` (RGB or RGBA
+    interleaved). Raises ValueError on compressed or exotic variants."""
+    if blob[:2] != b"BM" or len(blob) < 54:
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", blob, 10)
+    (hdr_size,) = struct.unpack_from("<I", blob, 14)
+    if hdr_size < 40:
+        raise ValueError("pre-BITMAPINFOHEADER BMP unsupported")
+    w, h_raw = struct.unpack_from("<ii", blob, 18)
+    planes, bpp = struct.unpack_from("<HH", blob, 26)
+    (compression,) = struct.unpack_from("<I", blob, 30)
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if planes != 1 or compression != 0:
+        raise ValueError("compressed/planar BMP unsupported")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"{bpp}-bpp BMP unsupported")
+    if w <= 0 or h <= 0 or w * h * 4 > MAX_PIXELS:
+        raise ValueError("image too large")
+    palette = b""
+    if bpp == 8:
+        (ncolors,) = struct.unpack_from("<I", blob, 46)
+        ncolors = ncolors or 256
+        pal_off = 14 + hdr_size
+        palette = blob[pal_off : pal_off + 4 * ncolors]  # BGRA quads
+        if len(palette) < 4 * ncolors:
+            raise ValueError("short BMP palette")
+    ch = 4 if bpp == 32 else 3
+    stride = (w * (bpp // 8) + 3) & ~3
+    if data_off + stride * h > len(blob):
+        raise ValueError("truncated BMP pixel data")
+    out = bytearray(w * h * ch)
+    for row in range(h):
+        y = row if top_down else h - 1 - row
+        src = data_off + row * stride
+        dst = y * w * ch
+        if bpp == 8:
+            for x in range(w):
+                i = blob[src + x] * 4
+                out[dst] = palette[i + 2]      # stored BGR(A)
+                out[dst + 1] = palette[i + 1]
+                out[dst + 2] = palette[i]
+                dst += 3
+        elif bpp == 24:
+            for x in range(w):
+                b3 = src + 3 * x
+                out[dst] = blob[b3 + 2]
+                out[dst + 1] = blob[b3 + 1]
+                out[dst + 2] = blob[b3]
+                dst += 3
+        else:  # 32-bit BGRA
+            for x in range(w):
+                b4 = src + 4 * x
+                out[dst] = blob[b4 + 2]
+                out[dst + 1] = blob[b4 + 1]
+                out[dst + 2] = blob[b4]
+                out[dst + 3] = blob[b4 + 3]
+                dst += 4
+    return w, h, ch, out
+
+
+def encode_bmp(
+    w: int, h: int, channels: int, samples, top_down: bool = False
+) -> bytes:
+    """Minimal BI_RGB BMP writer (fixture helper): 24-bit from RGB or
+    gray samples, 32-bit from RGBA."""
+    bpp = 32 if channels == 4 else 24
+    stride = (w * (bpp // 8) + 3) & ~3
+    rows = bytearray()
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for y in order:
+        row = bytearray()
+        for x in range(w):
+            if channels == 1:
+                v = samples[y * w + x]
+                row += bytes((v, v, v))
+            elif channels == 3:
+                r, g, b = samples[3 * (y * w + x) : 3 * (y * w + x) + 3]
+                row += bytes((b, g, r))
+            else:
+                r, g, b, a = samples[4 * (y * w + x) : 4 * (y * w + x) + 4]
+                row += bytes((b, g, r, a))
+        row += b"\x00" * (stride - len(row))
+        rows += row
+    hdr = struct.pack(
+        "<iiHHIIiiII", w, -h if top_down else h, 1, bpp, 0,
+        len(rows), 2835, 2835, 0, 0,
+    )
+    info = struct.pack("<I", 40) + hdr
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + len(info) + len(rows),
+                           0, 0, 14 + len(info))
+    return file_hdr + info + rows
+
+
 # --- GIF (87a/89a): the second real pure-Python format -----------------------
 
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step)
@@ -2402,6 +2504,8 @@ def _pixels(blob: bytes) -> tuple[int, int, int, bytearray]:
         return decode_jpeg(blob)
     if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
         return decode_webp(blob)
+    if blob[:2] == b"BM":
+        return decode_bmp(blob)
     return decode_png(blob)
 
 
@@ -2513,6 +2617,42 @@ def image_meta(blob: bytes) -> Optional[tuple[str, int, int, int]]:
             w = int.from_bytes(blob[24:27], "little") + 1
             h = int.from_bytes(blob[27:30], "little") + 1
             return ("webp", w, h, 4 if flags & 0x10 else 3)
+        return None
+    if blob[:2] == b"BM" and len(blob) >= 30:
+        w, h = struct.unpack_from("<ii", blob, 18)
+        (bpp,) = struct.unpack_from("<H", blob, 28)
+        return ("bmp", abs(w), abs(h), 4 if bpp == 32 else 3)
+    if blob[:4] in (b"II*\x00", b"MM\x00*") and len(blob) >= 8:
+        le = blob[0] == 0x49
+        endo = "little" if le else "big"
+        off = int.from_bytes(blob[4:8], endo)
+        w = h = spp = 0
+        if off + 2 <= len(blob):
+            n_ent = int.from_bytes(blob[off : off + 2], endo)
+            for e in range(min(n_ent, 64)):
+                base = off + 2 + 12 * e
+                if base + 12 > len(blob):
+                    break
+                tag = int.from_bytes(blob[base : base + 2], endo)
+                typ = int.from_bytes(blob[base + 2 : base + 4], endo)
+                val = int.from_bytes(
+                    blob[base + 8 : base + (10 if typ == 3 else 12)], endo
+                )
+                if tag == 256:
+                    w = val
+                elif tag == 257:
+                    h = val
+                elif tag == 277:
+                    spp = val
+        if w and h:
+            return ("tiff", w, h, spp or 1)
+        return None
+    if blob[:4] == b"\x00\x00\x01\x00" and len(blob) >= 8:
+        n_img = int.from_bytes(blob[4:6], "little")
+        if n_img:
+            w = blob[6] or 256
+            h = blob[7] or 256
+            return ("ico", w, h, 4)
         return None
     if blob[:2] == b"\xff\xd8":  # JPEG SOI
         pos = 2

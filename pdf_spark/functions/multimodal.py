@@ -1348,3 +1348,89 @@ SELECT doc_id,
             THEN 1 ELSE 0 END AS INTEGER) AS cross_format
 FROM v
 """
+
+
+# -- qm18: BMP decode (core/imaging.py) -----------------------------------------
+#
+# BI_RGB DIBs are stored bottom-up by default; the fixture is two-tone
+# TOP/BOTTOM with storage order rotating by residue, so a decoder that
+# forgets the row flip swaps the aHash halves — the oracle is
+# orientation-sensitive, not just value-sensitive. Channels rotate
+# gray-as-24bpp / RGB / RGBA.
+
+
+def _qm18_make_bmp(doc_id: int) -> bytes:
+    from pdf_spark.core.imaging import encode_bmp
+
+    i = int(doc_id)
+    a = (i * 37) % 200 + 28
+    b = (i * 19 + 11) % 200 + 28
+    if a == b:
+        b = b + 1
+    ch = (1, 3, 4)[i % 3]
+    vals = []
+    for y in range(16):
+        for _x in range(16):
+            v = a if y < 8 else b
+            if ch == 1:
+                vals.append(v)
+            elif ch == 3:
+                vals += [v, v, v]
+            else:
+                vals += [v, v, v, 255]
+    return encode_bmp(16, 16, ch, vals, top_down=bool(i % 2))
+
+
+def _qm18(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_spark.core import imaging
+
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pil, imaging._PIL = imaging._PIL, None
+        try:
+            for batch in batches:
+                ids = [int(d) for d in batch["doc_id"]]
+                blobs = [_qm18_make_bmp(d) for d in ids]
+                feats = [imaging.image_features(bl) for bl in blobs]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "width": [f[0] for f in feats],
+                        "height": [f[1] for f in feats],
+                        "n_channels": [f[2] for f in feats],
+                        "mean_luma": [f[3] for f in feats],
+                        "ahash_hex": [
+                            format(imaging.average_hash(bl), "016x")
+                            for bl in blobs
+                        ],
+                    }
+                )
+        finally:
+            imaging._PIL = pil
+
+    return docs.mapInPandas(run, _PALETTE_SCHEMA)
+
+
+QUERIES["qm18_bmp_features"] = _qm18
+# top half = a, bottom = b REGARDLESS of storage order; 32 top hash
+# bits set iff a > b
+ORACLE["qm18_bmp_features"] = """
+WITH v AS (
+    SELECT doc_id,
+           (doc_id * 37) % 200 + 28 AS a,
+           CASE WHEN (doc_id * 37) % 200 = (doc_id * 19 + 11) % 200
+                THEN (doc_id * 19 + 11) % 200 + 29
+                ELSE (doc_id * 19 + 11) % 200 + 28 END AS b
+    FROM documents
+)
+SELECT doc_id,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 4 ELSE 3 END AS INTEGER)
+           AS n_channels,
+       CAST((a + b) // 2 AS INTEGER) AS mean_luma,
+       CASE WHEN a > b THEN 'ffffffff00000000'
+            ELSE '00000000ffffffff' END AS ahash_hex
+FROM v
+"""

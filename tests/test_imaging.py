@@ -749,3 +749,84 @@ class TestWebpLossless:
             assert imaging.average_hash(blob) == 0xF0F0F0F0F0F0F0F0
         finally:
             imaging._PIL = pil_backend
+
+
+class TestBmp:
+    """BMP (BI_RGB DIB): 8-bit palette / 24 / 32-bit, bottom-up and
+    top-down rows, 4-byte stride padding, header-only meta."""
+
+    def test_roundtrip_and_orientation(self):
+        import random
+
+        from pdf_spark.core.imaging import decode_bmp, encode_bmp
+
+        rng = random.Random(8)
+        for ch in (1, 3, 4):
+            for td in (False, True):
+                w, h = 13, 7  # stride padding exercised (13*3 % 4 != 0)
+                s = [rng.randrange(256) for _ in range(w * h * ch)]
+                ww, hh, och, out = decode_bmp(encode_bmp(w, h, ch, s, td))
+                assert (ww, hh, och) == (w, h, 4 if ch == 4 else 3)
+                exp = bytearray()
+                for i in range(w * h):
+                    if ch == 1:
+                        exp += bytes((s[i],) * 3)
+                    else:
+                        exp += bytes(s[ch * i : ch * i + ch])
+                assert bytes(out) == bytes(exp), (ch, td)
+
+    def test_8bit_palette(self):
+        import struct
+
+        from pdf_spark.core.imaging import decode_bmp, encode_bmp
+
+        # build an 8-bpp indexed BMP by hand: 2-entry palette, 4x2
+        pal = struct.pack("<I", 0x00_30_20_10) + struct.pack(
+            "<I", 0x00_60_50_40
+        )  # BGR0 quads: entry0=(16,32,48) RGB reversed -> R=16? stored B,G,R
+        rows = bytes([0, 1, 0, 1]) + bytes([1, 1, 0, 0])  # stride 4 = w
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, 4, -2, 1, 8, 0, len(rows), 0, 0, 2, 0
+        )
+        blob = (
+            struct.pack("<2sIHHI", b"BM", 14 + len(info) + 8 + len(rows),
+                        0, 0, 14 + len(info) + 8)
+            + info + pal + rows
+        )
+        w, h, ch, out = decode_bmp(blob)
+        assert (w, h, ch) == (4, 2, 3)
+        # entry0 BGR bytes (0x10,0x20,0x30) -> RGB (0x30,0x20,0x10)
+        assert bytes(out[0:3]) == bytes((0x30, 0x20, 0x10))
+        assert bytes(out[3:6]) == bytes((0x60, 0x50, 0x40))
+
+    def test_rejects_compressed_and_meta(self):
+        import struct
+
+        import pytest
+
+        from pdf_spark.core.imaging import decode_bmp, encode_bmp, image_meta
+
+        blob = bytearray(encode_bmp(4, 4, 3, [0] * 48))
+        struct.pack_into("<I", blob, 30, 1)  # BI_RLE8
+        with pytest.raises(ValueError, match="compressed"):
+            decode_bmp(bytes(blob))
+        good = encode_bmp(6, 3, 4, [9] * 72)
+        assert image_meta(good) == ("bmp", 6, 3, 4)
+
+    def test_tiff_ico_meta(self):
+        import struct
+
+        from pdf_spark.core.imaging import image_meta
+
+        for endian, pre in (("<", b"II*\x00"), (">", b"MM\x00*")):
+            ifd = struct.pack(endian + "H", 3)
+            for tag, val in ((256, 800), (257, 600), (277, 4)):
+                if endian == "<":
+                    ifd += struct.pack("<HHIHH", tag, 3, 1, val, 0)
+                else:
+                    ifd += struct.pack(">HHIHH", tag, 3, 1, val, 0)
+            ifd += b"\x00" * 4
+            tif = pre + struct.pack(endian + "I", 8) + ifd
+            assert image_meta(tif) == ("tiff", 800, 600, 4), endian
+        ico = b"\x00\x00\x01\x00\x01\x00" + bytes([0, 48]) + b"\x00" * 8
+        assert image_meta(ico) == ("ico", 256, 48, 4)  # 0 means 256

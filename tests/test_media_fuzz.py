@@ -18,7 +18,7 @@ from pdf_spark.core.audio import decode_wav, encode_wav
 # hard per-decode wall: a mutation may legally decode something big but
 # bounded; >5 s on a <=1 KB blob means quadratic blowup or a spin
 _SEEDS = {"png": 1, "png_pal": 2, "gif": 3, "jpeg": 4, "jpeg_prog": 5,
-          "webp": 6, "wav": 7}
+          "webp": 6, "wav": 7, "bmp": 8}
 
 
 class _DecodeTimeout(Exception):
@@ -59,6 +59,9 @@ def _fixtures():
             16, 16, 1, list(gray), cache_bits=3, lz77=True
         ),
         "wav": encode_wav(8000, 2, 16, [i % 251 - 125 for i in range(64)]),
+        "bmp": __import__(
+            "pdf_spark.core.imaging", fromlist=["encode_bmp"]
+        ).encode_bmp(9, 5, 3, [rng.randrange(256) for _ in range(135)]),
     }
     return out
 
