@@ -2419,3 +2419,95 @@ _pair(
     .replace("{LEN}", "len")
     .replace("{UNNEST}", ", LATERAL UNNEST(t.gl) AS u(gram)"),
 )
+
+# --- qt53: ExactSubstr duplicated-span removal (Lee et al. 2021) -----------
+#
+# The suffix-array "deduplicate exact substrings, not whole documents"
+# op from "Deduplicating Training Data Makes Language Models Better"
+# (Lee et al., public), re-expressed as Spark dataflow: every K-token
+# window is hashed (md5 — portable to the DuckDB oracle), a window is
+# DUPLICATED when its hash occurs in >= 2 distinct documents, and a
+# doc's duplicated window positions are merged into maximal token
+# spans with the classic gaps-and-islands window (running MAX(end)
+# over preceding rows -> new-island flag -> running SUM -> island id).
+# Output is integer-exact per doc: token count, merged duplicated-span
+# count, and tokens removed if those spans were cut.
+#
+# Shape at 10^12 docs: position explode is one row per token
+# (same scale as qt51's bigram explode); the duplicated-gram
+# vocabulary is a groupBy on uniform 16-byte md5 keys (COUNT DISTINCT
+# doc_id >= 2) probed by an equi-join — at real scale a bloom filter
+# on the gram hash pre-drops the ~unique majority before the join;
+# the interval merge is a per-doc window (bounded partitions). The
+# paper's suffix array is a single-node structure; this is the
+# shuffle-native equivalent for fixed K (the paper's own dedup uses
+# 50-token minimum matches — K is that floor).
+
+_QT53_K = 8
+
+_QT53_BODY = """
+WITH toks AS (
+  SELECT doc_id, {TOKS} AS a FROM documents
+),
+pos AS (
+  SELECT doc_id, {LEN}(a) AS n, i, md5({GRAM}) AS gh
+  FROM (SELECT doc_id, a, {SEQ} AS idxs FROM toks WHERE {LEN}(a) >= {K}) t
+  {UNNEST}
+),
+dupg AS (
+  SELECT gh FROM pos GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT p.doc_id, p.n, p.i AS s, p.i + {K} - 1 AS e
+  FROM pos p JOIN dupg d ON p.gh = d.gh
+),
+flagged AS (
+  SELECT doc_id, n, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits
+),
+islands AS (
+  SELECT doc_id, n, s, e,
+         SUM(new_island) OVER (
+           PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM flagged
+),
+merged AS (
+  SELECT doc_id, MAX(n) AS n, isl, MIN(s) AS ms, MAX(e) AS me
+  FROM islands GROUP BY doc_id, isl
+)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(me - ms + 1) AS BIGINT) AS removed_tokens
+FROM merged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _qt53_sql(dialect: str) -> str:
+    k = str(_QT53_K)
+    body = _QT53_BODY.replace("{K}", k)
+    if dialect == "spark":
+        return (
+            body.replace("{TOKS}", "split(lower(text), ' ')")
+            .replace("{LEN}", "size")
+            .replace("{SEQ}", f"sequence(1, size(a) - {k} + 1)")
+            .replace("{GRAM}", f"concat_ws(' ', slice(a, i, {k}))")
+            .replace("{UNNEST}", "LATERAL VIEW explode(idxs) ix AS i")
+        )
+    return (
+        body.replace("{TOKS}", "string_split(lower(text), ' ')")
+        .replace("{LEN}", "len")
+        .replace("{SEQ}", f"generate_series(1, len(a) - {k} + 1)")
+        .replace(
+            "{GRAM}", f"array_to_string(list_slice(a, i, i + {k} - 1), ' ')"
+        )
+        .replace("{UNNEST}", ", LATERAL UNNEST(t.idxs) AS u(i)")
+    )
+
+
+_pair("qt53_exactsubstr_spans", _qt53_sql("spark"), _qt53_sql("duck"))
