@@ -2511,3 +2511,117 @@ def _qt53_sql(dialect: str) -> str:
 
 
 _pair("qt53_exactsubstr_spans", _qt53_sql("spark"), _qt53_sql("duck"))
+
+# --- qt54: ExactSubstr span REMOVAL — the transform twin of qt53 ----------
+#
+# qt53 reports which token spans are duplicated; this op actually CUTS
+# them and emits the cleaned token stream, certified by md5 over the
+# re-joined text (the strongest cross-engine check available: one token
+# kept or dropped wrongly flips the digest). Docs with no duplicated
+# span keep their full stream (digest = md5 of the space-rejoined
+# original); docs whose ENTIRE stream is duplicated drop out of the
+# output — exactly the cut the paper's pipeline makes.
+#
+# Shape at 10^12 docs: positions explode once (one row per token), the
+# span set per doc is tiny after qt53's merge, and the kept-token test
+# is an equi-join on doc_id followed by a per-row interval check — at
+# real scale the merged spans broadcast (their count is bounded by
+# dup volume, not corpus size). Ordered re-assembly is
+# array_sort(collect_list(struct(pos, tok))) on the Spark side and
+# string_agg(... ORDER BY pos) in DuckDB — both deterministic; no
+# collect_list ordering assumption is made.
+
+_QT54_BODY = """
+WITH toks AS (
+  SELECT doc_id, {TOKS} AS a FROM documents
+),
+pos AS (
+  SELECT doc_id, i, md5({GRAM}) AS gh
+  FROM (SELECT doc_id, a, {SEQ} AS idxs FROM toks WHERE {LEN}(a) >= {K}) t
+  {UNNEST}
+),
+dupg AS (
+  SELECT gh FROM pos GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT p.doc_id, p.i AS s, p.i + {K} - 1 AS e
+  FROM pos p JOIN dupg d ON p.gh = d.gh
+),
+flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits
+),
+islands AS (
+  SELECT doc_id, s, e,
+         SUM(new_island) OVER (
+           PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM flagged
+),
+merged AS (
+  SELECT doc_id, isl, MIN(s) AS ms, MAX(e) AS me
+  FROM islands GROUP BY doc_id, isl
+),
+tokpos AS (
+  SELECT doc_id, j, tok
+  FROM (SELECT doc_id, a, {JSEQ} AS jdxs FROM toks) t
+  {JUNNEST}
+),
+kept AS (
+  SELECT tp.doc_id, tp.j, tp.tok
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM merged m
+    WHERE m.doc_id = tp.doc_id AND tp.j BETWEEN m.ms AND m.me)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+       md5({REJOIN}) AS cleaned_md5
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _qt54_sql(dialect: str) -> str:
+    k = str(_QT53_K)
+    body = _QT54_BODY.replace("{K}", k)
+    if dialect == "spark":
+        return (
+            body.replace("{TOKS}", "split(lower(text), ' ')")
+            .replace("{LEN}", "size")
+            .replace("{SEQ}", f"sequence(1, size(a) - {k} + 1)")
+            .replace("{GRAM}", f"concat_ws(' ', slice(a, i, {k}))")
+            .replace("{UNNEST}", "LATERAL VIEW explode(idxs) ix AS i")
+            .replace("{JSEQ}", "sequence(1, size(a))")
+            .replace(
+                "{JUNNEST}",
+                "LATERAL VIEW posexplode(a) tx AS p, tok"
+                "\n  LATERAL VIEW explode(array(p + 1)) jx AS j",
+            )
+            .replace(
+                "{REJOIN}",
+                "array_join(transform(array_sort(collect_list("
+                "struct(j, tok))), s -> s.tok), ' ')",
+            )
+        )
+    return (
+        body.replace("{TOKS}", "string_split(lower(text), ' ')")
+        .replace("{LEN}", "len")
+        .replace("{SEQ}", f"generate_series(1, len(a) - {k} + 1)")
+        .replace(
+            "{GRAM}", f"array_to_string(list_slice(a, i, i + {k} - 1), ' ')"
+        )
+        .replace("{UNNEST}", ", LATERAL UNNEST(t.idxs) AS u(i)")
+        .replace("{JSEQ}", "generate_series(1, len(a))")
+        .replace(
+            "{JUNNEST}",
+            ", LATERAL UNNEST(t.jdxs) AS u(j), LATERAL (SELECT t.a[u.j] AS tok) s",
+        )
+        .replace("{REJOIN}", "string_agg(tok, ' ' ORDER BY j)")
+    )
+
+
+_pair("qt54_exactsubstr_clean", _qt54_sql("spark"), _qt54_sql("duck"))
