@@ -449,6 +449,311 @@ def encode_bmp(
     return file_hdr + info + rows
 
 
+# --- TIFF (baseline 6.0): strip-based none/PackBits/LZW decode ---------------
+#
+# The crawl long-tail container (scans, faxes, scientific corpora). Scope
+# matches baseline TIFF for text-pipeline feature extraction: 8-bit
+# samples, chunky planar config, Compression 1 (none) / 32773 (PackBits)
+# / 5 (LZW — the SAME MSB-first early-change codec as PDF LZWDecode,
+# reused from core/filters.py), Predictor 2 horizontal differencing,
+# photometric WhiteIsZero / BlackIsZero / RGB(A) / Palette, both byte
+# orders, multi-strip. CCITT/JPEG-in-TIFF, 1/4/16-bit and planar=2
+# raise ValueError and route to the native tier like lossy VP8.
+
+
+def _packbits_decode(data: bytes, max_out: int) -> bytearray:
+    """Apple PackBits (TIFF 6.0 §9): (n literal bytes | repeat) runs."""
+    out = bytearray()
+    pos, n = 0, len(data)
+    while pos < n and len(out) < max_out:
+        ctl = data[pos]
+        pos += 1
+        if ctl < 128:  # ctl+1 literal bytes
+            end = pos + ctl + 1
+            if end > n:
+                raise ValueError("PackBits literal overruns data")
+            out += data[pos:end]
+            pos = end
+        elif ctl > 128:  # next byte repeated 257-ctl times
+            if pos >= n:
+                raise ValueError("PackBits run overruns data")
+            out += bytes([data[pos]]) * (257 - ctl)
+            pos += 1
+        # ctl == 128: no-op per spec
+    if len(out) > max_out:
+        raise ValueError("PackBits output exceeds strip size")
+    return out
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Minimal PackBits writer (fixture helper): greedy runs >=3, literal
+    chunks otherwise."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes((257 - run, data[i]))
+            i += run
+            continue
+        lit = i
+        while i < n and i - lit < 128:
+            nxt = 1
+            while i + nxt < n and nxt < 3 and data[i + nxt] == data[i]:
+                nxt += 1
+            if nxt >= 3:
+                break
+            i += 1
+        out += bytes((i - lit - 1,)) + data[lit:i]
+    return bytes(out)
+
+
+def _tiff_ifd(blob: bytes, endo: str) -> dict[int, list[int]]:
+    """IFD0 entries as ``tag -> list of integer values`` (BYTE/SHORT/LONG
+    and RATIONAL-as-numerator are all the tags we read)."""
+    off = int.from_bytes(blob[4:8], endo)
+    if off + 2 > len(blob):
+        raise ValueError("truncated TIFF IFD")
+    n_ent = int.from_bytes(blob[off : off + 2], endo)
+    sizes = {1: 1, 3: 2, 4: 4}
+    out: dict[int, list[int]] = {}
+    for e in range(min(n_ent, 256)):
+        base = off + 2 + 12 * e
+        if base + 12 > len(blob):
+            raise ValueError("truncated TIFF IFD entry")
+        tag = int.from_bytes(blob[base : base + 2], endo)
+        typ = int.from_bytes(blob[base + 2 : base + 4], endo)
+        count = int.from_bytes(blob[base + 4 : base + 8], endo)
+        if typ not in sizes or count > 1 << 20:
+            continue  # ASCII/rational/etc: not needed for decode
+        sz = sizes[typ]
+        total = sz * count
+        voff = base + 8 if total <= 4 else int.from_bytes(
+            blob[base + 8 : base + 12], endo
+        )
+        if voff + total > len(blob):
+            raise ValueError("TIFF value overruns file")
+        out[tag] = [
+            int.from_bytes(blob[voff + i * sz : voff + (i + 1) * sz], endo)
+            for i in range(count)
+        ]
+    return out
+
+
+def decode_tiff(blob: bytes) -> tuple[int, int, int, bytearray]:
+    """Baseline TIFF bytes -> ``(width, height, channels, samples)``.
+    Raises ValueError on out-of-scope variants (CCITT/JPEG compression,
+    sub-byte or 16-bit samples, planar=2) — the native-tier route."""
+    if blob[:4] not in (b"II*\x00", b"MM\x00*") or len(blob) < 8:
+        raise ValueError("not a TIFF")
+    endo = "little" if blob[0] == 0x49 else "big"
+    ifd = _tiff_ifd(blob, endo)
+
+    def one(tag: int, default: Optional[int] = None) -> int:
+        vals = ifd.get(tag)
+        if not vals:
+            if default is None:
+                raise ValueError(f"TIFF missing tag {tag}")
+            return default
+        return vals[0]
+
+    w, h = one(256), one(257)
+    comp = one(259, 1)
+    pm = one(262)
+    spp = one(277, 1)
+    bits = ifd.get(258, [1])
+    predictor = one(317, 1)
+    if one(284, 1) != 1:
+        raise ValueError("planar TIFF unsupported")
+    if any(b != 8 for b in bits) or len(bits) != spp:
+        raise ValueError("non-8-bit TIFF unsupported")
+    if comp not in (1, 5, 32773):
+        raise ValueError(f"TIFF compression {comp} unsupported")
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF predictor {predictor} unsupported")
+    if pm == 2:
+        if spp not in (3, 4):
+            raise ValueError("RGB TIFF needs 3/4 samples per pixel")
+    elif pm in (0, 1, 3):
+        if spp != 1:
+            raise ValueError("gray/palette TIFF needs 1 sample per pixel")
+    else:
+        raise ValueError(f"TIFF photometric {pm} unsupported")
+    ch = spp if pm == 2 else (3 if pm == 3 else 1)
+    if w <= 0 or h <= 0 or w * h * ch > MAX_PIXELS:
+        raise ValueError("image too large")
+    offsets = ifd.get(273)
+    counts = ifd.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF strips malformed")
+    rps = one(278, h) or h
+    row_bytes = w * spp
+    raw = bytearray()
+    for si, (so, sc) in enumerate(zip(offsets, counts)):
+        if so + sc > len(blob):
+            raise ValueError("TIFF strip overruns file")
+        rows = min(rps, h - si * rps)
+        if rows <= 0:
+            break
+        need = rows * row_bytes
+        data = blob[so : so + sc]
+        if comp == 1:
+            strip = bytearray(data)
+        elif comp == 32773:
+            strip = _packbits_decode(data, need)
+        else:
+            from pdf_spark.core.filters import lzw_decode
+
+            try:
+                strip = bytearray(lzw_decode(data, early_change=1)[:need])
+            except Exception as exc:  # PdfError -> the imaging contract
+                raise ValueError(f"TIFF LZW strip: {exc}") from exc
+        if len(strip) < need:
+            raise ValueError("short TIFF strip")
+        if predictor == 2:
+            for r in range(rows):
+                base = r * row_bytes
+                for i in range(spp, row_bytes):
+                    strip[base + i] = (strip[base + i] + strip[base + i - spp]) & 0xFF
+        raw += strip[:need]
+    if len(raw) < h * row_bytes:
+        raise ValueError("TIFF pixel data incomplete")
+    if pm == 2:
+        return w, h, ch, raw
+    if pm == 1:
+        return w, h, 1, raw
+    if pm == 0:  # WhiteIsZero: invert to the BlackIsZero convention
+        return w, h, 1, bytearray(255 - v for v in raw)
+    cmap = ifd.get(320)
+    if not cmap or len(cmap) < 3 * 256:
+        raise ValueError("palette TIFF missing ColorMap")
+    out = bytearray(w * h * 3)
+    for p in range(w * h):
+        idx = raw[p]
+        out[3 * p] = cmap[idx] >> 8  # ColorMap is 16-bit per channel
+        out[3 * p + 1] = cmap[256 + idx] >> 8
+        out[3 * p + 2] = cmap[512 + idx] >> 8
+    return w, h, 3, out
+
+
+def encode_tiff(
+    w: int,
+    h: int,
+    channels: int,
+    samples,
+    compression: str = "none",
+    predictor: bool = False,
+    big_endian: bool = False,
+    photometric: Optional[int] = None,
+    palette: Optional[list[tuple[int, int, int]]] = None,
+    rows_per_strip: int = 8,
+) -> bytes:
+    """Minimal baseline-TIFF writer (fixture helper). ``channels`` 1 or 3;
+    ``palette`` turns gray samples into Palette-color (pm 3);
+    ``photometric=0`` stores gray inverted as WhiteIsZero."""
+    endo = "big" if big_endian else "little"
+    spp = channels
+    pm = photometric
+    if palette is not None:
+        pm = 3
+    elif pm is None:
+        pm = 1 if channels == 1 else 2
+    px = bytearray(samples)
+    if pm == 0:
+        px = bytearray(255 - v for v in px)
+    row_bytes = w * spp
+    strips: list[bytes] = []
+    from pdf_spark.core.filters import lzw_encode
+
+    for y0 in range(0, h, rows_per_strip):
+        rows = min(rows_per_strip, h - y0)
+        strip = bytearray(px[y0 * row_bytes : (y0 + rows) * row_bytes])
+        if predictor:
+            for r in range(rows):
+                base = r * row_bytes
+                for i in range(row_bytes - 1, spp - 1, -1):
+                    strip[base + i] = (strip[base + i] - strip[base + i - spp]) & 0xFF
+        if compression == "none":
+            strips.append(bytes(strip))
+        elif compression == "packbits":
+            strips.append(_packbits_encode(bytes(strip)))
+        elif compression == "lzw":
+            strips.append(lzw_encode(bytes(strip), early_change=1))
+        else:
+            raise ValueError(compression)
+    comp_code = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+
+    entries: list[tuple[int, int, list[int]]] = [
+        (256, 4, [w]),
+        (257, 4, [h]),
+        (258, 3, [8] * spp),
+        (259, 3, [comp_code]),
+        (262, 3, [pm]),
+        (277, 3, [spp]),
+        (278, 4, [rows_per_strip]),
+    ]
+    if predictor:
+        entries.append((317, 3, [2]))
+    if palette is not None:
+        cmap = [0] * (3 * 256)
+        for i, (r, g, b) in enumerate(palette[:256]):
+            cmap[i] = r << 8
+            cmap[256 + i] = g << 8
+            cmap[512 + i] = b << 8
+        entries.append((320, 3, cmap))
+    # strip offsets/counts appended after layout below
+    n_ent = len(entries) + 2
+    ifd_off = 8
+    ifd_size = 2 + 12 * n_ent + 4
+    ext_off = ifd_off + ifd_size
+    sizes = {3: 2, 4: 4}
+
+    ext = bytearray()
+
+    def value_field(typ: int, vals: list[int]) -> bytes:
+        total = sizes[typ] * len(vals)
+        packed = b"".join(v.to_bytes(sizes[typ], endo) for v in vals)
+        if total <= 4:
+            return packed + b"\x00" * (4 - total)
+        nonlocal_off = ext_off + len(ext)
+        ext.extend(packed)
+        return nonlocal_off.to_bytes(4, endo)
+
+    # lay out strip data after the external-values area: compute its size
+    # first by building non-strip entries, then the offsets are known.
+    fields: list[bytes] = []
+    for tag, typ, vals in entries:
+        fields.append(
+            tag.to_bytes(2, endo)
+            + typ.to_bytes(2, endo)
+            + len(vals).to_bytes(4, endo)
+            + value_field(typ, vals)
+        )
+    # reserve external room for offsets/counts arrays when multi-strip
+    ns = len(strips)
+    counts = [len(s) for s in strips]
+    off_field_ext = 4 * ns > 4
+    strip_area = ext_off + len(ext) + (8 * ns if off_field_ext else 0)
+    offsets = []
+    pos = strip_area
+    for c in counts:
+        offsets.append(pos)
+        pos += c
+    for tag, vals in ((273, offsets), (279, counts)):
+        fields.append(
+            tag.to_bytes(2, endo)
+            + (4).to_bytes(2, endo)
+            + ns.to_bytes(4, endo)
+            + value_field(4, vals)
+        )
+    fields.sort(key=lambda f: int.from_bytes(f[:2], endo))
+    hdr = (b"MM\x00*" if big_endian else b"II*\x00") + ifd_off.to_bytes(4, endo)
+    ifd = n_ent.to_bytes(2, endo) + b"".join(fields) + b"\x00\x00\x00\x00"
+    return hdr + ifd + bytes(ext) + b"".join(bytes(s) for s in strips)
+
+
 # --- GIF (87a/89a): the second real pure-Python format -----------------------
 
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step)
@@ -2506,6 +2811,8 @@ def _pixels(blob: bytes) -> tuple[int, int, int, bytearray]:
         return decode_webp(blob)
     if blob[:2] == b"BM":
         return decode_bmp(blob)
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(blob)
     return decode_png(blob)
 
 

@@ -1434,3 +1434,98 @@ SELECT doc_id,
             ELSE '00000000ffffffff' END AS ahash_hex
 FROM v
 """
+
+
+# -- qm19: TIFF decode (core/imaging.py::decode_tiff) -----------------------------
+#
+# Rotation exercises the whole baseline-TIFF surface: photometric mode by
+# doc residue (gray BlackIsZero / RGB / palette / gray WhiteIsZero —
+# the pm-0 docs store INVERTED samples, so a decoder that skips the
+# re-inversion flips the two-tone aHash), compression none/PackBits/LZW
+# (+ horizontal predictor on the LZW docs), and byte order flipping
+# every other doc. Oracle is the same closed-form two-tone arithmetic
+# as qm18: top half a, bottom half b, 32 top hash bits set iff a > b.
+
+
+def _qm19_make_tiff(doc_id: int) -> bytes:
+    from pdf_spark.core.imaging import encode_tiff
+
+    i = int(doc_id)
+    a = (i * 41) % 200 + 28
+    b = (i * 23 + 13) % 200 + 28
+    if a == b:
+        b = b + 1
+    mode = i % 4
+    comp = ("none", "packbits", "lzw")[i % 3]
+    kw = {}
+    if mode == 1:
+        ch = 3
+        vals = []
+        for y in range(16):
+            v = a if y < 8 else b
+            vals += [v, v, v] * 16
+    else:
+        ch = 1
+        vals = [(a if y < 8 else b) for y in range(16) for _ in range(16)]
+        if mode == 2:
+            kw["palette"] = [(v, v, v) for v in range(256)]
+        elif mode == 3:
+            kw["photometric"] = 0
+    return encode_tiff(
+        16, 16, ch, vals, compression=comp, predictor=(comp == "lzw"),
+        big_endian=bool(i % 2), **kw,
+    )
+
+
+def _qm19(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_spark.core import imaging
+
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pil, imaging._PIL = imaging._PIL, None
+        try:
+            for batch in batches:
+                ids = [int(d) for d in batch["doc_id"]]
+                blobs = [_qm19_make_tiff(d) for d in ids]
+                feats = [imaging.image_features(bl) for bl in blobs]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "width": [f[0] for f in feats],
+                        "height": [f[1] for f in feats],
+                        "n_channels": [f[2] for f in feats],
+                        "mean_luma": [f[3] for f in feats],
+                        "ahash_hex": [
+                            format(imaging.average_hash(bl), "016x")
+                            for bl in blobs
+                        ],
+                    }
+                )
+        finally:
+            imaging._PIL = pil
+
+    return docs.mapInPandas(run, _PALETTE_SCHEMA)
+
+
+QUERIES["qm19_tiff_features"] = _qm19
+# palette (mode 2) decodes to RGB -> 3 channels; modes 0/3 stay gray
+ORACLE["qm19_tiff_features"] = """
+WITH v AS (
+    SELECT doc_id,
+           (doc_id * 41) % 200 + 28 AS a,
+           CASE WHEN (doc_id * 41) % 200 = (doc_id * 23 + 13) % 200
+                THEN (doc_id * 23 + 13) % 200 + 29
+                ELSE (doc_id * 23 + 13) % 200 + 28 END AS b
+    FROM documents
+)
+SELECT doc_id,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 4 IN (1, 2) THEN 3 ELSE 1 END AS INTEGER)
+           AS n_channels,
+       CAST((a + b) // 2 AS INTEGER) AS mean_luma,
+       CASE WHEN a > b THEN 'ffffffff00000000'
+            ELSE '00000000ffffffff' END AS ahash_hex
+FROM v
+"""

@@ -830,3 +830,94 @@ class TestBmp:
             assert image_meta(tif) == ("tiff", 800, 600, 4), endian
         ico = b"\x00\x00\x01\x00\x01\x00" + bytes([0, 48]) + b"\x00" * 8
         assert image_meta(ico) == ("ico", 256, 48, 4)  # 0 means 256
+
+
+class TestTiff:
+    """Baseline TIFF decode (core/imaging.py::decode_tiff): strips,
+    none/PackBits/LZW+predictor, gray/RGB/palette/WhiteIsZero, both
+    byte orders."""
+
+    def test_roundtrip_matrix(self):
+        import itertools
+        import random
+
+        from pdf_spark.core.imaging import decode_tiff, encode_tiff
+
+        rng = random.Random(5)
+        for comp, pred, be in itertools.product(
+            ("none", "packbits", "lzw"), (False, True), (False, True)
+        ):
+            px = bytes(rng.randrange(256) for _ in range(13 * 11 * 3))
+            blob = encode_tiff(
+                13, 11, 3, px, compression=comp, predictor=pred, big_endian=be
+            )
+            assert decode_tiff(blob) == (13, 11, 3, bytearray(px))
+
+    def test_multi_strip_walk(self):
+        from pdf_spark.core.imaging import decode_tiff, encode_tiff
+
+        # 20 rows at rows_per_strip=8 -> 3 strips incl. a short tail strip
+        px = bytes((x * 7 + y) % 256 for y in range(20) for x in range(6))
+        blob = encode_tiff(6, 20, 1, px, compression="packbits",
+                           rows_per_strip=8)
+        w, h, ch, out = decode_tiff(blob)
+        assert (w, h, ch) == (6, 20, 1) and bytes(out) == px
+
+    def test_white_is_zero_inverts(self):
+        from pdf_spark.core.imaging import decode_tiff, encode_tiff
+
+        px = bytes(range(64))
+        blob = encode_tiff(8, 8, 1, px, photometric=0)
+        _, _, _, out = decode_tiff(blob)
+        assert bytes(out) == px  # writer inverted, decoder re-inverted
+
+    def test_palette_lookup(self):
+        from pdf_spark.core.imaging import decode_tiff, encode_tiff
+
+        pal = [(i * 3 % 256, i, 255 - i) for i in range(256)]
+        px = bytes([0, 1, 2, 3, 200, 255])
+        blob = encode_tiff(3, 2, 1, px, palette=pal, compression="lzw")
+        w, h, ch, out = decode_tiff(blob)
+        assert (w, h, ch) == (3, 2, 3)
+        exp = bytearray()
+        for v in px:
+            exp += bytes(pal[v])
+        assert bytes(out) == bytes(exp)
+
+    def test_rejects_route_to_native(self):
+        import struct as st
+
+        import pytest as pt
+
+        from pdf_spark.core.imaging import decode_tiff, encode_tiff
+
+        blob = bytearray(encode_tiff(4, 4, 1, bytes(16)))
+        # patch Compression (tag 259) to CCITT G4 (4): entry value offset
+        endo = "little"
+        off = int.from_bytes(blob[4:8], endo)
+        n = int.from_bytes(blob[off:off + 2], endo)
+        for e in range(n):
+            base = off + 2 + 12 * e
+            if int.from_bytes(blob[base:base + 2], endo) == 259:
+                st.pack_into("<H", blob, base + 8, 4)
+        with pt.raises(ValueError):
+            decode_tiff(bytes(blob))
+        with pt.raises(ValueError):
+            decode_tiff(b"II*\x00\x08\x00\x00\x00")  # truncated IFD
+        with pt.raises(ValueError):
+            decode_tiff(b"not a tiff")
+
+    def test_pixels_dispatch_and_features(self):
+        from pdf_spark.core import imaging
+
+        px = bytes([10] * 32 + [250] * 32)  # 8x8 two-tone top/bottom
+        blob = imaging.encode_tiff(8, 8, 1, px, compression="lzw",
+                                   predictor=True)
+        pil, imaging._PIL = imaging._PIL, None
+        try:
+            w, h, ch, out = imaging._pixels(blob)
+            assert (w, h, ch) == (8, 8, 1) and bytes(out) == px
+            assert imaging.features_from_samples(w, h, ch, out) == 130
+            assert imaging.average_hash(blob) == 0x00000000FFFFFFFF
+        finally:
+            imaging._PIL = pil

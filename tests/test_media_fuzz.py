@@ -18,7 +18,7 @@ from pdf_spark.core.audio import decode_wav, encode_wav
 # hard per-decode wall: a mutation may legally decode something big but
 # bounded; >5 s on a <=1 KB blob means quadratic blowup or a spin
 _SEEDS = {"png": 1, "png_pal": 2, "gif": 3, "jpeg": 4, "jpeg_prog": 5,
-          "webp": 6, "wav": 7, "bmp": 8}
+          "webp": 6, "wav": 7, "bmp": 8, "tiff": 9, "tiff_pal": 10}
 
 
 class _DecodeTimeout(Exception):
@@ -62,6 +62,15 @@ def _fixtures():
         "bmp": __import__(
             "pdf_spark.core.imaging", fromlist=["encode_bmp"]
         ).encode_bmp(9, 5, 3, [rng.randrange(256) for _ in range(135)]),
+        "tiff": imaging.encode_tiff(
+            11, 10, 3, bytes(rng.randrange(256) for _ in range(330)),
+            compression="lzw", predictor=True, big_endian=True,
+        ),
+        "tiff_pal": imaging.encode_tiff(
+            12, 9, 1, bytes(rng.randrange(16) for _ in range(108)),
+            compression="packbits",
+            palette=[(i, 255 - i, i ^ 85) for i in range(256)],
+        ),
     }
     return out
 
