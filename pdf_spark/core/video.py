@@ -1,0 +1,230 @@
+"""Header-only video-container metadata (ISO-BMFF / MP4 family).
+
+The video twin of ``imaging.image_meta`` / ``audio.wav_meta``: at 10^12
+crawl blobs the decode tier is gated by a routing op that reads ~1 KB of
+container structure and NO codec payload — brand, duration, dimensions,
+track inventory — so transcode/sample/feature work lands only where the
+container says there is anything to do.
+
+ISO base media file format (ISO/IEC 14496-12, public spec) box walk:
+
+- top level: ``ftyp`` (major brand), ``moov`` (metadata), ``mdat`` (payload,
+  skipped by declared size — never read)
+- ``moov`` -> ``mvhd`` (movie timescale + duration -> duration_ms)
+- ``moov`` -> ``trak`` -> ``tkhd`` (16.16 fixed-point presentation size)
+  and ``trak`` -> ``mdia`` -> ``hdlr`` (handler: ``vide``/``soun``/...)
+
+Version 0 (32-bit) and version 1 (64-bit) mvhd/tkhd are both handled, as
+is the ``size == 1`` largesize escape and ``size == 0`` to-end-of-file.
+Truncated/malformed boxes end the walk with whatever was parsed (routing
+decision, not an error); a buffer with no ftyp/moov signature raises
+``ValueError`` so the dispatcher can route it elsewhere.
+
+The fixture writer ``encode_mp4_skeleton`` emits honest box structure
+(real sizes, real fixed-point fields, an mdat placeholder) so tests and
+the qm20 oracle run on genuine bitstreams, mirroring the image/audio
+fixture writers (no hand-waved blobs).
+
+Reference parity note: the reference engine (someone13574/pdf) has no
+media-container surface at all — this tier is net-new, like the E126+
+image formats.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["mp4_meta", "encode_mp4_skeleton"]
+
+_MAX_BOXES = 4096
+_MAX_DEPTH = 8
+
+# Containers we descend into (only the spine the meta needs).
+_DESCEND = {b"moov", b"trak", b"mdia"}
+
+
+def _u32(buf: bytes, off: int) -> int:
+    return struct.unpack_from(">I", buf, off)[0]
+
+
+def _u64(buf: bytes, off: int) -> int:
+    return struct.unpack_from(">Q", buf, off)[0]
+
+
+def _iter_boxes(buf: bytes, start: int, end: int, depth: int, state: dict):
+    """Yield (type, payload_start, payload_end) for boxes in [start, end)."""
+    off = start
+    while off + 8 <= end and state["boxes"] < _MAX_BOXES:
+        size = _u32(buf, off)
+        btype = buf[off + 4 : off + 8]
+        head = 8
+        if size == 1:
+            if off + 16 > end:
+                return
+            size = _u64(buf, off + 8)
+            head = 16
+        elif size == 0:
+            size = end - off
+        if size < head:
+            return  # malformed: stop this level, keep what we have
+        if off + size > end:
+            # truncated tail box: walk the bytes that exist, then stop —
+            # a cut-off moov still yields its parsed prefix (routing meta,
+            # not an error)
+            state["boxes"] += 1
+            yield btype, off + head, end, depth
+            return
+        state["boxes"] += 1
+        yield btype, off + head, off + size, depth
+        off += size
+
+
+def _walk(buf: bytes, start: int, end: int, depth: int, state: dict) -> None:
+    if depth > _MAX_DEPTH:
+        return
+    trak_ctx = None
+    for btype, p0, p1, _d in _iter_boxes(buf, start, end, depth, state):
+        if btype == b"ftyp" and p1 - p0 >= 4:
+            state.setdefault("brand", buf[p0 : p0 + 4].decode("latin-1").strip())
+        elif btype == b"mvhd" and p1 - p0 >= 20:
+            ver = buf[p0]
+            if ver == 1 and p1 - p0 >= 28:
+                ts, dur = _u32(buf, p0 + 20), _u64(buf, p0 + 24)
+            else:
+                ts, dur = _u32(buf, p0 + 12), _u32(buf, p0 + 16)
+            if ts:
+                state["duration_ms"] = dur * 1000 // ts
+        elif btype == b"trak":
+            trak_ctx = {"w": 0, "h": 0, "handler": b""}
+            state["_trak"] = trak_ctx
+            _walk(buf, p0, p1, depth + 1, state)
+            t = state.pop("_trak")
+            h = t["handler"]
+            if h == b"vide":
+                state["n_video"] += 1
+                if t["w"] * t["h"] > state["width"] * state["height"]:
+                    state["width"], state["height"] = t["w"], t["h"]
+            elif h == b"soun":
+                state["n_audio"] += 1
+        elif btype == b"tkhd" and "_trak" in state:
+            ver = buf[p0]
+            # width/height are the LAST two u32s of the fixed-layout box:
+            # v0 payload = 84 bytes, v1 = 96 bytes (16.16 fixed point).
+            need = 96 if ver == 1 else 84
+            if p1 - p0 >= need:
+                state["_trak"]["w"] = _u32(buf, p0 + need - 8) >> 16
+                state["_trak"]["h"] = _u32(buf, p0 + need - 4) >> 16
+        elif btype == b"hdlr" and "_trak" in state and p1 - p0 >= 12:
+            state["_trak"]["handler"] = buf[p0 + 8 : p0 + 12]
+        elif btype in _DESCEND:
+            _walk(buf, p0, p1, depth + 1, state)
+
+
+def mp4_meta(buf: bytes) -> dict:
+    """Parse ISO-BMFF structure from header bytes; no codec payload read.
+
+    Returns dict(brand, duration_ms, width, height, n_video, n_audio).
+    Raises ValueError when the buffer is not ISO-BMFF (routing signal).
+    """
+    buf = bytes(buf)
+    if len(buf) < 12 or buf[4:8] not in (
+        b"ftyp",
+        b"moov",
+        b"mdat",
+        b"free",
+        b"skip",
+        b"wide",
+    ):
+        raise ValueError("not an ISO-BMFF container")
+    state = {
+        "boxes": 0,
+        "duration_ms": 0,
+        "width": 0,
+        "height": 0,
+        "n_video": 0,
+        "n_audio": 0,
+    }
+    _walk(buf, 0, len(buf), 0, state)
+    return {
+        "brand": state.get("brand", ""),
+        "duration_ms": int(state["duration_ms"]),
+        "width": int(state["width"]),
+        "height": int(state["height"]),
+        "n_video": int(state["n_video"]),
+        "n_audio": int(state["n_audio"]),
+    }
+
+
+# ---------------------------------------------------------------- fixtures
+
+
+def _box(btype: bytes, payload: bytes, largesize: bool = False) -> bytes:
+    if largesize:
+        return struct.pack(">I4sQ", 1, btype, 16 + len(payload)) + payload
+    return struct.pack(">I4s", 8 + len(payload), btype) + payload
+
+
+def _mvhd(timescale: int, duration: int, version: int) -> bytes:
+    if version == 1:
+        body = struct.pack(">BxxxQQIQ", 1, 0, 0, timescale, duration)
+    else:
+        body = struct.pack(">BxxxIIII", 0, 0, 0, timescale, duration)
+    # rate, volume+reserved, matrix (identity), predefined, next_track_id
+    body += struct.pack(">i", 0x00010000) + struct.pack(">hH", 0x0100, 0)
+    body += struct.pack(">2I", 0, 0)
+    body += struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    body += b"\x00" * 24 + struct.pack(">I", 2)
+    return _box(b"mvhd", body)
+
+
+def _tkhd(track_id: int, duration: int, w: int, h: int, version: int) -> bytes:
+    if version == 1:
+        body = struct.pack(">BxxxQQIIQ", 1, 0, 0, track_id, 0, duration)
+    else:
+        body = struct.pack(">BxxxIIIII", 0, 0, 0, track_id, 0, duration)
+    body += struct.pack(">2I", 0, 0) + struct.pack(">hhhH", 0, 0, 0, 0)
+    body += struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    body += struct.pack(">II", w << 16, h << 16)
+    return _box(b"tkhd", body)
+
+
+def _hdlr(handler: bytes) -> bytes:
+    return _box(b"hdlr", struct.pack(">Bxxx4s4s12x", 0, b"\0\0\0\0", handler) + b"\x00")
+
+
+def _mdhd(timescale: int, duration: int) -> bytes:
+    body = struct.pack(">BxxxIIII", 0, 0, 0, timescale, duration)
+    body += struct.pack(">HH", 0x55C4, 0)  # language 'und', predefined
+    return _box(b"mdhd", body)
+
+
+def encode_mp4_skeleton(
+    major_brand: str,
+    timescale: int,
+    duration: int,
+    tracks: list,
+    mvhd_version: int = 0,
+    largesize_mdat: bool = False,
+) -> bytes:
+    """Emit an honest ISO-BMFF skeleton: ftyp + moov(mvhd, trak...) + mdat.
+
+    ``tracks`` is a list of (handler_str, width, height) — e.g.
+    ("vide", 640, 360) or ("soun", 0, 0). Box sizes, fixed-point fields
+    and version layouts are real; the mdat payload is a placeholder.
+    """
+    brand = major_brand.encode("latin-1").ljust(4)[:4]
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0) + brand + b"mp41")
+    kids = [_mvhd(timescale, duration, mvhd_version)]
+    for i, (handler, w, h) in enumerate(tracks):
+        mdia = _box(
+            b"mdia", _mdhd(timescale, duration) + _hdlr(handler.encode("latin-1"))
+        )
+        kids.append(
+            _box(
+                b"trak",
+                _tkhd(i + 1, duration, w, h, mvhd_version) + mdia,
+            )
+        )
+    moov = _box(b"moov", b"".join(kids))
+    mdat = _box(b"mdat", b"\x00" * 16, largesize=largesize_mdat)
+    return ftyp + moov + mdat

@@ -1529,3 +1529,99 @@ SELECT doc_id,
             ELSE '00000000ffffffff' END AS ahash_hex
 FROM v
 """
+
+
+# -- qm20: MP4/ISO-BMFF header-only video metadata (core/video.py) ----------------
+#
+# The video-modality routing op (E140): brand / duration / presentation
+# size / track inventory from the moov spine alone — no codec payload
+# read. Fixtures are honest box structures from encode_mp4_skeleton;
+# rotation exercises both mvhd/tkhd versions (v0 32-bit, v1 64-bit),
+# the size==1 largesize escape, multi-track max-dimension selection and
+# audio-only files. Oracle restates the closed-form field arithmetic.
+
+_MP4_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("brand", StringType()),
+        StructField("duration_ms", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_video", IntegerType()),
+        StructField("n_audio", IntegerType()),
+    ]
+)
+
+
+def _qm20_make_mp4(doc_id: int) -> bytes:
+    from pdf_spark.core.video import encode_mp4_skeleton
+
+    i = int(doc_id)
+    brand = ("isom", "mp42", "avc1")[i % 3]
+    duration = (i * 97) % 9000 + 1200  # timescale 600 -> non-trivial ms math
+    w = 160 + (i % 7) * 80
+    h = 90 + (i % 7) * 45
+    w2 = 320 + (i % 5) * 64
+    h2 = 180 + (i % 5) * 36
+    tracks = [
+        [("vide", 640, 360)],
+        [("vide", w, h), ("soun", 0, 0)],
+        [("soun", 0, 0)],
+        [("vide", 160, 90), ("vide", w2, h2), ("soun", 0, 0)],
+    ][i % 4]
+    return encode_mp4_skeleton(
+        brand,
+        600,
+        duration,
+        tracks,
+        mvhd_version=1 if i % 5 == 0 else 0,
+        largesize_mdat=(i % 6 == 0),
+    )
+
+
+def _qm20(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.video import mp4_meta
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [mp4_meta(_qm20_make_mp4(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "brand": [m["brand"] for m in metas],
+                    "duration_ms": [m["duration_ms"] for m in metas],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "n_video": [m["n_video"] for m in metas],
+                    "n_audio": [m["n_audio"] for m in metas],
+                }
+            )
+
+    return docs.mapInPandas(run, _MP4_SCHEMA)
+
+
+QUERIES["qm20_mp4_meta"] = _qm20
+ORACLE["qm20_mp4_meta"] = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+            ELSE 'avc1' END AS brand,
+       CAST(((doc_id * 97) % 9000 + 1200) * 1000 // 600 AS BIGINT)
+           AS duration_ms,
+       CAST(CASE doc_id % 4
+            WHEN 0 THEN 640
+            WHEN 1 THEN 160 + (doc_id % 7) * 80
+            WHEN 2 THEN 0
+            ELSE 320 + (doc_id % 5) * 64 END AS INTEGER) AS width,
+       CAST(CASE doc_id % 4
+            WHEN 0 THEN 360
+            WHEN 1 THEN 90 + (doc_id % 7) * 45
+            WHEN 2 THEN 0
+            ELSE 180 + (doc_id % 5) * 36 END AS INTEGER) AS height,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 0
+            ELSE 2 END AS INTEGER) AS n_video,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 0 ELSE 1 END AS INTEGER) AS n_audio
+FROM documents
+"""
