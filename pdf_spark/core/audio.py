@@ -140,3 +140,215 @@ def wav_meta(blob: bytes) -> tuple[str, int, int, int] | None:
             return ("wav", rate, ch, bits)
         pos += 8 + sz + (sz & 1)
     return None
+
+
+# ---------------------------------------------------- compressed-audio meta
+#
+# Header-only routing meta for the crawl's compressed audio long tail —
+# MP3 (MPEG-1/2 Layer III frame header + optional Xing/Info VBR tag,
+# ID3v2 prefix skipped by its syncsafe size) and Ogg (Vorbis/Opus ident
+# packet on the first page, duration from the LAST page's granule
+# position). No entropy payload is ever decoded; the op reads the first
+# frame/page and the tail page and routes everything else.
+
+_MP3_BITRATE_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                     160, 192, 224, 256, 320, 0]
+_MP3_BITRATE_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+                     96, 112, 128, 144, 160, 0]
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+              0: [11025, 12000, 8000]}
+
+
+def _skip_id3v2(blob: bytes) -> int:
+    if blob[:3] != b"ID3" or len(blob) < 10:
+        return 0
+    sz = ((blob[6] & 0x7F) << 21) | ((blob[7] & 0x7F) << 14) \
+        | ((blob[8] & 0x7F) << 7) | (blob[9] & 0x7F)
+    return 10 + sz
+
+
+def mp3_meta(blob: bytes) -> dict:
+    """First-frame MP3 header meta: version, bitrate, rate, channels,
+    CBR duration estimate (exact integer ms via audio-byte count x 8000
+    // bitrate-in-bps-derived), Xing/Info frame count when present.
+    Raises ValueError when no Layer-III sync is found near the start."""
+    blob = bytes(blob)
+    off = _skip_id3v2(blob)
+    end = min(len(blob) - 4, off + 4096)
+    pos = -1
+    for i in range(off, max(off, end) + 1):
+        if i + 4 <= len(blob) and blob[i] == 0xFF and (blob[i + 1] & 0xE0) == 0xE0:
+            pos = i
+            break
+    if pos < 0:
+        raise ValueError("no MPEG audio sync")
+    b1, b2, b3 = blob[pos + 1], blob[pos + 2], blob[pos + 3]
+    ver = (b1 >> 3) & 3          # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = (b1 >> 1) & 3        # 1 = Layer III
+    if ver == 1 or layer != 1:
+        raise ValueError("not MPEG Layer III")
+    table = _MP3_BITRATE_V1L3 if ver == 3 else _MP3_BITRATE_V2L3
+    bitrate = table[(b2 >> 4) & 0xF]          # kbit/s
+    rate = _MP3_RATES[ver][(b2 >> 2) & 3] if ((b2 >> 2) & 3) < 3 else 0
+    if not bitrate or not rate:
+        raise ValueError("free-format/invalid MP3 header")
+    channels = 1 if ((b3 >> 6) & 3) == 3 else 2
+    spf = 1152 if ver == 3 else 576           # samples per frame, Layer III
+    # Xing/Info tag (VBR): frame count lives in the first frame's body
+    side = (17 if channels == 1 else 32) if ver == 3 else (9 if channels == 1 else 17)
+    tag_off = pos + 4 + side
+    frames = 0
+    if blob[tag_off : tag_off + 4] in (b"Xing", b"Info") and \
+            len(blob) >= tag_off + 12 and (blob[tag_off + 7] & 1):
+        frames = struct.unpack_from(">I", blob, tag_off + 8)[0]
+    if frames:
+        duration_ms = frames * spf * 1000 // rate
+    else:
+        duration_ms = (len(blob) - pos) * 8 // bitrate  # CBR: bytes*8/kbps = ms
+    return {
+        "codec": "mp3",
+        "mpeg_version": {3: 1, 2: 2, 0: 25}[ver],
+        "bitrate_kbps": bitrate,
+        "sample_rate": rate,
+        "channels": channels,
+        "duration_ms": int(duration_ms),
+    }
+
+
+def ogg_meta(blob: bytes) -> dict:
+    """Ogg container meta: ident packet on page 0 (Vorbis or Opus),
+    duration from the last page's granule position. Header-only — no
+    entropy payload decoded. Raises ValueError on non-Ogg input."""
+    blob = bytes(blob)
+    if blob[:4] != b"OggS" or len(blob) < 28:
+        raise ValueError("not an Ogg stream")
+    nseg = blob[26]
+    body0 = 27 + nseg
+    ident = blob[body0 : body0 + 64]
+    if ident[:8] == b"OpusHead":
+        codec = "opus"
+        channels = ident[9]
+        rate = 48000  # Opus always plays at 48 kHz; granule is 48 kHz ticks
+        pre_skip = struct.unpack_from("<H", ident, 10)[0]
+    elif ident[:7] == b"\x01vorbis":
+        codec = "vorbis"
+        channels = ident[11]
+        rate = struct.unpack_from("<I", ident, 12)[0]
+        pre_skip = 0
+    else:
+        raise ValueError("unknown Ogg codec")
+    if not rate:
+        raise ValueError("zero sample rate")
+    # last page's granule position: scan the tail window for final OggS
+    tail_start = max(0, len(blob) - 65536)
+    last = blob.rfind(b"OggS")
+    granule = 0
+    while last >= tail_start and last >= 0:
+        if last + 14 <= len(blob):
+            g = struct.unpack_from("<q", blob, last + 6)[0]
+            if g >= 0:
+                granule = g
+                break
+        last = blob.rfind(b"OggS", 0, last)
+    duration_ms = max(0, granule - pre_skip) * 1000 // rate
+    return {
+        "codec": codec,
+        "channels": int(channels),
+        "sample_rate": int(rate),
+        "duration_ms": int(duration_ms),
+    }
+
+
+def audio_meta(blob: bytes) -> dict:
+    """Route a blob across the audio-container families:
+    wav | mp3 | opus | vorbis | unknown — uniform meta shape."""
+    out = {"codec": "unknown", "channels": 0, "sample_rate": 0,
+           "bitrate_kbps": 0, "duration_ms": 0}
+    m = wav_meta(blob)
+    if m is not None:
+        _fmt, rate, ch, _bits = m
+        out.update(codec="wav", channels=ch, sample_rate=rate)
+        return out
+    try:
+        m = mp3_meta(blob)
+        out.update(codec="mp3", channels=m["channels"],
+                   sample_rate=m["sample_rate"],
+                   bitrate_kbps=m["bitrate_kbps"],
+                   duration_ms=m["duration_ms"])
+        return out
+    except (ValueError, IndexError):
+        pass
+    try:
+        m = ogg_meta(blob)
+        out.update(codec=m["codec"], channels=m["channels"],
+                   sample_rate=m["sample_rate"],
+                   duration_ms=m["duration_ms"])
+        return out
+    except (ValueError, IndexError):
+        pass
+    return out
+
+
+# ------------------------------------------------- compressed-audio fixtures
+
+
+def encode_mp3_skeleton(ver: int, bitrate_kbps: int, rate: int,
+                        channels: int, n_frames: int,
+                        xing: bool = False, id3: bool = False) -> bytes:
+    """Honest MP3 frame stream: real sync headers with the real
+    bitrate/rate index fields and spec frame sizes (payload zeros — the
+    meta op never reads entropy bytes), optional Xing tag in frame 0,
+    optional ID3v2 prefix."""
+    vbits = {1: 3, 2: 2, 25: 0}[ver]
+    table = _MP3_BITRATE_V1L3 if ver == 1 else _MP3_BITRATE_V2L3
+    bidx = table.index(bitrate_kbps)
+    ridx = _MP3_RATES[vbits].index(rate)
+    spf = 1152 if ver == 1 else 576
+    frame_len = spf // 8 * bitrate_kbps * 1000 // rate  # padding bit 0
+    hdr = bytes([
+        0xFF,
+        0xE0 | (vbits << 3) | (1 << 1),           # layer III
+        (bidx << 4) | (ridx << 2),
+        0xC0 if channels == 1 else 0x00,          # mono vs stereo
+    ])
+    frame = bytearray(hdr + b"\x00" * (frame_len - 4))
+    if xing:
+        side = (17 if channels == 1 else 32) if ver == 1 else \
+            (9 if channels == 1 else 17)
+        frame[4 + side : 4 + side + 4] = b"Xing"
+        frame[4 + side + 4 : 4 + side + 8] = struct.pack(">I", 1)  # flags: frames
+        frame[4 + side + 8 : 4 + side + 12] = struct.pack(">I", n_frames)
+    out = bytes(frame) * n_frames
+    if id3:
+        tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 32]) + b"\x00" * 32
+        out = tag + out
+    return out
+
+
+def _ogg_page(serial: int, seq: int, granule: int, packet: bytes,
+              flags: int = 0) -> bytes:
+    segs = []
+    rem = len(packet)
+    while rem >= 255:
+        segs.append(255)
+        rem -= 255
+    segs.append(rem)
+    head = struct.pack("<4sBBqIIIB", b"OggS", 0, flags, granule,
+                       serial, seq, 0, len(segs)) + bytes(segs)
+    return head + packet
+
+
+def encode_ogg_skeleton(codec: str, channels: int, rate: int,
+                        total_samples: int, pre_skip: int = 0) -> bytes:
+    """Honest Ogg stream: real page headers + real ident packet; one
+    data page carrying the final granule position."""
+    if codec == "opus":
+        ident = b"OpusHead" + bytes([1, channels]) + \
+            struct.pack("<HIhB", pre_skip, rate, 0, 0)
+        granule = total_samples + pre_skip
+    else:
+        ident = b"\x01vorbis" + struct.pack(
+            "<IBIiiiB", 0, channels, rate, 0, 0, 0, 1)
+        granule = total_samples
+    return (_ogg_page(1, 0, 0, ident, flags=2)
+            + _ogg_page(1, 1, granule, b"\x00" * 32, flags=4))

@@ -228,3 +228,234 @@ def encode_mp4_skeleton(
     moov = _box(b"moov", b"".join(kids))
     mdat = _box(b"mdat", b"\x00" * 16, largesize=largesize_mdat)
     return ftyp + moov + mdat
+
+
+# ------------------------------------------------------------- Matroska/WebM
+#
+# EBML walk (RFC 8794 + Matroska spec, both public): the crawl's second
+# video container family. Same contract as mp4_meta — header/metadata
+# elements only, no codec payload read, truncation tolerated, bombs capped.
+
+_EBML_HEADER = 0x1A45DFA3
+_SEGMENT = 0x18538067
+_INFO = 0x1549A966
+_TRACKS = 0x1654AE6B
+_TRACK_ENTRY = 0xAE
+_TRACK_TYPE = 0x83
+_VIDEO = 0xE0
+_PIXEL_W = 0xB0
+_PIXEL_H = 0xBA
+_TS_SCALE = 0x2AD7B1
+_DURATION = 0x4489
+_DOCTYPE = 0x4282
+
+_MKV_DESCEND = {_SEGMENT, _INFO, _TRACKS, _TRACK_ENTRY, _VIDEO, _EBML_HEADER}
+_MAX_ELEMENTS = 4096
+
+
+def _ebml_id(buf: bytes, off: int, end: int):
+    """Element ID varint — marker bit KEPT (IDs compare with it)."""
+    if off >= end:
+        return None
+    first = buf[off]
+    if first == 0:
+        return None
+    n = 8 - first.bit_length()  # leading zeros -> n continuation bytes
+    if off + 1 + n > end:
+        return None
+    val = first
+    for i in range(n):
+        val = (val << 8) | buf[off + 1 + i]
+    return val, off + 1 + n
+
+
+def _ebml_size(buf: bytes, off: int, end: int):
+    """Data-size varint — marker bit STRIPPED; all-ones payload = unknown."""
+    if off >= end:
+        return None
+    first = buf[off]
+    if first == 0:
+        return None
+    n = 8 - first.bit_length()
+    if off + 1 + n > end:
+        return None
+    val = first & ((1 << (7 - n)) - 1)
+    ones = val == (1 << (7 - n)) - 1
+    for i in range(n):
+        b = buf[off + 1 + i]
+        val = (val << 8) | b
+        ones = ones and b == 0xFF
+    return val, off + 1 + n, ones
+
+
+def _uint(buf: bytes) -> int:
+    v = 0
+    for b in buf:
+        v = (v << 8) | b
+    return v
+
+
+def _float(buf: bytes) -> float:
+    if len(buf) == 4:
+        return struct.unpack(">f", buf)[0]
+    if len(buf) == 8:
+        return struct.unpack(">d", buf)[0]
+    return 0.0
+
+
+def _mkv_walk(buf: bytes, start: int, end: int, depth: int, state: dict) -> None:
+    if depth > _MAX_DEPTH:
+        return
+    off = start
+    while off < end and state["elements"] < _MAX_ELEMENTS:
+        got = _ebml_id(buf, off, end)
+        if got is None:
+            return
+        eid, off2 = got
+        got = _ebml_size(buf, off2, end)
+        if got is None:
+            return
+        size, p0, unknown = got
+        p1 = end if unknown else min(p0 + size, end)  # truncation-clamped
+        state["elements"] += 1
+        if eid == _TRACK_ENTRY:
+            t = state["_trak"] = {"type": 0, "w": 0, "h": 0}
+            _mkv_walk(buf, p0, p1, depth + 1, state)
+            del state["_trak"]
+            if t["type"] == 1:
+                state["n_video"] += 1
+                if t["w"] * t["h"] > state["width"] * state["height"]:
+                    state["width"], state["height"] = t["w"], t["h"]
+            elif t["type"] == 2:
+                state["n_audio"] += 1
+        elif eid in _MKV_DESCEND:
+            _mkv_walk(buf, p0, p1, depth + 1, state)
+        elif eid == _DOCTYPE:
+            state["doc_type"] = buf[p0:p1].split(b"\x00")[0].decode("latin-1")
+        elif eid == _TS_SCALE:
+            state["ts_scale"] = _uint(buf[p0:p1])
+        elif eid == _DURATION:
+            state["duration_raw"] = _float(buf[p0:p1])
+        elif eid == _TRACK_TYPE and "_trak" in state:
+            state["_trak"]["type"] = _uint(buf[p0:p1])
+        elif eid == _PIXEL_W and "_trak" in state:
+            state["_trak"]["w"] = _uint(buf[p0:p1])
+        elif eid == _PIXEL_H and "_trak" in state:
+            state["_trak"]["h"] = _uint(buf[p0:p1])
+        if unknown:
+            return  # unknown-size master consumed the rest of this level
+        off = p1
+
+
+def mkv_meta(buf: bytes) -> dict:
+    """Matroska/WebM metadata from the EBML spine; no codec payload read.
+
+    Returns dict(doc_type, duration_ms, width, height, n_video, n_audio).
+    Raises ValueError when the buffer is not EBML (routing signal).
+    """
+    buf = bytes(buf)
+    if len(buf) < 8 or buf[:4] != b"\x1aE\xdf\xa3":
+        raise ValueError("not an EBML container")
+    state = {
+        "elements": 0,
+        "doc_type": "",
+        "ts_scale": 1_000_000,  # Matroska default: 1 ms in ns
+        "duration_raw": 0.0,
+        "width": 0,
+        "height": 0,
+        "n_video": 0,
+        "n_audio": 0,
+    }
+    _mkv_walk(buf, 0, len(buf), 0, state)
+    return {
+        "doc_type": state["doc_type"],
+        "duration_ms": int(state["duration_raw"] * state["ts_scale"] // 1_000_000),
+        "width": int(state["width"]),
+        "height": int(state["height"]),
+        "n_video": int(state["n_video"]),
+        "n_audio": int(state["n_audio"]),
+    }
+
+
+def video_meta(buf: bytes) -> dict:
+    """Route a blob to its container family: mp4 | webm | matroska | unknown."""
+    try:
+        m = mp4_meta(buf)
+        m["format"] = "mp4"
+        m.setdefault("doc_type", "")
+        return m
+    except ValueError:
+        pass
+    try:
+        m = mkv_meta(buf)
+        m["format"] = "webm" if m["doc_type"] == "webm" else "matroska"
+        m["brand"] = ""
+        return m
+    except ValueError:
+        pass
+    return {
+        "format": "unknown",
+        "brand": "",
+        "doc_type": "",
+        "duration_ms": 0,
+        "width": 0,
+        "height": 0,
+        "n_video": 0,
+        "n_audio": 0,
+    }
+
+
+# ------------------------------------------------- Matroska fixture writer
+
+
+def _ebml_encode_id(eid: int) -> bytes:
+    return eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+
+
+def _ebml_encode_size(size: int, unknown: bool = False) -> bytes:
+    if unknown:
+        return b"\xff"
+    for n in range(1, 9):
+        if size < (1 << (7 * n)) - 1:
+            return ((1 << (7 * n)) | size).to_bytes(n, "big")
+    raise ValueError("size too large")
+
+
+def _elem(eid: int, payload: bytes, unknown: bool = False) -> bytes:
+    return _ebml_encode_id(eid) + _ebml_encode_size(len(payload), unknown) + payload
+
+
+def _uint_elem(eid: int, v: int) -> bytes:
+    return _elem(eid, v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big"))
+
+
+def encode_mkv_skeleton(
+    doc_type: str,
+    duration_ms: int,
+    tracks: list,
+    float32: bool = False,
+    unknown_segment_size: bool = False,
+) -> bytes:
+    """Emit an honest EBML skeleton: header + Segment(Info, Tracks).
+
+    ``tracks`` is a list of (type_str, width, height) with type_str in
+    {"video", "audio"}. Duration is written as a real float element
+    (float64 by default, float32 when ``float32`` — integers < 2^24 stay
+    exact) against the default 1e6 TimestampScale.
+    """
+    header = _elem(
+        _EBML_HEADER,
+        _elem(_DOCTYPE, doc_type.encode("latin-1")),
+    )
+    dur = struct.pack(">f" if float32 else ">d", float(duration_ms))
+    info = _elem(
+        _INFO, _uint_elem(_TS_SCALE, 1_000_000) + _elem(_DURATION, dur)
+    )
+    entries = b""
+    for kind, w, h in tracks:
+        body = _uint_elem(_TRACK_TYPE, 1 if kind == "video" else 2)
+        if kind == "video":
+            body += _elem(_VIDEO, _uint_elem(_PIXEL_W, w) + _uint_elem(_PIXEL_H, h))
+        entries += _elem(_TRACK_ENTRY, body)
+    seg_payload = info + _elem(_TRACKS, entries)
+    return header + _elem(_SEGMENT, seg_payload, unknown=unknown_segment_size)

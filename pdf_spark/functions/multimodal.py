@@ -1625,3 +1625,199 @@ SELECT doc_id,
        CAST(CASE doc_id % 4 WHEN 0 THEN 0 ELSE 1 END AS INTEGER) AS n_audio
 FROM documents
 """
+
+
+# -- qm21: Matroska/WebM EBML metadata (core/video.py::mkv_meta) -------------------
+#
+# The second video container family (E141): EBML varint walk over
+# Segment -> Info (TimestampScale x float Duration -> exact ms for
+# integer-valued durations) and Tracks -> TrackEntry (type, pixel dims).
+# Rotation exercises float32 vs float64 duration elements, unknown-size
+# Segment masters (streamed-webm shape), audio-only files and two-video
+# max-dims selection; format routes webm vs matroska by DocType.
+
+_MKV_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("duration_ms", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_video", IntegerType()),
+        StructField("n_audio", IntegerType()),
+    ]
+)
+
+
+def _qm21_make_mkv(doc_id: int) -> bytes:
+    from pdf_spark.core.video import encode_mkv_skeleton
+
+    i = int(doc_id)
+    w = 256 + (i % 6) * 64
+    h = 144 + (i % 6) * 36
+    w2 = 480 + (i % 5) * 96
+    h2 = 270 + (i % 5) * 54
+    tracks = [
+        [("video", 640, 360)],
+        [("video", w, h), ("audio", 0, 0)],
+        [("audio", 0, 0)],
+        [("video", 160, 90), ("video", w2, h2), ("audio", 0, 0)],
+    ][i % 4]
+    return encode_mkv_skeleton(
+        "webm" if i % 2 == 0 else "matroska",
+        (i * 131) % 60000 + 1000,
+        tracks,
+        float32=(i % 3 == 0),
+        unknown_segment_size=(i % 5 == 0),
+    )
+
+
+def _qm21(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.video import video_meta
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [video_meta(_qm21_make_mkv(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "format": [m["format"] for m in metas],
+                    "duration_ms": [m["duration_ms"] for m in metas],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "n_video": [m["n_video"] for m in metas],
+                    "n_audio": [m["n_audio"] for m in metas],
+                }
+            )
+
+    return docs.mapInPandas(run, _MKV_SCHEMA)
+
+
+QUERIES["qm21_mkv_meta"] = _qm21
+ORACLE["qm21_mkv_meta"] = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'matroska' END AS format,
+       CAST((doc_id * 131) % 60000 + 1000 AS BIGINT) AS duration_ms,
+       CAST(CASE doc_id % 4
+            WHEN 0 THEN 640
+            WHEN 1 THEN 256 + (doc_id % 6) * 64
+            WHEN 2 THEN 0
+            ELSE 480 + (doc_id % 5) * 96 END AS INTEGER) AS width,
+       CAST(CASE doc_id % 4
+            WHEN 0 THEN 360
+            WHEN 1 THEN 144 + (doc_id % 6) * 36
+            WHEN 2 THEN 0
+            ELSE 270 + (doc_id % 5) * 54 END AS INTEGER) AS height,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 0
+            ELSE 2 END AS INTEGER) AS n_video,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 0 ELSE 1 END AS INTEGER) AS n_audio
+FROM documents
+"""
+
+
+# -- qm22: compressed-audio routing meta (core/audio.py::audio_meta) ---------------
+#
+# The audio twin of the E140/E141 video router (E142): MP3 first-frame
+# header (version/bitrate/rate tables, Xing VBR frame count, ID3v2
+# syncsafe skip, CBR duration from spec frame size) and Ogg ident
+# packets (OpusHead 48 kHz granule minus pre-skip / Vorbis ident rate)
+# with duration off the LAST page's granule position. Every duration is
+# exact integer arithmetic both sides restate symbolically.
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("codec", StringType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("bitrate_kbps", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def _qm22_make_audio(doc_id: int) -> bytes:
+    from pdf_spark.core.audio import encode_mp3_skeleton, encode_ogg_skeleton
+
+    i = int(doc_id)
+    fam = i % 3
+    if fam == 0:
+        frames = (i % 50) + 10
+        if i % 2 == 0:
+            return encode_mp3_skeleton(
+                1, 128, 44100, 2, frames, xing=(i % 4 == 0), id3=(i % 5 == 0)
+            )
+        return encode_mp3_skeleton(
+            2, 64, 22050, 1, frames, xing=(i % 4 == 0), id3=(i % 5 == 0)
+        )
+    if fam == 1:
+        total = (i * 487) % 240000 + 48000
+        return encode_ogg_skeleton("opus", 2, 48000, total, pre_skip=312)
+    total = (i * 977) % 441000 + 44100
+    return encode_ogg_skeleton("vorbis", 1, 44100, total)
+
+
+def _qm22(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.audio import audio_meta
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [audio_meta(_qm22_make_audio(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "codec": [m["codec"] for m in metas],
+                    "channels": [m["channels"] for m in metas],
+                    "sample_rate": [m["sample_rate"] for m in metas],
+                    "bitrate_kbps": [m["bitrate_kbps"] for m in metas],
+                    "duration_ms": [m["duration_ms"] for m in metas],
+                }
+            )
+
+    return docs.mapInPandas(run, _AUDIO_SCHEMA)
+
+
+QUERIES["qm22_audio_meta"] = _qm22
+# mp3 CBR duration = frames * frame_len * 8 // kbps with the spec frame
+# size frame_len = spf//8 * kbps*1000 // rate (padding bit 0); Xing docs
+# (i%4==0) report frames * spf * 1000 // rate instead. Opus granule is
+# 48 kHz ticks minus the 312-sample pre-skip the fixture adds back.
+ORACLE["qm22_audio_meta"] = """
+WITH v AS (
+    SELECT doc_id,
+           doc_id % 3 AS fam,
+           (doc_id % 50) + 10 AS frames,
+           (doc_id * 487) % 240000 + 48000 AS opus_total,
+           (doc_id * 977) % 441000 + 44100 AS vorb_total
+    FROM documents
+)
+SELECT doc_id,
+       CASE fam WHEN 0 THEN 'mp3' WHEN 1 THEN 'opus' ELSE 'vorbis' END
+           AS codec,
+       CAST(CASE fam WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END
+            WHEN 1 THEN 2 ELSE 1 END AS INTEGER) AS channels,
+       CAST(CASE fam WHEN 0 THEN
+                 CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 22050 END
+            WHEN 1 THEN 48000 ELSE 44100 END AS INTEGER) AS sample_rate,
+       CAST(CASE fam WHEN 0 THEN
+                 CASE WHEN doc_id % 2 = 0 THEN 128 ELSE 64 END
+            ELSE 0 END AS INTEGER) AS bitrate_kbps,
+       CAST(CASE fam
+            WHEN 0 THEN CASE
+                WHEN doc_id % 4 = 0 AND doc_id % 2 = 0
+                    THEN frames * 1152 * 1000 // 44100
+                WHEN doc_id % 4 = 0
+                    THEN frames * 576 * 1000 // 22050
+                WHEN doc_id % 2 = 0
+                    THEN frames * (1152 // 8 * 128 * 1000 // 44100) * 8 // 128
+                ELSE frames * (576 // 8 * 64 * 1000 // 22050) * 8 // 64 END
+            WHEN 1 THEN opus_total * 1000 // 48000
+            ELSE vorb_total * 1000 // 44100 END AS BIGINT) AS duration_ms
+FROM v
+"""

@@ -75,3 +75,58 @@ def test_unknown_handler_track_ignored():
     m = mp4_meta(buf)
     assert m["n_video"] == 1 and m["n_audio"] == 0
     assert (m["width"], m["height"]) == (64, 48)
+
+
+# ---------------------------------------------------------- Matroska/WebM
+
+
+def test_mkv_roundtrip_and_doctype_routing():
+    from pdf_spark.core.video import encode_mkv_skeleton, mkv_meta, video_meta
+
+    buf = encode_mkv_skeleton("webm", 5432, [("video", 640, 360), ("audio", 0, 0)])
+    m = mkv_meta(buf)
+    assert m == {
+        "doc_type": "webm",
+        "duration_ms": 5432,
+        "width": 640,
+        "height": 360,
+        "n_video": 1,
+        "n_audio": 1,
+    }
+    assert video_meta(buf)["format"] == "webm"
+    mk = encode_mkv_skeleton("matroska", 7, [("audio", 0, 0)])
+    assert video_meta(mk)["format"] == "matroska"
+
+
+def test_mkv_unknown_segment_size_and_float32():
+    from pdf_spark.core.video import encode_mkv_skeleton, mkv_meta
+
+    buf = encode_mkv_skeleton(
+        "webm", 123456, [("video", 1920, 1080)],
+        float32=True, unknown_segment_size=True,
+    )
+    m = mkv_meta(buf)
+    assert m["duration_ms"] == 123456  # < 2^24: float32-exact
+    assert (m["width"], m["height"]) == (1920, 1080)
+
+
+def test_mkv_max_dims_and_truncation():
+    from pdf_spark.core.video import encode_mkv_skeleton, mkv_meta
+
+    buf = encode_mkv_skeleton(
+        "matroska", 1000,
+        [("video", 64, 48), ("video", 1280, 720), ("audio", 0, 0)],
+    )
+    m = mkv_meta(buf)
+    assert (m["width"], m["height"], m["n_video"], m["n_audio"]) == (1280, 720, 2, 1)
+    # truncated mid-Tracks: Info (duration) survives, bad varint tolerated
+    cut = buf.find(bytes([0x16, 0x54, 0xAE, 0x6B])) + 6
+    t = mkv_meta(buf[:cut])
+    assert t["duration_ms"] == 1000 and t["n_video"] == 0
+
+
+def test_video_meta_router_unknown():
+    from pdf_spark.core.video import video_meta
+
+    assert video_meta(b"GIF89a" + b"\x00" * 32)["format"] == "unknown"
+    assert video_meta(b"")["format"] == "unknown"
