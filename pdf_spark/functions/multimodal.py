@@ -1821,3 +1821,109 @@ SELECT doc_id,
             ELSE vorb_total * 1000 // 44100 END AS BIGINT) AS duration_ms
 FROM v
 """
+
+
+# -- qm23: universal media router (capstone over E127/E136/E140/E141/E142) --------
+#
+# The 10^12-blob dispatch op in one query: every doc synthesizes a blob
+# rotating across the full 12-family fixture matrix (png/gif/jpeg/webp/
+# bmp/tiff images, wav/mp3/ogg audio, mp4/webm video, junk) and the
+# router — image_meta, then audio_meta, then video_meta — must land each
+# in its family with the right modality. This is the op that gates every
+# decode tier; a misroute sends a video to the image decoder at corpus
+# scale. Oracle is pure residue arithmetic.
+
+_ROUTER_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("format", StringType()),
+    ]
+)
+
+
+def _qm23_make_blob(doc_id: int) -> bytes:
+    from pdf_spark.core import imaging
+    from pdf_spark.core.audio import encode_mp3_skeleton, encode_ogg_skeleton, encode_wav
+    from pdf_spark.core.video import encode_mkv_skeleton, encode_mp4_skeleton
+
+    i = int(doc_id)
+    fam = i % 12
+    gray16 = [((x + y) * 8) % 256 for y in range(16) for x in range(16)]
+    if fam == 0:
+        return imaging.encode_png(16, 16, 1, gray16)
+    if fam == 1:
+        pal = bytes(v for g in range(256) for v in (g, g, g))
+        return imaging.encode_gif(16, 16, pal, gray16)
+    if fam == 2:
+        return imaging.encode_jpeg(16, 16, {i: (32, 0) for i in range(4)})
+    if fam == 3:
+        rgb = [c for v in gray16 for c in (v, v, v)]
+        return imaging.encode_webp_lossless(16, 16, 3, rgb)
+    if fam == 4:
+        rgb = [c for v in gray16 for c in (v, v, v)]
+        return imaging.encode_bmp(16, 16, 3, rgb)
+    if fam == 5:
+        return imaging.encode_tiff(16, 16, 1, gray16)
+    if fam == 6:
+        return encode_wav(8000, 1, 16, [0, 99, -99, 0] * 50)
+    if fam == 7:
+        return encode_mp3_skeleton(1, 128, 44100, 2, 12)
+    if fam == 8:
+        return encode_ogg_skeleton("opus", 2, 48000, 4800, pre_skip=312)
+    if fam == 9:
+        return encode_mp4_skeleton("isom", 600, 1200, [("vide", 320, 180)])
+    if fam == 10:
+        return encode_mkv_skeleton("webm", 2500, [("video", 320, 180)])
+    return b"%!garbage-blob " + bytes([i % 256]) * 64
+
+
+def _qm23(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.audio import audio_meta
+        from pdf_spark.core.imaging import image_meta
+        from pdf_spark.core.video import video_meta
+
+        def route(blob: bytes) -> tuple:
+            im = image_meta(blob)
+            if im is not None:
+                return ("image", im[0])
+            au = audio_meta(blob)
+            if au["codec"] != "unknown":
+                return ("audio", au["codec"])
+            vi = video_meta(blob)
+            if vi["format"] != "unknown":
+                return ("video", vi["format"])
+            return ("unknown", "unknown")
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            routed = [route(_qm23_make_blob(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "modality": [r[0] for r in routed],
+                    "format": [r[1] for r in routed],
+                }
+            )
+
+    return docs.mapInPandas(run, _ROUTER_SCHEMA)
+
+
+QUERIES["qm23_media_router"] = _qm23
+ORACLE["qm23_media_router"] = """
+SELECT doc_id,
+       CASE WHEN doc_id % 12 <= 5 THEN 'image'
+            WHEN doc_id % 12 <= 8 THEN 'audio'
+            WHEN doc_id % 12 <= 10 THEN 'video'
+            ELSE 'unknown' END AS modality,
+       CASE doc_id % 12
+            WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
+            WHEN 3 THEN 'webp' WHEN 4 THEN 'bmp' WHEN 5 THEN 'tiff'
+            WHEN 6 THEN 'wav' WHEN 7 THEN 'mp3' WHEN 8 THEN 'opus'
+            WHEN 9 THEN 'mp4' WHEN 10 THEN 'webm'
+            ELSE 'unknown' END AS format
+FROM documents
+"""
