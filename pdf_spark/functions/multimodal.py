@@ -1727,7 +1727,7 @@ FROM documents
 # with duration off the LAST page's granule position. Every duration is
 # exact integer arithmetic both sides restate symbolically.
 
-_AUDIO_SCHEMA = StructType(
+_AUDIO_META_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("codec", StringType()),
@@ -1780,7 +1780,7 @@ def _qm22(spark: SparkSession, sf: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(run, _AUDIO_SCHEMA)
+    return docs.mapInPandas(run, _AUDIO_META_SCHEMA)
 
 
 QUERIES["qm22_audio_meta"] = _qm22
