@@ -2625,3 +2625,62 @@ def _qt54_sql(dialect: str) -> str:
 
 
 _pair("qt54_exactsubstr_clean", _qt54_sql("spark"), _qt54_sql("duck"))
+
+
+# --- qt55: DSIR-style hashed-feature importance weights -------------------------
+#
+# Data Selection via Importance Resampling (Xie et al., 2023): score every
+# raw document by how target-like its hashed bag-of-features distribution
+# is, weight = sum over features of log(p_target(b) / p_raw(b)), then
+# resample by weight. The dataflow here is exactly DSIR's (hash words into
+# B buckets; estimate the target and raw bucket distributions; per-doc sum
+# of per-bucket scores) with the log-ratio replaced by the integer-exact
+# cross product ct * TOT_raw - cr * TOT_target, whose SIGN per bucket is
+# sign(p_target - p_raw) — the same move qt24 makes (CCNet dataflow, no
+# LM) so the DuckDB oracle is hash-exact with zero float drift. The target
+# slice is lang = 'en' (any predicate works); B = 256 buckets from the
+# first two hex nibbles of md5(word), the qt44 nibble contract.
+#
+# 100 TB: tgt/raw are <= 256-row aggregates -> broadcast both; the only
+# corpus-sized shuffle is the per-doc partial-aggregated GROUP BY doc_id.
+# At 10^12 docs the raw counts are first scaled to per-mille fixed point
+# so the BIGINT cross products cannot overflow; at benchmark SFs the raw
+# products stay < 2^60 and are kept exact.
+
+_QT55_BUCKET = (
+    "((instr('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(w), 2, 1)) - 1))"
+)
+
+_QT55_BODY = f"""
+WITH words AS ({{WORDS}}),
+feat AS (SELECT doc_id, lang, {_QT55_BUCKET} AS b FROM words),
+tgt AS (SELECT b, COUNT(*) AS ct FROM feat WHERE lang = 'en' GROUP BY b),
+raw AS (SELECT b, COUNT(*) AS cr FROM feat GROUP BY b),
+tot AS (SELECT (SELECT SUM(ct) FROM tgt) AS tt, (SELECT SUM(cr) FROM raw) AS tr)
+SELECT f.doc_id,
+       CAST(SUM(COALESCE(t.ct, 0) * tot.tr - r.cr * tot.tt) AS BIGINT)
+         AS dsir_score,
+       CAST(COUNT(*) AS BIGINT) AS n_feat,
+       CAST(SUM(CASE WHEN COALESCE(t.ct, 0) * tot.tr > r.cr * tot.tt
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_target_leaning
+FROM feat f
+LEFT JOIN tgt t USING (b)
+JOIN raw r USING (b)
+CROSS JOIN tot
+GROUP BY f.doc_id
+"""
+
+_QT55_SPARK = _QT55_BODY.replace(
+    "{WORDS}",
+    "SELECT doc_id, lang,"
+    " explode(filter(split(text, ' '), t -> t <> '')) AS w FROM documents",
+)
+_QT55_DUCK = _QT55_BODY.replace(
+    "{WORDS}",
+    "SELECT doc_id, lang,"
+    " unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w"
+    " FROM documents",
+)
+
+_pair("qt55_dsir_importance", _QT55_SPARK, _QT55_DUCK)
