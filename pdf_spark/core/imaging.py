@@ -2984,3 +2984,213 @@ def image_meta(blob: bytes) -> Optional[tuple[str, int, int, int]]:
                 return ("jpeg", w, h, ncomp)
             pos += 2 + seg_len
     return None
+
+
+# --------------------------------------------------------------------------
+# EXIF (JPEG APP1) metadata — header-only, the inventory twin of image_meta
+# --------------------------------------------------------------------------
+
+# EXIF/TIFF field type -> element size (types we read; all others skipped)
+_EXIF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+_TAG_MAKE = 0x010F
+_TAG_MODEL = 0x0110
+_TAG_ORIENTATION = 0x0112
+_TAG_DATETIME = 0x0132
+_TAG_EXIF_IFD = 0x8769
+_TAG_PIX_X = 0xA002
+_TAG_PIX_Y = 0xA003
+
+
+def _exif_read_ifd(t: bytes, endo: str, off: int) -> dict:
+    """One EXIF IFD at ``off`` inside TIFF block ``t`` -> ``tag -> value``
+    (int for BYTE/SHORT/LONG, str for ASCII, (num, den) for RATIONAL).
+    Bounds-checked everywhere; entry count capped (IFD bombs are a routing
+    hazard at corpus scale, same cap discipline as the box/EBML walks)."""
+    if off + 2 > len(t):
+        raise ValueError("truncated EXIF IFD")
+    n = int.from_bytes(t[off : off + 2], endo)
+    out: dict = {}
+    for e in range(min(n, 256)):
+        base = off + 2 + 12 * e
+        if base + 12 > len(t):
+            raise ValueError("truncated EXIF IFD entry")
+        tag = int.from_bytes(t[base : base + 2], endo)
+        typ = int.from_bytes(t[base + 2 : base + 4], endo)
+        cnt = int.from_bytes(t[base + 4 : base + 8], endo)
+        sz = _EXIF_TYPE_SIZES.get(typ)
+        if sz is None or cnt > 1 << 16:
+            continue  # unknown/huge type: skip the entry, keep the walk
+        total = sz * cnt
+        voff = (
+            base + 8
+            if total <= 4
+            else int.from_bytes(t[base + 8 : base + 12], endo)
+        )
+        if voff + total > len(t):
+            continue
+        raw = t[voff : voff + total]
+        if typ == 2:
+            out[tag] = raw.split(b"\x00", 1)[0].decode("ascii", "replace")
+        elif typ == 5:
+            out[tag] = (
+                int.from_bytes(raw[:4], endo),
+                int.from_bytes(raw[4:8], endo),
+            )
+        else:
+            out[tag] = int.from_bytes(raw[:sz], endo)
+    return out
+
+
+_EXIF_NONE = {
+    "has_exif": 0,
+    "endian": None,
+    "orientation": None,
+    "make": None,
+    "model": None,
+    "taken_at": None,
+    "pix_x": None,
+    "pix_y": None,
+}
+
+
+def exif_meta(blob: bytes) -> dict:
+    """JPEG APP1/Exif metadata from the HEADER bytes alone: endianness,
+    Orientation (the rotate-before-dedup input — pHash/aHash of a
+    sideways image never matches its upright twin), Make/Model,
+    DateTimeOriginal-style timestamp, and the Exif-sub-IFD pixel dims.
+    Missing or malformed EXIF -> ``has_exif=0`` with None fields — a
+    routing decision, not an error (the image itself still decodes).
+    Walks JPEG segments by their big-endian lengths exactly like
+    image_meta; only an APP1 whose payload leads ``Exif\\0\\0`` is read."""
+    if blob[:2] != b"\xff\xd8":
+        return dict(_EXIF_NONE)
+    pos, n = 2, len(blob)
+    tiff = None
+    while pos + 4 <= n:
+        if blob[pos] != 0xFF:
+            break
+        marker = blob[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):
+            break
+        seg_len = int.from_bytes(blob[pos + 2 : pos + 4], "big")
+        if seg_len < 2:
+            break
+        if marker == 0xE1 and blob[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            tiff = blob[pos + 10 : pos + 2 + seg_len]
+            break
+        pos += 2 + seg_len
+    if tiff is None or tiff[:4] not in (b"II*\x00", b"MM\x00*"):
+        return dict(_EXIF_NONE)
+    endo = "little" if tiff[0] == 0x49 else "big"
+    try:
+        ifd0 = _exif_read_ifd(tiff, endo, int.from_bytes(tiff[4:8], endo))
+        sub: dict = {}
+        ptr = ifd0.get(_TAG_EXIF_IFD)
+        if isinstance(ptr, int):
+            sub = _exif_read_ifd(tiff, endo, ptr)
+    except ValueError:
+        return dict(_EXIF_NONE)
+
+    def _i(d: dict, tag: int):
+        v = d.get(tag)
+        return v if isinstance(v, int) else None
+
+    def _s(d: dict, tag: int):
+        v = d.get(tag)
+        return v if isinstance(v, str) else None
+
+    return {
+        "has_exif": 1,
+        "endian": "II" if endo == "little" else "MM",
+        "orientation": _i(ifd0, _TAG_ORIENTATION),
+        "make": _s(ifd0, _TAG_MAKE),
+        "model": _s(ifd0, _TAG_MODEL),
+        "taken_at": _s(ifd0, _TAG_DATETIME),
+        "pix_x": _i(sub, _TAG_PIX_X),
+        "pix_y": _i(sub, _TAG_PIX_Y),
+    }
+
+
+def encode_exif_app1(
+    orientation: Optional[int] = None,
+    make: Optional[str] = None,
+    model: Optional[str] = None,
+    taken_at: Optional[str] = None,
+    pix_x: Optional[int] = None,
+    pix_y: Optional[int] = None,
+    big_endian: bool = False,
+) -> bytes:
+    """Honest APP1/Exif SEGMENT writer (fixture helper): a real TIFF block
+    — ascending-tag IFD0, inline SHORT values, out-of-line ASCII values,
+    and a real Exif sub-IFD (0x8769 LONG pointer) holding the pixel dims —
+    so the reader runs on genuine structures, offsets and all. Returns the
+    full ``FF E1 <len> Exif\\0\\0 <tiff>`` segment ready to splice."""
+    endo = "big" if big_endian else "little"
+
+    def b2(v: int) -> bytes:
+        return v.to_bytes(2, endo)
+
+    def b4(v: int) -> bytes:
+        return v.to_bytes(4, endo)
+
+    ifd0: list = []  # (tag, typ, cnt, raw) — raw=None marks the sub-IFD ptr
+
+    def ascii_entry(entries: list, tag: int, s: str) -> None:
+        raw = s.encode("ascii") + b"\x00"
+        entries.append((tag, 2, len(raw), raw))
+
+    if make is not None:
+        ascii_entry(ifd0, _TAG_MAKE, make)
+    if model is not None:
+        ascii_entry(ifd0, _TAG_MODEL, model)
+    if orientation is not None:
+        ifd0.append((_TAG_ORIENTATION, 3, 1, b2(orientation)))
+    if taken_at is not None:
+        ascii_entry(ifd0, _TAG_DATETIME, taken_at)
+    sub: list = []
+    if pix_x is not None:
+        sub.append((_TAG_PIX_X, 4, 1, b4(pix_x)))
+    if pix_y is not None:
+        sub.append((_TAG_PIX_Y, 4, 1, b4(pix_y)))
+    if sub:
+        ifd0.append((_TAG_EXIF_IFD, 4, 1, None))
+    ifd0.sort(key=lambda t: t[0])
+
+    def ifd_bytes(entries: list, off: int, ptr_value: int) -> bytes:
+        """Serialize one IFD starting at ``off``; overflow values follow
+        the 4-byte next-IFD terminator. ``ptr_value`` patches raw=None."""
+        val_off = off + 2 + 12 * len(entries) + 4
+        body = b2(len(entries))
+        tail = b""
+        for tag, typ, cnt, raw in entries:
+            if raw is None:
+                raw = b4(ptr_value)
+            body += b2(tag) + b2(typ) + b4(cnt)
+            if len(raw) <= 4:
+                body += raw + b"\x00" * (4 - len(raw))
+            else:
+                body += b4(val_off + len(tail))
+                tail += raw
+        return body + b4(0) + tail
+
+    # lay out IFD0 first to learn where the sub-IFD lands
+    ifd0_off = 8
+    probe = ifd_bytes(ifd0, ifd0_off, 0)
+    sub_off = ifd0_off + len(probe)
+    tiff = (b"II*\x00" if endo == "little" else b"MM\x00*") + b4(ifd0_off)
+    tiff += ifd_bytes(ifd0, ifd0_off, sub_off)
+    if sub:
+        tiff += ifd_bytes(sub, sub_off, 0)
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def splice_exif(jpeg: bytes, app1_segment: bytes) -> bytes:
+    """Insert an APP1 segment right after SOI of an existing JPEG."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    return jpeg[:2] + app1_segment + jpeg[2:]

@@ -1927,3 +1927,112 @@ SELECT doc_id,
             ELSE 'unknown' END AS format
 FROM documents
 """
+
+
+# -- qm24: EXIF (JPEG APP1) camera metadata (core/imaging.py::exif_meta) -----------
+#
+# The provenance/forensics tier of the image inventory (E145): endian,
+# Orientation (the rotate-before-dedup input — a pHash of a sideways
+# image never matches its upright twin), Make/Model/DateTime strings and
+# the Exif-sub-IFD pixel dims, all from the APP1 header segment alone.
+# Fixtures are honest TIFF blocks (real IFD layouts, inline SHORTs,
+# out-of-line ASCII, a real 0x8769 sub-IFD pointer) spliced after the
+# SOI of a genuine one-block JPEG; rotation exercises both endians, the
+# no-EXIF path (plain JPEG) and the no-sub-IFD path. Every emitted
+# field is a closed form of doc_id the oracle restates.
+
+_EXIF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("has_exif", IntegerType()),
+        StructField("endian", StringType()),
+        StructField("orientation", IntegerType()),
+        StructField("make", StringType()),
+        StructField("model", StringType()),
+        StructField("taken_at", StringType()),
+        StructField("pix_x", IntegerType()),
+        StructField("pix_y", IntegerType()),
+    ]
+)
+
+
+def _qm24_make_jpeg(doc_id: int) -> bytes:
+    from pdf_spark.core.imaging import (
+        encode_exif_app1,
+        encode_jpeg,
+        splice_exif,
+    )
+
+    i = int(doc_id)
+    jpeg = encode_jpeg(8, 8, [(96 + (i % 4) * 8, 0)])
+    if i % 5 == 4:  # no-EXIF family: the bare JPEG routes has_exif=0
+        return jpeg
+    no_dims = i % 7 == 3  # IFD0-only family: no Exif sub-IFD at all
+    app1 = encode_exif_app1(
+        orientation=i % 8 + 1,
+        make="Maker" + str(i % 3),
+        model="Cam" + str(i % 4),
+        taken_at="2021:03:0" + str(i % 9 + 1) + " 12:34:56",
+        pix_x=None if no_dims else 640 + (i % 7) * 16,
+        pix_y=None if no_dims else 480 + (i % 7) * 12,
+        big_endian=(i % 2 == 1),
+    )
+    return splice_exif(jpeg, app1)
+
+
+def _qm24(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.imaging import exif_meta
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [exif_meta(_qm24_make_jpeg(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "has_exif": pd.array(
+                        [m["has_exif"] for m in metas], dtype="Int32"
+                    ),
+                    "endian": [m["endian"] for m in metas],
+                    "orientation": pd.array(
+                        [m["orientation"] for m in metas], dtype="Int32"
+                    ),
+                    "make": [m["make"] for m in metas],
+                    "model": [m["model"] for m in metas],
+                    "taken_at": [m["taken_at"] for m in metas],
+                    "pix_x": pd.array(
+                        [m["pix_x"] for m in metas], dtype="Int32"
+                    ),
+                    "pix_y": pd.array(
+                        [m["pix_y"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _EXIF_SCHEMA)
+
+
+QUERIES["qm24_exif_meta"] = _qm24
+ORACLE["qm24_exif_meta"] = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 1 END AS INTEGER)
+           AS has_exif,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS endian,
+       CAST(CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE doc_id % 8 + 1 END AS INTEGER) AS orientation,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE 'Maker' || CAST(doc_id % 3 AS VARCHAR) END AS make,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE 'Cam' || CAST(doc_id % 4 AS VARCHAR) END AS model,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE '2021:03:0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+                 || ' 12:34:56' END AS taken_at,
+       CAST(CASE WHEN doc_id % 5 = 4 OR doc_id % 7 = 3 THEN NULL
+            ELSE 640 + (doc_id % 7) * 16 END AS INTEGER) AS pix_x,
+       CAST(CASE WHEN doc_id % 5 = 4 OR doc_id % 7 = 3 THEN NULL
+            ELSE 480 + (doc_id % 7) * 12 END AS INTEGER) AS pix_y
+FROM documents
+"""

@@ -921,3 +921,84 @@ class TestTiff:
             assert imaging.average_hash(blob) == 0x00000000FFFFFFFF
         finally:
             imaging._PIL = pil
+
+
+class TestExif:
+    def _jpeg(self):
+        from pdf_spark.core.imaging import encode_jpeg
+
+        return encode_jpeg(8, 8, [(100, 0)])
+
+    def test_roundtrip_both_endians(self):
+        from pdf_spark.core.imaging import (
+            encode_exif_app1,
+            exif_meta,
+            splice_exif,
+        )
+
+        for big in (False, True):
+            app1 = encode_exif_app1(
+                orientation=6,
+                make="Acme",
+                model="ShotMaster 3000",
+                taken_at="2020:05:17 08:01:02",
+                pix_x=4032,
+                pix_y=3024,
+                big_endian=big,
+            )
+            m = exif_meta(splice_exif(self._jpeg(), app1))
+            assert m["has_exif"] == 1
+            assert m["endian"] == ("MM" if big else "II")
+            assert m["orientation"] == 6
+            assert m["make"] == "Acme"
+            assert m["model"] == "ShotMaster 3000"
+            assert m["taken_at"] == "2020:05:17 08:01:02"
+            assert (m["pix_x"], m["pix_y"]) == (4032, 3024)
+
+    def test_no_exif_and_non_jpeg(self):
+        from pdf_spark.core.imaging import exif_meta
+
+        m = exif_meta(self._jpeg())
+        assert m["has_exif"] == 0 and m["orientation"] is None
+        assert exif_meta(b"\x89PNG\r\n\x1a\n")["has_exif"] == 0
+        assert exif_meta(b"")["has_exif"] == 0
+
+    def test_ifd0_only_no_sub_ifd(self):
+        from pdf_spark.core.imaging import (
+            encode_exif_app1,
+            exif_meta,
+            splice_exif,
+        )
+
+        app1 = encode_exif_app1(orientation=3, make="M")
+        m = exif_meta(splice_exif(self._jpeg(), app1))
+        assert m["orientation"] == 3 and m["make"] == "M"
+        assert m["pix_x"] is None and m["pix_y"] is None
+        assert m["model"] is None and m["taken_at"] is None
+
+    def test_truncated_and_malformed_tolerated(self):
+        from pdf_spark.core.imaging import (
+            encode_exif_app1,
+            exif_meta,
+            splice_exif,
+        )
+
+        app1 = encode_exif_app1(
+            orientation=1, make="Acme", pix_x=100, pix_y=50
+        )
+        blob = splice_exif(self._jpeg(), app1)
+        # cut mid-APP1: segment walk sees a short segment -> no EXIF,
+        # never an exception (routing decision at corpus scale)
+        for cut in (4, 8, 14, 20, len(app1) - 3):
+            m = exif_meta(blob[: 2 + cut])
+            assert m["has_exif"] in (0, 1)
+        # corrupt the TIFF magic inside an otherwise-valid APP1
+        bad = bytearray(blob)
+        bad[2 + 10] ^= 0xFF
+        assert exif_meta(bytes(bad))["has_exif"] == 0
+
+    def test_splice_rejects_non_jpeg(self):
+        from pdf_spark.core.imaging import encode_exif_app1, splice_exif
+
+        with pytest.raises(ValueError):
+            splice_exif(b"nope", encode_exif_app1(orientation=1))
