@@ -2684,3 +2684,94 @@ _QT55_DUCK = _QT55_BODY.replace(
 )
 
 _pair("qt55_dsir_importance", _QT55_SPARK, _QT55_DUCK)
+
+
+# --- qt56: quantized-log bigram LM perplexity buckets (CCNet head/middle/tail) --
+#
+# CCNet (Wenzek et al., 2020) buckets documents into head/middle/tail by
+# the perplexity of a small LM trained on a clean slice — the actual
+# filter stage qt51's novelty fraction only proxies. The float trap is
+# the same (libm ln, summation order), so the LM score here is QUANTIZED
+# to integer exactness: qlp(w2|w1) = floor(log2 c(w1 w2)) - floor(log2
+# c(w1)) for bigrams seen in the training slice (both engines compute
+# floor(log2 n) as length(bin(n)) - 1, pure string/bit arithmetic), and
+# an unseen bigram pays the backoff penalty -(floor(log2(c(w1)+1)) + 1)
+# ~ log2 1/(2*(c(w1)+1)) (an unseen-prefix bigram thus pays -1). The
+# training slice is doc_id % 5 <> 4 and only held-out docs are scored
+# (same train/score split as qt51, no self-scoring). Buckets: per-lang
+# NTILE(3) over the per-token mean quantized log-prob, computed as the
+# all-positive integer division ((qlp_sum + 64*n)*1024) DIV n (qlp is
+# bounded below by -64, so the shift makes trunc == floor in both
+# engines), DESC so bucket 1 = head (least perplexed), ties by doc_id.
+#
+# 100 TB: the bigram/prefix count tables are uniform-key groupBys with
+# map-side partial aggregation (md5-free — raw token keys are already
+# near-uniform at corpus scale); the probe is two equi-joins of the
+# scored slice against those tables; the only sort is the per-lang
+# NTILE range exchange, which at 10^12 rows would swap to the qr38
+# two-phase partition-histogram rank — same bucket ids, no single
+# partition. Counts stay < 2^40 at any realistic corpus, and the
+# ordering key is bounded by 130048 * n_bigrams — no BIGINT overflow.
+
+_QT56_BODY = """
+WITH toks AS (
+  SELECT doc_id, lang, {TOKS} AS a FROM documents
+),
+bi AS (
+  SELECT doc_id, lang, gram
+  FROM (SELECT doc_id, lang, {BIGRAMS} AS gl FROM toks WHERE {LEN}(a) >= 2) t
+       {UNNEST}
+),
+train AS (SELECT gram FROM bi WHERE doc_id % 5 <> 4),
+big_counts AS (SELECT gram, COUNT(*) AS c FROM train GROUP BY gram),
+pre_counts AS (
+  SELECT split_part(gram, ' ', 1) AS w1, COUNT(*) AS c
+  FROM train GROUP BY split_part(gram, ' ', 1)
+),
+probe AS (
+  SELECT b.doc_id, b.lang,
+         CASE WHEN g.c IS NOT NULL
+              THEN (length(bin(g.c)) - 1) - (length(bin(u.c)) - 1)
+              ELSE -((length(bin(COALESCE(u.c, 0) + 1)) - 1) + 1)
+         END AS qlp
+  FROM (SELECT doc_id, lang, gram, split_part(gram, ' ', 1) AS w1
+        FROM bi WHERE doc_id % 5 = 4) b
+  LEFT JOIN big_counts g ON b.gram = g.gram
+  LEFT JOIN pre_counts u ON b.w1 = u.w1
+),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(SUM(qlp) AS BIGINT) AS qlp_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams
+  FROM probe GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, qlp_sum, n_bigrams,
+       CAST(NTILE(3) OVER (
+         PARTITION BY lang
+         ORDER BY ((qlp_sum + 64 * n_bigrams) * 1024) {IDIV} n_bigrams DESC,
+                  doc_id
+       ) AS BIGINT) AS ppl_bucket
+FROM scored
+"""
+
+_pair(
+    "qt56_lm_perplexity_buckets",
+    _QT56_BODY.replace("{TOKS}", "split(lower(text), ' ')")
+    .replace(
+        "{BIGRAMS}",
+        "transform(sequence(1, size(a) - 1),"
+        " i -> concat_ws(' ', slice(a, i, 2)))",
+    )
+    .replace("{LEN}", "size")
+    .replace("{UNNEST}", "LATERAL VIEW explode(gl) g AS gram")
+    .replace("{IDIV}", "DIV"),
+    _QT56_BODY.replace("{TOKS}", "string_split(lower(text), ' ')")
+    .replace(
+        "{BIGRAMS}",
+        "list_transform(generate_series(1, len(a) - 1),"
+        " i -> array_to_string(list_slice(a, i, i + 1), ' '))",
+    )
+    .replace("{LEN}", "len")
+    .replace("{UNNEST}", ", LATERAL UNNEST(t.gl) AS u(gram)")
+    .replace("{IDIV}", "//"),
+)
