@@ -259,9 +259,51 @@ def ogg_meta(blob: bytes) -> dict:
     }
 
 
+def flac_meta(blob: bytes) -> dict:
+    """FLAC STREAMINFO meta, header-only: walk the metadata-block chain
+    (1-byte is-last/type header + 24-bit big-endian length) to the
+    type-0 STREAMINFO block and unpack its packed bitfields — 20-bit
+    sample rate, 3-bit channels-1, 5-bit bps-1, 36-bit total samples.
+    No frame/entropy bytes are ever read; duration is exact integer ms
+    (0 when the encoder left total-samples unknown). Block walk is
+    bomb-capped. Raises ValueError on non-FLAC or truncated input."""
+    blob = bytes(blob)
+    if blob[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    for _ in range(64):  # block-count bomb cap
+        if pos + 4 > len(blob):
+            raise ValueError("truncated FLAC metadata chain")
+        hdr = blob[pos]
+        btype = hdr & 0x7F
+        blen = int.from_bytes(blob[pos + 1 : pos + 4], "big")
+        if btype == 0:
+            s = blob[pos + 4 : pos + 4 + 34]
+            if blen < 34 or len(s) < 34:
+                raise ValueError("truncated STREAMINFO")
+            rate = (s[10] << 12) | (s[11] << 4) | (s[12] >> 4)
+            channels = ((s[12] >> 1) & 7) + 1
+            bps = (((s[12] & 1) << 4) | (s[13] >> 4)) + 1
+            total = ((s[13] & 0xF) << 32) | int.from_bytes(s[14:18], "big")
+            if not rate:
+                raise ValueError("zero FLAC sample rate")
+            return {
+                "codec": "flac",
+                "channels": int(channels),
+                "sample_rate": int(rate),
+                "bits_per_sample": int(bps),
+                "total_samples": int(total),
+                "duration_ms": int(total * 1000 // rate),
+            }
+        if hdr & 0x80:
+            break
+        pos += 4 + blen
+    raise ValueError("no STREAMINFO block")
+
+
 def audio_meta(blob: bytes) -> dict:
     """Route a blob across the audio-container families:
-    wav | mp3 | opus | vorbis | unknown — uniform meta shape."""
+    wav | flac | mp3 | opus | vorbis | unknown — uniform meta shape."""
     out = {"codec": "unknown", "channels": 0, "sample_rate": 0,
            "bitrate_kbps": 0, "duration_ms": 0}
     m = wav_meta(blob)
@@ -269,6 +311,14 @@ def audio_meta(blob: bytes) -> dict:
         _fmt, rate, ch, _bits = m
         out.update(codec="wav", channels=ch, sample_rate=rate)
         return out
+    try:
+        m = flac_meta(blob)
+        out.update(codec="flac", channels=m["channels"],
+                   sample_rate=m["sample_rate"],
+                   duration_ms=m["duration_ms"])
+        return out
+    except (ValueError, IndexError):
+        pass
     try:
         m = mp3_meta(blob)
         out.update(codec="mp3", channels=m["channels"],
@@ -352,3 +402,44 @@ def encode_ogg_skeleton(codec: str, channels: int, rate: int,
         granule = total_samples
     return (_ogg_page(1, 0, 0, ident, flags=2)
             + _ogg_page(1, 1, granule, b"\x00" * 32, flags=4))
+
+
+def encode_flac_skeleton(
+    rate: int,
+    channels: int,
+    bps: int,
+    total_samples: int,
+    padding: int = 0,
+    vendor: bytes = b"",
+) -> bytes:
+    """Honest FLAC metadata skeleton: real `fLaC` magic, a real 34-byte
+    STREAMINFO with the spec's packed bitfields (20-bit rate, 3-bit
+    channels-1, 5-bit bps-1, 36-bit total), then optional PADDING and
+    VORBIS_COMMENT blocks with genuine lengths so the block walk is
+    exercised on real structures. meta never reads frame bytes, so the
+    skeleton ends at the last metadata block."""
+    assert 1 <= channels <= 8 and 4 <= bps <= 32 and rate < (1 << 20)
+    assert total_samples < (1 << 36)
+    si = bytearray()
+    si += (4096).to_bytes(2, "big") * 2          # min/max block size
+    si += (0).to_bytes(3, "big") * 2             # min/max frame size unknown
+    si.append((rate >> 12) & 0xFF)
+    si.append((rate >> 4) & 0xFF)
+    si.append(((rate & 0xF) << 4) | ((channels - 1) << 1) | ((bps - 1) >> 4))
+    si.append((((bps - 1) & 0xF) << 4) | ((total_samples >> 32) & 0xF))
+    si += (total_samples & 0xFFFFFFFF).to_bytes(4, "big")
+    si += b"\x00" * 16                           # MD5 of unencoded audio
+    blocks = [(0, bytes(si))]
+    if vendor:
+        vc = len(vendor).to_bytes(4, "little") + vendor \
+            + (0).to_bytes(4, "little")          # zero user comments
+        blocks.append((4, vc))
+    if padding:
+        blocks.append((1, b"\x00" * padding))
+    out = bytearray(b"fLaC")
+    for i, (btype, body) in enumerate(blocks):
+        last = 0x80 if i == len(blocks) - 1 else 0
+        out.append(last | btype)
+        out += len(body).to_bytes(3, "big")
+        out += body
+    return bytes(out)

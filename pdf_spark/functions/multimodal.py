@@ -2036,3 +2036,87 @@ SELECT doc_id,
             ELSE 480 + (doc_id % 7) * 12 END AS INTEGER) AS pix_y
 FROM documents
 """
+
+
+# -- qm25: FLAC STREAMINFO metadata (core/audio.py::flac_meta) ---------------------
+#
+# Completes the audio router's long tail (E142 covered mp3/opus/vorbis;
+# FLAC is the crawl's dominant lossless codec): fLaC magic, metadata
+# block walk (is-last/type byte + 24-bit length), STREAMINFO packed
+# bitfields — 20-bit rate, 3-bit channels-1, 5-bit bps-1, 36-bit total
+# samples — duration as exact integer ms. Fixtures rotate rate/channels/
+# bps/unknown-total and interleave real PADDING and VORBIS_COMMENT
+# blocks so the walk runs on genuine chains, never just magic+34 bytes.
+
+_FLAC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("total_samples", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def _qm25_make_flac(doc_id: int) -> bytes:
+    from pdf_spark.core.audio import encode_flac_skeleton
+
+    i = int(doc_id)
+    rate = [44100, 48000, 96000, 8000][i % 4]
+    channels = (i % 8) + 1
+    bps = [16, 24, 8][i % 3]
+    total = 0 if i % 13 == 0 else (i * 613) % 480000 + 48000
+    return encode_flac_skeleton(
+        rate,
+        channels,
+        bps,
+        total,
+        padding=16 if i % 5 == 0 else 0,
+        vendor=b"pdf_spark" if i % 7 == 0 else b"",
+    )
+
+
+def _qm25(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.audio import flac_meta
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [flac_meta(_qm25_make_flac(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "channels": [m["channels"] for m in metas],
+                    "sample_rate": [m["sample_rate"] for m in metas],
+                    "bits_per_sample": [m["bits_per_sample"] for m in metas],
+                    "total_samples": [m["total_samples"] for m in metas],
+                    "duration_ms": [m["duration_ms"] for m in metas],
+                }
+            )
+
+    return docs.mapInPandas(run, _FLAC_SCHEMA)
+
+
+QUERIES["qm25_flac_meta"] = _qm25
+ORACLE["qm25_flac_meta"] = """
+WITH v AS (
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                WHEN 2 THEN 96000 ELSE 8000 END AS rate,
+           CASE WHEN doc_id % 13 = 0 THEN 0
+                ELSE (doc_id * 613) % 480000 + 48000 END AS total
+    FROM documents
+)
+SELECT doc_id,
+       CAST(doc_id % 8 + 1 AS INTEGER) AS channels,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 8 END
+            AS INTEGER) AS bits_per_sample,
+       CAST(total AS BIGINT) AS total_samples,
+       CAST(total * 1000 // rate AS BIGINT) AS duration_ms
+FROM v
+"""

@@ -51,3 +51,44 @@ def test_audio_router_families():
     assert audio_meta(encode_ogg_skeleton("opus", 2, 48000, 480))["codec"] == "opus"
     assert audio_meta(b"not audio at all")["codec"] == "unknown"
     assert audio_meta(b"")["codec"] == "unknown"
+
+
+def test_flac_streaminfo_roundtrip():
+    from pdf_spark.core.audio import encode_flac_skeleton, flac_meta
+
+    m = flac_meta(encode_flac_skeleton(44100, 2, 16, 44100 * 7 + 123))
+    assert m == {
+        "codec": "flac", "channels": 2, "sample_rate": 44100,
+        "bits_per_sample": 16, "total_samples": 308823,
+        "duration_ms": 308823 * 1000 // 44100,
+    }
+    # 36-bit total-samples field and the channel/bps extremes
+    big = flac_meta(encode_flac_skeleton(96000, 8, 32, (1 << 35) + 5))
+    assert big["total_samples"] == (1 << 35) + 5
+    assert (big["channels"], big["bits_per_sample"]) == (8, 32)
+    # unknown total -> duration 0
+    assert flac_meta(encode_flac_skeleton(48000, 1, 24, 0))["duration_ms"] == 0
+
+
+def test_flac_block_walk_and_rejects():
+    from pdf_spark.core.audio import encode_flac_skeleton, flac_meta
+
+    # PADDING + VORBIS_COMMENT blocks around STREAMINFO exercise the walk
+    b = encode_flac_skeleton(8000, 1, 8, 8000, padding=32, vendor=b"x" * 40)
+    assert flac_meta(b)["sample_rate"] == 8000
+    with pytest.raises(ValueError):
+        flac_meta(b"fLaX" + b"\x00" * 64)  # bad magic
+    with pytest.raises(ValueError):
+        flac_meta(encode_flac_skeleton(44100, 2, 16, 1000)[:20])  # truncated
+    # a last-flagged non-STREAMINFO block ends the walk without one
+    with pytest.raises(ValueError):
+        flac_meta(b"fLaC" + b"\x81\x00\x00\x04" + b"\x00" * 4)
+
+
+def test_flac_in_audio_router():
+    from pdf_spark.core.audio import encode_flac_skeleton
+
+    m = audio_meta(encode_flac_skeleton(48000, 2, 16, 96000))
+    assert (m["codec"], m["channels"], m["sample_rate"], m["duration_ms"]) == (
+        "flac", 2, 48000, 2000,
+    )
