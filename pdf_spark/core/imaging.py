@@ -899,6 +899,15 @@ def encode_gif(
     desc = b"\x2c" + struct.pack(
         "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
     )
+    return head + desc + _gif_image_data(bits, w, h, indices, interlace) + b"\x3b"
+
+
+def _gif_image_data(
+    bits: int, w: int, h: int, indices, interlace: bool
+) -> bytes:
+    """Clear-code-per-pixel GIF image data (min-code-size byte +
+    255-byte sub-blocks + terminator) — shared by the static and
+    animated writers."""
     if interlace:
         order = [
             y
@@ -933,7 +942,7 @@ def encode_gif(
         chunk = data[i : i + 255]
         body += bytes([len(chunk)]) + chunk
     body += b"\x00"
-    return head + desc + bytes(body) + b"\x3b"
+    return bytes(body)
 
 
 # --- JPEG (sequential + progressive DCT, ITU T.81): the third real format -----
@@ -3194,3 +3203,196 @@ def splice_exif(jpeg: bytes, app1_segment: bytes) -> bytes:
     if jpeg[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     return jpeg[:2] + app1_segment + jpeg[2:]
+
+
+# --- Animation inventory (animated GIF + APNG): routing meta ------------------
+#
+# An animated image is a video for dedup/transcode purposes — a pHash of
+# frame 1 never matches the content of frame 40, and the decode tier
+# needs frame count + timeline before it spends anything. Header-only:
+# GIF frames are counted by walking image descriptors (LZW data skipped
+# by its sub-block lengths), durations summed from each frame's Graphic
+# Control Extension delay (centiseconds), loop count from the
+# NETSCAPE2.0 application extension; APNG from the acTL chunk
+# (num_frames/num_plays) and per-frame fcTL delays (delay_num/delay_den
+# seconds, den 0 meaning 100 per spec), each frame's ms floored before
+# summing so the arithmetic is integer-exact and order-free.
+
+MAX_ANIM_FRAMES = 100_000  # frame-count bomb cap
+
+
+def animation_meta(blob: bytes) -> dict:
+    """``{format, is_animated, n_frames, duration_ms, loop_count}`` for
+    GIF and (A)PNG blobs; ``format='unknown'`` otherwise. loop_count
+    follows each format's own convention (GIF NETSCAPE / APNG num_plays:
+    0 = loop forever; GIF with no NETSCAPE extension plays once ->
+    loop_count 1)."""
+    blob = bytes(blob)
+    out = {"format": "unknown", "is_animated": 0, "n_frames": 0,
+           "duration_ms": 0, "loop_count": 1}
+    if blob[:4] == b"GIF8" and len(blob) >= 13:
+        out["format"] = "gif"
+        flags = blob[10]
+        pos = 13
+        if flags & 0x80:
+            pos += 3 * (2 << (flags & 0x07))
+        n = len(blob)
+        frames = 0
+        duration = 0
+        pending_delay = 0
+        loop = None
+        while pos < n and frames <= MAX_ANIM_FRAMES:
+            b0 = blob[pos]
+            if b0 == 0x3B:  # trailer
+                break
+            if b0 == 0x21:  # extension
+                if pos + 2 > n:
+                    break
+                label = blob[pos + 1]
+                pos += 2
+                first = True
+                while pos < n and blob[pos] != 0:
+                    ln = blob[pos]
+                    sub = blob[pos + 1 : pos + 1 + ln]
+                    if label == 0xF9 and first and ln >= 4:
+                        pending_delay = struct.unpack_from("<H", sub, 1)[0]
+                    elif label == 0xFF and first and sub[:11] == b"NETSCAPE2.0":
+                        pass  # loop count rides the NEXT sub-block
+                    elif label == 0xFF and not first and ln >= 3 and sub[0] == 1:
+                        loop = struct.unpack_from("<H", sub, 1)[0]
+                    first = False
+                    pos += 1 + ln
+                pos += 1
+            elif b0 == 0x2C:  # image descriptor
+                if pos + 10 > n:
+                    break
+                iflags = blob[pos + 9]
+                pos += 10
+                if iflags & 0x80:
+                    pos += 3 * (2 << (iflags & 0x07))
+                frames += 1
+                duration += pending_delay * 10  # centiseconds -> ms
+                pending_delay = 0
+                pos += 1  # LZW min code size
+                while pos < n and blob[pos] != 0:
+                    pos += 1 + blob[pos]
+                pos += 1
+            else:
+                break  # desync: stop counting, keep what we have
+        out["n_frames"] = frames
+        out["is_animated"] = 1 if frames > 1 else 0
+        out["duration_ms"] = duration if frames > 1 else 0
+        out["loop_count"] = loop if (frames > 1 and loop is not None) else 1
+        return out
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        out["format"] = "png"
+        pos = 8
+        n = len(blob)
+        n_frames = 0
+        plays = 1
+        duration = 0
+        seen_actl = False
+        steps = 0
+        while pos + 8 <= n and steps < MAX_ANIM_FRAMES:
+            steps += 1
+            (ln,) = struct.unpack_from(">I", blob, pos)
+            ctype = blob[pos + 4 : pos + 8]
+            data = blob[pos + 8 : pos + 8 + ln]
+            if ctype == b"acTL" and ln >= 8:
+                n_frames, plays = struct.unpack_from(">II", data, 0)
+                seen_actl = True
+            elif ctype == b"fcTL" and ln >= 26:
+                num, den = struct.unpack_from(">HH", data, 20)
+                duration += num * 1000 // (den or 100)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + ln  # len + type + data + crc
+        if seen_actl and n_frames > 1:
+            out.update(format="apng", is_animated=1,
+                       n_frames=int(n_frames), duration_ms=int(duration),
+                       loop_count=int(plays))
+        else:
+            out["n_frames"] = 1
+        return out
+    return out
+
+
+def encode_gif_animation(
+    w: int,
+    h: int,
+    palette: bytes,
+    frames,
+    delays_cs,
+    loop_count: int | None = 0,
+) -> bytes:
+    """Honest multi-frame GIF89a writer: real NETSCAPE2.0 loop extension
+    (omitted when ``loop_count`` is None), a real Graphic Control
+    Extension per frame carrying its centisecond delay, and genuine
+    image data per frame (the same clear-code-per-pixel stream the
+    static writer emits, decodable by any GIF reader)."""
+    npal = len(palette) // 3
+    bits = max(2, (npal - 1).bit_length())
+    pal_n = 1 << bits
+    pal = bytes(palette) + b"\x00" * (3 * (pal_n - npal))
+    out = bytearray(
+        b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0) + pal
+    )
+    if loop_count is not None:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+        out += struct.pack("<H", loop_count) + b"\x00"
+    for indices, delay in zip(frames, delays_cs):
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += _gif_image_data(bits, w, h, indices, False)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def encode_apng(
+    w: int,
+    h: int,
+    n_frames: int,
+    delay_num: int,
+    delay_den: int,
+    num_plays: int = 0,
+) -> bytes:
+    """Honest APNG writer built on the real PNG writer: the static PNG's
+    IHDR/IDAT are kept, acTL is spliced after IHDR, frame 0 gets a real
+    fcTL, and every further frame a sequenced fcTL + fdAT whose payload
+    is the same genuine zlib stream (APNG's fdAT body IS IDAT body + a
+    leading sequence number)."""
+    base = encode_png(w, h, 1, bytes([(x * 7 + y * 13) & 0xFF
+                                      for y in range(h) for x in range(w)]),
+                      filter_mode="none")
+    pos = 8
+    ihdr = idat = iend = b""
+    while pos + 8 <= len(base):
+        (ln,) = struct.unpack_from(">I", base, pos)
+        ctype = base[pos + 4 : pos + 8]
+        whole = base[pos : pos + 12 + ln]
+        if ctype == b"IHDR":
+            ihdr = whole
+        elif ctype == b"IDAT":
+            idat += whole[8 : 8 + ln]  # concat payloads
+        elif ctype == b"IEND":
+            iend = whole
+        pos += 12 + ln
+    def fctl(seq: int) -> bytes:
+        return _png_chunk(
+            b"fcTL",
+            struct.pack(">IIIIIHHBB", seq, w, h, 0, 0,
+                        delay_num, delay_den, 0, 0),
+        )
+    out = bytearray(b"\x89PNG\r\n\x1a\n" + ihdr)
+    out += _png_chunk(b"acTL", struct.pack(">II", n_frames, num_plays))
+    seq = 0
+    out += fctl(seq)
+    seq += 1
+    out += _png_chunk(b"IDAT", idat)
+    for _ in range(n_frames - 1):
+        out += fctl(seq)
+        seq += 1
+        out += _png_chunk(b"fdAT", struct.pack(">I", seq) + idat)
+        seq += 1
+    out += iend
+    return bytes(out)

@@ -2120,3 +2120,103 @@ SELECT doc_id,
        CAST(total * 1000 // rate AS BIGINT) AS duration_ms
 FROM v
 """
+
+
+# -- qm26: animation inventory (core/imaging.py::animation_meta) -------------------
+#
+# Animated GIF (image-descriptor walk, GCE centisecond delays, NETSCAPE
+# loop extension) and APNG (acTL frames/plays, fcTL delay fractions with
+# the den-0-means-100 rule) routed against their static twins — the op
+# that decides image-tier vs video-tier BEFORE any pixel is decoded.
+
+_ANIM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("is_animated", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("loop_count", LongType()),
+    ]
+)
+
+
+def _qm26_make_blob(doc_id: int) -> bytes:
+    from pdf_spark.core.imaging import (
+        encode_apng,
+        encode_gif,
+        encode_gif_animation,
+        encode_png,
+    )
+
+    i = int(doc_id)
+    fam = i % 4
+    pal = bytes([0, 0, 0, 255, 255, 255])
+    if fam == 0:  # animated GIF
+        k = i % 3 + 2
+        delay = i % 7 + 2
+        frames = [[(x + y + f) % 2 for y in range(4) for x in range(4)]
+                  for f in range(k)]
+        return encode_gif_animation(4, 4, pal, frames, [delay] * k,
+                                    loop_count=i % 5)
+    if fam == 1:  # static GIF
+        return encode_gif(4, 4, pal, [(x + y) % 2 for y in range(4)
+                                      for x in range(4)])
+    if fam == 2:  # APNG
+        k = i % 3 + 2
+        num = i % 5 + 1
+        den = [100, 50, 0][i % 3]
+        return encode_apng(6, 5, k, num, den, num_plays=i % 4)
+    return encode_png(3, 3, 1, bytes(9))  # static PNG
+
+
+def _qm26(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.imaging import animation_meta
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [animation_meta(_qm26_make_blob(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "format": [m["format"] for m in metas],
+                    "is_animated": [m["is_animated"] for m in metas],
+                    "n_frames": [m["n_frames"] for m in metas],
+                    "duration_ms": [m["duration_ms"] for m in metas],
+                    "loop_count": [m["loop_count"] for m in metas],
+                }
+            )
+
+    return docs.mapInPandas(run, _ANIM_SCHEMA)
+
+
+QUERIES["qm26_animation_meta"] = _qm26
+# GIF duration = k frames x (delay_cs x 10) ms; APNG per-frame ms is
+# num*1000 // den with den 0 -> 100, summed over k identical frames.
+ORACLE["qm26_animation_meta"] = """
+WITH v AS (
+    SELECT doc_id, doc_id % 4 AS fam,
+           doc_id % 3 + 2 AS k,
+           doc_id % 7 + 2 AS delay_cs,
+           doc_id % 5 + 1 AS num,
+           CASE doc_id % 3 WHEN 0 THEN 100 WHEN 1 THEN 50 ELSE 100 END
+               AS den_eff
+    FROM documents
+)
+SELECT doc_id,
+       CASE fam WHEN 0 THEN 'gif' WHEN 1 THEN 'gif'
+            WHEN 2 THEN 'apng' ELSE 'png' END AS format,
+       CAST(CASE WHEN fam IN (0, 2) THEN 1 ELSE 0 END AS INTEGER)
+           AS is_animated,
+       CAST(CASE fam WHEN 0 THEN k WHEN 2 THEN k ELSE 1 END AS BIGINT)
+           AS n_frames,
+       CAST(CASE fam WHEN 0 THEN k * delay_cs * 10
+            WHEN 2 THEN k * (num * 1000 // den_eff)
+            ELSE 0 END AS BIGINT) AS duration_ms,
+       CAST(CASE fam WHEN 0 THEN doc_id % 5
+            WHEN 2 THEN doc_id % 4 ELSE 1 END AS BIGINT) AS loop_count
+FROM v
+"""

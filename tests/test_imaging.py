@@ -1002,3 +1002,64 @@ class TestExif:
 
         with pytest.raises(ValueError):
             splice_exif(b"nope", encode_exif_app1(orientation=1))
+
+
+# --- animation inventory (animated GIF + APNG) --------------------------------
+
+
+def test_animation_gif_roundtrip_and_static():
+    from pdf_spark.core.imaging import (
+        animation_meta, decode_gif, encode_gif, encode_gif_animation,
+    )
+
+    pal = bytes([0, 0, 0, 255, 255, 255])
+    frames = [[(x + y + f) % 2 for y in range(4) for x in range(4)]
+              for f in range(3)]
+    g = encode_gif_animation(4, 4, pal, frames, [5, 7, 9], loop_count=2)
+    assert animation_meta(g) == {
+        "format": "gif", "is_animated": 1, "n_frames": 3,
+        "duration_ms": 210, "loop_count": 2,
+    }
+    # the animated fixture is a real GIF: frame 1 decodes via the decoder
+    w, h, c, s = decode_gif(g)
+    assert (w, h) == (4, 4)
+    # no NETSCAPE extension -> plays once
+    g1 = encode_gif_animation(4, 4, pal, frames[:2], [3, 3], loop_count=None)
+    assert animation_meta(g1)["loop_count"] == 1
+    st = animation_meta(encode_gif(4, 4, pal, frames[0]))
+    assert (st["is_animated"], st["n_frames"], st["duration_ms"]) == (0, 1, 0)
+
+
+def test_animation_apng_and_plain_png():
+    from pdf_spark.core.imaging import (
+        animation_meta, decode_png, encode_apng, encode_png,
+    )
+
+    a = encode_apng(6, 5, 4, 1, 50, num_plays=3)
+    assert animation_meta(a) == {
+        "format": "apng", "is_animated": 1, "n_frames": 4,
+        "duration_ms": 4 * (1000 // 50), "loop_count": 3,
+    }
+    # APNG stays a valid PNG (ancillary chunks skipped by the decoder)
+    w, h, c, s = decode_png(a)
+    assert (w, h) == (6, 5)
+    # den 0 means 100 per the APNG spec
+    z = encode_apng(4, 4, 2, 7, 0)
+    assert animation_meta(z)["duration_ms"] == 2 * (7 * 1000 // 100)
+    p = animation_meta(encode_png(3, 3, 1, bytes(9)))
+    assert (p["format"], p["n_frames"], p["is_animated"]) == ("png", 1, 0)
+
+
+def test_animation_meta_tolerance():
+    from pdf_spark.core.imaging import (
+        animation_meta, encode_gif_animation,
+    )
+
+    pal = bytes([0, 0, 0, 255, 255, 255])
+    frames = [[0] * 16, [1] * 16]
+    g = encode_gif_animation(4, 4, pal, frames, [10, 10], loop_count=0)
+    # truncation mid-walk keeps the frames counted so far, no raise
+    cut = animation_meta(g[: len(g) - 20])
+    assert cut["format"] == "gif" and cut["n_frames"] <= 2
+    assert animation_meta(b"")["format"] == "unknown"
+    assert animation_meta(b"GIF89a" + b"\x00" * 8)["format"] == "gif"
