@@ -2775,3 +2775,89 @@ _pair(
     .replace("{UNNEST}", ", LATERAL UNNEST(t.gl) AS u(gram)")
     .replace("{IDIV}", "//"),
 )
+
+
+# --- qt57: UniMax language-balanced sampling allocation (waterfilling) ----------
+#
+# UniMax (Chung et al., 2023): allocate a total training-token budget B
+# across languages so every language gets an equal share EXCEPT those
+# whose corpus would be repeated past the epoch cap E — they contribute
+# everything they have (cap_l = c_l * E) and the surplus waterfalls to
+# the rest. Closed-form integer waterfill over the per-language token
+# counts: sort langs by cap ascending; a lang is CAPPED iff filling it
+# and every larger lang at its own cap level still fits the remaining
+# budget (cap * langs_at_or_above + prefix_below <= B — true on a
+# prefix of the sort); uncapped langs split the leftover evenly with
+# the integer remainder going to the smallest-cap uncapped langs
+# (deterministic, order-free). The scored slice keeps all English but
+# 1-in-20 docs of every other language — the real-web imbalance the
+# benchmark tables flatten away — so with B = half the slice's tokens
+# and E = 3 the tail languages actually hit their epoch cap
+# (epochs_milli = 3000) while English waterfills the surplus: both
+# regimes live at every SF. epochs_milli = alloc * 1000 // c is the
+# per-lang repeat factor the sampler actually applies.
+#
+# 100 TB: the per-lang aggregate is a partial-agg groupBy down to
+# O(#languages) rows; every window after that runs on a table of a few
+# hundred rows (one exchange of kilobytes). Nothing corpus-sized ever
+# sorts.
+
+_QT57_BODY = """
+WITH toks AS (
+  SELECT lang, {NTOK} AS nt FROM documents
+  WHERE lang = 'en' OR doc_id % 20 = 0
+),
+langs AS (
+  SELECT lang, CAST(SUM(nt) AS BIGINT) AS c FROM toks GROUP BY lang
+),
+budget AS (
+  SELECT CAST(SUM(c) / 2 AS BIGINT) AS b FROM langs
+),
+caps AS (
+  SELECT lang, c, c * 3 AS cap FROM langs
+),
+ordered AS (
+  SELECT lang, c, cap,
+         ROW_NUMBER() OVER (ORDER BY cap, lang) AS rn,
+         SUM(cap) OVER (ORDER BY cap, lang
+                        ROWS UNBOUNDED PRECEDING) AS pre,
+         COUNT(*) OVER () AS n
+  FROM caps
+),
+flagged AS (
+  SELECT o.*, b.b,
+         CASE WHEN o.cap * (o.n - o.rn + 1) + (o.pre - o.cap) <= b.b
+              THEN 1 ELSE 0 END AS capped
+  FROM ordered o CROSS JOIN budget b
+),
+kval AS (
+  SELECT COALESCE(MAX(CASE WHEN capped = 1 THEN rn END), 0) AS k,
+         COALESCE(MAX(CASE WHEN capped = 1 THEN pre END), 0) AS pre_k
+  FROM flagged
+)
+SELECT f.lang, f.c AS n_tokens, f.cap,
+       CAST(CASE WHEN f.capped = 1 THEN f.cap
+            ELSE (f.b - kv.pre_k) / (f.n - kv.k)
+                 + CASE WHEN f.rn - kv.k
+                             <= (f.b - kv.pre_k) % (f.n - kv.k)
+                        THEN 1 ELSE 0 END
+       END AS BIGINT) AS alloc,
+       CAST(CASE WHEN f.capped = 1 THEN f.cap
+            ELSE (f.b - kv.pre_k) / (f.n - kv.k)
+                 + CASE WHEN f.rn - kv.k
+                             <= (f.b - kv.pre_k) % (f.n - kv.k)
+                        THEN 1 ELSE 0 END
+       END * 1000 / f.c AS BIGINT) AS epochs_milli,
+       CAST(f.capped AS INTEGER) AS capped
+FROM flagged f CROSS JOIN kval kv
+"""
+
+_pair(
+    "qt57_unimax_allocation",
+    _QT57_BODY.replace(
+        "{NTOK}", "size(filter(split(text, ' '), t -> t <> ''))"
+    ).replace(" / ", " DIV "),
+    _QT57_BODY.replace(
+        "{NTOK}", "len(list_filter(string_split(text, ' '), t -> t <> ''))"
+    ).replace(" / ", " // "),
+)
