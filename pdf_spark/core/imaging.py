@@ -3009,6 +3009,7 @@ _TAG_DATETIME = 0x0132
 _TAG_EXIF_IFD = 0x8769
 _TAG_PIX_X = 0xA002
 _TAG_PIX_Y = 0xA003
+_TAG_GPS_IFD = 0x8825
 
 
 def _exif_read_ifd(t: bytes, endo: str, off: int) -> dict:
@@ -3042,10 +3043,14 @@ def _exif_read_ifd(t: bytes, endo: str, off: int) -> dict:
         if typ == 2:
             out[tag] = raw.split(b"\x00", 1)[0].decode("ascii", "replace")
         elif typ == 5:
-            out[tag] = (
-                int.from_bytes(raw[:4], endo),
-                int.from_bytes(raw[4:8], endo),
+            pairs = tuple(
+                (
+                    int.from_bytes(raw[8 * i : 8 * i + 4], endo),
+                    int.from_bytes(raw[8 * i + 4 : 8 * i + 8], endo),
+                )
+                for i in range(cnt)
             )
+            out[tag] = pairs[0] if cnt == 1 else pairs
         else:
             out[tag] = int.from_bytes(raw[:sz], endo)
     return out
@@ -3132,12 +3137,16 @@ def encode_exif_app1(
     pix_x: Optional[int] = None,
     pix_y: Optional[int] = None,
     big_endian: bool = False,
+    gps: Optional[tuple] = None,
 ) -> bytes:
     """Honest APP1/Exif SEGMENT writer (fixture helper): a real TIFF block
     — ascending-tag IFD0, inline SHORT values, out-of-line ASCII values,
     and a real Exif sub-IFD (0x8769 LONG pointer) holding the pixel dims —
-    so the reader runs on genuine structures, offsets and all. Returns the
-    full ``FF E1 <len> Exif\\0\\0 <tiff>`` segment ready to splice."""
+    so the reader runs on genuine structures, offsets and all. ``gps``
+    optionally adds a real GPS sub-IFD (0x8825): ``(lat_ref, (dnum, dden,
+    mnum, mden, snum, sden), lon_ref, (...))`` with genuine RATIONAL
+    triples (24 out-of-line bytes each). Returns the full ``FF E1 <len>
+    Exif\\0\\0 <tiff>`` segment ready to splice."""
     endo = "big" if big_endian else "little"
 
     def b2(v: int) -> bytes:
@@ -3167,17 +3176,32 @@ def encode_exif_app1(
         sub.append((_TAG_PIX_Y, 4, 1, b4(pix_y)))
     if sub:
         ifd0.append((_TAG_EXIF_IFD, 4, 1, None))
+    gps_ifd: list = []
+    if gps is not None:
+        lat_ref, lat, lon_ref, lon = gps
+
+        def rat3(v: tuple) -> bytes:
+            return b"".join(b4(x) for x in v)
+
+        gps_ifd = [
+            (0x0001, 2, 2, lat_ref.encode("ascii") + b"\x00"),
+            (0x0002, 5, 3, rat3(lat)),
+            (0x0003, 2, 2, lon_ref.encode("ascii") + b"\x00"),
+            (0x0004, 5, 3, rat3(lon)),
+        ]
+        ifd0.append((_TAG_GPS_IFD, 4, 1, None))
     ifd0.sort(key=lambda t: t[0])
 
-    def ifd_bytes(entries: list, off: int, ptr_value: int) -> bytes:
+    def ifd_bytes(entries: list, off: int, ptrs: dict) -> bytes:
         """Serialize one IFD starting at ``off``; overflow values follow
-        the 4-byte next-IFD terminator. ``ptr_value`` patches raw=None."""
+        the 4-byte next-IFD terminator. raw=None entries take their
+        pointer value from ``ptrs[tag]``."""
         val_off = off + 2 + 12 * len(entries) + 4
         body = b2(len(entries))
         tail = b""
         for tag, typ, cnt, raw in entries:
             if raw is None:
-                raw = b4(ptr_value)
+                raw = b4(ptrs.get(tag, 0))
             body += b2(tag) + b2(typ) + b4(cnt)
             if len(raw) <= 4:
                 body += raw + b"\x00" * (4 - len(raw))
@@ -3186,14 +3210,19 @@ def encode_exif_app1(
                 tail += raw
         return body + b4(0) + tail
 
-    # lay out IFD0 first to learn where the sub-IFD lands
+    # lay out IFD0 first to learn where the sub-IFDs land
     ifd0_off = 8
-    probe = ifd_bytes(ifd0, ifd0_off, 0)
+    probe = ifd_bytes(ifd0, ifd0_off, {})
     sub_off = ifd0_off + len(probe)
+    sub_probe = ifd_bytes(sub, sub_off, {}) if sub else b""
+    gps_off = sub_off + len(sub_probe)
+    ptrs = {_TAG_EXIF_IFD: sub_off, _TAG_GPS_IFD: gps_off}
     tiff = (b"II*\x00" if endo == "little" else b"MM\x00*") + b4(ifd0_off)
-    tiff += ifd_bytes(ifd0, ifd0_off, sub_off)
+    tiff += ifd_bytes(ifd0, ifd0_off, ptrs)
     if sub:
-        tiff += ifd_bytes(sub, sub_off, 0)
+        tiff += ifd_bytes(sub, sub_off, {})
+    if gps_ifd:
+        tiff += ifd_bytes(gps_ifd, gps_off, {})
     payload = b"Exif\x00\x00" + tiff
     return b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
 
@@ -3396,3 +3425,108 @@ def encode_apng(
         seq += 1
     out += iend
     return bytes(out)
+
+
+# --- EXIF GPS: the image-PII tier (detect + strip) -----------------------------
+#
+# GPS rationals in a crawl image are PII the same way a phone number in
+# text is (qt26's tier): the pipeline must FIND them (routing/audit) and
+# REMOVE them before the image ships in a training set. Coordinates are
+# read as exact integer micro-degrees — each deg/min/sec rational floored
+# independently (num*10^6 // (scale*den)), so the value is deterministic
+# and oracle-checkable with zero float drift. The strip REBUILDS the
+# APP1 from the parsed non-GPS fields rather than unlinking the GPS IFD
+# pointer: an unlinked IFD's latitude bytes would still sit in the file.
+
+
+def _exif_app1_span(blob: bytes):
+    """Byte span ``(start, end)`` of the first APP1/Exif segment, or
+    None — the same segment walk exif_meta does."""
+    if blob[:2] != b"\xff\xd8":
+        return None
+    pos, n = 2, len(blob)
+    while pos + 4 <= n:
+        if blob[pos] != 0xFF:
+            break
+        marker = blob[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):
+            break
+        seg_len = int.from_bytes(blob[pos + 2 : pos + 4], "big")
+        if seg_len < 2:
+            break
+        if marker == 0xE1 and blob[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            return (pos, pos + 2 + seg_len)
+        pos += 2 + seg_len
+    return None
+
+
+_GPS_NONE = {"has_gps": 0, "lat_microdeg": None, "lon_microdeg": None}
+
+
+def exif_gps(blob: bytes) -> dict:
+    """GPS position from the EXIF GPS sub-IFD as exact integer
+    micro-degrees (negative for S/W); ``has_gps=0`` when absent or
+    malformed — a routing decision, not an error."""
+    blob = bytes(blob)
+    span = _exif_app1_span(blob)
+    if span is None:
+        return dict(_GPS_NONE)
+    tiff = blob[span[0] + 10 : span[1]]
+    if tiff[:4] not in (b"II*\x00", b"MM\x00*"):
+        return dict(_GPS_NONE)
+    endo = "little" if tiff[0] == 0x49 else "big"
+    try:
+        ifd0 = _exif_read_ifd(tiff, endo, int.from_bytes(tiff[4:8], endo))
+        ptr = ifd0.get(_TAG_GPS_IFD)
+        if not isinstance(ptr, int):
+            return dict(_GPS_NONE)
+        g = _exif_read_ifd(tiff, endo, ptr)
+    except ValueError:
+        return dict(_GPS_NONE)
+
+    def microdeg(v, ref, neg):
+        if not (
+            isinstance(v, tuple)
+            and len(v) == 3
+            and all(isinstance(p, tuple) and len(p) == 2 for p in v)
+        ):
+            return None
+        tot = 0
+        for (num, den), scale in zip(v, (1, 60, 3600)):
+            if not den:
+                return None
+            tot += num * 1_000_000 // (scale * den)
+        return -tot if ref == neg else tot
+
+    lat = microdeg(g.get(0x0002), g.get(0x0001), "S")
+    lon = microdeg(g.get(0x0004), g.get(0x0003), "W")
+    if lat is None and lon is None:
+        return dict(_GPS_NONE)
+    return {"has_gps": 1, "lat_microdeg": lat, "lon_microdeg": lon}
+
+
+def strip_exif_gps(jpeg: bytes) -> bytes:
+    """Remove GPS data from a JPEG's EXIF: the APP1 is REBUILT from the
+    parsed camera fields (orientation/make/model/timestamp/pixel dims,
+    same endianness) so the coordinate bytes leave the file entirely.
+    No-GPS inputs return unchanged bytes."""
+    jpeg = bytes(jpeg)
+    if exif_gps(jpeg)["has_gps"] == 0:
+        return jpeg
+    span = _exif_app1_span(jpeg)
+    m = exif_meta(jpeg)
+    rebuilt = b""
+    if m["has_exif"]:
+        rebuilt = encode_exif_app1(
+            orientation=m["orientation"],
+            make=m["make"],
+            model=m["model"],
+            taken_at=m["taken_at"],
+            pix_x=m["pix_x"],
+            pix_y=m["pix_y"],
+            big_endian=(m["endian"] == "MM"),
+        )
+    return jpeg[: span[0]] + rebuilt + jpeg[span[1] :]

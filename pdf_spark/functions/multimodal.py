@@ -2220,3 +2220,122 @@ SELECT doc_id,
             WHEN 2 THEN doc_id % 4 ELSE 1 END AS BIGINT) AS loop_count
 FROM v
 """
+
+
+# -- qm27: EXIF GPS detect + strip (core/imaging.py::exif_gps/strip_exif_gps) ------
+#
+# The image-PII tier (qt26's text twin): GPS rationals read as exact
+# integer micro-degrees (each deg/min/sec floored independently), then
+# the strip transform rebuilds the APP1 without the GPS IFD and the
+# query CERTIFIES the strip — re-parse shows gps gone and orientation
+# (the dedup-critical field) intact. Coordinates leave the file, not
+# just the pointer table.
+
+_GPS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("has_gps", IntegerType()),
+        StructField("lat_microdeg", LongType()),
+        StructField("lon_microdeg", LongType()),
+        StructField("gps_after_strip", IntegerType()),
+        StructField("orientation_kept", IntegerType()),
+    ]
+)
+
+
+def _qm27_make_jpeg(doc_id: int) -> bytes:
+    from pdf_spark.core.imaging import (
+        encode_exif_app1,
+        encode_jpeg,
+        splice_exif,
+    )
+
+    i = int(doc_id)
+    jpeg = encode_jpeg(8, 8, [(96 + (i % 4) * 8, 0)])
+    if i % 5 == 4:  # no EXIF at all
+        return jpeg
+    gps = None
+    if i % 3 != 2:  # GPS family
+        gps = (
+            "N" if i % 4 < 2 else "S",
+            (i % 90, 1, i % 60, 1, (i * 37) % 60000, 1000),
+            "E" if i % 8 < 4 else "W",
+            (i % 180, 1, (i * 7) % 60, 1, (i * 11) % 60000, 1000),
+        )
+    app1 = encode_exif_app1(
+        orientation=i % 8 + 1,
+        make="Maker" + str(i % 3),
+        big_endian=(i % 2 == 1),
+        gps=gps,
+    )
+    return splice_exif(jpeg, app1)
+
+
+def _qm27(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.imaging import exif_gps, exif_meta, strip_exif_gps
+
+        for batch in batches:
+            rows = []
+            for d in (int(x) for x in batch["doc_id"]):
+                blob = _qm27_make_jpeg(d)
+                g = exif_gps(blob)
+                stripped = strip_exif_gps(blob)
+                kept = (
+                    exif_meta(stripped)["orientation"]
+                    == exif_meta(blob)["orientation"]
+                )
+                rows.append(
+                    (
+                        d,
+                        g["has_gps"],
+                        g["lat_microdeg"],
+                        g["lon_microdeg"],
+                        exif_gps(stripped)["has_gps"],
+                        1 if kept else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "has_gps": [r[1] for r in rows],
+                    "lat_microdeg": pd.array(
+                        [r[2] for r in rows], dtype="Int64"
+                    ),
+                    "lon_microdeg": pd.array(
+                        [r[3] for r in rows], dtype="Int64"
+                    ),
+                    "gps_after_strip": [r[4] for r in rows],
+                    "orientation_kept": [r[5] for r in rows],
+                }
+            )
+
+    return docs.mapInPandas(run, _GPS_SCHEMA)
+
+
+QUERIES["qm27_exif_gps_strip"] = _qm27
+ORACLE["qm27_exif_gps_strip"] = """
+WITH v AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 4 OR doc_id % 3 = 2 THEN 0 ELSE 1 END
+               AS gps,
+           doc_id % 90 * 1000000 + (doc_id % 60) * 1000000 // 60
+               + ((doc_id * 37) % 60000) * 1000000 // 3600000 AS lat_mag,
+           doc_id % 180 * 1000000 + ((doc_id * 7) % 60) * 1000000 // 60
+               + ((doc_id * 11) % 60000) * 1000000 // 3600000 AS lon_mag
+    FROM documents
+)
+SELECT doc_id,
+       CAST(gps AS INTEGER) AS has_gps,
+       CAST(CASE WHEN gps = 0 THEN NULL
+            WHEN doc_id % 4 < 2 THEN lat_mag ELSE -lat_mag END AS BIGINT)
+           AS lat_microdeg,
+       CAST(CASE WHEN gps = 0 THEN NULL
+            WHEN doc_id % 8 < 4 THEN lon_mag ELSE -lon_mag END AS BIGINT)
+           AS lon_microdeg,
+       CAST(0 AS INTEGER) AS gps_after_strip,
+       CAST(1 AS INTEGER) AS orientation_kept
+FROM v
+"""

@@ -1063,3 +1063,51 @@ def test_animation_meta_tolerance():
     assert cut["format"] == "gif" and cut["n_frames"] <= 2
     assert animation_meta(b"")["format"] == "unknown"
     assert animation_meta(b"GIF89a" + b"\x00" * 8)["format"] == "gif"
+
+
+# --- EXIF GPS detect + strip ---------------------------------------------------
+
+
+def test_exif_gps_roundtrip_both_endians():
+    from pdf_spark.core.imaging import (
+        encode_exif_app1, encode_jpeg, exif_gps, splice_exif,
+    )
+
+    gps = ("N", (37, 1, 46, 1, 29123, 1000), "W", (122, 1, 25, 1, 9875, 1000))
+    exp_lat = 37 * 1000000 + 46 * 1000000 // 60 + 29123 * 1000000 // 3600000
+    exp_lon = -(122 * 1000000 + 25 * 1000000 // 60 + 9875 * 1000000 // 3600000)
+    base = encode_jpeg(8, 8, [(100, 0)])
+    for be in (False, True):
+        j = splice_exif(base, encode_exif_app1(orientation=6, gps=gps,
+                                               big_endian=be))
+        g = exif_gps(j)
+        assert g == {"has_gps": 1, "lat_microdeg": exp_lat,
+                     "lon_microdeg": exp_lon}
+    assert exif_gps(base)["has_gps"] == 0
+    assert exif_gps(b"junk")["has_gps"] == 0
+
+
+def test_exif_gps_strip_removes_bytes_keeps_camera_fields():
+    import struct
+
+    from pdf_spark.core.imaging import (
+        encode_exif_app1, encode_jpeg, exif_gps, exif_meta, splice_exif,
+        strip_exif_gps,
+    )
+
+    gps = ("S", (12, 1, 30, 1, 45678, 1000), "E", (77, 1, 10, 1, 11111, 1000))
+    base = encode_jpeg(8, 8, [(100, 0)])
+    j = splice_exif(base, encode_exif_app1(
+        orientation=3, make="M", model="C", taken_at="2020:05:06 07:08:09",
+        pix_x=320, pix_y=200, gps=gps, big_endian=True))
+    s = strip_exif_gps(j)
+    assert exif_gps(s)["has_gps"] == 0
+    # the coordinate bytes are gone, not just unlinked
+    assert struct.pack(">I", 45678) in j and struct.pack(">I", 45678) not in s
+    m = exif_meta(s)
+    assert (m["orientation"], m["make"], m["model"], m["pix_x"],
+            m["endian"]) == (3, "M", "C", 320, "MM")
+    # no-GPS input passes through byte-identical
+    plain = splice_exif(base, encode_exif_app1(orientation=1))
+    assert strip_exif_gps(plain) == plain
+    assert strip_exif_gps(base) == base
