@@ -690,3 +690,65 @@ _pair(
     _QS14_BODY.replace("{EXPLODE}", _EXPLODE_SPARK),
     _QS14_BODY.replace("{EXPLODE}", _EXPLODE_DUCK),
 )
+
+
+# --- qs15: binary (sign-bit) quantization + Hamming shortlist -------------------
+#
+# The 1-bit storage tier below qs09's int8 and qs11's PQ: each 64-dim
+# float vector compresses to 64 sign bits (x > 0), a 256x byte
+# reduction, and candidate generation is a Hamming-distance scan over
+# the packed codes — the layout RaBitQ-class systems and faiss's
+# IndexBinaryFlat use for the coarse pass before exact rerank (qs13's
+# recall-contract pattern certifies such shortlists). Codes pack into
+# TWO 32-bit words per vector, not one 64-bit word, because bit 63 of
+# a signed BIGINT would overflow the integer-sum construction in both
+# engines; dims 0-31 -> word 0, dims 32-63 -> word 1. The probe is the
+# vec_id 0 vector (a broadcast scalar, same as qs02), distance =
+# popcount(xor) summed over the words, shortlist = top-50 by
+# (hamming, vec_id) — every value integer-exact.
+#
+# 100 TB: code build is map-side (one scan, zero exchanges); the scan
+# against the broadcast probe is narrow + TakeOrdered(50) — no global
+# sort materializes. At 10^12 vectors the binary store is 8 TB where
+# the float store was 256 TB — the whole point of the tier.
+
+_QS15_BODY = """
+WITH codes AS (
+  SELECT vec_id,
+         {PACK0} AS c0,
+         {PACK1} AS c1
+  FROM embeddings
+),
+probe AS (
+  SELECT c0 AS q0, c1 AS q1 FROM codes WHERE vec_id = 0
+)
+SELECT c.vec_id,
+       CAST(bit_count({XOR}(c.c0, p.q0))
+            + bit_count({XOR}(c.c1, p.q1)) AS BIGINT) AS hamming
+FROM codes c CROSS JOIN probe p
+WHERE c.vec_id <> 0
+ORDER BY hamming, c.vec_id
+LIMIT 50
+"""
+
+_PACK_SPARK = (
+    "aggregate(sequence(0, 31), CAST(0 AS BIGINT),"
+    " (acc, i) -> acc + CASE WHEN element_at(embedding, i + {BASE} + 1) > 0"
+    " THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)"
+)
+_PACK_DUCK = (
+    "list_sum(list_transform(range(32),"
+    " i -> CASE WHEN embedding[i + {BASE} + 1] > 0"
+    " THEN 1::BIGINT << i ELSE 0::BIGINT END))"
+)
+
+_pair(
+    "qs15_binary_quantization",
+    _QS15_BODY.replace("{PACK0}", _PACK_SPARK.replace("{BASE}", "0"))
+    .replace("{PACK1}", _PACK_SPARK.replace("{BASE}", "32"))
+    .replace("{XOR}(c.c0, p.q0)", "(c.c0 ^ p.q0)")
+    .replace("{XOR}(c.c1, p.q1)", "(c.c1 ^ p.q1)"),
+    _QS15_BODY.replace("{PACK0}", _PACK_DUCK.replace("{BASE}", "0"))
+    .replace("{PACK1}", _PACK_DUCK.replace("{BASE}", "32"))
+    .replace("{XOR}", "xor"),
+)
