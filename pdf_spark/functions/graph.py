@@ -335,3 +335,74 @@ QUERIES["qg06_hits"] = lambda spark, sf: (
     or spark.sql(_QG06_BODY.replace("{EDGE_SRC}", _EDGE_SRC_SPARK))
 )
 ORACLE["qg06_hits"] = _QG06_BODY.replace("{EDGE_SRC}", _EDGE_SRC_DUCK)
+
+
+# --- qg07: label-propagation communities (2 synchronous rounds) ------------------
+#
+# Raghavan et al.'s LPA — the near-linear community detector crawl
+# pipelines run to find link farms and topic clusters — with the two
+# nondeterminism sources pinned: SYNCHRONOUS rounds (every node updates
+# from the previous round's labels, not a mix) and a total tie-break
+# (most-frequent neighbor label, ties to the SMALLEST label). Labels
+# start as node ids; two unrolled rounds (the qg06 pattern — iteration
+# count is the contract, convergence is not). Edges are undirected with
+# multiplicity (a double link is a stronger vote). Output is each
+# node's community plus the community size.
+#
+# Scale shape: each round is one shuffle-join of the edge list against
+# the O(N) label table on dst + one (node, label) groupBy with map-side
+# combine + one per-node ROW_NUMBER window over its distinct neighbor
+# labels (bounded by degree). Nothing is ever collected; rounds are a
+# fixed unroll so the lineage stays flat.
+
+_QG07_BODY = """
+WITH deg AS (SELECT doc_id AS u, CAST(doc_id % 3 + 1 AS BIGINT) AS d
+             FROM documents),
+edges AS (
+  SELECT u, CAST((u * 7 + k) % (SELECT COUNT(*) FROM documents) AS BIGINT) AS v
+  FROM {EDGE_SRC}
+),
+nbr AS (
+  SELECT u, v FROM edges WHERE u <> v
+  UNION ALL
+  SELECT v, u FROM edges WHERE u <> v
+),
+l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+v1 AS (
+  SELECT n.u AS node, l.lbl, COUNT(*) AS c
+  FROM nbr n JOIN l0 l ON n.v = l.node
+  GROUP BY n.u, l.lbl
+),
+l1 AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, lbl) AS rn
+    FROM v1) t
+  WHERE rn = 1
+),
+v2 AS (
+  SELECT n.u AS node, l.lbl, COUNT(*) AS c
+  FROM nbr n JOIN l1 l ON n.v = l.node
+  GROUP BY n.u, l.lbl
+),
+l2 AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, lbl) AS rn
+    FROM v2) t
+  WHERE rn = 1
+)
+SELECT node, CAST(lbl AS BIGINT) AS community,
+       CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+FROM l2
+"""
+
+QUERIES["qg07_label_propagation"] = lambda spark, sf: (
+    register_views(spark, sf)
+    or spark.sql(_QG07_BODY.replace("{EDGE_SRC}", _EDGE_SRC_SPARK))
+)
+ORACLE["qg07_label_propagation"] = _QG07_BODY.replace(
+    "{EDGE_SRC}", _EDGE_SRC_DUCK
+)
