@@ -1324,3 +1324,32 @@ SELECT doc_id,
        CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
 FROM documents
 """
+
+
+# -- qr39: explicit GROUPING SETS (the irregular lattice CUBE/ROLLUP can't say) --
+
+_QR39_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+"""
+
+
+@q("qr39_grouping_sets", _QR39_SQL)
+def qr39(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS: the report wants (status, priority),
+    (status) and the grand total but NOT (priority) — the irregular
+    lattice neither ROLLUP (qr10, prefix sets) nor CUBE (qr28, full
+    lattice) can express without computing and discarding a granularity.
+    Catalyst expands the named sets in one Expand node over a single
+    fact-table scan, same one-pass property as CUBE but only the sets
+    asked for — at 10^12 rows the skipped (priority) granularity is a
+    whole shuffle that never happens. GROUPING() flags disambiguate
+    rolled-up NULLs, and the identical ANSI text runs on both engines."""
+    register_views(spark, sf)
+    return spark.sql(_QR39_SQL)
