@@ -205,19 +205,34 @@ def encode_mp4_skeleton(
     tracks: list,
     mvhd_version: int = 0,
     largesize_mdat: bool = False,
+    sample_tables: list | None = None,
 ) -> bytes:
     """Emit an honest ISO-BMFF skeleton: ftyp + moov(mvhd, trak...) + mdat.
 
     ``tracks`` is a list of (handler_str, width, height) — e.g.
     ("vide", 640, 360) or ("soun", 0, 0). Box sizes, fixed-point fields
     and version layouts are real; the mdat payload is a placeholder.
+    ``sample_tables`` optionally aligns with ``tracks``: None, or
+    ``(stts_entries, stss_samples_or_None)`` to emit a real
+    minf/stbl/stts (+stss) chain for that track.
     """
     brand = major_brand.encode("latin-1").ljust(4)[:4]
     ftyp = _box(b"ftyp", brand + struct.pack(">I", 0) + brand + b"mp41")
     kids = [_mvhd(timescale, duration, mvhd_version)]
     for i, (handler, w, h) in enumerate(tracks):
+        stbl_bytes = b""
+        st = sample_tables[i] if sample_tables else None
+        if st is not None:
+            stts_entries, stss_samples = st
+            inner = _stts(stts_entries)
+            if stss_samples is not None:
+                inner += _stss(stss_samples)
+            stbl_bytes = _box(b"minf", _box(b"stbl", inner))
         mdia = _box(
-            b"mdia", _mdhd(timescale, duration) + _hdlr(handler.encode("latin-1"))
+            b"mdia",
+            _mdhd(timescale, duration)
+            + _hdlr(handler.encode("latin-1"))
+            + stbl_bytes,
         )
         kids.append(
             _box(
@@ -228,6 +243,104 @@ def encode_mp4_skeleton(
     moov = _box(b"moov", b"".join(kids))
     mdat = _box(b"mdat", b"\x00" * 16, largesize=largesize_mdat)
     return ftyp + moov + mdat
+
+
+
+
+# ------------------------------------------------- sample tables (stbl tier)
+#
+# The frame-sample tier's shopping list: how many samples a video track
+# has, which are keyframes (sync samples), and the media-timescale
+# duration — read from the stbl sample tables (stts/stss) without
+# touching one codec byte. An absent stss means EVERY sample is a sync
+# sample per ISO 14496-12 (intra-only streams), and the keyframe list
+# is what a distributed frame sampler actually seeks to.
+
+_STBL_DESCEND = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _stbl_walk(buf: bytes, start: int, end: int, depth: int, state: dict) -> None:
+    if depth > _MAX_DEPTH:
+        return
+    for btype, p0, p1, _d in _iter_boxes(buf, start, end, depth, state):
+        if btype == b"trak":
+            state["_trak"] = {"handler": b"", "timescale": 0,
+                              "stts": None, "stss": None, "has_stss": False}
+            _stbl_walk(buf, p0, p1, depth + 1, state)
+            t = state.pop("_trak")
+            if t["handler"] == b"vide" and "video" not in state:
+                state["video"] = t
+        elif btype == b"mdhd" and "_trak" in state and p1 - p0 >= 20:
+            ver = buf[p0]
+            state["_trak"]["timescale"] = (
+                _u32(buf, p0 + 20) if ver == 1 else _u32(buf, p0 + 12)
+            )
+        elif btype == b"hdlr" and "_trak" in state and p1 - p0 >= 12:
+            state["_trak"]["handler"] = buf[p0 + 8 : p0 + 12]
+        elif btype == b"stts" and "_trak" in state and p1 - p0 >= 8:
+            n = min(_u32(buf, p0 + 4), (p1 - p0 - 8) // 8, 1 << 16)
+            state["_trak"]["stts"] = [
+                (_u32(buf, p0 + 8 + 8 * i), _u32(buf, p0 + 12 + 8 * i))
+                for i in range(n)
+            ]
+        elif btype == b"stss" and "_trak" in state and p1 - p0 >= 8:
+            n = min(_u32(buf, p0 + 4), (p1 - p0 - 8) // 4, 1 << 16)
+            state["_trak"]["has_stss"] = True
+            state["_trak"]["stss"] = [
+                _u32(buf, p0 + 8 + 4 * i) for i in range(n)
+            ]
+        elif btype in _STBL_DESCEND:
+            _stbl_walk(buf, p0, p1, depth + 1, state)
+
+
+def mp4_sample_table(buf: bytes) -> dict:
+    """Video-track sample inventory from the stbl tables: ``n_samples``
+    and media duration from stts runs, keyframe count/first/last from
+    stss (absent stss = every sample is sync per §8.6.2). Raises
+    ValueError on non-BMFF; a BMFF file without a video track or sample
+    tables returns zeros (routing decision)."""
+    buf = bytes(buf)
+    if len(buf) < 12 or buf[4:8] not in (
+        b"ftyp", b"moov", b"mdat", b"free", b"skip", b"wide",
+    ):
+        raise ValueError("not an ISO-BMFF container")
+    state: dict = {"boxes": 0}
+    _stbl_walk(buf, 0, len(buf), 0, state)
+    t = state.get("video")
+    none = {"n_samples": 0, "n_keyframes": 0, "media_duration_ms": 0,
+            "first_keyframe": 0, "last_keyframe": 0}
+    if not t or not t["stts"]:
+        return none
+    n_samples = sum(c for c, _ in t["stts"])
+    ticks = sum(c * d for c, d in t["stts"])
+    ts = t["timescale"]
+    if t["has_stss"]:
+        ks = [k for k in (t["stss"] or []) if 1 <= k <= n_samples]
+        n_key, first, last = len(ks), (ks[0] if ks else 0), (ks[-1] if ks else 0)
+    else:  # no stss box: every sample is a sync sample
+        n_key, first, last = n_samples, 1, n_samples
+    return {
+        "n_samples": int(n_samples),
+        "n_keyframes": int(n_key),
+        "media_duration_ms": int(ticks * 1000 // ts) if ts else 0,
+        "first_keyframe": int(first),
+        "last_keyframe": int(last),
+    }
+
+
+def _stts(entries: list) -> bytes:
+    body = struct.pack(">II", 0, len(entries))
+    for cnt, delta in entries:
+        body += struct.pack(">II", cnt, delta)
+    return _box(b"stts", body)
+
+
+def _stss(samples: list) -> bytes:
+    return _box(
+        b"stss",
+        struct.pack(">II", 0, len(samples))
+        + b"".join(struct.pack(">I", s) for s in samples),
+    )
 
 
 # ------------------------------------------------------------- Matroska/WebM

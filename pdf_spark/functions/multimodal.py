@@ -2339,3 +2339,95 @@ SELECT doc_id,
        CAST(1 AS INTEGER) AS orientation_kept
 FROM v
 """
+
+
+# -- qm28: MP4 keyframe inventory (core/video.py::mp4_sample_table) ----------------
+#
+# Upgrades the E140 routing meta to the frame-sample tier's actual
+# shopping list: per video track, sample count + media-timescale
+# duration from the stts run-length table and the keyframe (sync
+# sample) positions from stss — absent stss meaning EVERY sample is
+# sync per ISO 14496-12 §8.6.2 (intra-only streams). A distributed
+# frame sampler seeks precisely to these; still zero codec bytes read.
+
+_STBL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_keyframes", LongType()),
+        StructField("media_duration_ms", LongType()),
+        StructField("first_keyframe", LongType()),
+        StructField("last_keyframe", LongType()),
+    ]
+)
+
+
+def _qm28_make_mp4(doc_id: int) -> bytes:
+    from pdf_spark.core.video import encode_mp4_skeleton
+
+    i = int(doc_id)
+    ts = [1000, 90000, 600][i % 3]
+    cnt1, delta1 = i % 5 + 2, i % 4 + 1
+    cnt2, delta2 = i % 3 + 1, i % 6 + 2
+    stts = [(cnt1, delta1), (cnt2, delta2)]
+    n = cnt1 + cnt2
+    if i % 7 == 3:
+        stss = None  # intra-only family: no stss box at all
+    else:
+        k = i % 3 + 2
+        stss = list(range(1, n + 1, k))
+    return encode_mp4_skeleton(
+        "isom", ts, cnt1 * delta1 + cnt2 * delta2,
+        [("vide", 320, 240)], sample_tables=[(stts, stss)],
+    )
+
+
+def _qm28(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.video import mp4_sample_table
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [mp4_sample_table(_qm28_make_mp4(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_samples": [m["n_samples"] for m in metas],
+                    "n_keyframes": [m["n_keyframes"] for m in metas],
+                    "media_duration_ms": [m["media_duration_ms"] for m in metas],
+                    "first_keyframe": [m["first_keyframe"] for m in metas],
+                    "last_keyframe": [m["last_keyframe"] for m in metas],
+                }
+            )
+
+    return docs.mapInPandas(run, _STBL_SCHEMA)
+
+
+QUERIES["qm28_mp4_keyframes"] = _qm28
+ORACLE["qm28_mp4_keyframes"] = """
+WITH v AS (
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 1000 WHEN 1 THEN 90000 ELSE 600 END
+               AS ts,
+           doc_id % 5 + 2 AS cnt1, doc_id % 4 + 1 AS delta1,
+           doc_id % 3 + 1 AS cnt2, doc_id % 6 + 2 AS delta2,
+           doc_id % 3 + 2 AS k
+    FROM documents
+),
+w AS (
+    SELECT doc_id, ts, k, cnt1 + cnt2 AS n,
+           cnt1 * delta1 + cnt2 * delta2 AS ticks
+    FROM v
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(CASE WHEN doc_id % 7 = 3 THEN n
+            ELSE (n - 1) // k + 1 END AS BIGINT) AS n_keyframes,
+       CAST(ticks * 1000 // ts AS BIGINT) AS media_duration_ms,
+       CAST(1 AS BIGINT) AS first_keyframe,
+       CAST(CASE WHEN doc_id % 7 = 3 THEN n
+            ELSE 1 + ((n - 1) // k) * k END AS BIGINT) AS last_keyframe
+FROM w
+"""

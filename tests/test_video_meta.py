@@ -130,3 +130,54 @@ def test_video_meta_router_unknown():
 
     assert video_meta(b"GIF89a" + b"\x00" * 32)["format"] == "unknown"
     assert video_meta(b"")["format"] == "unknown"
+
+
+def test_mp4_sample_table_roundtrip():
+    from pdf_spark.core.video import encode_mp4_skeleton, mp4_sample_table
+
+    b = encode_mp4_skeleton(
+        "isom", 1000, 1100, [("vide", 320, 240), ("soun", 0, 0)],
+        sample_tables=[([(5, 100), (3, 200)], [1, 4, 7]), None],
+    )
+    assert mp4_sample_table(b) == {
+        "n_samples": 8, "n_keyframes": 3, "media_duration_ms": 1100,
+        "first_keyframe": 1, "last_keyframe": 7,
+    }
+
+
+def test_mp4_sample_table_no_stss_means_all_sync():
+    from pdf_spark.core.video import encode_mp4_skeleton, mp4_sample_table
+
+    b = encode_mp4_skeleton(
+        "isom", 90000, 0, [("vide", 64, 64)],
+        sample_tables=[([(10, 3000)], None)],
+    )
+    m = mp4_sample_table(b)
+    assert (m["n_samples"], m["n_keyframes"], m["last_keyframe"]) == (10, 10, 10)
+    assert m["media_duration_ms"] == 10 * 3000 * 1000 // 90000
+
+
+def test_mp4_sample_table_routing_and_meta_compat():
+    import pytest
+
+    from pdf_spark.core.video import (
+        encode_mp4_skeleton, mp4_meta, mp4_sample_table,
+    )
+
+    audio_only = encode_mp4_skeleton("isom", 1000, 5, [("soun", 0, 0)])
+    assert mp4_sample_table(audio_only)["n_samples"] == 0
+    with pytest.raises(ValueError):
+        mp4_sample_table(b"zzzzzzzzzzzz")
+    # a stbl-bearing skeleton still reads identically through mp4_meta
+    b = encode_mp4_skeleton(
+        "isom", 1000, 7, [("vide", 320, 240)],
+        sample_tables=[([(2, 3)], [1])],
+    )
+    m = mp4_meta(b)
+    assert (m["n_video"], m["width"], m["duration_ms"]) == (1, 320, 7)
+    # out-of-range stss entries are dropped, truncated stts clamped
+    tr = mp4_sample_table(
+        encode_mp4_skeleton("isom", 1000, 0, [("vide", 8, 8)],
+                            sample_tables=[([(3, 10)], [1, 99])])
+    )
+    assert (tr["n_keyframes"], tr["last_keyframe"]) == (1, 1)
