@@ -3530,3 +3530,135 @@ def strip_exif_gps(jpeg: bytes) -> bytes:
             big_endian=(m["endian"] == "MM"),
         )
     return jpeg[: span[0]] + rebuilt + jpeg[span[1] :]
+
+
+# --- JPEG XMP: provenance + AI-content disclosure -------------------------------
+#
+# The XMP packet in a JPEG APP1 (namespace http://ns.adobe.com/xap/1.0/)
+# carries creation provenance — and, since IPTC 2023, the
+# DigitalSourceType disclosure generators embed
+# (trainedAlgorithmicMedia = wholly AI-generated). A training pipeline
+# filters synthetic images on exactly this field before they feed the
+# next model. Both wild XMP shapes are read: attribute form
+# (xmp:CreatorTool="...") and element form (<xmp:CreatorTool>...</>),
+# plus the rdf:li inside dc:creator's Seq. Header-bytes only.
+
+_XMP_NS = b"http://ns.adobe.com/xap/1.0/\x00"
+_XMP_FIELDS = {
+    "creator_tool": rb"xmp:CreatorTool",
+    "create_date": rb"xmp:CreateDate",
+    "digital_source_type": rb"Iptc4xmpExt:DigitalSourceType",
+}
+_AI_SOURCE_TYPES = (
+    "trainedAlgorithmicMedia",          # wholly AI-generated
+    "compositeWithTrainedAlgorithmicMedia",
+)
+
+
+def _xmp_field(xml: bytes, name: bytes):
+    import re as _re
+
+    m = _re.search(name + rb'\s*=\s*"([^"]*)"', xml)
+    if m is None:
+        m = _re.search(
+            b"<" + name + rb"[^>]*>([^<]*)</" + name + b">", xml
+        )
+    if m is None:
+        return None
+    return m.group(1).decode("utf-8", "replace").strip() or None
+
+
+def jpeg_xmp_meta(blob: bytes) -> dict:
+    """XMP provenance from a JPEG's XMP APP1: CreatorTool, CreateDate,
+    dc:creator (first rdf:li), IPTC DigitalSourceType and the derived
+    ``is_ai_generated`` flag. ``has_xmp=0`` when absent — routing, not
+    error."""
+    import re as _re
+
+    blob = bytes(blob)
+    none = {"has_xmp": 0, "creator_tool": None, "create_date": None,
+            "creator": None, "digital_source_type": None,
+            "is_ai_generated": 0}
+    if blob[:2] != b"\xff\xd8":
+        return dict(none)
+    pos, n = 2, len(blob)
+    xml = None
+    while pos + 4 <= n:
+        if blob[pos] != 0xFF:
+            break
+        marker = blob[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):
+            break
+        seg_len = int.from_bytes(blob[pos + 2 : pos + 4], "big")
+        if seg_len < 2:
+            break
+        if marker == 0xE1 and blob[pos + 4 : pos + 4 + len(_XMP_NS)] == _XMP_NS:
+            xml = blob[pos + 4 + len(_XMP_NS) : pos + 2 + seg_len]
+            break
+        pos += 2 + seg_len
+    if xml is None:
+        return dict(none)
+    creator = None
+    m = _re.search(
+        rb"<dc:creator>.*?<rdf:li[^>]*>([^<]*)</rdf:li>", xml, _re.DOTALL
+    )
+    if m is not None:
+        creator = m.group(1).decode("utf-8", "replace").strip() or None
+    dst = _xmp_field(xml, _XMP_FIELDS["digital_source_type"])
+    return {
+        "has_xmp": 1,
+        "creator_tool": _xmp_field(xml, _XMP_FIELDS["creator_tool"]),
+        "create_date": _xmp_field(xml, _XMP_FIELDS["create_date"]),
+        "creator": creator,
+        "digital_source_type": dst,
+        "is_ai_generated": int(
+            dst is not None and any(dst.endswith(t) for t in _AI_SOURCE_TYPES)
+        ),
+    }
+
+
+def encode_xmp_app1(
+    creator_tool: Optional[str] = None,
+    create_date: Optional[str] = None,
+    creator: Optional[str] = None,
+    digital_source_type: Optional[str] = None,
+    attribute_form: bool = True,
+) -> bytes:
+    """Honest XMP APP1 writer: a real xpacket-wrapped rdf:Description,
+    fields in attribute OR element form (both wild shapes), dc:creator
+    as the spec's rdf:Seq; ready to splice after SOI."""
+    attrs, elems = [], []
+
+    def put(qname: str, val: Optional[str]) -> None:
+        if val is None:
+            return
+        if attribute_form:
+            attrs.append(f'{qname}="{val}"')
+        else:
+            elems.append(f"<{qname}>{val}</{qname}>")
+
+    put("xmp:CreatorTool", creator_tool)
+    put("xmp:CreateDate", create_date)
+    put("Iptc4xmpExt:DigitalSourceType", digital_source_type)
+    if creator is not None:
+        elems.append(
+            "<dc:creator><rdf:Seq><rdf:li>" + creator
+            + "</rdf:li></rdf:Seq></dc:creator>"
+        )
+    xml = (
+        '<?xpacket begin="﻿" id="W5M0MpCehiHzreSzNTczkc9d"?>'
+        '<x:xmpmeta xmlns:x="adobe:ns:meta/">'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+        '<rdf:Description rdf:about="" xmlns:xmp="http://ns.adobe.com/xap/1.0/"'
+        ' xmlns:dc="http://purl.org/dc/elements/1.1/"'
+        ' xmlns:Iptc4xmpExt="http://iptc.org/std/Iptc4xmpExt/2008-02-29/" '
+        + " ".join(attrs)
+        + ">"
+        + "".join(elems)
+        + '</rdf:Description></rdf:RDF></x:xmpmeta><?xpacket end="w"?>'
+    ).encode("utf-8")
+    payload = _XMP_NS + xml
+    return b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload

@@ -2431,3 +2431,83 @@ SELECT doc_id,
             ELSE 1 + ((n - 1) // k) * k END AS BIGINT) AS last_keyframe
 FROM w
 """
+
+
+# -- qm29: JPEG XMP provenance + AI-content disclosure (core/imaging.py) -----------
+#
+# The synthetic-image filter: IPTC's DigitalSourceType disclosure
+# (trainedAlgorithmicMedia and its composite form) is how generators
+# label AI output since 2023 — a training pipeline drops or downweights
+# these before the next model trains on its predecessor's output. Both
+# wild XMP shapes (attribute and element form) rotate through the
+# fixtures, plus a plain-camera family and a no-XMP family.
+
+_XMP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("has_xmp", IntegerType()),
+        StructField("creator_tool", StringType()),
+        StructField("creator", StringType()),
+        StructField("is_ai_generated", IntegerType()),
+    ]
+)
+
+_QM29_AI_DST = (
+    "http://cv.iptc.org/newscodes/digitalsourcetype/trainedAlgorithmicMedia"
+)
+
+
+def _qm29_make_jpeg(doc_id: int) -> bytes:
+    from pdf_spark.core.imaging import (
+        encode_jpeg,
+        encode_xmp_app1,
+        splice_exif,
+    )
+
+    i = int(doc_id)
+    base = encode_jpeg(8, 8, [(96 + (i % 4) * 8, 0)])
+    if i % 5 == 4:  # no XMP at all
+        return base
+    app1 = encode_xmp_app1(
+        creator_tool="Tool" + str(i % 3),
+        creator="Artist" + str(i % 4) if i % 3 != 1 else None,
+        digital_source_type=_QM29_AI_DST if i % 4 == 0 else None,
+        attribute_form=(i % 2 == 0),
+    )
+    return splice_exif(base, app1)
+
+
+def _qm29(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.imaging import jpeg_xmp_meta
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [jpeg_xmp_meta(_qm29_make_jpeg(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "has_xmp": [m["has_xmp"] for m in metas],
+                    "creator_tool": [m["creator_tool"] for m in metas],
+                    "creator": [m["creator"] for m in metas],
+                    "is_ai_generated": [m["is_ai_generated"] for m in metas],
+                }
+            )
+
+    return docs.mapInPandas(run, _XMP_SCHEMA)
+
+
+QUERIES["qm29_xmp_ai_provenance"] = _qm29
+ORACLE["qm29_xmp_ai_provenance"] = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 1 END AS INTEGER) AS has_xmp,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE 'Tool' || CAST(doc_id % 3 AS VARCHAR) END AS creator_tool,
+       CASE WHEN doc_id % 5 = 4 OR doc_id % 3 = 1 THEN NULL
+            ELSE 'Artist' || CAST(doc_id % 4 AS VARCHAR) END AS creator,
+       CAST(CASE WHEN doc_id % 5 <> 4 AND doc_id % 4 = 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS is_ai_generated
+FROM documents
+"""

@@ -1111,3 +1111,46 @@ def test_exif_gps_strip_removes_bytes_keeps_camera_fields():
     plain = splice_exif(base, encode_exif_app1(orientation=1))
     assert strip_exif_gps(plain) == plain
     assert strip_exif_gps(base) == base
+
+
+# --- JPEG XMP provenance ---------------------------------------------------------
+
+
+def test_jpeg_xmp_both_forms_and_ai_flag():
+    from pdf_spark.core.imaging import (
+        encode_jpeg, encode_xmp_app1, jpeg_xmp_meta, splice_exif,
+    )
+
+    base = encode_jpeg(8, 8, [(100, 0)])
+    dst = ("http://cv.iptc.org/newscodes/digitalsourcetype/"
+           "trainedAlgorithmicMedia")
+    for form in (True, False):
+        j = splice_exif(base, encode_xmp_app1(
+            creator_tool="GenPix 2.0", create_date="2024-05-06T07:08:09Z",
+            creator="A. Painter", digital_source_type=dst,
+            attribute_form=form))
+        m = jpeg_xmp_meta(j)
+        assert m["has_xmp"] == 1 and m["is_ai_generated"] == 1
+        assert m["creator_tool"] == "GenPix 2.0"
+        assert m["creator"] == "A. Painter"
+        assert m["create_date"] == "2024-05-06T07:08:09Z"
+    cam = jpeg_xmp_meta(splice_exif(base, encode_xmp_app1(creator_tool="Cam")))
+    assert cam["is_ai_generated"] == 0 and cam["digital_source_type"] is None
+    assert jpeg_xmp_meta(base)["has_xmp"] == 0
+    assert jpeg_xmp_meta(b"junk")["has_xmp"] == 0
+
+
+def test_jpeg_xmp_coexists_with_exif_app1():
+    from pdf_spark.core.imaging import (
+        encode_exif_app1, encode_jpeg, encode_xmp_app1, exif_meta,
+        jpeg_xmp_meta, splice_exif,
+    )
+
+    base = encode_jpeg(8, 8, [(100, 0)])
+    j = splice_exif(
+        splice_exif(base, encode_xmp_app1(creator_tool="X")),
+        encode_exif_app1(orientation=5),
+    )
+    # each reader finds ITS APP1 by namespace, ignoring the other
+    assert jpeg_xmp_meta(j)["creator_tool"] == "X"
+    assert exif_meta(j)["orientation"] == 5
