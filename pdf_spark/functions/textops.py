@@ -2861,3 +2861,87 @@ _pair(
         "{NTOK}", "len(list_filter(string_split(text, ' '), t -> t <> ''))"
     ).replace(" / ", " // "),
 )
+
+
+# --- qt58: pagination stitching (suffix/prefix overlap + digest-certified merge) -
+#
+# Crawled articles arrive as PAGES: "?page=2" continuations that repeat
+# the previous page's trailing lines as context (or share a boilerplate
+# bridge). Training wants the stitched article once, not N overlapping
+# fragments double-counting the seam. The op: split every document into
+# two pages overlapping by K=6 tokens (the fixture mimicking real
+# pagination — generic detector, synthetic split), hash each page's
+# K-token head and tail, equi-join tail-hash = head-hash for candidate
+# continuation pairs, stitch candidate pairs by dropping the repeated
+# K tokens, and CERTIFY each stitch by md5 parity against the original
+# document's token stream — one token duplicated or lost at the seam
+# flips the digest (the qt54 certification move). Hash-collision
+# candidates that fail parity surface as stitch_ok = 0 rows — the
+# verify-after-candidate shape every near-dup op here uses.
+#
+# 100 TB: heads/tails are map-side projections (two rows per doc); the
+# candidate join is an equi-join on uniform 16-byte md5 keys; the
+# certification join is doc_id equi-join. No window, no skew, nothing
+# all-pairs.
+
+_QT58_BODY = """
+WITH toks AS (
+  SELECT doc_id, {TOKS} AS a FROM documents
+),
+eligible AS (
+  SELECT doc_id, a, {LEN}(a) AS n, {LEN}(a) {IDIV} 2 AS h
+  FROM toks WHERE {LEN}(a) >= 14
+),
+pages AS (
+  SELECT doc_id * 2 AS page_id, doc_id, {SLICE_A} AS p FROM eligible
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS page_id, doc_id, {SLICE_B} AS p FROM eligible
+),
+tails AS (
+  SELECT page_id, doc_id, p,
+         md5({JOIN_TAIL}) AS gh
+  FROM pages
+),
+heads AS (
+  SELECT page_id, doc_id, p,
+         md5({JOIN_HEAD}) AS gh
+  FROM pages
+),
+cand AS (
+  SELECT t.page_id AS prev_page, hd.page_id AS next_page,
+         t.doc_id AS doc_id,
+         {STITCH} AS stitched
+  FROM tails t JOIN heads hd ON t.gh = hd.gh
+  WHERE t.page_id <> hd.page_id
+)
+SELECT c.prev_page, c.next_page, c.doc_id,
+       CAST(CASE WHEN md5({JOIN_STITCHED}) = md5({JOIN_ORIG})
+                 THEN 1 ELSE 0 END AS INTEGER) AS stitch_ok
+FROM cand c JOIN eligible e ON c.doc_id = e.doc_id
+"""
+
+_pair(
+    "qt58_pagination_stitch",
+    _QT58_BODY.replace("{TOKS}", "filter(split(text, ' '), t -> t <> '')")
+    .replace("{LEN}", "size")
+    .replace("{IDIV}", "DIV")
+    .replace("{SLICE_A}", "slice(a, 1, h + 6)")
+    .replace("{SLICE_B}", "slice(a, h + 1, n - h)")
+    .replace("{JOIN_TAIL}", "concat_ws(' ', slice(p, size(p) - 5, 6))")
+    .replace("{JOIN_HEAD}", "concat_ws(' ', slice(p, 1, 6))")
+    .replace("{STITCH}", "concat(t.p, slice(hd.p, 7, size(hd.p) - 6))")
+    .replace("{JOIN_STITCHED}", "concat_ws(' ', c.stitched)")
+    .replace("{JOIN_ORIG}", "concat_ws(' ', e.a)"),
+    _QT58_BODY.replace(
+        "{TOKS}", "list_filter(string_split(text, ' '), t -> t <> '')"
+    )
+    .replace("{LEN}", "len")
+    .replace("{IDIV}", "//")
+    .replace("{SLICE_A}", "list_slice(a, 1, h + 6)")
+    .replace("{SLICE_B}", "list_slice(a, h + 1, n)")
+    .replace("{JOIN_TAIL}", "array_to_string(list_slice(p, len(p) - 5, len(p)), ' ')")
+    .replace("{JOIN_HEAD}", "array_to_string(list_slice(p, 1, 6), ' ')")
+    .replace("{STITCH}", "list_concat(t.p, list_slice(hd.p, 7, len(hd.p)))")
+    .replace("{JOIN_STITCHED}", "array_to_string(c.stitched, ' ')")
+    .replace("{JOIN_ORIG}", "array_to_string(e.a, ' ')"),
+)
