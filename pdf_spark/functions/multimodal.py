@@ -2511,3 +2511,66 @@ SELECT doc_id,
             AS INTEGER) AS is_ai_generated
 FROM documents
 """
+
+
+# -- qm30: animated WebP inventory (animation router's third family) ---------------
+#
+# Completes the E148 animation routing tier across the web's animated
+# formats (gif/apng/webp): VP8X animation flag gates, ANIM carries the
+# loop count, per-frame ANMF headers carry 24-bit millisecond durations
+# (summed exactly); every fixture frame embeds a GENUINE VP8L bitstream
+# from the real lossless encoder.
+
+
+def _qm30_make_webp(doc_id: int) -> bytes:
+    from pdf_spark.core.imaging import (
+        encode_webp_animation,
+        encode_webp_lossless,
+    )
+
+    i = int(doc_id)
+    if i % 3 == 2:  # static lossless family
+        return encode_webp_lossless(4, 4, 3, bytes(48))
+    k = i % 4 + 2
+    dur = (i % 9 + 1) * 10
+    return encode_webp_animation(8, 6, [dur] * k, loop_count=i % 6)
+
+
+def _qm30(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.imaging import animation_meta
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [animation_meta(_qm30_make_webp(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "format": [m["format"] for m in metas],
+                    "is_animated": [m["is_animated"] for m in metas],
+                    "n_frames": [m["n_frames"] for m in metas],
+                    "duration_ms": [m["duration_ms"] for m in metas],
+                    "loop_count": [m["loop_count"] for m in metas],
+                }
+            )
+
+    return docs.mapInPandas(run, _ANIM_SCHEMA)
+
+
+QUERIES["qm30_webp_animation"] = _qm30
+ORACLE["qm30_webp_animation"] = """
+SELECT doc_id,
+       'webp' AS format,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 1 END AS INTEGER)
+           AS is_animated,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE doc_id % 4 + 2 END
+            AS BIGINT) AS n_frames,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+            ELSE (doc_id % 4 + 2) * ((doc_id % 9 + 1) * 10) END AS BIGINT)
+           AS duration_ms,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE doc_id % 6 END AS BIGINT)
+           AS loop_count
+FROM documents
+"""

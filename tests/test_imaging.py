@@ -1154,3 +1154,20 @@ def test_jpeg_xmp_coexists_with_exif_app1():
     # each reader finds ITS APP1 by namespace, ignoring the other
     assert jpeg_xmp_meta(j)["creator_tool"] == "X"
     assert exif_meta(j)["orientation"] == 5
+
+
+def test_animation_webp():
+    from pdf_spark.core.imaging import (
+        animation_meta, encode_webp_animation, encode_webp_lossless,
+    )
+
+    a = encode_webp_animation(8, 6, [40, 60, 80], loop_count=5)
+    assert animation_meta(a) == {
+        "format": "webp", "is_animated": 1, "n_frames": 3,
+        "duration_ms": 180, "loop_count": 5,
+    }
+    st = animation_meta(encode_webp_lossless(4, 4, 3, bytes(48)))
+    assert (st["format"], st["is_animated"], st["n_frames"]) == ("webp", 0, 1)
+    # truncated mid-ANMF keeps the frames counted so far
+    cut = animation_meta(a[:60])
+    assert cut["format"] == "webp"
