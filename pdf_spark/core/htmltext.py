@@ -944,3 +944,92 @@ def extract_image_alts(data: bytes) -> list:
                 gt = html_text.find(">", cm.start())
                 pos = n if gt == -1 else gt + 1
     return out
+
+
+# --- AI-training opt-out (robots noai / TDM Reservation Protocol) --------------
+#
+# The compliance gate a training pipeline runs BEFORE any quality
+# filter: publishers signal machine-learning opt-out via robots-meta
+# extension tokens (noai / noimageai) and the W3C TDM Reservation
+# Protocol (TDMRep) — `<meta name="tdm-reservation" content="1">` with
+# an optional tdm-policy URL, both also deliverable as HTTP headers
+# (X-Robots-Tag / tdm-reservation). Directives UNION across sources:
+# the most restrictive combination wins, exactly like robots-meta.
+
+
+def _scan_meta_attrs(html_text: str):
+    """Yield attr dicts of every <meta> tag, rawtext-safe (shares the
+    main tokenizer, so a <script> body can never fake a tag)."""
+    pos, n = 0, len(html_text)
+    while pos < n:
+        m = _TOKEN_RE.match(html_text, pos)
+        if m is None:  # pragma: no cover
+            pos += 1
+            continue
+        pos = m.end()
+        start_tag = m.group(2)
+        if start_tag is None:
+            continue
+        low = start_tag.lower()
+        if low == "meta":
+            yield _parse_attrs(m.group(3))
+        elif low in _RAWTEXT:
+            close = re.compile(r"</\s*%s[\s>]" % re.escape(low), re.I)
+            cm = close.search(html_text, pos)
+            if cm is None:
+                pos = n
+            else:
+                gt = html_text.find(">", cm.start())
+                pos = n if gt == -1 else gt + 1
+
+
+def ai_optout(data: bytes, headers: bytes | str | None = None) -> dict:
+    """``{noai, noimageai, tdm_reservation, tdm_policy, train_allowed}``
+    from an HTML payload plus an optional raw HTTP header block.
+    ``tdm_reservation`` is 1/0 when declared (either channel, header
+    wins only by being more restrictive) and None when absent;
+    ``train_allowed`` folds the signals: 0 iff noai or a TDM
+    reservation is asserted."""
+    tokens: set = set()
+    tdm_res = None
+    tdm_policy = None
+    for attrs in _scan_meta_attrs(decode_html(data)):
+        name = attrs.get("name", attrs.get("property", "")).lower()
+        content = attrs.get("content", "").strip()
+        if name == "robots" and content:
+            for part in content.replace(";", ",").split(","):
+                tokens.update(t for t in part.lower().split() if t)
+        elif name == "tdm-reservation" and content in ("0", "1"):
+            tdm_res = int(content)
+        elif name == "tdm-policy" and content and tdm_policy is None:
+            tdm_policy = content
+    if headers:
+        text = (
+            headers.decode("latin-1", "replace")
+            if isinstance(headers, (bytes, bytearray))
+            else headers
+        )
+        for line in text.splitlines():
+            key, _, val = line.partition(":")
+            key = key.strip().lower()
+            val = val.strip()
+            if key == "x-robots-tag" and val:
+                # optional agent prefix ("trainbot: noai") — tokens after
+                # the LAST colon-separated field
+                body = val.split(":")[-1]
+                for part in body.replace(";", ",").split(","):
+                    tokens.update(t for t in part.lower().split() if t)
+            elif key == "tdm-reservation" and val in ("0", "1"):
+                # most-restrictive-wins union with the meta channel
+                tdm_res = max(tdm_res or 0, int(val))
+            elif key == "tdm-policy" and val and tdm_policy is None:
+                tdm_policy = val
+    noai = int("noai" in tokens)
+    noimageai = int("noimageai" in tokens)
+    return {
+        "noai": noai,
+        "noimageai": noimageai,
+        "tdm_reservation": tdm_res,
+        "tdm_policy": tdm_policy,
+        "train_allowed": int(not (noai or tdm_res == 1)),
+    }

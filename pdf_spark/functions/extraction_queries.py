@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -3389,5 +3390,104 @@ ORACLE["qx39_image_pixel_dedup"] = """
 SELECT doc_id,
        CAST(COUNT(*) OVER (PARTITION BY doc_id % 7) AS BIGINT) AS group_size,
        CAST(((doc_id % 7) * 41) % 192 + 32 AS BIGINT) AS mean_luma
+FROM documents
+"""
+
+
+# -- qx40: AI-training opt-out compliance (robots noai + TDM Reservation) ---------
+
+
+def _qx40(spark: SparkSession, sf: str) -> DataFrame:
+    """The machine-learning OPT-OUT gate (E158) — run before any quality
+    filter: robots-meta extension tokens (noai / noimageai) and the W3C
+    TDM Reservation Protocol, in BOTH delivery channels (meta tags and
+    HTTP headers: X-Robots-Tag with an agent prefix, tdm-reservation),
+    directives unioned most-restrictive-wins like robots-meta.
+
+    Rotation: doc_id%6 picks the channel/signal family — clean / meta
+    noai / meta noimageai+tdm-policy / meta tdm-reservation=1 / header
+    X-Robots-Tag noai / header tdm-reservation=1 overriding meta 0; a
+    %7==5 family hides a fake meta inside <script> (rawtext-safe scan
+    must NOT honor it)."""
+    from pdf_spark.core.htmltext import ai_optout
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("noai", IntegerType()),
+            StructField("noimageai", IntegerType()),
+            StructField("tdm_reservation", IntegerType()),
+            StructField("tdm_policy", StringType()),
+            StructField("train_allowed", IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for d in (int(x) for x in batch["doc_id"]):
+                fam = d % 6
+                meta_tags = ""
+                headers = None
+                if d % 7 == 5:  # rawtext decoy, never honored
+                    meta_tags += (
+                        "<script>var s = \"<meta name='robots'"
+                        " content='noai'>\";</script>"
+                    )
+                if fam == 1:
+                    meta_tags += '<meta name="robots" content="noindex, noai">'
+                elif fam == 2:
+                    meta_tags += (
+                        '<meta name="robots" content="noimageai">'
+                        '<meta name="tdm-policy"'
+                        f' content="https://example.com/tdm/{d % 9}.json">'
+                    )
+                elif fam == 3:
+                    meta_tags += '<meta name="tdm-reservation" content="1">'
+                elif fam == 4:
+                    headers = "X-Robots-Tag: trainbot: noai\r\nServer: x"
+                elif fam == 5:
+                    meta_tags += '<meta name="tdm-reservation" content="0">'
+                    headers = "tdm-reservation: 1"
+                page = (
+                    "<html><head>" + meta_tags
+                    + f"<title>d{d}</title></head><body>b</body></html>"
+                )
+                r = ai_optout(page.encode("utf-8"), headers=headers)
+                rows.append(
+                    (d, r["noai"], r["noimageai"], r["tdm_reservation"],
+                     r["tdm_policy"], r["train_allowed"])
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "noai": [r[1] for r in rows],
+                    "noimageai": [r[2] for r in rows],
+                    "tdm_reservation": pd.array(
+                        [r[3] for r in rows], dtype="Int32"
+                    ),
+                    "tdm_policy": [r[4] for r in rows],
+                    "train_allowed": [r[5] for r in rows],
+                }
+            )
+
+    return docs.mapInPandas(run, schema)
+
+
+QUERIES["qx40_ai_optout"] = _qx40
+ORACLE["qx40_ai_optout"] = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 6 IN (1, 4) THEN 1 ELSE 0 END AS INTEGER)
+           AS noai,
+       CAST(CASE WHEN doc_id % 6 = 2 THEN 1 ELSE 0 END AS INTEGER)
+           AS noimageai,
+       CAST(CASE WHEN doc_id % 6 IN (3, 5) THEN 1 END AS INTEGER)
+           AS tdm_reservation,
+       CASE WHEN doc_id % 6 = 2
+            THEN 'https://example.com/tdm/' || CAST(doc_id % 9 AS VARCHAR)
+                 || '.json' END AS tdm_policy,
+       CAST(CASE WHEN doc_id % 6 IN (1, 3, 4, 5) THEN 0 ELSE 1 END
+            AS INTEGER) AS train_allowed
 FROM documents
 """

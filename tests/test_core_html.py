@@ -634,3 +634,42 @@ class TestBaseHref:
 
         page = b'<script>var b = \'<base href="/evil/">\';</script>'
         assert extract_html_meta(page)["base"] is None
+
+
+# --- AI-training opt-out (noai / TDM Reservation) ------------------------------
+
+
+def test_ai_optout_meta_channels():
+    from pdf_spark.core.htmltext import ai_optout
+
+    h = (b"<html><head><meta name='robots' content='noindex, noai'>"
+         b"<meta name='tdm-reservation' content='1'>"
+         b"<meta name='tdm-policy' content='https://ex.com/p.json'>"
+         b"</head><body>x</body></html>")
+    assert ai_optout(h) == {
+        "noai": 1, "noimageai": 0, "tdm_reservation": 1,
+        "tdm_policy": "https://ex.com/p.json", "train_allowed": 0,
+    }
+    clean = ai_optout(b"<html><meta name='robots' content='all'></html>")
+    assert clean["train_allowed"] == 1 and clean["tdm_reservation"] is None
+
+
+def test_ai_optout_header_channel_and_union():
+    from pdf_spark.core.htmltext import ai_optout
+
+    r = ai_optout(b"<html><body>clean</body></html>",
+                  headers="X-Robots-Tag: trainbot: noimageai\r\n"
+                          "tdm-reservation: 1\r\nServer: x")
+    assert (r["noimageai"], r["tdm_reservation"], r["train_allowed"]) == (1, 1, 0)
+    # most-restrictive wins when meta says 0 and header says 1
+    mix = ai_optout(b"<meta name='tdm-reservation' content='0'>",
+                    headers="tdm-reservation: 1")
+    assert mix["tdm_reservation"] == 1 and mix["train_allowed"] == 0
+
+
+def test_ai_optout_rawtext_decoy_not_honored():
+    from pdf_spark.core.htmltext import ai_optout
+
+    fake = (b"<html><script>var s = \"<meta name='robots'"
+            b" content='noai'>\";</script><body>t</body></html>")
+    assert ai_optout(fake)["train_allowed"] == 1
