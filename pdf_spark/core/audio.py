@@ -443,3 +443,114 @@ def encode_flac_skeleton(
         out += len(body).to_bytes(3, "big")
         out += body
     return bytes(out)
+
+
+# ------------------------------------------------------------- ID3v2 frames
+#
+# The audio corpus's provenance tier (EXIF's music twin): title/artist/
+# album/year from ID3v2 text frames. v2.3 and v2.4 differ in exactly the
+# trap spot — frame sizes are plain big-endian in v2.3 but SYNCSAFE in
+# v2.4 — and text frames carry their own encoding byte (latin-1, utf-16
+# with BOM, utf-8). Header/frame walk only; audio frames never touched.
+
+_ID3_TEXT_KEYS = {b"TIT2": "title", b"TPE1": "artist",
+                  b"TALB": "album", b"TDRC": "year", b"TYER": "year"}
+
+
+def _syncsafe(b: bytes) -> int:
+    return ((b[0] & 0x7F) << 21) | ((b[1] & 0x7F) << 14) \
+        | ((b[2] & 0x7F) << 7) | (b[3] & 0x7F)
+
+
+def _id3_text(payload: bytes) -> str | None:
+    if not payload:
+        return None
+    enc = payload[0]
+    body = payload[1:].split(b"\x00\x00" if enc in (1, 2) else b"\x00", 1)[0]
+    try:
+        if enc == 0:
+            s = body.decode("latin-1")
+        elif enc == 1:
+            s = body.decode("utf-16")        # BOM-led per spec
+        elif enc == 2:
+            s = body.decode("utf-16-be")
+        elif enc == 3:
+            s = body.decode("utf-8")
+        else:
+            return None
+    except UnicodeDecodeError:
+        return None
+    return s.strip() or None
+
+
+def id3_tags(blob: bytes) -> dict:
+    """``{has_id3, version, title, artist, album, year}`` from an ID3v2
+    prefix — v2.3 (plain big-endian frame sizes) and v2.4 (syncsafe)
+    both handled; absent/malformed -> has_id3=0 (routing)."""
+    blob = bytes(blob)
+    none = {"has_id3": 0, "version": 0, "title": None, "artist": None,
+            "album": None, "year": None}
+    if blob[:3] != b"ID3" or len(blob) < 10:
+        return dict(none)
+    version = blob[3]
+    if version not in (3, 4):
+        return dict(none)
+    tag_end = min(10 + _syncsafe(blob[6:10]), len(blob))
+    out = dict(none, has_id3=1, version=version)
+    pos = 10
+    for _ in range(256):  # frame-count bomb cap
+        if pos + 10 > tag_end:
+            break
+        fid = blob[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        raw_sz = blob[pos + 4 : pos + 8]
+        sz = _syncsafe(raw_sz) if version == 4 else int.from_bytes(raw_sz, "big")
+        if sz < 0 or pos + 10 + sz > tag_end:
+            break
+        key = _ID3_TEXT_KEYS.get(fid)
+        if key is not None and out[key] is None:
+            out[key] = _id3_text(blob[pos + 10 : pos + 10 + sz])
+        pos += 10 + sz
+    return out
+
+
+def encode_id3v2(
+    version: int,
+    title: str | None = None,
+    artist: str | None = None,
+    album: str | None = None,
+    year: str | None = None,
+    encoding: int = 0,
+    padding: int = 16,
+) -> bytes:
+    """Honest ID3v2 tag writer: real syncsafe tag size, real frame
+    headers with version-correct size encoding (plain BE for v2.3,
+    syncsafe for v2.4), text frames in latin-1 (0), utf-16+BOM (1) or
+    utf-8 (3)."""
+    assert version in (3, 4) and encoding in (0, 1, 3)
+    frames = bytearray()
+    fields = [(b"TIT2", title), (b"TPE1", artist), (b"TALB", album),
+              (b"TDRC" if version == 4 else b"TYER", year)]
+    for fid, val in fields:
+        if val is None:
+            continue
+        if encoding == 0:
+            body = bytes([0]) + val.encode("latin-1")
+        elif encoding == 1:
+            body = bytes([1]) + "﻿".encode("utf-16-be")[:0] + val.encode("utf-16")
+        else:
+            body = bytes([3]) + val.encode("utf-8")
+        sz = len(body)
+        raw_sz = (
+            bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                   (sz >> 7) & 0x7F, sz & 0x7F])
+            if version == 4 else sz.to_bytes(4, "big")
+        )
+        frames += fid + raw_sz + b"\x00\x00" + body
+    frames += b"\x00" * padding
+    n = len(frames)
+    hdr = b"ID3" + bytes([version, 0, 0,
+                          (n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                          (n >> 7) & 0x7F, n & 0x7F])
+    return hdr + bytes(frames)

@@ -2574,3 +2574,80 @@ SELECT doc_id,
            AS loop_count
 FROM documents
 """
+
+
+# -- qm31: ID3v2 text frames (core/audio.py::id3_tags) -----------------------------
+#
+# Audio provenance (EXIF's music twin): title/artist/album/year from
+# ID3v2 text frames, with the v2.3-vs-v2.4 frame-size trap (plain
+# big-endian vs syncsafe) and all three text encodings (latin-1,
+# utf-16+BOM, utf-8) rotated through honest tags glued onto real MP3
+# frame headers.
+
+_ID3_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("has_id3", IntegerType()),
+        StructField("version", IntegerType()),
+        StructField("title", StringType()),
+        StructField("artist", StringType()),
+        StructField("year", StringType()),
+    ]
+)
+
+
+def _qm31_make_mp3(doc_id: int) -> bytes:
+    from pdf_spark.core.audio import encode_id3v2, encode_mp3_skeleton
+
+    i = int(doc_id)
+    mp3 = encode_mp3_skeleton(1, 128, 44100, 2, (i % 9) + 3)
+    if i % 5 == 4:  # untagged family
+        return mp3
+    tag = encode_id3v2(
+        3 if i % 2 == 0 else 4,
+        title="Track" + str(i % 7),
+        artist=("Ärtist" + str(i % 3)) if i % 4 != 3 else None,
+        year="19" + str(70 + i % 30),
+        encoding=[0, 1, 3][i % 3],
+    )
+    return tag + mp3
+
+
+def _qm31(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.audio import id3_tags
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [id3_tags(_qm31_make_mp3(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "has_id3": [m["has_id3"] for m in metas],
+                    "version": [m["version"] for m in metas],
+                    "title": [m["title"] for m in metas],
+                    "artist": [m["artist"] for m in metas],
+                    "year": [m["year"] for m in metas],
+                }
+            )
+
+    return docs.mapInPandas(run, _ID3_SCHEMA)
+
+
+QUERIES["qm31_id3_tags"] = _qm31
+ORACLE["qm31_id3_tags"] = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 1 END AS INTEGER)
+           AS has_id3,
+       CAST(CASE WHEN doc_id % 5 = 4 THEN 0
+            WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS INTEGER) AS version,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE 'Track' || CAST(doc_id % 7 AS VARCHAR) END AS title,
+       CASE WHEN doc_id % 5 = 4 OR doc_id % 4 = 3 THEN NULL
+            ELSE 'Ärtist' || CAST(doc_id % 3 AS VARCHAR) END AS artist,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE '19' || CAST(70 + doc_id % 30 AS VARCHAR) END AS year
+FROM documents
+"""

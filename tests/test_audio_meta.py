@@ -92,3 +92,31 @@ def test_flac_in_audio_router():
     assert (m["codec"], m["channels"], m["sample_rate"], m["duration_ms"]) == (
         "flac", 2, 48000, 2000,
     )
+
+
+def test_id3v2_versions_and_encodings():
+    from pdf_spark.core.audio import encode_id3v2, id3_tags
+
+    for v in (3, 4):
+        for enc in (0, 1, 3):
+            t = encode_id3v2(v, title="Söng", artist="Ärtist",
+                             album="Al", year="2021", encoding=enc)
+            m = id3_tags(t)
+            assert (m["has_id3"], m["version"]) == (1, v)
+            assert m["title"] == "Söng" and m["artist"] == "Ärtist"
+            assert m["album"] == "Al" and m["year"] == "2021"
+
+
+def test_id3v2_on_real_mp3_and_rejects():
+    from pdf_spark.core.audio import (
+        encode_id3v2, encode_mp3_skeleton, id3_tags, mp3_meta,
+    )
+
+    mp3 = encode_id3v2(3, title="T") + encode_mp3_skeleton(1, 128, 44100, 2, 5)
+    assert id3_tags(mp3)["title"] == "T"
+    assert mp3_meta(mp3)["codec"] == "mp3"  # sync found past the tag
+    assert id3_tags(b"junk")["has_id3"] == 0
+    assert id3_tags(b"")["has_id3"] == 0
+    # truncated mid-frame: has_id3 stays 1 but the cut frame is dropped
+    cut = id3_tags(encode_id3v2(4, title="LongTitleHere")[:12])
+    assert cut["has_id3"] == 1 and cut["title"] is None
