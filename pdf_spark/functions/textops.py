@@ -2945,3 +2945,79 @@ _pair(
     .replace("{JOIN_STITCHED}", "array_to_string(c.stitched, ' ')")
     .replace("{JOIN_ORIG}", "array_to_string(e.a, ' ')"),
 )
+
+
+# --- qt59: classifier calibration (reliability bins) ----------------------------
+#
+# qt38 measures the quality classifier's RANKING (AUC); this measures
+# its CALIBRATION — within each score bucket, what fraction of docs is
+# actually positive? Thresholding an uncalibrated filter silently moves
+# the kept-volume target. Buckets are FIXED-WIDTH integer score bands
+# (score DIV 100, pure map-side arithmetic) rather than NTILE quantiles:
+# an unpartitioned NTILE window is a single-partition sort at 10^12 docs
+# (the qt38 lesson), while fixed bands group map-side and the output is
+# bounded by the score domain. Counts exact; the per-bucket positive
+# rate is one correctly-rounded IEEE divide.
+
+_QT59_BODY = """
+WITH lab AS (
+  SELECT s.doc_id, s.score,
+         CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS y
+  FROM ({CLS}) s JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT CAST(FLOOR(score / 100.0) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(score) AS BIGINT) AS sum_score,
+       ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+FROM lab
+GROUP BY CAST(FLOOR(score / 100.0) AS BIGINT)
+"""
+
+_pair(
+    "qt59_calibration_bins",
+    _QT59_BODY.replace("{CLS}", _QT29_SPARK),
+    _QT59_BODY.replace("{CLS}", _QT29_DUCK),
+)
+
+
+# --- qt60: inter-signal agreement (Cohen's kappa, integer cross-product form) ---
+#
+# Two cheap quality signals — the hashed linear classifier's keep flag
+# (qt29, score >= 0) and the length heuristic (n_chars >= 300) — agree
+# by chance too; Cohen's kappa corrects for that. The float-free
+# identity: with agreement count A = n11 + n00 and chance mass
+# E = a1*b1 + a0*b0 (marginal products),
+#     kappa = (n*A - E) / (n*n - E)
+# — numerator and denominator EXACT BIGINTs (reported), the final kappa
+# one correctly-rounded IEEE divide (the qt38 discipline). One
+# map-side-combined aggregation over the joined signals; every input to
+# the kappa is a scalar.
+
+_QT60_BODY = """
+WITH lab AS (
+  SELECT CASE WHEN s.score >= 0 THEN 1 ELSE 0 END AS a,
+         CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS b
+  FROM ({CLS}) s JOIN documents d ON s.doc_id = d.doc_id
+),
+cm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a * b) AS BIGINT) AS n11,
+         CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00,
+         CAST(SUM(a) AS BIGINT) AS a1,
+         CAST(SUM(b) AS BIGINT) AS b1
+  FROM lab
+)
+SELECT n, n11, n00,
+       n * (n11 + n00) - (a1 * b1 + (n - a1) * (n - b1)) AS kappa_num,
+       n * n - (a1 * b1 + (n - a1) * (n - b1)) AS kappa_den,
+       ROUND(CAST(n * (n11 + n00) - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE)
+             / (n * n - (a1 * b1 + (n - a1) * (n - b1))), 6) AS kappa
+FROM cm
+"""
+
+_pair(
+    "qt60_agreement_kappa",
+    _QT60_BODY.replace("{CLS}", _QT29_SPARK),
+    _QT60_BODY.replace("{CLS}", _QT29_DUCK),
+)
