@@ -2651,3 +2651,111 @@ SELECT doc_id,
             ELSE '19' || CAST(70 + doc_id % 30 AS VARCHAR) END AS year
 FROM documents
 """
+
+
+# -- qm32: extension-vs-magic mismatch audit (router capstone #2) -------------------
+#
+# Crawl blobs arrive with a DECLARED type (url extension / Content-Type)
+# that lies constantly — a .png that is really a JPEG decodes fine, a
+# .jpg that is really an MP4 wastes a decode slot, and systematic
+# mismatches flag link rot or spoofing. The audit runs the qm23
+# magic-byte router against the declared extension and flags
+# disagreement; pipelines route on the SNIFFED type and keep the
+# mismatch bit as a quality signal (the reference engine trusts
+# extensions — net-new).
+
+_MISMATCH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("declared", StringType()),
+        StructField("sniffed", StringType()),
+        StructField("mismatch", IntegerType()),
+    ]
+)
+
+_QM32_FAMS = ["png", "gif", "jpeg", "wav", "mp4", "bin"]
+
+
+def _qm32_make_blob(fam: str, i: int) -> bytes:
+    from pdf_spark.core import imaging
+    from pdf_spark.core.audio import encode_wav
+    from pdf_spark.core.video import encode_mp4_skeleton
+
+    gray = [((x + y + i) * 8) % 256 for y in range(8) for x in range(8)]
+    if fam == "png":
+        return imaging.encode_png(8, 8, 1, gray)
+    if fam == "gif":
+        pal = bytes(v for g in range(256) for v in (g, g, g))
+        return imaging.encode_gif(8, 8, pal, gray)
+    if fam == "jpeg":
+        return imaging.encode_jpeg(8, 8, [(64 + i % 32, 0)])
+    if fam == "wav":
+        return encode_wav(8000, 1, 16, [0, 50, -50, 0] * 20)
+    if fam == "mp4":
+        return encode_mp4_skeleton("isom", 600, 600, [("vide", 64, 64)])
+    return b"#!opaque " + bytes([i % 256]) * 32
+
+
+def _qm32(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.audio import audio_meta
+        from pdf_spark.core.imaging import image_meta
+        from pdf_spark.core.video import video_meta
+
+        def sniff(blob: bytes) -> str:
+            im = image_meta(blob)
+            if im is not None:
+                return im[0]
+            au = audio_meta(blob)
+            if au["codec"] != "unknown":
+                return au["codec"]
+            vi = video_meta(blob)
+            if vi["format"] != "unknown":
+                return vi["format"]
+            return "bin"
+
+        for batch in batches:
+            rows = []
+            for d in (int(x) for x in batch["doc_id"]):
+                declared = _QM32_FAMS[d % 6]
+                # every third doc's bytes are actually a DIFFERENT family
+                actual = _QM32_FAMS[(d + 2) % 6] if d % 3 == 0 else declared
+                sn = sniff(_qm32_make_blob(actual, d))
+                rows.append((d, declared, sn, int(sn != declared)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "declared": [r[1] for r in rows],
+                    "sniffed": [r[2] for r in rows],
+                    "mismatch": [r[3] for r in rows],
+                }
+            )
+
+    return docs.mapInPandas(run, _MISMATCH_SCHEMA)
+
+
+QUERIES["qm32_mime_mismatch"] = _qm32
+ORACLE["qm32_mime_mismatch"] = """
+WITH fams AS (
+    SELECT doc_id,
+           CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                WHEN 2 THEN 'jpeg' WHEN 3 THEN 'wav' WHEN 4 THEN 'mp4'
+                ELSE 'bin' END AS declared,
+           CASE WHEN doc_id % 3 = 0 THEN
+               CASE (doc_id + 2) % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                    WHEN 2 THEN 'jpeg' WHEN 3 THEN 'wav' WHEN 4 THEN 'mp4'
+                    ELSE 'bin' END
+           ELSE
+               CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                    WHEN 2 THEN 'jpeg' WHEN 3 THEN 'wav' WHEN 4 THEN 'mp4'
+                    ELSE 'bin' END
+           END AS sniffed
+    FROM documents
+)
+SELECT doc_id, declared, sniffed,
+       CAST(CASE WHEN sniffed <> declared THEN 1 ELSE 0 END AS INTEGER)
+           AS mismatch
+FROM fams
+"""

@@ -3021,3 +3021,45 @@ _pair(
     _QT60_BODY.replace("{CLS}", _QT29_SPARK),
     _QT60_BODY.replace("{CLS}", _QT29_DUCK),
 )
+
+
+# --- qt61: per-host document caps (host-balanced sampling) ----------------------
+#
+# A handful of mega-hosts dominate any crawl; capping documents per host
+# (C4 kept stricter per-URL rules, Dolma and friends cap per domain) is
+# the cheapest diversity lever. Deterministic form: host = the qg05
+# host scheme (doc_id % 10 scaled up in SF — any host key works), order
+# within host by (md5(doc_id), doc_id) — a HASH order, so the kept
+# sample is unbiased by position and reproducible run-to-run — keep the
+# first K = 30. Output: every doc with its rank and kept flag, plus the
+# host's total so the cut is auditable.
+#
+# 100 TB: ONE window partitioned by host (bounded fan-in per partition;
+# a genuinely hot host is exactly the skew AQE splits post-shuffle for
+# the count, and the rank window's partition is the host — the same key
+# the politeness scheduler already ranges over). No global sort.
+
+_QT61_BODY = """
+WITH hosted AS (
+  SELECT doc_id, doc_id % 10 AS host, md5(CAST(doc_id AS {STR})) AS hkey
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, host,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY hkey, doc_id)
+           AS host_rank,
+         COUNT(*) OVER (PARTITION BY host) AS host_total
+  FROM hosted
+)
+SELECT doc_id, CAST(host AS BIGINT) AS host,
+       CAST(host_rank AS BIGINT) AS host_rank,
+       CAST(host_total AS BIGINT) AS host_total,
+       CAST(CASE WHEN host_rank <= 30 THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM ranked
+"""
+
+_pair(
+    "qt61_per_host_caps",
+    _QT61_BODY.replace("{STR}", "STRING"),
+    _QT61_BODY.replace("{STR}", "VARCHAR"),
+)
