@@ -3063,3 +3063,54 @@ _pair(
     _QT61_BODY.replace("{STR}", "STRING"),
     _QT61_BODY.replace("{STR}", "VARCHAR"),
 )
+
+
+# --- qt62: quantized character entropy (gibberish / binary-spill detector) ------
+#
+# Low character entropy means "aaaaaa..." spam; abnormally high means
+# base64 blobs or binary spilled into a text field — both are corpus
+# rot a quality stack gates on compression ratio or Shannon entropy.
+# Both classic forms are float (libm log); the quantized integer form
+# here is the floor-log2 identity the qt56 LM uses:
+#     qent = n * flog(n) - sum_c count(c) * flog(count(c))
+# (flog = floor(log2) = length(bin(x)) - 1, pure string/bit arithmetic)
+# — exactly n*H(X) with every log quantized down, so it's deterministic
+# across engines, monotone in the real entropy, and cheap. Output per
+# doc: char count, distinct chars, qent, and the per-char milli-rate
+# qent*1000 DIV n the gate thresholds on.
+#
+# 100 TB: one char-explode (same row count as the qt51 bigram explode)
+# into a map-side-combined (doc, char) groupBy, then a per-doc groupBy.
+# No windows, no joins, nothing global.
+
+_QT62_BODY = """
+WITH chars AS (
+  SELECT doc_id, c
+  FROM (SELECT doc_id, {CHARS} AS cl FROM documents) t {UNNEST}
+  WHERE c <> ''
+),
+counts AS (
+  SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k
+  FROM chars GROUP BY doc_id, c
+)
+SELECT doc_id,
+       CAST(SUM(k) AS BIGINT) AS n_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(k) * (length(bin(SUM(k))) - 1)
+            - SUM(k * (length(bin(k)) - 1)) AS BIGINT) AS qent,
+       CAST((SUM(k) * (length(bin(SUM(k))) - 1)
+             - SUM(k * (length(bin(k)) - 1))) * 1000 {IDIV} SUM(k)
+            AS BIGINT) AS qent_milli_per_char
+FROM counts
+GROUP BY doc_id
+"""
+
+_pair(
+    "qt62_char_entropy",
+    _QT62_BODY.replace("{CHARS}", "split(lower(text), '')")
+    .replace("{UNNEST}", "LATERAL VIEW explode(cl) g AS c")
+    .replace("{IDIV}", "DIV"),
+    _QT62_BODY.replace("{CHARS}", "string_split(lower(text), '')")
+    .replace("{UNNEST}", ", LATERAL UNNEST(t.cl) AS u(c)")
+    .replace("{IDIV}", "//"),
+)
