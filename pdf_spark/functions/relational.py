@@ -1353,3 +1353,27 @@ def qr39(spark: SparkSession, sf: str) -> DataFrame:
     rolled-up NULLs, and the identical ANSI text runs on both engines."""
     register_views(spark, sf)
     return spark.sql(_QR39_SQL)
+
+
+# -- qr40: LATERAL correlated top-k (the join-then-window alternative) -----------
+
+_QR40_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+"""
+
+
+@q("qr40_lateral_topk", _QR40_SQL)
+def qr40(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY ... LIMIT — the
+    declarative form of "top-2 orders per customer". Catalyst decorrelates
+    this into a join + per-key ranking (DomainJoin rewrite), the same
+    physical shape as qr07's window-rank but expressed as the inner query
+    a user actually writes; customers with no orders drop out (inner
+    lateral). The tie-break (price DESC, orderkey) makes the kept rows
+    deterministic in both engines. Identical ANSI text runs on DuckDB."""
+    register_views(spark, sf)
+    return spark.sql(_QR40_SQL)
