@@ -462,3 +462,70 @@ SELECT doc_id, CAST(case_no AS BIGINT) AS case_no,
        END AS resolved
 FROM cases
 """
+
+
+def _qt63(spark, sf):
+    """PII-in-URL scrub (E166) — URLs leak identity the text-side qt26
+    mask never sees: unsubscribe links carry the subscriber's EMAIL in
+    the path, session TOKENS ride query params, click-to-call links
+    embed PHONE numbers; corpora shipping raw URLs ship the PII. Four
+    deterministic classes (email-in-path / 32-hex session token /
+    phone-in-query / clean) built from doc_id; the scrub is a chain of
+    three JVM-codegen'd regexp_replace stages and each had_* flag is
+    derived by comparing the stage output to its input (no second regex
+    pass). The oracle CONSTRUCTS the expected masked form per class —
+    the qt20 discipline, so no cross-engine regex semantics are ever
+    load-bearing."""
+    from pdf_spark.functions.tables import load
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    host = F.concat(F.lit("https://h"), (i % 7).cast("string"),
+                    F.lit(".example.com"))
+    url = (
+        F.when(i % 4 == 0, F.concat(host, F.lit("/unsubscribe/user"), s,
+                                    F.lit("@mail"), (i % 5).cast("string"),
+                                    F.lit(".com/confirm")))
+        .when(i % 4 == 1, F.concat(host, F.lit("/account?session="),
+                                   F.md5(s)))
+        .when(i % 4 == 2, F.concat(host, F.lit("/call?tel=555-0"),
+                                   (100 + i % 900).cast("string")))
+        .otherwise(F.concat(host, F.lit("/article/"), s))
+    )
+    st1 = F.regexp_replace(
+        url, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"
+    )
+    st2 = F.regexp_replace(st1, r"[0-9a-f]{32}", "[TOKEN]")
+    st3 = F.regexp_replace(st2, r"[0-9]{3}-[0-9]{4}", "[PHONE]")
+    return docs.select(
+        "doc_id",
+        st3.alias("url_scrubbed"),
+        (st1 != url).cast("int").alias("had_email"),
+        (st2 != st1).cast("int").alias("had_token"),
+        (st3 != st2).cast("int").alias("had_phone"),
+    )
+
+
+QUERIES["qt63_url_pii_scrub"] = _qt63
+ORACLE["qt63_url_pii_scrub"] = """
+WITH v AS (
+  SELECT doc_id,
+         'https://h' || (doc_id % 7) || '.example.com' AS host
+  FROM documents
+)
+SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN host || '/unsubscribe/[EMAIL]/confirm'
+         WHEN 1 THEN host || '/account?session=[TOKEN]'
+         WHEN 2 THEN host || '/call?tel=[PHONE]'
+         ELSE host || '/article/' || doc_id
+       END AS url_scrubbed,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER)
+           AS had_email,
+       CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS INTEGER)
+           AS had_token,
+       CAST(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS INTEGER)
+           AS had_phone
+FROM v
+"""
