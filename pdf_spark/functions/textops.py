@@ -3114,3 +3114,49 @@ _pair(
     .replace("{UNNEST}", ", LATERAL UNNEST(t.cl) AS u(c)")
     .replace("{IDIV}", "//"),
 )
+
+
+# --- qt64: tokenizer fertility by language (the multilingual cost accountant) ---
+#
+# Fertility — characters (and bytes) per subword token — is how
+# multilingual training cost and context-window budgets are priced:
+# a language whose tokenizer yields 2x the tokens per character pays 2x
+# the compute for the same content (the "byte premium"). Reuses qt12's
+# BPE-ish token regex so the two queries price the SAME tokenizer;
+# byte length via the utf-8 encoded text (CJK chars cost 3 bytes — the
+# byte premium is exactly what the chars ratio hides). Integer sums per
+# lang + two one-op IEEE divides for the reported ratios.
+#
+# 100 TB: map-side regex counting into a partial-agg groupBy on lang —
+# O(#languages) output rows, no window, no join.
+
+_QT64_BODY = """
+WITH per_doc AS (
+  SELECT lang,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST({BYTELEN} AS BIGINT) AS n_bytes,
+         CAST({LEN}(regexp_extract_all(text, '{RE}', 0)) AS BIGINT)
+           AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens), 6)
+         AS chars_per_token,
+       ROUND(CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_tokens), 6)
+         AS bytes_per_token
+FROM per_doc
+GROUP BY lang
+"""
+
+_pair(
+    "qt64_tokenizer_fertility",
+    _QT64_BODY.replace("{BYTELEN}", "octet_length(text)")
+    .replace("{LEN}", "size")
+    .replace("{RE}", _BPEISH_RE),
+    _QT64_BODY.replace("{BYTELEN}", "octet_length(encode(text))")
+    .replace("{LEN}", "len")
+    .replace("{RE}", _BPEISH_RE),
+)
