@@ -310,3 +310,164 @@ def extract_embedded_images(resolver) -> list:
     for page_no, page in enumerate(pages):
         visit(page.get("Resources"), page_no, 0)
     return out
+
+
+# --- inline images (§8.9.7): BI <dict> ID <data> EI ---------------------------
+#
+# The reference PANICS on BI (operator.h:259-261) and this engine's text
+# path spec-correctly SKIPS it (core/content.py::skip_inline_image);
+# the decode tier below actually reads them — small logos/separators
+# ride inline constantly, and at corpus scale they carry the same
+# dedup/feature value as image XObjects. The §8.9.7 abbreviations (/W
+# /H /BPC /CS /F /DP, filter AHx/A85/LZW/Fl/RL/DCT, colorspace
+# G/RGB/CMYK/I) are translated to their full names and the SAME
+# decode_image_xobject path runs — an inline JPEG and the identical
+# XObject JPEG featurize byte-for-byte alike by construction.
+
+_INLINE_KEYS = {
+    "W": "Width", "H": "Height", "BPC": "BitsPerComponent",
+    "CS": "ColorSpace", "F": "Filter", "DP": "DecodeParms",
+    "D": "Decode", "IM": "ImageMask", "I": "Interpolate",
+}
+_INLINE_FILTERS = {
+    "AHx": "ASCIIHexDecode", "A85": "ASCII85Decode", "LZW": "LZWDecode",
+    "Fl": "FlateDecode", "RL": "RunLengthDecode", "CCF": "CCITTFaxDecode",
+    "DCT": "DCTDecode",
+}
+_INLINE_CS = {"G": "DeviceGray", "RGB": "DeviceRGB", "CMYK": "DeviceCMYK"}
+
+
+def _inline_translate_cs(v):
+    if isinstance(v, Name):
+        return Name(_INLINE_CS.get(str(v), str(v)))
+    if isinstance(v, list) and v and isinstance(v[0], Name):
+        fam = str(v[0])
+        if fam in ("I", "Indexed") and len(v) >= 4:
+            return [Name("Indexed"), _inline_translate_cs(v[1]), v[2], v[3]]
+    return v
+
+
+def parse_inline_image(data: bytes, pos: int) -> tuple:
+    """Parse one inline image at ``pos`` (just after the BI token) ->
+    ``(Stream, end_pos)`` where the Stream carries the §8.9.7 dict with
+    abbreviations expanded and ``raw`` = the still-encoded bytes between
+    ID and the standalone EI (the same terminator discipline as
+    skip_inline_image — an embedded non-delimited 'EI' byte pair cannot
+    end the image early)."""
+    from pdf_spark.core.content import _DELIM_SET, _WS_ONLY
+    from pdf_spark.core.objects import ObjectParser
+
+    p = ObjectParser(data, pos, content=True)
+    n = len(data)
+    d: dict = {}
+    while True:
+        p.skip_ws()
+        if p.pos >= n:
+            raise ValueError("inline image: no ID token")
+        if (
+            data[p.pos : p.pos + 2] == b"ID"
+            and (p.pos + 2 >= n or data[p.pos + 2] in _WS_ONLY)
+        ):
+            p.pos += 2
+            break
+        if data[p.pos] != 0x2F:  # '/'
+            raise ValueError("inline image: dict key expected")
+        key = p.parse_object()
+        val = p.parse_object()
+        full = _INLINE_KEYS.get(str(key), str(key))
+        if full == "Filter":
+            if isinstance(val, Name):
+                val = Name(_INLINE_FILTERS.get(str(val), str(val)))
+            elif isinstance(val, list):
+                val = [
+                    Name(_INLINE_FILTERS.get(str(f), str(f)))
+                    if isinstance(f, Name) else f
+                    for f in val
+                ]
+        elif full == "ColorSpace":
+            val = _inline_translate_cs(val)
+        d[full] = val
+    start = p.pos + 1  # the single post-ID whitespace byte
+    q = start
+    while True:
+        j = data.find(b"EI", q)
+        if j < 0:
+            raise ValueError("inline image: no EI terminator")
+        nxt = data[j + 2] if j + 2 < n else None
+        if (j == 0 or data[j - 1] in _WS_ONLY) and (
+            nxt is None or nxt in _WS_ONLY or nxt in _DELIM_SET
+        ):
+            return Stream(d, data[start:j]), j + 2
+        q = j + 1
+
+
+def iter_inline_images(data: bytes):
+    """Yield ``Stream`` objects for every inline image in a content
+    stream, using real tokenization (a '(BI)' string literal or an
+    operand run can never fake one) — the enumeration twin of the text
+    path's skip."""
+    from pdf_spark.core.objects import ObjectParser
+
+    p = ObjectParser(data, 0, content=True)
+    n = len(data)
+    while True:
+        p.skip_ws()
+        if p.pos >= n:
+            return
+        c = data[p.pos]
+        if (
+            c in b"(</[" or 0x30 <= c <= 0x39 or c in b"+-."
+        ):
+            p.parse_object()
+            continue
+        if c in b"'\"":
+            p.pos += 1
+            continue
+        if c in b")]>}{":
+            p.pos += 1  # tolerated strays (array closes handled by parse)
+            continue
+        start = p.pos
+        while p.pos < n and data[p.pos] not in b"\x00\t\n\x0c\r ()<>[]{}/%":
+            p.pos += 1
+        if p.pos == start:
+            p.pos += 1
+            continue
+        tok = data[start : p.pos]
+        if tok == b"BI":
+            try:
+                stream, end = parse_inline_image(data, p.pos)
+            except ValueError:
+                return  # malformed tail: stop enumerating, keep prior
+            yield stream
+            p.pos = end
+
+
+def extract_inline_images(resolver) -> list:
+    """Per-page inline-image decode: ``(page, idx, w, h, channels,
+    mean_luma, ahash_hex, pixel_md5, error)`` rows — the qx38 contract
+    shape, over §8.9.7 inline images instead of XObjects. Refused
+    decodes become error rows, never dropped rows (the corpus error
+    histogram is a deliverable)."""
+    out: list = []
+    try:
+        pages = list(resolver.iter_pages())
+    except Exception:
+        return out
+    for page_no, page in enumerate(pages):
+        try:
+            content = b"\n".join(resolver.content_streams(page))
+        except Exception:
+            continue
+        for idx, stream in enumerate(iter_inline_images(content)):
+            if len(out) >= DECODE_CAP:
+                return out
+            try:
+                w, h, ch, samples = decode_image_xobject(resolver, stream)
+                luma = features_from_samples(w, h, ch, samples)
+                ahash = format(ahash_from_samples(w, h, ch, samples), "016x")
+                out.append((page_no, idx, w, h, ch, luma, ahash,
+                            hashlib.md5(samples).hexdigest(), None))
+            except Exception as exc:
+                out.append((page_no, idx, 0, 0, 0, None, None, None,
+                            str(exc)[:80] or "decode"))
+    return out

@@ -3491,3 +3491,126 @@ SELECT doc_id,
             AS INTEGER) AS train_allowed
 FROM documents
 """
+
+
+# -- qx41: inline-image pixel decode (§8.9.7 BI..ID..EI) ---------------------------
+
+
+def _qx41_make_pdf(doc_id: int) -> bytes:
+    """One-page PDF whose content stream carries an inline image in a
+    rotating §8.9.7 shape (all abbreviation forms): raw gray 8-bpc /
+    1-bpc bilevel / AHx-encoded gray / RGB 8-bpc / Indexed palette."""
+    import binascii
+
+    import pdf_spark.gen.pdfgen as g
+
+    i = int(doc_id)
+    fam = i % 5
+    if fam == 0:  # raw gray two-tone: top a, bottom b
+        a, b = (i * 7) % 200, (i * 7) % 200 + 40
+        data = bytes([a] * 32 + [b] * 32)
+        img = b"BI /W 8/H 8/BPC 8/CS/G ID " + data + b"\nEI"
+    elif fam == 1:  # 1-bpc bilevel, rows alternate by doc parity
+        row1, row0 = (0xFF, 0x00) if i % 2 == 0 else (0x00, 0xFF)
+        data = bytes([row1, row0] * 4)
+        img = b"BI /W 8/H 8/BPC 1/CS/G ID " + data + b"\nEI"
+    elif fam == 2:  # ASCIIHex-encoded gray (abbreviated filter /AHx)
+        v = (i * 13) % 256
+        data = binascii.hexlify(bytes([v] * 16)) + b">"
+        img = b"BI /W 4/H 4/BPC 8/CS/G/F/AHx ID " + data + b"\nEI"
+    elif fam == 3:  # RGB 8-bpc solid color
+        r, gg, bb = (i * 3) % 256, (i * 5) % 256, (i * 11) % 256
+        data = bytes([r, gg, bb]) * 16
+        img = b"BI /W 4/H 4/BPC 8/CS/RGB ID " + data + b"\nEI"
+    else:  # Indexed palette, 8-bpc indices over a 2-entry RGB palette
+        lo, hi = (i * 9) % 128, (i * 9) % 128 + 100
+        pal = bytes([lo] * 3 + [hi] * 3)
+        data = bytes([0] * 8 + [1] * 8)
+        # palette as a HEX string: literal strings EOL-normalize a raw
+        # 0x0D palette byte, hex strings carry any byte unharmed
+        img = (b"BI /W 4/H 4/BPC 8/CS[/I/RGB 1 <"
+               + binascii.hexlify(pal) + b">] ID " + data + b"\nEI")
+
+    def content(lines):
+        return b"BT /F1 12 Tf 72 720 Td (x) Tj ET\n" + img + b"\n"
+
+    return g._simple_doc(["x"], content)
+
+
+def _qx41(spark: SparkSession, sf: str) -> DataFrame:
+    """Inline-image PIXEL decode (E168): the reference PANICS on BI
+    (operator.h:259-261) and our text path spec-correctly skips; this
+    tier DECODES them through the same decode_image_xobject path the
+    XObject tier uses, after expanding every §8.9.7 abbreviation (/W /H
+    /BPC /CS /F, filters AHx/A85/LZW/Fl/RL/DCT, colorspaces G/RGB/CMYK
+    and the Indexed /I array). Enumeration uses real tokenization — a
+    '(BI)' string literal can never fake an image. mean_luma is
+    arithmetic per family, so the oracle restates it closed-form."""
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_inline", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("channels", LongType()),
+            StructField("mean_luma", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.document import Resolver
+        from pdf_spark.core.pdfimages import extract_inline_images
+
+        for batch in batches:
+            rows = []
+            for d in (int(x) for x in batch["doc_id"]):
+                r = Resolver(_qx41_make_pdf(d))
+                imgs = extract_inline_images(r)
+                assert len(imgs) == 1 and imgs[0][8] is None, imgs
+                _pg, _idx, w, h, ch, luma, _ah, _md5, _err = imgs[0]
+                rows.append((d, len(imgs), w, h, ch, luma))
+            yield pd.DataFrame(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "n_inline": [r[1] for r in rows],
+                    "width": [r[2] for r in rows],
+                    "height": [r[3] for r in rows],
+                    "channels": [r[4] for r in rows],
+                    "mean_luma": [r[5] for r in rows],
+                }
+            )
+
+    return docs.mapInPandas(run, schema)
+
+
+QUERIES["qx41_inline_image_decode"] = _qx41
+# family lumas: 0 raw two-tone mean of a/a+40 -> a+20; 1 bilevel -> 127;
+# 2 AHx solid v; 3 RGB solid -> ITU-R 601 integer luma of (r,g,b);
+# 4 indexed half/half of two grays (palette entries are r=g=b).
+ORACLE["qx41_inline_image_decode"] = """
+WITH v AS (
+    SELECT doc_id, doc_id % 5 AS fam,
+           (doc_id * 7) % 200 AS a,
+           (doc_id * 13) % 256 AS hx,
+           (doc_id * 3) % 256 AS r,
+           (doc_id * 5) % 256 AS g,
+           (doc_id * 11) % 256 AS b,
+           (doc_id * 9) % 128 AS lo
+    FROM documents
+)
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS n_inline,
+       CAST(CASE WHEN fam <= 1 THEN 8 ELSE 4 END AS BIGINT) AS width,
+       CAST(CASE WHEN fam <= 1 THEN 8 ELSE 4 END AS BIGINT) AS height,
+       CAST(CASE WHEN fam IN (3, 4) THEN 3 ELSE 1 END AS BIGINT)
+           AS channels,
+       CAST(CASE fam
+            WHEN 0 THEN a + 20
+            WHEN 1 THEN 127
+            WHEN 2 THEN hx
+            WHEN 3 THEN (299 * r + 587 * g + 114 * b) // 1000
+            ELSE lo + 50
+            END AS BIGINT) AS mean_luma
+FROM v
+"""

@@ -192,3 +192,64 @@ def test_icc_based_channel_count():
     # luma of (10,20,30) = (2990+11740+3420)//1000 = 18
     assert rows[0][2:6] == (2, 2, 3, 18)
     assert rows[0][8] is None
+
+
+# --- inline images (§8.9.7) ------------------------------------------------------
+
+
+def test_inline_image_abbreviations_and_filters():
+    import binascii
+
+    from pdf_spark.core.pdfimages import parse_inline_image
+    from pdf_spark.core.objects import Name
+
+    # AHx filter + /G colorspace, abbreviated keys throughout
+    data = binascii.hexlify(bytes([200] * 16)) + b">"
+    content = b" /W 4/H 4/BPC 8/CS/G/F/AHx ID " + data + b"\nEI rest"
+    stream, end = parse_inline_image(content, 0)
+    assert stream.dict["Width"] == 4
+    assert str(stream.dict["Filter"]) == "ASCIIHexDecode"
+    assert str(stream.dict["ColorSpace"]) == "DeviceGray"
+    assert content[end:] == b" rest"
+    assert stream.decoded(None) == bytes([200] * 16)
+    # Indexed /I array translates its base too
+    c2 = b" /W 2/H 1/BPC 8/CS[/I/RGB 1 <000000ffffff>] ID \x00\x01\nEI"
+    s2, _ = parse_inline_image(c2, 0)
+    cs = s2.dict["ColorSpace"]
+    assert str(cs[0]) == "Indexed" and str(cs[1]) == "DeviceRGB"
+
+
+def test_inline_image_enumeration_is_token_safe():
+    from pdf_spark.core.pdfimages import iter_inline_images
+
+    # a '(BI)' string literal and an embedded 'EI' byte pair must not
+    # fake or truncate images; two real images both enumerate
+    content = (
+        b"BT (fake BI here) Tj ET\n"
+        b"BI /W 2/H 2/BPC 8/CS/G ID " + bytes([1, 2, 3, 4]) + b"\nEI\n"
+        b"q 1 0 0 1 5 5 cm Q\n"
+        b"BI /W 1/H 1/BPC 8/CS/G ID " + b"xEIx"[:1] + b"\nEI\n"
+    )
+    imgs = list(iter_inline_images(content))
+    assert len(imgs) == 2
+    # raw keeps the pre-EI whitespace byte by design: the unfiltered
+    # decode path reads exactly rows*h bytes, ASCII filters ignore it
+    assert imgs[0].raw == bytes([1, 2, 3, 4]) + b"\n"
+    assert imgs[0].dict["Width"] == 2
+
+
+def test_inline_image_extract_through_document():
+    from pdf_spark.core.document import Resolver
+    from pdf_spark.core.pdfimages import extract_inline_images
+    from pdf_spark.gen.pdfgen import _GOOD_VARIANTS, generate_doc
+
+    idx = [i for i, (n, _) in enumerate(_GOOD_VARIANTS)
+           if n == "inline_image"][0]
+    pdf, _exp, name, _err = generate_doc("line one\nline two\nline three", idx)
+    assert name == "inline_image"
+    rows = extract_inline_images(Resolver(pdf))
+    # the fixture's 8x8 gray ramp (0..63): mean 31, known aHash shape
+    assert len(rows) == 1
+    pg, i, w, h, ch, luma, ahash, md5, err = rows[0]
+    assert (w, h, ch, luma, err) == (8, 8, 1, 31, None)
+    assert ahash == "00000000ffffffff"
