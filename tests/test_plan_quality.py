@@ -307,3 +307,35 @@ def test_png_decode_queries_stay_narrow(spark):
         assert m and m.group(1).startswith("doc_id"), (
             f"{name} scan must prune to doc_id: {m and m.group(1)}"
         )
+
+
+def test_round4_session_operator_plan_shapes(spark):
+    """Plan pins for the round-4 late-session operators: the scale
+    property each one claims must be visible in its physical plan."""
+    import re as _re
+
+    from pdf_spark.functions.registry import all_queries
+
+    q = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    # qt55 DSIR: both <=256-row distribution tables join BROADCAST —
+    # the corpus-sized probe side must never shuffle for them
+    plan = _plan(spark, q["qt55_dsir_importance"](spark, sf))
+    assert plan.count("BroadcastHashJoin") >= 2
+    # qt61 per-host caps: the rank window is PARTITIONED (hashpartitioning
+    # by host) — never a single-partition global sort
+    plan = _plan(spark, q["qt61_per_host_caps"](spark, sf))
+    assert "SinglePartition" not in plan
+    assert _re.search(r"hashpartitioning\(host", plan)
+    # qs15 binary quantization: shortlist via TakeOrderedAndProject —
+    # no global Sort node materializes the full Hamming scan
+    plan = _plan(spark, q["qs15_binary_quantization"](spark, sf))
+    assert "TakeOrderedAndProject" in plan
+    # qt62 char entropy: pure aggregate pipeline — no joins, no windows
+    plan = _plan(spark, q["qt62_char_entropy"](spark, sf))
+    assert "Join" not in plan and "Window" not in plan
+    # qt64 fertility: map-side partial aggregation present (partial_
+    # functions before the lang exchange), output bounded by #languages
+    plan = _plan(spark, q["qt64_tokenizer_fertility"](spark, sf))
+    assert "partial_" in plan
