@@ -3725,3 +3725,92 @@ def encode_webp_animation(
             chunks += b"\x00"  # RIFF even-size padding
     riff = b"WEBP" + bytes(chunks)
     return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+# --- PNG text chunks (tEXt/zTXt/iTXt): provenance ------------------------------
+#
+# PNG's textual metadata is where image generators leave their card:
+# diffusion tools write the full generation config under the tEXt key
+# "parameters" (or "prompt"), and editors stamp "Software". The
+# reader walks chunks (the E131 decoder's chunk discipline), collects
+# the first value per key across all three chunk types — tEXt
+# (latin-1), zTXt (zlib-compressed latin-1, method byte 0), iTXt
+# (utf-8, optionally compressed) — and derives is_ai_suspect from the
+# generator-config keys. Bomb-capped: values clamped, chunk count
+# capped.
+
+
+def png_text_meta(blob: bytes) -> dict:
+    """``{has_text, software, n_text_chunks, has_parameters,
+    is_ai_suspect}`` from a PNG's textual chunks; non-PNG -> zeros."""
+    blob = bytes(blob)
+    out = {"has_text": 0, "software": None, "n_text_chunks": 0,
+           "has_parameters": 0, "is_ai_suspect": 0}
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        return out
+    pos = 8
+    n = len(blob)
+    texts: dict = {}
+    steps = 0
+    while pos + 8 <= n and steps < 4096:
+        steps += 1
+        (ln,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + min(ln, 1 << 20)]
+        if ctype == b"tEXt":
+            key, _, val = data.partition(b"\x00")
+            texts.setdefault(key.decode("latin-1", "replace"),
+                             val[:4096].decode("latin-1", "replace"))
+        elif ctype == b"zTXt":
+            key, _, rest = data.partition(b"\x00")
+            if rest[:1] == b"\x00":  # compression method 0 = deflate
+                try:
+                    val = zlib.decompress(rest[1:], bufsize=4096)[:4096]
+                    texts.setdefault(key.decode("latin-1", "replace"),
+                                     val.decode("latin-1", "replace"))
+                except zlib.error:
+                    pass
+        elif ctype == b"iTXt":
+            key, _, rest = data.partition(b"\x00")
+            if len(rest) >= 2:
+                comp_flag, comp_method = rest[0], rest[1]
+                body = rest[2:]
+                # skip language tag and translated keyword
+                body = body.partition(b"\x00")[2].partition(b"\x00")[2]
+                if comp_flag == 1 and comp_method == 0:
+                    try:
+                        body = zlib.decompress(body, bufsize=4096)
+                    except zlib.error:
+                        body = b""
+                texts.setdefault(key.decode("latin-1", "replace"),
+                                 body[:4096].decode("utf-8", "replace"))
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if texts:
+        out["has_text"] = 1
+        out["n_text_chunks"] = len(texts)
+        out["software"] = texts.get("Software")
+        out["has_parameters"] = int(
+            "parameters" in texts or "prompt" in texts
+        )
+        out["is_ai_suspect"] = out["has_parameters"]
+    return out
+
+
+def png_add_text(png: bytes, entries: list) -> bytes:
+    """Splice textual chunks into a real PNG after IHDR (fixture helper).
+    ``entries`` = [(kind, key, value)] with kind in tEXt/zTXt/iTXt —
+    zTXt genuinely deflated, iTXt with empty language fields."""
+    end_ihdr = 8 + 12 + struct.unpack_from(">I", png, 8)[0]
+    chunks = bytearray()
+    for kind, key, value in entries:
+        k = key.encode("latin-1")
+        if kind == "tEXt":
+            body = k + b"\x00" + value.encode("latin-1")
+        elif kind == "zTXt":
+            body = k + b"\x00\x00" + zlib.compress(value.encode("latin-1"))
+        else:  # iTXt, uncompressed, no language/translated keyword
+            body = k + b"\x00\x00\x00\x00\x00" + value.encode("utf-8")
+        chunks += _png_chunk(kind.encode("latin-1"), bytes(body))
+    return png[:end_ihdr] + bytes(chunks) + png[end_ihdr:]

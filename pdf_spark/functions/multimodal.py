@@ -2759,3 +2759,79 @@ SELECT doc_id, declared, sniffed,
            AS mismatch
 FROM fams
 """
+
+
+# -- qm33: PNG text-chunk provenance (core/imaging.py::png_text_meta) ---------------
+#
+# The PNG twin of qm29's XMP disclosure: diffusion tools write their
+# full generation config under the tEXt key "parameters" (or "prompt"),
+# editors stamp "Software" — collected across tEXt (latin-1), zTXt
+# (genuinely zlib-deflated) and iTXt (utf-8), first value per key.
+
+_PNGTEXT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("has_text", IntegerType()),
+        StructField("software", StringType()),
+        StructField("n_text_chunks", LongType()),
+        StructField("is_ai_suspect", IntegerType()),
+    ]
+)
+
+
+def _qm33_make_png(doc_id: int) -> bytes:
+    from pdf_spark.core.imaging import encode_png, png_add_text
+
+    i = int(doc_id)
+    base = encode_png(4, 4, 1, bytes((i + k) % 256 for k in range(16)))
+    fam = i % 4
+    if fam == 0:  # bare image, no text
+        return base
+    if fam == 1:  # editor provenance, chunk kind rotates
+        kind = ["tEXt", "zTXt", "iTXt"][i % 3]
+        return png_add_text(base, [(kind, "Software", "Editor " + str(i % 5))])
+    if fam == 2:  # generator config -> AI suspect
+        key = "parameters" if i % 2 == 0 else "prompt"
+        return png_add_text(
+            base,
+            [("tEXt", key, "seed: " + str(i)),
+             ("zTXt", "Comment", "c" + str(i % 7))],
+        )
+    return png_add_text(base, [("iTXt", "Title", "t" + str(i % 9))])
+
+
+def _qm33(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.imaging import png_text_meta
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [png_text_meta(_qm33_make_png(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "has_text": [m["has_text"] for m in metas],
+                    "software": [m["software"] for m in metas],
+                    "n_text_chunks": [m["n_text_chunks"] for m in metas],
+                    "is_ai_suspect": [m["is_ai_suspect"] for m in metas],
+                }
+            )
+
+    return docs.mapInPandas(run, _PNGTEXT_SCHEMA)
+
+
+QUERIES["qm33_png_text_provenance"] = _qm33
+ORACLE["qm33_png_text_provenance"] = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END AS INTEGER)
+           AS has_text,
+       CASE WHEN doc_id % 4 = 1
+            THEN 'Editor ' || CAST(doc_id % 5 AS VARCHAR) END AS software,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 2 THEN 2 ELSE 1 END
+            AS BIGINT) AS n_text_chunks,
+       CAST(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS INTEGER)
+           AS is_ai_suspect
+FROM documents
+"""

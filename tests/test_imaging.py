@@ -1171,3 +1171,28 @@ def test_animation_webp():
     # truncated mid-ANMF keeps the frames counted so far
     cut = animation_meta(a[:60])
     assert cut["format"] == "webp"
+
+
+def test_png_text_chunks_three_kinds():
+    from pdf_spark.core.imaging import (
+        decode_png, encode_png, png_add_text, png_text_meta,
+    )
+
+    base = encode_png(4, 4, 1, bytes(16))
+    p = png_add_text(base, [("tEXt", "Software", "GIMP 2.10"),
+                            ("zTXt", "Comment", "hello compressed"),
+                            ("iTXt", "Title", "ünïcode")])
+    assert png_text_meta(p) == {
+        "has_text": 1, "software": "GIMP 2.10", "n_text_chunks": 3,
+        "has_parameters": 0, "is_ai_suspect": 0,
+    }
+    # textual chunks are ancillary: the image still decodes
+    w, h, c, s = decode_png(p)
+    assert (w, h) == (4, 4)
+    # diffusion-config keys flag AI suspect
+    sd = png_add_text(base, [("tEXt", "parameters", "a cat, steps: 20")])
+    assert png_text_meta(sd)["is_ai_suspect"] == 1
+    assert png_text_meta(png_add_text(base, [("tEXt", "prompt", "x")]))[
+        "is_ai_suspect"] == 1
+    assert png_text_meta(base)["has_text"] == 0
+    assert png_text_meta(b"junk")["has_text"] == 0
