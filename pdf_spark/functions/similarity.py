@@ -752,3 +752,56 @@ _pair(
     .replace("{PACK1}", _PACK_DUCK.replace("{BASE}", "32"))
     .replace("{XOR}", "xor"),
 )
+
+
+# --- qs16: embedding-store hygiene audit ----------------------------------------
+#
+# Vector QA before anything consumes the store: zero vectors poison
+# cosine (0/0), non-finite components poison everything, and wildly
+# off-scale norms flag a bad producer batch. Norms are made integer-
+# exact by the qs09 fixed-point move — q = floor(x*1000 + 0.5) per
+# component (one exactly-specified IEEE op), sqnorm = sum q^2 — and the
+# norm BAND is floor(log2(sqnorm+1)) via length(bin(...))-1, so the
+# audit's histogram is bit-identical across engines. Pure map-side.
+
+_QS16_BODY = """
+WITH q AS (
+  SELECT vec_id,
+         {SQNORM} AS sqnorm,
+         {NONFINITE} AS n_nonfinite
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(CASE WHEN sqnorm = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_zero,
+       CAST(n_nonfinite AS BIGINT) AS n_nonfinite,
+       CAST(sqnorm AS BIGINT) AS sqnorm_fp,
+       CAST(length(bin(sqnorm + 1)) - 1 AS BIGINT) AS norm_band
+FROM q
+"""
+
+_QS16_SQ_SPARK = (
+    "aggregate(embedding, CAST(0 AS BIGINT), (acc, x) -> acc"
+    " + CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)"
+    " * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+)
+_QS16_NF_SPARK = (
+    "aggregate(embedding, 0, (acc, x) -> acc + CASE WHEN isnan(x)"
+    " OR abs(CAST(x AS DOUBLE)) > 1e308 THEN 1 ELSE 0 END)"
+)
+_QS16_SQ_DUCK = (
+    "list_sum(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+    " * 1000 + 0.5) AS BIGINT) * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)"
+    " AS BIGINT)))"
+)
+_QS16_NF_DUCK = (
+    "list_sum(list_transform(embedding, x -> CASE WHEN isnan(x)"
+    " OR abs(CAST(x AS DOUBLE)) > 1e308 THEN 1 ELSE 0 END))"
+)
+
+_pair(
+    "qs16_embedding_hygiene",
+    _QS16_BODY.replace("{SQNORM}", _QS16_SQ_SPARK)
+    .replace("{NONFINITE}", _QS16_NF_SPARK),
+    _QS16_BODY.replace("{SQNORM}", _QS16_SQ_DUCK)
+    .replace("{NONFINITE}", _QS16_NF_DUCK),
+)
