@@ -3614,3 +3614,105 @@ SELECT doc_id,
             END AS BIGINT) AS mean_luma
 FROM v
 """
+
+
+# -- qx42: hidden-content / cloaking audit (E171) ----------------------------------
+
+
+def _qx42(spark: SparkSession, sf: str) -> DataFrame:
+    """Cloaked-text audit (E171): text a browser never shows (inline
+    display:none / visibility:hidden / font-size:0 / off-screen
+    offsets, the ``hidden`` attribute, ``aria-hidden="true"``) but a
+    naive extractor ingests verbatim — the classic SEO keyword-stuffing
+    vector and a standing quality gate in web-scale pipelines. Rotation
+    doc_id%5: clean / display:none / hidden attr / nested aria-hidden
+    (one scope, chars summed) / two off-screen scopes; every third doc
+    adds a <script> decoy carrying a fake display:none div that the
+    rawtext-safe walk must ignore."""
+    from pdf_spark.core.htmltext import hidden_audit
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("visible_chars", LongType()),
+            StructField("hidden_chars", LongType()),
+            StructField("n_hidden_nodes", LongType()),
+            StructField("hidden_milli", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for d in (int(x) for x in batch["doc_id"]):
+                fam = d % 5
+                vis = "v" * (10 + d % 13)
+                h1 = "h" * (5 + d % 7)
+                body = f"<p>{vis}</p>"
+                if fam == 1:
+                    body += f'<div style="display: none">{h1}</div>'
+                elif fam == 2:
+                    body += f"<span hidden>{h1}</span>"
+                elif fam == 3:
+                    q = "q" * (2 + d % 3)
+                    body += (
+                        f'<div aria-hidden="true"><p>{h1}</p>'
+                        f'<span style="visibility:hidden">{q}</span></div>'
+                    )
+                elif fam == 4:
+                    k = "k" * (3 + d % 4)
+                    body += (
+                        f'<p style="text-indent:-9999px">{h1}</p>'
+                        f'<i style="font-size:0">{k}</i>'
+                    )
+                if d % 3 == 0:
+                    body += (
+                        "<script>var s = \"<div style='display:none'>"
+                        "zzzzz</div>\";</script>"
+                    )
+                page = (
+                    "<html><head><title>t</title></head><body>"
+                    + body + "</body></html>"
+                )
+                r = hidden_audit(page.encode("utf-8"))
+                rows.append(
+                    (d, r["visible_chars"], r["hidden_chars"],
+                     r["n_hidden_nodes"], r["hidden_milli"])
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "visible_chars": [r[1] for r in rows],
+                    "hidden_chars": [r[2] for r in rows],
+                    "n_hidden_nodes": [r[3] for r in rows],
+                    "hidden_milli": [r[4] for r in rows],
+                }
+            )
+
+    return docs.mapInPandas(run, schema)
+
+
+QUERIES["qx42_hidden_content"] = _qx42
+ORACLE["qx42_hidden_content"] = """
+WITH v AS (
+    SELECT doc_id, doc_id % 5 AS fam,
+           10 + doc_id % 13 AS vis,
+           5 + doc_id % 7 AS h1,
+           2 + doc_id % 3 AS q,
+           3 + doc_id % 4 AS k
+    FROM documents
+), h AS (
+    SELECT doc_id, vis,
+           CASE fam WHEN 0 THEN 0 WHEN 3 THEN h1 + q WHEN 4 THEN h1 + k
+                ELSE h1 END AS hid,
+           CASE fam WHEN 0 THEN 0 WHEN 4 THEN 2 ELSE 1 END AS nodes
+    FROM v
+)
+SELECT doc_id,
+       CAST(vis AS BIGINT) AS visible_chars,
+       CAST(hid AS BIGINT) AS hidden_chars,
+       CAST(nodes AS BIGINT) AS n_hidden_nodes,
+       CAST((1000 * hid) // (vis + hid) AS BIGINT) AS hidden_milli
+FROM h
+"""

@@ -673,3 +673,61 @@ def test_ai_optout_rawtext_decoy_not_honored():
     fake = (b"<html><script>var s = \"<meta name='robots'"
             b" content='noai'>\";</script><body>t</body></html>")
     assert ai_optout(fake)["train_allowed"] == 1
+
+
+def test_hidden_audit_cloak_vectors():
+    from pdf_spark.core.htmltext import hidden_audit
+
+    # every inline cloak vector + the hidden/aria attributes hide text;
+    # head/title is structural, not cloaked
+    h = (
+        b"<html><head><title>tt</title></head><body>"
+        b"<p>vvvv vv</p>"
+        b'<div style="display: none">aaa</div>'
+        b"<span hidden>bb</span>"
+        b'<i aria-hidden="true">c</i>'
+        b'<p style="text-indent:-9999px">dd</p>'
+        b'<em style="font-size:0">e</em>'
+        b"</body></html>"
+    )
+    r = hidden_audit(h)
+    assert r["visible_chars"] == 6
+    assert r["hidden_chars"] == 9
+    assert r["n_hidden_nodes"] == 5
+    assert r["hidden_milli"] == 600
+
+
+def test_hidden_audit_nested_scope_and_decoy():
+    from pdf_spark.core.htmltext import hidden_audit
+
+    # nested cloaked elements are ONE scope (chars counted once); a
+    # display:none inside a <script> string is rawtext, never honored;
+    # hidden="until-found" is searchable per HTML5, so not cloaked
+    h = (
+        b"<body><p>vv</p>"
+        b'<div aria-hidden="true"><p>aaa</p>'
+        b'<span style="visibility:hidden">bb</span></div>'
+        b"<script>var s = \"<div style='display:none'>zzz</div>\";</script>"
+        b'<p hidden="until-found">ok</p>'
+        b"</body>"
+    )
+    r = hidden_audit(h)
+    assert r["visible_chars"] == 4  # vv + ok
+    assert r["hidden_chars"] == 5
+    assert r["n_hidden_nodes"] == 1
+    assert r["hidden_milli"] == 555
+
+
+def test_hidden_audit_clean_and_empty():
+    from pdf_spark.core.htmltext import hidden_audit
+
+    assert hidden_audit(b"<body><p>abc def</p></body>") == {
+        "visible_chars": 6,
+        "hidden_chars": 0,
+        "n_hidden_nodes": 0,
+        "hidden_milli": 0,
+    }
+    assert hidden_audit(b"")["hidden_milli"] == 0
+    # negative margins under 3 digits are layout, not cloaking
+    r = hidden_audit(b'<body><p style="left:-20px">xy</p></body>')
+    assert r["hidden_chars"] == 0 and r["visible_chars"] == 2
