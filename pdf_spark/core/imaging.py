@@ -22,6 +22,7 @@ stream is fed a hard max_length, mirroring core.extract.gunzip_payload.
 
 from __future__ import annotations
 
+import re
 import struct
 import zlib
 from typing import Optional
@@ -3814,3 +3815,84 @@ def png_add_text(png: bytes, entries: list) -> bytes:
             body = k + b"\x00\x00\x00\x00\x00" + value.encode("utf-8")
         chunks += _png_chunk(kind.encode("latin-1"), bytes(body))
     return png[:end_ihdr] + bytes(chunks) + png[end_ihdr:]
+
+
+# --- SVG metadata + active-content flag (E172) -------------------------------
+
+_SVG_COMMENT_RE = re.compile(rb"<!--.*?(?:-->|\Z)", re.S)
+_SVG_ROOT_RE = re.compile(rb"<(?:[A-Za-z][A-Za-z0-9]*:)?svg([^>]*)>?", re.S)
+_SVG_NUM_RE = re.compile(rb"^\s*([0-9]+(?:\.[0-9]+)?)\s*(px|pt)?\s*$")
+_SVG_ATTR_RE = re.compile(
+    rb"""([A-Za-z_:][A-Za-z0-9_:\-]*)\s*=\s*(?:"([^"]*)"|'([^']*)')"""
+)
+_SVG_SCRIPT_RE = re.compile(rb"<(?:[A-Za-z][A-Za-z0-9]*:)?script[\s>]", re.I)
+_SVG_EVENT_RE = re.compile(rb"\son[a-z]+\s*=\s*[\"']", re.I)
+_SVG_JSHREF_RE = re.compile(rb"href\s*=\s*[\"']\s*javascript:", re.I)
+_SVG_IMAGE_RE = re.compile(rb"<(?:[A-Za-z][A-Za-z0-9]*:)?image[\s>/]", re.I)
+_SVG_DATAURI_RE = re.compile(rb"href\s*=\s*[\"']data:", re.I)
+
+SVG_SCAN_CAP = 1 << 20  # scan at most the first MiB (adversarial blobs)
+
+
+def _svg_dim(val: bytes | None) -> int | None:
+    """Numeric prefix of a width/height attribute as a floored int;
+    percentages / missing / garbage -> None."""
+    if not val:
+        return None
+    m = _SVG_NUM_RE.match(val)
+    return int(float(m.group(1))) if m else None
+
+
+def svg_meta(blob: bytes) -> dict:
+    """SVG routing metadata, text-scan only (SVG is XML): root element
+    dims (width/height attrs, falling back to the viewBox box), an
+    ``has_script`` ACTIVE-CONTENT flag (a real <script> element, any
+    on* event attribute, or a javascript: href — the reason crawl
+    pipelines quarantine SVG before rasterizing: it is the one image
+    family that can execute), embedded <image> count and how many of
+    those inline a data: URI. Comments are stripped FIRST, so a decoy
+    ``<!--<script>-->`` can never flag a clean file. Non-SVG or
+    over-cap blobs -> ``{"is_svg": 0, ...None}`` (routing decision,
+    not an error)."""
+    out = {
+        "is_svg": 0, "width": None, "height": None,
+        "has_script": None, "n_images": None, "n_data_uri": None,
+    }
+    if not blob:
+        return out
+    buf = blob[:SVG_SCAN_CAP]
+    if buf[:3] == b"\xef\xbb\xbf":
+        buf = buf[3:]
+    buf = _SVG_COMMENT_RE.sub(b"", buf)
+    m = _SVG_ROOT_RE.search(buf, 0, 4096)
+    if m is None or b"<html" in buf[:1024].lower():
+        return out
+    attrs: dict[bytes, bytes] = {}
+    for am in _SVG_ATTR_RE.finditer(m.group(1)):
+        name = am.group(1).lower()
+        if name not in attrs:
+            attrs[name] = am.group(2) if am.group(2) is not None else am.group(3)
+    w = _svg_dim(attrs.get(b"width"))
+    h = _svg_dim(attrs.get(b"height"))
+    if (w is None or h is None) and b"viewbox" in attrs:
+        parts = attrs[b"viewbox"].replace(b",", b" ").split()
+        if len(parts) == 4:
+            try:
+                if w is None:
+                    w = int(float(parts[2]))
+                if h is None:
+                    h = int(float(parts[3]))
+            except ValueError:
+                pass
+    body = buf[m.end():]
+    out.update(
+        is_svg=1, width=w, height=h,
+        has_script=int(
+            bool(_SVG_SCRIPT_RE.search(body))
+            or bool(_SVG_EVENT_RE.search(buf))
+            or bool(_SVG_JSHREF_RE.search(buf))
+        ),
+        n_images=len(_SVG_IMAGE_RE.findall(body)),
+        n_data_uri=len(_SVG_DATAURI_RE.findall(body)),
+    )
+    return out

@@ -2835,3 +2835,117 @@ SELECT doc_id,
            AS is_ai_suspect
 FROM documents
 """
+
+
+# -- qm34: SVG metadata + active-content quarantine flag (core/imaging.py) ----------
+#
+# SVG is the one image family that can EXECUTE (scripts, event
+# attributes, javascript: hrefs) — crawl pipelines quarantine it before
+# any rasterize step; dims route the rasterizer, embedded <image>
+# data: URIs measure payload inflation. Text-scan only, comments
+# stripped first so a commented-out <script> decoy can never flag.
+
+_SVG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("is_svg", IntegerType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("has_script", IntegerType()),
+        StructField("n_images", LongType()),
+        StructField("n_data_uri", LongType()),
+    ]
+)
+
+
+def _qm34_make_svg(doc_id: int) -> bytes:
+    from pdf_spark.core.imaging import encode_png
+
+    i = int(doc_id)
+    if i % 11 == 7:  # not SVG at all: routing returns is_svg=0 + NULLs
+        return encode_png(2, 2, 1, bytes((i + k) % 256 for k in range(4)))
+    fam = i % 5
+    decoy = "<!--<script>x()</script><image href='data:x'/>-->" if i % 4 == 0 else ""
+    w, h = 100 + i % 50, 80 + i % 40
+    vw, vh = 200 + i % 30, 150 + i % 20
+    if fam == 0:  # plain, unit-suffixed dims
+        body = f'<svg width="{w}px" height="{h}"><rect/></svg>'
+    elif fam == 1:  # viewBox-only dims
+        body = f'<svg viewBox="0 0 {vw} {vh}"><circle/></svg>'
+    elif fam == 2:  # real script element
+        body = (
+            f'<svg width="{w}" height="{h}">'
+            "<script>alert(1)</script></svg>"
+        )
+    elif fam == 3:  # event attribute + javascript: href
+        body = (
+            f'<svg width="{w}" height="{h}" onload="go()">'
+            '<a href="javascript:p()">x</a></svg>'
+        )
+    else:  # embedded rasters: one data: URI, one external
+        body = (
+            f'<svg viewBox="0 0 {vw} {vh}">'
+            '<image href="data:image/png;base64,AAAA"/>'
+            '<image href="https://cdn.example/x.png"/></svg>'
+        )
+    return ('<?xml version="1.0"?>' + decoy + body).encode("utf-8")
+
+
+def _qm34(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.imaging import svg_meta
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [svg_meta(_qm34_make_svg(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "is_svg": [m["is_svg"] for m in metas],
+                    "width": pd.array(
+                        [m["width"] for m in metas], dtype="Int64"
+                    ),
+                    "height": pd.array(
+                        [m["height"] for m in metas], dtype="Int64"
+                    ),
+                    "has_script": pd.array(
+                        [m["has_script"] for m in metas], dtype="Int32"
+                    ),
+                    "n_images": pd.array(
+                        [m["n_images"] for m in metas], dtype="Int64"
+                    ),
+                    "n_data_uri": pd.array(
+                        [m["n_data_uri"] for m in metas], dtype="Int64"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _SVG_SCHEMA)
+
+
+QUERIES["qm34_svg_meta"] = _qm34
+ORACLE["qm34_svg_meta"] = """
+WITH v AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 7 THEN -1 ELSE doc_id % 5 END AS fam,
+           100 + doc_id % 50 AS w, 80 + doc_id % 40 AS h,
+           200 + doc_id % 30 AS vw, 150 + doc_id % 20 AS vh
+    FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN fam = -1 THEN 0 ELSE 1 END AS INTEGER) AS is_svg,
+       CAST(CASE WHEN fam IN (0, 2, 3) THEN w
+                 WHEN fam IN (1, 4) THEN vw END AS BIGINT) AS width,
+       CAST(CASE WHEN fam IN (0, 2, 3) THEN h
+                 WHEN fam IN (1, 4) THEN vh END AS BIGINT) AS height,
+       CAST(CASE WHEN fam = -1 THEN NULL
+                 WHEN fam IN (2, 3) THEN 1 ELSE 0 END AS INTEGER)
+           AS has_script,
+       CAST(CASE WHEN fam = -1 THEN NULL
+                 WHEN fam = 4 THEN 2 ELSE 0 END AS BIGINT) AS n_images,
+       CAST(CASE WHEN fam = -1 THEN NULL
+                 WHEN fam = 4 THEN 1 ELSE 0 END AS BIGINT) AS n_data_uri
+FROM v
+"""

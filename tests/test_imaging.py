@@ -1196,3 +1196,47 @@ def test_png_text_chunks_three_kinds():
         "is_ai_suspect"] == 1
     assert png_text_meta(base)["has_text"] == 0
     assert png_text_meta(b"junk")["has_text"] == 0
+
+
+def test_svg_meta_dims_and_active_content():
+    from pdf_spark.core.imaging import svg_meta
+
+    r = svg_meta(
+        b'<?xml version="1.0"?><svg xmlns="http://www.w3.org/2000/svg"'
+        b' width="120px" height="80"><rect/></svg>'
+    )
+    assert (r["is_svg"], r["width"], r["height"], r["has_script"]) == (
+        1, 120, 80, 0,
+    )
+    # viewBox fallback (comma-separated) when width/height absent
+    r = svg_meta(b'<svg viewBox="0,0,200,150.5"><circle/></svg>')
+    assert (r["width"], r["height"]) == (200, 150)
+    # all three active-content vectors flag; a commented script never does
+    assert svg_meta(b"<svg><script>a()</script></svg>")["has_script"] == 1
+    assert svg_meta(b'<svg onload="g()"><rect/></svg>')["has_script"] == 1
+    assert svg_meta(b'<svg><a href=" javascript:p()">x</a></svg>')[
+        "has_script"
+    ] == 1
+    assert svg_meta(b"<svg><!--<script>a()</script>--><rect/></svg>")[
+        "has_script"
+    ] == 0
+
+
+def test_svg_meta_images_and_rejects():
+    from pdf_spark.core.imaging import encode_png, svg_meta
+
+    r = svg_meta(
+        b'<svg width="4" height="4">'
+        b'<image href="data:image/png;base64,AA"/>'
+        b'<image xlink:href="https://x/y.png"/></svg>'
+    )
+    assert (r["n_images"], r["n_data_uri"]) == (2, 1)
+    # non-SVG payloads route out with NULL fields
+    png = encode_png(2, 2, 1, bytes(4))
+    assert svg_meta(png) == {
+        "is_svg": 0, "width": None, "height": None,
+        "has_script": None, "n_images": None, "n_data_uri": None,
+    }
+    assert svg_meta(b"")["is_svg"] == 0
+    # percentage dims are not numeric routing dims
+    assert svg_meta(b'<svg width="100%" height="50%"/>')["width"] is None
