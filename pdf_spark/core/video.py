@@ -34,7 +34,9 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["mp4_meta", "encode_mp4_skeleton"]
+__all__ = [
+    "mp4_meta", "encode_mp4_skeleton", "heif_meta", "encode_heif_skeleton",
+]
 
 _MAX_BOXES = 4096
 _MAX_DEPTH = 8
@@ -572,3 +574,86 @@ def encode_mkv_skeleton(
         entries += _elem(_TRACK_ENTRY, body)
     seg_payload = info + _elem(_TRACKS, entries)
     return header + _elem(_SEGMENT, seg_payload, unknown=unknown_segment_size)
+
+
+# ------------------------------------------------- HEIF/AVIF image containers
+#
+# AVIF/HEIC are ISO-BMFF too (ISO/IEC 23008-12 image format on the
+# 14496-12 box grammar) — modern crawls carry them where JPEG/PNG used
+# to be. Routing meta only: brand, pixel dims from the ispe properties
+# under meta->iprp->ipco, item count from iinf, animation flag from the
+# sequence brands. No codec payload (AV1/HEVC OBUs) is ever read.
+
+_HEIF_BRANDS = {b"avif", b"avis", b"heic", b"heix", b"mif1", b"msf1"}
+_HEIF_SEQ_BRANDS = {b"avis", b"msf1"}
+
+
+def heif_meta(buf: bytes) -> dict:
+    """HEIF/AVIF routing metadata from header bytes.
+
+    ``meta`` is a FULL box (4-byte version/flags before children) —
+    the one grammar difference from the movie spine. Dims are the
+    LARGEST ispe property (primary image; thumbnails are smaller
+    ispes), ``n_items`` the iinf entry count, ``is_animated`` set for
+    the sequence brands (avis/msf1). Raises ValueError for non-HEIF
+    ISO-BMFF (qm20's mp4_meta owns those) and non-BMFF bytes alike,
+    so the media router keeps a single dispatch rule."""
+    buf = bytes(buf)
+    if len(buf) < 16 or buf[4:8] != b"ftyp" or buf[8:12] not in _HEIF_BRANDS:
+        raise ValueError("not a HEIF/AVIF container")
+    state = {"boxes": 0}
+    out = {
+        "brand": buf[8:12].decode("latin-1"),
+        "width": 0,
+        "height": 0,
+        "n_ispe": 0,
+        "n_items": 0,
+        "is_animated": int(buf[8:12] in _HEIF_SEQ_BRANDS),
+    }
+
+    def walk(start: int, end: int, depth: int) -> None:
+        if depth > _MAX_DEPTH:
+            return
+        for btype, p0, p1, _d in _iter_boxes(buf, start, end, depth, state):
+            if btype == b"meta" and p1 - p0 >= 4:
+                walk(p0 + 4, p1, depth + 1)  # fullbox: skip version/flags
+            elif btype in (b"iprp", b"ipco"):
+                walk(p0, p1, depth + 1)
+            elif btype == b"ispe" and p1 - p0 >= 12:
+                w, h = _u32(buf, p0 + 4), _u32(buf, p0 + 8)
+                out["n_ispe"] += 1
+                if w * h > out["width"] * out["height"]:
+                    out["width"], out["height"] = w, h
+            elif btype == b"iinf" and p1 - p0 >= 6:
+                ver = buf[p0]
+                out["n_items"] = (
+                    _u32(buf, p0 + 4) if ver >= 1 and p1 - p0 >= 8
+                    else struct.unpack_from(">H", buf, p0 + 4)[0]
+                )
+
+    walk(0, len(buf), 0)
+    return out
+
+
+def encode_heif_skeleton(
+    brand: bytes,
+    dims: list[tuple[int, int]],
+    n_items: int,
+) -> bytes:
+    """Honest HEIF/AVIF box skeleton: real ftyp, a real fullbox meta
+    with hdlr(pict)/pitm/iinf and an iprp/ipco chain carrying one ispe
+    per (w, h) — the exact spine heif_meta walks."""
+    ipco = b"".join(
+        _box(b"ispe", struct.pack(">III", 0, w, h)) for w, h in dims
+    )
+    meta_children = (
+        _box(b"hdlr", struct.pack(">I", 0) + b"\0\0\0\0pict" + bytes(12))
+        + _box(b"pitm", struct.pack(">IH", 0, 1))
+        + _box(b"iinf", struct.pack(">IH", 0, n_items))
+        + _box(b"iprp", _box(b"ipco", ipco))
+    )
+    return (
+        _box(b"ftyp", brand + struct.pack(">I", 0) + brand + b"mif1")
+        + _box(b"meta", struct.pack(">I", 0) + meta_children)
+        + _box(b"mdat", b"\0" * 16)
+    )

@@ -2949,3 +2949,99 @@ SELECT doc_id,
                  WHEN fam = 4 THEN 1 ELSE 0 END AS BIGINT) AS n_data_uri
 FROM v
 """
+
+
+# -- qm35: AVIF/HEIF image-container metadata (core/video.py::heif_meta) ------------
+#
+# AVIF/HEIC are ISO-BMFF (ISO/IEC 23008-12 on the 14496-12 box grammar)
+# and are what modern crawls serve where JPEG/PNG used to be; routing
+# needs dims (largest ispe property — thumbnails are smaller), item
+# count (iinf) and the animated-sequence brand flag, never codec bytes.
+
+_HEIF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("is_heif", IntegerType()),
+        StructField("brand", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_items", LongType()),
+        StructField("is_animated", IntegerType()),
+    ]
+)
+
+
+def _qm35_make_blob(doc_id: int) -> bytes:
+    from pdf_spark.core.video import encode_heif_skeleton, encode_mp4_skeleton
+
+    i = int(doc_id)
+    if i % 9 == 5:  # plain video MP4: heif_meta must route it OUT
+        return encode_mp4_skeleton(
+            "isom", 1000, 1000, [("vide", 320, 240)]
+        )
+    fam = i % 4
+    w, h = 160 + i % 100, 120 + i % 80
+    if fam == 0:  # single-image avif
+        return encode_heif_skeleton(b"avif", [(w, h)], 1)
+    if fam == 1:  # primary + smaller thumbnail: largest ispe wins
+        return encode_heif_skeleton(b"avif", [(w // 4, h // 4), (w, h)], 2)
+    if fam == 2:  # heic burst with 3 items
+        return encode_heif_skeleton(b"heic", [(w, h)], 3)
+    return encode_heif_skeleton(b"avis", [(w, h)], 1)  # animated sequence
+
+
+def _qm35(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.video import heif_meta
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            rows = []
+            for d in ids:
+                try:
+                    m = heif_meta(_qm35_make_blob(d))
+                    rows.append(
+                        (1, m["brand"], m["width"], m["height"],
+                         m["n_items"], m["is_animated"])
+                    )
+                except ValueError:
+                    rows.append((0, None, None, None, None, None))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "is_heif": [r[0] for r in rows],
+                    "brand": [r[1] for r in rows],
+                    "width": pd.array([r[2] for r in rows], dtype="Int64"),
+                    "height": pd.array([r[3] for r in rows], dtype="Int64"),
+                    "n_items": pd.array([r[4] for r in rows], dtype="Int64"),
+                    "is_animated": pd.array(
+                        [r[5] for r in rows], dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _HEIF_SCHEMA)
+
+
+QUERIES["qm35_heif_meta"] = _qm35
+ORACLE["qm35_heif_meta"] = """
+WITH v AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 9 = 5 THEN -1 ELSE doc_id % 4 END AS fam,
+           160 + doc_id % 100 AS w, 120 + doc_id % 80 AS h
+    FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN fam = -1 THEN 0 ELSE 1 END AS INTEGER) AS is_heif,
+       CASE fam WHEN 0 THEN 'avif' WHEN 1 THEN 'avif'
+                WHEN 2 THEN 'heic' WHEN 3 THEN 'avis' END AS brand,
+       CAST(CASE WHEN fam = -1 THEN NULL ELSE w END AS BIGINT) AS width,
+       CAST(CASE WHEN fam = -1 THEN NULL ELSE h END AS BIGINT) AS height,
+       CAST(CASE fam WHEN 1 THEN 2 WHEN 2 THEN 3 WHEN -1 THEN NULL
+            ELSE 1 END AS BIGINT) AS n_items,
+       CAST(CASE WHEN fam = -1 THEN NULL WHEN fam = 3 THEN 1 ELSE 0 END
+            AS INTEGER) AS is_animated
+FROM v
+"""

@@ -181,3 +181,38 @@ def test_mp4_sample_table_routing_and_meta_compat():
                             sample_tables=[([(3, 10)], [1, 99])])
     )
     assert (tr["n_keyframes"], tr["last_keyframe"]) == (1, 1)
+
+
+def test_heif_meta_roundtrip_and_brands():
+    from pdf_spark.core.video import encode_heif_skeleton, heif_meta
+
+    m = heif_meta(encode_heif_skeleton(b"avif", [(640, 480), (64, 48)], 2))
+    assert m == {
+        "brand": "avif", "width": 640, "height": 480,
+        "n_ispe": 2, "n_items": 2, "is_animated": 0,
+    }
+    # thumbnail-first order: largest ispe still wins
+    m = heif_meta(encode_heif_skeleton(b"heic", [(32, 32), (1024, 768)], 3))
+    assert (m["width"], m["height"], m["n_items"]) == (1024, 768, 3)
+    # sequence brands flag animation
+    assert heif_meta(encode_heif_skeleton(b"avis", [(10, 10)], 1))[
+        "is_animated"
+    ] == 1
+
+
+def test_heif_meta_rejects_and_truncation():
+    import pytest
+
+    from pdf_spark.core.video import (
+        encode_heif_skeleton, encode_mp4_skeleton, heif_meta,
+    )
+
+    # plain video MP4 and raw bytes both raise (single router rule)
+    with pytest.raises(ValueError):
+        heif_meta(encode_mp4_skeleton("isom", 1000, 500, [("vide", 8, 8)]))
+    with pytest.raises(ValueError):
+        heif_meta(b"\x89PNG\r\n\x1a\n" + bytes(8))
+    # truncated meta keeps what was parsed before the cut
+    full = encode_heif_skeleton(b"avif", [(100, 50)], 1)
+    cut = heif_meta(full[: len(full) - 20])
+    assert cut["brand"] == "avif" and cut["width"] == 100
