@@ -3045,3 +3045,147 @@ SELECT doc_id,
             AS INTEGER) AS is_animated
 FROM v
 """
+
+
+# -- qm36: subtitle/caption cue parse (core/subtitles.py) ---------------------------
+#
+# The text half of an audio/video training pair: SRT + WebVTT cue
+# parse in integer milliseconds — speech time, captioned span, speech
+# density — the routing gate before any (costly) audio decode +
+# alignment pass. Malformed cue blocks are skipped, not fatal.
+
+_SUB_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("n_cues", LongType()),
+        StructField("speech_ms", LongType()),
+        StructField("span_ms", LongType()),
+        StructField("n_chars", LongType()),
+        StructField("density_milli", LongType()),
+    ]
+)
+
+
+def _srt_stamp(ms: int) -> str:
+    s, mmm = divmod(ms, 1000)
+    h, rem = divmod(s, 3600)
+    m, sec = divmod(rem, 60)
+    return f"{h:02d}:{m:02d}:{sec:02d},{mmm:03d}"
+
+
+def _vtt_stamp(ms: int) -> str:
+    s, mmm = divmod(ms, 1000)
+    m, sec = divmod(s, 60)
+    return f"{m:02d}:{sec:02d}.{mmm:03d}"
+
+
+def _qm36_make_blob(doc_id: int) -> bytes:
+    i = int(doc_id)
+    if i % 10 == 7:  # not captions at all
+        return b"<html><body>not captions</body></html>"
+    fam = i % 4
+    a = 500 + (i % 7) * 100
+    b = 300 + (i % 5) * 50
+    c = 200 + (i % 9) * 100
+    e = 1000 + (i % 11) * 250
+    t1 = "x" * (4 + i % 6)
+    if fam in (0, 2):
+        blocks = [
+            f"1\n{_srt_stamp(1000)} --> {_srt_stamp(1000 + a)}\n{t1}",
+        ]
+        if fam == 2:  # malformed middle block: skipped, cues survive
+            blocks.append("2\ngarbage --> stamps\nnever parsed")
+        s2 = 1000 + a + 400
+        blocks.append(
+            f"3\n{_srt_stamp(s2)} --> {_srt_stamp(s2 + b)}\nok"
+        )
+        return ("\n\n".join(blocks) + "\n").encode("utf-8")
+    if fam == 1:  # VTT: hour-less stamps, settings, inline tags
+        cues = []
+        pos = 500
+        for k in range(3):
+            cues.append(
+                f"{_vtt_stamp(pos)} --> {_vtt_stamp(pos + c)} align:start\n"
+                f"<c.yellow>abc</c>"
+            )
+            pos += c + 100
+        return ("WEBVTT\n\n" + "\n\n".join(cues) + "\n").encode("utf-8")
+    # fam 3: NOTE block + cue identifier, single cue
+    return (
+        "WEBVTT\n\nNOTE\nauthoring comment\n\nintro\n"
+        f"{_vtt_stamp(2000)} --> {_vtt_stamp(2000 + e)}\n<i>hello</i> cue\n"
+    ).encode("utf-8")
+
+
+def _qm36(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.subtitles import subtitle_meta
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [subtitle_meta(_qm36_make_blob(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "fmt": [m["fmt"] for m in metas],
+                    "n_cues": pd.array(
+                        [m["n_cues"] for m in metas], dtype="Int64"
+                    ),
+                    "speech_ms": pd.array(
+                        [m["speech_ms"] for m in metas], dtype="Int64"
+                    ),
+                    "span_ms": pd.array(
+                        [m["span_ms"] for m in metas], dtype="Int64"
+                    ),
+                    "n_chars": pd.array(
+                        [m["n_chars"] for m in metas], dtype="Int64"
+                    ),
+                    "density_milli": pd.array(
+                        [m["density_milli"] for m in metas], dtype="Int64"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _SUB_SCHEMA)
+
+
+QUERIES["qm36_subtitle_cues"] = _qm36
+ORACLE["qm36_subtitle_cues"] = """
+WITH v AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 7 THEN -1 ELSE doc_id % 4 END AS fam,
+           500 + (doc_id % 7) * 100 AS a,
+           300 + (doc_id % 5) * 50 AS b,
+           200 + (doc_id % 9) * 100 AS c,
+           1000 + (doc_id % 11) * 250 AS e,
+           4 + doc_id % 6 AS t1
+    FROM documents
+), m AS (
+    SELECT doc_id, fam,
+           CASE WHEN fam IN (0, 2) THEN a + b
+                WHEN fam = 1 THEN 3 * c
+                WHEN fam = 3 THEN e END AS speech,
+           CASE WHEN fam IN (0, 2) THEN a + b + 400
+                WHEN fam = 1 THEN 3 * c + 200
+                WHEN fam = 3 THEN e END AS span,
+           CASE WHEN fam IN (0, 2) THEN t1 + 2
+                WHEN fam = 1 THEN 9
+                WHEN fam = 3 THEN 9 END AS chars,
+           CASE WHEN fam IN (0, 2) THEN 2
+                WHEN fam = 1 THEN 3
+                WHEN fam = 3 THEN 1 END AS cues
+    FROM v
+)
+SELECT doc_id,
+       CASE WHEN fam IN (0, 2) THEN 'srt'
+            WHEN fam IN (1, 3) THEN 'vtt' END AS fmt,
+       CAST(cues AS BIGINT) AS n_cues,
+       CAST(speech AS BIGINT) AS speech_ms,
+       CAST(span AS BIGINT) AS span_ms,
+       CAST(chars AS BIGINT) AS n_chars,
+       CAST((1000 * speech) // span AS BIGINT) AS density_milli
+FROM m
+"""
