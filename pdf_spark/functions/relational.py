@@ -1377,3 +1377,70 @@ def qr40(spark: SparkSession, sf: str) -> DataFrame:
     deterministic in both engines. Identical ANSI text runs on DuckDB."""
     register_views(spark, sf)
     return spark.sql(_QR40_SQL)
+
+
+# -- qr41: FILTER-clause aggregates (per-condition partial aggregation) -----------
+
+_QR41_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_all,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+            AS BIGINT) AS n_urgent,
+       ROUND(SUM(o_totalprice) FILTER (WHERE o_totalprice > 100000), 2)
+           AS big_total,
+       CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderkey % 2 = 0)
+            AS BIGINT) AS n_cust_even
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@q("qr41_filtered_agg", _QR41_SQL)
+def qr41(spark: SparkSession, sf: str) -> DataFrame:
+    """ANSI FILTER-clause aggregates: several differently-conditioned
+    aggregates over ONE scan — the declarative replacement for the
+    CASE-WHEN-inside-SUM idiom and for N self-joined subqueries. All
+    four aggregates (plain, filtered COUNT, filtered SUM, filtered
+    COUNT DISTINCT) fold into the same partial-aggregation pass, so at
+    10^12 rows this is one shuffle on the group key instead of four
+    scans; the filters never become separate plan branches. Identical
+    ANSI text runs on DuckDB."""
+    register_views(spark, sf)
+    return spark.sql(_QR41_SQL)
+
+
+# -- qr42: null-safe equality join (IS NOT DISTINCT FROM) -------------------------
+
+_QR42_SQL = """
+WITH l AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE o_orderkey % 7 END AS k,
+           o_totalprice
+    FROM orders
+), r AS (
+    SELECT CASE WHEN d % 3 = 0 THEN NULL ELSE d END AS k,
+           d * 10 AS payload
+    FROM (SELECT CAST(r_regionkey AS BIGINT) + 2 AS d FROM region)
+)
+SELECT l.o_orderkey, l.k AS lk, r.payload,
+       ROUND(l.o_totalprice, 2) AS price
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+"""
+
+
+@q("qr42_nullsafe_join", _QR42_SQL)
+def qr42(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equality join (ANSI ``IS NOT DISTINCT FROM``, Spark's
+    ``<=>``): NULL keys MATCH each other instead of vanishing — the
+    semantics every SCD/dedup merge wants when "unknown" is a real key
+    value. Spark plans this as an ordinary hash join on the null-safe
+    key (NULL hashes like any value; no fallback to nested-loop), so
+    the 10^12-row behavior is identical to an equi-join — one shuffle
+    per side, broadcastable small side — rather than the cartesian
+    blowup a naive ``l.k = r.k OR (l.k IS NULL AND r.k IS NULL)``
+    predicate triggers. The NULL bucket is a designed skew hotspot:
+    at scale you salt it like any hot key (qt31). Identical ANSI text
+    runs on DuckDB."""
+    register_views(spark, sf)
+    return spark.sql(_QR42_SQL)
