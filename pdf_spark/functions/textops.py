@@ -3160,3 +3160,169 @@ _pair(
     .replace("{LEN}", "len")
     .replace("{RE}", _BPEISH_RE),
 )
+
+
+# --- qt65: Flesch-Kincaid readability (integer-exact cross-product form) ---------
+#
+# Readability gates audience-level corpus mixes (children's vs academic
+# tiers) and flags machine-generated keyword soup (absurd grades).
+# The classic FK grade 0.39*w/s + 11.8*syl/w - 15.59 is float; in
+# centi-grade units x100 it is (39*w^2 + 1180*syl*s - 1559*s*w)/(s*w)
+# — numerator and denominator EXACT BIGINTs (the qt38/qt60 discipline),
+# clamped at 0 BEFORE the single floor divide so trunc-vs-floor
+# division semantics on negatives can never split the engines.
+# Syllables are vowel-group runs per word, floored at 1 — the standard
+# public heuristic. 100 TB: pure map-side (regex counting per doc,
+# no shuffle at all; the optional corpus rollup is one partial agg).
+
+_QT65_BODY = """
+WITH w AS (
+  SELECT doc_id,
+         GREATEST(CAST({LEN}(regexp_extract_all(lower(text), '[a-z]+', 0))
+                  AS BIGINT), 1) AS n_words,
+         GREATEST(CAST({LEN}(regexp_extract_all(text, '[.!?]+', 0))
+                  AS BIGINT), 1) AS n_sents,
+         GREATEST(CAST({SYL} AS BIGINT), 1) AS n_syll
+  FROM documents
+)
+SELECT doc_id, n_words, n_sents, n_syll AS n_syllables,
+       CAST(GREATEST(39 * n_words * n_words + 1180 * n_syll * n_sents
+                     - 1559 * n_sents * n_words, 0)
+            {IDIV} (n_sents * n_words) AS BIGINT) AS fk_centigrade
+FROM w
+"""
+
+_QT65_SYL_SPARK = (
+    "aggregate(regexp_extract_all(lower(text), '[a-z]+', 0),"
+    " CAST(0 AS BIGINT), (acc, wd) -> acc + greatest("
+    "size(regexp_extract_all(wd, '[aeiouy]+', 0)), 1))"
+)
+_QT65_SYL_DUCK = (
+    "coalesce(list_sum(list_transform("
+    "regexp_extract_all(lower(text), '[a-z]+'),"
+    " wd -> greatest(len(regexp_extract_all(wd, '[aeiouy]+')), 1))), 0)"
+)
+
+_pair(
+    "qt65_readability",
+    _QT65_BODY.replace("{LEN}", "size")
+    .replace("{SYL}", _QT65_SYL_SPARK)
+    .replace("{IDIV}", "DIV")
+    .replace("regexp_extract_all(lower(text), '[a-z]+')",
+             "regexp_extract_all(lower(text), '[a-z]+', 0)"),
+    _QT65_BODY.replace("{LEN}", "len")
+    .replace("{SYL}", _QT65_SYL_DUCK)
+    .replace("{IDIV}", "//")
+    .replace("regexp_extract_all(lower(text), '[a-z]+', 0)",
+             "regexp_extract_all(lower(text), '[a-z]+')"),
+)
+
+
+# --- qt66: sliding-window context chunking (RAG / long-doc training prep) --------
+#
+# Long documents exceed context windows; retrieval and packing tiers
+# both consume fixed-size token chunks with overlap (window 32, stride
+# 24 here — the shape, not the tuning, is the contract). One map-side
+# explode of chunk indices per doc — no shuffle, no window function;
+# chunk count = ceil((n - W)/S) + 1 in pure integer form, and every
+# chunk is CERTIFIED by an md5 over its joined token slice so both
+# engines provably cut byte-identical chunks (the qt54/qt58 move).
+# 100 TB: fan-out is bounded by doc length / stride; chunks inherit
+# the doc's partition — nothing global anywhere.
+
+_QT66_BODY = """
+WITH d AS (
+  SELECT doc_id, {SPLIT} AS toks,
+         CAST({LEN}({SPLIT}) AS BIGINT) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, toks, n,
+         CAST(CASE WHEN n <= 32 THEN 1
+              ELSE (n - 32 + 23) {IDIV} 24 + 1 END AS BIGINT) AS n_chunks
+  FROM d
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * 24 AS BIGINT) AS tok_start,
+       CAST(LEAST(32, n - i * 24) AS BIGINT) AS tok_len,
+       md5({JOINED}) AS chunk_md5
+FROM c {UNNEST}
+"""
+
+_pair(
+    "qt66_sliding_chunks",
+    _QT66_BODY.replace("{SPLIT}", "split(text, ' ')")
+    .replace("{LEN}", "size")
+    .replace("{IDIV}", "DIV")
+    .replace(
+        "{JOINED}",
+        "array_join(slice(toks, i * 24 + 1, LEAST(32, n - i * 24)), ' ')",
+    )
+    .replace("{UNNEST}", "LATERAL VIEW explode(sequence(0, n_chunks - 1)) g AS i"),
+    _QT66_BODY.replace("{SPLIT}", "string_split(text, ' ')")
+    .replace("{LEN}", "len")
+    .replace("{IDIV}", "//")
+    .replace(
+        "{JOINED}",
+        "array_to_string(list_slice(toks, i * 24 + 1,"
+        " i * 24 + LEAST(32, n - i * 24)), ' ')",
+    )
+    .replace("{UNNEST}", ", LATERAL UNNEST(range(c.n_chunks)) AS u(i)"),
+)
+
+
+# --- qt67: code-switching detection (per-sentence language mixing) ---------------
+#
+# Document-level langid (qt04) mislabels MIXED documents — forum
+# threads, quote-heavy pages, boilerplate-in-one-language sites — and
+# mixed docs poison monolingual training slices. Sentence-level pass:
+# split on sentence punctuation, label each sentence by the same
+# padded-stopword containment count qt04 uses (' the ' vs ' der ',
+# counted via the length-difference trick, both length 5), then fold:
+# sentence counts per label + an is_mixed flag when both languages win
+# at least one sentence. Everything stays INSIDE the row on the Spark
+# side (transform/filter over the split array — zero explode, zero
+# shuffle); the DuckDB oracle computes the same values in the same
+# in-row shape. 100 TB: pure map-side, like qt65.
+
+_QT67_CNT = (
+    "CAST((length(concat(' ', x, ' '))"
+    " - length(replace(concat(' ', x, ' '), '{PAT}', ''))) {IDIV} 5"
+    " AS BIGINT)"
+)
+_QT67_LABEL = (
+    "CASE WHEN " + _QT67_CNT.replace("{PAT}", " the ")
+    + " > " + _QT67_CNT.replace("{PAT}", " der ")
+    + " THEN 1 WHEN " + _QT67_CNT.replace("{PAT}", " der ")
+    + " > " + _QT67_CNT.replace("{PAT}", " the ")
+    + " THEN 2 ELSE 0 END"
+)
+
+_QT67_BODY = """
+WITH s AS (
+  SELECT doc_id, {TR}({SPLITRE}, x -> {LABEL}) AS codes
+  FROM documents
+)
+SELECT doc_id,
+       CAST({LEN}(codes) AS BIGINT) AS n_sents,
+       CAST({LEN}({FILT}(codes, c -> c = 1)) AS BIGINT) AS n_en,
+       CAST({LEN}({FILT}(codes, c -> c = 2)) AS BIGINT) AS n_de,
+       CAST(CASE WHEN {LEN}({FILT}(codes, c -> c = 1)) > 0
+                  AND {LEN}({FILT}(codes, c -> c = 2)) > 0
+            THEN 1 ELSE 0 END AS INTEGER) AS is_mixed
+FROM s
+"""
+
+_pair(
+    "qt67_code_switching",
+    _QT67_BODY.replace("{TR}", "transform")
+    .replace("{SPLITRE}", "split(text, '[.!?] ')")
+    .replace("{LABEL}", _QT67_LABEL.replace("{IDIV}", "DIV"))
+    .replace("{LEN}", "size")
+    .replace("{FILT}", "filter"),
+    _QT67_BODY.replace("{TR}", "list_transform")
+    .replace("{SPLITRE}", "string_split_regex(text, '[.!?] ')")
+    .replace("{LABEL}", _QT67_LABEL.replace("{IDIV}", "//"))
+    .replace("{LEN}", "len")
+    .replace("{FILT}", "list_filter"),
+)
