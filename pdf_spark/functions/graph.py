@@ -406,3 +406,52 @@ QUERIES["qg07_label_propagation"] = lambda spark, sf: (
 ORACLE["qg07_label_propagation"] = _QG07_BODY.replace(
     "{EDGE_SRC}", _EDGE_SRC_DUCK
 )
+
+
+# -- qg08: k-core peel (2 synchronous rounds, k=2) ---------------------------------
+#
+# Link farms and spam rings live in dense cores; legitimate long-tail
+# pages peel off early. The classic k-core decomposition peels nodes
+# with degree < k until fixed point — here 2 SYNCHRONOUS unrolled
+# rounds at k=2 (the qg06/qg07 iteration-count-is-the-contract
+# pattern): a node's peel ROUND is the signal (early peel = periphery,
+# survivor = core candidate). Degrees count DISTINCT undirected
+# neighbors. Per round: one map-side-combined groupBy + two anti-joins
+# against the O(peeled) removal set — no windows, no collects; at
+# 10^12 edges each round is one shuffle on the node key.
+
+_QG08_BODY = """
+WITH deg AS (SELECT doc_id AS u, CAST(doc_id % 3 + 1 AS BIGINT) AS d
+             FROM documents),
+edges AS (
+  SELECT u, CAST((u * 7 + k) % (SELECT COUNT(*) FROM documents) AS BIGINT) AS v
+  FROM {EDGE_SRC}
+),
+nbr AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM edges WHERE u <> v
+    UNION ALL
+    SELECT v, u FROM edges WHERE u <> v
+  ) t
+),
+d0 AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM nbr GROUP BY u),
+r1 AS (SELECT node FROM d0 WHERE deg < 2),
+d1 AS (
+  SELECT n.u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM nbr n
+  WHERE n.u NOT IN (SELECT node FROM r1)
+    AND n.v NOT IN (SELECT node FROM r1)
+  GROUP BY n.u
+)
+SELECT d0.node, d0.deg AS deg0,
+       CAST(CASE WHEN d0.deg < 2 THEN 1
+                 WHEN coalesce(d1.deg, 0) < 2 THEN 2
+                 ELSE 0 END AS BIGINT) AS peeled_round
+FROM d0 LEFT JOIN d1 ON d0.node = d1.node
+"""
+
+QUERIES["qg08_kcore_peel"] = lambda spark, sf: (
+    register_views(spark, sf)
+    or spark.sql(_QG08_BODY.replace("{EDGE_SRC}", _EDGE_SRC_SPARK))
+)
+ORACLE["qg08_kcore_peel"] = _QG08_BODY.replace("{EDGE_SRC}", _EDGE_SRC_DUCK)

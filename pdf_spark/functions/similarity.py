@@ -805,3 +805,46 @@ _pair(
     _QS16_BODY.replace("{SQNORM}", _QS16_SQ_DUCK)
     .replace("{NONFINITE}", _QS16_NF_DUCK),
 )
+
+
+# --- qs17: Johnson-Lindenstrauss random projection (deterministic ±1) -------------
+#
+# The dimensionality-reduction tier BETWEEN the full vector and the
+# qs15 sign bits: a ±1 (Achlioptas/JL) projection to K=8 dims preserves
+# pairwise distances within (1±eps) while cutting the ANN candidate
+# scan 16x. The projection matrix is never materialized: sign(k, i) =
+# parity of the first hex char of md5('k:i') — deterministic, identical
+# in both engines, and each executor recomputes it inline (zero
+# broadcast, zero state). Components are the qs09 fixed-point integers,
+# so every projected coordinate is an exact BIGINT. 100 TB: pure
+# map-side, one in-row pass per output dim; the hash replaces the
+# usual seeded-RNG matrix (same trick as qt44's rendezvous hashing).
+
+_QS17_K = 8
+
+
+def _qs17_dim(engine: str, k: int) -> str:
+    if engine == "spark":
+        idx = "CAST(i + 1 AS STRING)"
+        return (
+            f"aggregate(transform(embedding, (x, i) ->"
+            f" (1 - 2 * (ascii(substr(md5(concat('{k}:', {idx})), 1, 1)) % 2))"
+            f" * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)),"
+            f" CAST(0 AS BIGINT), (a, v) -> a + v) AS p{k}"
+        )
+    return (
+        f"coalesce(list_sum(list_transform(embedding, (x, i) ->"
+        f" (1 - 2 * (ascii(substr(md5(concat('{k}:', CAST(i AS VARCHAR))), 1, 1)) % 2))"
+        f" * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))), 0)"
+        f" AS p{k}"
+    )
+
+
+_QS17_SPARK = "SELECT vec_id,\n       " + ",\n       ".join(
+    _qs17_dim("spark", k) for k in range(_QS17_K)
+) + "\nFROM embeddings"
+_QS17_DUCK = "SELECT vec_id,\n       " + ",\n       ".join(
+    _qs17_dim("duck", k) for k in range(_QS17_K)
+) + "\nFROM embeddings"
+
+_pair("qs17_jl_projection", _QS17_SPARK, _QS17_DUCK)
