@@ -5,6 +5,7 @@ from __future__ import annotations
 
 def all_queries():
     from pdf_spark.functions import (  # noqa: WPS235
+        docformats,
         extraction_queries,
         graph,
         multimodal,
@@ -16,13 +17,14 @@ def all_queries():
 
     out = {}
     for mod in (relational, textops, urlops, similarity, multimodal, graph,
-                extraction_queries):
+                extraction_queries, docformats):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles():
     from pdf_spark.functions import (
+        docformats,
         extraction_queries,
         graph,
         multimodal,
@@ -34,6 +36,6 @@ def all_oracles():
 
     out = {}
     for mod in (relational, textops, urlops, similarity, multimodal, graph,
-                extraction_queries):
+                extraction_queries, docformats):
         out.update(mod.ORACLE)
     return out
