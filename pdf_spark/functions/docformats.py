@@ -118,6 +118,139 @@ def _qm37(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["qm37_zip_inventory"] = _qm37
+
+# -- qx43: DOCX text extraction (core/docx.py over core/zipread.py) -----------
+#
+# The crawl's most common non-PDF document payload. fam = doc_id % 5
+# exercises: plain paragraphs / entities+tab+split-runs / tracked
+# changes (accepted view: w:ins flows, w:del dropped) / a table whose
+# cell paragraphs flow in document order / not-a-docx (zip without the
+# word part routes is_docx=0 + NULLs). Text is CERTIFIED byte-for-byte
+# by the oracle reconstructing the same string with chr(9)/chr(10).
+
+_DOCX_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("is_docx", IntegerType()),
+        StructField("text", StringType()),
+        StructField("n_paragraphs", LongType()),
+        StructField("n_tables", LongType()),
+        StructField("title", StringType()),
+    ]
+)
+
+_DOCX_NS = (
+    'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+)
+
+
+def _qx43_make_docx(doc_id: int) -> bytes:
+    import io
+    import zipfile
+
+    i = int(doc_id)
+    fam = i % 5
+    buf = io.BytesIO()
+    if fam == 4:  # a zip, but not a DOCX
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("a.txt", b"plain zip payload")
+        return buf.getvalue()
+    if fam == 0:
+        body = (
+            f"<w:p><w:r><w:t>Alpha {i} report</w:t></w:r></w:p>"
+            f"<w:p><w:r><w:t>Body line {i % 7}</w:t></w:r></w:p>"
+        )
+    elif fam == 1:
+        body = (
+            '<w:p><w:r><w:t xml:space="preserve">A&amp;B&lt;C</w:t>'
+            "<w:tab/><w:t>D</w:t></w:r></w:p>"
+            f"<w:p><w:r><w:t>Hel</w:t></w:r><w:r><w:t>lo {i}</w:t></w:r></w:p>"
+        )
+    elif fam == 2:
+        body = (
+            f"<w:p><w:ins><w:r><w:t>kept {i}</w:t></w:r></w:ins>"
+            "<w:del><w:r><w:delText>gone</w:delText></w:r></w:del></w:p>"
+        )
+    else:  # fam == 3: heading + 1 table with 2 cells
+        body = (
+            f"<w:p><w:r><w:t>Heading {i % 9}</w:t></w:r></w:p>"
+            "<w:tbl><w:tblPr/><w:tr>"
+            f"<w:tc><w:p><w:r><w:t>Cell A{i}</w:t></w:r></w:p></w:tc>"
+            "<w:tc><w:p><w:r><w:t>Cell B</w:t></w:r></w:p></w:tc>"
+            "</w:tr></w:tbl>"
+        )
+    doc = (
+        f'<?xml version="1.0"?><w:document {_DOCX_NS}>'
+        f"<w:body>{body}</w:body></w:document>"
+    )
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxml'
+            'formats.org/package/2006/content-types"/>',
+        )
+        z.writestr("word/document.xml", doc)
+        z.writestr(
+            "docProps/core.xml",
+            '<?xml version="1.0"?><cp:coreProperties '
+            'xmlns:cp="http://schemas.openxmlformats.org/package/2006/'
+            'metadata/core-properties" '
+            'xmlns:dc="http://purl.org/dc/elements/1.1/">'
+            f"<dc:title>Doc &amp; {i}</dc:title></cp:coreProperties>",
+        )
+    return buf.getvalue()
+
+
+def _qx43(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.docx import docx_text
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [docx_text(_qx43_make_docx(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "is_docx": [m["is_docx"] for m in metas],
+                    "text": [m["text"] for m in metas],
+                    "n_paragraphs": pd.array(
+                        [m["n_paragraphs"] for m in metas], dtype="Int64"
+                    ),
+                    "n_tables": pd.array(
+                        [m["n_tables"] for m in metas], dtype="Int64"
+                    ),
+                    "title": [m["title"] for m in metas],
+                }
+            )
+
+    return docs.mapInPandas(run, _DOCX_SCHEMA)
+
+
+QUERIES["qx43_docx_text"] = _qx43
+ORACLE["qx43_docx_text"] = """
+WITH v AS (SELECT doc_id, doc_id % 5 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 4 THEN 0 ELSE 1 END AS INTEGER) AS is_docx,
+       CASE fam
+            WHEN 0 THEN 'Alpha ' || doc_id || ' report' || chr(10)
+                        || 'Body line ' || (doc_id % 7)
+            WHEN 1 THEN 'A&B<C' || chr(9) || 'D' || chr(10)
+                        || 'Hello ' || doc_id
+            WHEN 2 THEN 'kept ' || doc_id
+            WHEN 3 THEN 'Heading ' || (doc_id % 9) || chr(10)
+                        || 'Cell A' || doc_id || chr(10) || 'Cell B'
+       END AS text,
+       CAST(CASE WHEN fam = 4 THEN NULL
+                 WHEN fam = 2 THEN 1
+                 WHEN fam = 3 THEN 3 ELSE 2 END AS BIGINT) AS n_paragraphs,
+       CAST(CASE WHEN fam = 4 THEN NULL
+                 WHEN fam = 3 THEN 1 ELSE 0 END AS BIGINT) AS n_tables,
+       CASE WHEN fam = 4 THEN NULL
+            ELSE 'Doc & ' || doc_id END AS title
+FROM v
+"""
 ORACLE["qm37_zip_inventory"] = """
 WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
 SELECT doc_id,
