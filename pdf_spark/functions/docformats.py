@@ -229,6 +229,126 @@ def _qx43(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["qx43_docx_text"] = _qx43
+
+# -- qx44: EPUB spine-ordered text extraction (core/epub.py) -------------------
+#
+# Books are the long-document tier of a training corpus and EPUB is the
+# packaged form crawls serve. The extraction contract is READING ORDER
+# BY SPINE, not zip order — fam 1 stores chapters forward but spines
+# them reversed, so an extractor that walks the zip gets the bytes
+# backwards and fails the certifying oracle. fam = doc_id % 4: plain
+# 2-chapter / reversed spine / subdir href + dangling idref dropped /
+# not-an-epub.
+
+_EPUB_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("is_epub", IntegerType()),
+        StructField("title", StringType()),
+        StructField("language", StringType()),
+        StructField("n_chapters", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def _qx44_make_epub(doc_id: int) -> bytes:
+    import io
+    import zipfile
+
+    i = int(doc_id)
+    fam = i % 4
+    buf = io.BytesIO()
+    if fam == 3:
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("a.txt", b"zip, not an epub")
+        return buf.getvalue()
+    lang = ("en", "fr", "de")[i % 3]
+    ch1 = f"<html><body><p>Opening line {i}</p></body></html>"
+    ch2 = f"<html><body><p>Closing {i % 6}</p></body></html>"
+    if fam == 2:
+        items = (
+            '<item id="c1" href="text/ch1.xhtml" media-type="application/xhtml+xml"/>'
+            '<item id="gone" href="text/none.xhtml" media-type="application/xhtml+xml"/>'
+        )
+        spine = '<itemref idref="c1"/><itemref idref="gone"/>'
+        chapters = [("OEBPS/text/ch1.xhtml", f"<html><body><p>Deep {i}</p></body></html>")]
+    else:
+        items = (
+            '<item id="c1" href="ch1.xhtml" media-type="application/xhtml+xml"/>'
+            '<item id="c2" href="ch2.xhtml" media-type="application/xhtml+xml"/>'
+        )
+        order = ("c1", "c2") if fam == 0 else ("c2", "c1")
+        spine = "".join(f'<itemref idref="{r}"/>' for r in order)
+        chapters = [("OEBPS/ch1.xhtml", ch1), ("OEBPS/ch2.xhtml", ch2)]
+    opf = (
+        '<?xml version="1.0"?><package xmlns="http://www.idpf.org/2007/opf" '
+        'xmlns:dc="http://purl.org/dc/elements/1.1/" version="3.0">'
+        f"<metadata><dc:title>Book {i}</dc:title>"
+        f"<dc:language>{lang}</dc:language></metadata>"
+        f"<manifest>{items}</manifest><spine>{spine}</spine></package>"
+    )
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("mimetype", "application/epub+zip")
+        z.writestr(
+            "META-INF/container.xml",
+            '<?xml version="1.0"?><container version="1.0" '
+            'xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+            '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+            'media-type="application/oebps-package+xml"/></rootfiles>'
+            "</container>",
+        )
+        z.writestr("OEBPS/content.opf", opf)
+        for name, html in chapters:
+            z.writestr(name, html)
+    return buf.getvalue()
+
+
+def _qx44(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.epub import epub_text
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [epub_text(_qx44_make_epub(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "is_epub": [m["is_epub"] for m in metas],
+                    "title": [m["title"] for m in metas],
+                    "language": [m["language"] for m in metas],
+                    "n_chapters": pd.array(
+                        [m["n_chapters"] for m in metas], dtype="Int64"
+                    ),
+                    "text": [m["text"] for m in metas],
+                }
+            )
+
+    return docs.mapInPandas(run, _EPUB_SCHEMA)
+
+
+QUERIES["qx44_epub_text"] = _qx44
+ORACLE["qx44_epub_text"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 3 THEN 0 ELSE 1 END AS INTEGER) AS is_epub,
+       CASE WHEN fam = 3 THEN NULL ELSE 'Book ' || doc_id END AS title,
+       CASE WHEN fam = 3 THEN NULL
+            ELSE CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'fr'
+                 ELSE 'de' END END AS language,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam = 2 THEN 1 ELSE 2 END AS BIGINT) AS n_chapters,
+       CASE fam
+            WHEN 0 THEN 'Opening line ' || doc_id || chr(10) || chr(10)
+                        || 'Closing ' || (doc_id % 6)
+            WHEN 1 THEN 'Closing ' || (doc_id % 6) || chr(10) || chr(10)
+                        || 'Opening line ' || doc_id
+            WHEN 2 THEN 'Deep ' || doc_id
+       END AS text
+FROM v
+"""
 ORACLE["qx43_docx_text"] = """
 WITH v AS (SELECT doc_id, doc_id % 5 AS fam FROM documents)
 SELECT doc_id,
