@@ -330,6 +330,132 @@ def _qx44(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["qx44_epub_text"] = _qx44
+
+# -- qx45: EML/MIME email text extraction (core/eml.py) ------------------------
+#
+# Mailing-list archives are a standing corpus tier. fam = doc_id % 5:
+# plain CRLF / multipart-alternative preferring the quoted-printable
+# text-plain leaf over the html one / base64 body + RFC 2047 B-encoded
+# subject / html-only falling back to the stripped-HTML segmenter /
+# not-an-email. Non-ASCII survives both transfer decodes (é = chr(233)
+# in the oracle).
+
+_EML_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("is_email", IntegerType()),
+        StructField("subject", StringType()),
+        StructField("from_domain", StringType()),
+        StructField("n_parts", LongType()),
+        StructField("body_kind", StringType()),
+        StructField("body_text", StringType()),
+    ]
+)
+
+
+def _qx45_make_eml(doc_id: int) -> bytes:
+    import base64
+
+    from pdf_spark.core.imaging import encode_png
+
+    i = int(doc_id)
+    fam = i % 5
+    if fam == 4:
+        return encode_png(2, 2, 1, bytes((i + k) % 256 for k in range(4)))
+    if fam == 0:
+        return (
+            f"From: Ann <ann@news.example.org>\r\n"
+            f"Subject: Weekly update {i}\r\n"
+            f"Content-Type: text/plain; charset=utf-8\r\n"
+            f"\r\n"
+            f"Plain body {i}\r\nSecond {i % 4}\r\n"
+        ).encode()
+    if fam == 1:
+        return (
+            f"From: x@mail{i % 3}.example.com\n"
+            f"Subject: Deal {i}\n"
+            f'Content-Type: multipart/alternative; boundary="BB"\n'
+            f"\n--BB\n"
+            f"Content-Type: text/html\n\n<p>Html ver {i}</p>\n"
+            f"--BB\n"
+            f"Content-Type: text/plain\n"
+            f"Content-Transfer-Encoding: quoted-printable\n\n"
+            f"Caf=C3=A9 deal {i}\n"
+            f"--BB--\n"
+        ).encode()
+    if fam == 2:
+        subj = base64.b64encode(f"Re: offre {i % 7}".encode()).decode()
+        body = base64.b64encode(f"Encoded note {i}".encode()).decode()
+        return (
+            f"From: bot@robo.example.net\n"
+            f"Subject: =?utf-8?B?{subj}?=\n"
+            f"Content-Type: text/plain; charset=utf-8\n"
+            f"Content-Transfer-Encoding: base64\n\n{body}\n"
+        ).encode()
+    return (  # fam == 3
+        f"From: h@mail{i % 3}.example.com\n"
+        f"Subject: Newsletter {i}\n"
+        f"Content-Type: text/html; charset=utf-8\n\n"
+        f"<html><body><p>Html only {i}</p></body></html>\n"
+    ).encode()
+
+
+def _qx45(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.eml import eml_text
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [eml_text(_qx45_make_eml(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "is_email": [m["is_email"] for m in metas],
+                    "subject": [m["subject"] for m in metas],
+                    "from_domain": [m["from_domain"] for m in metas],
+                    "n_parts": pd.array(
+                        [m["n_parts"] for m in metas], dtype="Int64"
+                    ),
+                    "body_kind": [m["body_kind"] for m in metas],
+                    "body_text": [m["body_text"] for m in metas],
+                }
+            )
+
+    return docs.mapInPandas(run, _EML_SCHEMA)
+
+
+QUERIES["qx45_eml_text"] = _qx45
+ORACLE["qx45_eml_text"] = """
+WITH v AS (SELECT doc_id, doc_id % 5 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 4 THEN 0 ELSE 1 END AS INTEGER) AS is_email,
+       CASE fam
+            WHEN 0 THEN 'Weekly update ' || doc_id
+            WHEN 1 THEN 'Deal ' || doc_id
+            WHEN 2 THEN 'Re: offre ' || (doc_id % 7)
+            WHEN 3 THEN 'Newsletter ' || doc_id
+       END AS subject,
+       CASE fam
+            WHEN 0 THEN 'news.example.org'
+            WHEN 1 THEN 'mail' || (doc_id % 3) || '.example.com'
+            WHEN 2 THEN 'robo.example.net'
+            WHEN 3 THEN 'mail' || (doc_id % 3) || '.example.com'
+       END AS from_domain,
+       CAST(CASE WHEN fam = 4 THEN NULL
+                 WHEN fam = 1 THEN 2 ELSE 1 END AS BIGINT) AS n_parts,
+       CASE WHEN fam = 4 THEN NULL
+            WHEN fam = 3 THEN 'html' ELSE 'plain' END AS body_kind,
+       CASE fam
+            WHEN 0 THEN 'Plain body ' || doc_id || chr(10)
+                        || 'Second ' || (doc_id % 4)
+            WHEN 1 THEN 'Caf' || chr(233) || ' deal ' || doc_id
+            WHEN 2 THEN 'Encoded note ' || doc_id
+            WHEN 3 THEN 'Html only ' || doc_id
+       END AS body_text
+FROM v
+"""
 ORACLE["qx44_epub_text"] = """
 WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
 SELECT doc_id,
