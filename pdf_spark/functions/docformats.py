@@ -427,6 +427,83 @@ def _qx45(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["qx45_eml_text"] = _qx45
+
+# -- qx46: RTF text extraction (core/rtf.py) -----------------------------------
+#
+# The legacy word-processor tier. fam = doc_id % 4: plain paragraphs /
+# full escape set (\\'hh windows-1252, \\uN with uc1 fallback skip,
+# \\tab) / destination groups (fonttbl, stylesheet, starred generator,
+# info) skipped with nesting while visible text survives / not-RTF.
+
+_RTF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("is_rtf", IntegerType()),
+        StructField("text", StringType()),
+        StructField("n_pars", LongType()),
+    ]
+)
+
+
+def _qx46_make_rtf(doc_id: int) -> bytes:
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 3:
+        return f"plain text payload {i}, no rtf magic".encode()
+    if fam == 0:
+        body = f"First line {i}.\\par Second {i % 5}."
+    elif fam == 1:
+        body = f"Caf\\'e9 n{i}\\tab X\\u8364?Y\\par"
+    else:  # fam == 2
+        body = (
+            "{\\fonttbl{\\f0 Times;}{\\f1 Arial;}}"
+            "{\\stylesheet{\\s1 H;}}"
+            "{\\*\\generator Acme 9;}"
+            "{\\info{\\title secret}}"
+            f"Visible {i}\\par\\par"
+        )
+    return ("{\\rtf1\\ansi " + body + "}").encode()
+
+
+def _qx46(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.rtf import rtf_text
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [rtf_text(_qx46_make_rtf(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "is_rtf": [m["is_rtf"] for m in metas],
+                    "text": [m["text"] for m in metas],
+                    "n_pars": pd.array(
+                        [m["n_pars"] for m in metas], dtype="Int64"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _RTF_SCHEMA)
+
+
+QUERIES["qx46_rtf_text"] = _qx46
+ORACLE["qx46_rtf_text"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 3 THEN 0 ELSE 1 END AS INTEGER) AS is_rtf,
+       CASE fam
+            WHEN 0 THEN 'First line ' || doc_id || '.' || chr(10)
+                        || 'Second ' || (doc_id % 5) || '.'
+            WHEN 1 THEN 'Caf' || chr(233) || ' n' || doc_id || chr(9)
+                        || 'X' || chr(8364) || 'Y'
+            WHEN 2 THEN 'Visible ' || doc_id
+       END AS text,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam = 2 THEN 2 ELSE 1 END AS BIGINT) AS n_pars
+FROM v
+"""
 ORACLE["qx45_eml_text"] = """
 WITH v AS (SELECT doc_id, doc_id % 5 AS fam FROM documents)
 SELECT doc_id,
