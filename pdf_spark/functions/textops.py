@@ -3326,3 +3326,70 @@ _pair(
     .replace("{LEN}", "len")
     .replace("{FILT}", "list_filter"),
 )
+
+
+# --- qt68: domain-level boilerplate line removal (cross-doc, CCNet-style) -----
+#
+# Per-document repetition rules (qt23) can't catch the nav/footer lines
+# a TEMPLATE stamps on every page of a host — the signal is CROSS-doc:
+# a line is boilerplate for a domain when it appears in >= 30% of that
+# domain's documents (and at least 2 of them, so tiny hosts can't
+# self-boiler). The documents table is a single-line word soup, so each
+# page's "rendered lines" are derived deterministically: a header line
+# and (for 2/3 of docs) a copyright line that repeat host-wide (dropped),
+# the body text (kept), and a 'special offer K' line shared by ~1/5 of a
+# host's docs — present in >=2 docs but UNDER the 30% ratio, pinning the
+# threshold from below. Cleaned text is md5-CERTIFIED from the kept
+# lines in line order (the qt54/qt66 move), so both engines provably
+# reassemble byte-identical pages. 100 TB dataflow: one groupBy on
+# (host, line-hash) — evenly distributed, hash keys don't skew — a
+# shuffle join back, and a broadcast of the O(hosts) doc-count table;
+# no windows, no collects.
+
+_QT68_LINES = """
+  SELECT doc_id, source, 0 AS pos,
+         'HEAD|' || source || '|promo' AS line FROM documents
+  UNION ALL
+  SELECT doc_id, source, 1, text FROM documents
+  UNION ALL
+  SELECT doc_id, source, 2, 'special offer ' || (doc_id % 50)
+  FROM documents
+  UNION ALL
+  SELECT doc_id, source, 3, '(c) ' || source || ' all rights reserved'
+  FROM documents WHERE doc_id % 3 > 0
+"""
+
+_QT68_BODY = """
+WITH lines AS ({LINES}),
+nsrc AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs
+         FROM documents GROUP BY source),
+freq AS (SELECT source, line, COUNT(DISTINCT doc_id) AS c
+         FROM lines GROUP BY source, line),
+judged AS (
+  SELECT l.doc_id, l.pos, l.line,
+         (f.c >= 2 AND f.c * 10 >= 3 * n.n_docs) AS boiler
+  FROM lines l
+  JOIN freq f ON l.source = f.source AND l.line = f.line
+  JOIN nsrc n ON l.source = n.source)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN boiler THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       {CLEAN_MD5} AS clean_md5
+FROM judged
+GROUP BY doc_id
+"""
+
+_pair(
+    "qt68_domain_boilerplate",
+    _QT68_BODY.replace("{LINES}", _QT68_LINES).replace(
+        "{CLEAN_MD5}",
+        "md5(array_join(transform(array_sort(collect_list("
+        "CASE WHEN NOT boiler THEN named_struct('pos', pos, 'line', line)"
+        " END)), s -> s.line), chr(10)))",
+    ),
+    _QT68_BODY.replace("{LINES}", _QT68_LINES).replace(
+        "{CLEAN_MD5}",
+        "md5(coalesce(string_agg(CASE WHEN NOT boiler THEN line END,"
+        " chr(10) ORDER BY pos), ''))",
+    ),
+)
