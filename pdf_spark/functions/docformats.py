@@ -489,6 +489,184 @@ def _qx46(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["qx46_rtf_text"] = _qx46
+
+# -- qm38: web-font metadata mining (core/sfnt.py::font_meta) ------------------
+#
+# Fonts are a crawled asset class of their own (license audit, family
+# dedup, subsetting); the routing tier reads name/head/maxp only. The
+# honest writers below build REAL sfnt containers (offset table +
+# directory + padded tables; name strings in both Windows-Unicode
+# UTF-16BE and Mac-Roman forms) and REAL WOFF1 wrappers (44-byte
+# header, per-table zlib when it shrinks); the reader walks them
+# independently. fam = doc_id % 4: raw TTF / OTTO (CFF flavor) /
+# WOFF1-wrapped TTF / not-a-font.
+
+_FONT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("is_font", IntegerType()),
+        StructField("is_woff", IntegerType()),
+        StructField("is_cff", IntegerType()),
+        StructField("family", StringType()),
+        StructField("subfamily", StringType()),
+        StructField("n_glyphs", LongType()),
+        StructField("units_per_em", LongType()),
+    ]
+)
+
+
+def _build_name_table(records) -> bytes:
+    import struct
+
+    ents, strings = [], b""
+    for plat, enc, lang, nid, text in records:
+        raw = (
+            text.encode("utf-16-be")
+            if plat in (0, 3)
+            else text.encode("latin-1")
+        )
+        ents.append((plat, enc, lang, nid, len(raw), len(strings)))
+        strings += raw
+    table = struct.pack(">HHH", 0, len(ents), 6 + 12 * len(ents))
+    for e in ents:
+        table += struct.pack(">6H", *e)
+    return table + strings
+
+
+def _font_tables(family: str, sub: str, n_glyphs: int, upem: int):
+    import struct
+
+    head = b"\x00" * 18 + struct.pack(">H", upem) + b"\x00" * 34
+    maxp = struct.pack(">IH", 0x00010000, n_glyphs) + b"\x00" * 26
+    name = _build_name_table(
+        [(3, 1, 0x409, 1, family), (3, 1, 0x409, 2, sub), (1, 0, 0, 1, family)]
+    )
+    return [(b"head", head), (b"maxp", maxp), (b"name", name)]
+
+
+def _build_sfnt(flavor: bytes, tables) -> bytes:
+    import struct
+
+    n = len(tables)
+    dirs, body = b"", b""
+    base = 12 + 16 * n
+    for tag, t in tables:
+        dirs += tag + struct.pack(">III", 0, base + len(body), len(t))
+        body += t + b"\x00" * ((-len(t)) % 4)
+    return flavor + struct.pack(">HHHH", n, 16, 4, 0) + dirs + body
+
+
+def _build_woff(flavor: bytes, tables) -> bytes:
+    import struct
+    import zlib
+
+    n = len(tables)
+    ents, body = [], b""
+    base = 44 + 20 * n
+    for tag, t in tables:
+        comp = zlib.compress(t, 6)
+        use = comp if len(comp) < len(t) else t
+        ents.append((tag, base + len(body), len(use), len(t)))
+        body += use + b"\x00" * ((-len(use)) % 4)
+    total = base + len(body)
+    hdr = (
+        b"wOFF"
+        + flavor
+        + struct.pack(">IHH", total, n, 0)
+        + struct.pack(">IHH", total, 1, 0)
+        + struct.pack(">IIIII", 0, 0, 0, 0, 0)
+    )
+    dirs = b"".join(
+        tag + struct.pack(">IIII", off, clen, olen, 0)
+        for tag, off, clen, olen in ents
+    )
+    return hdr + dirs + body
+
+
+def _qm38_make_font(doc_id: int) -> bytes:
+    from pdf_spark.core.imaging import encode_png
+
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 3:
+        return encode_png(2, 2, 1, bytes((i + k) % 256 for k in range(4)))
+    if fam == 0:
+        tables = _font_tables(
+            f"WebFont {i % 40}",
+            "Italic" if i % 2 else "Regular",
+            100 + i % 50,
+            2048 if i % 2 else 1000,
+        )
+        return _build_sfnt(b"\x00\x01\x00\x00", tables)
+    if fam == 1:
+        tables = _font_tables(f"Serif {i % 9}", "Bold", 300 + i % 20, 1000)
+        return _build_sfnt(b"OTTO", tables)
+    tables = _font_tables(f"Packed {i % 7}", "Regular", 50 + i % 30, 2048)
+    return _build_woff(b"\x00\x01\x00\x00", tables)
+
+
+def _qm38(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.sfnt import font_meta
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [font_meta(_qm38_make_font(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "is_font": [m["is_font"] for m in metas],
+                    "is_woff": pd.array(
+                        [m["is_woff"] for m in metas], dtype="Int32"
+                    ),
+                    "is_cff": pd.array(
+                        [m["is_cff"] for m in metas], dtype="Int32"
+                    ),
+                    "family": [m["family"] for m in metas],
+                    "subfamily": [m["subfamily"] for m in metas],
+                    "n_glyphs": pd.array(
+                        [m["n_glyphs"] for m in metas], dtype="Int64"
+                    ),
+                    "units_per_em": pd.array(
+                        [m["units_per_em"] for m in metas], dtype="Int64"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _FONT_SCHEMA)
+
+
+QUERIES["qm38_font_meta"] = _qm38
+ORACLE["qm38_font_meta"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 3 THEN 0 ELSE 1 END AS INTEGER) AS is_font,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam = 2 THEN 1 ELSE 0 END AS INTEGER) AS is_woff,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_cff,
+       CASE fam
+            WHEN 0 THEN 'WebFont ' || (doc_id % 40)
+            WHEN 1 THEN 'Serif ' || (doc_id % 9)
+            WHEN 2 THEN 'Packed ' || (doc_id % 7)
+       END AS family,
+       CASE fam
+            WHEN 0 THEN CASE WHEN doc_id % 2 = 1 THEN 'Italic'
+                             ELSE 'Regular' END
+            WHEN 1 THEN 'Bold'
+            WHEN 2 THEN 'Regular'
+       END AS subfamily,
+       CAST(CASE fam WHEN 0 THEN 100 + doc_id % 50
+                     WHEN 1 THEN 300 + doc_id % 20
+                     WHEN 2 THEN 50 + doc_id % 30 END AS BIGINT) AS n_glyphs,
+       CAST(CASE fam WHEN 0 THEN CASE WHEN doc_id % 2 = 1 THEN 2048
+                                      ELSE 1000 END
+                     WHEN 1 THEN 1000
+                     WHEN 2 THEN 2048 END AS BIGINT) AS units_per_em
+FROM v
+"""
 ORACLE["qx46_rtf_text"] = """
 WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
 SELECT doc_id,
