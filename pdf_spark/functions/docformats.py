@@ -639,6 +639,122 @@ def _qm38(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["qm38_font_meta"] = _qm38
+
+# -- qx47: ODT (OpenDocument) text extraction (core/odt.py) --------------------
+#
+# The LibreOffice half of the word-processor tier: bare character data
+# inside text:p/text:h scopes (vs DOCX's w:t runs), span transparency,
+# run-length <text:s> whitespace, annotation (margin-comment) drop.
+# fam = doc_id % 4: span paragraphs / tab+break+spaces / heading +
+# annotation decoy / not-an-odt.
+
+_ODT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("is_odt", IntegerType()),
+        StructField("text", StringType()),
+        StructField("n_paragraphs", LongType()),
+        StructField("n_headings", LongType()),
+        StructField("title", StringType()),
+    ]
+)
+
+_ODT_PRE = (
+    '<?xml version="1.0"?><office:document-content '
+    'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+    'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+    "<office:body><office:text>"
+)
+_ODT_POST = "</office:text></office:body></office:document-content>"
+
+
+def _qx47_make_odt(doc_id: int) -> bytes:
+    import io
+    import zipfile
+
+    i = int(doc_id)
+    fam = i % 4
+    buf = io.BytesIO()
+    if fam == 3:
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("other.xml", b"<x/>")
+        return buf.getvalue()
+    if fam == 0:
+        body = (
+            f"<text:p>Intro <text:span>{i}</text:span> end</text:p>"
+            f"<text:p>Next {i % 6}</text:p>"
+        )
+    elif fam == 1:
+        body = (
+            f"<text:p>A{i}<text:tab/>B<text:line-break/>"
+            f'C<text:s text:c="2"/>D</text:p>'
+        )
+    else:  # fam == 2
+        body = (
+            f'<text:h text:outline-level="1">Head {i % 9}</text:h>'
+            f"<text:p>Body<office:annotation><text:p>margin note</text:p>"
+            f"</office:annotation> {i}</text:p>"
+        )
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        z.writestr("content.xml", _ODT_PRE + body + _ODT_POST)
+        z.writestr(
+            "meta.xml",
+            '<?xml version="1.0"?><office:document-meta '
+            'xmlns:dc="http://purl.org/dc/elements/1.1/">'
+            f"<office:meta><dc:title>ODoc {i}</dc:title></office:meta>"
+            "</office:document-meta>",
+        )
+    return buf.getvalue()
+
+
+def _qx47(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.odt import odt_text
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [odt_text(_qx47_make_odt(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "is_odt": [m["is_odt"] for m in metas],
+                    "text": [m["text"] for m in metas],
+                    "n_paragraphs": pd.array(
+                        [m["n_paragraphs"] for m in metas], dtype="Int64"
+                    ),
+                    "n_headings": pd.array(
+                        [m["n_headings"] for m in metas], dtype="Int64"
+                    ),
+                    "title": [m["title"] for m in metas],
+                }
+            )
+
+    return docs.mapInPandas(run, _ODT_SCHEMA)
+
+
+QUERIES["qx47_odt_text"] = _qx47
+ORACLE["qx47_odt_text"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 3 THEN 0 ELSE 1 END AS INTEGER) AS is_odt,
+       CASE fam
+            WHEN 0 THEN 'Intro ' || doc_id || ' end' || chr(10)
+                        || 'Next ' || (doc_id % 6)
+            WHEN 1 THEN 'A' || doc_id || chr(9) || 'B' || chr(10)
+                        || 'C  D'
+            WHEN 2 THEN 'Head ' || (doc_id % 9) || chr(10)
+                        || 'Body ' || doc_id
+       END AS text,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam = 1 THEN 1 ELSE 2 END AS BIGINT) AS n_paragraphs,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_headings,
+       CASE WHEN fam = 3 THEN NULL ELSE 'ODoc ' || doc_id END AS title
+FROM v
+"""
 ORACLE["qm38_font_meta"] = """
 WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
 SELECT doc_id,
