@@ -736,6 +736,106 @@ def _qx47(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["qx47_odt_text"] = _qx47
+
+# -- qx48: Markdown source strip + structure (core/mdsrc.py) -------------------
+#
+# Raw .md payloads (READMEs, docs repos). The inverse of qx24/qx28:
+# markup OFF, prose kept, structure counted — code fences EXCLUDED
+# from prose (code is its own corpus tier). fam = doc_id % 4: ATX
+# headings / fenced code with info string / links+images+emphasis /
+# setext heading + list + blockquote.
+
+_MD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("title", StringType()),
+        StructField("n_headings", LongType()),
+        StructField("n_code_blocks", LongType()),
+        StructField("code_lang", StringType()),
+        StructField("n_links", LongType()),
+        StructField("n_images", LongType()),
+        StructField("prose", StringType()),
+    ]
+)
+
+
+def _qx48_make_md(doc_id: int) -> str:
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 0:
+        return (
+            f"# Guide {i}\n\nIntro para {i}.\n\n## Usage\n\n"
+            f"Call it {i % 5} times."
+        )
+    if fam == 1:
+        return f"Setup {i}\n\n```python\nx = {i}\n```\n\nDone."
+    if fam == 2:
+        return (
+            f"See [docs {i}](http://e.x/) and ![pic {i % 3}](p.png) "
+            f"**bold** now."
+        )
+    return f"Head {i % 7}\n===\n\n- item {i}\n> quote {i % 4}"
+
+
+def _qx48(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.mdsrc import md_structure
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [md_structure(_qx48_make_md(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "title": [m["title"] for m in metas],
+                    "n_headings": pd.array(
+                        [m["n_headings"] for m in metas], dtype="Int64"
+                    ),
+                    "n_code_blocks": pd.array(
+                        [m["n_code_blocks"] for m in metas], dtype="Int64"
+                    ),
+                    "code_lang": [m["code_lang"] for m in metas],
+                    "n_links": pd.array(
+                        [m["n_links"] for m in metas], dtype="Int64"
+                    ),
+                    "n_images": pd.array(
+                        [m["n_images"] for m in metas], dtype="Int64"
+                    ),
+                    "prose": [m["prose"] for m in metas],
+                }
+            )
+
+    return docs.mapInPandas(run, _MD_SCHEMA)
+
+
+QUERIES["qx48_markdown_source"] = _qx48
+ORACLE["qx48_markdown_source"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CASE fam
+            WHEN 0 THEN 'Guide ' || doc_id
+            WHEN 3 THEN 'Head ' || (doc_id % 7)
+       END AS title,
+       CAST(CASE fam WHEN 0 THEN 2 WHEN 3 THEN 1
+                     ELSE 0 END AS BIGINT) AS n_headings,
+       CAST(CASE WHEN fam = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_code_blocks,
+       CASE WHEN fam = 1 THEN 'python' END AS code_lang,
+       CAST(CASE WHEN fam = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_links,
+       CAST(CASE WHEN fam = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_images,
+       CASE fam
+            WHEN 0 THEN 'Guide ' || doc_id || chr(10) || 'Intro para '
+                        || doc_id || '.' || chr(10) || 'Usage' || chr(10)
+                        || 'Call it ' || (doc_id % 5) || ' times.'
+            WHEN 1 THEN 'Setup ' || doc_id || chr(10) || 'Done.'
+            WHEN 2 THEN 'See docs ' || doc_id || ' and pic '
+                        || (doc_id % 3) || ' bold now.'
+            WHEN 3 THEN 'Head ' || (doc_id % 7) || chr(10) || 'item '
+                        || doc_id || chr(10) || 'quote ' || (doc_id % 4)
+       END AS prose
+FROM v
+"""
 ORACLE["qx47_odt_text"] = """
 WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
 SELECT doc_id,
