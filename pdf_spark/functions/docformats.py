@@ -811,6 +811,112 @@ def _qx48(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["qx48_markdown_source"] = _qx48
+
+# -- qx49: LaTeX source extraction (core/latex.py) -----------------------------
+#
+# The arXiv tier: detex-grade prose + the structure counts academic-
+# text quality classifiers use (section/math/citation density).
+# fam = doc_id % 4: full document with preamble slice + title / math-
+# heavy (inline + env + display all counted, none leaking into prose)
+# / citation + bold unwrap / figure-drop + itemize content kept.
+
+_TEX_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("title", StringType()),
+        StructField("n_sections", LongType()),
+        StructField("n_equations", LongType()),
+        StructField("n_inline_math", LongType()),
+        StructField("n_citations", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def _qx49_make_tex(doc_id: int) -> str:
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 0:
+        return (
+            "\\documentclass{article}\n\\usepackage{amsmath}\n"
+            f"\\title{{Paper {i}}}\n"
+            "\\begin{document}\n"
+            f"Results {i} are shown. % trailing comment\n"
+            f"\\section{{Intro}}\nWe present {i % 5} methods.\n"
+            "\\end{document}\n"
+        )
+    if fam == 1:
+        return (
+            f"Alpha {i} holds $x$ always.\n"
+            f"\\begin{{equation}}E={i}\\end{{equation}}\n"
+            f"Beta {i % 3} ends. $$D={i}$$\n"
+        )
+    if fam == 2:
+        return (
+            f"Work \\cite{{ref{i}}} shows \\textbf{{gain {i % 7}}} here "
+            f"per \\citep[p.~2]{{other}} too.\n"
+        )
+    return (
+        "\\begin{figure}\\caption{secret}\\end{figure}\n"
+        f"Start {i}.\n"
+        f"\\begin{{itemize}}\\item Point {i % 4}\\end{{itemize}}\n"
+    )
+
+
+def _qx49(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.latex import latex_text
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [latex_text(_qx49_make_tex(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "title": [m["title"] for m in metas],
+                    "n_sections": pd.array(
+                        [m["n_sections"] for m in metas], dtype="Int64"
+                    ),
+                    "n_equations": pd.array(
+                        [m["n_equations"] for m in metas], dtype="Int64"
+                    ),
+                    "n_inline_math": pd.array(
+                        [m["n_inline_math"] for m in metas], dtype="Int64"
+                    ),
+                    "n_citations": pd.array(
+                        [m["n_citations"] for m in metas], dtype="Int64"
+                    ),
+                    "text": [m["text"] for m in metas],
+                }
+            )
+
+    return docs.mapInPandas(run, _TEX_SCHEMA)
+
+
+QUERIES["qx49_latex_source"] = _qx49
+ORACLE["qx49_latex_source"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CASE WHEN fam = 0 THEN 'Paper ' || doc_id END AS title,
+       CAST(CASE WHEN fam = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_sections,
+       CAST(CASE WHEN fam = 1 THEN 2 ELSE 0 END AS BIGINT) AS n_equations,
+       CAST(CASE WHEN fam = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_inline_math,
+       CAST(CASE WHEN fam = 2 THEN 2 ELSE 0 END AS BIGINT) AS n_citations,
+       CASE fam
+            WHEN 0 THEN 'Results ' || doc_id || ' are shown.' || chr(10)
+                        || 'Intro' || chr(10) || 'We present '
+                        || (doc_id % 5) || ' methods.'
+            WHEN 1 THEN 'Alpha ' || doc_id || ' holds always.' || chr(10)
+                        || 'Beta ' || (doc_id % 3) || ' ends.'
+            WHEN 2 THEN 'Work shows gain ' || (doc_id % 7)
+                        || ' here per too.'
+            WHEN 3 THEN 'Start ' || doc_id || '.' || chr(10)
+                        || 'Point ' || (doc_id % 4)
+       END AS text
+FROM v
+"""
 ORACLE["qx48_markdown_source"] = """
 WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
 SELECT doc_id,
