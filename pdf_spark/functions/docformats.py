@@ -896,6 +896,111 @@ def _qx49(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["qx49_latex_source"] = _qx49
+
+# -- qm39: TAR archive inventory (core/tarread.py) -----------------------------
+#
+# Source dumps and data releases ship as .tar/.tar.gz; the routing
+# audit mirrors qm37: member/dir counts + claimed sizes at header cost.
+# fam = doc_id % 4: plain tar / tar.gz transport / single big member /
+# not-a-tar.
+
+_TAR_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("is_tar", IntegerType()),
+        StructField("is_gzipped", IntegerType()),
+        StructField("n_files", LongType()),
+        StructField("n_dirs", LongType()),
+        StructField("total_size", LongType()),
+    ]
+)
+
+
+def _qm39_make_tar(doc_id: int) -> bytes:
+    import gzip
+    import io
+    import tarfile
+
+    from pdf_spark.core.imaging import encode_png
+
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 3:
+        return encode_png(2, 2, 1, bytes((i + k) % 256 for k in range(4)))
+
+    def build(members, dirs=()):
+        buf = io.BytesIO()
+        with tarfile.open(
+            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+        ) as t:
+            for d in dirs:
+                info = tarfile.TarInfo(d)
+                info.type = tarfile.DIRTYPE
+                t.addfile(info)
+            for name, payload in members:
+                info = tarfile.TarInfo(name)
+                info.size = len(payload)
+                t.addfile(info, io.BytesIO(payload))
+        return buf.getvalue()
+
+    if fam == 0:
+        return build(
+            [("a.txt", b"x" * (100 + i % 40)), ("d/b.bin", b"y" * 200)],
+            dirs=["d"],
+        )
+    if fam == 1:
+        return gzip.compress(build([("p.txt", b"z" * (50 + i % 9))]), 6)
+    return build([("big.dat", b"\x07" * (5000 + i % 100))])
+
+
+def _qm39(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.tarread import tar_inventory
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            invs = [tar_inventory(_qm39_make_tar(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "is_tar": [v["is_tar"] for v in invs],
+                    "is_gzipped": pd.array(
+                        [v["is_gzipped"] for v in invs], dtype="Int32"
+                    ),
+                    "n_files": pd.array(
+                        [v["n_files"] for v in invs], dtype="Int64"
+                    ),
+                    "n_dirs": pd.array(
+                        [v["n_dirs"] for v in invs], dtype="Int64"
+                    ),
+                    "total_size": pd.array(
+                        [v["total_size"] for v in invs], dtype="Int64"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _TAR_SCHEMA)
+
+
+QUERIES["qm39_tar_inventory"] = _qm39
+ORACLE["qm39_tar_inventory"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 3 THEN 0 ELSE 1 END AS INTEGER) AS is_tar,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_gzipped,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_files,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_dirs,
+       CAST(CASE fam WHEN 0 THEN 300 + doc_id % 40
+                     WHEN 1 THEN 50 + doc_id % 9
+                     WHEN 2 THEN 5000 + doc_id % 100
+            END AS BIGINT) AS total_size
+FROM v
+"""
 ORACLE["qx49_latex_source"] = """
 WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
 SELECT doc_id,
