@@ -985,6 +985,99 @@ def _qm39(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["qm39_tar_inventory"] = _qm39
+
+# -- qx50: CSV/TSV dialect sniff + RFC 4180 parse (core/csvsniff.py) ----------
+#
+# Tabular text payloads. The sniff is PARSE-based (column consistency
+# through the quoted parser), so fam 2's quoted field carrying the
+# delimiter, a newline, and an escaped quote must not fool it. Parse
+# certified via md5 over the 0x1F/0x1E canonical cell matrix.
+# fam = doc_id % 4: comma+header / TSV numeric no-header / semicolon
+# quoted-field torture / prose (not tabular).
+
+_CSV_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("is_tabular", IntegerType()),
+        StructField("delimiter", StringType()),
+        StructField("n_rows", LongType()),
+        StructField("n_cols", LongType()),
+        StructField("has_header", IntegerType()),
+        StructField("cells_md5", StringType()),
+    ]
+)
+
+
+def _qx50_make_csv(doc_id: int) -> bytes:
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 0:
+        return (
+            f"name,score,city\nrow{i},{i % 10},town{i % 3}\nr2,{i % 7},t\n"
+        ).encode()
+    if fam == 1:
+        return f"{i}\t{i % 5}\n{i + 1}\t9\n".encode()
+    if fam == 2:
+        return (f'a;b\n"x;y {i}";"said ""hi""\nrow"\n').encode()
+    return f"just prose {i} here\nanother line\n".encode()
+
+
+def _qx50(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.csvsniff import sniff_table
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [sniff_table(_qx50_make_csv(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "is_tabular": [m["is_tabular"] for m in metas],
+                    "delimiter": [m["delimiter"] for m in metas],
+                    "n_rows": pd.array(
+                        [m["n_rows"] for m in metas], dtype="Int64"
+                    ),
+                    "n_cols": pd.array(
+                        [m["n_cols"] for m in metas], dtype="Int64"
+                    ),
+                    "has_header": pd.array(
+                        [m["has_header"] for m in metas], dtype="Int32"
+                    ),
+                    "cells_md5": [m["cells_md5"] for m in metas],
+                }
+            )
+
+    return docs.mapInPandas(run, _CSV_SCHEMA)
+
+
+QUERIES["qx50_csv_sniff"] = _qx50
+ORACLE["qx50_csv_sniff"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 3 THEN 0 ELSE 1 END AS INTEGER) AS is_tabular,
+       CASE fam WHEN 0 THEN ',' WHEN 1 THEN chr(9)
+                WHEN 2 THEN ';' END AS delimiter,
+       CAST(CASE WHEN fam = 3 THEN NULL ELSE 2 END AS BIGINT) AS n_rows,
+       CAST(CASE fam WHEN 0 THEN 3 WHEN 1 THEN 2
+                     WHEN 2 THEN 2 END AS BIGINT) AS n_cols,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam = 0 THEN 1 ELSE 0 END AS INTEGER) AS has_header,
+       CASE fam
+            WHEN 0 THEN md5('name' || chr(31) || 'score' || chr(31)
+                 || 'city' || chr(30) || 'row' || doc_id || chr(31)
+                 || (doc_id % 10) || chr(31) || 'town' || (doc_id % 3)
+                 || chr(30) || 'r2' || chr(31) || (doc_id % 7)
+                 || chr(31) || 't')
+            WHEN 1 THEN md5(doc_id || chr(31) || (doc_id % 5) || chr(30)
+                 || (doc_id + 1) || chr(31) || '9')
+            WHEN 2 THEN md5('a' || chr(31) || 'b' || chr(30)
+                 || 'x;y ' || doc_id || chr(31) || 'said "hi"'
+                 || chr(10) || 'row')
+       END AS cells_md5
+FROM v
+"""
 ORACLE["qm39_tar_inventory"] = """
 WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
 SELECT doc_id,
