@@ -455,3 +455,56 @@ QUERIES["qg08_kcore_peel"] = lambda spark, sf: (
     or spark.sql(_QG08_BODY.replace("{EDGE_SRC}", _EDGE_SRC_SPARK))
 )
 ORACLE["qg08_kcore_peel"] = _QG08_BODY.replace("{EDGE_SRC}", _EDGE_SRC_DUCK)
+
+
+# --- qg09: common-neighbor link prediction (the missing-edge miner) -------------
+#
+# Crawl-frontier prioritization and related-page suggestions both score
+# NON-edges by shared neighborhood: pairs (x, y) with no edge but many
+# common neighbors w (x->w, w->y) are the next links to fetch/suggest.
+# The dataflow is the qg03 wedge join — und-edge self-join on the
+# middle node w — NEVER an all-pairs product: candidate pairs exist
+# only where a wedge exists. x < y halves the symmetric space; existing
+# edges are removed with a LEFT-null anti-join; the shortlist is a
+# deterministic global top-20 (count desc, then pair) — TakeOrdered on
+# Spark, ORDER BY + LIMIT on DuckDB, identical ANSI text. 100 TB: the
+# wedge join shuffles on w; hub nodes make it quadratic-in-degree, the
+# standard mitigation (cap/sample neighbor lists per node before the
+# join) composes map-side, and the synthetic degree here is bounded by
+# construction (d <= 3).
+
+_QG09_BODY = """
+WITH deg AS (SELECT doc_id AS u, CAST(doc_id % 3 + 1 AS BIGINT) AS d
+             FROM documents),
+edges AS (
+  SELECT u, CAST((u * 7 + k) % (SELECT COUNT(*) FROM documents) AS BIGINT) AS v
+  FROM {EDGE_SRC}
+),
+und AS (
+  SELECT u, v FROM edges WHERE u <> v
+  UNION
+  SELECT v, u FROM edges WHERE u <> v
+),
+cand AS (
+  SELECT a.u AS x, b.v AS y, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM und a JOIN und b ON a.v = b.u AND a.u < b.v
+  GROUP BY a.u, b.v
+),
+nonedge AS (
+  SELECT c.x, c.y, c.n_common
+  FROM cand c LEFT JOIN und e ON c.x = e.u AND c.y = e.v
+  WHERE e.u IS NULL
+)
+SELECT x, y, n_common
+FROM nonedge
+ORDER BY n_common DESC, x, y
+LIMIT 20
+"""
+
+QUERIES["qg09_link_prediction"] = lambda spark, sf: (
+    register_views(spark, sf)
+    or spark.sql(_QG09_BODY.replace("{EDGE_SRC}", _EDGE_SRC_SPARK))
+)
+ORACLE["qg09_link_prediction"] = _QG09_BODY.replace(
+    "{EDGE_SRC}", _EDGE_SRC_DUCK
+)

@@ -1444,3 +1444,43 @@ def qr42(spark: SparkSession, sf: str) -> DataFrame:
     runs on DuckDB."""
     register_views(spark, sf)
     return spark.sql(_QR42_SQL)
+
+
+# -- qr43: frame-exact window coverage (FIRST/LAST/NTH_VALUE, DENSE_RANK) --------
+
+_QR43_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(DENSE_RANK() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS BIGINT) AS drank,
+       FIRST_VALUE(o_orderkey) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key,
+       LAST_VALUE(o_orderkey) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_key,
+       NTH_VALUE(o_orderkey, 2) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS second_key
+FROM orders
+"""
+
+
+@q("qr43_window_frames", _QR43_SQL)
+def qr43(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit-frame window coverage beyond qr29's RANGE frame: the
+    default frame differs BY SPEC between FIRST_VALUE (unbounded
+    preceding..current) and what users expect from LAST_VALUE (whose
+    default frame makes it the CURRENT row — the classic window bug),
+    so every frame here is spelled out: running first, forward-looking
+    last, and a whole-partition NTH_VALUE(2) that is NULL for 1-order
+    customers. All outputs are exact BIGINTs (no float window results —
+    PERCENT_RANK/CUME_DIST coverage lives in qt59's integer calibration
+    bins instead, the engine-exactness discipline). Ordering is total
+    ((date, orderkey) — orderkey unique) so both engines agree row-for-
+    row. 100 TB: one shuffle on o_custkey, per-partition sort, no
+    global window anywhere. (Window specs are inlined per call: Spark's
+    parser rejects extending a named WINDOW with a frame clause.)"""
+    register_views(spark, sf)
+    return spark.sql(_QR43_SQL)
