@@ -3896,3 +3896,52 @@ def svg_meta(blob: bytes) -> dict:
         n_data_uri=len(_SVG_DATAURI_RE.findall(body)),
     )
     return out
+
+
+# --- ICO/CUR favicon directory (ICONDIR) ------------------------------------------
+
+
+def ico_meta(data: bytes) -> dict:
+    """Favicon container audit at directory cost — favicons are fetched
+    once per HOST at crawl scale, and the largest-frame dims route which
+    entry a thumbnailer decodes. ICONDIR (public Windows format): u16le
+    reserved=0, u16le type (1=icon, 2=cursor), u16le count; 16-byte
+    entries where width/height bytes use the 0-means-256 rule; modern
+    favicons embed whole PNG frames, detected by magic at each entry's
+    payload offset (bomb-capped entry walk)."""
+    import struct as _struct
+
+    null = {
+        "is_ico": 0,
+        "is_cursor": None,
+        "n_images": None,
+        "max_width": None,
+        "max_height": None,
+        "has_png_frame": None,
+    }
+    if len(data) < 6:
+        return null
+    reserved, kind, count = _struct.unpack_from("<HHH", data, 0)
+    if reserved != 0 or kind not in (1, 2) or count == 0:
+        return null
+    n = min(count, 256)
+    if len(data) < 6 + 16 * n:
+        return null
+    max_w = max_h = 0
+    has_png = 0
+    for k in range(n):
+        off = 6 + 16 * k
+        w, h = data[off], data[off + 1]
+        w, h = w or 256, h or 256
+        max_w, max_h = max(max_w, w), max(max_h, h)
+        size, payload_off = _struct.unpack_from("<II", data, off + 8)
+        if data[payload_off : payload_off + 8] == b"\x89PNG\r\n\x1a\n":
+            has_png = 1
+    return {
+        "is_ico": 1,
+        "is_cursor": int(kind == 2),
+        "n_images": n,
+        "max_width": max_w,
+        "max_height": max_h,
+        "has_png_frame": has_png,
+    }

@@ -1053,6 +1053,222 @@ def _qx50(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["qx50_csv_sniff"] = _qx50
+
+# -- qm40: favicon (ICO) directory audit (core/imaging.py::ico_meta) ----------
+#
+# Favicons are fetched once per HOST; the directory audit (largest
+# frame, embedded-PNG detection, cursor-vs-icon) routes the thumbnail
+# decode. fam = doc_id % 4: multi-entry with 0-means-256 + PNG frame /
+# small BMP-frame icon / CUR cursor / not-an-ico.
+
+_ICO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("is_ico", IntegerType()),
+        StructField("is_cursor", IntegerType()),
+        StructField("n_images", LongType()),
+        StructField("max_width", LongType()),
+        StructField("max_height", LongType()),
+        StructField("has_png_frame", IntegerType()),
+    ]
+)
+
+
+def _qm40_make_ico(doc_id: int) -> bytes:
+    import struct
+
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 3:
+        return f"GIF87a-not-really {i}".encode()
+
+    def build(entries, kind=1):
+        hdr = struct.pack("<HHH", 0, kind, len(entries))
+        dirb, body = b"", b""
+        base = 6 + 16 * len(entries)
+        for w, h, payload in entries:
+            dirb += struct.pack(
+                "<BBBBHHII", w, h, 0, 0, 1, 32, len(payload), base + len(body)
+            )
+            body += payload
+        return hdr + dirb + body
+
+    if fam == 0:
+        png = b"\x89PNG\r\n\x1a\n" + bytes((i + k) % 256 for k in range(8))
+        return build([(16 + i % 16, 16, b"bmp" * 4), (0, 0, png)])
+    if fam == 1:
+        return build([(32, 16 + i % 32, bytes((i + k) % 256 for k in range(20)))])
+    return build([(48, 48, b"cur" * 5)], kind=2)
+
+
+def _qm40(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.imaging import ico_meta
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [ico_meta(_qm40_make_ico(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "is_ico": [m["is_ico"] for m in metas],
+                    "is_cursor": pd.array(
+                        [m["is_cursor"] for m in metas], dtype="Int32"
+                    ),
+                    "n_images": pd.array(
+                        [m["n_images"] for m in metas], dtype="Int64"
+                    ),
+                    "max_width": pd.array(
+                        [m["max_width"] for m in metas], dtype="Int64"
+                    ),
+                    "max_height": pd.array(
+                        [m["max_height"] for m in metas], dtype="Int64"
+                    ),
+                    "has_png_frame": pd.array(
+                        [m["has_png_frame"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _ICO_SCHEMA)
+
+
+QUERIES["qm40_favicon_meta"] = _qm40
+ORACLE["qm40_favicon_meta"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 3 THEN 0 ELSE 1 END AS INTEGER) AS is_ico,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam = 2 THEN 1 ELSE 0 END AS INTEGER) AS is_cursor,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_images,
+       CAST(CASE fam WHEN 0 THEN 256 WHEN 1 THEN 32
+                     WHEN 2 THEN 48 END AS BIGINT) AS max_width,
+       CAST(CASE fam WHEN 0 THEN 256 WHEN 1 THEN 16 + doc_id % 32
+                     WHEN 2 THEN 48 END AS BIGINT) AS max_height,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam = 0 THEN 1 ELSE 0 END AS INTEGER) AS has_png_frame
+FROM v
+"""
+
+# -- qx51: HTTP response-header policy audit (sources/warc.py) -----------------
+#
+# The header-level crawl-policy gate: X-Robots-Tag noindex (the channel
+# qx30's meta-tag gate cannot see), cache max-age, redirect target
+# host, language/charset, gzip, HSTS. fam = doc_id % 5: 200 full
+# headers / 301 redirect / noindex+gzip / bare 404 / not-HTTP.
+
+_HTTP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("is_http", IntegerType()),
+        StructField("status", LongType()),
+        StructField("mime", StringType()),
+        StructField("charset", StringType()),
+        StructField("lang", StringType()),
+        StructField("max_age", LongType()),
+        StructField("noindex", IntegerType()),
+        StructField("location_host", StringType()),
+        StructField("gzipped", IntegerType()),
+        StructField("hsts", IntegerType()),
+    ]
+)
+
+
+def _qx51_make_http(doc_id: int) -> bytes:
+    i = int(doc_id)
+    fam = i % 5
+    if fam == 4:
+        return bytes((i + k) % 256 for k in range(16))
+    if fam == 0:
+        lang = ("en", "fr", "de")[i % 3]
+        return (
+            f"HTTP/1.1 200 OK\r\n"
+            f"Content-Type: text/html; charset=UTF-8\r\n"
+            f"Cache-Control: public, max-age={300 + i % 60}\r\n"
+            f"Content-Language: {lang}, x-other\r\n"
+            f"Strict-Transport-Security: max-age=63072000\r\n\r\nbody"
+        ).encode()
+    if fam == 1:
+        return (
+            f"HTTP/1.1 301 Moved Permanently\r\n"
+            f"Location: https://CDN{i % 3}.Example.com/p/{i}\r\n\r\n"
+        ).encode()
+    if fam == 2:
+        return (
+            "HTTP/1.1 200 OK\r\n"
+            "Content-Type: application/json\r\n"
+            "X-Robots-Tag: noindex, nofollow\r\n"
+            "Content-Encoding: gzip\r\n\r\n{}"
+        ).encode()
+    return b"HTTP/1.1 404 Not Found\r\n\r\n"
+
+
+def _qx51(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.sources.warc import http_header_audit
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [http_header_audit(_qx51_make_http(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "is_http": [m["is_http"] for m in metas],
+                    "status": pd.array(
+                        [m["status"] for m in metas], dtype="Int64"
+                    ),
+                    "mime": [m["mime"] for m in metas],
+                    "charset": [m["charset"] for m in metas],
+                    "lang": [m["lang"] for m in metas],
+                    "max_age": pd.array(
+                        [m["max_age"] for m in metas], dtype="Int64"
+                    ),
+                    "noindex": pd.array(
+                        [m["noindex"] for m in metas], dtype="Int32"
+                    ),
+                    "location_host": [m["location_host"] for m in metas],
+                    "gzipped": pd.array(
+                        [m["gzipped"] for m in metas], dtype="Int32"
+                    ),
+                    "hsts": pd.array(
+                        [m["hsts"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _HTTP_SCHEMA)
+
+
+QUERIES["qx51_http_header_audit"] = _qx51
+ORACLE["qx51_http_header_audit"] = """
+WITH v AS (SELECT doc_id, doc_id % 5 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 4 THEN 0 ELSE 1 END AS INTEGER) AS is_http,
+       CAST(CASE fam WHEN 0 THEN 200 WHEN 1 THEN 301 WHEN 2 THEN 200
+                     WHEN 3 THEN 404 END AS BIGINT) AS status,
+       CASE fam WHEN 0 THEN 'text/html'
+                WHEN 2 THEN 'application/json' END AS mime,
+       CASE WHEN fam = 0 THEN 'utf-8' END AS charset,
+       CASE WHEN fam = 0 THEN CASE doc_id % 3 WHEN 0 THEN 'en'
+                 WHEN 1 THEN 'fr' ELSE 'de' END END AS lang,
+       CAST(CASE WHEN fam = 0 THEN 300 + doc_id % 60 END AS BIGINT)
+           AS max_age,
+       CAST(CASE WHEN fam = 4 THEN NULL
+                 WHEN fam = 2 THEN 1 ELSE 0 END AS INTEGER) AS noindex,
+       CASE WHEN fam = 1
+            THEN 'cdn' || (doc_id % 3) || '.example.com' END
+           AS location_host,
+       CAST(CASE WHEN fam = 4 THEN NULL
+                 WHEN fam = 2 THEN 1 ELSE 0 END AS INTEGER) AS gzipped,
+       CAST(CASE WHEN fam = 4 THEN NULL
+                 WHEN fam = 0 THEN 1 ELSE 0 END AS INTEGER) AS hsts
+FROM v
+"""
 ORACLE["qx50_csv_sniff"] = """
 WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
 SELECT doc_id,

@@ -459,3 +459,67 @@ def write_wet(docs_text, out_dir: str, date: str = "2026-01-01T00:00:00Z"):
         .rdd.mapPartitions(dump)
         .collect()
     )
+
+
+# --- HTTP response header audit (crawl-policy signals) ---------------------------
+
+
+def http_header_audit(raw: bytes) -> dict:
+    """Raw HTTP/1.x response -> the header-level POLICY signals a crawl
+    pipeline acts on before it ever touches the body: indexability
+    (``X-Robots-Tag: noindex`` — the header channel qx30's meta-tag gate
+    cannot see), cache lifetime (``Cache-Control: max-age``), redirect
+    target host (``Location``), language, charset, transport compression
+    and HSTS. Header names case-insensitive per RFC 9110; report-don't-
+    raise (``is_http=0`` for non-HTTP payloads)."""
+    import re as _re
+
+    null = {
+        "is_http": 0,
+        "status": None,
+        "mime": None,
+        "charset": None,
+        "lang": None,
+        "max_age": None,
+        "noindex": None,
+        "location_host": None,
+        "gzipped": None,
+        "hsts": None,
+    }
+    if raw[:5] not in (b"HTTP/", b"http/"):
+        return null
+    line_end = raw.find(b"\n", 0, 256)
+    if line_end == -1:
+        return null
+    headers, _off = _parse_header_block(raw, line_end + 1)
+    try:
+        status = int(raw[:line_end].split(b" ", 2)[1][:3])
+    except (IndexError, ValueError):
+        return null
+    ctype = headers.get("content-type", "")
+    mime = ctype.split(";")[0].strip().lower() or None
+    cm = _re.search(r"charset=([A-Za-z0-9_-]+)", ctype, _re.I)
+    am = _re.search(
+        r"max-age\s*=\s*(\d{1,10})", headers.get("cache-control", ""), _re.I
+    )
+    lang = headers.get("content-language", "").split(",")[0].strip().lower()
+    loc_host = None
+    loc = headers.get("location", "")
+    lm = _re.match(r"https?://([^/?#]+)", loc, _re.I)
+    if lm:
+        loc_host = lm.group(1).lower()
+    robots = headers.get("x-robots-tag", "").lower()
+    return {
+        "is_http": 1,
+        "status": status,
+        "mime": mime,
+        "charset": cm.group(1).lower() if cm else None,
+        "lang": lang or None,
+        "max_age": int(am.group(1)) if am else None,
+        "noindex": int("noindex" in robots),
+        "location_host": loc_host,
+        "gzipped": int(
+            "gzip" in headers.get("content-encoding", "").lower()
+        ),
+        "hsts": int("strict-transport-security" in headers),
+    }
