@@ -339,3 +339,57 @@ def test_round4_session_operator_plan_shapes(spark):
     # functions before the lang exchange), output bounded by #languages
     plan = _plan(spark, q["qt64_tokenizer_fertility"](spark, sf))
     assert "partial_" in plan
+
+
+def test_session6_operator_plan_shapes(spark):
+    """Plan pins for this session's operators: each claimed scale
+    property must be visible in the physical plan."""
+    import re as _re
+
+    from pdf_spark.functions.registry import all_queries
+
+    q = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    # qt68 domain boilerplate: the (host, line) frequency groupBy is
+    # map-side combined and the per-doc reassembly window never
+    # collapses to a single partition
+    plan = _plan(spark, q["qt68_domain_boilerplate"](spark, sf))
+    assert "partial_" in plan
+    assert "SinglePartition" not in plan
+    # qg09 link prediction: the wedge join + anti-join are HASH joins —
+    # a cartesian/nested-loop here would be the all-pairs blowup the
+    # design exists to avoid
+    plan = _plan(spark, q["qg09_link_prediction"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-20, no global sort
+    # qr43 window frames: ONE exchange on the partition key feeds all
+    # four window functions (same spec -> same Window node pipeline),
+    # never a global (empty-key) window
+    plan = _plan(spark, q["qr43_window_frames"](spark, sf))
+    assert _re.search(r"hashpartitioning\(o_custkey", plan)
+    assert "SinglePartition" not in plan
+    # container/doc-format extractors are pure map-side mapInPandas over
+    # a doc_id-pruned scan: no exchange anywhere
+    for name in (
+        "qm37_zip_inventory",
+        "qx43_docx_text",
+        "qx44_epub_text",
+        "qx45_eml_text",
+        "qx46_rtf_text",
+        "qx47_odt_text",
+        "qx48_markdown_source",
+        "qx49_latex_source",
+        "qx50_csv_sniff",
+        "qm38_font_meta",
+        "qm39_tar_inventory",
+        "qm40_favicon_meta",
+        "qx51_http_header_audit",
+    ):
+        plan = _plan(spark, q[name](spark, sf))
+        assert "Exchange" not in plan, f"{name} must stay shuffle-free"
+        m = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and m.group(1).startswith("doc_id"), (
+            f"{name} scan must prune to doc_id: {m and m.group(1)}"
+        )
