@@ -848,3 +848,60 @@ _QS17_DUCK = "SELECT vec_id,\n       " + ",\n       ".join(
 ) + "\nFROM embeddings"
 
 _pair("qs17_jl_projection", _QS17_SPARK, _QS17_DUCK)
+
+
+# -- qs18: batched ANN JOIN (many queries at once, bucket co-partitioned) --------
+#
+# qs02 answers ONE query vector and qs08 finds near-dup PAIRS; the
+# retrieval workload a training pipeline actually runs is the ANN JOIN:
+# a whole BATCH of query vectors (here every vec_id % 61 = 0) each
+# needs its top-k neighbors. All-pairs is the trap at both ends; the
+# join shape is the same SRP bucket equi-join as qs08 — queries and
+# corpus co-partition by bucket, only same-bucket candidates pay the
+# exact cosine, and per-query top-3 comes from a window PARTITIONED BY
+# query id (never a global sort). Ranking compares ROUND(cos, 4) with
+# vec_id tie-break so both engines order identically. At 10^9 x 10^5
+# this is one hash join on bucket + one bounded window — the classic
+# distributed ANN-join plan.
+
+_ANN_JOIN_BODY = """
+WITH b AS (
+  SELECT vec_id, CAST({PROJ} AS INT) AS bucket FROM embeddings
+),
+qset AS (SELECT vec_id AS qid, bucket FROM b WHERE vec_id % 61 = 0),
+cand AS (
+  SELECT q.qid, c.vec_id
+  FROM qset q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.qid
+),
+vecpos AS ({EXPLODE}),
+scored AS (
+  SELECT cd.qid, cd.vec_id,
+         SUM(CAST(pa.v AS DOUBLE) * CAST(pb.v AS DOUBLE))
+           / (SQRT(SUM(CAST(pa.v AS DOUBLE) * CAST(pa.v AS DOUBLE)))
+              * SQRT(SUM(CAST(pb.v AS DOUBLE) * CAST(pb.v AS DOUBLE))))
+           AS cos_sim
+  FROM cand cd
+  JOIN vecpos pa ON pa.vec_id = cd.qid
+  JOIN vecpos pb ON pb.vec_id = cd.vec_id AND pb.pos = pa.pos
+  GROUP BY cd.qid, cd.vec_id
+),
+ranked AS (
+  SELECT qid, vec_id, ROUND(cos_sim, 4) AS sim,
+         ROW_NUMBER() OVER (
+             PARTITION BY qid ORDER BY ROUND(cos_sim, 4) DESC, vec_id
+         ) AS rk
+  FROM scored
+)
+SELECT qid, vec_id, sim, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+"""
+
+_pair(
+    "qs18_ann_join",
+    _ANN_JOIN_BODY.replace("{PROJ}", _PROJ_TERMS_SPARK).replace(
+        "{EXPLODE}", _EXPLODE_SPARK
+    ),
+    _ANN_JOIN_BODY.replace("{PROJ}", _PROJ_TERMS_DUCK).replace(
+        "{EXPLODE}", _EXPLODE_DUCK
+    ),
+)

@@ -3393,3 +3393,45 @@ _pair(
         " chr(10) ORDER BY pos), ''))",
     ),
 )
+
+
+# --- qt69: vocabulary growth / type-token profile (Heaps signal) --------------
+#
+# Templated, machine-generated and keyword-stuffed pages violate the
+# Heaps-law expectation that NEW word types keep arriving as a document
+# grows: their second half introduces almost no types the first half
+# didn't already use. The profile is integer-exact: distinct types in
+# the first half (by word position), distinct types overall, the
+# second-half-new count, and a per-mille type-token ratio with one
+# floor divide (the qt65 discipline). Spark side stays INSIDE the row
+# (slice + array_distinct over the split array — zero explode, zero
+# shuffle); complements qt23 (intra-doc repetition) and qt51 (bigram
+# novelty) with the type-ACCUMULATION view.
+
+_QT69_BODY = """
+WITH w AS (SELECT doc_id, {SPLIT} AS ws FROM documents),
+m AS (SELECT doc_id, ws, {LEN}(ws) AS n, {LEN}(ws) {IDIV} 2 AS k FROM w)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       CAST({LEN}({DISTINCT}({FIRSTK})) AS BIGINT) AS vocab_half,
+       CAST({LEN}({DISTINCT}(ws)) AS BIGINT) AS vocab_full,
+       CAST({LEN}({DISTINCT}(ws)) - {LEN}({DISTINCT}({FIRSTK}))
+            AS BIGINT) AS second_half_new,
+       CAST((1000 * {LEN}({DISTINCT}(ws))) {IDIV} n AS BIGINT)
+           AS ttr_permille
+FROM m
+"""
+
+_pair(
+    "qt69_vocab_growth",
+    _QT69_BODY.replace("{SPLIT}", "split(text, ' ')")
+    .replace("{LEN}", "size")
+    .replace("{DISTINCT}", "array_distinct")
+    .replace("{FIRSTK}", "slice(ws, 1, k)")
+    .replace("{IDIV}", "DIV"),
+    _QT69_BODY.replace("{SPLIT}", "string_split(text, ' ')")
+    .replace("{LEN}", "len")
+    .replace("{DISTINCT}", "list_distinct")
+    .replace("{FIRSTK}", "ws[1 : k]")
+    .replace("{IDIV}", "//"),
+)
