@@ -1245,6 +1245,139 @@ def _qx51(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["qx51_http_header_audit"] = _qx51
+
+# -- qx52: XLSX cell extraction (core/xlsx.py) ---------------------------------
+#
+# The tabular half of the office tier. fam = doc_id % 4: shared
+# strings (incl. a rich-text <r>-run item whose text must CONCAT) +
+# raw-text numbers / inlineStr + formula-cached value (formula body
+# skipped) / empty grid with a 3-sheet inventory / not-an-xlsx.
+# Cells certified via md5 over the 0x1F 'ref=value' stream.
+
+_XLSX_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("is_xlsx", IntegerType()),
+        StructField("n_sheets", LongType()),
+        StructField("sheet_name", StringType()),
+        StructField("n_rows", LongType()),
+        StructField("n_cells", LongType()),
+        StructField("cells_md5", StringType()),
+    ]
+)
+
+_WB_XML = (
+    '<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.'
+    'org/spreadsheetml/2006/main"><sheets>{sheets}</sheets></workbook>'
+)
+
+
+def _qx52_make_xlsx(doc_id: int) -> bytes:
+    import io
+    import zipfile
+
+    i = int(doc_id)
+    fam = i % 4
+    buf = io.BytesIO()
+    if fam == 3:
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("word/document.xml", b"<w:document/>")
+        return buf.getvalue()
+    shared = None
+    if fam == 0:
+        sheets = ("Data",)
+        shared = (
+            f'<sst count="2"><si><t>word{i % 20}</t></si>'
+            f"<si><r><t>ri</t></r><r><t>ch{i % 5}</t></r></si></sst>"
+        )
+        grid = (
+            "<worksheet><sheetData>"
+            f'<row r="1"><c r="A1" t="s"><v>0</v></c>'
+            f'<c r="B1"><v>{i}.25</v></c></row>'
+            f'<row r="2"><c r="A2" t="s"><v>1</v></c></row>'
+            "</sheetData></worksheet>"
+        )
+    elif fam == 1:
+        sheets = ("Calc", "Aux")
+        grid = (
+            "<worksheet><sheetData>"
+            f'<row r="1"><c r="A1" t="inlineStr">'
+            f"<is><t>in&amp;line{i}</t></is></c>"
+            f'<c r="B1" t="str"><f>A1&amp;"x"</f><v>c{i % 7}</v></c>'
+            "</row></sheetData></worksheet>"
+        )
+    else:  # fam == 2
+        sheets = ("S0", "S1", "S2")
+        grid = "<worksheet><sheetData/></worksheet>"
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(
+            "xl/workbook.xml",
+            _WB_XML.format(
+                sheets="".join(
+                    f'<sheet name="{n}" sheetId="{k + 1}"/>'
+                    for k, n in enumerate(sheets)
+                )
+            ),
+        )
+        if shared is not None:
+            z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("xl/worksheets/sheet1.xml", grid)
+    return buf.getvalue()
+
+
+def _qx52(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.xlsx import xlsx_cells
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [xlsx_cells(_qx52_make_xlsx(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "is_xlsx": [m["is_xlsx"] for m in metas],
+                    "n_sheets": pd.array(
+                        [m["n_sheets"] for m in metas], dtype="Int64"
+                    ),
+                    "sheet_name": [m["sheet_name"] for m in metas],
+                    "n_rows": pd.array(
+                        [m["n_rows"] for m in metas], dtype="Int64"
+                    ),
+                    "n_cells": pd.array(
+                        [m["n_cells"] for m in metas], dtype="Int64"
+                    ),
+                    "cells_md5": [m["cells_md5"] for m in metas],
+                }
+            )
+
+    return docs.mapInPandas(run, _XLSX_SCHEMA)
+
+
+QUERIES["qx52_xlsx_cells"] = _qx52
+ORACLE["qx52_xlsx_cells"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 3 THEN 0 ELSE 1 END AS INTEGER) AS is_xlsx,
+       CAST(CASE fam WHEN 0 THEN 1 WHEN 1 THEN 2
+                     WHEN 2 THEN 3 END AS BIGINT) AS n_sheets,
+       CASE fam WHEN 0 THEN 'Data' WHEN 1 THEN 'Calc'
+                WHEN 2 THEN 'S0' END AS sheet_name,
+       CAST(CASE fam WHEN 0 THEN 2 WHEN 1 THEN 1
+                     WHEN 2 THEN 0 END AS BIGINT) AS n_rows,
+       CAST(CASE fam WHEN 0 THEN 3 WHEN 1 THEN 2
+                     WHEN 2 THEN 0 END AS BIGINT) AS n_cells,
+       CASE fam
+            WHEN 0 THEN md5('A1=word' || (doc_id % 20) || chr(31)
+                 || 'B1=' || doc_id || '.25' || chr(31)
+                 || 'A2=rich' || (doc_id % 5))
+            WHEN 1 THEN md5('A1=in&line' || doc_id || chr(31)
+                 || 'B1=c' || (doc_id % 7))
+            WHEN 2 THEN md5('')
+       END AS cells_md5
+FROM v
+"""
 ORACLE["qx51_http_header_audit"] = """
 WITH v AS (SELECT doc_id, doc_id % 5 AS fam FROM documents)
 SELECT doc_id,
