@@ -1356,6 +1356,119 @@ def _qx52(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["qx52_xlsx_cells"] = _qx52
+
+# -- qx53: PPTX slide-text extraction (core/pptx.py) ---------------------------
+#
+# The deck third of the office trio. fam = doc_id % 4: 3 slides whose
+# member numbers force NUMERIC ordering (1, 2, 10 — lexicographic
+# would read 1, 10, 2) / split runs + line break + entity / single
+# title slide / not-a-pptx.
+
+_PPTX_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("is_pptx", IntegerType()),
+        StructField("n_slides", LongType()),
+        StructField("n_paragraphs", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+_A_NS = 'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+
+
+def _qx53_slide(*paras: str) -> str:
+    body = "".join(
+        f"<a:p><a:r><a:t>{t}</a:t></a:r></a:p>" for t in paras
+    )
+    return (
+        f'<?xml version="1.0"?><p:sld {_A_NS}>'
+        f"<p:txBody>{body}</p:txBody></p:sld>"
+    )
+
+
+def _qx53_make_pptx(doc_id: int) -> bytes:
+    import io
+    import zipfile
+
+    i = int(doc_id)
+    fam = i % 4
+    buf = io.BytesIO()
+    if fam == 3:
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("xl/workbook.xml", b"<wb/>")
+        return buf.getvalue()
+    if fam == 0:
+        slides = [
+            (1, _qx53_slide(f"Opening {i}")),
+            (2, _qx53_slide(f"Middle {i % 6}")),
+            (10, _qx53_slide("Closing")),
+        ]
+    elif fam == 1:
+        xml = (
+            f'<?xml version="1.0"?><p:sld {_A_NS}><p:txBody>'
+            f"<a:p><a:r><a:t>Hel</a:t></a:r>"
+            f"<a:r><a:t>lo &amp; {i}</a:t></a:r>"
+            f"<a:br/><a:r><a:t>next {i % 5}</a:t></a:r></a:p>"
+            "</p:txBody></p:sld>"
+        )
+        slides = [(1, xml)]
+    else:  # fam == 2
+        slides = [(1, _qx53_slide(f"Title {i % 9}", f"Subtitle {i}"))]
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("ppt/presentation.xml", "<p:presentation/>")
+        for num, xml in slides:
+            z.writestr(f"ppt/slides/slide{num}.xml", xml)
+    return buf.getvalue()
+
+
+def _qx53(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.pptx import pptx_text
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [pptx_text(_qx53_make_pptx(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "is_pptx": [m["is_pptx"] for m in metas],
+                    "n_slides": pd.array(
+                        [m["n_slides"] for m in metas], dtype="Int64"
+                    ),
+                    "n_paragraphs": pd.array(
+                        [m["n_paragraphs"] for m in metas], dtype="Int64"
+                    ),
+                    "text": [m["text"] for m in metas],
+                }
+            )
+
+    return docs.mapInPandas(run, _PPTX_SCHEMA)
+
+
+QUERIES["qx53_pptx_text"] = _qx53
+ORACLE["qx53_pptx_text"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 3 THEN 0 ELSE 1 END AS INTEGER) AS is_pptx,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam = 0 THEN 3 ELSE 1 END AS BIGINT) AS n_slides,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam = 2 THEN 2 WHEN fam = 0 THEN 3
+                 ELSE 1 END AS BIGINT) AS n_paragraphs,
+       CASE fam
+            WHEN 0 THEN 'Opening ' || doc_id || chr(10) || chr(10)
+                        || 'Middle ' || (doc_id % 6) || chr(10) || chr(10)
+                        || 'Closing'
+            WHEN 1 THEN 'Hello & ' || doc_id || chr(10)
+                        || 'next ' || (doc_id % 5)
+            WHEN 2 THEN 'Title ' || (doc_id % 9) || chr(10)
+                        || 'Subtitle ' || doc_id
+       END AS text
+FROM v
+"""
 ORACLE["qx52_xlsx_cells"] = """
 WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
 SELECT doc_id,
