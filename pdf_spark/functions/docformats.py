@@ -1449,6 +1449,106 @@ def _qx53(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["qx53_pptx_text"] = _qx53
+
+# -- qx54: iCalendar event extraction (core/ical.py) ---------------------------
+#
+# Public calendars (.ics). fam = doc_id % 4: timed event with exact
+# minute duration / folded+escaped SUMMARY / all-day + RRULE + a
+# second timed event (first_summary falls through to the first event
+# that HAS one) / not-ical.
+
+_ICAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("is_ical", IntegerType()),
+        StructField("n_events", LongType()),
+        StructField("first_summary", StringType()),
+        StructField("total_minutes", LongType()),
+        StructField("has_rrule", IntegerType()),
+    ]
+)
+
+
+def _qx54_make_ical(doc_id: int) -> bytes:
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 3:
+        return f"PLAIN TEXT {i}, no calendar".encode()
+    if fam == 0:
+        mm = i % 30
+        body = (
+            f"BEGIN:VEVENT\r\nSUMMARY:Sync {i}\r\n"
+            f"DTSTART:20260820T090000Z\r\n"
+            f"DTEND:20260820T10{mm:02d}00Z\r\nEND:VEVENT\r\n"
+        )
+    elif fam == 1:
+        body = (
+            f"BEGIN:VEVENT\r\nSUMMARY:Plan\\, part \r\n two {i}\r\n"
+            f"END:VEVENT\r\n"
+        )
+    else:  # fam == 2
+        body = (
+            "BEGIN:VEVENT\r\n"
+            "DTSTART;VALUE=DATE:20260820\r\n"
+            "DTEND;VALUE=DATE:20260822\r\n"
+            "RRULE:FREQ=WEEKLY\r\nEND:VEVENT\r\n"
+            f"BEGIN:VEVENT\r\nSUMMARY:Second {i % 5}\r\n"
+            "DTSTART:20260823T000000Z\r\n"
+            "DTEND:20260823T003000Z\r\nEND:VEVENT\r\n"
+        )
+    return (
+        "BEGIN:VCALENDAR\r\nVERSION:2.0\r\n" + body + "END:VCALENDAR\r\n"
+    ).encode()
+
+
+def _qx54(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.ical import ical_events
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [ical_events(_qx54_make_ical(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "is_ical": [m["is_ical"] for m in metas],
+                    "n_events": pd.array(
+                        [m["n_events"] for m in metas], dtype="Int64"
+                    ),
+                    "first_summary": [m["first_summary"] for m in metas],
+                    "total_minutes": pd.array(
+                        [m["total_minutes"] for m in metas], dtype="Int64"
+                    ),
+                    "has_rrule": pd.array(
+                        [m["has_rrule"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _ICAL_SCHEMA)
+
+
+QUERIES["qx54_ical_events"] = _qx54
+ORACLE["qx54_ical_events"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 3 THEN 0 ELSE 1 END AS INTEGER) AS is_ical,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam = 2 THEN 2 ELSE 1 END AS BIGINT) AS n_events,
+       CASE fam
+            WHEN 0 THEN 'Sync ' || doc_id
+            WHEN 1 THEN 'Plan, part two ' || doc_id
+            WHEN 2 THEN 'Second ' || (doc_id % 5)
+       END AS first_summary,
+       CAST(CASE fam WHEN 0 THEN 60 + doc_id % 30
+                     WHEN 1 THEN 0
+                     WHEN 2 THEN 2910 END AS BIGINT) AS total_minutes,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam = 2 THEN 1 ELSE 0 END AS INTEGER) AS has_rrule
+FROM v
+"""
 ORACLE["qx53_pptx_text"] = """
 WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
 SELECT doc_id,
