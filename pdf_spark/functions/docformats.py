@@ -1531,6 +1531,210 @@ def _qx54(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["qx54_ical_events"] = _qx54
+
+# -- qx55: JSON payload audit (bounded shape profile) --------------------------
+#
+# API responses and data files are raw JSON payloads; the routing
+# audit is the SHAPE, not the values: top-level type, nesting depth
+# (scalar=0, container=1+max child), recursive key/array/null counts,
+# parse validity. fam = doc_id % 4: flat object / nested object with
+# array / top-level array of objects / invalid JSON.
+
+_JSON_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("is_json", IntegerType()),
+        StructField("top_type", StringType()),
+        StructField("max_depth", LongType()),
+        StructField("n_keys", LongType()),
+        StructField("n_arrays", LongType()),
+        StructField("n_nulls", LongType()),
+    ]
+)
+
+
+def _qx55_make_json(doc_id: int) -> str:
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 0:
+        return f'{{"a": {i}, "b": "t{i % 4}", "c": null}}'
+    if fam == 1:
+        return (
+            f'{{"user": {{"id": {i}, "tags": ["x", "y{i % 3}"]}}, '
+            f'"ok": true}}'
+        )
+    if fam == 2:
+        items = ", ".join(f'{{"k": {j}}}' for j in range(i % 3 + 2))
+        return f"[{items}]"
+    return f'{{"broken": {i}'  # unterminated
+
+
+def _qx55_profile(raw: str) -> dict:
+    import json
+
+    try:
+        doc = json.loads(raw)
+    except (ValueError, RecursionError):
+        return {
+            "is_json": 0,
+            "top_type": None,
+            "max_depth": None,
+            "n_keys": None,
+            "n_arrays": None,
+            "n_nulls": None,
+        }
+    stats = {"keys": 0, "arrays": 0, "nulls": 0}
+
+    def depth(node) -> int:
+        if isinstance(node, dict):
+            stats["keys"] += len(node)
+            return 1 + max((depth(v) for v in node.values()), default=0)
+        if isinstance(node, list):
+            stats["arrays"] += 1
+            return 1 + max((depth(v) for v in node), default=0)
+        if node is None:
+            stats["nulls"] += 1
+        return 0
+
+    d = depth(doc)
+    top = (
+        "object"
+        if isinstance(doc, dict)
+        else "array" if isinstance(doc, list) else "scalar"
+    )
+    return {
+        "is_json": 1,
+        "top_type": top,
+        "max_depth": d,
+        "n_keys": stats["keys"],
+        "n_arrays": stats["arrays"],
+        "n_nulls": stats["nulls"],
+    }
+
+
+def _qx55(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [_qx55_profile(_qx55_make_json(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "is_json": [m["is_json"] for m in metas],
+                    "top_type": [m["top_type"] for m in metas],
+                    "max_depth": pd.array(
+                        [m["max_depth"] for m in metas], dtype="Int64"
+                    ),
+                    "n_keys": pd.array(
+                        [m["n_keys"] for m in metas], dtype="Int64"
+                    ),
+                    "n_arrays": pd.array(
+                        [m["n_arrays"] for m in metas], dtype="Int64"
+                    ),
+                    "n_nulls": pd.array(
+                        [m["n_nulls"] for m in metas], dtype="Int64"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _JSON_SCHEMA)
+
+
+QUERIES["qx55_json_audit"] = _qx55
+ORACLE["qx55_json_audit"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 3 THEN 0 ELSE 1 END AS INTEGER) AS is_json,
+       CASE fam WHEN 0 THEN 'object' WHEN 1 THEN 'object'
+                WHEN 2 THEN 'array' END AS top_type,
+       CAST(CASE fam WHEN 0 THEN 1 WHEN 1 THEN 3
+                     WHEN 2 THEN 2 END AS BIGINT) AS max_depth,
+       CAST(CASE fam WHEN 0 THEN 3 WHEN 1 THEN 4
+                     WHEN 2 THEN doc_id % 3 + 2 END AS BIGINT) AS n_keys,
+       CAST(CASE fam WHEN 0 THEN 0 WHEN 1 THEN 1
+                     WHEN 2 THEN 1 END AS BIGINT) AS n_arrays,
+       CAST(CASE fam WHEN 0 THEN 1 WHEN 1 THEN 0
+                     WHEN 2 THEN 0 END AS BIGINT) AS n_nulls
+FROM v
+"""
+
+# -- qt70: mixed-script homoglyph spoof detection (core/scripts.py) -----------
+#
+# Per-token script co-occurrence — the phishing/tokenizer-poison signal
+# document-level langid can't see. fam = doc_id % 3: clean Latin /
+# one Latin token with an embedded Cyrillic а (U+0430) + a pure-
+# Cyrillic word / clean with Greek word (single-script, NOT mixed).
+
+_SCRIPT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("n_latin", LongType()),
+        StructField("n_cyrillic", LongType()),
+        StructField("n_mixed", LongType()),
+        StructField("has_spoof", IntegerType()),
+    ]
+)
+
+
+def _qt70_make_text(doc_id: int) -> str:
+    i = int(doc_id)
+    fam = i % 3
+    if fam == 0:
+        return f"pay page {i} now"
+    if fam == 1:
+        return f"login pаypal{i % 7} привет ok"
+    return f"alpha βετα gamma {i}"
+
+
+def _qt70(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.scripts import script_mix
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [script_mix(_qt70_make_text(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_tokens": pd.array(
+                        [m["n_tokens"] for m in metas], dtype="Int64"
+                    ),
+                    "n_latin": pd.array(
+                        [m["n_latin"] for m in metas], dtype="Int64"
+                    ),
+                    "n_cyrillic": pd.array(
+                        [m["n_cyrillic"] for m in metas], dtype="Int64"
+                    ),
+                    "n_mixed": pd.array(
+                        [m["n_mixed"] for m in metas], dtype="Int64"
+                    ),
+                    "has_spoof": pd.array(
+                        [m["has_spoof"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _SCRIPT_SCHEMA)
+
+
+QUERIES["qt70_script_spoof"] = _qt70
+ORACLE["qt70_script_spoof"] = """
+WITH v AS (SELECT doc_id, doc_id % 3 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE fam WHEN 0 THEN 3 WHEN 1 THEN 4
+                     WHEN 2 THEN 3 END AS BIGINT) AS n_tokens,
+       CAST(CASE fam WHEN 0 THEN 3 WHEN 1 THEN 2
+                     WHEN 2 THEN 2 END AS BIGINT) AS n_latin,
+       CAST(CASE WHEN fam = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_cyrillic,
+       CAST(CASE WHEN fam = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_mixed,
+       CAST(CASE WHEN fam = 1 THEN 1 ELSE 0 END AS INTEGER) AS has_spoof
+FROM v
+"""
 ORACLE["qx54_ical_events"] = """
 WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
 SELECT doc_id,

@@ -1,0 +1,37 @@
+"""core/scripts.py script-mix audit + qx55 JSON shape profile."""
+
+from pdf_spark.core.scripts import script_mix
+from pdf_spark.functions.docformats import _qx55_profile
+
+
+def test_pure_latin_and_neutral_tokens():
+    m = script_mix("hello world 123 !!!")
+    assert m["n_tokens"] == 2 and m["n_latin"] == 2
+    assert m["n_mixed"] == 0 and m["has_spoof"] == 0
+
+
+def test_homoglyph_token_flags_mixed():
+    # 'pаypal' carries U+0430 CYRILLIC SMALL A between Latin letters
+    m = script_mix("login pаypal привет")
+    assert m["n_mixed"] == 1 and m["has_spoof"] == 1
+    assert m["n_cyrillic"] == 1 and m["n_latin"] == 1
+
+
+def test_single_script_nonlatin_is_not_spoof():
+    m = script_mix("καλημέρα κόσμε")
+    assert m["n_tokens"] == 2 and m["n_mixed"] == 0
+
+
+def test_latin_extended_accents_stay_latin():
+    m = script_mix("café naïve")
+    assert m["n_latin"] == 2 and m["n_mixed"] == 0
+
+
+def test_json_shape_profile():
+    m = _qx55_profile('{"a": 1, "b": {"c": [null, 2]}}')
+    assert m["top_type"] == "object"
+    assert m["max_depth"] == 3  # object > object > array
+    assert m["n_keys"] == 3 and m["n_arrays"] == 1 and m["n_nulls"] == 1
+    assert _qx55_profile("[1, 2]")["top_type"] == "array"
+    assert _qx55_profile("42")["max_depth"] == 0
+    assert _qx55_profile("{bad")["is_json"] == 0
