@@ -1484,3 +1484,37 @@ def qr43(spark: SparkSession, sf: str) -> DataFrame:
     parser rejects extending a named WINDOW with a frame clause.)"""
     register_views(spark, sf)
     return spark.sql(_QR43_SQL)
+
+
+# -- qr44: recursive CTE — hierarchy closure (WITH RECURSIVE) --------------------
+
+_QR44_BODY = """
+WITH RECURSIVE chain(node, anc, depth) AS (
+  SELECT doc_id, doc_id {IDIV} 10, 1 FROM documents WHERE doc_id > 0
+  UNION ALL
+  SELECT c.node, c.anc {IDIV} 10, c.depth + 1 FROM chain c WHERE c.anc > 0
+)
+SELECT node,
+       CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+       CAST(COUNT(*) AS BIGINT) AS n_ancestors
+FROM chain
+GROUP BY node
+"""
+
+
+@q(
+    "qr44_recursive_closure",
+    _QR44_BODY.replace("{IDIV}", "//"),
+)
+def qr44(spark: SparkSession, sf: str) -> DataFrame:
+    """WITH RECURSIVE ancestor closure over a derived category tree
+    (parent = node DIV 10): every node walks to the root, yielding
+    depth-to-root and ancestor count — the org-chart/taxonomy query
+    that needed iterative driver loops before Spark 4 shipped
+    recursive CTEs. Each recursion round is one self-join producing
+    strictly-shallower frontiers, and the DIV-10 hierarchy bounds
+    rounds at log10(N) — 13 rounds at 10^12 rows, each a hash join on
+    the frontier only (never the closed set). The same ANSI text runs
+    on DuckDB with // as the integer-divide spelling."""
+    register_views(spark, sf)
+    return spark.sql(_QR44_BODY.replace("{IDIV}", "DIV"))
