@@ -3945,3 +3945,54 @@ def ico_meta(data: bytes) -> dict:
         "max_height": max_h,
         "has_png_frame": has_png,
     }
+
+
+# --- PNG chunk integrity audit (CRC walk) ------------------------------------------
+
+
+def png_integrity(data: bytes) -> dict:
+    """Chunk-level PNG integrity at walk cost — crawls serve truncated
+    and bit-rotted images, and decoding them wastes the fleet's decode
+    budget: verify each chunk's CRC-32 (over type+data, per the PNG
+    spec), confirm the IEND terminator, and flag truncation (a length
+    field pointing past the buffer). No pixel is decoded."""
+    import struct as _struct
+    import zlib as _zlib
+
+    null = {
+        "is_png": 0,
+        "n_chunks": None,
+        "n_bad_crc": None,
+        "has_iend": None,
+        "truncated": None,
+    }
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        return null
+    pos = 8
+    n_chunks = n_bad = 0
+    has_iend = 0
+    truncated = 0
+    while pos + 8 <= len(data) and n_chunks < 10_000:
+        length, ctype = _struct.unpack_from(">I4s", data, pos)
+        end = pos + 8 + length + 4
+        if length > 1 << 31 or end > len(data):
+            truncated = 1
+            break
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = _struct.unpack_from(">I", data, pos + 8 + length)
+        if _zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            n_bad += 1
+        n_chunks += 1
+        pos = end
+        if ctype == b"IEND":
+            has_iend = 1
+            break
+    if not has_iend and not truncated and pos < len(data):
+        truncated = 1  # trailing garbage that is not a whole chunk
+    return {
+        "is_png": 1,
+        "n_chunks": n_chunks,
+        "n_bad_crc": n_bad,
+        "has_iend": has_iend,
+        "truncated": truncated,
+    }

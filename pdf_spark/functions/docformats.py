@@ -1723,6 +1723,90 @@ def _qt70(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["qt70_script_spoof"] = _qt70
+
+# -- qm41: PNG chunk-integrity audit (core/imaging.py::png_integrity) ---------
+#
+# Crawls serve truncated and bit-rotted images; decoding them wastes
+# the fleet's decode budget. CRC walk only, no pixels. fam =
+# doc_id % 4: valid / last-chunk CRC corrupted (chunk still counted,
+# IEND still recognized) / cut mid-stream after IHDR (truncated,
+# 1 whole chunk) / not-a-png.
+
+_PNGI_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("is_png", IntegerType()),
+        StructField("n_chunks", LongType()),
+        StructField("n_bad_crc", LongType()),
+        StructField("has_iend", IntegerType()),
+        StructField("truncated", IntegerType()),
+    ]
+)
+
+
+def _qm41_make_png(doc_id: int) -> bytes:
+    from pdf_spark.core.imaging import encode_png
+
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 3:
+        return b"RIFFnot-a-png" + bytes((i + k) % 256 for k in range(8))
+    ok = encode_png(2, 2, 1, bytes((i + k) % 256 for k in range(4)))
+    if fam == 0:
+        return ok
+    if fam == 1:
+        bad = bytearray(ok)
+        bad[-1] ^= 0xFF  # IEND CRC byte
+        return bytes(bad)
+    return ok[:40]  # IHDR whole (ends at 33), cut before the next header
+
+
+def _qm41(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.imaging import png_integrity
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [png_integrity(_qm41_make_png(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "is_png": [m["is_png"] for m in metas],
+                    "n_chunks": pd.array(
+                        [m["n_chunks"] for m in metas], dtype="Int64"
+                    ),
+                    "n_bad_crc": pd.array(
+                        [m["n_bad_crc"] for m in metas], dtype="Int64"
+                    ),
+                    "has_iend": pd.array(
+                        [m["has_iend"] for m in metas], dtype="Int32"
+                    ),
+                    "truncated": pd.array(
+                        [m["truncated"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _PNGI_SCHEMA)
+
+
+QUERIES["qm41_png_integrity"] = _qm41
+ORACLE["qm41_png_integrity"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 3 THEN 0 ELSE 1 END AS INTEGER) AS is_png,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam = 2 THEN 1 ELSE 3 END AS BIGINT) AS n_chunks,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_bad_crc,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam = 2 THEN 0 ELSE 1 END AS INTEGER) AS has_iend,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam = 2 THEN 1 ELSE 0 END AS INTEGER) AS truncated
+FROM v
+"""
 ORACLE["qt70_script_spoof"] = """
 WITH v AS (SELECT doc_id, doc_id % 3 AS fam FROM documents)
 SELECT doc_id,

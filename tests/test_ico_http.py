@@ -69,3 +69,24 @@ def test_http_redirect_host_lowercased():
 def test_http_rejects_non_http():
     assert http_header_audit(b"\x89PNG bytes")["is_http"] == 0
     assert http_header_audit(b"")["is_http"] == 0
+
+
+def test_png_integrity_walk():
+    from pdf_spark.core.imaging import encode_png, png_integrity
+
+    ok = encode_png(4, 4, 1, bytes(range(16)))
+    m = png_integrity(ok)
+    assert m == {
+        "is_png": 1,
+        "n_chunks": 3,
+        "n_bad_crc": 0,
+        "has_iend": 1,
+        "truncated": 0,
+    }
+    bad = bytearray(ok)
+    bad[-1] ^= 0xFF  # IEND CRC
+    m = png_integrity(bytes(bad))
+    assert m["n_bad_crc"] == 1 and m["has_iend"] == 1
+    m = png_integrity(ok[:40])
+    assert m["truncated"] == 1 and m["n_chunks"] == 1
+    assert png_integrity(b"JFIF")["is_png"] == 0
