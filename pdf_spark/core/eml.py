@@ -208,3 +208,67 @@ def eml_text(data: bytes) -> dict:
         "body_kind": kind,
         "body_text": text,
     }
+
+
+# --- Reply/signature stripping (mailing-list corpus cleaning) ---------------------
+
+_ATTRIB = re.compile(r"wrote:\s*$")
+_SIG_DELIM = re.compile(r"^-- ?$")
+
+
+def strip_reply(text: str) -> dict:
+    """Email BODY text → the author's own prose.
+
+    Mailing-list archives quote the whole thread under every reply; a
+    corpus that keeps quotes trains on the same paragraph once per
+    thread position. Strips, in one line pass:
+
+    - quoted lines (``>`` prefix, any nesting depth) — counted;
+    - the attribution line introducing a quote (ends with ``wrote:``,
+      the convention every mainstream client emits) when a quoted
+      line follows before any non-blank prose line;
+    - the signature block: everything from the ``-- `` delimiter line
+      (RFC 3676 signature separator, trailing space optional) to EOF;
+    - blank-line runs left behind collapse to one.
+    """
+    lines = text.split("\n")
+    kept: list[str] = []
+    n_quoted = 0
+    has_sig = 0
+    has_attrib = 0
+    pending_attrib: str | None = None
+    for raw in lines:
+        line = raw.rstrip("\r")
+        if _SIG_DELIM.match(line):
+            has_sig = 1
+            break
+        if line.lstrip().startswith(">"):
+            n_quoted += 1
+            if pending_attrib is not None:
+                has_attrib = 1  # confirmed: attribution introduced a quote
+                pending_attrib = None
+            continue
+        if pending_attrib is not None:
+            kept.append(pending_attrib)
+            pending_attrib = None
+        if _ATTRIB.search(line):
+            pending_attrib = line  # held until we see what follows
+            continue
+        kept.append(line)
+    if pending_attrib is not None:
+        kept.append(pending_attrib)
+    # collapse blank runs and trim edges
+    out: list[str] = []
+    for ln in kept:
+        if ln.strip():
+            out.append(ln)
+        elif out and out[-1] != "":
+            out.append("")
+    while out and out[-1] == "":
+        out.pop()
+    return {
+        "clean_text": "\n".join(out),
+        "n_quoted_lines": n_quoted,
+        "has_signature": has_sig,
+        "has_attribution": has_attrib,
+    }

@@ -1793,6 +1793,89 @@ def _qm41(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["qm41_png_integrity"] = _qm41
+
+# -- qx56: email reply/signature stripping (core/eml.py::strip_reply) ---------
+#
+# Mailing-list archives quote the whole thread under every reply — a
+# corpus keeping quotes trains on the same paragraph once per thread
+# position. fam = doc_id % 4: full thread (attribution + quotes +
+# signature) / 'wrote:'-line followed by PROSE (kept — the rule needs
+# a quote to confirm) / nested quotes + signature only / plain body.
+
+_REPLY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("clean_text", StringType()),
+        StructField("n_quoted_lines", LongType()),
+        StructField("has_signature", IntegerType()),
+        StructField("has_attribution", IntegerType()),
+    ]
+)
+
+
+def _qx56_make_body(doc_id: int) -> str:
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 0:
+        return (
+            f"Thanks {i}!\n\nOn Tue, Ann wrote:\n> old one {i % 5}\n"
+            f"> old two\n\nMy reply {i}.\n-- \nBob {i % 3}\n"
+        )
+    if fam == 1:
+        return f"He wrote:\nProse {i} here\nmore {i % 4}"
+    if fam == 2:
+        return f"Re {i}\n>> deep\n> shallow {i % 6}\n-- \nsig"
+    return f"Simple {i} body"
+
+
+def _qx56(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.eml import strip_reply
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [strip_reply(_qx56_make_body(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "clean_text": [m["clean_text"] for m in metas],
+                    "n_quoted_lines": pd.array(
+                        [m["n_quoted_lines"] for m in metas], dtype="Int64"
+                    ),
+                    "has_signature": pd.array(
+                        [m["has_signature"] for m in metas], dtype="Int32"
+                    ),
+                    "has_attribution": pd.array(
+                        [m["has_attribution"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _REPLY_SCHEMA)
+
+
+QUERIES["qx56_reply_strip"] = _qx56
+ORACLE["qx56_reply_strip"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CASE fam
+            WHEN 0 THEN 'Thanks ' || doc_id || '!' || chr(10) || chr(10)
+                        || 'My reply ' || doc_id || '.'
+            WHEN 1 THEN 'He wrote:' || chr(10) || 'Prose ' || doc_id
+                        || ' here' || chr(10) || 'more ' || (doc_id % 4)
+            WHEN 2 THEN 'Re ' || doc_id
+            WHEN 3 THEN 'Simple ' || doc_id || ' body'
+       END AS clean_text,
+       CAST(CASE WHEN fam IN (0, 2) THEN 2 ELSE 0 END AS BIGINT)
+           AS n_quoted_lines,
+       CAST(CASE WHEN fam IN (0, 2) THEN 1 ELSE 0 END AS INTEGER)
+           AS has_signature,
+       CAST(CASE WHEN fam = 0 THEN 1 ELSE 0 END AS INTEGER)
+           AS has_attribution
+FROM v
+"""
 ORACLE["qm41_png_integrity"] = """
 WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
 SELECT doc_id,

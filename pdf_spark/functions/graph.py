@@ -508,3 +508,45 @@ QUERIES["qg09_link_prediction"] = lambda spark, sf: (
 ORACLE["qg09_link_prediction"] = _QG09_BODY.replace(
     "{EDGE_SRC}", _EDGE_SRC_DUCK
 )
+
+
+# --- qg10: degree-distribution log2 histogram (power-law profile) ---------------
+#
+# Web graphs are scale-free; the OPERATIONAL use of that fact is skew
+# planning — the log2 degree histogram says how heavy the hub tail is
+# before any join is sized (qg09's wedge join, qt31's salting factor).
+# Integer-exact bucketing: floor(log2(d)) computed as LENGTH(BIN(d))-1
+# (both engines print minimal binary strings — no float log anywhere
+# near a power-of-2 boundary). Undirected distinct-neighbor degrees
+# (the qg08 convention); one groupBy on node then a tiny groupBy on
+# bucket — the second aggregate is O(log maxdeg) rows.
+
+_QG10_BODY = """
+WITH deg AS (SELECT doc_id AS u, CAST(doc_id % 3 + 1 AS BIGINT) AS d
+             FROM documents),
+edges AS (
+  SELECT u, CAST((u * 7 + k) % (SELECT COUNT(*) FROM documents) AS BIGINT) AS v
+  FROM {EDGE_SRC}
+),
+und AS (
+  SELECT u, v FROM edges WHERE u <> v
+  UNION
+  SELECT v, u FROM edges WHERE u <> v
+),
+degs AS (SELECT u, CAST(COUNT(DISTINCT v) AS BIGINT) AS nd
+         FROM und GROUP BY u)
+SELECT CAST(LENGTH(BIN(nd)) - 1 AS BIGINT) AS log2_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(nd) AS BIGINT) AS min_deg,
+       CAST(MAX(nd) AS BIGINT) AS max_deg
+FROM degs
+GROUP BY LENGTH(BIN(nd)) - 1
+"""
+
+QUERIES["qg10_degree_histogram"] = lambda spark, sf: (
+    register_views(spark, sf)
+    or spark.sql(_QG10_BODY.replace("{EDGE_SRC}", _EDGE_SRC_SPARK))
+)
+ORACLE["qg10_degree_histogram"] = _QG10_BODY.replace(
+    "{EDGE_SRC}", _EDGE_SRC_DUCK
+)

@@ -99,3 +99,32 @@ def test_not_email_routes_nulls():
     for blob in (b"\x89PNG binary", b"no headers here just text"):
         m = eml_text(blob)
         assert m["is_email"] == 0 and m["body_text"] is None
+
+
+def test_strip_reply_thread():
+    from pdf_spark.core.eml import strip_reply
+
+    t = (
+        "Thanks!\n\nOn Tue, Ann wrote:\n> old one\n> old two\n\n"
+        "My reply.\n-- \nBob\nexample.org\n"
+    )
+    r = strip_reply(t)
+    assert r["clean_text"] == "Thanks!\n\nMy reply."
+    assert r["n_quoted_lines"] == 2
+    assert r["has_signature"] == 1 and r["has_attribution"] == 1
+
+
+def test_strip_reply_wrote_line_kept_without_quote():
+    from pdf_spark.core.eml import strip_reply
+
+    r = strip_reply("He wrote:\nactual prose\nmore")
+    assert r["clean_text"] == "He wrote:\nactual prose\nmore"
+    assert r["has_attribution"] == 0
+
+
+def test_strip_reply_nested_quotes_and_sig_only():
+    from pdf_spark.core.eml import strip_reply
+
+    r = strip_reply("Keep\n>> deep\n> shallow\n-- \nsig line\nmore sig")
+    assert r["clean_text"] == "Keep"
+    assert r["n_quoted_lines"] == 2 and r["has_signature"] == 1
