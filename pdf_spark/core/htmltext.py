@@ -944,219 +944,3 @@ def extract_image_alts(data: bytes) -> list:
                 gt = html_text.find(">", cm.start())
                 pos = n if gt == -1 else gt + 1
     return out
-
-
-# --- AI-training opt-out (robots noai / TDM Reservation Protocol) --------------
-#
-# The compliance gate a training pipeline runs BEFORE any quality
-# filter: publishers signal machine-learning opt-out via robots-meta
-# extension tokens (noai / noimageai) and the W3C TDM Reservation
-# Protocol (TDMRep) — `<meta name="tdm-reservation" content="1">` with
-# an optional tdm-policy URL, both also deliverable as HTTP headers
-# (X-Robots-Tag / tdm-reservation). Directives UNION across sources:
-# the most restrictive combination wins, exactly like robots-meta.
-
-
-def _scan_meta_attrs(html_text: str):
-    """Yield attr dicts of every <meta> tag, rawtext-safe (shares the
-    main tokenizer, so a <script> body can never fake a tag)."""
-    pos, n = 0, len(html_text)
-    while pos < n:
-        m = _TOKEN_RE.match(html_text, pos)
-        if m is None:  # pragma: no cover
-            pos += 1
-            continue
-        pos = m.end()
-        start_tag = m.group(2)
-        if start_tag is None:
-            continue
-        low = start_tag.lower()
-        if low == "meta":
-            yield _parse_attrs(m.group(3))
-        elif low in _RAWTEXT:
-            close = re.compile(r"</\s*%s[\s>]" % re.escape(low), re.I)
-            cm = close.search(html_text, pos)
-            if cm is None:
-                pos = n
-            else:
-                gt = html_text.find(">", cm.start())
-                pos = n if gt == -1 else gt + 1
-
-
-def ai_optout(data: bytes, headers: bytes | str | None = None) -> dict:
-    """``{noai, noimageai, tdm_reservation, tdm_policy, train_allowed}``
-    from an HTML payload plus an optional raw HTTP header block.
-    ``tdm_reservation`` is 1/0 when declared (either channel, header
-    wins only by being more restrictive) and None when absent;
-    ``train_allowed`` folds the signals: 0 iff noai or a TDM
-    reservation is asserted."""
-    tokens: set = set()
-    tdm_res = None
-    tdm_policy = None
-    for attrs in _scan_meta_attrs(decode_html(data)):
-        name = attrs.get("name", attrs.get("property", "")).lower()
-        content = attrs.get("content", "").strip()
-        if name == "robots" and content:
-            for part in content.replace(";", ",").split(","):
-                tokens.update(t for t in part.lower().split() if t)
-        elif name == "tdm-reservation" and content in ("0", "1"):
-            tdm_res = int(content)
-        elif name == "tdm-policy" and content and tdm_policy is None:
-            tdm_policy = content
-    if headers:
-        text = (
-            headers.decode("latin-1", "replace")
-            if isinstance(headers, (bytes, bytearray))
-            else headers
-        )
-        for line in text.splitlines():
-            key, _, val = line.partition(":")
-            key = key.strip().lower()
-            val = val.strip()
-            if key == "x-robots-tag" and val:
-                # optional agent prefix ("trainbot: noai") — tokens after
-                # the LAST colon-separated field
-                body = val.split(":")[-1]
-                for part in body.replace(";", ",").split(","):
-                    tokens.update(t for t in part.lower().split() if t)
-            elif key == "tdm-reservation" and val in ("0", "1"):
-                # most-restrictive-wins union with the meta channel
-                tdm_res = max(tdm_res or 0, int(val))
-            elif key == "tdm-policy" and val and tdm_policy is None:
-                tdm_policy = val
-    noai = int("noai" in tokens)
-    noimageai = int("noimageai" in tokens)
-    return {
-        "noai": noai,
-        "noimageai": noimageai,
-        "tdm_reservation": tdm_res,
-        "tdm_policy": tdm_policy,
-        "train_allowed": int(not (noai or tdm_res == 1)),
-    }
-
-
-# --- hidden-content / cloaking audit (E171) ---------------------------------
-
-# Inline-style values that make an element's subtree invisible in every
-# real browser while remaining in the DOM text a naive extractor reads:
-# the classic SEO-cloaking / keyword-stuffing vectors.
-_CLOAK_STYLE_RE = re.compile(
-    r"display\s*:\s*none"
-    r"|visibility\s*:\s*hidden"
-    r"|font-size\s*:\s*0(?:px|pt|em|rem)?\s*(?:;|$)"
-    r"|text-indent\s*:\s*-\d{3,}"
-    r"|(?:left|top)\s*:\s*-\d{3,}",
-    re.I,
-)
-
-
-def _is_cloaked(attrs: str) -> bool:
-    """True when a start tag's attribute text hides its subtree: the
-    HTML5 ``hidden`` attribute, ``aria-hidden="true"``, or an inline
-    ``style`` matching a cloaking pattern."""
-    a = _parse_attrs(attrs)
-    if "hidden" in a and a["hidden"].lower() != "until-found":
-        return True
-    if a.get("aria-hidden", "").strip().lower() == "true":
-        return True
-    style = a.get("style")
-    return bool(style and _CLOAK_STYLE_RE.search(style))
-
-
-def hidden_audit(data: bytes) -> dict:
-    """Cloaked-text audit over one HTML payload.
-
-    Walks the same token stream as :func:`segment_blocks` and splits
-    would-be-content text (i.e. text NOT under the structurally-hidden
-    tags ``_HIDDEN_TAGS`` — script/style/head bodies are code, not
-    cloaked prose) into *visible* vs *cloaked* by the nearest enclosing
-    cloak marker (``hidden`` attr, ``aria-hidden="true"``, inline
-    ``display:none`` / ``visibility:hidden`` / ``font-size:0`` /
-    off-screen offsets). Returns integer-only fields so the audit is
-    engine-exact::
-
-        {visible_chars, hidden_chars, n_hidden_nodes, hidden_milli}
-
-    ``*_chars`` count non-whitespace characters (the segment_blocks
-    convention); ``n_hidden_nodes`` counts cloak-SCOPE roots (a cloaked
-    element inside an already-cloaked subtree is not a new scope);
-    ``hidden_milli`` = floor(1000 * hidden / (visible + hidden)), 0 on
-    empty. The reference has no HTML tier at all — this extends the
-    E19 boilerplate strip with the spam/cloaking signal every web-scale
-    quality stack carries (hidden text is invisible to users but lands
-    verbatim in naive extraction).
-    """
-    html_text = decode_html(data)
-    stack: list[tuple[str, bool, bool]] = []  # (tag, struct_hidden, cloaked)
-    struct_hidden = cloaked = False
-    visible = hidden_c = n_nodes = 0
-
-    def refresh() -> tuple[bool, bool]:
-        if stack:
-            _, h, c = stack[-1]
-            return h, c
-        return False, False
-
-    pos = 0
-    n = len(html_text)
-    while pos < n:
-        m = _TOKEN_RE.match(html_text, pos)
-        if m is None:  # pragma: no cover — the regex is total
-            pos += 1
-            continue
-        pos = m.end()
-        end_tag, start_tag, attrs = m.group(1, 2, 3)
-        if start_tag is not None:
-            tag = start_tag.lower()
-            self_closing = attrs.rstrip().endswith("/")
-            if tag in _VOID or self_closing:
-                continue
-            if tag in _RAWTEXT:
-                close = re.compile(r"</\s*%s[\s>]" % re.escape(tag), re.I)
-                cm = close.search(html_text, pos)
-                if cm is None:
-                    pos = n
-                else:
-                    gt = html_text.find(">", cm.start())
-                    pos = n if gt == -1 else gt + 1
-                continue
-            closes = _AUTOCLOSE.get(tag)
-            if closes:
-                popped = False
-                while stack and stack[-1][0] in closes:
-                    stack.pop()
-                    popped = True
-                if popped:
-                    struct_hidden, cloaked = refresh()
-            if len(stack) < _MAX_STACK:
-                h = struct_hidden or tag in _HIDDEN_TAGS
-                c = cloaked or _is_cloaked(attrs)
-                if c and not cloaked and not h:
-                    n_nodes += 1  # a new cloak scope opens
-                stack.append((tag, h, c))
-                struct_hidden, cloaked = h, c
-        elif end_tag is not None:
-            tag = end_tag.lower()
-            for i in range(len(stack) - 1, -1, -1):
-                if stack[i][0] == tag:
-                    del stack[i:]
-                    struct_hidden, cloaked = refresh()
-                    break
-        elif m.group(0)[0] != "<":  # text node
-            if struct_hidden:
-                continue
-            nchars = sum(map(len, unescape(m.group(0)).split()))
-            if not nchars:
-                continue
-            if cloaked:
-                hidden_c += nchars
-            else:
-                visible += nchars
-        # comments / CDATA / doctype / PI / stray '<': dropped
-    total = visible + hidden_c
-    return {
-        "visible_chars": visible,
-        "hidden_chars": hidden_c,
-        "n_hidden_nodes": n_nodes,
-        "hidden_milli": (1000 * hidden_c) // total if total else 0,
-    }

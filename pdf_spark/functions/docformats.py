@@ -609,7 +609,7 @@ def _qm38(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").select("doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pdf_spark.core.sfnt import font_meta
+        from pdf_spark.core.fontmeta import font_meta
 
         for batch in batches:
             ids = [int(d) for d in batch["doc_id"]]

@@ -3409,7 +3409,7 @@ def _qx40(spark: SparkSession, sf: str) -> DataFrame:
     X-Robots-Tag noai / header tdm-reservation=1 overriding meta 0; a
     %7==5 family hides a fake meta inside <script> (rawtext-safe scan
     must NOT honor it)."""
-    from pdf_spark.core.htmltext import ai_optout
+    from pdf_spark.core.htmlaudit import ai_optout
 
     docs = load(spark, sf, "documents").select("doc_id")
     schema = StructType(
@@ -3629,7 +3629,7 @@ def _qx42(spark: SparkSession, sf: str) -> DataFrame:
     (one scope, chars summed) / two off-screen scopes; every third doc
     adds a <script> decoy carrying a fake display:none div that the
     rawtext-safe walk must ignore."""
-    from pdf_spark.core.htmltext import hidden_audit
+    from pdf_spark.core.htmlaudit import hidden_audit
 
     docs = load(spark, sf, "documents").select("doc_id")
     schema = StructType(

@@ -640,7 +640,7 @@ class TestBaseHref:
 
 
 def test_ai_optout_meta_channels():
-    from pdf_spark.core.htmltext import ai_optout
+    from pdf_spark.core.htmlaudit import ai_optout
 
     h = (b"<html><head><meta name='robots' content='noindex, noai'>"
          b"<meta name='tdm-reservation' content='1'>"
@@ -655,7 +655,7 @@ def test_ai_optout_meta_channels():
 
 
 def test_ai_optout_header_channel_and_union():
-    from pdf_spark.core.htmltext import ai_optout
+    from pdf_spark.core.htmlaudit import ai_optout
 
     r = ai_optout(b"<html><body>clean</body></html>",
                   headers="X-Robots-Tag: trainbot: noimageai\r\n"
@@ -668,7 +668,7 @@ def test_ai_optout_header_channel_and_union():
 
 
 def test_ai_optout_rawtext_decoy_not_honored():
-    from pdf_spark.core.htmltext import ai_optout
+    from pdf_spark.core.htmlaudit import ai_optout
 
     fake = (b"<html><script>var s = \"<meta name='robots'"
             b" content='noai'>\";</script><body>t</body></html>")
@@ -676,7 +676,7 @@ def test_ai_optout_rawtext_decoy_not_honored():
 
 
 def test_hidden_audit_cloak_vectors():
-    from pdf_spark.core.htmltext import hidden_audit
+    from pdf_spark.core.htmlaudit import hidden_audit
 
     # every inline cloak vector + the hidden/aria attributes hide text;
     # head/title is structural, not cloaked
@@ -698,7 +698,7 @@ def test_hidden_audit_cloak_vectors():
 
 
 def test_hidden_audit_nested_scope_and_decoy():
-    from pdf_spark.core.htmltext import hidden_audit
+    from pdf_spark.core.htmlaudit import hidden_audit
 
     # nested cloaked elements are ONE scope (chars counted once); a
     # display:none inside a <script> string is rawtext, never honored;
@@ -719,7 +719,7 @@ def test_hidden_audit_nested_scope_and_decoy():
 
 
 def test_hidden_audit_clean_and_empty():
-    from pdf_spark.core.htmltext import hidden_audit
+    from pdf_spark.core.htmlaudit import hidden_audit
 
     assert hidden_audit(b"<body><p>abc def</p></body>") == {
         "visible_chars": 6,

@@ -1,7 +1,7 @@
-"""core/sfnt.py::font_meta — name/head/maxp identification + WOFF1 unwrap
+"""core/fontmeta.py::font_meta — name/head/maxp identification + WOFF1 unwrap
 vs the honest sfnt/WOFF writers in functions/docformats.py."""
 
-from pdf_spark.core.sfnt import font_meta
+from pdf_spark.core.fontmeta import font_meta
 from pdf_spark.functions.docformats import (
     _build_name_table,
     _build_sfnt,
