@@ -1857,6 +1857,104 @@ def _qx56(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["qx56_reply_strip"] = _qx56
+
+# -- qx57: MediaWiki wikitext strip (core/wikitext.py) -------------------------
+#
+# Encyclopedia dumps are a foundational corpus and ship as wikitext.
+# fam = doc_id % 4: infobox (nested template) + heading + ref + list /
+# piped+bare internal links + external link / File-with-nested-caption
+# + table / plain prose.
+
+_WIKI_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("n_sections", LongType()),
+        StructField("n_templates", LongType()),
+        StructField("n_internal_links", LongType()),
+        StructField("n_external_links", LongType()),
+        StructField("n_refs", LongType()),
+    ]
+)
+
+
+def _qx57_make_wiki(doc_id: int) -> str:
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 0:
+        return (
+            f"{{{{Infobox|a={{{{n|x}}}}}}}}\n== History {i % 9} ==\n"
+            f"The '''topic {i}''' began.<ref>S</ref>\n* point {i % 4}\n"
+        )
+    if fam == 1:
+        return (
+            f"See [[Alan {i % 7}|A{i % 7}]] and [[Page {i}]] plus "
+            f"[https://e.x/{i} ext]."
+        )
+    if fam == 2:
+        return (
+            f"[[File:X{i}.jpg|thumb|A [[cap]]]]Start {i}."
+            f"{{| class=t\n|c\n|}}End."
+        )
+    return f"Plain {i} words here."
+
+
+def _qx57(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.wikitext import wikitext_strip
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [wikitext_strip(_qx57_make_wiki(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "text": [m["text"] for m in metas],
+                    "n_sections": pd.array(
+                        [m["n_sections"] for m in metas], dtype="Int64"
+                    ),
+                    "n_templates": pd.array(
+                        [m["n_templates"] for m in metas], dtype="Int64"
+                    ),
+                    "n_internal_links": pd.array(
+                        [m["n_internal_links"] for m in metas], dtype="Int64"
+                    ),
+                    "n_external_links": pd.array(
+                        [m["n_external_links"] for m in metas], dtype="Int64"
+                    ),
+                    "n_refs": pd.array(
+                        [m["n_refs"] for m in metas], dtype="Int64"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _WIKI_SCHEMA)
+
+
+QUERIES["qx57_wikitext_strip"] = _qx57
+ORACLE["qx57_wikitext_strip"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CASE fam
+            WHEN 0 THEN 'History ' || (doc_id % 9) || chr(10)
+                        || 'The topic ' || doc_id || ' began.' || chr(10)
+                        || 'point ' || (doc_id % 4)
+            WHEN 1 THEN 'See A' || (doc_id % 7) || ' and Page ' || doc_id
+                        || ' plus ext.'
+            WHEN 2 THEN 'Start ' || doc_id || '.End.'
+            WHEN 3 THEN 'Plain ' || doc_id || ' words here.'
+       END AS text,
+       CAST(CASE WHEN fam = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_sections,
+       CAST(CASE WHEN fam = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_templates,
+       CAST(CASE WHEN fam = 1 THEN 2 ELSE 0 END AS BIGINT)
+           AS n_internal_links,
+       CAST(CASE WHEN fam = 1 THEN 1 ELSE 0 END AS BIGINT)
+           AS n_external_links,
+       CAST(CASE WHEN fam = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_refs
+FROM v
+"""
 ORACLE["qx56_reply_strip"] = """
 WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
 SELECT doc_id,
