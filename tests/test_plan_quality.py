@@ -393,3 +393,44 @@ def test_session6_operator_plan_shapes(spark):
         assert m and m.group(1).startswith("doc_id"), (
             f"{name} scan must prune to doc_id: {m and m.group(1)}"
         )
+
+
+def test_session6b_operator_plan_shapes(spark):
+    """Plan pins for the second half of this session's operators."""
+    import re as _re
+
+    from pdf_spark.functions.registry import all_queries
+
+    q = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    # qs18 ANN join: bucket equi-joins only, per-query window is
+    # PARTITIONED by qid — no cartesian, no single-partition sort
+    plan = _plan(spark, q["qs18_ann_join"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert _re.search(r"hashpartitioning\(qid", plan)
+    # qt69 vocab growth: in-row arrays — no explode, no shuffle beyond
+    # the scan
+    plan = _plan(spark, q["qt69_vocab_growth"](spark, sf))
+    assert "Generate" not in plan and "Exchange" not in plan
+    # qg10 histogram: two aggregates, both map-side combined
+    plan = _plan(spark, q["qg10_degree_histogram"](spark, sf))
+    assert "partial_" in plan
+    # map-side doc-format extractors stay shuffle-free on pruned scans
+    for name in (
+        "qx52_xlsx_cells",
+        "qx53_pptx_text",
+        "qx54_ical_events",
+        "qx55_json_audit",
+        "qx56_reply_strip",
+        "qx57_wikitext_strip",
+        "qm41_png_integrity",
+        "qt70_script_spoof",
+    ):
+        plan = _plan(spark, q[name](spark, sf))
+        assert "Exchange" not in plan, f"{name} must stay shuffle-free"
+        m = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and m.group(1).startswith("doc_id"), (
+            f"{name} scan must prune to doc_id: {m and m.group(1)}"
+        )
