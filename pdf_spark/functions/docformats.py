@@ -1934,6 +1934,120 @@ def _qx57(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["qx57_wikitext_strip"] = _qx57
+
+# -- qx58: document-format router (the tier capstone, qm23's twin) -------------
+#
+# One cheap dispatch that routes EVERY document payload to its
+# extractor at header/directory cost: ZIP containers are told apart by
+# their MEMBER SET (word/ -> docx, xl/ -> xlsx, ppt/slides -> pptx,
+# META-INF/container.xml -> epub, ODF mimetype/content.xml -> odt,
+# else generic zip), non-zip by magic/framing (%PDF, {\rtf,
+# BEGIN:VCALENDAR, HTTP/, RFC-5322 header block, <html|<!doctype,
+# else text). The fixture cycles doc_id % 10 through the REAL fixture
+# writers of qx43/qx44/qx47/qx52/qx53 — the router must agree with
+# the extractors it routes to.
+
+
+def route_document(blob: bytes) -> str:
+    from pdf_spark.core.eml import _split_message
+    from pdf_spark.core.zipread import zip_entries, zip_find
+
+    entries = zip_entries(blob)
+    if entries:
+        names = {e["name"] for e in entries}
+        if "word/document.xml" in names:
+            return "docx"
+        if "xl/workbook.xml" in names:
+            return "xlsx"
+        if any(n.startswith("ppt/slides/slide") for n in names):
+            return "pptx"
+        if "META-INF/container.xml" in names:
+            return "epub"
+        if "content.xml" in names:
+            mt = zip_find(blob, "mimetype") or b""
+            if b"opendocument" in mt or "meta.xml" in names:
+                return "odt"
+        return "zip"
+    if blob.startswith(b"%PDF-"):
+        return "pdf"
+    if blob.startswith(b"{\\rtf"):
+        return "rtf"
+    head = blob[:2048]
+    if head.lstrip()[:15].upper().startswith(b"BEGIN:VCALENDAR"):
+        return "ical"
+    if head[:5] in (b"HTTP/", b"http/"):
+        return "http"
+    low = head.lstrip().lower()
+    if low.startswith((b"<html", b"<!doctype html")):
+        return "html"
+    if _split_message(blob) is not None:
+        return "eml"
+    return "text"
+
+
+_ROUTE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+    ]
+)
+
+_QX58_KINDS = (
+    "docx", "xlsx", "pptx", "epub", "odt",
+    "pdf", "rtf", "ical", "html", "eml",
+)
+
+
+def _qx58_make_blob(doc_id: int) -> bytes:
+    i = int(doc_id)
+    fam = i % 10
+    if fam == 0:
+        return _qx43_make_docx(5 * i)  # fam-0 docx (5i % 5 == 0)
+    if fam == 1:
+        return _qx52_make_xlsx(4 * i)  # fam-0 xlsx
+    if fam == 2:
+        return _qx53_make_pptx(4 * i)  # fam-0 pptx
+    if fam == 3:
+        return _qx44_make_epub(4 * i)  # fam-0 epub
+    if fam == 4:
+        return _qx47_make_odt(4 * i)  # fam-0 odt
+    if fam == 5:
+        return b"%PDF-1.7\n1 0 obj\n<<>>\nendobj\n%%EOF\n"
+    if fam == 6:
+        return _qx46_make_rtf(4 * i)  # fam-0 rtf
+    if fam == 7:
+        return _qx54_make_ical(4 * i)  # fam-0 ical
+    if fam == 8:
+        return f"<html><body><p>Page {i}</p></body></html>".encode()
+    return _qx45_make_eml(5 * i)  # fam-0 eml
+
+
+def _qx58(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "kind": [route_document(_qx58_make_blob(d)) for d in ids],
+                }
+            )
+
+    return docs.mapInPandas(run, _ROUTE_SCHEMA)
+
+
+QUERIES["qx58_doc_router"] = _qx58
+ORACLE["qx58_doc_router"] = """
+SELECT doc_id,
+       CASE doc_id % 10
+            WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx' WHEN 2 THEN 'pptx'
+            WHEN 3 THEN 'epub' WHEN 4 THEN 'odt' WHEN 5 THEN 'pdf'
+            WHEN 6 THEN 'rtf' WHEN 7 THEN 'ical' WHEN 8 THEN 'html'
+            ELSE 'eml' END AS kind
+FROM documents
+"""
 ORACLE["qx57_wikitext_strip"] = """
 WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
 SELECT doc_id,
