@@ -3435,3 +3435,41 @@ _pair(
     .replace("{FIRSTK}", "ws[1 : k]")
     .replace("{IDIV}", "//"),
 )
+
+
+# --- qt71: curriculum ordering (difficulty bands, shard-local positions) -------
+#
+# Curriculum schedules want easy->hard batches WITHOUT a global sort:
+# a global ROW_NUMBER is the qr38 SinglePartition killer, and training
+# shards only need intra-shard order anyway (loaders consume shards
+# independently). Difficulty = capped length band (integer, the cheap
+# public proxy; qt65's readability slots in the same ORDER BY);
+# position = ROW_NUMBER PARTITIONED BY the shard key, ordered by
+# (band, md5(doc_id)) so within a band the order is a deterministic
+# hash shuffle (qt48's epoch-shuffle move) with a unique tiebreak.
+# 100 TB: one hash shuffle on shard + per-partition sort, never a
+# global window.
+
+_QT71_BODY = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(doc_id % 16 AS BIGINT) AS shard,
+         CAST(LEAST(n_chars {IDIV} 150, 5) AS BIGINT) AS band
+  FROM documents)
+SELECT doc_id, shard, band,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY shard
+           ORDER BY band, md5({STR}), doc_id
+       ) AS BIGINT) AS pos
+FROM m
+"""
+
+_pair(
+    "qt71_curriculum_order",
+    _QT71_BODY.replace("{IDIV}", "DIV").replace(
+        "{STR}", "CAST(doc_id AS STRING)"
+    ),
+    _QT71_BODY.replace("{IDIV}", "//").replace(
+        "{STR}", "CAST(doc_id AS VARCHAR)"
+    ),
+)
