@@ -424,3 +424,59 @@ def stream_enrich_static(
              >= F.coalesce("min_chars", F.lit(0))).alias("passes_floor"),
         )
     )
+
+
+def stream_host_budget(
+    spark: SparkSession, pages_dir: str, cap: int = 5
+) -> DataFrame:
+    """Per-host CRAWL-BUDGET admission gate as explicit group state —
+    the bespoke stateful operator the per-domain budget comment above
+    promises concretely: each host may admit at most ``cap`` documents
+    over the LIFETIME of the stream; the admitted count carries across
+    micro-batches in ``applyInPandasWithState``, so a host that spends
+    its budget early admits nothing ever after, regardless of how many
+    batches later deliver its pages. Admission inside a batch is
+    deterministic (url order), and every admitted row carries its
+    budget rank for auditability — the streaming twin of qt61's batch
+    per-host caps. At 10^12 pages: state is O(hosts), the shuffle is
+    the one groupBy(host) every stateful operator pays.
+
+    Returns the unstarted stateful DataFrame (``outputMode("append")``).
+    """
+    from typing import Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = read_pages_stream(spark, pages_dir).select(
+        F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host"),
+        "url",
+    )
+
+    def admit(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (used,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            room = cap - used
+            if room <= 0:
+                continue
+            take = pdf.sort_values("url").head(room)
+            n = len(take)
+            yield pd.DataFrame(
+                {
+                    "host": take["host"],
+                    "url": take["url"],
+                    "budget_rank": range(used + 1, used + n + 1),
+                }
+            )
+            used += n
+        state.update((used,))
+
+    return stream.groupBy("host").applyInPandasWithState(
+        admit,
+        outputStructType="host string, url string, budget_rank long",
+        stateStructType="used long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

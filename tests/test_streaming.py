@@ -403,3 +403,48 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path):
     assert streamed.count() == len(texts)
     # default branch actually exercised: some lang outside the dim table
     assert streamed.filter("sample_weight = 1.0 AND min_chars = 0").count() > 0
+
+
+def test_stream_host_budget_lifetime_cap(spark, tmp_path):
+    """Per-host budget admits at most CAP docs per host across ALL
+    micro-batches, deterministically (url order), with audit ranks."""
+    from pdf_spark.gen.corpus import pages_from_documents
+    from pdf_spark.streaming.extract_stream import stream_host_budget
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = pages_from_documents(docs)
+    pages_dir = str(tmp_path / "pages")
+    pages.repartition(6).write.mode("overwrite").parquet(pages_dir)
+
+    cap = 3
+    q = (
+        stream_host_budget(spark, pages_dir, cap=cap)
+        .writeStream.format("memory")
+        .queryName("budget_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql("select * from budget_test").collect()
+    by_host: dict = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append((r["budget_rank"], r["url"]))
+    from pyspark.sql import functions as F
+
+    totals = {
+        r["host"]: r["n"]
+        for r in pages.select(
+            F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by_host, "stream produced no rows"
+    for host, pairs in by_host.items():
+        # never exceeds budget; ranks are exactly 1..k
+        assert len(pairs) == min(cap, totals[host])
+        assert sorted(p[0] for p in pairs) == list(range(1, len(pairs) + 1))
