@@ -2039,6 +2039,98 @@ def _qx58(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["qx58_doc_router"] = _qx58
+
+# -- qx59: HTML table grid normalization (core/tablegrid.py) -------------------
+#
+# qx09 mines raw cell text; DATA needs the HTML5 grid model — span
+# cells occupy rectangles and later cells shift past occupied slots.
+# fam = doc_id % 4: plain 2x2 / colspan header / rowspan shifting the
+# second row's cell into column 1 / no table. Grid certified by md5
+# over the 0x1F/0x1E dense-matrix stream.
+
+_GRID_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("has_table", IntegerType()),
+        StructField("n_rows", LongType()),
+        StructField("n_cols", LongType()),
+        StructField("n_spanned", LongType()),
+        StructField("grid_md5", StringType()),
+    ]
+)
+
+
+def _qx59_make_html(doc_id: int) -> str:
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 0:
+        return (
+            f"<table><tr><td>a{i}</td><td>b</td></tr>"
+            f"<tr><td>c</td><td>d{i % 5}</td></tr></table>"
+        )
+    if fam == 1:
+        return (
+            f'<table><tr><th colspan="2">H{i % 7}</th></tr>'
+            f"<tr><td>x{i}</td><td>y</td></tr></table>"
+        )
+    if fam == 2:
+        return (
+            f'<table><tr><td rowspan="2">L{i}</td><td>r1{i % 3}</td></tr>'
+            f"<tr><td>r2</td></tr></table>"
+        )
+    return f"<p>No tables {i} here</p>"
+
+
+def _qx59(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.tablegrid import table_grid
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [table_grid(_qx59_make_html(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "has_table": [m["has_table"] for m in metas],
+                    "n_rows": pd.array(
+                        [m["n_rows"] for m in metas], dtype="Int64"
+                    ),
+                    "n_cols": pd.array(
+                        [m["n_cols"] for m in metas], dtype="Int64"
+                    ),
+                    "n_spanned": pd.array(
+                        [m["n_spanned"] for m in metas], dtype="Int64"
+                    ),
+                    "grid_md5": [m["grid_md5"] for m in metas],
+                }
+            )
+
+    return docs.mapInPandas(run, _GRID_SCHEMA)
+
+
+QUERIES["qx59_table_grid"] = _qx59
+ORACLE["qx59_table_grid"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 3 THEN 0 ELSE 1 END AS INTEGER) AS has_table,
+       CAST(CASE WHEN fam = 3 THEN NULL ELSE 2 END AS BIGINT) AS n_rows,
+       CAST(CASE WHEN fam = 3 THEN NULL ELSE 2 END AS BIGINT) AS n_cols,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_spanned,
+       CASE fam
+            WHEN 0 THEN md5('a' || doc_id || chr(31) || 'b' || chr(30)
+                 || 'c' || chr(31) || 'd' || (doc_id % 5))
+            WHEN 1 THEN md5('H' || (doc_id % 7) || chr(31)
+                 || 'H' || (doc_id % 7) || chr(30)
+                 || 'x' || doc_id || chr(31) || 'y')
+            WHEN 2 THEN md5('L' || doc_id || chr(31)
+                 || 'r1' || (doc_id % 3) || chr(30)
+                 || 'L' || doc_id || chr(31) || 'r2')
+       END AS grid_md5
+FROM v
+"""
 ORACLE["qx58_doc_router"] = """
 SELECT doc_id,
        CASE doc_id % 10
