@@ -3996,3 +3996,85 @@ def png_integrity(data: bytes) -> dict:
         "has_iend": has_iend,
         "truncated": truncated,
     }
+
+
+# --- JPEG structural integrity audit (segment walk) --------------------------------
+
+
+def jpeg_integrity(data: bytes) -> dict:
+    """Segment-level JPEG integrity at walk cost — the qm41 gate for the
+    web's other dominant format: marker-segment walk (standalone vs
+    length-carrying markers per the JFIF grammar), entropy-coded scan
+    skipped by byte-stuffing rules (FF00 and restart markers D0-D7 are
+    data, anything else ends the scan), EOI-terminator check, truncation
+    flag. Also routes the two payloads later tiers care about: an EXIF
+    APP1 and an ICC APP2. No pixel decoded."""
+    null = {
+        "is_jpeg": 0,
+        "n_segments": None,
+        "has_eoi": None,
+        "truncated": None,
+        "has_exif": None,
+        "has_icc": None,
+    }
+    if data[:2] != b"\xff\xd8":
+        return null
+    pos = 2
+    n_seg = 0
+    has_eoi = has_exif = has_icc = 0
+    truncated = 0
+    n = len(data)
+    while True:
+        if pos + 2 > n:
+            truncated = 1
+            break
+        if data[pos] != 0xFF:
+            truncated = 1  # marker expected; garbage instead
+            break
+        while pos < n and data[pos] == 0xFF:
+            pos += 1  # fill bytes
+        if pos >= n:
+            truncated = 1
+            break
+        marker = data[pos]
+        pos += 1
+        if marker == 0xD9:  # EOI
+            has_eoi = 1
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            n_seg += 1
+            continue
+        if pos + 2 > n:
+            truncated = 1
+            break
+        length = (data[pos] << 8) | data[pos + 1]
+        if length < 2 or pos + length > n:
+            truncated = 1
+            break
+        payload = data[pos + 2 : pos + length]
+        n_seg += 1
+        if marker == 0xE1 and payload.startswith(b"Exif\x00\x00"):
+            has_exif = 1
+        elif marker == 0xE2 and payload.startswith(b"ICC_PROFILE\x00"):
+            has_icc = 1
+        pos += length
+        if marker == 0xDA:  # SOS: skip entropy-coded data
+            while pos + 1 < n:
+                if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (
+                    0xD0 <= data[pos + 1] <= 0xD7
+                ):
+                    break
+                pos += 1
+            else:
+                truncated = 1
+                break
+            if truncated:
+                break
+    return {
+        "is_jpeg": 1,
+        "n_segments": n_seg,
+        "has_eoi": has_eoi,
+        "truncated": truncated,
+        "has_exif": has_exif,
+        "has_icc": has_icc,
+    }

@@ -2111,6 +2111,103 @@ def _qx59(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["qx59_table_grid"] = _qx59
+
+# -- qm42: JPEG structural integrity audit (core/imaging.py) -------------------
+#
+# qm41's reject-before-decode gate for the web's other dominant image
+# format: marker-segment walk with byte-stuffing-aware scan skip.
+# fam = doc_id % 4: valid baseline (5 segments + EOI) / EXIF-spliced
+# (6 segments, has_exif) / cut right before SOS (4 segments,
+# truncated, no EOI) / not-a-jpeg.
+
+_JPEGI_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("is_jpeg", IntegerType()),
+        StructField("n_segments", LongType()),
+        StructField("has_eoi", IntegerType()),
+        StructField("truncated", IntegerType()),
+        StructField("has_exif", IntegerType()),
+        StructField("has_icc", IntegerType()),
+    ]
+)
+
+
+def _qm42_make_jpeg(doc_id: int) -> bytes:
+    from pdf_spark.core.imaging import (
+        encode_exif_app1,
+        encode_jpeg,
+        splice_exif,
+    )
+
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 3:
+        return b"\x89PNG\r\n\x1a\n" + bytes((i + k) % 256 for k in range(8))
+    dc = (i * 13) % 192 + 32
+    full = encode_jpeg(32, 16, [(dc, 0) for _ in range(8)])
+    if fam == 0:
+        return full
+    if fam == 1:
+        return splice_exif(
+            full,
+            encode_exif_app1(
+                orientation=1 + i % 8, make="Cam", pix_x=32, pix_y=16
+            ),
+        )
+    return full[: full.find(b"\xff\xda")]
+
+
+def _qm42(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.imaging import jpeg_integrity
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [jpeg_integrity(_qm42_make_jpeg(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "is_jpeg": [m["is_jpeg"] for m in metas],
+                    "n_segments": pd.array(
+                        [m["n_segments"] for m in metas], dtype="Int64"
+                    ),
+                    "has_eoi": pd.array(
+                        [m["has_eoi"] for m in metas], dtype="Int32"
+                    ),
+                    "truncated": pd.array(
+                        [m["truncated"] for m in metas], dtype="Int32"
+                    ),
+                    "has_exif": pd.array(
+                        [m["has_exif"] for m in metas], dtype="Int32"
+                    ),
+                    "has_icc": pd.array(
+                        [m["has_icc"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _JPEGI_SCHEMA)
+
+
+QUERIES["qm42_jpeg_integrity"] = _qm42
+ORACLE["qm42_jpeg_integrity"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 3 THEN 0 ELSE 1 END AS INTEGER) AS is_jpeg,
+       CAST(CASE fam WHEN 0 THEN 5 WHEN 1 THEN 6
+                     WHEN 2 THEN 4 END AS BIGINT) AS n_segments,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam = 2 THEN 0 ELSE 1 END AS INTEGER) AS has_eoi,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam = 2 THEN 1 ELSE 0 END AS INTEGER) AS truncated,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam = 1 THEN 1 ELSE 0 END AS INTEGER) AS has_exif,
+       CAST(CASE WHEN fam = 3 THEN NULL ELSE 0 END AS INTEGER) AS has_icc
+FROM v
+"""
 ORACLE["qx59_table_grid"] = """
 WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
 SELECT doc_id,

@@ -90,3 +90,24 @@ def test_png_integrity_walk():
     m = png_integrity(ok[:40])
     assert m["truncated"] == 1 and m["n_chunks"] == 1
     assert png_integrity(b"JFIF")["is_png"] == 0
+
+
+def test_jpeg_integrity_walk():
+    from pdf_spark.core.imaging import (
+        encode_exif_app1,
+        encode_jpeg,
+        jpeg_integrity,
+        splice_exif,
+    )
+
+    full = encode_jpeg(32, 16, [(100, 0) for _ in range(8)])
+    m = jpeg_integrity(full)
+    assert m["has_eoi"] == 1 and m["truncated"] == 0
+    assert m["n_segments"] == 5
+    ex = splice_exif(full, encode_exif_app1(orientation=3, make="C"))
+    m = jpeg_integrity(ex)
+    assert m["has_exif"] == 1 and m["n_segments"] == 6
+    cut = full[: full.find(b"\xff\xda")]
+    m = jpeg_integrity(cut)
+    assert m["truncated"] == 1 and m["has_eoi"] == 0
+    assert jpeg_integrity(b"\x89PNG")["is_jpeg"] == 0
