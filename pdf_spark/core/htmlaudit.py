@@ -246,3 +246,54 @@ def hidden_audit(data: bytes) -> dict:
         "n_hidden_nodes": n_nodes,
         "hidden_milli": (1000 * hidden_c) // total if total else 0,
     }
+
+
+# --- soft-redirect / doorway-page audit ----------------------------------------
+
+_JS_REDIRECT_RE = re.compile(
+    r"(?:window\.)?location(?:\.href)?\s*=" r"|location\.replace\s*\(",
+)
+_REFRESH_RE = re.compile(r"^\s*(\d{1,6})\s*(?:;\s*url\s*=\s*(\S+))?", re.I)
+_HOST_RE = re.compile(r"^https?://([^/?#]+)", re.I)
+_SCRIPT_RE = re.compile(r"<script\b[^>]*>(.*?)</script\s*>", re.S | re.I)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+
+
+def soft_redirects(data: bytes) -> dict:
+    """Meta-refresh + JS-location soft redirects — the doorway-page
+    signal: pages whose only content is an instant hop are crawler
+    chaff (and frequent cloaking vehicles; composes with qx42's hidden
+    audit and qg04's hard-redirect resolution). Meta channel via the
+    shared rawtext-safe tokenizer (a refresh string in BODY TEXT can't
+    flag); JS channel scans only genuine <script> bodies with HTML
+    comments stripped first (a commented-out decoy can't flag).
+    ``is_doorway`` = instant meta refresh (delay 0) or any JS redirect."""
+    html_text = decode_html(data)
+    delay = None
+    target_host = None
+    for attrs in _scan_meta_attrs(html_text):
+        if attrs.get("http-equiv", "").strip().lower() != "refresh":
+            continue
+        m = _REFRESH_RE.match(attrs.get("content", ""))
+        if m:
+            delay = int(m.group(1))
+            if m.group(2):
+                hm = _HOST_RE.match(m.group(2).strip("'\""))
+                if hm:
+                    target_host = hm.group(1).lower()
+            break
+    stripped = _COMMENT_RE.sub("", html_text)
+    has_js = int(
+        any(
+            _JS_REDIRECT_RE.search(_COMMENT_RE.sub("", body))
+            for body in _SCRIPT_RE.findall(stripped)
+        )
+    )
+    has_refresh = int(delay is not None)
+    return {
+        "has_meta_refresh": has_refresh,
+        "refresh_delay": delay,
+        "refresh_target_host": target_host,
+        "has_js_redirect": has_js,
+        "is_doorway": int(delay == 0 or has_js == 1),
+    }

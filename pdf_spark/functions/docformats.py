@@ -2193,6 +2193,105 @@ def _qm42(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["qm42_jpeg_integrity"] = _qm42
+
+# -- qx60: soft-redirect / doorway audit (core/htmlaudit.py) -------------------
+#
+# Pages whose only content is an instant hop are crawler chaff and
+# cloaking vehicles. fam = doc_id % 5: meta refresh with target host
+# (doorway iff delay 0) / JS location redirect / decoys (refresh
+# string in body text + commented-out script) / instant refresh
+# without url / plain page.
+
+_REDIR_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("has_meta_refresh", IntegerType()),
+        StructField("refresh_delay", LongType()),
+        StructField("refresh_target_host", StringType()),
+        StructField("has_js_redirect", IntegerType()),
+        StructField("is_doorway", IntegerType()),
+    ]
+)
+
+
+def _qx60_make_html(doc_id: int) -> bytes:
+    i = int(doc_id)
+    fam = i % 5
+    if fam == 0:
+        return (
+            f'<html><meta http-equiv="Refresh" content="{i % 10};'
+            f'url=https://CDN{i % 3}.Example.com/p/{i}">'
+            f"<body>moved {i}</body></html>"
+        ).encode()
+    if fam == 1:
+        return (
+            f"<html><script>window.location.href = '/new/{i}';"
+            f"</script></html>"
+        ).encode()
+    if fam == 2:
+        return (
+            f"<html><p>refresh content=0;url=x {i}</p>"
+            f"<script><!-- location.href='/decoy'; --></script></html>"
+        ).encode()
+    if fam == 3:
+        return (
+            f'<html><meta http-equiv="refresh" content="0">'
+            f"<body>gone {i}</body></html>"
+        ).encode()
+    return f"<html><p>plain page {i}</p></html>".encode()
+
+
+def _qx60(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.htmlaudit import soft_redirects
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [soft_redirects(_qx60_make_html(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "has_meta_refresh": pd.array(
+                        [m["has_meta_refresh"] for m in metas], dtype="Int32"
+                    ),
+                    "refresh_delay": pd.array(
+                        [m["refresh_delay"] for m in metas], dtype="Int64"
+                    ),
+                    "refresh_target_host": [
+                        m["refresh_target_host"] for m in metas
+                    ],
+                    "has_js_redirect": pd.array(
+                        [m["has_js_redirect"] for m in metas], dtype="Int32"
+                    ),
+                    "is_doorway": pd.array(
+                        [m["is_doorway"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _REDIR_SCHEMA)
+
+
+QUERIES["qx60_soft_redirects"] = _qx60
+ORACLE["qx60_soft_redirects"] = """
+WITH v AS (SELECT doc_id, doc_id % 5 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam IN (0, 3) THEN 1 ELSE 0 END AS INTEGER)
+           AS has_meta_refresh,
+       CAST(CASE WHEN fam = 0 THEN doc_id % 10
+                 WHEN fam = 3 THEN 0 END AS BIGINT) AS refresh_delay,
+       CASE WHEN fam = 0
+            THEN 'cdn' || (doc_id % 3) || '.example.com' END
+           AS refresh_target_host,
+       CAST(CASE WHEN fam = 1 THEN 1 ELSE 0 END AS INTEGER)
+           AS has_js_redirect,
+       CAST(CASE WHEN fam = 1 OR fam = 3 THEN 1
+                 WHEN fam = 0 AND doc_id % 10 = 0 THEN 1
+                 ELSE 0 END AS INTEGER) AS is_doorway
+FROM v
+"""
 ORACLE["qm42_jpeg_integrity"] = """
 WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
 SELECT doc_id,

@@ -3473,3 +3473,42 @@ _pair(
         "{STR}", "CAST(doc_id AS VARCHAR)"
     ),
 )
+
+
+# --- qt72: dataset card rollup (the per-source datasheet) ---------------------
+#
+# Every released corpus ships a datasheet; the numbers in it are ONE
+# grouped pass over the corpus: doc/lang counts, token+char volume,
+# exact-dup count (docs minus distinct content hashes — md5 collisions
+# are not a 10^12-scale concern and both engines hash identically),
+# and the length envelope. One groupBy(source) with map-side partials;
+# COUNT(DISTINCT md5) is the only expensive aggregate and it shuffles
+# on (source, hash) — hash-even by construction.
+
+_QT72_BODY = """
+WITH t AS (
+  SELECT source, lang, n_chars,
+         {LEN}({SPLIT}) AS n_words,
+         md5(text) AS h
+  FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM t
+GROUP BY source
+"""
+
+_pair(
+    "qt72_dataset_card",
+    _QT72_BODY.replace("{LEN}", "size").replace(
+        "{SPLIT}", "split(text, ' ')"
+    ),
+    _QT72_BODY.replace("{LEN}", "len").replace(
+        "{SPLIT}", "string_split(text, ' ')"
+    ),
+)

@@ -731,3 +731,25 @@ def test_hidden_audit_clean_and_empty():
     # negative margins under 3 digits are layout, not cloaking
     r = hidden_audit(b'<body><p style="left:-20px">xy</p></body>')
     assert r["hidden_chars"] == 0 and r["visible_chars"] == 2
+
+
+def test_soft_redirects_channels_and_decoys():
+    from pdf_spark.core.htmlaudit import soft_redirects
+
+    m = soft_redirects(
+        b'<html><meta http-equiv="Refresh" '
+        b'content="5;url=https://CDN.Example.com/x"></html>'
+    )
+    assert m["has_meta_refresh"] == 1 and m["refresh_delay"] == 5
+    assert m["refresh_target_host"] == "cdn.example.com"
+    assert m["is_doorway"] == 0  # delayed refresh is not a doorway
+    m = soft_redirects(b"<script>location.replace('/x')</script>")
+    assert m["has_js_redirect"] == 1 and m["is_doorway"] == 1
+    # decoys: refresh text in body, commented-out JS, script-in-rawtext
+    m = soft_redirects(
+        b"<html><p>content=0;url=x</p>"
+        b"<script><!-- window.location.href='/d'; --></script></html>"
+    )
+    assert m["has_meta_refresh"] == 0 and m["has_js_redirect"] == 0
+    m = soft_redirects(b'<meta http-equiv="refresh" content="0">')
+    assert m["refresh_delay"] == 0 and m["is_doorway"] == 1
