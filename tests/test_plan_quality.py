@@ -434,3 +434,35 @@ def test_session6b_operator_plan_shapes(spark):
         assert m and m.group(1).startswith("doc_id"), (
             f"{name} scan must prune to doc_id: {m and m.group(1)}"
         )
+
+
+def test_session6c_operator_plan_shapes(spark):
+    """Plan pins for the close-of-session operators."""
+    import re as _re
+
+    from pdf_spark.functions.registry import all_queries
+
+    q = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    # qt71 curriculum: the position window is PARTITIONED by shard —
+    # never a global (SinglePartition) sort
+    plan = _plan(spark, q["qt71_curriculum_order"](spark, sf))
+    assert "SinglePartition" not in plan
+    assert _re.search(r"hashpartitioning\(shard", plan)
+    # qt72 dataset card: one grouped pass with map-side partials
+    plan = _plan(spark, q["qt72_dataset_card"](spark, sf))
+    assert "partial_" in plan
+    # map-side extractors stay shuffle-free on pruned scans
+    for name in (
+        "qx58_doc_router",
+        "qx59_table_grid",
+        "qx60_soft_redirects",
+        "qm42_jpeg_integrity",
+    ):
+        plan = _plan(spark, q[name](spark, sf))
+        assert "Exchange" not in plan, f"{name} must stay shuffle-free"
+        m = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and m.group(1).startswith("doc_id"), (
+            f"{name} scan must prune to doc_id: {m and m.group(1)}"
+        )
