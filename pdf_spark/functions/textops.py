@@ -3512,3 +3512,54 @@ _pair(
         "{SPLIT}", "string_split(text, ' ')"
     ),
 )
+
+
+# --- qt73: spam-lexicon scoring (SEO-spam wordlist gate) ----------------------
+#
+# The cheapest unsafe/spam gate every web-quality stack carries: count
+# hits against a commercial-spam lexicon (the public SEO-spam term
+# class — gambling/pharma/finance bait), distinct terms hit, integer
+# per-mille density (one floor divide, qt65 discipline), flag at >= 2
+# hits. The corpus word-soup carries no spam terms, so the page text
+# is AUGMENTED deterministically in-query (doc_id % 7 residues append
+# known spam runs) — both engines build the identical string, the
+# counts pin the scorer. Spark stays in-row: filter/array_distinct
+# over the split array, zero explode, zero shuffle.
+
+_QT73_LEX = "'casino', 'jackpot', 'viagra', 'lottery', 'forex'"
+
+_QT73_BODY = """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+                THEN text || ' casino jackpot casino'
+              WHEN doc_id % 7 = 3 THEN text || ' viagra'
+              ELSE text END AS t
+  FROM documents),
+w AS (SELECT doc_id, {SPLIT} AS ws FROM aug)
+SELECT doc_id,
+       CAST({LEN}(ws) AS BIGINT) AS n_words,
+       CAST({LEN}({FILT}(ws, x -> x IN ({LEX}))) AS BIGINT) AS n_hits,
+       CAST({LEN}({DISTINCT}({FILT}(ws, x -> x IN ({LEX}))))
+            AS BIGINT) AS n_terms,
+       CAST((1000 * {LEN}({FILT}(ws, x -> x IN ({LEX}))))
+            {IDIV} {LEN}(ws) AS BIGINT) AS spam_permille,
+       ({LEN}({FILT}(ws, x -> x IN ({LEX}))) >= 2) AS is_spam
+FROM w
+"""
+
+_pair(
+    "qt73_spam_lexicon",
+    _QT73_BODY.replace("{SPLIT}", "split(t, ' ')")
+    .replace("{LEN}", "size")
+    .replace("{FILT}", "filter")
+    .replace("{DISTINCT}", "array_distinct")
+    .replace("{LEX}", _QT73_LEX)
+    .replace("{IDIV}", "DIV"),
+    _QT73_BODY.replace("{SPLIT}", "string_split(t, ' ')")
+    .replace("{LEN}", "len")
+    .replace("{FILT}", "list_filter")
+    .replace("{DISTINCT}", "list_distinct")
+    .replace("{LEX}", _QT73_LEX)
+    .replace("{IDIV}", "//"),
+)
