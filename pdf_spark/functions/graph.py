@@ -550,3 +550,88 @@ QUERIES["qg10_degree_histogram"] = lambda spark, sf: (
 ORACLE["qg10_degree_histogram"] = _QG10_BODY.replace(
     "{EDGE_SRC}", _EDGE_SRC_DUCK
 )
+
+
+# --- qg11: large-star / small-star connected components -------------------------
+#
+# The canonical shuffle-bounded CC algorithm (Kiveris et al. 2014,
+# "Connected Components in MapReduce and Beyond") as the algorithmic
+# complement to qt14's min-label propagation: alternating LARGE-STAR
+# (every neighbor v > u repoints to u's star minimum — strictly
+# decreases large-neighbor edges) and SMALL-STAR (neighbors v <= u and
+# u itself repoint to the minimum) rounds converge in O(log^2 n) with
+# per-round cost ONE groupBy(u) for the star minima + one join back —
+# never a transitive closure. Two full LS/SS iterations are unrolled
+# as shared CTE text so both engines execute the identical plan; what
+# the oracle certifies is the ROUND SEMANTICS (labels after the fixed
+# iterations are deterministic), not full convergence — on the
+# synthetic single-component graph two iterations contract 500 nodes
+# to ~30 partial stars (measured), and a production run iterates
+# LS/SS to fixpoint exactly like qt14's loop does, with each further
+# round the same one-groupBy + one-join shape certified here.
+
+_QG11_STEP = """
+sym{K} AS (
+  SELECT u, v FROM {SRC} WHERE u <> v
+  UNION
+  SELECT v, u FROM {SRC} WHERE u <> v
+),
+min{K} AS (
+  SELECT u, LEAST(u, MIN(v)) AS m FROM sym{K} GROUP BY u
+),
+{OUT} AS (
+  SELECT s.v AS u, m.m AS v
+  FROM sym{K} s JOIN min{K} m ON s.u = m.u
+  WHERE {COND}
+  {EXTRA}
+)"""
+
+
+def _qg11_sql(edge_src: str) -> str:
+    parts = [
+        "WITH deg AS (SELECT doc_id AS u, CAST(doc_id % 3 + 1 AS BIGINT)"
+        " AS d FROM documents),",
+        "edges AS (SELECT u, CAST((u * 7 + k) % (SELECT COUNT(*) FROM"
+        " documents) AS BIGINT) AS v FROM " + edge_src + "),",
+    ]
+    src = "edges"
+    k = 0
+    for _round in range(2):
+        # large-star
+        k += 1
+        parts.append(
+            _QG11_STEP.format(
+                K=k, SRC=src, OUT=f"ls{k}", COND="s.v > s.u", EXTRA=""
+            ).lstrip("\n")
+            + ","
+        )
+        src = f"ls{k}"
+        # small-star
+        k += 1
+        parts.append(
+            _QG11_STEP.format(
+                K=k,
+                SRC=src,
+                OUT=f"ss{k}",
+                COND="s.v <= s.u",
+                EXTRA=f"UNION SELECT u, m FROM min{k}",
+            ).lstrip("\n")
+            + ","
+        )
+        src = f"ss{k}"
+    parts.append(
+        f"final_sym AS (SELECT u, v FROM {src} WHERE u <> v"
+        f" UNION SELECT v, u FROM {src} WHERE u <> v)"
+    )
+    parts.append(
+        "SELECT u AS node, CAST(LEAST(u, MIN(v)) AS BIGINT) AS label"
+        " FROM final_sym GROUP BY u"
+    )
+    return "\n".join(parts)
+
+
+QUERIES["qg11_star_components"] = lambda spark, sf: (
+    register_views(spark, sf)
+    or spark.sql(_qg11_sql(_EDGE_SRC_SPARK))
+)
+ORACLE["qg11_star_components"] = _qg11_sql(_EDGE_SRC_DUCK)
