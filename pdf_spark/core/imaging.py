@@ -4078,3 +4078,46 @@ def jpeg_integrity(data: bytes) -> dict:
         "has_exif": has_exif,
         "has_icc": has_icc,
     }
+
+
+# --- Dominant-color histogram (64-bucket RGB quantization) -------------------------
+
+
+def color_histogram(blob: bytes) -> dict:
+    """Coarse color profile over REAL decoded pixels — the routing
+    signal image-dedup and thumbnail pipelines use before any model:
+    quantize each pixel to a 4x4x4 RGB bucket (2 high bits per channel,
+    grayscale replicated), report the dominant bucket, its per-mille
+    share (floor divide), and how many buckets the image touches —
+    near-monochrome assets (logos, placeholders, tracking pixels)
+    separate from photographs on n_buckets alone. Integer-exact."""
+    null = {
+        "is_image": 0,
+        "dominant_bucket": None,
+        "dominant_permille": None,
+        "n_buckets": None,
+    }
+    try:
+        w, h, ch, samples = _pixels(bytes(blob))
+    except (ValueError, KeyError, IndexError, struct.error):
+        return null
+    counts: dict[int, int] = {}
+    n = w * h
+    for p in range(n):
+        if ch >= 3:
+            r, g, b = (
+                samples[p * ch],
+                samples[p * ch + 1],
+                samples[p * ch + 2],
+            )
+        else:
+            r = g = b = samples[p * ch]
+        bucket = (r >> 6) * 16 + (g >> 6) * 4 + (b >> 6)
+        counts[bucket] = counts.get(bucket, 0) + 1
+    dom = max(counts, key=lambda k: (counts[k], -k))
+    return {
+        "is_image": 1,
+        "dominant_bucket": dom,
+        "dominant_permille": 1000 * counts[dom] // n,
+        "n_buckets": len(counts),
+    }

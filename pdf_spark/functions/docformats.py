@@ -2275,6 +2275,90 @@ def _qx60(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["qx60_soft_redirects"] = _qx60
+
+# -- qm43: dominant-color histogram over real decoded pixels -------------------
+#
+# 64-bucket RGB quantization over the REAL PNG decode path: the
+# routing signal image dedup/thumbnailing uses before any model —
+# near-monochrome assets separate from photos on n_buckets alone.
+# fam = doc_id % 3: two-color RGB with 250/750 proportions flipping by
+# parity / constant grayscale (single bucket 21*(v>>6), 1000 permille)
+# / not-an-image.
+
+_COLOR_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("is_image", IntegerType()),
+        StructField("dominant_bucket", LongType()),
+        StructField("dominant_permille", LongType()),
+        StructField("n_buckets", LongType()),
+    ]
+)
+
+
+def _qm43_make_png(doc_id: int) -> bytes:
+    from pdf_spark.core.imaging import encode_png
+
+    i = int(doc_id)
+    fam = i % 3
+    if fam == 2:
+        return b"not an image " + bytes((i + k) % 256 for k in range(8))
+    if fam == 0:
+        q = 8 if i % 2 == 0 else 24  # red pixels; rest blue — never a tie
+        px = bytearray()
+        for p in range(32):
+            px += bytes((200, 10, 10) if p < q else (10, 10, 200))
+        return encode_png(8, 4, 3, px)
+    v = i % 256
+    return encode_png(6, 6, 1, bytearray([v]) * 36)
+
+
+def _qm43(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.imaging import color_histogram
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [color_histogram(_qm43_make_png(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "is_image": [m["is_image"] for m in metas],
+                    "dominant_bucket": pd.array(
+                        [m["dominant_bucket"] for m in metas], dtype="Int64"
+                    ),
+                    "dominant_permille": pd.array(
+                        [m["dominant_permille"] for m in metas], dtype="Int64"
+                    ),
+                    "n_buckets": pd.array(
+                        [m["n_buckets"] for m in metas], dtype="Int64"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _COLOR_SCHEMA)
+
+
+QUERIES["qm43_color_histogram"] = _qm43
+ORACLE["qm43_color_histogram"] = """
+WITH v AS (SELECT doc_id, doc_id % 3 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 2 THEN 0 ELSE 1 END AS INTEGER) AS is_image,
+       CAST(CASE WHEN fam = 2 THEN NULL
+                 WHEN fam = 0 THEN
+                      CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 48 END
+                 ELSE 21 * ((doc_id % 256) // 64)
+            END AS BIGINT) AS dominant_bucket,
+       CAST(CASE WHEN fam = 2 THEN NULL
+                 WHEN fam = 0 THEN 750 ELSE 1000
+            END AS BIGINT) AS dominant_permille,
+       CAST(CASE WHEN fam = 2 THEN NULL
+                 WHEN fam = 0 THEN 2 ELSE 1
+            END AS BIGINT) AS n_buckets
+FROM v
+"""
 ORACLE["qx60_soft_redirects"] = """
 WITH v AS (SELECT doc_id, doc_id % 5 AS fam FROM documents)
 SELECT doc_id,
