@@ -3563,3 +3563,69 @@ _pair(
     .replace("{LEX}", _QT73_LEX)
     .replace("{IDIV}", "//"),
 )
+
+
+# --- qt74: corpus-build pipeline manifest (stage-composition capstone) --------
+#
+# The individual stages are certified one by one (qt03 quality, qt04
+# langid, qt01 exact dedup, qt61 host caps, qt71 curriculum); what a
+# RELEASE needs is their COMPOSITION in one auditable pass: every doc
+# gets a kept/dropped verdict with the FIRST failing stage as its
+# reason (the lineage a datasheet cites), survivors get their final
+# shard + curriculum position. Stage order is the production order —
+# dedup ranks only length/lang survivors (dropping garbage first makes
+# the dup key-space smaller), host caps rank only dedup survivors.
+# 100 TB: three windows, each PARTITIONED by a bounded key (content
+# hash / host / shard) — no global sort anywhere; the final LEFT JOIN
+# back to the full corpus is a hash join on doc_id.
+
+_QT74_BODY = """
+WITH base AS (
+  SELECT doc_id, source, lang, n_chars, md5(text) AS h
+  FROM documents),
+flagged AS (
+  SELECT *,
+         (n_chars >= 100) AS ok_len,
+         lang IN ('en', 'fr', 'de', 'es') AS ok_lang
+  FROM base),
+surv1 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS dup_rank
+  FROM flagged WHERE ok_len AND ok_lang),
+surv2 AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY md5({STR}), doc_id) AS host_rank
+  FROM surv1 WHERE dup_rank = 1),
+kept AS (
+  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+         CAST(LEAST(n_chars {IDIV} 150, 5) AS BIGINT) AS band
+  FROM surv2 WHERE host_rank <= 20),
+placed AS (
+  SELECT doc_id, shard,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY shard ORDER BY band, md5({STR}), doc_id
+         ) AS BIGINT) AS pos
+  FROM kept)
+SELECT b.doc_id,
+       (p.doc_id IS NOT NULL) AS kept,
+       CASE WHEN NOT f.ok_len THEN 'too_short'
+            WHEN NOT f.ok_lang THEN 'lang'
+            WHEN s1.dup_rank > 1 THEN 'duplicate'
+            WHEN s2.host_rank > 20 THEN 'host_cap'
+            ELSE 'kept' END AS reason,
+       p.shard, p.pos
+FROM base b
+JOIN flagged f ON b.doc_id = f.doc_id
+LEFT JOIN surv1 s1 ON b.doc_id = s1.doc_id
+LEFT JOIN surv2 s2 ON b.doc_id = s2.doc_id
+LEFT JOIN placed p ON b.doc_id = p.doc_id
+"""
+
+_pair(
+    "qt74_pipeline_manifest",
+    _QT74_BODY.replace("{STR}", "CAST(doc_id AS STRING)").replace(
+        "{IDIV}", "DIV"
+    ),
+    _QT74_BODY.replace("{STR}", "CAST(doc_id AS VARCHAR)").replace(
+        "{IDIV}", "//"
+    ),
+)
