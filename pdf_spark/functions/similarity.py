@@ -905,3 +905,55 @@ _pair(
         "{EXPLODE}", _EXPLODE_DUCK
     ),
 )
+
+
+# --- qs19: JL projection fidelity audit (sign agreement, integer-exact) ---------
+#
+# The CONTRACT check for qs17's 8-dim ±1 projection: on a fixed probe
+# set of vector pairs (every vec_id % 41 = 0 paired with id+17, pairs
+# past the table edge dropped by the inner join identically in both
+# engines), compare the SIGN of the exact fixed-point dot product in
+# the original 64-dim space against the sign in the projected 8-dim
+# space. Everything is BIGINT (qs09 fixed-point components, qs17
+# exact-BIGINT projections, integer products) so the audit is engine-
+# exact — the qs13 recall-contract pattern applied to the JL tier.
+
+_QS19_PAIR_DOT = " + ".join(f"a.p{k} * b.p{k}" for k in range(_QS17_K))
+
+_QS19_BODY = """
+WITH proj AS ({PROJ}),
+vecpos AS ({EXPLODE}),
+fx AS (
+  SELECT vec_id, pos,
+         CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
+  FROM vecpos),
+pairs AS (
+  SELECT vec_id AS va, vec_id + 17 AS vb FROM embeddings
+  WHERE vec_id % 41 = 0),
+orig AS (
+  SELECT p.va, p.vb, SUM(fa.q * fb.q) AS dot0
+  FROM pairs p
+  JOIN fx fa ON fa.vec_id = p.va
+  JOIN fx fb ON fb.vec_id = p.vb AND fb.pos = fa.pos
+  GROUP BY p.va, p.vb),
+pd AS (
+  SELECT p.va, p.vb, ({PAIRDOT}) AS dotp
+  FROM pairs p
+  JOIN proj a ON a.vec_id = p.va
+  JOIN proj b ON b.vec_id = p.vb)
+SELECT o.va, o.vb,
+       CAST(SIGN(o.dot0) AS BIGINT) AS sign_orig,
+       CAST(SIGN(pd.dotp) AS BIGINT) AS sign_proj,
+       (SIGN(o.dot0) = SIGN(pd.dotp)) AS agree
+FROM orig o JOIN pd ON o.va = pd.va AND o.vb = pd.vb
+"""
+
+_pair(
+    "qs19_jl_fidelity",
+    _QS19_BODY.replace("{PROJ}", _QS17_SPARK)
+    .replace("{EXPLODE}", _EXPLODE_SPARK)
+    .replace("{PAIRDOT}", _QS19_PAIR_DOT),
+    _QS19_BODY.replace("{PROJ}", _QS17_DUCK)
+    .replace("{EXPLODE}", _EXPLODE_DUCK)
+    .replace("{PAIRDOT}", _QS19_PAIR_DOT),
+)
