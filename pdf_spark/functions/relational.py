@@ -1518,3 +1518,47 @@ def qr44(spark: SparkSession, sf: str) -> DataFrame:
     on DuckDB with // as the integer-divide spelling."""
     register_views(spark, sf)
     return spark.sql(_QR44_BODY.replace("{IDIV}", "DIV"))
+
+
+# -- qr45: OUTER explode — empty-collection rows must SURVIVE --------------------
+
+_QR45_SPARK = """
+WITH w AS (
+  SELECT doc_id,
+         filter(split(text, ' '), x -> length(x) >= 12) AS longs
+  FROM documents)
+SELECT doc_id, word,
+       CAST((word IS NULL) AS BOOLEAN) AS had_no_long_words
+FROM w
+LATERAL VIEW OUTER explode(longs) t AS word
+"""
+
+_QR45_DUCK = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> length(x) >= 12) AS longs
+  FROM documents),
+e AS (
+  SELECT doc_id, unnest(longs) AS word FROM w WHERE len(longs) > 0)
+SELECT w.doc_id, e.word,
+       CAST((e.word IS NULL) AS BOOLEAN) AS had_no_long_words
+FROM w LEFT JOIN e ON w.doc_id = e.doc_id
+"""
+
+
+@q("qr45_outer_explode", _QR45_DUCK)
+def qr45(spark: SparkSession, sf: str) -> DataFrame:
+    """LATERAL VIEW OUTER explode — the empty-collection trap: a plain
+    explode DROPS rows whose array is empty, so any per-doc fan-out
+    (tokens, links, chunks) silently loses exactly the documents with
+    nothing to fan out — and every downstream LEFT-join count built on
+    the exploded table inherits the hole. OUTER explode keeps those
+    rows with a NULL element (DuckDB spells the same semantics as a
+    LEFT JOIN against the non-empty unnest). The filter predicate
+    (words >= 12 chars) guarantees both populations exist in the
+    corpus, so the oracle fails if either engine drops or fabricates
+    the empty side. 100 TB: explode is map-side; the fan-out inherits
+    the doc's partition (qt66's property, here with the null-row
+    guarantee)."""
+    register_views(spark, sf)
+    return spark.sql(_QR45_SPARK)
