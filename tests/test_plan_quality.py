@@ -466,3 +466,34 @@ def test_session6c_operator_plan_shapes(spark):
         assert m and m.group(1).startswith("doc_id"), (
             f"{name} scan must prune to doc_id: {m and m.group(1)}"
         )
+
+
+def test_session6d_operator_plan_shapes(spark):
+    """Plan pins for the final session batch."""
+    import re as _re
+
+    from pdf_spark.functions.registry import all_queries
+
+    q = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    # qt73 spam lexicon: in-row arrays — no explode, no shuffle
+    plan = _plan(spark, q["qt73_spam_lexicon"](spark, sf))
+    assert "Generate" not in plan and "Exchange" not in plan
+    # qt74 pipeline manifest: every window partitioned (hash/source/
+    # shard) — never a global sort
+    plan = _plan(spark, q["qt74_pipeline_manifest"](spark, sf))
+    assert "SinglePartition" not in plan
+    # qg11 star rounds + qs19 fidelity: hash joins only
+    for name in ("qg11_star_components", "qs19_jl_fidelity"):
+        plan = _plan(spark, q[name](spark, sf))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    # qr45 OUTER explode: Generate with outer=true, map-side
+    plan = _plan(spark, q["qr45_outer_explode"](spark, sf))
+    assert "Generate explode" in plan
+    assert ", true, " in plan  # the Generate node's outer flag
+    assert "Exchange" not in plan
+    # qm43 color histogram: shuffle-free pruned scan
+    plan = _plan(spark, q["qm43_color_histogram"](spark, sf))
+    assert "Exchange" not in plan
