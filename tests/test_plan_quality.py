@@ -491,8 +491,8 @@ def test_session6d_operator_plan_shapes(spark):
         assert "BroadcastNestedLoopJoin" not in plan
     # qr45 OUTER explode: Generate with outer=true, map-side
     plan = _plan(spark, q["qr45_outer_explode"](spark, sf))
-    assert "Generate explode" in plan
-    assert ", true, " in plan  # the Generate node's outer flag
+    assert "Generate" in plan and "explode(longs" in plan
+    assert ", true, [word" in plan  # the Generate node's outer flag
     assert "Exchange" not in plan
     # qm43 color histogram: shuffle-free pruned scan
     plan = _plan(spark, q["qm43_color_histogram"](spark, sf))
