@@ -1562,3 +1562,84 @@ def qr45(spark: SparkSession, sf: str) -> DataFrame:
     guarantee)."""
     register_views(spark, sf)
     return spark.sql(_QR45_SPARK)
+
+
+# -- qr46: gaps-and-islands — consecutive-run detection ---------------------------
+
+_QR46_BODY = """
+WITH ranked AS (
+  SELECT source, doc_id,
+         doc_id - ROW_NUMBER() OVER (
+             PARTITION BY source ORDER BY doc_id) AS island_key
+  FROM documents),
+islands AS (
+  SELECT source, island_key,
+         CAST(COUNT(*) AS BIGINT) AS run_len,
+         CAST(MIN(doc_id) AS BIGINT) AS run_start
+  FROM ranked
+  GROUP BY source, island_key)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(MAX(run_len) AS BIGINT) AS longest_run,
+       CAST(SUM(run_len) AS BIGINT) AS n_docs,
+       CAST(MIN(run_start) AS BIGINT) AS first_doc
+FROM islands
+GROUP BY source
+"""
+
+
+@q("qr46_gaps_islands", _QR46_BODY)
+def qr46(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands — find maximal runs of CONSECUTIVE ids inside
+    each group, the classic sequence-completeness question (which
+    crawl-id ranges does each source cover contiguously? where are the
+    holes a resume must re-fetch?). The standard O(n) trick: within a
+    group ordered by id, ``id - ROW_NUMBER()`` is CONSTANT exactly on
+    a consecutive run, so one window plus one groupBy replaces any
+    self-join-on-id+1 formulation (which at 10^12 rows would be a
+    second full shuffle and an unindexable equi-join). Per-source
+    island stats (count, longest run, coverage) come out of map-side
+    partial aggregation. 100 TB: one shuffle on source for the window,
+    the groupBys reuse that partitioning; no global sort. Same ANSI
+    text on both engines."""
+    register_views(spark, sf)
+    return spark.sql(_QR46_BODY)
+
+
+# -- qr47: per-group mode (most-frequent value, deterministic tie-break) ----------
+
+_QR47_BODY = """
+WITH counted AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders
+  GROUP BY o_orderstatus, o_orderpriority),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+             PARTITION BY o_orderstatus
+             ORDER BY n DESC, o_orderpriority) AS rk
+  FROM counted)
+SELECT o_orderstatus,
+       o_orderpriority AS mode_priority,
+       n AS mode_count
+FROM ranked
+WHERE rk = 1
+"""
+
+
+@q("qr47_group_mode", _QR47_BODY)
+def qr47(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group MODE (most-frequent value) with a deterministic
+    tie-break — the categorical summary statistic both engines ship
+    only as a nondeterministic-on-ties aggregate (Spark ``mode()``,
+    DuckDB ``mode()``), which makes naive use oracle-unverifiable and
+    production-unstable across reruns. The portable form: count
+    per (group, value) — map-side combinable, the only full-data
+    pass — then ROW_NUMBER ordered by (count DESC, value ASC) over
+    the tiny per-group candidate set. 100 TB: the first groupBy does
+    all the data reduction with partial aggregation; the window runs
+    over |groups| x |distinct values| rows (here 3 x 5), never over
+    raw orders. Same ANSI text on both engines."""
+    register_views(spark, sf)
+    return spark.sql(_QR47_BODY)
