@@ -297,3 +297,78 @@ def soft_redirects(data: bytes) -> dict:
         "has_js_redirect": has_js,
         "is_doorway": int(delay == 0 or has_js == 1),
     }
+
+
+_CHARSET_META_RE = re.compile(
+    rb'<meta\s[^>]*charset\s*=\s*["\']?\s*([A-Za-z0-9_][A-Za-z0-9._-]*)',
+    re.IGNORECASE,
+)
+_XML_DECL_RE = re.compile(
+    rb'<\?xml[^>]*encoding\s*=\s*["\']([A-Za-z0-9._-]+)["\']',
+    re.IGNORECASE,
+)
+
+
+def charset_detect(data: bytes) -> dict:
+    """Character-encoding detection for raw fetched bytes — the step every
+    extractor runs BEFORE any parsing, and the one whose mistakes turn into
+    the mojibake qx25 later has to repair. Precedence follows the WHATWG
+    encoding sniff (public spec, encoding.spec.whatwg.org): a byte-order
+    mark wins outright, then a declaration found in the first-1024-byte
+    prescan (``<meta charset>``, ``<meta http-equiv=content-type>`` whose
+    content carries ``charset=``, or an XML declaration), then a content
+    heuristic — strict-UTF-8 validity of the whole payload, falling back to
+    windows-1252 (the web's de-facto 8-bit default; HTML5 maps declared
+    latin-1 there too). ``mismatch`` flags a declaration overridden by a
+    BOM, or a UTF-8 declaration contradicted by invalid UTF-8 payload
+    bytes (the mislabeled-page case) — the provenance signal a corpus
+    keeps so re-decodes can be audited; the latin-1 → windows-1252
+    remap is the spec's own alias, not a mismatch. The UTF-16 BOM case deliberately
+    reports ``declared=None``: a byte-level prescan cannot see ``<meta`` in
+    NUL-interleaved UTF-16, which is exactly why the BOM outranks it.
+    """
+    bom = None
+    if data[:3] == b"\xef\xbb\xbf":
+        bom = "utf-8"
+    elif data[:2] == b"\xff\xfe":
+        bom = "utf-16le"
+    elif data[:2] == b"\xfe\xff":
+        bom = "utf-16be"
+
+    head = data[:1024]
+    declared = None
+    m = _CHARSET_META_RE.search(head)
+    if m is None:
+        m = _XML_DECL_RE.search(head)
+    if m is not None:
+        declared = m.group(1).decode("ascii", "replace").lower()
+
+    try:
+        data.decode("utf-8", "strict")
+        utf8_valid = 1
+    except UnicodeDecodeError:
+        utf8_valid = 0
+
+    if bom is not None:
+        resolved = bom
+    elif declared is not None:
+        # HTML5 maps the latin-1 family onto windows-1252.
+        resolved = (
+            "windows-1252"
+            if declared in ("iso-8859-1", "latin-1", "ascii", "us-ascii")
+            else declared
+        )
+    else:
+        resolved = "utf-8" if utf8_valid else "windows-1252"
+
+    mismatch = int(
+        (bom is not None and declared is not None and declared != bom)
+        or (declared in ("utf-8", "utf8") and not utf8_valid)
+    )
+    return {
+        "bom": bom,
+        "declared": declared,
+        "utf8_valid": utf8_valid,
+        "resolved": resolved,
+        "mismatch": mismatch,
+    }

@@ -2809,3 +2809,97 @@ SELECT doc_id,
                  WHEN fam = 2 THEN 1 ELSE 0 END AS INTEGER) AS bomb_suspect
 FROM v
 """
+
+
+# -- qx61: character-encoding detection (core/htmlaudit.py) --------------------
+#
+# The decode step every extractor runs before parsing: WHATWG sniff
+# order (BOM > first-1024-byte declaration prescan > strict-UTF-8
+# heuristic with windows-1252 fallback). fam = doc_id % 6:
+# BOM+contradicting meta / clean declared UTF-8 / XML decl latin-1
+# with 8-bit bytes (spec alias to 1252, NOT a mismatch) / bare ASCII /
+# undeclared 8-bit / mislabeled utf-8 (declared but invalid bytes).
+
+_CHARSET_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("bom", StringType()),
+        StructField("declared", StringType()),
+        StructField("utf8_valid", IntegerType()),
+        StructField("resolved", StringType()),
+        StructField("mismatch", IntegerType()),
+    ]
+)
+
+
+def _qx61_make_page(doc_id: int) -> bytes:
+    i = int(doc_id)
+    fam = i % 6
+    if fam == 0:
+        return (
+            b'\xef\xbb\xbf<html><meta charset="shift_jis">'
+            + f"<body>bom beats meta {i}</body></html>".encode()
+        )
+    if fam == 1:
+        return (
+            f'<html><meta charset="UTF-8"><p>café {i}</p></html>'
+        ).encode("utf-8")
+    if fam == 2:
+        return (
+            b'<?xml version="1.0" encoding="ISO-8859-1"?>'
+            + f"<p>r\xe9sum\xe9 {i}</p>".encode("latin-1")
+        )
+    if fam == 3:
+        return f"<html><p>plain ascii {i}</p></html>".encode()
+    if fam == 4:
+        return f"<html><p>copyright \xa9 {i}</p></html>".encode("latin-1")
+    return (
+        b'<html><meta charset="utf-8">'
+        + f"<p>mislabeled caf\xe9 {i}</p></html>".encode("latin-1")
+    )
+
+
+def _qx61(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.htmlaudit import charset_detect
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [charset_detect(_qx61_make_page(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "bom": [m["bom"] for m in metas],
+                    "declared": [m["declared"] for m in metas],
+                    "utf8_valid": pd.array(
+                        [m["utf8_valid"] for m in metas], dtype="Int32"
+                    ),
+                    "resolved": [m["resolved"] for m in metas],
+                    "mismatch": pd.array(
+                        [m["mismatch"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _CHARSET_SCHEMA)
+
+
+QUERIES["qx61_charset_detect"] = _qx61
+ORACLE["qx61_charset_detect"] = """
+WITH v AS (SELECT doc_id, doc_id % 6 AS fam FROM documents)
+SELECT doc_id,
+       CASE WHEN fam = 0 THEN 'utf-8' END AS bom,
+       CASE WHEN fam = 0 THEN 'shift_jis'
+            WHEN fam = 1 THEN 'utf-8'
+            WHEN fam = 2 THEN 'iso-8859-1'
+            WHEN fam = 5 THEN 'utf-8' END AS declared,
+       CAST(CASE WHEN fam IN (0, 1, 3) THEN 1 ELSE 0 END AS INTEGER)
+           AS utf8_valid,
+       CASE WHEN fam IN (0, 1, 3, 5) THEN 'utf-8'
+            ELSE 'windows-1252' END AS resolved,
+       CAST(CASE WHEN fam IN (0, 5) THEN 1 ELSE 0 END AS INTEGER)
+           AS mismatch
+FROM v
+"""

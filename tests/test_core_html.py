@@ -753,3 +753,55 @@ def test_soft_redirects_channels_and_decoys():
     assert m["has_meta_refresh"] == 0 and m["has_js_redirect"] == 0
     m = soft_redirects(b'<meta http-equiv="refresh" content="0">')
     assert m["refresh_delay"] == 0 and m["is_doorway"] == 1
+
+
+def test_charset_detect_bom_precedence():
+    from pdf_spark.core.htmlaudit import charset_detect
+
+    m = charset_detect(b'\xef\xbb\xbf<meta charset="shift_jis">x')
+    assert m["bom"] == "utf-8" and m["declared"] == "shift_jis"
+    assert m["resolved"] == "utf-8" and m["mismatch"] == 1
+    # UTF-16 BOMs: a byte prescan cannot see NUL-interleaved <meta>
+    m = charset_detect(
+        b"\xff\xfe" + '<meta charset="utf-8">ok'.encode("utf-16-le")
+    )
+    assert m["bom"] == "utf-16le" and m["declared"] is None
+    assert m["resolved"] == "utf-16le"
+    m = charset_detect(b"\xfe\xff" + "hi".encode("utf-16-be"))
+    assert m["bom"] == "utf-16be" and m["resolved"] == "utf-16be"
+
+
+def test_charset_detect_declaration_channels():
+    from pdf_spark.core.htmlaudit import charset_detect
+
+    # http-equiv content-type channel
+    m = charset_detect(
+        b'<meta http-equiv="Content-Type" '
+        b'content="text/html; charset=Windows-1251">\xe9'
+    )
+    assert m["declared"] == "windows-1251" == m["resolved"]
+    assert m["mismatch"] == 0
+    # XML declaration; latin-1 family maps to windows-1252 (spec alias,
+    # not a mismatch)
+    m = charset_detect(
+        b'<?xml version="1.0" encoding="ISO-8859-1"?><p>caf\xe9</p>'
+    )
+    assert m["declared"] == "iso-8859-1"
+    assert m["resolved"] == "windows-1252" and m["mismatch"] == 0
+    # declaration outside the 1024-byte prescan window is invisible
+    m = charset_detect(b"<p>" + b"x" * 1100 + b'</p><meta charset="koi8-r">')
+    assert m["declared"] is None and m["resolved"] == "utf-8"
+
+
+def test_charset_detect_heuristic_and_mislabel():
+    from pdf_spark.core.htmlaudit import charset_detect
+
+    m = charset_detect(b"<p>plain ascii</p>")
+    assert m["declared"] is None and m["utf8_valid"] == 1
+    assert m["resolved"] == "utf-8" and m["mismatch"] == 0
+    m = charset_detect(b"<p>caf\xa9</p>")
+    assert m["utf8_valid"] == 0 and m["resolved"] == "windows-1252"
+    # mislabeled: declared utf-8 but payload is not valid UTF-8
+    m = charset_detect(b'<meta charset="utf-8"><p>caf\xe9</p>')
+    assert m["declared"] == "utf-8" and m["utf8_valid"] == 0
+    assert m["mismatch"] == 1
