@@ -372,3 +372,75 @@ def charset_detect(data: bytes) -> dict:
         "resolved": resolved,
         "mismatch": mismatch,
     }
+
+
+def _scan_tag_attrs(html_text: str, want: str):
+    """Yield attr dicts of every ``<want>`` start tag, rawtext-safe
+    (same tokenizer walk as :func:`_scan_meta_attrs`, so link tags
+    inside <script>/<style> bodies can never count)."""
+    pos, n = 0, len(html_text)
+    while pos < n:
+        m = _TOKEN_RE.match(html_text, pos)
+        if m is None:  # pragma: no cover
+            pos += 1
+            continue
+        pos = m.end()
+        start_tag = m.group(2)
+        if start_tag is None:
+            continue
+        low = start_tag.lower()
+        if low == want:
+            yield _parse_attrs(m.group(3))
+        elif low in _RAWTEXT:
+            close = re.compile(r"</\s*%s[\s>]" % re.escape(low), re.I)
+            cm = close.search(html_text, pos)
+            if cm is None:
+                pos = n
+            else:
+                gt = html_text.find(">", cm.start())
+                pos = n if gt == -1 else gt + 1
+
+
+def hreflang_audit(data: bytes) -> dict:
+    """Multilingual-alternate audit — the ``<link rel="alternate"
+    hreflang>`` cluster declarations (Google's hreflang convention,
+    public) that let a corpus group the language VERSIONS of one page:
+    the seed for bitext mining (qt75 filters the candidate pairs these
+    clusters produce) and for language-balanced dedup (translations
+    are distinct documents, not dups). Returns::
+
+        {page_lang, n_alternates, n_langs, has_xdefault, is_multilingual}
+
+    ``page_lang`` is the <html lang> attribute lowercased; alternates
+    count only genuine <link> tags carrying both rel=alternate and an
+    hreflang (rawtext-safe — a decoy spelled inside <script> never
+    counts); ``n_langs`` excludes the x-default catch-all;
+    ``is_multilingual`` = at least two distinct real languages.
+    """
+    html_text = decode_html(data)
+    page_lang = None
+    for m in re.finditer(r"<html(\s[^>]*)>", html_text[:2048], re.I):
+        lang = _parse_attrs(m.group(1)).get("lang")
+        if lang:
+            page_lang = lang.strip().lower()
+        break
+    n_alt = 0
+    langs = set()
+    has_xdefault = 0
+    for attrs in _scan_tag_attrs(html_text, "link"):
+        rel = attrs.get("rel", "").strip().lower()
+        hl = attrs.get("hreflang", "").strip().lower()
+        if rel != "alternate" or not hl:
+            continue
+        n_alt += 1
+        if hl == "x-default":
+            has_xdefault = 1
+        else:
+            langs.add(hl)
+    return {
+        "page_lang": page_lang,
+        "n_alternates": n_alt,
+        "n_langs": len(langs),
+        "has_xdefault": has_xdefault,
+        "is_multilingual": int(len(langs) >= 2),
+    }

@@ -2903,3 +2903,96 @@ SELECT doc_id,
            AS mismatch
 FROM v
 """
+
+
+# -- qx62: hreflang multilingual-alternate audit (core/htmlaudit.py) -----------
+#
+# The <link rel=alternate hreflang> cluster declarations that group the
+# language versions of one page — the seed for bitext mining (qt75)
+# and language-balanced dedup. fam = doc_id % 4: full cluster
+# (en/fr/de + x-default, lang=en) / lang-only page (fr-CA) / script
+# decoy + one real es alternate / bare page.
+
+_HREFLANG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("page_lang", StringType()),
+        StructField("n_alternates", IntegerType()),
+        StructField("n_langs", IntegerType()),
+        StructField("has_xdefault", IntegerType()),
+        StructField("is_multilingual", IntegerType()),
+    ]
+)
+
+
+def _qx62_make_page(doc_id: int) -> bytes:
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 0:
+        return (
+            f'<html lang="EN"><head>'
+            f'<link rel="alternate" hreflang="en" href="/en/{i}">'
+            f'<link rel="Alternate" hreflang="fr" href="/fr/{i}">'
+            f'<link rel="alternate" hreflang="de" href="/de/{i}">'
+            f'<link rel="alternate" hreflang="x-default" href="/{i}">'
+            f"</head><body>page {i}</body></html>"
+        ).encode()
+    if fam == 1:
+        return f'<html lang="fr-CA"><p>seulement {i}</p></html>'.encode()
+    if fam == 2:
+        return (
+            f"<html><script>var s='<link rel=\"alternate\" "
+            f"hreflang=\"zz\">';</script>"
+            f'<link rel="alternate" hreflang="es" href="/es/{i}">'
+            f"</html>"
+        ).encode()
+    return f"<p>bare page {i}</p>".encode()
+
+
+def _qx62(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.htmlaudit import hreflang_audit
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [hreflang_audit(_qx62_make_page(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "page_lang": [m["page_lang"] for m in metas],
+                    "n_alternates": pd.array(
+                        [m["n_alternates"] for m in metas], dtype="Int32"
+                    ),
+                    "n_langs": pd.array(
+                        [m["n_langs"] for m in metas], dtype="Int32"
+                    ),
+                    "has_xdefault": pd.array(
+                        [m["has_xdefault"] for m in metas], dtype="Int32"
+                    ),
+                    "is_multilingual": pd.array(
+                        [m["is_multilingual"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _HREFLANG_SCHEMA)
+
+
+QUERIES["qx62_hreflang_audit"] = _qx62
+ORACLE["qx62_hreflang_audit"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CASE WHEN fam = 0 THEN 'en' WHEN fam = 1 THEN 'fr-ca' END
+           AS page_lang,
+       CAST(CASE WHEN fam = 0 THEN 4 WHEN fam = 2 THEN 1
+                 ELSE 0 END AS INTEGER) AS n_alternates,
+       CAST(CASE WHEN fam = 0 THEN 3 WHEN fam = 2 THEN 1
+                 ELSE 0 END AS INTEGER) AS n_langs,
+       CAST(CASE WHEN fam = 0 THEN 1 ELSE 0 END AS INTEGER)
+           AS has_xdefault,
+       CAST(CASE WHEN fam = 0 THEN 1 ELSE 0 END AS INTEGER)
+           AS is_multilingual
+FROM v
+"""

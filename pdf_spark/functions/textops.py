@@ -3629,3 +3629,51 @@ _pair(
         "{IDIV}", "//"
     ),
 )
+
+
+# --- qt75: bitext candidate pairing + length-ratio filter ---------------------
+#
+# Parallel-corpus mining (the CCAligned/CCMatrix family): hreflang
+# clusters (qx62) nominate language-version PAIRS of one page; before
+# any expensive alignment, every production miner applies the
+# Gale-Church length-ratio prefilter — translations have near-
+# proportional lengths, so a pair whose char lengths differ by more
+# than 2x is discarded unseen. Pairing here derives the translation
+# group deterministically (group = doc_id DIV 2, even = source side,
+# odd = target side) so both engines build identical candidates; the
+# filter is integer per-mille (1000*least/greatest, one floor divide).
+# Paragraph counts (ceil(words/20), the qt66 chunk rule) bound the
+# 1-1 monotone alignment a downstream aligner would emit. 100 TB: ONE
+# hash equi-join on the bounded group key (2 docs/group — no skew), no
+# window, no explode; the length math is map-side.
+
+_QT75_BODY = """
+WITH sides AS (
+  SELECT doc_id, doc_id {IDIV} 2 AS grp, doc_id % 2 AS side,
+         n_chars,
+         ({LEN}({SPLIT}) + 19) {IDIV} 20 AS n_para
+  FROM documents)
+SELECT a.grp,
+       a.doc_id AS src_id,
+       b.doc_id AS tgt_id,
+       CAST(a.n_chars AS BIGINT) AS src_chars,
+       CAST(b.n_chars AS BIGINT) AS tgt_chars,
+       CAST((1000 * LEAST(a.n_chars, b.n_chars))
+            {IDIV} GREATEST(a.n_chars, b.n_chars) AS BIGINT)
+           AS ratio_permille,
+       CAST(LEAST(a.n_para, b.n_para) AS BIGINT) AS n_aligned,
+       ((1000 * LEAST(a.n_chars, b.n_chars))
+            {IDIV} GREATEST(a.n_chars, b.n_chars) >= 500) AS kept
+FROM sides a JOIN sides b
+  ON a.grp = b.grp AND a.side = 0 AND b.side = 1
+"""
+
+_pair(
+    "qt75_bitext_pairs",
+    _QT75_BODY.replace("{SPLIT}", "split(text, ' ')")
+    .replace("{LEN}", "size")
+    .replace("{IDIV}", "DIV"),
+    _QT75_BODY.replace("{SPLIT}", "string_split(text, ' ')")
+    .replace("{LEN}", "len")
+    .replace("{IDIV}", "//"),
+)

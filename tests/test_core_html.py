@@ -805,3 +805,27 @@ def test_charset_detect_heuristic_and_mislabel():
     m = charset_detect(b'<meta charset="utf-8"><p>caf\xe9</p>')
     assert m["declared"] == "utf-8" and m["utf8_valid"] == 0
     assert m["mismatch"] == 1
+
+
+def test_hreflang_audit_channels_and_decoy():
+    from pdf_spark.core.htmlaudit import hreflang_audit
+
+    m = hreflang_audit(
+        b'<html lang="EN"><head>'
+        b'<link rel="alternate" hreflang="en" href="/en/1">'
+        b'<link rel="Alternate" hreflang="fr" href="/fr/1">'
+        b'<link rel="alternate" hreflang="x-default" href="/1">'
+        b"</head></html>"
+    )
+    assert m["page_lang"] == "en" and m["n_alternates"] == 3
+    assert m["n_langs"] == 2 and m["has_xdefault"] == 1
+    assert m["is_multilingual"] == 1
+    # rawtext decoy never counts; rel!=alternate never counts
+    m = hreflang_audit(
+        b"<html><script>var s='<link rel=\"alternate\" "
+        b"hreflang=\"zz\">';</script>"
+        b'<link rel="stylesheet" hreflang="xx" href="/x.css">'
+        b'<link rel="alternate" hreflang="es" href="/es"></html>'
+    )
+    assert m["n_alternates"] == 1 and m["n_langs"] == 1
+    assert m["is_multilingual"] == 0 and m["page_lang"] is None
