@@ -2996,3 +2996,94 @@ SELECT doc_id,
            AS is_multilingual
 FROM v
 """
+
+
+# -- qt76: rule-based sentence segmentation (core/sentseg.py) ------------------
+#
+# Abbreviation-guarded boundary rule (the Punkt fallback core): . ! ?
+# + whitespace + sentence-opener, with abbreviation / single-initial
+# guards; decimals never become candidates. fam = doc_id % 4:
+# abbrev guard + decimal / two initials / vs. guard / no-split
+# lowercase tail.
+
+_SENTSEG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_sentences", IntegerType()),
+        StructField("n_guards", IntegerType()),
+        StructField("max_chars", LongType()),
+        StructField("first_sentence", StringType()),
+    ]
+)
+
+
+def _qt76_make_text(doc_id: int) -> str:
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 0:
+        return f"Dr. Alpha met {i}. The value was 3.5 today! Done."
+    if fam == 1:
+        return f"J. K. Rowling wrote {i} books. Every fan cheered."
+    if fam == 2:
+        return f"We won {i} games vs. Them today. Rematch at 5 o'clock?"
+    return f"word soup {i} with no caps after dots. all lowercase rest"
+
+
+def _qt76(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.sentseg import sentence_split
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [sentence_split(_qt76_make_text(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_sentences": pd.array(
+                        [m["n_sentences"] for m in metas], dtype="Int32"
+                    ),
+                    "n_guards": pd.array(
+                        [m["n_guards"] for m in metas], dtype="Int32"
+                    ),
+                    "max_chars": pd.array(
+                        [m["max_chars"] for m in metas], dtype="Int64"
+                    ),
+                    "first_sentence": [
+                        m["sentences"][0] if m["sentences"] else None
+                        for m in metas
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(run, _SENTSEG_SCHEMA)
+
+
+QUERIES["qt76_sentence_split"] = _qt76
+_QT76_ORACLE = """
+WITH v AS (
+  SELECT doc_id, doc_id % 4 AS fam,
+         LENGTH({STR}) AS d, {STR} AS s
+  FROM documents)
+SELECT doc_id,
+       CAST(CASE fam WHEN 0 THEN 3 WHEN 1 THEN 2
+                     WHEN 2 THEN 2 ELSE 1 END AS INTEGER) AS n_sentences,
+       CAST(CASE fam WHEN 0 THEN 1 WHEN 1 THEN 2
+                     WHEN 2 THEN 1 ELSE 0 END AS INTEGER) AS n_guards,
+       CAST(CASE fam
+            WHEN 0 THEN GREATEST(15 + d, 24)
+            WHEN 1 THEN GREATEST(27 + d, 18)
+            WHEN 2 THEN GREATEST(29 + d, 21)
+            ELSE 54 + d END AS BIGINT) AS max_chars,
+       CASE fam
+            WHEN 0 THEN 'Dr. Alpha met ' || s || '.'
+            WHEN 1 THEN 'J. K. Rowling wrote ' || s || ' books.'
+            WHEN 2 THEN 'We won ' || s || ' games vs. Them today.'
+            ELSE 'word soup ' || s || ' with no caps after dots. '
+                 || 'all lowercase rest' END AS first_sentence
+FROM v
+"""
+ORACLE["qt76_sentence_split"] = _QT76_ORACLE.replace(
+    "{STR}", "CAST(doc_id AS VARCHAR)"
+)
