@@ -3087,3 +3087,106 @@ FROM v
 ORACLE["qt76_sentence_split"] = _QT76_ORACLE.replace(
     "{STR}", "CAST(doc_id AS VARCHAR)"
 )
+
+
+# -- qm44: WebAssembly module structural audit (core/wasm.py) ------------------
+#
+# Crawled pages ship .wasm assets; the ingest gate walks section
+# framing (magic/version, id + LEB128 size per section) without
+# decoding any body. fam = doc_id % 4: full module (type/func/
+# code/export + N custom sections, N = doc_id%3+1, exercising
+# multi-byte LEB sizes via a 200-byte custom payload) / headerless
+# empty module / truncated mid-section / not wasm.
+
+_WASM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("is_wasm", IntegerType()),
+        StructField("version", LongType()),
+        StructField("n_sections", IntegerType()),
+        StructField("has_code", IntegerType()),
+        StructField("has_export", IntegerType()),
+        StructField("n_custom", IntegerType()),
+        StructField("truncated", IntegerType()),
+    ]
+)
+
+
+def _qm44_make_wasm(doc_id: int) -> bytes:
+    from pdf_spark.core.wasm import encode_wasm
+
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 0:
+        customs = [
+            (0, bytes([4]) + b"name" + b"x" * 200) for _ in range(i % 3 + 1)
+        ]
+        return encode_wasm(
+            [(1, b"\x01\x60\x00\x00"), (3, b"\x01\x00")]
+            + customs
+            + [(10, b"\x01\x02\x00\x0b"), (7, b"\x00")]
+        )
+    if fam == 1:
+        return encode_wasm([])
+    if fam == 2:
+        good = encode_wasm([(1, b"\x01\x60\x00\x00"), (10, b"\x01\x02\x00\x0b")])
+        return good[:-2]  # cut inside the code section payload
+    return b"GIF89a not a module " + bytes((i + k) % 256 for k in range(4))
+
+
+def _qm44(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.wasm import wasm_audit
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [wasm_audit(_qm44_make_wasm(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "is_wasm": [m["is_wasm"] for m in metas],
+                    "version": pd.array(
+                        [m["version"] for m in metas], dtype="Int64"
+                    ),
+                    "n_sections": pd.array(
+                        [m["n_sections"] for m in metas], dtype="Int32"
+                    ),
+                    "has_code": pd.array(
+                        [m["has_code"] for m in metas], dtype="Int32"
+                    ),
+                    "has_export": pd.array(
+                        [m["has_export"] for m in metas], dtype="Int32"
+                    ),
+                    "n_custom": pd.array(
+                        [m["n_custom"] for m in metas], dtype="Int32"
+                    ),
+                    "truncated": pd.array(
+                        [m["truncated"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _WASM_SCHEMA)
+
+
+QUERIES["qm44_wasm_audit"] = _qm44
+ORACLE["qm44_wasm_audit"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 3 THEN 0 ELSE 1 END AS INTEGER) AS is_wasm,
+       CAST(CASE WHEN fam = 3 THEN NULL ELSE 1 END AS BIGINT) AS version,
+       CAST(CASE WHEN fam = 0 THEN 4 + (doc_id % 3 + 1)
+                 WHEN fam = 1 THEN 0
+                 WHEN fam = 2 THEN 1 END AS INTEGER) AS n_sections,
+       CAST(CASE WHEN fam = 0 THEN 1 WHEN fam = 3 THEN NULL
+                 ELSE 0 END AS INTEGER) AS has_code,
+       CAST(CASE WHEN fam = 0 THEN 1 WHEN fam = 3 THEN NULL
+                 ELSE 0 END AS INTEGER) AS has_export,
+       CAST(CASE WHEN fam = 0 THEN doc_id % 3 + 1 WHEN fam = 3 THEN NULL
+                 ELSE 0 END AS INTEGER) AS n_custom,
+       CAST(CASE WHEN fam = 2 THEN 1 WHEN fam = 3 THEN NULL
+                 ELSE 0 END AS INTEGER) AS truncated
+FROM v
+"""

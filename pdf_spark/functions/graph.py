@@ -635,3 +635,100 @@ QUERIES["qg11_star_components"] = lambda spark, sf: (
     or spark.sql(_qg11_sql(_EDGE_SRC_SPARK))
 )
 ORACLE["qg11_star_components"] = _qg11_sql(_EDGE_SRC_DUCK)
+
+
+# --- qg12: personalized PageRank (seed-restricted teleport) ---------------------
+#
+# The crawl-stack's topical ranking: identical to qg01 except the
+# teleport mass lands ONLY on a seed set (here doc_id % 50 == 0 — the
+# "trusted pages" whitelist of TrustRank / topic-sensitive PageRank).
+# Scores then measure closeness to the seeds rather than global
+# centrality — the quality-propagation signal a corpus uses to weight
+# pages by "link distance from known-good sites". All-integer
+# fixed-point exactly as qg01 (teleport 3*SCALE div (20*|S|) on seeds,
+# 0 elsewhere; damped mass 17/20), two unrolled rounds. 100 TB: same
+# explode + shuffle-on-dst per round as qg01; the seed indicator is a
+# map-side expression, never a join.
+
+
+def _qg12(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    docs = load(spark, sf, "documents").select("doc_id")
+    n = docs.count()
+    n_seeds = docs.where((F.col("doc_id") % 50) == 0).count()
+    deg = docs.select(
+        F.col("doc_id").alias("u"),
+        (F.col("doc_id") % 3 + 1).cast("long").alias("d"),
+    )
+    edges = deg.select(
+        "u",
+        "d",
+        F.explode(F.expr("sequence(1, CAST(d AS INT))")).alias("k"),
+    ).select(
+        "u", "d", ((F.col("u") * 7 + F.col("k")) % n).cast("long").alias("v")
+    )
+    seed_fp = F.when(
+        (F.col("doc_id") % 50) == 0, F.lit(_SCALE // n_seeds)
+    ).otherwise(F.lit(0))
+    teleport = F.when(
+        (F.col("doc_id") % 50) == 0, F.lit((3 * _SCALE) // (20 * n_seeds))
+    ).otherwise(F.lit(0))
+    pr = docs.select("doc_id", seed_fp.cast("long").alias("pr_fp"))
+    for _ in range(2):
+        contrib = (
+            edges.join(pr, edges["u"] == pr["doc_id"])
+            .select("v", F.expr("pr_fp div d").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("mass"))
+        )
+        pr = docs.join(contrib, docs["doc_id"] == contrib["v"], "left").select(
+            "doc_id",
+            (teleport + F.expr("(17 * coalesce(mass, 0L)) div 20"))
+            .cast("long")
+            .alias("pr_fp"),
+        )
+    return pr.select("doc_id", F.col("pr_fp").alias("ppr_fp"))
+
+
+QUERIES["qg12_personalized_pagerank"] = _qg12
+ORACLE["qg12_personalized_pagerank"] = f"""
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM documents
+       WHERE doc_id % 50 = 0),
+deg AS (SELECT doc_id AS u, CAST(doc_id % 3 + 1 AS BIGINT) AS d
+        FROM documents),
+edges AS (
+  SELECT u, d, CAST((u * 7 + t.k) % (SELECT n FROM nn) AS BIGINT) AS v
+  FROM deg, LATERAL unnest(range(1, d + 1)) t(k)
+),
+pr0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 50 = 0
+              THEN {_SCALE} // (SELECT s FROM ns) ELSE 0 END AS pr_fp
+  FROM documents),
+m1 AS (
+  SELECT e.v, SUM(p.pr_fp // e.d) AS mass
+  FROM edges e JOIN pr0 p ON e.u = p.doc_id GROUP BY e.v
+),
+pr1 AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN d.doc_id % 50 = 0
+                   THEN (3 * {_SCALE}) // (20 * (SELECT s FROM ns))
+                   ELSE 0 END
+              + ((17 * COALESCE(m.mass, 0)) // 20) AS BIGINT) AS pr_fp
+  FROM documents d LEFT JOIN m1 m ON d.doc_id = m.v
+),
+m2 AS (
+  SELECT e.v, SUM(p.pr_fp // e.d) AS mass
+  FROM edges e JOIN pr1 p ON e.u = p.doc_id GROUP BY e.v
+),
+pr2 AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN d.doc_id % 50 = 0
+                   THEN (3 * {_SCALE}) // (20 * (SELECT s FROM ns))
+                   ELSE 0 END
+              + ((17 * COALESCE(m.mass, 0)) // 20) AS BIGINT) AS pr_fp
+  FROM documents d LEFT JOIN m2 m ON d.doc_id = m.v
+)
+SELECT doc_id, pr_fp AS ppr_fp FROM pr2
+"""

@@ -957,3 +957,69 @@ _pair(
     .replace("{EXPLODE}", _EXPLODE_DUCK)
     .replace("{PAIRDOT}", _QS19_PAIR_DOT),
 )
+
+
+# --- qs20: retrieval-quality evaluation (MRR@10, integer-exact) -----------------
+#
+# The metric an ANN deployment actually tunes: for a probe set (vec_ids
+# 0..9, the qs18 batched-query shape), where does the TRUE nearest
+# neighbor (exact cosine, qs02 ROUND(sim,4)+vec_id contract) land in
+# the SRP-LSH candidate ranking (same-bucket candidates, the qs05
+# hyperplanes)? Reciprocal rank is made engine-exact by scaling with
+# 2520 = lcm(1..10): rr_scaled = 2520 DIV rank for rank <= 10, else 0
+# — every value an exact integer, so MRR@10 = avg(rr_scaled)/2520
+# reconstructs without ever comparing floats. A probe whose true NN
+# hashes to a different bucket scores 0 — the miss the metric exists
+# to expose (qs13 measures set recall; this measures RANK quality).
+# 100 TB: sims is the qs18 batched-probe join (10 probes x corpus,
+# probe side broadcast); candidate filtering is a bucket equi-join.
+
+_QS20_BODY = """
+WITH vecpos AS (
+  SELECT vec_id, pos, CAST(v AS DOUBLE) AS x FROM ({EXPLODE})
+),
+b AS (
+  SELECT vec_id, CAST({PROJ} AS INT) AS bucket FROM embeddings
+),
+sims AS (
+  SELECT q.vec_id AS qid, v.vec_id,
+         ROUND(SUM(v.x * q.x)
+               / (SQRT(SUM(v.x * v.x)) * SQRT(SUM(q.x * q.x))), 4) AS sim
+  FROM vecpos v JOIN vecpos q ON v.pos = q.pos
+  WHERE q.vec_id < 10 AND v.vec_id <> q.vec_id
+  GROUP BY q.vec_id, v.vec_id
+),
+exact AS (
+  SELECT qid, vec_id AS nn_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, vec_id) AS rn
+    FROM sims) t WHERE rn = 1
+),
+approx AS (
+  SELECT s.qid, s.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY s.qid
+                            ORDER BY s.sim DESC, s.vec_id) AS rnk
+  FROM sims s
+  JOIN b bq ON bq.vec_id = s.qid
+  JOIN b bc ON bc.vec_id = s.vec_id AND bc.bucket = bq.bucket
+)
+SELECT e.qid, e.nn_id,
+       CAST(a.rnk AS BIGINT) AS nn_rank,
+       CAST(CASE WHEN a.rnk IS NOT NULL AND a.rnk <= 10
+                 THEN 1 ELSE 0 END AS INTEGER) AS found_at_10,
+       CAST(CASE WHEN a.rnk IS NOT NULL AND a.rnk <= 10
+                 THEN 2520 {IDIV} a.rnk ELSE 0 END AS BIGINT) AS rr_scaled
+FROM exact e
+LEFT JOIN approx a ON a.qid = e.qid AND a.vec_id = e.nn_id
+"""
+
+_pair(
+    "qs20_mrr_eval",
+    _QS20_BODY.replace("{EXPLODE}", _EXPLODE_SPARK)
+    .replace("{PROJ}", _PROJ_TERMS_SPARK)
+    .replace("{IDIV}", "DIV"),
+    _QS20_BODY.replace("{EXPLODE}", _EXPLODE_DUCK)
+    .replace("{PROJ}", _PROJ_TERMS_DUCK)
+    .replace("{IDIV}", "//"),
+)
