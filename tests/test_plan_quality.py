@@ -497,3 +497,49 @@ def test_session6d_operator_plan_shapes(spark):
     # qm43 color histogram: shuffle-free pruned scan
     plan = _plan(spark, q["qm43_color_histogram"](spark, sf))
     assert "Exchange" not in plan
+
+
+def test_session7_operator_plan_shapes(spark):
+    """Plan pins for this session's batch (qr46-47, qx61-62, qt75-76,
+    qs20, qg12, qm44)."""
+    import re as _re
+
+    from pdf_spark.functions.registry import all_queries
+
+    q = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    # qr46 gaps-and-islands: ONE shuffle on source (the window); the
+    # island/source groupBys reuse that partitioning — count Exchanges
+    plan = _plan(spark, q["qr46_gaps_islands"](spark, sf))
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert _re.search(r"hashpartitioning\(source", plan)
+    # qr47 mode: map-side partial aggregation before the shuffle;
+    # the window never runs over raw rows (partial agg comes first)
+    plan = _plan(spark, q["qr47_group_mode"](spark, sf))
+    assert "partial_count" in plan or "partial_" in plan
+    assert "SinglePartition" not in plan
+    # qt75 bitext pairing: hash equi-join on the group key, never a
+    # nested-loop/cartesian pair build
+    plan = _plan(spark, q["qt75_bitext_pairs"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # qs20 MRR + qg12 PPR: hash joins only
+    for name in ("qs20_mrr_eval", "qg12_personalized_pagerank"):
+        plan = _plan(spark, q[name](spark, sf))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    # map-side extractors stay shuffle-free on doc_id-pruned scans
+    for name in (
+        "qx61_charset_detect",
+        "qx62_hreflang_audit",
+        "qt76_sentence_split",
+        "qm44_wasm_audit",
+    ):
+        plan = _plan(spark, q[name](spark, sf))
+        assert "Exchange" not in plan, f"{name} must stay shuffle-free"
+        m = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and m.group(1).startswith("doc_id"), (
+            f"{name} scan must prune to doc_id: {m and m.group(1)}"
+        )
