@@ -3190,3 +3190,100 @@ SELECT doc_id,
                  ELSE 0 END AS INTEGER) AS truncated
 FROM v
 """
+
+
+# -- qm45: Ogg container structural audit (core/oggread.py) --------------------
+#
+# RFC 3533 page walk without decoding a packet: page framing, BOS
+# stream bookkeeping, codec magic from the first BOS payload, EOS and
+# truncation flags. fam = doc_id % 4: vorbis 3-page stream (middle
+# page >255 B exercising multi-byte lacing) / opus+theora multiplexed
+# (2 BOS streams) / truncated mid-payload / not ogg.
+
+_OGG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("is_ogg", IntegerType()),
+        StructField("n_pages", IntegerType()),
+        StructField("n_streams", IntegerType()),
+        StructField("has_eos", IntegerType()),
+        StructField("codec", StringType()),
+        StructField("truncated", IntegerType()),
+    ]
+)
+
+
+def _qm45_make_ogg(doc_id: int) -> bytes:
+    from pdf_spark.core.oggread import encode_ogg_page
+
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 0:
+        return (
+            encode_ogg_page(i + 1, 0, b"\x01vorbis" + b"h" * 20, bos=True)
+            + encode_ogg_page(i + 1, 1, bytes([i % 256]) * 300)
+            + encode_ogg_page(i + 1, 2, b"tail", eos=True)
+        )
+    if fam == 1:
+        return (
+            encode_ogg_page(1, 0, b"OpusHead" + b"\x01", bos=True)
+            + encode_ogg_page(2, 0, b"\x80theora", bos=True)
+            + encode_ogg_page(1, 1, b"", eos=True)
+            + encode_ogg_page(2, 1, b"", eos=True)
+        )
+    if fam == 2:
+        good = encode_ogg_page(9, 0, b"\x01vorbis" + b"x" * 40, bos=True)
+        return good + encode_ogg_page(9, 1, b"y" * 64)[:-10]
+    return b"RIFF" + bytes((i + k) % 256 for k in range(30))
+
+
+def _qm45(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.oggread import ogg_audit
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [ogg_audit(_qm45_make_ogg(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "is_ogg": [m["is_ogg"] for m in metas],
+                    "n_pages": pd.array(
+                        [m["n_pages"] for m in metas], dtype="Int32"
+                    ),
+                    "n_streams": pd.array(
+                        [m["n_streams"] for m in metas], dtype="Int32"
+                    ),
+                    "has_eos": pd.array(
+                        [m["has_eos"] for m in metas], dtype="Int32"
+                    ),
+                    "codec": [m["codec"] for m in metas],
+                    "truncated": pd.array(
+                        [m["truncated"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _OGG_SCHEMA)
+
+
+QUERIES["qm45_ogg_audit"] = _qm45
+ORACLE["qm45_ogg_audit"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 3 THEN 0 ELSE 1 END AS INTEGER) AS is_ogg,
+       CAST(CASE fam WHEN 0 THEN 3 WHEN 1 THEN 4
+                     WHEN 2 THEN 1 END AS INTEGER) AS n_pages,
+       CAST(CASE fam WHEN 0 THEN 1 WHEN 1 THEN 2
+                     WHEN 2 THEN 1 END AS INTEGER) AS n_streams,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam IN (0, 1) THEN 1 ELSE 0 END AS INTEGER)
+           AS has_eos,
+       CASE WHEN fam IN (0, 2) THEN 'vorbis'
+            WHEN fam = 1 THEN 'opus' END AS codec,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam = 2 THEN 1 ELSE 0 END AS INTEGER) AS truncated
+FROM v
+"""

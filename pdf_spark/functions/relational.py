@@ -1643,3 +1643,44 @@ def qr47(spark: SparkSession, sf: str) -> DataFrame:
     raw orders. Same ANSI text on both engines."""
     register_views(spark, sf)
     return spark.sql(_QR47_BODY)
+
+
+# -- qr48: NOT IN vs NOT EXISTS under NULLs (three-valued-logic trap) -------------
+
+_QR48_BODY = """
+WITH src AS (
+  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+              ELSE o_custkey END AS k
+  FROM orders WHERE o_orderkey % 7 = 0),
+not_in AS (
+  SELECT COUNT(*) AS n FROM customer
+  WHERE c_custkey NOT IN (SELECT k FROM src)),
+not_exists AS (
+  SELECT COUNT(*) AS n FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.k = c.c_custkey)),
+null_count AS (
+  SELECT COUNT(*) AS n FROM src WHERE k IS NULL)
+SELECT CAST((SELECT n FROM null_count) AS BIGINT) AS n_null_keys,
+       CAST((SELECT n FROM not_in) AS BIGINT) AS n_not_in,
+       CAST((SELECT n FROM not_exists) AS BIGINT) AS n_not_exists
+"""
+
+
+@q("qr48_notin_null_trap", _QR48_BODY)
+def qr48(spark: SparkSession, sf: str) -> DataFrame:
+    """``NOT IN`` vs ``NOT EXISTS`` when the subquery carries NULLs —
+    SQL's most-reported silent-wrong-answer trap, certified on both
+    engines: ``x NOT IN (set containing NULL)`` is never TRUE under
+    three-valued logic (x <> NULL is UNKNOWN), so the NOT IN count
+    collapses to 0 the moment one NULL enters the key set, while the
+    NOT EXISTS form (whose equality predicate simply never matches the
+    NULL row) keeps returning the real anti-join count. The fixture
+    takes every 7th order (so some customers fall outside the key
+    set) and nulls every 97th key, guaranteeing both a non-empty
+    NULL set and a non-zero NOT EXISTS count, so an engine departing
+    from the standard in either direction hash-fails. 100 TB: the
+    planner realizes NOT IN as a null-aware anti join — one broadcast
+    of the key set; NOT EXISTS as a plain (hash) anti join; both
+    single-shuffle shapes. Same ANSI text on both engines."""
+    register_views(spark, sf)
+    return spark.sql(_QR48_BODY)

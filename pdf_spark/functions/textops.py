@@ -3677,3 +3677,74 @@ _pair(
     .replace("{LEN}", "len")
     .replace("{IDIV}", "//"),
 )
+
+
+# --- qt77: shingle containment (Broder's asymmetric near-dup measure) ---------
+#
+# Resemblance (Jaccard, qt07) misses the QUOTE case: a short document
+# wholly embedded in a long one scores low Jaccard but is still a dup
+# for training purposes (the "article + comments" page, the quoted
+# reply, the syndicated excerpt). Broder's containment c(A,B) =
+# |S(A) n S(B)| / |S(A)| is the asymmetric fix. Certified here on a
+# self-evident pair per doc — the first HALF of the token stream vs
+# the full stream — because prefix shingles are provably a subset:
+# c(half, full) must be exactly 1000 permille (the engine that breaks
+# shingling, distinctness, or intersection fails this invariant),
+# while c(full, half) varies per doc with repeated-shingle structure.
+# 100 TB: entirely IN-ROW (array_distinct/array_intersect on the
+# shingle arrays — zero explode, zero shuffle, zero join); the
+# cross-doc candidate generation for real corpora stays qt06's banded
+# LSH, with this containment as the verify stage instead of qt11's
+# symmetric Jaccard when quote-dups matter.
+
+_QT77_SPARK = """
+WITH base AS (
+  SELECT doc_id, split(text, ' ') AS toks FROM documents
+  WHERE size(split(text, ' ')) >= 6),
+sh AS (
+  SELECT doc_id,
+         array_distinct(transform(sequence(1, size(toks) - 2),
+                        i -> concat_ws(' ', slice(toks, i, 3)))) AS s_full,
+         array_distinct(transform(
+             sequence(1, size(toks) DIV 2 - 2),
+             i -> concat_ws(' ', slice(toks, i, 3)))) AS s_half
+  FROM base)
+SELECT doc_id,
+       CAST(size(s_full) AS BIGINT) AS n_full,
+       CAST(size(s_half) AS BIGINT) AS n_half,
+       CAST(size(array_intersect(s_half, s_full)) AS BIGINT) AS n_shared,
+       CAST(1000 * size(array_intersect(s_half, s_full))
+            DIV size(s_half) AS BIGINT) AS contain_half_permille,
+       CAST(1000 * size(array_intersect(s_half, s_full))
+            DIV size(s_full) AS BIGINT) AS contain_full_permille,
+       (1000 * size(array_intersect(s_half, s_full))
+            DIV size(s_half) >= 800) AS is_quote_dup
+FROM sh
+"""
+
+_QT77_DUCK = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 6),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS s_full,
+         list_distinct(list_transform(
+             range(1, len(toks) // 2 - 1),
+             i -> array_to_string(toks[i:i+2], ' '))) AS s_half
+  FROM base)
+SELECT doc_id,
+       CAST(len(s_full) AS BIGINT) AS n_full,
+       CAST(len(s_half) AS BIGINT) AS n_half,
+       CAST(len(list_intersect(s_half, s_full)) AS BIGINT) AS n_shared,
+       CAST(1000 * len(list_intersect(s_half, s_full))
+            // len(s_half) AS BIGINT) AS contain_half_permille,
+       CAST(1000 * len(list_intersect(s_half, s_full))
+            // len(s_full) AS BIGINT) AS contain_full_permille,
+       (1000 * len(list_intersect(s_half, s_full))
+            // len(s_half) >= 800) AS is_quote_dup
+FROM sh
+"""
+
+_pair("qt77_shingle_containment", _QT77_SPARK, _QT77_DUCK)
