@@ -1684,3 +1684,50 @@ def qr48(spark: SparkSession, sf: str) -> DataFrame:
     single-shuffle shapes. Same ANSI text on both engines."""
     register_views(spark, sf)
     return spark.sql(_QR48_BODY)
+
+
+# -- qr49: release diff manifest (FULL OUTER JOIN changed/added/removed) ----------
+
+_QR49_BODY = """
+WITH rel_a AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+  WHERE doc_id % 17 <> 0),
+rel_b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN md5(text || ' v2')
+              ELSE md5(text) END AS h
+  FROM documents
+  WHERE doc_id % 19 <> 0),
+diff AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.h <> b.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM rel_a a FULL OUTER JOIN rel_b b ON a.doc_id = b.doc_id)
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM diff
+GROUP BY status
+"""
+
+
+@q("qr49_release_diff", _QR49_BODY)
+def qr49(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset release diff — the versioning manifest every corpus
+    publisher ships (what changed between release A and release B):
+    FULL OUTER JOIN on the stable key with content-hash comparison
+    classifies every document added / removed / changed / unchanged in
+    ONE pass — the qt50 incremental-dedup complement at release
+    granularity. The derived releases guarantee all four classes are
+    non-empty (every 17th doc absent from A, every 19th from B, every
+    13th mutated in B), so an engine mishandling the FULL OUTER's
+    null-extension on either side, or the COALESCE key merge, fails
+    the counts. 100 TB: one hash full-outer join on the uniform
+    doc_id key + a 4-group rollup with map-side partials; content
+    hashes computed map-side before the join so the wide text column
+    never shuffles. Same ANSI text on both engines."""
+    register_views(spark, sf)
+    return spark.sql(_QR49_BODY)

@@ -3748,3 +3748,42 @@ FROM sh
 """
 
 _pair("qt77_shingle_containment", _QT77_SPARK, _QT77_DUCK)
+
+
+# --- qt78: Zipf octave profile (rank-frequency structure, integer-exact) -------
+#
+# The companion diagnostic to qt69's Heaps law: natural language has a
+# power-law rank-frequency curve, and corpora that DON'T (template
+# farms, generated spam, OCR noise) show it immediately in the octave
+# histogram — types bucketed by floor(log2(count)). The floor-log2 is
+# computed ENGINE-EXACTLY as length(bin(count)) - 1 (both engines
+# print identical minimal binary strings — no float log anywhere).
+# Per octave: distinct types, total occurrences, count envelope — the
+# release-datasheet vocabulary table. 100 TB: one explode + one
+# groupBy(token) with map-side partials (the qt02 token-count shape —
+# uniformly-hashed keys), then a trivial octave rollup reusing nothing
+# heavier than a second tiny aggregation.
+
+_QT78_BODY = """
+WITH toks AS (SELECT {TOK} AS tok FROM documents),
+counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks WHERE tok <> '' GROUP BY tok)
+SELECT CAST(LENGTH(bin(cnt)) - 1 AS BIGINT) AS octave,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(MIN(cnt) AS BIGINT) AS min_count,
+       CAST(MAX(cnt) AS BIGINT) AS max_count
+FROM counts
+GROUP BY octave
+"""
+
+_pair(
+    "qt78_zipf_octaves",
+    _QT78_BODY.replace(
+        "{TOK}", "explode(split(text, ' '))"
+    ),
+    _QT78_BODY.replace(
+        "{TOK}", "unnest(string_split(text, ' '))"
+    ),
+)

@@ -480,3 +480,32 @@ def stream_host_budget(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_late_counts(
+    spark: SparkSession, pages_dir: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Single-file micro-batches (``maxFilesPerTrigger=1``) so a test can
+    drive the watermark across batches deterministically and prove the
+    LATE-DATA CONTRACT end-to-end — not just that the plan builds
+    (the ``stream_event_counts`` test) but that (a) a window is emitted
+    exactly once, in the batch where the watermark passes its end, with
+    the state accumulated so far, and (b) rows arriving after the
+    watermark passed their event time are genuinely DROPPED, never
+    re-opening or double-emitting the window. That drop is the
+    correctness price of bounded state at 10^12-row scale — and the
+    number an ingest pipeline must audit (dropped-late-rows feed the
+    lineage table; the batch backfill re-reads them from the source).
+    Returns the unstarted windowed-count DataFrame (append mode).
+    """
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pages_dir)
+    )
+    return (
+        stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", "1 hour").alias("win"))
+        .agg(F.count("*").alias("n_docs"))
+        .select("win.start", "win.end", "n_docs")
+    )

@@ -448,3 +448,85 @@ def test_stream_host_budget_lifetime_cap(spark, tmp_path):
         # never exceeds budget; ranks are exactly 1..k
         assert len(pairs) == min(cap, totals[host])
         assert sorted(p[0] for p in pairs) == list(range(1, len(pairs) + 1))
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """End-to-end late-data contract: the window closes once (with the
+    pre-watermark state) and rows arriving after the watermark passed
+    are dropped — no re-emission, no count inflation."""
+    import os as _os
+    import shutil
+    from datetime import datetime
+
+    import pandas as pd
+
+    from pdf_spark.streaming.extract_stream import stream_late_counts
+
+    pages_dir = str(tmp_path / "pages")
+    _os.makedirs(pages_dir)
+
+    def _write_file(name: str, stamps: list, mtime: float) -> None:
+        pdf = pd.DataFrame(
+            {
+                "url": [f"https://ex.com/{name}/{i}" for i in range(len(stamps))],
+                "warc_ts": stamps,
+                "html": [b"<html>x</html>"] * len(stamps),
+                "text": ["x"] * len(stamps),
+                "lang": ["en"] * len(stamps),
+            }
+        )
+        staging = str(tmp_path / ("st_" + name))
+        spark.createDataFrame(pdf).repartition(1).write.parquet(staging)
+        part = [f for f in _os.listdir(staging) if f.endswith(".parquet")][0]
+        dst = _os.path.join(pages_dir, name + ".parquet")
+        shutil.copyfile(_os.path.join(staging, part), dst)
+        _os.utime(dst, (mtime, mtime))
+
+    base = 1700000000.0  # file mod-times order the micro-batches
+    d = datetime
+    # batch 1: three on-time rows in the 10:00 window
+    _write_file(
+        "b1",
+        [d(2024, 1, 1, 10, 5), d(2024, 1, 1, 10, 10), d(2024, 1, 1, 10, 15)],
+        base,
+    )
+    # batch 2: one row at 13:00 advances the eviction watermark to 12:50
+    _write_file("b2", [d(2024, 1, 1, 13, 0)], base + 100)
+    # batch 3: 13:05 row — by now the FILTER watermark has also passed
+    # 12:50 (this Spark's late-row filter applies the watermark one
+    # batch after eviction does), and the 10:00 window closes
+    _write_file("b3", [d(2024, 1, 1, 13, 5)], base + 200)
+    # batch 4: two LATE rows back in the 10:00 window -> must be dropped
+    _write_file(
+        "b4", [d(2024, 1, 1, 10, 20), d(2024, 1, 1, 10, 25)], base + 300
+    )
+
+    df = stream_late_counts(spark, pages_dir)
+    q = (
+        df.writeStream.format("memory")
+        .queryName("late_audit")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("late_audit").collect()
+    # exactly ONE emission: the 10:00 window with the 3 on-time rows;
+    # the 13:00 window never closes (watermark never passes it) and the
+    # late rows neither re-open nor re-emit the closed window
+    assert len(rows) == 1, rows
+    assert rows[0]["start"] == d(2024, 1, 1, 10, 0)
+    assert rows[0]["n_docs"] == 3
+    # and the drop was an explicit watermark drop, not a lucky loss
+    # (the two late rows map-side partial-aggregate into ONE row for
+    # the 10:00 window before the stateful operator filters it, so the
+    # metric counts partials, not input rows)
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped >= 1, dropped
