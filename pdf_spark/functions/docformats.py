@@ -3287,3 +3287,207 @@ SELECT doc_id,
                  WHEN fam = 2 THEN 1 ELSE 0 END AS INTEGER) AS truncated
 FROM v
 """
+
+
+# -- qx63: HTTP chunked transfer-encoding decode (core/httpwire.py) ------------
+#
+# WARC response bodies carry the raw wire framing; skipping the
+# dechunk step leaves "3b0\r\n" garbage inside extracted text and
+# breaks every downstream hash. fam = doc_id % 4: multi-chunk +
+# trailer / single chunk / truncated mid-chunk / not chunked.
+
+_CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ok", IntegerType()),
+        StructField("n_chunks", IntegerType()),
+        StructField("body_len", LongType()),
+        StructField("has_trailer", IntegerType()),
+        StructField("malformed", IntegerType()),
+        StructField("body_md5", StringType()),
+    ]
+)
+
+
+def _qx63_make_wire(doc_id: int) -> bytes:
+    from pdf_spark.core.httpwire import encode_chunked
+
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 0:
+        return encode_chunked(
+            [b"hello ", b"world", b"x" * (i % 200 + 100)],
+            trailer=b"X-Digest: abc",
+        )
+    if fam == 1:
+        return encode_chunked([b"y" * (i % 50 + 1)])
+    if fam == 2:
+        return encode_chunked([b"a" * 10, b"b" * 20])[:25]
+    return b"plain body, no framing here"
+
+
+def _qx63(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from pdf_spark.core.httpwire import dechunk
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [dechunk(_qx63_make_wire(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "ok": [m["ok"] for m in metas],
+                    "n_chunks": pd.array(
+                        [m["n_chunks"] for m in metas], dtype="Int32"
+                    ),
+                    "body_len": pd.array(
+                        [m["body_len"] for m in metas], dtype="Int64"
+                    ),
+                    "has_trailer": pd.array(
+                        [m["has_trailer"] for m in metas], dtype="Int32"
+                    ),
+                    "malformed": pd.array(
+                        [m["malformed"] for m in metas], dtype="Int32"
+                    ),
+                    "body_md5": [
+                        hashlib.md5(m["body"]).hexdigest() for m in metas
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(run, _CHUNK_SCHEMA)
+
+
+QUERIES["qx63_dechunk"] = _qx63
+ORACLE["qx63_dechunk"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam IN (0, 1) THEN 1 ELSE 0 END AS INTEGER) AS ok,
+       CAST(CASE fam WHEN 0 THEN 3 WHEN 1 THEN 1
+                     WHEN 2 THEN 1 ELSE 0 END AS INTEGER) AS n_chunks,
+       CAST(CASE fam WHEN 0 THEN 11 + doc_id % 200 + 100
+                     WHEN 1 THEN doc_id % 50 + 1
+                     WHEN 2 THEN 16 ELSE 0 END AS BIGINT) AS body_len,
+       CAST(CASE WHEN fam = 0 THEN 1 ELSE 0 END AS INTEGER)
+           AS has_trailer,
+       CAST(CASE WHEN fam IN (2, 3) THEN 1 ELSE 0 END AS INTEGER)
+           AS malformed,
+       md5(CASE fam
+           WHEN 0 THEN 'hello world' || repeat('x', CAST(doc_id % 200 + 100 AS INTEGER))
+           WHEN 1 THEN repeat('y', CAST(doc_id % 50 + 1 AS INTEGER))
+           WHEN 2 THEN repeat('a', 10) || repeat('b', 6)
+           ELSE '' END) AS body_md5
+FROM v
+"""
+
+
+# -- qm46: WOFF/WOFF2 web-font container audit (core/woff.py) ------------------
+#
+# The web delivery wrapper around qm38's sfnt: header sanity, flavor
+# routing, table bookkeeping, declared-length check, extended-metadata
+# presence — no table inflated. fam = doc_id % 4: WOFF1 truetype
+# 2-table (metadata on even ids) / WOFF1 cff / WOFF2 header (flavor
+# alternating, n_tables = id%5+1) / raw sfnt (not woff).
+
+_WOFF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("is_woff", IntegerType()),
+        StructField("woff_version", IntegerType()),
+        StructField("flavor", StringType()),
+        StructField("n_tables", IntegerType()),
+        StructField("has_metadata", IntegerType()),
+        StructField("length_ok", IntegerType()),
+        StructField("truncated", IntegerType()),
+    ]
+)
+
+
+def _qm46_make_font(doc_id: int) -> bytes:
+    import struct as _struct
+
+    from pdf_spark.core.woff import encode_woff
+
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 0:
+        meta = b"<metadata/>" if i % 2 == 0 else b""
+        return encode_woff(
+            [(b"cmap", b"\x00" * 12), (b"glyf", bytes([i % 256]) * 30)],
+            meta=meta,
+        )
+    if fam == 1:
+        return encode_woff([(b"CFF ", b"\x02" * 8)], flavor=0x4F54544F)
+    if fam == 2:
+        flavor = 0x4F54544F if i % 2 else 0x00010000
+        return (
+            b"wOF2"
+            + _struct.pack(">IIH", flavor, 48, i % 5 + 1)
+            + b"\x00" * 34
+        )
+    return b"\x00\x01\x00\x00" + bytes((i + k) % 256 for k in range(20))
+
+
+def _qm46(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.woff import woff_audit
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [woff_audit(_qm46_make_font(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "is_woff": [m["is_woff"] for m in metas],
+                    "woff_version": pd.array(
+                        [m["woff_version"] for m in metas], dtype="Int32"
+                    ),
+                    "flavor": [m["flavor"] for m in metas],
+                    "n_tables": pd.array(
+                        [m["n_tables"] for m in metas], dtype="Int32"
+                    ),
+                    "has_metadata": pd.array(
+                        [m["has_metadata"] for m in metas], dtype="Int32"
+                    ),
+                    "length_ok": pd.array(
+                        [m["length_ok"] for m in metas], dtype="Int32"
+                    ),
+                    "truncated": pd.array(
+                        [m["truncated"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _WOFF_SCHEMA)
+
+
+QUERIES["qm46_woff_audit"] = _qm46
+ORACLE["qm46_woff_audit"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 3 THEN 0 ELSE 1 END AS INTEGER) AS is_woff,
+       CAST(CASE WHEN fam IN (0, 1) THEN 1 WHEN fam = 2 THEN 2
+            END AS INTEGER) AS woff_version,
+       CASE WHEN fam = 0 THEN 'truetype'
+            WHEN fam = 1 THEN 'cff'
+            WHEN fam = 2 THEN
+                 CASE WHEN doc_id % 2 = 1 THEN 'cff' ELSE 'truetype' END
+       END AS flavor,
+       CAST(CASE WHEN fam = 0 THEN 2 WHEN fam = 1 THEN 1
+                 WHEN fam = 2 THEN doc_id % 5 + 1 END AS INTEGER)
+           AS n_tables,
+       CAST(CASE WHEN fam = 0 THEN
+                      CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                 WHEN fam = 1 THEN 0 END AS INTEGER) AS has_metadata,
+       CAST(CASE WHEN fam = 3 THEN NULL ELSE 1 END AS INTEGER)
+           AS length_ok,
+       CAST(CASE WHEN fam = 3 THEN NULL ELSE 0 END AS INTEGER)
+           AS truncated
+FROM v
+"""

@@ -732,3 +732,54 @@ pr2 AS (
 )
 SELECT doc_id, pr_fp AS ppr_fp FROM pr2
 """
+
+
+# --- qg13: host-graph reciprocity (mutual-link ratio) ---------------------------
+#
+# Link reciprocity separates organic linking (news sites citing each
+# other) from link-scheme rings and pure broadcast hubs — a standard
+# web-graph health metric (Newman's reciprocity, public). Host-level
+# directed edges derive arithmetically (src = doc_id % 40, dst =
+# (doc_id * 3 + k) % 40, k <= doc_id % 2 + 1, self-loops dropped,
+# DISTINCT pairs); an edge (a,b) is reciprocated iff (b,a) exists —
+# ONE self hash-join on the reversed key, never a matrix product.
+# Per-host: out-degree, reciprocated count, integer per-mille ratio.
+# 100 TB: distinct-pair reduction shuffles on the (src,dst) hash; the
+# reversal join reuses the same key space; host keys are bounded so
+# the final rollup is map-side combinable.
+
+_QG13_BODY = """
+WITH raw_edges AS (
+  SELECT DISTINCT doc_id % 40 AS src,
+         (doc_id * 3 + t.k) % 40 AS dst
+  FROM documents {LATERAL}
+),
+edges AS (
+  SELECT src, dst FROM raw_edges WHERE src <> dst),
+marked AS (
+  SELECT e.src, e.dst,
+         CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS recip
+  FROM edges e
+  LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src)
+SELECT src AS host,
+       CAST(COUNT(*) AS BIGINT) AS out_deg,
+       CAST(SUM(recip) AS BIGINT) AS n_recip,
+       CAST(1000 * SUM(recip) {IDIV} COUNT(*) AS BIGINT)
+           AS recip_permille
+FROM marked
+GROUP BY src
+"""
+
+QUERIES["qg13_reciprocity"] = lambda spark, sf: (
+    register_views(spark, sf),
+    spark.sql(
+        _QG13_BODY.replace(
+            "{LATERAL}",
+            "LATERAL VIEW explode(sequence(1, CAST(doc_id % 2 + 1 AS INT)))"
+            " t AS k",
+        ).replace("{IDIV}", "DIV")
+    ),
+)[1]
+ORACLE["qg13_reciprocity"] = _QG13_BODY.replace(
+    "{LATERAL}", ", LATERAL unnest(range(1, doc_id % 2 + 2)) t(k)"
+).replace("{IDIV}", "//")
