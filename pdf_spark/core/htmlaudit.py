@@ -444,3 +444,91 @@ def hreflang_audit(data: bytes) -> dict:
         "has_xdefault": has_xdefault,
         "is_multilingual": int(len(langs) >= 2),
     }
+
+
+def spa_shell_audit(data: bytes) -> dict:
+    """JS-application-shell detection — the "empty SPA" problem every
+    HTML extraction pipeline must route around: a client-rendered page
+    fetches as a near-empty ``<div id="root">`` plus script tags, so
+    naive extraction yields nothing (or worse, the noscript fallback
+    banner) and the URL must go to a rendering tier instead. Signals
+    (all integer, rawtext-safe via the shared tokenizer)::
+
+        {text_chars, script_bytes, n_scripts, has_empty_root,
+         has_noscript, script_permille, is_spa_shell}
+
+    ``text_chars`` counts non-whitespace characters of body text
+    OUTSIDE script/style; ``script_bytes`` counts characters inside
+    <script> bodies plus src= tag overhead; ``has_empty_root`` is 1
+    when a div with id root/app/__next (the React/Vue/Next conventions)
+    closes with no text inside; ``script_permille`` =
+    1000*script/(script+text) (0 when both empty); ``is_spa_shell`` =
+    empty root container AND script_permille >= 900 — the router's
+    send-to-renderer rule.
+    """
+    html_text = decode_html(data)
+    pos, n = 0, len(html_text)
+    text_chars = script_bytes = n_scripts = 0
+    has_empty_root = has_noscript = 0
+    root_depth = None  # depth inside a root/app container with no text yet
+    root_text = 0
+    depth = 0
+    while pos < n:
+        m = _TOKEN_RE.match(html_text, pos)
+        if m is None:  # pragma: no cover
+            pos += 1
+            continue
+        pos = m.end()
+        end_tag, start_tag, attrs = m.group(1), m.group(2), m.group(3)
+        if start_tag is None and end_tag is None:
+            tok = m.group(0)
+            if not tok.startswith("<"):
+                stripped = sum(
+                    1 for c in unescape(tok) if not c.isspace()
+                )
+                text_chars += stripped
+                if root_depth is not None:
+                    root_text += stripped
+            continue
+        if end_tag is not None:
+            depth -= 1
+            if root_depth is not None and depth < root_depth:
+                if root_text == 0:
+                    has_empty_root = 1
+                root_depth = None
+            continue
+        low = start_tag.lower()
+        if low in _RAWTEXT:
+            if low == "noscript":
+                has_noscript = 1
+            close = re.compile(r"</\s*%s[\s>]" % re.escape(low), re.I)
+            cm = close.search(html_text, pos)
+            body_end = cm.start() if cm else n
+            if low == "script":
+                n_scripts += 1
+                script_bytes += body_end - pos
+            if cm is None:
+                pos = n
+            else:
+                gt = html_text.find(">", cm.start())
+                pos = n if gt == -1 else gt + 1
+            continue
+        if low in _VOID:
+            continue
+        depth += 1
+        if low == "div" and root_depth is None:
+            did = _parse_attrs(attrs).get("id", "").strip().lower()
+            if did in ("root", "app", "__next"):
+                root_depth = depth
+                root_text = 0
+    total = script_bytes + text_chars
+    script_permille = (1000 * script_bytes) // total if total else 0
+    return {
+        "text_chars": text_chars,
+        "script_bytes": script_bytes,
+        "n_scripts": n_scripts,
+        "has_empty_root": has_empty_root,
+        "has_noscript": has_noscript,
+        "script_permille": script_permille,
+        "is_spa_shell": int(has_empty_root == 1 and script_permille >= 900),
+    }

@@ -3491,3 +3491,114 @@ SELECT doc_id,
            AS truncated
 FROM v
 """
+
+
+# -- qx64: SPA application-shell detection (core/htmlaudit.py) -----------------
+#
+# The empty-SPA routing problem: client-rendered pages fetch as an
+# empty root div + scripts; naive extraction yields nothing and the
+# URL belongs in a rendering tier. fam = doc_id % 4: React-style
+# shell with noscript banner / SSR article (root div HAS text) /
+# static page, no scripts / app-div spinner shell.
+
+_SPA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text_chars", LongType()),
+        StructField("script_bytes", LongType()),
+        StructField("n_scripts", IntegerType()),
+        StructField("has_empty_root", IntegerType()),
+        StructField("has_noscript", IntegerType()),
+        StructField("script_permille", LongType()),
+        StructField("is_spa_shell", IntegerType()),
+    ]
+)
+
+
+def _qx64_make_page(doc_id: int) -> bytes:
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 0:
+        return (
+            '<html><body><div id="root"></div><script>'
+            + "x" * (100 + i % 100)
+            + f"</script><noscript>Enable JS {i}</noscript></body></html>"
+        ).encode()
+    if fam == 1:
+        return (
+            f'<html><body><div id="root"><p>server rendered article {i} '
+            f"body</p></div><script>b=2;</script></body></html>"
+        ).encode()
+    if fam == 2:
+        return f"<html><body><p>plain page {i} content</p></body></html>".encode()
+    return (
+        f'<div id="app"><div class="load"></div></div>'
+        f"<script>boot({i})</script>"
+    ).encode()
+
+
+def _qx64(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.htmlaudit import spa_shell_audit
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [spa_shell_audit(_qx64_make_page(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "text_chars": pd.array(
+                        [m["text_chars"] for m in metas], dtype="Int64"
+                    ),
+                    "script_bytes": pd.array(
+                        [m["script_bytes"] for m in metas], dtype="Int64"
+                    ),
+                    "n_scripts": pd.array(
+                        [m["n_scripts"] for m in metas], dtype="Int32"
+                    ),
+                    "has_empty_root": pd.array(
+                        [m["has_empty_root"] for m in metas], dtype="Int32"
+                    ),
+                    "has_noscript": pd.array(
+                        [m["has_noscript"] for m in metas], dtype="Int32"
+                    ),
+                    "script_permille": pd.array(
+                        [m["script_permille"] for m in metas], dtype="Int64"
+                    ),
+                    "is_spa_shell": pd.array(
+                        [m["is_spa_shell"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _SPA_SCHEMA)
+
+
+QUERIES["qx64_spa_shell"] = _qx64
+ORACLE["qx64_spa_shell"] = """
+WITH v AS (
+  SELECT doc_id, doc_id % 4 AS fam,
+         LENGTH(CAST(doc_id AS VARCHAR)) AS d
+  FROM documents)
+SELECT doc_id,
+       CAST(CASE fam WHEN 0 THEN 0 WHEN 1 THEN 25 + d
+                     WHEN 2 THEN 16 + d ELSE 0 END AS BIGINT)
+           AS text_chars,
+       CAST(CASE fam WHEN 0 THEN 100 + doc_id % 100
+                     WHEN 1 THEN 4 WHEN 2 THEN 0
+                     ELSE 6 + d END AS BIGINT) AS script_bytes,
+       CAST(CASE WHEN fam = 2 THEN 0 ELSE 1 END AS INTEGER) AS n_scripts,
+       CAST(CASE WHEN fam IN (0, 3) THEN 1 ELSE 0 END AS INTEGER)
+           AS has_empty_root,
+       CAST(CASE WHEN fam = 0 THEN 1 ELSE 0 END AS INTEGER)
+           AS has_noscript,
+       CAST(CASE fam WHEN 0 THEN 1000
+                     WHEN 1 THEN 4000 // (29 + d)
+                     WHEN 2 THEN 0 ELSE 1000 END AS BIGINT)
+           AS script_permille,
+       CAST(CASE WHEN fam IN (0, 3) THEN 1 ELSE 0 END AS INTEGER)
+           AS is_spa_shell
+FROM v
+"""

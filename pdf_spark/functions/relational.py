@@ -1731,3 +1731,53 @@ def qr49(spark: SparkSession, sf: str) -> DataFrame:
     never shuffles. Same ANSI text on both engines."""
     register_views(spark, sf)
     return spark.sql(_QR49_BODY)
+
+
+# -- qr50: ordered funnel analysis (view -> click -> purchase) --------------------
+
+_QR50_BODY = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purch
+  FROM events
+  GROUP BY user_id),
+steps AS (
+  SELECT user_id,
+         CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS s1,
+         CASE WHEN t_view IS NOT NULL AND t_click > t_view
+              THEN 1 ELSE 0 END AS s2,
+         CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                   AND t_purch > t_click
+              THEN 1 ELSE 0 END AS s3
+  FROM firsts)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(s1) AS BIGINT) AS step_view,
+       CAST(SUM(s2) AS BIGINT) AS step_click,
+       CAST(SUM(s3) AS BIGINT) AS step_purchase,
+       CAST(1000 * SUM(s3) {IDIV} GREATEST(SUM(s1), 1) AS BIGINT)
+           AS conversion_permille
+"""
+
+
+@q(
+    "qr50_funnel_steps",
+    _QR50_BODY.replace("{IDIV}", "//") + "FROM steps",
+)
+def qr50(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel — the event-analytics staple (did the user view,
+    THEN click, THEN purchase, in that order?) in its scalable
+    conditional-aggregation form: first-occurrence timestamps per
+    step come from ONE groupBy(user) with CASE-wrapped MINs (map-side
+    combinable), and step membership is pure timestamp comparison —
+    no self-join per step (the naive 3-way join reshuffles the event
+    log once per funnel stage; at 10^12 events that's the whole job
+    three times), no window, no sequence explode. NULL timestamp
+    comparisons resolve to UNKNOWN -> step 0, which is exactly the
+    funnel semantic (never did the step). Strict inequality enforces
+    ORDER, not mere presence — a user who purchased before clicking
+    counts for view only. 100 TB: one shuffle on user_id, then a
+    scalar rollup. Same ANSI text on both engines."""
+    register_views(spark, sf)
+    return spark.sql(_QR50_BODY.replace("{IDIV}", "DIV") + "FROM steps")

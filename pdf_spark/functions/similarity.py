@@ -1023,3 +1023,63 @@ _pair(
     .replace("{PROJ}", _PROJ_TERMS_DUCK)
     .replace("{IDIV}", "//"),
 )
+
+
+# --- qs21: dot-product vs cosine ranking divergence ---------------------------
+#
+# The serving-stack contract qs16's norm audit motivates but doesn't
+# close: MIPS indexes rank by raw inner product, cosine indexes by
+# normalized angle — on UNnormalized embeddings the two top-k sets
+# disagree exactly where norm skew lives, and a pipeline that trains
+# on cosine neighbors but serves dot-product neighbors ships that
+# divergence as silent quality loss. Per probe (vec_ids 0..4):
+# top-5 under each metric (ROUND 4 + vec_id tie-break, the qs02
+# contract) and their overlap + top-1 agreement. 100 TB: one batched
+# probe join (the qs18 shape) computes BOTH metrics from the same
+# partial sums — norms are per-vector aggregates reused across probes.
+
+_QS21_BODY = """
+WITH vecpos AS (
+  -- deterministic norm skew (scale by 1 + vec_id % 5): cosine is
+  -- scale-invariant, dot is not -- the divergence this query measures
+  SELECT vec_id, pos,
+         CAST(v AS DOUBLE) * (1 + vec_id % 5) AS x
+  FROM ({EXPLODE})
+),
+pairs AS (
+  SELECT q.vec_id AS qid, v.vec_id,
+         SUM(v.x * q.x) AS dot,
+         SUM(v.x * q.x)
+           / (SQRT(SUM(v.x * v.x)) * SQRT(SUM(q.x * q.x))) AS cos
+  FROM vecpos v JOIN vecpos q ON v.pos = q.pos
+  WHERE q.vec_id < 5 AND v.vec_id <> q.vec_id
+  GROUP BY q.vec_id, v.vec_id
+),
+rdot AS (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY ROUND(dot, 4) DESC, vec_id) AS rk
+  FROM pairs
+),
+rcos AS (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY ROUND(cos, 4) DESC, vec_id) AS rk
+  FROM pairs
+)
+SELECT d.qid,
+       CAST(COUNT(c.vec_id) AS BIGINT) AS n_overlap_at_5,
+       CAST(MAX(CASE WHEN d.rk = 1 AND c.rk = 1 THEN 1 ELSE 0 END)
+            AS INTEGER) AS top1_same
+FROM rdot d
+LEFT JOIN rcos c
+  ON c.qid = d.qid AND c.vec_id = d.vec_id AND c.rk <= 5
+WHERE d.rk <= 5
+GROUP BY d.qid
+"""
+
+_pair(
+    "qs21_metric_divergence",
+    _QS21_BODY.replace("{EXPLODE}", _EXPLODE_SPARK),
+    _QS21_BODY.replace("{EXPLODE}", _EXPLODE_DUCK),
+)

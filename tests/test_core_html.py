@@ -829,3 +829,45 @@ def test_hreflang_audit_channels_and_decoy():
     )
     assert m["n_alternates"] == 1 and m["n_langs"] == 1
     assert m["is_multilingual"] == 0 and m["page_lang"] is None
+
+
+def test_spa_shell_detection():
+    from pdf_spark.core.htmlaudit import spa_shell_audit
+
+    shell = (
+        b'<html><body><div id="root"></div><script>'
+        + b"window.x=1;" * 40
+        + b"</script><noscript>Enable JS</noscript></body></html>"
+    )
+    m = spa_shell_audit(shell)
+    assert m["is_spa_shell"] == 1 and m["has_empty_root"] == 1
+    assert m["has_noscript"] == 1 and m["text_chars"] == 0
+    assert m["script_permille"] == 1000
+    # noscript banner text must NOT count as page text
+    assert m["n_scripts"] == 1
+
+
+def test_spa_ssr_and_static_not_flagged():
+    from pdf_spark.core.htmlaudit import spa_shell_audit
+
+    ssr = (
+        b'<html><body><div id="root"><p>Real server rendered body'
+        b"</p></div><script>a=1</script></body></html>"
+    )
+    m = spa_shell_audit(ssr)
+    assert m["is_spa_shell"] == 0 and m["has_empty_root"] == 0
+    assert m["text_chars"] > 0
+    m = spa_shell_audit(b"<html><body><p>just text</p></body></html>")
+    assert m["n_scripts"] == 0 and m["script_permille"] == 0
+
+
+def test_spa_nested_spinner_still_empty():
+    from pdf_spark.core.htmlaudit import spa_shell_audit
+
+    # an empty spinner div inside the app container is still "empty":
+    # no TEXT was rendered server-side
+    m = spa_shell_audit(
+        b'<div id="app"><div class="spinner"></div></div>'
+        b"<script>boot()</script>"
+    )
+    assert m["has_empty_root"] == 1 and m["is_spa_shell"] == 1
