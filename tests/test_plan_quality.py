@@ -543,3 +543,51 @@ def test_session7_operator_plan_shapes(spark):
         assert m and m.group(1).startswith("doc_id"), (
             f"{name} scan must prune to doc_id: {m and m.group(1)}"
         )
+
+
+def test_session7b_operator_plan_shapes(spark):
+    """Plan pins for the second session batch (qt77-78, qr48-50,
+    qx63-64, qm45-46, qg13, qs21)."""
+    import re as _re
+
+    from pdf_spark.functions.registry import all_queries
+
+    q = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    # qt77 containment: entirely in-row — no explode, no shuffle
+    plan = _plan(spark, q["qt77_shingle_containment"](spark, sf))
+    assert "Generate" not in plan and "Exchange" not in plan
+    # qt78 zipf: partial aggregation on the token groupBy
+    plan = _plan(spark, q["qt78_zipf_octaves"](spark, sf))
+    assert "partial_" in plan and "SinglePartition" not in plan
+    # qr49 release diff: full-outer as a hash join, hashes computed
+    # below the join (text never shuffles wide)
+    plan = _plan(spark, q["qr49_release_diff"](spark, sf))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    # qr50 funnel: ONE user_id shuffle + scalar rollup, no join at all
+    plan = _plan(spark, q["qr50_funnel_steps"](spark, sf))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    # qr48 / qg13 / qs21: no nested-loop pair builds
+    for name in (
+        "qr48_notin_null_trap",
+        "qg13_reciprocity",
+        "qs21_metric_divergence",
+    ):
+        plan = _plan(spark, q[name](spark, sf))
+        assert "CartesianProduct" not in plan, name
+    # map-side extractors stay shuffle-free on doc_id-pruned scans
+    for name in (
+        "qx63_dechunk",
+        "qx64_spa_shell",
+        "qm45_ogg_audit",
+        "qm46_woff_audit",
+    ):
+        plan = _plan(spark, q[name](spark, sf))
+        assert "Exchange" not in plan, f"{name} must stay shuffle-free"
+        m = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and m.group(1).startswith("doc_id"), (
+            f"{name} scan must prune to doc_id: {m and m.group(1)}"
+        )
