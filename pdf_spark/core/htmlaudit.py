@@ -532,3 +532,84 @@ def spa_shell_audit(data: bytes) -> dict:
         "script_permille": script_permille,
         "is_spa_shell": int(has_empty_root == 1 and script_permille >= 900),
     }
+
+
+_DATA_URI_RE = re.compile(
+    r"""data:([A-Za-z0-9.+-]+/[A-Za-z0-9.+-]+)?"""
+    r"""((?:;[A-Za-z0-9-]+=[A-Za-z0-9-]+)*)(;base64)?,""",
+    re.I,
+)
+_B64_CHARS = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/="
+)
+
+
+def data_uri_inventory(data: bytes) -> dict:
+    """Inline data:-URI asset inventory — pages embed images/fonts as
+    base64 blobs inside src/href/style attributes, and a corpus wants
+    them counted and sized WITHOUT decoding (they inflate page bytes
+    4/3x and are invisible to the image-URL harvester). Scans
+    attribute values of genuine tags via the shared tokenizer (a
+    data: URI spelled in body text or a script string never counts).
+    Per RFC 2397: ``data:[mediatype][;base64],payload``. Returns::
+
+        {n_uris, n_base64, n_images, total_decoded_bytes, max_decoded}
+
+    Decoded size for base64 payloads is computed arithmetically
+    (3 * len/4 minus padding) — no decode; non-base64 (URL-encoded)
+    payloads count their literal length.
+    """
+    html_text = decode_html(data)
+    n_uris = n_base64 = n_images = 0
+    total = mx = 0
+    pos, n = 0, len(html_text)
+    while pos < n:
+        m = _TOKEN_RE.match(html_text, pos)
+        if m is None:  # pragma: no cover
+            pos += 1
+            continue
+        pos = m.end()
+        start_tag = m.group(2)
+        if start_tag is None:
+            continue
+        low = start_tag.lower()
+        if low in _RAWTEXT:
+            close = re.compile(r"</\s*%s[\s>]" % re.escape(low), re.I)
+            cm = close.search(html_text, pos)
+            if cm is None:
+                pos = n
+            else:
+                gt = html_text.find(">", cm.start())
+                pos = n if gt == -1 else gt + 1
+            continue
+        attrs = m.group(3) or ""
+        for dm in _DATA_URI_RE.finditer(attrs):
+            mediatype = (dm.group(1) or "text/plain").lower()
+            is_b64 = dm.group(3) is not None
+            # payload runs to the closing quote (or whitespace/end)
+            tail = attrs[dm.end():]
+            stop = len(tail)
+            for ch in ('"', "'", " ", "\t", "\n", ">"):
+                i = tail.find(ch)
+                if i != -1 and i < stop:
+                    stop = i
+            payload = tail[:stop]
+            n_uris += 1
+            if mediatype.startswith("image/"):
+                n_images += 1
+            if is_b64:
+                n_base64 += 1
+                raw = "".join(c for c in payload if c in _B64_CHARS)
+                pad = raw.count("=")
+                size = max(0, (len(raw) * 3) // 4 - pad)
+            else:
+                size = len(payload)
+            total += size
+            mx = max(mx, size)
+    return {
+        "n_uris": n_uris,
+        "n_base64": n_base64,
+        "n_images": n_images,
+        "total_decoded_bytes": total,
+        "max_decoded": mx,
+    }

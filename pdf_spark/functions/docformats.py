@@ -3602,3 +3602,227 @@ SELECT doc_id,
            AS is_spa_shell
 FROM v
 """
+
+
+# -- qx65: inline data:-URI asset inventory (core/htmlaudit.py) ----------------
+#
+# Embedded base64 assets inflate pages 4/3x and hide from URL
+# harvesters; the inventory sizes them WITHOUT decoding (RFC 2397
+# arithmetic), rawtext-safe. fam = doc_id % 4: b64 image + plain-text
+# uri / none (script decoy only) / two b64 images / b64 font.
+
+_DATAURI_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_uris", IntegerType()),
+        StructField("n_base64", IntegerType()),
+        StructField("n_images", IntegerType()),
+        StructField("total_decoded_bytes", LongType()),
+        StructField("max_decoded", LongType()),
+    ]
+)
+
+
+def _qx65_make_page(doc_id: int) -> bytes:
+    import base64 as _b64
+
+    i = int(doc_id)
+    fam = i % 4
+
+    def blob(k: int) -> str:
+        return _b64.b64encode(bytes([i % 256]) * k).decode()
+
+    if fam == 0:
+        k = i % 50 + 10
+        return (
+            f'<img src="data:image/png;base64,{blob(k)}">'
+            f'<a href="data:text/plain,hello">t</a>'
+        ).encode()
+    if fam == 1:
+        return (
+            f"<script>var s='data:image/gif;base64,R0lGOD';</script>"
+            f"<p>plain page {i}</p>"
+        ).encode()
+    if fam == 2:
+        k1 = i % 20 + 5
+        return (
+            f'<img src="data:image/jpeg;base64,{blob(k1)}">'
+            f'<img src="data:image/webp;base64,{blob(30)}">'
+        ).encode()
+    k = i % 30 + 3
+    return (
+        f"<style>@font-face{{}}</style>"
+        f'<link href="data:font/woff2;base64,{blob(k)}" rel="preload">'
+    ).encode()
+
+
+def _qx65(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.htmlaudit import data_uri_inventory
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [data_uri_inventory(_qx65_make_page(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_uris": pd.array(
+                        [m["n_uris"] for m in metas], dtype="Int32"
+                    ),
+                    "n_base64": pd.array(
+                        [m["n_base64"] for m in metas], dtype="Int32"
+                    ),
+                    "n_images": pd.array(
+                        [m["n_images"] for m in metas], dtype="Int32"
+                    ),
+                    "total_decoded_bytes": pd.array(
+                        [m["total_decoded_bytes"] for m in metas],
+                        dtype="Int64",
+                    ),
+                    "max_decoded": pd.array(
+                        [m["max_decoded"] for m in metas], dtype="Int64"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _DATAURI_SCHEMA)
+
+
+QUERIES["qx65_data_uris"] = _qx65
+ORACLE["qx65_data_uris"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE fam WHEN 0 THEN 2 WHEN 1 THEN 0
+                     WHEN 2 THEN 2 ELSE 1 END AS INTEGER) AS n_uris,
+       CAST(CASE fam WHEN 0 THEN 1 WHEN 1 THEN 0
+                     WHEN 2 THEN 2 ELSE 1 END AS INTEGER) AS n_base64,
+       CAST(CASE fam WHEN 0 THEN 1 WHEN 2 THEN 2
+                     ELSE 0 END AS INTEGER) AS n_images,
+       CAST(CASE fam WHEN 0 THEN (doc_id % 50 + 10) + 5
+                     WHEN 1 THEN 0
+                     WHEN 2 THEN (doc_id % 20 + 5) + 30
+                     ELSE doc_id % 30 + 3 END AS BIGINT)
+           AS total_decoded_bytes,
+       CAST(CASE fam WHEN 0 THEN doc_id % 50 + 10
+                     WHEN 1 THEN 0
+                     WHEN 2 THEN 30
+                     ELSE doc_id % 30 + 3 END AS BIGINT) AS max_decoded
+FROM v
+"""
+
+
+# -- qx66: HTML-tier routing capstone (charset -> doorway -> SPA -> extract) ---
+#
+# The per-page routing decision the extraction tier actually makes,
+# composing the certified audits in production order with the
+# first-failure reason (the qt74/qx58 capstone pattern): UTF-16 BOM
+# pages go to a transcode step (byte-scans are blind there), doorway
+# pages are discarded (qx60), empty SPA shells go to the rendering
+# tier (qx64), everything else extracts directly. fam = doc_id % 5:
+# utf-16 page / instant meta-refresh doorway / React shell /
+# clean article / JS-redirect doorway.
+
+_ROUTER_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("route", StringType()),
+        StructField("reason", StringType()),
+        StructField("resolved_charset", StringType()),
+        StructField("is_doorway", IntegerType()),
+        StructField("is_spa_shell", IntegerType()),
+    ]
+)
+
+
+def _qx66_make_page(doc_id: int) -> bytes:
+    i = int(doc_id)
+    fam = i % 5
+    if fam == 0:
+        return b"\xff\xfe" + f"<html><p>utf16 page {i}</p></html>".encode(
+            "utf-16-le"
+        )
+    if fam == 1:
+        return (
+            f'<html><meta http-equiv="refresh" content="0;'
+            f'url=https://other{i % 3}.example.com/"><body>moved</body></html>'
+        ).encode()
+    if fam == 2:
+        return (
+            '<html><body><div id="root"></div><script>'
+            + "boot();" * 30
+            + f"</script></body></html>"
+        ).encode()
+    if fam == 3:
+        return (
+            f"<html><body><p>a real article body with text {i}</p>"
+            f"<script>a=1</script></body></html>"
+        ).encode()
+    return (
+        f"<html><script>window.location.href='/new/{i}';</script></html>"
+    ).encode()
+
+
+def _qx66(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.htmlaudit import (
+            charset_detect,
+            soft_redirects,
+            spa_shell_audit,
+        )
+
+        def route_one(i: int):
+            page = _qx66_make_page(i)
+            cs = charset_detect(page)
+            if cs["bom"] in ("utf-16le", "utf-16be"):
+                return ("transcode", "utf16_bom", cs["resolved"], None, None)
+            sr = soft_redirects(page)
+            if sr["is_doorway"]:
+                return ("discard", "doorway", cs["resolved"], 1, None)
+            spa = spa_shell_audit(page)
+            if spa["is_spa_shell"]:
+                return ("render", "spa_shell", cs["resolved"], 0, 1)
+            return ("extract", "ok", cs["resolved"], 0, 0)
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            rows = [route_one(d) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "route": [r[0] for r in rows],
+                    "reason": [r[1] for r in rows],
+                    "resolved_charset": [r[2] for r in rows],
+                    "is_doorway": pd.array(
+                        [r[3] for r in rows], dtype="Int32"
+                    ),
+                    "is_spa_shell": pd.array(
+                        [r[4] for r in rows], dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _ROUTER_SCHEMA)
+
+
+QUERIES["qx66_html_router"] = _qx66
+ORACLE["qx66_html_router"] = """
+WITH v AS (SELECT doc_id, doc_id % 5 AS fam FROM documents)
+SELECT doc_id,
+       CASE fam WHEN 0 THEN 'transcode' WHEN 1 THEN 'discard'
+                WHEN 2 THEN 'render' WHEN 3 THEN 'extract'
+                ELSE 'discard' END AS route,
+       CASE fam WHEN 0 THEN 'utf16_bom' WHEN 1 THEN 'doorway'
+                WHEN 2 THEN 'spa_shell' WHEN 3 THEN 'ok'
+                ELSE 'doorway' END AS reason,
+       CASE WHEN fam = 0 THEN 'utf-16le' ELSE 'utf-8' END
+           AS resolved_charset,
+       CAST(CASE WHEN fam IN (1, 4) THEN 1
+                 WHEN fam IN (2, 3) THEN 0 END AS INTEGER) AS is_doorway,
+       CAST(CASE WHEN fam = 2 THEN 1 WHEN fam = 3 THEN 0
+            END AS INTEGER) AS is_spa_shell
+FROM v
+"""

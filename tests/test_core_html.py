@@ -871,3 +871,29 @@ def test_spa_nested_spinner_still_empty():
         b"<script>boot()</script>"
     )
     assert m["has_empty_root"] == 1 and m["is_spa_shell"] == 1
+
+
+def test_data_uri_inventory_rfc2397_sizes():
+    import base64
+
+    from pdf_spark.core.htmlaudit import data_uri_inventory
+
+    blob = base64.b64encode(b"\x89PNG" + b"\x00" * 29).decode()  # 33 bytes
+    page = (
+        f'<img src="data:image/png;base64,{blob}">'
+        f'<a href="data:text/plain,hello">t</a>'
+    ).encode()
+    m = data_uri_inventory(page)
+    assert m["n_uris"] == 2 and m["n_base64"] == 1 and m["n_images"] == 1
+    assert m["max_decoded"] == 33  # arithmetic, not decoded
+    assert m["total_decoded_bytes"] == 38
+
+
+def test_data_uri_decoys_never_count():
+    from pdf_spark.core.htmlaudit import data_uri_inventory
+
+    m = data_uri_inventory(
+        b"<script>var s='data:image/gif;base64,R0lGOD';</script>"
+        b"<p>data:image/jpeg;base64,decoy in body text</p>"
+    )
+    assert m["n_uris"] == 0
