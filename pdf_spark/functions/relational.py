@@ -1781,3 +1781,46 @@ def qr50(spark: SparkSession, sf: str) -> DataFrame:
     scalar rollup. Same ANSI text on both engines."""
     register_views(spark, sf)
     return spark.sql(_QR50_BODY.replace("{IDIV}", "DIV") + "FROM steps")
+
+
+# -- qr51: last-touch attribution (latest qualifying event before conversion) -----
+
+_QR51_BODY = """
+WITH purchases AS (
+  SELECT user_id, event_id AS purchase_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'),
+touches AS (
+  SELECT user_id, event_id AS touch_id, event_type AS channel, ts AS t_ts
+  FROM events WHERE event_type IN ('click', 'view')),
+joined AS (
+  SELECT p.purchase_id, p.user_id, t.touch_id, t.channel,
+         ROW_NUMBER() OVER (
+             PARTITION BY p.purchase_id
+             ORDER BY t.t_ts DESC, t.touch_id DESC) AS rk
+  FROM purchases p
+  JOIN touches t
+    ON t.user_id = p.user_id AND t.t_ts < p.p_ts)
+SELECT j.purchase_id, j.user_id,
+       j.touch_id AS attributed_touch,
+       j.channel AS attributed_channel
+FROM joined j WHERE j.rk = 1
+"""
+
+
+@q("qr51_last_touch_attribution", _QR51_BODY)
+def qr51(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution — for every conversion, the LATEST
+    qualifying touch (click/view) strictly before it: the revenue-
+    reporting query every event warehouse runs nightly. Shape: one
+    hash join on user_id (both sides pre-filtered map-side to their
+    event classes) + a window PARTITIONED BY purchase (bounded key —
+    a user's touches per purchase, never a global sort); the strict
+    ``t_ts < p_ts`` guard makes same-timestamp self-attribution
+    impossible, and the (ts DESC, touch_id DESC) tie-break keeps the
+    pick deterministic cross-engine. Purchases with no prior touch
+    drop out (inner join) — the unattributed set is the qr06 anti-join
+    complement. 100 TB: the user_id join key is uniform; the window
+    runs over per-purchase candidate lists only. Same ANSI text on
+    both engines."""
+    register_views(spark, sf)
+    return spark.sql(_QR51_BODY)

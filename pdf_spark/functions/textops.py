@@ -3787,3 +3787,46 @@ _pair(
         "{TOK}", "unnest(string_split(text, ' '))"
     ),
 )
+
+
+# --- qt79: word burstiness (dispersion index, integer-exact) ------------------
+#
+# The corpus-linguistics complement to qt24's commonness and qt78's
+# Zipf octaves: topical words are BURSTY (their occurrences clump in
+# few documents — high variance-to-mean), function words are uniform
+# (dispersion ~ mean-independent). The dispersion index D = Var/Mean
+# = (N*sumsq - sum^2)/(N*sum) is computed all-integer (milli-scaled,
+# one floor divide at the end): docs not containing a word contribute
+# 0 to both sum and sumsq, so the per-(word,doc) count table needs no
+# zero-fill — the sparse representation IS the computation. Keyword
+# extractors use exactly this to separate content terms from glue.
+# 100 TB: explode -> groupBy(word,doc) with map-side partials ->
+# groupBy(word) reusing the word hash; N is one broadcast scalar.
+
+_QT79_BODY = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+wc AS (
+  SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, {TOK} AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY tok, doc_id),
+agg AS (
+  SELECT tok, SUM(c) AS s, SUM(c * c) AS ss,
+         CAST(COUNT(*) AS BIGINT) AS present
+  FROM wc GROUP BY tok)
+SELECT tok AS word,
+       CAST(s AS BIGINT) AS total_count,
+       present AS n_docs_present,
+       CAST((1000 * ((SELECT nd FROM n) * ss - s * s))
+            {IDIV} ((SELECT nd FROM n) * s) AS BIGINT)
+           AS burstiness_milli
+FROM agg WHERE s >= 20
+"""
+
+_pair(
+    "qt79_word_burstiness",
+    _QT79_BODY.replace("{TOK}", "explode(split(text, ' '))")
+    .replace("{IDIV}", "DIV"),
+    _QT79_BODY.replace("{TOK}", "unnest(string_split(text, ' '))")
+    .replace("{IDIV}", "//"),
+)
