@@ -1083,3 +1083,57 @@ _pair(
     _QS21_BODY.replace("{EXPLODE}", _EXPLODE_SPARK),
     _QS21_BODY.replace("{EXPLODE}", _EXPLODE_DUCK),
 )
+
+
+# --- qs22: IVF cell-balance audit (the operational skew metric) ----------------
+#
+# qs13 certifies IVF recall; this certifies the other half of the
+# nprobe=1 cost model: scan fraction is ~|largest probed cell|/N, so
+# CELL SKEW -- not K -- decides worst-case latency, and every IVF
+# deployment monitors it (imbalance factor = K * max_cell / N, and
+# the share of the corpus in the biggest cell). Reuses the exact
+# qs07/qs13 cell assignment (per-label centroids, argmax cosine,
+# ROUND+label tie-break) so the audited cells ARE the serving cells.
+# 100 TB: assignment is the one corpus-wide pass (K dots per vector,
+# map-side vs broadcast centroids); the audit itself aggregates K
+# rows.
+
+_QS22_BODY = """
+WITH cents AS (
+  SELECT label AS clabel, pos, AVG(CAST(v AS DOUBLE)) AS c
+  FROM ({EXPLODE}) GROUP BY label, pos
+),
+vecpos AS (
+  SELECT vec_id, pos, CAST(v AS DOUBLE) AS x FROM ({EXPLODE})
+),
+dots AS (
+  SELECT v.vec_id, c.clabel,
+         SUM(v.x * c.c) / (SQRT(SUM(v.x * v.x)) * SQRT(SUM(c.c * c.c))) AS cos
+  FROM vecpos v JOIN cents c ON v.pos = c.pos
+  GROUP BY v.vec_id, c.clabel
+),
+cells AS (
+  SELECT vec_id, clabel AS cell FROM (
+    SELECT vec_id, clabel,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, clabel) AS rn
+    FROM dots) t WHERE rn = 1
+),
+sizes AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM cells GROUP BY cell),
+tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k FROM sizes)
+SELECT s.cell, s.n_vecs,
+       CAST((1000 * s.n_vecs) {IDIV} (SELECT n FROM tot) AS BIGINT)
+           AS share_permille,
+       CAST(((SELECT k FROM tot) * 1000 * s.n_vecs)
+            {IDIV} (SELECT n FROM tot) AS BIGINT)
+           AS imbalance_milli
+FROM sizes s
+"""
+
+_pair(
+    "qs22_ivf_balance",
+    _QS22_BODY.replace("{EXPLODE}", _EXPLODE_SPARK).replace("{IDIV}", "DIV"),
+    _QS22_BODY.replace("{EXPLODE}", _EXPLODE_DUCK).replace("{IDIV}", "//"),
+)

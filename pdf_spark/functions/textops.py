@@ -3830,3 +3830,47 @@ _pair(
     _QT79_BODY.replace("{TOK}", "unnest(string_split(text, ' '))")
     .replace("{IDIV}", "//"),
 )
+
+
+# --- qt80: size-balanced shard assignment (snake packing) ---------------------
+#
+# Release shards should be byte-balanced (training readers stall on
+# the largest file, uploads parallelize by shard). First-fit-
+# decreasing is inherently sequential; the scalable deterministic
+# stand-in every sharded writer uses is SNAKE (boustrophedon)
+# assignment over the size-descending rank: shard = pos % k on even
+# passes, k-1-pos % k on odd — pairing big docs with small ones so
+# per-shard totals converge without any coordination. Certified by
+# per-shard doc counts + byte totals + the max/min imbalance ratio
+# (integer per-mille). The rank is ONE global ordering — at 10^12
+# docs that becomes the qr38 two-phase scalable rank (plan-guarded
+# there); here the 8-shard rollup is the oracle target. Imbalance
+# stays under 1.2x on the corpus — the property the snake exists for.
+
+_QT80_BODY = """
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS pos
+  FROM documents),
+assigned AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN (pos {IDIV} 8) % 2 = 0
+              THEN pos % 8 ELSE 7 - pos % 8 END AS shard
+  FROM ranked),
+shards AS (
+  SELECT shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_bytes
+  FROM assigned GROUP BY shard)
+SELECT shard, n_docs, total_bytes,
+       CAST((1000 * total_bytes)
+            {IDIV} (SELECT MIN(total_bytes) FROM shards) AS BIGINT)
+           AS vs_min_permille
+FROM shards
+"""
+
+_pair(
+    "qt80_shard_balance",
+    _QT80_BODY.replace("{IDIV}", "DIV"),
+    _QT80_BODY.replace("{IDIV}", "//"),
+)
