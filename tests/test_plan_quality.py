@@ -591,3 +591,39 @@ def test_session7b_operator_plan_shapes(spark):
         assert m and m.group(1).startswith("doc_id"), (
             f"{name} scan must prune to doc_id: {m and m.group(1)}"
         )
+
+
+def test_session7c_operator_plan_shapes(spark):
+    """Plan pins for the third session batch (qx65-66, qr51, qt79-80,
+    qs22)."""
+    import re as _re
+
+    from pdf_spark.functions.registry import all_queries
+
+    q = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    # qr51 attribution: hash join + purchase-partitioned window, no
+    # nested loop, no global sort
+    plan = _plan(spark, q["qr51_last_touch_attribution"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert _re.search(r"hashpartitioning\(purchase_id", plan)
+    # qt79 burstiness: both groupBys keep map-side partials
+    plan = _plan(spark, q["qt79_word_burstiness"](spark, sf))
+    assert "partial_" in plan
+    # qt80 snake packing: the rank is the ONLY total ordering (the
+    # 10^12 path swaps in qr38's two-phase rank); rollup is partial
+    plan = _plan(spark, q["qt80_shard_balance"](spark, sf))
+    assert "partial_" in plan
+    # qs22 ivf balance: hash joins only
+    plan = _plan(spark, q["qs22_ivf_balance"](spark, sf))
+    assert "CartesianProduct" not in plan
+    # map-side extractors stay shuffle-free on doc_id-pruned scans
+    for name in ("qx65_data_uris", "qx66_html_router"):
+        plan = _plan(spark, q[name](spark, sf))
+        assert "Exchange" not in plan, f"{name} must stay shuffle-free"
+        m = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and m.group(1).startswith("doc_id"), (
+            f"{name} scan must prune to doc_id: {m and m.group(1)}"
+        )
