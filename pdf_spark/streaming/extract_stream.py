@@ -509,3 +509,59 @@ def stream_late_counts(
         .agg(F.count("*").alias("n_docs"))
         .select("win.start", "win.end", "n_docs")
     )
+
+
+def stream_interval_join_outer(
+    spark: SparkSession,
+    events_dir: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """STREAM-STREAM **left outer** interval join — the unmatched-
+    emission contract on top of ``stream_interval_join``'s state
+    bounds: a view with no purchase within its hour must still come
+    out (with NULL purchase columns), but only once the watermark
+    proves no future match can arrive — emit earlier and you'd
+    retract, emit never and the funnel's denominator silently loses
+    exactly the non-converting users (the qr45 OUTER-explode trap, in
+    time). Spark holds the left row in state until the join window
+    closes, then emits the null-padded row; matched rows emit as they
+    join. The dedicated multi-batch test drives the watermark past the
+    window and asserts both populations appear exactly once. Returns
+    the unstarted DataFrame."""
+    views = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    return joined.select(
+        "view_id",
+        F.col("v_user").alias("user_id"),
+        "purchase_id",
+        (F.col("purchase_id").isNull()).alias("unconverted"),
+    )

@@ -530,3 +530,88 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
         for op in p["stateOperators"]
     )
     assert dropped >= 1, dropped
+
+
+def test_stream_interval_join_outer_unmatched_emission(spark, tmp_path):
+    """Left-outer stream-stream join: matched pairs emit on join; an
+    unmatched view emits exactly once, null-padded, only after the
+    GLOBAL watermark (min of both sides) closes its join window."""
+    import os as _os
+    import shutil
+    from datetime import datetime
+
+    import pandas as pd
+
+    from pdf_spark.streaming.extract_stream import stream_interval_join_outer
+
+    events_dir = str(tmp_path / "events")
+    _os.makedirs(events_dir)
+
+    def _write_file(name: str, rows: list, mtime: float) -> None:
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type"]
+        )
+        pdf["value"] = 1.0
+        pdf["props"] = "{}"
+        staging = str(tmp_path / ("st_" + name))
+        spark.createDataFrame(pdf).repartition(1).write.parquet(staging)
+        part = [f for f in _os.listdir(staging) if f.endswith(".parquet")][0]
+        dst = _os.path.join(events_dir, name + ".parquet")
+        shutil.copyfile(_os.path.join(staging, part), dst)
+        _os.utime(dst, (mtime, mtime))
+
+    d = datetime
+    base = 1700000000.0
+    # batch 1: two views — user 1 will convert, user 2 never will
+    _write_file(
+        "e1",
+        [
+            (100, d(2024, 1, 1, 10, 0), 1, "view"),
+            (101, d(2024, 1, 1, 10, 0), 2, "view"),
+        ],
+        base,
+    )
+    # batch 2: user 1 purchases inside the hour -> matched pair emits
+    _write_file("e2", [(200, d(2024, 1, 1, 10, 30), 1, "purchase")], base + 100)
+    # batch 3: advance BOTH side watermarks past 11:00 -> view 101's
+    # window closes -> null-padded emission
+    _write_file(
+        "e3",
+        [
+            (300, d(2024, 1, 1, 14, 0), 9, "view"),
+            (301, d(2024, 1, 1, 14, 0), 99, "purchase"),
+        ],
+        base + 200,
+    )
+    # batch 4: push the watermark past 15:00 so view 300 closes too
+    _write_file(
+        "e4",
+        [
+            (400, d(2024, 1, 1, 17, 0), 98, "view"),
+            (401, d(2024, 1, 1, 17, 0), 97, "purchase"),
+        ],
+        base + 300,
+    )
+
+    q = (
+        stream_interval_join_outer(spark, events_dir)
+        .writeStream.format("memory")
+        .queryName("ssj_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    rows = {
+        r["view_id"]: (r["purchase_id"], r["unconverted"])
+        for r in spark.table("ssj_outer").collect()
+    }
+    # matched pair: exactly once, with the purchase id
+    assert rows.get(100) == (200, False), rows
+    # unmatched views: exactly once each, null-padded
+    assert rows.get(101) == (None, True), rows
+    assert rows.get(300) == (None, True), rows
+    # view 400's window never closes -> must NOT be emitted
+    assert 400 not in rows, rows
+    assert len(spark.table("ssj_outer").collect()) == 3
