@@ -1824,3 +1824,52 @@ def qr51(spark: SparkSession, sf: str) -> DataFrame:
     both engines."""
     register_views(spark, sf)
     return spark.sql(_QR51_BODY)
+
+
+# -- qr52: median absolute deviation (robust spread, integer-exact) ---------------
+
+_QR52_BODY = """
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents),
+med AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS med2
+  FROM ranked
+  WHERE rn IN ((n + 1) {IDIV} 2, (n + 2) {IDIV} 2)
+  GROUP BY source),
+dev AS (
+  SELECT d.source, ABS(2 * d.n_chars - m.med2) AS dev2, d.doc_id
+  FROM documents d JOIN med m ON d.source = m.source),
+dranked AS (
+  SELECT source, dev2,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY dev2, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM dev)
+SELECT d.source,
+       m.med2,
+       CAST(SUM(d.dev2) AS BIGINT) AS mad4
+FROM dranked d JOIN med m ON d.source = m.source
+WHERE d.rn IN ((d.n + 1) {IDIV} 2, (d.n + 2) {IDIV} 2)
+GROUP BY d.source, m.med2
+"""
+
+
+@q("qr52_mad_robust_spread", _QR52_BODY.replace("{IDIV}", "//"))
+def qr52(spark: SparkSession, sf: str) -> DataFrame:
+    """Median absolute deviation — the robust spread statistic quality
+    monitoring wants when outliers poison stddev (one 100 MB page
+    moves a variance, not a MAD): median per group via the qr27
+    midrank-sum trick KEPT INTEGER by working at 2x scale (med2 = sum
+    of the two middle ranks = 2*median for any parity), deviations at
+    2x feed a second midrank pass, so mad4 = 4*MAD exactly — no .5
+    anywhere, both engines agree bit-for-bit. Shape: two windowed
+    rank passes partitioned by source (bounded key) + one broadcast-
+    size join of per-source medians back to the data. 100 TB: each
+    pass is one shuffle on source; the med table is |sources| rows.
+    Same ANSI text on both engines."""
+    register_views(spark, sf)
+    return spark.sql(_QR52_BODY.replace("{IDIV}", "DIV"))

@@ -3874,3 +3874,118 @@ _pair(
     _QT80_BODY.replace("{IDIV}", "DIV"),
     _QT80_BODY.replace("{IDIV}", "//"),
 )
+
+
+# --- qt81: MinHash estimator calibration (agreement vs exact Jaccard) ---------
+#
+# The contract that justifies the whole qt05/qt06 LSH tier: P[minhash
+# agree] = J(A,B) (Broder), so the 4-hash agreement count is a 0..4
+# binomial estimator of Jaccard. Organic adjacent pairs in the corpus
+# are almost all J=0, so the calibration pairs are DERIVED: for every
+# doc, variant B replaces every m-th token (m = (doc_id % 8) * 3 + 2) with
+# a sentinel -- a family of pairs spanning ~J=0.05..0.9 both engines
+# construct identically. Everything is IN-ROW (the qt77 discipline):
+# shingle arrays, one md5 per shingle sliced into the 4 qt05 windows,
+# array_min for the signatures, distinct-intersect for exact Jaccard
+# -- zero joins, zero explode, zero shuffle before the 5-row rollup.
+# The result is the estimator\'s calibration table (per agreement
+# level: pair count + mean exact Jaccard per-mille), monotone in
+# agreement on this corpus -- the property band-threshold tuning uses.
+
+_QT81_SPARK = """
+WITH base AS (
+  SELECT doc_id, split(text, ' ') AS ta, (doc_id % 8) * 3 + 2 AS m
+  FROM documents WHERE size(split(text, ' ')) >= 6),
+vari AS (
+  SELECT doc_id,
+         ta,
+         transform(sequence(1, size(ta)),
+                   i -> CASE WHEN i % m = 0 THEN 'zzq' ELSE ta[i - 1] END)
+             AS tb
+  FROM base),
+sh AS (
+  SELECT doc_id,
+         array_distinct(transform(sequence(1, size(ta) - 2),
+                        i -> concat_ws(' ', slice(ta, i, 3)))) AS sa,
+         array_distinct(transform(sequence(1, size(tb) - 2),
+                        i -> concat_ws(' ', slice(tb, i, 3)))) AS sb
+  FROM vari),
+sig AS (
+  SELECT doc_id, sa, sb,
+         transform(sa, x -> md5(x)) AS ha,
+         transform(sb, x -> md5(x)) AS hb
+  FROM sh),
+pairs AS (
+  SELECT doc_id,
+         CAST({AGREE} AS BIGINT) AS agree,
+         CAST(1000 * size(array_intersect(sa, sb))
+              DIV (size(sa) + size(sb) - size(array_intersect(sa, sb)))
+              AS BIGINT) AS jaccard_permille
+  FROM sig)
+SELECT agree,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(jaccard_permille) DIV COUNT(*) AS BIGINT)
+           AS mean_jaccard_permille
+FROM pairs
+GROUP BY agree
+"""
+
+_QT81_AGREE_SPARK = " + ".join(
+    f"(CASE WHEN array_min(transform(ha, h -> substr(h, {1 + 8 * j}, 8)))"
+    f" = array_min(transform(hb, h -> substr(h, {1 + 8 * j}, 8)))"
+    f" THEN 1 ELSE 0 END)"
+    for j in range(N_MINHASH)
+)
+
+_QT81_DUCK = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ta, (doc_id % 8) * 3 + 2 AS m
+  FROM documents WHERE len(string_split(text, ' ')) >= 6),
+vari AS (
+  SELECT doc_id,
+         ta,
+         list_transform(range(1, len(ta) + 1),
+                        i -> CASE WHEN i % m = 0 THEN 'zzq'
+                                  ELSE ta[i] END) AS tb
+  FROM base),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(ta) - 1),
+                       i -> array_to_string(ta[i:i+2], ' '))) AS sa,
+         list_distinct(list_transform(range(1, len(tb) - 1),
+                       i -> array_to_string(tb[i:i+2], ' '))) AS sb
+  FROM vari),
+sig AS (
+  SELECT doc_id, sa, sb,
+         list_transform(sa, x -> md5(x)) AS ha,
+         list_transform(sb, x -> md5(x)) AS hb
+  FROM sh),
+pairs AS (
+  SELECT doc_id,
+         CAST({AGREE} AS BIGINT) AS agree,
+         CAST(1000 * len(list_intersect(sa, sb))
+              // (len(sa) + len(sb) - len(list_intersect(sa, sb)))
+              AS BIGINT) AS jaccard_permille
+  FROM sig)
+SELECT agree,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(jaccard_permille) // COUNT(*) AS BIGINT)
+           AS mean_jaccard_permille
+FROM pairs
+GROUP BY agree
+"""
+
+_QT81_AGREE_DUCK = " + ".join(
+    f"(CASE WHEN list_aggregate(list_transform(ha,"
+    f" h -> substr(h, {1 + 8 * j}, 8)), 'min')"
+    f" = list_aggregate(list_transform(hb,"
+    f" h -> substr(h, {1 + 8 * j}, 8)), 'min')"
+    f" THEN 1 ELSE 0 END)"
+    for j in range(N_MINHASH)
+)
+
+_pair(
+    "qt81_minhash_calibration",
+    _QT81_SPARK.replace("{AGREE}", _QT81_AGREE_SPARK),
+    _QT81_DUCK.replace("{AGREE}", _QT81_AGREE_DUCK),
+)
