@@ -3826,3 +3826,99 @@ SELECT doc_id,
             END AS INTEGER) AS is_spa_shell
 FROM v
 """
+
+
+# -- qm47: MP3 frame-header audit (core/mp3.py) --------------------------------
+#
+# qm31 reads ID3 tags; this walks the audio frames (tags lie about
+# duration, frames don't) and detects VBR without decoding a sample.
+# fam = doc_id % 4: CBR 128k behind an ID3v2 envelope (n = id%6+4
+# frames) / VBR mix / truncated mid-final-frame / not mp3.
+
+_MP3_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("is_mp3", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("is_vbr", IntegerType()),
+        StructField("bitrate_kbps", IntegerType()),
+        StructField("samplerate", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("truncated", IntegerType()),
+    ]
+)
+
+
+def _qm47_make_mp3(doc_id: int) -> bytes:
+    from pdf_spark.core.mp3 import encode_mp3_frames
+
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 0:
+        return encode_mp3_frames([128] * (i % 6 + 4), id3_size=30)
+    if fam == 1:
+        return encode_mp3_frames([128, 192, 128, 320])
+    if fam == 2:
+        return encode_mp3_frames([64] * 5, samplerate=32000)[:-20]
+    return b"OggS not an mp3 " + bytes((i + k) % 256 for k in range(8))
+
+
+def _qm47(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.mp3 import mp3_audit
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [mp3_audit(_qm47_make_mp3(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "is_mp3": [m["is_mp3"] for m in metas],
+                    "n_frames": pd.array(
+                        [m["n_frames"] for m in metas], dtype="Int32"
+                    ),
+                    "is_vbr": pd.array(
+                        [m["is_vbr"] for m in metas], dtype="Int32"
+                    ),
+                    "bitrate_kbps": pd.array(
+                        [m["bitrate_kbps"] for m in metas], dtype="Int32"
+                    ),
+                    "samplerate": pd.array(
+                        [m["samplerate"] for m in metas], dtype="Int32"
+                    ),
+                    "duration_ms": pd.array(
+                        [m["duration_ms"] for m in metas], dtype="Int64"
+                    ),
+                    "truncated": pd.array(
+                        [m["truncated"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _MP3_SCHEMA)
+
+
+QUERIES["qm47_mp3_audit"] = _qm47
+ORACLE["qm47_mp3_audit"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 3 THEN 0 ELSE 1 END AS INTEGER) AS is_mp3,
+       CAST(CASE fam WHEN 0 THEN doc_id % 6 + 4 WHEN 1 THEN 4
+                     WHEN 2 THEN 4 END AS INTEGER) AS n_frames,
+       CAST(CASE WHEN fam = 1 THEN 1 WHEN fam = 3 THEN NULL
+                 ELSE 0 END AS INTEGER) AS is_vbr,
+       CAST(CASE fam WHEN 0 THEN 128 WHEN 1 THEN 128
+                     WHEN 2 THEN 64 END AS INTEGER) AS bitrate_kbps,
+       CAST(CASE fam WHEN 0 THEN 44100 WHEN 1 THEN 44100
+                     WHEN 2 THEN 32000 END AS INTEGER) AS samplerate,
+       CAST(CASE fam
+            WHEN 0 THEN ((doc_id % 6 + 4) * 1152 * 1000) // 44100
+            WHEN 1 THEN (4 * 1152 * 1000) // 44100
+            WHEN 2 THEN (4 * 1152 * 1000) // 32000 END AS BIGINT)
+           AS duration_ms,
+       CAST(CASE WHEN fam = 2 THEN 1 WHEN fam = 3 THEN NULL
+                 ELSE 0 END AS INTEGER) AS truncated
+FROM v
+"""

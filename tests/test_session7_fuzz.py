@@ -137,3 +137,13 @@ def test_fuzz_sentence_split_on_mangled_text():
             assert isinstance(out["n_sentences"], int)
         finally:
             signal.alarm(0)
+
+
+def test_fuzz_mp3_audit():
+    from pdf_spark.core.mp3 import encode_mp3_frames, mp3_audit
+
+    fixtures = [
+        encode_mp3_frames([128, 192, 128], id3_size=30),
+        encode_mp3_frames([64] * 3, samplerate=32000),
+    ]
+    _campaign(mp3_audit, fixtures, seed=20)
