@@ -627,3 +627,30 @@ def test_session7c_operator_plan_shapes(spark):
         assert m and m.group(1).startswith("doc_id"), (
             f"{name} scan must prune to doc_id: {m and m.group(1)}"
         )
+
+
+def test_session7d_operator_plan_shapes(spark):
+    """Plan pins for the fourth session batch (qr52, qt81, qm47)."""
+    import re as _re
+
+    from pdf_spark.functions.registry import all_queries
+
+    q = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    # qr52 MAD: both rank passes partitioned by source, never global
+    plan = _plan(spark, q["qr52_mad_robust_spread"](spark, sf))
+    assert "SinglePartition" not in plan
+    assert _re.search(r"hashpartitioning\(source", plan)
+    # qt81 calibration: in-row signatures — no join/exchange before
+    # the 5-row rollup (one final aggregation exchange allowed)
+    plan = _plan(spark, q["qt81_minhash_calibration"](spark, sf))
+    assert "Join" not in plan and "Generate" not in plan
+    # formatted explain names each node twice (tree + details):
+    # one physical Exchange == tree occurrence "+- Exchange"
+    assert plan.count("+- Exchange") <= 1
+    # qm47: shuffle-free pruned scan
+    plan = _plan(spark, q["qm47_mp3_audit"](spark, sf))
+    assert "Exchange" not in plan
+    m = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1).startswith("doc_id")
