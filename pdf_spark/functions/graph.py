@@ -783,3 +783,57 @@ QUERIES["qg13_reciprocity"] = lambda spark, sf: (
 ORACLE["qg13_reciprocity"] = _QG13_BODY.replace(
     "{LATERAL}", ", LATERAL unnest(range(1, doc_id % 2 + 2)) t(k)"
 ).replace("{IDIV}", "//")
+
+
+# --- qg14: degree assortativity sums (integer-exact Pearson components) ---------
+#
+# Whether hubs link to hubs (assortative) or to leaves (dis-,
+# the web's signature): Pearson assortativity over edges' endpoint
+# degrees. The coefficient itself is a ratio of sums — so the query
+# emits the INTEGER sums (n_edges, sum of deg products, per-end sums
+# and sums of squares) and the caller divides; every component is an
+# exact BIGINT both engines agree on bit-for-bit (the qg01 lesson:
+# never ship a float through the oracle when the algebra is integer).
+# Same derived edge set as qg13. 100 TB: degree table = one groupBy;
+# two hash joins decorate edges with endpoint degrees; final rollup
+# is a single scalar row.
+
+_QG14_BODY = """
+WITH raw_edges AS (
+  SELECT DISTINCT doc_id % 40 AS src,
+         (doc_id * 3 + t.k) % 40 AS dst
+  FROM documents {LATERAL}
+),
+edges AS (SELECT src, dst FROM raw_edges WHERE src <> dst),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT src AS node FROM edges
+    UNION ALL SELECT dst AS node FROM edges)
+  GROUP BY node),
+decorated AS (
+  SELECT ds.d AS d_src, dd.d AS d_dst
+  FROM edges e
+  JOIN deg ds ON ds.node = e.src
+  JOIN deg dd ON dd.node = e.dst)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(d_src * d_dst) AS BIGINT) AS sum_prod,
+       CAST(SUM(d_src) AS BIGINT) AS sum_src,
+       CAST(SUM(d_dst) AS BIGINT) AS sum_dst,
+       CAST(SUM(d_src * d_src) AS BIGINT) AS sum_src_sq,
+       CAST(SUM(d_dst * d_dst) AS BIGINT) AS sum_dst_sq
+FROM decorated
+"""
+
+QUERIES["qg14_assortativity_sums"] = lambda spark, sf: (
+    register_views(spark, sf),
+    spark.sql(
+        _QG14_BODY.replace(
+            "{LATERAL}",
+            "LATERAL VIEW explode(sequence(1, CAST(doc_id % 2 + 1 AS INT)))"
+            " t AS k",
+        )
+    ),
+)[1]
+ORACLE["qg14_assortativity_sums"] = _QG14_BODY.replace(
+    "{LATERAL}", ", LATERAL unnest(range(1, doc_id % 2 + 2)) t(k)"
+)

@@ -3989,3 +3989,46 @@ _pair(
     _QT81_SPARK.replace("{AGREE}", _QT81_AGREE_SPARK),
     _QT81_DUCK.replace("{AGREE}", _QT81_AGREE_DUCK),
 )
+
+
+# --- qt82: deterministic train/val/test split (hash ranges, per-stratum) ------
+#
+# The split every release ships: assignment must be DETERMINISTIC
+# (reruns and incremental updates land each doc in the same split —
+# no random() anywhere), CONTENT-INDEPENDENT of curation order, and
+# auditable per stratum. Assignment = first two md5(doc-key) hex
+# chars as an integer 0..255: [0,204) train / [204,230) val /
+# [230,256) test (~80/10/10). The rollup certifies per-source split
+# counts plus the exact global proportions; disjointness and
+# exhaustiveness hold by construction of the ranges (one CASE, no
+# overlaps, no gaps — an engine disagreeing on md5 or on the
+# nibble-table hex parse hash-fails; the parse is spelled with
+# instr on a hex-digit table because the engines' native hex
+# casts differ: conv() vs from_hex-to-BLOB). 100 TB: assignment is map-side; one bounded-key
+# groupBy(source, split).
+
+_QT82_BODY = """
+WITH assigned AS (
+  SELECT source,
+         CASE WHEN h < 204 THEN 'train'
+              WHEN h < 230 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT source,
+           CAST((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                + instr('0123456789abcdef', substr(hx, 2, 1)) - 1
+                AS BIGINT) AS h
+    FROM (SELECT source, substr(md5(CAST(doc_id AS {STR}) || ':' || source),
+                                1, 2) AS hx
+          FROM documents)))
+SELECT source, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM assigned
+GROUP BY source, split
+"""
+
+_pair(
+    "qt82_eval_split",
+    _QT82_BODY.replace("{STR}", "STRING"),
+    _QT82_BODY.replace("{STR}", "VARCHAR"),
+)
