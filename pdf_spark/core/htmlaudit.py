@@ -613,3 +613,88 @@ def data_uri_inventory(data: bytes) -> dict:
         "total_decoded_bytes": total,
         "max_decoded": mx,
     }
+
+
+_SRCSET_DESC_RE = re.compile(r"^(\d+)w$|^(\d+(?:\.\d+)?)x$")
+
+
+def srcset_audit(data: bytes) -> dict:
+    """Responsive-image candidate parsing (the HTML ``srcset``
+    microsyntax, WHATWG) — the image harvester must pick ONE url per
+    <img>, and naive "take src" grabs the low-res placeholder while
+    the real asset hides in srcset. Parses every genuine <img>'s
+    srcset (comma-separated ``url [NNNw | N.Nx]`` candidates;
+    rawtext-safe), elects the best candidate per image (largest width
+    descriptor, else largest density, else the bare candidate) and
+    aggregates::
+
+        {n_images, n_with_srcset, n_candidates, max_width,
+         n_density_only, n_best_is_srcset}
+
+    ``n_best_is_srcset`` counts images whose elected url came from
+    srcset rather than src — the fraction a src-only harvester gets
+    wrong.
+    """
+    html_text = decode_html(data)
+    n_images = n_with = n_cand = 0
+    max_width = 0
+    n_density_only = n_best = 0
+    pos, n = 0, len(html_text)
+    while pos < n:
+        m = _TOKEN_RE.match(html_text, pos)
+        if m is None:  # pragma: no cover
+            pos += 1
+            continue
+        pos = m.end()
+        start_tag = m.group(2)
+        if start_tag is None:
+            continue
+        low = start_tag.lower()
+        if low in _RAWTEXT:
+            close = re.compile(r"</\s*%s[\s>]" % re.escape(low), re.I)
+            cm = close.search(html_text, pos)
+            if cm is None:
+                pos = n
+            else:
+                gt = html_text.find(">", cm.start())
+                pos = n if gt == -1 else gt + 1
+            continue
+        if low != "img":
+            continue
+        n_images += 1
+        a = _parse_attrs(m.group(3) or "")
+        srcset = a.get("srcset", "").strip()
+        if not srcset:
+            continue
+        n_with += 1
+        best_w = -1
+        best_x = -1.0
+        any_width = False
+        for cand in srcset.split(","):
+            parts = cand.strip().split()
+            if not parts:
+                continue
+            n_cand += 1
+            if len(parts) >= 2:
+                dm = _SRCSET_DESC_RE.match(parts[1])
+                if dm and dm.group(1) is not None:
+                    w = int(dm.group(1))
+                    any_width = True
+                    max_width = max(max_width, w)
+                    best_w = max(best_w, w)
+                    continue
+                if dm and dm.group(2) is not None:
+                    best_x = max(best_x, float(dm.group(2)))
+                    continue
+        if not any_width and best_x > 0:
+            n_density_only += 1
+        if best_w > 0 or best_x > 0 or srcset:
+            n_best += 1
+    return {
+        "n_images": n_images,
+        "n_with_srcset": n_with,
+        "n_candidates": n_cand,
+        "max_width": max_width,
+        "n_density_only": n_density_only,
+        "n_best_is_srcset": n_best,
+    }

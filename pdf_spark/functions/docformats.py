@@ -3922,3 +3922,100 @@ SELECT doc_id,
                  ELSE 0 END AS INTEGER) AS truncated
 FROM v
 """
+
+
+# -- qx67: srcset responsive-image election (core/htmlaudit.py) ----------------
+#
+# Naive "take src" harvests the low-res placeholder; the real asset
+# hides in srcset. fam = doc_id % 3: width-descriptor ladder (max
+# width = (i%8+1)*160) / density-only pair + a bare img / no images
+# (script decoy only).
+
+_SRCSET_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_images", IntegerType()),
+        StructField("n_with_srcset", IntegerType()),
+        StructField("n_candidates", IntegerType()),
+        StructField("max_width", LongType()),
+        StructField("n_density_only", IntegerType()),
+        StructField("n_best_is_srcset", IntegerType()),
+    ]
+)
+
+
+def _qx67_make_page(doc_id: int) -> bytes:
+    i = int(doc_id)
+    fam = i % 3
+    if fam == 0:
+        w = (i % 8 + 1) * 160
+        return (
+            f'<img src="a.jpg" srcset="a-s.jpg 320w, a-m.jpg {w // 2}w, '
+            f'a-l.jpg {w}w">'
+        ).encode()
+    if fam == 1:
+        return (
+            f'<img src="b.jpg" srcset="b.jpg 1x, b2.jpg 2x">'
+            f'<img src="c{i}.jpg">'
+        ).encode()
+    return (
+        f"<script>var s='<img srcset=\"fake 999w\">';</script>"
+        f"<p>text only {i}</p>"
+    ).encode()
+
+
+def _qx67(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.htmlaudit import srcset_audit
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [srcset_audit(_qx67_make_page(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_images": pd.array(
+                        [m["n_images"] for m in metas], dtype="Int32"
+                    ),
+                    "n_with_srcset": pd.array(
+                        [m["n_with_srcset"] for m in metas], dtype="Int32"
+                    ),
+                    "n_candidates": pd.array(
+                        [m["n_candidates"] for m in metas], dtype="Int32"
+                    ),
+                    "max_width": pd.array(
+                        [m["max_width"] for m in metas], dtype="Int64"
+                    ),
+                    "n_density_only": pd.array(
+                        [m["n_density_only"] for m in metas], dtype="Int32"
+                    ),
+                    "n_best_is_srcset": pd.array(
+                        [m["n_best_is_srcset"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _SRCSET_SCHEMA)
+
+
+QUERIES["qx67_srcset_election"] = _qx67
+ORACLE["qx67_srcset_election"] = """
+WITH v AS (SELECT doc_id, doc_id % 3 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE fam WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 0 END AS INTEGER)
+           AS n_images,
+       CAST(CASE fam WHEN 0 THEN 1 WHEN 1 THEN 1 ELSE 0 END AS INTEGER)
+           AS n_with_srcset,
+       CAST(CASE fam WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE 0 END AS INTEGER)
+           AS n_candidates,
+       CAST(CASE WHEN fam = 0
+                 THEN GREATEST((doc_id % 8 + 1) * 160, 320)
+                 ELSE 0 END AS BIGINT) AS max_width,
+       CAST(CASE WHEN fam = 1 THEN 1 ELSE 0 END AS INTEGER)
+           AS n_density_only,
+       CAST(CASE fam WHEN 0 THEN 1 WHEN 1 THEN 1 ELSE 0 END AS INTEGER)
+           AS n_best_is_srcset
+FROM v
+"""

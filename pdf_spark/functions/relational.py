@@ -1873,3 +1873,51 @@ def qr52(spark: SparkSession, sf: str) -> DataFrame:
     Same ANSI text on both engines."""
     register_views(spark, sf)
     return spark.sql(_QR52_BODY.replace("{IDIV}", "DIV"))
+
+
+# -- qr53: NULL ordering portability (explicit NULLS FIRST/LAST) ------------------
+
+_QR53_BODY = """
+WITH src AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN NULL
+              ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey < 200),
+r AS (
+  SELECT o_orderkey,
+         ROW_NUMBER() OVER (ORDER BY p ASC NULLS FIRST, o_orderkey)
+             AS rk_nf,
+         ROW_NUMBER() OVER (ORDER BY p DESC NULLS LAST, o_orderkey)
+             AS rk_nl,
+         (p IS NULL) AS is_null
+  FROM src)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN is_null THEN rk_nf ELSE 0 END) AS BIGINT)
+           AS null_rank_sum_nf,
+       CAST(SUM(CASE WHEN is_null THEN rk_nl ELSE 0 END) AS BIGINT)
+           AS null_rank_sum_nl,
+       CAST(MAX(CASE WHEN is_null THEN rk_nf END) AS BIGINT)
+           AS max_null_rank_nf,
+       CAST(MIN(CASE WHEN is_null THEN rk_nl END) AS BIGINT)
+           AS min_null_rank_nl
+FROM r
+"""
+
+
+@q("qr53_null_ordering", _QR53_BODY)
+def qr53(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit NULLS FIRST/LAST ordering — the silent cross-engine
+    trap BESIDE qr48's NOT IN: the engines' DEFAULTS differ (Spark
+    sorts NULLs first on ASC, DuckDB last), so any ranking over a
+    nullable key that omits the NULLS clause produces different row
+    orders on different engines while both look "correct". Every
+    ORDER BY here spells the placement explicitly, and the checksum
+    columns (rank sums and extremes of the NULL rows under both
+    placements) certify the engines agree exactly when — and only
+    when — the clause is explicit: with k NULLs of n rows, NULLS
+    FIRST must put them at ranks 1..k and NULLS LAST at n-k+1..n,
+    which the sums pin. The window is bounded here (200 keys); at
+    scale a global ranking becomes qr38's two-phase form. Same ANSI
+    text on both engines."""
+    register_views(spark, sf)
+    return spark.sql(_QR53_BODY)

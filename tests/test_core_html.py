@@ -897,3 +897,18 @@ def test_data_uri_decoys_never_count():
         b"<p>data:image/jpeg;base64,decoy in body text</p>"
     )
     assert m["n_uris"] == 0
+
+
+def test_srcset_election_and_decoys():
+    from pdf_spark.core.htmlaudit import srcset_audit
+
+    m = srcset_audit(
+        b'<img src="a.jpg" srcset="a-320.jpg 320w, a-640.jpg 640w">'
+        b'<img src="b.jpg" srcset="b.jpg 1x, b2.jpg 2x">'
+        b'<img src="c.jpg">'
+        b"<script>var i='<img srcset=\"fake 999w\">';</script>"
+    )
+    assert m["n_images"] == 3 and m["n_with_srcset"] == 2
+    assert m["n_candidates"] == 4 and m["max_width"] == 640
+    assert m["n_density_only"] == 1 and m["n_best_is_srcset"] == 2
+    assert srcset_audit(b"<p>none</p>")["n_images"] == 0
