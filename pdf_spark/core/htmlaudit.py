@@ -698,3 +698,71 @@ def srcset_audit(data: bytes) -> dict:
         "n_density_only": n_density_only,
         "n_best_is_srcset": n_best,
     }
+
+
+_URL_DATE_RE = re.compile(r"/(20\d{2})/(\d{2})(?:/(\d{2}))?/")
+_TIME_DT_RE = re.compile(r"^(20\d{2})-(\d{2})-(\d{2})")
+
+
+def pubdate_election(data: bytes, url: str = "") -> dict:
+    """Published-date election — freshness weighting needs ONE date per
+    page, but pages declare it in competing channels that routinely
+    disagree: ``<meta property="article:published_time">`` (Open Graph,
+    most reliable when present), a ``<time datetime=...>`` element, and
+    the URL path's ``/YYYY/MM/DD/`` convention. Election order is that
+    priority; each channel is parsed defensively (4-digit year 20xx,
+    zero-padded month/day, month 1..12, day 1..31). Returns::
+
+        {date_meta, date_time_tag, date_url, elected, n_channels,
+         disagree}
+
+    Dates are integer ``YYYYMMDD`` (0 placeholder days allowed for
+    URL month-only paths); ``disagree`` flags any two present channels
+    differing — the audit signal for date-spoofed SEO pages.
+    """
+    html_text = decode_html(data)
+    date_meta = date_time = None
+    for attrs in _scan_meta_attrs(html_text):
+        prop = attrs.get("property", attrs.get("name", "")).lower()
+        if prop == "article:published_time" and date_meta is None:
+            m = _TIME_DT_RE.match(attrs.get("content", "").strip())
+            if m:
+                y, mo, dy = int(m.group(1)), int(m.group(2)), int(m.group(3))
+                if 1 <= mo <= 12 and 1 <= dy <= 31:
+                    date_meta = y * 10000 + mo * 100 + dy
+    for tm in _scan_tag_attrs(html_text, "time"):
+        if date_time is not None:
+            break
+        m = _TIME_DT_RE.match(tm.get("datetime", "").strip())
+        if m:
+            y, mo, dy = int(m.group(1)), int(m.group(2)), int(m.group(3))
+            if 1 <= mo <= 12 and 1 <= dy <= 31:
+                date_time = y * 10000 + mo * 100 + dy
+    date_url = None
+    m = _URL_DATE_RE.search(url)
+    if m:
+        y, mo = int(m.group(1)), int(m.group(2))
+        dy = int(m.group(3)) if m.group(3) else 0
+        if 1 <= mo <= 12 and 0 <= dy <= 31:
+            date_url = y * 10000 + mo * 100 + dy
+    present = [d for d in (date_meta, date_time, date_url) if d is not None]
+    elected = date_meta or date_time or date_url
+    # two channels disagree when their DAY-level dates differ; a
+    # month-only URL date (day 0) compares at month granularity
+    disagree = 0
+    for i in range(len(present)):
+        for j in range(i + 1, len(present)):
+            a, b = present[i], present[j]
+            if a % 100 == 0 or b % 100 == 0:
+                if a // 100 != b // 100:
+                    disagree = 1
+            elif a != b:
+                disagree = 1
+    return {
+        "date_meta": date_meta,
+        "date_time_tag": date_time,
+        "date_url": date_url,
+        "elected": elected,
+        "n_channels": len(present),
+        "disagree": disagree,
+    }

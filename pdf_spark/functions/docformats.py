@@ -4019,3 +4019,105 @@ SELECT doc_id,
            AS n_best_is_srcset
 FROM v
 """
+
+
+# -- qx68: published-date election (core/htmlaudit.py) -------------------------
+#
+# Freshness weighting needs ONE date per page; channels disagree on
+# date-spoofed SEO pages. fam = doc_id % 4: all three channels agree
+# (day = i%28+1) / time-tag vs month-only URL disagreeing / URL-only
+# month path / no date anywhere.
+
+_PUBDATE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("date_meta", LongType()),
+        StructField("date_time_tag", LongType()),
+        StructField("date_url", LongType()),
+        StructField("elected", LongType()),
+        StructField("n_channels", IntegerType()),
+        StructField("disagree", IntegerType()),
+    ]
+)
+
+
+def _qx68_make(doc_id: int):
+    i = int(doc_id)
+    fam = i % 4
+    day = i % 28 + 1
+    if fam == 0:
+        return (
+            (
+                f'<html><meta property="article:published_time" '
+                f'content="2024-03-{day:02d}T10:00:00Z">'
+                f'<time datetime="2024-03-{day:02d}">d</time></html>'
+            ).encode(),
+            f"https://ex.com/2024/03/{day:02d}/story-{i}",
+        )
+    if fam == 1:
+        return (
+            f'<html><time datetime="2023-01-{day:02d}">y</time></html>'.encode(),
+            f"https://ex.com/2024/05/post-{i}",
+        )
+    if fam == 2:
+        return (f"<p>no markup {i}</p>".encode(), f"https://ex.com/2022/11/x{i}")
+    return (f"<p>undated {i}</p>".encode(), f"https://ex.com/about-{i}")
+
+
+def _qx68(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.htmlaudit import pubdate_election
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [pubdate_election(*_qx68_make(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "date_meta": pd.array(
+                        [m["date_meta"] for m in metas], dtype="Int64"
+                    ),
+                    "date_time_tag": pd.array(
+                        [m["date_time_tag"] for m in metas], dtype="Int64"
+                    ),
+                    "date_url": pd.array(
+                        [m["date_url"] for m in metas], dtype="Int64"
+                    ),
+                    "elected": pd.array(
+                        [m["elected"] for m in metas], dtype="Int64"
+                    ),
+                    "n_channels": pd.array(
+                        [m["n_channels"] for m in metas], dtype="Int32"
+                    ),
+                    "disagree": pd.array(
+                        [m["disagree"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _PUBDATE_SCHEMA)
+
+
+QUERIES["qx68_pubdate_election"] = _qx68
+ORACLE["qx68_pubdate_election"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam,
+                  doc_id % 28 + 1 AS day FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 0 THEN 20240300 + day END AS BIGINT)
+           AS date_meta,
+       CAST(CASE WHEN fam = 0 THEN 20240300 + day
+                 WHEN fam = 1 THEN 20230100 + day END AS BIGINT)
+           AS date_time_tag,
+       CAST(CASE WHEN fam = 0 THEN 20240300 + day
+                 WHEN fam = 1 THEN 20240500
+                 WHEN fam = 2 THEN 20221100 END AS BIGINT) AS date_url,
+       CAST(CASE WHEN fam = 0 THEN 20240300 + day
+                 WHEN fam = 1 THEN 20230100 + day
+                 WHEN fam = 2 THEN 20221100 END AS BIGINT) AS elected,
+       CAST(CASE fam WHEN 0 THEN 3 WHEN 1 THEN 2
+                     WHEN 2 THEN 1 ELSE 0 END AS INTEGER) AS n_channels,
+       CAST(CASE WHEN fam = 1 THEN 1 ELSE 0 END AS INTEGER) AS disagree
+FROM v
+"""

@@ -1921,3 +1921,60 @@ def qr53(spark: SparkSession, sf: str) -> DataFrame:
     text on both engines."""
     register_views(spark, sf)
     return spark.sql(_QR53_BODY)
+
+
+# -- qr54: calendar spine (empty periods preserved) -------------------------------
+
+_QR54_BODY = """
+WITH bounds AS (
+  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+         CAST(MAX(o_orderdate) AS DATE) AS hi
+  FROM orders),
+spine AS (
+  SELECT CAST(ms AS DATE) AS month_start
+  FROM (SELECT {GENSERIES} AS ms FROM bounds)),
+m AS (
+  SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+  FROM orders WHERE o_orderkey % 97 = 0 GROUP BY 1)
+SELECT s.month_start,
+       COALESCE(m.n_orders, 0) AS n_orders,
+       COALESCE(m.n_customers, 0) AS n_customers,
+       (m.month_start IS NULL) AS is_empty_month
+FROM spine s LEFT JOIN m ON m.month_start = s.month_start
+"""
+
+
+@q(
+    "qr54_calendar_spine",
+    _QR54_BODY.replace(
+        "{GENSERIES}",
+        "unnest(generate_series(DATE_TRUNC('month', lo), hi,"
+        " INTERVAL 1 MONTH))",
+    ),
+)
+def qr54(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar spine — the warehouse pattern that makes ABSENCE
+    visible: a plain GROUP BY month silently omits months with zero
+    orders, so trend charts interpolate over gaps and anomaly
+    detectors never see the outage. The spine generates every month
+    between the data's bounds (sequence/generate_series — no calendar
+    table to maintain) and LEFT JOINs the aggregate onto it, so empty
+    periods surface as explicit zero rows with an ``is_empty_month``
+    flag. The aggregate side is a sparse event class (every 97th
+    order) so BOTH populations — active and empty months — exist at
+    every test scale; the spine bounds still come from the full
+    table. 100 TB: the spine is |months| rows (broadcast side); the
+    aggregate is one groupBy with map-side partials; monthly keys are
+    bounded. Cross-engine: Spark spells the spine explode(sequence),
+    DuckDB unnest(generate_series) — an independently-shaped
+    construction of the same set, per the qt05 stronger-oracle rule."""
+    register_views(spark, sf)
+    return spark.sql(
+        _QR54_BODY.replace(
+            "{GENSERIES}",
+            "explode(sequence(DATE_TRUNC('month', lo), hi,"
+            " INTERVAL 1 MONTH))",
+        )
+    )
