@@ -837,3 +837,56 @@ QUERIES["qg14_assortativity_sums"] = lambda spark, sf: (
 ORACLE["qg14_assortativity_sums"] = _QG14_BODY.replace(
     "{LATERAL}", ", LATERAL unnest(range(1, doc_id % 2 + 2)) t(k)"
 )
+
+
+# --- qg15: partition-cut audit (edge locality under hash partitioning) ----------
+#
+# The number that motivates graph partitioning: with nodes hashed
+# into P workers, what fraction of edges cross partitions (each cut
+# edge is a network message per iteration in qg01/qg06-style
+# propagation)? Random hashing cuts ~ (P-1)/P of edges — the audit
+# certifies the measured cut against that expectation and reports
+# per-partition internal/external edge counts; a production system
+# compares this against a locality-aware assignment to justify the
+# repartition cost. Same derived edge set as qg13/qg14; P = 8 via
+# the qt82 nibble-table md5 parse (engine-portable).
+
+_QG15_BODY = """
+WITH raw_edges AS (
+  SELECT DISTINCT doc_id % 40 AS src,
+         (doc_id * 3 + t.k) % 40 AS dst
+  FROM documents {LATERAL}
+),
+edges AS (SELECT src, dst FROM raw_edges WHERE src <> dst),
+parts AS (
+  SELECT e.src, e.dst,
+         instr('0123456789abcdef',
+               substr(md5(CAST(e.src AS {STR})), 1, 1)) % 8 AS p_src,
+         instr('0123456789abcdef',
+               substr(md5(CAST(e.dst AS {STR})), 1, 1)) % 8 AS p_dst
+  FROM edges e)
+SELECT p_src AS partition_id,
+       CAST(COUNT(*) AS BIGINT) AS n_out_edges,
+       CAST(SUM(CASE WHEN p_src = p_dst THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_internal,
+       CAST(1000 * SUM(CASE WHEN p_src <> p_dst THEN 1 ELSE 0 END)
+            {IDIV} COUNT(*) AS BIGINT) AS cut_permille
+FROM parts
+GROUP BY p_src
+"""
+
+QUERIES["qg15_partition_cut"] = lambda spark, sf: (
+    register_views(spark, sf),
+    spark.sql(
+        _QG15_BODY.replace(
+            "{LATERAL}",
+            "LATERAL VIEW explode(sequence(1, CAST(doc_id % 2 + 1 AS INT)))"
+            " t AS k",
+        ).replace("{STR}", "STRING").replace("{IDIV}", "DIV")
+    ),
+)[1]
+ORACLE["qg15_partition_cut"] = (
+    _QG15_BODY.replace(
+        "{LATERAL}", ", LATERAL unnest(range(1, doc_id % 2 + 2)) t(k)"
+    ).replace("{STR}", "VARCHAR").replace("{IDIV}", "//")
+)

@@ -4032,3 +4032,45 @@ _pair(
     _QT82_BODY.replace("{STR}", "STRING"),
     _QT82_BODY.replace("{STR}", "VARCHAR"),
 )
+
+
+# --- qt83: dedup saturation curve (dup rate vs corpus prefix) -----------------
+#
+# The curve that decides WHEN to stop crawling a source: as a corpus
+# grows, the marginal novel-content rate falls, and the release
+# datasheet shows it as cumulative distinct-content vs cumulative
+# docs per corpus decile. Computed scalably: each content hash
+# contributes to the decile where it is FIRST seen (min bucket per
+# hash — one groupBy), so cumulative distincts are a running sum over
+# TEN rows, not a rescan per prefix (the naive prefix-join reads the
+# corpus 10x; this reads it once). Integer per-mille dup rate.
+
+_QT83_BODY = """
+WITH bucketed AS (
+  SELECT doc_id {IDIV} ((SELECT MAX(doc_id) FROM documents) {IDIV} 10 + 1)
+             AS bucket,
+         md5(text) AS h
+  FROM documents),
+per_bucket AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs FROM bucketed
+  GROUP BY bucket),
+first_seen AS (
+  SELECT MIN(bucket) AS fb FROM bucketed GROUP BY h),
+novel AS (
+  SELECT fb AS bucket, CAST(COUNT(*) AS BIGINT) AS n_novel
+  FROM first_seen GROUP BY fb)
+SELECT p.bucket,
+       CAST(SUM(p.n_docs) OVER (ORDER BY p.bucket) AS BIGINT) AS docs_cum,
+       CAST(SUM(COALESCE(n.n_novel, 0)) OVER (ORDER BY p.bucket)
+            AS BIGINT) AS distinct_cum,
+       CAST(1000 - (1000 * SUM(COALESCE(n.n_novel, 0)) OVER (ORDER BY p.bucket))
+            {IDIV} SUM(p.n_docs) OVER (ORDER BY p.bucket) AS BIGINT)
+           AS dup_permille
+FROM per_bucket p LEFT JOIN novel n ON n.bucket = p.bucket
+"""
+
+_pair(
+    "qt83_dedup_saturation",
+    _QT83_BODY.replace("{IDIV}", "DIV"),
+    _QT83_BODY.replace("{IDIV}", "//"),
+)
