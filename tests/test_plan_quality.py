@@ -654,3 +654,43 @@ def test_session7d_operator_plan_shapes(spark):
     assert "Exchange" not in plan
     m = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and m.group(1).startswith("doc_id")
+
+
+def test_session7e_operator_plan_shapes(spark):
+    """Plan pins for the fifth session batch (qt82-83, qg14-15,
+    qx67-68, qr53-54)."""
+    import re as _re
+
+    from pdf_spark.functions.registry import all_queries
+
+    q = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    # qt82 split: map-side assignment + one bounded-key groupBy with
+    # partials; no window, no join
+    plan = _plan(spark, q["qt82_eval_split"](spark, sf))
+    assert "Join" not in plan and "Window" not in plan
+    assert "partial_" in plan
+    # qg14/qg15: hash joins / aggregations only, no nested loop
+    for name in ("qg14_assortativity_sums", "qg15_partition_cut"):
+        plan = _plan(spark, q[name](spark, sf))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # qr54 spine: the month-spine side joins BROADCAST (|months| rows)
+    plan = _plan(spark, q["qr54_calendar_spine"](spark, sf))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # qt83 saturation: the only windows run over the 10-row decile
+    # rollup, AFTER aggregation (never over raw docs)
+    plan = _plan(spark, q["qt83_dedup_saturation"](spark, sf))
+    assert "partial_" in plan
+    # map-side extractors stay shuffle-free on doc_id-pruned scans
+    for name in ("qx67_srcset_election", "qx68_pubdate_election"):
+        plan = _plan(spark, q[name](spark, sf))
+        assert "Exchange" not in plan, f"{name} must stay shuffle-free"
+        m = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and m.group(1).startswith("doc_id"), (
+            f"{name} scan must prune to doc_id: {m and m.group(1)}"
+        )
+    # qr53: bounded-key window input (o_orderkey < 200 filter pushed)
+    plan = _plan(spark, q["qr53_null_ordering"](spark, sf))
+    assert "PushedFilters" in plan and "200" in plan
