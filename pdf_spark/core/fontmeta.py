@@ -151,3 +151,124 @@ def font_meta(data: bytes) -> dict:
         "n_glyphs": _u16(maxp, 4) if len(maxp) >= 6 else None,
         "units_per_em": _u16(head, 18) if len(head) >= 20 else None,
     }
+
+
+# --- TrueType Collections (ttcf) ---------------------------------------------
+
+
+def ttc_audit(data: bytes) -> dict:
+    """TrueType Collection header audit (the ``ttcf`` container, public
+    OpenType spec §font-collections) — CJK system fonts and variable-
+    font families ship as collections, and a font-asset miner must
+    know (a) how many faces, (b) whether the face offsets are sane,
+    and (c) how much the faces SHARE (collections exist to dedup
+    glyph tables across faces; a "collection" of fully-disjoint fonts
+    is a repack, not a family). Header: 'ttcf', major.minor version,
+    numFonts, then numFonts u32 offsets, each pointing at a complete
+    sfnt offset table inside the blob. Per face the sfnt table
+    directory is enumerated (16-byte entries: tag/checksum/offset/
+    length) and table-record (offset, length) pairs are pooled;
+    ``shared_permille`` = 1000 * (pooled - distinct) / pooled.
+    Returns::
+
+        {is_ttc, version_major, n_fonts, n_valid_faces,
+         n_table_records, shared_permille, truncated}
+    """
+    none = {
+        "is_ttc": 0, "version_major": None, "n_fonts": None,
+        "n_valid_faces": None, "n_table_records": None,
+        "shared_permille": None, "truncated": None,
+    }
+    if len(data) < 12 or data[:4] != b"ttcf":
+        return none
+    major = _u16(data, 4)
+    n_fonts = _u32(data, 8)
+    if n_fonts > 0xFFFF:  # header garbage, not a plausible collection
+        return {**none, "is_ttc": 1, "version_major": major,
+                "n_fonts": None, "truncated": 1}
+    truncated = 0
+    records = []
+    n_valid = 0
+    for i in range(n_fonts):
+        off_pos = 12 + 4 * i
+        if off_pos + 4 > len(data):
+            truncated = 1
+            break
+        face_off = _u32(data, off_pos)
+        if face_off + 12 > len(data):
+            truncated = 1
+            continue
+        n_tables = _u16(data, face_off + 4)
+        dir_end = face_off + 12 + 16 * n_tables
+        if dir_end > len(data):
+            truncated = 1
+            continue
+        ok = True
+        face_records = []
+        for t in range(n_tables):
+            base = face_off + 12 + 16 * t
+            t_off = _u32(data, base + 8)
+            t_len = _u32(data, base + 12)
+            if t_off + t_len > len(data):
+                ok = False
+                break
+            face_records.append((t_off, t_len))
+        if ok:
+            n_valid += 1
+            records.extend(face_records)
+    pooled = len(records)
+    distinct = len(set(records))
+    return {
+        "is_ttc": 1,
+        "version_major": major,
+        "n_fonts": n_fonts,
+        "n_valid_faces": n_valid,
+        "n_table_records": pooled,
+        "shared_permille": (
+            (1000 * (pooled - distinct)) // pooled if pooled else 0
+        ),
+        "truncated": truncated,
+    }
+
+
+def encode_ttc(faces: list[list[tuple[bytes, bytes]]]) -> bytes:
+    """Assemble a TTC whose faces' identical-content tables are POOLED
+    (the collection's whole point) — the fixture writer ``ttc_audit``
+    is certified against. ``faces`` is a list of per-face
+    (tag, payload) lists; payload identity (by value) dedups."""
+    import struct as _struct
+
+    n = len(faces)
+    header_len = 12 + 4 * n
+    dir_lens = [12 + 16 * len(f) for f in faces]
+    blob_pool: dict[bytes, int] = {}
+    blobs = bytearray()
+    blob_base = header_len + sum(dir_lens)
+    face_offsets = []
+    dirs = []
+    pos = header_len
+    for face in faces:
+        face_offsets.append(pos)
+        entries = bytearray()
+        for tag, payload in face:
+            if payload not in blob_pool:
+                blob_pool[payload] = blob_base + len(blobs)
+                blobs += payload
+                while len(blobs) % 4:
+                    blobs.append(0)
+            entries += _struct.pack(
+                ">4sIII", tag.ljust(4)[:4], 0,
+                blob_pool[payload], len(payload),
+            )
+        dirs.append(
+            _struct.pack(">IHHHH", 0x00010000, len(face), 0, 0, 0)
+            + bytes(entries)
+        )
+        pos += 12 + 16 * len(face)
+    out = bytearray(b"ttcf" + _struct.pack(">HHI", 1, 0, n))
+    for off in face_offsets:
+        out += _struct.pack(">I", off)
+    for d in dirs:
+        out += d
+    out += blobs
+    return bytes(out)

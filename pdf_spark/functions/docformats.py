@@ -4121,3 +4121,96 @@ SELECT doc_id,
        CAST(CASE WHEN fam = 1 THEN 1 ELSE 0 END AS INTEGER) AS disagree
 FROM v
 """
+
+
+# -- qm48: TrueType Collection audit (core/fontmeta.py) ------------------------
+#
+# CJK system fonts / variable families ship as ttcf collections whose
+# point is table SHARING across faces. fam = doc_id % 3: two faces
+# sharing cmap+head (333 permille pooled dups) / three identical
+# faces (fully shared, 666 permille) / plain sfnt (not a ttc).
+
+_TTC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("is_ttc", IntegerType()),
+        StructField("n_fonts", IntegerType()),
+        StructField("n_valid_faces", IntegerType()),
+        StructField("n_table_records", IntegerType()),
+        StructField("shared_permille", LongType()),
+        StructField("truncated", IntegerType()),
+    ]
+)
+
+
+def _qm48_make_ttc(doc_id: int) -> bytes:
+    from pdf_spark.core.fontmeta import encode_ttc
+
+    i = int(doc_id)
+    fam = i % 3
+    shared = bytes([i % 256]) * 40
+    head = b"\x03" * 12
+    if fam == 0:
+        return encode_ttc(
+            [
+                [(b"cmap", shared), (b"glyf", b"\x02" * 20), (b"head", head)],
+                [(b"cmap", shared), (b"glyf", b"\x04" * 24), (b"head", head)],
+            ]
+        )
+    if fam == 1:
+        face = [(b"cmap", shared), (b"glyf", b"\x05" * 16), (b"head", head)]
+        return encode_ttc([face, list(face), list(face)])
+    return b"\x00\x01\x00\x00" + bytes((i + k) % 256 for k in range(16))
+
+
+def _qm48(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.fontmeta import ttc_audit
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [ttc_audit(_qm48_make_ttc(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "is_ttc": [m["is_ttc"] for m in metas],
+                    "n_fonts": pd.array(
+                        [m["n_fonts"] for m in metas], dtype="Int32"
+                    ),
+                    "n_valid_faces": pd.array(
+                        [m["n_valid_faces"] for m in metas], dtype="Int32"
+                    ),
+                    "n_table_records": pd.array(
+                        [m["n_table_records"] for m in metas], dtype="Int32"
+                    ),
+                    "shared_permille": pd.array(
+                        [m["shared_permille"] for m in metas], dtype="Int64"
+                    ),
+                    "truncated": pd.array(
+                        [m["truncated"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _TTC_SCHEMA)
+
+
+QUERIES["qm48_ttc_audit"] = _qm48
+ORACLE["qm48_ttc_audit"] = """
+WITH v AS (SELECT doc_id, doc_id % 3 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 2 THEN 0 ELSE 1 END AS INTEGER) AS is_ttc,
+       CAST(CASE fam WHEN 0 THEN 2 WHEN 1 THEN 3 END AS INTEGER)
+           AS n_fonts,
+       CAST(CASE fam WHEN 0 THEN 2 WHEN 1 THEN 3 END AS INTEGER)
+           AS n_valid_faces,
+       CAST(CASE fam WHEN 0 THEN 6 WHEN 1 THEN 9 END AS INTEGER)
+           AS n_table_records,
+       CAST(CASE fam WHEN 0 THEN 333 WHEN 1 THEN 666 END AS BIGINT)
+           AS shared_permille,
+       CAST(CASE WHEN fam = 2 THEN NULL ELSE 0 END AS INTEGER)
+           AS truncated
+FROM v
+"""

@@ -1978,3 +1978,36 @@ def qr54(spark: SparkSession, sf: str) -> DataFrame:
             " INTERVAL 1 MONTH))",
         )
     )
+
+
+# -- qr55: GROUPING() disambiguation (rollup NULL vs data NULL) -------------------
+
+_QR55_BODY = """
+WITH src AS (
+  SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL
+              ELSE o_orderpriority END AS prio,
+         o_totalprice
+  FROM orders)
+SELECT prio,
+       CAST(GROUPING(prio) AS INTEGER) AS is_subtotal,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM src
+GROUP BY ROLLUP(prio)
+"""
+
+
+@q("qr55_grouping_disambiguation", _QR55_BODY)
+def qr55(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING() vs data NULLs — the rollup report trap that qr10
+    leaves open: ROLLUP's subtotal rows surface the grouped column as
+    NULL, which is INDISTINGUISHABLE from a genuine NULL group by
+    value alone — a report keyed on ``prio IS NULL`` silently merges
+    "unprioritized orders" with "grand total". GROUPING(prio) is the
+    standard's disambiguator (1 = subtotal row, 0 = real group,
+    including the real-NULL group). The fixture nulls every 13th
+    order's priority so BOTH null-looking rows exist, and the counts
+    pin them apart (the grand total = sum of all real groups, the
+    NULL group strictly smaller). 100 TB: rollup is one partial-agg
+    pass; |groups| is bounded. Same ANSI text on both engines."""
+    register_views(spark, sf)
+    return spark.sql(_QR55_BODY)

@@ -57,3 +57,29 @@ def test_not_font_and_truncated():
     )
     m = font_meta(data[:30])  # directory cut mid-entry
     assert m["is_font"] == 1 and m["family"] is None
+
+
+def test_ttc_collection_sharing_and_truncation():
+    from pdf_spark.core.fontmeta import encode_ttc, ttc_audit
+
+    shared = b"\x01" * 40
+    head = b"\x03" * 12
+    f = encode_ttc(
+        [
+            [(b"cmap", shared), (b"glyf", b"\x02" * 20), (b"head", head)],
+            [(b"cmap", shared), (b"glyf", b"\x04" * 24), (b"head", head)],
+        ]
+    )
+    a = ttc_audit(f)
+    assert a["is_ttc"] == 1 and a["n_fonts"] == 2
+    assert a["n_valid_faces"] == 2 and a["n_table_records"] == 6
+    assert a["shared_permille"] == 333  # cmap + head pooled
+    # fully shared faces
+    face = [(b"cmap", shared), (b"head", head)]
+    a = ttc_audit(encode_ttc([face, list(face), list(face)]))
+    assert a["shared_permille"] == 666 and a["n_valid_faces"] == 3
+    # truncation inside the face directory + rejects
+    a = ttc_audit(f[:40])
+    assert a["truncated"] == 1 and a["n_valid_faces"] == 0
+    assert ttc_audit(b"\x00\x01\x00\x00 sfnt")["is_ttc"] == 0
+    assert ttc_audit(b"ttcf")["is_ttc"] == 0

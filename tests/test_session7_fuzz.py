@@ -147,3 +147,18 @@ def test_fuzz_mp3_audit():
         encode_mp3_frames([64] * 3, samplerate=32000),
     ]
     _campaign(mp3_audit, fixtures, seed=20)
+
+
+def test_fuzz_ttc_audit():
+    from pdf_spark.core.fontmeta import encode_ttc, ttc_audit
+
+    shared = b"\x01" * 40
+    fixtures = [
+        encode_ttc(
+            [
+                [(b"cmap", shared), (b"glyf", b"\x02" * 20)],
+                [(b"cmap", shared), (b"glyf", b"\x04" * 24)],
+            ]
+        ),
+    ]
+    _campaign(ttc_audit, fixtures, seed=21)
