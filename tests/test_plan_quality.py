@@ -694,3 +694,23 @@ def test_session7e_operator_plan_shapes(spark):
     # qr53: bounded-key window input (o_orderkey < 200 filter pushed)
     plan = _plan(spark, q["qr53_null_ordering"](spark, sf))
     assert "PushedFilters" in plan and "200" in plan
+
+
+def test_session7f_operator_plan_shapes(spark):
+    """Plan pins for the final session batch (qm48, qr55)."""
+    import re as _re
+
+    from pdf_spark.functions.registry import all_queries
+
+    q = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    # qr55 rollup: Expand + partial aggregation, no global sort
+    plan = _plan(spark, q["qr55_grouping_disambiguation"](spark, sf))
+    assert "Expand" in plan and "partial_" in plan
+    assert "SinglePartition" not in plan
+    # qm48: shuffle-free pruned scan
+    plan = _plan(spark, q["qm48_ttc_audit"](spark, sf))
+    assert "Exchange" not in plan
+    m = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1).startswith("doc_id")
