@@ -766,3 +766,85 @@ def pubdate_election(data: bytes, url: str = "") -> dict:
         "n_channels": len(present),
         "disagree": disagree,
     }
+
+
+_HOST_RE = re.compile(r"^[a-z][a-z0-9+.-]*://([^/?#]+)", re.I)
+
+
+def third_party_audit(data: bytes, page_url: str = "") -> dict:
+    """Third-party resource audit — the tracking/bloat signal: how much
+    of a page's subresource surface (script/img/iframe src, stylesheet
+    link href) points off-host? High third-party share correlates with
+    ad-tech boilerplate and identifies pages whose rendering depends
+    on external state (bad candidates for static extraction).
+    Attribute-scoped via the shared tokenizer (script-string decoys
+    can't count); scheme-relative ``//host/...`` URLs resolve against
+    the page scheme; relative paths and data: URIs are first-party by
+    definition. Returns::
+
+        {n_resources, n_third_party, n_hosts, n_iframes,
+         third_party_permille}
+    """
+    html_text = decode_html(data)
+    m = _HOST_RE.match(page_url.strip().lower())
+    page_host = m.group(1).split("@")[-1].split(":")[0] if m else ""
+    n_res = n_tp = n_iframes = 0
+    hosts = set()
+    pos, n = 0, len(html_text)
+    while pos < n:
+        tk = _TOKEN_RE.match(html_text, pos)
+        if tk is None:  # pragma: no cover
+            pos += 1
+            continue
+        pos = tk.end()
+        start_tag = tk.group(2)
+        if start_tag is None:
+            continue
+        low = start_tag.lower()
+        if low in _RAWTEXT:
+            close = re.compile(r"</\s*%s[\s>]" % re.escape(low), re.I)
+            cm = close.search(html_text, pos)
+            if cm is None:
+                pos = n
+            else:
+                gt = html_text.find(">", cm.start())
+                pos = n if gt == -1 else gt + 1
+            if low != "script":
+                continue
+            a = _parse_attrs(tk.group(3) or "")
+            url = a.get("src", "").strip()
+        elif low in ("img", "iframe"):
+            a = _parse_attrs(tk.group(3) or "")
+            url = a.get("src", "").strip()
+            if low == "iframe":
+                n_iframes += 1
+        elif low == "link":
+            a = _parse_attrs(tk.group(3) or "")
+            if "stylesheet" not in a.get("rel", "").lower():
+                continue
+            url = a.get("href", "").strip()
+        else:
+            continue
+        if not url:
+            continue
+        n_res += 1
+        lu = url.lower()
+        if lu.startswith("data:"):
+            continue
+        if lu.startswith("//"):
+            host = lu[2:].split("/")[0].split("?")[0]
+        else:
+            hm = _HOST_RE.match(lu)
+            if hm is None:
+                continue  # relative: first-party
+            host = hm.group(1).split("@")[-1].split(":")[0]
+        if host and host != page_host:
+            n_tp += 1
+            hosts.add(host)
+    return {
+        "n_resources": n_res,
+        "n_third_party": n_tp,
+        "n_hosts": len(hosts),
+        "n_iframes": n_iframes,
+        "third_party_permille": (1000 * n_tp) // n_res if n_res else 0,
+    }

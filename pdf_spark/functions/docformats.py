@@ -4214,3 +4214,99 @@ SELECT doc_id,
            AS truncated
 FROM v
 """
+
+
+# -- qx69: third-party resource audit (core/htmlaudit.py) ----------------------
+#
+# The tracking/bloat signal: off-host subresource share. fam =
+# doc_id % 3: mixed page (5 resources, 3 third-party incl.
+# scheme-relative, decoy-safe) / all-local / tracker-heavy
+# (k = i%4+2 distinct third-party script hosts).
+
+_TPR_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_resources", IntegerType()),
+        StructField("n_third_party", IntegerType()),
+        StructField("n_hosts", IntegerType()),
+        StructField("n_iframes", IntegerType()),
+        StructField("third_party_permille", LongType()),
+    ]
+)
+
+
+def _qx69_make(doc_id: int):
+    i = int(doc_id)
+    fam = i % 3
+    if fam == 0:
+        page = (
+            '<script src="https://cdn.tracker.com/t.js"></script>'
+            '<script src="/local.js"></script>'
+            '<img src="//img.other.net/x.png">'
+            '<link rel="stylesheet" href="https://ex.com/style.css">'
+            '<iframe src="https://ads.net/frame"></iframe>'
+            "<script>var s='<img src=\"https://fake.com/x\">';</script>"
+        )
+        return page.encode(), "https://ex.com/page"
+    if fam == 1:
+        return (
+            f'<script src="/a{i}.js"></script><img src="img/b.png">'.encode(),
+            "https://ex.com/p",
+        )
+    k = i % 4 + 2
+    tags = "".join(
+        f'<script src="https://cdn{j}.t{i % 3}.example/x.js"></script>'
+        for j in range(k)
+    )
+    return tags.encode(), "https://mysite.org/"
+
+
+def _qx69(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.htmlaudit import third_party_audit
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [third_party_audit(*_qx69_make(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_resources": pd.array(
+                        [m["n_resources"] for m in metas], dtype="Int32"
+                    ),
+                    "n_third_party": pd.array(
+                        [m["n_third_party"] for m in metas], dtype="Int32"
+                    ),
+                    "n_hosts": pd.array(
+                        [m["n_hosts"] for m in metas], dtype="Int32"
+                    ),
+                    "n_iframes": pd.array(
+                        [m["n_iframes"] for m in metas], dtype="Int32"
+                    ),
+                    "third_party_permille": pd.array(
+                        [m["third_party_permille"] for m in metas],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _TPR_SCHEMA)
+
+
+QUERIES["qx69_third_party"] = _qx69
+ORACLE["qx69_third_party"] = """
+WITH v AS (SELECT doc_id, doc_id % 3 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE fam WHEN 0 THEN 5 WHEN 1 THEN 2
+                     ELSE doc_id % 4 + 2 END AS INTEGER) AS n_resources,
+       CAST(CASE fam WHEN 0 THEN 3 WHEN 1 THEN 0
+                     ELSE doc_id % 4 + 2 END AS INTEGER) AS n_third_party,
+       CAST(CASE fam WHEN 0 THEN 3 WHEN 1 THEN 0
+                     ELSE doc_id % 4 + 2 END AS INTEGER) AS n_hosts,
+       CAST(CASE WHEN fam = 0 THEN 1 ELSE 0 END AS INTEGER) AS n_iframes,
+       CAST(CASE fam WHEN 0 THEN 600 WHEN 1 THEN 0
+                     ELSE 1000 END AS BIGINT) AS third_party_permille
+FROM v
+"""

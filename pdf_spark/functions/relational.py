@@ -2011,3 +2011,54 @@ def qr55(spark: SparkSession, sf: str) -> DataFrame:
     pass; |groups| is bounded. Same ANSI text on both engines."""
     register_views(spark, sf)
     return spark.sql(_QR55_BODY)
+
+
+# -- qr56: time-weighted average (irregular-interval TWAP) ------------------------
+
+_QR56_BODY = """
+WITH e AS (
+  SELECT user_id,
+         {EPOCH} AS t,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+iv AS (
+  SELECT user_id, cents,
+         LEAD(t) OVER (PARTITION BY user_id ORDER BY t, cents) - t
+             AS dur
+  FROM e)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dur) AS BIGINT) AS total_dur_s,
+       CAST(SUM(cents * dur) {IDIV} SUM(dur) AS BIGINT) AS twa_cents
+FROM iv
+WHERE dur IS NOT NULL AND dur > 0
+GROUP BY user_id
+"""
+
+
+@q(
+    "qr56_time_weighted_avg",
+    _QR56_BODY.replace("{EPOCH}", "CAST(floor(epoch(ts)) AS BIGINT)")
+    .replace("{IDIV}", "//"),
+)
+def qr56(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-weighted average over an IRREGULAR series — the metric a
+    plain AVG gets wrong whenever sampling is event-driven (a price
+    that sat at 100 for an hour and spiked to 900 for a second
+    averages near 100, not 500): each observation is weighted by its
+    holding duration (LEAD to the next event), the TWAP/billing-meter
+    formula. Engine-exact: timestamps truncate to whole epoch seconds
+    on both engines (Spark unix_timestamp vs DuckDB floor(epoch)),
+    values fix-point to cents with an EXPLICIT floor(x*100+0.5)
+    (Spark's double->BIGINT cast truncates but DuckDB's rounds —
+    the implicit cast diverges by one ulp exactly where value*100
+    lands epsilon above an integer), and the weighted mean is
+    one integer divide. Zero-duration pairs are excluded on both
+    sides. 100 TB: one shuffle on user_id for the LEAD window, then
+    map-side-combined aggregation on the same key — no join. Same
+    shape both engines."""
+    register_views(spark, sf)
+    return spark.sql(
+        _QR56_BODY.replace("{EPOCH}", "unix_timestamp(ts)")
+        .replace("{IDIV}", "DIV")
+    )

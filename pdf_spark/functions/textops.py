@@ -4074,3 +4074,39 @@ _pair(
     _QT83_BODY.replace("{IDIV}", "DIV"),
     _QT83_BODY.replace("{IDIV}", "//"),
 )
+
+
+# --- qt85: hapax ratio per source (lexical richness) --------------------------
+#
+# The per-source datasheet lens qt78's global octaves don't give:
+# hapax legomena share (words occurring once WITHIN the source) is
+# the classic lexical-richness signal — template/boilerplate farms
+# have low hapax ratios (the same vocabulary recycled), organic prose
+# sits near the Zipf-predicted half of the vocabulary. Per source:
+# vocabulary size, hapax count, integer per-mille ratio, token total.
+# 100 TB: one explode -> groupBy(source, word) with map-side partials
+# -> bounded-key source rollup reusing the source hash.
+
+_QT85_BODY = """
+WITH counts AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, {TOK} AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY source, tok)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(1000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+            {IDIV} COUNT(*) AS BIGINT) AS hapax_permille
+FROM counts
+GROUP BY source
+"""
+
+_pair(
+    "qt85_hapax_ratio",
+    _QT85_BODY.replace("{TOK}", "explode(split(text, ' '))")
+    .replace("{IDIV}", "DIV"),
+    _QT85_BODY.replace("{TOK}", "unnest(string_split(text, ' '))")
+    .replace("{IDIV}", "//"),
+)

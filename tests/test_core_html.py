@@ -912,3 +912,28 @@ def test_srcset_election_and_decoys():
     assert m["n_candidates"] == 4 and m["max_width"] == 640
     assert m["n_density_only"] == 1 and m["n_best_is_srcset"] == 2
     assert srcset_audit(b"<p>none</p>")["n_images"] == 0
+
+
+def test_third_party_audit_hosts_and_decoys():
+    from pdf_spark.core.htmlaudit import third_party_audit
+
+    page = (
+        b'<script src="https://cdn.tracker.com/t.js"></script>'
+        b'<script src="/local.js"></script>'
+        b'<img src="//img.other.net/x.png">'
+        b'<link rel="stylesheet" href="https://ex.com/style.css">'
+        b'<iframe src="https://ads.net/frame"></iframe>'
+        b"<script>var s='<img src=\"https://fake.com/x\">';</script>"
+    )
+    m = third_party_audit(page, "https://ex.com/page")
+    assert m["n_resources"] == 5 and m["n_third_party"] == 3
+    assert m["n_hosts"] == 3 and m["n_iframes"] == 1
+    assert m["third_party_permille"] == 600
+    # data: URIs and relative urls are first-party; non-stylesheet
+    # links don't count
+    m = third_party_audit(
+        b'<img src="data:image/png;base64,xx">'
+        b'<link rel="preload" href="https://x.net/f.woff2">',
+        "https://ex.com/",
+    )
+    assert m["n_resources"] == 1 and m["n_third_party"] == 0
