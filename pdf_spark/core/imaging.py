@@ -4121,3 +4121,51 @@ def color_histogram(blob: bytes) -> dict:
         "dominant_permille": 1000 * counts[dom] // n,
         "n_buckets": len(counts),
     }
+
+
+_SVG_EVENT_ATTR_RE = re.compile(rb"\son[a-z]+\s*=", re.I)
+_SVG_SCRIPT_RE = re.compile(rb"<script[\s>]", re.I)
+_SVG_FOREIGN_RE = re.compile(rb"<foreignObject[\s>]", re.I)
+_SVG_EXT_HREF_RE = re.compile(
+    rb"""(?:xlink:href|href)\s*=\s*["']\s*(?:https?:)?//""", re.I
+)
+_SVG_COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
+_SVG_CDATA_TEXT_RE = re.compile(rb"<!\[CDATA\[.*?\]\]>", re.S)
+
+
+def svg_security(blob: bytes) -> dict:
+    """SVG active-content audit — SVG is the one "image" format that
+    can EXECUTE: inline <script>, on* event handlers, <foreignObject>
+    (arbitrary HTML), and external hrefs make a crawled .svg a stored-
+    XSS vector the moment it's re-served inline. qm34 reads geometry;
+    this is the serve-safety gate (serve active SVGs as download-only
+    or sanitize). Comments are stripped first so commented-out decoys
+    can't flag (the qx60 decoy rule). Returns::
+
+        {is_svg, n_scripts, n_event_attrs, has_foreign_object,
+         n_external_refs, is_active}
+    """
+    head = blob[:512].lstrip()
+    is_svg = int(
+        head.startswith(b"<svg")
+        or head.startswith(b"<?xml") and b"<svg" in blob[:1024]
+    )
+    if not is_svg:
+        return {
+            "is_svg": 0, "n_scripts": None, "n_event_attrs": None,
+            "has_foreign_object": None, "n_external_refs": None,
+            "is_active": None,
+        }
+    body = _SVG_COMMENT_RE.sub(b"", blob)
+    n_scripts = len(_SVG_SCRIPT_RE.findall(body))
+    n_events = len(_SVG_EVENT_ATTR_RE.findall(body))
+    has_fo = int(_SVG_FOREIGN_RE.search(body) is not None)
+    n_ext = len(_SVG_EXT_HREF_RE.findall(body))
+    return {
+        "is_svg": 1,
+        "n_scripts": n_scripts,
+        "n_event_attrs": n_events,
+        "has_foreign_object": has_fo,
+        "n_external_refs": n_ext,
+        "is_active": int(bool(n_scripts or n_events or has_fo)),
+    }

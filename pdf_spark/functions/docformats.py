@@ -4310,3 +4310,105 @@ SELECT doc_id,
                      ELSE 1000 END AS BIGINT) AS third_party_permille
 FROM v
 """
+
+
+# -- qm49: SVG active-content security audit (core/imaging.py) -----------------
+#
+# SVG is the one "image" that can EXECUTE — the serve-safety gate.
+# fam = doc_id % 4: weaponized (script + onload + foreignObject +
+# k=i%3+1 external refs) / clean static with commented-out decoy /
+# event-handlers only / not svg.
+
+_SVGSEC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("is_svg", IntegerType()),
+        StructField("n_scripts", IntegerType()),
+        StructField("n_event_attrs", IntegerType()),
+        StructField("has_foreign_object", IntegerType()),
+        StructField("n_external_refs", IntegerType()),
+        StructField("is_active", IntegerType()),
+    ]
+)
+
+
+def _qm49_make_svg(doc_id: int) -> bytes:
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 0:
+        refs = "".join(
+            f'<image xlink:href="https://cdn{j}.evil.net/{i}.png"/>'
+            for j in range(i % 3 + 1)
+        )
+        return (
+            f'<svg xmlns="http://www.w3.org/2000/svg" onload="boot({i})">'
+            f"<script>run()</script><foreignObject><body>x</body>"
+            f"</foreignObject>{refs}</svg>"
+        ).encode()
+    if fam == 1:
+        return (
+            f'<?xml version="1.0"?><svg viewBox="0 0 10 10">'
+            f'<circle r="{i % 9 + 1}"/>'
+            f"<!-- <script>decoy()</script> onload=\"x\" --></svg>"
+        ).encode()
+    if fam == 2:
+        return (
+            f'<svg><rect onclick="go({i})" onmouseover="peek()"/></svg>'
+        ).encode()
+    return b"\x89PNG\r\n\x1a\n raster " + bytes((i + k) % 256 for k in range(6))
+
+
+def _qm49(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.imaging import svg_security
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [svg_security(_qm49_make_svg(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "is_svg": [m["is_svg"] for m in metas],
+                    "n_scripts": pd.array(
+                        [m["n_scripts"] for m in metas], dtype="Int32"
+                    ),
+                    "n_event_attrs": pd.array(
+                        [m["n_event_attrs"] for m in metas], dtype="Int32"
+                    ),
+                    "has_foreign_object": pd.array(
+                        [m["has_foreign_object"] for m in metas],
+                        dtype="Int32",
+                    ),
+                    "n_external_refs": pd.array(
+                        [m["n_external_refs"] for m in metas], dtype="Int32"
+                    ),
+                    "is_active": pd.array(
+                        [m["is_active"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _SVGSEC_SCHEMA)
+
+
+QUERIES["qm49_svg_security"] = _qm49
+ORACLE["qm49_svg_security"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 3 THEN 0 ELSE 1 END AS INTEGER) AS is_svg,
+       CAST(CASE fam WHEN 0 THEN 1 WHEN 3 THEN NULL
+                     ELSE 0 END AS INTEGER) AS n_scripts,
+       CAST(CASE fam WHEN 0 THEN 1 WHEN 2 THEN 2
+                     WHEN 3 THEN NULL ELSE 0 END AS INTEGER)
+           AS n_event_attrs,
+       CAST(CASE fam WHEN 0 THEN 1 WHEN 3 THEN NULL
+                     ELSE 0 END AS INTEGER) AS has_foreign_object,
+       CAST(CASE fam WHEN 0 THEN doc_id % 3 + 1 WHEN 3 THEN NULL
+                     ELSE 0 END AS INTEGER) AS n_external_refs,
+       CAST(CASE WHEN fam = 3 THEN NULL
+                 WHEN fam IN (0, 2) THEN 1 ELSE 0 END AS INTEGER)
+           AS is_active
+FROM v
+"""

@@ -1137,3 +1137,86 @@ _pair(
     _QS22_BODY.replace("{EXPLODE}", _EXPLODE_SPARK).replace("{IDIV}", "DIV"),
     _QS22_BODY.replace("{EXPLODE}", _EXPLODE_DUCK).replace("{IDIV}", "//"),
 )
+
+
+# --- qs23: multi-probe LSH (one-bit-flip bucket expansion) ----------------------
+#
+# The recall lever BETWEEN nprobe-style IVF scanning and brute force:
+# instead of more hash tables (memory) or bigger cells (scan), probe
+# the buckets whose signature differs from the query's by ONE
+# hyperplane sign (Lv et al. 2007 — the perturbation most likely to
+# hold near-misses). Candidates at probe=1 (exact bucket) vs probe=5
+# (exact + 4 one-bit flips) feed the qs13 recall@10 contract; the
+# candidate SET GROWS monotonically, so recall@5probes >= recall@1 by
+# construction and the measured gap is the technique's value on this
+# corpus. 100 TB: probe expansion is 5 bucket keys per query — still
+# an equi-join, never a scan; XOR bit flips are integer arithmetic on
+# the qs05 bucket ids.
+
+_QS23_BODY = """
+WITH vecpos AS (
+  SELECT vec_id, pos, CAST(v AS DOUBLE) AS x FROM ({EXPLODE})
+),
+b AS (
+  SELECT vec_id, CAST({PROJ} AS INT) AS bucket FROM embeddings
+),
+probes AS (
+  SELECT 0 AS flip UNION ALL SELECT 1 UNION ALL SELECT 2
+  UNION ALL SELECT 4 UNION ALL SELECT 8
+),
+qbuckets AS (  -- the query's probe set: its bucket + 4 one-bit flips
+  SELECT bq.vec_id AS qid, {XOR} AS pbucket, p.flip
+  FROM b bq CROSS JOIN probes p
+  WHERE bq.vec_id < 5
+),
+sims AS (
+  SELECT q.vec_id AS qid, v.vec_id,
+         ROUND(SUM(v.x * q.x)
+               / (SQRT(SUM(v.x * v.x)) * SQRT(SUM(q.x * q.x))), 4) AS sim
+  FROM vecpos v JOIN vecpos q ON v.pos = q.pos
+  WHERE q.vec_id < 5 AND v.vec_id <> q.vec_id
+  GROUP BY q.vec_id, v.vec_id
+),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, vec_id) AS rn
+    FROM sims) t WHERE rn <= 10
+),
+plans AS (SELECT 1 AS n_probes UNION ALL SELECT 5),
+cand AS (
+  SELECT DISTINCT pl.n_probes, qb.qid, bc.vec_id
+  FROM plans pl
+  JOIN qbuckets qb ON (pl.n_probes = 5 OR qb.flip = 0)
+  JOIN b bc ON bc.bucket = qb.pbucket AND bc.vec_id <> qb.qid
+),
+hits AS (
+  SELECT c.n_probes, c.qid, COUNT(*) AS n_hits
+  FROM cand c JOIN exact e ON e.qid = c.qid AND e.vec_id = c.vec_id
+  GROUP BY c.n_probes, c.qid
+)
+SELECT p.n_probes, q.qid,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS hits_at_10,
+       CAST(100 * COALESCE(h.n_hits, 0) {IDIV} 10 AS BIGINT)
+           AS recall_pct
+FROM plans p
+CROSS JOIN (SELECT DISTINCT vec_id AS qid FROM embeddings
+            WHERE vec_id < 5) q
+LEFT JOIN hits h ON h.n_probes = p.n_probes AND h.qid = q.qid
+"""
+
+_QS23_XOR_SPARK = "CAST(bq.bucket ^ p.flip AS INT)"
+_QS23_XOR_DUCK = "CAST(xor(bq.bucket, p.flip) AS INT)"
+
+_pair(
+    "qs23_multiprobe_lsh",
+    _QS23_BODY.replace("{EXPLODE}", _EXPLODE_SPARK)
+    .replace("{PROJ}", _PROJ_TERMS_SPARK)
+    .replace("{XOR}", _QS23_XOR_SPARK)
+    .replace("{IDIV}", "DIV"),
+    _QS23_BODY.replace("{EXPLODE}", _EXPLODE_DUCK)
+    .replace("{PROJ}", _PROJ_TERMS_DUCK)
+    .replace("{XOR}", _QS23_XOR_DUCK)
+    .replace("{IDIV}", "//"),
+)

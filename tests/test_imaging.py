@@ -1240,3 +1240,26 @@ def test_svg_meta_images_and_rejects():
     assert svg_meta(b"")["is_svg"] == 0
     # percentage dims are not numeric routing dims
     assert svg_meta(b'<svg width="100%" height="50%"/>')["width"] is None
+
+
+def test_svg_security_active_content_and_decoys():
+    from pdf_spark.core.imaging import svg_security
+
+    bad = (
+        b'<svg xmlns="x" onload="a(1)"><script>e()</script>'
+        b'<foreignObject><body>x</body></foreignObject>'
+        b'<image xlink:href="https://evil.net/x.png"/>'
+        b'<use href="//cdn.evil.net/y"/></svg>'
+    )
+    m = svg_security(bad)
+    assert m["is_active"] == 1 and m["n_scripts"] == 1
+    assert m["n_event_attrs"] == 1 and m["has_foreign_object"] == 1
+    assert m["n_external_refs"] == 2  # absolute + scheme-relative
+    clean = (
+        b'<?xml version="1.0"?><svg viewBox="0 0 9 9"><circle r="3"/>'
+        b'<!-- <script>decoy()</script> onload="x" --></svg>'
+    )
+    m = svg_security(clean)
+    assert m["is_active"] == 0 and m["n_scripts"] == 0
+    assert m["n_event_attrs"] == 0
+    assert svg_security(b"\x89PNG raster")["is_svg"] == 0
