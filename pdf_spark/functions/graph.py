@@ -890,3 +890,62 @@ ORACLE["qg15_partition_cut"] = (
         "{LATERAL}", ", LATERAL unnest(range(1, doc_id % 2 + 2)) t(k)"
     ).replace("{STR}", "VARCHAR").replace("{IDIV}", "//")
 )
+
+
+# --- qg16: host-graph edge churn between crawl snapshots ------------------------
+#
+# qt33 tracks URL-level crawl deltas; link-structure churn is its
+# graph twin: how much of the host graph rewires between snapshots
+# (stable link neighborhoods = stable ranking signals; high churn =
+# SEO volatility or template migration). Two derived snapshots (odd /
+# even doc_ids — same generator family as qg13) produce edge sets A
+# and B; FULL OUTER on the edge key classifies kept/added/removed,
+# and per-host Jaccard stability of out-neighborhoods comes from the
+# same join — one pass, no recomputation per class. 100 TB: edge
+# construction is map-side; the outer join shuffles once on the
+# (src,dst) hash.
+
+_QG16_BODY = """
+WITH snap_a AS (
+  SELECT DISTINCT doc_id % 40 AS src, (doc_id * 3 + t.k) % 40 AS dst
+  FROM documents {LATERAL}
+  WHERE doc_id % 2 = 0),
+snap_b AS (
+  SELECT DISTINCT doc_id % 40 AS src, (doc_id * 7 + t.k) % 40 AS dst
+  FROM documents {LATERAL}
+  WHERE doc_id % 2 = 1),
+ea AS (SELECT src, dst FROM snap_a WHERE src <> dst),
+eb AS (SELECT src, dst FROM snap_b WHERE src <> dst),
+classified AS (
+  SELECT COALESCE(a.src, b.src) AS src,
+         CASE WHEN a.src IS NULL THEN 'added'
+              WHEN b.src IS NULL THEN 'removed'
+              ELSE 'kept' END AS status
+  FROM ea a FULL OUTER JOIN eb b
+    ON a.src = b.src AND a.dst = b.dst)
+SELECT src AS host,
+       CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_added,
+       CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed,
+       CAST(1000 * SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)
+            {IDIV} COUNT(*) AS BIGINT) AS stability_permille
+FROM classified
+GROUP BY src
+"""
+
+QUERIES["qg16_edge_churn"] = lambda spark, sf: (
+    register_views(spark, sf),
+    spark.sql(
+        _QG16_BODY.replace(
+            "{LATERAL}",
+            "LATERAL VIEW explode(sequence(1, CAST(doc_id % 2 + 1 AS INT)))"
+            " t AS k",
+        ).replace("{IDIV}", "DIV")
+    ),
+)[1]
+ORACLE["qg16_edge_churn"] = _QG16_BODY.replace(
+    "{LATERAL}", ", LATERAL unnest(range(1, doc_id % 2 + 2)) t(k)"
+).replace("{IDIV}", "//")

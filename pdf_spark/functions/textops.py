@@ -4110,3 +4110,41 @@ _pair(
     _QT85_BODY.replace("{TOK}", "unnest(string_split(text, ' '))")
     .replace("{IDIV}", "//"),
 )
+
+
+# --- qt86: host-concentration Gini (crawl-diversity datasheet number) ---------
+#
+# "Is the corpus a thousand sites wearing a trenchcoat?" — the
+# Lorenz/Gini concentration of documents over hosts is the standard
+# diversity disclosure next to qt61's hard caps. Integer-exact via
+# the rank formula: with per-host counts c_i ranked ascending
+# (count, then host for determinism), G = (2*SUM(i*c_i) -
+# (n+1)*SUM(c_i)) / (n*SUM(c_i)) — emitted as gini_milli with one
+# floor divide plus the raw integer numerator/denominator so the
+# exact rational survives. 100 TB: one bounded-key groupBy(host)
+# reduces the corpus to |hosts| rows; the rank window runs over that
+# reduction only (at 10^12 docs, |hosts| ~ 10^7 — window-safe; the
+# qr38 two-phase rank applies beyond).
+
+_QT86_BODY = """
+WITH hosts AS (
+  SELECT source AS host, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY source),
+ranked AS (
+  SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c, host) AS BIGINT) AS rk
+  FROM hosts)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(2 * SUM(rk * c) - (COUNT(*) + 1) * SUM(c) AS BIGINT)
+           AS gini_num,
+       CAST(COUNT(*) * SUM(c) AS BIGINT) AS gini_den,
+       CAST((1000 * (2 * SUM(rk * c) - (COUNT(*) + 1) * SUM(c)))
+            {IDIV} (COUNT(*) * SUM(c)) AS BIGINT) AS gini_milli
+FROM ranked
+"""
+
+_pair(
+    "qt86_host_gini",
+    _QT86_BODY.replace("{IDIV}", "DIV"),
+    _QT86_BODY.replace("{IDIV}", "//"),
+)
