@@ -848,3 +848,68 @@ def third_party_audit(data: bytes, page_url: str = "") -> dict:
         "n_iframes": n_iframes,
         "third_party_permille": (1000 * n_tp) // n_res if n_res else 0,
     }
+
+
+_LANG_STOPWORDS = {
+    "en": frozenset("the and of to in is for with that this".split()),
+    "fr": frozenset("le la les des une dans est pour avec que".split()),
+    "de": frozenset("der die das und ist nicht mit ein für den".split()),
+    "es": frozenset("el la los las una en es para con que".split()),
+}
+
+
+def lang_conflict_audit(data: bytes, headers: bytes | str = "") -> dict:
+    """Language-channel consistency — a page's language is declared in
+    up to three places that routinely disagree on mistagged or
+    machine-translated sites: the ``Content-Language`` HTTP header,
+    the ``<html lang>`` attribute, and the text itself (stopword
+    vote, the qt04 heuristic applied at the page level). Training
+    pipelines key mixture weights on language, so a mislabeled page
+    lands in the wrong bucket twice — once at filter, once at
+    allocation. Returns::
+
+        {lang_header, lang_attr, lang_text, n_declared, conflict}
+
+    ``lang_text`` is the stopword-vote winner among en/fr/de/es (ties
+    break alphabetically, None when no stopword hits); ``conflict``
+    flags any two PRESENT channels disagreeing on the primary subtag.
+    """
+    text_h = (
+        headers.decode("latin-1", "replace")
+        if isinstance(headers, (bytes, bytearray))
+        else (headers or "")
+    )
+    lang_header = None
+    for line in text_h.splitlines():
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "content-language" and v.strip():
+            lang_header = v.strip().split(",")[0].strip().lower()
+            break
+    html_text = decode_html(data)
+    lang_attr = None
+    m = re.search(r"<html(\s[^>]*)>", html_text[:2048], re.I)
+    if m:
+        val = _parse_attrs(m.group(1)).get("lang", "").strip().lower()
+        lang_attr = val or None
+    words = re.findall(r"[a-zà-ÿ]+", html_text.lower())
+    scores = {
+        lang: sum(1 for w in words if w in sw)
+        for lang, sw in _LANG_STOPWORDS.items()
+    }
+    best = max(scores.values()) if scores else 0
+    lang_text = (
+        min(lang for lang, s in scores.items() if s == best)
+        if best > 0 else None
+    )
+    primaries = [
+        v.split("-")[0]
+        for v in (lang_header, lang_attr, lang_text)
+        if v is not None
+    ]
+    return {
+        "lang_header": lang_header,
+        "lang_attr": lang_attr,
+        "lang_text": lang_text,
+        "n_declared": len(primaries),
+        "conflict": int(len(set(primaries)) > 1),
+    }

@@ -4412,3 +4412,87 @@ SELECT doc_id,
            AS is_active
 FROM v
 """
+
+
+# -- qx70: language-channel conflict audit (core/htmlaudit.py) -----------------
+#
+# Header vs html-lang vs stopword vote: mislabeled pages land in the
+# wrong mixture bucket twice. fam = doc_id % 4: all-agree English
+# (header en-US) / mistagged (lang=en, French text) / text-only
+# German, no declarations / no language evidence at all.
+
+_LANGC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang_header", StringType()),
+        StructField("lang_attr", StringType()),
+        StructField("lang_text", StringType()),
+        StructField("n_declared", IntegerType()),
+        StructField("conflict", IntegerType()),
+    ]
+)
+
+
+def _qx70_make(doc_id: int):
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 0:
+        return (
+            f'<html lang="en"><p>the cat and the dog in the '
+            f"house {i}</p></html>".encode(),
+            "Content-Language: en-US",
+        )
+    if fam == 1:
+        return (
+            f'<html lang="EN"><p>le chat est dans la maison avec '
+            f"le chien {i}</p></html>".encode(),
+            "",
+        )
+    if fam == 2:
+        return (
+            f"<p>der hund ist nicht mit der katze und {i}</p>".encode(),
+            "",
+        )
+    return (f"<p>0x{i:x} 12345 67890</p>".encode(), "")
+
+
+def _qx70(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.htmlaudit import lang_conflict_audit
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [lang_conflict_audit(*_qx70_make(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "lang_header": [m["lang_header"] for m in metas],
+                    "lang_attr": [m["lang_attr"] for m in metas],
+                    "lang_text": [m["lang_text"] for m in metas],
+                    "n_declared": pd.array(
+                        [m["n_declared"] for m in metas], dtype="Int32"
+                    ),
+                    "conflict": pd.array(
+                        [m["conflict"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _LANGC_SCHEMA)
+
+
+QUERIES["qx70_lang_conflict"] = _qx70
+ORACLE["qx70_lang_conflict"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CASE WHEN fam = 0 THEN 'en-us' END AS lang_header,
+       CASE WHEN fam = 0 THEN 'en' WHEN fam = 1 THEN 'en' END AS lang_attr,
+       CASE fam WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'de'
+       END AS lang_text,
+       CAST(CASE fam WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 1
+                     ELSE 0 END AS INTEGER) AS n_declared,
+       CAST(CASE WHEN fam = 1 THEN 1 ELSE 0 END AS INTEGER) AS conflict
+FROM v
+"""

@@ -2062,3 +2062,45 @@ def qr56(spark: SparkSession, sf: str) -> DataFrame:
         _QR56_BODY.replace("{EPOCH}", "unix_timestamp(ts)")
         .replace("{IDIV}", "DIV")
     )
+
+
+# -- qr57: running distinct count (the windowed COUNT DISTINCT workaround) --------
+
+_QR57_BODY = """
+WITH days AS (
+  SELECT o_custkey,
+         CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS m
+  FROM orders),
+firsts AS (
+  SELECT m, o_custkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY m) AS rn
+  FROM (SELECT DISTINCT m, o_custkey FROM days)),
+monthly AS (
+  SELECT m,
+         CAST(COUNT(*) AS BIGINT) AS n_active,
+         CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new
+  FROM firsts GROUP BY m)
+SELECT m AS month_start, n_active, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY m) AS BIGINT)
+           AS cumulative_distinct
+FROM monthly
+"""
+
+
+@q("qr57_running_distinct", _QR57_BODY)
+def qr57(spark: SparkSession, sf: str) -> DataFrame:
+    """Running DISTINCT count — monthly active vs cumulative-ever
+    customers, the growth-dashboard staple that the naive spelling
+    ``COUNT(DISTINCT x) OVER (ORDER BY t)`` cannot express (both
+    engines reject DISTINCT in a running frame). The portable
+    pattern: mark each key's FIRST period (ROW_NUMBER per key over
+    its distinct periods), then the cumulative distinct count is a
+    running SUM of first-appearance flags — turning an un-windowable
+    distinct into an additive measure (same first-seen trick as
+    qt83's saturation curve, here per entity). 100 TB: the dedup
+    groupBy and the per-key window both shuffle on o_custkey; the
+    final running sum orders |months| rows. Same ANSI text on both
+    engines."""
+    register_views(spark, sf)
+    return spark.sql(_QR57_BODY)

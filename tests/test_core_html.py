@@ -937,3 +937,22 @@ def test_third_party_audit_hosts_and_decoys():
         "https://ex.com/",
     )
     assert m["n_resources"] == 1 and m["n_third_party"] == 0
+
+
+def test_lang_conflict_channels():
+    from pdf_spark.core.htmlaudit import lang_conflict_audit
+
+    m = lang_conflict_audit(
+        b'<html lang="en"><p>the cat and the dog in the house</p></html>',
+        "Content-Language: en-US",
+    )
+    assert m["n_declared"] == 3 and m["conflict"] == 0
+    assert m["lang_header"] == "en-us"  # primary subtag comparison
+    # mistagged: lang=en but French stopwords dominate
+    m = lang_conflict_audit(
+        b'<html lang="EN"><p>le chat est dans la maison avec le chien</p>'
+        b"</html>"
+    )
+    assert m["lang_text"] == "fr" and m["conflict"] == 1
+    m = lang_conflict_audit(b"<p>123 456</p>")
+    assert m["n_declared"] == 0 and m["conflict"] == 0
