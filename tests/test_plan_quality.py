@@ -714,3 +714,45 @@ def test_session7f_operator_plan_shapes(spark):
     assert "Exchange" not in plan
     m = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and m.group(1).startswith("doc_id")
+
+
+def test_session7g_operator_plan_shapes(spark):
+    """Plan pins for the 300-milestone batch (qx69-70, qr56-57,
+    qt85-86, qs23, qm49, qg16)."""
+    import re as _re
+
+    from pdf_spark.functions.registry import all_queries
+
+    q = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    # qr56 TWA: one user_id shuffle (window) + combined agg, no join
+    plan = _plan(spark, q["qr56_time_weighted_avg"](spark, sf))
+    assert "Join" not in plan
+    assert _re.search(r"hashpartitioning\(user_id", plan)
+    # qr57 running distinct: per-key window partitioned by custkey;
+    # the only ordered-global window runs over the monthly rollup
+    plan = _plan(spark, q["qr57_running_distinct"](spark, sf))
+    assert _re.search(r"hashpartitioning\(o_custkey", plan)
+    # qt85 hapax + qt86 gini: partial aggregation present
+    for name in ("qt85_hapax_ratio", "qt86_host_gini"):
+        plan = _plan(spark, q[name](spark, sf))
+        assert "partial_" in plan, name
+    # qs23 multiprobe + qg16 churn: no nested-loop pair builds (the
+    # probe-plan expansion is a bounded row literal, not a data cross)
+    for name in ("qs23_multiprobe_lsh", "qg16_edge_churn"):
+        plan = _plan(spark, q[name](spark, sf))
+        assert "CartesianProduct" not in plan, name
+    assert "FullOuter" in _plan(spark, q["qg16_edge_churn"](spark, sf))
+    # map-side extractors stay shuffle-free on doc_id-pruned scans
+    for name in (
+        "qx69_third_party",
+        "qx70_lang_conflict",
+        "qm49_svg_security",
+    ):
+        plan = _plan(spark, q[name](spark, sf))
+        assert "Exchange" not in plan, f"{name} must stay shuffle-free"
+        m = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and m.group(1).startswith("doc_id"), (
+            f"{name} scan must prune to doc_id: {m and m.group(1)}"
+        )
