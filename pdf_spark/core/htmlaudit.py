@@ -913,3 +913,53 @@ def lang_conflict_audit(data: bytes, headers: bytes | str = "") -> dict:
         "n_declared": len(primaries),
         "conflict": int(len(set(primaries)) > 1),
     }
+
+
+_LDJSON_BLOCK_RE = re.compile(
+    r"<script[^>]*type\s*=\s*[\"']application/ld\+json[\"'][^>]*>(.*?)"
+    r"</script>",
+    re.I | re.S,
+)
+_ACCESS_FLAG_RE = re.compile(
+    r'"isAccessibleForFree"\s*:\s*(true|false|"true"|"false")', re.I
+)
+_PAYWALL_CLASS_RE = re.compile(
+    r'class\s*=\s*["\'][^"\']*\b(paywall|meter(?:ed)?-gate|regwall)\b',
+    re.I,
+)
+
+
+def paywall_audit(data: bytes) -> dict:
+    """Paywall/metered-content detection — news corpora must know
+    whether extracted text is the full article or a teaser: the
+    schema.org ``isAccessibleForFree`` flag (the channel Google's
+    paywalled-content policy standardized, so news CMSes emit it
+    reliably) is read ONLY from ``application/ld+json`` script
+    blocks; a structural class-name channel (paywall/regwall/meter
+    gates) corroborates. Returns::
+
+        {n_ldjson_blocks, has_access_flag, is_paywalled,
+         has_paywall_class}
+
+    ``is_paywalled`` is None when no channel is present (unknown ≠
+    free) — the tri-state a downstream filter needs.
+    """
+    html_text = decode_html(data)
+    blocks = _LDJSON_BLOCK_RE.findall(html_text)
+    flag = None
+    for b in blocks:
+        m = _ACCESS_FLAG_RE.search(b)
+        if m:
+            flag = m.group(1).strip('"').lower() == "false"
+            break
+    has_class = int(_PAYWALL_CLASS_RE.search(html_text) is not None)
+    if flag is None and not has_class:
+        paywalled = None
+    else:
+        paywalled = int(bool(flag) or (flag is None and has_class))
+    return {
+        "n_ldjson_blocks": len(blocks),
+        "has_access_flag": int(flag is not None),
+        "is_paywalled": paywalled,
+        "has_paywall_class": has_class,
+    }

@@ -4496,3 +4496,91 @@ SELECT doc_id,
        CAST(CASE WHEN fam = 1 THEN 1 ELSE 0 END AS INTEGER) AS conflict
 FROM v
 """
+
+
+# -- qx71: paywall/metered-content detection (core/htmlaudit.py) ---------------
+#
+# Full article or teaser? The schema.org isAccessibleForFree flag
+# (ld+json blocks only) + structural class corroboration, tri-state.
+# fam = doc_id % 4: paywalled article (flag false + class) / free
+# with explicit flag true / plain-script decoy, no channels /
+# class-only metered gate.
+
+_PAYWALL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_ldjson_blocks", IntegerType()),
+        StructField("has_access_flag", IntegerType()),
+        StructField("is_paywalled", IntegerType()),
+        StructField("has_paywall_class", IntegerType()),
+    ]
+)
+
+
+def _qx71_make_page(doc_id: int) -> bytes:
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 0:
+        return (
+            f'<script type="application/ld+json">{{"@type":"NewsArticle",'
+            f'"headline":"h{i}","isAccessibleForFree": false}}</script>'
+            f'<div class="paywall-prompt">Subscribe</div>'
+        ).encode()
+    if fam == 1:
+        return (
+            f'<script type="application/ld+json">'
+            f'{{"isAccessibleForFree":"True","n":{i}}}</script><p>all free</p>'
+        ).encode()
+    if fam == 2:
+        return (
+            f"<script>var x = '\"isAccessibleForFree\": false';</script>"
+            f"<p>open content {i}</p>"
+        ).encode()
+    return f'<div class="metered-gate">{i % 5} left</div>'.encode()
+
+
+def _qx71(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.htmlaudit import paywall_audit
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [paywall_audit(_qx71_make_page(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_ldjson_blocks": pd.array(
+                        [m["n_ldjson_blocks"] for m in metas], dtype="Int32"
+                    ),
+                    "has_access_flag": pd.array(
+                        [m["has_access_flag"] for m in metas], dtype="Int32"
+                    ),
+                    "is_paywalled": pd.array(
+                        [m["is_paywalled"] for m in metas], dtype="Int32"
+                    ),
+                    "has_paywall_class": pd.array(
+                        [m["has_paywall_class"] for m in metas],
+                        dtype="Int32",
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _PAYWALL_SCHEMA)
+
+
+QUERIES["qx71_paywall_flag"] = _qx71
+ORACLE["qx71_paywall_flag"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam IN (0, 1) THEN 1 ELSE 0 END AS INTEGER)
+           AS n_ldjson_blocks,
+       CAST(CASE WHEN fam IN (0, 1) THEN 1 ELSE 0 END AS INTEGER)
+           AS has_access_flag,
+       CAST(CASE fam WHEN 0 THEN 1 WHEN 1 THEN 0
+                     WHEN 3 THEN 1 END AS INTEGER) AS is_paywalled,
+       CAST(CASE WHEN fam IN (0, 3) THEN 1 ELSE 0 END AS INTEGER)
+           AS has_paywall_class
+FROM v
+"""

@@ -4148,3 +4148,30 @@ _pair(
     _QT86_BODY.replace("{IDIV}", "DIV"),
     _QT86_BODY.replace("{IDIV}", "//"),
 )
+
+
+# --- qt87: normalization-ladder dedup delta -----------------------------------
+#
+# How much MORE duplication does each normalization rung expose?
+# Exact-hash dedup (qt01) misses trivially-reformatted copies; the
+# production ladder is exact -> casefold -> alphanumeric-squash
+# (punctuation/whitespace collapsed), and the DELTA between rungs is
+# the measured value of each normalization — release datasheets
+# report it so consumers know which dedup level the corpus received.
+# Distinct counts are monotone nonincreasing down the ladder by
+# construction; the squash regex ([^a-z0-9]+ -> ' ') is portable
+# RE2/Java syntax. 100 TB: three map-side hash derivations, one
+# groupBy-free distinct count each via approx-free COUNT(DISTINCT) —
+# hash-even keys, map-side partials.
+
+_QT87_BODY = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS distinct_exact,
+       CAST(COUNT(DISTINCT md5(lower(text))) AS BIGINT)
+           AS distinct_casefold,
+       CAST(COUNT(DISTINCT md5(trim(regexp_replace(lower(text),
+                '[^a-z0-9]+', ' ')))) AS BIGINT) AS distinct_squashed
+FROM documents
+"""
+
+_pair("qt87_normalization_ladder", _QT87_BODY, _QT87_BODY)

@@ -956,3 +956,27 @@ def test_lang_conflict_channels():
     assert m["lang_text"] == "fr" and m["conflict"] == 1
     m = lang_conflict_audit(b"<p>123 456</p>")
     assert m["n_declared"] == 0 and m["conflict"] == 0
+
+
+def test_paywall_audit_channels():
+    from pdf_spark.core.htmlaudit import paywall_audit
+
+    m = paywall_audit(
+        b'<script type="application/ld+json">'
+        b'{"isAccessibleForFree": false}</script>'
+        b'<div class="paywall-x">Subscribe</div>'
+    )
+    assert m["is_paywalled"] == 1 and m["has_access_flag"] == 1
+    # explicit free flag wins over absent class
+    m = paywall_audit(
+        b'<script type="application/ld+json">'
+        b'{"isAccessibleForFree":"True"}</script>'
+    )
+    assert m["is_paywalled"] == 0
+    # plain-script decoy: no ld+json type, no flag; tri-state unknown
+    m = paywall_audit(
+        b"<script>var x='\"isAccessibleForFree\": false';</script><p>f</p>"
+    )
+    assert m["has_access_flag"] == 0 and m["is_paywalled"] is None
+    # class-only channel
+    assert paywall_audit(b'<div class="regwall">x</div>')["is_paywalled"] == 1
