@@ -756,3 +756,22 @@ def test_session7g_operator_plan_shapes(spark):
         assert m and m.group(1).startswith("doc_id"), (
             f"{name} scan must prune to doc_id: {m and m.group(1)}"
         )
+
+
+def test_session7h_operator_plan_shapes(spark):
+    """Plan pins for the closing pair (qx71, qt87)."""
+    import re as _re
+
+    from pdf_spark.functions.registry import all_queries
+
+    q = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    # qt87: distinct counts keep map-side partial aggregation
+    plan = _plan(spark, q["qt87_normalization_ladder"](spark, sf))
+    assert "partial_" in plan
+    # qx71: shuffle-free pruned scan
+    plan = _plan(spark, q["qx71_paywall_flag"](spark, sf))
+    assert "Exchange" not in plan
+    m = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1).startswith("doc_id")
