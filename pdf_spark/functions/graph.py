@@ -561,25 +561,34 @@ ORACLE["qg10_degree_histogram"] = _QG10_BODY.replace(
 # decreases large-neighbor edges) and SMALL-STAR (neighbors v <= u and
 # u itself repoint to the minimum) rounds converge in O(log^2 n) with
 # per-round cost ONE groupBy(u) for the star minima + one join back —
-# never a transitive closure. Two full LS/SS iterations are unrolled
-# as shared CTE text so both engines execute the identical plan; what
-# the oracle certifies is the ROUND SEMANTICS (labels after the fixed
-# iterations are deterministic), not full convergence — on the
-# synthetic single-component graph two iterations contract 500 nodes
-# to ~30 partial stars (measured), and a production run iterates
-# LS/SS to fixpoint exactly like qt14's loop does, with each further
-# round the same one-groupBy + one-join shape certified here.
+# never a transitive closure. The DuckDB oracle unrolls two full LS/SS
+# iterations as CTE text; the Spark side runs THE SAME two rounds as a
+# DataFrame loop with a lazy localCheckpoint per star step. The
+# checkpoint is load-bearing, not cosmetic: each step references its
+# symmetrized edge set twice (the per-star minimum aggregate joins back
+# to the edges it was computed from), so inlined CTE text doubles the
+# logical subtree per round — 4 rounds deep that is a 2^4 plan blowup
+# the optimizer re-expands on every reference, which measured 47.9 s at
+# sf0.01 yet 33.7 s at sf0.1 (plan-bound, not data-bound). With the
+# barrier every round reads the previous round's materialized edges
+# exactly once: one groupBy + one join per star step, O(rounds)
+# shuffles total, the published cost model. What the oracle certifies
+# is the ROUND SEMANTICS (labels after the fixed iterations are
+# deterministic), not full convergence — on the synthetic
+# single-component graph two iterations contract 500 nodes to ~30
+# partial stars (measured); `star_components` below iterates the same
+# certified step to fixpoint with the monotone-sum stop.
 
 _QG11_STEP = """
-sym{K} AS (
+sym{K} AS MATERIALIZED (
   SELECT u, v FROM {SRC} WHERE u <> v
   UNION
   SELECT v, u FROM {SRC} WHERE u <> v
 ),
-min{K} AS (
+min{K} AS MATERIALIZED (
   SELECT u, LEAST(u, MIN(v)) AS m FROM sym{K} GROUP BY u
 ),
-{OUT} AS (
+{OUT} AS MATERIALIZED (
   SELECT s.v AS u, m.m AS v
   FROM sym{K} s JOIN min{K} m ON s.u = m.u
   WHERE {COND}
@@ -630,10 +639,96 @@ def _qg11_sql(edge_src: str) -> str:
     return "\n".join(parts)
 
 
-QUERIES["qg11_star_components"] = lambda spark, sf: (
-    register_views(spark, sf)
-    or spark.sql(_qg11_sql(_EDGE_SRC_SPARK))
-)
+def _star_sym(df: DataFrame) -> DataFrame:
+    """Symmetrize + dedup an edge list (the sym{K} CTE, UNION = distinct)."""
+    f = df.where(F.col("u") != F.col("v")).select("u", "v")
+    return f.union(
+        f.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+
+
+def _star_round(cur: DataFrame) -> DataFrame:
+    """One LS+SS iteration over edge list (u, v); returns the new edges.
+
+    Each star step checkpoints its symmetrized edges lazily before the
+    min-aggregate joins back to them, so the twice-referenced subtree is
+    computed once and the loop's lineage stays O(1) per round (the qg04
+    pointer-doubling pattern).
+    """
+    # large-star: neighbors v > u repoint to u's star minimum
+    s = _star_sym(cur).localCheckpoint(eager=False)
+    mn = s.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("m"))
+    cur = (
+        s.join(mn, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    # small-star: neighbors v <= u and u itself repoint to the minimum
+    s = _star_sym(cur).localCheckpoint(eager=False)
+    mn = s.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("m"))
+    return (
+        s.join(mn, "u")
+        .where(F.col("v") <= F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mn.select("u", F.col("m").alias("v")))
+        .distinct()
+    )
+
+
+def _star_labels(cur: DataFrame) -> DataFrame:
+    """Final labels: least(u, min(v)) over the symmetrized edge set."""
+    return _star_sym(cur).groupBy("u").agg(
+        F.least(F.col("u"), F.min("v")).cast("long").alias("label")
+    ).select(F.col("u").alias("node"), "label")
+
+
+def star_components(
+    edges: DataFrame, max_rounds: int = 20
+) -> tuple[DataFrame, int]:
+    """Large-star/small-star CC iterated to fixpoint (Kiveris et al. 2014).
+
+    Production-mode counterpart of qg11's fixed-round certification:
+    runs LS/SS rounds until the monotone invariant sum(per-node star
+    minimum) stops decreasing — labels only ever shrink, so an
+    unchanged sum IS 1-hop stability, and one further round confirms
+    the fixpoint. One cheap driver-side scalar per round (the qt14
+    pattern), eager per-round checkpoints to truncate lineage, and
+    O(log^2 n) rounds on adversarial graphs. Returns (labels, rounds).
+    """
+    cur = edges
+    prev_sum: object = object()
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        cur = _star_round(cur).localCheckpoint()
+        cur_sum = (
+            _star_sym(cur)
+            .groupBy("u")
+            .agg(F.least(F.col("u"), F.min("v")).alias("m"))
+            .agg(F.sum("m"))
+            .collect()[0][0]
+        )
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return _star_labels(cur), rounds
+
+
+def _qg11(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+    n = docs.count()  # driver-side scalar, same as qg01
+    deg = docs.select(
+        F.col("doc_id").alias("u"),
+        (F.col("doc_id") % 3 + 1).cast("long").alias("d"),
+    )
+    cur = deg.select(
+        "u", F.explode(F.expr("sequence(1, CAST(d AS INT))")).alias("k")
+    ).select("u", ((F.col("u") * 7 + F.col("k")) % n).cast("long").alias("v"))
+    for _round in range(2):
+        cur = _star_round(cur)
+    return _star_labels(cur)
+
+
+QUERIES["qg11_star_components"] = _qg11
 ORACLE["qg11_star_components"] = _qg11_sql(_EDGE_SRC_DUCK)
 
 
