@@ -1024,12 +1024,62 @@ SELECT CAST(e.n_exact AS BIGINT) AS n_exact,
 FROM counted c CROSS JOIN exactn e CROSS JOIN tot t
 """
 
+# Spark side packs the m=65536 bits into 1024 64-bit words so the
+# probe is O(1) per hash — element_at on the word array + a bit mask —
+# instead of an O(set-bits) array_contains scan (up to 65536 elements
+# per probe row at full saturation, which is exactly the regime a
+# runtime filter runs in at scale; measured 16.7s -> ~1s at sf0.1).
+# The packed array is built once (single scalar row: one bit_or per
+# word, then a fold into the dense array) and broadcast; the DuckDB
+# oracle keeps the set-positions formulation — same certified output.
+_QR34_WORDS = """
+words AS (
+  SELECT CAST(p div 64 AS INT) AS wi,
+         bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) AS wd
+  FROM bits GROUP BY p div 64
+),
+bloom AS (
+  SELECT aggregate(
+           collect_list(struct(wi, wd)),
+           array_repeat(CAST(0 AS BIGINT), 1024),
+           (acc, x) -> transform(acc, (v, i) -> IF(i = x.wi, v | x.wd, v))
+         ) AS bs
+  FROM words
+),
+probe AS (
+  SELECT l_orderkey, {P1h} AS p1, {P2h} AS p2
+  FROM (SELECT l_orderkey, md5(CAST(l_orderkey AS STRING)) AS h
+        FROM lineitem)
+),
+cand AS (
+  SELECT p.l_orderkey
+  FROM probe p CROSS JOIN bloom b
+  WHERE (element_at(b.bs, CAST(p1 div 64 AS INT) + 1)
+         & shiftleft(CAST(1 AS BIGINT), CAST(p1 % 64 AS INT))) != 0
+    AND (element_at(b.bs, CAST(p2 div 64 AS INT) + 1)
+         & shiftleft(CAST(1 AS BIGINT), CAST(p2 % 64 AS INT))) != 0
+),"""
+
+def _hash16_conv(col: str, off: int) -> str:
+    """Same 16-bit window as _hash16 but via conv(): one JVM intrinsic
+    instead of 8 instr/substr calls — Spark-only (DuckDB keeps the
+    portable nibble arithmetic; equivalence is pinned by a test)."""
+    return f"CAST(conv(substr({col}, {off}, 4), 16, 10) AS INT)"
+
+
 _QR34_SPARK = (
-    _QR34_BODY
-    .replace("{P1p}", _hash16("p.h", 1)).replace("{P2p}", _hash16("p.h", 5))
-    .replace("{P1}", _hash16("h", 1)).replace("{P2}", _hash16("h", 5))
-    .replace("{AGG}", "collect_set(p)")
-    .replace("{CONTAINS}", "array_contains")
+    # splice the packed-words bloom+probe+cand in place of the
+    # set-positions formulation; build/bits and the certified tail
+    # (counted/exactn/tot/SELECT) are shared text
+    (
+        _QR34_BODY[: _QR34_BODY.index("bloom AS")]
+        + _QR34_WORDS.lstrip("\n")
+        + _QR34_BODY[_QR34_BODY.index("counted AS") :]
+    )
+    .replace("{P1h}", _hash16_conv("h", 1))
+    .replace("{P2h}", _hash16_conv("h", 5))
+    .replace("{P1}", _hash16_conv("h", 1))
+    .replace("{P2}", _hash16_conv("h", 5))
 )
 _QR34_DUCK = (
     _QR34_BODY
