@@ -885,6 +885,86 @@ def decode_gif(blob: bytes) -> tuple[int, int, int, bytearray]:
     raise ValueError("no image data")
 
 
+def gif_frames(blob: bytes):
+    """Every frame of a GIF87a/89a -> yields ``(width, height, 3,
+    rgb_samples)`` in stream order.
+
+    The multi-frame sibling of :func:`decode_gif` (which stops at the
+    poster frame): same LZW decode, local/global color tables and
+    de-interlacing per frame, extensions skipped. Frames are emitted
+    as standalone images (no disposal-method compositing — each
+    descriptor here is full-canvas, which is what the animation
+    writer emits)."""
+    if blob[:4] != b"GIF8" or len(blob) < 13:
+        raise ValueError("not a GIF")
+    flags = blob[10]
+    pos = 13
+    global_pal = b""
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_pal = blob[pos : pos + 3 * n]
+        pos += 3 * n
+    n_blob = len(blob)
+    while pos < n_blob:
+        b0 = blob[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < n_blob and blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            if pos + 10 > n_blob:
+                raise ValueError("truncated image descriptor")
+            w, h = struct.unpack_from("<HH", blob, pos + 5)
+            iflags = blob[pos + 9]
+            pos += 10
+            pal = global_pal
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = blob[pos : pos + 3 * n]
+                pos += 3 * n
+            if w == 0 or h == 0 or w * h * 3 > MAX_PIXELS:
+                raise ValueError("image too large")
+            if not pal:
+                raise ValueError("no color table")
+            min_code = blob[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < n_blob and blob[pos] != 0:
+                ln = blob[pos]
+                lzw += blob[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1  # sub-block terminator
+            indices = _gif_lzw_decode(min_code, bytes(lzw), w * h)
+            if len(indices) < w * h:
+                raise ValueError("LZW underflow")
+            if iflags & 0x40:
+                order = [
+                    y
+                    for start, step in _GIF_INTERLACE_PASSES
+                    for y in range(start, h, step)
+                ]
+            else:
+                order = list(range(h))
+            npal = len(pal) // 3
+            out = bytearray(w * h * 3)
+            for stored, y in enumerate(order):
+                dst = y * w * 3
+                src = stored * w
+                for x in range(w):
+                    i = indices[src + x]
+                    if i >= npal:
+                        raise ValueError("palette index out of range")
+                    p = 3 * i
+                    out[dst : dst + 3] = pal[p : p + 3]
+                    dst += 3
+            yield w, h, 3, out
+        elif b0 == 0x3B:  # trailer
+            return
+        else:
+            raise ValueError(f"unknown GIF block {b0:#x}")
+
+
 def encode_gif(
     w: int, h: int, palette: bytes, indices, interlace: bool = False
 ) -> bytes:

@@ -1,17 +1,24 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
-Image/audio decode libraries are not in this container, so the decode step
-is a clearly-marked deterministic fake (``_fake_decode``) — but everything
-Spark-side is real and tested: the BinaryType schema, the ``mapInPandas``
-batch shape (one Arrow batch of blobs in, one batch of feature rows out),
-partition behavior, and the metadata queries.
+Every decode in this tier runs a REAL pure-stdlib codec from
+``core/imaging.py`` / ``core/audio.py`` / ``core/video.py`` (PNG, BMP,
+GIF animation, JPEG, WebP-lossless, TIFF, WAV, ...) inside the Spark
+plumbing under test: BinaryType schema, the ``mapInPandas`` batch shape
+(one Arrow batch of blobs in, one batch of feature rows out), partition
+behavior, and the metadata queries. Fixtures are synthesized
+deterministically from doc ids so a DuckDB oracle can restate every
+post-decode feature arithmetically — the construction is arithmetic,
+but the bytes each executor decodes are genuine container formats.
 
-- ``qm01_binary_meta``     — JVM-side binary column ops (encode/length/hash),
-  DuckDB-verified.
-- ``qm02_fake_image_features`` — the mapInPandas feature extractor over
-  synthetic "image" blobs; deterministic fake decode, oracle-checkable
-  because the fake is a pure function of the blob bytes that SQL can
-  reproduce (header-int parsing via substring arithmetic).
+- ``qm01_binary_meta``    — JVM-side binary column ops (encode/length/
+  hash), DuckDB-verified.
+- ``qm02_image_features`` — mapInPandas feature extraction over real
+  PNG/BMP blobs (dims, channels and two-tone content vary per doc).
+- ``qm03_frame_sample``   — every-3rd-frame sampling over real animated
+  GIFs via the multi-frame LZW decoder.
+- ``qm04_audio_features`` — real PCM WAV decode (rate/width vary).
+- ``qm05_phash_neardup``  — average-hash near-dup where the hash stage
+  decodes a real PNG of the document's leading codepoints.
 """
 
 from __future__ import annotations
@@ -58,7 +65,15 @@ def _qm01(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES["qm01_binary_meta"] = _qm01
 ORACLE["qm01_binary_meta"] = _META_DUCK
 
-# -- qm02: fake decode over synthetic blobs -----------------------------------
+# -- qm02: REAL image-feature extraction over per-doc encoded blobs -----------
+#
+# Each doc synthesizes a genuine container -- PNG gray / PNG RGB / BMP
+# 32bpp rotating by residue, PNG rows under the full filter cycle --
+# with per-doc dimensions and a two-tone left/right pattern, then the
+# mapInPandas stage decodes it with the real pure-stdlib codecs and
+# reports post-decode features. All-equal RGB channels make the BT.601
+# integer luma equal the gray value, so the oracle restates the floor
+# mean-luma arithmetically from the construction.
 
 _FEATURES_SCHEMA = StructType(
     [
@@ -71,76 +86,93 @@ _FEATURES_SCHEMA = StructType(
 )
 
 
-def _fake_decode(blob: bytes) -> tuple[int, int, int, int]:
-    """DETERMINISTIC FAKE decode (real image libs absent in this container).
+def _qm02_make_blob(doc_id: int) -> bytes:
+    from pdf_spark.core.imaging import encode_bmp, encode_png
 
-    The synthetic blob layout is ``b"IMG!" + 4-digit width + 4-digit height
-    + payload``; a real deployment swaps this for PIL/ffmpeg inside the
-    same mapInPandas batch loop (the Spark plumbing — schema, batching,
-    partitioning — is identical).
-    """
-    if len(blob) < 12 or blob[:4] != b"IMG!":
-        raise NotImplementedError("real image decoding is stubbed")
-    width = int(blob[4:8])
-    height = int(blob[8:12])
-    # mean over CHARACTERS (not UTF-8 bytes) — the oracle computes
-    # ord-per-char, and a multi-byte char in the payload must not diverge
-    payload = blob[12:].decode("utf-8", errors="replace")
-    mean = (sum(map(ord, payload)) // len(payload)) if payload else 0
-    return width, height, 3, mean
+    i = int(doc_id)
+    w = i % 17 + 8
+    h = i % 13 + 8
+    a = (i * 23) % 200 + 28
+    b = (i * 31 + 7) % 200 + 28
+    ch = (1, 3, 4)[i % 3]
+    vals: list = []
+    for _y in range(h):
+        for x in range(w):
+            v = a if x < w // 2 else b
+            if ch == 1:
+                vals.append(v)
+            elif ch == 3:
+                vals += [v, v, v]
+            else:
+                vals += [v, v, v, 255]
+    if ch == 4:
+        return encode_bmp(w, h, 4, vals, top_down=bool(i % 2))
+    return encode_png(w, h, ch, bytearray(vals), "cycle" if i % 2 else "none")
 
 
 def _qm02(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents")
-    # synthesize the blob column JVM-side: IMG! + zero-padded dims + payload
-    blobs = docs.select(
-        "doc_id",
-        F.encode(
-            F.concat(
-                F.lit("IMG!"),
-                F.lpad((F.col("doc_id") % 97 + 16).cast("string"), 4, "0"),
-                F.lpad((F.col("doc_id") % 53 + 16).cast("string"), 4, "0"),
-                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 32),
-            ),
-            "UTF-8",
-        ).alias("blob"),
-    )
+    from pdf_spark.core import imaging
+
+    docs = load(spark, sf, "documents").select("doc_id")
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            out = {k: [] for k in ("doc_id", "width", "height", "n_channels", "mean_luma")}
-            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
-                w, h, c, m = _fake_decode(bytes(blob))
-                out["doc_id"].append(int(doc_id))
-                out["width"].append(w)
-                out["height"].append(h)
-                out["n_channels"].append(c)
-                out["mean_luma"].append(m)
-            yield pd.DataFrame(out)
+        pil, imaging._PIL = imaging._PIL, None
+        try:
+            for batch in batches:
+                out = {
+                    k: []
+                    for k in (
+                        "doc_id", "width", "height", "n_channels", "mean_luma"
+                    )
+                }
+                for doc_id in batch["doc_id"]:
+                    w, h, c, m = imaging.image_features(
+                        _qm02_make_blob(int(doc_id))
+                    )
+                    out["doc_id"].append(int(doc_id))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_channels"].append(c)
+                    out["mean_luma"].append(m)
+                yield pd.DataFrame(out)
+        finally:
+            imaging._PIL = pil
 
-    return blobs.mapInPandas(featurize, _FEATURES_SCHEMA)
+    return docs.mapInPandas(featurize, _FEATURES_SCHEMA)
 
 
-QUERIES["qm02_fake_image_features"] = _qm02
-# oracle: the fake decode is reproducible in SQL over the same construction
-ORACLE["qm02_fake_image_features"] = """
-WITH blobs AS (
+QUERIES["qm02_image_features"] = _qm02
+# oracle: every decoded feature restated arithmetically from the
+# construction (two-tone halves, all-equal channels => luma == value)
+ORACLE["qm02_image_features"] = """
+WITH v AS (
   SELECT doc_id,
-         CAST(doc_id % 97 + 16 AS INT) AS width,
-         CAST(doc_id % 53 + 16 AS INT) AS height,
-         substr(COALESCE(text, ''), 1, 32) AS payload
+         doc_id % 17 + 8 AS w,
+         doc_id % 13 + 8 AS h,
+         (doc_id * 23) % 200 + 28 AS a,
+         (doc_id * 31 + 7) % 200 + 28 AS b
   FROM documents
 )
-SELECT doc_id, width, height, 3 AS n_channels,
-       CASE WHEN length(payload) = 0 THEN 0
-            ELSE CAST(floor(list_aggregate(list_transform(
-                   range(1, length(payload) + 1),
-                   i -> ord(substr(payload, i, 1))), 'sum')
-                 / length(payload)) AS INT) END AS mean_luma
-FROM blobs
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT)
+         AS n_channels,
+       CAST(((w // 2) * h * a + (w - w // 2) * h * b) // (w * h) AS INT)
+         AS mean_luma
+FROM v
 """
 
-# -- qm03: fake video frame-sampling ------------------------------------------
+# -- qm03: REAL animated-GIF frame sampling ------------------------------------
+#
+# The frame-sample stage of a video/animation tier, run against genuine
+# multi-frame GIF89a containers (real NETSCAPE loop extension, real
+# per-frame Graphic Control delays, real LZW image data) decoded by the
+# multi-frame reader ``core/imaging.py::gif_frames``. Every 3rd frame
+# is sampled and fingerprinted by the md5 of its decoded luma plane --
+# the gray 16-entry palette keeps every luma byte in the ASCII range so
+# the DuckDB oracle can rebuild the exact byte string with chr() and
+# hash it with the same md5.
 
 _FRAMES_SCHEMA = StructType(
     [
@@ -150,74 +182,86 @@ _FRAMES_SCHEMA = StructType(
     ]
 )
 
+# 16 grays, 4..124: all single-byte UTF-8 so oracle chr() concatenation
+# hashes the identical bytes
+_QM03_PAL = bytes(v for i in range(16) for v in (4 + i * 8,) * 3)
 
-def _fake_frames(blob: bytes):
-    """DETERMINISTIC FAKE frame decoder (ffmpeg absent in this container).
 
-    Blob layout: ``b"VID!" + 4-digit frame count + 8 bytes per frame``.
-    Samples every 3rd frame (the frame-sample stride a real pipeline would
-    hand to a decoder); a real deployment swaps the body for an ffmpeg
-    call in the same mapInPandas batch loop.
-    """
-    import hashlib
+def _qm03_make_gif(doc_id: int) -> bytes:
+    from pdf_spark.core.imaging import encode_gif_animation
 
-    if len(blob) < 8 or blob[:4] != b"VID!":
-        raise NotImplementedError("real video decoding is stubbed")
-    n_frames = int(blob[4:8])
-    payload = blob[8:]
-    for i in range(0, n_frames, 3):
-        frame = payload[8 * i : 8 * i + 8]
-        yield i, hashlib.md5(frame).hexdigest()
+    i = int(doc_id)
+    pat = i % 101
+    nf = i % 7 + 2
+    frames = [
+        [
+            (pat * (x + 2) + (3 * k + 1 + pat // 16) * (y + 1) + x) % 16
+            for y in range(8)
+            for x in range(8)
+        ]
+        for k in range(nf)
+    ]
+    return encode_gif_animation(8, 8, _QM03_PAL, frames, [10] * nf)
 
 
 def _qm03(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents")
-    # ASCII-safe 64-char payload (md5 hex x2) so SQL substr == byte slicing
-    blobs = docs.select(
-        "doc_id",
-        F.encode(
-            F.concat(
-                F.lit("VID!"),
-                F.lpad((F.col("doc_id") % 7 + 2).cast("string"), 4, "0"),
-                F.md5(F.encode(F.col("text"), "UTF-8")),
-                F.md5(F.encode(F.col("lang"), "UTF-8")),
-            ),
-            "UTF-8",
-        ).alias("blob"),
-    )
+    from pdf_spark.core import imaging
+
+    docs = load(spark, sf, "documents").select("doc_id")
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         for batch in batches:
             out = {"doc_id": [], "frame_idx": [], "frame_md5": []}
-            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
-                for idx, h in _fake_frames(bytes(blob)):
-                    out["doc_id"].append(int(doc_id))
-                    out["frame_idx"].append(idx)
-                    out["frame_md5"].append(h)
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                for k, (w, h, ch, s) in enumerate(
+                    imaging.gif_frames(_qm03_make_gif(i))
+                ):
+                    if k % 3:
+                        continue
+                    lum = b"".join(
+                        bytes(r) for r in imaging._luma_rows(w, h, ch, s)
+                    )
+                    out["doc_id"].append(i)
+                    out["frame_idx"].append(k)
+                    out["frame_md5"].append(hashlib.md5(lum).hexdigest())
             yield pd.DataFrame(out)
 
-    return blobs.mapInPandas(sample, _FRAMES_SCHEMA)
+    return docs.mapInPandas(sample, _FRAMES_SCHEMA)
 
 
-QUERIES["qm03_fake_frame_sample"] = _qm03
-ORACLE["qm03_fake_frame_sample"] = """
+QUERIES["qm03_frame_sample"] = _qm03
+ORACLE["qm03_frame_sample"] = """
 WITH vids AS (
-  SELECT doc_id,
-         CAST(doc_id % 7 + 2 AS INT) AS n_frames,
-         md5(text) || md5(lang) AS payload
+  SELECT doc_id, doc_id % 101 AS pat, CAST(doc_id % 7 + 2 AS INT) AS nf
   FROM documents
 ),
 idx AS (SELECT CAST(i AS INT) AS frame_idx FROM range(0, 8) t(i)),
 frames AS (
   SELECT v.doc_id, i.frame_idx,
-         md5(substr(v.payload, 1 + 8 * i.frame_idx, 8)) AS frame_md5
-  FROM vids v JOIN idx i ON i.frame_idx < v.n_frames
+         md5(array_to_string(list_transform(range(0, 64),
+             p -> chr(CAST(4 + 8 * ((v.pat * ((p % 8) + 2)
+                                     + (3 * i.frame_idx + 1 + v.pat // 16)
+                                       * ((p // 8) + 1)
+                                     + (p % 8)) % 16) AS INT))),
+             '')) AS frame_md5
+  FROM vids v JOIN idx i ON i.frame_idx < v.nf
   WHERE i.frame_idx % 3 = 0
 )
 SELECT doc_id, frame_idx, frame_md5 FROM frames
 """
 
-# -- qm04: fake audio features -------------------------------------------------
+# -- qm04: REAL PCM WAV audio features ------------------------------------------
+#
+# Genuine RIFF/WAVE containers (16-bit mono PCM, per-doc sample rate
+# and length, a deterministic integer waveform) decoded by
+# ``core/audio.py::decode_wav`` inside the mapInPandas stage; the
+# reported features are what a corpus loudness/duration gate computes
+# post-decode. The waveform formula is pure integer arithmetic, so the
+# oracle restates duration, mean absolute amplitude and the
+# 160-sample hop-window count exactly.
 
 _AUDIO_SCHEMA = StructType(
     [
@@ -231,94 +275,81 @@ _AUDIO_SCHEMA = StructType(
 )
 
 
-def _fake_audio_features(blob: bytes) -> tuple[int, int, int, int, int]:
-    """DETERMINISTIC FAKE audio decode (no soundfile/librosa in container).
+def _qm04_make_wav(doc_id: int) -> bytes:
+    from pdf_spark.core.audio import encode_wav
 
-    Blob layout: ``b"AUD!" + 5-digit sample rate + 6-digit sample count +
-    payload``. Features a real pipeline computes post-decode: duration,
-    mean amplitude, and the 160-sample hop-window count (the STFT frame
-    count a feature extractor would produce); a real deployment swaps this
-    body for the decoder inside the same mapInPandas batch loop.
-    """
-    if len(blob) < 15 or blob[:4] != b"AUD!":
-        raise NotImplementedError("real audio decoding is stubbed")
-    rate = int(blob[4:9])
-    n_samples = int(blob[9:15])
-    # chars, not bytes — see _fake_decode
-    payload = blob[15:].decode("utf-8", errors="replace")
-    mean_amp = (sum(map(ord, payload)) // len(payload)) if payload else 0
-    duration_ms = n_samples * 1000 // rate
-    n_hops = -(-n_samples // 160)
-    return rate, n_samples, duration_ms, mean_amp, n_hops
+    i = int(doc_id)
+    rate = i % 3 * 8000 + 8000
+    n = i % 330 + 70
+    samples = [((i * 31 + j * j * 7) % 2001) - 1000 for j in range(n)]
+    return encode_wav(rate, 1, 16, samples)
 
 
 def _qm04(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents")
-    blobs = docs.select(
-        "doc_id",
-        F.encode(
-            F.concat(
-                F.lit("AUD!"),
-                F.lpad((F.col("doc_id") % 3 * 8000 + 8000).cast("string"), 5, "0"),
-                F.lpad((F.col("doc_id") % 890 + 110).cast("string"), 6, "0"),
-                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 48),
-            ),
-            "UTF-8",
-        ).alias("blob"),
-    )
+    from pdf_spark.core import audio
+
+    docs = load(spark, sf, "documents").select("doc_id")
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out = {f.name: [] for f in _AUDIO_SCHEMA.fields}
-            for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
-                r, n, d, m, h = _fake_audio_features(bytes(blob))
-                out["doc_id"].append(int(doc_id))
-                out["sample_rate"].append(r)
-                out["n_samples"].append(n)
-                out["duration_ms"].append(d)
-                out["mean_amp"].append(m)
-                out["n_hops"].append(h)
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                rate, _ch, _bits, frames, dur, _peak, mean_abs = (
+                    audio.audio_features(_qm04_make_wav(i))
+                )
+                out["doc_id"].append(i)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(frames)
+                out["duration_ms"].append(dur)
+                out["mean_amp"].append(mean_abs)
+                out["n_hops"].append(-(-frames // 160))
             yield pd.DataFrame(out)
 
-    return blobs.mapInPandas(featurize, _AUDIO_SCHEMA)
+    return docs.mapInPandas(featurize, _AUDIO_SCHEMA)
 
 
-QUERIES["qm04_fake_audio_features"] = _qm04
-ORACLE["qm04_fake_audio_features"] = """
+QUERIES["qm04_audio_features"] = _qm04
+ORACLE["qm04_audio_features"] = """
 WITH auds AS (
   SELECT doc_id,
-         CAST(doc_id % 3 * 8000 + 8000 AS INT) AS sample_rate,
-         CAST(doc_id % 890 + 110 AS INT) AS n_samples,
-         substr(COALESCE(text, ''), 1, 48) AS payload
+         CAST(doc_id % 3 * 8000 + 8000 AS INT) AS rate,
+         CAST(doc_id % 330 + 70 AS INT) AS n
   FROM documents
+),
+amp AS (
+  SELECT doc_id, rate, n,
+         list_aggregate(list_transform(range(0, n),
+            j -> abs(((doc_id * 31 + j * j * 7) % 2001) - 1000)),
+            'sum') AS sum_abs
+  FROM auds
 )
-SELECT doc_id, sample_rate, n_samples,
-       CAST(floor(n_samples * 1000.0 / sample_rate) AS INT) AS duration_ms,
-       CASE WHEN length(payload) = 0 THEN 0
-            ELSE CAST(floor(list_aggregate(list_transform(
-                   range(1, length(payload) + 1),
-                   i -> ord(substr(payload, i, 1))), 'sum')
-                 / length(payload)) AS INT) END AS mean_amp,
-       CAST(ceil(n_samples / 160.0) AS INT) AS n_hops
-FROM auds
+SELECT doc_id,
+       rate AS sample_rate,
+       n AS n_samples,
+       CAST(n * 1000 // rate AS INT) AS duration_ms,
+       CAST(sum_abs // n AS INT) AS mean_amp,
+       CAST((n + 159) // 160 AS INT) AS n_hops
+FROM amp
 """
 
-# -- qm05: perceptual-hash near-dup (aHash + banded Hamming join) ---------------
+# -- qm05: perceptual-hash near-dup (real-decode aHash + banded Hamming join) ---
 #
-# The image-dedup stage of a multimodal corpus (LAION-style): a 16-bit
-# average-hash per image — each of 16 evenly-sampled "pixels" (payload
-# chars here; a real deployment thresholds downscaled luma inside the
-# SAME mapInPandas loop) thresholded against the image mean — then
-# near-dup pairs found the qt08 way: an equi-join per 8-bit band
-# proposes candidates, exact bit_count(xor) <= 2 verifies. Pigeonhole
-# guarantee is d < n_bands, so d<=1 recall is exact with two bands;
-# d=2 pairs are caught only when both flips share a band (documented
-# recall gap — a real deployment sizes bands to the target distance,
-# e.g. 3 bands for exact d<=2), and the verify step keeps every
-# REPORTED pair exact regardless. Hash computation is the Python
-# "decode" stage (the
-# multimodal plumbing under test); banding, joins and verification stay
-# JVM-side.
+# The image-dedup stage of a multimodal corpus (LAION-style): each doc
+# renders its leading 256 codepoints into a REAL 16x16 gray PNG (pixel
+# = codepoint % 256, zero-padded), the mapInPandas stage decodes it
+# with the real PNG codec, and the 16-bit average-hash thresholds 16
+# diagonal pixels of the decoded luma plane against the image's floor
+# mean -- so similar documents produce similar images produce close
+# hashes. Near-dup pairs are then found the qt08 way: an equi-join per
+# 8-bit band proposes candidates, exact bit_count(xor) <= 2 verifies.
+# Pigeonhole guarantee is d < n_bands, so d<=1 recall is exact with
+# two bands; d=2 pairs are caught only when both flips share a band
+# (documented recall gap -- a real deployment sizes bands to the
+# target distance), and the verify step keeps every REPORTED pair
+# exact regardless. Hash computation is the Python decode stage (the
+# multimodal plumbing under test); banding, joins and verification
+# stay JVM-side.
 
 _PHASH_SCHEMA = StructType(
     [
@@ -328,23 +359,27 @@ _PHASH_SCHEMA = StructType(
 )
 
 
-def _fake_ahash(blob: bytes) -> int:
-    """DETERMINISTIC FAKE aHash (real decode stubbed like _fake_decode):
-    16 evenly-sampled payload chars thresholded against the char mean.
-    Bit i (LSB-first) = 1 iff ord(sample_i) > floor(mean)."""
-    if len(blob) < 12 or blob[:4] != b"IMG!":
-        raise NotImplementedError("real image decoding is stubbed")
-    payload = blob[12:].decode("utf-8", errors="replace")
-    n = len(payload)
-    if n == 0:
-        return 0
-    mean = sum(map(ord, payload)) // n
-    h = 0
+def _qm05_make_png(text) -> bytes:
+    from pdf_spark.core.imaging import encode_png
+
+    payload = (text or "")[:256]
+    px = [ord(c) % 256 for c in payload] + [0] * (256 - len(payload))
+    return encode_png(16, 16, 1, bytearray(px), "none")
+
+
+def _qm05_ahash(blob: bytes) -> int:
+    """16-bit aHash over REAL decoded luma: bit i (LSB-first) set when
+    the diagonal sample at pixel 17*i exceeds the floor mean."""
+    from pdf_spark.core import imaging
+
+    w, h, ch, samples = imaging._pixels(blob)
+    lum = [v for row in imaging._luma_rows(w, h, ch, samples) for v in row]
+    mean = sum(lum) // len(lum)
+    out = 0
     for i in range(16):
-        pos = (i * n) // 16
-        if ord(payload[pos]) > mean:
-            h |= 1 << i
-    return h
+        if lum[17 * i] > mean:
+            out |= 1 << i
+    return out
 
 
 _QM05_MAIN = """
@@ -366,80 +401,56 @@ SELECT CAST((SELECT COUNT(*) FROM h) AS BIGINT) AS n_images,
        CAST((SELECT COUNT(*) FROM verified) AS BIGINT) AS n_dup_pairs
 """
 
-_QM05_HASH_SQL = """
+# oracle hash stage: rebuild the pixel list arithmetically (codepoint %
+# 256, zero-padded to 256) and restate the decoded-luma aHash -- gray
+# PNG decode is lossless so luma == stored pixel value
+_QM05_HASH_DUCK = """
 SELECT doc_id,
-  CASE WHEN length(payload) = 0 THEN CAST(0 AS BIGINT) ELSE (
-    {BITS}
-  ) END AS phash
+  CAST({BITS} AS BIGINT) AS phash
 FROM (
-  SELECT doc_id, payload,
-         CASE WHEN length(payload) = 0 THEN 0
-              ELSE {FLOORDIV} END AS mean_luma
+  SELECT doc_id, px, list_aggregate(px, 'sum') // 256 AS mean_luma
   FROM (
-    SELECT doc_id, substr(COALESCE(text, ''), 1, 32) AS payload
-    FROM documents
-  ) p0
+    SELECT doc_id,
+           list_transform(range(0, 256),
+             i -> CASE WHEN i < length(payload)
+                  THEN ord(substr(payload, CAST(i + 1 AS INT), 1)) % 256
+                  ELSE 0 END) AS px
+    FROM (
+      SELECT doc_id, substr(COALESCE(text, ''), 1, 256) AS payload
+      FROM documents
+    ) p0
+  ) p1
 ) p
 """
 
-
-def _qm05_bit(i: int) -> str:
-    # ord of the evenly-sampled char (1-based substr), engine-neutral
-    return (
-        f"(CASE WHEN ord(substr(payload, ({i} * length(payload)) / 16 + 1, 1))"
-        f" > mean_luma THEN {1 << i} ELSE 0 END)"
-    )
-
-
-def _qm05_hash_sql(dialect: str) -> str:
-    bits = " + ".join(_qm05_bit(i) for i in range(16))
-    if dialect == "spark":
-        floordiv = (
-            "CAST(aggregate(transform(sequence(1, length(payload)),"
-            " i -> ascii(substring(payload, i, 1))), 0L, (acc, x) -> acc + x)"
-            " / length(payload) AS INT)"
-        )
-        # Spark: integer / is fractional; use DIV for the sample index
-        bits = bits.replace("* length(payload)) / 16", "* length(payload)) DIV 16")
-        sql = _QM05_HASH_SQL.replace("{BITS}", "CAST(" + bits + " AS BIGINT)")
-        sql = sql.replace("{FLOORDIV}", floordiv)
-        return sql.replace("ord(", "ascii(")
-    floordiv = (
-        "CAST(list_aggregate(list_transform(range(1, length(payload) + 1),"
-        " i -> ord(substr(payload, i, 1))), 'sum') // length(payload) AS INT)"
-    )
-    bits = bits.replace("* length(payload)) / 16", "* length(payload)) // 16")
-    sql = _QM05_HASH_SQL.replace("{BITS}", "CAST(" + bits + " AS BIGINT)")
-    return sql.replace("{FLOORDIV}", floordiv)
+_QM05_BITS = " + ".join(
+    f"(CASE WHEN px[{17 * i + 1}] > mean_luma THEN {1 << i} ELSE 0 END)"
+    for i in range(16)
+)
 
 
 def _qm05(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents")
-    blobs = docs.select(
-        "doc_id",
-        F.encode(
-            F.concat(
-                F.lit("IMG!"),
-                F.lpad((F.col("doc_id") % 97 + 16).cast("string"), 4, "0"),
-                F.lpad((F.col("doc_id") % 53 + 16).cast("string"), 4, "0"),
-                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 32),
-            ),
-            "UTF-8",
-        ).alias("blob"),
-    )
+    from pdf_spark.core import imaging
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": [int(d) for d in batch["doc_id"]],
-                    "phash": [
-                        _fake_ahash(bytes(b)) for b in batch["blob"]
-                    ],
-                }
-            )
+        pil, imaging._PIL = imaging._PIL, None
+        try:
+            for batch in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": [int(d) for d in batch["doc_id"]],
+                        "phash": [
+                            _qm05_ahash(_qm05_make_png(t))
+                            for t in batch["text"]
+                        ],
+                    }
+                )
+        finally:
+            imaging._PIL = pil
 
-    hashes = blobs.mapInPandas(hash_batches, _PHASH_SCHEMA)
+    hashes = docs.mapInPandas(hash_batches, _PHASH_SCHEMA)
     hashes.createOrReplaceTempView("qm05_hashes")
     return spark.sql(
         _QM05_MAIN.replace("{HASHES}", "qm05_hashes")
@@ -450,7 +461,9 @@ def _qm05(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES["qm05_phash_neardup"] = _qm05
 ORACLE["qm05_phash_neardup"] = (
-    _QM05_MAIN.replace("{HASHES}", "(" + _qm05_hash_sql("duck") + ")")
+    _QM05_MAIN.replace(
+        "{HASHES}", "(" + _QM05_HASH_DUCK.replace("{BITS}", _QM05_BITS) + ")"
+    )
     .replace("{IDIV}", "//")
     .replace("{XOR}", "xor(pa, pb)")
 )

@@ -1263,3 +1263,37 @@ def test_svg_security_active_content_and_decoys():
     assert m["is_active"] == 0 and m["n_scripts"] == 0
     assert m["n_event_attrs"] == 0
     assert svg_security(b"\x89PNG raster")["is_svg"] == 0
+
+
+def test_gif_frames_multiframe_roundtrip():
+    """gif_frames yields every animation frame with exact decoded luma
+    (decode_gif stops at the poster frame; the multi-frame reader must
+    walk the GCE/descriptor sequence and advance past each LZW block
+    terminator)."""
+    from pdf_spark.core.imaging import (
+        _luma_rows,
+        decode_gif,
+        encode_gif_animation,
+        gif_frames,
+    )
+
+    pal = bytes(v for i in range(16) for v in (4 + i * 8,) * 3)
+    mk = lambda k: [  # noqa: E731
+        (7 * (x + 2) + (3 * k + 1) * (y + 1) + x) % 16
+        for y in range(8)
+        for x in range(8)
+    ]
+    blob = encode_gif_animation(8, 8, pal, [mk(k) for k in range(5)], [10] * 5)
+    frames = list(gif_frames(blob))
+    assert len(frames) == 5
+    for k, (w, h, ch, s) in enumerate(frames):
+        assert (w, h, ch) == (8, 8, 3)
+        lum = [v for row in _luma_rows(w, h, ch, s) for v in row]
+        assert lum == [4 + 8 * i for i in mk(k)]
+    # poster frame agrees with the single-frame decoder
+    assert frames[0][3] == decode_gif(blob)[3]
+    # no-loop-extension stream still walks
+    blob2 = encode_gif_animation(
+        8, 8, pal, [mk(0), mk(1)], [5, 5], loop_count=None
+    )
+    assert len(list(gif_frames(blob2))) == 2
