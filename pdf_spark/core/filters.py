@@ -385,6 +385,25 @@ def decode_stream(stream_dict: dict, raw: bytes, resolver=None) -> bytes:
                 ec = 1 if ec is None else int(ec)
             data = lzw_decode(data, ec)
             data = _apply_predictor(data, parm)
+        elif name == "CCITTFaxDecode" or name == "CCF":
+            # ITU T.4/T.6 fax compression (§7.4.6) — the dominant
+            # encoding of scanned PDFs; parameters per the PDF defaults
+            from pdf_spark.core.ccitt import ccitt_decode
+
+            p = parm if isinstance(parm, dict) else {}
+
+            def gi(key, default):
+                v = rz(p.get(key, default))
+                return default if v is None else v
+
+            data = ccitt_decode(
+                data,
+                columns=int(gi("Columns", 1728)),
+                rows=int(gi("Rows", 0)),
+                k=int(gi("K", 0)),
+                black_is_1=bool(gi("BlackIs1", False)),
+                byte_align=bool(gi("EncodedByteAlign", False)),
+            )
         elif name == "Crypt":
             # §7.4.10: /Crypt names the crypt filter applied to THIS
             # stream. /Identity (also the default when no /Name is given)

@@ -3164,13 +3164,17 @@ def _qx38(spark: SparkSession, sf: str) -> DataFrame:
     Each doc embeds five images spanning the decoder's codec matrix:
     FlateDecode 8-bpc DeviceGray, DCTDecode baseline JPEG (integer-exact
     constant-DC fixture), a 1-bpc /Indexed palette into DeviceRGB, a
-    4-bpc sub-byte gray (row-padded), and a DCTDecode PROGRESSIVE
+    4-bpc sub-byte gray (row-padded), a DCTDecode PROGRESSIVE
     (SOF2) JPEG — successive approximation on odd ids — proving the
     embedded-image path shares the full multi-scan decoder with the
-    loose-blob tier. The oracle restates every decoded
-    mean-luma arithmetically, so a slip anywhere in the chain — filter
-    prefix handling, palette clamp, MSB-first nibble unpack, JPEG
-    Huffman/IDCT — lands on a value mismatch, not just a row count."""
+    loose-blob tier, and a CCITTFaxDecode 1-bpc scan fixture (Group 4
+    MMR, every 3rd doc Group 3 1-D with EOLs; odd docs BlackIs1=true
+    with no /Decode so the raw-sample sense is certified both ways) —
+    the dominant encoding of real scanned PDFs. The oracle restates
+    every decoded mean-luma arithmetically, so a slip anywhere in the
+    chain — filter prefix handling, palette clamp, MSB-first nibble
+    unpack, JPEG Huffman/IDCT, fax mode/MH decode — lands on a value
+    mismatch, not just a row count."""
     from pdf_spark.core.document import Resolver
     from pdf_spark.core.imaging import encode_jpeg, encode_jpeg_progressive
     from pdf_spark.core.pdfimages import extract_embedded_images
@@ -3187,10 +3191,13 @@ def _qx38(spark: SparkSession, sf: str) -> DataFrame:
             StructField("luma_indexed", LongType()),
             StructField("luma_subbyte", LongType()),
             StructField("luma_dct_prog", LongType()),
+            StructField("luma_ccitt", LongType()),
         ]
     )
 
     def build_doc(i: int) -> bytes:
+        from pdf_spark.core.ccitt import encode_ccitt_g3_1d, encode_ccitt_g4
+
         b = PdfBuilder()
         cat = b.reserve()
         pages_id = b.reserve()
@@ -3244,9 +3251,24 @@ def _qx38(spark: SparkSession, sf: str) -> DataFrame:
                 b"/ColorSpace/DeviceGray/Filter/DCTDecode"
             ),
         )
+        t = i % 17
+        fax_rows = [[1] * t + [0] * (16 - t) for _y in range(8)]
+        if i % 3 == 0:
+            fax, kparm = encode_ccitt_g3_1d(fax_rows, 16), b"0"
+        else:
+            fax, kparm = encode_ccitt_g4(fax_rows, 16), b"-1"
+        im5 = b.stream(
+            fax,
+            extra_dict=(
+                b"/Subtype/Image/Width 16/Height 8/BitsPerComponent 1"
+                b"/ColorSpace/DeviceGray/Filter/CCITTFaxDecode"
+                b"/DecodeParms<</K " + kparm + b"/Columns 16/Rows 8"
+                + (b"/BlackIs1 true" if i % 2 else b"") + b">>"
+            ),
+        )
         xo = b"".join(
             b"/Im" + str(k).encode() + b" " + str(o).encode() + b" 0 R"
-            for k, o in enumerate((im0, im1, im2, im3, im4))
+            for k, o in enumerate((im0, im1, im2, im3, im4, im5))
         )
         b.set(cat, b"<</Type/Catalog/Pages " + str(pages_id).encode() + b" 0 R>>")
         b.set(pages_id, b"<</Type/Pages/Kids[" + str(page).encode()
@@ -3265,7 +3287,7 @@ def _qx38(spark: SparkSession, sf: str) -> DataFrame:
         for batch in batches:
             out = {k: [] for k in ("doc_id", "n_images", "n_ok", "luma_flate",
                                    "luma_dct", "luma_indexed", "luma_subbyte",
-                                   "luma_dct_prog")}
+                                   "luma_dct_prog", "luma_ccitt")}
             for doc_id in batch["doc_id"]:
                 i = int(doc_id)
                 rows = extract_embedded_images(Resolver(build_doc(i)))
@@ -3278,6 +3300,7 @@ def _qx38(spark: SparkSession, sf: str) -> DataFrame:
                 out["luma_indexed"].append(by_name["Im2"][5])
                 out["luma_subbyte"].append(by_name["Im3"][5])
                 out["luma_dct_prog"].append(by_name["Im4"][5])
+                out["luma_ccitt"].append(by_name["Im5"][5])
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(run, schema)
@@ -3289,8 +3312,8 @@ QUERIES["qx38_embedded_image_decode"] = _qx38
 # is the 0x00 pad byte -> two zero samples)
 ORACLE["qx38_embedded_image_decode"] = """
 SELECT doc_id,
-       CAST(5 AS BIGINT) AS n_images,
-       CAST(5 AS BIGINT) AS n_ok,
+       CAST(6 AS BIGINT) AS n_images,
+       CAST(6 AS BIGINT) AS n_ok,
        CAST((doc_id * 29) % 256 AS BIGINT) AS luma_flate,
        CAST((doc_id * 13) % 192 + 32 AS BIGINT) AS luma_dct,
        CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 17) % 256
@@ -3298,7 +3321,11 @@ SELECT doc_id,
        CAST(((doc_id % 16) * 255 // 15
              + ((doc_id * 5) % 16) * 255 // 15) // 4 AS BIGINT)
            AS luma_subbyte,
-       CAST((doc_id * 19) % 180 + 40 AS BIGINT) AS luma_dct_prog
+       CAST((doc_id * 19) % 180 + 40 AS BIGINT) AS luma_dct_prog,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN ((16 - doc_id % 17) * 255) // 16
+                 ELSE ((doc_id % 17) * 255) // 16 END AS BIGINT)
+           AS luma_ccitt
 FROM documents
 """
 

@@ -28,6 +28,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Transitive pdf_spark imports of pdf_spark.operators.extract (incl. lazy
 # in-function imports; verify with --trace after changing any import).
 FUSED_MODULES = [
+    "pdf_spark/core/ccitt.py",
     "pdf_spark/core/cff.py",
     "pdf_spark/core/cmap.py",
     "pdf_spark/core/content.py",
