@@ -169,6 +169,16 @@ def main() -> None:
         from pdf_spark.functions.registry import all_queries
 
         qmap = all_queries()
+        # one untimed warm pass per query before measuring: a query's
+        # first execution pays Catalyst planning + codegen + shuffle-file
+        # setup, which is exactly the noise that made qr25's r4 median
+        # (1.104s) 2.5x its own warm floor (0.443s in the same window's
+        # spread). The fused headline already warms to plateau; the
+        # per-query medians get the same treatment.
+        for name in HEADLINE_QUERIES:
+            qmap[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
         # round-robin over queries (q1 q2 ... qN, q1 q2 ... qN, ...) so one
         # slow host window penalizes every query equally, not one of them
         walls: dict[str, list[float]] = {name: [] for name in HEADLINE_QUERIES}
