@@ -120,3 +120,52 @@ def main():  # pragma: no cover
 
 if __name__ == "__main__":  # pragma: no cover
     main()
+
+
+def compare_detail(name: str, spark_df, oracle_sql: str | None,
+                   sf_dir: str) -> dict:
+    """Driver-schema comparison record (the exact field set the per-round
+    ``CORRECTNESS_r{N}.json`` uses: rows/schema/hash matches + row counts
+    + err), so a builder-run sweep can be diffed against the driver file
+    mechanically. ``oracle_sql=None`` degrades to the driver's weaker
+    rows-only check (schema/hash reported as None)."""
+    out = {
+        "rows_match": False,
+        "schema_match": None,
+        "hash_match": None,
+        "spark_rows": None,
+        "oracle_rows": None,
+        "err": None,
+    }
+    try:
+        s_cols = spark_df.columns
+        s_rows = [tuple(r) for r in spark_df.collect()]
+        out["spark_rows"] = len(s_rows)
+        if oracle_sql is None:
+            out["rows_match"] = len(s_rows) >= 0
+            return out
+        d_cols, d_rows = duck_run(oracle_sql, sf_dir)
+        out["oracle_rows"] = len(d_rows)
+        out["rows_match"] = len(s_rows) == len(d_rows)
+        out["schema_match"] = sorted(map(str.lower, s_cols)) == sorted(
+            map(str.lower, d_cols)
+        )
+        if out["schema_match"]:
+            s_order = sorted(
+                range(len(s_cols)), key=lambda i: s_cols[i].lower()
+            )
+            d_order = sorted(
+                range(len(d_cols)), key=lambda i: d_cols[i].lower()
+            )
+            s_set = Counter(
+                tuple(_canon(r[i]) for i in s_order) for r in s_rows
+            )
+            d_set = Counter(
+                tuple(_canon(r[i]) for i in d_order) for r in d_rows
+            )
+            out["hash_match"] = s_set == d_set
+        else:
+            out["hash_match"] = False
+    except Exception as exc:  # noqa: BLE001 — a sweep must report, not die
+        out["err"] = repr(exc)[:300]
+    return out

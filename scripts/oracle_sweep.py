@@ -7,6 +7,10 @@ Usage: python scripts/oracle_sweep.py [sf_dir] [name_prefix_filter]
 Set SWEEP_JSON_OUT=<path> to also write the machine-readable result
 (per-query wall + status) — the per-round artifact the judge can check
 without rerunning the sweep (VERDICT r3 "Next round" item 8).
+Set CORRECTNESS_JSON_OUT=<path> to also write a builder-run correctness
+file in the DRIVER'S exact per-query schema (rows_match/schema_match/
+hash_match/spark_rows/oracle_rows/err), so builder-vs-driver results
+diff mechanically on their overlap (VERDICT r4 task 4).
 """
 
 import os
@@ -17,7 +21,10 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from pdf_spark.functions.oracle_harness import compare  # noqa: E402
+from pdf_spark.functions.oracle_harness import (  # noqa: E402
+    compare,
+    compare_detail,
+)
 from pdf_spark.functions.registry import all_oracles, all_queries  # noqa: E402
 from pdf_spark.session import spark_session  # noqa: E402
 
@@ -31,11 +38,24 @@ def main() -> None:
     t0 = time.time()
     names = [n for n in sorted(queries) if n.startswith(prefix)]
     per_query: dict = {}
+    correctness: dict = {}
+    corr_out = os.environ.get("CORRECTNESS_JSON_OUT")
     for i, name in enumerate(names):
         t = time.time()
         try:
             df = queries[name](spark, sf)
-            if name in oracles:
+            if corr_out:
+                rec = compare_detail(name, df, oracles.get(name), sf)
+                correctness[name] = rec
+                problems = (
+                    []
+                    if rec["err"] is None
+                    and rec["rows_match"]
+                    and rec.get("schema_match") is not False
+                    and rec.get("hash_match") is not False
+                    else [f"detail: {rec}"]
+                )
+            elif name in oracles:
                 problems = compare(name, df, oracles[name], sf)
             else:
                 problems = [] if df.count() >= 0 else ["count failed"]
@@ -51,6 +71,9 @@ def main() -> None:
             bad[name] = [str(p)[:300] for p in problems]
     print(f"TOTAL {len(names) - len(bad)}/{len(names)} ok in "
           f"{time.time() - t0:.0f}s at {sf}")
+    if corr_out:
+        with open(corr_out, "w") as fh:
+            json.dump(correctness, fh, indent=1)
     out_path = os.environ.get("SWEEP_JSON_OUT")
     if out_path:
         with open(out_path, "w") as fh:
