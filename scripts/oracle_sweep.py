@@ -3,6 +3,7 @@ driver's per-round CORRECTNESS check does; also used for the 10x-scale
 net that caught qg01's float-ROUND boundary).
 
 Usage: python scripts/oracle_sweep.py [sf_dir] [name_prefix_filter]
+(the filter may be a comma-separated list of prefixes — any match runs)
 
 Set SWEEP_JSON_OUT=<path> to also write the machine-readable result
 (per-query wall + status) — the per-round artifact the judge can check
@@ -36,7 +37,8 @@ def main() -> None:
     spark = spark_session()
     bad = {}
     t0 = time.time()
-    names = [n for n in sorted(queries) if n.startswith(prefix)]
+    prefixes = tuple(p for p in prefix.split(",") if p != "") or ("",)
+    names = [n for n in sorted(queries) if n.startswith(prefixes)]
     per_query: dict = {}
     correctness: dict = {}
     corr_out = os.environ.get("CORRECTNESS_JSON_OUT")
