@@ -1061,3 +1061,52 @@ QUERIES["qg16_edge_churn"] = lambda spark, sf: (
 ORACLE["qg16_edge_churn"] = _QG16_BODY.replace(
     "{LATERAL}", ", LATERAL unnest(range(1, doc_id % 2 + 2)) t(k)"
 ).replace("{IDIV}", "//")
+
+
+# --- qg17: converged connected components vs exact transitive closure -----------
+#
+# The production endgame qg11 certifies per-round: star_components
+# iterated to ITS FIXPOINT, certified against the exact transitive
+# closure (a DuckDB recursive CTE over the identical edge list). This
+# is the strongest label contract the dedup tier has — every node's
+# label equals the true component minimum, not just a fixed-round
+# contraction state — and it runs the same per-round checkpointed
+# dataflow measured at 2M nodes in scripts/cc_convergence.py.
+
+
+def _qg17(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+    n = docs.count()  # driver-side scalar, same as qg01/qg11
+    deg = docs.select(
+        F.col("doc_id").alias("u"),
+        (F.col("doc_id") % 3 + 1).cast("long").alias("d"),
+    )
+    edges = deg.select(
+        "u", F.explode(F.expr("sequence(1, CAST(d AS INT))")).alias("k")
+    ).select("u", ((F.col("u") * 7 + F.col("k")) % n).cast("long").alias("v"))
+    labels, _rounds = star_components(edges)
+    return labels
+
+
+QUERIES["qg17_cc_fixpoint"] = _qg17
+ORACLE["qg17_cc_fixpoint"] = """
+WITH RECURSIVE deg AS (
+  SELECT doc_id AS u, CAST(doc_id % 3 + 1 AS BIGINT) AS d FROM documents
+),
+edges AS (
+  SELECT u, CAST((u * 7 + k) % (SELECT COUNT(*) FROM documents) AS BIGINT)
+         AS v
+  FROM deg, LATERAL unnest(range(1, d + 1)) t(k)
+),
+und AS (
+  SELECT u, v FROM edges WHERE u <> v
+  UNION
+  SELECT v, u FROM edges WHERE u <> v
+),
+reach(node, r) AS (
+  SELECT u, u FROM und
+  UNION
+  SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.node
+)
+SELECT node, CAST(MIN(r) AS BIGINT) AS label FROM reach GROUP BY node
+"""
