@@ -4584,3 +4584,143 @@ SELECT doc_id,
            AS has_paywall_class
 FROM v
 """
+
+
+# -- qx72: PDF function evaluation (core/pdffunc.py) ---------------------------
+#
+# Closes SURVEY §2.3 #34/#35: types 2/3/4 mirror pdf_run_function
+# (reference function.c:221-735 + the postscript interpreter); type 0
+# sampled functions are a documented divergence-by-extension (the
+# reference LOG_TODOs them, function.c:166-168). fam = doc_id % 4 picks
+# the function type (2/3/4/0); every fixture is serialized to real COS
+# bytes, re-parsed through the object layer, and evaluated at dyadic
+# sample points so outputs are EXACT binary fractions — reported in
+# integer 2^-20 "micro" units the oracle reproduces arithmetically.
+
+_PDFFUNC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fn_type", IntegerType()),
+        StructField("n_outputs", IntegerType()),
+        StructField("y0_micro", LongType()),
+        StructField("y1_micro", LongType()),
+    ]
+)
+
+_MICRO = 1 << 20
+
+
+def _qx72_eval(doc_id: int):
+    from pdf_spark.core.pdffunc import (
+        encode_function,
+        eval_function,
+        parse_function_bytes,
+    )
+
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 0:  # type 2 exponential: y = c0 + x^2 * b
+        c0 = (i % 7) / 8
+        b = (i % 3 + 1) / 8
+        buf = encode_function(
+            {"FunctionType": 2, "Domain": [0, 1], "C0": [c0],
+             "C1": [c0 + b], "N": 2}
+        )
+        fn_type, xs = 2, [(i % 5) / 4]
+    elif fam == 1:  # type 3 stitching: identity then 1 + 2x'^2
+        sub0 = encode_function(
+            {"FunctionType": 2, "Domain": [0, 1], "C0": [0], "C1": [1],
+             "N": 1}
+        )
+        sub1 = encode_function(
+            {"FunctionType": 2, "Domain": [0, 1], "C0": [1], "C1": [3],
+             "N": 2}
+        )
+        buf = encode_function(
+            {"FunctionType": 3, "Domain": [0, 1], "Functions": [sub0, sub1],
+             "Bounds": [0.5], "Encode": [0, 1, 0, 1]}
+        )
+        fn_type, xs = 3, [(i % 5) / 4]
+    elif fam == 2:  # type 4 calculator: [x^2, n%3==0 ? n<<1 : n-1]
+        body = (
+            b"{ exch dup mul exch dup 3 mod 0 eq"
+            b" { 1 bitshift } { 1 sub } ifelse }"
+        )
+        buf = encode_function(
+            {"FunctionType": 4, "Domain": [0, 1, 0, 100],
+             "Range": [0, 1, -1, 200]},
+            body,
+        )
+        fn_type, xs = 4, [(i % 5) / 4, i % 97]
+    else:  # type 0 sampled, 8-bit, halfway interpolation points
+        samples = bytes((i * 7 + k * 13) % 256 for k in range(5))
+        buf = encode_function(
+            {"FunctionType": 0, "Domain": [0, 1], "Range": [0, 255],
+             "Size": [5], "BitsPerSample": 8, "Decode": [0, 255]},
+            samples,
+        )
+        fn_type, xs = 0, [(i % 9) / 8]
+
+    out = eval_function(parse_function_bytes(buf), xs)
+    y0 = round(out[0] * _MICRO)
+    y1 = round(out[1] * _MICRO) if len(out) > 1 else None
+    return fn_type, len(out), y0, y1
+
+
+def _qx72(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            rows = [_qx72_eval(d) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "fn_type": pd.array(
+                        [r[0] for r in rows], dtype="Int32"
+                    ),
+                    "n_outputs": pd.array(
+                        [r[1] for r in rows], dtype="Int32"
+                    ),
+                    "y0_micro": pd.array(
+                        [r[2] for r in rows], dtype="Int64"
+                    ),
+                    "y1_micro": pd.array(
+                        [r[3] for r in rows], dtype="Int64"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _PDFFUNC_SCHEMA)
+
+
+QUERIES["qx72_pdf_functions"] = _qx72
+ORACLE["qx72_pdf_functions"] = """
+WITH v AS (
+    SELECT doc_id, doc_id % 4 AS fam, doc_id % 5 AS x4, doc_id % 7 AS c7,
+           doc_id % 3 AS b3, doc_id % 97 AS n97, doc_id % 9 AS x8
+    FROM documents
+)
+SELECT doc_id,
+       CAST(CASE fam WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 4
+                     ELSE 0 END AS INTEGER) AS fn_type,
+       CAST(CASE WHEN fam = 2 THEN 2 ELSE 1 END AS INTEGER) AS n_outputs,
+       CAST(CASE fam
+            WHEN 0 THEN c7 * 131072 + x4 * x4 * (b3 + 1) * 8192
+            WHEN 1 THEN CASE x4 WHEN 0 THEN 0 WHEN 1 THEN 524288
+                                WHEN 2 THEN 1048576 WHEN 3 THEN 1572864
+                                ELSE 3145728 END
+            WHEN 2 THEN x4 * x4 * 65536
+            ELSE CASE WHEN x8 % 2 = 0
+                 THEN ((doc_id * 7 + (x8 // 2) * 13) % 256) * 1048576
+                 ELSE ((doc_id * 7 + (x8 // 2) * 13) % 256
+                       + (doc_id * 7 + (x8 // 2 + 1) * 13) % 256) * 524288
+                 END
+            END AS BIGINT) AS y0_micro,
+       CAST(CASE WHEN fam = 2 THEN
+                 (CASE WHEN n97 % 3 = 0 THEN 2 * n97 ELSE n97 - 1 END)
+                 * 1048576
+            END AS BIGINT) AS y1_micro
+FROM v
+"""
