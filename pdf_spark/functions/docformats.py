@@ -4724,3 +4724,120 @@ SELECT doc_id,
             END AS BIGINT) AS y1_micro
 FROM v
 """
+
+
+# -- qm50: glyph outlines (core/outlines.py) -----------------------------------
+#
+# Closes SURVEY §2.3 #32/#33's "shapes out of scope" partials: glyf
+# simple + composite glyph decode (point-derived bbox re-checked
+# against the header bbox) and a full Type 2 charstring interpreter
+# (width parity, biased callsubr, exact line-path bbox). fam =
+# doc_id % 3: glyf simple pair / glyf with a translated composite /
+# CFF charstring rect through a local subr.
+
+_OUTLINE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src", IntegerType()),
+        StructField("n_glyphs", IntegerType()),
+        StructField("n_components", IntegerType()),
+        StructField("n_contours", IntegerType()),
+        StructField("n_points", IntegerType()),
+        StructField("adv_total", LongType()),
+        StructField("ink_w", IntegerType()),
+        StructField("ink_h", IntegerType()),
+        StructField("bbox_match", IntegerType()),
+    ]
+)
+
+
+def _qm50_eval(doc_id: int):
+    from pdf_spark.core.outlines import (
+        cs_num,
+        encode_glyf_font,
+        glyf_outlines,
+        run_charstring,
+    )
+
+    i = int(doc_id)
+    fam = i % 3
+    w = 100 + (i % 50) * 4
+    h = 200 + (i % 30) * 10
+    rect = [[(0, 0), (w, 0), (w, h), (0, h)]]
+    tri = [[(0, 0), (w, 0), (w // 2, h)]]
+    if fam in (0, 1):
+        if fam == 0:
+            glyphs, advances = [rect, tri], [500, 600 + i % 20]
+        else:
+            dx = 4 * (i % 16) + 8
+            glyphs = [rect, tri, ("composite", [(0, 0, 0), (1, dx, 0)])]
+            advances = [500, 600 + i % 20, 700]
+        out = glyf_outlines(encode_glyf_font(glyphs, advances))
+        return (
+            fam, out["n_glyphs"], out["n_components"], out["n_contours"],
+            out["n_points"], out["adv_total"],
+            out["x_max"] - out["x_min"], out["y_max"] - out["y_min"],
+            out["bbox_match"],
+        )
+    # CFF: [width?] dx0 dy0 rmoveto, subr draws the bottom edge
+    sub = cs_num(w) + cs_num(0) + b"\x05\x0b"           # rlineto return
+    parts = b""
+    if i % 2 == 1:
+        parts += cs_num(i % 100 - 50)                   # width delta
+    parts += cs_num(i % 32) + cs_num(i % 16) + b"\x15"  # rmoveto
+    parts += cs_num(-107) + b"\x0a"                     # callsubr
+    parts += cs_num(0) + cs_num(h) + b"\x05"            # rlineto
+    parts += cs_num(-w) + cs_num(0) + b"\x05"           # rlineto
+    parts += b"\x0e"                                    # endchar
+    out = run_charstring(
+        parts, lsubrs=[sub], default_width=311, nominal_width=256
+    )
+    return (
+        2, 1, 0, out["n_contours"], out["n_points"], int(out["advance"]),
+        int(out["x_max"] - out["x_min"]), int(out["y_max"] - out["y_min"]),
+        None,
+    )
+
+
+def _qm50(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            rows = [_qm50_eval(d) for d in ids]
+            cols = ["src", "n_glyphs", "n_components", "n_contours",
+                    "n_points", "adv_total", "ink_w", "ink_h", "bbox_match"]
+            frame = {"doc_id": ids}
+            for j, c in enumerate(cols):
+                dtype = "Int64" if c == "adv_total" else "Int32"
+                frame[c] = pd.array([r[j] for r in rows], dtype=dtype)
+            yield pd.DataFrame(frame)
+
+    return docs.mapInPandas(run, _OUTLINE_SCHEMA)
+
+
+QUERIES["qm50_glyph_outlines"] = _qm50
+ORACLE["qm50_glyph_outlines"] = """
+WITH v AS (
+    SELECT doc_id, doc_id % 3 AS fam,
+           100 + (doc_id % 50) * 4 AS w, 200 + (doc_id % 30) * 10 AS h,
+           doc_id % 20 AS a20, doc_id % 16 AS d16, doc_id % 100 AS a100
+    FROM documents
+)
+SELECT doc_id,
+       CAST(fam AS INTEGER) AS src,
+       CAST(CASE fam WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 1 END AS INTEGER)
+           AS n_glyphs,
+       CAST(CASE WHEN fam = 1 THEN 2 ELSE 0 END AS INTEGER) AS n_components,
+       CAST(CASE WHEN fam = 2 THEN 1 ELSE 2 END AS INTEGER) AS n_contours,
+       CAST(CASE WHEN fam = 2 THEN 4 ELSE 7 END AS INTEGER) AS n_points,
+       CAST(CASE fam WHEN 0 THEN 1100 + a20 WHEN 1 THEN 1800 + a20
+            ELSE CASE WHEN doc_id % 2 = 1 THEN 206 + a100 ELSE 311 END
+            END AS BIGINT) AS adv_total,
+       CAST(CASE WHEN fam = 1 THEN 4 * d16 + 8 + w ELSE w END AS INTEGER)
+           AS ink_w,
+       CAST(h AS INTEGER) AS ink_h,
+       CAST(CASE WHEN fam = 2 THEN NULL ELSE 1 END AS INTEGER) AS bbox_match
+FROM v
+"""
