@@ -4841,3 +4841,208 @@ SELECT doc_id,
        CAST(CASE WHEN fam = 2 THEN NULL ELSE 1 END AS INTEGER) AS bbox_match
 FROM v
 """
+
+
+# -- qm51: ICC profile structural audit (core/icc.py) --------------------------
+#
+# Closes SURVEY §2.3 #36 at metadata tier (the reference's libs/color
+# evaluates transforms for rasterization; a corpus engine routes and
+# validates embedded profiles). fam = doc_id % 4: display-RGB v4 /
+# printer-CMYK v2 with A2B0 / truncated (claimed > actual) /
+# colorspace-GRAY with kTRC.
+
+_ICC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("valid", IntegerType()),
+        StructField("dev_class", StringType()),
+        StructField("color_space", StringType()),
+        StructField("n_tags", IntegerType()),
+        StructField("intent", IntegerType()),
+        StructField("vmajor", IntegerType()),
+        StructField("has_a2b0", IntegerType()),
+        StructField("d50_ok", IntegerType()),
+    ]
+)
+
+
+def _qm51_make(doc_id: int) -> bytes:
+    from pdf_spark.core.icc import encode_icc
+
+    i = int(doc_id)
+    fam = i % 4
+    if fam == 0:
+        return encode_icc(intent=i % 4)
+    if fam == 1:
+        return encode_icc(
+            dev_class=b"prtr", color_space=b"CMYK", pcs=b"Lab ",
+            version=(2, 4), intent=3,
+            tags=[(b"desc", bytes(10)), (b"A2B0", b"mft1" + bytes(40)),
+                  (b"wtpt", bytes(20))],
+        )
+    if fam == 2:
+        full = encode_icc()
+        return full[: len(full) - 8]
+    return encode_icc(
+        dev_class=b"spac", color_space=b"GRAY", version=(4, 2),
+        intent=i % 3,
+        tags=[(b"desc", bytes(12)), (b"wtpt", bytes(20)),
+              (b"kTRC", b"curv" + bytes(8))],
+    )
+
+
+def _qm51(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.icc import icc_meta
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [icc_meta(_qm51_make(d)) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "valid": pd.array(
+                        [m["valid"] for m in metas], dtype="Int32"
+                    ),
+                    "dev_class": [m["dev_class"] for m in metas],
+                    "color_space": [m["color_space"] for m in metas],
+                    "n_tags": pd.array(
+                        [m["n_tags"] for m in metas], dtype="Int32"
+                    ),
+                    "intent": pd.array(
+                        [m["intent"] for m in metas], dtype="Int32"
+                    ),
+                    "vmajor": pd.array(
+                        [m["version_major"] for m in metas], dtype="Int32"
+                    ),
+                    "has_a2b0": pd.array(
+                        [m["has_a2b0"] for m in metas], dtype="Int32"
+                    ),
+                    "d50_ok": pd.array(
+                        [m["d50_ok"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _ICC_SCHEMA)
+
+
+QUERIES["qm51_icc_profile"] = _qm51
+ORACLE["qm51_icc_profile"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 2 THEN 0 ELSE 1 END AS INTEGER) AS valid,
+       CASE fam WHEN 0 THEN 'display' WHEN 1 THEN 'output'
+                WHEN 3 THEN 'colorspace' END AS dev_class,
+       CASE fam WHEN 0 THEN 'RGB' WHEN 1 THEN 'CMYK'
+                WHEN 3 THEN 'GRAY' END AS color_space,
+       CAST(CASE WHEN fam IN (0, 1, 3) THEN 3 END AS INTEGER) AS n_tags,
+       CAST(CASE fam WHEN 0 THEN doc_id % 4 WHEN 1 THEN 3
+                     WHEN 3 THEN doc_id % 3 END AS INTEGER) AS intent,
+       CAST(CASE fam WHEN 0 THEN 4 WHEN 1 THEN 2 WHEN 3 THEN 4
+            END AS INTEGER) AS vmajor,
+       CAST(CASE fam WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 3 THEN 0
+            END AS INTEGER) AS has_a2b0,
+       CAST(CASE WHEN fam IN (0, 1, 3) THEN 1 END AS INTEGER) AS d50_ok
+FROM v
+"""
+
+
+# -- qx73: page-ink rasterization (core/raster.py) -----------------------------
+#
+# Closes SURVEY §2.3 #37: scanline even-odd/nonzero fill at pixel
+# centers (the reference's canvas/DCEL tier, text-engine sized —
+# thumbnails/ink maps over span geometry). Integer rects rasterize
+# EXACTLY, so the oracle is pure arithmetic: single rect / even-odd
+# XOR pair / nonzero union pair / nonzero donut (reversed inner).
+
+_RASTER_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mode", IntegerType()),
+        StructField("ink", LongType()),
+        StructField("rows_touched", IntegerType()),
+        StructField("first_row", IntegerType()),
+        StructField("last_row", IntegerType()),
+    ]
+)
+
+
+def _qx73_eval(doc_id: int):
+    from pdf_spark.core.raster import ink_stats, rasterize, rect
+
+    i = int(doc_id)
+    fam = i % 4
+    w1 = 16 + i % 16
+    h1 = 20 + i % 10
+    if fam == 0:
+        contours = [rect(i % 8, i % 8, w1, h1)]
+        rule = "nonzero"
+    elif fam in (1, 2):
+        contours = [rect(2, 3, w1, h1), rect(2 + i % 12, 3 + i % 6, 14, 12)]
+        rule = "evenodd" if fam == 1 else "nonzero"
+    else:
+        s = 6 + i % 8
+        o = 5 + i % 5
+        contours = [rect(0, 0, 30, 30), rect(o, o, s, s, reverse=True)]
+        rule = "nonzero"
+    stats = ink_stats(rasterize(contours, 64, 64, rule=rule), 64, 64)
+    return (fam, stats["ink"], stats["rows_touched"], stats["first_row"],
+            stats["last_row"])
+
+
+def _qx73(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            rows = [_qx73_eval(d) for d in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "mode": pd.array([r[0] for r in rows], dtype="Int32"),
+                    "ink": pd.array([r[1] for r in rows], dtype="Int64"),
+                    "rows_touched": pd.array(
+                        [r[2] for r in rows], dtype="Int32"
+                    ),
+                    "first_row": pd.array(
+                        [r[3] for r in rows], dtype="Int32"
+                    ),
+                    "last_row": pd.array(
+                        [r[4] for r in rows], dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, _RASTER_SCHEMA)
+
+
+QUERIES["qx73_page_raster"] = _qx73
+ORACLE["qx73_page_raster"] = """
+WITH v AS (
+    SELECT doc_id, doc_id % 4 AS fam, 16 + doc_id % 16 AS w1,
+           20 + doc_id % 10 AS h1, doc_id % 12 AS dx, doc_id % 6 AS dy,
+           6 + doc_id % 8 AS s, doc_id % 8 AS p
+    FROM documents
+),
+w AS (
+    SELECT *, LEAST(w1 - dx, 14) * 12 AS overlap FROM v
+)
+SELECT doc_id,
+       CAST(fam AS INTEGER) AS mode,
+       CAST(CASE fam
+            WHEN 0 THEN w1 * h1
+            WHEN 1 THEN w1 * h1 + 168 - 2 * overlap
+            WHEN 2 THEN w1 * h1 + 168 - overlap
+            ELSE 900 - s * s END AS BIGINT) AS ink,
+       CAST(CASE fam WHEN 0 THEN h1 WHEN 3 THEN 30 ELSE h1 END AS INTEGER)
+           AS rows_touched,
+       CAST(CASE fam WHEN 0 THEN p WHEN 3 THEN 0 ELSE 3 END AS INTEGER)
+           AS first_row,
+       CAST(CASE fam WHEN 0 THEN p + h1 - 1 WHEN 3 THEN 29
+            ELSE 3 + h1 - 1 END AS INTEGER) AS last_row
+FROM w
+"""
