@@ -51,3 +51,23 @@ def test_qr34_conv_hash_equals_nibble_hash(spark):
         """
     ).collect()[0][0]
     assert n == 0
+
+
+def test_session8_new_queries_shuffle_free(spark, sf_dir):
+    """qx72/qm50/qm51/qx73 are one pruned scan + one Arrow map stage —
+    no Exchange anywhere (the shape that scales linearly with input
+    splits at 10^12 rows)."""
+    from pdf_spark.functions.registry import all_queries
+
+    q = all_queries()
+    for name in (
+        "qx72_pdf_functions",
+        "qm50_glyph_outlines",
+        "qm51_icc_profile",
+        "qx73_page_raster",
+    ):
+        plan = _plan(spark, q[name](spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} must stay shuffle-free"
+        assert "mapInPandas" in plan or "MapInPandas" in plan, name
+        # column-pruned scan: only doc_id leaves parquet
+        assert "ReadSchema: struct<doc_id:bigint>" in plan, name
