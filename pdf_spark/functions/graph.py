@@ -1110,3 +1110,115 @@ reach(node, r) AS (
 )
 SELECT node, CAST(MIN(r) AS BIGINT) AS label FROM reach GROUP BY node
 """
+
+
+# --- qg18: bow-tie decomposition of the host graph ------------------------------
+#
+# The Broder et al. (WWW'00) macro-structure census: relative to the
+# giant strongly-connected core, every node is SCC (forward AND
+# backward reachable from a pivot in the core), IN (reaches the core),
+# OUT (reached from it), or OTHER (tendrils/tubes/disconnected —
+# lumped, as the census' remainder bucket). Crawl planning reads this
+# directly: IN pages are discoverable only by seed injection, OUT
+# pages cannot lead back to fresh frontier. Engine: two checkpointed
+# frontier-BFS fixpoints over the contracted host graph (forward on
+# src->dst, backward on dst->src), each round one join + anti-join —
+# the qg04/qg17 per-round localCheckpoint discipline, so the plan
+# stays one base-edges scan per round at any scale. Oracle: two
+# recursive-CTE closures over the identical edge set. Pivot = MIN
+# host (deterministic, degree-independent).
+
+def _bfs_closure(edges: DataFrame, pivot: int, forward: bool) -> DataFrame:
+    """Reachable-set fixpoint from ``pivot`` via checkpointed rounds."""
+    src, dst = ("src", "dst") if forward else ("dst", "src")
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(pivot,)], "node: long").localCheckpoint()
+    frontier = visited
+    for _ in range(64):  # diameter cap; host graph is contracted/tiny
+        grown = (
+            edges.join(frontier, edges[src] == frontier["node"])
+            .select(edges[dst].alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint()
+        )
+        if not grown.take(1):
+            break
+        visited = visited.union(grown).localCheckpoint()
+        frontier = grown
+    return visited
+
+
+def _qg18(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    edges = spark.sql(
+        """
+        WITH raw_edges AS (
+          SELECT DISTINCT doc_id % 40 AS src, (doc_id * 3 + t.k) % 40 AS dst
+          FROM documents
+          LATERAL VIEW explode(sequence(1, CAST(doc_id % 2 + 1 AS INT)))
+            t AS k
+        )
+        SELECT CAST(src AS LONG) AS src, CAST(dst AS LONG) AS dst
+        FROM raw_edges WHERE src <> dst
+        """
+    ).localCheckpoint()  # edge set reused by both closures + the census
+    pivot = edges.agg(F.min("src")).collect()[0][0]  # driver scalar
+    fwd = _bfs_closure(edges, pivot, forward=True).withColumn(
+        "in_f", F.lit(1)
+    )
+    bwd = _bfs_closure(edges, pivot, forward=False).withColumn(
+        "in_b", F.lit(1)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return (
+        nodes.join(fwd, "node", "left")
+        .join(bwd, "node", "left")
+        .select(
+            "node",
+            F.when(F.col("in_f").isNotNull() & F.col("in_b").isNotNull(),
+                   "scc")
+            .when(F.col("in_b").isNotNull(), "in")
+            .when(F.col("in_f").isNotNull(), "out")
+            .otherwise("other")
+            .alias("cls"),
+        )
+    )
+
+
+QUERIES["qg18_bowtie"] = _qg18
+ORACLE["qg18_bowtie"] = """
+WITH RECURSIVE raw_edges AS (
+  SELECT DISTINCT doc_id % 40 AS src, (doc_id * 3 + t.k) % 40 AS dst
+  FROM documents, LATERAL unnest(range(1, doc_id % 2 + 2)) t(k)
+),
+edges AS (SELECT src, dst FROM raw_edges WHERE src <> dst),
+piv AS (SELECT MIN(src) AS p FROM edges),
+fwd(node) AS (
+  SELECT p FROM piv
+  UNION
+  SELECT e.dst FROM edges e JOIN fwd f ON e.src = f.node
+),
+bwd(node) AS (
+  SELECT p FROM piv
+  UNION
+  SELECT e.src FROM edges e JOIN bwd b ON e.dst = b.node
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  ) u
+)
+SELECT CAST(n.node AS BIGINT) AS node,
+       CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL THEN 'scc'
+            WHEN b.node IS NOT NULL THEN 'in'
+            WHEN f.node IS NOT NULL THEN 'out'
+            ELSE 'other' END AS cls
+FROM nodes n
+LEFT JOIN fwd f ON n.node = f.node
+LEFT JOIN bwd b ON n.node = b.node
+"""

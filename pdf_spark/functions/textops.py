@@ -4175,3 +4175,54 @@ FROM documents
 """
 
 _pair("qt87_normalization_ladder", _QT87_BODY, _QT87_BODY)
+
+
+# --- qt84: tokenizer vocabulary-coverage curve ---------------------------------
+#
+# The tokenizer-design measurement behind every vocab-size decision:
+# what fraction of corpus token OCCURRENCES do the top-K token types
+# cover (K = 10/100/1000)? BPE sizing, OOV-rate budgeting, and the
+# "how big must the embedding table be" question all read this curve.
+# Scale shape: the global top-K is a LIMIT over the aggregated
+# frequency table — Spark executes it as per-partition top-K +
+# driver merge (TakeOrderedAndProject), NEVER a single-partition
+# window over the full vocabulary; the row_number that follows ranks
+# only the K-bounded (constant-size) set. Ties break (count DESC,
+# token ASC), deterministic in both engines.
+
+_QT84_SPARK = """
+WITH words AS (SELECT explode(split(text, ' ')) AS w FROM documents),
+freq AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+top AS (SELECT w, c FROM freq ORDER BY c DESC, w ASC LIMIT 1000),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS r FROM top),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM freq),
+ks AS (SELECT explode(array(10, 100, 1000)) AS k)
+SELECT ks.k AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_types_used,
+       CAST(SUM(ranked.c) AS BIGINT) AS covered,
+       MAX(tot.total) AS total,
+       CAST(1000 * SUM(ranked.c) DIV MAX(tot.total) AS BIGINT) AS permille
+FROM ks JOIN ranked ON ranked.r <= ks.k CROSS JOIN tot
+GROUP BY ks.k
+"""
+
+_QT84_DUCK = """
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+freq AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+top AS (SELECT w, c FROM freq ORDER BY c DESC, w ASC LIMIT 1000),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS r FROM top),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM freq),
+ks AS (SELECT unnest([10, 100, 1000]) AS k)
+SELECT ks.k AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_types_used,
+       CAST(SUM(ranked.c) AS BIGINT) AS covered,
+       MAX(tot.total) AS total,
+       CAST(1000 * SUM(ranked.c) // MAX(tot.total) AS BIGINT) AS permille
+FROM ks JOIN ranked ON ranked.r <= ks.k CROSS JOIN tot
+GROUP BY ks.k
+"""
+
+_pair("qt84_vocab_coverage", _QT84_SPARK, _QT84_DUCK)

@@ -71,3 +71,35 @@ def test_session8_new_queries_shuffle_free(spark, sf_dir):
         assert "mapInPandas" in plan or "MapInPandas" in plan, name
         # column-pruned scan: only doc_id leaves parquet
         assert "ReadSchema: struct<doc_id:bigint>" in plan, name
+
+
+def test_qt84_topk_is_bounded_not_windowed(spark, sf_dir):
+    """The global vocab ranking must be a LIMIT-style top-K
+    (TakeOrderedAndProject: per-partition top-K + driver merge), never
+    an unbounded single-partition window over the full vocabulary."""
+    from pdf_spark.functions.registry import all_queries
+
+    plan = _plan(spark, all_queries()["qt84_vocab_coverage"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan, (
+        "vocabulary ranking degraded to a single-partition window"
+    )
+
+
+def test_qg18_bowtie_classification_small_graph(spark):
+    """Hand graph: 1->2->3->1 (SCC), 0->1 (IN), 3->4 (OUT), 5->6
+    (disconnected = OTHER). Pivot = MIN src = 0 is in IN's component
+    head — so pivot-relative classes follow from node 0: fwd covers
+    everything downstream, bwd only 0 itself."""
+    from pdf_spark.functions.graph import _bfs_closure
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (0, 1), (3, 4), (5, 6)],
+        "src: long, dst: long",
+    )
+    fwd = {r["node"] for r in _bfs_closure(edges, 1, True).collect()}
+    bwd = {r["node"] for r in _bfs_closure(edges, 1, False).collect()}
+    assert fwd == {1, 2, 3, 4}
+    assert bwd == {0, 1, 2, 3}
+    scc = fwd & bwd
+    assert scc == {1, 2, 3}
