@@ -5046,3 +5046,111 @@ SELECT doc_id,
             ELSE 3 + h1 - 1 END AS INTEGER) AS last_row
 FROM w
 """
+
+
+# -- qm52: JPEG 2000 structural audit (core/jp2.py) ----------------------------
+#
+# The /JPXDecode route (PDF 32000-1 §7.4.9): JP2 container walk
+# (signature/ftyp/jp2h-ihdr/jp2c with ihdr-vs-SIZ integrity) + raw
+# J2K codestream walk (SIZ grid/tiles/components, COD progression/
+# layers/levels, QCD, Psot tile-part skipping, EOC termination).
+# fam = doc_id % 3: jp2 container / raw j2k multi-tile-part /
+# truncated (no EOC; headers still recovered).
+
+_JP2_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("container", StringType()),
+        StructField("valid", IntegerType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("n_comp", IntegerType()),
+        StructField("n_tiles", IntegerType()),
+        StructField("prog", StringType()),
+        StructField("n_levels", IntegerType()),
+        StructField("n_layers", IntegerType()),
+        StructField("n_sot", IntegerType()),
+        StructField("truncated", IntegerType()),
+    ]
+)
+
+
+def _qm52_make(doc_id: int) -> bytes:
+    from pdf_spark.core.jp2 import encode_j2k, encode_jp2
+
+    i = int(doc_id)
+    fam = i % 3
+    w = 128 + i % 64
+    h = 256 + i % 32
+    if fam == 0:
+        return encode_jp2(
+            w, h, n_comp=i % 3 + 1, prog=i % 5,
+            levels=3 + i % 3, layers=1 + i % 4,
+        )
+    if fam == 1:
+        return encode_j2k(
+            w, h, n_comp=i % 3 + 1, tile=32, prog=(i + 2) % 5,
+            levels=3 + i % 3, layers=1 + i % 4,
+            n_tile_parts=i % 3 + 1,
+        )
+    return encode_j2k(w, h, with_eoc=False)
+
+
+def _qm52(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.jp2 import jp2_meta
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [jp2_meta(_qm52_make(d)) for d in ids]
+            frame = {"doc_id": ids,
+                     "container": [m["container"] for m in metas]}
+            for c in ("valid", "w", "h", "n_comp", "n_tiles"):
+                frame[c] = pd.array([m[c] for m in metas], dtype="Int32")
+            frame["prog"] = [m["prog"] for m in metas]
+            for c in ("n_levels", "n_layers", "n_sot", "truncated"):
+                frame[c] = pd.array([m[c] for m in metas], dtype="Int32")
+            yield pd.DataFrame(frame)
+
+    return docs.mapInPandas(run, _JP2_SCHEMA)
+
+
+QUERIES["qm52_jp2_meta"] = _qm52
+ORACLE["qm52_jp2_meta"] = """
+WITH v AS (
+    SELECT doc_id, doc_id % 3 AS fam, 128 + doc_id % 64 AS w,
+           256 + doc_id % 32 AS h
+    FROM documents
+),
+p AS (
+    SELECT *,
+           CASE WHEN fam = 0 THEN doc_id % 5
+                WHEN fam = 1 THEN (doc_id + 2) % 5 END AS prog_idx
+    FROM v
+)
+SELECT doc_id,
+       CASE WHEN fam = 0 THEN 'jp2' ELSE 'j2k' END AS container,
+       CAST(CASE WHEN fam = 2 THEN 0 ELSE 1 END AS INTEGER) AS valid,
+       CAST(w AS INTEGER) AS w,
+       CAST(h AS INTEGER) AS h,
+       CAST(CASE WHEN fam = 2 THEN 1 ELSE doc_id % 3 + 1 END AS INTEGER)
+           AS n_comp,
+       CAST(CASE fam
+            WHEN 0 THEN ((w + 63) // 64) * ((h + 63) // 64)
+            WHEN 1 THEN ((w + 31) // 32) * ((h + 31) // 32)
+            ELSE ((w + 63) // 64) * ((h + 63) // 64)
+            END AS INTEGER) AS n_tiles,
+       CASE prog_idx WHEN 0 THEN 'LRCP' WHEN 1 THEN 'RLCP'
+                     WHEN 2 THEN 'RPCL' WHEN 3 THEN 'PCRL'
+                     WHEN 4 THEN 'CPRL' ELSE 'LRCP' END AS prog,
+       CAST(CASE WHEN fam = 2 THEN 5 ELSE 3 + doc_id % 3 END AS INTEGER)
+           AS n_levels,
+       CAST(CASE WHEN fam = 2 THEN 1 ELSE 1 + doc_id % 4 END AS INTEGER)
+           AS n_layers,
+       CAST(CASE WHEN fam = 1 THEN doc_id % 3 + 1 ELSE 1 END AS INTEGER)
+           AS n_sot,
+       CAST(CASE WHEN fam = 2 THEN 1 ELSE 0 END AS INTEGER) AS truncated
+FROM p
+"""
