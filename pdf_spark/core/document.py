@@ -770,3 +770,58 @@ class Resolver:
                 raise PdfError(INCORRECT_TYPE, "Contents entry is not a stream")
             out.append(s.decoded(self))
         return out
+
+
+def revision_audit(buf: bytes) -> Optional[dict]:
+    """Incremental-update forensics: walk the xref chain and census it.
+
+    Signed/annotated/edited real-world PDFs grow by appended revisions
+    (PDF 32000-1 §7.5.6); provenance tooling reads the chain shape —
+    how many sections, classic tables vs 1.5 xref streams, hybrid
+    /XRefStm links, and how many object ids are SHADOWED (replaced by
+    a newer section — the edit surface). Same worklist discipline as
+    ``Document._walk_xref_chain`` (newest-first, cycle-guarded), but
+    keeps per-section counts instead of merging entries.
+
+    Returns None when the tail has no parseable startxref/xref chain.
+    """
+    try:
+        start = parse_startxref(buf)
+    except PdfError:
+        return None
+    n_sections = n_classic = n_streams = 0
+    has_hybrid = 0
+    seen_offsets: set[int] = set()
+    id_sections: dict[int, int] = {}
+    worklist = [start]
+    try:
+        while worklist:
+            off = worklist.pop()
+            if off in seen_offsets or len(seen_offsets) > 1024:
+                continue
+            seen_offsets.add(off)
+            entries, tdict, prev = parse_xref_at(buf, off)
+            n_sections += 1
+            probe = buf[off:off + 8].lstrip()
+            if probe.startswith(b"xref"):
+                n_classic += 1
+            else:
+                n_streams += 1
+            for oid in entries:
+                id_sections[oid] = id_sections.get(oid, 0) + 1
+            if prev is not None:
+                worklist.append(prev)
+            xrefstm = tdict.get("XRefStm")
+            if isinstance(xrefstm, int):
+                has_hybrid = 1
+                worklist.append(xrefstm)
+    except PdfError:
+        return None
+    return {
+        "n_sections": n_sections,
+        "n_classic": n_classic,
+        "n_streams": n_streams,
+        "has_hybrid": has_hybrid,
+        "n_objects": len(id_sections),
+        "n_shadowed": sum(1 for c in id_sections.values() if c > 1),
+    }

@@ -5154,3 +5154,90 @@ SELECT doc_id,
        CAST(CASE WHEN fam = 2 THEN 1 ELSE 0 END AS INTEGER) AS truncated
 FROM p
 """
+
+
+# -- qx74: incremental-update revision forensics (core/document.py) ------------
+#
+# Provenance census over REAL PDF bytes from the repo's own generator:
+# how many xref sections, classic vs 1.5 stream form, and how many
+# object ids a newer revision SHADOWS (the edit surface signature
+# tooling inspects, PDF §7.5.6). fam = doc_id % 3: plain single
+# section / k = doc_id%4 appended classic updates each replacing the
+# content stream / one xref-STREAM update over a classic base (the
+# signed-PDF mixed chain).
+
+_REV_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_sections", IntegerType()),
+        StructField("n_classic", IntegerType()),
+        StructField("n_streams", IntegerType()),
+        StructField("has_hybrid", IntegerType()),
+        StructField("n_objects", IntegerType()),
+        StructField("n_shadowed", IntegerType()),
+    ]
+)
+
+
+def _qx74_make(doc_id: int) -> bytes:
+    from pdf_spark.gen.pdfgen import (
+        _content_td_tj,
+        _find_startxref,
+        _incremental_xref_stream_doc,
+        _simple_doc,
+        incremental_update,
+    )
+
+    i = int(doc_id)
+    fam = i % 3
+    if fam == 2:
+        return _incremental_xref_stream_doc([f"doc {i} final"])
+    doc = _simple_doc([f"doc {i} line"], _content_td_tj)
+    if fam == 1:
+        for k in range(i % 4):
+            content = _content_td_tj([f"doc {i} rev {k}"])
+            body = (
+                b"<</Length " + str(len(content)).encode()
+                + b">>\nstream\n" + content + b"\nendstream"
+            )
+            doc = incremental_update(doc, {5: body}, _find_startxref(doc))
+    return doc
+
+
+def _qx74(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.document import revision_audit
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [revision_audit(_qx74_make(d)) for d in ids]
+            frame = {"doc_id": ids}
+            for c in ("n_sections", "n_classic", "n_streams", "has_hybrid",
+                      "n_objects", "n_shadowed"):
+                frame[c] = pd.array(
+                    [m[c] if m else None for m in metas], dtype="Int32"
+                )
+            yield pd.DataFrame(frame)
+
+    return docs.mapInPandas(run, _REV_SCHEMA)
+
+
+QUERIES["qx74_revision_forensics"] = _qx74
+ORACLE["qx74_revision_forensics"] = """
+WITH v AS (
+    SELECT doc_id, doc_id % 3 AS fam, doc_id % 4 AS k FROM documents
+)
+SELECT doc_id,
+       CAST(CASE fam WHEN 0 THEN 1 WHEN 1 THEN 1 + k ELSE 2 END AS INTEGER)
+           AS n_sections,
+       CAST(CASE fam WHEN 0 THEN 1 WHEN 1 THEN 1 + k ELSE 1 END AS INTEGER)
+           AS n_classic,
+       CAST(CASE WHEN fam = 2 THEN 1 ELSE 0 END AS INTEGER) AS n_streams,
+       CAST(0 AS INTEGER) AS has_hybrid,
+       CAST(CASE WHEN fam = 2 THEN 7 ELSE 6 END AS INTEGER) AS n_objects,
+       CAST(CASE WHEN fam = 2 OR (fam = 1 AND k > 0) THEN 1 ELSE 0
+            END AS INTEGER) AS n_shadowed
+FROM v
+"""

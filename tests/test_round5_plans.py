@@ -103,3 +103,43 @@ def test_qg18_bowtie_classification_small_graph(spark):
     assert bwd == {0, 1, 2, 3}
     scc = fwd & bwd
     assert scc == {1, 2, 3}
+
+
+def test_revision_audit_hybrid_chain():
+    """A classic trailer with /XRefStm must census the hybrid link and
+    both section forms (PDF §7.5.8.4) — the layout Acrobat emits for
+    1.4-compatible 1.5 files."""
+    from pdf_spark.core.document import revision_audit
+    from pdf_spark.gen.pdfgen import (
+        _content_td_tj, _find_startxref, _simple_doc,
+    )
+    from pdf_spark.gen.pdfgen import _emit_xref_stream
+
+    base = _simple_doc(["hybrid body"], _content_td_tj)
+    prev = _find_startxref(base)
+    out = bytearray(base)
+    out += b"\n\n"
+    content = _content_td_tj(["patched"])
+    cont_off = len(out)
+    out += (
+        b"5 0 obj\n<</Length " + str(len(content)).encode()
+        + b">>\nstream\n" + content + b"\nendstream\nendobj\n\n"
+    )
+    stm_rows = [(1, cont_off, 0), (1, len(out), 0)]
+    _emit_xref_stream(
+        out, 6, stm_rows, 1, predictor=False,
+        extra=b"/Index[5 2]", size=7,
+    )
+    stm_off = _find_startxref(bytes(out))
+    # classic update section whose trailer points at the xref stream
+    xref_off = len(out)
+    out += (
+        b"xref\n0 1\n0000000000 65536 f \n"
+        b"trailer\n<</Size 7/Root 1 0 R/Prev " + str(prev).encode()
+        + b"/XRefStm " + str(stm_off).encode() + b">>\nstartxref\n"
+        + str(xref_off).encode() + b"\n%%EOF"
+    )
+    audit = revision_audit(bytes(out))
+    assert audit["has_hybrid"] == 1
+    assert audit["n_classic"] == 2 and audit["n_streams"] == 1
+    assert audit["n_shadowed"] >= 1
