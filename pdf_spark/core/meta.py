@@ -1213,3 +1213,83 @@ def extract_signatures(resolver) -> list:
              whole_file, revisions)
         )
     return out
+
+
+def active_content_audit(resolver) -> dict:
+    """Active-content / attack-surface census (corpus safety tier).
+
+    Crawled PDFs carry executable surfaces a training pipeline must
+    census before ingestion (the PDF-malware triage checklist, all
+    spec-defined): document ``/OpenAction`` (and its action type),
+    doc-level JavaScript in the ``/Names /JavaScript`` name tree,
+    additional-action (``/AA``) hooks on the catalog, and per-annotation
+    actions — JavaScript / Launch / URI / SubmitForm (PDF 32000-1
+    §12.6). Mirrors the qm49 SVG active-content audit one tier down the
+    stack. Never raises; returns zeroed slots on unwalkable docs.
+    ``risky`` = any JS, Launch, or SubmitForm surface present (URI link
+    actions alone are ordinary hyperlinks, not flagged).
+    """
+    out = {
+        "has_openaction": 0, "openaction_kind": None, "has_catalog_aa": 0,
+        "n_doc_js": 0, "n_annot_js": 0, "n_launch": 0, "n_uri": 0,
+        "n_submit": 0, "risky": 0,
+    }
+
+    def action_kind(act) -> str:
+        act = resolver.resolve(act)
+        if isinstance(act, list):
+            return "dest_array"
+        if not isinstance(act, dict):
+            return "other"
+        s = resolver.resolve(act.get("S"))
+        return str(s) if s is not None else "other"
+
+    try:
+        cat = resolver.catalog()
+    except Exception:
+        return out
+    try:
+        oa = resolver.resolve(cat.get("OpenAction"))
+        if oa is not None:
+            out["has_openaction"] = 1
+            out["openaction_kind"] = action_kind(oa)
+        if resolver.resolve(cat.get("AA")) is not None:
+            out["has_catalog_aa"] = 1
+        names = resolver.resolve(cat.get("Names"))
+        if isinstance(names, dict):
+            js_tree = resolver.resolve(names.get("JavaScript"))
+            if isinstance(js_tree, dict):
+                kids = resolver.resolve(js_tree.get("Names"))
+                if isinstance(kids, list):
+                    out["n_doc_js"] = len(kids) // 2
+    except Exception:
+        pass
+    try:
+        for page in resolver.iter_pages():
+            annots = resolver.resolve(page.get("Annots"))
+            if not isinstance(annots, list):
+                continue
+            for a in annots[:256]:
+                a = resolver.resolve(a)
+                if not isinstance(a, dict):
+                    continue
+                kind = action_kind(a.get("A")) if a.get("A") is not None \
+                    else None
+                if kind == "JavaScript":
+                    out["n_annot_js"] += 1
+                elif kind == "Launch":
+                    out["n_launch"] += 1
+                elif kind == "URI":
+                    out["n_uri"] += 1
+                elif kind == "SubmitForm":
+                    out["n_submit"] += 1
+                if resolver.resolve(a.get("AA")) is not None:
+                    out["risky"] = 1  # AA hooks: risky, not type-counted
+    except Exception:
+        pass
+    if (out["n_doc_js"] or out["n_annot_js"] or out["n_launch"]
+            or out["n_submit"]
+            or out["openaction_kind"] == "JavaScript"
+            or out["has_catalog_aa"]):
+        out["risky"] = 1
+    return out

