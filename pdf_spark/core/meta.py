@@ -1293,3 +1293,64 @@ def active_content_audit(resolver) -> dict:
             or out["has_catalog_aa"]):
         out["risky"] = 1
     return out
+
+
+def struct_census(resolver) -> dict:
+    """Tagged-PDF structure census (§14.7-14.8): the accessibility and
+    caption-mining surface. Counts structure elements by role family
+    (paragraphs, headings H/H1-H6, Figures — with /Alt presence, the
+    alt-text channel image-caption mining reads), plus element count
+    and nesting depth. ``tagged`` reflects /MarkInfo /Marked; the tree
+    is walked whenever /StructTreeRoot exists (many producers omit
+    MarkInfo). Depth/size-capped like struct_mcid_order; never raises.
+    """
+    out = {
+        "tagged": 0, "n_elems": 0, "n_para": 0, "n_headings": 0,
+        "n_figures": 0, "n_fig_alt": 0, "max_depth": 0,
+    }
+    try:
+        cat = resolver.catalog()
+        mi = resolver.resolve(cat.get("MarkInfo"))
+        if isinstance(mi, dict) and resolver.resolve(mi.get("Marked")) is True:
+            out["tagged"] = 1
+        root = resolver.resolve(cat.get("StructTreeRoot"))
+        if not isinstance(root, dict):
+            return out
+    except Exception:
+        return out
+
+    seen = [0]
+
+    def walk(node, depth: int) -> None:
+        if depth > 64 or seen[0] > 65536:
+            return
+        try:
+            node = resolver.resolve(node)
+        except Exception:
+            return
+        if isinstance(node, list):
+            for kid in node:
+                walk(kid, depth)
+            return
+        if not isinstance(node, dict):
+            return  # MCID ints / OBJR leaves: content, not elements
+        role = node.get("S")
+        if role is not None:
+            seen[0] += 1
+            out["n_elems"] += 1
+            out["max_depth"] = max(out["max_depth"], depth)
+            r = str(role)
+            if r == "P":
+                out["n_para"] += 1
+            elif r == "H" or (len(r) == 2 and r[0] == "H" and r[1].isdigit()):
+                out["n_headings"] += 1
+            elif r == "Figure":
+                out["n_figures"] += 1
+                if node.get("Alt") is not None:
+                    out["n_fig_alt"] += 1
+        kids = node.get("K")
+        if kids is not None:
+            walk(kids, depth + 1)
+
+    walk(root.get("K"), 1)
+    return out

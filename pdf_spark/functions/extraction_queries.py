@@ -3885,3 +3885,132 @@ SELECT doc_id,
        CAST(CASE WHEN fam IN (1, 2) THEN 1 ELSE 0 END AS INTEGER) AS risky
 FROM v
 """
+
+
+# -- qx76: tagged-PDF accessibility / alt-text census (§14.7-14.8) -------------
+#
+# The caption-mining + accessibility surface: structure-element role
+# counts (paragraphs, H/H1-H6 headings, Figures with /Alt — the
+# channel LAION-style alt-text pairing reads from PDFs), element
+# count and nesting depth, /MarkInfo conformance bit. fam =
+# doc_id % 3: prose tree (Document > H1 + p paragraphs) / figure
+# tree (f Figures, alt on even indices) / untagged.
+
+
+def _qx76(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.types import IntegerType as _I
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("tagged", _I()),
+            StructField("n_elems", _I()),
+            StructField("n_para", _I()),
+            StructField("n_headings", _I()),
+            StructField("n_figures", _I()),
+            StructField("n_fig_alt", _I()),
+            StructField("max_depth", _I()),
+        ]
+    )
+
+    def _make(i: int) -> bytes:
+        from pdf_spark.gen.pdfgen import F_HELV, PdfBuilder, _content_td_tj
+
+        b = PdfBuilder()
+        cat = b.reserve()
+        pages_id = b.reserve()
+        page = b.reserve()
+        b.add(F_HELV)
+        cont = b.stream(_content_td_tj([f"census {i}"]))
+        fam = i % 3
+        extra = b""
+        if fam in (0, 1):
+            doc_elem = b.reserve()
+            if fam == 0:
+                p = i % 4 + 1
+                kids = [b.add(b"<</S/H1/P " + str(doc_elem).encode()
+                              + b" 0 R/K 0>>")]
+                kids += [
+                    b.add(b"<</S/P/P " + str(doc_elem).encode()
+                          + b" 0 R/K " + str(j + 1).encode() + b">>")
+                    for j in range(p)
+                ]
+            else:
+                f = i % 3 + 1
+                kids = [
+                    b.add(
+                        b"<</S/Figure/P " + str(doc_elem).encode() + b" 0 R"
+                        + (b"/Alt(figure " + str(j).encode() + b")"
+                           if j % 2 == 0 else b"")
+                        + b"/K " + str(j).encode() + b">>"
+                    )
+                    for j in range(f)
+                ]
+            root = b.reserve()
+            b.set(
+                doc_elem,
+                b"<</S/Document/P " + str(root).encode() + b" 0 R/K["
+                + b" ".join(str(k).encode() + b" 0 R" for k in kids)
+                + b"]>>",
+            )
+            b.set(
+                root,
+                b"<</Type/StructTreeRoot/K[" + str(doc_elem).encode()
+                + b" 0 R]>>",
+            )
+            extra = (
+                b"/MarkInfo<</Marked true>>/StructTreeRoot "
+                + str(root).encode() + b" 0 R"
+            )
+        b.set(
+            cat,
+            b"<</Type/Catalog/Pages " + str(pages_id).encode() + b" 0 R"
+            + extra + b">>",
+        )
+        b.set(
+            pages_id,
+            b"<</Type/Pages/Kids[" + str(page).encode()
+            + b" 0 R]/Count 1>>",
+        )
+        b.set(
+            page,
+            b"<</Type/Page/Parent " + str(pages_id).encode()
+            + b" 0 R/MediaBox[0 0 612 792]/Contents "
+            + str(cont).encode() + b" 0 R>>",
+        )
+        return b.build(cat)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_spark.core.document import Resolver
+        from pdf_spark.core.meta import struct_census
+
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            metas = [struct_census(Resolver(_make(d))) for d in ids]
+            frame = {"doc_id": ids}
+            for c in ("tagged", "n_elems", "n_para", "n_headings",
+                      "n_figures", "n_fig_alt", "max_depth"):
+                frame[c] = pd.array([m[c] for m in metas], dtype="Int32")
+            yield pd.DataFrame(frame)
+
+    return docs.mapInPandas(run, schema)
+
+
+QUERIES["qx76_struct_census"] = _qx76
+ORACLE["qx76_struct_census"] = """
+WITH v AS (SELECT doc_id, doc_id % 3 AS fam, doc_id % 4 + 1 AS p,
+                  doc_id % 3 + 1 AS f
+           FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN fam = 2 THEN 0 ELSE 1 END AS INTEGER) AS tagged,
+       CAST(CASE fam WHEN 0 THEN p + 2 WHEN 1 THEN f + 1 ELSE 0
+            END AS INTEGER) AS n_elems,
+       CAST(CASE WHEN fam = 0 THEN p ELSE 0 END AS INTEGER) AS n_para,
+       CAST(CASE WHEN fam = 0 THEN 1 ELSE 0 END AS INTEGER) AS n_headings,
+       CAST(CASE WHEN fam = 1 THEN f ELSE 0 END AS INTEGER) AS n_figures,
+       CAST(CASE WHEN fam = 1 THEN (f + 1) // 2 ELSE 0 END AS INTEGER)
+           AS n_fig_alt,
+       CAST(CASE WHEN fam = 2 THEN 0 ELSE 2 END AS INTEGER) AS max_depth
+FROM v
+"""
