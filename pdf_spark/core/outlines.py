@@ -766,3 +766,251 @@ def cs_num(v: int) -> bytes:
         v = -v - 108
         return bytes([(v >> 8) + 251, v & 0xFF])
     return b"\x1c" + struct.pack(">h", v)
+
+
+# ---------------------------------------------------------------------------
+# Type 1 charstrings (E288 — the reference's FontFile todo, font side)
+# ---------------------------------------------------------------------------
+
+def run_type1_charstring(
+    code: bytes,
+    subrs: Sequence[bytes] = (),
+    charstrings=None,
+    _depth: int = 0,
+) -> Optional[dict]:
+    """Interpret a DECRYPTED Type 1 charstring (Adobe Type 1 spec §6-7).
+
+    Same output contract as :func:`run_charstring`: ``advance`` (from
+    ``hsbw``/``sbw``), ``n_contours``/``n_points``, exact hull bbox.
+    Differences from Type 2, all per spec: unbiased subr indices,
+    single-argument hlineto/vlineto (no alternation), 255-prefixed
+    operands are 32-bit INTEGERS (not 16.16), ``closepath`` exists,
+    ``seac`` composes accented glyphs from StandardEncoding codes
+    (resolved through ``charstrings`` when provided), and flex arrives
+    via ``callothersubr`` 0-2 (the seven flex rmovetos become two
+    curves; hint-replacement othersubr 3 is a no-op).
+    """
+    if _depth > _MAX_SUBR_DEPTH:
+        return None
+    st = {
+        "x": 0.0, "y": 0.0, "sbx": 0.0, "width": 0.0,
+        "contours": 0, "points": 0, "xs": [], "ys": [],
+        "flex_pts": None, "ps_stack": [],
+    }
+    stack: List[float] = []
+
+    def mark() -> None:
+        st["xs"].append(st["x"])
+        st["ys"].append(st["y"])
+
+    def moveto(dx: float, dy: float) -> None:
+        st["x"] += dx
+        st["y"] += dy
+        if st["flex_pts"] is not None:
+            st["flex_pts"].append((st["x"], st["y"]))
+            return
+        st["contours"] += 1
+        st["points"] += 1
+        mark()
+
+    def lineto(dx: float, dy: float) -> None:
+        st["x"] += dx
+        st["y"] += dy
+        st["points"] += 1
+        mark()
+
+    def curveto(d) -> None:
+        st["x"] += d[0]; st["y"] += d[1]; mark()
+        st["x"] += d[2]; st["y"] += d[3]; mark()
+        st["x"] += d[4]; st["y"] += d[5]
+        st["points"] += 1
+        mark()
+
+    def merge(sub: dict, dx: float, dy: float) -> None:
+        st["contours"] += sub["n_contours"]
+        st["points"] += sub["n_points"]
+        st["xs"].extend([sub["x_min"] + dx, sub["x_max"] + dx])
+        st["ys"].extend([sub["y_min"] + dy, sub["y_max"] + dy])
+
+    def exec_code(cs: bytes, depth: int) -> bool:
+        if depth > _MAX_SUBR_DEPTH:
+            raise ValueError("subr depth")
+        pos = 0
+        n = len(cs)
+        while pos < n:
+            b0 = cs[pos]
+            pos += 1
+            if b0 >= 32 or b0 == 255:
+                if b0 == 255:
+                    v = float(struct.unpack_from(">i", cs, pos)[0])
+                    pos += 4
+                elif b0 <= 246:
+                    v = float(b0 - 139)
+                elif b0 <= 250:
+                    v = float((b0 - 247) * 256 + cs[pos] + 108)
+                    pos += 1
+                else:
+                    v = float(-(b0 - 251) * 256 - cs[pos] - 108)
+                    pos += 1
+                stack.append(v)
+                continue
+            op = b0
+            if op == 13:  # hsbw: sbx wx
+                if len(stack) < 2:
+                    raise ValueError("hsbw underflow")
+                st["sbx"], st["width"] = stack[0], stack[1]
+                st["x"] = stack[0]
+                stack.clear()
+            elif op == 9:  # closepath
+                stack.clear()
+            elif op in (1, 3):  # hstem / vstem
+                stack.clear()
+            elif op == 21:
+                if len(stack) < 2:
+                    raise ValueError("rmoveto underflow")
+                moveto(stack[-2], stack[-1])
+                stack.clear()
+            elif op == 22:
+                moveto(stack[-1], 0.0)
+                stack.clear()
+            elif op == 4:
+                moveto(0.0, stack[-1])
+                stack.clear()
+            elif op == 5:
+                lineto(stack[-2], stack[-1])
+                stack.clear()
+            elif op == 6:  # hlineto: single arg
+                lineto(stack[-1], 0.0)
+                stack.clear()
+            elif op == 7:
+                lineto(0.0, stack[-1])
+                stack.clear()
+            elif op == 8:
+                if len(stack) < 6:
+                    raise ValueError("rrcurveto underflow")
+                curveto(stack[-6:])
+                stack.clear()
+            elif op == 30:  # vhcurveto: dy1 dx2 dy2 dx3
+                curveto([0.0, stack[-4], stack[-3], stack[-2],
+                         stack[-1], 0.0])
+                stack.clear()
+            elif op == 31:  # hvcurveto: dx1 dx2 dy2 dy3
+                curveto([stack[-4], 0.0, stack[-3], stack[-2],
+                         0.0, stack[-1]])
+                stack.clear()
+            elif op == 10:  # callsubr (unbiased)
+                idx = int(stack.pop())
+                if not 0 <= idx < len(subrs):
+                    raise ValueError("subr index")
+                if exec_code(subrs[idx], depth + 1):
+                    return True
+            elif op == 11:
+                return False
+            elif op == 14:
+                return True
+            elif op == 12:
+                op2 = cs[pos]
+                pos += 1
+                if op2 == 12:  # div
+                    b = stack.pop(); a = stack.pop()
+                    if b == 0:
+                        raise ValueError("div by zero")
+                    stack.append(a / b)
+                elif op2 == 16:  # callothersubr
+                    othersubr = int(stack.pop())
+                    n_args = int(stack.pop())
+                    args = stack[-n_args:] if n_args else []
+                    del stack[len(stack) - n_args:]
+                    if othersubr == 1:      # flex start
+                        st["flex_pts"] = []
+                    elif othersubr == 0:    # flex end
+                        pts = st["flex_pts"] or []
+                        st["flex_pts"] = None
+                        if len(pts) >= 7:
+                            # pts[0] is the reference point; 1-6 the curves
+                            prev = (st["xs"][-1] if st["xs"] else 0.0,
+                                    st["ys"][-1] if st["ys"] else 0.0)
+                            for k in (1, 2, 3):
+                                st["xs"].append(pts[k][0])
+                                st["ys"].append(pts[k][1])
+                            for k in (4, 5, 6):
+                                st["xs"].append(pts[k][0])
+                                st["ys"].append(pts[k][1])
+                            st["points"] += 2
+                            st["x"], st["y"] = pts[6]
+                        # othersubr 0 leaves end y, x for the two pops
+                        st["ps_stack"] = [st["y"], st["x"]]
+                    elif othersubr == 3:    # hint replacement
+                        st["ps_stack"] = [3.0]
+                    else:
+                        st["ps_stack"] = list(reversed(args))
+                elif op2 == 17:  # pop
+                    stack.append(
+                        st["ps_stack"].pop() if st["ps_stack"] else 0.0
+                    )
+                elif op2 == 6:  # seac: asb adx ady bchar achar
+                    if charstrings is None or len(stack) < 5:
+                        raise ValueError("seac unsupported")
+                    from pdf_spark.core.encodings import STANDARD_ENCODING
+                    asb, adx, ady, bchar, achar = stack[-5:]
+                    stack.clear()
+                    bname = STANDARD_ENCODING.get(int(bchar))
+                    aname = STANDARD_ENCODING.get(int(achar))
+                    for nm, dx, dy in (
+                        (bname, 0.0, 0.0),
+                        (aname, st["sbx"] - asb + adx, ady),
+                    ):
+                        cs2 = charstrings.get(nm) if nm else None
+                        if cs2 is None:
+                            raise ValueError("seac component missing")
+                        sub = run_type1_charstring(
+                            cs2, subrs, None, _depth + 1
+                        )
+                        if sub is None:
+                            raise ValueError("seac component failed")
+                        merge(sub, dx, dy)
+                    return True
+                elif op2 == 7:  # sbw: sbx sby wx wy
+                    if len(stack) < 4:
+                        raise ValueError("sbw underflow")
+                    st["sbx"], st["width"] = stack[0], stack[2]
+                    st["x"], st["y"] = stack[0], stack[1]
+                    stack.clear()
+                elif op2 == 33:  # setcurrentpoint
+                    if len(stack) >= 2:
+                        st["x"], st["y"] = stack[-2], stack[-1]
+                    stack.clear()
+                elif op2 in (0, 1, 2):  # dotsection / vstem3 / hstem3
+                    stack.clear()
+                else:
+                    raise ValueError(f"reserved t1 escape {op2}")
+            else:
+                raise ValueError(f"reserved t1 operator {op}")
+        return False
+
+    try:
+        exec_code(code, 0)
+    except (ValueError, IndexError, struct.error):
+        return None
+    return {
+        "advance": st["width"],
+        "n_contours": st["contours"],
+        "n_points": st["points"],
+        "x_min": min(st["xs"]) if st["xs"] else 0.0,
+        "x_max": max(st["xs"]) if st["xs"] else 0.0,
+        "y_min": min(st["ys"]) if st["ys"] else 0.0,
+        "y_max": max(st["ys"]) if st["ys"] else 0.0,
+    }
+
+
+def t1_num(v: int) -> bytes:
+    """Encode an integer as a Type 1 charstring operand."""
+    if -107 <= v <= 107:
+        return bytes([v + 139])
+    if 108 <= v <= 1131:
+        v -= 108
+        return bytes([(v >> 8) + 247, v & 0xFF])
+    if -1131 <= v <= -108:
+        v = -v - 108
+        return bytes([(v >> 8) + 251, v & 0xFF])
+    return b"\xff" + struct.pack(">i", v)

@@ -5241,3 +5241,130 @@ SELECT doc_id,
             END AS INTEGER) AS n_shadowed
 FROM v
 """
+
+
+# -- qm53: Type 1 font outlines end-to-end (core/type1.py + outlines.py) -------
+#
+# The reference's FontFile todo closed on the outline side: per doc a
+# full Type 1 program is ASSEMBLED (eexec + charstring encryption, RD
+# binary tokens), re-parsed through the decryption/extraction layer,
+# and the target glyph interpreted. fam = doc_id % 3: rect through an
+# unbiased subr / seac accent composition / sbw vertical metrics with
+# a curve hull.
+
+_T1_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fam", IntegerType()),
+        StructField("n_glyphs", IntegerType()),
+        StructField("n_contours", IntegerType()),
+        StructField("n_points", IntegerType()),
+        StructField("adv", LongType()),
+        StructField("ink_w", IntegerType()),
+        StructField("ink_h", IntegerType()),
+    ]
+)
+
+
+def _qm53_eval(doc_id: int):
+    from pdf_spark.core.outlines import run_type1_charstring, t1_num
+    from pdf_spark.core.type1 import encode_type1_font, type1_charstrings
+
+    def cs(*parts):
+        return b"".join(
+            t1_num(p) if isinstance(p, int) else p for p in parts
+        )
+
+    HSBW, RMOVE, HLINE, VLINE = b"\x0d", b"\x15", b"\x06", b"\x07"
+    CLOSE, END, CALL, RET = b"\x09", b"\x0e", b"\x0a", b"\x0b"
+    RRCURVE, SEAC, SBW = b"\x08", b"\x0c\x06", b"\x0c\x07"
+
+    i = int(doc_id)
+    fam = i % 3
+    w = 100 + (i % 50) * 2
+    h = 150 + (i % 40) * 2
+    sb = i % 20
+    space = cs(0, 250, HSBW, END)
+    if fam == 0:
+        adv = 400 + i % 100
+        sub = cs(w, HLINE, RET)
+        glyph = cs(sb, adv, HSBW, 0, 0, RMOVE, 0, CALL, h, VLINE,
+                   -w, HLINE, CLOSE, END)
+        font = encode_type1_font(
+            {"space": space, "g": glyph}, subrs=[sub],
+            encoding={32: "space", 103: "g"},
+        )
+        chars, subrs = type1_charstrings(font)
+        out = run_type1_charstring(chars["g"], subrs=subrs)
+    elif fam == 1:
+        adx = 200 + i % 30
+        ady = 300 + i % 20
+        base = cs(0, 600, HSBW, 0, 0, RMOVE, w, HLINE, h, VLINE,
+                  -w, HLINE, CLOSE, END)
+        accent = cs(0, 300, HSBW, 0, 0, RMOVE, 10, HLINE, 12, VLINE,
+                    -10, HLINE, CLOSE, END)
+        adv = 650 + i % 40
+        comp = cs(0, adv, HSBW, 0, adx, ady, 65, 39, SEAC)
+        font = encode_type1_font(
+            {"A": base, "quoteright": accent, "comp": comp},
+        )
+        chars, subrs = type1_charstrings(font)
+        out = run_type1_charstring(
+            chars["comp"], subrs=subrs, charstrings=chars
+        )
+    else:
+        adv = 600 + i % 50
+        glyph = cs(5, 10, adv, 0, SBW, 0, 0, RMOVE,
+                   10, 20, 20, -20, 30, 0, RRCURVE, END)
+        font = encode_type1_font({"space": space, "v": glyph})
+        chars, subrs = type1_charstrings(font)
+        out = run_type1_charstring(chars["v"])
+    n_glyphs = 3 if fam == 1 else 2
+    return (
+        fam, n_glyphs, out["n_contours"], out["n_points"],
+        int(out["advance"]),
+        int(out["x_max"] - out["x_min"]), int(out["y_max"] - out["y_min"]),
+    )
+
+
+def _qm53(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            rows = [_qm53_eval(d) for d in ids]
+            frame = {"doc_id": ids}
+            cols = ["fam", "n_glyphs", "n_contours", "n_points", "adv",
+                    "ink_w", "ink_h"]
+            for j, c in enumerate(cols):
+                dtype = "Int64" if c == "adv" else "Int32"
+                frame[c] = pd.array([r[j] for r in rows], dtype=dtype)
+            yield pd.DataFrame(frame)
+
+    return docs.mapInPandas(run, _T1_SCHEMA)
+
+
+QUERIES["qm53_type1_outlines"] = _qm53
+ORACLE["qm53_type1_outlines"] = """
+WITH v AS (
+    SELECT doc_id, doc_id % 3 AS fam, 100 + (doc_id % 50) * 2 AS w,
+           150 + (doc_id % 40) * 2 AS h, doc_id % 20 AS sb,
+           200 + doc_id % 30 AS adx, 300 + doc_id % 20 AS ady
+    FROM documents
+)
+SELECT doc_id,
+       CAST(fam AS INTEGER) AS fam,
+       CAST(CASE WHEN fam = 1 THEN 3 ELSE 2 END AS INTEGER) AS n_glyphs,
+       CAST(CASE WHEN fam = 1 THEN 2 ELSE 1 END AS INTEGER) AS n_contours,
+       CAST(CASE fam WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 2 END AS INTEGER)
+           AS n_points,
+       CAST(CASE fam WHEN 0 THEN 400 + doc_id % 100
+                     WHEN 1 THEN 650 + doc_id % 40
+                     ELSE 600 + doc_id % 50 END AS BIGINT) AS adv,
+       CAST(CASE fam WHEN 0 THEN w WHEN 1 THEN adx + 10 ELSE 60
+            END AS INTEGER) AS ink_w,
+       CAST(CASE fam WHEN 0 THEN h WHEN 1 THEN ady + 12 ELSE 20
+            END AS INTEGER) AS ink_h
+FROM v
+"""
