@@ -65,6 +65,11 @@ def test_session8_new_queries_shuffle_free(spark, sf_dir):
         "qm50_glyph_outlines",
         "qm51_icc_profile",
         "qx73_page_raster",
+        "qm52_jp2_meta",
+        "qm53_type1_outlines",
+        "qx74_revision_forensics",
+        "qx75_active_content",
+        "qx76_struct_census",
     ):
         plan = _plan(spark, q[name](spark, sf_dir))
         assert "Exchange" not in plan, f"{name} must stay shuffle-free"
