@@ -1222,3 +1222,99 @@ FROM nodes n
 LEFT JOIN fwd f ON n.node = f.node
 LEFT JOIN bwd b ON n.node = b.node
 """
+
+
+# --- qg19: all-pairs distances + harmonic centrality (contracted hosts) ---------
+#
+# The crawl-prioritization centrality that is robust on DISCONNECTED
+# graphs (unreachable pairs contribute zero instead of poisoning the
+# mean): harmonic centrality H(v) = sum over u != v of 1/d(u, v).
+# Engine: round-indexed multi-source frontier BFS over the contracted
+# host graph — state is (src, node) pairs, each round one join +
+# anti-join with per-round localCheckpoint (the qg18 discipline); the
+# round number IS the distance at first reach, so no per-edge weights
+# or re-relaxation. Scores are integer-exact: sum of floor(1000/d)
+# per reached pair (the same fixed-point discipline as qg01's 1e-12
+# grain). Oracle: recursive-CTE min-distance closure. At 10^12 pages
+# the host contraction (qg05) makes |V| small; state is |V|^2 pairs
+# max — the standard scale shape for exact APSP on contracted graphs.
+
+def _qg19(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    edges = spark.sql(
+        """
+        WITH raw_edges AS (
+          SELECT DISTINCT doc_id % 40 AS src, (doc_id * 3 + t.k) % 40 AS dst
+          FROM documents
+          LATERAL VIEW explode(sequence(1, CAST(doc_id % 2 + 1 AS INT)))
+            t AS k
+        )
+        SELECT CAST(src AS LONG) AS u, CAST(dst AS LONG) AS v
+        FROM raw_edges WHERE src <> dst
+        """
+    ).localCheckpoint()
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # reached: (src, node, d); frontier starts as d=0 self-pairs
+    reached = nodes.select(
+        F.col("node").alias("src"), "node", F.lit(0).alias("d")
+    ).localCheckpoint()
+    frontier = reached
+    for rnd in range(1, 64):
+        grown = (
+            frontier.join(edges, frontier["node"] == edges["u"])
+            .select("src", edges["v"].alias("node"))
+            .distinct()
+            .join(reached, ["src", "node"], "left_anti")
+            .withColumn("d", F.lit(rnd))
+            .localCheckpoint()
+        )
+        if not grown.take(1):
+            break
+        reached = reached.union(grown).localCheckpoint()
+        frontier = grown
+    return (
+        reached.filter(F.col("d") > 0)
+        .groupBy(F.col("node"))
+        .agg(
+            F.count("*").cast("long").alias("n_reached_by"),
+            F.sum(F.floor(1000 / F.col("d"))).cast("long")
+            .alias("harmonic_milli"),
+        )
+        .select("node", "n_reached_by", "harmonic_milli")
+    )
+
+
+QUERIES["qg19_harmonic_centrality"] = _qg19
+ORACLE["qg19_harmonic_centrality"] = """
+WITH RECURSIVE raw_edges AS (
+  SELECT DISTINCT doc_id % 40 AS src, (doc_id * 3 + t.k) % 40 AS dst
+  FROM documents, LATERAL unnest(range(1, doc_id % 2 + 2)) t(k)
+),
+edges AS (SELECT src, dst FROM raw_edges WHERE src <> dst),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  ) u
+),
+walk(src, node, d) AS (
+  SELECT node, node, 0 FROM nodes
+  UNION
+  SELECT w.src, e.dst, w.d + 1
+  FROM walk w JOIN edges e ON w.node = e.src
+  WHERE w.d < 64
+),
+dist AS (
+  SELECT src, node, MIN(d) AS d FROM walk GROUP BY src, node
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(COUNT(*) AS BIGINT) AS n_reached_by,
+       CAST(SUM(1000 // d) AS BIGINT) AS harmonic_milli
+FROM dist
+WHERE d > 0
+GROUP BY node
+"""

@@ -2154,3 +2154,82 @@ def qr57(spark: SparkSession, sf: str) -> DataFrame:
     engines."""
     register_views(spark, sf)
     return spark.sql(_QR57_BODY)
+
+
+# --- qr58: weekly cohort retention matrix --------------------------------------
+#
+# The canonical product-analytics rollup missing from the funnel/
+# attribution tier (qr50/qr51): users grouped by FIRST-event week
+# (their cohort), then distinct-user counts at each whole-week offset,
+# with retention as a permille of the offset-0 cohort size. Scale
+# shape: one groupBy(user) for the cohort assignment (broadcastable —
+# distinct users << events), one distinct over (cohort, week, user)
+# partials, one aggregation; the offset-0 join is vs the tiny cohort
+# dimension. Integer outputs only; week = date_trunc Monday in both
+# engines, offsets by whole-day difference DIV 7 (exact on truncated
+# dates).
+
+_QR58_SPARK = """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_trunc('week', e.ts) AS DATE) AS w
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+),
+counts AS (
+  SELECT cohort_week, datediff(w, cohort_week) DIV 7 AS offset_weeks,
+         COUNT(DISTINCT user_id) AS n_users
+  FROM act GROUP BY cohort_week, datediff(w, cohort_week) DIV 7
+),
+base AS (
+  SELECT cohort_week, n_users AS cohort_size FROM counts
+  WHERE offset_weeks = 0
+)
+SELECT c.cohort_week,
+       CAST(c.offset_weeks AS INT) AS offset_weeks,
+       CAST(c.n_users AS BIGINT) AS n_users,
+       CAST(b.cohort_size AS BIGINT) AS cohort_size,
+       CAST(1000 * c.n_users DIV b.cohort_size AS BIGINT)
+           AS retention_permille
+FROM counts c JOIN base b ON c.cohort_week = b.cohort_week
+"""
+
+_QR58_DUCK = """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_trunc('week', e.ts) AS DATE) AS w
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+),
+counts AS (
+  SELECT cohort_week, date_diff('day', cohort_week, w) // 7 AS offset_weeks,
+         COUNT(DISTINCT user_id) AS n_users
+  FROM act GROUP BY cohort_week, date_diff('day', cohort_week, w) // 7
+),
+base AS (
+  SELECT cohort_week, n_users AS cohort_size FROM counts
+  WHERE offset_weeks = 0
+)
+SELECT c.cohort_week,
+       CAST(c.offset_weeks AS INT) AS offset_weeks,
+       CAST(c.n_users AS BIGINT) AS n_users,
+       CAST(b.cohort_size AS BIGINT) AS cohort_size,
+       CAST(1000 * c.n_users // b.cohort_size AS BIGINT)
+           AS retention_permille
+FROM counts c JOIN base b ON c.cohort_week = b.cohort_week
+"""
+
+
+def _qr58(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    return spark.sql(_QR58_SPARK)
+
+
+QUERIES["qr58_cohort_retention"] = _qr58
+ORACLE["qr58_cohort_retention"] = _QR58_DUCK
